@@ -17,10 +17,12 @@ import PortableHash._
   *  - exact dedup: one shuffle on a 128-bit digest; partial-agg combines
   *    map-side, so the exchange carries one row per distinct digest per
   *    map partition, not the corpus.
-  *  - minhash LSH: signatures are a linear scan; candidate generation
-  *    explodes only (bands) rows per doc and shuffles on (band, bucket) —
-  *    the classic shingle→minhash→band→bucket-join pipeline. The exact-
-  *    Jaccard verify joins only candidate pairs, never all pairs.
+  *  - minhash LSH: shingle→minhash→band→bucket-join. Text NEVER crosses a
+  *    shuffle: docs are reduced to (id, shingle-hash array) in the first
+  *    projection; candidate generation explodes (bands) small rows per
+  *    doc and shuffles only (band, bucket, id); the exact-Jaccard verify
+  *    joins candidate ID pairs back to the hash arrays — it touches
+  *    candidates only, never all pairs.
   *  - simhash: linear scan, zero shuffle; near-dup lookup is a self-join
   *    on the (few-bit-prefix) bucket of the fingerprint.
   *  - n-gram Jaccard all-pairs is O(n²) by nature and exists as the
@@ -29,20 +31,36 @@ import PortableHash._
 object Dedup {
 
   /** Word k-shingles of a text column, distinct, as an array expression
-    * (Spark dialect). Spark SQL lacks let-bindings, so the split is
-    * inlined — Catalyst's common-subexpression elimination dedups it.
+    * (Spark dialect). Docs with fewer than k words yield an EMPTY array —
+    * Spark's `sequence(1, 0)` is the descending [1, 0], so the short-doc
+    * case must be guarded explicitly to match the DuckDB twin, whose
+    * `generate_series(1, 0)` is empty (and to avoid
+    * INVALID_ARRAY_INDEX_IN_ELEMENT_AT at i+j past the end).
+    * Spark SQL lacks let-bindings, so the split is inlined — Catalyst's
+    * common-subexpression elimination dedups it.
     */
   def sparkShingles(text: String, k: Int = 3): String = {
     val w = s"split($text, ' ')"
     val parts = (0 until k).map(j => s"element_at($w, i + $j)").mkString(", ' ', ")
-    s"array_distinct(transform(sequence(1, greatest(size($w) - ${k - 1}, 0)), i -> concat($parts)))"
+    s"array_distinct(IF(size($w) < $k, cast(array() AS ARRAY<STRING>), " +
+      s"transform(sequence(1, size($w) - ${k - 1}), i -> concat($parts))))"
   }
 
   def duckShingles(text: String, k: Int = 3): String = {
     val w = s"string_split($text, ' ')"
     val parts = (0 until k).map(j => s"$w[i + $j]").mkString(" || ' ' || ")
-    s"list_distinct(list_transform(generate_series(1, greatest(len($w) - ${k - 1}, 0)), i -> $parts))"
+    s"list_distinct(list_transform(generate_series(1, len($w) - ${k - 1}), i -> $parts))"
   }
+
+  /** Distinct shingle-hash array (the whole-doc content set, hashed).
+    * `array_distinct` runs AFTER hashing so both engines agree even in the
+    * (improbable) event of a hash collision between distinct shingles.
+    */
+  def sparkShingleHashes(text: String, k: Int = 3): String =
+    s"array_distinct(transform(${sparkShingles(text, k)}, s -> ${sparkStringHash("s")}))"
+
+  def duckShingleHashes(text: String, k: Int = 3): String =
+    s"list_distinct(list_transform(${duckShingles(text, k)}, s -> ${duckStringHash("s")}))"
 
   /** Exact dedup by content digest: (digest, keep_id = min id, dup count).
     * One partial-aggregated shuffle on md5(text).
@@ -59,62 +77,65 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, id: String, text: String,
                         numHashes: Int = 16, k: Int = 3): DataFrame = {
-    val hashes = s"transform(${sparkShingles(text, k)}, s -> ${sparkStringHash("s")})"
     val sigCols = (0 until numHashes).map { i =>
       expr(s"array_min(transform(hs, h -> ${universal(i, "h")}))").as(s"mh$i")
     }
-    df.select(col(id), expr(hashes).as("hs"))
+    df.select(col(id), expr(sparkShingleHashes(text, k)).as("hs"))
       .where(size(col("hs")) > 0)
       .select(col(id) +: sigCols: _*)
   }
 
   def minhashSignaturesSql(table: String, id: String, text: String,
                            numHashes: Int = 16, k: Int = 3): String = {
-    val hashes = s"list_transform(${duckShingles(text, k)}, s -> ${duckStringHash("s")})"
     val sigCols = (0 until numHashes).map { i =>
       s"list_min(list_transform(hs, h -> ${universal(i, "h")})) AS mh$i"
     }.mkString(", ")
-    s"SELECT $id, $sigCols FROM (SELECT $id, $hashes AS hs FROM $table) WHERE len(hs) > 0"
+    s"SELECT $id, $sigCols FROM (SELECT $id, ${duckShingleHashes(text, k)} AS hs FROM $table) WHERE len(hs) > 0"
   }
 
   /** MinHash LSH candidate pairs, exact-Jaccard verified.
+    *
     * bands × rowsPerBand = numHashes; docs sharing any band bucket are
-    * candidates; candidates are verified with exact shingle Jaccard and
-    * filtered at `threshold`. Two shuffles: (band, bucket) self-join and
-    * the distinct; the verify join touches candidates only.
+    * candidates; candidates are verified with exact Jaccard over the
+    * (distinct) shingle-hash sets and filtered at `threshold`.
+    *
+    * Plan shape (the 100 TB shape):
+    *   1. ONE scan reduces each doc to (id, hs: array<long>) — text is
+    *      dropped before anything shuffles.
+    *   2. `posexplode` emits (bands) rows per doc: (band, bucket, id) —
+    *      a single pass, not one union branch per band.
+    *   3. Self-join on (band, bucket) + groupBy(a_id, b_id) dedups
+    *      candidates; the exchange carries only ids and two longs.
+    *   4. Verify joins the candidate ID pairs back to (id, hs) twice and
+    *      computes Jaccard on the hash arrays — candidates only.
     */
   def minhashLshPairs(df: DataFrame, id: String, text: String,
                       bands: Int = 4, rowsPerBand: Int = 4, k: Int = 3,
                       threshold: Double = 0.5): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val hashes = s"transform(${sparkShingles("t", k)}, s -> ${sparkStringHash("s")})"
-    val sigCols = (0 until numHashes).map { i =>
-      expr(s"array_min(transform(hs, h -> ${universal(i, "h")}))").as(s"mh$i")
-    }
-    val sigsT = df.select(col(id), col(text).as("t"))
-      .withColumn("hs", expr(hashes)).where(size(col("hs")) > 0)
-      .select(col(id) +: col("t") +: sigCols: _*)
-    // band bucket = rolling combine of the band's signature values
-    val bandRows = (0 until bands).map { b =>
-      val sig = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}")
-        .mkString("array(", ", ", ")")
-      sigsT.select(col(id), col("t"),
-        lit(b).as("band"), expr(sparkFoldHashes(sig)).as("bucket"))
-    }.reduce(_ unionAll _)
-    val a = bandRows.select(col(id).as("a_id"), col("t").as("a_text"),
-      col("band"), col("bucket"))
-    val b = bandRows.select(col(id).as("b_id"), col("t").as("b_text"),
-      col("band"), col("bucket"))
-    val cand = a.join(b, Seq("band", "bucket"))
-      .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_text", "b_text").distinct()
-    val ga = sparkShingles("a_text", k)
-    val gb = sparkShingles("b_text", k)
+    val docs = df.select(col(id).as("_did"), expr(sparkShingleHashes(text, k)).as("hs"))
+      .where(size(col("hs")) > 0)
+    // per-band bucket = rolling combine of that band's signature values
+    val bandBuckets = (0 until bands).map { b =>
+      val sig = (0 until rowsPerBand).map { r =>
+        val i = b * rowsPerBand + r
+        s"array_min(transform(hs, h -> ${universal(i, "h")}))"
+      }.mkString("array(", ", ", ")")
+      sparkFoldHashes(sig)
+    }.mkString("array(", ", ", ")")
+    val bandRows = docs
+      .select(col("_did"), posexplode(expr(bandBuckets)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = bandRows.alias("a")
+      .join(bandRows.alias("b"), Seq("band", "bucket"))
+      .where(col("a._did") < col("b._did"))
+      .select(col("a._did").as("a_id"), col("b._did").as("b_id"))
+      .distinct()
     cand
-      .withColumn("c", expr(s"size(array_intersect($ga, $gb))"))
-      .withColumn("na", expr(s"size($ga)"))
-      .withColumn("nb", expr(s"size($gb)"))
-      .withColumn("jaccard", round(col("c") * 1.0 / (col("na") + col("nb") - col("c")), 6))
+      .join(docs.select(col("_did").as("a_id"), col("hs").as("ha")), "a_id")
+      .join(docs.select(col("_did").as("b_id"), col("hs").as("hb")), "b_id")
+      .withColumn("c", expr("size(array_intersect(ha, hb))"))
+      .withColumn("jaccard",
+        round(col("c") * 1.0 / (expr("size(ha)") + expr("size(hb)") - col("c")), 6))
       .where(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
@@ -122,29 +143,27 @@ object Dedup {
   def minhashLshPairsSql(table: String, id: String, text: String,
                          bands: Int = 4, rowsPerBand: Int = 4, k: Int = 3,
                          threshold: Double = 0.5): String = {
-    val numHashes = bands * rowsPerBand
-    val hashes = s"list_transform(${duckShingles(text, k)}, s -> ${duckStringHash("s")})"
-    val sigCols = (0 until numHashes).map { i =>
-      s"list_min(list_transform(hs, h -> ${universal(i, "h")})) AS mh$i"
-    }.mkString(", ")
     val bandSelects = (0 until bands).map { b =>
-      val sig = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}")
-        .mkString("[", ", ", "]::BIGINT[]")
-      s"SELECT $id, $text AS t, $b AS band, ${duckFoldHashes(sig)} AS bucket FROM sigs"
+      val sig = (0 until rowsPerBand).map { r =>
+        val i = b * rowsPerBand + r
+        s"list_min(list_transform(hs, h -> ${universal(i, "h")}))"
+      }.mkString("[", ", ", "]::BIGINT[]")
+      s"SELECT _did, $b AS band, ${duckFoldHashes(sig)} AS bucket FROM docs"
     }.mkString(" UNION ALL ")
-    s"""WITH sigs AS (
-       |  SELECT $id, $text, $sigCols
-       |  FROM (SELECT $id, $text, $hashes AS hs FROM $table) WHERE len(hs) > 0),
+    s"""WITH docs AS (
+       |  SELECT _did, hs FROM
+       |    (SELECT $id AS _did, ${duckShingleHashes(text, k)} AS hs FROM $table)
+       |  WHERE len(hs) > 0),
        |bandrows AS ($bandSelects),
        |cand AS (
-       |  SELECT DISTINCT a.$id AS a_id, b.$id AS b_id, a.t AS a_t, b.t AS b_t
+       |  SELECT DISTINCT a._did AS a_id, b._did AS b_id
        |  FROM bandrows a JOIN bandrows b
-       |    ON a.band = b.band AND a.bucket = b.bucket AND a.$id < b.$id),
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a._did < b._did),
        |scored AS (
-       |  SELECT a_id, b_id,
-       |    len(list_intersect(${duckShingles("a_t", k)}, ${duckShingles("b_t", k)})) AS c,
-       |    len(${duckShingles("a_t", k)}) AS na, len(${duckShingles("b_t", k)}) AS nb
-       |  FROM cand)
+       |  SELECT a_id, b_id, len(list_intersect(da.hs, db.hs)) AS c,
+       |         len(da.hs) AS na, len(db.hs) AS nb
+       |  FROM cand JOIN docs da ON cand.a_id = da._did
+       |            JOIN docs db ON cand.b_id = db._did)
        |SELECT a_id, b_id, round(c * 1.0 / (na + nb - c), 6) AS jaccard
        |FROM scored WHERE round(c * 1.0 / (na + nb - c), 6) >= $threshold""".stripMargin
   }
@@ -172,10 +191,12 @@ object Dedup {
 
   /** All-pairs word-k-gram Jaccard above a threshold — the exact near-dup
     * ground truth (O(n²); the verifier/oracle path, not the scale path).
+    * Shingle-hash arrays are computed ONCE per doc before the pair join,
+    * so the quadratic stage does array intersects only.
     */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
                         k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val g = df.select(col(id).as("gid"), expr(sparkShingles(text, k)).as("g"))
+    val g = df.select(col(id).as("gid"), expr(sparkShingleHashes(text, k)).as("g"))
     val a = g.select(col("gid").as("a_id"), col("g").as("ga"))
     val b = g.select(col("gid").as("b_id"), col("g").as("gb"))
     a.crossJoin(b).where(col("a_id") < col("b_id"))
@@ -188,7 +209,7 @@ object Dedup {
 
   def ngramJaccardPairsSql(table: String, id: String, text: String,
                            k: Int = 3, threshold: Double = 0.5): String =
-    s"""WITH d AS (SELECT $id, ${duckShingles(text, k)} AS g FROM $table),
+    s"""WITH d AS (SELECT $id, ${duckShingleHashes(text, k)} AS g FROM $table),
        |p AS (SELECT a.$id AS a_id, b.$id AS b_id,
        |        len(list_intersect(a.g, b.g)) AS c, len(a.g) AS na, len(b.g) AS nb
        |      FROM d a JOIN d b ON a.$id < b.$id)

@@ -70,8 +70,10 @@ object Multimodal {
     * with the same shape).
     */
   def decodeMetaColumnar(df: DataFrame): DataFrame = {
+    // locate(needle, haystack) is Spark's strpos analog (DuckDB's
+    // strpos(haystack, needle) is NOT a Spark function)
     def hexByte(pos: Int): String = {
-      def d(i: Int) = s"(strpos('0123456789abcdef', substr(hex_lc, $i, 1)) - 1)"
+      def d(i: Int) = s"(locate(substr(hex_lc, $i, 1), '0123456789abcdef') - 1)"
       s"(16 * ${d(2 * pos + 1)} + ${d(2 * pos + 2)})"
     }
     df.withColumn("hex_lc", lower(hex(col("payload"))))

@@ -7,10 +7,16 @@ package graft.ops
   *
   * Spark's native `hash()`/`xxhash64()` are murmur3/xxhash with Spark-
   * specific seeding — fast but unreproducible elsewhere. These polynomial
-  * hashes cost a few codegen'd long ops per character; for shingle-sized
+  * hashes cost a few codegen'd long ops per byte; for shingle-sized
   * strings the parquet scan, not the hash, dominates at 100 TB. All
   * fragments use only Catalyst higher-order array functions — no UDFs, no
   * driver round-trips — so they pipeline like built-in projections.
+  *
+  * The fold runs over the string's UTF-8 BYTES (via `hex(encode(s,
+  * 'utf-8'))` digit pairs), identically in both engines — so non-ASCII
+  * text (multilingual training data) hashes losslessly and consistently.
+  * (Spark's `ascii()` maps every non-ASCII char to '?'; DuckDB's
+  * `unicode()` gives the codepoint — byte-level folding sidesteps both.)
   *
   * Both `aggregate` (Spark) and `list_reduce` (DuckDB) are guaranteed
   * left folds, so results match bit-for-bit.
@@ -21,15 +27,37 @@ object PortableHash {
     */
   val P: Long = 1000000007L
 
-  /** fold(codepoints(s), 7, (acc,c) -> (acc*31+c) % P) — Spark dialect. */
-  def sparkStringHash(s: String): String =
-    s"aggregate(transform(regexp_extract_all($s, '.', 0), c -> cast(ascii(c) AS BIGINT)), " +
-      s"cast(7 AS BIGINT), (acc, c) -> (acc * 31 + c) % $P)"
+  private val HEX = "0123456789ABCDEF"
 
-  /** Same fold — DuckDB dialect. */
-  def duckStringHash(s: String): String =
-    s"list_reduce(list_prepend(7::BIGINT, list_transform(regexp_extract_all($s, '.'), " +
-      s"c -> unicode(c)::BIGINT)), (a, b) -> (a * 31 + b) % $P)"
+  /** fold(utf8_bytes(s), 7, (acc,b) -> (acc*31+b) % P) — Spark dialect.
+    * Empty string folds to the seed 7 (sequence(1,0) in Spark is the
+    * DESCENDING [1,0], so the empty case must be guarded explicitly to
+    * keep the DuckDB twin's empty-list semantics).
+    */
+  def sparkStringHash(s: String): String = {
+    val h = s"hex(encode($s, 'utf-8'))"
+    val byteAt = s"cast(16 * (locate(substr($h, 2*i-1, 1), '$HEX') - 1) + " +
+      s"(locate(substr($h, 2*i, 1), '$HEX') - 1) AS BIGINT)"
+    s"IF(length($s) = 0, cast(7 AS BIGINT), " +
+      s"aggregate(transform(sequence(1, cast(length($h) AS INT) div 2), i -> $byteAt), " +
+      s"cast(7 AS BIGINT), (acc, c) -> (acc * 31 + c) % $P))"
+  }
+
+  /** Same byte fold — DuckDB dialect (generate_series(1,0) is empty, so
+    * no empty-string guard is needed; the fold degenerates to the seed).
+    */
+  def duckStringHash(s: String): String = {
+    val h = s"hex(encode($s))"
+    val byteAt = s"(16 * (strpos('$HEX', substr($h, 2*i-1, 1)) - 1) + " +
+      s"(strpos('$HEX', substr($h, 2*i, 1)) - 1))::BIGINT"
+    s"list_reduce(list_prepend(7::BIGINT, " +
+      s"list_transform(generate_series(1, length($h) // 2), i -> $byteAt)), " +
+      s"(a, b) -> (a * 31 + b) % $P)"
+  }
+
+  /** JVM reference implementation of the same fold — for unit tests. */
+  def jvmStringHash(s: String): Long =
+    s.getBytes("UTF-8").foldLeft(7L)((acc, b) => (acc * 31 + (b & 0xff)) % P)
 
   /** i-th universal hash of a base hash value: (a_i*h + b_i) % P.
     * Pure arithmetic — dialect-independent.

@@ -73,8 +73,11 @@ object TextAnalysis {
         expr(s"size(split($text, ' '))"), 6).as("mean_word_len"),
       round(expr(s"size(filter(split($text, ' '), w -> array_contains($stop, w)))") /
         expr(s"cast(size(split($text, ' ')) AS DOUBLE)"), 6).as("stopword_ratio"),
-      round(expr(s"length(regexp_replace($text, '[^a-zA-Z]', ''))") /
-        expr(s"cast(length($text) AS DOUBLE)"), 6).as("alpha_ratio"))
+      // empty text: ANSI Spark raises DIVIDE_BY_ZERO where DuckDB yields
+      // NULL — emit NULL explicitly on both engines
+      round(expr(s"IF(length($text) = 0, cast(NULL AS DOUBLE), " +
+        s"length(regexp_replace($text, '[^a-zA-Z]', '')) / cast(length($text) AS DOUBLE))"), 6)
+        .as("alpha_ratio"))
   }
 
   def qualityScoreSql(table: String, id: String, text: String): String = {
@@ -84,7 +87,8 @@ object TextAnalysis {
        |  round(length(replace($text, ' ', '')) * 1.0 / len(string_split($text, ' ')), 6) AS mean_word_len,
        |  round(len(list_filter(string_split($text, ' '), w -> list_contains($stop, w)))
        |        / (len(string_split($text, ' '))::DOUBLE), 6) AS stopword_ratio,
-       |  round(length(regexp_replace($text, '[^a-zA-Z]', '', 'g')) / (length($text)::DOUBLE), 6) AS alpha_ratio
+       |  round(CASE WHEN length($text) = 0 THEN NULL
+       |        ELSE length(regexp_replace($text, '[^a-zA-Z]', '', 'g')) / (length($text)::DOUBLE) END, 6) AS alpha_ratio
        |FROM $table""".stripMargin
   }
 

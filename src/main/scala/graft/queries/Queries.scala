@@ -4,7 +4,7 @@ import graft.entity.EntityStore
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.rpc.Rpc
 import graft.service.{RetryBackoff, RetryPolicy}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One named, oracle-checked capability. `spark` builds the DataFrame
@@ -35,7 +35,21 @@ final case class QueryDef(name: String,
 object Queries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark
+      // rejects outright (PARQUET_TYPE_ILLEGAL); read the nanos as a long
+      // and rebuild a microsecond timestamp — the generator's precision is
+      // µs, so `div 1000` is lossless, and with the UTC session the value
+      // matches DuckDB's native nanosecond-timestamp read.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else s.read.parquet(s"$dir/$name.parquet")
+
+  // TPC-H date columns are TIMESTAMP_NTZ in the testdata; unix_millis
+  // needs TIMESTAMP — under the UTC session the cast is value-identical
+  // to DuckDB's epoch_ms over its naive timestamp.
+  private def ntzMillis(c: Column): Column = unix_millis(c.cast("timestamp"))
 
   // exact double aggregation: cast to decimal, sum, cast back
   private def dsum(c: String): String =
@@ -77,7 +91,7 @@ object Queries {
           .groupBy(col("o_orderkey"), col("o_orderdate"))
           .agg(expr("cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS DOUBLE)")
             .as("revenue"))
-          .select(col("o_orderkey"), unix_millis(col("o_orderdate")).as("odate_ms"), col("revenue"))
+          .select(col("o_orderkey"), ntzMillis(col("o_orderdate")).as("odate_ms"), col("revenue"))
           .orderBy(col("revenue").desc, col("o_orderkey").asc)
           .limit(10)
       },
@@ -138,7 +152,7 @@ object Queries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-          unix_millis(col("o_orderdate")).as("odate_ms")),
+          ntzMillis(col("o_orderdate")).as("odate_ms")),
       Some("""SELECT o_orderkey, o_custkey, o_totalprice, epoch_ms(o_orderdate) AS odate_ms
              |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin)),
 
