@@ -69,14 +69,15 @@ final class MemoryBus(val spark: SparkSession) extends Bus {
   def publish[T](events: Seq[T], key: Option[T => String] = None)
                 (implicit enc: Encoder[T]): Unit = {
     val fqn = EnvelopeCodec.fqnOf[T]
-    val envs = events.map { e =>
+    val payloads = toJsonBytes(events)
+    val envs = events.zip(payloads).map { case (e, payload) =>
       PublishedEvent(
         EventMeta(
           eventId = java.util.UUID.randomUUID().toString,
           eventType = fqn,
           key = key.map(f => f(e)),
           occurredAt = new java.sql.Timestamp(System.currentTimeMillis())),
-        payload = toJsonBytes(e))
+        payload = payload)
     }
     streamFor(fqn).addData(envs)
   }
@@ -88,18 +89,16 @@ final class MemoryBus(val spark: SparkSession) extends Bus {
 
   def topics: Set[String] = streams.keySet.toSet
 
-  /** Driver-side JSON payload encode, matching EnvelopeCodec's columnar
-    * `to_json` byte-for-byte for flat product types.
+  /** Driver-side JSON payload encode THROUGH THE ENGINE — the same
+    * `to_json(struct(...))` path [[EnvelopeCodec.encode]] uses, so the
+    * bytes are identical by construction for every type the engine can
+    * encode (Option → null/absent, Timestamp → ISO, nested products,
+    * arrays, maps — no hand-rolled serializer to drift). One local job
+    * per publish batch; this is the testkit bus, not the data path.
     */
-  private def toJsonBytes[T](e: T)(implicit enc: Encoder[T]): Array[Byte] = {
-    val names = enc.schema.fieldNames
-    val values = e.asInstanceOf[Product].productIterator.toSeq
-    names.zip(values).map { case (n, v) =>
-      val jv = v match {
-        case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-        case other     => String.valueOf(other)
-      }
-      "\"" + n + "\":" + jv
-    }.mkString("{", ",", "}").getBytes("UTF-8")
+  private def toJsonBytes[T](events: Seq[T])(implicit enc: Encoder[T]): Seq[Array[Byte]] = {
+    val ds = spark.createDataset(events)(enc)
+    ds.select(to_json(struct(ds.columns.toIndexedSeq.map(col): _*)).as("j"))
+      .collect().map(_.getString(0).getBytes("UTF-8")).toSeq
   }
 }

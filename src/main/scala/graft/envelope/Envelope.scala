@@ -133,7 +133,120 @@ object EnvelopeCodec {
       .select(col("meta"), from_json(col("payload").cast(StringType), enc.schema).as("value"))
   }
 
-  /** Typed view of [[decode]] — payload only. */
+  /** Internal: parse payload JSON with a corrupt-record canary column.
+    * PERMISSIVE from_json yields an all-null struct (not a NULL struct)
+    * for malformed input, so "did it parse" needs the canary; "is it
+    * usable" additionally needs every non-nullable field present (a
+    * valid-JSON `{"n": null}` against a non-nullable Int would otherwise
+    * kill the stream with NOT_NULL_ASSERT_VIOLATION at deserialization).
+    */
+  private val Corrupt = "_graft_corrupt"
+
+  private def parsed[T](df: DataFrame)(implicit enc: Encoder[T]): DataFrame = {
+    val fqn = fqnOf[T]
+    val pschema = enc.schema.add(Corrupt, StringType)
+    df.filter(col("meta.eventType") === fqn)
+      .select(col("meta"),
+        from_json(col("payload").cast(StringType), pschema,
+          Map("columnNameOfCorruptRecord" -> Corrupt)).as("pv"))
+  }
+
+  private def okCond[T](implicit enc: Encoder[T]): Column =
+    enc.schema.fields.filterNot(_.nullable)
+      .map(f => col(s"pv.${f.name}").isNotNull)
+      .foldLeft(col("pv").isNotNull && col(s"pv.$Corrupt").isNull)(_ && _)
+
+  private def payloadStruct[T](implicit enc: Encoder[T]): Column =
+    struct(enc.schema.fieldNames.toIndexedSeq.map(n => col(s"pv.$n").as(n)): _*)
+
+  /** Typed view of [[decode]] — payload only. Unusable payloads (corrupt
+    * JSON or missing non-nullable fields) are DROPPED, matching the
+    * reference's resume-on-any-error supervision (KafkaBus.scala:109-112):
+    * a poison message must not kill the stream. Route them to an error
+    * report via [[decodeFailures]] (F4).
+    */
   def decodeTyped[T](df: DataFrame)(implicit enc: Encoder[T]): Dataset[T] =
-    decode[T](df).select("value.*").as[T]
+    parsed[T](df).where(okCond[T])
+      .select(payloadStruct[T].as("value")).select("value.*").as[T]
+
+  /** Typed view of [[decode]] keeping the metadata — the shape the
+    * reference's handlers see: `(T, EventMeta)` (reference:
+    * bus/package.scala:143-150, handlers are `(T, EventMeta) => Future[U]`).
+    * Unusable payloads are dropped (see [[decodeTyped]]).
+    */
+  def decodeWithMeta[T](df: DataFrame)
+                       (implicit enc: Encoder[T]): Dataset[(T, EventMeta)] = {
+    implicit val metaEnc: Encoder[EventMeta] =
+      org.apache.spark.sql.Encoders.product[EventMeta]
+    implicit val tupleEnc: Encoder[(T, EventMeta)] =
+      org.apache.spark.sql.Encoders.tuple(enc, metaEnc)
+    parsed[T](df).where(okCond[T])
+      .select(payloadStruct[T].as("_1"), col("meta").as("_2"))
+      .as[(T, EventMeta)]
+  }
+
+  /** F4: the error side-channel — envelopes whose payload failed to
+    * deserialize (corrupt JSON or missing non-nullable fields), as
+    * `ServiceException` reply envelopes addressed to the failed event
+    * (reference: `Publisher.produceErrorReport`, bus/package.scala:93-125
+    * — any handler/decode failure becomes a published ServiceException
+    * instead of a stream death).
+    */
+  def decodeFailures[T](df: DataFrame)(implicit enc: Encoder[T]): DataFrame = {
+    val fqn = fqnOf[T]
+    val bad = parsed[T](df).where(!okCond[T])
+      .withColumn("payload",
+        coalesce(col(s"pv.$Corrupt"), lit("<missing non-nullable field>")))
+    bad.select(
+      struct(
+        expr("uuid()").as("eventId"),
+        lit(classOf[ServiceException].getName).as("eventType"),
+        col("meta.correlationId").as("correlationId"),
+        col("meta.trace").as("trace"),
+        col("meta.directReply").as("directReply"),
+        lit(null).cast(StringType).as("key"),
+        col("meta.socketId").as("socketId"),
+        col("meta.eventId").as("responseTo"),
+        col("meta.extra").as("extra"),
+        current_timestamp().as("occurredAt")
+      ).as("meta"),
+      to_json(struct(
+        concat(lit(s"payload for $fqn failed to deserialize: "),
+          substring(col("payload").cast(StringType), 1, 256)).as("message"),
+        lit("DeserializationException").as("throwableType"),
+        array().cast("array<string>").as("stackTrace"),
+        map().cast(MapType(StringType, StringType)).as("extra")
+      )).cast(BinaryType).as("payload"))
+  }
+
+  /** Build REPLY envelopes from `(U, inputMeta)` pairs — the reference's
+    * replyAndCommit enrichment (KafkaBus.scala:136-182): fresh eventId,
+    * eventType = U's FQN, `responseTo = in.eventId`, correlationId /
+    * trace / directReply / extra threaded from the input meta, occurredAt
+    * = now. This is what closes the RPC loop: [[graft.rpc.Rpc.correlate]]
+    * joins `request.eventId === reply.responseTo`.
+    */
+  def encodeReply[U](ds: Dataset[(U, EventMeta)], keyExpr: Option[Column] = None)
+                    (implicit enc: Encoder[U]): DataFrame = {
+    val fqn = fqnOf[U]
+    // payload columns top-level (so keyExpr written against U's fields
+    // resolves), input meta tucked under a reserved name
+    val flat = ds.toDF().select(col("_2").as("__in_meta"), col("_1.*"))
+    val payloadCols = flat.columns.filter(_ != "__in_meta").map(col).toIndexedSeq
+    flat.select(
+      struct(
+        expr("uuid()").as("eventId"),
+        lit(fqn).as("eventType"),
+        col("__in_meta.correlationId").as("correlationId"),
+        col("__in_meta.trace").as("trace"),
+        col("__in_meta.directReply").as("directReply"),
+        keyExpr.map(_.cast(StringType)).getOrElse(lit(null).cast(StringType)).as("key"),
+        col("__in_meta.socketId").as("socketId"),
+        col("__in_meta.eventId").as("responseTo"),
+        col("__in_meta.extra").as("extra"),
+        current_timestamp().as("occurredAt")
+      ).as("meta"),
+      to_json(struct(payloadCols: _*)).cast(BinaryType).as("payload")
+    )
+  }
 }

@@ -233,7 +233,7 @@ object Queries {
              |SELECT r.req_id, count(p.resp_id) AS n_resp, min(p.resp_id) AS first_resp,
              |  CASE WHEN count(p.resp_id) = 0 THEN 'AskTimeoutException' ELSE 'ok' END AS status
              |FROM req r LEFT JOIN resp p
-             |  ON r.user_id = p.user_id AND p.ts > r.ts AND p.ts <= r.ts + INTERVAL 1 HOUR
+             |  ON r.user_id = p.user_id AND p.ts >= r.ts AND p.ts <= r.ts + INTERVAL 1 HOUR
              |GROUP BY r.req_id""".stripMargin)),
 
     // E1: entity keyed state, batch analog: latest state per key (max_by —

@@ -40,7 +40,9 @@ object Rpc {
                 respId: Column, timeout: Column): DataFrame = {
     val joined = requests.join(
       responses,
-      reqId === respTo && respTime > reqTime && respTime <= reqTime + timeout,
+      // inclusive lower bound: a reply stamped in the same instant as the
+      // request is a valid reply (and matches correlateStreaming's bound)
+      reqId === respTo && respTime >= reqTime && respTime <= reqTime + timeout,
       "left_outer")
     joined
   }

@@ -3,7 +3,7 @@ package graft.service
 import graft.bus.Bus
 import graft.envelope._
 import graft.schema.SchemaRegistry
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -49,7 +49,8 @@ object RetryPolicy {
 
 /** One registered handler: input topic -> transform -> output topic
   * (reference: Module.scala:52-63 `op2`; the `(T, EventMeta) =>
-  * Future[U]` handler becomes a Dataset transform — SURVEY.md §2 T1).
+  * Future[U]` handler becomes a typed map over `(T, EventMeta)` rows —
+  * SURVEY.md §2 T1).
   */
 final case class StreamBuilder[T, U](
     inFqn: String,
@@ -57,7 +58,11 @@ final case class StreamBuilder[T, U](
     transform: DataFrame => DataFrame,
     partitionKey: Option[Column] = None,
     retry: Option[RetryPolicy] = None,
-    isServiceStream: Boolean = false
+    isServiceStream: Boolean = false,
+    /** F4 error side-channel: unparseable input envelopes → ServiceException
+      * reply envelopes (reference: produceErrorReport, bus/package.scala:93-125).
+      */
+    failures: DataFrame => DataFrame = df => df.limit(0)
 )
 
 /** Service descriptor (reference: module/Service.scala:105-120
@@ -77,6 +82,14 @@ final case class ServiceDescriptor(
 /** The service: a registry of typed handlers compiled into streaming
   * queries — the analog of "consumer constructor = physical plan"
   * (reference: KafkaBus.scala:86-248, `TypebusKafkaConsumer`).
+  *
+  * Handlers are per-event `(T, EventMeta) => U`, exactly the reference's
+  * handler shape (Service.scala:53-54; the `Future` wrapper disappears —
+  * Spark's task parallelism replaces the async dispatcher). Replies
+  * carry `responseTo = in.eventId` and thread correlationId / trace /
+  * directReply from the input meta (KafkaBus.replyAndCommit:136-182), so
+  * [[graft.rpc.Rpc.correlate]] can close RPC round-trips produced by
+  * `registerStream`.
   *
   * Registration mirrors `Service.registerStream` (Service.scala:53-83);
   * dispatch mirrors the PF chain ordering: sinks, then user transforms,
@@ -100,9 +113,10 @@ final class ServiceFlow(val name: String, val bus: Bus,
   private val builders = new java.util.concurrent.CopyOnWriteArrayList[StreamBuilder[_, _]]()
 
   /** T1: typed request->response transform (reference: Service.scala:53-54
-    * -> Module.op2, Module.scala:52-63). `f` runs as a typed Dataset map.
+    * -> Module.op2, Module.scala:52-63). `f` runs per event with its
+    * metadata; the reply envelope answers that event (T6 enrichment).
     */
-  def registerStream[T, U](f: Dataset[T] => Dataset[U],
+  def registerStream[T, U](f: (T, EventMeta) => U,
                            partitionKey: Option[Column] = None,
                            retry: Option[RetryPolicy] = None)
                           (implicit encT: Encoder[T], encU: Encoder[U]): ServiceFlow = {
@@ -110,19 +124,52 @@ final class ServiceFlow(val name: String, val bus: Bus,
     registry.register[U]()
     val b = StreamBuilder[T, U](
       EnvelopeCodec.fqnOf[T], Some(EnvelopeCodec.fqnOf[U]),
-      df => replyEnvelope[U](df, f(EnvelopeCodec.decodeTyped[T](df)), partitionKey),
-      partitionKey, retry)
+      df => EnvelopeCodec.encodeReply[U](
+        mapWithMeta(EnvelopeCodec.decodeWithMeta[T](df), f), partitionKey),
+      partitionKey, retry,
+      failures = df => EnvelopeCodec.decodeFailures[T](df))
+    builders.add(b); this
+  }
+
+  /** T3: state-lookup transform (reference: Service.scala:66-71
+    * `registerDataBaseStream`): a `T <: DbAccessor`-style request event is
+    * answered with the current state `S` for its id. The entity db is a
+    * keyed `Dataset[(String, S)]` (see [[graft.entity.EntityStore]]); the
+    * lookup is a hash join on the id — requests carry no payload to
+    * shuffle beyond the key, and the reply meta threads responseTo so the
+    * caller's correlation join completes.
+    */
+  def registerDataBaseStream[T, S](state: Dataset[(String, S)], idOf: T => String)
+                                  (implicit encT: Encoder[T], encS: Encoder[S]): ServiceFlow = {
+    registry.register[T]()
+    registry.register[S]()
+    implicit val metaEnc: Encoder[EventMeta] = Encoders.product[EventMeta]
+    implicit val keyedEnc: Encoder[(String, EventMeta)] =
+      Encoders.tuple(Encoders.STRING, metaEnc)
+    implicit val outEnc: Encoder[(S, EventMeta)] = Encoders.tuple(encS, metaEnc)
+    val b = StreamBuilder[T, S](
+      EnvelopeCodec.fqnOf[T], Some(EnvelopeCodec.fqnOf[S]),
+      df => {
+        val reqs = EnvelopeCodec.decodeWithMeta[T](df)
+          .map { case (t, m) => (idOf(t), m) }
+        val joined = reqs.joinWith(state, reqs("_1") === state("_1"), "inner")
+        EnvelopeCodec.encodeReply[S](joined.map { case ((_, m), (_, s)) => (s, m) })
+      },
+      None, None)
     builders.add(b); this
   }
 
   /** K4: fire-and-forget sink (reference: Service.scala:63-64 ->
-    * Module.op2Unit:72-80) — consume, commit, emit nothing.
+    * Module.op2Unit:72-80) — consume, commit, emit nothing. The handler
+    * sees `(T, EventMeta)` rows; its side effects are its own (foreach /
+    * foreachBatch downstream); no reply topic exists.
     */
-  def registerSink[T](f: Dataset[T] => Unit)(implicit encT: Encoder[T]): ServiceFlow = {
+  def registerSink[T](f: Dataset[(T, EventMeta)] => Unit)
+                     (implicit encT: Encoder[T]): ServiceFlow = {
     registry.register[T]()
     val b = StreamBuilder[T, Nothing](
       EnvelopeCodec.fqnOf[T], None,
-      df => { f(EnvelopeCodec.decodeTyped[T](df)); spark.emptyDataFrame },
+      df => { f(EnvelopeCodec.decodeWithMeta[T](df)); spark.emptyDataFrame },
       None, None)
     builders.add(b); this
   }
@@ -130,29 +177,29 @@ final class ServiceFlow(val name: String, val bus: Bus,
   /** T2: control-plane transform, hidden from the descriptor
     * (reference: Service.scala:82-83 -> Module.op2Service:91-102).
     */
-  def registerServiceStream[T, U](f: Dataset[T] => Dataset[U])
+  def registerServiceStream[T, U](f: (T, EventMeta) => U)
                                  (implicit encT: Encoder[T], encU: Encoder[U]): ServiceFlow = {
     registry.register[T]()
     registry.register[U]()
     val b = StreamBuilder[T, U](
       EnvelopeCodec.fqnOf[T], Some(EnvelopeCodec.fqnOf[U]),
-      df => replyEnvelope[U](df, f(EnvelopeCodec.decodeTyped[T](df)), None),
+      df => EnvelopeCodec.encodeReply[U](
+        mapWithMeta(EnvelopeCodec.decodeWithMeta[T](df), f)),
       None, None, isServiceStream = true)
     builders.add(b); this
   }
 
-  /** T6: reply-envelope enrichment (reference: KafkaBus.replyAndCommit:
-    * 136-182): fresh eventId, eventType = return type FQN, responseTo =
-    * in.eventId, partition key from the StreamBuilder, occurredAt = now.
-    * Row-correlation between input and output is positional within the
-    * micro-batch (the reference correlates per-message; a Dataset
-    * transform is free to reorder, so responseTo is threaded by zipping
-    * only when cardinality is preserved — for 1:1 maps this matches).
+  /** Apply a per-event handler, carrying each input event's meta along so
+    * the reply can answer it (the row-level analog of the reference's
+    * per-message replyAndCommit; no positional zipping — meta rides the
+    * row through the map, so reordering/shuffling cannot mis-pair).
     */
-  private def replyEnvelope[U](in: DataFrame, out: Dataset[U],
-                               partitionKey: Option[Column])
-                              (implicit encU: Encoder[U]): DataFrame =
-    EnvelopeCodec.encode[U](out, partitionKey)
+  private def mapWithMeta[T, U](in: Dataset[(T, EventMeta)], f: (T, EventMeta) => U)
+                               (implicit encU: Encoder[U]): Dataset[(U, EventMeta)] = {
+    implicit val metaEnc: Encoder[EventMeta] = Encoders.product[EventMeta]
+    implicit val outEnc: Encoder[(U, EventMeta)] = Encoders.tuple(encU, metaEnc)
+    in.map { case (t, m) => (f(t, m), m) }
+  }
 
   /** T4: type-based dispatch over a merged envelope stream: first branch
     * whose type matches wins; unhandled types raise, matching the
@@ -173,6 +220,18 @@ final class ServiceFlow(val name: String, val bus: Bus,
     builders.asScala.toSeq.map { b =>
       sink(b.outFqn.getOrElse(s"${b.inFqn}.sink"), b.transform(bus.source(b.inFqn)))
     }
+
+  /** F4: one query per handler routing unparseable input envelopes to the
+    * ServiceException topic — a poison message becomes an error report to
+    * the caller instead of a stream death (reference: produceErrorReport,
+    * bus/package.scala:93-125; Supervision.Resume, KafkaBus.scala:109-112).
+    */
+  def startErrors(sink: (String, DataFrame) => StreamingQuery): Seq[StreamingQuery] = {
+    val errTopic = classOf[ServiceException].getName
+    builders.asScala.toSeq.map { b =>
+      sink(errTopic, b.failures(bus.source(b.inFqn)))
+    }
+  }
 
   /** D1: the service descriptor (reference: Service.scala:105-120). */
   def descriptor: ServiceDescriptor = ServiceDescriptor(

@@ -1,0 +1,91 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Edge-case coverage for the training-data operators — the cases the
+  * sf testdata can't produce (short docs, empty text, non-ASCII).
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, ""), (2L, "one"), (3L, "two words"),
+    (4L, "中文 文本 测试 好 的"),
+    (5L, "the quick brown fox jumps over the lazy dog"),
+    (6L, "the quick brown fox jumps over the lazy dog"),
+    (7L, "the quick brown fox jumps over the lazy cat")
+  ).toDF("doc_id", "text")
+
+  test("shingles are empty (not crashing) for docs shorter than k words") {
+    val n = docs.select(expr(Dedup.sparkShingles("text", 3)).as("g"))
+      .select(size($"g")).as[Int].collect()
+    assert(n.take(3).toSeq === Seq(0, 0, 0)) // "", "one", "two words"
+    assert(n.drop(3).forall(_ > 0))
+  }
+
+  test("minhash signatures exclude shingle-less docs and are deterministic") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val rows = sig.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq === Seq(4L, 5L, 6L, 7L))
+    // identical docs -> identical signatures
+    val by = rows.map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(by(5L) === by(6L))
+  }
+
+  test("LSH pairs find the exact dup and the near dup, verified by Jaccard") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    assert(pairs.exists { case (a, b, j) => a == 5L && b == 6L && j == 1.0 })
+    assert(pairs.exists { case (a, b, _) => a == 5L && b == 7L })
+  }
+
+  test("simhash of identical docs is identical; of empty doc is stable") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(5L) === sh(6L))
+    assert(sh.contains(1L)) // empty doc does not crash
+  }
+
+  test("quality score yields NULL alpha_ratio on empty text, not an error") {
+    val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .where($"doc_id" === 1L).collect().head
+    assert(q.isNullAt(q.fieldIndex("alpha_ratio")))
+  }
+
+  test("language ID picks en for English and und for Chinese (no markers hit)") {
+    val lang = TextAnalysis.langId(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lang(5L) === "en")
+    assert(lang(4L) === "und")
+  }
+
+  test("brute-force top-k ranks by cosine with deterministic tie-break") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(1.0f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(emb, emb.where($"vec_id" === 1L),
+      "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(topk.toSeq.sortBy(_._2).map(_._1) === Seq(4L, 2L)) // closest first
+  }
+
+  test("multimodal decode meta parses the fake header columnar-ly") {
+    val media = Multimodal.attachFakePayload(docs.where($"doc_id" === 5L), "doc_id", "text")
+    val m = Multimodal.decodeMetaColumnar(media).collect().head
+    val payload = media.select($"payload").collect().head.getAs[Array[Byte]](0)
+    assert(m.getInt(m.fieldIndex("width")) === (payload(0) & 0xff) + 1)
+    assert(m.getInt(m.fieldIndex("height")) === (payload(1) & 0xff) + 1)
+    assert(m.getLong(m.fieldIndex("n_bytes")) === 16L)
+  }
+
+  test("frame sampling explodes stride-th fixed chunks with indices") {
+    val media = Multimodal.attachFakePayload(docs.where($"doc_id" === 5L), "doc_id", "text")
+    val frames = Multimodal.frameSample(media, frameBytes = 4, stride = 2).collect()
+    // 16-byte payload / 4 = 4 chunks, stride 2 -> chunks 0 and 2
+    assert(frames.length === 2)
+    assert(frames.map(_.getInt(1)).toSeq === Seq(0, 1))
+    assert(frames.forall(_.getAs[Array[Byte]](2).length === 4))
+  }
+}
