@@ -40,10 +40,12 @@ object Dedup {
     * common-subexpression elimination dedups it.
     */
   def sparkShingles(text: String, k: Int = 3): String = {
-    val w = s"split($text, ' ')"
-    val parts = (0 until k).map(j => s"element_at($w, i + $j)").mkString(", ' ', ")
-    s"array_distinct(IF(size($w) < $k, cast(array() AS ARRAY<STRING>), " +
-      s"transform(sequence(1, size($w) - ${k - 1}), i -> concat($parts))))"
+    // let-bind the split ONCE: referenced k+2 times below, and inside a
+    // lambda each reference would otherwise re-split the text per shingle
+    val parts = (0 until k).map(j => s"element_at(__w, i + $j)").mkString(", ' ', ")
+    PortableHash.let1("__w", s"split($text, ' ')",
+      s"array_distinct(IF(size(__w) < $k, cast(array() AS ARRAY<STRING>), " +
+        s"transform(sequence(1, size(__w) - ${k - 1}), i -> concat($parts))))")
   }
 
   def duckShingles(text: String, k: Int = 3): String = {
@@ -57,10 +59,10 @@ object Dedup {
     * (improbable) event of a hash collision between distinct shingles.
     */
   def sparkShingleHashes(text: String, k: Int = 3): String =
-    s"array_distinct(transform(${sparkShingles(text, k)}, s -> ${sparkStringHash("s")}))"
+    s"array_distinct(${sparkHashArrayOf(sparkShingles(text, k))})"
 
   def duckShingleHashes(text: String, k: Int = 3): String =
-    s"list_distinct(list_transform(${duckShingles(text, k)}, s -> ${duckStringHash("s")}))"
+    s"list_distinct(${duckHashArrayOf(duckShingles(text, k))})"
 
   /** Exact dedup by content digest: (digest, keep_id = min id, dup count).
     * One partial-aggregated shuffle on md5(text).
@@ -112,8 +114,14 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, id: String, text: String,
                       bands: Int = 4, rowsPerBand: Int = 4, k: Int = 3,
                       threshold: Double = 0.5): DataFrame = {
+    // The (id, hs) projection feeds FOUR plan branches (band rows twice
+    // via the self-join, verify joins twice); without materialization
+    // Spark re-scans the corpus and re-hashes per branch. The projection
+    // is tiny relative to the corpus (~id + numShingles longs per doc),
+    // so persist it — one corpus scan total, spilling to disk if needed.
     val docs = df.select(col(id).as("_did"), expr(sparkShingleHashes(text, k)).as("hs"))
       .where(size(col("hs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-band bucket = rolling combine of that band's signature values
     val bandBuckets = (0 until bands).map { b =>
       val sig = (0 until rowsPerBand).map { r =>
@@ -172,11 +180,12 @@ object Dedup {
     * token hashes' j-th bits is positive). Linear scan, zero shuffle.
     */
   def simhash(df: DataFrame, id: String, text: String, bits: Int = 30): DataFrame = {
-    val hashes = s"transform(split($text, ' '), s -> ${sparkStringHash("s")})"
-    val sh =
+    // word-hash array bound once — the per-bit vote loop references it
+    // `bits` times, which would otherwise re-hash every word per bit
+    val sh = PortableHash.let1("__hs", sparkHashArrayOf(s"split($text, ' ')"),
       s"aggregate(transform(sequence(0, ${bits - 1}), j -> IF(" +
-        s"aggregate($hashes, cast(0 AS BIGINT), (acc, h) -> acc + ((h div shiftleft(cast(1 AS BIGINT), j)) % 2) * 2 - 1) > 0, " +
-        s"shiftleft(cast(1 AS BIGINT), j), cast(0 AS BIGINT))), cast(0 AS BIGINT), (a, b) -> a + b)"
+        s"aggregate(__hs, cast(0 AS BIGINT), (acc, h) -> acc + ((h div shiftleft(cast(1 AS BIGINT), j)) % 2) * 2 - 1) > 0, " +
+        s"shiftleft(cast(1 AS BIGINT), j), cast(0 AS BIGINT))), cast(0 AS BIGINT), (a, b) -> a + b)")
     df.select(col(id), expr(sh).as("simhash"))
   }
 

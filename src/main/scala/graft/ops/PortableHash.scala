@@ -1,66 +1,66 @@
 package graft.ops
 
-/** Engine-portable deterministic hashing: the same polynomial-hash
-  * arithmetic expressed as a Spark SQL fragment and a DuckDB SQL fragment,
-  * so every hash-derived operator (minhash, simhash, LSH buckets,
-  * fingerprints) is checkable by the driver's DuckDB oracle.
+/** Engine-portable deterministic hashing: identical hash values from a
+  * Spark SQL fragment and a DuckDB SQL fragment, so every hash-derived
+  * operator (minhash, simhash, LSH buckets, fingerprints) is checkable by
+  * the driver's DuckDB oracle.
   *
   * Spark's native `hash()`/`xxhash64()` are murmur3/xxhash with Spark-
-  * specific seeding — fast but unreproducible elsewhere. These polynomial
-  * hashes cost a few codegen'd long ops per byte; for shingle-sized
-  * strings the parquet scan, not the hash, dominates at 100 TB. All
-  * fragments use only Catalyst higher-order array functions — no UDFs, no
-  * driver round-trips — so they pipeline like built-in projections.
+  * specific seeding — fast but unreproducible elsewhere. `md5`, however,
+  * is the same standard algorithm in both engines and hashes the string's
+  * UTF-8 BYTES (so non-ASCII multilingual text is lossless and
+  * consistent). The portable hash is therefore:
   *
-  * The fold runs over the string's UTF-8 BYTES (via `hex(encode(s,
-  * 'utf-8'))` digit pairs), identically in both engines — so non-ASCII
-  * text (multilingual training data) hashes losslessly and consistently.
-  * (Spark's `ascii()` maps every non-ASCII char to '?'; DuckDB's
-  * `unicode()` gives the codepoint — byte-level folding sidesteps both.)
+  *   H(s) = bigint(first 15 hex digits of md5(s)) % P     (< P < 2^30)
   *
-  * Both `aggregate` (Spark) and `list_reduce` (DuckDB) are guaranteed
-  * left folds, so results match bit-for-bit.
+  * One native, codegen-friendly md5 call per value — crucially NOT a
+  * per-byte SQL-lambda fold: Catalyst's higher-order functions
+  * (`transform`/`aggregate`) are interpreted, so per-byte folds cost
+  * O(bytes) interpreted expression evaluations each (measured ~2.5x the
+  * whole remaining pipeline on sf0.1).
+  *
+  * The `% P` reduction keeps every subsequent universal-hash/fold
+  * intermediate below 2^40 — no BIGINT overflow in either engine.
   */
 object PortableHash {
-  /** Modulus: large prime; keeps every intermediate < 2^40 (no BIGINT
-    * overflow in either engine).
-    */
+  /** Modulus: large prime; hash values live in [0, P). */
   val P: Long = 1000000007L
 
-  private val HEX = "0123456789ABCDEF"
+  /** H(s) — Spark dialect. conv() parses the hex prefix to decimal. */
+  def sparkStringHash(s: String): String =
+    s"(cast(conv(substr(md5($s), 1, 15), 16, 10) AS BIGINT) % $P)"
 
-  /** fold(utf8_bytes(s), 7, (acc,b) -> (acc*31+b) % P) — Spark dialect.
-    * Empty string folds to the seed 7 (sequence(1,0) in Spark is the
-    * DESCENDING [1,0], so the empty case must be guarded explicitly to
-    * keep the DuckDB twin's empty-list semantics).
-    */
-  def sparkStringHash(s: String): String = {
-    val h = s"hex(encode($s, 'utf-8'))"
-    val byteAt = s"cast(16 * (locate(substr($h, 2*i-1, 1), '$HEX') - 1) + " +
-      s"(locate(substr($h, 2*i, 1), '$HEX') - 1) AS BIGINT)"
-    s"IF(length($s) = 0, cast(7 AS BIGINT), " +
-      s"aggregate(transform(sequence(1, cast(length($h) AS INT) div 2), i -> $byteAt), " +
-      s"cast(7 AS BIGINT), (acc, c) -> (acc * 31 + c) % $P))"
+  /** H(s) — DuckDB dialect ('0x…'::BIGINT parses hex). */
+  def duckStringHash(s: String): String =
+    s"(('0x' || substr(md5($s), 1, 15))::BIGINT % $P)"
+
+  /** JVM reference implementation of H — for unit tests. */
+  def jvmStringHash(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % P
   }
 
-  /** Same byte fold — DuckDB dialect (generate_series(1,0) is empty, so
-    * no empty-string guard is needed; the fold degenerates to the seed).
-    */
-  def duckStringHash(s: String): String = {
-    val h = s"hex(encode($s))"
-    val byteAt = s"(16 * (strpos('$HEX', substr($h, 2*i-1, 1)) - 1) + " +
-      s"(strpos('$HEX', substr($h, 2*i, 1)) - 1))::BIGINT"
-    s"list_reduce(list_prepend(7::BIGINT, " +
-      s"list_transform(generate_series(1, length($h) // 2), i -> $byteAt)), " +
-      s"(a, b) -> (a * 31 + b) % $P)"
-  }
+  /** Hash every string in an array expression. */
+  def sparkHashArrayOf(xs: String): String =
+    s"transform($xs, __s -> ${sparkStringHash("__s")})"
 
-  /** JVM reference implementation of the same fold — for unit tests. */
-  def jvmStringHash(s: String): Long =
-    s.getBytes("UTF-8").foldLeft(7L)((acc, b) => (acc * 31 + (b & 0xff)) % P)
+  def duckHashArrayOf(xs: String): String =
+    s"list_transform($xs, __s -> ${duckStringHash("__s")})"
+
+  /** SQL-level let-binding: evaluate `bound` ONCE and reference it many
+    * times in `body`. Spark SQL has no LET; a single-element `transform`
+    * gives one — the lambda variable is evaluated once and body references
+    * are O(1) bound-variable reads. Without this, every reference to a
+    * subexpression inside a lambda re-evaluates it per element (an
+    * accidental O(n²) per row on split()/hex() chains).
+    */
+  def let1(varName: String, bound: String, body: String): String =
+    s"element_at(transform(array($bound), $varName -> $body), 1)"
 
   /** i-th universal hash of a base hash value: (a_i*h + b_i) % P.
-    * Pure arithmetic — dialect-independent.
+    * Pure arithmetic — dialect-independent (requires h < P).
     */
   def universal(i: Int, h: String): String =
     s"((${37L + 61L * i} * $h + ${101L + 97L * i}) % $P)"

@@ -112,12 +112,12 @@ object TextAnalysis {
     * (content-defined identity robust to id churn).
     */
   def fingerprint(df: DataFrame, id: String, text: String): DataFrame = {
-    val wordHashes = s"transform(split($text, ' '), s -> ${sparkStringHash("s")})"
+    val wordHashes = sparkHashArrayOf(s"split($text, ' ')")
     df.select(col(id), expr(sparkFoldHashes(wordHashes)).as("fingerprint"))
   }
 
   def fingerprintSql(table: String, id: String, text: String): String = {
-    val wordHashes = s"list_transform(string_split($text, ' '), s -> ${duckStringHash("s")})"
+    val wordHashes = duckHashArrayOf(s"string_split($text, ' ')")
     s"SELECT $id, ${duckFoldHashes(wordHashes)} AS fingerprint FROM $table"
   }
 }

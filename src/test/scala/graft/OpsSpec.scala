@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
 class OpsSpec extends SparkSpec {
   import spark.implicits._
 
+  private val longDoc = "a b c d e f g h i j k l m n o p q r s t u v w x y z " +
+    "aa bb cc dd ee ff gg hh"
   private lazy val docs = Seq(
     (1L, ""), (2L, "one"), (3L, "two words"),
     (4L, "中文 文本 测试 好 的"),
-    (5L, "the quick brown fox jumps over the lazy dog"),
-    (6L, "the quick brown fox jumps over the lazy dog"),
-    (7L, "the quick brown fox jumps over the lazy cat")
+    (5L, longDoc),
+    (6L, longDoc),
+    (7L, longDoc.replace(" m ", " M "))  // one word changed mid-doc
   ).toDF("doc_id", "text")
 
   test("shingles are empty (not crashing) for docs shorter than k words") {

@@ -24,9 +24,9 @@ class PortableHashSpec extends SparkSpec {
       assert(sparkHashOf(s) === PortableHash.jvmStringHash(s), s"for '$s'")
   }
 
-  test("empty string folds to the seed") {
-    assert(sparkHashOf("") === 7L)
-    assert(PortableHash.jvmStringHash("") === 7L)
+  test("empty string hashes consistently (md5 of empty input)") {
+    assert(sparkHashOf("") === PortableHash.jvmStringHash(""))
+    assert(PortableHash.jvmStringHash("") < PortableHash.P)
   }
 
   test("distinct non-ASCII strings do not collide (the ascii() failure mode)") {
