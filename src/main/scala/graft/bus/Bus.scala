@@ -45,6 +45,17 @@ trait Bus {
 
   /** All topics ever published/subscribed. */
   def topics: Set[String]
+
+  /** Serialize a typed batch to wire payloads THROUGH THE ENGINE — the
+    * same `to_json(struct(...))` path [[graft.envelope.EnvelopeCodec.encode]]
+    * uses, so driver-built envelopes (RPC clients, testkit publishes) are
+    * byte-identical to columnar-built ones for every encodable type.
+    */
+  def encodePayloads[T](events: Seq[T])(implicit enc: Encoder[T]): Seq[Array[Byte]] = {
+    val ds = spark.createDataset(events)(enc)
+    ds.select(to_json(struct(ds.columns.toIndexedSeq.map(col): _*)).as("j"))
+      .collect().map(_.getString(0).getBytes("UTF-8")).toSeq
+  }
 }
 
 /** In-memory bus over `MemoryStream` — the Structured Streaming analog of
@@ -69,7 +80,7 @@ final class MemoryBus(val spark: SparkSession) extends Bus {
   def publish[T](events: Seq[T], key: Option[T => String] = None)
                 (implicit enc: Encoder[T]): Unit = {
     val fqn = EnvelopeCodec.fqnOf[T]
-    val payloads = toJsonBytes(events)
+    val payloads = encodePayloads(events)
     val envs = events.zip(payloads).map { case (e, payload) =>
       PublishedEvent(
         EventMeta(
@@ -89,16 +100,4 @@ final class MemoryBus(val spark: SparkSession) extends Bus {
 
   def topics: Set[String] = streams.keySet.toSet
 
-  /** Driver-side JSON payload encode THROUGH THE ENGINE — the same
-    * `to_json(struct(...))` path [[EnvelopeCodec.encode]] uses, so the
-    * bytes are identical by construction for every type the engine can
-    * encode (Option → null/absent, Timestamp → ISO, nested products,
-    * arrays, maps — no hand-rolled serializer to drift). One local job
-    * per publish batch; this is the testkit bus, not the data path.
-    */
-  private def toJsonBytes[T](events: Seq[T])(implicit enc: Encoder[T]): Seq[Array[Byte]] = {
-    val ds = spark.createDataset(events)(enc)
-    ds.select(to_json(struct(ds.columns.toIndexedSeq.map(col): _*)).as("j"))
-      .collect().map(_.getString(0).getBytes("UTF-8")).toSeq
-  }
 }

@@ -71,6 +71,11 @@ final case class StreamBuilder[T, U](
   * reference's skip of Unit returns (Service.scala:110-113).
   */
 final case class ServiceMethod(in: String, out: String)
+
+/** D2: control-plane request for a service's descriptor
+  * (reference: event/package.scala:115 `GetServiceDescriptor(service)`).
+  */
+final case class GetServiceDescriptor(service: String)
 final case class ServiceDescriptor(
     service: String,
     serviceId: String,
@@ -230,6 +235,48 @@ final class ServiceFlow(val name: String, val bus: Bus,
     val errTopic = classOf[ServiceException].getName
     builders.asScala.toSeq.map { b =>
       sink(errTopic, b.failures(bus.source(b.inFqn)))
+    }
+  }
+
+  /** D2: answer `GetServiceDescriptor` requests with this service's
+    * descriptor over the control plane (reference: KafkaBus.scala:130-134,
+    * 247; TestBus.scala:90-94,168 — the descriptor is also broadcast at
+    * startup; here the request/reply path covers both, since a caller
+    * can always ask). Call AFTER registering the service's handlers —
+    * the descriptor is materialized at this point, mirroring the
+    * reference's publish-at-startup snapshot.
+    */
+  def enableDiscovery(): ServiceFlow = {
+    implicit val encG: Encoder[GetServiceDescriptor] = Encoders.product[GetServiceDescriptor]
+    implicit val encD: Encoder[ServiceDescriptor] = Encoders.product[ServiceDescriptor]
+    val snapshot = descriptor
+    registerServiceStream[GetServiceDescriptor, ServiceDescriptor]((_, _) => snapshot)
+  }
+
+  /** Compile handlers into queries that publish BACK ONTO THE BUS: each
+    * reply goes to its out topic (K1), and replies to RPC requests
+    * (responseTo + directReply present) are additionally copied to the
+    * CALLER's service-name topic — K2, the RPC back-channel
+    * (reference: KafkaBus.scala:60,64-73; TestBus.scala:126-129).
+    * foreachBatch collects driver-side: this is the testkit/MemoryBus
+    * path; a Kafka bus would instead route on a `topic` column.
+    */
+  def startPublishing(): Seq[StreamingQuery] = {
+    implicit val envEnc: Encoder[PublishedEvent] = Encoders.product[PublishedEvent]
+    builders.asScala.toSeq.flatMap { b =>
+      b.outFqn.map { outTopic =>
+        b.transform(bus.source(b.inFqn))
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val evs = batch.as[PublishedEvent].collect().toSeq
+            if (evs.nonEmpty) {
+              bus.publishEnvelopes(outTopic, evs)
+              evs.filter(e => e.meta.responseTo.isDefined && e.meta.directReply.isDefined)
+                .groupBy(_.meta.directReply.get.service)
+                .foreach { case (svc, es) => bus.publishEnvelopes(svc, es) }
+            }
+          }.start()
+      }
     }
   }
 
