@@ -31,8 +31,11 @@ object Multimodal {
                                payload: Array[Byte], uri: String,
                                meta: MediaMeta)
 
-  /** A decoded feature row (what a real image/audio model would emit). */
-  final case class MediaFeature(media_id: Long, feature: Array[Float])
+  /** A decoded feature row (what a real image/audio model would emit).
+    * Double (not float) so the fake codec's arithmetic is bit-identical
+    * to the DuckDB oracle's — a real model stub would emit float32.
+    */
+  final case class MediaFeature(media_id: Long, feature: Array[Double])
 
   /** STUB CODEC — deterministic fake standing in for a real image/audio
     * decoder (none is installable in this container). Derives all
@@ -46,12 +49,13 @@ object Multimodal {
       ((payload(0) & 0xff) + 1, (payload(1) & 0xff) + 1)
 
     /** ??? in production: model forward pass. Fake: 8-dim feature from
-      * byte histogram moments.
+      * byte histogram moments (double math, ascending byte order — the
+      * exact fold the SQL oracle twin reproduces).
       */
-    def extractFeature(payload: Array[Byte]): Array[Float] = {
-      val f = new Array[Float](8)
+    def extractFeature(payload: Array[Byte]): Array[Double] = {
+      val f = new Array[Double](8)
       var i = 0
-      while (i < payload.length) { f(i % 8) += (payload(i) & 0xff) / 255.0f; i += 1 }
+      while (i < payload.length) { f(i % 8) += (payload(i) & 0xff) / 255.0; i += 1 }
       f
     }
   }
@@ -105,6 +109,34 @@ object Multimodal {
       // per-partition decoder init would happen here (once, not per row)
       it.map(r => MediaFeature(r.media_id, FakeCodec.extractFeature(r.payload)))
     }
+  }
+
+  /** Typed view of [[attachFakePayload]]'s output — metadata decoded from
+    * the (fake) header so the record carries it alongside the payload.
+    */
+  def toMediaRecords(df: DataFrame): Dataset[MediaRecord] = {
+    implicit val enc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
+    import org.apache.spark.sql.Row
+    df.select(col("media_id"), col("kind"), col("payload"), col("uri"))
+      .map { (r: Row) =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val (w, h) = FakeCodec.decodeDims(payload)
+        MediaRecord(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+          payload, r.getAs[String]("uri"), MediaMeta(w, h, "fake", payload.length.toLong))
+      }
+  }
+
+  /** DuckDB twin of [[featureExtract]] over [[attachFakePayload]]'s
+    * synthesized payload: the fake codec's byte-histogram arithmetic in
+    * SQL (byte p of md5 = 16*hex(2p+1)+hex(2p+2); f_j = byte_j/255 +
+    * byte_{j+8}/255, same IEEE double addition order).
+    */
+  def featuresSql(table: String, id: String, text: String): String = {
+    def d(i: Int) = s"(strpos('0123456789abcdef', substr(md5($text), $i, 1)) - 1)"
+    def b(p: Int) = s"(16 * ${d(2 * p + 1)} + ${d(2 * p + 2)})"
+    val cols = (0 until 8)
+      .map(j => s"round(${b(j)}/255.0 + ${b(j + 8)}/255.0, 6) AS f$j").mkString(", ")
+    s"SELECT $id AS media_id, $cols FROM $table"
   }
 
   /** Frame sampling for video-kind payloads: every `stride`-th fixed-size

@@ -111,6 +111,52 @@ object Similarity {
        |FROM $table""".stripMargin
   }
 
+  /** Approximate nearest neighbors: LSH-bucketed top-k (the IVF-style
+    * scale path promised by [[lshBuckets]]). Queries are bucketed with
+    * the same hyperplanes and joined to the corpus WITHIN their bucket
+    * only, then ranked by exact cosine. One corpus pass to bucket, one
+    * bucket-local join — candidate count per query ≈ corpus/2^bits, not
+    * the corpus. Recall is approximate by construction (a true neighbor
+    * in a different bucket is missed); [[bruteForceTopK]] is the exact
+    * baseline.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int, bits: Int = 8): DataFrame = {
+    val cb = lshBuckets(corpus, idCol, vecCol, bits)
+      .join(corpus.select(col(idCol).as("_ci"), col(vecCol).as("c_vec")),
+        col(idCol) === col("_ci"))
+      .select(col(idCol).as("c_id"), col("c_vec"), col("bucket"))
+    val qb = broadcast(lshBuckets(queries, idCol, vecCol, bits)
+      .join(queries.select(col(idCol).as("_qi"), col(vecCol).as("q_vec")),
+        col(idCol) === col("_qi"))
+      .select(col(idCol).as("q_id"), col("q_vec"), col("bucket")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    qb.join(cb, Seq("bucket")).where(col("q_id") =!= col("c_id"))
+      .withColumn("sim", round(expr(sparkCosine("q_vec", "c_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "c_id", "sim", "rank")
+  }
+
+  def lshTopKSql(table: String, idCol: String, vecCol: String,
+                 k: Int, queryPred: String, bits: Int = 8): String = {
+    val dot = s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($vecCol)), " +
+      s"i -> ($vecCol)[i]::DOUBLE * ${weight("(j * 64 + i - 1)")})), (acc, v) -> acc + v)"
+    val bucket = s"list_reduce(list_prepend(0::BIGINT, " +
+      s"list_transform(generate_series(0, ${bits - 1}), " +
+      s"j -> CASE WHEN $dot > 0.0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)), (a, b) -> a + b)"
+    s"""WITH b AS (SELECT $idCol, $vecCol AS vec, $bucket AS bucket FROM $table),
+       |q AS (SELECT $idCol AS q_id, vec AS q_vec, bucket FROM b WHERE $queryPred),
+       |scored AS (
+       |  SELECT q_id, c.$idCol AS c_id, round(${duckCosine("q_vec", "c.vec")}, 6) AS sim
+       |  FROM q JOIN b c ON q.bucket = c.bucket AND q_id <> c.$idCol),
+       |ranked AS (
+       |  SELECT q_id, c_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate join,
     * then exact cosine ≥ `threshold`. At scale only same-bucket pairs are
     * scored.

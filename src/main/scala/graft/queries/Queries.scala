@@ -378,7 +378,31 @@ object Queries {
     QueryDef("mm_decode_meta",
       (s, dir) => Multimodal.decodeMetaColumnar(
         Multimodal.attachFakePayload(t(s, dir, "documents"), "doc_id", "text")),
-      Some(Multimodal.decodeMetaSql("documents", "doc_id", "text")))
+      Some(Multimodal.decodeMetaSql("documents", "doc_id", "text"))),
+
+    // the batched-UDF analog path: typed records -> mapPartitions feature
+    // extraction (one decoder init per partition) -> feature columns;
+    // the oracle reproduces the fake codec's arithmetic in SQL, so this
+    // checks the mapPartitions plumbing end-to-end against DuckDB
+    QueryDef("mm_features",
+      (s, dir) => {
+        val media = Multimodal.attachFakePayload(t(s, dir, "documents"), "doc_id", "text")
+        val feats = Multimodal.featureExtract(Multimodal.toMediaRecords(media))
+        feats.toDF().select(col("media_id") +:
+          (0 until 8).map(j => round(element_at(col("feature"), j + 1), 6).as(s"f$j")): _*)
+      },
+      Some(Multimodal.featuresSql("documents", "doc_id", "text"))),
+
+    // ANN: LSH-bucketed top-k (approximate IVF-style scale path; exact
+    // within the query's bucket, which is also what the oracle computes)
+    QueryDef("embed_ann_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.lshTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+      },
+      Some(Similarity.lshTopKSql("embeddings", "vec_id", "embedding",
+        k = 5, queryPred = "vec_id < 10")))
   )
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =
