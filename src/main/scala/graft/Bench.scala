@@ -10,6 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup pass at the smallest SF: triggers Catalyst planning, whole-
+    // stage codegen compilation, and JIT for every query shape so the
+    // timed pass below measures the data path, not JVM warmup (at sf0.1
+    // warmup would otherwise dominate — e.g. the window query spends ~4s
+    // of "time" on first-use codegen regardless of data size).
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -64,7 +64,7 @@ object Multimodal {
     * (md5 bytes) — the test stand-in for real image bytes.
     */
   def attachFakePayload(df: DataFrame, id: String, text: String): DataFrame =
-    df.select(col(id).as("media_id"), lit("image").as("kind"),
+    df.select(col(id).cast("long").as("media_id"), lit("image").as("kind"),
       unhex(md5(col(text))).as("payload"),
       concat(lit("mem://"), col(id)).as("uri"))
 
@@ -152,4 +152,21 @@ object Multimodal {
           s"cast(null AS BINARY))), x -> x IS NOT NULL)")))
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame_payload")
+
+  /** DuckDB twin of [[frameSample]] over [[attachFakePayload]]'s
+    * synthesized 16-byte payload (byte p of the payload = hex digits
+    * 2p+1..2p+2 of md5(text)); frames emitted as hex strings for the
+    * engine-portable compare.
+    */
+  def frameSampleSql(table: String, id: String, text: String,
+                     frameBytes: Int, stride: Int): String = {
+    val nChunks = 16 / frameBytes
+    s"""SELECT media_id, frame_idx, frame_hex FROM (
+       |  SELECT $id AS media_id,
+       |    unnest(list_transform(list_filter(generate_series(0, ${nChunks - 1}), x -> x % $stride = 0),
+       |      x -> struct_pack(frame_idx := x // $stride,
+       |                       frame_hex := substr(md5($text), x * ${frameBytes * 2} + 1, ${frameBytes * 2}))),
+       |      recursive := true)
+       |  FROM $table)""".stripMargin
+  }
 }

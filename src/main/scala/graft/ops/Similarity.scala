@@ -157,6 +157,64 @@ object Similarity {
        |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** IVF-style ANN: inverted-file top-k with learned-centroid partitioning
+    * (nprobe = 1). The centroid set stands in for a k-means result — here
+    * the first `nCentroids` corpus vectors, deterministic so the DuckDB
+    * oracle can reproduce it; swapping in real k-means centroids changes
+    * nothing downstream.
+    *
+    * Plan shape (the 100 TB shape):
+    *   1. assignment: corpus × broadcast(centroids) — a broadcast
+    *      nested-loop that stays map-side; the argmax is `max_by` with
+    *      map-side partial aggregation, so the one exchange carries a
+    *      single (id, vec, cluster) row per corpus vector, never the
+    *      corpus × centroids cross product.
+    *   2. search: queries (broadcast, with their cluster) join the
+    *      assigned corpus WITHIN their cluster only — candidate count per
+    *      query ≈ corpus / nCentroids.
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+              nCentroids: Int = 8, queryPred: Column): DataFrame = {
+    val cent = broadcast(corpus.where(col(idCol) < nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("c_vec")))
+    val assigned = corpus.select(col(idCol).as("v_id"), col(vecCol).as("vec"))
+      .crossJoin(cent)
+      .withColumn("csim", round(expr(sparkCosine("vec", "c_vec")), 6))
+      .groupBy(col("v_id"))
+      .agg(max_by(struct(col("vec"), col("cent_id")),
+        struct(col("csim"), -col("cent_id"))).as("m"))
+      .select(col("v_id"), col("m.vec").as("vec"), col("m.cent_id").as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = broadcast(assigned.where(queryPred)
+      .select(col("v_id").as("q_id"), col("vec").as("q_vec"), col("cluster")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    q.join(assigned.select(col("v_id").as("c_id"), col("vec").as("c_vec"), col("cluster")),
+        Seq("cluster"))
+      .where(col("q_id") =!= col("c_id"))
+      .withColumn("sim", round(expr(sparkCosine("q_vec", "c_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "c_id", "sim", "rank")
+  }
+
+  def ivfTopKSql(table: String, idCol: String, vecCol: String, k: Int,
+                 nCentroids: Int = 8, queryPred: String): String =
+    s"""WITH cent AS (SELECT $idCol AS cent_id, $vecCol AS c_vec FROM $table WHERE $idCol < $nCentroids),
+       |assigned AS (
+       |  SELECT $idCol AS v_id, $vecCol AS vec, cent_id, row_number() OVER (
+       |    PARTITION BY $idCol ORDER BY round(${duckCosine(vecCol, "c_vec")}, 6) DESC, cent_id ASC) AS crn
+       |  FROM $table CROSS JOIN cent),
+       |a AS (SELECT v_id, vec, cent_id AS cluster FROM assigned WHERE crn = 1),
+       |q AS (SELECT v_id AS q_id, vec AS q_vec, cluster FROM a WHERE $queryPred),
+       |scored AS (
+       |  SELECT q_id, c.v_id AS c_id, round(${duckCosine("q_vec", "c.vec")}, 6) AS sim
+       |  FROM q JOIN a c ON q.cluster = c.cluster AND q_id <> c.v_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= $k""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate join,
     * then exact cosine ≥ `threshold`. At scale only same-bucket pairs are
     * scored.

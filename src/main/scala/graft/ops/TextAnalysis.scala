@@ -27,24 +27,32 @@ object TextAnalysis {
     ws.map(w => s"'$w'").mkString(if (dialect == "spark") "array(" else "[", ", ",
       if (dialect == "spark") ")" else "]")
 
+  /** Per-language marker-hit score columns (named `s_<lang>`) — exposed so
+    * multi-metric pipelines can compute them in the same single-scan
+    * projection as other per-doc features.
+    */
+  def langScoreCols(text: String): Seq[Column] = langMarkers.map { case (lang, ws) =>
+    expr(s"size(array_intersect(array_distinct(split($text, ' ')), ${markerList(ws, "spark")}))")
+      .as(s"s_$lang")
+  }
+
+  /** Argmax over the `s_<lang>` score columns with fixed language-order
+    * tie-break; 'und' when every score is zero.
+    */
+  def langBestCol: Column = langMarkers.map(_._1).foldRight(lit("und")) { (lang, acc) =>
+    when(col(s"s_$lang") > lit(0) &&
+      langMarkers.map(_._1).filter(_ < lang).map(l => col(s"s_$lang") > col(s"s_$l"))
+        .foldLeft(lit(true))(_ && _) &&
+      langMarkers.map(_._1).filter(_ > lang).map(l => col(s"s_$lang") >= col(s"s_$l"))
+        .foldLeft(lit(true))(_ && _), lit(lang)).otherwise(acc)
+  }
+
   /** Language ID: argmax of marker-word hit counts; ties and zero scores
     * fall back to 'und' (undetermined).
     */
-  def langId(df: DataFrame, id: String, text: String): DataFrame = {
-    val scores = langMarkers.map { case (lang, ws) =>
-      expr(s"size(array_intersect(array_distinct(split($text, ' ')), ${markerList(ws, "spark")}))")
-        .as(s"s_$lang")
-    }
-    val best = langMarkers.map(_._1).foldRight(lit("und")) { (lang, acc) =>
-      when(col(s"s_$lang") > lit(0) &&
-        langMarkers.map(_._1).filter(_ < lang).map(l => col(s"s_$lang") > col(s"s_$l"))
-          .foldLeft(lit(true))(_ && _) &&
-        langMarkers.map(_._1).filter(_ > lang).map(l => col(s"s_$lang") >= col(s"s_$l"))
-          .foldLeft(lit(true))(_ && _), lit(lang)).otherwise(acc)
-    }
-    df.select(col(id) +: scores: _*).withColumn("lang_pred", best)
+  def langId(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id) +: langScoreCols(text): _*).withColumn("lang_pred", langBestCol)
       .select(col(id), col("lang_pred"))
-  }
 
   def langIdSql(table: String, id: String, text: String): String = {
     val scoreDefs = langMarkers.map { case (lang, ws) =>
@@ -59,6 +67,18 @@ object TextAnalysis {
     }
     s"SELECT $id, $best AS lang_pred FROM (SELECT $id, $scoreDefs FROM $table)"
   }
+
+  /** Word count / stopword-ratio / token-count fragments, shared by the
+    * single-metric operators and the composed corpus-filter pipeline.
+    */
+  def nWordsExpr(text: String): String = s"size(split($text, ' '))"
+  def stopwordRatioExpr(text: String): String = {
+    val stop = markerList(langMarkers.flatMap(_._2).distinct.sorted, "spark")
+    s"round(size(filter(split($text, ' '), w -> array_contains($stop, w))) / " +
+      s"cast(size(split($text, ' ')) AS DOUBLE), 6)"
+  }
+  def nTokensExpr(text: String): String =
+    s"size(regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0))"
 
   /** Quality score: word count, mean word length, stopword ratio,
     * alphabetic-character ratio — the length/punct/stopword heuristics of
@@ -119,5 +139,91 @@ object TextAnalysis {
   def fingerprintSql(table: String, id: String, text: String): String = {
     val wordHashes = duckHashArrayOf(s"string_split($text, ' ')")
     s"SELECT $id, ${duckFoldHashes(wordHashes)} AS fingerprint FROM $table"
+  }
+
+  /** Corpus-wide top-k word n-grams by occurrence count (every occurrence
+    * counts — no per-doc distinct). Plan: one scan → explode → hash
+    * aggregate (map-side partial combine, so the exchange carries one row
+    * per distinct n-gram per map partition) → global top-k via
+    * TakeOrderedAndProject (no full sort). Deterministic total order:
+    * (count DESC, ngram ASC).
+    */
+  def topNgrams(df: DataFrame, text: String, n: Int = 2, topK: Int = 10): DataFrame = {
+    val parts = (0 until n).map(j => s"element_at(__w, i + $j)").mkString(", ' ', ")
+    val grams = PortableHash.let1("__w", s"split($text, ' ')",
+      s"IF(size(__w) < $n, cast(array() AS ARRAY<STRING>), " +
+        s"transform(sequence(1, size(__w) - ${n - 1}), i -> concat($parts)))")
+    df.select(explode(expr(grams)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram").asc).limit(topK)
+  }
+
+  def topNgramsSql(table: String, text: String, n: Int = 2, topK: Int = 10): String = {
+    val w = s"string_split($text, ' ')"
+    val parts = (0 until n).map(j => s"$w[i + $j]").mkString(" || ' ' || ")
+    s"""SELECT ngram, count(*) AS n FROM (
+       |  SELECT unnest(list_transform(generate_series(1, len($w) - ${n - 1}), i -> $parts)) AS ngram
+       |  FROM $table)
+       |GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT $topK""".stripMargin
+  }
+
+  /** Composed pretraining corpus filter: language + quality thresholds +
+    * exact-dedup keeper, in the 100 TB-correct shape — ALL per-doc
+    * features (digest, language scores, word/token counts) come out of
+    * ONE scan projection, the text column is dropped before anything
+    * shuffles, and the only exchange is the window over the 128-bit
+    * digest carrying (digest, id, small features).
+    */
+  def corpusFilter(df: DataFrame, id: String, text: String,
+                   lang: String = "en", minWords: Int = 5,
+                   minStopRatio: Double = 0.02): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = df.select(
+      Seq(col(id), md5(col(text)).as("h"),
+        expr(nWordsExpr(text)).as("n_words"),
+        expr(stopwordRatioExpr(text)).as("stopword_ratio"),
+        expr(nTokensExpr(text)).as("n_tokens")) ++ langScoreCols(text): _*)
+      .withColumn("lang_pred", langBestCol)
+    feats
+      .withColumn("keep_id", min(col(id)).over(Window.partitionBy(col("h"))))
+      .where(col(id) === col("keep_id") && col("lang_pred") === lang &&
+        col("n_words") >= minWords && col("stopword_ratio") >= minStopRatio)
+      .select(col(id), col("n_words"), col("n_tokens"), col("stopword_ratio"))
+  }
+
+  def corpusFilterSql(table: String, id: String, text: String,
+                      lang: String = "en", minWords: Int = 5,
+                      minStopRatio: Double = 0.02): String = {
+    val stop = markerList(langMarkers.flatMap(_._2).distinct.sorted, "duck")
+    s"""SELECT $id, n_words, n_tokens, stopword_ratio FROM (
+       |  SELECT $id, n_words, n_tokens, stopword_ratio, lang_pred,
+       |    min($id) OVER (PARTITION BY h) AS keep_id
+       |  FROM (
+       |    SELECT $id, md5($text) AS h,
+       |      len(string_split($text, ' ')) AS n_words,
+       |      round(len(list_filter(string_split($text, ' '), w -> list_contains($stop, w)))
+       |            / (len(string_split($text, ' '))::DOUBLE), 6) AS stopword_ratio,
+       |      len(regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_tokens,
+       |      ${langIdScores(text)}
+       |    FROM $table))
+       |WHERE $id = keep_id AND lang_pred = '$lang'
+       |  AND n_words >= $minWords AND stopword_ratio >= $minStopRatio""".stripMargin
+  }
+
+  /** DuckDB fragment: the `s_<lang>` scores folded into `lang_pred` as a
+    * single nested-CASE select-list item (the twin of [[langBestCol]]).
+    */
+  private def langIdScores(text: String): String = {
+    val langs = langMarkers.map(_._1)
+    val scoreOf = langMarkers.map { case (l, ws) =>
+      l -> s"len(list_intersect(list_distinct(string_split($text, ' ')), ${markerList(ws, "duck")}))"
+    }.toMap
+    val best = langs.foldRight("'und'") { (l, acc) =>
+      val wins = (langs.filter(_ < l).map(o => s"${scoreOf(l)} > ${scoreOf(o)}") ++
+        langs.filter(_ > l).map(o => s"${scoreOf(l)} >= ${scoreOf(o)}") :+ s"${scoreOf(l)} > 0")
+        .mkString(" AND ")
+      s"CASE WHEN $wins THEN '$l' ELSE $acc END"
+    }
+    s"$best AS lang_pred"
   }
 }

@@ -402,7 +402,39 @@ object Queries {
           "vec_id", "embedding", k = 5)
       },
       Some(Similarity.lshTopKSql("embeddings", "vec_id", "embedding",
-        k = 5, queryPred = "vec_id < 10")))
+        k = 5, queryPred = "vec_id < 10"))),
+
+    // ANN: inverted-file top-k with learned-centroid partitioning — the
+    // second ANN scale path (cluster-partitioned vs. hash-bucketed)
+    QueryDef("embed_ivf_topk",
+      (s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 5, nCentroids = 8,
+        queryPred = col("v_id") < 10),
+      Some(Similarity.ivfTopKSql("embeddings", "vec_id", "embedding",
+        k = 5, nCentroids = 8, queryPred = "v_id < 10"))),
+
+    // video-kind frame sampling: every stride-th fixed-size chunk of the
+    // payload becomes a frame row (hex-emitted for the portable compare)
+    QueryDef("mm_frame_sample",
+      (s, dir) => Multimodal.frameSample(
+        Multimodal.attachFakePayload(t(s, dir, "documents"), "doc_id", "text"),
+        frameBytes = 4, stride = 2)
+        .select(col("media_id"), col("frame_idx"),
+          lower(hex(col("frame_payload"))).as("frame_hex")),
+      Some(Multimodal.frameSampleSql("documents", "doc_id", "text",
+        frameBytes = 4, stride = 2))),
+
+    // corpus-wide top-k word bigrams (explode -> partial-agg count ->
+    // TakeOrderedAndProject; the standard n-gram frequency analysis)
+    QueryDef("text_ngram_topk",
+      (s, dir) => TextAnalysis.topNgrams(t(s, dir, "documents"), "text", n = 2, topK = 10),
+      Some(TextAnalysis.topNgramsSql("documents", "text", n = 2, topK = 10))),
+
+    // composed pretraining corpus filter: dedup keeper ∧ language ∧
+    // quality thresholds — one scan, text dropped before the only shuffle
+    QueryDef("pipeline_corpus_filter",
+      (s, dir) => TextAnalysis.corpusFilter(t(s, dir, "documents"), "doc_id", "text"),
+      Some(TextAnalysis.corpusFilterSql("documents", "doc_id", "text")))
   )
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =

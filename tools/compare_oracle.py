@@ -13,7 +13,7 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = []
 for name, sql in sorted(oracle.items()):
     spark_path = f"{out_dir}/{name}"
-    if not os.path.isdir(spark_path):
+    if not glob.glob(f"{spark_path}/*.parquet"):
         fails.append((name, "no spark output")); continue
     try:
         odf = con.sql(sql).df()
