@@ -1,0 +1,120 @@
+package graft
+
+import graft.queries.Queries
+
+/** Physical-plan audits: every assertion here is a 100 TB scale property
+  * that correctness tests cannot see — filters reaching the parquet scan,
+  * column pruning, dimension broadcasts, map-side partial aggregation,
+  * top-k without a global sort, and shuffle counts. A regression that
+  * flips one of these (e.g. a filter that stops pushing down after a
+  * refactor) still returns correct rows at sf0.01 but falls over on a
+  * 1000-executor cluster; these tests fail instead.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Queries.queryMap(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** Formatted explain — unlike plan-tree toString, scan details
+    * (PushedFilters, ReadSchema) are printed in full, not truncated.
+    */
+  private def formatted(name: String): String =
+    Queries.queryMap(name)(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  private def count(haystack: String, needle: String): Int =
+    needle.r.findAllMatchIn(haystack).length
+
+  test("dispatch_filter: the dispatch predicate is pushed into the parquet scan") {
+    val p = plan("dispatch_filter")
+    assert(p.contains("PushedFilters") &&
+      p.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(event_type,purchase\\).*"),
+      s"dispatch filter must reach the scan (topic-subscription analog):\n$p")
+  }
+
+  test("q6_filter_agg: range predicates are pushed into the parquet scan") {
+    val p = formatted("q6_filter_agg")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("LessThan(l_quantity"),
+      s"q6 predicates must be PushedFilters:\n$p")
+  }
+
+  test("q1_agg: scan is column-pruned to the referenced columns only") {
+    val p = plan("q1_agg")
+    // lineitem has 16 columns; the query touches 6
+    assert(!p.contains("l_comment") && !p.contains("l_partkey"),
+      s"q1 scan must not read unreferenced columns:\n$p")
+    assert(p.contains("l_quantity") && p.contains("l_returnflag"))
+  }
+
+  test("q1_agg: aggregation is partial (map-side combine) before the exchange") {
+    val p = plan("q1_agg")
+    assert(count(p, "HashAggregate") >= 2,
+      s"q1 must partial-aggregate map-side so the shuffle carries group rows, not the table:\n$p")
+  }
+
+  test("q5_nation_revenue: dimension joins broadcast (no dim-side shuffle)") {
+    val p = plan("q5_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"),
+      s"nation/region (and the cust⋈dims side) must broadcast:\n$p")
+  }
+
+  test("topk_orders: global top-k uses TakeOrderedAndProject, not a full sort") {
+    val p = plan("topk_orders")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"LIMIT after ORDER BY must compile to per-partition top-k + merge:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"a range-partitioned global sort of the corpus must not appear:\n$p")
+  }
+
+  test("text_ngram_topk: partial-agg counts + TakeOrderedAndProject") {
+    val p = plan("text_ngram_topk")
+    assert(count(p, "HashAggregate") >= 2 && p.contains("TakeOrderedAndProject"),
+      s"n-gram counting must combine map-side and take top-k without a global sort:\n$p")
+  }
+
+  test("dedup_exact: single digest shuffle with map-side partial aggregation") {
+    val p = plan("dedup_exact")
+    assert(count(p, "HashAggregate") >= 2,
+      s"exact dedup must partial-aggregate per digest before its one exchange:\n$p")
+    assert(count(p, "Exchange") == 1,
+      s"exact dedup needs exactly one shuffle:\n$p")
+  }
+
+  test("entity_latest_state: latest-per-key is an aggregation, not a window sort") {
+    val p = plan("entity_latest_state")
+    assert(!p.contains("Window"),
+      s"latest-state must use max_by partial agg (one exchange of key rows), not a sorted window:\n$p")
+    assert(count(p, "HashAggregate") + count(p, "ObjectHashAggregate") + count(p, "SortAggregate") >= 2,
+      s"latest-state must combine map-side:\n$p")
+  }
+
+  test("embed_topk_cosine: query side broadcasts; corpus is never shuffled for the join") {
+    val p = plan("embed_topk_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the small query set must broadcast against one corpus scan:\n$p")
+  }
+
+  test("pipeline_corpus_filter: text never crosses a shuffle") {
+    val df = Queries.queryMap("pipeline_corpus_filter")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the single exchange partitions by the md5 digest; the text column
+    // must be projected away before it
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(h")
+    assert(exchangeIdx >= 0, s"the digest-window exchange must exist:\n$p")
+    assert(count(p, "Exchange") == 1,
+      s"corpus filter needs exactly one shuffle (the digest window):\n$p")
+    assert(!p.substring(0, exchangeIdx).contains("text#"),
+      s"text must be dropped before the exchange (scan side is below it in the plan string):\n$p")
+  }
+
+  test("rpc_correlation: correlation join shuffles both sides on the key once") {
+    val p = plan("rpc_correlation")
+    // events is small here, so Spark may broadcast; accept either a
+    // broadcast of one side or a single pair of hash exchanges — what
+    // must NOT appear is a nested-loop over unkeyed rows
+    assert(p.contains("Join") && !p.contains("CartesianProduct"),
+      s"correlation must be a keyed join, never a cartesian product:\n$p")
+  }
+}
