@@ -74,6 +74,19 @@ object Dedup {
   def exactDedupSql(table: String, id: String, text: String): String =
     s"SELECT md5($text) AS h, min($id) AS keep_id, count(*) AS n_dups FROM $table GROUP BY 1"
 
+  /** Streaming exact dedup: emit the FIRST document per content digest,
+    * drop later copies arriving within the watermark. State is one row
+    * per distinct digest, expired by the watermark — bounded, unlike an
+    * unbounded `dropDuplicates` — so this runs forever on an ingest
+    * stream. The batch [[exactDedup]] is the backfill analog (keep_id =
+    * min id; streaming keeps first-seen, the arrival-order equivalent).
+    */
+  def exactDedupStreaming(df: DataFrame, text: String,
+                          eventTime: String, delay: String): DataFrame =
+    df.withColumn("h", md5(col(text)))
+      .withWatermark(eventTime, delay)
+      .dropDuplicatesWithinWatermark("h")
+
   /** MinHash signature: for each doc, `numHashes` minima of universal
     * hashes over its shingle hashes. Pure projection — no shuffle.
     */

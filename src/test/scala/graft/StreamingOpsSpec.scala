@@ -1,0 +1,78 @@
+package graft
+
+import graft.ops.{Dedup, TextAnalysis}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The training-data ops under Structured Streaming: the stateless ops
+  * (text features) run unchanged on a streaming Dataset; dedup gets the
+  * watermark-bounded stateful variant. This is the ingest-pipeline shape:
+  * readStream → feature/filter transforms → dedup → writeStream.
+  */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("streaming exact dedup keeps first copy per digest, drops later copies; state bounded by watermark") {
+    implicit val sq = spark.sqlContext
+    val docs = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = Dedup.exactDedupStreaming(
+      docs.toDF().toDF("doc_id", "text", "ts"), "text", "ts", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      docs.addData((1L, "the quick brown fox", ts("2024-01-01 00:00:00")))
+      docs.addData((2L, "an entirely different doc", ts("2024-01-01 00:00:01")))
+      q.processAllAvailable()
+      // same content arriving later within the watermark window: dropped
+      docs.addData((3L, "the quick brown fox", ts("2024-01-01 00:00:02")))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream").select($"doc_id").as[Long].collect().sorted
+      assert(kept.toSeq === Seq(1L, 2L), "first copy kept, in-window duplicate dropped")
+    } finally q.stop()
+  }
+
+  test("watermarked event-time tumbling window closes and drops late data") {
+    implicit val sq = spark.sqlContext
+    val events = MemoryStream[(String, java.sql.Timestamp)]
+    val out = events.toDF().toDF("event_type", "ts")
+      .withWatermark("ts", "5 seconds")
+      .groupBy(window($"ts", "1 minute"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("w_start"), $"event_type", $"n")
+    val q = out.writeStream.format("memory").queryName("win_stream")
+      .outputMode("append").start()
+    try {
+      events.addData(("view", ts("2024-01-01 00:00:10")), ("view", ts("2024-01-01 00:00:20")))
+      q.processAllAvailable()
+      // advance the watermark well past the first window so it finalizes
+      events.addData(("view", ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      // this event is behind the watermark — it must NOT reopen the window
+      events.addData(("view", ts("2024-01-01 00:00:30")))
+      q.processAllAvailable()
+      events.addData(("view", ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      val first = spark.table("win_stream")
+        .where($"w_start" === ts("2024-01-01 00:00:00"))
+        .select($"n").as[Long].collect()
+      assert(first.toSeq === Seq(2L), "window emitted once with on-time rows only")
+    } finally q.stop()
+  }
+
+  test("stateless text features (langId) run unchanged on a streaming Dataset") {
+    implicit val sq = spark.sqlContext
+    val docs = MemoryStream[(Long, String)]
+    val out = TextAnalysis.langId(docs.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("lang_stream")
+      .outputMode("append").start()
+    try {
+      docs.addData((1L, "the cat sat on the mat and a dog"), (2L, "der hund ist und das"))
+      q.processAllAvailable()
+      val langs = spark.table("lang_stream")
+        .select($"doc_id", $"lang_pred").as[(Long, String)].collect().toMap
+      assert(langs === Map(1L -> "en", 2L -> "de"))
+    } finally q.stop()
+  }
+}
