@@ -434,7 +434,27 @@ object Queries {
     // quality thresholds — one scan, text dropped before the only shuffle
     QueryDef("pipeline_corpus_filter",
       (s, dir) => TextAnalysis.corpusFilter(t(s, dir, "documents"), "doc_id", "text"),
-      Some(TextAnalysis.corpusFilterSql("documents", "doc_id", "text")))
+      Some(TextAnalysis.corpusFilterSql("documents", "doc_id", "text"))),
+
+    // skew-mitigated join: salted execution (hot keys split over `salt`
+    // reducers) must produce EXACTLY the plain-join result — the oracle
+    // runs the unsalted join
+    QueryDef("skew_salted_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val dim = ev.groupBy(col("user_id"))
+          .agg(min(col("event_id")).as("first_event"))
+        graft.ops.Skew.saltedJoin(
+            ev.select(col("event_id"), col("user_id"), col("value")),
+            dim, "user_id", salt = 8)
+          .groupBy(col("user_id"), col("first_event"))
+          .agg(count(lit(1)).as("n"), expr(dsum("value")).as("sum_value"))
+      },
+      Some("""WITH dim AS (SELECT user_id, min(event_id) AS first_event FROM events GROUP BY user_id)
+             |SELECT e.user_id, first_event, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events e JOIN dim USING (user_id)
+             |GROUP BY e.user_id, first_event""".stripMargin))
   )
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =
