@@ -95,7 +95,7 @@ object Dedup {
     val sigCols = (0 until numHashes).map { i =>
       expr(s"array_min(transform(hs, h -> ${universal(i, "h")}))").as(s"mh$i")
     }
-    df.select(col(id), expr(sparkShingleHashes(text, k)).as("hs"))
+    Par.floor(df, col(id)).select(col(id), expr(sparkShingleHashes(text, k)).as("hs"))
       .where(size(col("hs")) > 0)
       .select(col(id) +: sigCols: _*)
   }
@@ -132,7 +132,8 @@ object Dedup {
     // Spark re-scans the corpus and re-hashes per branch. The projection
     // is tiny relative to the corpus (~id + numShingles longs per doc),
     // so persist it — one corpus scan total, spilling to disk if needed.
-    val docs = df.select(col(id).as("_did"), expr(sparkShingleHashes(text, k)).as("hs"))
+    val docs = Par.floor(df, col(id))
+      .select(col(id).as("_did"), expr(sparkShingleHashes(text, k)).as("hs"))
       .where(size(col("hs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-band bucket = rolling combine of that band's signature values
@@ -199,7 +200,7 @@ object Dedup {
       s"aggregate(transform(sequence(0, ${bits - 1}), j -> IF(" +
         s"aggregate(__hs, cast(0 AS BIGINT), (acc, h) -> acc + ((h div shiftleft(cast(1 AS BIGINT), j)) % 2) * 2 - 1) > 0, " +
         s"shiftleft(cast(1 AS BIGINT), j), cast(0 AS BIGINT))), cast(0 AS BIGINT), (a, b) -> a + b)")
-    df.select(col(id), expr(sh).as("simhash"))
+    Par.floor(df, col(id)).select(col(id), expr(sh).as("simhash"))
   }
 
   def simhashSql(table: String, id: String, text: String, bits: Int = 30): String = {
@@ -218,7 +219,8 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
                         k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val g = df.select(col(id).as("gid"), expr(sparkShingleHashes(text, k)).as("g"))
+    val g = Par.floor(df, col(id))
+      .select(col(id).as("gid"), expr(sparkShingleHashes(text, k)).as("g"))
     val a = g.select(col("gid").as("a_id"), col("g").as("ga"))
     val b = g.select(col("gid").as("b_id"), col("g").as("gb"))
     a.crossJoin(b).where(col("a_id") < col("b_id"))

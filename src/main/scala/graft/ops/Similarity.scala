@@ -55,7 +55,8 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
-    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val c = Par.floor(corpus, col(idCol))
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
     val scored = q.join(c, col("q_id") =!= col("c_id"))
       .withColumn("sim", round(expr(sparkCosine("q_vec", "c_vec")), 6))
     // rank within query: deterministic tie-break on candidate id
@@ -122,8 +123,9 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, bits: Int = 8): DataFrame = {
-    val cb = lshBuckets(corpus, idCol, vecCol, bits)
-      .join(corpus.select(col(idCol).as("_ci"), col(vecCol).as("c_vec")),
+    val corp = Par.floor(corpus, col(idCol))
+    val cb = lshBuckets(corp, idCol, vecCol, bits)
+      .join(corp.select(col(idCol).as("_ci"), col(vecCol).as("c_vec")),
         col(idCol) === col("_ci"))
       .select(col(idCol).as("c_id"), col("c_vec"), col("bucket"))
     val qb = broadcast(lshBuckets(queries, idCol, vecCol, bits)
@@ -177,7 +179,8 @@ object Similarity {
               nCentroids: Int = 8, queryPred: Column): DataFrame = {
     val cent = broadcast(corpus.where(col(idCol) < nCentroids)
       .select(col(idCol).as("cent_id"), col(vecCol).as("c_vec")))
-    val assigned = corpus.select(col(idCol).as("v_id"), col(vecCol).as("vec"))
+    val assigned = Par.floor(corpus, col(idCol))
+      .select(col(idCol).as("v_id"), col(vecCol).as("vec"))
       .crossJoin(cent)
       .withColumn("csim", round(expr(sparkCosine("vec", "c_vec")), 6))
       .groupBy(col("v_id"))
@@ -221,8 +224,9 @@ object Similarity {
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double = 0.99, bits: Int = 8): DataFrame = {
-    val withB = lshBuckets(df, idCol, vecCol, bits)
-      .join(df.select(col(idCol).as("_i"), col(vecCol).as("vec")),
+    val dff = Par.floor(df, col(idCol))
+    val withB = lshBuckets(dff, idCol, vecCol, bits)
+      .join(dff.select(col(idCol).as("_i"), col(vecCol).as("vec")),
         col(idCol) === col("_i")).drop("_i")
     val a = withB.select(col(idCol).as("a_id"), col("vec").as("a_vec"), col("bucket"))
     val b = withB.select(col(idCol).as("b_id"), col("vec").as("b_vec"), col("bucket"))
