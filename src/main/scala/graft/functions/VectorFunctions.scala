@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for cosine similarity over embedding
+  * arrays (`ARRAY<FLOAT>` / `ARRAY<DOUBLE>`).
+  *
+  * WHY a custom Expression: the declarative formulation —
+  * `aggregate(zip_with(a, b, (p,q) -> p*q), 0d, (acc,v) -> acc+v)` —
+  * is built entirely from higher-order functions, and every Spark HOF
+  * is `CodegenFallback`: the lambda is interpreted per element per row,
+  * allocating a zipped intermediate array per dot product. On the ANN
+  * scan that is three interpreted folds per (query, candidate) pair.
+  * This expression fuses the three accumulations (a·b, a·a, b·b) into
+  * ONE compiled loop via `doGenCode` — no intermediate arrays, no
+  * virtual calls — and stays inside whole-stage codegen, which the
+  * HOF framing breaks.
+  *
+  * Numeric parity: each accumulator folds in the same sequential index
+  * order as the HOF/DuckDB `list_reduce` twin, and the accumulators are
+  * independent, so results are bit-for-bit identical to the
+  * three-separate-folds formulation the oracle uses.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cosine"
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<FLOAT|DOUBLE> inputs, " +
+          s"got ${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
+    var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      ab += xv * yv; aa += xv * xv; bb += yv * yv; i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val ab = ctx.freshName("ab")
+      val aa = ctx.freshName("aa")
+      val bb = ctx.freshName("bb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double) $a.$lGet($i);
+         |  double $yv = (double) $b.$rGet($i);
+         |  $ab += $xv * $yv; $aa += $xv * $xv; $bb += $yv * $yv;
+         |}
+         |${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+
+  val name = "graft_cosine"
+
+  private val info = new ExpressionInfo(
+    classOf[CosineSim].getName, name,
+    "graft_cosine(a, b) - fused codegen cosine similarity over float/double arrays")
+
+  private val builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"$name takes exactly 2 arguments")
+    CosineSim(exprs.head, exprs(1))
+  }
+
+  /** Idempotent session-level registration (the runtime analog of the
+    * [[GraftExtensions]] builder-time injection).
+    */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = FunctionIdentifier(name)
+    if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+  }
+}
+
+/** `SparkSessionExtensions` entry point: enable with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction(
+      (FunctionIdentifier(VectorFunctions.name),
+        new ExpressionInfo(classOf[CosineSim].getName, VectorFunctions.name,
+          "graft_cosine(a, b) - fused codegen cosine similarity"),
+        (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
+}

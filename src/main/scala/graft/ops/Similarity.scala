@@ -24,7 +24,23 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Spark-dialect cosine between two double-array SQL fragments. */
+  /** Native fused-codegen cosine ([[graft.functions.CosineSim]]) — the
+    * hot-path form used by every ANN operator below. Bit-identical to
+    * [[sparkCosine]] (same sequential fold order, independent
+    * accumulators) but compiled: the HOF form is CodegenFallback and
+    * interprets three lambda folds per pair.
+    */
+  def nativeCosine(a: String, b: String): String = s"graft_cosine($a, $b)"
+
+  private def withCosine(df: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(df.sparkSession)
+    df
+  }
+
+  /** Spark-dialect cosine between two double-array SQL fragments (the
+    * declarative HOF twin of [[nativeCosine]] — kept as the parity
+    * baseline; see VectorFunctionsSpec).
+    */
   def sparkCosine(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"aggregate(zip_with($x, $y, (p, q) -> cast(p AS DOUBLE) * cast(q AS DOUBLE)), " +
@@ -55,10 +71,10 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
-    val c = Par.floor(corpus, col(idCol))
+    val c = Par.floor(withCosine(corpus), col(idCol))
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
     val scored = q.join(c, col("q_id") =!= col("c_id"))
-      .withColumn("sim", round(expr(sparkCosine("q_vec", "c_vec")), 6))
+      .withColumn("sim", round(expr(nativeCosine("q_vec", "c_vec")), 6))
     // rank within query: deterministic tie-break on candidate id
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -123,7 +139,7 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, bits: Int = 8): DataFrame = {
-    val corp = Par.floor(corpus, col(idCol))
+    val corp = Par.floor(withCosine(corpus), col(idCol))
     val cb = lshBuckets(corp, idCol, vecCol, bits)
       .join(corp.select(col(idCol).as("_ci"), col(vecCol).as("c_vec")),
         col(idCol) === col("_ci"))
@@ -134,7 +150,7 @@ object Similarity {
       .select(col(idCol).as("q_id"), col("q_vec"), col("bucket")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
     qb.join(cb, Seq("bucket")).where(col("q_id") =!= col("c_id"))
-      .withColumn("sim", round(expr(sparkCosine("q_vec", "c_vec")), 6))
+      .withColumn("sim", round(expr(nativeCosine("q_vec", "c_vec")), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("q_id", "c_id", "sim", "rank")
@@ -179,10 +195,10 @@ object Similarity {
               nCentroids: Int = 8, queryPred: Column): DataFrame = {
     val cent = broadcast(corpus.where(col(idCol) < nCentroids)
       .select(col(idCol).as("cent_id"), col(vecCol).as("c_vec")))
-    val assigned = Par.floor(corpus, col(idCol))
+    val assigned = Par.floor(withCosine(corpus), col(idCol))
       .select(col(idCol).as("v_id"), col(vecCol).as("vec"))
       .crossJoin(cent)
-      .withColumn("csim", round(expr(sparkCosine("vec", "c_vec")), 6))
+      .withColumn("csim", round(expr(nativeCosine("vec", "c_vec")), 6))
       .groupBy(col("v_id"))
       .agg(max_by(struct(col("vec"), col("cent_id")),
         struct(col("csim"), -col("cent_id"))).as("m"))
@@ -194,7 +210,7 @@ object Similarity {
     q.join(assigned.select(col("v_id").as("c_id"), col("vec").as("c_vec"), col("cluster")),
         Seq("cluster"))
       .where(col("q_id") =!= col("c_id"))
-      .withColumn("sim", round(expr(sparkCosine("q_vec", "c_vec")), 6))
+      .withColumn("sim", round(expr(nativeCosine("q_vec", "c_vec")), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("q_id", "c_id", "sim", "rank")
@@ -224,14 +240,14 @@ object Similarity {
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double = 0.99, bits: Int = 8): DataFrame = {
-    val dff = Par.floor(df, col(idCol))
+    val dff = Par.floor(withCosine(df), col(idCol))
     val withB = lshBuckets(dff, idCol, vecCol, bits)
       .join(dff.select(col(idCol).as("_i"), col(vecCol).as("vec")),
         col(idCol) === col("_i")).drop("_i")
     val a = withB.select(col(idCol).as("a_id"), col("vec").as("a_vec"), col("bucket"))
     val b = withB.select(col(idCol).as("b_id"), col("vec").as("b_vec"), col("bucket"))
     a.join(b, Seq("bucket")).where(col("a_id") < col("b_id"))
-      .withColumn("sim", round(expr(sparkCosine("a_vec", "b_vec")), 6))
+      .withColumn("sim", round(expr(nativeCosine("a_vec", "b_vec")), 6))
       .where(col("sim") >= threshold)
       .select("a_id", "b_id", "sim")
   }
