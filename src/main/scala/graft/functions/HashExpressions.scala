@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native expressions for the portable-hash dedup pipeline.
+  *
+  * The declarative forms live entirely inside Catalyst higher-order
+  * functions (`transform`/`aggregate`/`array_min`), which are
+  * CodegenFallback: every shingle hash and every universal-hash minimum
+  * is an interpreted expression-tree walk per element per row. These
+  * expressions compute the same values (see [[HashOps]] for the
+  * bit-for-bit contract with the DuckDB oracle fragments) in compiled
+  * one-pass loops, and their `doGenCode` is a single static call — the
+  * surrounding projection stays inside whole-stage codegen.
+  */
+trait HashArrayExpression extends UnaryExpression {
+  override def nullable: Boolean = true
+
+  protected def requiredElem: DataType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(e, _) if e == requiredElem => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<${requiredElem.catalogString}>, got ${dt.catalogString}")
+  }
+}
+
+/** `graft_shingle_hashes(words, k)`: distinct hashed word-k-shingles. */
+case class ShingleHashes(child: Expression, k: Int) extends HashArrayExpression {
+  override def prettyName: String = "graft_shingle_hashes"
+  override protected def requiredElem: DataType = StringType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(words: Any): Any =
+    HashOps.shingleHashes(words.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, w =>
+      s"${ev.value} = graft.functions.HashOps.shingleHashes($w, $k);")
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+/** `graft_minhash_sig(hs, n)`: n universal-hash minima (MinHash signature). */
+case class MinhashSig(child: Expression, numHashes: Int) extends HashArrayExpression {
+  override def prettyName: String = "graft_minhash_sig"
+  override protected def requiredElem: DataType = LongType
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def nullSafeEval(hs: Any): Any =
+    HashOps.minhashSig(hs.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, h =>
+      s"${ev.value} = graft.functions.HashOps.minhashSig($h, $numHashes);")
+
+  override protected def withNewChildInternal(c: Expression): MinhashSig =
+    copy(child = c)
+}
+
+/** `graft_hyperplane_bucket(vec, bits)`: random-hyperplane LSH bucket id —
+  * sign pattern of `bits` dot products with the deterministic integer-mod
+  * hyperplanes of [[graft.ops.Similarity]] (weight arithmetic and
+  * ascending-dimension fold order identical to the SQL fragment twins on
+  * both engines).
+  */
+case class HyperplaneBucket(child: Expression, bits: Int) extends UnaryExpression {
+  override def prettyName: String = "graft_hyperplane_bucket"
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT|DOUBLE>, got ${dt.catalogString}")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(vec: Any): Any =
+    HashOps.hyperplaneBucket(vec.asInstanceOf[ArrayData], bits, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.HashOps.hyperplaneBucket($v, $bits, $isFloat);")
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneBucket =
+    copy(child = c)
+}
+
+/** `graft_band_buckets(hs, bands, rowsPerBand)`: per-band LSH bucket ids. */
+case class BandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
+    extends HashArrayExpression {
+  override def prettyName: String = "graft_band_buckets"
+  override protected def requiredElem: DataType = LongType
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def nullSafeEval(hs: Any): Any =
+    HashOps.bandBuckets(hs.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, h =>
+      s"${ev.value} = graft.functions.HashOps.bandBuckets($h, $bands, $rowsPerBand);")
+
+  override protected def withNewChildInternal(c: Expression): BandBuckets =
+    copy(child = c)
+}

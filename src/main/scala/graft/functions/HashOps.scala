@@ -1,0 +1,139 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM implementations of the [[graft.ops.PortableHash]] arithmetic,
+  * shared by the interpreted `eval` and generated code of the native
+  * hash expressions (generated Java calls these statics directly — the
+  * expressions stay inside whole-stage codegen with a one-call body).
+  *
+  * Every method is bit-for-bit equivalent to its SQL-fragment twin:
+  *   H(s)            = int(first 15 hex digits of md5(utf8(s))) % P
+  *                   = (first 8 digest bytes as big-endian u64) >>> 4, % P
+  *   universal(i, h) = ((37+61i)*h + (101+97i)) % P
+  *   fold(hs)        = foldl(hs, 7, (acc,h) -> (acc*31+h) % P)
+  * so the DuckDB oracle (same fragments in its dialect) hash-matches.
+  */
+object HashOps {
+  val P: Long = graft.ops.PortableHash.P
+
+  private val md = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** H over the string's UTF-8 bytes (UTF8String stores exactly those). */
+  def hashUtf8(s: UTF8String): Long = {
+    val d = md.get(); d.reset()
+    val b = d.digest(s.getBytes)
+    // first 15 hex digits == top 60 bits of the first 8 bytes
+    val top = ((b(0) & 0xffL) << 56) | ((b(1) & 0xffL) << 48) |
+      ((b(2) & 0xffL) << 40) | ((b(3) & 0xffL) << 32) |
+      ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
+      ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)
+    (top >>> 4) % P
+  }
+
+  /** Distinct hashed word-k-shingles (first-occurrence order — the
+    * array_distinct twin); empty when the doc has fewer than k words.
+    */
+  def shingleHashes(words: ArrayData, k: Int): ArrayData = {
+    val n = words.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= n - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words.getUTF8String(i + j).toString)
+        j += 1
+      }
+      seen.add(hashUtf8(UTF8String.fromString(sb.toString)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator(); var x = 0
+    while (it.hasNext) { out(x) = it.next(); x += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** numHashes minima of universal hashes over `hs` — the MinHash
+    * signature. Null elements when `hs` is empty (the `array_min` of an
+    * empty transform), matching the declarative form.
+    */
+  def minhashSig(hs: ArrayData, numHashes: Int): ArrayData = {
+    val n = hs.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](numHashes))
+    val out = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      val a = 37L + 61L * i; val b = 101L + 97L * i
+      var best = Long.MaxValue; var j = 0
+      while (j < n) {
+        val v = (a * hs.getLong(j) + b) % P
+        if (v < best) best = v
+        j += 1
+      }
+      out(i) = best; i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Random-hyperplane LSH bucket id over an embedding vector: for each
+    * bit j, the sign of the dot product with the deterministic hyperplane
+    * w(j, i) = ((j*64 + i - 1) * 2654435761 % 1000003) / 1000003 - 0.5
+    * (1-based dim i; ascending-i summation order — the fold order of the
+    * SQL twins, so doubles agree bit-for-bit).
+    */
+  def hyperplaneBucket(vec: ArrayData, bits: Int, elemIsFloat: Boolean): Long = {
+    val dims = vec.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < bits) {
+      var dot = 0.0
+      var i = 1
+      while (i <= dims) {
+        val x = if (elemIsFloat) vec.getFloat(i - 1).toDouble else vec.getDouble(i - 1)
+        val w = (((j.toLong * 64 + i - 1) * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
+        dot += x * w
+        i += 1
+      }
+      if (dot > 0.0) bucket += (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  /** Per-band LSH bucket ids: bucket_b = fold of that band's signature
+    * values (rowsPerBand universal-hash minima). Null elements when `hs`
+    * is empty (null minima poison the fold), matching the declarative
+    * form.
+    */
+  def bandBuckets(hs: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val n = hs.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](bands))
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 7L; var r = 0
+      while (r < rowsPerBand) {
+        val i = b * rowsPerBand + r
+        val a1 = 37L + 61L * i; val b1 = 101L + 97L * i
+        var best = Long.MaxValue; var j = 0
+        while (j < n) {
+          val v = (a1 * hs.getLong(j) + b1) % P
+          if (v < best) best = v
+          j += 1
+        }
+        acc = (acc * 31 + best) % P
+        r += 1
+      }
+      out(b) = acc; b += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -98,13 +98,34 @@ object VectorFunctions {
 
   val name = "graft_cosine"
 
-  private val info = new ExpressionInfo(
-    classOf[CosineSim].getName, name,
-    "graft_cosine(a, b) - fused codegen cosine similarity over float/double arrays")
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT argument, got $other")
+  }
 
-  private val builder: Seq[Expression] => Expression = { exprs =>
-    require(exprs.length == 2, s"$name takes exactly 2 arguments")
-    CosineSim(exprs.head, exprs(1))
+  /** name -> (class, builder) for every native graft function. */
+  val all: Seq[(String, (Class[_], Seq[Expression] => Expression))] = Seq(
+    "graft_cosine" -> (classOf[CosineSim],
+      (e: Seq[Expression]) => CosineSim(e(0), e(1))),
+    "graft_shingle_hashes" -> (classOf[ShingleHashes],
+      (e: Seq[Expression]) => ShingleHashes(e(0), intLit(e(1), "graft_shingle_hashes"))),
+    "graft_minhash_sig" -> (classOf[MinhashSig],
+      (e: Seq[Expression]) => MinhashSig(e(0), intLit(e(1), "graft_minhash_sig"))),
+    "graft_band_buckets" -> (classOf[BandBuckets],
+      (e: Seq[Expression]) => BandBuckets(e(0), intLit(e(1), "graft_band_buckets"),
+        intLit(e(2), "graft_band_buckets"))),
+    "graft_hyperplane_bucket" -> (classOf[HyperplaneBucket],
+      (e: Seq[Expression]) => HyperplaneBucket(e(0), intLit(e(1), "graft_hyperplane_bucket")))
+  )
+
+  /** Pass-through that registers the native functions on the frame's
+    * session — ops call this on their input before building expressions
+    * (DataFrame transforms analyze eagerly, so registration must precede
+    * construction).
+    */
+  def attach(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ensureRegistered(df.sparkSession); df
   }
 
   /** Idempotent session-level registration (the runtime analog of the
@@ -112,8 +133,11 @@ object VectorFunctions {
     */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val id = FunctionIdentifier(name)
-    if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    all.foreach { case (n, (cls, builder)) =>
+      val id = FunctionIdentifier(n)
+      if (!reg.functionExists(id))
+        reg.registerFunction(id, new ExpressionInfo(cls.getName, n, s"$n - native graft expression"), builder)
+    }
   }
 }
 
@@ -122,9 +146,8 @@ object VectorFunctions {
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    ext.injectFunction(
-      (FunctionIdentifier(VectorFunctions.name),
-        new ExpressionInfo(classOf[CosineSim].getName, VectorFunctions.name,
-          "graft_cosine(a, b) - fused codegen cosine similarity"),
-        (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
+    VectorFunctions.all.foreach { case (n, (cls, builder)) =>
+      ext.injectFunction((FunctionIdentifier(n),
+        new ExpressionInfo(cls.getName, n, s"$n - native graft expression"), builder))
+    }
 }

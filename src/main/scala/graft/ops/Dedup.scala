@@ -57,9 +57,19 @@ object Dedup {
   /** Distinct shingle-hash array (the whole-doc content set, hashed).
     * `array_distinct` runs AFTER hashing so both engines agree even in the
     * (improbable) event of a hash collision between distinct shingles.
+    * This is the declarative HOF form — the parity baseline for the
+    * compiled [[nativeShingleHashes]] the operators actually use.
     */
   def sparkShingleHashes(text: String, k: Int = 3): String =
     s"array_distinct(${sparkHashArrayOf(sparkShingles(text, k))})"
+
+  /** Native one-pass shingle hashing ([[graft.functions.ShingleHashes]]):
+    * same values as [[sparkShingleHashes]] (same shingling, H, distinct
+    * order) in a compiled loop instead of interpreted HOF lambdas.
+    * Requires [[graft.functions.VectorFunctions.attach]] on the session.
+    */
+  def nativeShingleHashes(text: String, k: Int = 3): String =
+    s"graft_shingle_hashes(split($text, ' '), $k)"
 
   def duckShingleHashes(text: String, k: Int = 3): String =
     s"list_distinct(${duckHashArrayOf(duckShingles(text, k))})"
@@ -92,12 +102,15 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, id: String, text: String,
                         numHashes: Int = 16, k: Int = 3): DataFrame = {
-    val sigCols = (0 until numHashes).map { i =>
-      expr(s"array_min(transform(hs, h -> ${universal(i, "h")}))").as(s"mh$i")
-    }
-    Par.floor(df, col(id)).select(col(id), expr(sparkShingleHashes(text, k)).as("hs"))
+    val fdf = graft.functions.VectorFunctions.attach(df)
+    Par.floor(fdf, col(id)).select(col(id), expr(nativeShingleHashes(text, k)).as("hs"))
       .where(size(col("hs")) > 0)
-      .select(col(id) +: sigCols: _*)
+      // one compiled pass computes all numHashes minima; the element_at
+      // projection below is NOT collapsed into it (CollapseProject keeps
+      // multiply-referenced non-cheap expressions materialized)
+      .withColumn("__sig", expr(s"graft_minhash_sig(hs, $numHashes)"))
+      .select(col(id) +: (0 until numHashes).map(i =>
+        expr(s"element_at(__sig, ${i + 1})").as(s"mh$i")): _*)
   }
 
   def minhashSignaturesSql(table: String, id: String, text: String,
@@ -132,20 +145,14 @@ object Dedup {
     // Spark re-scans the corpus and re-hashes per branch. The projection
     // is tiny relative to the corpus (~id + numShingles longs per doc),
     // so persist it — one corpus scan total, spilling to disk if needed.
-    val docs = Par.floor(df, col(id))
-      .select(col(id).as("_did"), expr(sparkShingleHashes(text, k)).as("hs"))
+    val fdf = graft.functions.VectorFunctions.attach(df)
+    val docs = Par.floor(fdf, col(id))
+      .select(col(id).as("_did"), expr(nativeShingleHashes(text, k)).as("hs"))
       .where(size(col("hs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-band bucket = rolling combine of that band's signature values
-    val bandBuckets = (0 until bands).map { b =>
-      val sig = (0 until rowsPerBand).map { r =>
-        val i = b * rowsPerBand + r
-        s"array_min(transform(hs, h -> ${universal(i, "h")}))"
-      }.mkString("array(", ", ", ")")
-      sparkFoldHashes(sig)
-    }.mkString("array(", ", ", ")")
     val bandRows = docs
-      .select(col("_did"), posexplode(expr(bandBuckets)))
+      .select(col("_did"),
+        posexplode(expr(s"graft_band_buckets(hs, $bands, $rowsPerBand)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cand = bandRows.alias("a")
       .join(bandRows.alias("b"), Seq("band", "bucket"))
@@ -219,8 +226,8 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
                         k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val g = Par.floor(df, col(id))
-      .select(col(id).as("gid"), expr(sparkShingleHashes(text, k)).as("g"))
+    val g = Par.floor(graft.functions.VectorFunctions.attach(df), col(id))
+      .select(col(id).as("gid"), expr(nativeShingleHashes(text, k)).as("g"))
     val a = g.select(col("gid").as("a_id"), col("g").as("ga"))
     val b = g.select(col("gid").as("b_id"), col("g").as("gb"))
     a.crossJoin(b).where(col("a_id") < col("b_id"))

@@ -32,10 +32,8 @@ object Similarity {
     */
   def nativeCosine(a: String, b: String): String = s"graft_cosine($a, $b)"
 
-  private def withCosine(df: DataFrame): DataFrame = {
-    graft.functions.VectorFunctions.ensureRegistered(df.sparkSession)
-    df
-  }
+  private def withCosine(df: DataFrame): DataFrame =
+    graft.functions.VectorFunctions.attach(df)
 
   /** Spark-dialect cosine between two double-array SQL fragments (the
     * declarative HOF twin of [[nativeCosine]] — kept as the parity
@@ -106,15 +104,22 @@ object Similarity {
     * `bits` dot products with deterministic hyperplanes.
     */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
-                 bits: Int = 8): DataFrame = {
+                 bits: Int = 8): DataFrame =
+    withCosine(df).select(col(idCol),
+      expr(s"graft_hyperplane_bucket($vecCol, $bits)").as("bucket"))
+
+  /** Declarative HOF twin of the native hyperplane bucket — the parity
+    * baseline (VectorFunctionsSpec); the operator path uses the compiled
+    * [[graft.functions.HyperplaneBucket]].
+    */
+  def hofBucketExpr(vecCol: String, bits: Int = 8): String = {
     val dims = s"size($vecCol)"
     val dot = s"aggregate(transform(sequence(1, $dims), " +
       s"i -> cast(element_at($vecCol, i) AS DOUBLE) * ${weight("(j * 64 + i - 1)")}), " +
       s"cast(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    val bucket = s"aggregate(transform(sequence(0, ${bits - 1}), " +
+    s"aggregate(transform(sequence(0, ${bits - 1}), " +
       s"j -> IF($dot > 0.0, shiftleft(cast(1 AS BIGINT), j), cast(0 AS BIGINT))), " +
       s"cast(0 AS BIGINT), (a, b) -> a + b)"
-    df.select(col(idCol), expr(bucket).as("bucket"))
   }
 
   def lshBucketsSql(table: String, idCol: String, vecCol: String,

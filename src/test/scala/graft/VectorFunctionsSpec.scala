@@ -38,6 +38,55 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(df.isNullAt(2))
   }
 
+  test("native shingle hashes are bit-identical to the declarative HOF form") {
+    VectorFunctions.ensureRegistered(spark)
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val diff = d
+      .withColumn("native", expr(ops.Dedup.nativeShingleHashes("text")))
+      .withColumn("hof", expr(ops.Dedup.sparkShingleHashes("text")))
+      .where(col("native") =!= col("hof")).count()
+    assert(diff == 0, "native and HOF shingle hashes must agree exactly (incl. order)")
+    // short-doc guard: below-k word counts yield an EMPTY array, not a crash
+    val short = spark.sql(
+      "SELECT graft_shingle_hashes(array('a', 'b'), 3) AS hs").collect()(0)
+    assert(short.getSeq[Long](0).isEmpty)
+  }
+
+  test("native minhash signature and band buckets match the HOF fold") {
+    VectorFunctions.ensureRegistered(spark)
+    import graft.ops.PortableHash._
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), expr(ops.Dedup.nativeShingleHashes("text")).as("hs"))
+      .where(size(col("hs")) > 0)
+    val sigHof = (0 until 16).map { i =>
+      s"array_min(transform(hs, h -> ${universal(i, "h")}))"
+    }.mkString("array(", ", ", ")")
+    val bandsHof = (0 until 4).map { b =>
+      val sig = (4 * b until 4 * b + 4).map { i =>
+        s"array_min(transform(hs, h -> ${universal(i, "h")}))"
+      }.mkString("array(", ", ", ")")
+      sparkFoldHashes(sig)
+    }.mkString("array(", ", ", ")")
+    val diff = d
+      .withColumn("nsig", expr("graft_minhash_sig(hs, 16)"))
+      .withColumn("hsig", expr(sigHof))
+      .withColumn("nband", expr("graft_band_buckets(hs, 4, 4)"))
+      .withColumn("hband", expr(bandsHof))
+      .where(col("nsig") =!= col("hsig") || col("nband") =!= col("hband"))
+      .count()
+    assert(diff == 0, "native minhash sig / band buckets must agree exactly")
+  }
+
+  test("native hyperplane bucket matches the HOF form on float embeddings") {
+    VectorFunctions.ensureRegistered(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val diff = e
+      .withColumn("native", expr("graft_hyperplane_bucket(embedding, 8)"))
+      .withColumn("hof", expr(ops.Similarity.hofBucketExpr("embedding", 8)))
+      .where(col("native") =!= col("hof")).count()
+    assert(diff == 0, "native and HOF hyperplane buckets must agree exactly")
+  }
+
   test("native cosine participates in whole-stage codegen (HOF form cannot)") {
     VectorFunctions.ensureRegistered(spark)
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
