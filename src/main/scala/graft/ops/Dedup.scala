@@ -230,7 +230,12 @@ object Dedup {
       .select(col(id).as("gid"), expr(nativeShingleHashes(text, k)).as("g"))
     val a = g.select(col("gid").as("a_id"), col("g").as("ga"))
     val b = g.select(col("gid").as("b_id"), col("g").as("gb"))
-    a.crossJoin(b).where(col("a_id") < col("b_id"))
+    a.crossJoin(b).where(col("a_id") < col("b_id") &&
+      // lossless length prefilter: |A∩B| ≤ min(|A|,|B|), so J ≥ t forces
+      // max(|A|,|B|) ≤ min(|A|,|B|)/t — two integer compares prune the
+      // pair before the set intersect ever runs, results unchanged
+      expr(s"size(ga) * $threshold <= size(gb)") &&
+      expr(s"size(gb) * $threshold <= size(ga)"))
       .withColumn("c", expr("size(array_intersect(ga, gb))"))
       .withColumn("jaccard",
         round(col("c") * 1.0 / (expr("size(ga)") + expr("size(gb)") - col("c")), 6))
