@@ -147,6 +147,43 @@ object Queries {
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
              |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin)),
 
+    QueryDef("q4_semi_priority",
+      (s, dir) => {
+        // EXISTS ≡ left-semi join: the probe side is projected to the one
+        // join column before the exchange, so the shuffle carries keys
+        // only — at scale this beats the equivalent distinct+inner join
+        // (no aggregation state), and AQE can still broadcast the side
+        // that turns out small
+        val ord = t(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+        val li = t(s, dir, "lineitem")
+          .where(col("l_returnflag") === "R").select("l_orderkey")
+        ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+             |GROUP BY o_orderpriority""".stripMargin)),
+
+    QueryDef("q22_anti_customers",
+      (s, dir) => {
+        // NOT EXISTS ≡ left-anti join; same keys-only shuffle shape as the
+        // semi join above
+        val cust = t(s, dir, "customer").where(col("c_acctbal") > 0)
+        val ord = t(s, dir, "orders").select("o_custkey")
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_cust"),
+            expr("cast(sum(cast(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)").as("sum_bal"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_cust,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+             |FROM customer
+             |WHERE c_acctbal > 0
+             |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY c_mktsegment""".stripMargin)),
+
     QueryDef("topk_orders",
       (s, dir) => t(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)

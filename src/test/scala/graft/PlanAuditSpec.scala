@@ -109,6 +109,16 @@ class PlanAuditSpec extends SparkSpec {
       s"text must be dropped before the exchange (scan side is below it in the plan string):\n$p")
   }
 
+  test("q4/q22: EXISTS and NOT EXISTS compile to semi/anti joins with keys-only probe sides") {
+    val semi = plan("q4_semi_priority")
+    assert(semi.contains("LeftSemi"), s"EXISTS must be a left-semi join:\n$semi")
+    val anti = plan("q22_anti_customers")
+    assert(anti.contains("LeftAnti"), s"NOT EXISTS must be a left-anti join:\n$anti")
+    // the probe sides must be pruned to the join key before the join
+    assert(!semi.contains("l_quantity") && !anti.contains("o_orderdate"),
+      "semi/anti probe sides must scan the join key (+pushed filter) only")
+  }
+
   test("rpc_correlation: correlation join shuffles both sides on the key once") {
     val p = plan("rpc_correlation")
     // events is small here, so Spark may broadcast; accept either a
