@@ -63,6 +63,35 @@ case class MinhashSig(child: Expression, numHashes: Int) extends HashArrayExpres
     copy(child = c)
 }
 
+/** `graft_intersect_count(a, b)`: |A ∩ B| of two SORTED distinct BIGINT
+  * arrays (two-pointer merge; see [[HashOps.sortedIntersectCount]]).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "graft_intersect_count"
+  override def nullable: Boolean = true
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<BIGINT>, got ${l.catalogString} / ${r.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashOps.sortedIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_hyperplane_bucket(vec, bits)`: random-hyperplane LSH bucket id —
   * sign pattern of `bits` dot products with the deterministic integer-mod
   * hyperplanes of [[graft.ops.Similarity]] (weight arithmetic and

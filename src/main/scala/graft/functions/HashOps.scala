@@ -83,6 +83,23 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** |A ∩ B| of two SORTED distinct long arrays by two-pointer merge —
+    * O(|A|+|B|) with zero per-call allocation, vs the hash-set
+    * `array_intersect` builds per pair. Callers sort once per document
+    * (`sort_array` in the projection) and intersect per candidate pair.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Random-hyperplane LSH bucket id over an embedding vector: for each
     * bit j, the sign of the dot product with the deterministic hyperplane
     * w(j, i) = ((j*64 + i - 1) * 2654435761 % 1000003) / 1000003 - 0.5

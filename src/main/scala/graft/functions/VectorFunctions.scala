@@ -116,7 +116,9 @@ object VectorFunctions {
       (e: Seq[Expression]) => BandBuckets(e(0), intLit(e(1), "graft_band_buckets"),
         intLit(e(2), "graft_band_buckets"))),
     "graft_hyperplane_bucket" -> (classOf[HyperplaneBucket],
-      (e: Seq[Expression]) => HyperplaneBucket(e(0), intLit(e(1), "graft_hyperplane_bucket")))
+      (e: Seq[Expression]) => HyperplaneBucket(e(0), intLit(e(1), "graft_hyperplane_bucket"))),
+    "graft_intersect_count" -> (classOf[SortedIntersectCount],
+      (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1)))
   )
 
   /** Pass-through that registers the native functions on the frame's

@@ -146,8 +146,12 @@ object Dedup {
     // is tiny relative to the corpus (~id + numShingles longs per doc),
     // so persist it — one corpus scan total, spilling to disk if needed.
     val fdf = graft.functions.VectorFunctions.attach(df)
+    // sorted once per doc so the verify stage can use the two-pointer
+    // graft_intersect_count (signature minima and band buckets are
+    // order-independent, so sorting changes no values)
     val docs = Par.floor(fdf, col(id))
-      .select(col(id).as("_did"), expr(nativeShingleHashes(text, k)).as("hs"))
+      .select(col(id).as("_did"),
+        expr(s"sort_array(${nativeShingleHashes(text, k)})").as("hs"))
       .where(size(col("hs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandRows = docs
@@ -162,7 +166,7 @@ object Dedup {
     cand
       .join(docs.select(col("_did").as("a_id"), col("hs").as("ha")), "a_id")
       .join(docs.select(col("_did").as("b_id"), col("hs").as("hb")), "b_id")
-      .withColumn("c", expr("size(array_intersect(ha, hb))"))
+      .withColumn("c", expr("graft_intersect_count(ha, hb)"))
       .withColumn("jaccard",
         round(col("c") * 1.0 / (expr("size(ha)") + expr("size(hb)") - col("c")), 6))
       .where(col("jaccard") >= threshold)
@@ -227,7 +231,8 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
                         k: Int = 3, threshold: Double = 0.5): DataFrame = {
     val g = Par.floor(graft.functions.VectorFunctions.attach(df), col(id))
-      .select(col(id).as("gid"), expr(nativeShingleHashes(text, k)).as("g"))
+      .select(col(id).as("gid"),
+        expr(s"sort_array(${nativeShingleHashes(text, k)})").as("g"))
     val a = g.select(col("gid").as("a_id"), col("g").as("ga"))
     val b = g.select(col("gid").as("b_id"), col("g").as("gb"))
     a.crossJoin(b).where(col("a_id") < col("b_id") &&
@@ -236,7 +241,7 @@ object Dedup {
       // pair before the set intersect ever runs, results unchanged
       expr(s"size(ga) * $threshold <= size(gb)") &&
       expr(s"size(gb) * $threshold <= size(ga)"))
-      .withColumn("c", expr("size(array_intersect(ga, gb))"))
+      .withColumn("c", expr("graft_intersect_count(ga, gb)"))
       .withColumn("jaccard",
         round(col("c") * 1.0 / (expr("size(ga)") + expr("size(gb)") - col("c")), 6))
       .where(col("jaccard") >= threshold)

@@ -191,6 +191,30 @@ object TextAnalysis {
       .select(col(id), col("n_words"), col("n_tokens"), col("stopword_ratio"))
   }
 
+  /** Streaming variant of [[corpusFilter]] — the ingest-pipeline shape:
+    * one stateless projection computes digest + all features, the
+    * language/quality gate runs BEFORE the stateful dedup (state holds
+    * only keeper candidates, not the raw stream), and dedup is
+    * watermark-bounded `dropDuplicatesWithinWatermark` on the digest
+    * (first-seen keeper — the arrival-order analog of the batch
+    * min-id-per-digest window).
+    */
+  def corpusFilterStreaming(df: DataFrame, id: String, text: String,
+                            eventTime: String, delay: String,
+                            lang: String = "en", minWords: Int = 5,
+                            minStopRatio: Double = 0.02): DataFrame =
+    df.select(
+        Seq(col(id), col(eventTime), md5(col(text)).as("h"),
+          expr(nWordsExpr(text)).as("n_words"),
+          expr(stopwordRatioExpr(text)).as("stopword_ratio"),
+          expr(nTokensExpr(text)).as("n_tokens")) ++ langScoreCols(text): _*)
+      .withColumn("lang_pred", langBestCol)
+      .where(col("lang_pred") === lang && col("n_words") >= minWords &&
+        col("stopword_ratio") >= minStopRatio)
+      .withWatermark(eventTime, delay)
+      .dropDuplicatesWithinWatermark("h")
+      .select(col(id), col("n_words"), col("n_tokens"), col("stopword_ratio"))
+
   def corpusFilterSql(table: String, id: String, text: String,
                       lang: String = "en", minWords: Int = 5,
                       minStopRatio: Double = 0.02): String = {

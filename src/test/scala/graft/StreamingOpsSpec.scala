@@ -61,6 +61,28 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus filter: features -> quality gate -> watermarked dedup") {
+    implicit val sq = spark.sqlContext
+    val docs = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = TextAnalysis.corpusFilterStreaming(
+      docs.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts", "10 seconds",
+      lang = "en", minWords = 5, minStopRatio = 0.02)
+    val q = out.writeStream.format("memory").queryName("corpus_stream")
+      .outputMode("append").start()
+    try {
+      docs.addData(
+        (1L, "the cat sat on a mat and slept", ts("2024-01-01 00:00:00")), // keeper
+        (2L, "der hund ist und das auch hier", ts("2024-01-01 00:00:01")), // wrong lang
+        (3L, "tiny doc", ts("2024-01-01 00:00:02")))                       // too short
+      q.processAllAvailable()
+      // exact duplicate of the keeper within the watermark: dropped
+      docs.addData((4L, "the cat sat on a mat and slept", ts("2024-01-01 00:00:03")))
+      q.processAllAvailable()
+      val kept = spark.table("corpus_stream").select($"doc_id").as[Long].collect().sorted
+      assert(kept.toSeq === Seq(1L), "only the first en quality doc survives")
+    } finally q.stop()
+  }
+
   test("stateless text features (langId) run unchanged on a streaming Dataset") {
     implicit val sq = spark.sqlContext
     val docs = MemoryStream[(Long, String)]

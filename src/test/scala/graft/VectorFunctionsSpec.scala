@@ -77,6 +77,19 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(diff == 0, "native minhash sig / band buckets must agree exactly")
   }
 
+  test("two-pointer intersect count equals array_intersect size on sorted arrays") {
+    VectorFunctions.ensureRegistered(spark)
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), expr(ops.Dedup.nativeShingleHashes("text")).as("g"))
+      .where(size(col("g")) > 0)
+    val a = d.select(col("doc_id").as("a_id"), expr("sort_array(g)").as("ga"))
+    val b = d.select(col("doc_id").as("b_id"), expr("sort_array(g)").as("gb"))
+    val diff = a.crossJoin(b).where(col("a_id") < col("b_id")).limit(2000)
+      .where(expr("graft_intersect_count(ga, gb)") =!=
+        expr("size(array_intersect(ga, gb))")).count()
+    assert(diff == 0, "merge-based and hash-based intersect counts must agree")
+  }
+
   test("native hyperplane bucket matches the HOF form on float embeddings") {
     VectorFunctions.ensureRegistered(spark)
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
