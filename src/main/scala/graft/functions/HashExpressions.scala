@@ -63,6 +63,26 @@ case class MinhashSig(child: Expression, numHashes: Int) extends HashArrayExpres
     copy(child = c)
 }
 
+/** `graft_ngrams(words, n)`: all word n-grams in order, space-joined
+  * (every occurrence — no dedup; the corpus-count twin of the
+  * declarative transform+concat fragment).
+  */
+case class NGrams(child: Expression, n: Int) extends HashArrayExpression {
+  override def prettyName: String = "graft_ngrams"
+  override protected def requiredElem: DataType = StringType
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(words: Any): Any =
+    HashOps.ngrams(words.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, w =>
+      s"${ev.value} = graft.functions.HashOps.ngrams($w, $n);")
+
+  override protected def withNewChildInternal(c: Expression): NGrams =
+    copy(child = c)
+}
+
 /** `graft_intersect_count(a, b)`: |A ∩ B| of two SORTED distinct BIGINT
   * arrays (two-pointer merge; see [[HashOps.sortedIntersectCount]]).
   */

@@ -83,6 +83,30 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** All word n-grams in order (every occurrence — no dedup), joined by
+    * single spaces: the compiled twin of the
+    * `transform(sequence(...), i -> concat(...))` fragment.
+    */
+  def ngrams(words: ArrayData, n: Int): ArrayData = {
+    val total = words.numElements()
+    if (total < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](total - n + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= total - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words.getUTF8String(i + j).toString)
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** |A ∩ B| of two SORTED distinct long arrays by two-pointer merge —
     * O(|A|+|B|) with zero per-call allocation, vs the hash-set
     * `array_intersect` builds per pair. Callers sort once per document

@@ -118,7 +118,9 @@ object VectorFunctions {
     "graft_hyperplane_bucket" -> (classOf[HyperplaneBucket],
       (e: Seq[Expression]) => HyperplaneBucket(e(0), intLit(e(1), "graft_hyperplane_bucket"))),
     "graft_intersect_count" -> (classOf[SortedIntersectCount],
-      (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1)))
+      (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))),
+    "graft_ngrams" -> (classOf[NGrams],
+      (e: Seq[Expression]) => NGrams(e(0), intLit(e(1), "graft_ngrams")))
   )
 
   /** Pass-through that registers the native functions on the frame's

@@ -148,14 +148,18 @@ object TextAnalysis {
     * TakeOrderedAndProject (no full sort). Deterministic total order:
     * (count DESC, ngram ASC).
     */
-  def topNgrams(df: DataFrame, text: String, n: Int = 2, topK: Int = 10): DataFrame = {
-    val parts = (0 until n).map(j => s"element_at(__w, i + $j)").mkString(", ' ', ")
-    val grams = PortableHash.let1("__w", s"split($text, ' ')",
-      s"IF(size(__w) < $n, cast(array() AS ARRAY<STRING>), " +
-        s"transform(sequence(1, size(__w) - ${n - 1}), i -> concat($parts)))")
-    df.select(explode(expr(grams)).as("ngram"))
+  def topNgrams(df: DataFrame, text: String, n: Int = 2, topK: Int = 10): DataFrame =
+    graft.functions.VectorFunctions.attach(df)
+      .select(explode(expr(s"graft_ngrams(split($text, ' '), $n)")).as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram").asc).limit(topK)
+
+  /** Declarative HOF twin of `graft_ngrams` (parity baseline). */
+  def hofNgramsExpr(text: String, n: Int): String = {
+    val parts = (0 until n).map(j => s"element_at(__w, i + $j)").mkString(", ' ', ")
+    PortableHash.let1("__w", s"split($text, ' ')",
+      s"IF(size(__w) < $n, cast(array() AS ARRAY<STRING>), " +
+        s"transform(sequence(1, size(__w) - ${n - 1}), i -> concat($parts)))")
   }
 
   def topNgramsSql(table: String, text: String, n: Int = 2, topK: Int = 10): String = {

@@ -90,6 +90,16 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(diff == 0, "merge-based and hash-based intersect counts must agree")
   }
 
+  test("native n-grams are identical to the declarative HOF form") {
+    VectorFunctions.ensureRegistered(spark)
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val diff = d
+      .withColumn("native", expr("graft_ngrams(split(text, ' '), 2)"))
+      .withColumn("hof", expr(ops.TextAnalysis.hofNgramsExpr("text", 2)))
+      .where(col("native") =!= col("hof")).count()
+    assert(diff == 0, "native and HOF n-grams must agree exactly (order and occurrences)")
+  }
+
   test("native hyperplane bucket matches the HOF form on float embeddings") {
     VectorFunctions.ensureRegistered(spark)
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
