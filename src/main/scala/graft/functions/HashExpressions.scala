@@ -63,6 +63,45 @@ case class MinhashSig(child: Expression, numHashes: Int) extends HashArrayExpres
     copy(child = c)
 }
 
+/** `graft_simhash(words, bits)`: SimHash of the word sequence — one
+  * compiled pass accumulating all bit votes (the declarative form
+  * re-folds the word-hash array once per bit).
+  */
+case class SimhashWords(child: Expression, bits: Int) extends HashArrayExpression {
+  override def prettyName: String = "graft_simhash"
+  override protected def requiredElem: DataType = StringType
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(words: Any): Any =
+    HashOps.simhashWords(words.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, w =>
+      s"${ev.value} = graft.functions.HashOps.simhashWords($w, $bits);")
+
+  override protected def withNewChildInternal(c: Expression): SimhashWords =
+    copy(child = c)
+}
+
+/** `graft_fingerprint(words)`: order-sensitive rolling hash of the word
+  * sequence.
+  */
+case class FingerprintWords(child: Expression) extends HashArrayExpression {
+  override def prettyName: String = "graft_fingerprint"
+  override protected def requiredElem: DataType = StringType
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(words: Any): Any =
+    HashOps.fingerprintWords(words.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, w =>
+      s"${ev.value} = graft.functions.HashOps.fingerprintWords($w);")
+
+  override protected def withNewChildInternal(c: Expression): FingerprintWords =
+    copy(child = c)
+}
+
 /** `graft_ngrams(words, n)`: all word n-grams in order, space-joined
   * (every occurrence — no dedup; the corpus-count twin of the
   * declarative transform+concat fragment).

@@ -83,6 +83,44 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** SimHash over the word-hash sequence: bit j of the result is set iff
+    * the sum over words of (bit j of H(word) ? +1 : -1) is positive.
+    * One pass over the words; all `bits` votes accumulate in one array —
+    * the declarative form re-folds the hash array once per bit.
+    */
+  def simhashWords(words: ArrayData, bits: Int): Long = {
+    val n = words.numElements()
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = hashUtf8(words.getUTF8String(i))
+      var j = 0
+      while (j < bits) {
+        // matches the SQL twin `(h div 2^j) % 2` — h < P so div/mod on
+        // nonnegative values equal bit extraction
+        if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L; var j = 0
+    while (j < bits) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** Order-sensitive rolling fingerprint over the word-hash sequence:
+    * foldl(H(words), 7, (acc,h) -> (acc*31+h) % P).
+    */
+  def fingerprintWords(words: ArrayData): Long = {
+    val n = words.numElements()
+    var acc = 7L; var i = 0
+    while (i < n) {
+      acc = (acc * 31 + hashUtf8(words.getUTF8String(i))) % P
+      i += 1
+    }
+    acc
+  }
+
   /** All word n-grams in order (every occurrence — no dedup), joined by
     * single spaces: the compiled twin of the
     * `transform(sequence(...), i -> concat(...))` fragment.

@@ -120,7 +120,11 @@ object VectorFunctions {
     "graft_intersect_count" -> (classOf[SortedIntersectCount],
       (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))),
     "graft_ngrams" -> (classOf[NGrams],
-      (e: Seq[Expression]) => NGrams(e(0), intLit(e(1), "graft_ngrams")))
+      (e: Seq[Expression]) => NGrams(e(0), intLit(e(1), "graft_ngrams"))),
+    "graft_simhash" -> (classOf[SimhashWords],
+      (e: Seq[Expression]) => SimhashWords(e(0), intLit(e(1), "graft_simhash"))),
+    "graft_fingerprint" -> (classOf[FingerprintWords],
+      (e: Seq[Expression]) => FingerprintWords(e(0)))
   )
 
   /** Pass-through that registers the native functions on the frame's

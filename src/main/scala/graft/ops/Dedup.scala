@@ -205,14 +205,19 @@ object Dedup {
     * token hashes' j-th bits is positive). Linear scan, zero shuffle.
     */
   def simhash(df: DataFrame, id: String, text: String, bits: Int = 30): DataFrame = {
-    // word-hash array bound once — the per-bit vote loop references it
-    // `bits` times, which would otherwise re-hash every word per bit
-    val sh = PortableHash.let1("__hs", sparkHashArrayOf(s"split($text, ' ')"),
+    val fdf = graft.functions.VectorFunctions.attach(df)
+    Par.floor(fdf, col(id))
+      .select(col(id), expr(s"graft_simhash(split($text, ' '), $bits)").as("simhash"))
+  }
+
+  /** Declarative HOF twin of `graft_simhash` (parity baseline): word-hash
+    * array bound once via let1, one interpreted fold per bit.
+    */
+  def hofSimhashExpr(text: String, bits: Int = 30): String =
+    PortableHash.let1("__hs", sparkHashArrayOf(s"split($text, ' ')"),
       s"aggregate(transform(sequence(0, ${bits - 1}), j -> IF(" +
         s"aggregate(__hs, cast(0 AS BIGINT), (acc, h) -> acc + ((h div shiftleft(cast(1 AS BIGINT), j)) % 2) * 2 - 1) > 0, " +
         s"shiftleft(cast(1 AS BIGINT), j), cast(0 AS BIGINT))), cast(0 AS BIGINT), (a, b) -> a + b)")
-    Par.floor(df, col(id)).select(col(id), expr(sh).as("simhash"))
-  }
 
   def simhashSql(table: String, id: String, text: String, bits: Int = 30): String = {
     val hashes = s"list_transform(string_split($text, ' '), s -> ${duckStringHash("s")})"

@@ -131,10 +131,13 @@ object TextAnalysis {
   /** Document fingerprint: order-sensitive rolling hash over word hashes
     * (content-defined identity robust to id churn).
     */
-  def fingerprint(df: DataFrame, id: String, text: String): DataFrame = {
-    val wordHashes = sparkHashArrayOf(s"split($text, ' ')")
-    df.select(col(id), expr(sparkFoldHashes(wordHashes)).as("fingerprint"))
-  }
+  def fingerprint(df: DataFrame, id: String, text: String): DataFrame =
+    graft.functions.VectorFunctions.attach(df)
+      .select(col(id), expr(s"graft_fingerprint(split($text, ' '))").as("fingerprint"))
+
+  /** Declarative HOF twin of `graft_fingerprint` (parity baseline). */
+  def hofFingerprintExpr(text: String): String =
+    sparkFoldHashes(sparkHashArrayOf(s"split($text, ' ')"))
 
   def fingerprintSql(table: String, id: String, text: String): String = {
     val wordHashes = duckHashArrayOf(s"string_split($text, ' ')")

@@ -110,6 +110,19 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(diff == 0, "native and HOF hyperplane buckets must agree exactly")
   }
 
+  test("native simhash and fingerprint match the declarative HOF folds") {
+    VectorFunctions.ensureRegistered(spark)
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val diff = d
+      .withColumn("nsim", expr("graft_simhash(split(text, ' '), 30)"))
+      .withColumn("hsim", expr(ops.Dedup.hofSimhashExpr("text", 30)))
+      .withColumn("nfp", expr("graft_fingerprint(split(text, ' '))"))
+      .withColumn("hfp", expr(ops.TextAnalysis.hofFingerprintExpr("text")))
+      .where(col("nsim") =!= col("hsim") || col("nfp") =!= col("hfp"))
+      .count()
+    assert(diff == 0, "native simhash/fingerprint must agree with HOF folds exactly")
+  }
+
   test("native cosine participates in whole-stage codegen (HOF form cannot)") {
     VectorFunctions.ensureRegistered(spark)
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
