@@ -124,7 +124,9 @@ object VectorFunctions {
     "graft_simhash" -> (classOf[SimhashWords],
       (e: Seq[Expression]) => SimhashWords(e(0), intLit(e(1), "graft_simhash"))),
     "graft_fingerprint" -> (classOf[FingerprintWords],
-      (e: Seq[Expression]) => FingerprintWords(e(0)))
+      (e: Seq[Expression]) => FingerprintWords(e(0))),
+    "graft_topk" -> (classOf[TopKAgg],
+      (e: Seq[Expression]) => TopKAgg(e(0), e(1), intLit(e(2), "graft_topk")))
   )
 
   /** Pass-through that registers the native functions on the frame's

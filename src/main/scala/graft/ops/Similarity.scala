@@ -24,6 +24,21 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Per-query top-k via the bounded-heap aggregate
+    * ([[graft.functions.TopKAgg]]): map-side partial aggregation reduces
+    * each scan task's candidates to a k-item heap, so the one exchange
+    * carries ≤ #queries × k × #map-partitions rows — the window
+    * formulation (`row_number() OVER (PARTITION BY q_id ...)`) instead
+    * shuffles and sorts EVERY scored candidate. Total order matches the
+    * window twin: sim DESC, c_id ASC.
+    */
+  private def topkByQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(expr(s"graft_topk(sim, c_id, $k)").as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.c_id").as("c_id"), col("col.sim").as("sim"),
+        (col("pos") + 1).as("rank"))
+
   /** Native fused-codegen cosine ([[graft.functions.CosineSim]]) — the
     * hot-path form used by every ANN operator below. Bit-identical to
     * [[sparkCosine]] (same sequential fold order, independent
@@ -73,11 +88,7 @@ object Similarity {
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
     val scored = q.join(c, col("q_id") =!= col("c_id"))
       .withColumn("sim", round(expr(nativeCosine("q_vec", "c_vec")), 6))
-    // rank within query: deterministic tie-break on candidate id
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("q_id", "c_id", "sim", "rank")
+    topkByQuery(scored, k)
   }
 
   def bruteForceTopKSql(table: String, idCol: String, vecCol: String,
@@ -153,12 +164,8 @@ object Similarity {
       .join(queries.select(col(idCol).as("_qi"), col(vecCol).as("q_vec")),
         col(idCol) === col("_qi"))
       .select(col(idCol).as("q_id"), col("q_vec"), col("bucket")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
-    qb.join(cb, Seq("bucket")).where(col("q_id") =!= col("c_id"))
-      .withColumn("sim", round(expr(nativeCosine("q_vec", "c_vec")), 6))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("q_id", "c_id", "sim", "rank")
+    topkByQuery(qb.join(cb, Seq("bucket")).where(col("q_id") =!= col("c_id"))
+      .withColumn("sim", round(expr(nativeCosine("q_vec", "c_vec")), 6)), k)
   }
 
   def lshTopKSql(table: String, idCol: String, vecCol: String,
@@ -211,14 +218,11 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = broadcast(assigned.where(queryPred)
       .select(col("v_id").as("q_id"), col("vec").as("q_vec"), col("cluster")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
-    q.join(assigned.select(col("v_id").as("c_id"), col("vec").as("c_vec"), col("cluster")),
-        Seq("cluster"))
-      .where(col("q_id") =!= col("c_id"))
-      .withColumn("sim", round(expr(nativeCosine("q_vec", "c_vec")), 6))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("q_id", "c_id", "sim", "rank")
+    topkByQuery(
+      q.join(assigned.select(col("v_id").as("c_id"), col("vec").as("c_vec"), col("cluster")),
+          Seq("cluster"))
+        .where(col("q_id") =!= col("c_id"))
+        .withColumn("sim", round(expr(nativeCosine("q_vec", "c_vec")), 6)), k)
   }
 
   def ivfTopKSql(table: String, idCol: String, vecCol: String, k: Int,

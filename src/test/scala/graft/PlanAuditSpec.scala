@@ -96,6 +96,14 @@ class PlanAuditSpec extends SparkSpec {
       s"the small query set must broadcast against one corpus scan:\n$p")
   }
 
+  test("embed_topk_cosine: top-k is a partial-aggregating bounded heap, not a window sort") {
+    val p = plan("embed_topk_cosine")
+    assert(!p.contains("Window"),
+      s"per-query top-k must not shuffle+sort every scored candidate:\n$p")
+    assert(count(p, "ObjectHashAggregate") >= 2,
+      s"graft_topk must partial-aggregate map-side so the exchange carries k-item heaps:\n$p")
+  }
+
   test("pipeline_corpus_filter: text never crosses a shuffle") {
     val df = Queries.queryMap("pipeline_corpus_filter")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
