@@ -173,6 +173,65 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** LINEAR near-dup keeper assignment — the mass-dedup scale path.
+    *
+    * [[minhashLshPairs]] materializes the candidate PAIR list, which is
+    * inherently Θ(Σ cluster²): a corpus where popular documents have
+    * hundreds of near-copies (the common 100 TB reality) produces a
+    * quadratic pair blow-up no plan shape can avoid. Mass dedup does not
+    * need pairs: it needs one keeper per near-dup cluster. This operator
+    * computes, in ONE linear pass, `keep_id = min(doc ids sharing ANY
+    * LSH band bucket with this doc)` — a single label-propagation step:
+    *   1. docs → (band, bucket, id) rows (bands rows per doc);
+    *   2. per-bucket min id (partial-aggregated shuffle of key rows);
+    *   3. per-doc min over its bands' bucket minima.
+    * Docs with `keep_id < doc_id` are near-dup drops; iterating to a
+    * fixed point yields full connected components (each step is this
+    * same linear job). Deterministic; oracle-checked.
+    */
+  def minhashDedupKeepers(df: DataFrame, id: String, text: String,
+                          bands: Int = 4, rowsPerBand: Int = 4,
+                          k: Int = 3): DataFrame = {
+    val fdf = graft.functions.VectorFunctions.attach(df)
+    // (band, bucket, id) feeds two branches (bucket minima + join back);
+    // persist so the corpus is shingle-hashed once — the cached rows are
+    // three longs per band per doc, tiny relative to the text
+    val bandRows = Par.floor(fdf, col(id))
+      .select(col(id).as("_did"), expr(nativeShingleHashes(text, k)).as("hs"))
+      .where(size(col("hs")) > 0)
+      .select(col("_did"),
+        posexplode(expr(s"graft_band_buckets(hs, $bands, $rowsPerBand)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketMin = bandRows.groupBy(col("band"), col("bucket"))
+      .agg(min(col("_did")).as("bmin"))
+    bandRows.join(bucketMin, Seq("band", "bucket"))
+      .groupBy(col("_did")).agg(min(col("bmin")).as("keep_id"))
+      .select(col("_did").as("doc_id"), col("keep_id"))
+  }
+
+  def minhashDedupKeepersSql(table: String, id: String, text: String,
+                             bands: Int = 4, rowsPerBand: Int = 4,
+                             k: Int = 3): String = {
+    val bandSelects = (0 until bands).map { b =>
+      val sig = (0 until rowsPerBand).map { r =>
+        val i = b * rowsPerBand + r
+        s"list_min(list_transform(hs, h -> ${universal(i, "h")}))"
+      }.mkString("[", ", ", "]::BIGINT[]")
+      s"SELECT _did, $b AS band, ${duckFoldHashes(sig)} AS bucket FROM docs"
+    }.mkString(" UNION ALL ")
+    s"""WITH docs AS (
+       |  SELECT _did, hs FROM
+       |    (SELECT $id AS _did, ${duckShingleHashes(text, k)} AS hs FROM $table)
+       |  WHERE len(hs) > 0),
+       |bandrows AS ($bandSelects),
+       |bucketmin AS (
+       |  SELECT band, bucket, min(_did) AS bmin FROM bandrows GROUP BY band, bucket)
+       |SELECT r._did AS doc_id, min(m.bmin) AS keep_id
+       |FROM bandrows r JOIN bucketmin m ON r.band = m.band AND r.bucket = m.bucket
+       |GROUP BY r._did""".stripMargin
+  }
+
   def minhashLshPairsSql(table: String, id: String, text: String,
                          bands: Int = 4, rowsPerBand: Int = 4, k: Int = 3,
                          threshold: Double = 0.5): String = {

@@ -357,6 +357,10 @@ object Queries {
       (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text"),
       Some(Dedup.minhashLshPairsSql("documents", "doc_id", "text"))),
 
+    QueryDef("dedup_minhash_keeper",
+      (s, dir) => Dedup.minhashDedupKeepers(t(s, dir, "documents"), "doc_id", "text"),
+      Some(Dedup.minhashDedupKeepersSql("documents", "doc_id", "text"))),
+
     QueryDef("dedup_simhash",
       (s, dir) => Dedup.simhash(t(s, dir, "documents"), "doc_id", "text"),
       Some(Dedup.simhashSql("documents", "doc_id", "text"))),

@@ -42,6 +42,16 @@ class OpsSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, _) => a == 5L && b == 7L })
   }
 
+  test("linear keeper assignment points near-dup clusters at their min id") {
+    val keep = Dedup.minhashDedupKeepers(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical docs 5/6 and the near-dup 7 share buckets -> keeper 5
+    assert(keep(5L) == 5L && keep(6L) == 5L && keep(7L) == 5L)
+    // the unrelated zh doc keeps itself; shingle-less docs are absent
+    assert(keep(4L) == 4L)
+    assert(keep.keySet === Set(4L, 5L, 6L, 7L))
+  }
+
   test("simhash of identical docs is identical; of empty doc is stable") {
     val sh = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
