@@ -5,13 +5,17 @@ import org.apache.spark.sql.functions._
 import PortableHash._
 
 /** Document deduplication operators for large-scale training-data
-  * pipelines: exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+  * pipelines: exact, MinHash+LSH (pairs and linear keepers), SimHash,
+  * and n-gram Jaccard.
   *
-  * Every operator is a declarative DataFrame transform built from
-  * Catalyst higher-order array functions — no UDFs, no collect — so the
-  * plans are: scan → codegen'd projection → (where needed) one hash
-  * shuffle. Each op has a DuckDB-dialect twin (the `*Sql` methods) used
-  * as its oracle, built on the same [[PortableHash]] arithmetic.
+  * Every operator is a declarative DataFrame transform — no UDFs, no
+  * collect — whose hot projections run on the native compiled
+  * expressions in [[graft.functions]] (`graft_shingle_hashes`,
+  * `graft_minhash_sig`, `graft_band_buckets`, `graft_intersect_count`,
+  * `graft_simhash`); the plans are: scan → codegen'd projection →
+  * (where needed) keyed shuffles of hash rows. Each op has a
+  * DuckDB-dialect twin (the `*Sql` methods) used as its oracle, built
+  * on the same [[PortableHash]] arithmetic.
   *
   * Scale notes (100 TB):
   *  - exact dedup: one shuffle on a 128-bit digest; partial-agg combines

@@ -2,15 +2,15 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
-  * Dot products / norms are left-fold `aggregate` over `zip_with`
-  * products in double precision — sequential and order-stable, so the
-  * DuckDB oracle (same left fold via `list_reduce`) matches bit-for-bit.
-  * All expressions are Catalyst higher-order functions: codegen'd, no
-  * UDFs.
+  * Dot products / norms are sequential left folds in double precision —
+  * order-stable, so the DuckDB oracle (the same fold via `list_reduce`)
+  * matches bit-for-bit. The hot path runs on the native compiled
+  * expressions in [[graft.functions]] (`graft_cosine`,
+  * `graft_hyperplane_bucket`, `graft_topk`); the declarative HOF twins
+  * remain as parity baselines.
   *
   * Scale (100 TB of vectors):
   *  - [[bruteForceTopK]] broadcasts the (small) query set and makes ONE
