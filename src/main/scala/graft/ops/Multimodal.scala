@@ -87,6 +87,37 @@ object Multimodal {
         expr("cast(length(hex_lc) / 2 AS BIGINT)").as("n_bytes"))
   }
 
+  /** Stubbed columnar RESIZE: halve the decoded dimensions (ceil) and
+    * truncate the payload to its first half — the deterministic stand-in
+    * for a real downscale (??? in production: an image library resample;
+    * the Spark-side shape — byte-level payload rewrite + metadata update
+    * in one codegen'd projection, no driver round-trip — is the real
+    * contract). Emits the resized payload as hex so the DuckDB oracle
+    * can compare bytes.
+    */
+  def resizeColumnar(df: DataFrame): DataFrame = {
+    def hexByte(pos: Int): String = {
+      def d(i: Int) = s"(locate(substr(hex_lc, $i, 1), '0123456789abcdef') - 1)"
+      s"(16 * ${d(2 * pos + 1)} + ${d(2 * pos + 2)})"
+    }
+    df.withColumn("hex_lc", lower(hex(col("payload"))))
+      .select(col("media_id"),
+        expr(s"cast(ceil((${hexByte(0)} + 1) / 2.0) AS INT)").as("r_width"),
+        expr(s"cast(ceil((${hexByte(1)} + 1) / 2.0) AS INT)").as("r_height"),
+        // first half of the payload bytes = first length/2*2 hex digits
+        expr("substr(hex_lc, 1, cast(length(hex_lc) / 2 AS INT))").as("r_payload_hex"))
+  }
+
+  /** DuckDB twin of [[resizeColumnar]] over the same synthesized payload. */
+  def resizeSql(table: String, id: String, text: String): String = {
+    def d(i: Int) = s"(strpos('0123456789abcdef', substr(md5($text), $i, 1)) - 1)"
+    s"""SELECT $id AS media_id,
+       |  ceil(((16 * ${d(1)} + ${d(2)}) + 1) / 2.0)::INT AS r_width,
+       |  ceil(((16 * ${d(3)} + ${d(4)}) + 1) / 2.0)::INT AS r_height,
+       |  substr(md5($text), 1, (length(md5($text)) / 2)::INT) AS r_payload_hex
+       |FROM $table""".stripMargin
+  }
+
   /** DuckDB twin of [[decodeMetaColumnar]] over the same synthesized
     * payload (md5 of text).
     */

@@ -421,6 +421,11 @@ object Queries {
         Multimodal.attachFakePayload(t(s, dir, "documents"), "doc_id", "text")),
       Some(Multimodal.decodeMetaSql("documents", "doc_id", "text"))),
 
+    QueryDef("mm_resize",
+      (s, dir) => Multimodal.resizeColumnar(
+        Multimodal.attachFakePayload(t(s, dir, "documents"), "doc_id", "text")),
+      Some(Multimodal.resizeSql("documents", "doc_id", "text"))),
+
     // the batched-UDF analog path: typed records -> mapPartitions feature
     // extraction (one decoder init per partition) -> feature columns;
     // the oracle reproduces the fake codec's arithmetic in SQL, so this
