@@ -243,6 +243,33 @@ object Similarity {
        |  FROM scored)
        |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= $k""".stripMargin
 
+  /** LINEAR embedding near-dup keeper — the mass-dedup scale path for
+    * vectors (the twin of [[graft.ops.Dedup.minhashDedupKeepers]]): each
+    * vector's keeper is the min id sharing its hyperplane-LSH bucket.
+    * One linear pass + one keyed partial-aggregated shuffle of
+    * (bucket, id) rows; never materializes the Θ(Σ cluster²) pair list.
+    */
+  def embeddingDedupKeepers(df: DataFrame, idCol: String, vecCol: String,
+                            bits: Int = 8): DataFrame = {
+    val b = lshBuckets(Par.floor(withCosine(df), col(idCol)), idCol, vecCol, bits)
+    val bucketMin = b.groupBy(col("bucket")).agg(min(col(idCol)).as("keep_id"))
+    b.join(bucketMin, Seq("bucket")).select(col(idCol), col("keep_id"))
+  }
+
+  def embeddingDedupKeepersSql(table: String, idCol: String, vecCol: String,
+                               bits: Int = 8): String = {
+    val dot = s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($vecCol)), " +
+      s"i -> ($vecCol)[i]::DOUBLE * ${weight("(j * 64 + i - 1)")})), (acc, v) -> acc + v)"
+    s"""WITH b AS (
+       |  SELECT $idCol, list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(generate_series(0, ${bits - 1}),
+       |      j -> CASE WHEN $dot > 0.0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)),
+       |    (a, b) -> a + b) AS bucket
+       |  FROM $table),
+       |m AS (SELECT bucket, min($idCol) AS keep_id FROM b GROUP BY bucket)
+       |SELECT b.$idCol, m.keep_id FROM b JOIN m ON b.bucket = m.bucket""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate join,
     * then exact cosine ≥ `threshold`. At scale only same-bucket pairs are
     * scored.

@@ -396,6 +396,11 @@ object Queries {
       Some(Similarity.embeddingNearDupPairsSql(
         "embeddings", "vec_id", "embedding", threshold = 0.95))),
 
+    QueryDef("embed_dedup_keeper",
+      (s, dir) => Similarity.embeddingDedupKeepers(
+        t(s, dir, "embeddings"), "vec_id", "embedding"),
+      Some(Similarity.embeddingDedupKeepersSql("embeddings", "vec_id", "embedding"))),
+
     // ================= text analysis =====================================
 
     QueryDef("text_langid",

@@ -123,6 +123,36 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(diff == 0, "native simhash/fingerprint must agree with HOF folds exactly")
   }
 
+  test("GraftExtensions injects every native function at session build time") {
+    import org.apache.spark.sql.SparkSession
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // shares the JVM's SparkContext; extensions apply to the NEW session
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new graft.functions.GraftExtensions).getOrCreate()
+      val row = s2.sql(
+        """SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+          |       graft_fingerprint(array('a', 'b')) AS f,
+          |       size(graft_shingle_hashes(array('a', 'b', 'c', 'd'), 3)) AS n
+          |""".stripMargin).collect()(0)
+      assert(row.getDouble(0) == 1.0)
+      // fold: ((7*31 + H(a)) % P * 31 + H(b)) % P
+      import graft.ops.PortableHash.jvmStringHash
+      assert(row.getLong(1) ==
+        (((7L * 31 + jvmStringHash("a")) % graft.functions.HashOps.P) * 31 +
+          jvmStringHash("b")) % graft.functions.HashOps.P)
+      assert(row.getInt(2) == 2)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("native cosine participates in whole-stage codegen (HOF form cannot)") {
     VectorFunctions.ensureRegistered(spark)
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
