@@ -236,6 +236,68 @@ object Dedup {
        |GROUP BY r._did""".stripMargin
   }
 
+  /** Near-dup cluster labels by ITERATED label propagation — each
+    * iteration is the same linear job as [[minhashDedupKeepers]], with
+    * labels in place of raw ids: a doc's label becomes the min label
+    * seen in any of its buckets. `iters` fixed (not run-to-convergence)
+    * so the DuckDB oracle can mirror the exact computation; at 100 TB
+    * each extra iteration is one more pair of keyed partial-aggregated
+    * shuffles of (bucket, label) rows, and chains of length ≤ 2^iters
+    * collapse (iters=3 covers any realistically-transitive near-dup
+    * chain; run more for adversarial topologies).
+    */
+  def minhashDedupComponents(df: DataFrame, id: String, text: String,
+                             bands: Int = 4, rowsPerBand: Int = 4,
+                             k: Int = 3, iters: Int = 3): DataFrame = {
+    val fdf = graft.functions.VectorFunctions.attach(df)
+    val bandRows = Par.floor(fdf, col(id))
+      .select(col(id).as("_did"), expr(nativeShingleHashes(text, k)).as("hs"))
+      .where(size(col("hs")) > 0)
+      .select(col("_did"),
+        posexplode(expr(s"graft_band_buckets(hs, $bands, $rowsPerBand)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = bandRows.select(col("_did"), col("_did").as("label")).distinct()
+    (1 to iters).foreach { _ =>
+      val bucketMin = bandRows.join(labels, Seq("_did"))
+        .groupBy(col("band"), col("bucket")).agg(min(col("label")).as("bmin"))
+      labels = bandRows.join(bucketMin, Seq("band", "bucket"))
+        .groupBy(col("_did")).agg(min(col("bmin")).as("label"))
+    }
+    labels.select(col("_did").as("doc_id"), col("label").as("component_id"))
+  }
+
+  def minhashDedupComponentsSql(table: String, id: String, text: String,
+                                bands: Int = 4, rowsPerBand: Int = 4,
+                                k: Int = 3, iters: Int = 3): String = {
+    val bandSelects = (0 until bands).map { b =>
+      val sig = (0 until rowsPerBand).map { r =>
+        val i = b * rowsPerBand + r
+        s"list_min(list_transform(hs, h -> ${universal(i, "h")}))"
+      }.mkString("[", ", ", "]::BIGINT[]")
+      s"SELECT _did, $b AS band, ${duckFoldHashes(sig)} AS bucket FROM docs"
+    }.mkString(" UNION ALL ")
+    val iterCtes = (1 to iters).map { t =>
+      val prev = if (t == 1) "l0" else s"l${t - 1}"
+      s"""bm$t AS (
+         |  SELECT r.band, r.bucket, min(l.label) AS bmin
+         |  FROM bandrows r JOIN $prev l ON r._did = l._did
+         |  GROUP BY r.band, r.bucket),
+         |l$t AS (
+         |  SELECT r._did, min(m.bmin) AS label
+         |  FROM bandrows r JOIN bm$t m ON r.band = m.band AND r.bucket = m.bucket
+         |  GROUP BY r._did)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH docs AS (
+       |  SELECT _did, hs FROM
+       |    (SELECT $id AS _did, ${duckShingleHashes(text, k)} AS hs FROM $table)
+       |  WHERE len(hs) > 0),
+       |bandrows AS ($bandSelects),
+       |l0 AS (SELECT DISTINCT _did, _did AS label FROM bandrows),
+       |$iterCtes
+       |SELECT _did AS doc_id, label AS component_id FROM l$iters""".stripMargin
+  }
+
   def minhashLshPairsSql(table: String, id: String, text: String,
                          bands: Int = 4, rowsPerBand: Int = 4, k: Int = 3,
                          threshold: Double = 0.5): String = {

@@ -361,6 +361,10 @@ object Queries {
       (s, dir) => Dedup.minhashDedupKeepers(t(s, dir, "documents"), "doc_id", "text"),
       Some(Dedup.minhashDedupKeepersSql("documents", "doc_id", "text"))),
 
+    QueryDef("dedup_minhash_components",
+      (s, dir) => Dedup.minhashDedupComponents(t(s, dir, "documents"), "doc_id", "text"),
+      Some(Dedup.minhashDedupComponentsSql("documents", "doc_id", "text"))),
+
     QueryDef("dedup_simhash",
       (s, dir) => Dedup.simhash(t(s, dir, "documents"), "doc_id", "text"),
       Some(Dedup.simhashSql("documents", "doc_id", "text"))),

@@ -52,6 +52,17 @@ class OpsSpec extends SparkSpec {
     assert(keep.keySet === Set(4L, 5L, 6L, 7L))
   }
 
+  test("iterated components refine keepers monotonically (labels only shrink)") {
+    val keep = Dedup.minhashDedupKeepers(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val comp = Dedup.minhashDedupComponents(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.keySet === keep.keySet)
+    comp.foreach { case (d, c) => assert(c <= keep(d),
+      s"component label for $d must be <= its one-step keeper") }
+    assert(comp(5L) == 5L && comp(6L) == 5L && comp(7L) == 5L && comp(4L) == 4L)
+  }
+
   test("simhash of identical docs is identical; of empty doc is stable") {
     val sh = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
