@@ -127,6 +127,17 @@ class PlanAuditSpec extends SparkSpec {
       "semi/anti probe sides must scan the join key (+pushed filter) only")
   }
 
+  test("dedup_minhash_keeper: one cached corpus reduction, partial-agg label shuffles, no text past the scan") {
+    val p = plan("dedup_minhash_keeper")
+    assert(p.contains("InMemoryTableScan"),
+      s"band rows must be persisted so the corpus is shingle-hashed once:\n$p")
+    assert(count(p, "HashAggregate") >= 4,
+      s"both the bucket-min and per-doc-min aggregations must combine map-side:\n$p")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstExchange >= 0 && !p.substring(0, firstExchange).contains("text#"),
+      s"text must be reduced to hash rows before any shuffle:\n$p")
+  }
+
   test("rpc_correlation: correlation join shuffles both sides on the key once") {
     val p = plan("rpc_correlation")
     // events is small here, so Spark may broadcast; accept either a
