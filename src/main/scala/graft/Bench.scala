@@ -29,7 +29,11 @@ object Bench {
     // toRdd.count() materializes every output row with all columns
     // computed, still distributed, nothing collected to the driver.
     def run(df: org.apache.spark.sql.DataFrame): Unit = {
-      df.queryExecution.toRdd.count(); ()
+      df.queryExecution.toRdd.count()
+      // ops that persist() intermediate reductions (LSH band rows, IVF
+      // assignments) hand lifecycle to the caller; drop them between
+      // queries so leaked caches don't evict each other and skew timings
+      spark.sharedState.cacheManager.clearCache()
     }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)

@@ -102,6 +102,45 @@ case class FingerprintWords(child: Expression) extends HashArrayExpression {
     copy(child = c)
 }
 
+/** Base for native string→int scans (token/alpha counts). */
+trait StringCountExpression extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${dt.catalogString}")
+  }
+}
+
+/** `graft_token_count(text)`: BPE-ish token count (letter runs, digit
+  * runs, other non-space code points) — the compiled twin of the
+  * regexp_extract_all formulation.
+  */
+case class TokenCount(child: Expression) extends StringCountExpression {
+  override def prettyName: String = "graft_token_count"
+  override def nullSafeEval(s: Any): Any =
+    HashOps.tokenCount(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.HashOps.tokenCount($s);")
+  override protected def withNewChildInternal(c: Expression): TokenCount = copy(child = c)
+}
+
+/** `graft_alpha_count(text)`: ASCII-letter count — the compiled twin of
+  * `length(regexp_replace(text, '[^a-zA-Z]', ''))`, a byte scan with no
+  * decode.
+  */
+case class AlphaCount(child: Expression) extends StringCountExpression {
+  override def prettyName: String = "graft_alpha_count"
+  override def nullSafeEval(s: Any): Any =
+    HashOps.alphaCount(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.HashOps.alphaCount($s);")
+  override protected def withNewChildInternal(c: Expression): AlphaCount = copy(child = c)
+}
+
 /** `graft_ngrams(words, n)`: all word n-grams in order, space-joined
   * (every occurrence — no dedup; the corpus-count twin of the
   * declarative transform+concat fragment).

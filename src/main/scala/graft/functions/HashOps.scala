@@ -83,6 +83,49 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** BPE-ish token count — the compiled twin of
+    * `size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0))`:
+    * maximal ASCII-letter runs, maximal digit runs, and every other
+    * non-space code point count one token each. Iterates CODE POINTS
+    * (Java regex and DuckDB's RE2 both match per code point, so astral
+    * characters count once on every path).
+    */
+  def tokenCount(text: UTF8String): Int = {
+    val s = text.toString
+    val len = s.length
+    var n = 0; var i = 0
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      if (cp == ' ') i += 1
+      else if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')) {
+        n += 1
+        while (i < len && { val c = s.charAt(i); (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') }) i += 1
+      } else if (cp >= '0' && cp <= '9') {
+        n += 1
+        while (i < len && { val c = s.charAt(i); c >= '0' && c <= '9' }) i += 1
+      } else {
+        n += 1
+        i += Character.charCount(cp)
+      }
+    }
+    n
+  }
+
+  /** Count of ASCII letters — the compiled twin of
+    * `length(regexp_replace(text, '[^a-zA-Z]', ''))`. ASCII letters are
+    * single UTF-8 bytes, so this is a byte scan with no decode.
+    */
+  def alphaCount(text: UTF8String): Int = {
+    val b = text.getBytes
+    var n = 0; var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) n += 1
+      i += 1
+    }
+    n
+  }
+
   /** SimHash over the word-hash sequence: bit j of the result is set iff
     * the sum over words of (bit j of H(word) ? +1 : -1) is positive.
     * One pass over the words; all `bits` votes accumulate in one array —

@@ -126,7 +126,11 @@ object VectorFunctions {
     "graft_fingerprint" -> (classOf[FingerprintWords],
       (e: Seq[Expression]) => FingerprintWords(e(0))),
     "graft_topk" -> (classOf[TopKAgg],
-      (e: Seq[Expression]) => TopKAgg(e(0), e(1), intLit(e(2), "graft_topk")))
+      (e: Seq[Expression]) => TopKAgg(e(0), e(1), intLit(e(2), "graft_topk"))),
+    "graft_token_count" -> (classOf[TokenCount],
+      (e: Seq[Expression]) => TokenCount(e(0))),
+    "graft_alpha_count" -> (classOf[AlphaCount],
+      (e: Seq[Expression]) => AlphaCount(e(0)))
   )
 
   /** Pass-through that registers the native functions on the frame's

@@ -77,7 +77,10 @@ object TextAnalysis {
     s"round(size(filter(split($text, ' '), w -> array_contains($stop, w))) / " +
       s"cast(size(split($text, ' ')) AS DOUBLE), 6)"
   }
-  def nTokensExpr(text: String): String =
+  def nTokensExpr(text: String): String = s"graft_token_count($text)"
+
+  /** Declarative regex twin of `graft_token_count` (parity baseline). */
+  def hofTokensExpr(text: String): String =
     s"size(regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0))"
 
   /** Quality score: word count, mean word length, stopword ratio,
@@ -86,7 +89,7 @@ object TextAnalysis {
     */
   def qualityScore(df: DataFrame, id: String, text: String): DataFrame = {
     val stop = markerList(langMarkers.flatMap(_._2).distinct.sorted, "spark")
-    df.select(
+    graft.functions.VectorFunctions.attach(df).select(
       col(id),
       expr(s"size(split($text, ' '))").as("n_words"),
       round(expr(s"length(replace($text, ' ', ''))") /
@@ -96,7 +99,7 @@ object TextAnalysis {
       // empty text: ANSI Spark raises DIVIDE_BY_ZERO where DuckDB yields
       // NULL — emit NULL explicitly on both engines
       round(expr(s"IF(length($text) = 0, cast(NULL AS DOUBLE), " +
-        s"length(regexp_replace($text, '[^a-zA-Z]', '')) / cast(length($text) AS DOUBLE))"), 6)
+        s"graft_alpha_count($text) / cast(length($text) AS DOUBLE))"), 6)
         .as("alpha_ratio"))
   }
 
@@ -117,9 +120,9 @@ object TextAnalysis {
     * "tokens ≈ chars/4" estimator.
     */
   def tokenCount(df: DataFrame, id: String, text: String): DataFrame =
-    df.select(
+    graft.functions.VectorFunctions.attach(df).select(
       col(id),
-      expr(s"size(regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0))").as("n_tokens"),
+      expr(nTokensExpr(text)).as("n_tokens"),
       expr(s"cast(ceil(length(replace($text, ' ', '')) / 4.0) AS BIGINT)").as("n_subwords_est"))
 
   def tokenCountSql(table: String, id: String, text: String): String =
@@ -185,7 +188,7 @@ object TextAnalysis {
                    lang: String = "en", minWords: Int = 5,
                    minStopRatio: Double = 0.02): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val feats = df.select(
+    val feats = graft.functions.VectorFunctions.attach(df).select(
       Seq(col(id), md5(col(text)).as("h"),
         expr(nWordsExpr(text)).as("n_words"),
         expr(stopwordRatioExpr(text)).as("stopword_ratio"),
@@ -210,7 +213,7 @@ object TextAnalysis {
                             eventTime: String, delay: String,
                             lang: String = "en", minWords: Int = 5,
                             minStopRatio: Double = 0.02): DataFrame =
-    df.select(
+    graft.functions.VectorFunctions.attach(df).select(
         Seq(col(id), col(eventTime), md5(col(text)).as("h"),
           expr(nWordsExpr(text)).as("n_words"),
           expr(stopwordRatioExpr(text)).as("stopword_ratio"),

@@ -71,6 +71,27 @@ class HashOpsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("tokenCount equals the Java-regex reference incl. CJK and astral chars") {
+    val pat = java.util.regex.Pattern.compile("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")
+    val r = new scala.util.Random(47)
+    (1 to 500).foreach { _ =>
+      val s = (0 until r.nextInt(6)).map(_ => randString(r)).mkString(" ")
+      val m = pat.matcher(s)
+      var want = 0
+      while (m.find()) want += 1
+      assert(HashOps.tokenCount(UTF8String.fromString(s)) === want, s"for '$s'")
+    }
+  }
+
+  test("alphaCount equals the regex-replace reference") {
+    val r = new scala.util.Random(48)
+    (1 to 500).foreach { _ =>
+      val s = (0 until r.nextInt(6)).map(_ => randString(r)).mkString(" ")
+      val want = s.replaceAll("[^a-zA-Z]", "").length
+      assert(HashOps.alphaCount(UTF8String.fromString(s)) === want, s"for '$s'")
+    }
+  }
+
   test("topk heap keeps exactly the (sim DESC, id ASC) winners") {
     val cmp = graft.functions.TopKAgg.WorstOnTop
     val r = new scala.util.Random(46)
