@@ -107,8 +107,12 @@ object Dedup {
   def minhashSignatures(df: DataFrame, id: String, text: String,
                         numHashes: Int = 16, k: Int = 3): DataFrame = {
     val fdf = graft.functions.VectorFunctions.attach(df)
-    Par.floor(fdf, col(id)).select(col(id), expr(nativeShingleHashes(text, k)).as("hs"))
-      .where(size(col("hs")) > 0)
+    // filter BEFORE the projection on the equivalent cheap predicate:
+    // hs is empty iff the doc has < k words, and filtering on size(hs)
+    // after the select would be pushed below it by Catalyst WITH the
+    // expensive expression substituted in — hashing every doc twice
+    Par.floor(fdf.where(expr(s"size(split($text, ' ')) >= $k")), col(id))
+      .select(col(id), expr(nativeShingleHashes(text, k)).as("hs"))
       // one compiled pass computes all numHashes minima; the element_at
       // projection below is NOT collapsed into it (CollapseProject keeps
       // multiply-referenced non-cheap expressions materialized)
@@ -153,10 +157,9 @@ object Dedup {
     // sorted once per doc so the verify stage can use the two-pointer
     // graft_intersect_count (signature minima and band buckets are
     // order-independent, so sorting changes no values)
-    val docs = Par.floor(fdf, col(id))
+    val docs = Par.floor(fdf.where(expr(s"size(split($text, ' ')) >= $k")), col(id))
       .select(col(id).as("_did"),
         expr(s"sort_array(${nativeShingleHashes(text, k)})").as("hs"))
-      .where(size(col("hs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandRows = docs
       .select(col("_did"),
@@ -200,9 +203,8 @@ object Dedup {
     // (band, bucket, id) feeds two branches (bucket minima + join back);
     // persist so the corpus is shingle-hashed once — the cached rows are
     // three longs per band per doc, tiny relative to the text
-    val bandRows = Par.floor(fdf, col(id))
+    val bandRows = Par.floor(fdf.where(expr(s"size(split($text, ' ')) >= $k")), col(id))
       .select(col(id).as("_did"), expr(nativeShingleHashes(text, k)).as("hs"))
-      .where(size(col("hs")) > 0)
       .select(col("_did"),
         posexplode(expr(s"graft_band_buckets(hs, $bands, $rowsPerBand)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
@@ -250,9 +252,8 @@ object Dedup {
                              bands: Int = 4, rowsPerBand: Int = 4,
                              k: Int = 3, iters: Int = 3): DataFrame = {
     val fdf = graft.functions.VectorFunctions.attach(df)
-    val bandRows = Par.floor(fdf, col(id))
+    val bandRows = Par.floor(fdf.where(expr(s"size(split($text, ' ')) >= $k")), col(id))
       .select(col(id).as("_did"), expr(nativeShingleHashes(text, k)).as("hs"))
-      .where(size(col("hs")) > 0)
       .select(col("_did"),
         posexplode(expr(s"graft_band_buckets(hs, $bands, $rowsPerBand)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
@@ -360,7 +361,11 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
                         k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val g = Par.floor(graft.functions.VectorFunctions.attach(df), col(id))
+    // docs below k words are excluded on BOTH engines: an empty-vs-empty
+    // pair would divide 0/0 — NaN, which Spark excludes at >= t but
+    // DuckDB sorts above every number and would include
+    val g = Par.floor(graft.functions.VectorFunctions.attach(df)
+        .where(expr(s"size(split($text, ' ')) >= $k")), col(id))
       .select(col(id).as("gid"),
         expr(s"sort_array(${nativeShingleHashes(text, k)})").as("g"))
     val a = g.select(col("gid").as("a_id"), col("g").as("ga"))
@@ -380,7 +385,8 @@ object Dedup {
 
   def ngramJaccardPairsSql(table: String, id: String, text: String,
                            k: Int = 3, threshold: Double = 0.5): String =
-    s"""WITH d AS (SELECT $id, ${duckShingleHashes(text, k)} AS g FROM $table),
+    s"""WITH d AS (SELECT $id, ${duckShingleHashes(text, k)} AS g FROM $table
+       |            WHERE len(string_split($text, ' ')) >= $k),
        |p AS (SELECT a.$id AS a_id, b.$id AS b_id,
        |        len(list_intersect(a.g, b.g)) AS c, len(a.g) AS na, len(b.g) AS nb
        |      FROM d a JOIN d b ON a.$id < b.$id)
