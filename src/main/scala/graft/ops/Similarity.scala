@@ -243,6 +243,25 @@ object Similarity {
        |  FROM scored)
        |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= $k""".stripMargin
 
+  /** Streaming ANN: top-k cosine neighbors for a STREAM of query
+    * vectors against a static corpus — the vector-search-service shape.
+    * Stream-static inner join (the static side is planned per
+    * micro-batch, so corpus broadcast/scan reuse is Catalyst's choice) →
+    * native cosine → bounded-heap top-k aggregate in update mode (the
+    * per-query result row refines as batches arrive; with one batch per
+    * query it is exact immediately). State is one k-item heap per query
+    * — bounded by the query stream, not the corpus.
+    */
+  def streamingTopK(corpus: DataFrame, queryStream: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = withCosine(corpus).select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    queryStream
+      .join(c, col("q_id") =!= col("c_id"))
+      .withColumn("sim", round(expr(nativeCosine("q_vec", "c_vec")), 6))
+      .groupBy(col("q_id"))
+      .agg(expr(s"graft_topk(sim, c_id, $k)").as("top"))
+  }
+
   /** LINEAR embedding near-dup keeper — the mass-dedup scale path for
     * vectors (the twin of [[graft.ops.Dedup.minhashDedupKeepers]]): each
     * vector's keeper is the min id sharing its hyperplane-LSH bucket.

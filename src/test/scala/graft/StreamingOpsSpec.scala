@@ -83,6 +83,31 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN: query-vector stream gets bounded-heap top-k against the static corpus") {
+    implicit val sq = spark.sqlContext
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.9f, 0.1f)),
+      (12L, Array(0.0f, 1.0f)), (13L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val queries = MemoryStream[(Long, Array[Float])]
+    val out = graft.ops.Similarity.streamingTopK(
+      corpus, queries.toDF().toDF("q_id", "q_vec"), "vec_id", "embedding", k = 2)
+    val q = out.writeStream.format("memory").queryName("ann_stream")
+      .outputMode("update").start()
+    try {
+      queries.addData((1L, Array(1.0f, 0.05f)))
+      q.processAllAvailable()
+      val top = spark.table("ann_stream").where($"q_id" === 1L)
+        .selectExpr("transform(top, t -> t.c_id) AS ids").as[Seq[Long]].collect().last
+      assert(top === Seq(10L, 11L), "x-axis query's nearest are the x-axis vectors, best first")
+      queries.addData((2L, Array(0.0f, 1.0f)))
+      q.processAllAvailable()
+      val top2 = spark.table("ann_stream").where($"q_id" === 2L)
+        .selectExpr("transform(top, t -> t.c_id) AS ids").as[Seq[Long]].collect().last
+      assert(top2 === Seq(12L, 13L))
+    } finally q.stop()
+  }
+
   test("stateless text features (langId) run unchanged on a streaming Dataset") {
     implicit val sq = spark.sqlContext
     val docs = MemoryStream[(Long, String)]
