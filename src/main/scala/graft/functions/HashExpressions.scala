@@ -102,6 +102,37 @@ case class FingerprintWords(child: Expression) extends HashArrayExpression {
     copy(child = c)
 }
 
+/** `graft_stop_count(words, array('the', ...))`: occurrences of words in
+  * the literal stop list. The list must be foldable at build time; it is
+  * compiled into a shared HashSet referenced by generated code.
+  */
+case class StopCount(child: Expression, stopWords: Seq[String])
+    extends HashArrayExpression {
+  override def prettyName: String = "graft_stop_count"
+  override protected def requiredElem: DataType = StringType
+  override def dataType: DataType = IntegerType
+
+  @transient lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopWords.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(words: Any): Any =
+    HashOps.countIn(words.asInstanceOf[ArrayData], stopSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference THIS expression instance from generated code so the
+    // HashSet is built once, not per row
+    val ref = ctx.addReferenceObj("stopCountExpr", this, classOf[StopCount].getName)
+    nullSafeCodeGen(ctx, ev, w =>
+      s"${ev.value} = graft.functions.HashOps.countIn($w, $ref.stopSet());")
+  }
+
+  override protected def withNewChildInternal(c: Expression): StopCount =
+    copy(child = c)
+}
+
 /** Base for native string→int scans (token/alpha counts). */
 trait StringCountExpression extends UnaryExpression {
   override def nullable: Boolean = true

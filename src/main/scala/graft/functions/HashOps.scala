@@ -83,6 +83,21 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** Occurrences of words present in `stop` — the compiled twin of
+    * `size(filter(words, w -> array_contains(stop, w)))` (a per-word
+    * interpreted lambda in HOF form). The set is built once per
+    * expression instance; lookups are O(1).
+    */
+  def countIn(words: ArrayData, stop: java.util.HashSet[String]): Int = {
+    val n = words.numElements()
+    var c = 0; var i = 0
+    while (i < n) {
+      if (stop.contains(words.getUTF8String(i).toString)) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** BPE-ish token count — the compiled twin of
     * `size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0))`:
     * maximal ASCII-letter runs, maximal digit runs, and every other

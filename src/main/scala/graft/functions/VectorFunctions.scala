@@ -104,6 +104,19 @@ object VectorFunctions {
       s"$fn expects a literal INT argument, got $other")
   }
 
+  private def stringArrayLit(e: Expression, fn: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+    e match {
+      case CreateArray(children, _) => children.map {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"$fn expects literal STRING array elements, got $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a literal ARRAY<STRING> argument, got $other")
+    }
+  }
+
   /** name -> (class, builder) for every native graft function. */
   val all: Seq[(String, (Class[_], Seq[Expression] => Expression))] = Seq(
     "graft_cosine" -> (classOf[CosineSim],
@@ -130,7 +143,9 @@ object VectorFunctions {
     "graft_token_count" -> (classOf[TokenCount],
       (e: Seq[Expression]) => TokenCount(e(0))),
     "graft_alpha_count" -> (classOf[AlphaCount],
-      (e: Seq[Expression]) => AlphaCount(e(0)))
+      (e: Seq[Expression]) => AlphaCount(e(0))),
+    "graft_stop_count" -> (classOf[StopCount],
+      (e: Seq[Expression]) => StopCount(e(0), stringArrayLit(e(1), "graft_stop_count")))
   )
 
   /** Pass-through that registers the native functions on the frame's

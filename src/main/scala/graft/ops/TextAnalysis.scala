@@ -74,6 +74,15 @@ object TextAnalysis {
   def nWordsExpr(text: String): String = s"size(split($text, ' '))"
   def stopwordRatioExpr(text: String): String = {
     val stop = markerList(langMarkers.flatMap(_._2).distinct.sorted, "spark")
+    s"round(graft_stop_count(split($text, ' '), $stop) / " +
+      s"cast(size(split($text, ' ')) AS DOUBLE), 6)"
+  }
+
+  /** Declarative HOF twin of the stopword-ratio fragment (parity
+    * baseline; the op path uses the compiled `graft_stop_count`).
+    */
+  def hofStopwordRatioExpr(text: String): String = {
+    val stop = markerList(langMarkers.flatMap(_._2).distinct.sorted, "spark")
     s"round(size(filter(split($text, ' '), w -> array_contains($stop, w))) / " +
       s"cast(size(split($text, ' ')) AS DOUBLE), 6)"
   }
@@ -94,7 +103,7 @@ object TextAnalysis {
       expr(s"size(split($text, ' '))").as("n_words"),
       round(expr(s"length(replace($text, ' ', ''))") /
         expr(s"size(split($text, ' '))"), 6).as("mean_word_len"),
-      round(expr(s"size(filter(split($text, ' '), w -> array_contains($stop, w)))") /
+      round(expr(s"graft_stop_count(split($text, ' '), $stop)") /
         expr(s"cast(size(split($text, ' ')) AS DOUBLE)"), 6).as("stopword_ratio"),
       // empty text: ANSI Spark raises DIVIDE_BY_ZERO where DuckDB yields
       // NULL — emit NULL explicitly on both engines

@@ -110,6 +110,19 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(diff == 0, "native and HOF hyperplane buckets must agree exactly")
   }
 
+  test("native stop count and token count match the declarative forms") {
+    VectorFunctions.ensureRegistered(spark)
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val diff = d
+      .withColumn("nstop", expr(ops.TextAnalysis.stopwordRatioExpr("text")))
+      .withColumn("hstop", expr(ops.TextAnalysis.hofStopwordRatioExpr("text")))
+      .withColumn("ntok", expr(ops.TextAnalysis.nTokensExpr("text")))
+      .withColumn("htok", expr(ops.TextAnalysis.hofTokensExpr("text")))
+      .where(col("nstop") =!= col("hstop") || col("ntok") =!= col("htok"))
+      .count()
+    assert(diff == 0, "native stopword ratio / token count must match the HOF/regex forms")
+  }
+
   test("native simhash and fingerprint match the declarative HOF folds") {
     VectorFunctions.ensureRegistered(spark)
     val d = spark.read.parquet(s"$sf/documents.parquet")
