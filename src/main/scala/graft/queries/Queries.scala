@@ -423,6 +423,15 @@ object Queries {
       (s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text"),
       Some(TextAnalysis.fingerprintSql("documents", "doc_id", "text"))),
 
+    QueryDef("pipeline_sample",
+      (s, dir) => graft.ops.Sampling.stratifiedSample(
+        t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 0.8, "src1" -> 0.25), default = 0.5)
+        .select("doc_id", "source"),
+      Some(s"""SELECT doc_id, source FROM (${graft.ops.Sampling.stratifiedSampleSql(
+          "documents", "doc_id", "source",
+          Map("src0" -> 0.8, "src1" -> 0.25), default = 0.5)})""")),
+
     // ================= multimodal plumbing ===============================
 
     QueryDef("mm_decode_meta",
