@@ -33,6 +33,40 @@ object Sampling {
       s"CASE $strata $cases ELSE $h < ${math.round(default * 10000)} END"))
   }
 
+  /** Sequence packing: assign each doc the index of the fixed-token-
+    * budget training sequence its tokens START in, under the standard
+    * concat-then-chunk scheme (docs concatenated per stratum in id
+    * order, split every `budget` tokens). One window cumsum per
+    * stratum.
+    *
+    * Scale note: the window partitions by stratum — with few strata
+    * that is the skew axis, so production runs partition by
+    * (stratum, shard) with per-shard budgets; the per-shard job is this
+    * same operator.
+    */
+  def packSequences(df: DataFrame, id: String, text: String,
+                    strata: String, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strata)).orderBy(col(id))
+    graft.functions.VectorFunctions.attach(df)
+      .select(col(id), col(strata), expr(s"graft_token_count($text)").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id",
+        expr(s"cast(floor((cum - n_tokens) / $budget.0) AS BIGINT)"))
+      .select(col(id), col(strata), col("n_tokens"), col("seq_id"))
+  }
+
+  def packSequencesSql(table: String, id: String, text: String,
+                       strata: String, budget: Int): String =
+    s"""SELECT $id, $strata, n_tokens,
+       |  floor((cum - n_tokens) / $budget.0)::BIGINT AS seq_id
+       |FROM (
+       |  SELECT $id, $strata,
+       |    len(regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_tokens,
+       |    sum(len(regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')))
+       |      OVER (PARTITION BY $strata ORDER BY $id) AS cum
+       |  FROM $table)""".stripMargin
+
   def stratifiedSampleSql(table: String, id: String, strata: String,
                           rates: Map[String, Double],
                           default: Double): String = {

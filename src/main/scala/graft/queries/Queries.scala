@@ -432,6 +432,12 @@ object Queries {
           "documents", "doc_id", "source",
           Map("src0" -> 0.8, "src1" -> 0.25), default = 0.5)})""")),
 
+    QueryDef("pipeline_pack",
+      (s, dir) => graft.ops.Sampling.packSequences(
+        t(s, dir, "documents"), "doc_id", "text", "source", budget = 2048),
+      Some(graft.ops.Sampling.packSequencesSql(
+        "documents", "doc_id", "text", "source", budget = 2048))),
+
     // ================= multimodal plumbing ===============================
 
     QueryDef("mm_decode_meta",
