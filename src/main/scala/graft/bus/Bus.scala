@@ -43,6 +43,18 @@ trait Bus {
     */
   def source(topic: String): DataFrame
 
+  /** Producer sink for a ROUTED envelope stream — rows shaped
+    * (`topic`, `meta`, `payload`) as produced by
+    * [[graft.envelope.EnvelopeCodec.routeToTopics]]. Implementations must
+    * append executor-side (no driver collection): a Kafka bus is literally
+    * `routed.writeStream.format("kafka")` — the stock sink routes on the
+    * `topic` column per record (reference: KafkaBus.scala:56-80);
+    * MemoryBus appends per partition via a ForeachWriter. At-least-once on
+    * retry, matching the reference's commit-after-publish
+    * (KafkaBus.scala:172).
+    */
+  def sinkEnvelopes(routed: DataFrame): org.apache.spark.sql.streaming.StreamingQuery
+
   /** All topics ever published/subscribed. */
   def topics: Set[String]
 
@@ -68,6 +80,13 @@ trait Bus {
   */
 final class MemoryBus(val spark: SparkSession) extends Bus {
   import spark.implicits._
+
+  /** Identity under which executor-side writers find this bus back
+    * (single-JVM by definition — MemoryBus is the testkit; a multi-node
+    * bus is Kafka, where the sink needs no such registry).
+    */
+  private val busId: String = java.util.UUID.randomUUID().toString
+  MemoryBus.register(busId, this)
 
   private val streams =
     scala.collection.concurrent.TrieMap.empty[String, MemoryStream[PublishedEvent]]
@@ -98,6 +117,52 @@ final class MemoryBus(val spark: SparkSession) extends Bus {
 
   def source(topic: String): DataFrame = streamFor(topic).toDF()
 
+  /** Executor-side publish: per-partition buffered append through a
+    * ForeachWriter — no `collect()`, no driver-side batch loop. Rows reach
+    * the in-JVM MemoryStreams directly from task threads (local mode: same
+    * JVM — exactly the reference TestBus's in-process delivery,
+    * TestBus.scala:34-52).
+    */
+  def sinkEnvelopes(routed: DataFrame): org.apache.spark.sql.streaming.StreamingQuery = {
+    implicit val enc: Encoder[TopicEnvelope] =
+      org.apache.spark.sql.Encoders.product[TopicEnvelope]
+    routed.as[TopicEnvelope]
+      .writeStream.outputMode("append")
+      .foreach(new MemoryBusForeachWriter(busId))
+      .start()
+  }
+
   def topics: Set[String] = streams.keySet.toSet
 
+}
+
+object MemoryBus {
+  private val registry = scala.collection.concurrent.TrieMap.empty[String, MemoryBus]
+  private[bus] def register(id: String, bus: MemoryBus): Unit = registry.put(id, bus)
+  private[bus] def lookup(id: String): MemoryBus = registry(id)
+}
+
+/** Per-partition append writer for [[MemoryBus.sinkEnvelopes]]: buffers a
+  * partition's envelopes by destination topic, appends on successful
+  * close. Serializable closure state is just the bus id string.
+  */
+private final class MemoryBusForeachWriter(busId: String)
+    extends org.apache.spark.sql.ForeachWriter[TopicEnvelope] {
+  @transient private var buf:
+    scala.collection.mutable.HashMap[String, scala.collection.mutable.ArrayBuffer[PublishedEvent]] = _
+
+  override def open(partitionId: Long, epochId: Long): Boolean = {
+    buf = scala.collection.mutable.HashMap.empty
+    true
+  }
+
+  override def process(t: TopicEnvelope): Unit =
+    buf.getOrElseUpdate(t.topic, scala.collection.mutable.ArrayBuffer.empty) +=
+      PublishedEvent(t.meta, t.payload)
+
+  override def close(errorOrNull: Throwable): Unit =
+    if (errorOrNull == null && buf != null)
+      buf.foreach { case (topic, es) =>
+        MemoryBus.lookup(busId).publishEnvelopes(topic, es.toSeq)
+      }
 }

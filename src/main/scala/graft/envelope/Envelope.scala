@@ -38,6 +38,13 @@ final case class EventMeta(
   */
 final case class PublishedEvent(meta: EventMeta, payload: Array[Byte])
 
+/** An envelope routed to a destination topic — the executor-side publish
+  * row shape. A Kafka sink consumes exactly this (its `topic` column picks
+  * the destination per record, reference: KafkaBus.scala:63,69); the
+  * MemoryBus test sink appends per partition through a ForeachWriter.
+  */
+final case class TopicEnvelope(topic: String, meta: EventMeta, payload: Array[Byte])
+
 /** Error event published when a handler fails
   * (reference: event/package.scala:28-33 `ServiceException`).
   */
@@ -217,6 +224,24 @@ object EnvelopeCodec {
         array().cast("array<string>").as("stackTrace"),
         map().cast(MapType(StringType, StringType)).as("extra")
       )).cast(BinaryType).as("payload"))
+  }
+
+  /** K1+K2 publish routing, computed IN THE PLAN (executor side): every
+    * envelope goes to `outTopic`, and replies to RPC requests (responseTo
+    * and directReply both present) are additionally copied to the CALLER's
+    * service-name topic — the RPC back-channel (reference:
+    * KafkaBus.scala:60,64-73; TestBus.scala:126-129). One narrow
+    * `explode` over a conditional topic array: no shuffle, no driver
+    * collection, and the output shape (`topic`, `meta`, `payload`) is what
+    * a Kafka sink consumes directly. At 100 TB this is the publish path —
+    * the per-row fan-out stays inside whole-stage codegen.
+    */
+  def routeToTopics(outTopic: String, envelopes: DataFrame): DataFrame = {
+    val topics =
+      when(col("meta.responseTo").isNotNull && col("meta.directReply").isNotNull,
+        array(lit(outTopic), col("meta.directReply.service")))
+      .otherwise(array(lit(outTopic)))
+    envelopes.select(explode(topics).as("topic"), col("meta"), col("payload"))
   }
 
   /** Build REPLY envelopes from `(U, inputMeta)` pairs — the reference's

@@ -258,27 +258,22 @@ final class ServiceFlow(val name: String, val bus: Bus,
     * (responseTo + directReply present) are additionally copied to the
     * CALLER's service-name topic — K2, the RPC back-channel
     * (reference: KafkaBus.scala:60,64-73; TestBus.scala:126-129).
-    * foreachBatch collects driver-side: this is the testkit/MemoryBus
-    * path; a Kafka bus would instead route on a `topic` column.
+    *
+    * The routing is computed IN THE PLAN ([[EnvelopeCodec.routeToTopics]]:
+    * one narrow explode over a conditional topic array) and the sink
+    * appends executor-side ([[graft.bus.Bus.sinkEnvelopes]]) — no
+    * `collect()`, no driver-side loop. On a Kafka bus the routed frame
+    * feeds the stock kafka sink unchanged; MemoryBus appends per
+    * partition. This is the shape that survives real throughput: the
+    * driver never touches event rows.
     */
-  def startPublishing(): Seq[StreamingQuery] = {
-    implicit val envEnc: Encoder[PublishedEvent] = Encoders.product[PublishedEvent]
+  def startPublishing(): Seq[StreamingQuery] =
     builders.asScala.toSeq.flatMap { b =>
       b.outFqn.map { outTopic =>
-        b.transform(bus.source(b.inFqn))
-          .writeStream.outputMode("append")
-          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-            val evs = batch.as[PublishedEvent].collect().toSeq
-            if (evs.nonEmpty) {
-              bus.publishEnvelopes(outTopic, evs)
-              evs.filter(e => e.meta.responseTo.isDefined && e.meta.directReply.isDefined)
-                .groupBy(_.meta.directReply.get.service)
-                .foreach { case (svc, es) => bus.publishEnvelopes(svc, es) }
-            }
-          }.start()
+        bus.sinkEnvelopes(
+          EnvelopeCodec.routeToTopics(outTopic, b.transform(bus.source(b.inFqn))))
       }
     }
-  }
 
   /** D1: the service descriptor (reference: Service.scala:105-120). */
   def descriptor: ServiceDescriptor = ServiceDescriptor(

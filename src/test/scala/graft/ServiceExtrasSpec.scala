@@ -109,7 +109,30 @@ class ServiceExtrasSpec extends SparkSpec {
         .select($"_1.doubled", $"_2.responseTo").as[(Int, String)].collect().sortBy(_._1)
       assert(got.map(_._1).toSeq === Seq(6, 8))
       assert(got.map(_._2).toSet === ids.toSet)
+      // the publish path is executor-side: ForeachSink, not a
+      // foreachBatch collect loop
+      assert(serverQs.forall(q =>
+        Option(q.lastProgress).exists(_.sink.description.contains("Foreach"))))
     } finally { replyQ.stop(); serverQs.foreach(_.stop()) }
+  }
+
+  test("routeToTopics: K1 out-topic always, K2 caller copy only for RPC replies") {
+    val mk = (id: String, responseTo: Option[String], reply: Option[RpcClient]) =>
+      PublishedEvent(EventMeta(eventId = id, eventType = "graft.Pong",
+        responseTo = responseTo, directReply = reply,
+        occurredAt = new java.sql.Timestamp(0)), "{}".getBytes("UTF-8"))
+    val env = Seq(
+      mk("r-1", Some("req-1"), Some(RpcClient("", "caller-a"))), // RPC reply → 2 topics
+      mk("r-2", None, Some(RpcClient("", "caller-b"))),          // no responseTo → 1
+      mk("r-3", Some("req-3"), None),                            // no directReply → 1
+      mk("r-4", None, None)                                      // plain publish → 1
+    ).toDS().toDF()
+    val routed = EnvelopeCodec.routeToTopics("graft.Pong", env)
+      .select($"topic", $"meta.eventId").as[(String, String)].collect().sorted
+    assert(routed.toSeq === Seq(
+      ("caller-a", "r-1"),
+      ("graft.Pong", "r-1"), ("graft.Pong", "r-2"),
+      ("graft.Pong", "r-3"), ("graft.Pong", "r-4")))
   }
 
   test("discovery: GetServiceDescriptor is answered over the control plane (D2)") {
