@@ -187,11 +187,160 @@ object Similarity {
        |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** Assign every corpus vector to its nearest centroid (cosine, ties →
+    * lower cent_id). Broadcast nested-loop against the (tiny) centroid
+    * set; the argmax is `max_by` with map-side partial aggregation, so
+    * the one exchange carries a single (v_id, vec, cluster) row per
+    * corpus vector — never the corpus × centroids product.
+    */
+  private def assignClusters(base: DataFrame, cent: DataFrame): DataFrame =
+    base.crossJoin(broadcast(cent))
+      .withColumn("csim", round(expr(nativeCosine("vec", "c_vec")), 6))
+      .groupBy(col("v_id"))
+      .agg(max_by(struct(col("vec"), col("cent_id")),
+        struct(col("csim"), -col("cent_id"))).as("m"))
+      .select(col("v_id"), col("m.vec").as("vec"), col("m.cent_id").as("cluster"))
+
+  /** Deterministic fixed-iteration Lloyd's k-means over an embedding
+    * column — the learned-centroid index build for [[ivfTopKKmeans]].
+    *
+    * Determinism (so the DuckDB oracle reproduces it bit-for-bit):
+    *  - init = the first `nCentroids` vectors by id (no RNG);
+    *  - assignment ties break to the lower centroid id;
+    *  - the mean is computed with EXACT decimal sums
+    *    (`DECIMAL(28,12)`) — double summation is order-dependent, so a
+    *    shuffled groupBy sum would diverge between engines; decimal
+    *    addition is associative, making the mean independent of row
+    *    order — then rounded to 6 digits like every sim in this file.
+    *
+    * Scale shape, per iteration: one broadcast crossJoin (map-side) +
+    * one keyed partial-agg exchange of (v_id) rows for the assignment,
+    * then a posexplode → (cluster, pos) partial-agg whose exchange
+    * carries ≤ nCentroids × dim rows per map task. Linear in the corpus;
+    * at 100 TB you would train centroids on a sample — the operator
+    * takes any corpus DataFrame, so pass `.sample(...)` for that.
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nCentroids: Int = 8, iters: Int = 2): DataFrame = {
+    val base = Par.floor(withCosine(corpus), col(idCol))
+      .select(col(idCol).as("v_id"), col(vecCol).as("vec"))
+    var cent = base.where(col("v_id") < nCentroids)
+      .select(col("v_id").as("cent_id"),
+        expr("transform(vec, x -> cast(x AS DOUBLE))").as("c_vec"))
+    for (_ <- 1 to iters) {
+      cent = assignClusters(base, cent)
+        .select(col("cluster").as("cent_id"), posexplode(col("vec")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg((sum(col("col").cast("double").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("v"))
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("s"))
+        .select(col("cent_id"), expr("transform(s, x -> round(x.v, 6))").as("c_vec"))
+    }
+    cent
+  }
+
+  /** DuckDB twin of [[kmeansCentroids]]: identical init, tie-breaks, and
+    * exact-decimal means, unrolled to `iters` CTE pairs. Emits a CTE body
+    * ending in centroid relation `cent$iters(cent_id, c_vec)` plus the
+    * assignment relation `a(v_id, vec, cluster)` under final centroids.
+    */
+  private def kmeansCtes(table: String, idCol: String, vecCol: String,
+                         nCentroids: Int, iters: Int): String = {
+    val ctes = new StringBuilder
+    ctes.append(
+      s"""base AS (SELECT $idCol AS v_id, $vecCol AS vec FROM $table),
+         |cent0 AS (SELECT v_id AS cent_id, list_transform(vec, x -> x::DOUBLE) AS c_vec
+         |          FROM base WHERE v_id < $nCentroids)""".stripMargin)
+    for (i <- 1 to iters) {
+      ctes.append(
+        s""",
+           |assign$i AS (
+           |  SELECT v_id, vec, cluster FROM (
+           |    SELECT b.v_id, b.vec, c.cent_id AS cluster, row_number() OVER (
+           |      PARTITION BY b.v_id
+           |      ORDER BY round(${duckCosine("b.vec", "c.c_vec")}, 6) DESC, c.cent_id ASC) AS rn
+           |    FROM base b CROSS JOIN cent${i - 1} c) WHERE rn = 1),
+           |cent$i AS (
+           |  SELECT cent_id, list(round(v, 6) ORDER BY pos) AS c_vec FROM (
+           |    SELECT cluster AS cent_id, pos,
+           |           CAST(sum(CAST(vec[pos]::DOUBLE AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS v
+           |    FROM assign$i, UNNEST(generate_series(1, len(vec))) AS t(pos)
+           |    GROUP BY cluster, pos) GROUP BY cent_id)""".stripMargin)
+    }
+    ctes.append(
+      s""",
+         |a AS (
+         |  SELECT v_id, vec, cluster FROM (
+         |    SELECT b.v_id, b.vec, c.cent_id AS cluster, row_number() OVER (
+         |      PARTITION BY b.v_id
+         |      ORDER BY round(${duckCosine("b.vec", "c.c_vec")}, 6) DESC, c.cent_id ASC) AS rn
+         |    FROM base b CROSS JOIN cent$iters c) WHERE rn = 1)""".stripMargin)
+    ctes.toString
+  }
+
+  /** IVF ANN with LEARNED centroids and multi-probe search: k-means
+    * centroids ([[kmeansCentroids]]), corpus assigned once, each query
+    * searches its `nprobe` nearest clusters. nprobe > 1 recovers the
+    * boundary-vector recall that single-probe IVF loses (a true neighbor
+    * just across a Voronoi edge): candidates per query ≈
+    * nprobe × corpus / nCentroids, still never the corpus.
+    *
+    * Plan shape: centroids broadcast; assignment partial-aggregates
+    * (one exchange of one row per vector); probe selection is the same
+    * bounded-heap `graft_topk` aggregate used for result ranking;
+    * cluster-local join carries only same-cluster candidates.
+    */
+  def ivfTopKKmeans(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+                    nCentroids: Int = 8, iters: Int = 2, nprobe: Int = 2,
+                    queryPred: Column = lit(false)): DataFrame = {
+    val base = Par.floor(withCosine(corpus), col(idCol))
+      .select(col(idCol).as("v_id"), col(vecCol).as("vec"))
+    val cent = broadcast(kmeansCentroids(corpus, idCol, vecCol, nCentroids, iters))
+    val assigned = assignClusters(base, cent)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = assigned.where(queryPred)
+      .select(col("v_id").as("q_id"), col("vec").as("q_vec"))
+    val probes = queries.crossJoin(cent)
+      .withColumn("csim", round(expr(nativeCosine("q_vec", "c_vec")), 6))
+      .groupBy(col("q_id"))
+      .agg(expr(s"graft_topk(csim, cent_id, $nprobe)").as("top"))
+      .select(col("q_id"), explode(col("top.c_id")).as("cluster"))
+    val q = broadcast(probes.join(queries, Seq("q_id")))
+    topkByQuery(
+      q.join(assigned.select(col("v_id").as("c_id"), col("vec").as("c_vec"), col("cluster")),
+          Seq("cluster"))
+        .where(col("q_id") =!= col("c_id"))
+        .withColumn("sim", round(expr(nativeCosine("q_vec", "c_vec")), 6)), k)
+  }
+
+  def ivfTopKKmeansSql(table: String, idCol: String, vecCol: String, k: Int,
+                       nCentroids: Int = 8, iters: Int = 2, nprobe: Int = 2,
+                       queryPred: String = "false"): String =
+    s"""WITH ${kmeansCtes(table, idCol, vecCol, nCentroids, iters)},
+       |q AS (SELECT v_id AS q_id, vec AS q_vec FROM a WHERE $queryPred),
+       |probes AS (
+       |  SELECT q_id, cluster FROM (
+       |    SELECT q.q_id, c.cent_id AS cluster, row_number() OVER (
+       |      PARTITION BY q.q_id
+       |      ORDER BY round(${duckCosine("q.q_vec", "c.c_vec")}, 6) DESC, c.cent_id ASC) AS prn
+       |    FROM q CROSS JOIN cent$iters c) WHERE prn <= $nprobe),
+       |scored AS (
+       |  SELECT q.q_id, c.v_id AS c_id, round(${duckCosine("q.q_vec", "c.vec")}, 6) AS sim
+       |  FROM probes p JOIN q ON p.q_id = q.q_id
+       |  JOIN a c ON p.cluster = c.cluster AND q.q_id <> c.v_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= $k""".stripMargin
+
   /** IVF-style ANN: inverted-file top-k with learned-centroid partitioning
     * (nprobe = 1). The centroid set stands in for a k-means result — here
     * the first `nCentroids` corpus vectors, deterministic so the DuckDB
     * oracle can reproduce it; swapping in real k-means centroids changes
-    * nothing downstream.
+    * nothing downstream (see [[ivfTopKKmeans]] for the learned-centroid,
+    * multi-probe variant).
     *
     * Plan shape (the 100 TB shape):
     *   1. assignment: corpus × broadcast(centroids) — a broadcast
