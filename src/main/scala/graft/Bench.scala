@@ -31,9 +31,10 @@ object Bench {
     def run(df: org.apache.spark.sql.DataFrame): Unit = {
       df.queryExecution.toRdd.count()
       // ops that persist() intermediate reductions (LSH band rows, IVF
-      // assignments) hand lifecycle to the caller; drop them between
-      // queries so leaked caches don't evict each other and skew timings
-      spark.sharedState.cacheManager.clearCache()
+      // assignments) lease them via graft.ops.Caches; release between
+      // queries so cached intermediates don't evict each other and skew
+      // timings
+      graft.ops.Caches.releaseAll()
     }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)

@@ -28,6 +28,10 @@ case class TopKAgg(simExpr: Expression, idExpr: Expression, k: Int,
                    inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.PriorityQueue[(Double, Long)]] {
 
+  // k <= 0 would make offer() peek an empty queue and NPE mid-aggregate;
+  // failing at construction surfaces the misuse at analysis time instead
+  require(k > 0, s"graft_topk requires a positive k, got $k")
+
   override def prettyName: String = "graft_topk"
   override def children: Seq[Expression] = Seq(simExpr, idExpr)
   override def nullable: Boolean = false

@@ -160,7 +160,7 @@ object Dedup {
     val docs = Par.floor(fdf.where(expr(s"size(split($text, ' ')) >= $k")), col(id))
       .select(col(id).as("_did"),
         expr(s"sort_array(${nativeShingleHashes(text, k)})").as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caches.lease(_))
     val bandRows = docs
       .select(col("_did"),
         posexplode(expr(s"graft_band_buckets(hs, $bands, $rowsPerBand)")))
@@ -208,7 +208,7 @@ object Dedup {
       .select(col("_did"),
         posexplode(expr(s"graft_band_buckets(hs, $bands, $rowsPerBand)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caches.lease(_))
     val bucketMin = bandRows.groupBy(col("band"), col("bucket"))
       .agg(min(col("_did")).as("bmin"))
     bandRows.join(bucketMin, Seq("band", "bucket"))
@@ -257,7 +257,7 @@ object Dedup {
       .select(col("_did"),
         posexplode(expr(s"graft_band_buckets(hs, $bands, $rowsPerBand)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caches.lease(_))
     var labels = bandRows.select(col("_did"), col("_did").as("label")).distinct()
     (1 to iters).foreach { _ =>
       val bucketMin = bandRows.join(labels, Seq("_did"))

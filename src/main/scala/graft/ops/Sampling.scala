@@ -22,12 +22,16 @@ object Sampling {
     * `rates` maps stratum value → keep fraction; `default` applies to
     * unlisted strata.
     */
+  // stratum values are data, not SQL: a quote in a source name must not
+  // alter (or break) the CASE expression on either engine
+  private def sqlLit(s: String): String = s"'${s.replace("'", "''")}'"
+
   def stratifiedSample(df: DataFrame, id: String, strata: String,
                        rates: Map[String, Double],
                        default: Double): DataFrame = {
     val h = s"(${sparkStringHash(s"cast($id AS STRING)")} % 10000)"
     val cases = rates.toSeq.sortBy(_._1).map { case (s, r) =>
-      s"WHEN '$s' THEN $h < ${math.round(r * 10000)}"
+      s"WHEN ${sqlLit(s)} THEN $h < ${math.round(r * 10000)}"
     }.mkString(" ")
     df.where(expr(
       s"CASE $strata $cases ELSE $h < ${math.round(default * 10000)} END"))
@@ -72,7 +76,7 @@ object Sampling {
                           default: Double): String = {
     val h = s"(${duckStringHash(s"($id)::VARCHAR")} % 10000)"
     val cases = rates.toSeq.sortBy(_._1).map { case (s, r) =>
-      s"WHEN '$s' THEN $h < ${math.round(r * 10000)}"
+      s"WHEN ${sqlLit(s)} THEN $h < ${math.round(r * 10000)}"
     }.mkString(" ")
     s"""SELECT * FROM $table
        |WHERE CASE $strata $cases ELSE $h < ${math.round(default * 10000)} END""".stripMargin

@@ -236,6 +236,11 @@ object Similarity {
         .groupBy(col("cent_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("s"))
         .select(col("cent_id"), expr("transform(s, x -> round(x.v, 6))").as("c_vec"))
+        // eager checkpoint truncates the lineage: without it iteration i's
+        // plan re-derives every earlier iteration's crossJoin per action
+        // (multiplicative plan growth in iters). nCentroids rows — the
+        // materialization is a few KB, cleaned by the ContextCleaner.
+        .localCheckpoint(true)
     }
     cent
   }
@@ -298,7 +303,7 @@ object Similarity {
       .select(col(idCol).as("v_id"), col(vecCol).as("vec"))
     val cent = broadcast(kmeansCentroids(corpus, idCol, vecCol, nCentroids, iters))
     val assigned = assignClusters(base, cent)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caches.lease(_))
     val queries = assigned.where(queryPred)
       .select(col("v_id").as("q_id"), col("vec").as("q_vec"))
     val probes = queries.crossJoin(cent)
@@ -364,7 +369,7 @@ object Similarity {
       .agg(max_by(struct(col("vec"), col("cent_id")),
         struct(col("csim"), -col("cent_id"))).as("m"))
       .select(col("v_id"), col("m.vec").as("vec"), col("m.cent_id").as("cluster"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caches.lease(_))
     val q = broadcast(assigned.where(queryPred)
       .select(col("v_id").as("q_id"), col("vec").as("q_vec"), col("cluster")))
     topkByQuery(

@@ -32,6 +32,14 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt > 0, s"salt factor must be positive, got $salt")
+    // the right side is replicated salt×, so only join types that never
+    // emit unmatched RIGHT rows are result-equivalent to the unsalted
+    // join — right/full outer would emit each unmatched right row salt
+    // times
+    val okTypes = Set("inner", "cross", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
+    require(okTypes.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin is only result-equivalent for $okTypes join types, got $joinType")
     val l = left.withColumn("__salt",
       pmod(hash(col(key), monotonically_increasing_id()), lit(salt)))
     val r = right.withColumn("__salt",

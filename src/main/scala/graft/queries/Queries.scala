@@ -483,6 +483,17 @@ object Queries {
       Some(Similarity.ivfTopKSql("embeddings", "vec_id", "embedding",
         k = 5, nCentroids = 8, queryPred = "v_id < 10"))),
 
+    // ANN: IVF with LEARNED (k-means) centroids and multi-probe search —
+    // each query searches its nprobe nearest clusters, recovering the
+    // boundary-vector recall single-probe IVF loses; centroids are a
+    // deterministic fixed-iteration Lloyd's so the oracle reproduces them
+    QueryDef("embed_ivf_kmeans",
+      (s, dir) => Similarity.ivfTopKKmeans(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 5, nCentroids = 8, iters = 2, nprobe = 2,
+        queryPred = col("v_id") < 10),
+      Some(Similarity.ivfTopKKmeansSql("embeddings", "vec_id", "embedding",
+        k = 5, nCentroids = 8, iters = 2, nprobe = 2, queryPred = "v_id < 10"))),
+
     // video-kind frame sampling: every stride-th fixed-size chunk of the
     // payload becomes a frame row (hex-emitted for the portable compare)
     QueryDef("mm_frame_sample",
