@@ -28,23 +28,30 @@ object Bench {
     // query (simhash, quality, buckets, ...) would time the scan only.
     // toRdd.count() materializes every output row with all columns
     // computed, still distributed, nothing collected to the driver.
-    def run(df: org.apache.spark.sql.DataFrame): Unit = {
-      df.queryExecution.toRdd.count()
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
       // ops that persist() intermediate reductions (LSH band rows, IVF
       // assignments) lease them via graft.ops.Caches; release between
-      // queries so cached intermediates don't evict each other and skew
-      // timings
-      graft.ops.Caches.releaseAll()
-    }
+      // queries — in a finally so a failing action can't leave its leases
+      // alive to evict the next query's caches and skew its timing
+      try df.queryExecution.toRdd.count()
+      finally graft.ops.Caches.releaseAll()
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
       queries.foreach { case (_, fn) =>
         try run(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
+    // Median-of-N per query (default 3, SPARK_GRAFT_REPS to override):
+    // single-shot timings on a shared local[32] JVM swing 3-5x on
+    // unchanged code (GC, JIT recompilation, page cache) — the median
+    // makes per-round regressions attributable to the code again.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3).max(1)
     val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

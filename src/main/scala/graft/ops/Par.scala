@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Parallelism floor for CPU-dense stages.
   *
@@ -24,11 +25,41 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Par {
 
   /** `df` hash-partitioned on `key` to `defaultParallelism` iff its
-    * current plan would run on too few tasks; unchanged otherwise.
-    * Batch-only (`df.rdd` is used to read the split count).
+    * scan would run on too few tasks; unchanged otherwise.
     */
   def floor(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target, key) else df
+    if (estimatedScanSplits(df) * 2 <= target) df.repartition(target, key) else df
+  }
+
+  /** Estimated file-scan split count, read from the ANALYZED plan's file
+    * indexes with Spark's own split-sizing formula
+    * (`FilePartition.maxSplitBytes`: bytes-per-core vs maxPartitionBytes
+    * vs openCostInBytes). Needs only analysis — the previous
+    * `df.rdd.getNumPartitions` instantiated a full physical plan per
+    * call, a measurable per-query planner tax on short queries.
+    *
+    * Non-file leaves (memory streams, local relations) count as
+    * already-parallel (Spark slices local data to defaultParallelism),
+    * so the floor no-ops on them — same behavior as before.
+    */
+  private def estimatedScanSplits(df: DataFrame): Long = {
+    val spark = df.sparkSession
+    val conf = spark.sessionState.conf
+    val fileRels = df.queryExecution.analyzed.collectLeaves().collect {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        lr.relation.asInstanceOf[HadoopFsRelation]
+    }
+    if (fileRels.isEmpty) Long.MaxValue
+    else fileRels.map { fs =>
+      val nFiles = fs.location.inputFiles.length.toLong
+      val padded = fs.location.sizeInBytes + nFiles * conf.filesOpenCostInBytes
+      val minPartitionNum = conf.filesMinPartitionNum
+        .getOrElse(spark.sparkContext.defaultParallelism)
+      val maxSplit = math.min(conf.filesMaxPartitionBytes,
+        math.max(conf.filesOpenCostInBytes,
+          padded / math.max(1, minPartitionNum)))
+      if (padded == 0L) 1L else (padded + maxSplit - 1) / maxSplit
+    }.sum
   }
 }

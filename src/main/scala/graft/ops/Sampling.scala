@@ -23,15 +23,21 @@ object Sampling {
     * unlisted strata.
     */
   // stratum values are data, not SQL: a quote in a source name must not
-  // alter (or break) the CASE expression on either engine
-  private def sqlLit(s: String): String = s"'${s.replace("'", "''")}'"
+  // alter (or break) the CASE expression on either engine. Escaping is
+  // dialect-specific: both engines take '' for a quote, but Spark ALSO
+  // interprets backslash escape sequences inside string literals ('a\b'
+  // parses as a+backspace) while DuckDB keeps backslashes literal — so
+  // the Spark literal doubles backslashes first, the DuckDB one must not.
+  private def sparkLit(s: String): String =
+    s"'${s.replace("\\", "\\\\").replace("'", "''")}'"
+  private def duckLit(s: String): String = s"'${s.replace("'", "''")}'"
 
   def stratifiedSample(df: DataFrame, id: String, strata: String,
                        rates: Map[String, Double],
                        default: Double): DataFrame = {
     val h = s"(${sparkStringHash(s"cast($id AS STRING)")} % 10000)"
     val cases = rates.toSeq.sortBy(_._1).map { case (s, r) =>
-      s"WHEN ${sqlLit(s)} THEN $h < ${math.round(r * 10000)}"
+      s"WHEN ${sparkLit(s)} THEN $h < ${math.round(r * 10000)}"
     }.mkString(" ")
     df.where(expr(
       s"CASE $strata $cases ELSE $h < ${math.round(default * 10000)} END"))
@@ -76,7 +82,7 @@ object Sampling {
                           default: Double): String = {
     val h = s"(${duckStringHash(s"($id)::VARCHAR")} % 10000)"
     val cases = rates.toSeq.sortBy(_._1).map { case (s, r) =>
-      s"WHEN ${sqlLit(s)} THEN $h < ${math.round(r * 10000)}"
+      s"WHEN ${duckLit(s)} THEN $h < ${math.round(r * 10000)}"
     }.mkString(" ")
     s"""SELECT * FROM $table
        |WHERE CASE $strata $cases ELSE $h < ${math.round(default * 10000)} END""".stripMargin
