@@ -66,6 +66,51 @@ object Sampling {
       .select(col(id), col(strata), col("n_tokens"), col("seq_id"))
   }
 
+  /** Sharded sequence packing — the (stratum, shard) variant
+    * [[packSequences]]'s scale note promises. Each doc lands in a
+    * DETERMINISTIC shard (portable hash of its id, so the assignment is
+    * reproducible across runs, engines, and repartitioning), and the
+    * concat-then-chunk cumsum runs per (stratum, shard) with a per-shard
+    * budget. A training sequence is identified by (stratum, shard,
+    * seq_id).
+    *
+    * Scale: this removes the one skew axis [[packSequences]] has left —
+    * with few strata its window sends a stratum's whole corpus through
+    * one reducer; here the window key has `shards`× the cardinality, so
+    * the sort work spreads over min(strata × shards, partitions)
+    * reducers. Packing quality is unchanged (each shard is a valid
+    * independent packing; at most one partially-filled tail sequence per
+    * shard instead of per stratum).
+    */
+  def packSequencesSharded(df: DataFrame, id: String, text: String,
+                           strata: String, budget: Int,
+                           shards: Int = 16): DataFrame = {
+    require(shards >= 1, "shards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val shard = s"(${sparkStringHash(s"cast($id AS STRING)")} % $shards)"
+    val w = Window.partitionBy(col(strata), col("shard")).orderBy(col(id))
+    graft.functions.VectorFunctions.attach(df)
+      .select(col(id), col(strata), expr(shard).as("shard"),
+        expr(s"graft_token_count($text)").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id",
+        expr(s"cast(floor((cum - n_tokens) / $budget.0) AS BIGINT)"))
+      .select(col(id), col(strata), col("shard"), col("n_tokens"), col("seq_id"))
+  }
+
+  def packSequencesShardedSql(table: String, id: String, text: String,
+                              strata: String, budget: Int,
+                              shards: Int = 16): String = {
+    val shard = s"(${duckStringHash(s"($id)::VARCHAR")} % $shards)"
+    val ntok = s"len(regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))"
+    s"""SELECT $id, $strata, shard, n_tokens,
+       |  floor((cum - n_tokens) / $budget.0)::BIGINT AS seq_id
+       |FROM (
+       |  SELECT $id, $strata, $shard AS shard, $ntok AS n_tokens,
+       |    sum($ntok) OVER (PARTITION BY $strata, $shard ORDER BY $id) AS cum
+       |  FROM $table)""".stripMargin
+  }
+
   def packSequencesSql(table: String, id: String, text: String,
                        strata: String, budget: Int): String =
     s"""SELECT $id, $strata, n_tokens,

@@ -144,42 +144,91 @@ object Similarity {
        |FROM $table""".stripMargin
   }
 
+  /** Query-side probe expansion for [[lshTopK]]: each query row becomes
+    * `nprobe` (q_id, q_vec, bucket) rows — its own hyperplane bucket plus
+    * the buckets across its `nprobe - 1` lowest-|margin| hyperplanes
+    * (flip the sign bit whose dot product is nearest zero: that is the
+    * Voronoi edge a true neighbor most plausibly sits across). Ties on
+    * |margin| break to the lower bit index so both engines expand the
+    * same probe set. Query counts are small (the broadcast side), so the
+    * margin dots run as declarative HOFs — interpreted, but over
+    * #queries rows, not the corpus.
+    */
+  private def queryProbes(queries: DataFrame, idCol: String, vecCol: String,
+                          bits: Int, nprobe: Int): DataFrame = {
+    val dot = s"aggregate(transform(sequence(1, size(q_vec)), " +
+      s"i -> cast(element_at(q_vec, i) AS DOUBLE) * ${weight("(j * 64 + i - 1)")}), " +
+      s"cast(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    val base = s"aggregate(sequence(0, ${bits - 1}), cast(0 AS BIGINT), " +
+      "(a, j) -> a + IF(element_at(dots, j + 1) > 0.0, " +
+      "shiftleft(cast(1 AS BIGINT), j), cast(0 AS BIGINT)))"
+    val probes =
+      s"concat(array(base), transform(slice(array_sort(" +
+        s"transform(sequence(0, ${bits - 1}), " +
+        s"j -> named_struct('m', abs(element_at(dots, j + 1)), 'j', j))), " +
+        s"1, ${nprobe - 1}), s -> base ^ shiftleft(cast(1 AS BIGINT), s.j)))"
+    queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("dots", expr(s"transform(sequence(0, ${bits - 1}), j -> $dot)"))
+      .withColumn("base", expr(base))
+      .select(col("q_id"), col("q_vec"), explode(expr(probes)).as("bucket"))
+  }
+
   /** Approximate nearest neighbors: LSH-bucketed top-k (the IVF-style
     * scale path promised by [[lshBuckets]]). Queries are bucketed with
-    * the same hyperplanes and joined to the corpus WITHIN their bucket
-    * only, then ranked by exact cosine. One corpus pass to bucket, one
-    * bucket-local join — candidate count per query ≈ corpus/2^bits, not
-    * the corpus. Recall is approximate by construction (a true neighbor
-    * in a different bucket is missed); [[bruteForceTopK]] is the exact
-    * baseline.
+    * the same hyperplanes and joined to the corpus WITHIN their probed
+    * buckets only, then ranked by exact cosine. One corpus pass to
+    * bucket, one bucket-local join — candidate count per query ≈
+    * nprobe × corpus / 2^bits, never the corpus.
+    *
+    * `nprobe` > 1 multi-probes the buckets across the query's
+    * lowest-|margin| hyperplanes ([[queryProbes]]), recovering the
+    * boundary recall a single sign pattern loses (a true neighbor one
+    * hyperplane away lands in a bucket at Hamming distance 1 — exactly
+    * the buckets probed). Probed buckets are distinct, so no candidate
+    * dedup is needed. [[bruteForceTopK]] is the exact baseline.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int, bits: Int = 8): DataFrame = {
+              idCol: String, vecCol: String, k: Int, bits: Int = 8,
+              nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= bits, s"nprobe must be in [1, $bits]")
     val corp = Par.floor(withCosine(corpus), col(idCol))
     val cb = lshBuckets(corp, idCol, vecCol, bits)
       .join(corp.select(col(idCol).as("_ci"), col(vecCol).as("c_vec")),
         col(idCol) === col("_ci"))
       .select(col(idCol).as("c_id"), col("c_vec"), col("bucket"))
-    val qb = broadcast(lshBuckets(queries, idCol, vecCol, bits)
-      .join(queries.select(col(idCol).as("_qi"), col(vecCol).as("q_vec")),
-        col(idCol) === col("_qi"))
-      .select(col(idCol).as("q_id"), col("q_vec"), col("bucket")))
+    val qb = broadcast(queryProbes(withCosine(queries), idCol, vecCol, bits, nprobe))
     topkByQuery(qb.join(cb, Seq("bucket")).where(col("q_id") =!= col("c_id"))
       .withColumn("sim", round(expr(nativeCosine("q_vec", "c_vec")), 6)), k)
   }
 
   def lshTopKSql(table: String, idCol: String, vecCol: String,
-                 k: Int, queryPred: String, bits: Int = 8): String = {
+                 k: Int, queryPred: String, bits: Int = 8,
+                 nprobe: Int = 1): String = {
     val dot = s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($vecCol)), " +
       s"i -> ($vecCol)[i]::DOUBLE * ${weight("(j * 64 + i - 1)")})), (acc, v) -> acc + v)"
+    val qdot = s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(q_vec)), " +
+      s"i -> (q_vec)[i]::DOUBLE * ${weight("(j * 64 + i - 1)")})), (acc, v) -> acc + v)"
     val bucket = s"list_reduce(list_prepend(0::BIGINT, " +
       s"list_transform(generate_series(0, ${bits - 1}), " +
       s"j -> CASE WHEN $dot > 0.0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)), (a, b) -> a + b)"
     s"""WITH b AS (SELECT $idCol, $vecCol AS vec, $bucket AS bucket FROM $table),
-       |q AS (SELECT $idCol AS q_id, vec AS q_vec, bucket FROM b WHERE $queryPred),
+       |q AS (SELECT $idCol AS q_id, vec AS q_vec, bucket AS base FROM b WHERE $queryPred),
+       |qd AS (
+       |  SELECT q_id, j, abs($qdot) AS m
+       |  FROM q, UNNEST(generate_series(0, ${bits - 1})) AS t(j)),
+       |rb AS (
+       |  SELECT q_id, j, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY m ASC, j ASC) AS rn
+       |  FROM qd),
+       |probes AS (
+       |  SELECT q_id, base AS bucket FROM q
+       |  UNION ALL
+       |  SELECT rb.q_id, xor(q.base, 1::BIGINT << rb.j) AS bucket
+       |  FROM rb JOIN q USING (q_id) WHERE rb.rn <= ${nprobe - 1}),
        |scored AS (
-       |  SELECT q_id, c.$idCol AS c_id, round(${duckCosine("q_vec", "c.vec")}, 6) AS sim
-       |  FROM q JOIN b c ON q.bucket = c.bucket AND q_id <> c.$idCol),
+       |  SELECT q.q_id, c.$idCol AS c_id, round(${duckCosine("q.q_vec", "c.vec")}, 6) AS sim
+       |  FROM probes p JOIN q ON p.q_id = q.q_id
+       |  JOIN b c ON c.bucket = p.bucket AND q.q_id <> c.$idCol),
        |ranked AS (
        |  SELECT q_id, c_id, sim,
        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank

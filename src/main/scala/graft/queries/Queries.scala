@@ -369,14 +369,19 @@ object Queries {
       (s, dir) => Dedup.simhash(t(s, dir, "documents"), "doc_id", "text"),
       Some(Dedup.simhashSql("documents", "doc_id", "text"))),
 
-    // exact all-pairs verifier on a deterministic 1-in-10 sample (the LSH
-    // path covers the full corpus; all-pairs is O(n²) by construction)
+    // exact all-pairs verifier on a deterministic 1-in-3 sample (the LSH
+    // path covers the full corpus; all-pairs is O(n²) by construction).
+    // 1-in-3 — not the earlier 1-in-10 — because a pair survives an id
+    // sample at rate r with probability r²: at r=0.1 every planted
+    // near-dup pair was dropped and the query verified nothing (0 rows on
+    // both engines); at r=1/3 several survive, so the prefilter and
+    // jaccard arithmetic are exercised against nonzero oracle output
     QueryDef("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(
-        t(s, dir, "documents").where(col("doc_id") % 10 === 0), "doc_id", "text",
+        t(s, dir, "documents").where(col("doc_id") % 3 === 0), "doc_id", "text",
         k = 3, threshold = 0.2),
       Some(Dedup.ngramJaccardPairsSql(
-        "(SELECT * FROM documents WHERE doc_id % 10 = 0)", "doc_id", "text",
+        "(SELECT * FROM documents WHERE doc_id % 3 = 0)", "doc_id", "text",
         k = 3, threshold = 0.2))),
 
     // ================= similarity search =================================
@@ -438,6 +443,16 @@ object Queries {
       Some(graft.ops.Sampling.packSequencesSql(
         "documents", "doc_id", "text", "source", budget = 2048))),
 
+    // the (stratum, shard) packing — the skew-free scale path: the window
+    // key carries shards× the cardinality, so one stratum's corpus no
+    // longer funnels through a single reducer
+    QueryDef("pipeline_pack_sharded",
+      (s, dir) => graft.ops.Sampling.packSequencesSharded(
+        t(s, dir, "documents"), "doc_id", "text", "source",
+        budget = 2048, shards = 8),
+      Some(graft.ops.Sampling.packSequencesShardedSql(
+        "documents", "doc_id", "text", "source", budget = 2048, shards = 8))),
+
     // ================= multimodal plumbing ===============================
 
     QueryDef("mm_decode_meta",
@@ -463,16 +478,19 @@ object Queries {
       },
       Some(Multimodal.featuresSql("documents", "doc_id", "text"))),
 
-    // ANN: LSH-bucketed top-k (approximate IVF-style scale path; exact
-    // within the query's bucket, which is also what the oracle computes)
+    // ANN: LSH-bucketed top-k with MULTI-PROBE search (nprobe=2: the
+    // query's own bucket plus the bucket across its lowest-|margin|
+    // hyperplane) — exact within the probed buckets, which is also what
+    // the oracle computes; recovers the single-probe recall cliff at
+    // hyperplane boundaries
     QueryDef("embed_ann_topk",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         Similarity.lshTopK(emb, emb.where(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5)
+          "vec_id", "embedding", k = 5, nprobe = 2)
       },
       Some(Similarity.lshTopKSql("embeddings", "vec_id", "embedding",
-        k = 5, queryPred = "vec_id < 10"))),
+        k = 5, queryPred = "vec_id < 10", nprobe = 2))),
 
     // ANN: inverted-file top-k with learned-centroid partitioning — the
     // second ANN scale path (cluster-partitioned vs. hash-bucketed)

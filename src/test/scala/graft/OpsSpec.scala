@@ -63,6 +63,60 @@ class OpsSpec extends SparkSpec {
     assert(comp(5L) == 5L && comp(6L) == 5L && comp(7L) == 5L && comp(4L) == 4L)
   }
 
+  test("ngram jaccard length prefilter is lossless at the threshold boundary") {
+    // k=3 shingles of an n-distinct-word doc: n-2, all distinct, and a
+    // prefix doc's shingles are a subset of its extension's. So with
+    // t=0.5: x (10 shingles) vs y (20, ⊇ x) sits EXACTLY on both the
+    // prefilter boundary (20·t == 10) and the jaccard threshold
+    // (J = 10/20 = t) — must be kept; x vs z (22, ⊇ x) is pruned by the
+    // prefilter (22·t > 10), which is lossless since J = 10/22 < t.
+    val words = (1 to 24).map(i => s"w$i")
+    val d = Seq(
+      (1L, words.take(12).mkString(" ")),
+      (2L, words.take(22).mkString(" ")),
+      (3L, words.mkString(" ")),
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(d, "doc_id", "text", k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // (2,3): 20/22 both ways through the prefilter, J = 20/22; the
+    // short doc pairs with nothing (excluded before the join — no NaN)
+    assert(got === Set((1L, 2L, 0.5), (2L, 3L, 0.909091)))
+  }
+
+  test("sharded packing = packSequences run independently per shard") {
+    import graft.ops.{PortableHash, Sampling}
+    val shards = 4
+    val corpus = (1L to 40L)
+      .map(i => (i, ("tok " * (i % 7 + 1).toInt).trim, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "src")
+    val sharded = Sampling.packSequencesSharded(
+        corpus, "doc_id", "text", "src", budget = 10, shards = shards)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("src"),
+        r.getAs[Number]("shard").longValue, r.getAs[Number]("n_tokens").longValue,
+        r.getAs[Number]("seq_id").longValue))
+    assert(sharded.length == 40)
+    // the shard assignment IS the portable hash — deterministic across
+    // engines and runs
+    sharded.foreach { case (id, _, sh, _, _) =>
+      assert(sh == PortableHash.jvmStringHash(id.toString) % shards,
+        s"doc $id shard")
+    }
+    // each shard is a valid independent packing: plain packSequences on
+    // exactly that shard's docs reproduces its seq assignment
+    for (s <- 0L until shards.toLong) {
+      val ids = sharded.filter(_._3 == s).map(_._1)
+      val plain = Sampling.packSequences(
+          corpus.where($"doc_id".isin(ids: _*)), "doc_id", "text", "src", budget = 10)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("src"),
+          r.getAs[Number]("n_tokens").longValue, r.getAs[Number]("seq_id").longValue))
+        .toSet
+      val expect = sharded.filter(_._3 == s)
+        .map { case (id, src, _, n, seq) => (id, src, n, seq) }.toSet
+      assert(plain === expect, s"shard $s packing must match the unsharded op on its subset")
+    }
+  }
+
   test("simhash of identical docs is identical; of empty doc is stable") {
     val sh = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
