@@ -55,19 +55,45 @@ final case class ServiceException(
     extra: Map[String, String] = Map.empty
 )
 
+/** Pluggable payload wire format behind the shared envelope shape: every
+  * codec produces/consumes the same (`meta`, `payload: BINARY`) rows
+  * ([[EnvelopeCodec.envelopeSchema]]), so topic routing, sinks, RPC
+  * correlation, and retry are codec-agnostic — exactly the reference's
+  * `ByteStreamReader/Writer[A]` seam (reference: typebus/macros/src/main/
+  * scala/io/surfkit/typebus/Typebus.scala:20-64), which lets it swap Avro
+  * binary and Avro-JSON serde behind one bus.
+  *
+  * Implementations: [[EnvelopeCodec]] (JSON-in-binary, fully columnar —
+  * the reference's `AvroJsonStream` analog, Mapper.scala:131-158) and
+  * [[AvroPayloadCodec]] (Avro binary via GenericDatumWriter/Reader —
+  * the reference's default `AvroByteStreams`, Mapper.scala:11-121).
+  */
+trait PayloadCodec {
+  def encode[T](ds: Dataset[T], keyExpr: Option[Column] = None,
+                correlationId: Option[Column] = None,
+                responseTo: Option[Column] = None,
+                directReplyService: Option[String] = None)
+               (implicit enc: Encoder[T]): DataFrame
+  def decodeTyped[T](df: DataFrame)(implicit enc: Encoder[T]): Dataset[T]
+  def decodeWithMeta[T](df: DataFrame)(implicit enc: Encoder[T]): Dataset[(T, EventMeta)]
+  def decodeFailures[T](df: DataFrame)(implicit enc: Encoder[T]): DataFrame
+  def encodeReply[U](ds: Dataset[(U, EventMeta)], keyExpr: Option[Column] = None)
+                    (implicit enc: Encoder[U]): DataFrame
+}
+
 /** Envelope codec: typed `Dataset[T]` ↔ enveloped `DataFrame`.
   *
-  * The reference serializes payloads as Avro binary via avro4s
-  * (reference: typebus/src/main/scala/io/surfkit/typebus/Mapper.scala:46-67).
-  * This build environment ships no `spark-avro` module, so the wire format
-  * is JSON-in-binary — identical envelope semantics, different byte
-  * encoding (the reference itself offers the same JSON fallback,
-  * Mapper.scala:131-158 `AvroJsonStream`). All envelope construction is
-  * columnar (`to_json`/`from_json`, `uuid()`) so it stays inside
-  * whole-stage codegen and never round-trips through driver-side objects —
-  * at 100 TB the envelope wrap/unwrap is a per-row map with zero shuffle.
+  * The reference's DEFAULT serde is Avro binary via avro4s
+  * (reference: typebus/src/main/scala/io/surfkit/typebus/Mapper.scala:46-67)
+  * — ported as [[AvroPayloadCodec]]. This object is the JSON-in-binary
+  * codec — identical envelope semantics, different byte encoding (the
+  * reference itself offers the same JSON fallback, Mapper.scala:131-158
+  * `AvroJsonStream`). All envelope construction here is columnar
+  * (`to_json`/`from_json`, `uuid()`) so it stays inside whole-stage
+  * codegen and never round-trips through driver-side objects — at 100 TB
+  * the envelope wrap/unwrap is a per-row map with zero shuffle.
   */
-object EnvelopeCodec {
+object EnvelopeCodec extends PayloadCodec {
 
   /** FQN of a type = its topic name (reference: KafkaBus.scala:63,69 —
     * `new ProducerRecord(event.meta.eventType.fqn, ...)`), with the
@@ -103,11 +129,11 @@ object EnvelopeCodec {
     * `StreamBuilder.withPartitionKey`); it becomes the Kafka message key /
     * shuffle key downstream.
     */
-  def encode[T](ds: Dataset[T], keyExpr: Option[Column] = None,
-                correlationId: Option[Column] = None,
-                responseTo: Option[Column] = None,
-                directReplyService: Option[String] = None)
-               (implicit enc: Encoder[T]): DataFrame = {
+  override def encode[T](ds: Dataset[T], keyExpr: Option[Column],
+                         correlationId: Option[Column],
+                         responseTo: Option[Column],
+                         directReplyService: Option[String])
+                        (implicit enc: Encoder[T]): DataFrame = {
     val fqn = fqnOf[T]
     val reply = directReplyService match {
       case Some(svc) => struct(lit("").as("path"), lit(svc).as("service"))
@@ -172,7 +198,7 @@ object EnvelopeCodec {
     * a poison message must not kill the stream. Route them to an error
     * report via [[decodeFailures]] (F4).
     */
-  def decodeTyped[T](df: DataFrame)(implicit enc: Encoder[T]): Dataset[T] =
+  override def decodeTyped[T](df: DataFrame)(implicit enc: Encoder[T]): Dataset[T] =
     parsed[T](df).where(okCond[T])
       .select(payloadStruct[T].as("value")).select("value.*").as[T]
 
@@ -181,8 +207,8 @@ object EnvelopeCodec {
     * bus/package.scala:143-150, handlers are `(T, EventMeta) => Future[U]`).
     * Unusable payloads are dropped (see [[decodeTyped]]).
     */
-  def decodeWithMeta[T](df: DataFrame)
-                       (implicit enc: Encoder[T]): Dataset[(T, EventMeta)] = {
+  override def decodeWithMeta[T](df: DataFrame)
+                                (implicit enc: Encoder[T]): Dataset[(T, EventMeta)] = {
     implicit val metaEnc: Encoder[EventMeta] =
       org.apache.spark.sql.Encoders.product[EventMeta]
     implicit val tupleEnc: Encoder[(T, EventMeta)] =
@@ -199,7 +225,7 @@ object EnvelopeCodec {
     * — any handler/decode failure becomes a published ServiceException
     * instead of a stream death).
     */
-  def decodeFailures[T](df: DataFrame)(implicit enc: Encoder[T]): DataFrame = {
+  override def decodeFailures[T](df: DataFrame)(implicit enc: Encoder[T]): DataFrame = {
     val fqn = fqnOf[T]
     val bad = parsed[T](df).where(!okCond[T])
       .withColumn("payload",
@@ -251,8 +277,8 @@ object EnvelopeCodec {
     * = now. This is what closes the RPC loop: [[graft.rpc.Rpc.correlate]]
     * joins `request.eventId === reply.responseTo`.
     */
-  def encodeReply[U](ds: Dataset[(U, EventMeta)], keyExpr: Option[Column] = None)
-                    (implicit enc: Encoder[U]): DataFrame = {
+  override def encodeReply[U](ds: Dataset[(U, EventMeta)], keyExpr: Option[Column])
+                             (implicit enc: Encoder[U]): DataFrame = {
     val fqn = fqnOf[U]
     // payload columns top-level (so keyExpr written against U's fields
     // resolves), input meta tucked under a reserved name

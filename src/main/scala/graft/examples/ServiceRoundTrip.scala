@@ -3,6 +3,7 @@ package graft.examples
 import graft.bus.MemoryBus
 import graft.envelope._
 import graft.rpc.Rpc
+import graft.schema.SchemaRegistry
 import graft.service.ServiceFlow
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -31,7 +32,10 @@ object ServiceRoundTrip {
     import spark.implicits._
 
     val bus = new MemoryBus(spark)
-    val flow = new ServiceFlow("pingpong-svc", bus)
+    // Avro-binary wire format — the reference's default serde
+    // (Mapper.scala:11-121); swap for EnvelopeCodec to run JSON-in-binary
+    val flow = new ServiceFlow("pingpong-svc", bus,
+      new SchemaRegistry(), AvroPayloadCodec)
     flow.registerStream[Ping, Pong]((p, _) => Pong(p.n * 2, p.from))
 
     // RPC caller shape: requests with explicit eventId + correlationId.
@@ -40,18 +44,21 @@ object ServiceRoundTrip {
     // [reqTime, reqTime + timeout].
     val reqTime = new java.sql.Timestamp(System.currentTimeMillis())
     val pingFqn = classOf[Ping].getName
+    // payloads are real Avro binary (decodable by any stock Avro reader)
+    val pingEnc = implicitly[org.apache.spark.sql.Encoder[Ping]]
+    val Seq(alice, bob) = AvroPayloadCodec.writeRows(
+      Seq(org.apache.spark.sql.Row(21, "alice"), org.apache.spark.sql.Row(100, "bob")),
+      pingEnc.schema, pingFqn)
     bus.publishEnvelopes(pingFqn, Seq(
       PublishedEvent(EventMeta(eventId = "req-1", eventType = pingFqn,
         correlationId = Some("corr-A"),
-        occurredAt = reqTime),
-        """{"n":21,"from":"alice"}""".getBytes("UTF-8")),
+        occurredAt = reqTime), alice),
       PublishedEvent(EventMeta(eventId = "req-2", eventType = pingFqn,
         correlationId = None,
-        occurredAt = reqTime),
-        """{"n":100,"from":"bob"}""".getBytes("UTF-8")),
+        occurredAt = reqTime), bob),
       PublishedEvent(EventMeta(eventId = "req-bad", eventType = pingFqn,
         correlationId = None, occurredAt = reqTime),
-        """not json at all""".getBytes("UTF-8"))))
+        "not avro at all".getBytes("UTF-8"))))
 
     val queries = flow.start { (_, df) =>
       df.writeStream.format("memory").queryName("pong_replies")
@@ -67,10 +74,10 @@ object ServiceRoundTrip {
       .select($"meta.responseTo", $"meta.eventType", $"payload".cast("string").as("payload"))
       .show(truncate = false)
 
-    println("== reply envelopes ==")
+    println("== reply envelopes (payload = Avro binary, shown decoded) ==")
     val replies = spark.table("pong_replies")
     replies.select($"meta.responseTo", $"meta.correlationId",
-        $"meta.eventType", $"payload".cast("string").as("payload"))
+        $"meta.eventType", lower(hex($"payload")).as("payload_hex"))
       .orderBy($"meta.responseTo")
       .show(truncate = false)
 
@@ -78,9 +85,11 @@ object ServiceRoundTrip {
     println("== RPC correlation (request.eventId == reply.responseTo) ==")
     val requests = Seq(("req-1", reqTime), ("req-2", reqTime), ("req-orphan", reqTime))
       .toDF("req_id", "req_ts")
-    val resp = replies.select($"meta.responseTo".as("resp_to"),
-      $"meta.eventId".as("resp_id"), $"meta.occurredAt".as("resp_ts"),
-      $"payload".cast("string").as("resp_payload"))
+    val pongs = AvroPayloadCodec.decodeWithMeta[Pong](replies).toDF()
+      .select($"_2.responseTo".as("resp_to"), $"_2.eventId".as("resp_id"),
+        $"_2.occurredAt".as("resp_ts"),
+        concat(lit("Pong("), $"_1.doubled", lit(","), $"_1.from", lit(")")).as("resp_payload"))
+    val resp = pongs
     Rpc.correlate(requests, col("req_id"), col("req_ts"),
         resp, col("resp_to"), col("resp_ts"), col("resp_id"),
         expr("INTERVAL 60 SECONDS"))

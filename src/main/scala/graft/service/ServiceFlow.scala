@@ -107,9 +107,16 @@ final case class ServiceDescriptor(
   * shuffle. The only shuffles a service introduces are the explicit ones
   * (partition-key repartition at publish, keyed state in
   * [[graft.entity.EntityStore]], RPC join in [[graft.rpc.Rpc]]).
+  *
+  * `codec` picks the payload wire format ([[graft.envelope.PayloadCodec]]):
+  * JSON-in-binary ([[EnvelopeCodec]], default) or Avro binary
+  * ([[graft.envelope.AvroPayloadCodec]], the reference's default serde,
+  * Mapper.scala:11-121). The envelope shape is codec-invariant, so
+  * routing, sinks, and RPC correlation are untouched by the choice.
   */
 final class ServiceFlow(val name: String, val bus: Bus,
-                        val registry: SchemaRegistry = new SchemaRegistry()) {
+                        val registry: SchemaRegistry = new SchemaRegistry(),
+                        val codec: PayloadCodec = EnvelopeCodec) {
   import bus.spark
   import scala.jdk.CollectionConverters._
 
@@ -129,10 +136,10 @@ final class ServiceFlow(val name: String, val bus: Bus,
     registry.register[U]()
     val b = StreamBuilder[T, U](
       EnvelopeCodec.fqnOf[T], Some(EnvelopeCodec.fqnOf[U]),
-      df => EnvelopeCodec.encodeReply[U](
-        mapWithMeta(EnvelopeCodec.decodeWithMeta[T](df), f), partitionKey),
+      df => codec.encodeReply[U](
+        mapWithMeta(codec.decodeWithMeta[T](df), f), partitionKey),
       partitionKey, retry,
-      failures = df => EnvelopeCodec.decodeFailures[T](df))
+      failures = df => codec.decodeFailures[T](df))
     builders.add(b); this
   }
 
@@ -155,10 +162,10 @@ final class ServiceFlow(val name: String, val bus: Bus,
     val b = StreamBuilder[T, S](
       EnvelopeCodec.fqnOf[T], Some(EnvelopeCodec.fqnOf[S]),
       df => {
-        val reqs = EnvelopeCodec.decodeWithMeta[T](df)
+        val reqs = codec.decodeWithMeta[T](df)
           .map { case (t, m) => (idOf(t), m) }
         val joined = reqs.joinWith(state, reqs("_1") === state("_1"), "inner")
-        EnvelopeCodec.encodeReply[S](joined.map { case ((_, m), (_, s)) => (s, m) })
+        codec.encodeReply[S](joined.map { case ((_, m), (_, s)) => (s, m) })
       },
       None, None)
     builders.add(b); this
@@ -174,7 +181,7 @@ final class ServiceFlow(val name: String, val bus: Bus,
     registry.register[T]()
     val b = StreamBuilder[T, Nothing](
       EnvelopeCodec.fqnOf[T], None,
-      df => { f(EnvelopeCodec.decodeWithMeta[T](df)); spark.emptyDataFrame },
+      df => { f(codec.decodeWithMeta[T](df)); spark.emptyDataFrame },
       None, None)
     builders.add(b); this
   }
@@ -188,8 +195,8 @@ final class ServiceFlow(val name: String, val bus: Bus,
     registry.register[U]()
     val b = StreamBuilder[T, U](
       EnvelopeCodec.fqnOf[T], Some(EnvelopeCodec.fqnOf[U]),
-      df => EnvelopeCodec.encodeReply[U](
-        mapWithMeta(EnvelopeCodec.decodeWithMeta[T](df), f)),
+      df => codec.encodeReply[U](
+        mapWithMeta(codec.decodeWithMeta[T](df), f)),
       None, None, isServiceStream = true)
     builders.add(b); this
   }
