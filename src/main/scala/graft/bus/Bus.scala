@@ -17,13 +17,13 @@ import org.apache.spark.sql.functions._
   *  - [[MemoryBus]] — the testkit analog (reference:
   *    typebus-testkit/src/main/scala/io/surfkit/typebus/bus/testkit/
   *    TestBus.scala:27-169), built on `MemoryStream`.
-  *  - A Kafka bus would be `spark.readStream.format("kafka")
-  *    .option("subscribe", fqns)` with group-id = service name and
-  *    `startingOffsets=latest` (reference: KafkaBus.scala:114-121,191-245)
-  *    and a `writeStream.format("kafka")` sink with a `topic` column =
-  *    payload FQN and `key` = partition key (KafkaBus.scala:56-80). The
-  *    build image ships no spark-kafka connector jar, so that impl is not
-  *    compiled here; MemoryBus exercises identical logical semantics.
+  *  - [[KafkaBus]] — the reference's primary data path (reference:
+  *    KafkaBus.scala:56-248): stock `readStream`/`writeStream`
+  *    `format("kafka")`, topic = payload FQN, group-id = service name,
+  *    `key` = partition key. Compiles against plain Spark (the connector
+  *    resolves at runtime); the build image ships no connector jar or
+  *    broker, so MemoryBus remains the in-env execution proof while
+  *    KafkaBusWireSpec pins the wire transforms batch-side.
   */
 trait Bus {
   def spark: SparkSession

@@ -27,6 +27,32 @@ class ClientGenSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("generated DATA source is exactly the committed, compiling example file") {
+    import org.apache.spark.sql.Encoders
+    val withTypes = desc.copy(types = Map(
+      "graft.examples.Ping" -> Encoders.product[graft.examples.Ping].schema.json,
+      "graft.examples.Pong" -> Encoders.product[graft.examples.Pong].schema.json))
+    val want = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/examples/PingerData.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val got = ClientGen.dataSource(withTypes, "graft.examples.gen")
+    assert(got === want)
+  }
+
+  test("data generation: Option only for nullable primitives; nested structs named <Outer><Field>") {
+    import org.apache.spark.sql.Encoders
+    val d = desc.copy(types = Map(
+      "graft.RichEvent" -> Encoders.product[RichEvent].schema.json))
+    val src = ClientGen.dataSource(d, "g")
+    assert(src.contains(
+      "final case class RichEvent(id: Long, name: String, note: String, " +
+        "at: java.sql.Timestamp, attrs: Map[String, String], inner: RichEventInner)"),
+      src)
+    // Inner.y is Option[Double] -> nullable double -> Option round-trips;
+    // Inner.x is Int (non-nullable) -> Int
+    assert(src.contains("final case class RichEventInner(x: Int, y: Option[Double])"), src)
+  }
+
   test("one call + one replies method per service method") {
     val multi = desc.copy(serviceMethods = Seq(
       ServiceMethod("graft.examples.Ping", "graft.examples.Pong"),

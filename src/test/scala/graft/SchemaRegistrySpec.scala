@@ -69,4 +69,36 @@ class SchemaRegistrySpec extends AnyFunSuite {
     val r2 = new SchemaRegistry(Some(dir))
     assert(r2.get("t.Ev").map(_.schema) === Some(base.schema))
   }
+
+  test("Scala default values are recovered via apply$default$N reflection") {
+    val d = SchemaRegistry.reflectedDefaults[Evolved](
+      org.apache.spark.sql.Encoders.product[Evolved])
+    assert(d === Map("b" -> "\"dflt\"", "c" -> "7"))
+  }
+
+  test("add-field-with-Scala-default evolves with NO explicit declaration") {
+    val r = new SchemaRegistry()
+    // v1 of the type: just field a (same fqn as the evolved case class)
+    val enc = org.apache.spark.sql.Encoders.product[Evolved]
+    val v1 = TypeSchema(classOf[Evolved].getName,
+      StructType(Seq(StructField("a", IntegerType, nullable = false))))
+    r.register(v1)
+    // v2 = the real case class: adds b (default "dflt") and c (default 7)
+    // — rule 2 passes purely on reflected defaults, like the reference's
+    // source-recovered defaults (Typebus.scala:227-257)
+    val merged = r.register[Evolved]()(enc)
+    assert(merged.defaults.keySet === Set("b", "c"))
+    // the no-default twin still fails rule 2
+    val v1n = TypeSchema(classOf[EvolvedNoDefault].getName,
+      StructType(Seq(StructField("a", IntegerType, nullable = false))))
+    r.register(v1n)
+    val e = intercept[IllegalArgumentException] {
+      r.register[EvolvedNoDefault]()(org.apache.spark.sql.Encoders.product[EvolvedNoDefault])
+    }
+    assert(e.getMessage.contains("added without a default"))
+  }
 }
+
+/** Evolution fixtures: v2 shapes of a type whose v1 had only `a`. */
+final case class Evolved(a: Int, b: String = "dflt", c: Long = 7L)
+final case class EvolvedNoDefault(a: Int, b: String)
