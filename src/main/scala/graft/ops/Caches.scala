@@ -30,19 +30,47 @@ import org.apache.spark.storage.StorageLevel
   * is always correct.
   */
 object Caches {
-  private val leased = new ConcurrentLinkedQueue[DataFrame]()
+  private val global = new ConcurrentLinkedQueue[DataFrame]()
+  private val current = new ThreadLocal[ConcurrentLinkedQueue[DataFrame]] {
+    override def initialValue(): ConcurrentLinkedQueue[DataFrame] = global
+  }
 
-  /** Persist `df` at `level` and register it for [[releaseAll]]. */
+  /** Persist `df` at `level` and register it for [[releaseAll]] (in the
+    * innermost [[scoped]] block, if any; else the process-global
+    * registry).
+    */
   def lease(df: DataFrame,
             level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     df.persist(level)
-    leased.add(df)
+    current.get().add(df)
     df
   }
 
-  /** Unpersist (non-blocking) every leased plan and clear the registry. */
-  def releaseAll(): Unit = {
-    var df = leased.poll()
-    while (df != null) { df.unpersist(blocking = false); df = leased.poll() }
+  private def drain(q: ConcurrentLinkedQueue[DataFrame]): Unit = {
+    var df = q.poll()
+    while (df != null) { df.unpersist(blocking = false); df = q.poll() }
   }
+
+  /** Isolate this thread's leases: operators built inside `body` lease
+    * into a scope-private registry that is fully released when the block
+    * exits — so two pipelines sharing one JVM cannot release each
+    * other's leases (a global `releaseAll` from a concurrent pipeline
+    * only costs that pipeline a recompute, but the isolation removes
+    * even that). Run the consuming ACTION inside the block; scopes nest.
+    * Thread-scoped: build and run the pipeline on the same thread.
+    */
+  def scoped[A](body: => A): A = {
+    val q = new ConcurrentLinkedQueue[DataFrame]()
+    val prev = current.get()
+    current.set(q)
+    try body
+    finally { current.set(prev); drain(q) }
+  }
+
+  /** Unpersist (non-blocking) every plan leased in the current scope and
+    * clear its registry. Safe to call at any time — an unpersisted plan
+    * simply recomputes — so a coarse per-query cadence (what Bench and
+    * Verify do, outside any scope) is always correct.
+    */
+  def releaseAll(): Unit = drain(current.get())
 }

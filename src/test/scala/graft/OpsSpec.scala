@@ -117,6 +117,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Caches.scoped isolates a pipeline's leases from the global registry") {
+    import graft.ops.Caches
+    import org.apache.spark.storage.StorageLevel
+    val outer = Seq(1).toDF("a")
+    val inner = Seq(2).toDF("b")
+    Caches.lease(outer)
+    Caches.scoped {
+      Caches.lease(inner)
+      assert(inner.storageLevel != StorageLevel.NONE)
+      // a scope-local releaseAll must not touch the outer lease
+      Caches.releaseAll()
+      assert(outer.storageLevel != StorageLevel.NONE)
+    }
+    assert(inner.storageLevel == StorageLevel.NONE)
+    assert(outer.storageLevel != StorageLevel.NONE,
+      "scope exit must release only its own leases")
+    Caches.releaseAll()
+    assert(outer.storageLevel == StorageLevel.NONE)
+  }
+
   test("simhash of identical docs is identical; of empty doc is stable") {
     val sh = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -138,6 +138,27 @@ class PlanAuditSpec extends SparkSpec {
       s"text must be reduced to hash rows before any shuffle:\n$p")
   }
 
+  test("pipeline_pack_sharded: one (stratum, shard) window exchange, text dropped before it") {
+    val p = plan("pipeline_pack_sharded")
+    assert(count(p, "Exchange") == 1,
+      s"sharded packing needs exactly one shuffle (the window):\n$p")
+    val ex = p.indexOf("Exchange hashpartitioning(")
+    assert(ex >= 0 && p.substring(ex, p.indexOf(')', ex)).contains("shard"),
+      s"the window exchange must partition by (stratum, shard) — the skew-free key:\n$p")
+    assert(!p.substring(0, p.indexOf("Exchange")).contains("text#"),
+      s"text must be reduced to token counts before the shuffle:\n$p")
+  }
+
+  test("embed_ann_topk (multi-probe): broadcast probes, bounded-heap top-k, no window sort") {
+    val p = plan("embed_ann_topk")
+    assert(!p.contains("Window"),
+      s"multi-probe ANN must not shuffle+sort every scored candidate:\n$p")
+    assert(count(p, "ObjectHashAggregate") >= 2,
+      s"graft_topk must partial-aggregate map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the probe side (queries x nprobe rows) must broadcast against the bucketed corpus:\n$p")
+  }
+
   test("rpc_correlation: correlation join shuffles both sides on the key once") {
     val p = plan("rpc_correlation")
     // events is small here, so Spark may broadcast; accept either a
