@@ -44,14 +44,20 @@ object Bench {
     // single-shot timings on a shared local[32] JVM swing 3-5x on
     // unchanged code (GC, JIT recompilation, page cache) — the median
     // makes per-round regressions attributable to the code again.
+    // Reps are INTERLEAVED round-robin (pass 1 of every query, then pass
+    // 2, ...): a transient stall then lands in one pass of a query, not
+    // in all of its back-to-back reps, so the median actually rejects it.
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3).max(1)
-    val results = queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.size / 2)
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    for (_ <- 1 to reps; (name, fn) <- queries) {
+      val t0 = System.nanoTime()
+      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+      val t = (System.nanoTime() - t0) / 1e9
+      samples.updateWith(name)(prev => Some(t :: prev.getOrElse(Nil)))
+    }
+    val results = samples.map { case (name, ts) =>
+      val sorted = ts.sorted
+      name -> sorted(sorted.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -465,6 +465,31 @@ object Similarity {
       .agg(expr(s"graft_topk(sim, c_id, $k)").as("top"))
   }
 
+  /** Streaming multi-probe LSH ANN: a STREAM of query vectors against a
+    * static bucketed corpus — [[streamingTopK]]'s scale path. The probe
+    * expansion ([[queryProbes]]) is a narrow streaming-safe projection,
+    * the bucket join is stream-static (candidates per query ≈ nprobe ×
+    * corpus / 2^bits, never the corpus scan the brute-force variant
+    * pays per batch), and the bounded per-query heap refines in update
+    * mode. State = one k-item heap per query.
+    */
+  def lshTopKStreaming(corpus: DataFrame, queryStream: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       bits: Int = 8, nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1 && nprobe <= bits, s"nprobe must be in [1, $bits]")
+    val corp = withCosine(corpus)
+    val cb = lshBuckets(corp, idCol, vecCol, bits)
+      .join(corp.select(col(idCol).as("_ci"), col(vecCol).as("c_vec")),
+        col(idCol) === col("_ci"))
+      .select(col(idCol).as("c_id"), col("c_vec"), col("bucket"))
+    queryProbes(queryStream, "q_id", "q_vec", bits, nprobe)
+      .join(cb, Seq("bucket"))
+      .where(col("q_id") =!= col("c_id"))
+      .withColumn("sim", round(expr(nativeCosine("q_vec", "c_vec")), 6))
+      .groupBy(col("q_id"))
+      .agg(expr(s"graft_topk(sim, c_id, $k)").as("top"))
+  }
+
   /** LINEAR embedding near-dup keeper — the mass-dedup scale path for
     * vectors (the twin of [[graft.ops.Dedup.minhashDedupKeepers]]): each
     * vector's keeper is the min id sharing its hyperplane-LSH bucket.

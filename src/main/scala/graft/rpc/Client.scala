@@ -19,17 +19,23 @@ import org.apache.spark.sql.{Dataset, Encoder}
   * timeouts become unmatched-request rows instead of AskTimeoutException
   * (SURVEY.md §7.4: trigger-granularity timeouts).
   */
-final class Client(val service: String, bus: Bus) {
+final class Client(val service: String, bus: Bus,
+                   codec: PayloadCodec = EnvelopeCodec) {
 
   val clientId: String = java.util.UUID.randomUUID().toString
 
   /** Publish enveloped requests; returns the request eventIds to
-    * correlate on (GatherActor.scala:56-70 meta construction).
+    * correlate on (GatherActor.scala:56-70 meta construction). Payload
+    * bytes go THROUGH THE ENGINE via the configured codec, so
+    * driver-built request envelopes are byte-identical to columnar-built
+    * ones for any wire format (test/RPC-client path only — not a hot
+    * path; the documented driver-side collect).
     */
   def call[T](requests: Seq[T], correlationId: Option[String] = None)
              (implicit enc: Encoder[T]): Seq[String] = {
     val fqn = EnvelopeCodec.fqnOf[T]
-    val payloads = bus.encodePayloads(requests)
+    val payloads = codec.encode(bus.spark.createDataset(requests)(enc))(enc)
+      .select("payload").collect().map(_.getAs[Array[Byte]](0)).toSeq
     val ids = requests.map(_ => java.util.UUID.randomUUID().toString)
     val now = new java.sql.Timestamp(System.currentTimeMillis())
     bus.publishEnvelopes(fqn, ids.zip(payloads).map { case (id, p) =>
@@ -50,5 +56,5 @@ final class Client(val service: String, bus: Bus) {
     * Service.scala:90-103).
     */
   def replies[U](implicit enc: Encoder[U]): Dataset[(U, EventMeta)] =
-    EnvelopeCodec.decodeWithMeta[U](bus.source(service))
+    codec.decodeWithMeta[U](bus.source(service))
 }

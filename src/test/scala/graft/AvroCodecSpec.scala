@@ -91,6 +91,28 @@ class AvroCodecSpec extends SparkSpec {
     assert(AvroPayloadCodec.decodeTyped[Pong](env).collect().toSeq === Seq(Pong(42, "t")))
   }
 
+  test("full Avro RPC loop: client.call -> service -> K2 back-channel -> typed replies") {
+    val bus = new MemoryBus(spark)
+    val flow = new ServiceFlow("avro-server", bus,
+      new graft.schema.SchemaRegistry(), AvroPayloadCodec)
+    flow.registerStream[Ping, Pong]((p, _) => Pong(p.n * 2, p.tag))
+    val client = new graft.rpc.Client("avro-caller", bus, AvroPayloadCodec)
+    val ids = client.call(Seq(Ping(3, "a"), Ping(4, "b")))
+    val serverQs = flow.startPublishing()
+    val replyQ = client.replies[Pong].toDF()
+      .writeStream.format("memory").queryName("avro_client_replies")
+      .outputMode("append").start()
+    try {
+      serverQs.foreach(_.processAllAvailable())
+      replyQ.processAllAvailable()
+      val got = spark.table("avro_client_replies")
+        .select(col("_1.doubled"), col("_2.responseTo"))
+        .as[(Int, String)].collect().sortBy(_._1)
+      assert(got.map(_._1).toSeq === Seq(6, 8))
+      assert(got.map(_._2).toSet === ids.toSet)
+    } finally { replyQ.stop(); serverQs.foreach(_.stop()) }
+  }
+
   test("service round trip over MemoryBus with the Avro codec plugged in") {
     val bus = new MemoryBus(spark)
     val flow = new ServiceFlow("avro-svc", bus,

@@ -108,6 +108,36 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming multi-probe LSH ANN matches the batch lshTopK on the same data") {
+    implicit val sq = spark.sqlContext
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.05f)), (11L, Array(0.9f, 0.1f)),
+      (12L, Array(0.0f, 1.0f)), (13L, Array(0.1f, 0.9f)),
+      (14L, Array(-1.0f, -0.1f)), (15L, Array(0.7f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val queries = MemoryStream[(Long, Array[Float])]
+    val out = graft.ops.Similarity.lshTopKStreaming(
+      corpus, queries.toDF().toDF("q_id", "q_vec"), "vec_id", "embedding",
+      k = 2, nprobe = 2)
+    val q = out.writeStream.format("memory").queryName("lsh_stream")
+      .outputMode("update").start()
+    try {
+      // the query equals corpus vector 10's direction, so its own bucket
+      // is guaranteed non-empty; probing adds the nearest flipped bucket
+      queries.addData((100L, Array(1.0f, 0.05f)))
+      q.processAllAvailable()
+      val got = spark.table("lsh_stream").where($"q_id" === 100L)
+        .selectExpr("transform(top, t -> t.c_id) AS ids").as[Seq[Long]].collect().last
+      val expect = graft.ops.Similarity.lshTopK(
+          corpus, Seq((100L, Array(1.0f, 0.05f))).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", k = 2, nprobe = 2)
+        .orderBy($"rank").select($"c_id").as[Long].collect().toSeq
+      assert(got === expect,
+        "streaming heap result must equal the batch multi-probe ranking")
+      assert(got.head == 10L, "the identical-direction vector ranks first")
+    } finally q.stop()
+  }
+
   test("stateless text features (langId) run unchanged on a streaming Dataset") {
     implicit val sq = spark.sqlContext
     val docs = MemoryStream[(Long, String)]
