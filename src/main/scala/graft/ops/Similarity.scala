@@ -550,4 +550,87 @@ object Similarity {
        |FROM b a JOIN b b ON a.bucket = b.bucket AND a.$idCol < b.$idCol
        |WHERE round(${duckCosine("a.vec", "b.vec")}, 6) >= $threshold""".stripMargin
   }
+
+  // ================= int8 scalar quantization ============================
+
+  /** Symmetric per-vector int8 scalar quantization: scale = max|x| / 127
+    * (1.0 for the all-zero vector so the codes stay defined), code_i =
+    * floor(x_i / scale + 0.5) ∈ [-127, 127]. The compression step of a
+    * quantized ANN index: at 100 TB the corpus is stored and scanned as
+    * 1-byte codes (4× less I/O and cache traffic than float32), and
+    * because COSINE is scale-invariant the per-vector scale cancels —
+    * searching directly on the codes needs no dequantization at all
+    * ([[quantizedTopK]]).
+    *
+    * `floor(x + 0.5)` instead of `round(x)` deliberately: both engines
+    * compute the same IEEE double for `x_i / scale + 0.5`, and `floor` is
+    * exact on doubles, so codes are bit-identical cross-engine with no
+    * dependence on either engine's round-half tie rule. Codes divide by
+    * the EXACT scale (the same max|x|/127 double on both engines); the
+    * emitted `scale` column alone is rounded to 9 digits, purely for
+    * portable stringification.
+    *
+    * Honest caveat: Spark's `ARRAY<INT>` column is not 1-byte-packed in
+    * memory; the operator pins the quantization arithmetic and the
+    * code-domain search contract. The storage win is realized by writing
+    * the codes as a packed BINARY column at rest (parquet BYTE_ARRAY),
+    * which is a straight `transform`+`concat` away from this output.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val maxAbs = s"aggregate($vecCol, cast(0.0 AS DOUBLE), " +
+      s"(acc, v) -> greatest(acc, abs(cast(v AS DOUBLE))))"
+    val scale = s"IF(__m = 0.0D, 1.0D, __m / 127.0D)"
+    df.select(col(idCol),
+        expr(PortableHash.let1("__m", maxAbs, scale)).as("scale"),
+        col(vecCol))
+      .select(col(idCol), round(col("scale"), 9).as("scale"),
+        expr(s"transform($vecCol, x -> cast(floor(cast(x AS DOUBLE) / scale + 0.5D) AS INT))")
+          .as("qvec"))
+  }
+
+  /** DuckDB twin of [[quantizeInt8]] (same fold, same floor+0.5). */
+  def quantizeInt8Sql(table: String, idCol: String, vecCol: String): String = {
+    val maxAbs = s"list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform($vecCol, v -> abs(v::DOUBLE))), (acc, v) -> greatest(acc, v))"
+    s"""WITH m AS (
+       |  SELECT $idCol, $vecCol AS vec,
+       |    CASE WHEN $maxAbs = 0.0 THEN 1.0 ELSE $maxAbs / 127.0 END AS s
+       |  FROM $table)
+       |SELECT $idCol, round(s, 9) AS scale,
+       |  list_transform(vec, x -> CAST(floor(x::DOUBLE / s + 0.5) AS INT)) AS qvec
+       |FROM m""".stripMargin
+  }
+
+  /** Exact-over-codes ANN: brute-force top-k cosine computed ON the int8
+    * codes (scale cancels in cosine, so no dequantization). Same plan
+    * shape as [[bruteForceTopK]] — broadcast quantized queries × one
+    * corpus scan × bounded-heap top-k — but the scanned vector payload is
+    * the 1-byte-per-dim code domain. Codes ≤ 127 are exactly
+    * float-representable, so the native compiled cosine kernel runs
+    * unchanged on the cast codes, bit-equal to the oracle's int folds.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    val qz = quantizeInt8(queries, idCol, vecCol)
+      .select(col(idCol).as("q_id"), expr("cast(qvec AS ARRAY<FLOAT>)").as("q_vec"))
+    val cz = quantizeInt8(Par.floor(withCosine(corpus), col(idCol)), idCol, vecCol)
+      .select(col(idCol).as("c_id"), expr("cast(qvec AS ARRAY<FLOAT>)").as("c_vec"))
+    val scored = broadcast(qz).join(cz, col("q_id") =!= col("c_id"))
+      .withColumn("sim", round(expr(nativeCosine("q_vec", "c_vec")), 6))
+    topkByQuery(scored, k)
+  }
+
+  def quantizedTopKSql(table: String, idCol: String, vecCol: String,
+                       k: Int, queryPred: String): String =
+    s"""WITH z AS (${quantizeInt8Sql(table, idCol, vecCol)}),
+       |q AS (SELECT $idCol AS q_id, qvec AS q_vec FROM z WHERE $queryPred),
+       |c AS (SELECT $idCol AS c_id, qvec AS c_vec FROM z),
+       |scored AS (
+       |  SELECT q_id, c_id, round(${duckCosine("q_vec", "c_vec")}, 6) AS sim
+       |  FROM q JOIN c ON q_id <> c_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= $k""".stripMargin
 }

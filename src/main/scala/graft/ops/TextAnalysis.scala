@@ -156,6 +156,60 @@ object TextAnalysis {
     s"SELECT $id, ${duckFoldHashes(wordHashes)} AS fingerprint FROM $table"
   }
 
+  /** Per-document repetition signals (Gopher-style quality filters —
+    * repetitious documents are low-value pretraining data and the
+    * strongest cheap predictor of boilerplate/spam):
+    *
+    *  - `dup_word_frac`: 1 − distinct words / total words — computed in
+    *    the scan projection (array_distinct over the split words; zero
+    *    shuffle for this signal).
+    *  - `top_bigram_frac`: occurrences of the document's most frequent
+    *    word bigram / total bigrams — the distributed formulation:
+    *    explode bigrams → count per (doc, bigram) with map-side partial
+    *    aggregation → per-doc max/total. Two keyed exchanges, both
+    *    carrying one row per DISTINCT (doc, bigram) after partial
+    *    combine; never a per-doc in-memory frequency map, so a single
+    *    pathological 10 GB document cannot OOM an executor (the HOF
+    *    "build a map per row" alternative would).
+    *
+    * Documents with fewer than 2 words have no bigrams and are excluded
+    * (identically on both engines).
+    */
+  def repetitionSignals(df: DataFrame, id: String, text: String): DataFrame = {
+    val base = graft.functions.VectorFunctions.attach(df)
+      .select(col(id), expr(s"split($text, ' ')").as("__w"))
+      .where(expr("size(__w) >= 2"))
+      .select(col(id),
+        round(lit(1.0) - expr("cast(size(array_distinct(__w)) AS DOUBLE)") /
+          expr("cast(size(__w) AS DOUBLE)"), 6).as("dup_word_frac"),
+        explode(expr("graft_ngrams(__w, 2)")).as("gram"))
+    base.groupBy(col(id), col("gram"))
+      .agg(count(lit(1)).as("c"), max(col("dup_word_frac")).as("dwf"))
+      .groupBy(col(id))
+      .agg(max(col("dwf")).as("dup_word_frac"),
+        round(expr("cast(max(c) AS DOUBLE)") / expr("cast(sum(c) AS DOUBLE)"), 6)
+          .as("top_bigram_frac"))
+  }
+
+  /** DuckDB twin of [[repetitionSignals]] (same split/distinct/bigram
+    * arithmetic; unnest-based so the grouping mirrors the exploded plan).
+    */
+  def repetitionSignalsSql(table: String, id: String, text: String): String = {
+    val w = s"string_split($text, ' ')"
+    s"""WITH d AS (
+       |  SELECT $id,
+       |    round(1.0 - len(list_distinct($w))::DOUBLE / len($w)::DOUBLE, 6) AS dwf,
+       |    list_transform(generate_series(1, len($w) - 1),
+       |      i -> ($w)[i] || ' ' || ($w)[i + 1]) AS bis
+       |  FROM $table WHERE len($w) >= 2),
+       |e AS (SELECT $id, dwf, unnest(bis) AS gram FROM d),
+       |g AS (SELECT $id, gram, count(*) AS c, max(dwf) AS dwf
+       |      FROM e GROUP BY $id, gram)
+       |SELECT $id, max(dwf) AS dup_word_frac,
+       |  round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_bigram_frac
+       |FROM g GROUP BY $id""".stripMargin
+  }
+
   /** Corpus-wide top-k word n-grams by occurrence count (every occurrence
     * counts — no per-doc distinct). Plan: one scan → explode → hash
     * aggregate (map-side partial combine, so the exchange carries one row

@@ -553,7 +553,44 @@ object Queries {
              |SELECT e.user_id, first_event, count(*) AS n,
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events e JOIN dim USING (user_id)
-             |GROUP BY e.user_id, first_event""".stripMargin))
+             |GROUP BY e.user_id, first_event""".stripMargin)),
+
+    // gap-based sessionization (30-min inactivity): the keyed-state
+    // operator over per-entity event lanes — gaps-and-islands windows,
+    // ONE exchange + ONE sort on the user key (both window frames share
+    // them); the session_window streaming twin is SessionizeSpec-pinned
+    QueryDef("session_agg",
+      (s, dir) => graft.ops.Sessionize.sessions(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "value", gapMinutes = 30),
+      Some(graft.ops.Sessionize.sessionsSql("events",
+        "user_id", "ts", "event_id", "value", gapMinutes = 30))),
+
+    // int8 scalar quantization: per-vector symmetric scale + code array —
+    // the 4x-compression step of a quantized ANN index
+    QueryDef("embed_quantize",
+      (s, dir) => Similarity.quantizeInt8(t(s, dir, "embeddings"),
+        "vec_id", "embedding"),
+      Some(Similarity.quantizeInt8Sql("embeddings", "vec_id", "embedding"))),
+
+    // ANN over the quantized code domain: cosine is scale-invariant, so
+    // search runs directly on int8 codes (no dequantization) with the
+    // same broadcast x scan x bounded-heap plan as embed_topk_cosine
+    QueryDef("embed_quant_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.quantizedTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+      },
+      Some(Similarity.quantizedTopKSql("embeddings", "vec_id", "embedding",
+        k = 5, queryPred = "vec_id < 10"))),
+
+    // Gopher-style repetition quality signals: dup-word fraction from the
+    // scan projection; top-bigram fraction via explode -> partial-agg
+    // (never a per-doc in-memory frequency map)
+    QueryDef("text_repetition",
+      (s, dir) => TextAnalysis.repetitionSignals(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some(TextAnalysis.repetitionSignalsSql("documents", "doc_id", "text")))
   )
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =
