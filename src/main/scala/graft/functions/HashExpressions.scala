@@ -192,6 +192,26 @@ case class NGrams(child: Expression, n: Int) extends HashArrayExpression {
     copy(child = c)
 }
 
+/** `graft_top_ngram_count(words, n)`: max occurrence count of any word
+  * n-gram in the row (single-pass frequency map bounded by the row's own
+  * n-gram count; see [[HashOps.topNgramCount]]).
+  */
+case class TopNgramCount(child: Expression, n: Int) extends HashArrayExpression {
+  override def prettyName: String = "graft_top_ngram_count"
+  override protected def requiredElem: DataType = StringType
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(words: Any): Any =
+    HashOps.topNgramCount(words.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, w =>
+      s"${ev.value} = graft.functions.HashOps.topNgramCount($w, $n);")
+
+  override protected def withNewChildInternal(c: Expression): TopNgramCount =
+    copy(child = c)
+}
+
 /** `graft_intersect_count(a, b)`: |A ∩ B| of two SORTED distinct BIGINT
   * arrays (two-pointer merge; see [[HashOps.sortedIntersectCount]]).
   */

@@ -179,6 +179,34 @@ object HashOps {
     acc
   }
 
+  /** Max occurrence count of any word n-gram — one pass over the row
+    * with a frequency map bounded by THIS document's n-gram count (the
+    * row-local twin of the distributed (doc, ngram) count-then-max
+    * aggregation; see [[graft.ops.TextAnalysis.repetitionSignalsLocal]]
+    * for when each shape is the right one). 0 when fewer than n words.
+    */
+  def topNgramCount(words: ArrayData, n: Int): Int = {
+    val total = words.numElements()
+    if (total < n) return 0
+    val counts = new java.util.HashMap[String, Int]()
+    val sb = new java.lang.StringBuilder()
+    var best = 0
+    var i = 0
+    while (i <= total - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best
+  }
+
   /** All word n-grams in order (every occurrence — no dedup), joined by
     * single spaces: the compiled twin of the
     * `transform(sequence(...), i -> concat(...))` fragment.

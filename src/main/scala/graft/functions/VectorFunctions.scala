@@ -134,6 +134,8 @@ object VectorFunctions {
       (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))),
     "graft_ngrams" -> (classOf[NGrams],
       (e: Seq[Expression]) => NGrams(e(0), intLit(e(1), "graft_ngrams"))),
+    "graft_top_ngram_count" -> (classOf[TopNgramCount],
+      (e: Seq[Expression]) => TopNgramCount(e(0), intLit(e(1), "graft_top_ngram_count"))),
     "graft_simhash" -> (classOf[SimhashWords],
       (e: Seq[Expression]) => SimhashWords(e(0), intLit(e(1), "graft_simhash"))),
     "graft_fingerprint" -> (classOf[FingerprintWords],

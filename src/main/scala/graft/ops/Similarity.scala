@@ -580,12 +580,17 @@ object Similarity {
     val maxAbs = s"aggregate($vecCol, cast(0.0 AS DOUBLE), " +
       s"(acc, v) -> greatest(acc, abs(cast(v AS DOUBLE))))"
     val scale = s"IF(__m = 0.0D, 1.0D, __m / 127.0D)"
+    // The max-abs fold is BOUND AS A LAMBDA VARIABLE (let1) around the
+    // code transform, not referenced as a sibling column: CollapseProject
+    // happily substitutes a column-level scale INTO the per-element
+    // lambda, re-running the O(d) fold for every element — O(d²) per row,
+    // measured 36x slower than the float scan at 500k×128d. A lambda
+    // binding is evaluated once per row no matter how projections merge.
+    val codes = PortableHash.let1("__m", maxAbs,
+      s"transform($vecCol, x -> cast(floor(cast(x AS DOUBLE) / $scale + 0.5D) AS INT))")
     df.select(col(idCol),
-        expr(PortableHash.let1("__m", maxAbs, scale)).as("scale"),
-        col(vecCol))
-      .select(col(idCol), round(col("scale"), 9).as("scale"),
-        expr(s"transform($vecCol, x -> cast(floor(cast(x AS DOUBLE) / scale + 0.5D) AS INT))")
-          .as("qvec"))
+      round(expr(PortableHash.let1("__m", maxAbs, scale)), 9).as("scale"),
+      expr(codes).as("qvec"))
   }
 
   /** DuckDB twin of [[quantizeInt8]] (same fold, same floor+0.5). */

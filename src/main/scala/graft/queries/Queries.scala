@@ -590,6 +590,14 @@ object Queries {
     QueryDef("text_repetition",
       (s, dir) => TextAnalysis.repetitionSignals(
         t(s, dir, "documents"), "doc_id", "text"),
+      Some(TextAnalysis.repetitionSignalsSql("documents", "doc_id", "text"))),
+
+    // the zero-shuffle scale path for the same signals: compiled
+    // single-pass top-ngram count in the scan projection (per-row-bounded
+    // memory); same oracle — the two formulations must agree exactly
+    QueryDef("text_repetition_local",
+      (s, dir) => TextAnalysis.repetitionSignalsLocal(
+        t(s, dir, "documents"), "doc_id", "text"),
       Some(TextAnalysis.repetitionSignalsSql("documents", "doc_id", "text")))
   )
 

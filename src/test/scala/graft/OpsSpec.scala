@@ -185,4 +185,22 @@ class OpsSpec extends SparkSpec {
     assert(frames.map(_.getInt(1)).toSeq === Seq(0, 1))
     assert(frames.forall(_.getAs[Array[Byte]](2).length === 4))
   }
+
+  test("repetition signals: row-local form equals the distributed form exactly") {
+    // repetition-heavy fixtures: full-dup doc, alternating bigram, unique
+    val rep = Seq(
+      (10L, "spam spam spam spam"),          // dup 3/4, top bigram 3/3
+      (11L, "a b a b a b a"),                // "a b" x3 of 6 bigrams
+      (12L, "all words here are distinct"),
+      (13L, "x y"), (14L, "solo"), (15L, "")
+    ).toDF("doc_id", "text")
+    val dist = TextAnalysis.repetitionSignals(rep, "doc_id", "text")
+    val local = TextAnalysis.repetitionSignalsLocal(rep, "doc_id", "text")
+    assert(local.except(dist).isEmpty && dist.except(local).isEmpty,
+      "the zero-shuffle and exploded formulations must agree row-for-row")
+    val m = local.collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(m(10L) === ((0.75, 1.0)))
+    assert(m(11L) === ((0.714286, 0.5)))
+    assert(!m.contains(14L) && !m.contains(15L), "docs with <2 words are excluded")
+  }
 }

@@ -159,6 +159,44 @@ class PlanAuditSpec extends SparkSpec {
       s"the probe side (queries x nprobe rows) must broadcast against the bucketed corpus:\n$p")
   }
 
+  test("session_agg: one exchange + one sort drive both windows AND the final aggregate") {
+    val p = plan("session_agg")
+    assert(count(p, "Exchange") == 1,
+      s"the lag flag, the running counter, and the (user, session) aggregate must all " +
+        s"reuse the single user-key exchange:\n$p")
+    assert(count(p, "Sort") == 1,
+      s"the second window and the aggregate must reuse the first window's sort order:\n$p")
+    assert(count(p, "Window") == 2, s"expected the two gaps-and-islands windows:\n$p")
+  }
+
+  test("embed_quant_topk: code-domain search keeps the brute-force scale shape") {
+    val p = plan("embed_quant_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"quantized queries must broadcast against one quantized corpus scan:\n$p")
+    assert(!p.contains("Window") && count(p, "ObjectHashAggregate") >= 2,
+      s"top-k over codes must stay the partial-aggregating bounded heap:\n$p")
+  }
+
+  test("text_repetition: two keyed partial-agg exchanges, text dropped before the first") {
+    val p = plan("text_repetition")
+    assert(count(p, "Exchange") == 2,
+      s"(doc, bigram) counting then per-doc max/total — exactly two shuffles:\n$p")
+    assert(count(p, "HashAggregate") >= 4,
+      s"both aggregations must combine map-side (the exchanges carry distinct " +
+        s"(doc, bigram) rows, not every bigram occurrence):\n$p")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstExchange >= 0 && !p.substring(0, firstExchange).contains("text#"),
+      s"text must be exploded to bigram rows before any shuffle:\n$p")
+  }
+
+  test("text_repetition_local: repetition scoring is a pure map — zero shuffles") {
+    val p = plan("text_repetition_local")
+    assert(count(p, "Exchange") == 0,
+      s"the compiled top-ngram count must run inside the scan projection:\n$p")
+    assert(p.contains("graft_top_ngram_count"),
+      s"the single-pass native counter must be in the plan:\n$p")
+  }
+
   test("rpc_correlation: correlation join shuffles both sides on the key once") {
     val p = plan("rpc_correlation")
     // events is small here, so Spark may broadcast; accept either a
