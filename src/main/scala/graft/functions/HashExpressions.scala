@@ -212,6 +212,54 @@ case class TopNgramCount(child: Expression, n: Int) extends HashArrayExpression 
     copy(child = c)
 }
 
+/** `graft_pack_i8(codes)`: pack int8 quantization codes into a signed
+  * byte BINARY (see [[HashOps.packI8]]).
+  */
+case class PackInt8(child: Expression) extends HashArrayExpression {
+  override def prettyName: String = "graft_pack_i8"
+  override protected def requiredElem: DataType = IntegerType
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(codes: Any): Any =
+    HashOps.packI8(codes.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.packI8($c);")
+
+  override protected def withNewChildInternal(c: Expression): PackInt8 =
+    copy(child = c)
+}
+
+/** `graft_cosine_i8(a, b)`: cosine over two packed int8 code binaries
+  * (see [[HashOps.cosineI8]]; fold order identical to the unpacked
+  * twin, so results are bit-equal to scoring the int arrays).
+  */
+case class CosineI8(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "graft_cosine_i8"
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two BINARY code vectors, got ${l.catalogString} / ${r.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.cosineI8(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashOps.cosineI8($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineI8 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_intersect_count(a, b)`: |A ∩ B| of two SORTED distinct BIGINT
   * arrays (two-pointer merge; see [[HashOps.sortedIntersectCount]]).
   */

@@ -231,6 +231,38 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** Pack int8 quantization codes (each in [-127, 127]) into a signed
+    * byte array — the at-rest / in-memory form that actually realizes
+    * the 4× compression vs float32 (Spark `ARRAY<INT>` holds 4-byte
+    * elements; `BINARY` is byte-packed, and parquet stores it as plain
+    * BYTE_ARRAY).
+    */
+  def packI8(codes: ArrayData): Array[Byte] = {
+    val n = codes.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = codes.getInt(i).toByte; i += 1 }
+    out
+  }
+
+  /** Cosine over two PACKED int8 code vectors: the same ascending-index
+    * double fold as every other cosine in the engine (bit-equal to the
+    * list-of-int folds the oracle runs — small-int products and sums are
+    * exact in double), but scanning 1-byte codes straight out of the
+    * packed binary. NaN for a zero-norm side, like the float kernel.
+    */
+  def cosineI8(a: Array[Byte], b: Array[Byte]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** |A ∩ B| of two SORTED distinct long arrays by two-pointer merge —
     * O(|A|+|B|) with zero per-call allocation, vs the hash-set
     * `array_intersect` builds per pair. Callers sort once per document

@@ -136,6 +136,10 @@ object VectorFunctions {
       (e: Seq[Expression]) => NGrams(e(0), intLit(e(1), "graft_ngrams"))),
     "graft_top_ngram_count" -> (classOf[TopNgramCount],
       (e: Seq[Expression]) => TopNgramCount(e(0), intLit(e(1), "graft_top_ngram_count"))),
+    "graft_pack_i8" -> (classOf[PackInt8],
+      (e: Seq[Expression]) => PackInt8(e(0))),
+    "graft_cosine_i8" -> (classOf[CosineI8],
+      (e: Seq[Expression]) => CosineI8(e(0), e(1))),
     "graft_simhash" -> (classOf[SimhashWords],
       (e: Seq[Expression]) => SimhashWords(e(0), intLit(e(1), "graft_simhash"))),
     "graft_fingerprint" -> (classOf[FingerprintWords],

@@ -638,4 +638,44 @@ object Similarity {
        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
        |  FROM scored)
        |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** [[quantizeInt8]] with the codes PACKED into a signed-byte BINARY
+    * column (`graft_pack_i8`) — the form that actually realizes the 4×
+    * compression: Spark `ARRAY<INT>` holds 4-byte elements, `BINARY` is
+    * byte-packed, and parquet writes it as plain BYTE_ARRAY. This is
+    * the at-rest layout of a 100 TB quantized corpus.
+    */
+  def quantizePacked(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    quantizeInt8(graft.functions.VectorFunctions.attach(df), idCol, vecCol)
+      .select(col(idCol), col("scale"), expr("graft_pack_i8(qvec)").as("qcodes"))
+
+  /** DuckDB twin of [[quantizePacked]] for the byte-layout check: emits
+    * the packed codes as uppercase hex (two's-complement bytes), the
+    * exact string Spark's `hex(BINARY)` produces.
+    */
+  def quantizePackedHexSql(table: String, idCol: String, vecCol: String): String =
+    s"""WITH z AS (${quantizeInt8Sql(table, idCol, vecCol)})
+       |SELECT $idCol, scale,
+       |  list_reduce(list_prepend('', list_transform(qvec,
+       |    c -> upper(lpad(to_hex((c + 256) % 256), 2, '0')))),
+       |    (a, b) -> a || b) AS codes_hex
+       |FROM z""".stripMargin
+
+  /** [[quantizedTopK]] over PACKED codes: the compiled `graft_cosine_i8`
+    * kernel scans 1-byte codes straight out of the binary — identical
+    * fold order to the unpacked/int-list twins, so results are bit-equal
+    * (the oracle runs the int-list form). Same broadcast × scan ×
+    * bounded-heap plan; the scanned vector payload is now genuinely
+    * 1 byte per dimension end to end.
+    */
+  def quantizedTopKPacked(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, k: Int): DataFrame = {
+    val qz = quantizePacked(queries, idCol, vecCol)
+      .select(col(idCol).as("q_id"), col("qcodes").as("q_codes"))
+    val cz = quantizePacked(Par.floor(withCosine(corpus), col(idCol)), idCol, vecCol)
+      .select(col(idCol).as("c_id"), col("qcodes").as("c_codes"))
+    val scored = broadcast(qz).join(cz, col("q_id") =!= col("c_id"))
+      .withColumn("sim", round(expr("graft_cosine_i8(q_codes, c_codes)"), 6))
+    topkByQuery(scored, k)
+  }
 }

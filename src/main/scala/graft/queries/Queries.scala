@@ -584,6 +584,28 @@ object Queries {
       Some(Similarity.quantizedTopKSql("embeddings", "vec_id", "embedding",
         k = 5, queryPred = "vec_id < 10"))),
 
+    // the packed-binary quantized corpus: codes as signed-byte BINARY
+    // (the layout that realizes the 4x compression at rest) — the oracle
+    // checks the exact two's-complement byte layout via hex
+    QueryDef("embed_quantize_packed",
+      (s, dir) => Similarity.quantizePacked(t(s, dir, "embeddings"),
+          "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          hex(col("qcodes")).as("codes_hex")),
+      Some(Similarity.quantizePackedHexSql("embeddings", "vec_id", "embedding"))),
+
+    // ANN over the PACKED code domain: compiled graft_cosine_i8 scans
+    // 1-byte codes straight from the binary; bit-equal to the int-list
+    // form the oracle runs
+    QueryDef("embed_quant_topk_packed",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.quantizedTopKPacked(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+      },
+      Some(Similarity.quantizedTopKSql("embeddings", "vec_id", "embedding",
+        k = 5, queryPred = "vec_id < 10"))),
+
     // Gopher-style repetition quality signals: dup-word fraction from the
     // scan projection; top-bigram fraction via explode -> partial-agg
     // (never a per-doc in-memory frequency map)

@@ -43,6 +43,28 @@ class QuantizeSpec extends SparkSpec {
         s"code-domain cosine for $id drifted: exact $s vs quantized ${quant(id)}") }
   }
 
+  test("packed bytes round-trip the codes and pay 1 byte per dimension") {
+    val q = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .select($"vec_id", $"qvec").as[(Long, Seq[Int])].collect().toMap
+    val p = Similarity.quantizePacked(vecs, "vec_id", "embedding")
+      .select($"vec_id", $"qcodes").as[(Long, Array[Byte])].collect().toMap
+    q.foreach { case (id, codes) =>
+      assert(p(id).length === codes.length, "binary must hold exactly d bytes")
+      assert(p(id).toSeq.map(_.toInt) === codes,
+        s"signed-byte layout must round-trip the codes for $id") }
+  }
+
+  test("packed-code search returns exactly the unpacked quantized ranking") {
+    val unpacked = Similarity.quantizedTopK(vecs.where($"vec_id" =!= 3L),
+        vecs.where($"vec_id" === 0L), "vec_id", "embedding", k = 4)
+      .orderBy($"rank").select($"c_id", $"sim").as[(Long, Double)].collect().toSeq
+    val packed = Similarity.quantizedTopKPacked(vecs.where($"vec_id" =!= 3L),
+        vecs.where($"vec_id" === 0L), "vec_id", "embedding", k = 4)
+      .orderBy($"rank").select($"c_id", $"sim").as[(Long, Double)].collect().toSeq
+    assert(packed === unpacked,
+      "graft_cosine_i8 over packed bytes must be bit-equal to the int-array fold")
+  }
+
   test("quantized ranking equals exact ranking on well-separated vectors") {
     val exact = Similarity.bruteForceTopK(vecs.where($"vec_id" =!= 3L),
         vecs.where($"vec_id" === 0L), "vec_id", "embedding", k = 4)
