@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: drop every corpus document sharing ANY
+  * k-word shingle with a benchmark/eval set — the standard guard against
+  * test-set leakage into pretraining data.
+  *
+  * Scale shape (the whole point): the benchmark side is SMALL (eval sets
+  * are thousands of documents), so its distinct shingle-hash set is
+  * reduced to ONE sorted array row and broadcast; the corpus pays one
+  * scan, computing each doc's shingle hashes with the compiled
+  * one-pass `graft_shingle_hashes` and probing the broadcast set with
+  * the two-pointer `graft_intersect_count` over once-sorted arrays.
+  * Zero corpus shuffle, no explode — the corpus never materializes a
+  * (doc, shingle) row set. At 100 TB this is a pure map over the corpus
+  * (the benchmark reduction is metadata-sized).
+  *
+  * Contaminated = intersect count > 0; the operator returns the CLEAN
+  * document ids with their shingle count (0-shingle docs — shorter than
+  * k words — carry no contamination evidence and are kept).
+  */
+object Decontaminate {
+
+  def cleanDocs(corpus: DataFrame, bench: DataFrame,
+                id: String, text: String, k: Int = 3): DataFrame = {
+    val attach = graft.functions.VectorFunctions.attach _
+    // one row: the benchmark's distinct shingle hashes, sorted for the
+    // two-pointer probe
+    val benchSet = attach(bench)
+      .select(explode(expr(Dedup.nativeShingleHashes(text, k))).as("h"))
+      .agg(sort_array(collect_set(col("h"))).as("bench_hs"))
+    attach(corpus)
+      .select(col(id),
+        expr(s"sort_array(${Dedup.nativeShingleHashes(text, k)})").as("doc_hs"))
+      .crossJoin(broadcast(benchSet))
+      .where(expr("graft_intersect_count(doc_hs, bench_hs) = 0"))
+      .select(col(id), size(col("doc_hs")).as("n_shingles"))
+  }
+
+  /** DuckDB twin: same shingle hashing, the one-row benchmark set cross
+    * joined in (a scalar subquery breaks once DuckDB inlines the
+    * lambda-bearing CTE: "Subqueries are not supported in lambda
+    * expressions"), `list_has_any` ≡ intersect-count > 0 (hash equality
+    * on both engines).
+    */
+  def cleanDocsSql(corpusTable: String, benchPred: String, corpusPred: String,
+                   id: String, text: String, k: Int = 3): String =
+    s"""WITH bench_hs AS (
+       |  SELECT list_sort(list(DISTINCT h)) AS hs FROM (
+       |    SELECT unnest(${Dedup.duckShingleHashes(text, k)}) AS h
+       |    FROM $corpusTable WHERE $benchPred)),
+       |corpus AS (
+       |  SELECT $id, ${Dedup.duckShingleHashes(text, k)} AS doc_hs
+       |  FROM $corpusTable WHERE $corpusPred)
+       |SELECT c.$id, len(c.doc_hs) AS n_shingles
+       |FROM corpus c, bench_hs b
+       |WHERE NOT list_has_any(c.doc_hs, b.hs)""".stripMargin
+}

@@ -122,6 +122,61 @@ object Sampling {
        |      OVER (PARTITION BY $strata ORDER BY $id) AS cum
        |  FROM $table)""".stripMargin
 
+  /** Temperature (α = 0.5) source rebalancing: per-stratum keep-rate
+    * `sqrt(n_min / n_s)` — the smallest source keeps everything, larger
+    * sources are downsampled so final sizes flatten toward uniform
+    * (`n_s → sqrt(n_min · n_s)`, the multilingual-corpus temperature
+    * trick). α = 0.5 deliberately: `sqrt` is CORRECTLY ROUNDED by IEEE
+    * 754 in both engines (general `pow` is not), and the basis-point
+    * cut uses exact `floor`, so membership is bit-deterministic
+    * cross-engine with no round-half dependence.
+    *
+    * Plan: one tiny partial-agg shuffle for the per-stratum counts
+    * (stratum-cardinality rows), rates broadcast back, and the corpus
+    * pays one scan + hash-membership filter — the same
+    * stable-under-repartitioning portable-hash membership as
+    * [[stratifiedSample]]. Zero corpus shuffle.
+    */
+  def temperatureSample(df: DataFrame, id: String, strata: String): DataFrame = {
+    val counts = df.groupBy(col(strata)).agg(count(lit(1)).as("n"))
+    val nMin = counts.agg(min(col("n")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col(strata),
+        expr("cast(floor(sqrt(cast(n_min AS DOUBLE) / cast(n AS DOUBLE)) * 10000) AS BIGINT)")
+          .as("rate_bp"))
+    df.join(broadcast(rates), strata)
+      .where(expr(s"(${sparkStringHash(s"cast($id AS STRING)")} % 10000) < rate_bp"))
+      .select(col(id), col(strata), col("rate_bp"))
+  }
+
+  def temperatureSampleSql(table: String, id: String, strata: String): String =
+    s"""WITH c AS (SELECT $strata, count(*) AS n FROM $table GROUP BY $strata),
+       |m AS (SELECT min(n) AS n_min FROM c),
+       |r AS (SELECT $strata,
+       |        CAST(floor(sqrt(n_min::DOUBLE / n::DOUBLE) * 10000) AS BIGINT) AS rate_bp
+       |      FROM c, m)
+       |SELECT d.$id, d.$strata, r.rate_bp
+       |FROM $table d JOIN r USING ($strata)
+       |WHERE (${duckStringHash(s"(d.$id)::VARCHAR")} % 10000) < rate_bp""".stripMargin
+
+  /** Best-k documents per stratum by a score column — corpus curation
+    * under a per-source budget. Uses the bounded-heap `graft_topk`
+    * aggregate: map-side partial aggregation reduces every scan task to
+    * one k-item heap per stratum, so the single exchange carries
+    * ≤ strata × k × partitions rows — the window formulation
+    * (`row_number() OVER (PARTITION BY stratum ORDER BY score)`) would
+    * shuffle and sort the entire corpus. Total order: score DESC,
+    * id ASC (ties must break identically on both engines).
+    */
+  def selectTopKPerStratum(scored: DataFrame, id: String, strata: String,
+                           scoreCol: String, k: Int): DataFrame =
+    graft.functions.VectorFunctions.attach(scored)
+      .groupBy(col(strata))
+      .agg(expr(s"graft_topk($scoreCol, $id, $k)").as("top"))
+      .select(col(strata), posexplode(col("top")))
+      .select(col(strata), col("col.c_id").as(id),
+        col("col.sim").as(scoreCol), (col("pos") + 1).as("rank"))
+
   def stratifiedSampleSql(table: String, id: String, strata: String,
                           rates: Map[String, Double],
                           default: Double): String = {

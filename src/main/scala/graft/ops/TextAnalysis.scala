@@ -86,6 +86,13 @@ object TextAnalysis {
     s"round(size(filter(split($text, ' '), w -> array_contains($stop, w))) / " +
       s"cast(size(split($text, ' ')) AS DOUBLE), 6)"
   }
+  /** DuckDB twin of [[stopwordRatioExpr]] (same marker set and rounding). */
+  def duckStopwordRatioExpr(text: String): String = {
+    val stop = markerList(langMarkers.flatMap(_._2).distinct.sorted, "duck")
+    s"round(len(list_filter(string_split($text, ' '), w -> list_contains($stop, w))) " +
+      s"/ (len(string_split($text, ' '))::DOUBLE), 6)"
+  }
+
   def nTokensExpr(text: String): String = s"graft_token_count($text)"
 
   /** Declarative regex twin of `graft_token_count` (parity baseline). */

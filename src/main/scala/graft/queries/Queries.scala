@@ -584,6 +584,56 @@ object Queries {
       Some(Similarity.quantizedTopKSql("embeddings", "vec_id", "embedding",
         k = 5, queryPred = "vec_id < 10"))),
 
+    // benchmark decontamination: corpus docs sharing any 3-shingle with
+    // the (small, broadcast) benchmark set are dropped — one corpus scan,
+    // compiled shingle hashes + two-pointer probe of one broadcast array,
+    // zero corpus shuffle and no (doc, shingle) explode
+    QueryDef("pipeline_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.ops.Decontaminate.cleanDocs(
+          docs.where(col("doc_id") >= 25), docs.where(col("doc_id") < 25),
+          "doc_id", "text")
+      },
+      Some(graft.ops.Decontaminate.cleanDocsSql("documents",
+        benchPred = "doc_id < 25", corpusPred = "doc_id >= 25",
+        "doc_id", "text"))),
+
+    // temperature (alpha=0.5) source rebalancing: keep-rate
+    // sqrt(n_min/n_s) per source via portable-hash membership — sqrt and
+    // floor are exact on both engines, so the sample is bit-deterministic.
+    // The testdata's sources are uniform (rate would be 1.0 everywhere =
+    // a vacuous filter), so the fixture derives a deterministically
+    // SKEWED grouping (5:3:2) to make the oracle exercise real rates
+    QueryDef("pipeline_temperature",
+      (s, dir) => graft.ops.Sampling.temperatureSample(
+        t(s, dir, "documents").withColumn("src_grp",
+          expr("CASE WHEN doc_id % 10 < 5 THEN 'heavy' " +
+            "WHEN doc_id % 10 < 8 THEN 'mid' ELSE 'light' END")),
+        "doc_id", "src_grp"),
+      Some(graft.ops.Sampling.temperatureSampleSql(
+        "(SELECT *, CASE WHEN doc_id % 10 < 5 THEN 'heavy' " +
+          "WHEN doc_id % 10 < 8 THEN 'mid' ELSE 'light' END AS src_grp " +
+          "FROM documents)",
+        "doc_id", "src_grp"))),
+
+    // per-source best-k selection by quality score: bounded-heap
+    // graft_topk per stratum (exchange carries strata x k x partitions
+    // rows; the oracle's window formulation sorts the corpus)
+    QueryDef("pipeline_select_topk",
+      (s, dir) => graft.ops.Sampling.selectTopKPerStratum(
+        graft.functions.VectorFunctions.attach(t(s, dir, "documents"))
+          .select(col("doc_id"), col("source"),
+            expr(TextAnalysis.stopwordRatioExpr("text")).as("score")),
+        "doc_id", "source", "score", k = 10),
+      Some(s"""WITH s AS (SELECT doc_id, source,
+             |  ${TextAnalysis.duckStopwordRatioExpr("text")} AS score FROM documents)
+             |SELECT source, doc_id, score, rank FROM (
+             |  SELECT source, doc_id, score,
+             |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rank
+             |  FROM s)
+             |WHERE rank <= 10""".stripMargin)),
+
     // the packed-binary quantized corpus: codes as signed-byte BINARY
     // (the layout that realizes the 4x compression at rest) — the oracle
     // checks the exact two's-complement byte layout via hex

@@ -186,6 +186,34 @@ class OpsSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]](2).length === 4))
   }
 
+  test("decontamination drops shingle-overlap docs, keeps clean and sub-k docs") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma something else entirely"), // shares "alpha beta gamma"
+      (2L, "totally different words in this one"),      // clean
+      (3L, "two words"),                                 // < k words: no evidence, kept
+      (4L, "beta gamma delta trailing overlap here")     // shares "beta gamma delta"
+    ).toDF("doc_id", "text")
+    val kept = graft.ops.Decontaminate.cleanDocs(corpus, bench, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L))
+  }
+
+  test("temperature sampling: smallest stratum keeps all, larger ones downsample at sqrt") {
+    val df = (1 to 400).map(i => (i.toLong, if (i <= 100) "small" else "big"))
+      .toDF("doc_id", "src")
+    val out = graft.ops.Sampling.temperatureSample(df, "doc_id", "src")
+    val rates = out.select($"src", $"rate_bp").distinct().as[(String, Long)]
+      .collect().toMap
+    assert(rates("small") === 10000L, "n_min stratum keeps everything")
+    // sqrt(100/300)*10000 = 5773.5... -> floor 5773
+    assert(rates("big") === 5773L)
+    val n = out.groupBy($"src").count().as[(String, Long)].collect().toMap
+    assert(n("small") === 100L)
+    assert(n("big") < 300L && n("big") > 100L,
+      s"big stratum must actually downsample, kept ${n("big")}")
+  }
+
   test("repetition signals: row-local form equals the distributed form exactly") {
     // repetition-heavy fixtures: full-dup doc, alternating bigram, unique
     val rep = Seq(

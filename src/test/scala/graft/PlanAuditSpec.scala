@@ -197,6 +197,37 @@ class PlanAuditSpec extends SparkSpec {
       s"the single-pass native counter must be in the plan:\n$p")
   }
 
+  test("pipeline_decontaminate: benchmark set broadcasts; corpus is never shuffled or exploded") {
+    val p = plan("pipeline_decontaminate")
+    val bx = p.indexOf("BroadcastExchange")
+    assert(bx >= 0, s"the one-row benchmark shingle set must broadcast:\n$p")
+    // the corpus branch is printed before the broadcast build side: it
+    // must probe the broadcast set per row — scan -> project -> join,
+    // never exploding (doc, shingle) rows and never shuffling (the only
+    // Generate/Exchange live under the metadata-sized benchmark agg)
+    val corpusSide = p.substring(0, bx)
+    assert(!corpusSide.contains("Generate"),
+      s"the corpus side must not explode (doc, shingle) rows:\n$p")
+    assert(!corpusSide.contains("Exchange"),
+      s"the corpus side must not shuffle:\n$p")
+  }
+
+  test("pipeline_temperature: rates broadcast back; the corpus pays one scan + filter") {
+    val p = plan("pipeline_temperature")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the stratum->rate table (stratum-cardinality rows) must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for the rate join:\n$p")
+  }
+
+  test("pipeline_select_topk: per-stratum best-k is a bounded heap, not a window sort") {
+    val p = plan("pipeline_select_topk")
+    assert(!p.contains("Window"),
+      s"per-stratum top-k must not shuffle+sort the corpus:\n$p")
+    assert(count(p, "ObjectHashAggregate") >= 2,
+      s"graft_topk must partial-aggregate map-side (exchange carries k-item heaps):\n$p")
+  }
+
   test("rpc_correlation: correlation join shuffles both sides on the key once") {
     val p = plan("rpc_correlation")
     // events is small here, so Spark may broadcast; accept either a
