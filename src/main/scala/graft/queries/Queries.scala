@@ -584,6 +584,31 @@ object Queries {
       Some(Similarity.quantizedTopKSql("embeddings", "vec_id", "embedding",
         k = 5, queryPred = "vec_id < 10"))),
 
+    // AS-OF join (point-in-time state lookup): each view event gets the
+    // latest prior-or-equal purchase per user. Spark lacks native ASOF;
+    // the op is the merge formulation — union + ONE keyed exchange + ONE
+    // sort + running last(), zero range-join blowup. The oracle is
+    // DuckDB's native ASOF LEFT JOIN over the same pre-deduped right side
+    QueryDef("asof_enrich",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val views = ev.where(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        graft.ops.AsOf.asOfJoin(views, purchases, "user_id", "ts",
+            "event_id", Seq("value" -> "last_purchase"))
+          .select(col("event_id"), col("user_id"),
+            unix_millis(col("ts")).as("ts_ms"), col("last_purchase"),
+            unix_millis(col("asof_ts")).as("asof_ms"))
+      },
+      Some("""WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+             |r AS (SELECT user_id, ts, arg_max(value, event_id) AS last_purchase
+             |      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+             |SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
+             |  r.last_purchase, epoch_ms(r.ts) AS asof_ms
+             |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)),
+
     // benchmark decontamination: corpus docs sharing any 3-shingle with
     // the (small, broadcast) benchmark set are dropped — one corpus scan,
     // compiled shingle hashes + two-pointer probe of one broadcast array,

@@ -186,6 +186,27 @@ class OpsSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]](2).length === 4))
   }
 
+  test("as-of join: inclusive boundary, no-match null, right-tie by max tie-id") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val left = Seq(
+      (100L, 1L, ts(5)),   // before any right row -> null
+      (101L, 1L, ts(10)),  // exactly at right ts 10 -> inclusive match
+      (102L, 1L, ts(30)),  // after both right rows -> latest (ts 20)
+      (103L, 2L, ts(30))   // other key: only its own right rows visible
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts(10), 7L, 70.0), (1L, ts(10), 8L, 80.0), // tie: event 8 wins
+      (1L, ts(20), 9L, 90.0),
+      (2L, ts(1), 1L, 10.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = graft.ops.AsOf.asOfJoin(left, right, "user_id", "ts",
+        "event_id", Seq("value" -> "v"))
+      .select($"event_id", $"v").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got === Map(100L -> None, 101L -> Some(80.0),
+      102L -> Some(90.0), 103L -> Some(10.0)))
+  }
+
   test("decontamination drops shingle-overlap docs, keeps clean and sub-k docs") {
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val corpus = Seq(

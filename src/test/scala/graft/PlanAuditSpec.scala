@@ -197,6 +197,17 @@ class PlanAuditSpec extends SparkSpec {
       s"the single-pass native counter must be in the plan:\n$p")
   }
 
+  test("asof_enrich: merge formulation — no join operator, one window over one sort") {
+    val p = plan("asof_enrich")
+    assert(!p.contains("Join"),
+      s"ASOF must be the union+merge-window shape, never a range join:\n$p")
+    assert(p.contains("Window"), s"the running last() window must exist:\n$p")
+    // key-only partitioning = the merge window; the (user_id, ts) one is
+    // the right side's tiny pre-dedup aggregate and is allowed
+    assert(count(p, "Exchange hashpartitioning\\(user_id#\\d+L?, \\d+\\)") == 1,
+      s"exactly one keyed exchange merges both sides:\n$p")
+  }
+
   test("pipeline_decontaminate: benchmark set broadcasts; corpus is never shuffled or exploded") {
     val p = plan("pipeline_decontaminate")
     val bx = p.indexOf("BroadcastExchange")
