@@ -239,6 +239,42 @@ object TextAnalysis {
        |FROM g GROUP BY $id""".stripMargin
   }
 
+  /** PII / boilerplate scrubbing: redact emails, URLs, and long digit
+    * runs (phone/account numbers) with typed placeholder tokens, and
+    * count each redaction — the standard pretraining privacy pass.
+    * Pure per-row regexp projection: zero shuffle, pushdown-friendly,
+    * trivially linear at 100 TB. Patterns are deliberately RE2-safe (no
+    * backreferences or lookaround) so Spark's Java regex and DuckDB's
+    * RE2 match identically — the oracle hash-checks the full scrubbed
+    * text. Order matters and is fixed: URLs first (an email-ish token
+    * inside a URL is part of the URL), then emails, then digit runs.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlRe = "https?://[^ ]+"
+  val longNumRe = "[0-9]{7,}"
+
+  def scrubPii(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(text), urlRe, "<URL>"),
+          emailRe, "<EMAIL>"),
+        longNumRe, "<NUM>").as("scrubbed"),
+      size(expr(s"regexp_extract_all($text, '${urlRe.replace("\\", "\\\\")}', 0)")).as("n_urls"),
+      size(expr(s"regexp_extract_all($text, '${emailRe.replace("\\", "\\\\")}', 0)")).as("n_emails"),
+      size(expr(s"regexp_extract_all($text, '$longNumRe', 0)")).as("n_longnums"))
+
+  def scrubPiiSql(table: String, id: String, text: String): String =
+    s"""SELECT $id,
+       |  regexp_replace(regexp_replace(regexp_replace($text,
+       |    '$urlRe', '<URL>', 'g'),
+       |    '$emailRe', '<EMAIL>', 'g'),
+       |    '$longNumRe', '<NUM>', 'g') AS scrubbed,
+       |  len(regexp_extract_all($text, '$urlRe')) AS n_urls,
+       |  len(regexp_extract_all($text, '$emailRe')) AS n_emails,
+       |  len(regexp_extract_all($text, '$longNumRe')) AS n_longnums
+       |FROM $table""".stripMargin
+
   /** Corpus-wide top-k word n-grams by occurrence count (every occurrence
     * counts — no per-doc distinct). Plan: one scan → explode → hash
     * aggregate (map-side partial combine, so the exchange carries one row

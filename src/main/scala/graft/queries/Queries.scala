@@ -584,6 +584,25 @@ object Queries {
       Some(Similarity.quantizedTopKSql("embeddings", "vec_id", "embedding",
         k = 5, queryPred = "vec_id < 10"))),
 
+    // PII scrubbing: emails / URLs / long digit runs -> typed tokens,
+    // with per-kind counts; RE2-safe patterns so both engines' regex
+    // agree on the full scrubbed text. The testdata has no PII, so the
+    // fixture deterministically augments each doc with synthetic
+    // contact/url/number content (identically on both engines) — the
+    // redaction path is actually exercised, not vacuously green
+    QueryDef("text_scrub",
+      (s, dir) => TextAnalysis.scrubPii(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" reach me at user"), col("doc_id"),
+            lit("@example.com or https://ex.com/d/"), col("doc_id"),
+            lit(" id 1234567890")).as("text2")),
+        "doc_id", "text2"),
+      Some(TextAnalysis.scrubPiiSql(
+        "(SELECT doc_id, text || ' reach me at user' || doc_id || " +
+          "'@example.com or https://ex.com/d/' || doc_id || " +
+          "' id 1234567890' AS text2 FROM documents)",
+        "doc_id", "text2"))),
+
     // AS-OF join (point-in-time state lookup): each view event gets the
     // latest prior-or-equal purchase per user. Spark lacks native ASOF;
     // the op is the merge formulation — union + ONE keyed exchange + ONE

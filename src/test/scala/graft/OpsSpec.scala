@@ -186,6 +186,22 @@ class OpsSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]](2).length === 4))
   }
 
+  test("PII scrub: typed tokens, URL-before-email ordering, clean text untouched") {
+    val rows = Seq(
+      (1L, "mail bob.smith+x@corp.io now"),
+      (2L, "see https://a.b/c?u=x@y.zz then call 12345678"),
+      (3L, "nothing sensitive here"),
+      (4L, "short num 123456 stays")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scrubPii(rows, "doc_id", "text")
+      .select($"doc_id", $"scrubbed").as[(Long, String)].collect().toMap
+    assert(got(1L) === "mail <EMAIL> now")
+    // the email-shaped token inside the URL is consumed BY the URL redaction
+    assert(got(2L) === "see <URL> then call <NUM>")
+    assert(got(3L) === "nothing sensitive here")
+    assert(got(4L) === "short num 123456 stays", "6 digits is under the 7+ threshold")
+  }
+
   test("as-of join: inclusive boundary, no-match null, right-tie by max tie-id") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     val left = Seq(

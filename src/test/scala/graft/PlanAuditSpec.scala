@@ -197,6 +197,11 @@ class PlanAuditSpec extends SparkSpec {
       s"the single-pass native counter must be in the plan:\n$p")
   }
 
+  test("text_scrub: redaction is a pure map — zero shuffles") {
+    val p = plan("text_scrub")
+    assert(count(p, "Exchange") == 0, s"scrubbing must stay in the scan projection:\n$p")
+  }
+
   test("asof_enrich: merge formulation — no join operator, one window over one sort") {
     val p = plan("asof_enrich")
     assert(!p.contains("Join"),
