@@ -101,6 +101,52 @@ object Dedup {
       .withWatermark(eventTime, delay)
       .dropDuplicatesWithinWatermark("h")
 
+  /** Corpus-level duplicated-line removal — the CCNet/RefinedWeb
+    * boilerplate pass: a line occurring more than `maxFreq` times
+    * corpus-wide (nav bars, cookie banners, footers) is struck from
+    * every document; output is the reassembled clean text per doc plus
+    * removal counts.
+    *
+    * Plan shape (the 100 TB path): line frequency is a partial-aggregated
+    * exchange carrying (line-digest, count) — never text; the frequent
+    * set (count > maxFreq) has at most total_lines / maxFreq members BY
+    * CONSTRUCTION, so it broadcasts back and the corpus is never
+    * shuffled for the lookup; reassembly is the one keyed exchange on
+    * doc id. The per-doc collect_list is bounded by the document's own
+    * line count — the same bound as reading the doc.
+    */
+  def dedupLines(df: DataFrame, id: String, text: String, maxFreq: Int): DataFrame = {
+    val lines = df.select(col(id),
+      posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
+    val frequent = lines
+      .groupBy(md5(col("line")).as("lh")).agg(count(lit(1)).as("c"))
+      .where(col("c") > maxFreq)
+    lines
+      .join(broadcast(frequent), md5(col("line")) === col("lh"), "left_outer")
+      .groupBy(col(id))
+      .agg(
+        // collect_list skips the NULL CASE branches, so frequent lines
+        // drop out while their rows still anchor the doc's group (a doc
+        // of pure boilerplate survives as clean_text = '')
+        expr("concat_ws(chr(10), transform(array_sort(" +
+          "collect_list(CASE WHEN lh IS NULL THEN struct(pos, line) END)), s -> s.line))")
+          .as("clean_text"),
+        sum(when(col("lh").isNotNull, 1).otherwise(0)).cast("long").as("n_removed"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  def dedupLinesSql(table: String, id: String, text: String, maxFreq: Int): String =
+    s"""WITH l AS (
+       |  SELECT $id, unnest(generate_series(1, len(ls))) AS pos, unnest(ls) AS line
+       |  FROM (SELECT $id, string_split($text, chr(10)) AS ls FROM $table)),
+       |f AS (SELECT line FROM l GROUP BY line HAVING count(*) > $maxFreq)
+       |SELECT l.$id,
+       |  coalesce(string_agg(CASE WHEN f.line IS NULL THEN l.line END, chr(10) ORDER BY l.pos), '') AS clean_text,
+       |  sum(CASE WHEN f.line IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       |  count(*) AS n_lines
+       |FROM l LEFT JOIN f ON l.line = f.line
+       |GROUP BY l.$id""".stripMargin
+
   /** MinHash signature: for each doc, `numHashes` minima of universal
     * hashes over its shingle hashes. Pure projection — no shuffle.
     */

@@ -275,6 +275,78 @@ object TextAnalysis {
        |  len(regexp_extract_all($text, '$longNumRe')) AS n_longnums
        |FROM $table""".stripMargin
 
+  /** Gopher-style document-level quality rules (Rae et al. 2021, §A1.1 —
+    * public paper): word-count bounds, mean-word-length bounds, symbol-
+    * to-word ratio ('#' and '...'), fraction of words with an alphabetic
+    * character, minimum stop-word hits, and bullet-start / ellipsis-end
+    * line ratios. Emits one 0/1 flag per rule plus the conjunction
+    * (`keep`) so downstream filters can report per-rule rejection rates,
+    * not just a pass/fail. Pure per-row projection: zero shuffle,
+    * trivially linear at 100 TB. Ratios are identical IEEE double ops on
+    * both engines, so threshold comparisons agree bit-for-bit.
+    */
+  val gopherStops: Seq[String] = Seq("and", "be", "have", "of", "that", "the", "to", "with")
+
+  def gopherRules(df: DataFrame, id: String, text: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, minAlphaWordRatio: Double = 0.8,
+                  minStopHits: Int = 2, maxBulletRatio: Double = 0.9,
+                  maxEllipsisRatio: Double = 0.3): DataFrame = {
+    val stop = markerList(gopherStops, "spark")
+    val w = s"split($text, ' ')"
+    val l = s"split($text, chr(10))"
+    graft.functions.VectorFunctions.attach(df).select(
+      col(id),
+      expr(s"size($w)").as("n_words"),
+      expr(s"CAST(size($w) BETWEEN $minWords AND $maxWords AS INT)").as("r_words"),
+      expr(s"CAST(length(replace($text, ' ', '')) / CAST(size($w) AS DOUBLE) " +
+        s"BETWEEN $minMeanLen AND $maxMeanLen AS INT)").as("r_mean_len"),
+      expr(s"CAST((length($text) - length(replace($text, '#', '')) + " +
+        s"(length($text) - length(replace($text, '...', ''))) / 3) / " +
+        s"CAST(size($w) AS DOUBLE) <= $maxSymbolRatio AS INT)").as("r_symbol"),
+      expr(s"CAST(size(filter($w, x -> x rlike '[A-Za-z]')) / " +
+        s"CAST(size($w) AS DOUBLE) >= $minAlphaWordRatio AS INT)").as("r_alpha"),
+      expr(s"CAST(graft_stop_count($w, $stop) >= $minStopHits AS INT)").as("r_stop"),
+      expr(s"CAST(size(filter($l, x -> x LIKE '-%' OR x LIKE '*%')) / " +
+        s"CAST(size($l) AS DOUBLE) <= $maxBulletRatio AS INT)").as("r_bullet"),
+      expr(s"CAST(size(filter($l, x -> x LIKE '%...')) / " +
+        s"CAST(size($l) AS DOUBLE) <= $maxEllipsisRatio AS INT)").as("r_ellipsis"))
+      .withColumn("keep", expr(
+        "CAST(r_words + r_mean_len + r_symbol + r_alpha + r_stop + r_bullet + r_ellipsis = 7 AS INT)"))
+  }
+
+  def gopherRulesSql(table: String, id: String, text: String,
+                     minWords: Int = 50, maxWords: Int = 100000,
+                     minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                     maxSymbolRatio: Double = 0.1, minAlphaWordRatio: Double = 0.8,
+                     minStopHits: Int = 2, maxBulletRatio: Double = 0.9,
+                     maxEllipsisRatio: Double = 0.3): String = {
+    val stop = markerList(gopherStops, "duck")
+    val w = s"string_split($text, ' ')"
+    val l = s"string_split($text, chr(10))"
+    s"""SELECT $id, n_words, r_words, r_mean_len, r_symbol, r_alpha, r_stop,
+       |  r_bullet, r_ellipsis,
+       |  (r_words + r_mean_len + r_symbol + r_alpha + r_stop + r_bullet + r_ellipsis = 7)::INT AS keep
+       |FROM (
+       |  SELECT $id,
+       |    len($w)::INT AS n_words,
+       |    (len($w) BETWEEN $minWords AND $maxWords)::INT AS r_words,
+       |    (length(replace($text, ' ', '')) / (len($w)::DOUBLE)
+       |      BETWEEN $minMeanLen AND $maxMeanLen)::INT AS r_mean_len,
+       |    ((length($text) - length(replace($text, '#', '')) +
+       |      (length($text) - length(replace($text, '...', ''))) / 3) /
+       |      (len($w)::DOUBLE) <= $maxSymbolRatio)::INT AS r_symbol,
+       |    (len(list_filter($w, x -> regexp_matches(x, '[A-Za-z]'))) /
+       |      (len($w)::DOUBLE) >= $minAlphaWordRatio)::INT AS r_alpha,
+       |    (len(list_filter($w, x -> list_contains($stop, x))) >= $minStopHits)::INT AS r_stop,
+       |    (len(list_filter($l, x -> x LIKE '-%' OR x LIKE '*%')) /
+       |      (len($l)::DOUBLE) <= $maxBulletRatio)::INT AS r_bullet,
+       |    (len(list_filter($l, x -> x LIKE '%...')) /
+       |      (len($l)::DOUBLE) <= $maxEllipsisRatio)::INT AS r_ellipsis
+       |  FROM $table)""".stripMargin
+  }
+
   /** Corpus-wide top-k word n-grams by occurrence count (every occurrence
     * counts — no per-doc distinct). Plan: one scan → explode → hash
     * aggregate (map-side partial combine, so the exchange carries one row

@@ -603,6 +603,29 @@ object Queries {
           "' id 1234567890' AS text2 FROM documents)",
         "doc_id", "text2"))),
 
+    // Gopher-style quality ruleset: per-rule 0/1 flags + conjunction.
+    // minWords=50 sits at the corpus median (word counts run 10-99) so
+    // both keep outcomes occur; the stop-hit rule also splits the corpus
+    QueryDef("text_gopher_rules",
+      (s, dir) => TextAnalysis.gopherRules(
+        t(s, dir, "documents"), "doc_id", "text", minWords = 50),
+      Some(TextAnalysis.gopherRulesSql("documents", "doc_id", "text", minWords = 50))),
+
+    // Duplicated-line removal: the fixture appends one boilerplate line
+    // to EVERY doc (corpus frequency = N docs, far over maxFreq=10) and
+    // one per-doc unique footer, so both the strike and keep paths are
+    // exercised and reassembly order is checked by the oracle hash
+    QueryDef("dedup_lines",
+      (s, dir) => Dedup.dedupLines(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit("\nsubscribe to our newsletter\nfooter "),
+            col("doc_id")).as("text2")),
+        "doc_id", "text2", maxFreq = 10),
+      Some(Dedup.dedupLinesSql(
+        "(SELECT doc_id, text || chr(10) || 'subscribe to our newsletter' || " +
+          "chr(10) || 'footer ' || doc_id AS text2 FROM documents)",
+        "doc_id", "text2", maxFreq = 10))),
+
     // AS-OF join (point-in-time state lookup): each view event gets the
     // latest prior-or-equal purchase per user. Spark lacks native ASOF;
     // the op is the merge formulation — union + ONE keyed exchange + ONE

@@ -202,6 +202,43 @@ class OpsSpec extends SparkSpec {
     assert(got(4L) === "short num 123456 stays", "6 digits is under the 7+ threshold")
   }
 
+  test("gopher rules: each rule fires on its own violation, clean doc keeps") {
+    val clean = ("word " * 60).trim + " the of"   // 62 words, mean len ~3.95, all rules pass
+    val rows = Seq(
+      (1L, clean),
+      (2L, ("w " * 10).trim + " the of"),          // too few words
+      (3L, (1 to 60).map(_ => "123").mkString(" ") + " the of"),  // alpha ratio ~0
+      (4L, ("w " * 60).trim),                      // zero stop hits
+      (5L, ("w## " * 60).trim + " the of"),        // symbol ratio 2/62 > 0.1? no -> 120/62 > 0.1 yes
+      (6L, (1 to 60).map(i => s"- w$i").mkString("\n") + "\nthe of and to")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(rows, "doc_id", "text", minWords = 50)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Int]("keep") === 1)
+    assert(got(2L).getAs[Int]("r_words") === 0 && got(2L).getAs[Int]("keep") === 0)
+    assert(got(3L).getAs[Int]("r_alpha") === 0)
+    assert(got(4L).getAs[Int]("r_stop") === 0)
+    assert(got(5L).getAs[Int]("r_symbol") === 0)
+    assert(got(6L).getAs[Int]("r_bullet") === 0, "60/61 bullet-started lines breaches 0.9")
+  }
+
+  test("line dedup: strikes corpus-frequent lines, keeps order, empty-doc survives") {
+    val docs = Seq(
+      (1L, "alpha\nSHARED\nbeta"),
+      (2L, "SHARED\ngamma"),
+      (3L, "SHARED"),           // pure boilerplate -> clean_text = ''
+      (4L, "delta\nepsilon")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, "doc_id", "text", maxFreq = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"), r.getAs[Long]("n_lines"))))
+      .toMap
+    assert(got(1L) === (("alpha\nbeta", 1L, 3L)))
+    assert(got(2L) === (("gamma", 1L, 2L)))
+    assert(got(3L) === (("", 1L, 1L)), "a doc of pure boilerplate must still emit a row")
+    assert(got(4L) === (("delta\nepsilon", 0L, 2L)))
+  }
+
   test("as-of join: inclusive boundary, no-match null, right-tie by max tie-id") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     val left = Seq(

@@ -202,6 +202,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "Exchange") == 0, s"scrubbing must stay in the scan projection:\n$p")
   }
 
+  test("text_gopher_rules: quality flags are a pure map — zero shuffles") {
+    val p = plan("text_gopher_rules")
+    assert(count(p, "Exchange") == 0, s"gopher rules must stay in the scan projection:\n$p")
+  }
+
+  test("dedup_lines: frequency set broadcasts; corpus shuffles only for freq-agg and reassembly") {
+    val p = plan("dedup_lines")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the frequent-line set is small by construction and must broadcast:\n$p")
+    assert(count(p, "Exchange hashpartitioning") == 2,
+      s"exactly two keyed exchanges: (line-digest, count) partial agg + doc-id reassembly:\n$p")
+  }
+
   test("asof_enrich: merge formulation — no join operator, one window over one sort") {
     val p = plan("asof_enrich")
     assert(!p.contains("Join"),
