@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Index-quality evaluation and per-class embedding statistics — the
+  * measurement half of the ANN surface: an approximate index you cannot
+  * score against ground truth is not an index, and at 100 TB the recall
+  * check IS the (sampled) production gate for rebuild/re-tune decisions.
+  */
+object Eval {
+
+  /** Recall@k of the LSH multi-probe ANN path ([[Similarity.lshTopK]])
+    * against exact brute force ([[Similarity.bruteForceTopK]]) on the
+    * same query set: per query, the fraction of the true top-k the index
+    * returned. The standard ANN quality metric, computed engine-side.
+    *
+    * Plan shape: both sides are the existing broadcast-queries ×
+    * one-corpus-scan ops with bounded-heap top-k, so each side's
+    * exchange carries ≤ queries × k × partitions rows; the comparison
+    * join and per-query count are over ≤ queries × k rows — driver-free
+    * end to end. At 100 TB you run this on a SAMPLED query set (the
+    * operator takes any query frame), never the full corpus: the exact
+    * side is a deliberate full scan per evaluation.
+    */
+  def annRecallAtK(corpus: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String, k: Int,
+                   bits: Int = 8, nprobe: Int = 2): DataFrame = {
+    val exact = Similarity.bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("q_id"), col("c_id"))
+    val approx = Similarity.lshTopK(corpus, queries, idCol, vecCol, k, bits, nprobe)
+      .select(col("q_id"), col("c_id"), lit(1L).as("__hit"))
+    exact.join(approx, Seq("q_id", "c_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_matched"))
+      .withColumn("recall", round(col("n_matched").cast("double") / k, 6))
+  }
+
+  /** DuckDB twin of [[annRecallAtK]]: the existing exact/LSH SQL twins
+    * nested as derived tables (so each keeps its own WITH chain), then
+    * the same left-join overlap count.
+    */
+  def annRecallAtKSql(table: String, idCol: String, vecCol: String, k: Int,
+                      queryPred: String, bits: Int = 8, nprobe: Int = 2): String =
+    s"""WITH exact AS (
+       |  SELECT q_id, c_id FROM (
+       |${Similarity.bruteForceTopKSql(table, idCol, vecCol, k, queryPred)}) t),
+       |approx AS (
+       |  SELECT q_id, c_id FROM (
+       |${Similarity.lshTopKSql(table, idCol, vecCol, k, queryPred, bits, nprobe)}) t)
+       |SELECT e.q_id,
+       |  CAST(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       |  round(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / $k, 6) AS recall
+       |FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
+       |GROUP BY e.q_id""".stripMargin
+
+  /** Per-label centroid (exact-decimal per-dimension mean, the
+    * [[Similarity.kmeansCentroids]] arithmetic keyed by a label column
+    * instead of a learned assignment) plus the class size — the
+    * class-prototype statistic behind centroid classifiers, drift
+    * monitoring, and class-balanced sampling.
+    *
+    * Plan shape: posexplode → one partial-aggregated keyed shuffle of
+    * (label, dim) cells → per-label rebuild. The exchange carries ≤
+    * labels × dims rows per map task — never the vectors. Decimal
+    * summation keeps the mean independent of row order (double addition
+    * is not associative; DECIMAL is), so both engines agree bit-for-bit.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"), posexplode(col(vecCol)))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("col").cast("double").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("v"),
+        count(lit(1)).as("cnt"))
+      .groupBy(col("label"))
+      .agg(max(when(col("pos") === 0, col("cnt"))).as("n_vectors"),
+        array_sort(collect_list(struct(col("pos"), col("v")))).as("s"))
+      .select(col("label"), col("n_vectors"),
+        expr("transform(s, x -> round(x.v, 6))").as("centroid"))
+
+  /** DuckDB twin of [[labelCentroids]] — same decimal-exact mean;
+    * DuckDB's 1-based UNNEST index vs Spark's 0-based pos only orders
+    * dimensions, it never reaches the output.
+    */
+  def labelCentroidsSql(table: String, labelCol: String, vecCol: String): String =
+    s"""WITH cells AS (
+       |  SELECT $labelCol AS label, pos,
+       |    CAST(sum(CAST(($vecCol)[pos]::DOUBLE AS DECIMAL(28,12))) AS DOUBLE)
+       |      / count(*) AS v,
+       |    count(*) AS cnt
+       |  FROM $table, UNNEST(generate_series(1, len($vecCol))) AS t(pos)
+       |  GROUP BY $labelCol, pos)
+       |SELECT label, max(CASE WHEN pos = 1 THEN cnt END) AS n_vectors,
+       |       list(round(v, 6) ORDER BY pos) AS centroid
+       |FROM cells GROUP BY label""".stripMargin
+}

@@ -737,7 +737,44 @@ object Queries {
     QueryDef("text_repetition_local",
       (s, dir) => TextAnalysis.repetitionSignalsLocal(
         t(s, dir, "documents"), "doc_id", "text"),
-      Some(TextAnalysis.repetitionSignalsSql("documents", "doc_id", "text")))
+      Some(TextAnalysis.repetitionSignalsSql("documents", "doc_id", "text"))),
+
+    // funnel progression (signup -> view -> click -> purchase): chained
+    // whole-partition window minimums — ONE exchange and ONE key-sort on
+    // the user key, the groupBy reuses the window's partitioning
+    QueryDef("event_funnel",
+      (s, dir) => graft.ops.Events.funnel(t(s, dir, "events"),
+        "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase")),
+      Some(graft.ops.Events.funnelSql("events",
+        "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase")))),
+
+    // cohort retention on integer epoch-weeks: distinct (user, week)
+    // drops the event mass first; count(*) IS the distinct-user count
+    QueryDef("event_retention",
+      (s, dir) => graft.ops.Events.retention(t(s, dir, "events"),
+        "user_id", "ts"),
+      Some(graft.ops.Events.retentionSql("events", "user_id", "ts"))),
+
+    // recall@k of the multi-probe LSH index vs exact brute force on the
+    // same query set — the ANN quality gate, computed engine-side over
+    // <= queries x k rows after the two bounded-heap top-k ops
+    QueryDef("embed_ann_recall",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        graft.ops.Eval.annRecallAtK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nprobe = 2)
+      },
+      Some(graft.ops.Eval.annRecallAtKSql("embeddings", "vec_id", "embedding",
+        k = 5, queryPred = "vec_id < 10", nprobe = 2))),
+
+    // per-label centroid + class size: decimal-exact per-dimension means,
+    // exchange carries labels x dims cells — never the vectors
+    QueryDef("embed_label_centroids",
+      (s, dir) => graft.ops.Eval.labelCentroids(t(s, dir, "embeddings"),
+        "label", "embedding"),
+      Some(graft.ops.Eval.labelCentroidsSql("embeddings", "label", "embedding")))
   )
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =
