@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Portable distribution statistics: exact discrete percentiles,
+  * fixed-width histograms, and z-score outliers. Each is engine-exact —
+  * no `approx_percentile`/t-digest (whose sketch internals differ per
+  * engine and run) and no order-dependent double accumulation:
+  *
+  *  - percentiles use the PERCENTILE_DISC definition (the value at rank
+  *    `ceil(p * n)` in the group's total order) — rank selection, not
+  *    interpolation, so the result is an actual data value and both
+  *    engines pick the identical row;
+  *  - histogram bins are pure `floor((v - lo) / width)` integer
+  *    arithmetic on IEEE doubles (floor is exact; identical inputs ⇒
+  *    identical bins);
+  *  - moments come from exact DECIMAL sums (value and value² — decimal
+  *    addition is associative, so parallel aggregation order cannot
+  *    change the result), converted to double only for the final
+  *    mean/variance arithmetic, which is then the same IEEE expression
+  *    on both engines.
+  */
+object Stats {
+
+  /** Exact per-group discrete percentiles. `tieCol` totalizes the sort
+    * (duplicate values would otherwise make `row_number` engine-
+    * dependent, though the SELECTED value would still agree; the tie
+    * column makes the plans reproducible too).
+    *
+    * Plan shape: ONE keyed exchange + ONE (value, tie) sort feeding both
+    * windows (`row_number` and the partition count share the spec), then
+    * a partial-aggregated groupBy on the same key — no second exchange.
+    * Exact grouped percentiles require the per-group sort; that is the
+    * honest cost (linear shuffle, per-reducer sort of its groups). At
+    * 100 TB with heavy groups, pre-aggregate duplicates
+    * ((group, value) → count and rank over running counts) or accept
+    * sketch-approximation — this operator is the exact gate.
+    */
+  def percentilesDisc(df: DataFrame, groupCol: String, valueCol: String,
+                      tieCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      "percentiles must be in (0, 1]")
+    val ordered = Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(tieCol))
+    val whole = Window.partitionBy(col(groupCol))
+    val ranked = df
+      .withColumn("__rn", row_number().over(ordered))
+      .withColumn("__n", count(lit(1)).over(whole))
+    val aggs = ps.map { p =>
+      max(when(col("__rn") === ceil(lit(p) * col("__n")), col(valueCol)))
+        .as(s"p${math.round(p * 100)}")
+    }
+    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** DuckDB twin of [[percentilesDisc]] — same rank selection; `ceil`
+    * over the same IEEE product picks the same rank.
+    */
+  def percentilesDiscSql(table: String, groupCol: String, valueCol: String,
+                         tieCol: String, ps: Seq[Double]): String = {
+    val sel = ps.map { p =>
+      s"max(CASE WHEN rn = ceil($p * n) THEN $valueCol END) AS p${math.round(p * 100)}"
+    }.mkString(",\n|  ")
+    s"""WITH r AS (
+       |  SELECT $groupCol, $valueCol,
+       |    row_number() OVER (PARTITION BY $groupCol ORDER BY $valueCol, $tieCol) AS rn,
+       |    count(*) OVER (PARTITION BY $groupCol) AS n
+       |  FROM $table)
+       |SELECT $groupCol,
+       |  $sel
+       |FROM r GROUP BY $groupCol""".stripMargin
+  }
+
+  /** Fixed-width histogram of `valueCol` over [lo, hi): `nBins` bins,
+    * out-of-range values clamped into the edge bins (so the bin count is
+    * exhaustive — a monitoring histogram must not silently drop rows).
+    * One scan + one partial-aggregated exchange of ≤ nBins rows per map
+    * task.
+    */
+  def histogram(df: DataFrame, valueCol: String,
+                lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, "need nBins > 0 and hi > lo")
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(floor((col(valueCol) - lit(lo)) / lit(width)), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("long")
+    df.select(bin.as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", round(lit(lo) + col("bin") * lit(width), 6))
+      .withColumn("bin_hi", round(lit(lo) + (col("bin") + 1) * lit(width), 6))
+  }
+
+  /** DuckDB twin of [[histogram]] — identical clamp/floor arithmetic. */
+  def histogramSql(table: String, valueCol: String,
+                   lo: Double, hi: Double, nBins: Int): String = {
+    val width = (hi - lo) / nBins
+    s"""WITH b AS (
+       |  SELECT CAST(least(greatest(floor(($valueCol - $lo) / $width), 0.0),
+       |    ${(nBins - 1).toDouble}) AS BIGINT) AS bin
+       |  FROM $table)
+       |SELECT bin, count(*) AS n,
+       |  round($lo + bin * $width, 6) AS bin_lo,
+       |  round($lo + (bin + 1) * $width, 6) AS bin_hi
+       |FROM b GROUP BY bin""".stripMargin
+  }
+
+  /** Per-group z-scores with population moments from EXACT decimal sums
+    * (Σv as DECIMAL(28,2), Σv² as DECIMAL(38,4) — value² of a (18,2)
+    * decimal has scale 4), so mean/variance are order-independent; the
+    * final `(v - mean) / stddev` runs on identical doubles in both
+    * engines. Rows whose |z| ≥ `threshold` are emitted — the per-group
+    * anomaly gate. Groups with zero variance emit nothing (z undefined).
+    *
+    * Plan shape: one partial-aggregated moments pass (exchange of one
+    * row per group), moments broadcast back onto a second scan, filter
+    * before projection. Group cardinality is small by construction
+    * (these are per-type/per-source gates); a high-cardinality group key
+    * would make the broadcast a keyed shuffle — Catalyst's call either
+    * way.
+    */
+  def zscoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     threshold: Double): DataFrame = {
+    val moments = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"),
+      expr(s"cast(sum(cast($valueCol AS DECIMAL(18,2))) AS DOUBLE)").as("__s"),
+      expr(s"cast(sum(cast($valueCol AS DECIMAL(18,2)) * cast($valueCol AS DECIMAL(18,2))) AS DOUBLE)")
+        .as("__s2"))
+      .withColumn("__mean", col("__s") / col("__n"))
+      .withColumn("__var", col("__s2") / col("__n") - col("__mean") * col("__mean"))
+      .where(col("__var") > 0.0)
+      .select(col(groupCol), col("__mean"), sqrt(col("__var")).as("__sd"))
+    df.join(broadcast(moments), Seq(groupCol))
+      .withColumn("z", round((col(valueCol) - col("__mean")) / col("__sd"), 6))
+      .where(abs(col("z")) >= threshold)
+      .drop("__mean", "__sd")
+  }
+
+  /** DuckDB twin of [[zscoreOutliers]] — same decimal moments and the
+    * same IEEE mean/variance/z arithmetic. Callers select/alias the
+    * output columns (the Spark side keeps the input row intact).
+    */
+  def zscoreMomentsCte(table: String, groupCol: String, valueCol: String): String =
+    s"""SELECT $groupCol,
+       |  CAST(sum(CAST($valueCol AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
+       |  sqrt(CAST(sum(CAST($valueCol AS DECIMAL(18,2)) * CAST($valueCol AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+       |    - (CAST(sum(CAST($valueCol AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+       |      * (CAST(sum(CAST($valueCol AS DECIMAL(18,2))) AS DOUBLE) / count(*))) AS sd
+       |FROM $table GROUP BY $groupCol
+       |HAVING CAST(sum(CAST($valueCol AS DECIMAL(18,2)) * CAST($valueCol AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+       |  - (CAST(sum(CAST($valueCol AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+       |    * (CAST(sum(CAST($valueCol AS DECIMAL(18,2))) AS DOUBLE) / count(*)) > 0""".stripMargin
+}

@@ -774,7 +774,37 @@ object Queries {
     QueryDef("embed_label_centroids",
       (s, dir) => graft.ops.Eval.labelCentroids(t(s, dir, "embeddings"),
         "label", "embedding"),
-      Some(graft.ops.Eval.labelCentroidsSql("embeddings", "label", "embedding")))
+      Some(graft.ops.Eval.labelCentroidsSql("embeddings", "label", "embedding"))),
+
+    // exact PERCENTILE_DISC per event type: rank selection (no sketch,
+    // no interpolation) — one keyed exchange + one sort shared by both
+    // windows and the final partial-agg groupBy
+    QueryDef("event_percentiles",
+      (s, dir) => graft.ops.Stats.percentilesDisc(t(s, dir, "events"),
+        "event_type", "value", "event_id", Seq(0.5, 0.9, 0.99)),
+      Some(graft.ops.Stats.percentilesDiscSql("events",
+        "event_type", "value", "event_id", Seq(0.5, 0.9, 0.99)))),
+
+    // fixed-width value histogram with edge-clamped bins: one scan, the
+    // exchange carries <= nBins rows per map task
+    QueryDef("event_histogram",
+      (s, dir) => graft.ops.Stats.histogram(t(s, dir, "events"),
+        "value", lo = 0.0, hi = 500.0, nBins = 20),
+      Some(graft.ops.Stats.histogramSql("events",
+        "value", lo = 0.0, hi = 500.0, nBins = 20))),
+
+    // 3-sigma anomalies per event type from decimal-exact moments: one
+    // moments pass (one row per group) broadcast back onto the scan
+    QueryDef("event_zscore",
+      (s, dir) => graft.ops.Stats.zscoreOutliers(t(s, dir, "events"),
+          "event_type", "value", threshold = 3.0)
+        .select(col("event_id"), col("event_type"), col("value"), col("z")),
+      Some(s"""WITH m AS (
+             |${graft.ops.Stats.zscoreMomentsCte("events", "event_type", "value")})
+             |SELECT event_id, event_type, value,
+             |  round((value - mean) / sd, 6) AS z
+             |FROM events JOIN m USING (event_type)
+             |WHERE abs(round((value - mean) / sd, 6)) >= 3.0""".stripMargin))
   )
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =

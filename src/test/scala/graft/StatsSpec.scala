@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.Stats
+import org.apache.spark.sql.functions._
+
+/** Pins [[graft.ops.Stats]] edge cases the sf testdata cannot produce:
+  * percentile rank selection at exact boundaries, histogram edge
+  * clamping, and the zero-variance z-score guard.
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("percentilesDisc: rank ceil(p*n) picks actual data values") {
+    // group a: values 1..10 -> p50 = v@ceil(5.0)=5, p90 = v@9, p100 = v@10
+    val df = (1 to 10).map(i => ("a", i.toDouble, i.toLong)).toDF("g", "v", "id")
+    val got = Stats.percentilesDisc(df, "g", "v", "id", Seq(0.5, 0.9, 1.0))
+      .as[(String, Double, Double, Double)].head()
+    assert(got === (("a", 5.0, 9.0, 10.0)))
+  }
+
+  test("percentilesDisc: single-element group returns it for every p") {
+    val df = Seq(("b", 7.0, 1L)).toDF("g", "v", "id")
+    val got = Stats.percentilesDisc(df, "g", "v", "id", Seq(0.5, 0.99))
+      .as[(String, Double, Double)].head()
+    assert(got === (("b", 7.0, 7.0)))
+  }
+
+  test("percentiles plan: one exchange, one sort shared by both windows") {
+    val df = (1 to 10).map(i => ("a", i.toDouble, i.toLong)).toDF("g", "v", "id")
+    val p = Stats.percentilesDisc(df, "g", "v", "id", Seq(0.5))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllMatchIn(p).length == 1, s"one keyed exchange:\n$p")
+    assert("Sort ".r.findAllMatchIn(p).length == 1, s"one shared sort:\n$p")
+  }
+
+  test("histogram: out-of-range values clamp into edge bins, none dropped") {
+    val df = Seq(-5.0, 0.0, 0.5, 9.99, 10.0, 25.0).toDF("v")
+    val got = Stats.histogram(df, "v", lo = 0.0, hi = 10.0, nBins = 2)
+      .select($"bin", $"n", $"bin_lo", $"bin_hi")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    // bin 0 [0,5): -5 (clamped), 0, 0.5 ; bin 1 [5,10): 9.99, 10 (clamped), 25 (clamped)
+    assert(got === Seq((0L, 3L, 0.0, 5.0), (1L, 3L, 5.0, 10.0)))
+    assert(got.map(_._2).sum == 6L, "every input row lands in a bin")
+  }
+
+  test("zscoreOutliers: flags the spike, excludes zero-variance groups") {
+    val df = (Seq.fill(20)(("a", 10.0)) :+ (("a", 1000.0))) ++ Seq.fill(5)(("b", 3.0))
+    val got = Stats.zscoreOutliers(df.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+        .toDF("g", "v", "id"), "g", "v", threshold = 3.0)
+      .select($"g", $"v", $"z").as[(String, Double, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) === Seq(("a", 1000.0)),
+      s"only the spike is >= 3 sigma (zero-variance group b must not divide by zero): $got")
+    assert(got.head._3 > 4.0)
+  }
+}
