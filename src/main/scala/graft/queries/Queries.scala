@@ -211,6 +211,41 @@ object Queries {
              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
              |FROM orders""".stripMargin)),
 
+    // multi-level aggregation: ROLLUP over (event_type, epoch-week) —
+    // Spark plans one Expand + one partial-aggregated exchange for all
+    // three grouping levels; subtotal rows carry NULL keys on both
+    // engines. Week is integer epoch arithmetic (portable, like
+    // event_retention)
+    QueryDef("event_rollup",
+      (s, dir) => t(s, dir, "events")
+        .withColumn("week", expr(s"unix_micros(ts) div ${86400L * 1000000L * 7L}"))
+        .rollup(col("event_type"), col("week"))
+        .agg(count(lit(1)).as("n"),
+          expr(dsum("value")).as("sum_value")),
+      Some(s"""SELECT event_type, epoch_us(ts) // ${86400L * 1000000L * 7L} AS week,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events
+             |GROUP BY ROLLUP (event_type, week)""".stripMargin)),
+
+    // pivot: per-user event-type counts as columns (explicit value list
+    // keeps the schema static — a scan-then-discover pivot would need a
+    // driver round trip); absent combinations are 0, not NULL, matching
+    // the oracle's FILTERed counts
+    QueryDef("event_pivot",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L),
+      Some("""SELECT user_id,
+             |  count(*) FILTER (WHERE event_type = 'click') AS click,
+             |  count(*) FILTER (WHERE event_type = 'error') AS error,
+             |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             |  count(*) FILTER (WHERE event_type = 'view') AS view
+             |FROM events GROUP BY user_id""".stripMargin)),
+
     // ====== bus/service operator analogs (SURVEY.md §2 -> §7.2) =========
 
     // T4/S1: type-based dispatch = filter on the dispatch key; at the
