@@ -839,7 +839,54 @@ object Queries {
              |SELECT event_id, event_type, value,
              |  round((value - mean) / sd, 6) AS z
              |FROM events JOIN m USING (event_type)
-             |WHERE abs(round((value - mean) / sd, 6)) >= 3.0""".stripMargin))
+             |WHERE abs(round((value - mean) / sd, 6)) >= 3.0""".stripMargin)),
+
+    // JSONL round-trip: documents -> one-object-per-line files -> read
+    // back with an EXPLICIT schema (no inference pass) -> per-source
+    // content checksum. The oracle checksums the ORIGINAL table, so any
+    // character lost in serialization fails the hash-sum compare
+    QueryDef("io_roundtrip_jsonl",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_io_jsonl_${math.abs(dir.hashCode)}"
+        graft.ops.CorpusIO.writeJsonl(docs, out)
+        graft.ops.CorpusIO.checksum(
+          graft.ops.CorpusIO.readJsonl(s, out, docs.schema),
+          "source", "doc_id", "text")
+      },
+      Some(graft.ops.CorpusIO.checksumSql("documents", "source", "doc_id", "text"))),
+
+    // CSV round-trip for the flat event table (header + explicit read
+    // schema; doubles survive because Spark writes the shortest
+    // round-trippable decimal repr); checksummed against the original
+    QueryDef("io_roundtrip_csv",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_io_csv_${math.abs(dir.hashCode)}"
+        graft.ops.CorpusIO.writeCsv(ev, out)
+        graft.ops.CorpusIO.readCsv(s, out, ev.schema)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            expr(dsum("value")).as("sum_value"),
+            sum(col("user_id")).as("user_sum"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |  CAST(sum(user_id) AS BIGINT) AS user_sum
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // sharded corpus write: partitioned parquet with bounded per-file
+    // rows (the at-rest curated-corpus layout); the manifest re-reads
+    // the partitioned tree and must checksum-match the original table
+    QueryDef("io_sharded_manifest",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_io_shard_${math.abs(dir.hashCode)}"
+        graft.ops.CorpusIO.writeSharded(docs, out, "lang", maxRecordsPerFile = 100)
+        graft.ops.CorpusIO.checksum(s.read.parquet(out), "lang", "doc_id", "text")
+      },
+      Some(graft.ops.CorpusIO.checksumSql("documents", "lang", "doc_id", "text")))
   )
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =
