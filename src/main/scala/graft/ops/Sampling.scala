@@ -187,4 +187,63 @@ object Sampling {
     s"""SELECT * FROM $table
        |WHERE CASE $strata $cases ELSE $h < ${math.round(default * 10000)} END""".stripMargin
   }
+
+  /** Deterministic train/val/test assignment: H(id) mod 100 partitions
+    * the hash space into [0, valBp) → "val", [valBp, valBp+testBp) →
+    * "test", rest → "train" (basis points of 100). The same properties
+    * as [[stratifiedSample]]: reproducible across runs/engines, stable
+    * under repartitioning, zero shuffle — and a doc NEVER migrates
+    * between splits when the corpus grows, because membership depends
+    * only on its own id (the leakage guarantee a random split lacks).
+    */
+  def splitAssign(df: DataFrame, id: String,
+                  valPct: Int = 1, testPct: Int = 1): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100)
+    val h = s"(${sparkStringHash(s"cast($id AS STRING)")} % 100)"
+    df.withColumn("split", expr(
+      s"CASE WHEN $h < $valPct THEN 'val' " +
+        s"WHEN $h < ${valPct + testPct} THEN 'test' ELSE 'train' END"))
+  }
+
+  /** DuckDB twin of [[splitAssign]] (emits id + split). */
+  def splitAssignSql(table: String, id: String,
+                     valPct: Int = 1, testPct: Int = 1): String = {
+    val h = s"(${duckStringHash(s"($id)::VARCHAR")} % 100)"
+    s"""SELECT *, CASE WHEN $h < $valPct THEN 'val'
+       |  WHEN $h < ${valPct + testPct} THEN 'test' ELSE 'train' END AS split
+       |FROM $table""".stripMargin
+  }
+
+  /** Deterministic sharded corpus shuffle: shard = H(id) mod `nShards`,
+    * rank = position in the shard's (H2(id), id) order — the stable
+    * "shuffle once" a training run needs (epoch order must be
+    * reproducible and decoupled from storage order). Global order is
+    * (shard, rank). Sharding first keeps the sort parallel: each
+    * reducer sorts ONE shard's rows (a window per shard), instead of
+    * the single-partition global `row_number` that serializes the
+    * corpus through one task. H2 (a different universal-hash lane than
+    * the shard hash) decorrelates within-shard order from shard
+    * assignment.
+    */
+  def shardedShuffle(df: DataFrame, id: String, nShards: Int = 64): DataFrame = {
+    require(nShards > 0)
+    val h = sparkStringHash(s"cast($id AS STRING)")
+    val h2 = universal(1, h)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h2"), col(id))
+    df.withColumn("shard", expr(s"$h % $nShards"))
+      .withColumn("__h2", expr(h2))
+      .withColumn("rank", row_number().over(w))
+      .drop("__h2")
+  }
+
+  /** DuckDB twin of [[shardedShuffle]] (emits id + shard + rank). */
+  def shardedShuffleSql(table: String, id: String, nShards: Int = 64): String = {
+    val h = duckStringHash(s"($id)::VARCHAR")
+    val h2 = universal(1, h)
+    s"""SELECT *, ($h % $nShards) AS shard,
+       |  row_number() OVER (PARTITION BY ($h % $nShards)
+       |    ORDER BY $h2, $id) AS rank
+       |FROM $table""".stripMargin
+  }
 }

@@ -228,16 +228,21 @@ object Queries {
              |FROM events
              |GROUP BY ROLLUP (event_type, week)""".stripMargin)),
 
-    // pivot: per-user event-type counts as columns (explicit value list
-    // keeps the schema static — a scan-then-discover pivot would need a
-    // driver round trip); absent combinations are 0, not NULL, matching
-    // the oracle's FILTERed counts
+    // pivot: per-user event-type counts as columns. A static value list
+    // makes pivot ≡ conditional aggregation, and the conditional form is
+    // the scale winner: ONE partial-aggregated exchange of user rows,
+    // where Dataset.pivot plans TWO aggregates/exchanges ((user, type)
+    // pre-agg, then PivotFirst) — verified via explain; absent
+    // combinations are 0, matching the oracle's FILTERed counts
     QueryDef("event_pivot",
-      (s, dir) => t(s, dir, "events")
-        .groupBy(col("user_id"))
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(count(lit(1)))
-        .na.fill(0L),
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === types.head, 1L).otherwise(0L)).as(types.head),
+            types.tail.map(v =>
+              sum(when(col("event_type") === v, 1L).otherwise(0L)).as(v)): _*)
+      },
       Some("""SELECT user_id,
              |  count(*) FILTER (WHERE event_type = 'click') AS click,
              |  count(*) FILTER (WHERE event_type = 'error') AS error,
@@ -886,7 +891,27 @@ object Queries {
         graft.ops.CorpusIO.writeSharded(docs, out, "lang", maxRecordsPerFile = 100)
         graft.ops.CorpusIO.checksum(s.read.parquet(out), "lang", "doc_id", "text")
       },
-      Some(graft.ops.CorpusIO.checksumSql("documents", "lang", "doc_id", "text")))
+      Some(graft.ops.CorpusIO.checksumSql("documents", "lang", "doc_id", "text"))),
+
+    // deterministic train/val/test assignment: hash-range membership on
+    // the doc's own id — zero shuffle, and docs never migrate between
+    // splits as the corpus grows (the leakage guarantee)
+    QueryDef("pipeline_split",
+      (s, dir) => graft.ops.Sampling.splitAssign(
+          t(s, dir, "documents"), "doc_id", valPct = 2, testPct = 2)
+        .select(col("doc_id"), col("source"), col("split")),
+      Some(s"""SELECT doc_id, source, split FROM (
+             |${graft.ops.Sampling.splitAssignSql("documents", "doc_id", valPct = 2, testPct = 2)}) t""".stripMargin)),
+
+    // deterministic sharded corpus shuffle: shard = H(id) mod N, rank =
+    // per-shard (H2, id) order — epoch order is reproducible and the
+    // sort parallelizes per shard (no single-partition global window)
+    QueryDef("pipeline_shuffle",
+      (s, dir) => graft.ops.Sampling.shardedShuffle(
+          t(s, dir, "documents"), "doc_id", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("rank")),
+      Some(s"""SELECT doc_id, shard, rank FROM (
+             |${graft.ops.Sampling.shardedShuffleSql("documents", "doc_id", nShards = 8)}) t""".stripMargin))
   )
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -265,4 +265,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Join") && !p.contains("CartesianProduct"),
       s"correlation must be a keyed join, never a cartesian product:\n$p")
   }
+
+  test("event_rollup: all grouping levels share one Expand and one exchange") {
+    val p = plan("event_rollup")
+    assert(p.contains("Expand"),
+      s"ROLLUP must plan one Expand, not per-level re-aggregation:\n$p")
+    assert(count(p, "Exchange") == 1,
+      s"the expanded rows partial-aggregate into ONE keyed exchange:\n$p")
+  }
+
+  test("event_pivot: conditional aggregation pivots in one exchange") {
+    val p = plan("event_pivot")
+    assert(count(p, "Exchange") == 1,
+      s"static-value pivot is conditional aggregation — one user-key " +
+        s"exchange, not Dataset.pivot's two-phase plan:\n$p")
+    assert(count(p, "HashAggregate") >= 2,
+      s"the per-user counts must combine map-side:\n$p")
+  }
+
+  test("pipeline_split: split assignment is a pure map — zero shuffles") {
+    val p = plan("pipeline_split")
+    assert(count(p, "Exchange") == 0,
+      s"hash-range membership must not repartition anything:\n$p")
+  }
+
+  test("pipeline_shuffle: one shard exchange, per-shard sort, no global window") {
+    val p = plan("pipeline_shuffle")
+    assert(count(p, "Exchange") == 1,
+      s"the shuffle must shard-partition once:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"rank must never serialize through a single-partition window:\n$p")
+  }
 }
