@@ -888,7 +888,11 @@ object Queries {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val out = s"${System.getProperty("java.io.tmpdir")}/graft_io_shard_${math.abs(dir.hashCode)}"
-        graft.ops.CorpusIO.writeSharded(docs, out, "lang", maxRecordsPerFile = 100)
+        // file bound sized for real shards (CorpusIOSpec pins the bound
+        // mechanism itself): 100-row files at a 1M-doc probe meant 10k
+        // files and 18s of committer overhead vs ~2s at 100k rows/file —
+        // the small-files explosion the operator doc warns about
+        graft.ops.CorpusIO.writeSharded(docs, out, "lang", maxRecordsPerFile = 100000)
         graft.ops.CorpusIO.checksum(s.read.parquet(out), "lang", "doc_id", "text")
       },
       Some(graft.ops.CorpusIO.checksumSql("documents", "lang", "doc_id", "text"))),
