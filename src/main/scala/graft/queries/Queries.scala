@@ -825,6 +825,15 @@ object Queries {
       Some(graft.ops.Stats.percentilesDiscSql("events",
         "event_type", "value", "event_id", Seq(0.5, 0.9, 0.99)))),
 
+    // the scale formulation of the same percentiles: sort DISTINCT
+    // (group, value) counts, not rows — same oracle, the two forms must
+    // agree exactly (PERCENTILE_DISC via cumulative-count rank)
+    QueryDef("event_percentiles_preagg",
+      (s, dir) => graft.ops.Stats.percentilesDiscPreagg(t(s, dir, "events"),
+        "event_type", "value", Seq(0.5, 0.9, 0.99)),
+      Some(graft.ops.Stats.percentilesDiscSql("events",
+        "event_type", "value", "event_id", Seq(0.5, 0.9, 0.99)))),
+
     // fixed-width value histogram with edge-clamped bins: one scan, the
     // exchange carries <= nBins rows per map task
     QueryDef("event_histogram",

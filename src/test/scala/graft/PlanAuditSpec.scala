@@ -283,6 +283,18 @@ class PlanAuditSpec extends SparkSpec {
       s"the per-user counts must combine map-side:\n$p")
   }
 
+  test("event_percentiles_preagg: the sort runs over pre-aggregated distinct values") {
+    val p = plan("event_percentiles_preagg")
+    assert(count(p, "Exchange") == 2,
+      s"(group, value) pre-agg exchange + group-keyed window exchange:\n$p")
+    assert(count(p, "partial_count") >= 1,
+      s"the duplicate collapse must combine map-side:\n$p")
+    val firstSort = p.indexOf("Sort ")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstSort >= 0 && firstAgg >= 0 && firstSort < p.lastIndexOf("HashAggregate"),
+      s"sorting must happen above the collapsing aggregate, over reduced rows:\n$p")
+  }
+
   test("pipeline_split: split assignment is a pure map — zero shuffles") {
     val p = plan("pipeline_split")
     assert(count(p, "Exchange") == 0,

@@ -43,6 +43,17 @@ class StatsSpec extends SparkSpec {
     assert(got.map(_._2).sum == 6L, "every input row lands in a bin")
   }
 
+  test("percentilesDiscPreagg: agrees with the row-sort form on duplicate-heavy data") {
+    // heavy duplication + a rank boundary landing inside a duplicate run
+    val rows = Seq.fill(7)(1.0) ++ Seq.fill(5)(2.0) ++ Seq.fill(3)(9.0) ++ Seq(40.0)
+    val df = rows.zipWithIndex.map { case (v, i) => ("a", v, i.toLong) }
+      .toDF("g", "v", "id")
+    val ps = Seq(0.25, 0.5, 0.75, 0.95, 1.0)
+    val viaSort = Stats.percentilesDisc(df, "g", "v", "id", ps).collect().head.toSeq
+    val viaPreagg = Stats.percentilesDiscPreagg(df, "g", "v", ps).collect().head.toSeq
+    assert(viaPreagg === viaSort)
+  }
+
   test("zscoreOutliers: flags the spike, excludes zero-variance groups") {
     val df = (Seq.fill(20)(("a", 10.0)) :+ (("a", 1000.0))) ++ Seq.fill(5)(("b", 3.0))
     val got = Stats.zscoreOutliers(df.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
