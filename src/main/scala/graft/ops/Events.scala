@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Ordered-behavior analytics over an event stream: funnel progression
   * and cohort retention — the two classic per-entity sequence queries a
@@ -88,6 +89,51 @@ object Events {
        |SELECT $userCol, $stepSel,
        |  CAST($completed AS BIGINT) AS steps_completed
        |FROM f${steps.size} GROUP BY $userCol""".stripMargin
+  }
+
+  /** Streaming twin of [[funnel]]: per-user funnel state maintained with
+    * `mapGroupsWithState` — the real-time conversion tracker. Each
+    * micro-batch advances the user's step chain with the SAME
+    * strictly-after rule as the batch op (events replayed in event-time
+    * order within the batch) and emits the user's refreshed funnel row
+    * (`OutputMode.Update` sink semantics, like any streaming
+    * aggregation). State per user = one `Array[Long]` of k first-times
+    * (-1 = unreached) — bounded by users, not events.
+    *
+    * Ordering caveat (inherent to forward-only state): events arriving
+    * across batches out of event-time order cannot retro-advance a step
+    * whose predecessor completed in a later batch than the event's own
+    * time — parity with the batch op holds when per-user arrival order
+    * respects event time (the Kafka-keyed-partition delivery shape,
+    * reference typebus/.../BaseService.scala:61-77). EventsEvalSpec
+    * pins two-batch parity.
+    *
+    * Input columns: (user BIGINT, us BIGINT event-time micros, type
+    * STRING). Output: (user, steps_completed, step_us array).
+    */
+  def funnelStreaming(events: Dataset[(Long, Long, String)],
+                      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIx = steps.zipWithIndex.toMap
+    val k = steps.size
+    events.groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (Long, Int, Seq[Long])](
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[(Long, Long, String)], state: GroupState[Array[Long]]) =>
+          val st = state.getOption.getOrElse(Array.fill(k)(-1L))
+          evs.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, us, typ) =>
+            stepIx.get(typ).foreach { i =>
+              if (st(i) == -1L &&
+                (i == 0 || (st(i - 1) != -1L && us > st(i - 1))))
+                st(i) = us
+            }
+          }
+          state.update(st)
+          (user, st.count(_ != -1L), st.toSeq)
+      }
+      .toDF("user_id", "steps_completed", "step_us")
   }
 
   /** Cohort retention: users grouped by the epoch-week of their first

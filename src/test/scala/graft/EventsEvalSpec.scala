@@ -64,6 +64,31 @@ class EventsEvalSpec extends SparkSpec {
       s"the per-user grain must partial-aggregate:\n$p")
   }
 
+  test("funnelStreaming: two in-order batches converge to the batch funnel") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val us = events.select($"user_id", unix_micros($"ts"), $"event_type")
+      .as[(Long, Long, String)].collect().sortBy(e => (e._1, e._2))
+    val (batch1, batch2) = us.splitAt(us.length / 2)
+    val stream = MemoryStream[(Long, Long, String)]
+    val q = Events.funnelStreaming(stream.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    try {
+      stream.addData(batch1.toIndexedSeq); q.processAllAvailable()
+      stream.addData(batch2.toIndexedSeq); q.processAllAvailable()
+      // update sink: funnel state is monotone, so the max emitted
+      // steps_completed per user IS its final state (last() would
+      // depend on row order the memory sink doesn't guarantee)
+      val got = spark.table("funnel_stream")
+        .groupBy($"user_id").agg(max($"steps_completed").as("c"))
+        .as[(Long, Long)].collect().toMap
+      val want = Events.funnel(events, "user_id", "ts", "event_type", steps)
+        .select($"user_id", $"steps_completed").as[(Long, Long)].collect().toMap
+      assert(got === want, "streaming state must converge to the batch funnel")
+    } finally q.stop()
+  }
+
   test("retention: cohorts by first epoch-week, offsets count active users") {
     // epoch-week arithmetic: 2024-01-01 is day 19723 -> week 2817;
     // 2024-01-08 week 2818; 2024-01-15 week 2819.
