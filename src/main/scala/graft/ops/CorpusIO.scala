@@ -50,6 +50,17 @@ object CorpusIO {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
 
+  /** ORC sink/source — the second columnar at-rest format Spark ships
+    * natively (predicate pushdown and column pruning work the same as
+    * parquet; the scan side is exercised by the checksum query's
+    * two-column projection).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Partitioned parquet writer with bounded file sizes: the at-rest
     * layout of a curated corpus (`path/partitionCol=v/part-*.parquet`,
     * each file ≤ `maxRecordsPerFile` rows).

@@ -906,6 +906,18 @@ object Queries {
       },
       Some(graft.ops.CorpusIO.checksumSql("documents", "lang", "doc_id", "text"))),
 
+    // ORC round-trip: the second native columnar format, same content-
+    // checksum gate as the JSONL/parquet paths
+    QueryDef("io_roundtrip_orc",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_io_orc_${math.abs(dir.hashCode)}"
+        graft.ops.CorpusIO.writeOrc(docs, out)
+        graft.ops.CorpusIO.checksum(graft.ops.CorpusIO.readOrc(s, out),
+          "source", "doc_id", "text")
+      },
+      Some(graft.ops.CorpusIO.checksumSql("documents", "source", "doc_id", "text"))),
+
     // deterministic train/val/test assignment: hash-range membership on
     // the doc's own id — zero shuffle, and docs never migrate between
     // splits as the corpus grows (the leakage guarantee)
