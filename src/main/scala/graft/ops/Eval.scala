@@ -36,6 +36,33 @@ object Eval {
       .withColumn("recall", round(col("n_matched").cast("double") / k, 6))
   }
 
+  /** [[annRecallAtK]] for the OTHER index family: recall@k of the
+    * k-means IVF multi-probe path ([[Similarity.ivfTopKKmeans]]) against
+    * exact brute force — together the two recall gates cover both
+    * registered ANN index shapes (hash-bucketed and learned-centroid).
+    * `queryPred` filters the assigned corpus exactly as the IVF operator
+    * does, so both sides see the same query set.
+    */
+  def ivfRecallAtK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+                   nCentroids: Int = 8, iters: Int = 2, nprobe: Int = 2,
+                   queryPred: org.apache.spark.sql.Column): DataFrame = {
+    // queryPred follows ivfTopKKmeans' convention (it references the id
+    // as `v_id`); expose the same name here so ONE predicate selects the
+    // identical query set on both the exact and the index side
+    val queries = corpus.select(col(idCol).as("v_id"), col(vecCol))
+      .where(queryPred)
+      .select(col("v_id").as(idCol), col(vecCol))
+    val exact = Similarity.bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("q_id"), col("c_id"))
+    val approx = Similarity.ivfTopKKmeans(corpus, idCol, vecCol, k,
+        nCentroids, iters, nprobe, queryPred = queryPred)
+      .select(col("q_id"), col("c_id"), lit(1L).as("__hit"))
+    exact.join(approx, Seq("q_id", "c_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_matched"))
+      .withColumn("recall", round(col("n_matched").cast("double") / k, 6))
+  }
+
   /** DuckDB twin of [[annRecallAtK]]: the existing exact/LSH SQL twins
     * nested as derived tables (so each keeps its own WITH chain), then
     * the same left-join overlap count.
@@ -48,6 +75,27 @@ object Eval {
        |approx AS (
        |  SELECT q_id, c_id FROM (
        |${Similarity.lshTopKSql(table, idCol, vecCol, k, queryPred, bits, nprobe)}) t)
+       |SELECT e.q_id,
+       |  CAST(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       |  round(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / $k, 6) AS recall
+       |FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
+       |GROUP BY e.q_id""".stripMargin
+
+  /** DuckDB twin of [[ivfRecallAtK]]. The two predicate strings are the
+    * SAME query-set filter spelled in each side's column naming
+    * (`queryPredId` over the table's id column for the exact CTE,
+    * `queryPredVid` over `v_id` for the IVF CTE chain).
+    */
+  def ivfRecallAtKSql(table: String, idCol: String, vecCol: String, k: Int,
+                      queryPredId: String, queryPredVid: String,
+                      nCentroids: Int = 8, iters: Int = 2,
+                      nprobe: Int = 2): String =
+    s"""WITH exact AS (
+       |  SELECT q_id, c_id FROM (
+       |${Similarity.bruteForceTopKSql(table, idCol, vecCol, k, queryPredId)}) t),
+       |approx AS (
+       |  SELECT q_id, c_id FROM (
+       |${Similarity.ivfTopKKmeansSql(table, idCol, vecCol, k, nCentroids, iters, nprobe, queryPredVid)}) t)
        |SELECT e.q_id,
        |  CAST(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
        |  round(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / $k, 6) AS recall

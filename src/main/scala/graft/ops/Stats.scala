@@ -27,7 +27,10 @@ object Stats {
   /** Exact per-group discrete percentiles. `tieCol` totalizes the sort
     * (duplicate values would otherwise make `row_number` engine-
     * dependent, though the SELECTED value would still agree; the tie
-    * column makes the plans reproducible too).
+    * column makes the plans reproducible too). `valueCol` must be
+    * non-null: the engines disagree on null sort position (Spark
+    * NULLS FIRST vs DuckDB NULLS LAST by default) — filter nulls out
+    * before ranking (same contract as every hash op in this library).
     *
     * Plan shape: ONE keyed exchange + ONE (value, tie) sort feeding both
     * windows (`row_number` and the partition count share the spec), then

@@ -809,6 +809,17 @@ object Queries {
       Some(graft.ops.Eval.annRecallAtKSql("embeddings", "vec_id", "embedding",
         k = 5, queryPred = "vec_id < 10", nprobe = 2))),
 
+    // the same recall gate for the learned-centroid index family: IVF
+    // (k-means, multi-probe) vs exact brute force — both registered ANN
+    // shapes now have a driver-checked quality metric
+    QueryDef("embed_ivf_recall",
+      (s, dir) => graft.ops.Eval.ivfRecallAtK(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 5, nCentroids = 8, iters = 2, nprobe = 2,
+        queryPred = col("v_id") < 10),
+      Some(graft.ops.Eval.ivfRecallAtKSql("embeddings", "vec_id", "embedding",
+        k = 5, queryPredId = "vec_id < 10", queryPredVid = "v_id < 10",
+        nCentroids = 8, iters = 2, nprobe = 2))),
+
     // per-label centroid + class size: decimal-exact per-dimension means,
     // exchange carries labels x dims cells — never the vectors
     QueryDef("embed_label_centroids",
