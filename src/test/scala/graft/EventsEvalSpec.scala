@@ -123,6 +123,17 @@ class EventsEvalSpec extends SparkSpec {
       s"more probes can only add true neighbors: r1=$r1 r3=$r3")
   }
 
+  test("ivfRecallAtK: one row per query, recall bounded, probing all clusters is exact") {
+    val r = Eval.ivfRecallAtK(vecs, "vec_id", "embedding", k = 3,
+        nCentroids = 4, iters = 1, nprobe = 4, queryPred = $"v_id" < 5)
+      .select($"q_id", $"recall").as[(Long, Double)].collect().toMap
+    assert(r.keySet === (0L until 5L).toSet)
+    assert(r.values.forall(v => v >= 0.0 && v <= 1.0))
+    // nprobe == nCentroids searches every cluster => the full corpus =>
+    // recall must be exactly 1 for every query
+    assert(r.values.forall(_ == 1.0), s"all-cluster probe must be exact: $r")
+  }
+
   test("labelCentroids: exact mean per dimension and class sizes") {
     val df = Seq(
       (0, Array(1.0f, 2.0f)), (0, Array(3.0f, 4.0f)),
