@@ -169,9 +169,15 @@ object Queries {
     QueryDef("q22_anti_customers",
       (s, dir) => {
         // NOT EXISTS ≡ left-anti join; same keys-only shuffle shape as the
-        // semi join above
+        // semi join above. The right side is restricted to URGENT orders:
+        // in this testdata EVERY customer has at least one order, so the
+        // unrestricted anti-join is empty on both engines — vacuously
+        // green, with the anti path unexercised (r5 finding). Against
+        // URGENT orders both branches occur (17 keep / rest drop at
+        // sf0.001; 182 at sf0.01).
         val cust = t(s, dir, "customer").where(col("c_acctbal") > 0)
-        val ord = t(s, dir, "orders").select("o_custkey")
+        val ord = t(s, dir, "orders")
+          .where(col("o_orderpriority") === "1-URGENT").select("o_custkey")
         cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n_cust"),
@@ -181,7 +187,8 @@ object Queries {
              |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
              |FROM customer
              |WHERE c_acctbal > 0
-             |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
              |GROUP BY c_mktsegment""".stripMargin)),
 
     QueryDef("topk_orders",
@@ -439,11 +446,38 @@ object Queries {
       (s, dir) => Similarity.lshBuckets(t(s, dir, "embeddings"), "vec_id", "embedding"),
       Some(Similarity.lshBucketsSql("embeddings", "vec_id", "embedding"))),
 
+    // the testdata has no natural near-dups (max pairwise cosine ≈ 0.51),
+    // so the unmodified table is vacuously green at 0 rows — the r5
+    // finding. The fixture plants dups deterministically on BOTH engines
+    // (the text_scrub playbook): exact copies of vec_id 0-2 (sim = 1.0,
+    // guaranteed same LSH bucket) exercise pair emission; dim-0-scaled
+    // copies of vec_id 3-4 (double multiply, round to float — bit-equal
+    // cross-engine) exercise the high-but-below-1 scoring path
     QueryDef("embed_near_dup",
-      (s, dir) => Similarity.embeddingNearDupPairs(
-        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.95),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val exact = emb.where(col("vec_id") < 3)
+          .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+        val near = emb.where(col("vec_id") >= 3 && col("vec_id") < 5)
+          .select((col("vec_id") + 2000).as("vec_id"),
+            expr("transform(embedding, (x, i) -> " +
+              "IF(i = 0, cast(cast(x AS DOUBLE) * 1.25D AS FLOAT), x))")
+              .as("embedding"))
+        Similarity.embeddingNearDupPairs(
+          emb.unionByName(exact).unionByName(near),
+          "vec_id", "embedding", threshold = 0.95)
+      },
       Some(Similarity.embeddingNearDupPairsSql(
-        "embeddings", "vec_id", "embedding", threshold = 0.95))),
+        """(SELECT vec_id, embedding FROM embeddings
+          | UNION ALL
+          | SELECT vec_id + 1000, embedding FROM embeddings WHERE vec_id < 3
+          | UNION ALL
+          | SELECT vec_id + 2000,
+          |   list_transform(generate_series(1, len(embedding)),
+          |     i -> CASE WHEN i = 1 THEN CAST(embedding[1]::DOUBLE * 1.25 AS REAL)
+          |          ELSE embedding[i] END)
+          | FROM embeddings WHERE vec_id >= 3 AND vec_id < 5)""".stripMargin,
+        "vec_id", "embedding", threshold = 0.95))),
 
     QueryDef("embed_dedup_keeper",
       (s, dir) => Similarity.embeddingDedupKeepers(
@@ -532,9 +566,13 @@ object Queries {
       Some(Similarity.lshTopKSql("embeddings", "vec_id", "embedding",
         k = 5, queryPred = "vec_id < 10", nprobe = 2))),
 
-    // ANN: inverted-file top-k with learned-centroid partitioning — the
-    // second ANN scale path (cluster-partitioned vs. hash-bucketed)
-    QueryDef("embed_ivf_topk",
+    // ANN: inverted-file top-k with FIRST-N STUB centroids and nprobe=1 —
+    // DELIBERATELY DEMOTED to "baseline" (was `embed_ivf_topk`): this is
+    // the simplest IVF shape, kept ONLY as the recall floor the learned
+    // index is measured against (see `embed_ivf_recall`). It has a known
+    // recall cliff at cluster boundaries; a user reaching for IVF by name
+    // should land on `embed_ivf_kmeans` (learned centroids, nprobe=2)
+    QueryDef("embed_ivf_baseline",
       (s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"),
         "vec_id", "embedding", k = 5, nCentroids = 8,
         queryPred = col("v_id") < 10),
@@ -606,11 +644,18 @@ object Queries {
         "user_id", "ts", "event_id", "value", gapMinutes = 30))),
 
     // int8 scalar quantization: per-vector symmetric scale + code array —
-    // the 4x-compression step of a quantized ANN index
+    // the 4x-compression step of a quantized ANN index. The registered
+    // query serializes the code array to a CSV string: the driver's
+    // comparator sorts raw columns (a top-level ARRAY breaks it — r5's
+    // red-row lesson); the array-returning op stays for composition
     QueryDef("embed_quantize",
       (s, dir) => Similarity.quantizeInt8(t(s, dir, "embeddings"),
-        "vec_id", "embedding"),
-      Some(Similarity.quantizeInt8Sql("embeddings", "vec_id", "embedding"))),
+          "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          expr("array_join(cast(qvec AS ARRAY<STRING>), ',')").as("qvec_csv")),
+      Some(s"""WITH z AS (${Similarity.quantizeInt8Sql("embeddings", "vec_id", "embedding")})
+             |SELECT vec_id, scale, array_to_string(qvec, ',') AS qvec_csv
+             |FROM z""".stripMargin)),
 
     // ANN over the quantized code domain: cosine is scale-invariant, so
     // search runs directly on int8 codes (no dequantization) with the
@@ -821,11 +866,22 @@ object Queries {
         nCentroids = 8, iters = 2, nprobe = 2))),
 
     // per-label centroid + class size: decimal-exact per-dimension means,
-    // exchange carries labels x dims cells — never the vectors
+    // exchange carries labels x dims cells — never the vectors. Registered
+    // with the centroid serialized to fixed-scale decimal CSV (no raw
+    // array column reaches the driver comparator; DECIMAL(18,6) gives an
+    // engine-independent string for the already-rounded doubles)
     QueryDef("embed_label_centroids",
       (s, dir) => graft.ops.Eval.labelCentroids(t(s, dir, "embeddings"),
-        "label", "embedding"),
-      Some(graft.ops.Eval.labelCentroidsSql("embeddings", "label", "embedding"))),
+          "label", "embedding")
+        .select(col("label"), col("n_vectors"),
+          expr("array_join(transform(centroid, " +
+            "x -> cast(cast(x AS DECIMAL(18,6)) AS STRING)), ',')")
+            .as("centroid_csv")),
+      Some(s"""WITH z AS (${graft.ops.Eval.labelCentroidsSql("embeddings", "label", "embedding")})
+             |SELECT label, n_vectors,
+             |  array_to_string(list_transform(centroid,
+             |    x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), ',') AS centroid_csv
+             |FROM z""".stripMargin)),
 
     // exact PERCENTILE_DISC per event type: rank selection (no sketch,
     // no interpolation) — one keyed exchange + one sort shared by both

@@ -26,6 +26,13 @@ for name, sql in sorted(oracle.items()):
         fails.append((name, f"schema: spark={scols} oracle={ocols}")); continue
     if len(sdf) != len(odf):
         fails.append((name, f"rows: spark={len(sdf)} oracle={len(odf)}")); continue
+    # mirror the DRIVER's comparator, which sort_values the RAW columns:
+    # a top-level array column is unhashable there (r5 red rows) even
+    # though the stringified hash below would pass — fail like the driver
+    try:
+        sdf.sort_values(by=scols); odf.sort_values(by=ocols)
+    except TypeError as e:
+        fails.append((name, f"driver comparator would fail on raw sort: {e}")); continue
     def canon(df):
         d = df[scols].astype(str)
         rows = sorted(["|".join(r) for r in d.values.tolist()])
