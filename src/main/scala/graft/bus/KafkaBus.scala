@@ -40,10 +40,34 @@ final class KafkaBus(val spark: SparkSession,
 
   private val subscribed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def reader(groupId: String) = spark.readStream.format("kafka")
-    .option("kafka.bootstrap.servers", bootstrapServers)
-    .option("startingOffsets", startingOffsets)
-    .option("kafka.group.id", groupId)
+  /** Consumer group for the data plane (S1): the service name, so all
+    * instances of a service share one group and partition the topic
+    * (reference: KafkaBus.scala:114-117).
+    */
+  def dataGroupId: String = serviceName
+
+  /** Consumer group for a back-channel consumer (S2): unique per
+    * instance, so EVERY instance sees every control event (reference:
+    * KafkaBus.scala:118-121,245).
+    */
+  def backChannelGroupId(): String =
+    serviceName + "-bc-" + java.util.UUID.randomUUID()
+
+  /** The S1/S2 reader option contract as pure data — this map IS the
+    * configuration handed to `readStream.format("kafka")`, exposed so
+    * KafkaOptionContractSpec can pin it without a broker.
+    */
+  def sourceOptions(topic: String, groupId: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "startingOffsets" -> startingOffsets,
+    "kafka.group.id" -> groupId,
+    "subscribe" -> topic)
+
+  /** The producer option contract ([[sinkEnvelopes]] adds a unique
+    * `checkpointLocation` per start on top).
+    */
+  def sinkOptions: Map[String, String] =
+    Map("kafka.bootstrap.servers" -> bootstrapServers)
 
   /** S1: one consumer per topic, group-id = service name (reference:
     * KafkaBus.scala:114-121,191-192 — the committable source subscribed
@@ -51,7 +75,8 @@ final class KafkaBus(val spark: SparkSession,
     */
   def source(topic: String): DataFrame = {
     subscribed.add(topic)
-    KafkaBus.fromValue(reader(serviceName).option("subscribe", topic).load())
+    KafkaBus.fromValue(spark.readStream.format("kafka")
+      .options(sourceOptions(topic, dataGroupId)).load())
   }
 
   /** S2: the control-plane back-channel — a second consumer graph under a
@@ -60,8 +85,8 @@ final class KafkaBus(val spark: SparkSession,
     */
   def backChannelSource(topic: String): DataFrame = {
     subscribed.add(topic)
-    KafkaBus.fromValue(reader(
-      serviceName + "-bc-" + java.util.UUID.randomUUID()).option("subscribe", topic).load())
+    KafkaBus.fromValue(spark.readStream.format("kafka")
+      .options(sourceOptions(topic, backChannelGroupId())).load())
   }
 
   def publish[T](events: Seq[T], key: Option[T => String] = None)
@@ -89,7 +114,7 @@ final class KafkaBus(val spark: SparkSession,
     KafkaBus.toValue(spark.createDataset(events).toDF()
         .withColumn("topic", lit(topic)))
       .write.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
+      .options(sinkOptions)
       .save()
   }
 
@@ -101,7 +126,7 @@ final class KafkaBus(val spark: SparkSession,
   def sinkEnvelopes(routed: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
     KafkaBus.toValue(routed)
       .writeStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
+      .options(sinkOptions)
       .option("checkpointLocation",
         checkpointRoot + "/" + java.util.UUID.randomUUID())
       .start()
