@@ -117,6 +117,18 @@ object VectorFunctions {
     }
   }
 
+  private def binaryLit(e: Expression, fn: String): Array[Byte] = {
+    // accepts any FOLDABLE binary expression (typically `unhex('...')`) so
+    // sketches can ride in SQL text; evaluated once at analysis time
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn expects a foldable BINARY argument (e.g. unhex literal), got $e")
+    e.eval(null) match {
+      case b: Array[Byte] => b
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a foldable BINARY argument, got value $other")
+    }
+  }
+
   /** name -> (class, builder) for every native graft function. */
   val all: Seq[(String, (Class[_], Seq[Expression] => Expression))] = Seq(
     "graft_cosine" -> (classOf[CosineSim],
@@ -132,6 +144,10 @@ object VectorFunctions {
       (e: Seq[Expression]) => HyperplaneBucket(e(0), intLit(e(1), "graft_hyperplane_bucket"))),
     "graft_intersect_count" -> (classOf[SortedIntersectCount],
       (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))),
+    "graft_bloom_contains" -> (classOf[BloomMightContain],
+      (e: Seq[Expression]) => BloomMightContain(binaryLit(e(0), "graft_bloom_contains"), e(1))),
+    "graft_bloom_any" -> (classOf[BloomAnyContain],
+      (e: Seq[Expression]) => BloomAnyContain(binaryLit(e(0), "graft_bloom_any"), e(1))),
     "graft_ngrams" -> (classOf[NGrams],
       (e: Seq[Expression]) => NGrams(e(0), intLit(e(1), "graft_ngrams"))),
     "graft_top_ngram_count" -> (classOf[TopNgramCount],

@@ -39,6 +39,46 @@ object Decontaminate {
       .select(col(id), size(col("doc_hs")).as("n_shingles"))
   }
 
+  /** Bloom-prefiltered variant of [[cleanDocs]] — IDENTICAL output, built
+    * for the regime where the broadcast sorted-array set stops scaling:
+    * at ~100M benchmark shingles the exact set is ~800 MB broadcast and
+    * a log-sized probe per doc-shingle, while a 1% bloom sketch is ~120 MB
+    * and O(1) per probe. Most corpus docs share NO shingle with the
+    * benchmark, so the codegen'd short-circuit `graft_bloom_any` clears
+    * them in the scan with zero join; only the maybe-contaminated
+    * sliver (true hits + fpp false positives) pays the exact two-pointer
+    * residual check, which restores exactness (bloom has no false
+    * negatives, so a bloom-clean doc is exactly-clean).
+    *
+    * `expectedShingles` sizes the sketch; a bad estimate moves fpp, never
+    * correctness.
+    */
+  def cleanDocsBloom(corpus: DataFrame, bench: DataFrame,
+                     id: String, text: String, k: Int = 3,
+                     expectedShingles: Long = 1 << 16,
+                     fpp: Double = 0.01): DataFrame = {
+    val attach = graft.functions.VectorFunctions.attach _
+    val benchHashes = attach(bench)
+      .select(explode(expr(Dedup.nativeShingleHashes(text, k))).as("h"))
+      .distinct()
+    val sketch = BloomJoin.sketchOf(benchHashes, "h", expectedShingles, fpp)
+    // null-text docs drop here, matching cleanDocs (null intersect count
+    // fails its filter too)
+    val corpusH = attach(corpus)
+      .select(col(id),
+        expr(s"sort_array(${Dedup.nativeShingleHashes(text, k)})").as("doc_hs"))
+      .where(col("doc_hs").isNotNull)
+    val probe = expr(BloomJoin.anySql(sketch, "doc_hs"))
+    val cleanByBloom = corpusH.where(!probe)
+    val benchSet = benchHashes.agg(sort_array(collect_set(col("h"))).as("bench_hs"))
+    val verifiedClean = corpusH.where(probe)
+      .crossJoin(broadcast(benchSet))
+      .where(expr("graft_intersect_count(doc_hs, bench_hs) = 0"))
+      .select(col(id), col("doc_hs"))
+    cleanByBloom.unionAll(verifiedClean)
+      .select(col(id), size(col("doc_hs")).as("n_shingles"))
+  }
+
   /** DuckDB twin: same shingle hashing, the one-row benchmark set cross
     * joined in (a scalar subquery breaks once DuckDB inlines the
     * lambda-bearing CTE: "Subqueries are not supported in lambda

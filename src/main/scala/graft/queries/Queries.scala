@@ -191,6 +191,43 @@ object Queries {
              |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
              |GROUP BY c_mktsegment""".stripMargin)),
 
+    // bloom-prefiltered joins: EXACT results (the residual equi-join
+    // clears false positives), but the fact-side exchange carries only
+    // bloom survivors instead of the whole table — the explicit form of
+    // Spark's runtime-filter injection, caller-tunable (ops/BloomJoin)
+    QueryDef("join_bloom_semi",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val urgent = t(s, dir, "orders")
+          .where(col("o_orderpriority") === "1-URGENT")
+        graft.ops.BloomJoin.semiJoin(li, urgent, "l_orderkey", "o_orderkey",
+            expected = 100000L, fpp = 0.01)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            expr("cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").as("revenue"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+             |GROUP BY l_returnflag""".stripMargin)),
+
+    QueryDef("join_bloom_anti",
+      (s, dir) => {
+        // definite non-members exit in the scan with NO join (bloom has
+        // no false negatives); only maybe-members take the exact anti join
+        val cust = t(s, dir, "customer")
+        val urgent = t(s, dir, "orders")
+          .where(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        graft.ops.BloomJoin.antiJoin(cust, urgent, "c_custkey", "o_custkey",
+            expected = 100000L, fpp = 0.01)
+          .select(col("c_custkey"), col("c_mktsegment"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin)),
+
     QueryDef("topk_orders",
       (s, dir) => t(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -511,21 +548,26 @@ object Queries {
           "documents", "doc_id", "source",
           Map("src0" -> 0.8, "src1" -> 0.25), default = 0.5)})""")),
 
+    // DEFAULT packing is the (stratum, shard) form — the skew-free scale
+    // path: the window key carries shards× the cardinality, so one
+    // stratum's corpus never funnels through a single reducer. (r5
+    // perf-weak item: the skew-prone form was the registered default.)
     QueryDef("pipeline_pack",
-      (s, dir) => graft.ops.Sampling.packSequences(
-        t(s, dir, "documents"), "doc_id", "text", "source", budget = 2048),
-      Some(graft.ops.Sampling.packSequencesSql(
-        "documents", "doc_id", "text", "source", budget = 2048))),
-
-    // the (stratum, shard) packing — the skew-free scale path: the window
-    // key carries shards× the cardinality, so one stratum's corpus no
-    // longer funnels through a single reducer
-    QueryDef("pipeline_pack_sharded",
       (s, dir) => graft.ops.Sampling.packSequencesSharded(
         t(s, dir, "documents"), "doc_id", "text", "source",
         budget = 2048, shards = 8),
       Some(graft.ops.Sampling.packSequencesShardedSql(
         "documents", "doc_id", "text", "source", budget = 2048, shards = 8))),
+
+    // DEMOTED fallback (was `pipeline_pack`): one window per stratum gives
+    // globally contiguous seq_ids within a stratum, at the price of one
+    // reducer per stratum — only for jobs that NEED stratum-contiguous
+    // sequence numbering and have many strata or small corpora
+    QueryDef("pipeline_pack_stratum",
+      (s, dir) => graft.ops.Sampling.packSequences(
+        t(s, dir, "documents"), "doc_id", "text", "source", budget = 2048),
+      Some(graft.ops.Sampling.packSequencesSql(
+        "documents", "doc_id", "text", "source", budget = 2048))),
 
     // ================= multimodal plumbing ===============================
 
@@ -744,6 +786,21 @@ object Queries {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         graft.ops.Decontaminate.cleanDocs(
+          docs.where(col("doc_id") >= 25), docs.where(col("doc_id") < 25),
+          "doc_id", "text")
+      },
+      Some(graft.ops.Decontaminate.cleanDocsSql("documents",
+        benchPred = "doc_id < 25", corpusPred = "doc_id >= 25",
+        "doc_id", "text"))),
+
+    // bloom-prefiltered decontamination: identical output to
+    // pipeline_decontaminate (same oracle), but the corpus-side check is a
+    // codegen'd short-circuit sketch probe — the scale path once the
+    // benchmark shingle set outgrows the broadcast sorted array
+    QueryDef("pipeline_decontaminate_bloom",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.ops.Decontaminate.cleanDocsBloom(
           docs.where(col("doc_id") >= 25), docs.where(col("doc_id") < 25),
           "doc_id", "text")
       },

@@ -138,8 +138,8 @@ class PlanAuditSpec extends SparkSpec {
       s"text must be reduced to hash rows before any shuffle:\n$p")
   }
 
-  test("pipeline_pack_sharded: one (stratum, shard) window exchange, text dropped before it") {
-    val p = plan("pipeline_pack_sharded")
+  test("pipeline_pack (sharded default): one (stratum, shard) window exchange, text dropped before it") {
+    val p = plan("pipeline_pack")
     assert(count(p, "Exchange") == 1,
       s"sharded packing needs exactly one shuffle (the window):\n$p")
     val ex = p.indexOf("Exchange hashpartitioning(")
@@ -147,6 +147,33 @@ class PlanAuditSpec extends SparkSpec {
       s"the window exchange must partition by (stratum, shard) — the skew-free key:\n$p")
     assert(!p.substring(0, p.indexOf("Exchange")).contains("text#"),
       s"text must be reduced to token counts before the shuffle:\n$p")
+  }
+
+  test("join_bloom_semi: sketch probe filters the fact side BELOW its exchange") {
+    val p = plan("join_bloom_semi")
+    val probe = p.indexOf("graft_bloom_contains")
+    assert(probe >= 0, s"the bloom probe must appear in the physical plan:\n$p")
+    // children print BELOW parents: the text between the probe filter and
+    // the lineitem scan it guards must contain no Exchange — non-members
+    // die in the scan stage and never reach a shuffle
+    val below = p.substring(probe)
+    val scan = below.indexOf("lineitem")
+    assert(scan >= 0 && !below.substring(0, scan).contains("Exchange"),
+      s"bloom probe must filter the fact side scan-side, below any exchange:\n$p")
+  }
+
+  test("pipeline_decontaminate_bloom: codegen'd probe, zero corpus shuffles") {
+    val p = plan("pipeline_decontaminate_bloom")
+    assert(p.contains("graft_bloom_any"),
+      s"the array sketch probe must be compiled into the plan:\n$p")
+    // both corpus branches (bloom-clean, residual-check) are pure scans;
+    // the only exchanges in the whole plan are the metadata-sized bench
+    // set reduction (partial collect_set -> SinglePartition -> broadcast)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the corpus must never shuffle on a key:\n$p")
+    assert(count(p, "Exchange") == 2 && p.contains("Exchange SinglePartition")
+      && p.contains("BroadcastExchange"),
+      s"only the bench-set reduction may exchange:\n$p")
   }
 
   test("embed_ann_topk (multi-probe): broadcast probes, bounded-heap top-k, no window sort") {
