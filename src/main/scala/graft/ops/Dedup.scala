@@ -438,4 +438,35 @@ object Dedup {
        |      FROM d a JOIN d b ON a.$id < b.$id)
        |SELECT a_id, b_id, round(c * 1.0 / (na + nb - c), 6) AS jaccard
        |FROM p WHERE round(c * 1.0 / (na + nb - c), 6) >= $threshold""".stripMargin
+
+  /** Incremental snapshot dedup: the new-crawl documents whose content
+    * digest does NOT appear in the accumulated prior corpus — the
+    * ingest-time form of [[exactDedup]] (each snapshot dedups against
+    * everything already kept, instead of re-deduping the union).
+    *
+    * Scale shape: the prior corpus is the HUGE side, but it participates
+    * only as a digest set — and through [[BloomJoin.antiJoin]] even that
+    * set crosses the cluster as a sketch: new-snapshot rows that the
+    * sketch clears (the vast majority — re-crawl rates are low) exit in
+    * their scan with no join; only maybe-duplicates take the exact
+    * residual anti-join. The sketch stays broadcastable to ~1B prior
+    * digests (~1.2 GB at 1% fpp); past that, production keeps a compact
+    * digest TABLE as the accumulated state (8-byte digests, no text) and
+    * this op's residual join runs against it partitioned — the operator
+    * takes the digest frame, so that is the caller's storage choice.
+    */
+  def incrementalNew(newSnap: DataFrame, prior: DataFrame,
+                     id: String, text: String,
+                     expectedPrior: Long = 1 << 20,
+                     fpp: Double = 0.01): DataFrame = {
+    val newH = newSnap.select(col(id), md5(col(text)).as("h"))
+    val priorH = prior.select(md5(col(text)).as("prior_h"))
+    BloomJoin.antiJoin(newH, priorH, "h", "prior_h", expectedPrior, fpp)
+  }
+
+  def incrementalNewSql(newRel: String, priorRel: String,
+                        id: String, text: String): String =
+    s"""SELECT n.$id, md5(n.$text) AS h FROM $newRel n
+       |WHERE NOT EXISTS (SELECT 1 FROM $priorRel o
+       |                  WHERE md5(o.$text) = md5(n.$text))""".stripMargin
 }

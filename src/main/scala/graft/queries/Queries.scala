@@ -753,6 +753,27 @@ object Queries {
           "chr(10) || 'footer ' || doc_id AS text2 FROM documents)",
         "doc_id", "text2", maxFreq = 10))),
 
+    // incremental snapshot dedup: the new crawl keeps only documents whose
+    // content digest is absent from the accumulated prior corpus. The
+    // fixture PLANTS 20 re-crawled copies (id-shifted, text identical) on
+    // both engines so the drop branch is non-vacuous — no natural exact
+    // dup straddles the id split in this testdata
+    QueryDef("dedup_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val prior = docs.where(col("doc_id") < 400).select("doc_id", "text")
+        val recrawl = docs.where(col("doc_id") < 20)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val fresh = docs.where(col("doc_id") >= 400).select("doc_id", "text")
+        Dedup.incrementalNew(recrawl.unionAll(fresh), prior, "doc_id", "text",
+          expectedPrior = 10000L)
+      },
+      Some(Dedup.incrementalNewSql(
+        "(SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 20 " +
+          "UNION ALL SELECT doc_id, text FROM documents WHERE doc_id >= 400)",
+        "(SELECT doc_id, text FROM documents WHERE doc_id < 400)",
+        "doc_id", "text"))),
+
     // AS-OF join (point-in-time state lookup): each view event gets the
     // latest prior-or-equal purchase per user. Spark lacks native ASOF;
     // the op is the merge formulation — union + ONE keyed exchange + ONE

@@ -110,6 +110,21 @@ class BloomJoinSpec extends SparkSpec {
       s"fixture must exercise both keep and drop branches, got ${exact.toSeq}")
   }
 
+  test("incremental snapshot dedup drops re-crawls, keeps fresh docs") {
+    val prior = Seq((1L, "alpha doc"), (2L, "beta doc"), (3L, "gamma doc"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq(
+      (10L, "alpha doc"),   // re-crawl of 1 -> dropped
+      (11L, "delta doc"),   // fresh -> kept
+      (12L, "beta doc"),    // re-crawl of 2 -> dropped
+      (13L, "epsilon doc")  // fresh -> kept
+    ).toDF("doc_id", "text")
+    val kept = graft.ops.Dedup.incrementalNew(newSnap, prior, "doc_id", "text",
+        expectedPrior = 16, fpp = 0.25)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(11L, 13L)))
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
     val conf = spark.conf
     val old = pairs.map { case (k, _) => k -> conf.getOption(k) }
