@@ -144,6 +144,12 @@ object VectorFunctions {
       (e: Seq[Expression]) => HyperplaneBucket(e(0), intLit(e(1), "graft_hyperplane_bucket"))),
     "graft_intersect_count" -> (classOf[SortedIntersectCount],
       (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))),
+    "graft_dist2" -> (classOf[SquaredDistance],
+      (e: Seq[Expression]) => SquaredDistance(e(0), e(1))),
+    "graft_dot" -> (classOf[DotProduct],
+      (e: Seq[Expression]) => DotProduct(e(0), e(1))),
+    "graft_pq_adc" -> (classOf[PqAdc],
+      (e: Seq[Expression]) => PqAdc(e(0), e(1), intLit(e(2), "graft_pq_adc"))),
     "graft_bloom_contains" -> (classOf[BloomMightContain],
       (e: Seq[Expression]) => BloomMightContain(binaryLit(e(0), "graft_bloom_contains"), e(1))),
     "graft_bloom_any" -> (classOf[BloomAnyContain],

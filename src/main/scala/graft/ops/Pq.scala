@@ -1,0 +1,237 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the ANN memory tier below int8: each
+  * vector becomes `m` small centroid codes (here m=4 codes of 3 bits
+  * over a 64-dim float vector ≈ 64× compression vs float32 at test
+  * parameters; production uses m=8..64, kSub=256 → 1 byte/code), and
+  * search never touches float vectors per pair — a per-query lookup
+  * table turns scoring into `m` array reads ([[graft.functions.PqAdc]]).
+  *
+  * How the pieces map to cosine: cos(q, x) = Σ_j dot(q_j, x_j) /
+  * (|q|·|x|). PQ approximates each subvector x_j by its subspace
+  * centroid c_{j,code}; then Σ_j dot(q_j, c_{j,code_j}) is a table
+  * lookup, and |x̂|² = Σ_j |c_{j,code_j}|² is precomputed at encode
+  * time. Subspace centroids are learned with L2 k-means (the PQ
+  * objective: minimize reconstruction error per subspace).
+  *
+  * Determinism (the DuckDB oracle reproduces everything bit-for-bit):
+  * init = subvectors of the first `kSub` ids; assignment = min
+  * round(dist², 6), ties to the lower centroid id; means decimal-exact
+  * then rounded to 6; every cross-subspace sum is DECIMAL (associative)
+  * or a pinned-order fold.
+  *
+  * Scale shape:
+  *  - build: the subspace explode multiplies ROWS by m but not BYTES
+  *    (each row carries d/m dims); per iteration one broadcast join +
+  *    one (sub, cent, pos)-keyed partial-agg exchange of cell rows.
+  *    At 100 TB you train on a sample (the op takes any corpus frame) —
+  *    k-means quality saturates long before the full corpus.
+  *  - encode: one broadcast join + one (sub, v_id)-keyed exchange whose
+  *    rows are (ids + one code) — never vectors.
+  *  - search: pure scan of (codes, |x̂|²) × broadcast query LUTs with the
+  *    compiled ADC kernel, bounded-heap top-k — the exchange carries
+  *    ≤ queries × k × partitions heap rows, zero vector arithmetic per
+  *    pair, zero corpus shuffle.
+  */
+object Pq {
+
+  // ---------- shared frames ----------
+
+  private def base(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    graft.functions.VectorFunctions.attach(corpus)
+      .select(col(idCol).as("v_id"), col(vecCol).as("vec"))
+
+  /** (v_id, sub, svec): the m subvectors of every vector, elements cast
+    * to DOUBLE (inputs are ARRAY<FLOAT>).
+    */
+  private def subFrame(b: DataFrame, m: Int, w: Int): DataFrame =
+    b.select(col("v_id"), explode(expr(s"sequence(0, ${m - 1})")).as("sub"), col("vec"))
+      .select(col("v_id"), col("sub"),
+        expr(s"transform(slice(vec, sub * $w + 1, $w), x -> cast(x AS DOUBLE))").as("svec"))
+
+  /** Per-subspace L2 k-means centroids: (sub, cent_id, c_vec). All m
+    * subspaces train TOGETHER — one broadcast join + one cell-keyed
+    * exchange per iteration covers every subspace, not m driver loops.
+    */
+  def pqCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, m: Int, kSub: Int, iters: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val w = dim / m
+    val b = subFrame(base(corpus, idCol, vecCol), m, w)
+    var cent = b.where(col("v_id") < kSub)
+      .select(col("sub"), col("v_id").cast("int").as("cent_id"), col("svec").as("c_vec"))
+    for (_ <- 1 to iters) {
+      val assigned = b.join(broadcast(cent), Seq("sub"))
+        .withColumn("d2", round(expr("graft_dist2(svec, c_vec)"), 6))
+        .groupBy(col("sub"), col("v_id"))
+        .agg(min_by(struct(col("svec"), col("cent_id")),
+          struct(col("d2"), col("cent_id"))).as("m"))
+        .select(col("sub"), col("m.svec").as("svec"), col("m.cent_id").as("cent_id"))
+      cent = assigned
+        .select(col("sub"), col("cent_id"), posexplode(col("svec")))
+        .groupBy(col("sub"), col("cent_id"), col("pos"))
+        .agg((sum(col("col").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("v"))
+        .groupBy(col("sub"), col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("s"))
+        .select(col("sub"), col("cent_id"), expr("transform(s, x -> round(x.v, 6))").as("c_vec"))
+        // truncate lineage per iteration (see Similarity.kmeansCentroids)
+        .localCheckpoint(true)
+    }
+    cent
+  }
+
+  /** PQ code words: (v_id, codes ARRAY<INT> in subspace order,
+    * xn2 = |x̂|² via exact decimal sum of the chosen centroids' |c|²).
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               cent: DataFrame, m: Int, w: Int): DataFrame = {
+    val b = subFrame(base(corpus, idCol, vecCol), m, w)
+    val centB = broadcast(cent.withColumn("c2", expr("graft_dot(c_vec, c_vec)")))
+    b.join(centB, Seq("sub"))
+      .withColumn("d2", round(expr("graft_dist2(svec, c_vec)"), 6))
+      .groupBy(col("sub"), col("v_id"))
+      .agg(min_by(struct(col("cent_id"), col("c2")),
+        struct(col("d2"), col("cent_id"))).as("m"))
+      .groupBy(col("v_id"))
+      .agg(
+        array_sort(collect_list(struct(col("sub"), col("m.cent_id").as("code")))).as("cs"),
+        sum(col("m.c2").cast("decimal(28,12)")).cast("double").as("xn2"))
+      .select(col("v_id"), expr("transform(cs, x -> x.code)").as("codes"), col("xn2"))
+  }
+
+  /** ADC top-k: approximate cosine neighbors from codes alone.
+    * `queryPred` selects queries over `v_id` (the [[pqCentroids]]
+    * convention shared with the IVF ops).
+    */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+             dim: Int, m: Int = 4, kSub: Int = 8, iters: Int = 2,
+             queryPred: Column = lit(false)): DataFrame = {
+    val w = dim / m
+    val cent = pqCentroids(corpus, idCol, vecCol, dim, m, kSub, iters)
+    val enc = pqEncode(corpus, idCol, vecCol, cent, m, w)
+    val b = base(corpus, idCol, vecCol)
+    val queries = b.where(queryPred)
+    // per-query flat LUT over the FULL (sub × kSub) grid — a centroid
+    // that lost all members mid-train leaves a zero-filled hole that no
+    // code references, keeping positional indexing aligned cross-engine
+    val qdots = subFrame(queries, m, w).join(broadcast(cent), Seq("sub"))
+      .select(col("v_id").as("q_id"),
+        (col("sub") * kSub + col("cent_id")).cast("int").as("gi"),
+        expr("graft_dot(svec, c_vec)").as("dot"))
+    val grid = queries.select(col("v_id").as("q_id"))
+      .withColumn("gi", explode(expr(s"sequence(0, ${m * kSub - 1})")))
+    val flat = grid.join(qdots, Seq("q_id", "gi"), "left")
+      .groupBy(col("q_id"))
+      .agg(array_sort(collect_list(struct(col("gi"),
+        coalesce(col("dot"), lit(0.0)).as("d")))).as("g"))
+      .select(col("q_id"), expr("transform(g, x -> x.d)").as("flat"))
+    val qn = queries.select(col("v_id").as("q_id"), expr("graft_dot(vec, vec)").as("q2"))
+    val qrows = broadcast(flat.join(qn, Seq("q_id")))
+    val scored = enc.crossJoin(qrows)
+      .where(col("q_id") =!= col("v_id"))
+      .withColumn("sim", round(expr(s"graft_pq_adc(codes, flat, $kSub)") /
+        (sqrt(col("q2")) * sqrt(col("xn2"))), 6))
+      .select(col("q_id"), col("v_id").as("c_id"), col("sim"))
+    Similarity.topkByQuery(scored, k)
+  }
+
+  // ---------- DuckDB twins ----------
+
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($a)), " +
+      s"i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE)), (acc, v) -> acc + v)"
+
+  private def duckDist2(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($a)), " +
+      s"i -> (($a)[i]::DOUBLE - ($b)[i]::DOUBLE) * (($a)[i]::DOUBLE - ($b)[i]::DOUBLE))), " +
+      "(acc, v) -> acc + v)"
+
+  /** CTE chain ending in `centf(sub, cent_id, c_vec, c2)` and
+    * `enc(v_id, codes, xn2)` — the build+encode half shared by the code
+    * dump and the search twins.
+    */
+  private def pqCtes(table: String, idCol: String, vecCol: String,
+                     dim: Int, m: Int, kSub: Int, iters: Int): String = {
+    val w = dim / m
+    val ctes = new StringBuilder
+    ctes.append(
+      s"""base AS (SELECT $idCol AS v_id, $vecCol AS vec FROM $table),
+         |sub AS (SELECT v_id, j AS sub,
+         |          list_transform(list_slice(vec, j * $w + 1, (j + 1) * $w), x -> x::DOUBLE) AS svec
+         |        FROM base, UNNEST(generate_series(0, ${m - 1})) AS t(j)),
+         |cent0 AS (SELECT sub, v_id::INT AS cent_id, svec AS c_vec FROM sub WHERE v_id < $kSub)""".stripMargin)
+    for (i <- 1 to iters) {
+      ctes.append(
+        s""",
+           |assign$i AS (
+           |  SELECT sub, v_id, svec, cent_id FROM (
+           |    SELECT s.sub, s.v_id, s.svec, c.cent_id, row_number() OVER (
+           |      PARTITION BY s.sub, s.v_id
+           |      ORDER BY round(${duckDist2("s.svec", "c.c_vec")}, 6) ASC, c.cent_id ASC) AS rn
+           |    FROM sub s JOIN cent${i - 1} c ON s.sub = c.sub) WHERE rn = 1),
+           |cent$i AS (
+           |  SELECT sub, cent_id, list(round(v, 6) ORDER BY pos) AS c_vec FROM (
+           |    SELECT sub, cent_id, pos,
+           |           CAST(sum(CAST(svec[pos] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS v
+           |    FROM assign$i, UNNEST(generate_series(1, len(svec))) AS t(pos)
+           |    GROUP BY sub, cent_id, pos) GROUP BY sub, cent_id)""".stripMargin)
+    }
+    ctes.append(
+      s""",
+         |centf AS (SELECT sub, cent_id, c_vec, ${duckDot("c_vec", "c_vec")} AS c2 FROM cent$iters),
+         |enc AS (
+         |  SELECT v_id, list(code ORDER BY sub) AS codes,
+         |         CAST(sum(CAST(c2 AS DECIMAL(28,12))) AS DOUBLE) AS xn2 FROM (
+         |    SELECT sub, v_id, cent_id AS code, c2 FROM (
+         |      SELECT s.sub, s.v_id, c.cent_id, c.c2, row_number() OVER (
+         |        PARTITION BY s.sub, s.v_id
+         |        ORDER BY round(${duckDist2("s.svec", "c.c_vec")}, 6) ASC, c.cent_id ASC) AS rn
+         |      FROM sub s JOIN centf c ON s.sub = c.sub) WHERE rn = 1)
+         |  GROUP BY v_id)""".stripMargin)
+    ctes.toString
+  }
+
+  /** Twin of [[pqEncode]]∘[[pqCentroids]] with codes CSV-serialized. */
+  def pqCodesSql(table: String, idCol: String, vecCol: String,
+                 dim: Int, m: Int, kSub: Int, iters: Int): String =
+    s"""WITH ${pqCtes(table, idCol, vecCol, dim, m, kSub, iters)}
+       |SELECT v_id, array_to_string(codes, ',') AS codes_csv, round(xn2, 6) AS xn2
+       |FROM enc""".stripMargin
+
+  /** Twin of [[pqTopK]]. */
+  def pqTopKSql(table: String, idCol: String, vecCol: String, k: Int,
+                dim: Int, m: Int = 4, kSub: Int = 8, iters: Int = 2,
+                queryPred: String = "false"): String = {
+    val w = dim / m
+    val adc = s"list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform(generate_series(1, $m), " +
+      s"j -> f.flat[(j - 1) * $kSub + e.codes[j] + 1])), (acc, v) -> acc + v)"
+    s"""WITH ${pqCtes(table, idCol, vecCol, dim, m, kSub, iters)},
+       |q AS (SELECT v_id AS q_id, vec FROM base WHERE $queryPred),
+       |qdots AS (
+       |  SELECT q.q_id, (c.sub * $kSub + c.cent_id) AS gi,
+       |         ${duckDot(s"list_transform(list_slice(q.vec, c.sub * $w + 1, (c.sub + 1) * $w), x -> x::DOUBLE)", "c.c_vec")} AS dot
+       |  FROM q CROSS JOIN centf c),
+       |grid AS (SELECT q_id, gi FROM (SELECT DISTINCT q_id FROM q),
+       |         UNNEST(generate_series(0, ${m * kSub - 1})) AS t(gi)),
+       |qflat AS (
+       |  SELECT g.q_id, list(coalesce(d.dot, 0.0::DOUBLE) ORDER BY g.gi) AS flat
+       |  FROM grid g LEFT JOIN qdots d ON g.q_id = d.q_id AND g.gi = d.gi
+       |  GROUP BY g.q_id),
+       |qn AS (SELECT q_id, ${duckDot("vec", "vec")} AS q2 FROM q),
+       |scored AS (
+       |  SELECT f.q_id, e.v_id AS c_id,
+       |         round($adc / (sqrt(n.q2) * sqrt(e.xn2)), 6) AS sim
+       |  FROM enc e CROSS JOIN qflat f JOIN qn n ON f.q_id = n.q_id
+       |  WHERE f.q_id <> e.v_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= $k""".stripMargin
+  }
+}

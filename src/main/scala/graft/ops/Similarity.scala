@@ -32,7 +32,7 @@ object Similarity {
     * shuffles and sorts EVERY scored candidate. Total order matches the
     * window twin: sim DESC, c_id ASC.
     */
-  private def topkByQuery(scored: DataFrame, k: Int): DataFrame =
+  private[ops] def topkByQuery(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("q_id"))
       .agg(expr(s"graft_topk(sim, c_id, $k)").as("top"))
       .select(col("q_id"), posexplode(col("top")))

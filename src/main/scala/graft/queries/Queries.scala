@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.entity.EntityStore
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Pq, Similarity, TextAnalysis}
 import graft.rpc.Rpc
 import graft.service.{RetryBackoff, RetryPolicy}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -632,6 +632,31 @@ object Queries {
       Some(Similarity.ivfTopKKmeansSql("embeddings", "vec_id", "embedding",
         k = 5, nCentroids = 8, iters = 2, nprobe = 2, queryPred = "v_id < 10"))),
 
+    // ANN, third index family: product quantization. Vectors become m
+    // subspace-centroid codes (L2 k-means per subspace); search is the
+    // compiled ADC lookup over per-query dot tables — zero per-pair float
+    // arithmetic, zero corpus shuffle (ops/Pq.scala). Codes dumped as CSV
+    // (schema guard: no raw arrays reach the driver comparator)
+    QueryDef("embed_pq_codes",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cent = Pq.pqCentroids(emb, "vec_id", "embedding",
+          dim = 64, m = 4, kSub = 8, iters = 2)
+        Pq.pqEncode(emb, "vec_id", "embedding", cent, m = 4, w = 16)
+          .select(col("v_id"),
+            expr("array_join(transform(codes, x -> cast(x AS STRING)), ',')").as("codes_csv"),
+            round(col("xn2"), 6).as("xn2"))
+      },
+      Some(Pq.pqCodesSql("embeddings", "vec_id", "embedding",
+        dim = 64, m = 4, kSub = 8, iters = 2))),
+
+    QueryDef("embed_pq_topk",
+      (s, dir) => Pq.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, dim = 64, m = 4, kSub = 8, iters = 2,
+        queryPred = col("v_id") < 10),
+      Some(Pq.pqTopKSql("embeddings", "vec_id", "embedding", k = 5,
+        dim = 64, m = 4, kSub = 8, iters = 2, queryPred = "v_id < 10"))),
+
     // video-kind frame sampling: every stride-th fixed-size chunk of the
     // payload becomes a frame row (hex-emitted for the portable compare)
     QueryDef("mm_frame_sample",
@@ -942,6 +967,16 @@ object Queries {
       Some(graft.ops.Eval.ivfRecallAtKSql("embeddings", "vec_id", "embedding",
         k = 5, queryPredId = "vec_id < 10", queryPredVid = "v_id < 10",
         nCentroids = 8, iters = 2, nprobe = 2))),
+
+    // ...and the PQ family's gate: what the (m, kSub) budget keeps. The
+    // production tuning loop raises m/kSub until this clears the bar
+    QueryDef("embed_pq_recall",
+      (s, dir) => graft.ops.Eval.pqRecallAtK(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 5, dim = 64, m = 4, kSub = 8, iters = 2,
+        queryPred = col("v_id") < 10),
+      Some(graft.ops.Eval.pqRecallAtKSql("embeddings", "vec_id", "embedding",
+        k = 5, queryPredId = "vec_id < 10", queryPredVid = "v_id < 10",
+        dim = 64, m = 4, kSub = 8, iters = 2))),
 
     // per-label centroid + class size: decimal-exact per-dimension means,
     // exchange carries labels x dims cells — never the vectors. Registered
