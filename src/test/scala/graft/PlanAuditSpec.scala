@@ -176,6 +176,18 @@ class PlanAuditSpec extends SparkSpec {
       s"only the bench-set reduction may exchange:\n$p")
   }
 
+  test("embed_pq_topk: ADC scoring is a broadcast scan into the bounded heap") {
+    val p = plan("embed_pq_topk")
+    assert(p.contains("graft_pq_adc"),
+      s"the compiled ADC kernel must be in the plan:\n$p")
+    assert(!p.contains("Window"),
+      s"PQ search must not shuffle+sort scored candidates:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query LUTs must broadcast against the code scan:\n$p")
+    assert(count(p, "ObjectHashAggregate") >= 2,
+      s"graft_topk must partial-aggregate map-side:\n$p")
+  }
+
   test("embed_ann_topk (multi-probe): broadcast probes, bounded-heap top-k, no window sort") {
     val p = plan("embed_ann_topk")
     assert(!p.contains("Window"),
