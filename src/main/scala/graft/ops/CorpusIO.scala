@@ -72,6 +72,26 @@ object CorpusIO {
       .partitionBy(partitionCol)
       .parquet(path)
 
+  /** Bucketed at-rest layout: co-locate a join/aggregation key at WRITE
+    * time. Every later equi-join or groupBy on `key` between tables
+    * bucketed the same way runs with ZERO exchange — the single biggest
+    * recurring-cost lever for a 100 TB fact table that is joined daily:
+    * the shuffle is paid once at ingest, not per query. `sortBy` makes
+    * each bucket file key-sorted so sort-merge joins can also skip their
+    * sort when files-per-bucket is 1.
+    *
+    * (`bucketBy` requires a catalog table — buckets are metadata — hence
+    * `saveAsTable`, not `parquet(path)`; LayoutSpec proves the
+    * exchange-free join and aggregation on the written layout.)
+    */
+  def writeBucketed(df: DataFrame, tableName: String, key: String,
+                    nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** Content checksum at the `groupCol` grain: doc count, exact char
     * count, id sum, and the sum of the portable text hash. Equal
     * checksums before/after a round-trip prove byte-exact content

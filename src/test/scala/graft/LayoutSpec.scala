@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.CorpusIO
+
+/** At-rest layout properties the 100 TB plan depends on: partition
+  * pruning over the sharded writer's directory layout, and zero-exchange
+  * joins/aggregations over bucketed tables. Correctness tests cannot see
+  * either — a pruning regression still returns correct rows while
+  * scanning everything.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "alpha text", "src0"), (2L, "beta text", "src0"),
+    (3L, "gamma text", "src1"), (4L, "delta text", "src1"),
+    (5L, "epsilon text", "src2"), (6L, "zeta text", "src2")
+  ).toDF("doc_id", "text", "source")
+
+  test("partition pruning: a partition filter reaches the scan as PartitionFilters") {
+    val dir = Files.createTempDirectory("graft_prune").toString
+    CorpusIO.writeSharded(docs, dir, "source", maxRecordsPerFile = 100)
+    val q = spark.read.parquet(dir).where($"source" === "src1")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.matches("(?s).*PartitionFilters: \\[[^\\]]*src1.*"),
+      s"the source predicate must prune directories, not filter rows:\n$p")
+    assert(q.count() == 2)
+    // the pruned scan must not list the other partitions' files
+    val scan = q.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+    val scanned = scan.selectedPartitions.toPartitionArray.map(_.urlEncodedPath)
+    assert(scanned.nonEmpty && scanned.forall(_.contains("source=src1")),
+      s"only the src1 directory may be read, got:\n${scanned.mkString("\n")}")
+  }
+
+  test("bucketed tables: equi-join and groupBy on the bucket key run with zero exchange") {
+    val facts = (1L to 100L).map(i => (i % 10, i, s"payload$i")).toDF("k", "seq", "payload")
+    val dims = (0L until 10L).map(i => (i, s"dim$i")).toDF("k", "label")
+    CorpusIO.writeBucketed(facts, "graft_facts_b", "k", nBuckets = 4)
+    CorpusIO.writeBucketed(dims, "graft_dims_b", "k", nBuckets = 4)
+    try {
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+        val joined = spark.table("graft_facts_b")
+          .join(spark.table("graft_dims_b"), "k")
+        val jp = joined.queryExecution.executedPlan.toString
+        assert(!jp.contains("Exchange"),
+          s"same-bucketing equi-join must not shuffle either side:\n$jp")
+        assert(joined.count() == 100)
+
+        val agg = spark.table("graft_facts_b").groupBy("k").agg(sum("seq"))
+        val ap = agg.queryExecution.executedPlan.toString
+        assert(!ap.contains("Exchange"),
+          s"groupBy on the bucket key must aggregate in place:\n$ap")
+        assert(agg.count() == 10)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_facts_b")
+      spark.sql("DROP TABLE IF EXISTS graft_dims_b")
+    }
+  }
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+}
