@@ -464,6 +464,35 @@ object Dedup {
     BloomJoin.antiJoin(newH, priorH, "h", "prior_h", expectedPrior, fpp)
   }
 
+  /** Streaming twin of [[incrementalNew]] — the live ingest guard: each
+    * arriving document is (1) probed against the prior corpus's digest
+    * sketch (stateless map — definite non-duplicates bypass the static
+    * join entirely), (2) maybe-duplicates take the stream-static LEFT
+    * ANTI join that clears sketch false positives exactly, and (3) the
+    * union dedups against OTHER IN-FLIGHT arrivals with watermark-bounded
+    * state. Together: nothing already in the corpus and nothing arriving
+    * twice gets through, with state = one digest row per in-window doc
+    * and per-batch join work = only the maybe-duplicate sliver.
+    */
+  def incrementalNewStreaming(newStream: DataFrame, prior: DataFrame,
+                              id: String, text: String,
+                              eventTime: String, delay: String,
+                              expectedPrior: Long = 1 << 20,
+                              fpp: Double = 0.01): DataFrame = {
+    val priorH = prior.select(md5(col(text)).as("prior_h"))
+    val probe = BloomJoin.containsSql(
+      BloomJoin.sketchOf(priorH, "prior_h", expectedPrior, fpp), "h")
+    val withH = graft.functions.VectorFunctions.attach(newStream)
+      .select(col(id), col(eventTime), md5(col(text)).as("h"))
+    val clean = withH.where(!coalesce(expr(probe), lit(false)))
+    val maybe = withH.where(coalesce(expr(probe), lit(false)))
+      .join(priorH, col("h") === col("prior_h"), "left_anti")
+    clean.unionAll(maybe)
+      .withWatermark(eventTime, delay)
+      .dropDuplicatesWithinWatermark("h")
+      .select(col(id), col("h"))
+  }
+
   def incrementalNewSql(newRel: String, priorRel: String,
                         id: String, text: String): String =
     s"""SELECT n.$id, md5(n.$text) AS h FROM $newRel n

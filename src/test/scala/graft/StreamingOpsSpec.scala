@@ -152,4 +152,31 @@ class StreamingOpsSpec extends SparkSpec {
       assert(langs === Map(1L -> "en", 2L -> "de"))
     } finally q.stop()
   }
+
+  test("streaming ingest guard: prior-corpus duplicates AND in-flight duplicates both dropped") {
+    implicit val sq = spark.sqlContext
+    val prior = Seq((100L, "already kept doc"), (101L, "another prior doc"))
+      .toDF("doc_id", "text")
+    val docs = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // tiny sketch at fpp 0.25 so the false-positive residual path is live
+    val out = Dedup.incrementalNewStreaming(
+      docs.toDF().toDF("doc_id", "text", "ts"), prior,
+      "doc_id", "text", "ts", "10 seconds", expectedPrior = 8, fpp = 0.25)
+    val q = out.writeStream.format("memory").queryName("ingest_guard")
+      .outputMode("append").start()
+    try {
+      docs.addData(
+        (1L, "already kept doc", ts("2024-01-01 00:00:00")),  // in prior -> dropped
+        (2L, "a genuinely new doc", ts("2024-01-01 00:00:01")))
+      q.processAllAvailable()
+      docs.addData(
+        (3L, "a genuinely new doc", ts("2024-01-01 00:00:02")), // in-flight dup -> dropped
+        (4L, "another prior doc", ts("2024-01-01 00:00:03")),   // in prior -> dropped
+        (5L, "fresh as can be", ts("2024-01-01 00:00:04")))
+      q.processAllAvailable()
+      val kept = spark.table("ingest_guard").select($"doc_id").as[Long].collect().sorted
+      assert(kept.toSeq === Seq(2L, 5L),
+        "only never-seen content passes the ingest guard")
+    } finally q.stop()
+  }
 }
