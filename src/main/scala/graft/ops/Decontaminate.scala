@@ -69,13 +69,13 @@ object Decontaminate {
         expr(s"sort_array(${Dedup.nativeShingleHashes(text, k)})").as("doc_hs"))
       .where(col("doc_hs").isNotNull)
     val probe = expr(BloomJoin.anySql(sketch, "doc_hs"))
-    val cleanByBloom = corpusH.where(!probe)
     val benchSet = benchHashes.agg(sort_array(collect_set(col("h"))).as("bench_hs"))
-    val verifiedClean = corpusH.where(probe)
-      .crossJoin(broadcast(benchSet))
-      .where(expr("graft_intersect_count(doc_hs, bench_hs) = 0"))
-      .select(col(id), col("doc_hs"))
-    cleanByBloom.unionAll(verifiedClean)
+    // ONE corpus pass: Or short-circuits in codegen, so bloom-clean rows
+    // (the vast majority) never evaluate the two-pointer intersect — a
+    // two-branch union formulation instead hashes the corpus twice (the
+    // branches race the cache inside a single action)
+    corpusH.crossJoin(broadcast(benchSet))
+      .where(!probe || expr("graft_intersect_count(doc_hs, bench_hs) = 0"))
       .select(col(id), size(col("doc_hs")).as("n_shingles"))
   }
 
