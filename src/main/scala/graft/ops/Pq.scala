@@ -103,21 +103,13 @@ object Pq {
       .select(col("v_id"), expr("transform(cs, x -> x.code)").as("codes"), col("xn2"))
   }
 
-  /** ADC top-k: approximate cosine neighbors from codes alone.
-    * `queryPred` selects queries over `v_id` (the [[pqCentroids]]
-    * convention shared with the IVF ops).
+  /** Per-query flat ADC tables: (q_id, flat, q2). The LUT covers the
+    * FULL (sub × kSub) grid — a centroid that lost all members mid-train
+    * leaves a zero-filled hole that no code references, keeping
+    * positional indexing aligned cross-engine.
     */
-  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-             dim: Int, m: Int = 4, kSub: Int = 8, iters: Int = 2,
-             queryPred: Column = lit(false)): DataFrame = {
-    val w = dim / m
-    val cent = pqCentroids(corpus, idCol, vecCol, dim, m, kSub, iters)
-    val enc = pqEncode(corpus, idCol, vecCol, cent, m, w)
-    val b = base(corpus, idCol, vecCol)
-    val queries = b.where(queryPred)
-    // per-query flat LUT over the FULL (sub × kSub) grid — a centroid
-    // that lost all members mid-train leaves a zero-filled hole that no
-    // code references, keeping positional indexing aligned cross-engine
+  private def queryLuts(queries: DataFrame, cent: DataFrame,
+                        m: Int, kSub: Int, w: Int): DataFrame = {
     val qdots = subFrame(queries, m, w).join(broadcast(cent), Seq("sub"))
       .select(col("v_id").as("q_id"),
         (col("sub") * kSub + col("cent_id")).cast("int").as("gi"),
@@ -130,11 +122,78 @@ object Pq {
         coalesce(col("dot"), lit(0.0)).as("d")))).as("g"))
       .select(col("q_id"), expr("transform(g, x -> x.d)").as("flat"))
     val qn = queries.select(col("v_id").as("q_id"), expr("graft_dot(vec, vec)").as("q2"))
-    val qrows = broadcast(flat.join(qn, Seq("q_id")))
+    flat.join(qn, Seq("q_id"))
+  }
+
+  private def adcSim(kSub: Int): Column =
+    round(expr(s"graft_pq_adc(codes, flat, $kSub)") /
+      (sqrt(col("q2")) * sqrt(col("xn2"))), 6)
+
+  /** ADC top-k: approximate cosine neighbors from codes alone.
+    * `queryPred` selects queries over `v_id` (the [[pqCentroids]]
+    * convention shared with the IVF ops).
+    */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+             dim: Int, m: Int = 4, kSub: Int = 8, iters: Int = 2,
+             queryPred: Column = lit(false)): DataFrame = {
+    val w = dim / m
+    val cent = pqCentroids(corpus, idCol, vecCol, dim, m, kSub, iters)
+    val enc = pqEncode(corpus, idCol, vecCol, cent, m, w)
+    val queries = base(corpus, idCol, vecCol).where(queryPred)
+    val qrows = broadcast(queryLuts(queries, cent, m, kSub, w))
     val scored = enc.crossJoin(qrows)
       .where(col("q_id") =!= col("v_id"))
-      .withColumn("sim", round(expr(s"graft_pq_adc(codes, flat, $kSub)") /
-        (sqrt(col("q2")) * sqrt(col("xn2"))), 6))
+      .withColumn("sim", adcSim(kSub))
+      .select(col("q_id"), col("v_id").as("c_id"), col("sim"))
+    Similarity.topkByQuery(scored, k)
+  }
+
+  /** IVF-PQ: the production ANN pairing — a coarse quantizer (cosine
+    * k-means, [[Similarity.kmeansCentroids]]) routes each query to its
+    * `nprobe` nearest clusters, and PQ/ADC scores only those clusters'
+    * candidates. Candidates per query ≈ nprobe × corpus / nCoarse, each
+    * scored with m array reads: at 100 TB the corpus at rest is (codes,
+    * norm, cluster) — ~m bytes + 12 per vector — ideally bucketed BY
+    * cluster ([[CorpusIO.writeBucketed]]) so a probe touches only its
+    * clusters' files.
+    *
+    * This is the NON-RESIDUAL IVFADC variant: PQ codes quantize the raw
+    * vectors, not (x − coarse centroid). Residual encoding recovers
+    * extra precision per code bit but couples the codebooks to the
+    * coarse assignment; the non-residual form keeps the codebooks
+    * cluster-independent (one LUT per query, not per (query, cluster))
+    * — the standard memory/recall trade, documented rather than hidden.
+    *
+    * Plan shape: coarse centroids and query LUTs broadcast; the corpus
+    * side is one scan of the code frame hash-joined (map-side) to the
+    * broadcast probe list on `cluster`; bounded-heap top-k. The encode
+    * join (codes ⋈ assignment on v_id) shuffles compact id rows once at
+    * index-build time.
+    */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+                dim: Int, m: Int = 4, kSub: Int = 8, iters: Int = 2,
+                nCoarse: Int = 8, coarseIters: Int = 2, nprobe: Int = 2,
+                queryPred: Column = lit(false)): DataFrame = {
+    val w = dim / m
+    val coarse = broadcast(
+      Similarity.kmeansCentroids(corpus, idCol, vecCol, nCoarse, coarseIters))
+    val b = base(corpus, idCol, vecCol)
+    val assigned = Similarity.assignClusters(b, coarse)
+      .transform(Caches.lease(_))
+    val cent = pqCentroids(corpus, idCol, vecCol, dim, m, kSub, iters)
+    val enc = pqEncode(corpus, idCol, vecCol, cent, m, w)
+      .join(assigned.select(col("v_id"), col("cluster")), Seq("v_id"))
+    val queries = assigned.where(queryPred)
+      .select(col("v_id"), col("vec"))
+    val probes = queries.crossJoin(coarse)
+      .withColumn("csim", round(expr(Similarity.nativeCosine("vec", "c_vec")), 6))
+      .groupBy(col("v_id"))
+      .agg(expr(s"graft_topk(csim, cent_id, $nprobe)").as("top"))
+      .select(col("v_id").as("q_id"), explode(col("top.c_id")).as("cluster"))
+    val qrows = broadcast(probes.join(queryLuts(queries, cent, m, kSub, w), Seq("q_id")))
+    val scored = enc.join(qrows, Seq("cluster"))
+      .where(col("q_id") =!= col("v_id"))
+      .withColumn("sim", adcSim(kSub))
       .select(col("q_id"), col("v_id").as("c_id"), col("sim"))
     Similarity.topkByQuery(scored, k)
   }
@@ -150,47 +209,50 @@ object Pq {
       s"i -> (($a)[i]::DOUBLE - ($b)[i]::DOUBLE) * (($a)[i]::DOUBLE - ($b)[i]::DOUBLE))), " +
       "(acc, v) -> acc + v)"
 
-  /** CTE chain ending in `centf(sub, cent_id, c_vec, c2)` and
-    * `enc(v_id, codes, xn2)` — the build+encode half shared by the code
-    * dump and the search twins.
+  /** CTE chain ending in `${p}centf(sub, cent_id, c_vec, c2)` and
+    * `${p}enc(v_id, codes, xn2)` — the build+encode half shared by the
+    * code dump and the search twins. `p` prefixes every CTE name so the
+    * chain composes with the coarse-quantizer CTEs in the IVF-PQ twin
+    * (both would otherwise define `base`/`cent0`).
     */
   private def pqCtes(table: String, idCol: String, vecCol: String,
-                     dim: Int, m: Int, kSub: Int, iters: Int): String = {
+                     dim: Int, m: Int, kSub: Int, iters: Int,
+                     p: String = ""): String = {
     val w = dim / m
     val ctes = new StringBuilder
     ctes.append(
-      s"""base AS (SELECT $idCol AS v_id, $vecCol AS vec FROM $table),
-         |sub AS (SELECT v_id, j AS sub,
+      s"""${p}base AS (SELECT $idCol AS v_id, $vecCol AS vec FROM $table),
+         |${p}sub AS (SELECT v_id, j AS sub,
          |          list_transform(list_slice(vec, j * $w + 1, (j + 1) * $w), x -> x::DOUBLE) AS svec
-         |        FROM base, UNNEST(generate_series(0, ${m - 1})) AS t(j)),
-         |cent0 AS (SELECT sub, v_id::INT AS cent_id, svec AS c_vec FROM sub WHERE v_id < $kSub)""".stripMargin)
+         |        FROM ${p}base, UNNEST(generate_series(0, ${m - 1})) AS t(j)),
+         |${p}cent0 AS (SELECT sub, v_id::INT AS cent_id, svec AS c_vec FROM ${p}sub WHERE v_id < $kSub)""".stripMargin)
     for (i <- 1 to iters) {
       ctes.append(
         s""",
-           |assign$i AS (
+           |${p}assign$i AS (
            |  SELECT sub, v_id, svec, cent_id FROM (
            |    SELECT s.sub, s.v_id, s.svec, c.cent_id, row_number() OVER (
            |      PARTITION BY s.sub, s.v_id
            |      ORDER BY round(${duckDist2("s.svec", "c.c_vec")}, 6) ASC, c.cent_id ASC) AS rn
-           |    FROM sub s JOIN cent${i - 1} c ON s.sub = c.sub) WHERE rn = 1),
-           |cent$i AS (
+           |    FROM ${p}sub s JOIN ${p}cent${i - 1} c ON s.sub = c.sub) WHERE rn = 1),
+           |${p}cent$i AS (
            |  SELECT sub, cent_id, list(round(v, 6) ORDER BY pos) AS c_vec FROM (
            |    SELECT sub, cent_id, pos,
            |           CAST(sum(CAST(svec[pos] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS v
-           |    FROM assign$i, UNNEST(generate_series(1, len(svec))) AS t(pos)
+           |    FROM ${p}assign$i, UNNEST(generate_series(1, len(svec))) AS t(pos)
            |    GROUP BY sub, cent_id, pos) GROUP BY sub, cent_id)""".stripMargin)
     }
     ctes.append(
       s""",
-         |centf AS (SELECT sub, cent_id, c_vec, ${duckDot("c_vec", "c_vec")} AS c2 FROM cent$iters),
-         |enc AS (
+         |${p}centf AS (SELECT sub, cent_id, c_vec, ${duckDot("c_vec", "c_vec")} AS c2 FROM ${p}cent$iters),
+         |${p}enc AS (
          |  SELECT v_id, list(code ORDER BY sub) AS codes,
          |         CAST(sum(CAST(c2 AS DECIMAL(28,12))) AS DOUBLE) AS xn2 FROM (
          |    SELECT sub, v_id, cent_id AS code, c2 FROM (
          |      SELECT s.sub, s.v_id, c.cent_id, c.c2, row_number() OVER (
          |        PARTITION BY s.sub, s.v_id
          |        ORDER BY round(${duckDist2("s.svec", "c.c_vec")}, 6) ASC, c.cent_id ASC) AS rn
-         |      FROM sub s JOIN centf c ON s.sub = c.sub) WHERE rn = 1)
+         |      FROM ${p}sub s JOIN ${p}centf c ON s.sub = c.sub) WHERE rn = 1)
          |  GROUP BY v_id)""".stripMargin)
     ctes.toString
   }
@@ -201,6 +263,54 @@ object Pq {
     s"""WITH ${pqCtes(table, idCol, vecCol, dim, m, kSub, iters)}
        |SELECT v_id, array_to_string(codes, ',') AS codes_csv, round(xn2, 6) AS xn2
        |FROM enc""".stripMargin
+
+  /** Twin of [[ivfPqTopK]]: the coarse-quantizer CTE chain
+    * ([[Similarity.kmeansCtes]] — `a(v_id, vec, cluster)`) composed with
+    * the `p`-prefixed PQ chain, probes by coarse cosine, ADC within
+    * probed clusters only.
+    */
+  def ivfPqTopKSql(table: String, idCol: String, vecCol: String, k: Int,
+                   dim: Int, m: Int = 4, kSub: Int = 8, iters: Int = 2,
+                   nCoarse: Int = 8, coarseIters: Int = 2, nprobe: Int = 2,
+                   queryPred: String = "false"): String = {
+    val w = dim / m
+    val adc = s"list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform(generate_series(1, $m), " +
+      s"j -> f.flat[(j - 1) * $kSub + e.codes[j] + 1])), (acc, v) -> acc + v)"
+    s"""WITH ${Similarity.kmeansCtes(table, idCol, vecCol, nCoarse, coarseIters)},
+       |${pqCtes(table, idCol, vecCol, dim, m, kSub, iters, p = "p")},
+       |q AS (SELECT v_id AS q_id, vec FROM a WHERE $queryPred),
+       |probes AS (
+       |  SELECT q_id, cluster FROM (
+       |    SELECT q.q_id, c.cent_id AS cluster, row_number() OVER (
+       |      PARTITION BY q.q_id
+       |      ORDER BY round(${Similarity.duckCosine("q.vec", "c.c_vec")}, 6) DESC, c.cent_id ASC) AS prn
+       |    FROM q CROSS JOIN cent$coarseIters c) WHERE prn <= $nprobe),
+       |qdots AS (
+       |  SELECT q.q_id, (c.sub * $kSub + c.cent_id) AS gi,
+       |         ${duckDot(s"list_transform(list_slice(q.vec, c.sub * $w + 1, (c.sub + 1) * $w), x -> x::DOUBLE)", "c.c_vec")} AS dot
+       |  FROM q CROSS JOIN pcentf c),
+       |grid AS (SELECT q_id, gi FROM (SELECT DISTINCT q_id FROM q),
+       |         UNNEST(generate_series(0, ${m * kSub - 1})) AS t(gi)),
+       |qflat AS (
+       |  SELECT g.q_id, list(coalesce(d.dot, 0.0::DOUBLE) ORDER BY g.gi) AS flat
+       |  FROM grid g LEFT JOIN qdots d ON g.q_id = d.q_id AND g.gi = d.gi
+       |  GROUP BY g.q_id),
+       |qn AS (SELECT q_id, ${duckDot("vec", "vec")} AS q2 FROM q),
+       |scored AS (
+       |  SELECT f.q_id, e.v_id AS c_id,
+       |         round($adc / (sqrt(n.q2) * sqrt(e.xn2)), 6) AS sim
+       |  FROM penc e JOIN a ON e.v_id = a.v_id
+       |  JOIN probes p ON p.cluster = a.cluster
+       |  JOIN qflat f ON f.q_id = p.q_id
+       |  JOIN qn n ON n.q_id = f.q_id
+       |  WHERE f.q_id <> e.v_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= $k""".stripMargin
+  }
 
   /** Twin of [[pqTopK]]. */
   def pqTopKSql(table: String, idCol: String, vecCol: String, k: Int,

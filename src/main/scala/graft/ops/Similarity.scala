@@ -242,7 +242,7 @@ object Similarity {
     * the one exchange carries a single (v_id, vec, cluster) row per
     * corpus vector — never the corpus × centroids product.
     */
-  private def assignClusters(base: DataFrame, cent: DataFrame): DataFrame =
+  private[ops] def assignClusters(base: DataFrame, cent: DataFrame): DataFrame =
     base.crossJoin(broadcast(cent))
       .withColumn("csim", round(expr(nativeCosine("vec", "c_vec")), 6))
       .groupBy(col("v_id"))
@@ -299,7 +299,7 @@ object Similarity {
     * ending in centroid relation `cent$iters(cent_id, c_vec)` plus the
     * assignment relation `a(v_id, vec, cluster)` under final centroids.
     */
-  private def kmeansCtes(table: String, idCol: String, vecCol: String,
+  private[ops] def kmeansCtes(table: String, idCol: String, vecCol: String,
                          nCentroids: Int, iters: Int): String = {
     val ctes = new StringBuilder
     ctes.append(

@@ -657,6 +657,18 @@ object Queries {
       Some(Pq.pqTopKSql("embeddings", "vec_id", "embedding", k = 5,
         dim = 64, m = 4, kSub = 8, iters = 2, queryPred = "v_id < 10"))),
 
+    // the production pairing: coarse k-means routing x PQ/ADC scoring —
+    // candidates per query ~ nprobe/nCoarse of the corpus, each scored
+    // with m array reads (non-residual IVFADC; see Pq.ivfPqTopK)
+    QueryDef("embed_ivfpq_topk",
+      (s, dir) => Pq.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, dim = 64, m = 4, kSub = 8, iters = 2,
+        nCoarse = 8, coarseIters = 2, nprobe = 2,
+        queryPred = col("v_id") < 10),
+      Some(Pq.ivfPqTopKSql("embeddings", "vec_id", "embedding", k = 5,
+        dim = 64, m = 4, kSub = 8, iters = 2,
+        nCoarse = 8, coarseIters = 2, nprobe = 2, queryPred = "v_id < 10"))),
+
     // video-kind frame sampling: every stride-th fixed-size chunk of the
     // payload becomes a frame row (hex-emitted for the portable compare)
     QueryDef("mm_frame_sample",
@@ -977,6 +989,17 @@ object Queries {
       Some(graft.ops.Eval.pqRecallAtKSql("embeddings", "vec_id", "embedding",
         k = 5, queryPredId = "vec_id < 10", queryPredVid = "v_id < 10",
         dim = 64, m = 4, kSub = 8, iters = 2))),
+
+    // the combined gate: routing loss x code loss priced as one number
+    QueryDef("embed_ivfpq_recall",
+      (s, dir) => graft.ops.Eval.ivfPqRecallAtK(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 5, dim = 64, m = 4, kSub = 8, iters = 2,
+        nCoarse = 8, coarseIters = 2, nprobe = 2,
+        queryPred = col("v_id") < 10),
+      Some(graft.ops.Eval.ivfPqRecallAtKSql("embeddings", "vec_id", "embedding",
+        k = 5, queryPredId = "vec_id < 10", queryPredVid = "v_id < 10",
+        dim = 64, m = 4, kSub = 8, iters = 2,
+        nCoarse = 8, coarseIters = 2, nprobe = 2))),
 
     // per-label centroid + class size: decimal-exact per-dimension means,
     // exchange carries labels x dims cells — never the vectors. Registered

@@ -67,6 +67,39 @@ class PqSpec extends SparkSpec {
     assert(interp == Seq(50.0, 50.0))
   }
 
+  test("IVF-PQ collapses to exact when every cluster is probed and codes are lossless") {
+    // nprobe = nCoarse removes the routing loss; kSub = corpus size
+    // removes the code loss -> the combined index must return exactly
+    // the brute-force result (same pinning as the IVF recall gate)
+    val pq = Pq.ivfPqTopK(corpus, "vec_id", "embedding", k = 3,
+        dim = 8, m = 2, kSub = 8, iters = 1,
+        nCoarse = 2, coarseIters = 2, nprobe = 2, queryPred = col("v_id") < 4)
+      .select($"q_id", $"c_id", $"sim".as("pq_sim"))
+    val exact = Similarity.bruteForceTopK(corpus,
+        corpus.where($"vec_id" < 4), "vec_id", "embedding", k = 3)
+      .select($"q_id", $"c_id", $"sim".as("ex_sim"))
+    val joined = pq.join(exact, Seq("q_id", "c_id"), "full").collect()
+    assert(joined.length == 12, s"rank sets must coincide, got ${joined.length}")
+    joined.foreach { r =>
+      assert(!r.isNullAt(2) && !r.isNullAt(3), s"one side missed pair $r")
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-5, s"sim drift: $r")
+    }
+  }
+
+  test("IVF-PQ with single-probe routing returns a subset ranking per query") {
+    val res = Pq.ivfPqTopK(corpus, "vec_id", "embedding", k = 3,
+        dim = 8, m = 2, kSub = 4, iters = 2,
+        nCoarse = 4, coarseIters = 1, nprobe = 1, queryPred = col("v_id") < 4)
+      .collect()
+    assert(res.nonEmpty)
+    val byQ = res.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      val ranks = rows.map(_.getInt(3)).sorted
+      assert(ranks.zipWithIndex.forall { case (r, i) => r == i + 1 },
+        s"ranks must be dense from 1: ${ranks.toSeq}")
+    }
+  }
+
   test("pq recall gate is non-vacuous and bounded") {
     val big = (0 until 64).map { i =>
       (i.toLong, Array.tabulate(8)(d => (math.cos(i * 3 + d) * 5).toFloat))
