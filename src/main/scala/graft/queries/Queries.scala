@@ -836,6 +836,33 @@ object Queries {
              |  r.last_purchase, epoch_ms(r.ts) AS asof_ms
              |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)),
 
+    // attribution-window join WITHOUT an equi key: views landing inside
+    // the 5-minute window after ANY purchase. The theta form is
+    // Θ(|views|·|purchases|) (Spark plans a nested loop); the op buckets
+    // both sides by a time grain and joins on the bucket (IntervalJoin)
+    QueryDef("join_interval_attribution",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val views = ev.where(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), unix_millis(col("ts")).as("ms"))
+        val windows = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("iv_id"), unix_millis(col("ts")).as("s_ms"),
+            (unix_millis(col("ts")) + 300000L).as("e_ms"))
+        graft.ops.IntervalJoin.pointInInterval(views, windows,
+            "ms", "s_ms", "e_ms", grainMs = 300000L)
+          .groupBy(col("iv_id"))
+          .agg(count(lit(1)).as("n_views"), min(col("ms")).as("first_ms"))
+      },
+      Some("""WITH w AS (SELECT event_id AS iv_id, epoch_ms(ts) AS s_ms,
+             |             epoch_ms(ts) + 300000 AS e_ms
+             |           FROM events WHERE event_type = 'purchase'),
+             |v AS (SELECT event_id AS view_id, epoch_ms(ts) AS ms
+             |      FROM events WHERE event_type = 'view')
+             |SELECT w.iv_id, count(*) AS n_views,
+             |  CAST(min(v.ms) AS BIGINT) AS first_ms
+             |FROM w JOIN v ON v.ms >= w.s_ms AND v.ms <= w.e_ms
+             |GROUP BY w.iv_id""".stripMargin)),
+
     // benchmark decontamination: corpus docs sharing any 3-shingle with
     // the (small, broadcast) benchmark set are dropped — one corpus scan,
     // compiled shingle hashes + two-pointer probe of one broadcast array,
