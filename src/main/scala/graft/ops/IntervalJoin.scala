@@ -48,4 +48,39 @@ object IntervalJoin {
       .where(col(ptMs) >= col(startMs) && col(ptMs) <= col(endMs))
       .drop("__b")
   }
+
+  /** STREAMING attribution: two live event streams joined on a time
+    * interval — each left row matches right rows whose event time falls
+    * in [left.ts, left.ts + windowMs].
+    *
+    * Structured Streaming REFUSES a stream-stream join without an
+    * equality predicate (state matching would be all-pairs), so the
+    * range condition alone — the batch theta form — is not plannable.
+    * The same time-grain bucket that de-quadratifies the batch join
+    * ([[pointInInterval]]) is the equality key here: the left side
+    * explodes into the (two, at grain = window) buckets its window
+    * covers, the right side maps to its single bucket, and the join is
+    * bucket-equality AND the exact range. Watermarks on both event-time
+    * columns bound how long rows wait in state for late matches, so
+    * state stays finite.
+    *
+    * The batch [[pointInInterval]] is the backfill analog over the same
+    * semantics (intervals = [l.ts, l.ts+window]); use the batch form for
+    * history, this for the live tail.
+    */
+  def streamAttribution(left: DataFrame, right: DataFrame,
+                        leftTs: String, rightTs: String,
+                        windowMs: Long, delay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, delay)
+      .withColumn("__b", explode(expr(
+        s"sequence(unix_millis($leftTs) div $windowMs, " +
+          s"(unix_millis($leftTs) + $windowMs) div $windowMs)")))
+    val r = right.withWatermark(rightTs, delay)
+      .withColumn("__b", expr(s"unix_millis($rightTs) div $windowMs"))
+    l.join(r,
+        l("__b") === r("__b") &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $windowMs MILLISECONDS"))
+      .drop("__b")
+  }
 }

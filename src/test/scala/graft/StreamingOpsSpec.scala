@@ -179,4 +179,34 @@ class StreamingOpsSpec extends SparkSpec {
         "only never-seen content passes the ingest guard")
     } finally q.stop()
   }
+
+  test("stream-stream attribution join: views land in the window after their purchase") {
+    implicit val sq = spark.sqlContext
+    val purchases = MemoryStream[(Long, java.sql.Timestamp)]
+    val views = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = graft.ops.IntervalJoin.streamAttribution(
+      purchases.toDF().toDF("purchase_id", "p_ts"),
+      views.toDF().toDF("view_id", "v_ts"),
+      "p_ts", "v_ts", windowMs = 60000L, delay = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("attribution")
+      .outputMode("append").start()
+    try {
+      purchases.addData((100L, ts("2024-01-01 00:10:00")))
+      views.addData(
+        (1L, ts("2024-01-01 00:09:59")), // before the purchase -> no match
+        (2L, ts("2024-01-01 00:10:30")), // inside the 60s window
+        (3L, ts("2024-01-01 00:11:00")), // boundary-inclusive
+        (4L, ts("2024-01-01 00:11:01"))) // past the window -> no match
+      q.processAllAvailable()
+      // advance both watermarks so the joined rows finalize into append
+      purchases.addData((999L, ts("2024-01-01 01:00:00")))
+      views.addData((999L, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("attribution")
+        .where($"purchase_id" === 100L)
+        .select($"view_id").as[Long].collect().sorted
+      assert(got.toSeq === Seq(2L, 3L),
+        "only in-window views attribute to the purchase")
+    } finally q.stop()
+  }
 }
