@@ -64,6 +64,36 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compaction collapses a small-files layout without losing a byte") {
+    import graft.ops.PortableHash
+    val in = Files.createTempDirectory("graft_small").toString
+    val out = Files.createTempDirectory("graft_compact").toString
+    val big = (1L to 2000L).map(i => (i, s"document number $i with some text", "s"))
+      .toDF("doc_id", "text", "source")
+    big.repartition(50).write.mode("overwrite").parquet(in)
+    val before = CorpusIO.checksum(spark.read.parquet(in), "source", "doc_id", "text")
+      .collect().toSeq
+    val (nBefore, nAfter) = CorpusIO.compact(spark, in, out,
+      targetBytes = 64 * 1024, sortCol = Some("doc_id"))
+    assert(nBefore == 50, s"fixture must start fragmented, got $nBefore files")
+    assert(nAfter < nBefore, s"compaction must reduce file count: $nBefore -> $nAfter")
+    val after = CorpusIO.checksum(spark.read.parquet(out), "source", "doc_id", "text")
+      .collect().toSeq
+    assert(after == before, "content checksum must survive the rewrite")
+    // range-clustered rewrite: a doc_id range predicate prunes row groups
+    // via min/max stats only if each file holds a contiguous id range —
+    // verify disjointness of per-file id ranges
+    val ranges = spark.read.parquet(out)
+      .select(input_file_name().as("f"), $"doc_id")
+      .groupBy($"f").agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"file id ranges must be disjoint: ${ranges.toSeq}")
+      case _ =>
+    }
+  }
+
   private def withConf[A](pairs: (String, String)*)(body: => A): A = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
