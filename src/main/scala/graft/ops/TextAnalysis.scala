@@ -444,6 +444,72 @@ object TextAnalysis {
        |  AND n_words >= $minWords AND stopword_ratio >= $minStopRatio""".stripMargin
   }
 
+  /** Unigram corpus-frequency scoring — the LM-quality-filter shape
+    * (CCNet scores docs with a KenLM trained on reference text and drops
+    * the high-perplexity tail) built from EXACT integer arithmetic so
+    * the cross-engine oracle stays bit-deterministic: no per-token log,
+    * whose last-ulp differences between libm implementations would break
+    * hash equality. Per doc, against a top-`vocab` unigram table trained
+    * on a reference corpus:
+    *   - `oov_ratio`   = tokens outside the vocabulary / tokens — the
+    *     "not reference-like" signal (integer counts, one division);
+    *   - `avg_tok_freq` = (Σ cnt(w)) / (n_tokens · total_ref_tokens) —
+    *     the mean reference probability of the doc's tokens (integer
+    *     sums, ONE double division at the end).
+    * Low avg_tok_freq + high oov_ratio ≈ high surprisal: the same tail
+    * the LM filter drops, ranked by rational arithmetic.
+    *
+    * Scale shape: the vocabulary is top-V by (cnt DESC, token ASC) —
+    * a TakeOrdered, not a sort — and broadcasts with the 1-row total;
+    * the corpus pays one scan exploding to (doc, token) rows that
+    * partial-aggregate straight back to doc grain. The reference side
+    * is typically a SAMPLE (the op takes any frame).
+    */
+  def unigramScore(docs: DataFrame, ref: DataFrame, id: String, text: String,
+                   vocab: Int = 1000): DataFrame = {
+    val tok = s"filter(split($text, ' '), w -> w <> '')"
+    val refTokens = graft.functions.VectorFunctions.attach(ref)
+      .select(explode(expr(tok)).as("w"))
+    val top = refTokens.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc).limit(vocab)
+    val total = refTokens.agg(count(lit(1)).as("total_ref"))
+    graft.functions.VectorFunctions.attach(docs)
+      .select(col(id), explode(expr(tok)).as("w"))
+      .join(broadcast(top), Seq("w"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("cnt"), lit(0L))).as("sum_cnt"))
+      .crossJoin(broadcast(total))
+      .select(col(id), col("n_tokens"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_ratio"),
+        round(col("sum_cnt").cast("double") /
+          (col("n_tokens").cast("double") * col("total_ref")), 6).as("avg_tok_freq"))
+  }
+
+  /** DuckDB twin of [[unigramScore]] (`docsPred`/`refPred` split one
+    * table into the scored and reference sides, the decontamination
+    * convention).
+    */
+  def unigramScoreSql(table: String, docsPred: String, refPred: String,
+                      id: String, text: String, vocab: Int = 1000): String = {
+    val tok = s"list_filter(string_split($text, ' '), w -> w <> '')"
+    s"""WITH rt AS (SELECT unnest($tok) AS w FROM $table WHERE $refPred),
+       |top AS (SELECT w, count(*) AS cnt FROM rt GROUP BY w
+       |        ORDER BY cnt DESC, w ASC LIMIT $vocab),
+       |total AS (SELECT count(*) AS total_ref FROM rt),
+       |dt AS (SELECT $id, unnest($tok) AS w FROM $table WHERE $docsPred),
+       |agg AS (
+       |  SELECT d.$id, count(*) AS n_tokens,
+       |         sum(CASE WHEN t.cnt IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       |         sum(coalesce(t.cnt, 0)) AS sum_cnt
+       |  FROM dt d LEFT JOIN top t ON d.w = t.w GROUP BY d.$id)
+       |SELECT $id, n_tokens,
+       |  round(n_oov::DOUBLE / n_tokens, 6) AS oov_ratio,
+       |  round(sum_cnt::DOUBLE / (n_tokens::DOUBLE * total_ref), 6) AS avg_tok_freq
+       |FROM agg, total""".stripMargin
+  }
+
   /** DuckDB fragment: the `s_<lang>` scores folded into `lang_pred` as a
     * single nested-CASE select-list item (the twin of [[langBestCol]]).
     */

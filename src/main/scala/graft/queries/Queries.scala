@@ -775,6 +775,21 @@ object Queries {
         t(s, dir, "documents"), "doc_id", "text", minWords = 50),
       Some(TextAnalysis.gopherRulesSql("documents", "doc_id", "text", minWords = 50))),
 
+    // unigram corpus-frequency scoring — the LM-quality-filter shape in
+    // exact integer arithmetic (no per-token log: libm last-ulp drift
+    // would break cross-engine hash equality). Reference side = the
+    // first 100 docs, scored side = the rest
+    QueryDef("text_unigram_score",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextAnalysis.unigramScore(
+          docs.where(col("doc_id") >= 100), docs.where(col("doc_id") < 100),
+          "doc_id", "text", vocab = 500)
+      },
+      Some(TextAnalysis.unigramScoreSql("documents",
+        docsPred = "doc_id >= 100", refPred = "doc_id < 100",
+        "doc_id", "text", vocab = 500))),
+
     // Duplicated-line removal: the fixture appends one boilerplate line
     // to EVERY doc (corpus frequency = N docs, far over maxFreq=10) and
     // one per-doc unique footer, so both the strike and keep paths are

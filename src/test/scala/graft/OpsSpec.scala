@@ -305,4 +305,22 @@ class OpsSpec extends SparkSpec {
     assert(m(11L) === ((0.714286, 0.5)))
     assert(!m.contains(14L) && !m.contains(15L), "docs with <2 words are excluded")
   }
+
+  test("unigram scoring: oov and frequency math exact; empty docs absent") {
+    import spark.implicits._
+    val ref = Seq((1L, "the cat sat"), (2L, "the dog sat")).toDF("doc_id", "text")
+    // ref unigrams: the=2, sat=2, cat=1, dog=1; total_ref = 6
+    val docs = Seq(
+      (10L, "the cat"),        // cnts 2+1 -> avg = 3/(2*6) = 0.25, oov 0
+      (11L, "the zebra"),      // 2+OOV  -> avg = 2/(2*6) ~ 0.166667, oov 0.5
+      (12L, ""),               // no tokens -> absent
+      (13L, "zebra quagga kudu") // all OOV -> avg 0, oov 1
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.unigramScore(docs, ref, "doc_id", "text", vocab = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(10L, 11L, 13L), "empty doc must be absent")
+    assert(got(10L) === ((2L, 0.0, 0.25)))
+    assert(got(11L) === ((2L, 0.5, 0.166667)))
+    assert(got(13L) === ((3L, 1.0, 0.0)))
+  }
 }
