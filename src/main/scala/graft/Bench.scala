@@ -34,7 +34,17 @@ object Bench {
       // queries — in a finally so a failing action can't leave its leases
       // alive to evict the next query's caches and skew its timing
       try df.queryExecution.toRdd.count()
-      finally graft.ops.Caches.releaseAll()
+      finally {
+        graft.ops.Caches.releaseAll()
+        // index-build ops (k-means coarse/PQ codebooks) localCheckpoint
+        // their iterations; those RDD blocks are NOT in the SQL
+        // CacheManager and linger until GC'd. Interleaving two heavy
+        // builds in one JVM measurably doubled both queries' readings
+        // (storage pressure) — drop every persisted RDD between queries
+        // so each rep starts from clean storage.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
       queries.foreach { case (_, fn) =>
