@@ -187,3 +187,63 @@ case class PqAdc(left: Expression, right: Expression, kSub: Int)
       newLeft: Expression, newRight: Expression): PqAdc =
     copy(left = newLeft, right = newRight)
 }
+
+/** `graft_pq_adc_packed(codesBinary, flat, kSub)` — [[PqAdc]] over
+  * BYTE-PACKED code words: the m codes are scanned straight out of a
+  * BINARY column (1 byte per code, read unsigned — kSub ≤ 256), which
+  * makes "m bytes + a norm per vector" the literal at-rest scan payload,
+  * not an approximation over ARRAY<INT> (4 B + offsets per code). Same
+  * fold order as the unpacked kernel, so results are bit-equal.
+  */
+case class PqAdcPacked(left: Expression, right: Expression, kSub: Int)
+    extends BinaryExpression {
+
+  require(kSub > 0 && kSub <= 256,
+    s"graft_pq_adc_packed requires 0 < kSub <= 256 (one byte per code), got $kSub")
+
+  override def prettyName: String = "graft_pq_adc_packed"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (BINARY codes, ARRAY<DOUBLE> flat), " +
+          s"got ${l.catalogString} / ${r.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[Array[Byte]]
+    val flat = b.asInstanceOf[ArrayData]
+    val n = flat.numElements()
+    var acc = 0.0; var j = 0
+    while (j < codes.length) {
+      val idx = j * kSub + (codes(j) & 0xff)
+      if (idx < n) acc += flat.getDouble(idx)
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val j = ctx.freshName("j")
+      val idx = ctx.freshName("idx"); val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $b.numElements();
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $a.length; $j++) {
+         |  int $idx = $j * $kSub + (((int) $a[$j]) & 0xff);
+         |  if ($idx < $n) $acc += $b.getDouble($idx);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcPacked =
+    copy(left = newLeft, right = newRight)
+}

@@ -150,6 +150,8 @@ object VectorFunctions {
       (e: Seq[Expression]) => DotProduct(e(0), e(1))),
     "graft_pq_adc" -> (classOf[PqAdc],
       (e: Seq[Expression]) => PqAdc(e(0), e(1), intLit(e(2), "graft_pq_adc"))),
+    "graft_pq_adc_packed" -> (classOf[PqAdcPacked],
+      (e: Seq[Expression]) => PqAdcPacked(e(0), e(1), intLit(e(2), "graft_pq_adc_packed"))),
     "graft_bloom_contains" -> (classOf[BloomMightContain],
       (e: Seq[Expression]) => BloomMightContain(binaryLit(e(0), "graft_bloom_contains"), e(1))),
     "graft_bloom_any" -> (classOf[BloomAnyContain],

@@ -148,6 +148,35 @@ object Pq {
     Similarity.topkByQuery(scored, k)
   }
 
+  /** [[pqEncode]] with the code word BYTE-PACKED (`graft_pack_i8` —
+    * kSub ≤ 256): (v_id, qcodes BINARY, xn2). The at-rest search payload
+    * becomes literally m bytes + 8 per vector.
+    */
+  def pqEncodePacked(corpus: DataFrame, idCol: String, vecCol: String,
+                     cent: DataFrame, m: Int, w: Int): DataFrame =
+    pqEncode(corpus, idCol, vecCol, cent, m, w)
+      .select(col("v_id"), expr("graft_pack_i8(codes)").as("qcodes"), col("xn2"))
+
+  /** [[pqTopK]] over PACKED codes: the compiled `graft_pq_adc_packed`
+    * kernel scans 1-byte codes straight out of the binary — same fold
+    * order, bit-equal results (the oracle runs the int-list form).
+    */
+  def pqTopKPacked(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+                   dim: Int, m: Int = 4, kSub: Int = 8, iters: Int = 2,
+                   queryPred: Column = lit(false)): DataFrame = {
+    val w = dim / m
+    val cent = pqCentroids(corpus, idCol, vecCol, dim, m, kSub, iters)
+    val enc = pqEncodePacked(corpus, idCol, vecCol, cent, m, w)
+    val queries = base(corpus, idCol, vecCol).where(queryPred)
+    val qrows = broadcast(queryLuts(queries, cent, m, kSub, w))
+    val scored = enc.crossJoin(qrows)
+      .where(col("q_id") =!= col("v_id"))
+      .withColumn("sim", round(expr(s"graft_pq_adc_packed(qcodes, flat, $kSub)") /
+        (sqrt(col("q2")) * sqrt(col("xn2"))), 6))
+      .select(col("q_id"), col("v_id").as("c_id"), col("sim"))
+    Similarity.topkByQuery(scored, k)
+  }
+
   /** IVF-PQ: the production ANN pairing — a coarse quantizer (cosine
     * k-means, [[Similarity.kmeansCentroids]]) routes each query to its
     * `nprobe` nearest clusters, and PQ/ADC scores only those clusters'
@@ -311,6 +340,19 @@ object Pq {
        |  FROM scored)
        |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= $k""".stripMargin
   }
+
+  /** Twin of [[pqEncodePacked]]∘[[pqCentroids]] with the binary word
+    * hex-serialized (same byte-hex fold as the packed-int8 oracle).
+    */
+  def pqCodesPackedHexSql(table: String, idCol: String, vecCol: String,
+                          dim: Int, m: Int, kSub: Int, iters: Int): String =
+    s"""WITH ${pqCtes(table, idCol, vecCol, dim, m, kSub, iters)}
+       |SELECT v_id,
+       |  list_reduce(list_prepend('', list_transform(codes,
+       |    c -> upper(lpad(to_hex((c + 256) % 256), 2, '0')))),
+       |    (a, b) -> a || b) AS codes_hex,
+       |  round(xn2, 6) AS xn2
+       |FROM enc""".stripMargin
 
   /** Twin of [[pqTopK]]. */
   def pqTopKSql(table: String, idCol: String, vecCol: String, k: Int,

@@ -657,6 +657,29 @@ object Queries {
       Some(Pq.pqTopKSql("embeddings", "vec_id", "embedding", k = 5,
         dim = 64, m = 4, kSub = 8, iters = 2, queryPred = "v_id < 10"))),
 
+    // the byte-packed code word: m bytes + a norm per vector is the
+    // LITERAL at-rest payload (hex-gated like embed_quantize_packed)
+    QueryDef("embed_pq_codes_packed",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cent = Pq.pqCentroids(emb, "vec_id", "embedding",
+          dim = 64, m = 4, kSub = 8, iters = 2)
+        Pq.pqEncodePacked(emb, "vec_id", "embedding", cent, m = 4, w = 16)
+          .select(col("v_id"), hex(col("qcodes")).as("codes_hex"),
+            round(col("xn2"), 6).as("xn2"))
+      },
+      Some(Pq.pqCodesPackedHexSql("embeddings", "vec_id", "embedding",
+        dim = 64, m = 4, kSub = 8, iters = 2))),
+
+    // ADC over the packed domain: bit-equal to embed_pq_topk (same fold
+    // order), scanning 1-byte codes straight from the binary
+    QueryDef("embed_pq_topk_packed",
+      (s, dir) => Pq.pqTopKPacked(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, dim = 64, m = 4, kSub = 8, iters = 2,
+        queryPred = col("v_id") < 10),
+      Some(Pq.pqTopKSql("embeddings", "vec_id", "embedding", k = 5,
+        dim = 64, m = 4, kSub = 8, iters = 2, queryPred = "v_id < 10"))),
+
     // the production pairing: coarse k-means routing x PQ/ADC scoring —
     // candidates per query ~ nprobe/nCoarse of the corpus, each scored
     // with m array reads (non-residual IVFADC; see Pq.ivfPqTopK)

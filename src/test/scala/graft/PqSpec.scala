@@ -100,6 +100,16 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("packed ADC is bit-equal to the unpacked kernel") {
+    val unpacked = Pq.pqTopK(corpus, "vec_id", "embedding", k = 3,
+        dim = 8, m = 2, kSub = 4, iters = 2, queryPred = col("v_id") < 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val packed = Pq.pqTopKPacked(corpus, "vec_id", "embedding", k = 3,
+        dim = 8, m = 2, kSub = 4, iters = 2, queryPred = col("v_id") < 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(packed.sorted.sameElements(unpacked.sorted))
+  }
+
   test("pq recall gate is non-vacuous and bounded") {
     val big = (0 until 64).map { i =>
       (i.toLong, Array.tabulate(8)(d => (math.cos(i * 3 + d) * 5).toFloat))
