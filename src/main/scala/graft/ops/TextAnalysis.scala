@@ -510,6 +510,57 @@ object TextAnalysis {
        |FROM agg, total""".stripMargin
   }
 
+  /** Model-based quality filtering — the fastText-classifier stage of a
+    * modern pretraining pipeline (FineWeb-Edu, DCLM) as Spark plumbing:
+    * feature-hash each token into `dim` buckets, dot with a weight
+    * vector, threshold the score. One corpus scan, zero shuffle; the
+    * weight table is dim-sized and rides in the expression.
+    *
+    * The WEIGHTS here are a deterministic integer placeholder
+    * (`w(i) = (i·37 + 11) mod 2001 − 1000`) standing in for trained
+    * parameters — this container cannot train or ship a real
+    * classifier, so like Multimodal's FakeCodec the model is an honest
+    * stub and the engine side (hashing, bucketing, linear scoring,
+    * thresholding, cross-engine determinism) is real: swapping in
+    * trained weights changes one function. Integer weights make the
+    * logit an exact integer sum, so the oracle hashes bit-identically;
+    * the sigmoid is monotone, so thresholding the raw normalized logit
+    * is the same decision rule without per-row `exp` (libm drift).
+    */
+  def hashClassifierScore(docs: DataFrame, id: String, text: String,
+                          dim: Int = 4096): DataFrame = {
+    val tok = s"filter(split($text, ' '), w -> w <> '')"
+    val h = graft.ops.PortableHash.sparkStringHash("t")
+    val wExpr = s"((($h % $dim) * 37 + 11) % 2001) - 1000"
+    graft.functions.VectorFunctions.attach(docs)
+      .select(col(id),
+        expr(s"size($tok)").as("n_tokens"),
+        expr(s"aggregate(transform($tok, t -> cast($wExpr AS BIGINT)), " +
+          "cast(0 AS BIGINT), (acc, v) -> acc + v)").as("logit"))
+      .where(col("n_tokens") > 0)
+      .withColumn("score", round(col("logit").cast("double") /
+        (col("n_tokens") * 1000.0), 6))
+      .withColumn("keep", (col("score") >= 0.0).cast("int"))
+  }
+
+  /** DuckDB twin of [[hashClassifierScore]]. */
+  def hashClassifierScoreSql(table: String, id: String, text: String,
+                             dim: Int = 4096): String = {
+    val tok = s"list_filter(string_split($text, ' '), w -> w <> '')"
+    val h = graft.ops.PortableHash.duckStringHash("t")
+    val wExpr = s"((($h % $dim) * 37 + 11) % 2001) - 1000"
+    s"""SELECT $id, n_tokens, logit,
+       |  round(logit::DOUBLE / (n_tokens * 1000.0), 6) AS score,
+       |  CASE WHEN round(logit::DOUBLE / (n_tokens * 1000.0), 6) >= 0.0
+       |       THEN 1 ELSE 0 END AS keep
+       |FROM (
+       |  SELECT $id, len($tok) AS n_tokens,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      list_transform($tok, t -> ($wExpr)::BIGINT)),
+       |      (acc, v) -> acc + v) AS logit
+       |  FROM $table) WHERE n_tokens > 0""".stripMargin
+  }
+
   /** DuckDB fragment: the `s_<lang>` scores folded into `lang_pred` as a
     * single nested-CASE select-list item (the twin of [[langBestCol]]).
     */

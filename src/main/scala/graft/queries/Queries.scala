@@ -798,6 +798,15 @@ object Queries {
         t(s, dir, "documents"), "doc_id", "text", minWords = 50),
       Some(TextAnalysis.gopherRulesSql("documents", "doc_id", "text", minWords = 50))),
 
+    // model-based quality filtering (the fastText stage) with honest
+    // placeholder weights: the hashing/bucketing/scoring plumbing is
+    // real and cross-engine exact; trained weights are a drop-in
+    QueryDef("text_quality_classifier",
+      (s, dir) => TextAnalysis.hashClassifierScore(
+        t(s, dir, "documents"), "doc_id", "text", dim = 4096),
+      Some(TextAnalysis.hashClassifierScoreSql(
+        "documents", "doc_id", "text", dim = 4096))),
+
     // unigram corpus-frequency scoring — the LM-quality-filter shape in
     // exact integer arithmetic (no per-token log: libm last-ulp drift
     // would break cross-engine hash equality). Reference side = the
