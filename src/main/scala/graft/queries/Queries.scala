@@ -798,6 +798,63 @@ object Queries {
         t(s, dir, "documents"), "doc_id", "text", minWords = 50),
       Some(TextAnalysis.gopherRulesSql("documents", "doc_id", "text", minWords = 50))),
 
+    // THE END-TO-END CURATION DAG as one declarative plan: classifier
+    // keep ∧ Gopher rules ∧ language ∧ exact-dedup keeper ∧ not
+    // benchmark-contaminated → train/val/test assignment → per-(split,
+    // source) manifest with exact token counts. Every stage reduces the
+    // corpus to a compact doc_id set before joining — text crosses no
+    // shuffle; Catalyst plans the five stage scans + id-set joins as one
+    // job. The oracle rebuilds the same DAG from each stage's SQL twin
+    QueryDef("pipeline_curation_manifest",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.where(col("doc_id") >= 25)
+        val bench = docs.where(col("doc_id") < 25)
+        val cls = TextAnalysis.hashClassifierScore(corpus, "doc_id", "text", dim = 4096)
+          .where(col("keep") === 1).select("doc_id")
+        val gop = TextAnalysis.gopherRules(corpus, "doc_id", "text", minWords = 50)
+          .where(col("keep") === 1).select("doc_id")
+        val lng = TextAnalysis.langId(corpus, "doc_id", "text")
+          .where(col("lang_pred") === "en").select("doc_id")
+        val keeper = Dedup.exactDedup(corpus, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        // k=5 shingles: the curation gate wants RARE true contamination
+        // (k=3 over this synthetic text marks ~85% contaminated — that
+        // stress shape belongs to the dedicated decontamination queries)
+        val clean = graft.ops.Decontaminate.cleanDocs(corpus, bench, "doc_id", "text", k = 5)
+          .select("doc_id")
+        val kept = corpus.select(col("doc_id"), col("source"), col("text"))
+          .join(cls, Seq("doc_id")).join(gop, Seq("doc_id"))
+          .join(lng, Seq("doc_id")).join(keeper, Seq("doc_id"))
+          .join(clean, Seq("doc_id"))
+        graft.functions.VectorFunctions.attach(
+          graft.ops.Sampling.splitAssign(kept, "doc_id", valPct = 2, testPct = 2))
+          .groupBy(col("split"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr("graft_token_count(text)")).as("n_tokens"),
+            sum(expr(graft.ops.PortableHash.sparkStringHash("text"))).as("text_hash_sum"))
+      },
+      Some(s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 25),
+             |cls AS (SELECT doc_id FROM (
+             |${TextAnalysis.hashClassifierScoreSql("corpus", "doc_id", "text", dim = 4096)}) WHERE keep = 1),
+             |gop AS (SELECT doc_id FROM (
+             |${TextAnalysis.gopherRulesSql("corpus", "doc_id", "text", minWords = 50)}) WHERE keep = 1),
+             |lng AS (SELECT doc_id FROM (
+             |${TextAnalysis.langIdSql("corpus", "doc_id", "text")}) WHERE lang_pred = 'en'),
+             |keeper AS (SELECT keep_id AS doc_id FROM (
+             |${Dedup.exactDedupSql("corpus", "doc_id", "text")})),
+             |cln AS (SELECT doc_id FROM (
+             |${graft.ops.Decontaminate.cleanDocsSql("documents",
+                 benchPred = "doc_id < 25", corpusPred = "doc_id >= 25", "doc_id", "text", k = 5)})),
+             |kept AS (SELECT c.doc_id, c.source, c.text FROM corpus c
+             |  JOIN cls USING(doc_id) JOIN gop USING(doc_id) JOIN lng USING(doc_id)
+             |  JOIN keeper USING(doc_id) JOIN cln USING(doc_id)),
+             |sp AS (${graft.ops.Sampling.splitAssignSql("kept", "doc_id", valPct = 2, testPct = 2)})
+             |SELECT split, source, count(*) AS n_docs,
+             |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS n_tokens,
+             |  CAST(sum(${graft.ops.PortableHash.duckStringHash("text")}) AS BIGINT) AS text_hash_sum
+             |FROM sp GROUP BY split, source""".stripMargin)),
+
     // model-based quality filtering (the fastText stage) with honest
     // placeholder weights: the hashing/bucketing/scoring plumbing is
     // real and cross-engine exact; trained weights are a drop-in

@@ -176,6 +176,21 @@ class PlanAuditSpec extends SparkSpec {
       s"only the bench-set reduction may exchange:\n$p")
   }
 
+  test("pipeline_curation_manifest: text streams through a broadcast-join chain, never shuffled") {
+    val p = plan("pipeline_curation_manifest")
+    // five stage id-sets join the text-carrying corpus scan as broadcasts
+    // (at 100 TB the same plan degrades gracefully to an SMJ chain
+    // SHARING one doc_id exchange — either way text crosses at most one)
+    assert(count(p, "BroadcastHashJoin") >= 4,
+      s"stage id-sets must broadcast against the corpus scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"at audit scale no stage may force a corpus sort:\n$p")
+    // the only hashpartitioning exchanges: keeper digest agg + final
+    // manifest agg (+ the bench set reduction is SinglePartition)
+    assert(count(p, "Exchange hashpartitioning") <= 2,
+      s"only the digest and manifest aggregations may shuffle:\n$p")
+  }
+
   test("embed_pq_topk: ADC scoring is a broadcast scan into the bounded heap") {
     val p = plan("embed_pq_topk")
     assert(p.contains("graft_pq_adc"),
