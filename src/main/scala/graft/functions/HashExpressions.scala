@@ -148,6 +148,28 @@ trait StringCountExpression extends UnaryExpression {
   * runs, other non-space code points) — the compiled twin of the
   * regexp_extract_all formulation.
   */
+/** `graft_classifier_logit(words, dim)` — the feature-hash linear
+  * scoring loop compiled ([[HashOps.classifierLogit]]); null/empty
+  * tokens contribute nothing, matching the declarative twin's
+  * empty-token filter.
+  */
+case class ClassifierLogit(child: Expression, dim: Int) extends HashArrayExpression {
+  require(dim > 0, s"graft_classifier_logit requires positive dim, got $dim")
+  override def prettyName: String = "graft_classifier_logit"
+  override protected def requiredElem: DataType = StringType
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(words: Any): Any =
+    HashOps.classifierLogit(words.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, w =>
+      s"${ev.value} = graft.functions.HashOps.classifierLogit($w, $dim);")
+
+  override protected def withNewChildInternal(c: Expression): ClassifierLogit =
+    copy(child = c)
+}
+
 case class TokenCount(child: Expression) extends StringCountExpression {
   override def prettyName: String = "graft_token_count"
   override def nullSafeEval(s: Any): Any =

@@ -174,6 +174,8 @@ object VectorFunctions {
       (e: Seq[Expression]) => TokenCount(e(0))),
     "graft_alpha_count" -> (classOf[AlphaCount],
       (e: Seq[Expression]) => AlphaCount(e(0))),
+    "graft_classifier_logit" -> (classOf[ClassifierLogit],
+      (e: Seq[Expression]) => ClassifierLogit(e(0), intLit(e(1), "graft_classifier_logit"))),
     "graft_stop_count" -> (classOf[StopCount],
       (e: Seq[Expression]) => StopCount(e(0), stringArrayLit(e(1), "graft_stop_count")))
   )

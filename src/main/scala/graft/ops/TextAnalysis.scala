@@ -530,17 +530,29 @@ object TextAnalysis {
   def hashClassifierScore(docs: DataFrame, id: String, text: String,
                           dim: Int = 4096): DataFrame = {
     val tok = s"filter(split($text, ' '), w -> w <> '')"
-    val h = graft.ops.PortableHash.sparkStringHash("t")
-    val wExpr = s"((($h % $dim) * 37 + 11) % 2001) - 1000"
+    // the logit loop is the compiled graft_classifier_logit (one
+    // md5-per-token pass); the declarative HOF twin below stays as the
+    // parity baseline the oracle runs -- it pays an interpreted lambda
+    // plus a hex-string parse per token (measured 4x at 1M docs)
     graft.functions.VectorFunctions.attach(docs)
       .select(col(id),
         expr(s"size($tok)").as("n_tokens"),
-        expr(s"aggregate(transform($tok, t -> cast($wExpr AS BIGINT)), " +
-          "cast(0 AS BIGINT), (acc, v) -> acc + v)").as("logit"))
+        expr(s"graft_classifier_logit(split($text, ' '), $dim)").as("logit"))
       .where(col("n_tokens") > 0)
       .withColumn("score", round(col("logit").cast("double") /
         (col("n_tokens") * 1000.0), 6))
       .withColumn("keep", (col("score") >= 0.0).cast("int"))
+  }
+
+  /** Declarative Spark twin of the compiled logit (parity baseline —
+    * see HashOpsPropertySpec).
+    */
+  def hashClassifierLogitHof(text: String, dim: Int): String = {
+    val tok = s"filter(split($text, ' '), w -> w <> '')"
+    val h = graft.ops.PortableHash.sparkStringHash("t")
+    val wExpr = s"((($h % $dim) * 37 + 11) % 2001) - 1000"
+    s"aggregate(transform($tok, t -> cast($wExpr AS BIGINT)), " +
+      "cast(0 AS BIGINT), (acc, v) -> acc + v)"
   }
 
   /** DuckDB twin of [[hashClassifierScore]]. */

@@ -33,6 +33,21 @@ class HashOpsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("classifierLogit equals the per-token hash-and-weight reference") {
+    val r = new scala.util.Random(47)
+    val dim = 4096
+    def refWeight(s: String): Long = {
+      val idx = graft.ops.PortableHash.jvmStringHash(s) % dim
+      ((idx * 37 + 11) % 2001) - 1000
+    }
+    (1 to 200).foreach { _ =>
+      val words = Seq.fill(r.nextInt(30))(randString(r))
+      val arr = new GenericArrayData(words.map(UTF8String.fromString).toArray[Any])
+      val want = words.filter(_.nonEmpty).map(refWeight).sum
+      assert(HashOps.classifierLogit(arr, dim) === want, s"for $words")
+    }
+  }
+
   test("sortedIntersectCount equals set intersection size for random long sets") {
     val r = new scala.util.Random(43)
     (1 to 500).foreach { _ =>
