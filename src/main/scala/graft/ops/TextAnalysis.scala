@@ -292,12 +292,16 @@ object TextAnalysis {
                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
                   maxSymbolRatio: Double = 0.1, minAlphaWordRatio: Double = 0.8,
                   minStopHits: Int = 2, maxBulletRatio: Double = 0.9,
-                  maxEllipsisRatio: Double = 0.3): DataFrame = {
+                  maxEllipsisRatio: Double = 0.3,
+                  carry: Seq[String] = Nil): DataFrame = {
+    // `carry` passes extra input columns through the projection so fused
+    // pipelines can keep text/source in the SAME single scan (Catalyst
+    // collapses the adjacent Projects) instead of re-scanning to re-join
     val stop = markerList(gopherStops, "spark")
     val w = s"split($text, ' ')"
     val l = s"split($text, chr(10))"
     graft.functions.VectorFunctions.attach(df).select(
-      col(id),
+      (col(id) +: carry.map(col)) ++ Seq(
       expr(s"size($w)").as("n_words"),
       expr(s"CAST(size($w) BETWEEN $minWords AND $maxWords AS INT)").as("r_words"),
       expr(s"CAST(length(replace($text, ' ', '')) / CAST(size($w) AS DOUBLE) " +
@@ -311,7 +315,7 @@ object TextAnalysis {
       expr(s"CAST(size(filter($l, x -> x LIKE '-%' OR x LIKE '*%')) / " +
         s"CAST(size($l) AS DOUBLE) <= $maxBulletRatio AS INT)").as("r_bullet"),
       expr(s"CAST(size(filter($l, x -> x LIKE '%...')) / " +
-        s"CAST(size($l) AS DOUBLE) <= $maxEllipsisRatio AS INT)").as("r_ellipsis"))
+        s"CAST(size($l) AS DOUBLE) <= $maxEllipsisRatio AS INT)").as("r_ellipsis")): _*)
       .withColumn("keep", expr(
         "CAST(r_words + r_mean_len + r_symbol + r_alpha + r_stop + r_bullet + r_ellipsis = 7 AS INT)"))
   }

@@ -55,6 +55,31 @@ object Queries {
   private def dsum(c: String): String =
     s"cast(sum(cast($c AS DECIMAL(18,2))) AS DOUBLE)"
 
+  /** Shared oracle for BOTH curation-manifest variants (identical
+    * result sets): the DAG rebuilt from each stage's SQL twin.
+    */
+  private lazy val curationManifestOracle: String =
+    s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 25),
+             |cls AS (SELECT doc_id FROM (
+             |${TextAnalysis.hashClassifierScoreSql("corpus", "doc_id", "text", dim = 4096)}) WHERE keep = 1),
+             |gop AS (SELECT doc_id FROM (
+             |${TextAnalysis.gopherRulesSql("corpus", "doc_id", "text", minWords = 50)}) WHERE keep = 1),
+             |lng AS (SELECT doc_id FROM (
+             |${TextAnalysis.langIdSql("corpus", "doc_id", "text")}) WHERE lang_pred = 'en'),
+             |keeper AS (SELECT keep_id AS doc_id FROM (
+             |${Dedup.exactDedupSql("corpus", "doc_id", "text")})),
+             |cln AS (SELECT doc_id FROM (
+             |${graft.ops.Decontaminate.cleanDocsSql("documents",
+                 benchPred = "doc_id < 25", corpusPred = "doc_id >= 25", "doc_id", "text", k = 5)})),
+             |kept AS (SELECT c.doc_id, c.source, c.text FROM corpus c
+             |  JOIN cls USING(doc_id) JOIN gop USING(doc_id) JOIN lng USING(doc_id)
+             |  JOIN keeper USING(doc_id) JOIN cln USING(doc_id)),
+             |sp AS (${graft.ops.Sampling.splitAssignSql("kept", "doc_id", valPct = 2, testPct = 2)})
+             |SELECT split, source, count(*) AS n_docs,
+             |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS n_tokens,
+             |  CAST(sum(${graft.ops.PortableHash.duckStringHash("text")}) AS BIGINT) AS text_hash_sum
+             |FROM sp GROUP BY split, source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ================= relational core (scan/filter/agg/join/window) ====
@@ -834,26 +859,63 @@ object Queries {
             sum(expr("graft_token_count(text)")).as("n_tokens"),
             sum(expr(graft.ops.PortableHash.sparkStringHash("text"))).as("text_hash_sum"))
       },
-      Some(s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 25),
-             |cls AS (SELECT doc_id FROM (
-             |${TextAnalysis.hashClassifierScoreSql("corpus", "doc_id", "text", dim = 4096)}) WHERE keep = 1),
-             |gop AS (SELECT doc_id FROM (
-             |${TextAnalysis.gopherRulesSql("corpus", "doc_id", "text", minWords = 50)}) WHERE keep = 1),
-             |lng AS (SELECT doc_id FROM (
-             |${TextAnalysis.langIdSql("corpus", "doc_id", "text")}) WHERE lang_pred = 'en'),
-             |keeper AS (SELECT keep_id AS doc_id FROM (
-             |${Dedup.exactDedupSql("corpus", "doc_id", "text")})),
-             |cln AS (SELECT doc_id FROM (
-             |${graft.ops.Decontaminate.cleanDocsSql("documents",
-                 benchPred = "doc_id < 25", corpusPred = "doc_id >= 25", "doc_id", "text", k = 5)})),
-             |kept AS (SELECT c.doc_id, c.source, c.text FROM corpus c
-             |  JOIN cls USING(doc_id) JOIN gop USING(doc_id) JOIN lng USING(doc_id)
-             |  JOIN keeper USING(doc_id) JOIN cln USING(doc_id)),
-             |sp AS (${graft.ops.Sampling.splitAssignSql("kept", "doc_id", valPct = 2, testPct = 2)})
-             |SELECT split, source, count(*) AS n_docs,
-             |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS n_tokens,
-             |  CAST(sum(${graft.ops.PortableHash.duckStringHash("text")}) AS BIGINT) AS text_hash_sum
-             |FROM sp GROUP BY split, source""".stripMargin)),
+      Some(curationManifestOracle)),
+
+    // the FUSED curation DAG: same result set as
+    // pipeline_curation_manifest (same oracle), but every stage predicate
+    // is computed in ONE projection over ONE corpus scan — classifier
+    // logit, Gopher flags, language argmax, content digest, shingle set,
+    // and token count all come out of the same pass; the dedup keeper is
+    // a min-id window over the digest (no join), decontamination is an
+    // inline probe of the broadcast bench set. Text is read once and
+    // never leaves the scan stage; the only exchanges are the digest
+    // window and the 9-group manifest agg. The composed variant reads
+    // text five times — at 100 TB the scan volume IS the cost, so this
+    // is the production form and the composed one is the modular
+    // reference
+    QueryDef("pipeline_curation_manifest_fused",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.where(col("doc_id") >= 25)
+        val bench = docs.where(col("doc_id") < 25)
+        val benchSet = graft.functions.VectorFunctions.attach(bench)
+          .select(explode(expr(Dedup.nativeShingleHashes("text", 5))).as("h"))
+          .agg(sort_array(collect_set(col("h"))).as("bench_hs"))
+        val tok = "filter(split(text, ' '), w -> w <> '')"
+        // ONE lineage: gopher flags (text/source carried through), then
+        // language scores, then the remaining per-doc features — all
+        // adjacent Projects, collapsed by Catalyst into a single scan
+        val gop = TextAnalysis.gopherRules(corpus, "doc_id", "text",
+          minWords = 50, carry = Seq("source", "text"))
+        val lng = gop.select(gop.columns.map(col) ++
+            TextAnalysis.langScoreCols("text"): _*)
+          .withColumn("lang_pred", TextAnalysis.langBestCol)
+        val features = lng.select(
+          col("doc_id"), col("source"),
+          (col("keep") === 1).as("k_gop"),
+          (col("lang_pred") === "en").as("k_lng"),
+          expr(s"size($tok) > 0 AND " +
+            s"round(cast(graft_classifier_logit(split(text, ' '), 4096) AS DOUBLE) / " +
+            s"(size($tok) * 1000.0), 6) >= 0.0").as("k_cls"),
+          expr("graft_token_count(text)").as("n_tokens"),
+          expr(graft.ops.PortableHash.sparkStringHash("text")).as("text_hash"),
+          md5(col("text")).as("digest"),
+          expr(s"sort_array(${Dedup.nativeShingleHashes("text", 5)})").as("doc_hs"))
+        import org.apache.spark.sql.expressions.Window
+        val kept = features
+          .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("digest"))))
+          .crossJoin(broadcast(benchSet))
+          .where(col("k_cls") && col("k_gop") && col("k_lng") &&
+            col("doc_id") === col("keep_id") &&
+            expr("graft_intersect_count(doc_hs, bench_hs) = 0"))
+        graft.ops.Sampling.splitAssign(kept, "doc_id", valPct = 2, testPct = 2)
+          .groupBy(col("split"), col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+            sum(col("text_hash")).as("text_hash_sum"))
+      },
+      // IDENTICAL semantics to pipeline_curation_manifest — the composed
+      // variant's oracle is this one's oracle too (full hash check)
+      Some(curationManifestOracle)),
 
     // model-based quality filtering (the fastText stage) with honest
     // placeholder weights: the hashing/bucketing/scoring plumbing is

@@ -191,6 +191,20 @@ class PlanAuditSpec extends SparkSpec {
       s"only the digest and manifest aggregations may shuffle:\n$p")
   }
 
+  test("pipeline_curation_manifest_fused: ONE corpus scan computes every stage") {
+    val p = plan("pipeline_curation_manifest_fused")
+    // exactly two file scans in the whole plan: the corpus (all five
+    // stage predicates fused into its projection) and the bench set.
+    // The composed variant reads the corpus five times — scan volume is
+    // THE cost at 100 TB, so this shape is the production form
+    assert(count(p, "Scan parquet") == 2,
+      s"fused DAG must read the corpus once (plus the bench set):\n$p")
+    assert(count(p, "Exchange hashpartitioning") == 2,
+      s"only the digest window and the manifest agg may shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"no stage may rejoin the corpus to itself:\n$p")
+  }
+
   test("embed_pq_topk: ADC scoring is a broadcast scan into the bounded heap") {
     val p = plan("embed_pq_topk")
     assert(p.contains("graft_pq_adc"),
