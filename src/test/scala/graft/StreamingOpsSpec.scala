@@ -180,6 +180,23 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("classifier and unigram-style scoring run unchanged on a streaming Dataset") {
+    implicit val sq = spark.sqlContext
+    val docs = MemoryStream[(Long, String)]
+    val out = graft.ops.TextAnalysis.hashClassifierScore(
+      docs.toDF().toDF("doc_id", "text"), "doc_id", "text", dim = 4096)
+    val q = out.writeStream.format("memory").queryName("cls_stream")
+      .outputMode("append").start()
+    try {
+      docs.addData((1L, "the quick brown fox"), (2L, "pack my box with jugs"))
+      q.processAllAvailable()
+      val rows = spark.table("cls_stream")
+        .select($"doc_id", $"keep").as[(Long, Int)].collect().toMap
+      assert(rows.keySet == Set(1L, 2L))
+      assert(rows.values.forall(k => k == 0 || k == 1))
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join: views land in the window after their purchase") {
     implicit val sq = spark.sqlContext
     val purchases = MemoryStream[(Long, java.sql.Timestamp)]
