@@ -108,7 +108,7 @@ object Pq {
     * leaves a zero-filled hole that no code references, keeping
     * positional indexing aligned cross-engine.
     */
-  private def queryLuts(queries: DataFrame, cent: DataFrame,
+  private[ops] def queryLutsFor(queries: DataFrame, cent: DataFrame,
                         m: Int, kSub: Int, w: Int): DataFrame = {
     val qdots = subFrame(queries, m, w).join(broadcast(cent), Seq("sub"))
       .select(col("v_id").as("q_id"),
@@ -140,7 +140,7 @@ object Pq {
     val cent = pqCentroids(corpus, idCol, vecCol, dim, m, kSub, iters)
     val enc = pqEncode(corpus, idCol, vecCol, cent, m, w)
     val queries = base(corpus, idCol, vecCol).where(queryPred)
-    val qrows = broadcast(queryLuts(queries, cent, m, kSub, w))
+    val qrows = broadcast(queryLutsFor(queries, cent, m, kSub, w))
     val scored = enc.crossJoin(qrows)
       .where(col("q_id") =!= col("v_id"))
       .withColumn("sim", adcSim(kSub))
@@ -168,7 +168,7 @@ object Pq {
     val cent = pqCentroids(corpus, idCol, vecCol, dim, m, kSub, iters)
     val enc = pqEncodePacked(corpus, idCol, vecCol, cent, m, w)
     val queries = base(corpus, idCol, vecCol).where(queryPred)
-    val qrows = broadcast(queryLuts(queries, cent, m, kSub, w))
+    val qrows = broadcast(queryLutsFor(queries, cent, m, kSub, w))
     val scored = enc.crossJoin(qrows)
       .where(col("q_id") =!= col("v_id"))
       .withColumn("sim", round(expr(s"graft_pq_adc_packed(qcodes, flat, $kSub)") /
@@ -219,7 +219,7 @@ object Pq {
       .groupBy(col("v_id"))
       .agg(expr(s"graft_topk(csim, cent_id, $nprobe)").as("top"))
       .select(col("v_id").as("q_id"), explode(col("top.c_id")).as("cluster"))
-    val qrows = broadcast(probes.join(queryLuts(queries, cent, m, kSub, w), Seq("q_id")))
+    val qrows = broadcast(probes.join(queryLutsFor(queries, cent, m, kSub, w), Seq("q_id")))
     val scored = enc.join(qrows, Seq("cluster"))
       .where(col("q_id") =!= col("v_id"))
       .withColumn("sim", adcSim(kSub))

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED IVF-PQ index — the deployment shape the bench numbers ask
+  * for: the build (coarse k-means + codebooks + encode, ~20s at 500k
+  * vectors) runs ONCE at ingest; every search afterwards touches only
+  * the index files, and only the PROBED clusters' files at that.
+  *
+  * Layout (all parquet under `path/`):
+  *  - `coarse/`    — nCoarse coarse centroids (cent_id, c_vec)
+  *  - `codebooks/` — m × kSub subspace centroids (sub, cent_id, c_vec)
+  *  - `codes/`     — one row per vector (v_id, codes, xn2), PARTITIONED
+  *    BY `cluster`: a probe restricted to its clusters becomes a
+  *    directory-pruned scan (the LayoutSpec partition-pruning lever
+  *    applied to ANN) — a search with nprobe=2 over nCoarse=64 clusters
+  *    reads ~3% of the index bytes, before any row is deserialized.
+  *
+  * [[searchTopK]] collects the probed cluster ids to the driver to form
+  * the pruning predicate — that list is ≤ |queries| × nprobe ints
+  * (index METADATA, like a sketch; the codes themselves never leave
+  * executors). Results are identical to [[Pq.ivfPqTopK]] on the same
+  * parameters: same probes, same LUTs, same ADC arithmetic.
+  */
+object PqIndex {
+
+  /** Build and persist the index. `dim` must divide into `m` subspaces. */
+  def write(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+            dim: Int, m: Int = 4, kSub: Int = 8, iters: Int = 2,
+            nCoarse: Int = 8, coarseIters: Int = 2): Unit = {
+    val w = dim / m
+    val coarse = Similarity.kmeansCentroids(corpus, idCol, vecCol, nCoarse, coarseIters)
+    coarse.write.mode("overwrite").parquet(s"$path/coarse")
+    val cent = Pq.pqCentroids(corpus, idCol, vecCol, dim, m, kSub, iters)
+    cent.write.mode("overwrite").parquet(s"$path/codebooks")
+    val b = graft.functions.VectorFunctions.attach(corpus)
+      .select(col(idCol).as("v_id"), col(vecCol).as("vec"))
+    val assigned = Similarity.assignClusters(b, broadcast(coarse))
+    Pq.pqEncode(corpus, idCol, vecCol, cent, m, w)
+      .join(assigned.select(col("v_id"), col("cluster")), Seq("v_id"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes")
+  }
+
+  /** ADC top-k over the persisted index for a (q_id, vec) query frame.
+    * Only the probed clusters' partitions are scanned.
+    */
+  def searchTopK(spark: SparkSession, path: String, queries: DataFrame,
+                 k: Int, dim: Int, m: Int = 4, kSub: Int = 8,
+                 nprobe: Int = 2): DataFrame = {
+    val w = dim / m
+    val coarse = broadcast(spark.read.parquet(s"$path/coarse"))
+    val cent = spark.read.parquet(s"$path/codebooks")
+    val q = graft.functions.VectorFunctions.attach(queries)
+      .select(col(queries.columns.head).as("v_id"),
+        col(queries.columns(1)).as("vec"))
+    val probes = q.crossJoin(coarse)
+      .withColumn("csim", round(expr(Similarity.nativeCosine("vec", "c_vec")), 6))
+      .groupBy(col("v_id"))
+      .agg(expr(s"graft_topk(csim, cent_id, $nprobe)").as("top"))
+      .select(col("v_id").as("q_id"), explode(col("top.c_id")).as("cluster"))
+    // metadata-sized collect: the probed cluster ids become LITERALS so
+    // the codes scan partition-prunes (a join could not prune files)
+    val probedClusters = probes.select(col("cluster")).distinct()
+      .collect().map(_.getLong(0))
+    val codes = spark.read.parquet(s"$path/codes")
+      .where(col("cluster").isin(probedClusters: _*))
+    val qrows = broadcast(probes.join(Pq.queryLutsFor(q, cent, m, kSub, w), Seq("q_id")))
+    val scored = codes.join(qrows, Seq("cluster"))
+      .where(col("q_id") =!= col("v_id"))
+      .withColumn("sim", round(expr(s"graft_pq_adc(codes, flat, $kSub)") /
+        (sqrt(col("q2")) * sqrt(col("xn2"))), 6))
+      .select(col("q_id"), col("v_id").as("c_id"), col("sim"))
+    Similarity.topkByQuery(scored, k)
+  }
+}

@@ -1183,6 +1183,24 @@ object Queries {
         k = 5, queryPredId = "vec_id < 10", queryPredVid = "v_id < 10",
         dim = 64, m = 4, kSub = 8, iters = 2))),
 
+    // index persistence round-trip: build + write (codes PARTITIONED BY
+    // coarse cluster), then search from the FILES — the probe list
+    // becomes a directory-pruning predicate, so a search reads only its
+    // clusters' bytes. Same oracle as the in-memory operator
+    QueryDef("embed_ivfpq_persisted",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_pqidx_${math.abs(dir.hashCode)}"
+        graft.ops.PqIndex.write(emb, "vec_id", "embedding", path,
+          dim = 64, m = 4, kSub = 8, iters = 2, nCoarse = 8, coarseIters = 2)
+        graft.ops.PqIndex.searchTopK(s, path,
+          emb.where(col("vec_id") < 10).select("vec_id", "embedding"),
+          k = 5, dim = 64, m = 4, kSub = 8, nprobe = 2)
+      },
+      Some(Pq.ivfPqTopKSql("embeddings", "vec_id", "embedding", k = 5,
+        dim = 64, m = 4, kSub = 8, iters = 2,
+        nCoarse = 8, coarseIters = 2, nprobe = 2, queryPred = "v_id < 10"))),
+
     // the combined gate: routing loss x code loss priced as one number
     QueryDef("embed_ivfpq_recall",
       (s, dir) => graft.ops.Eval.ivfPqRecallAtK(t(s, dir, "embeddings"),

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Pq, PqIndex}
+
+/** Persisted IVF-PQ index: build-once/search-many parity with the
+  * in-memory operator, and probe-pruned reads of the codes layout.
+  */
+class PqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (0 until 64).map { i =>
+    (i.toLong, Array.tabulate(8)(d => (math.cos(i * 3 + d) * 5).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("persisted search equals the in-memory IVF-PQ operator") {
+    val path = Files.createTempDirectory("graft_pqidx").toString
+    PqIndex.write(corpus, "vec_id", "embedding", path,
+      dim = 8, m = 2, kSub = 8, iters = 2, nCoarse = 4, coarseIters = 2)
+    val queries = corpus.where($"vec_id" < 5)
+    val got = PqIndex.searchTopK(spark, path, queries, k = 3,
+        dim = 8, m = 2, kSub = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val want = Pq.ivfPqTopK(corpus, "vec_id", "embedding", k = 3,
+        dim = 8, m = 2, kSub = 8, iters = 2,
+        nCoarse = 4, coarseIters = 2, nprobe = 2, queryPred = col("v_id") < 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.sorted.sameElements(want.sorted),
+      s"persisted search must reproduce the in-memory operator:\n${got.toSeq}\nvs\n${want.toSeq}")
+  }
+
+  test("the codes scan partition-prunes to the probed clusters only") {
+    val path = Files.createTempDirectory("graft_pqidx2").toString
+    PqIndex.write(corpus, "vec_id", "embedding", path,
+      dim = 8, m = 2, kSub = 8, iters = 2, nCoarse = 4, coarseIters = 2)
+    val one = corpus.where($"vec_id" === 0L)
+    val q = PqIndex.searchTopK(spark, path, one, k = 3,
+      dim = 8, m = 2, kSub = 8, nprobe = 1)
+    q.collect()
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(s.plan) // stage wrappers report no children
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        allScans(r.child)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(q.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("codes")))
+    assert(scans.nonEmpty, "codes scan must be a file scan")
+    val files = scans.head.selectedPartitions.toPartitionArray.map(_.urlEncodedPath)
+    val clusters = files.flatMap(f => "cluster=([0-9]+)".r.findFirstMatchIn(f).map(_.group(1))).distinct
+    assert(clusters.length == 1,
+      s"nprobe=1 single query must read exactly one cluster directory, got ${clusters.toSeq}")
+  }
+}
