@@ -70,6 +70,34 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assert(r2.get("t.Ev").map(_.schema) === Some(base.schema))
   }
 
+  test("merge retains a removed-with-default field in the stored tree (reference Node merge)") {
+    val r = new SchemaRegistry()
+    r.register(base.copy(defaults = Map("b" -> "\"\"")))
+    val merged = r.register(base.copy(schema = ts("a" -> IntegerType)))
+    // b was removed (legally: it has a default) but the stored union keeps it
+    assert(merged.schema.fieldNames.toSet === Set("a", "b"))
+    assert(merged.schema("b").dataType === StringType)
+    assert(merged.defaults.contains("b"))
+  }
+
+  test("a reflected default containing a newline survives persist + reload") {
+    val dir = java.nio.file.Files.createTempDirectory("schemareg-nl")
+    val r1 = new SchemaRegistry(Some(dir))
+    val enc = org.apache.spark.sql.Encoders.product[NewlineDefault]
+    val v1 = TypeSchema(classOf[NewlineDefault].getName,
+      StructType(Seq(StructField("a", IntegerType, nullable = false))))
+    r1.register(v1)
+    r1.register[NewlineDefault]()(enc)
+    val r2 = new SchemaRegistry(Some(dir))
+    val reloaded = r2.get(classOf[NewlineDefault].getName)
+    assert(reloaded.nonEmpty, "type silently dropped on reload — sidecar corrupted")
+    assert(reloaded.get.defaults("note") === "\"line1\\nline2\"")
+    // a later register() must still hit the evolution gate, not a blank slate
+    val bad = reloaded.get.copy(schema = StructType(Seq(
+      StructField("a", StringType, nullable = false))))
+    intercept[IllegalArgumentException](r2.register(bad))
+  }
+
   test("Scala default values are recovered via apply$default$N reflection") {
     val d = SchemaRegistry.reflectedDefaults[Evolved](
       org.apache.spark.sql.Encoders.product[Evolved])
@@ -102,3 +130,4 @@ class SchemaRegistrySpec extends AnyFunSuite {
 /** Evolution fixtures: v2 shapes of a type whose v1 had only `a`. */
 final case class Evolved(a: Int, b: String = "dflt", c: Long = 7L)
 final case class EvolvedNoDefault(a: Int, b: String)
+final case class NewlineDefault(a: Int, note: String = "line1\nline2")
