@@ -1,23 +1,28 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns with typed metadata.
   *
-  * The container ships no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic stub ([[FakeCodec]]) — the Spark-side
-  * plumbing (schema, batch shape, partitioning, iterator-to-iterator
-  * mapPartitions) is real and tested. In production, swap `FakeCodec`
-  * for a JNI/library decoder; nothing else changes.
+  * Image decode is REAL: payloads are PNG bytes and the decode path runs
+  * `javax.imageio` (ships in the JDK — no new dependency). The oracle
+  * cannot decode PNG, so fixtures plant images whose pixels are a pure
+  * function of `(media_id, x, y, channel)`; the oracle recomputes the
+  * same pixel arithmetic in SQL and the compare closes the loop: if the
+  * decoder misreads dims or pixels, the checksum row fails. Video decode
+  * would need an external library (ffmpeg-class, not in the JDK) and
+  * stays out of scope — frame SAMPLING ([[frameSample]]) operates on raw
+  * container bytes and needs no codec.
   *
   * Scale notes: payloads stay in executor memory one batch at a time
   * (mapPartitions is iterator-streaming — no per-partition
-  * materialization); metadata extraction is a columnar projection that
-  * never deserializes the payload on the driver. For very large blobs,
-  * store payloads out-of-line (object store keys in the column) — the
-  * schema below carries `uri` for exactly that.
+  * materialization); the IHDR header parse ([[metaColumnarPng]]) is a
+  * codegen'd columnar projection that reads 8 bytes per row and never
+  * touches a decoder. For very large blobs, store payloads out-of-line
+  * (object store keys in the column) — the schema below carries `uri`
+  * for exactly that.
   */
 object Multimodal {
 
@@ -31,119 +36,203 @@ object Multimodal {
                                payload: Array[Byte], uri: String,
                                meta: MediaMeta)
 
-  /** A decoded feature row (what a real image/audio model would emit).
-    * Double (not float) so the fake codec's arithmetic is bit-identical
-    * to the DuckDB oracle's — a real model stub would emit float32.
+  /** Real-decode outputs (exact integer pixel arithmetic — no float
+    * drift between engines).
     */
-  final case class MediaFeature(media_id: Long, feature: Array[Double])
+  final case class DecodedMeta(media_id: Long, width: Int, height: Int,
+                               n_pixels: Long, pixel_sum: Long)
+  final case class ResizedMeta(media_id: Long, r_width: Int, r_height: Int,
+                               r_pixel_sum: Long)
+  final case class MediaBins(media_id: Long, bins: Array[Long])
 
-  /** STUB CODEC — deterministic fake standing in for a real image/audio
-    * decoder (none is installable in this container). Derives all
-    * "decoded" values from payload bytes so tests are reproducible.
+  /** REAL image codec on the JDK's built-in `javax.imageio` (PNG/JPEG —
+    * PNG here, because it is lossless: decoded pixels equal planted
+    * pixels exactly, which is what lets a SQL oracle verify a binary
+    * codec).
+    *
+    * The planted-pixel convention: an image for id has
+    * `width = 3 + id % 14`, `height = 2 + id % 11`, and channel `c` of
+    * pixel `(x, y)` holds `(id*31 + x*7 + y*13 + c) % 256`. Linear pixel
+    * index `i` (row-major, channel-minor: `c = i%3`,
+    * `x = (i/3) % width`, `y = i / (3*width)`) is the shared frame for
+    * the feature binning below and its SQL twin.
     */
-  object FakeCodec {
-    /** ??? in production: BufferedImage/ffmpeg decode. Fake: first two
-      * bytes become dimensions.
-      */
-    def decodeDims(payload: Array[Byte]): (Int, Int) =
-      ((payload(0) & 0xff) + 1, (payload(1) & 0xff) + 1)
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
 
-    /** ??? in production: model forward pass. Fake: 8-dim feature from
-      * byte histogram moments (double math, ascending byte order — the
-      * exact fold the SQL oracle twin reproduces).
-      */
-    def extractFeature(payload: Array[Byte]): Array[Double] = {
-      val f = new Array[Double](8)
-      var i = 0
-      while (i < payload.length) { f(i % 8) += (payload(i) & 0xff) / 255.0; i += 1 }
-      f
+    def plantedWidth(id: Long): Int  = (3 + id % 14).toInt
+    def plantedHeight(id: Long): Int = (2 + id % 11).toInt
+
+    def pixelValue(id: Long, x: Int, y: Int, c: Int): Int =
+      ((id * 31 + x * 7 + y * 13 + c) % 256).toInt
+
+    /** Render the planted image for `id` and encode it as real PNG bytes. */
+    def renderPng(id: Long): Array[Byte] = {
+      val (w, h) = (plantedWidth(id), plantedHeight(id))
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (pixelValue(id, x, y, 0) << 16) |
+            (pixelValue(id, x, y, 1) << 8) | pixelValue(id, x, y, 2))
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(img)
     }
+
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    def decode(payload: Array[Byte]): BufferedImage = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null, "undecodable image payload")
+      img
+    }
+
+    private def channel(img: BufferedImage, x: Int, y: Int, c: Int): Int =
+      (img.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+
+    /** Sum of all channel values of all pixels — the exact-integer
+      * checksum the oracle recomputes from the planted formula.
+      */
+    def pixelSum(img: BufferedImage): Long = {
+      var s = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          var c = 0
+          while (c < 3) { s += channel(img, x, y, c); c += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      s
+    }
+
+    /** Channel values binned by linear index mod `nBins` (a tiny but
+      * real decoded-pixel feature — the plumbing a model embedding would
+      * use, with arithmetic a SQL twin can replay exactly).
+      */
+    def binSums(img: BufferedImage, nBins: Int): Array[Long] = {
+      val bins = new Array[Long](nBins)
+      val w = img.getWidth
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < 3) {
+            bins((3 * (y * w + x) + c) % nBins) += channel(img, x, y, c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      bins
+    }
+
+    /** Nearest-neighbor downscale by 2 (dst(x,y) = src(2x,2y)),
+      * ceil-sized so a 1-pixel axis survives.
+      */
+    def resizeHalf(img: BufferedImage): BufferedImage = {
+      val rw = (img.getWidth + 1) / 2
+      val rh = (img.getHeight + 1) / 2
+      val out = new BufferedImage(rw, rh, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < rh) {
+        var x = 0
+        while (x < rw) { out.setRGB(x, y, img.getRGB(2 * x, 2 * y)); x += 1 }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** Plant real PNG payloads, one per row of `id` — executor-side
+    * rendering via mapPartitions (no driver round-trip; the codec
+    * allocation cost amortizes per partition exactly like a real
+    * decoder's would).
+    */
+  def attachPngPayload(df: DataFrame, id: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long")).as[Long].mapPartitions { it =>
+      it.map(i => (i, "image", ImageCodec.renderPng(i), s"mem://$i"))
+    }.toDF("media_id", "kind", "payload", "uri")
   }
 
   /** Synthesize a deterministic binary payload column from a text column
-    * (md5 bytes) — the test stand-in for real image bytes.
+    * (md5 bytes) — the stand-in for VIDEO container bytes, which only
+    * [[frameSample]] (byte-level chunking, no codec) consumes.
     */
   def attachFakePayload(df: DataFrame, id: String, text: String): DataFrame =
-    df.select(col(id).cast("long").as("media_id"), lit("image").as("kind"),
+    df.select(col(id).cast("long").as("media_id"), lit("video").as("kind"),
       unhex(md5(col(text))).as("payload"),
       concat(lit("mem://"), col(id)).as("uri"))
 
-  /** Columnar metadata extraction — byte-level parse of the payload
-    * header without leaving Catalyst (hex-digit arithmetic is portable to
-    * the DuckDB oracle; a real format parser would be a custom Expression
-    * with the same shape).
+  /** REAL decode: `javax.imageio` reads each PNG payload; emits dims +
+    * the exact-integer pixel checksum. Iterator-to-iterator
+    * mapPartitions — the Scala analog of a batched Pandas UDF.
     */
-  def decodeMetaColumnar(df: DataFrame): DataFrame = {
-    // locate(needle, haystack) is Spark's strpos analog (DuckDB's
-    // strpos(haystack, needle) is NOT a Spark function)
-    def hexByte(pos: Int): String = {
-      def d(i: Int) = s"(locate(substr(hex_lc, $i, 1), '0123456789abcdef') - 1)"
-      s"(16 * ${d(2 * pos + 1)} + ${d(2 * pos + 2)})"
-    }
-    df.withColumn("hex_lc", lower(hex(col("payload"))))
-      .select(col("media_id"), col("kind"),
-        expr(s"${hexByte(0)} + 1").as("width"),
-        expr(s"${hexByte(1)} + 1").as("height"),
-        expr("cast(length(hex_lc) / 2 AS BIGINT)").as("n_bytes"))
+  def decodeMeta(df: DataFrame): Dataset[DecodedMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val img = ImageCodec.decode(payload)
+          DecodedMeta(id, img.getWidth, img.getHeight,
+            img.getWidth.toLong * img.getHeight,
+            ImageCodec.pixelSum(img))
+        }
+      }
   }
 
-  /** Stubbed columnar RESIZE: halve the decoded dimensions (ceil) and
-    * truncate the payload to its first half — the deterministic stand-in
-    * for a real downscale (??? in production: an image library resample;
-    * the Spark-side shape — byte-level payload rewrite + metadata update
-    * in one codegen'd projection, no driver round-trip — is the real
-    * contract). Emits the resized payload as hex so the DuckDB oracle
-    * can compare bytes.
+  /** Columnar metadata extraction from the REAL format: PNG's IHDR chunk
+    * is spec-pinned to start at byte 8, so width/height are the
+    * big-endian uint32s at offsets 16 and 20 — parsed entirely inside
+    * Catalyst (substring on binary + hex + conv), no decoder, no UDF,
+    * whole-stage codegen. This is the 100 TB metadata pass: 8 bytes
+    * examined per blob.
     */
-  def resizeColumnar(df: DataFrame): DataFrame = {
-    def hexByte(pos: Int): String = {
-      def d(i: Int) = s"(locate(substr(hex_lc, $i, 1), '0123456789abcdef') - 1)"
-      s"(16 * ${d(2 * pos + 1)} + ${d(2 * pos + 2)})"
-    }
-    df.withColumn("hex_lc", lower(hex(col("payload"))))
-      .select(col("media_id"),
-        expr(s"cast(ceil((${hexByte(0)} + 1) / 2.0) AS INT)").as("r_width"),
-        expr(s"cast(ceil((${hexByte(1)} + 1) / 2.0) AS INT)").as("r_height"),
-        // first half of the payload bytes = first length/2*2 hex digits
-        expr("substr(hex_lc, 1, cast(length(hex_lc) / 2 AS INT))").as("r_payload_hex"))
-  }
+  def metaColumnarPng(df: DataFrame): DataFrame =
+    df.select(col("media_id"),
+      expr("cast(conv(hex(substring(payload, 17, 4)), 16, 10) AS INT)").as("width"),
+      expr("cast(conv(hex(substring(payload, 21, 4)), 16, 10) AS INT)").as("height"))
 
-  /** DuckDB twin of [[resizeColumnar]] over the same synthesized payload. */
-  def resizeSql(table: String, id: String, text: String): String = {
-    def d(i: Int) = s"(strpos('0123456789abcdef', substr(md5($text), $i, 1)) - 1)"
-    s"""SELECT $id AS media_id,
-       |  ceil(((16 * ${d(1)} + ${d(2)}) + 1) / 2.0)::INT AS r_width,
-       |  ceil(((16 * ${d(3)} + ${d(4)}) + 1) / 2.0)::INT AS r_height,
-       |  substr(md5($text), 1, (length(md5($text)) / 2)::INT) AS r_payload_hex
-       |FROM $table""".stripMargin
-  }
-
-  /** DuckDB twin of [[decodeMetaColumnar]] over the same synthesized
-    * payload (md5 of text).
+  /** REAL resize: decode PNG -> nearest-neighbor half-scale -> re-encode
+    * PNG -> re-decode -> checksum. The double round-trip makes the
+    * emitted checksum witness both the resample and a full
+    * encode+decode cycle of the resized image.
     */
-  def decodeMetaSql(table: String, id: String, text: String): String = {
-    def d(i: Int) = s"(strpos('0123456789abcdef', substr(md5($text), $i, 1)) - 1)"
-    s"""SELECT $id AS media_id, 'image' AS kind,
-       |  (16 * ${d(1)} + ${d(2)}) + 1 AS width,
-       |  (16 * ${d(3)} + ${d(4)}) + 1 AS height,
-       |  (length(md5($text)) / 2)::BIGINT AS n_bytes
-       |FROM $table""".stripMargin
+  def resizeDecoded(df: DataFrame): Dataset[ResizedMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val resized = ImageCodec.resizeHalf(ImageCodec.decode(payload))
+          val roundTripped = ImageCodec.decode(ImageCodec.encodePng(resized))
+          ResizedMeta(id, roundTripped.getWidth, roundTripped.getHeight,
+            ImageCodec.pixelSum(roundTripped))
+        }
+      }
   }
 
-  /** Feature extraction over typed records: iterator-to-iterator
-    * mapPartitions (the Scala analog of a batched Pandas UDF — one
-    * decoder init per partition, streaming batches, bounded memory).
-    */
-  def featureExtract(ds: Dataset[MediaRecord]): Dataset[MediaFeature] = {
-    implicit val enc: Encoder[MediaFeature] = Encoders.product[MediaFeature]
-    ds.mapPartitions { it =>
-      // per-partition decoder init would happen here (once, not per row)
-      it.map(r => MediaFeature(r.media_id, FakeCodec.extractFeature(r.payload)))
-    }
-  }
-
-  /** Typed view of [[attachFakePayload]]'s output — metadata decoded from
-    * the (fake) header so the record carries it alongside the payload.
+  /** Typed view over [[attachPngPayload]] output: metadata REALLY
+    * decoded from the payload so the record carries it alongside.
     */
   def toMediaRecords(df: DataFrame): Dataset[MediaRecord] = {
     implicit val enc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
@@ -151,29 +240,99 @@ object Multimodal {
     df.select(col("media_id"), col("kind"), col("payload"), col("uri"))
       .map { (r: Row) =>
         val payload = r.getAs[Array[Byte]]("payload")
-        val (w, h) = FakeCodec.decodeDims(payload)
+        val img = ImageCodec.decode(payload)
         MediaRecord(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
-          payload, r.getAs[String]("uri"), MediaMeta(w, h, "fake", payload.length.toLong))
+          payload, r.getAs[String]("uri"),
+          MediaMeta(img.getWidth, img.getHeight, "png", payload.length.toLong))
       }
   }
 
-  /** DuckDB twin of [[featureExtract]] over [[attachFakePayload]]'s
-    * synthesized payload: the fake codec's byte-histogram arithmetic in
-    * SQL (byte p of md5 = 16*hex(2p+1)+hex(2p+2); f_j = byte_j/255 +
-    * byte_{j+8}/255, same IEEE double addition order).
+  /** Feature extraction over typed records: iterator-to-iterator
+    * mapPartitions (one decoder init per partition, streaming batches,
+    * bounded memory). Features are 8 binned channel sums over the REAL
+    * decoded pixels.
     */
-  def featuresSql(table: String, id: String, text: String): String = {
-    def d(i: Int) = s"(strpos('0123456789abcdef', substr(md5($text), $i, 1)) - 1)"
-    def b(p: Int) = s"(16 * ${d(2 * p + 1)} + ${d(2 * p + 2)})"
-    val cols = (0 until 8)
-      .map(j => s"round(${b(j)}/255.0 + ${b(j + 8)}/255.0, 6) AS f$j").mkString(", ")
-    s"SELECT $id AS media_id, $cols FROM $table"
+  def featureExtract(ds: Dataset[MediaRecord]): Dataset[MediaBins] = {
+    implicit val enc: Encoder[MediaBins] = Encoders.product[MediaBins]
+    ds.mapPartitions { it =>
+      // per-partition decoder init happens here (once, not per row)
+      it.map(r => MediaBins(r.media_id,
+        ImageCodec.binSums(ImageCodec.decode(r.payload), 8)))
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB twins: replay the planted-pixel formula in SQL. `i` is the
+  // linear channel index of ImageCodec's scaladoc; every value is exact
+  // integer arithmetic so the hash compare is drift-free.
+  // ---------------------------------------------------------------------
+
+  private def plantedGrid(table: String, id: String): String =
+    s"""SELECT $id AS media_id,
+       |  (3 + $id % 14)::BIGINT AS w, (2 + $id % 11)::BIGINT AS h
+       |FROM $table""".stripMargin
+
+  /** Twin of [[decodeMeta]]. */
+  def decodeMetaSql(table: String, id: String): String =
+    s"""WITH g AS (${plantedGrid(table, id)}),
+       |px AS (
+       |  SELECT media_id, w, h,
+       |    unnest(generate_series(0, w * h * 3 - 1)) AS i
+       |  FROM g)
+       |SELECT media_id, w::INT AS width, h::INT AS height,
+       |  (w * h)::BIGINT AS n_pixels,
+       |  CAST(sum((media_id * 31 + ((i // 3) % w) * 7 + (i // (3 * w)) * 13
+       |            + (i % 3)) % 256) AS BIGINT) AS pixel_sum
+       |FROM px GROUP BY media_id, w, h""".stripMargin
+
+  /** Twin of [[metaColumnarPng]] (the oracle knows the planted dims; the
+    * Spark side must recover them from real PNG header bytes).
+    */
+  def metaColumnarSql(table: String, id: String): String =
+    s"""SELECT $id AS media_id, (3 + $id % 14)::INT AS width,
+       |  (2 + $id % 11)::INT AS height FROM $table""".stripMargin
+
+  /** Twin of [[resizeDecoded]]: resized pixel (x,y,c) = planted value at
+    * (2x, 2y, c).
+    */
+  def resizeSql(table: String, id: String): String =
+    s"""WITH g AS (${plantedGrid(table, id)}),
+       |r AS (SELECT media_id, ((w + 1) // 2) AS rw, ((h + 1) // 2) AS rh FROM g),
+       |px AS (
+       |  SELECT media_id, rw, rh,
+       |    unnest(generate_series(0, rw * rh * 3 - 1)) AS i
+       |  FROM r)
+       |SELECT media_id, rw::INT AS r_width, rh::INT AS r_height,
+       |  CAST(sum((media_id * 31 + (((i // 3) % rw) * 2) * 7
+       |            + ((i // (3 * rw)) * 2) * 13 + (i % 3)) % 256) AS BIGINT)
+       |    AS r_pixel_sum
+       |FROM px GROUP BY media_id, rw, rh""".stripMargin
+
+  /** Twin of [[featureExtract]]'s 8 bins. */
+  def featuresSql(table: String, id: String): String = {
+    val bins = (0 until 8).map(j =>
+      s"CAST(sum(CASE WHEN i % 8 = $j THEN v END) AS BIGINT) AS f$j").mkString(",\n  ")
+    s"""WITH g AS (${plantedGrid(table, id)}),
+       |px AS (
+       |  SELECT media_id, w, h,
+       |    unnest(generate_series(0, w * h * 3 - 1)) AS i
+       |  FROM g),
+       |v AS (
+       |  SELECT media_id, i,
+       |    (media_id * 31 + ((i // 3) % w) * 7 + (i // (3 * w)) * 13
+       |     + (i % 3)) % 256 AS v
+       |  FROM px)
+       |SELECT media_id,
+       |  $bins
+       |FROM v GROUP BY media_id""".stripMargin
   }
 
   /** Frame sampling for video-kind payloads: every `stride`-th fixed-size
     * chunk becomes a frame row (posexplode keeps frame index). Columnar —
     * the explode multiplies rows, so partition sizing must account for
     * frames-per-video; repartition afterwards if frame fan-out is large.
+    * No codec involved: container bytes are chunked as-is (real video
+    * decode needs an ffmpeg-class library, out of scope in the JDK).
     */
   def frameSample(df: DataFrame, frameBytes: Int, stride: Int): DataFrame =
     df.select(col("media_id"),

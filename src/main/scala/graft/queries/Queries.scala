@@ -596,28 +596,42 @@ object Queries {
 
     // ================= multimodal plumbing ===============================
 
+    // REAL image decode: payloads are actual PNG bytes (rendered
+    // executor-side from the planted-pixel formula), decoded with the
+    // JDK's javax.imageio; the oracle replays the pixel formula in SQL,
+    // so a decoder that misreads dims or pixel values fails the hash
     QueryDef("mm_decode_meta",
-      (s, dir) => Multimodal.decodeMetaColumnar(
-        Multimodal.attachFakePayload(t(s, dir, "documents"), "doc_id", "text")),
-      Some(Multimodal.decodeMetaSql("documents", "doc_id", "text"))),
+      (s, dir) => Multimodal.decodeMeta(
+        Multimodal.attachPngPayload(t(s, dir, "documents"), "doc_id")).toDF(),
+      Some(Multimodal.decodeMetaSql("documents", "doc_id"))),
 
+    // columnar IHDR parse of the same real PNG bytes: width/height from
+    // the spec-pinned big-endian uint32s at offsets 16/20, entirely in
+    // codegen (substring+hex+conv) — the 8-bytes-per-blob metadata pass
+    QueryDef("mm_meta_columnar",
+      (s, dir) => Multimodal.metaColumnarPng(
+        Multimodal.attachPngPayload(t(s, dir, "documents"), "doc_id")),
+      Some(Multimodal.metaColumnarSql("documents", "doc_id"))),
+
+    // real resample: decode -> nearest-neighbor half -> re-encode ->
+    // re-decode -> integer checksum (witnesses resample + a second full
+    // PNG round-trip)
     QueryDef("mm_resize",
-      (s, dir) => Multimodal.resizeColumnar(
-        Multimodal.attachFakePayload(t(s, dir, "documents"), "doc_id", "text")),
-      Some(Multimodal.resizeSql("documents", "doc_id", "text"))),
+      (s, dir) => Multimodal.resizeDecoded(
+        Multimodal.attachPngPayload(t(s, dir, "documents"), "doc_id")).toDF(),
+      Some(Multimodal.resizeSql("documents", "doc_id"))),
 
     // the batched-UDF analog path: typed records -> mapPartitions feature
-    // extraction (one decoder init per partition) -> feature columns;
-    // the oracle reproduces the fake codec's arithmetic in SQL, so this
-    // checks the mapPartitions plumbing end-to-end against DuckDB
+    // extraction (one decoder init per partition) -> binned channel sums
+    // over the REAL decoded pixels, projected to scalar columns
     QueryDef("mm_features",
       (s, dir) => {
-        val media = Multimodal.attachFakePayload(t(s, dir, "documents"), "doc_id", "text")
+        val media = Multimodal.attachPngPayload(t(s, dir, "documents"), "doc_id")
         val feats = Multimodal.featureExtract(Multimodal.toMediaRecords(media))
         feats.toDF().select(col("media_id") +:
-          (0 until 8).map(j => round(element_at(col("feature"), j + 1), 6).as(s"f$j")): _*)
+          (0 until 8).map(j => element_at(col("bins"), j + 1).as(s"f$j")): _*)
       },
-      Some(Multimodal.featuresSql("documents", "doc_id", "text"))),
+      Some(Multimodal.featuresSql("documents", "doc_id"))),
 
     // ANN: LSH-bucketed top-k with MULTI-PROBE search (nprobe=2: the
     // query's own bucket plus the bucket across its lowest-|margin|

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Multimodal
+import graft.ops.Multimodal.ImageCodec
+
+/** The REAL image path: planted pixels -> PNG encode (javax.imageio) ->
+  * decode -> exact pixel recovery. PNG is lossless, so every decoded
+  * value must equal the planted formula bit-for-bit — the property the
+  * DuckDB oracle relies on to verify a binary codec it cannot run.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PNG encode/decode round-trips planted pixels exactly") {
+    for (id <- Seq(0L, 1L, 7L, 255L, 499L)) {
+      val img = ImageCodec.decode(ImageCodec.renderPng(id))
+      assert(img.getWidth === ImageCodec.plantedWidth(id))
+      assert(img.getHeight === ImageCodec.plantedHeight(id))
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) === ImageCodec.pixelValue(id, x, y, 0))
+        assert(((rgb >> 8) & 0xff) === ImageCodec.pixelValue(id, x, y, 1))
+        assert((rgb & 0xff) === ImageCodec.pixelValue(id, x, y, 2))
+      }
+    }
+  }
+
+  test("decodeMeta recovers dims and pixel checksum from real PNG bytes") {
+    val docs = (0L to 9L).toDF("doc_id")
+    val out = Multimodal.decodeMeta(Multimodal.attachPngPayload(docs, "doc_id"))
+      .collect().map(m => m.media_id -> m).toMap
+    for (id <- 0L to 9L) {
+      val (w, h) = (ImageCodec.plantedWidth(id), ImageCodec.plantedHeight(id))
+      val expected = (for {
+        y <- 0 until h; x <- 0 until w; c <- 0 until 3
+      } yield ImageCodec.pixelValue(id, x, y, c).toLong).sum
+      assert(out(id).width === w && out(id).height === h)
+      assert(out(id).n_pixels === w.toLong * h)
+      assert(out(id).pixel_sum === expected, s"id=$id")
+    }
+  }
+
+  test("columnar IHDR parse reads width/height from real PNG header bytes in codegen") {
+    val docs = (0L to 19L).toDF("doc_id")
+    val q = Multimodal.metaColumnarPng(Multimodal.attachPngPayload(docs, "doc_id"))
+    // no UDF in the plan: the parse must stay inside Catalyst
+    assert(!q.queryExecution.executedPlan.toString.toLowerCase.contains("udf"))
+    q.collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === ImageCodec.plantedWidth(id))
+      assert(r.getInt(2) === ImageCodec.plantedHeight(id))
+    }
+  }
+
+  test("resize halves dims via nearest-neighbor and survives a second PNG round-trip") {
+    val docs = (0L to 9L).toDF("doc_id")
+    val out = Multimodal.resizeDecoded(Multimodal.attachPngPayload(docs, "doc_id"))
+      .collect().map(m => m.media_id -> m).toMap
+    for (id <- 0L to 9L) {
+      val (w, h) = (ImageCodec.plantedWidth(id), ImageCodec.plantedHeight(id))
+      val (rw, rh) = ((w + 1) / 2, (h + 1) / 2)
+      val expected = (for {
+        y <- 0 until rh; x <- 0 until rw; c <- 0 until 3
+      } yield ImageCodec.pixelValue(id, 2 * x, 2 * y, c).toLong).sum
+      assert(out(id).r_width === rw && out(id).r_height === rh)
+      assert(out(id).r_pixel_sum === expected, s"id=$id")
+    }
+  }
+
+  test("feature bins over decoded pixels match the linear-index formula") {
+    val docs = (0L to 9L).toDF("doc_id")
+    val feats = Multimodal.featureExtract(
+      Multimodal.toMediaRecords(Multimodal.attachPngPayload(docs, "doc_id")))
+      .collect().map(m => m.media_id -> m.bins).toMap
+    for (id <- 0L to 9L) {
+      val (w, h) = (ImageCodec.plantedWidth(id), ImageCodec.plantedHeight(id))
+      val expected = new Array[Long](8)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        expected((3 * (y * w + x) + c) % 8) += ImageCodec.pixelValue(id, x, y, c)
+      assert(feats(id).toSeq === expected.toSeq, s"id=$id")
+    }
+  }
+
+  test("undecodable payload fails loudly, not silently") {
+    val e = intercept[Exception] {
+      ImageCodec.decode(Array[Byte](1, 2, 3, 4))
+    }
+    assert(e.getMessage.contains("undecodable"))
+  }
+}

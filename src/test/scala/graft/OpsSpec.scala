@@ -168,13 +168,11 @@ class OpsSpec extends SparkSpec {
     assert(topk.toSeq.sortBy(_._2).map(_._1) === Seq(4L, 2L)) // closest first
   }
 
-  test("multimodal decode meta parses the fake header columnar-ly") {
-    val media = Multimodal.attachFakePayload(docs.where($"doc_id" === 5L), "doc_id", "text")
-    val m = Multimodal.decodeMetaColumnar(media).collect().head
-    val payload = media.select($"payload").collect().head.getAs[Array[Byte]](0)
-    assert(m.getInt(m.fieldIndex("width")) === (payload(0) & 0xff) + 1)
-    assert(m.getInt(m.fieldIndex("height")) === (payload(1) & 0xff) + 1)
-    assert(m.getLong(m.fieldIndex("n_bytes")) === 16L)
+  test("multimodal decode meta parses the real PNG IHDR columnar-ly") {
+    val media = Multimodal.attachPngPayload(docs.where($"doc_id" === 5L), "doc_id")
+    val m = Multimodal.metaColumnarPng(media).collect().head
+    assert(m.getInt(m.fieldIndex("width")) === Multimodal.ImageCodec.plantedWidth(5L))
+    assert(m.getInt(m.fieldIndex("height")) === Multimodal.ImageCodec.plantedHeight(5L))
   }
 
   test("frame sampling explodes stride-th fixed chunks with indices") {
