@@ -25,6 +25,75 @@ import org.apache.spark.sql.functions._
   */
 object PqIndex {
 
+  /** Bump when any index-build algorithm changes (k-means init, encode
+    * arithmetic, layout): [[ensure]] embeds it in the build signature, so
+    * a stale on-disk index from an older code version rebuilds instead of
+    * silently serving wrong results.
+    */
+  val AlgoVersion = 1
+
+  /** Build-once gate: run `build` unless `path` already holds an index
+    * whose recorded signature matches. This is the steady-state split the
+    * bench needs — the BUILD runs once at ingest (first touch), every
+    * later call is a pure index SEARCH. Signature mismatch (params or
+    * [[AlgoVersion]] changed) forces a rebuild.
+    */
+  def ensure(spark: SparkSession, path: String, signature: String)(build: => Unit): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(path, "_GRAFT_READY")
+    val upToDate = fs.exists(marker) && {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString == s"$AlgoVersion:$signature"
+      finally in.close()
+    }
+    if (!upToDate) {
+      build
+      val out = fs.create(marker, true)
+      try out.write(s"$AlgoVersion:$signature".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Build and persist a FLAT (non-IVF) PQ index: codebooks + one code
+    * row per vector carrying both the int-array code word and its
+    * byte-packed form (`qcodes` is the literal at-rest payload: m bytes
+    * + a norm; the array twin keeps the plain ADC kernel addressable).
+    */
+  def writeFlat(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+                dim: Int, m: Int = 4, kSub: Int = 8, iters: Int = 2): Unit = {
+    val w = dim / m
+    val cent = Pq.pqCentroids(corpus, idCol, vecCol, dim, m, kSub, iters)
+    cent.write.mode("overwrite").parquet(s"$path/codebooks")
+    Pq.pqEncode(corpus, idCol, vecCol, cent, m, w)
+      .select(col("v_id"), col("codes"),
+        expr("graft_pack_i8(codes)").as("qcodes"), col("xn2"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** ADC top-k over the persisted FLAT index: broadcast query LUTs ×
+    * one scan of the code frame — no training, no vector math per pair.
+    * `packed` scans the binary word via `graft_pq_adc_packed` (bit-equal
+    * fold order to the array kernel).
+    */
+  def searchFlatTopK(spark: SparkSession, path: String, queries: DataFrame,
+                     k: Int, dim: Int, m: Int = 4, kSub: Int = 8,
+                     packed: Boolean = false): DataFrame = {
+    val w = dim / m
+    val cent = spark.read.parquet(s"$path/codebooks")
+    val q = graft.functions.VectorFunctions.attach(queries)
+      .select(col(queries.columns.head).as("v_id"),
+        col(queries.columns(1)).as("vec"))
+    val qrows = broadcast(Pq.queryLutsFor(q, cent, m, kSub, w))
+    val adc =
+      if (packed) expr(s"graft_pq_adc_packed(qcodes, flat, $kSub)")
+      else expr(s"graft_pq_adc(codes, flat, $kSub)")
+    val scored = spark.read.parquet(s"$path/codes").crossJoin(qrows)
+      .where(col("q_id") =!= col("v_id"))
+      .withColumn("sim", round(adc / (sqrt(col("q2")) * sqrt(col("xn2"))), 6))
+      .select(col("q_id"), col("v_id").as("c_id"), col("sim"))
+    Similarity.topkByQuery(scored, k)
+  }
+
   /** Build and persist the index. `dim` must divide into `m` subspaces. */
   def write(corpus: DataFrame, idCol: String, vecCol: String, path: String,
             dim: Int, m: Int = 4, kSub: Int = 8, iters: Int = 2,
