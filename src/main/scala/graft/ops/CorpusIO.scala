@@ -85,12 +85,24 @@ object CorpusIO {
     * exchange-free join and aggregation on the written layout.)
     */
   def writeBucketed(df: DataFrame, tableName: String, key: String,
-                    nBuckets: Int): Unit =
+                    nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(tableName)) {
+      // a managed-table location orphaned by a previous session (dir on
+      // disk, no catalog entry) fails CREATE with LOCATION_ALREADY_EXISTS
+      // — remove it so the write is idempotent across sessions
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tableName)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode("overwrite")
       .bucketBy(nBuckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(tableName)
+  }
 
   /** Small-file compaction: rewrite a directory of many small parquet
     * files into ~`targetBytes` files — the operational cure for the
@@ -109,6 +121,13 @@ object CorpusIO {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val path = new org.apache.hadoop.fs.Path(inPath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // overwrite-writing the directory being lazily read would delete the
+    // input before the rewrite reads it — refuse same or nested output
+    val inQ = fs.makeQualified(path).toUri.getPath.stripSuffix("/")
+    val outQ = fs.makeQualified(new org.apache.hadoop.fs.Path(outPath))
+      .toUri.getPath.stripSuffix("/")
+    require(outQ != inQ && !outQ.startsWith(inQ + "/"),
+      s"compact output '$outPath' must not be the input '$inPath' or inside it")
     val files = fs.listFiles(path, true)
     var nBefore = 0
     var totalBytes = 0L

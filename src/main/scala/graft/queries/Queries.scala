@@ -1382,6 +1382,55 @@ object Queries {
       },
       Some(graft.ops.CorpusIO.checksumSql("documents", "source", "doc_id", "text"))),
 
+    // compaction rewrite-exactness under the driver's hard signal: the
+    // query fragments the corpus into 32 small files, compacts them into
+    // ~targetBytes range-clustered files, re-reads, and emits the
+    // per-source content checksum; the oracle checksums the ORIGINAL
+    // table, so a row lost or a character corrupted by the rewrite fails
+    // the hash (LayoutSpec separately pins file-count reduction and
+    // disjoint per-file id ranges)
+    QueryDef("io_compact",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val frag = s"${System.getProperty("java.io.tmpdir")}/graft_io_frag_${math.abs(dir.hashCode)}"
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_io_compact_${math.abs(dir.hashCode)}"
+        docs.repartition(32).write.mode("overwrite").parquet(frag)
+        graft.ops.CorpusIO.compact(s, frag, out,
+          targetBytes = 4 * 1024 * 1024, sortCol = Some("doc_id"))
+        graft.ops.CorpusIO.checksum(s.read.parquet(out), "source", "doc_id", "text")
+      },
+      Some(graft.ops.CorpusIO.checksumSql("documents", "source", "doc_id", "text"))),
+
+    // the bucketed at-rest layout under the hard signal: both sides
+    // written bucketBy(custkey), then the recurring join + key-grained
+    // aggregation — the shuffle is paid once at write time, so the
+    // join/agg itself runs with ZERO exchange (PlanAuditSpec pins the
+    // exchange-free plan with broadcast disabled; here the oracle pins
+    // the answer)
+    QueryDef("join_bucketed",
+      (s, dir) => {
+        val suffix = math.abs(dir.hashCode).toString
+        val ordT = s"graft_bkt_orders_$suffix"
+        val custT = s"graft_bkt_cust_$suffix"
+        graft.ops.CorpusIO.writeBucketed(
+          t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
+          ordT, "o_custkey", nBuckets = 8)
+        graft.ops.CorpusIO.writeBucketed(
+          t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment")),
+          custT, "o_custkey", nBuckets = 8)
+        s.table(ordT).join(s.table(custT), "o_custkey")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            expr(dsum("o_totalprice")).as("revenue"),
+            max(col("c_mktsegment")).as("segment"))
+      },
+      Some("""SELECT o_custkey, count(*) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             |  max(c_mktsegment) AS segment
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY o_custkey""".stripMargin)),
+
     // deterministic train/val/test assignment: hash-range membership on
     // the doc's own id — zero shuffle, and docs never migrate between
     // splits as the corpus grows (the leakage guarantee)

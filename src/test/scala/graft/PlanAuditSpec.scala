@@ -376,4 +376,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       s"rank must never serialize through a single-partition window:\n$p")
   }
+
+  test("join_bucketed: bucketed join + key-grained agg run with ZERO exchange") {
+    // disable broadcast and AQE so the sort-merge path is forced: the
+    // assertion is that bucketing alone satisfies every distribution
+    // requirement in the plan (join AND aggregation)
+    val pairs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val p = plan("join_bucketed")
+      assert(!p.contains("Exchange"),
+        s"the write-time bucketing must eliminate every shuffle:\n$p")
+      assert(p.contains("SortMergeJoin"),
+        s"with broadcast off the join must be the bucket-aligned SMJ:\n$p")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
