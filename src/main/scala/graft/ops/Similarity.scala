@@ -498,9 +498,15 @@ object Similarity {
     */
   def embeddingDedupKeepers(df: DataFrame, idCol: String, vecCol: String,
                             bits: Int = 8): DataFrame = {
-    val b = lshBuckets(Par.floor(withCosine(df), col(idCol)), idCol, vecCol, bits)
+    // hash on the raw scan — no Par.floor here: a pre-hash repartition
+    // would shuffle full VECTOR rows (the r6 0.37s->0.52s bench
+    // regression), while the hash itself is cheap enough per row that
+    // scan-split parallelism suffices at every scale
+    val b = lshBuckets(df, idCol, vecCol, bits)
     val bucketMin = b.groupBy(col("bucket")).agg(min(col(idCol)).as("keep_id"))
-    b.join(bucketMin, Seq("bucket")).select(col(idCol), col("keep_id"))
+    // ≤ 2^bits rows — broadcast, so the only exchange in the plan is the
+    // partial-aggregated (bucket, min_id) reduction
+    b.join(broadcast(bucketMin), Seq("bucket")).select(col(idCol), col("keep_id"))
   }
 
   def embeddingDedupKeepersSql(table: String, idCol: String, vecCol: String,

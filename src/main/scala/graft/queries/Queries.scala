@@ -919,7 +919,12 @@ object Queries {
     // window and the 9-group manifest agg. The composed variant reads
     // text five times — at 100 TB the scan volume IS the cost, so this
     // is the production form and the composed one is the modular
-    // reference
+    // reference.
+    // CROSSOVER (measured): the fused form wins above ~1M docs (17.3s vs
+    // 24s at the 1M probe) but loses ~25% below it (0.97s vs 0.75s at
+    // sf0.1) — when the corpus fits in page cache, the composed DAG's
+    // five cheap scans beat the fused plan's one wide projection. Small-
+    // corpus callers should pick the composed form deliberately
     QueryDef("pipeline_curation_manifest_fused",
       (s, dir) => {
         val docs = t(s, dir, "documents")
