@@ -273,7 +273,18 @@ object Similarity {
                       nCentroids: Int = 8, iters: Int = 2): DataFrame = {
     val base = Par.floor(withCosine(corpus), col(idCol))
       .select(col(idCol).as("v_id"), col(vecCol).as("vec"))
-    var cent = base.where(col("v_id") < nCentroids)
+    // init = the nCentroids rows with the smallest PORTABLE-HASH of their
+    // id: a deterministic pseudo-random sample, reproduced exactly by the
+    // DuckDB twin. The previous `v_id < nCentroids` init was id-order
+    // sensitive — an adversarial corpus whose first k ids are near-
+    // identical vectors collapsed every centroid onto one point, a silent
+    // recall cliff in everything downstream (IVF, IVF-PQ, the persisted
+    // index). Hash-seeding decorrelates init from id assignment at zero
+    // extra passes (TakeOrdered: per-partition heads + one merge).
+    var cent = base
+      .withColumn("hk",
+        expr(graft.ops.PortableHash.sparkStringHash("cast(v_id AS STRING)")))
+      .orderBy(col("hk"), col("v_id")).limit(nCentroids)
       .select(col("v_id").as("cent_id"),
         expr("transform(vec, x -> cast(x AS DOUBLE))").as("c_vec"))
     for (_ <- 1 to iters) {
@@ -305,7 +316,9 @@ object Similarity {
     ctes.append(
       s"""base AS (SELECT $idCol AS v_id, $vecCol AS vec FROM $table),
          |cent0 AS (SELECT v_id AS cent_id, list_transform(vec, x -> x::DOUBLE) AS c_vec
-         |          FROM base WHERE v_id < $nCentroids)""".stripMargin)
+         |          FROM base
+         |          ORDER BY ${graft.ops.PortableHash.duckStringHash("v_id::VARCHAR")} ASC, v_id ASC
+         |          LIMIT $nCentroids)""".stripMargin)
     for (i <- 1 to iters) {
       ctes.append(
         s""",

@@ -60,6 +60,40 @@ class IvfKmeansSpec extends SparkSpec {
       "fixed-iteration Lloyd's must reproduce bit-identical centroids")
   }
 
+  test("hash-seeded init: id-sorted adversarial corpus keeps non-degenerate clusters") {
+    import spark.implicits._
+    // the first-k-ids init trap: ids 0..7 are near-identical clones along
+    // axis 0, so `v_id < nCentroids` would place EVERY initial centroid
+    // on one point and the recall of everything downstream (IVF, IVF-PQ,
+    // the persisted index) silently collapses. Hash-seeded init samples
+    // ids independently of their assignment order.
+    val dim = 9
+    def vec(axis: Int, eps: Float): Seq[Float] =
+      (0 until dim).map(d => if (d == axis) 1.0f else eps)
+    val clones = (0L until 8L).map(i => (i, vec(0, 0.0001f * i)))
+    val spread = (8L until 108L).map(i => (i, vec((i % 7).toInt + 1, 0.001f)))
+    val emb = (clones ++ spread).toDF("vec_id", "embedding")
+    val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      nCentroids = 4, iters = 2).collect()
+    // no initial centroid may come from the clone block, and the finals
+    // must be genuinely distinct vectors
+    val distinctVecs = cent.map(_.getSeq[Double](1).toList).distinct
+    assert(distinctVecs.length >= 3,
+      s"centroids collapsed: ${distinctVecs.length} distinct of ${cent.length}")
+    // local argmax-cosine assignment over the 108 rows: the corpus must
+    // spread over >= 3 clusters with no near-total winner
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cents = cent.map(r => r.getLong(0) -> r.getSeq[Double](1).toList)
+    val vecs = (clones ++ spread).map { case (_, v) => v.map(_.toDouble).toList }
+    val sizes = vecs.map(v => cents.minBy { case (cid, c) => (-cos(v, c), cid) }._1)
+      .groupBy(identity).map(_._2.size)
+    assert(sizes.size >= 3, s"assignment must spread over >=3 clusters, got $sizes")
+    assert(sizes.max <= 97, s"one cluster holds ${sizes.max} of 108 rows")
+  }
+
   test("ivfTopKKmeans returns k ranked neighbors per query, sims descending") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val res = Similarity.ivfTopKKmeans(emb, "vec_id", "embedding", k = 5,
