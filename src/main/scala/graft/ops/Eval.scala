@@ -182,6 +182,48 @@ object Eval {
        |FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
        |GROUP BY e.q_id""".stripMargin
 
+  /** Recall@k of the RESIDUAL IVF-PQ path ([[Pq.ivfPqResidualTopK]]) —
+    * the gate that demonstrates what residual encoding buys at equal
+    * code budget: with identical (m, kSub, nprobe), this number should
+    * meet or beat [[ivfPqRecallAtK]] (PqSpec pins the ordering on a
+    * planted fixture; here the driver pins the values cross-engine).
+    */
+  def ivfPqResidualRecallAtK(corpus: DataFrame, idCol: String, vecCol: String,
+                             k: Int, dim: Int, m: Int = 4, kSub: Int = 8,
+                             iters: Int = 2, nCoarse: Int = 8,
+                             coarseIters: Int = 2, nprobe: Int = 2,
+                             queryPred: org.apache.spark.sql.Column = lit(false)): DataFrame = {
+    val queries = corpus.select(col(idCol).as("v_id"), col(vecCol))
+      .where(queryPred)
+      .select(col("v_id").as(idCol), col(vecCol))
+    val exact = Similarity.bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("q_id"), col("c_id"))
+    val approx = Pq.ivfPqResidualTopK(corpus, idCol, vecCol, k, dim, m, kSub,
+        iters, nCoarse, coarseIters, nprobe, queryPred)
+      .select(col("q_id"), col("c_id"), lit(1L).as("__hit"))
+    exact.join(approx, Seq("q_id", "c_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_matched"))
+      .withColumn("recall", round(col("n_matched").cast("double") / k, 6))
+  }
+
+  def ivfPqResidualRecallAtKSql(table: String, idCol: String, vecCol: String,
+                                k: Int, queryPredId: String, queryPredVid: String,
+                                dim: Int, m: Int = 4, kSub: Int = 8,
+                                iters: Int = 2, nCoarse: Int = 8,
+                                coarseIters: Int = 2, nprobe: Int = 2): String =
+    s"""WITH exact AS (
+       |  SELECT q_id, c_id FROM (
+       |${Similarity.bruteForceTopKSql(table, idCol, vecCol, k, queryPredId)}) t),
+       |approx AS (
+       |  SELECT q_id, c_id FROM (
+       |${Pq.ivfPqResidualTopKSql(table, idCol, vecCol, k, dim, m, kSub, iters, nCoarse, coarseIters, nprobe, queryPredVid)}) t)
+       |SELECT e.q_id,
+       |  CAST(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       |  round(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / $k, 6) AS recall
+       |FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
+       |GROUP BY e.q_id""".stripMargin
+
   /** Per-label centroid (exact-decimal per-dimension mean, the
     * [[Similarity.kmeansCentroids]] arithmetic keyed by a label column
     * instead of a learned assignment) plus the class size — the

@@ -227,6 +227,93 @@ object Pq {
     Similarity.topkByQuery(scored, k)
   }
 
+  /** RESIDUAL IVF-PQ — the standard IVFADC construction (Jégou et al.):
+    * PQ codes quantize the residual `r = x − c(x)` against the coarse
+    * centroid instead of the raw vector, recovering precision per code
+    * bit because residual magnitudes are a fraction of vector magnitudes
+    * (the codebooks only have to cover within-cluster variation).
+    *
+    * For cosine the ADC decomposition stays one-LUT-per-QUERY (not the
+    * per-(query, cluster) LUTs L2 IVFADC needs):
+    *   dot(q, x̂) = dot(q, c) + Σ_j dot(q_j, r̂_j)
+    * — the first term is a per-(query, probed-cluster) SCALAR computed
+    * with the broadcast coarse table, the second is the same flat-LUT
+    * ADC kernel over RESIDUAL codebooks. The reconstruction norm
+    * |x̂|² = |c|² + 2·dot(c, r̂) + |r̂|² is exact at encode time (both
+    * dot terms are over chosen centroids, summed as DECIMAL).
+    *
+    * Same scale shape as [[ivfPqTopK]] plus one extra broadcast join at
+    * ENCODE time (residual = vec − its cluster's centroid); search-side
+    * cost is identical: broadcast probes+LUTs × one code scan.
+    */
+  def ivfPqResidualTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+                        dim: Int, m: Int = 4, kSub: Int = 8, iters: Int = 2,
+                        nCoarse: Int = 8, coarseIters: Int = 2, nprobe: Int = 2,
+                        queryPred: Column = lit(false)): DataFrame = {
+    val w = dim / m
+    val coarse = broadcast(
+      Similarity.kmeansCentroids(corpus, idCol, vecCol, nCoarse, coarseIters))
+    val b = base(corpus, idCol, vecCol)
+    val assigned = Similarity.assignClusters(b, coarse)
+      .transform(Caches.lease(_))
+    val ccn = coarse.withColumn("cc2", expr("graft_dot(c_vec, c_vec)"))
+    val resid = assigned
+      .join(ccn.select(col("cent_id").as("cluster"), col("c_vec").as("cc_vec")),
+        Seq("cluster"))
+      .select(col("v_id"), col("cluster"),
+        expr("zip_with(vec, cc_vec, (x, c) -> cast(x AS DOUBLE) - c)").as("rvec"))
+      .transform(Caches.lease(_))
+    val cent = pqCentroids(resid, "v_id", "rvec", dim, m, kSub, iters)
+    // encode: nearest RESIDUAL centroid per subspace; carry that
+    // centroid's |c|² and its dot with the cluster's coarse subvector so
+    // the reconstruction norm assembles exactly
+    val coarseSub = broadcast(ccn
+      .select(col("cent_id").as("cluster"), col("cc2"),
+        explode(expr(s"sequence(0, ${m - 1})")).as("sub"), col("c_vec"))
+      .select(col("cluster"), col("cc2"), col("sub"),
+        expr(s"slice(c_vec, sub * $w + 1, $w)").as("cs_vec")))
+    val centB = broadcast(cent.withColumn("c2", expr("graft_dot(c_vec, c_vec)")))
+    val enc = subFrame(base(resid, "v_id", "rvec"), m, w)
+      .join(assigned.select(col("v_id"), col("cluster")), Seq("v_id"))
+      .join(centB, Seq("sub"))
+      .join(coarseSub, Seq("cluster", "sub"))
+      .withColumn("d2", round(expr("graft_dist2(svec, c_vec)"), 6))
+      .withColumn("dotcs", expr("graft_dot(cs_vec, c_vec)"))
+      .groupBy(col("sub"), col("v_id"))
+      .agg(min_by(struct(col("cent_id"), col("c2"), col("dotcs")),
+        struct(col("d2"), col("cent_id"))).as("m"),
+        max(col("cluster")).as("cluster"), max(col("cc2")).as("cc2"))
+      .groupBy(col("v_id"))
+      .agg(
+        array_sort(collect_list(struct(col("sub"), col("m.cent_id").as("code")))).as("cs"),
+        sum(col("m.c2").cast("decimal(28,12)")).cast("double").as("sumc2"),
+        sum(col("m.dotcs").cast("decimal(28,12)")).cast("double").as("sumdot"),
+        max(col("cluster")).as("cluster"), max(col("cc2")).as("cc2"))
+      .select(col("v_id"), col("cluster"),
+        expr("transform(cs, x -> x.code)").as("codes"),
+        (col("cc2") + lit(2.0) * col("sumdot") + col("sumc2")).as("xn2"))
+    val queries = assigned.where(queryPred).select(col("v_id"), col("vec"))
+    val probes = queries.crossJoin(coarse)
+      .withColumn("csim", round(expr(Similarity.nativeCosine("vec", "c_vec")), 6))
+      .groupBy(col("v_id"))
+      .agg(expr(s"graft_topk(csim, cent_id, $nprobe)").as("top"))
+      .select(col("v_id").as("q_id"), explode(col("top.c_id")).as("cluster"))
+    val probed = probes
+      .join(queries.select(col("v_id").as("q_id"), col("vec")), Seq("q_id"))
+      .join(ccn.select(col("cent_id").as("cluster"), col("c_vec")), Seq("cluster"))
+      .withColumn("dotqc",
+        expr("graft_dot(transform(vec, x -> cast(x AS DOUBLE)), c_vec)"))
+      .select(col("q_id"), col("cluster"), col("dotqc"))
+    val qrows = broadcast(probed.join(queryLutsFor(queries, cent, m, kSub, w), Seq("q_id")))
+    val scored = enc.join(qrows, Seq("cluster"))
+      .where(col("q_id") =!= col("v_id"))
+      .withColumn("sim",
+        round((col("dotqc") + expr(s"graft_pq_adc(codes, flat, $kSub)")) /
+          (sqrt(col("q2")) * sqrt(col("xn2"))), 6))
+      .select(col("q_id"), col("v_id").as("c_id"), col("sim"))
+    Similarity.topkByQuery(scored, k)
+  }
+
   // ---------- DuckDB twins ----------
 
   private def duckDot(a: String, b: String): String =
@@ -246,7 +333,26 @@ object Pq {
     */
   private def pqCtes(table: String, idCol: String, vecCol: String,
                      dim: Int, m: Int, kSub: Int, iters: Int,
-                     p: String = ""): String = {
+                     p: String = ""): String =
+    s"""${pqTrainCtes(table, idCol, vecCol, dim, m, kSub, iters, p)},
+       |${p}enc AS (
+       |  SELECT v_id, list(code ORDER BY sub) AS codes,
+       |         CAST(sum(CAST(c2 AS DECIMAL(28,12))) AS DOUBLE) AS xn2 FROM (
+       |    SELECT sub, v_id, cent_id AS code, c2 FROM (
+       |      SELECT s.sub, s.v_id, c.cent_id, c.c2, row_number() OVER (
+       |        PARTITION BY s.sub, s.v_id
+       |        ORDER BY round(${duckDist2("s.svec", "c.c_vec")}, 6) ASC, c.cent_id ASC) AS rn
+       |      FROM ${p}sub s JOIN ${p}centf c ON s.sub = c.sub) WHERE rn = 1)
+       |  GROUP BY v_id)""".stripMargin
+
+  /** The codebook-training half of [[pqCtes]]: CTE chain ending in
+    * `${p}centf(sub, cent_id, c_vec, c2)` (plus the `${p}sub` subvector
+    * frame), without the encode CTE — so encode variants (residual
+    * IVF-PQ) can append their own.
+    */
+  private def pqTrainCtes(table: String, idCol: String, vecCol: String,
+                          dim: Int, m: Int, kSub: Int, iters: Int,
+                          p: String = ""): String = {
     val w = dim / m
     val ctes = new StringBuilder
     ctes.append(
@@ -273,16 +379,7 @@ object Pq {
     }
     ctes.append(
       s""",
-         |${p}centf AS (SELECT sub, cent_id, c_vec, ${duckDot("c_vec", "c_vec")} AS c2 FROM ${p}cent$iters),
-         |${p}enc AS (
-         |  SELECT v_id, list(code ORDER BY sub) AS codes,
-         |         CAST(sum(CAST(c2 AS DECIMAL(28,12))) AS DOUBLE) AS xn2 FROM (
-         |    SELECT sub, v_id, cent_id AS code, c2 FROM (
-         |      SELECT s.sub, s.v_id, c.cent_id, c.c2, row_number() OVER (
-         |        PARTITION BY s.sub, s.v_id
-         |        ORDER BY round(${duckDist2("s.svec", "c.c_vec")}, 6) ASC, c.cent_id ASC) AS rn
-         |      FROM ${p}sub s JOIN ${p}centf c ON s.sub = c.sub) WHERE rn = 1)
-         |  GROUP BY v_id)""".stripMargin)
+         |${p}centf AS (SELECT sub, cent_id, c_vec, ${duckDot("c_vec", "c_vec")} AS c2 FROM ${p}cent$iters)""".stripMargin)
     ctes.toString
   }
 
@@ -334,6 +431,82 @@ object Pq {
        |  JOIN qflat f ON f.q_id = p.q_id
        |  JOIN qn n ON n.q_id = f.q_id
        |  WHERE f.q_id <> e.v_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
+  /** Twin of [[ivfPqResidualTopK]]: coarse CTE chain + residual frame +
+    * `r`-prefixed codebook training over residuals + cluster-aware
+    * encode (codes, |c+r̂|²) + per-(query, cluster) dot(q, c) scalar +
+    * flat residual LUT ADC within probed clusters.
+    */
+  def ivfPqResidualTopKSql(table: String, idCol: String, vecCol: String, k: Int,
+                           dim: Int, m: Int = 4, kSub: Int = 8, iters: Int = 2,
+                           nCoarse: Int = 8, coarseIters: Int = 2, nprobe: Int = 2,
+                           queryPred: String = "false"): String = {
+    val w = dim / m
+    val adc = s"list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform(generate_series(1, $m), " +
+      s"j -> f.flat[(j - 1) * $kSub + x.codes[j] + 1])), (acc, v) -> acc + v)"
+    s"""WITH ${Similarity.kmeansCtes(table, idCol, vecCol, nCoarse, coarseIters)},
+       |ccn AS (SELECT cent_id, c_vec, ${duckDot("c_vec", "c_vec")} AS cc2 FROM cent$coarseIters),
+       |resid AS (
+       |  SELECT a.v_id, a.cluster,
+       |    list_transform(generate_series(1, $dim), i -> a.vec[i]::DOUBLE - cc.c_vec[i]) AS rvec
+       |  FROM a JOIN ccn cc ON a.cluster = cc.cent_id),
+       |${pqTrainCtes("resid", "v_id", "rvec", dim, m, kSub, iters, p = "r")},
+       |coarsesub AS (
+       |  SELECT cent_id AS cluster, cc2, j AS sub,
+       |         list_transform(list_slice(c_vec, j * $w + 1, (j + 1) * $w), x -> x::DOUBLE) AS cs_vec
+       |  FROM ccn, UNNEST(generate_series(0, ${m - 1})) AS t(j)),
+       |renc AS (
+       |  SELECT v_id, cluster, list(code ORDER BY sub) AS codes, max(cc2) AS cc2,
+       |         CAST(sum(CAST(c2 AS DECIMAL(28,12))) AS DOUBLE) AS sumc2,
+       |         CAST(sum(CAST(dotcs AS DECIMAL(28,12))) AS DOUBLE) AS sumdot
+       |  FROM (
+       |    SELECT sub, v_id, cluster, cent_id AS code, c2, dotcs, cc2 FROM (
+       |      SELECT s.sub, s.v_id, cs.cluster, c.cent_id, c.c2, cs.cc2,
+       |             ${duckDot("cs.cs_vec", "c.c_vec")} AS dotcs,
+       |             row_number() OVER (PARTITION BY s.sub, s.v_id
+       |               ORDER BY round(${duckDist2("s.svec", "c.c_vec")}, 6) ASC, c.cent_id ASC) AS rn
+       |      FROM rsub s
+       |      JOIN rcentf c ON s.sub = c.sub
+       |      JOIN resid rr ON s.v_id = rr.v_id
+       |      JOIN coarsesub cs ON rr.cluster = cs.cluster AND s.sub = cs.sub) WHERE rn = 1)
+       |  GROUP BY v_id, cluster),
+       |xn AS (SELECT v_id, cluster, codes, cc2 + 2 * sumdot + sumc2 AS xn2 FROM renc),
+       |q AS (SELECT v_id AS q_id, vec FROM a WHERE $queryPred),
+       |probes AS (
+       |  SELECT q_id, cluster FROM (
+       |    SELECT q.q_id, c.cent_id AS cluster, row_number() OVER (
+       |      PARTITION BY q.q_id
+       |      ORDER BY round(${Similarity.duckCosine("q.vec", "c.c_vec")}, 6) DESC, c.cent_id ASC) AS prn
+       |    FROM q CROSS JOIN cent$coarseIters c) WHERE prn <= $nprobe),
+       |probed AS (
+       |  SELECT p.q_id, p.cluster, ${duckDot("q.vec", "cc.c_vec")} AS dotqc
+       |  FROM probes p JOIN q ON p.q_id = q.q_id JOIN ccn cc ON p.cluster = cc.cent_id),
+       |qdots AS (
+       |  SELECT q.q_id, (c.sub * $kSub + c.cent_id) AS gi,
+       |         ${duckDot(s"list_transform(list_slice(q.vec, c.sub * $w + 1, (c.sub + 1) * $w), x -> x::DOUBLE)", "c.c_vec")} AS dot
+       |  FROM q CROSS JOIN rcentf c),
+       |grid AS (SELECT q_id, gi FROM (SELECT DISTINCT q_id FROM q),
+       |         UNNEST(generate_series(0, ${m * kSub - 1})) AS t(gi)),
+       |qflat AS (
+       |  SELECT g.q_id, list(coalesce(d.dot, 0.0::DOUBLE) ORDER BY g.gi) AS flat
+       |  FROM grid g LEFT JOIN qdots d ON g.q_id = d.q_id AND g.gi = d.gi
+       |  GROUP BY g.q_id),
+       |qn AS (SELECT q_id, ${duckDot("vec", "vec")} AS q2 FROM q),
+       |scored AS (
+       |  SELECT f.q_id, x.v_id AS c_id,
+       |         round((p.dotqc + $adc) / (sqrt(n.q2) * sqrt(x.xn2)), 6) AS sim
+       |  FROM xn x
+       |  JOIN probed p ON p.cluster = x.cluster
+       |  JOIN qflat f ON f.q_id = p.q_id
+       |  JOIN qn n ON n.q_id = f.q_id
+       |  WHERE f.q_id <> x.v_id),
        |ranked AS (
        |  SELECT q_id, c_id, sim,
        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank

@@ -1267,6 +1267,21 @@ object Queries {
         dim = 64, m = 4, kSub = 8, iters = 2,
         nCoarse = 8, coarseIters = 2, nprobe = 2))),
 
+    // the RESIDUAL IVFADC gate at the same code budget: codes quantize
+    // x − coarse_centroid, so the codebooks only cover within-cluster
+    // variation — with identical (m, kSub, nprobe) this should meet or
+    // beat embed_ivfpq_recall (PqSpec pins the ordering on a planted
+    // fixture; here both engines pin the values)
+    QueryDef("embed_ivfpq_residual_recall",
+      (s, dir) => graft.ops.Eval.ivfPqResidualRecallAtK(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 5, dim = 64, m = 4, kSub = 8, iters = 2,
+        nCoarse = 8, coarseIters = 2, nprobe = 2,
+        queryPred = col("v_id") < 10),
+      Some(graft.ops.Eval.ivfPqResidualRecallAtKSql("embeddings", "vec_id", "embedding",
+        k = 5, queryPredId = "vec_id < 10", queryPredVid = "v_id < 10",
+        dim = 64, m = 4, kSub = 8, iters = 2,
+        nCoarse = 8, coarseIters = 2, nprobe = 2))),
+
     // per-label centroid + class size: decimal-exact per-dimension means,
     // exchange carries labels x dims cells — never the vectors. Registered
     // with the centroid serialized to fixed-scale decimal CSV (no raw

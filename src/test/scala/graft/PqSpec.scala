@@ -37,6 +37,33 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("residual IVF-PQ recall >= non-residual at equal code budget (planted clusters)") {
+    // 4 well-separated clusters (centers 10·e_{2t}) + unit-scale within-
+    // cluster noise: non-residual codebooks must spend their kSub=4
+    // centroids covering the CENTERS, residual codebooks only cover the
+    // noise — the construction's textbook win. nprobe = nCoarse isolates
+    // code loss from routing loss.
+    val planted = (0 until 64).map { i =>
+      val axis = 2 * (i % 4)
+      (i.toLong, Array.tabulate(8)(d =>
+        ((if (d == axis) 10.0 else 0.0) + math.sin(i * 17 + d * 3)).toFloat))
+    }.toDF("vec_id", "embedding")
+    def mean(df: org.apache.spark.sql.DataFrame): Double = {
+      val r = df.agg(avg($"recall")).collect().head.getDouble(0)
+      graft.ops.Caches.releaseAll()
+      r
+    }
+    val res = mean(graft.ops.Eval.ivfPqResidualRecallAtK(planted,
+      "vec_id", "embedding", k = 3, dim = 8, m = 4, kSub = 4, iters = 2,
+      nCoarse = 4, coarseIters = 2, nprobe = 4, queryPred = col("v_id") < 8))
+    val nonres = mean(graft.ops.Eval.ivfPqRecallAtK(planted,
+      "vec_id", "embedding", k = 3, dim = 8, m = 4, kSub = 4, iters = 2,
+      nCoarse = 4, coarseIters = 2, nprobe = 4, queryPred = col("v_id") < 8))
+    assert(res >= nonres,
+      s"residual encoding must not lose recall at equal budget: residual=$res non-residual=$nonres")
+    assert(res > 0.5, s"residual recall vacuously low: $res (fixture broken?)")
+  }
+
   test("codes are m ints in [0, kSub); encode is deterministic") {
     val cent = Pq.pqCentroids(corpus, "vec_id", "embedding",
       dim = 8, m = 2, kSub = 4, iters = 2)
