@@ -60,9 +60,22 @@ object Pq {
                   dim: Int, m: Int, kSub: Int, iters: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val w = dim / m
-    val b = subFrame(base(corpus, idCol, vecCol), m, w)
-    var cent = b.where(col("v_id") < kSub)
-      .select(col("sub"), col("v_id").cast("int").as("cent_id"), col("svec").as("c_vec"))
+    val b0 = base(corpus, idCol, vecCol)
+    // init = the kSub rows with the smallest portable-hash of their id
+    // (the [[Similarity.kmeansCentroids]] de-adversarialization — first-k
+    // ids would collapse the codebooks on an id-sorted corpus), REMAPPED
+    // to cent_id 0..kSub-1 by (hash, id) rank: ADC flat-LUT indexing
+    // (`gi = sub * kSub + cent_id`) requires the dense code domain
+    val seeds = b0
+      .withColumn("hk",
+        expr(graft.ops.PortableHash.sparkStringHash("cast(v_id AS STRING)")))
+      .orderBy(col("hk"), col("v_id")).limit(kSub)
+      .select(col("v_id"), (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("hk"), col("v_id")))
+        - 1).cast("int").as("cent_id"))
+    val b = subFrame(b0, m, w)
+    var cent = b.join(seeds, Seq("v_id"))
+      .select(col("sub"), col("cent_id"), col("svec").as("c_vec"))
     for (_ <- 1 to iters) {
       val assigned = b.join(broadcast(cent), Seq("sub"))
         .withColumn("d2", round(expr("graft_dist2(svec, c_vec)"), 6))
@@ -360,7 +373,12 @@ object Pq {
          |${p}sub AS (SELECT v_id, j AS sub,
          |          list_transform(list_slice(vec, j * $w + 1, (j + 1) * $w), x -> x::DOUBLE) AS svec
          |        FROM ${p}base, UNNEST(generate_series(0, ${m - 1})) AS t(j)),
-         |${p}cent0 AS (SELECT sub, v_id::INT AS cent_id, svec AS c_vec FROM ${p}sub WHERE v_id < $kSub)""".stripMargin)
+         |${p}seed AS (
+         |  SELECT v_id, (row_number() OVER (ORDER BY hk ASC, v_id ASC) - 1)::INT AS cent_id
+         |  FROM (SELECT v_id, ${graft.ops.PortableHash.duckStringHash("v_id::VARCHAR")} AS hk
+         |        FROM ${p}base ORDER BY hk ASC, v_id ASC LIMIT $kSub) t),
+         |${p}cent0 AS (SELECT s.sub, sd.cent_id, s.svec AS c_vec
+         |          FROM ${p}sub s JOIN ${p}seed sd ON s.v_id = sd.v_id)""".stripMargin)
     for (i <- 1 to iters) {
       ctes.append(
         s""",

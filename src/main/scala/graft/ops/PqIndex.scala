@@ -30,7 +30,7 @@ object PqIndex {
     * a stale on-disk index from an older code version rebuilds instead of
     * silently serving wrong results.
     */
-  val AlgoVersion = 2 // v2: hash-seeded coarse k-means init
+  val AlgoVersion = 3 // v2: hash-seeded coarse k-means init; v3: same for PQ codebooks
 
   /** Build-once gate: run `build` unless `path` already holds an index
     * whose recorded signature matches. This is the steady-state split the

@@ -1269,9 +1269,12 @@ object Queries {
 
     // the RESIDUAL IVFADC gate at the same code budget: codes quantize
     // x − coarse_centroid, so the codebooks only cover within-cluster
-    // variation — with identical (m, kSub, nprobe) this should meet or
-    // beat embed_ivfpq_recall (PqSpec pins the ordering on a planted
-    // fixture; here both engines pin the values)
+    // variation. On CLUSTERED data this meets or beats
+    // embed_ivfpq_recall at identical (m, kSub, nprobe) — PqSpec pins
+    // that ordering on a planted 4-cluster fixture; here, over the
+    // synthetic (structureless) embeddings at the deliberately tiny test
+    // budget, both gates sit at the noise floor and the row's job is
+    // cross-engine value parity, not the ordering
     QueryDef("embed_ivfpq_residual_recall",
       (s, dir) => graft.ops.Eval.ivfPqResidualRecallAtK(t(s, dir, "embeddings"),
         "vec_id", "embedding", k = 5, dim = 64, m = 4, kSub = 8, iters = 2,
