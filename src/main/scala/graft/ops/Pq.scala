@@ -269,24 +269,43 @@ object Pq {
     val b = base(corpus, idCol, vecCol)
     val assigned = Similarity.assignClusters(b, coarse)
       .transform(Caches.lease(_))
-    val ccn = coarse.withColumn("cc2", expr("graft_dot(c_vec, c_vec)"))
-    val resid = assigned
+    val ccn = coarseWithNorms(coarse)
+    val resid = residualFrame(assigned, ccn).transform(Caches.lease(_))
+    val cent = pqCentroids(resid, "v_id", "rvec", dim, m, kSub, iters)
+    val enc = residualEncode(resid, assigned, ccn, cent, m, w)
+    val queries = assigned.where(queryPred).select(col("v_id"), col("vec"))
+    val qrows = broadcast(
+      residualProbes(queries, coarse, ccn, nprobe)
+        .join(queryLutsFor(queries, cent, m, kSub, w), Seq("q_id")))
+    Similarity.topkByQuery(residualScore(enc, qrows, kSub), k)
+  }
+
+  private[ops] def coarseWithNorms(coarse: DataFrame): DataFrame =
+    coarse.withColumn("cc2", expr("graft_dot(c_vec, c_vec)"))
+
+  /** (v_id, cluster, rvec = vec − its cluster's coarse centroid). */
+  private[ops] def residualFrame(assigned: DataFrame, ccn: DataFrame): DataFrame =
+    assigned
       .join(ccn.select(col("cent_id").as("cluster"), col("c_vec").as("cc_vec")),
         Seq("cluster"))
       .select(col("v_id"), col("cluster"),
         expr("zip_with(vec, cc_vec, (x, c) -> cast(x AS DOUBLE) - c)").as("rvec"))
-      .transform(Caches.lease(_))
-    val cent = pqCentroids(resid, "v_id", "rvec", dim, m, kSub, iters)
-    // encode: nearest RESIDUAL centroid per subspace; carry that
-    // centroid's |c|² and its dot with the cluster's coarse subvector so
-    // the reconstruction norm assembles exactly
+
+  /** Residual encode: nearest residual centroid per subspace; carries
+    * that centroid's |c|² and its dot with the cluster's coarse
+    * subvector so the reconstruction norm |c + r̂|² assembles exactly.
+    * Returns (v_id, cluster, codes, xn2).
+    */
+  private[ops] def residualEncode(resid: DataFrame, assigned: DataFrame,
+                                  ccn: DataFrame, cent: DataFrame,
+                                  m: Int, w: Int): DataFrame = {
     val coarseSub = broadcast(ccn
       .select(col("cent_id").as("cluster"), col("cc2"),
         explode(expr(s"sequence(0, ${m - 1})")).as("sub"), col("c_vec"))
       .select(col("cluster"), col("cc2"), col("sub"),
         expr(s"slice(c_vec, sub * $w + 1, $w)").as("cs_vec")))
     val centB = broadcast(cent.withColumn("c2", expr("graft_dot(c_vec, c_vec)")))
-    val enc = subFrame(base(resid, "v_id", "rvec"), m, w)
+    subFrame(base(resid, "v_id", "rvec"), m, w)
       .join(assigned.select(col("v_id"), col("cluster")), Seq("v_id"))
       .join(centB, Seq("sub"))
       .join(coarseSub, Seq("cluster", "sub"))
@@ -305,27 +324,38 @@ object Pq {
       .select(col("v_id"), col("cluster"),
         expr("transform(cs, x -> x.code)").as("codes"),
         (col("cc2") + lit(2.0) * col("sumdot") + col("sumc2")).as("xn2"))
-    val queries = assigned.where(queryPred).select(col("v_id"), col("vec"))
-    val probes = queries.crossJoin(coarse)
+  }
+
+  /** Probe selection + the residual form's per-(query, cluster) scalar:
+    * (q_id, cluster, dotqc = dot(q, coarse centroid)). `queries` must
+    * expose (v_id, vec).
+    */
+  private[ops] def residualProbes(queries: DataFrame, coarse: DataFrame,
+                                  ccn: DataFrame, nprobe: Int): DataFrame = {
+    val probes = queries.crossJoin(broadcast(coarse))
       .withColumn("csim", round(expr(Similarity.nativeCosine("vec", "c_vec")), 6))
       .groupBy(col("v_id"))
       .agg(expr(s"graft_topk(csim, cent_id, $nprobe)").as("top"))
       .select(col("v_id").as("q_id"), explode(col("top.c_id")).as("cluster"))
-    val probed = probes
+    probes
       .join(queries.select(col("v_id").as("q_id"), col("vec")), Seq("q_id"))
       .join(ccn.select(col("cent_id").as("cluster"), col("c_vec")), Seq("cluster"))
       .withColumn("dotqc",
         expr("graft_dot(transform(vec, x -> cast(x AS DOUBLE)), c_vec)"))
       .select(col("q_id"), col("cluster"), col("dotqc"))
-    val qrows = broadcast(probed.join(queryLutsFor(queries, cent, m, kSub, w), Seq("q_id")))
-    val scored = enc.join(qrows, Seq("cluster"))
+  }
+
+  /** Residual ADC scoring: enc(v_id, cluster, codes, xn2) × broadcast
+    * qrows(q_id, cluster, dotqc, flat, q2) joined map-side on cluster.
+    */
+  private[ops] def residualScore(enc: DataFrame, qrows: DataFrame,
+                                 kSub: Int): DataFrame =
+    enc.join(qrows, Seq("cluster"))
       .where(col("q_id") =!= col("v_id"))
       .withColumn("sim",
         round((col("dotqc") + expr(s"graft_pq_adc(codes, flat, $kSub)")) /
           (sqrt(col("q2")) * sqrt(col("xn2"))), 6))
       .select(col("q_id"), col("v_id").as("c_id"), col("sim"))
-    Similarity.topkByQuery(scored, k)
-  }
 
   // ---------- DuckDB twins ----------
 

@@ -94,6 +94,58 @@ object PqIndex {
     Similarity.topkByQuery(scored, k)
   }
 
+  /** Build and persist the RESIDUAL IVF-PQ index (the standard IVFADC
+    * at rest): coarse centroids, residual-trained codebooks, and
+    * cluster-PARTITIONED code rows (v_id, codes, xn2) where xn2 is the
+    * exact reconstruction norm |c + r̂|². Same directory-pruned search
+    * properties as [[write]]; the residual codes recover more precision
+    * per byte on clustered data.
+    */
+  def writeResidual(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+                    dim: Int, m: Int = 4, kSub: Int = 8, iters: Int = 2,
+                    nCoarse: Int = 8, coarseIters: Int = 2): Unit = {
+    val w = dim / m
+    val coarse = Similarity.kmeansCentroids(corpus, idCol, vecCol, nCoarse, coarseIters)
+    coarse.write.mode("overwrite").parquet(s"$path/coarse")
+    val b = graft.functions.VectorFunctions.attach(corpus)
+      .select(col(idCol).as("v_id"), col(vecCol).as("vec"))
+    val assigned = Similarity.assignClusters(b, broadcast(coarse))
+      .transform(Caches.lease(_))
+    val ccn = Pq.coarseWithNorms(broadcast(coarse))
+    val resid = Pq.residualFrame(assigned, ccn).transform(Caches.lease(_))
+    val cent = Pq.pqCentroids(resid, "v_id", "rvec", dim, m, kSub, iters)
+    cent.write.mode("overwrite").parquet(s"$path/codebooks")
+    Pq.residualEncode(resid, assigned, ccn, cent, m, w)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes")
+  }
+
+  /** ADC top-k over the persisted RESIDUAL index: probed clusters'
+    * partitions only; the per-(query, cluster) dot(q, c) scalar comes
+    * off the broadcast coarse table; the flat LUT is over residual
+    * codebooks. Results are identical to [[Pq.ivfPqResidualTopK]] on
+    * the same parameters.
+    */
+  def searchResidualTopK(spark: SparkSession, path: String, queries: DataFrame,
+                         k: Int, dim: Int, m: Int = 4, kSub: Int = 8,
+                         nprobe: Int = 2): DataFrame = {
+    val w = dim / m
+    val coarse = broadcast(spark.read.parquet(s"$path/coarse"))
+    val ccn = Pq.coarseWithNorms(coarse)
+    val cent = spark.read.parquet(s"$path/codebooks")
+    val q = graft.functions.VectorFunctions.attach(queries)
+      .select(col(queries.columns.head).as("v_id"),
+        col(queries.columns(1)).as("vec"))
+    val probed = Pq.residualProbes(q, coarse, ccn, nprobe)
+    // metadata-sized collect (≤ queries × nprobe ints): literal cluster
+    // ids let the codes scan directory-prune (a join could not)
+    val probedClusters = probed.select(col("cluster")).distinct()
+      .collect().map(_.getLong(0))
+    val codes = spark.read.parquet(s"$path/codes")
+      .where(col("cluster").isin(probedClusters: _*))
+    val qrows = broadcast(probed.join(Pq.queryLutsFor(q, cent, m, kSub, w), Seq("q_id")))
+    Similarity.topkByQuery(Pq.residualScore(codes, qrows, kSub), k)
+  }
+
   /** Build and persist the index. `dim` must divide into `m` subspaces. */
   def write(corpus: DataFrame, idCol: String, vecCol: String, path: String,
             dim: Int, m: Int = 4, kSub: Int = 8, iters: Int = 2,

@@ -1285,6 +1285,27 @@ object Queries {
         dim = 64, m = 4, kSub = 8, iters = 2,
         nCoarse = 8, coarseIters = 2, nprobe = 2))),
 
+    // the residual production pairing AT REST: first-touch-persisted
+    // residual IVFADC index (coarse + residual codebooks + cluster-
+    // partitioned codes), searched with directory pruning — the
+    // steady-state leg of the residual family, same oracle as the
+    // in-memory operator
+    QueryDef("embed_ivfpq_residual_persisted",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_pqivfres_${math.abs(dir.hashCode)}"
+        graft.ops.PqIndex.ensure(s, path, "residual,dim=64,m=4,kSub=8,iters=2,nCoarse=8,coarseIters=2") {
+          graft.ops.PqIndex.writeResidual(emb, "vec_id", "embedding", path,
+            dim = 64, m = 4, kSub = 8, iters = 2, nCoarse = 8, coarseIters = 2)
+        }
+        graft.ops.PqIndex.searchResidualTopK(s, path,
+          emb.where(col("vec_id") < 10).select("vec_id", "embedding"),
+          k = 5, dim = 64, m = 4, kSub = 8, nprobe = 2)
+      },
+      Some(Pq.ivfPqResidualTopKSql("embeddings", "vec_id", "embedding", k = 5,
+        dim = 64, m = 4, kSub = 8, iters = 2,
+        nCoarse = 8, coarseIters = 2, nprobe = 2, queryPred = "v_id < 10"))),
+
     // per-label centroid + class size: decimal-exact per-dimension means,
     // exchange carries labels x dims cells — never the vectors. Registered
     // with the centroid serialized to fixed-scale decimal CSV (no raw
