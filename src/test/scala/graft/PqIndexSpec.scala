@@ -32,6 +32,24 @@ class PqIndexSpec extends SparkSpec {
       s"persisted search must reproduce the in-memory operator:\n${got.toSeq}\nvs\n${want.toSeq}")
   }
 
+  test("persisted RESIDUAL search equals the in-memory residual operator") {
+    val path = Files.createTempDirectory("graft_pqidxr").toString
+    PqIndex.writeResidual(corpus, "vec_id", "embedding", path,
+      dim = 8, m = 2, kSub = 8, iters = 2, nCoarse = 4, coarseIters = 2)
+    val queries = corpus.where($"vec_id" < 5)
+    val got = PqIndex.searchResidualTopK(spark, path, queries, k = 3,
+        dim = 8, m = 2, kSub = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    graft.ops.Caches.releaseAll()
+    val want = Pq.ivfPqResidualTopK(corpus, "vec_id", "embedding", k = 3,
+        dim = 8, m = 2, kSub = 8, iters = 2,
+        nCoarse = 4, coarseIters = 2, nprobe = 2, queryPred = col("v_id") < 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    graft.ops.Caches.releaseAll()
+    assert(got.sorted.sameElements(want.sorted),
+      s"persisted residual search must reproduce the in-memory operator:\n${got.toSeq}\nvs\n${want.toSeq}")
+  }
+
   test("the codes scan partition-prunes to the probed clusters only") {
     val path = Files.createTempDirectory("graft_pqidx2").toString
     PqIndex.write(corpus, "vec_id", "embedding", path,

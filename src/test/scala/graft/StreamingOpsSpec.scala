@@ -138,6 +138,29 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("real image decode runs unchanged as a streaming stage (mapPartitions is stateless)") {
+    implicit val sq = spark.sqlContext
+    import graft.ops.Multimodal
+    val ids = MemoryStream[Long]
+    val media = ids.toDF().toDF("doc_id").transform(Multimodal.attachPngPayload(_, "doc_id"))
+    val out = Multimodal.decodeMeta(media).toDF()
+    val q = out.writeStream.format("memory").queryName("mm_stream")
+      .outputMode("append").start()
+    try {
+      ids.addData(3L, 7L)
+      q.processAllAvailable()
+      val rows = spark.table("mm_stream")
+        .select($"media_id", $"width", $"height", $"pixel_sum")
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+      for (id <- Seq(3L, 7L)) {
+        val (w, h) = (Multimodal.ImageCodec.plantedWidth(id), Multimodal.ImageCodec.plantedHeight(id))
+        val expected = (for { y <- 0 until h; x <- 0 until w; c <- 0 until 3 }
+          yield Multimodal.ImageCodec.pixelValue(id, x, y, c).toLong).sum
+        assert(rows(id) === ((w, h, expected)), s"id=$id")
+      }
+    } finally q.stop()
+  }
+
   test("stateless text features (langId) run unchanged on a streaming Dataset") {
     implicit val sq = spark.sqlContext
     val docs = MemoryStream[(Long, String)]
