@@ -20,9 +20,14 @@ import org.apache.spark.sql.functions._
   * (mapPartitions is iterator-streaming — no per-partition
   * materialization); the IHDR header parse ([[metaColumnarPng]]) is a
   * codegen'd columnar projection that reads 8 bytes per row and never
-  * touches a decoder. For very large blobs, store payloads out-of-line
-  * (object store keys in the column) — the schema below carries `uri`
-  * for exactly that.
+  * touches a decoder. Measured at 100k images, local[32]
+  * (tools/ProbeMultimodal): full decode+checksum 13k imgs/s, columnar
+  * header parse 244k imgs/s (~19× — why the metadata pass must not
+  * decode), resize with a second encode/decode round-trip 4.9k imgs/s.
+  * All stages are shuffle-free, so cluster throughput is
+  * executors × per-core constant. For very large blobs, store payloads
+  * out-of-line (object store keys in the column) — the schema below
+  * carries `uri` for exactly that.
   */
 object Multimodal {
 

@@ -99,7 +99,9 @@ object PqIndex {
     * cluster-PARTITIONED code rows (v_id, codes, xn2) where xn2 is the
     * exact reconstruction norm |c + r̂|². Same directory-pruned search
     * properties as [[write]]; the residual codes recover more precision
-    * per byte on clustered data.
+    * per byte on clustered data. Measured at 500k vectors, local[32]
+    * (tools/ProbePqIndex): build 21.7s once, search 0.89s — the same
+    * ~25× build/search split as the non-residual index (38.6s / 0.98s).
     */
   def writeResidual(corpus: DataFrame, idCol: String, vecCol: String, path: String,
                     dim: Int, m: Int = 4, kSub: Int = 8, iters: Int = 2,

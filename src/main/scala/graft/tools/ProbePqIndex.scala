@@ -41,6 +41,20 @@ object ProbePqIndex {
     search()
     val ts = (1 to 3).map(_ => time(search())._2).sorted
     println(s"""{"metric":"pq_index","build_sec":$tBuild,"search_sec":${ts(1)},"nCoarse":$nCoarse,"dir":"$dir"}""")
+
+    // the residual family's split on the same corpus and parameters
+    val rpath = s"${System.getProperty("java.io.tmpdir")}/graft_pqidx_probe_res"
+    val (_, tBuildR) = time {
+      graft.ops.PqIndex.writeResidual(emb, "vec_id", "embedding", rpath,
+        dim = 64, m = 4, kSub = 8, iters = 2, nCoarse = nCoarse, coarseIters = 2)
+    }
+    graft.ops.Caches.releaseAll()
+    def searchR() = graft.ops.PqIndex.searchResidualTopK(spark, rpath, queries,
+      k = 5, dim = 64, m = 4, kSub = 8, nprobe = 2)
+      .queryExecution.toRdd.count()
+    searchR()
+    val tsR = (1 to 3).map(_ => time(searchR())._2).sorted
+    println(s"""{"metric":"pq_index_residual","build_sec":$tBuildR,"search_sec":${tsR(1)},"nCoarse":$nCoarse,"dir":"$dir"}""")
     spark.stop()
   }
 }
