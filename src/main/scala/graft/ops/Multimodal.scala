@@ -163,6 +163,136 @@ object Multimodal {
     }
   }
 
+  /** Real-decode audio outputs (exact integer arithmetic). */
+  final case class DecodedAudio(media_id: Long, sample_rate: Int, n_samples: Long,
+                                sample_sum: Long, energy_sum: Long)
+
+  /** REAL audio codec on the JDK's built-in `javax.sound.sampled`
+    * (WAV/RIFF PCM — lossless like PNG, so decoded samples equal planted
+    * samples exactly and a SQL oracle can verify the codec).
+    *
+    * Planted-sample convention: audio for id is 16-bit signed mono PCM
+    * at 8 kHz with `n = 50 + id % 50` samples,
+    * `s(id, t) = ((id*31 + t*7) % 65536) - 32768`.
+    */
+  object AudioCodec {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    val SampleRate = 8000
+
+    def plantedN(id: Long): Int = (50 + id % 50).toInt
+
+    def sampleValue(id: Long, t: Int): Int =
+      (((id * 31 + t * 7) % 65536) - 32768).toInt
+
+    /** Render the planted samples for `id` as real WAV bytes (canonical
+      * 44-byte RIFF header + little-endian PCM frames).
+      */
+    def renderWav(id: Long): Array[Byte] = {
+      val n = plantedN(id)
+      val pcm = new Array[Byte](n * 2)
+      var t = 0
+      while (t < n) {
+        val s = sampleValue(id, t)
+        pcm(2 * t) = (s & 0xff).toByte          // little-endian
+        pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+        t += 1
+      }
+      val fmt = new AudioFormat(SampleRate.toFloat, 16, 1, true, false)
+      val in = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode WAV bytes back to (sampleRate, samples) via the real
+      * javax.sound parser.
+      */
+    def decode(payload: Array[Byte]): (Int, Array[Int]) = {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"unexpected audio format: $fmt")
+      val bytes = in.readAllBytes()
+      val n = bytes.length / 2
+      val out = new Array[Int](n)
+      var t = 0
+      while (t < n) {
+        out(t) = ((bytes(2 * t) & 0xff) | (bytes(2 * t + 1) << 8)).toShort.toInt
+        t += 1
+      }
+      (math.round(fmt.getSampleRate), out)
+    }
+  }
+
+  /** Plant real WAV payloads, one per row of `id` (the audio analog of
+    * [[attachPngPayload]]).
+    */
+  def attachWavPayload(df: DataFrame, id: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long")).as[Long].mapPartitions { it =>
+      it.map(i => (i, "audio", AudioCodec.renderWav(i), s"mem://$i"))
+    }.toDF("media_id", "kind", "payload", "uri")
+  }
+
+  /** REAL audio decode: javax.sound parses each WAV payload; emits the
+    * format's sample rate + exact integer sample checksum and energy
+    * (sum of squares) — the inputs a loudness/VAD filter would gate on.
+    */
+  def decodeAudio(df: DataFrame): Dataset[DecodedAudio] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (rate, samples) = AudioCodec.decode(payload)
+          var sum = 0L
+          var energy = 0L
+          var t = 0
+          while (t < samples.length) {
+            sum += samples(t); energy += samples(t).toLong * samples(t); t += 1
+          }
+          DecodedAudio(id, rate, samples.length.toLong, sum, energy)
+        }
+      }
+  }
+
+  /** Columnar metadata extraction from the REAL WAV format: channels
+    * (uint16 LE at offset 22) and sample rate (uint32 LE at offset 24)
+    * of the canonical 44-byte RIFF header, parsed inside Catalyst —
+    * little-endian, so bytes are extracted individually and recombined.
+    */
+  def audioMetaColumnar(df: DataFrame): DataFrame = {
+    def leByte(off: Int): String =
+      s"cast(conv(hex(substring(payload, ${off + 1}, 1)), 16, 10) AS INT)"
+    df.select(col("media_id"),
+      expr(s"${leByte(22)} + 256 * ${leByte(23)}").as("channels"),
+      expr(s"${leByte(24)} + 256 * ${leByte(25)} + 65536 * ${leByte(26)} + 16777216 * ${leByte(27)}")
+        .as("sample_rate"))
+  }
+
+  /** Twin of [[decodeAudio]]: replay the planted-sample formula. */
+  def decodeAudioSql(table: String, id: String): String =
+    s"""WITH g AS (SELECT $id AS media_id, (50 + $id % 50)::BIGINT AS n FROM $table),
+       |smp AS (
+       |  SELECT media_id, n, unnest(generate_series(0, n - 1)) AS t FROM g),
+       |v AS (
+       |  SELECT media_id, n, ((media_id * 31 + t * 7) % 65536) - 32768 AS s FROM smp)
+       |SELECT media_id, ${AudioCodec.SampleRate} AS sample_rate, n AS n_samples,
+       |  CAST(sum(s) AS BIGINT) AS sample_sum,
+       |  CAST(sum(s * s) AS BIGINT) AS energy_sum
+       |FROM v GROUP BY media_id, n""".stripMargin
+
+  /** Twin of [[audioMetaColumnar]] (the oracle knows the planted format;
+    * Spark must recover it from real RIFF header bytes).
+    */
+  def audioMetaSql(table: String, id: String): String =
+    s"""SELECT $id AS media_id, 1 AS channels,
+       |  ${AudioCodec.SampleRate} AS sample_rate FROM $table""".stripMargin
+
   /** Plant real PNG payloads, one per row of `id` — executor-side
     * rendering via mapPartitions (no driver round-trip; the codec
     * allocation cost amortizes per partition exactly like a real

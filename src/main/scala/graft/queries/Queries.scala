@@ -633,6 +633,23 @@ object Queries {
       },
       Some(Multimodal.featuresSql("documents", "doc_id"))),
 
+    // REAL audio decode: payloads are actual WAV bytes (planted 16-bit
+    // PCM rendered through javax.sound's encoder), decoded with the
+    // JDK's parser; the oracle replays the sample formula — exact
+    // integer sample checksum + energy (the loudness/VAD gate inputs)
+    QueryDef("mm_audio_decode",
+      (s, dir) => Multimodal.decodeAudio(
+        Multimodal.attachWavPayload(t(s, dir, "documents"), "doc_id")).toDF(),
+      Some(Multimodal.decodeAudioSql("documents", "doc_id"))),
+
+    // columnar RIFF header parse of the same real WAV bytes: channels +
+    // sample rate from the little-endian header fields, entirely in
+    // codegen — the audio metadata pass (no decoder touched)
+    QueryDef("mm_audio_meta",
+      (s, dir) => Multimodal.audioMetaColumnar(
+        Multimodal.attachWavPayload(t(s, dir, "documents"), "doc_id")),
+      Some(Multimodal.audioMetaSql("documents", "doc_id"))),
+
     // ANN: LSH-bucketed top-k with MULTI-PROBE search (nprobe=2: the
     // query's own bucket plus the bucket across its lowest-|margin|
     // hyperplane) — exact within the probed buckets, which is also what

@@ -83,6 +83,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV encode/decode round-trips planted samples exactly") {
+    import graft.ops.Multimodal.AudioCodec
+    for (id <- Seq(0L, 1L, 49L, 255L)) {
+      val (rate, samples) = AudioCodec.decode(AudioCodec.renderWav(id))
+      assert(rate === AudioCodec.SampleRate)
+      assert(samples.length === AudioCodec.plantedN(id))
+      samples.zipWithIndex.foreach { case (s, t) =>
+        assert(s === AudioCodec.sampleValue(id, t), s"id=$id t=$t")
+      }
+    }
+  }
+
+  test("audio decode + columnar RIFF parse recover format from real WAV bytes") {
+    val docs = (0L to 9L).toDF("doc_id")
+    val media = Multimodal.attachWavPayload(docs, "doc_id")
+    val dec = Multimodal.decodeAudio(media).collect().map(a => a.media_id -> a).toMap
+    for (id <- 0L to 9L) {
+      val n = Multimodal.AudioCodec.plantedN(id)
+      val vals = (0 until n).map(Multimodal.AudioCodec.sampleValue(id, _).toLong)
+      assert(dec(id).sample_rate === Multimodal.AudioCodec.SampleRate)
+      assert(dec(id).n_samples === n.toLong)
+      assert(dec(id).sample_sum === vals.sum)
+      assert(dec(id).energy_sum === vals.map(v => v * v).sum)
+    }
+    val hdr = Multimodal.audioMetaColumnar(media)
+    assert(!hdr.queryExecution.executedPlan.toString.toLowerCase.contains("udf"))
+    hdr.collect().foreach { r =>
+      assert(r.getInt(1) === 1, "channels")
+      assert(r.getInt(2) === Multimodal.AudioCodec.SampleRate, "sample_rate")
+    }
+  }
+
   test("undecodable payload fails loudly, not silently") {
     val e = intercept[Exception] {
       ImageCodec.decode(Array[Byte](1, 2, 3, 4))
