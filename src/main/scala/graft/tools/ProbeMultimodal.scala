@@ -52,6 +52,17 @@ object ProbeMultimodal {
       graft.ops.Multimodal.resizeDecoded(media).queryExecution.toRdd.count()
     }
     report("resize_roundtrip", n3, tResize)
+
+    val audio = graft.ops.Multimodal.attachWavPayload(docs, "doc_id")
+      .localCheckpoint(true)
+    val (n4, tAudio) = time {
+      graft.ops.Multimodal.decodeAudio(audio).queryExecution.toRdd.count()
+    }
+    report("audio_decode", n4, tAudio)
+    val (n5, tAHdr) = time {
+      graft.ops.Multimodal.audioMetaColumnar(audio).queryExecution.toRdd.count()
+    }
+    report("audio_header_columnar", n5, tAHdr)
     spark.stop()
   }
 }
