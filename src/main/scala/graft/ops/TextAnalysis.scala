@@ -593,4 +593,52 @@ object TextAnalysis {
     }
     s"$best AS lang_pred"
   }
+
+  /** Document chunking: split each doc into OVERLAPPING token windows
+    * (`size` tokens, step `stride`, overlap = size − stride) — the prep
+    * op for embedding pipelines, where model context length bounds the
+    * chunk and the overlap preserves cross-boundary recall. Emits
+    * (doc_id, chunk_idx, n_tokens, chunk_hash): the hash is the portable
+    * hash of the space-joined chunk tokens — ONE native md5 per chunk
+    * (codegen-friendly), and the cross-engine witness that both engines
+    * cut identical windows. Tokens are the engine's standard BPE-ish
+    * alternation; its branches are disjoint character classes, so
+    * Java-regex and RE2 tokenize identically.
+    *
+    * Scale shape: pure per-row projection + explode — zero shuffle, and
+    * the chunk fan-out is bounded by ~n_tokens/stride per doc.
+    * Empty-token docs produce no chunks (no zero-token chunk rows).
+    */
+  def chunkDocuments(df: DataFrame, id: String, text: String,
+                     size: Int = 32, stride: Int = 24): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    df.select(col(id).as("doc_id"),
+        expr(s"regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)").as("toks"))
+      .where(expr("size(toks) > 0"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(greatest(ceil((size(toks) - $size) / cast($stride AS DOUBLE)), 0) AS INT)), " +
+          s"i -> slice(toks, i * $stride + 1, $size))")))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+        expr("cast(size(col) AS BIGINT)").as("n_tokens"),
+        expr(PortableHash.sparkStringHash("array_join(col, ' ')")).as("chunk_hash"))
+  }
+
+  /** DuckDB twin of [[chunkDocuments]]. */
+  def chunkDocumentsSql(table: String, id: String, text: String,
+                        size: Int = 32, stride: Int = 24): String =
+    s"""WITH toks AS (
+       |  SELECT $id AS doc_id,
+       |    regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]') AS toks
+       |  FROM $table),
+       |ch AS (
+       |  SELECT doc_id, i AS chunk_idx,
+       |    list_slice(toks, i * $stride + 1, i * $stride + $size) AS ctoks
+       |  FROM (SELECT * FROM toks WHERE len(toks) > 0),
+       |    UNNEST(generate_series(0,
+       |      greatest(ceil((len(toks) - $size) / ${stride}.0), 0)::BIGINT)) AS t(i))
+       |SELECT doc_id, chunk_idx::INT AS chunk_idx,
+       |  len(ctoks)::BIGINT AS n_tokens,
+       |  ${PortableHash.duckStringHash("array_to_string(ctoks, ' ')")} AS chunk_hash
+       |FROM ch""".stripMargin
 }

@@ -594,6 +594,15 @@ object Queries {
       Some(graft.ops.Sampling.packSequencesSql(
         "documents", "doc_id", "text", "source", budget = 2048))),
 
+    // document chunking for embedding pipelines: overlapping token
+    // windows (32 tokens, stride 24), chunk content witnessed by one
+    // portable hash of the joined tokens per chunk — pure projection +
+    // explode, zero shuffle
+    QueryDef("text_chunk",
+      (s, dir) => TextAnalysis.chunkDocuments(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some(TextAnalysis.chunkDocumentsSql("documents", "doc_id", "text"))),
+
     // ================= multimodal plumbing ===============================
 
     // REAL image decode: payloads are actual PNG bytes (rendered

@@ -184,6 +184,21 @@ class OpsSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]](2).length === 4))
   }
 
+  test("document chunking: window boundaries, overlap, tail chunk, empty doc") {
+    val docs = Seq(
+      // 40 pure-alpha tokens (digits would split under the alternation)
+      (1L, (0 until 40).map(i => ('a' + i % 26).toChar.toString * 2).mkString(" ")),
+      (2L, "short doc"),                              // 2 tokens -> one chunk
+      (3L, "")                                        // no tokens -> no chunks
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(docs, "doc_id", "text", size = 32, stride = 24)
+      .select($"doc_id", $"chunk_idx", $"n_tokens")
+      .as[(Long, Int, Long)].collect().sorted
+    // doc 1: ceil((40-32)/24) = 1 -> chunks 0 (toks 1..32) and 1 (toks 25..40)
+    assert(got.toSeq === Seq((1L, 0, 32L), (1L, 1, 16L), (2L, 0, 2L)))
+    // overlap: chunk 1 starts at token 25 <= chunk 0's end (token 32)
+  }
+
   test("PII scrub: typed tokens, URL-before-email ordering, clean text untouched") {
     val rows = Seq(
       (1L, "mail bob.smith+x@corp.io now"),
