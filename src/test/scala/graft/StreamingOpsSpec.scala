@@ -161,6 +161,22 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("document chunking runs unchanged on a streaming Dataset") {
+    implicit val sq = spark.sqlContext
+    val docs = MemoryStream[(Long, String)]
+    val out = TextAnalysis.chunkDocuments(
+      docs.toDF().toDF("doc_id", "text"), "doc_id", "text", size = 4, stride = 3)
+    val q = out.writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      docs.addData((1L, "aa bb cc dd ee ff")) // 6 tokens -> chunks 0 (4) and 1 (3)
+      q.processAllAvailable()
+      val rows = spark.table("chunk_stream")
+        .select($"chunk_idx", $"n_tokens").as[(Int, Long)].collect().sorted
+      assert(rows.toSeq === Seq((0, 4L), (1, 3L)))
+    } finally q.stop()
+  }
+
   test("stateless text features (langId) run unchanged on a streaming Dataset") {
     implicit val sq = spark.sqlContext
     val docs = MemoryStream[(Long, String)]
