@@ -177,6 +177,82 @@ object Sampling {
       .select(col(strata), col("col.c_id").as(id),
         col("col.sim").as(scoreCol), (col("pos") + 1).as("rank"))
 
+  /** Token-budget corpus selection: keep the best-scored documents
+    * (score DESC, id ASC — a total order) until their RUNNING token
+    * total reaches `budget` — "give me the highest-quality B tokens",
+    * the curation knob that bounds a training run's data bill.
+    *
+    * The naive formulation is `sum(tokens) OVER (ORDER BY score DESC)`
+    * — a SinglePartition window that serializes the whole corpus
+    * through one task. This is the scale-correct TWO-PASS DISTRIBUTED
+    * PREFIX SUM instead: range-partition by the order key (globally
+    * ordered partitions), sort within partitions, then (pass 1) collect
+    * the per-partition token totals — `nRanges` longs, metadata-sized —
+    * and (pass 2) stream each partition adding its broadcast prefix
+    * offset. One shuffle total; no single-task stage; the cutoff lands
+    * exactly where the window formulation puts it (the oracle runs that
+    * formulation).
+    */
+  def selectByTokenBudget(scored: DataFrame, id: String, scoreCol: String,
+                          tokensCol: String, budget: Long,
+                          nRanges: Int = 32): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    // The range partition id is STAMPED INTO the rows at materialization
+    // time and the eager localCheckpoint freezes it (lineage truncated —
+    // no recompute can restamp). Pass 2 must NOT read
+    // TaskContext.getPartitionId: a downstream coalesce (e.g. a
+    // single-file write) merges many range partitions into one task,
+    // where the task-level id is the COALESCED id for every one of
+    // them — each range's running sum would silently restart at the
+    // wrong offset.
+    val sorted = scored
+      .select(col(id).cast("long"), col(scoreCol).cast("double"),
+        col(tokensCol).cast("long"))
+      .repartitionByRange(nRanges, col(scoreCol).desc, col(id).asc)
+      .sortWithinPartitions(col(scoreCol).desc, col(id).asc)
+      .as[(Long, Double, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        it.map { case (i, sc, tk) => (i, sc, tk, pid) }
+      }
+      .toDF(id, scoreCol, "n_tokens", "pid")
+      .localCheckpoint(true)
+    // pass 1: per-range token totals — ≤ nRanges rows, metadata-sized
+    val totals = sorted.groupBy(col("pid"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // exclusive prefix: offset for pid = sum of totals of ranges < pid
+    val prefix = totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val bc = spark.sparkContext.broadcast(prefix)
+    // pass 2: stream each range adding its broadcast offset; rows of one
+    // pid are contiguous and sorted (they live in one stored partition;
+    // coalesce concatenates whole partitions), so a pid transition
+    // re-bases the running sum
+    sorted.as[(Long, Double, Long, Int)].mapPartitions { it =>
+      var cur = -1
+      var run = 0L
+      it.flatMap { case (i, sc, tk, pid) =>
+        if (pid != cur) { cur = pid; run = bc.value.getOrElse(pid, 0L) }
+        run += tk
+        if (run <= budget) Some((i, sc, tk, run)) else None
+      }
+    }.toDF(id, scoreCol, "n_tokens", "cum_tokens")
+  }
+
+  /** DuckDB twin of [[selectByTokenBudget]] — the window formulation
+    * the distributed prefix sum must reproduce exactly.
+    */
+  def selectByTokenBudgetSql(table: String, id: String, scoreExpr: String,
+                             tokensExpr: String, budget: Long): String =
+    s"""SELECT $id, score, n_tokens, cum_tokens FROM (
+       |  SELECT $id, score, n_tokens,
+       |    CAST(sum(n_tokens) OVER (ORDER BY score DESC, $id ASC
+       |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM (SELECT $id, $scoreExpr AS score, ($tokensExpr)::BIGINT AS n_tokens
+       |        FROM $table) s) t
+       |WHERE cum_tokens <= $budget""".stripMargin
+
   def stratifiedSampleSql(table: String, id: String, strata: String,
                           rates: Map[String, Double],
                           default: Double): String = {

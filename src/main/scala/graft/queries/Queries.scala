@@ -594,6 +594,24 @@ object Queries {
       Some(graft.ops.Sampling.packSequencesSql(
         "documents", "doc_id", "text", "source", budget = 2048))),
 
+    // token-budget curation: best-scored docs until the running token
+    // total hits the budget — computed as a two-pass distributed prefix
+    // sum (range partition + per-partition totals + broadcast offsets),
+    // NOT the SinglePartition window the oracle formulation uses; the
+    // compare proves the distributed cutoff lands exactly where the
+    // window puts it
+    QueryDef("pipeline_token_budget",
+      (s, dir) => graft.ops.Sampling.selectByTokenBudget(
+        graft.functions.VectorFunctions.attach(t(s, dir, "documents"))
+          .select(col("doc_id"),
+            expr(TextAnalysis.stopwordRatioExpr("text")).as("score"),
+            expr("graft_token_count(text)").as("n_toks")),
+        "doc_id", "score", "n_toks", budget = 12000),
+      Some(graft.ops.Sampling.selectByTokenBudgetSql("documents", "doc_id",
+        TextAnalysis.duckStopwordRatioExpr("text"),
+        "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))",
+        budget = 12000))),
+
     // document chunking for embedding pipelines: overlapping token
     // windows (32 tokens, stride 24), chunk content witnessed by one
     // portable hash of the joined tokens per chunk — pure projection +

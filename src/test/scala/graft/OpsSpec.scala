@@ -184,6 +184,26 @@ class OpsSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]](2).length === 4))
   }
 
+  test("token-budget selection: distributed prefix sum equals the window formulation") {
+    // 10 docs, scores descending by construction, token counts chosen so
+    // the budget cutoff lands MID-partition under nRanges=3
+    val rows = (0 until 10).map(i => (i.toLong, 100.0 - i, 10L + i))
+    val df = rows.toDF("doc_id", "score", "n_toks")
+    val out = graft.ops.Sampling.selectByTokenBudget(df, "doc_id", "score", "n_toks",
+      budget = 60, nRanges = 3)
+    // expected: window cumsum over score DESC -> docs 0 (10), 1 (21),
+    // 2 (33), 3 (46), 4 (60); doc 5 would reach 75 > 60
+    val want = Seq((0L, 10L), (1L, 21L), (2L, 33L), (3L, 46L), (4L, 60L))
+    val got = out.select($"doc_id", $"cum_tokens").as[(Long, Long)].collect().sorted
+    assert(got.toSeq === want)
+    // the coalesced single-task read (the Verify write shape) must see
+    // the SAME cutoffs: partition offsets ride in the rows, not in
+    // TaskContext ids that coalesce rewrites
+    val coalesced = out.coalesce(1)
+      .select($"doc_id", $"cum_tokens").as[(Long, Long)].collect().sorted
+    assert(coalesced.toSeq === want, "coalesce must not restart range offsets")
+  }
+
   test("document chunking: window boundaries, overlap, tail chunk, empty doc") {
     val docs = Seq(
       // 40 pure-alpha tokens (digits would split under the alternation)
