@@ -79,6 +79,60 @@ object Decontaminate {
       .select(col(id), size(col("doc_hs")).as("n_shingles"))
   }
 
+  /** FRACTIONAL decontamination: drop a doc only when at least
+    * `maxContamination` of its (distinct) shingles appear in the
+    * benchmark set — the practical knob between "any overlap kills"
+    * (this file's default, right for verbatim eval leakage) and keeping
+    * docs that merely quote a common phrase. Same scale shape as
+    * [[cleanDocs]]: one broadcast benchmark set, one corpus scan, the
+    * compiled two-pointer intersect now COUNTED instead of
+    * zero-tested. Emits the kept docs with their contamination fraction
+    * (rounded to 6, exercised cross-engine); 0-shingle docs carry no
+    * evidence and are kept at fraction 0.
+    */
+  def cleanDocsFractional(corpus: DataFrame, bench: DataFrame,
+                          id: String, text: String, k: Int = 3,
+                          maxContamination: Double = 0.05): DataFrame = {
+    val attach = graft.functions.VectorFunctions.attach _
+    val benchSet = attach(bench)
+      .select(explode(expr(Dedup.nativeShingleHashes(text, k))).as("h"))
+      .agg(sort_array(collect_set(col("h"))).as("bench_hs"))
+    attach(corpus)
+      .select(col(id),
+        expr(s"sort_array(${Dedup.nativeShingleHashes(text, k)})").as("doc_hs"))
+      .crossJoin(broadcast(benchSet))
+      .withColumn("n_shingles", size(col("doc_hs")))
+      .withColumn("contamination",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(round(
+            expr("graft_intersect_count(doc_hs, bench_hs)").cast("double") /
+              col("n_shingles"), 6)))
+      .where(col("contamination") < maxContamination)
+      .select(col(id), col("n_shingles"), col("contamination"))
+  }
+
+  /** DuckDB twin of [[cleanDocsFractional]] (`list_intersect` over the
+    * distinct hash arrays ≡ the two-pointer count).
+    */
+  def cleanDocsFractionalSql(corpusTable: String, benchPred: String,
+                             corpusPred: String, id: String, text: String,
+                             k: Int = 3, maxContamination: Double = 0.05): String =
+    s"""WITH bench_hs AS (
+       |  SELECT list_sort(list(DISTINCT h)) AS hs FROM (
+       |    SELECT unnest(${Dedup.duckShingleHashes(text, k)}) AS h
+       |    FROM $corpusTable WHERE $benchPred)),
+       |corpus AS (
+       |  SELECT $id, ${Dedup.duckShingleHashes(text, k)} AS doc_hs
+       |  FROM $corpusTable WHERE $corpusPred),
+       |scored AS (
+       |  SELECT c.$id, len(c.doc_hs) AS n_shingles,
+       |    CASE WHEN len(c.doc_hs) = 0 THEN 0.0
+       |         ELSE round(len(list_intersect(c.doc_hs, b.hs))::DOUBLE / len(c.doc_hs), 6)
+       |    END AS contamination
+       |  FROM corpus c, bench_hs b)
+       |SELECT $id, n_shingles::INT AS n_shingles, contamination
+       |FROM scored WHERE contamination < $maxContamination""".stripMargin
+
   /** DuckDB twin: same shingle hashing, the one-row benchmark set cross
     * joined in (a scalar subquery breaks once DuckDB inlines the
     * lambda-bearing CTE: "Subqueries are not supported in lambda

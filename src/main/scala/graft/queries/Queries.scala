@@ -1155,6 +1155,22 @@ object Queries {
         benchPred = "doc_id < 25", corpusPred = "doc_id >= 25",
         "doc_id", "text"))),
 
+    // the FRACTIONAL contamination knob: drop only when >= 5% of a doc's
+    // distinct shingles hit the benchmark set (any-overlap kills verbatim
+    // leakage; the fraction spares docs quoting one common phrase). At
+    // k=3 the corpus median fraction is ~0.05, so both branches carry
+    // real mass
+    QueryDef("pipeline_decontaminate_frac",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.ops.Decontaminate.cleanDocsFractional(
+          docs.where(col("doc_id") >= 25), docs.where(col("doc_id") < 25),
+          "doc_id", "text", k = 3, maxContamination = 0.05)
+      },
+      Some(graft.ops.Decontaminate.cleanDocsFractionalSql("documents",
+        benchPred = "doc_id < 25", corpusPred = "doc_id >= 25",
+        "doc_id", "text", k = 3, maxContamination = 0.05))),
+
     // temperature (alpha=0.5) source rebalancing: keep-rate
     // sqrt(n_min/n_s) per source via portable-hash membership — sqrt and
     // floor are exact on both engines, so the sample is bit-deterministic.

@@ -377,6 +377,22 @@ class PlanAuditSpec extends SparkSpec {
       s"rank must never serialize through a single-partition window:\n$p")
   }
 
+  test("text_chunk: chunking is a pure projection + explode — zero shuffle, no UDF") {
+    val p = plan("text_chunk")
+    assert(count(p, "Exchange") == 0,
+      s"chunking must not repartition anything:\n$p")
+    assert(!p.toLowerCase.contains("udf"),
+      s"the chunk hash must be native md5, not a UDF:\n$p")
+  }
+
+  test("mm_audio_meta / mm_meta_columnar: header parses stay in codegen, zero shuffle") {
+    for (name <- Seq("mm_audio_meta", "mm_meta_columnar")) {
+      val p = plan(name)
+      assert(count(p, "Exchange") == 0, s"$name must be scan-shaped:\n$p")
+      assert(!p.toLowerCase.contains("udf"), s"$name must not use a UDF:\n$p")
+    }
+  }
+
   test("join_bucketed: bucketed join + key-grained agg run with ZERO exchange") {
     // disable broadcast and AQE so the sort-merge path is forced: the
     // assertion is that bucketing alone satisfies every distribution
