@@ -514,8 +514,11 @@ object Similarity {
     // hash on the raw scan — no Par.floor here: a pre-hash repartition
     // would shuffle full VECTOR rows (the r6 0.37s->0.52s bench
     // regression), while the hash itself is cheap enough per row that
-    // scan-split parallelism suffices at every scale
-    val b = lshBuckets(df, idCol, vecCol, bits)
+    // scan-split parallelism suffices at every scale. The (id, bucket)
+    // projection feeds two branches (bucket minima + join back) — lease
+    // it so the corpus is scanned and hashed ONCE (cached rows are two
+    // longs per vector, tiny relative to the embeddings)
+    val b = Caches.lease(lshBuckets(df, idCol, vecCol, bits))
     val bucketMin = b.groupBy(col("bucket")).agg(min(col(idCol)).as("keep_id"))
     // ≤ 2^bits rows — broadcast, so the only exchange in the plan is the
     // partial-aggregated (bucket, min_id) reduction
