@@ -398,6 +398,24 @@ object Multimodal {
     }
   }
 
+  /** [[featureExtract]] straight off the payload column — ONE decode per
+    * image. The [[toMediaRecords]]∘[[featureExtract]] chain decodes
+    * twice (once for the record's metadata, once for the features);
+    * when the caller doesn't need the typed record, this is the path.
+    */
+  def featureExtractFromPayload(df: DataFrame): Dataset[MediaBins] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    implicit val enc: Encoder[MediaBins] = Encoders.product[MediaBins]
+    df.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          MediaBins(id, ImageCodec.binSums(ImageCodec.decode(payload), 8))
+        }
+      }
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB twins: replay the planted-pixel formula in SQL. `i` is the
   // linear channel index of ImageCodec's scaladoc; every value is exact

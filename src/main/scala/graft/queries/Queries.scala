@@ -648,15 +648,17 @@ object Queries {
         Multimodal.attachPngPayload(t(s, dir, "documents"), "doc_id")).toDF(),
       Some(Multimodal.resizeSql("documents", "doc_id"))),
 
-    // the batched-UDF analog path: typed records -> mapPartitions feature
-    // extraction (one decoder init per partition) -> binned channel sums
-    // over the REAL decoded pixels, projected to scalar columns
+    // the batched-UDF analog path: mapPartitions feature extraction (one
+    // decoder init per partition) -> binned channel sums over the REAL
+    // decoded pixels, projected to scalar columns. Single-decode path;
+    // the typed-record chain (toMediaRecords -> featureExtract, which
+    // decodes once more for the record's metadata) stays spec-covered
     QueryDef("mm_features",
       (s, dir) => {
         val media = Multimodal.attachPngPayload(t(s, dir, "documents"), "doc_id")
-        val feats = Multimodal.featureExtract(Multimodal.toMediaRecords(media))
-        feats.toDF().select(col("media_id") +:
-          (0 until 8).map(j => element_at(col("bins"), j + 1).as(s"f$j")): _*)
+        Multimodal.featureExtractFromPayload(media).toDF()
+          .select(col("media_id") +:
+            (0 until 8).map(j => element_at(col("bins"), j + 1).as(s"f$j")): _*)
       },
       Some(Multimodal.featuresSql("documents", "doc_id"))),
 
