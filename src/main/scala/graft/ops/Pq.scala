@@ -347,15 +347,21 @@ object Pq {
 
   /** Residual ADC scoring: enc(v_id, cluster, codes, xn2) × broadcast
     * qrows(q_id, cluster, dotqc, flat, q2) joined map-side on cluster.
+    * `packed` scans the byte-packed `qcodes` word via the bit-equal
+    * packed kernel.
     */
   private[ops] def residualScore(enc: DataFrame, qrows: DataFrame,
-                                 kSub: Int): DataFrame =
+                                 kSub: Int, packed: Boolean = false): DataFrame = {
+    val adc =
+      if (packed) expr(s"graft_pq_adc_packed(qcodes, flat, $kSub)")
+      else expr(s"graft_pq_adc(codes, flat, $kSub)")
     enc.join(qrows, Seq("cluster"))
       .where(col("q_id") =!= col("v_id"))
       .withColumn("sim",
-        round((col("dotqc") + expr(s"graft_pq_adc(codes, flat, $kSub)")) /
+        round((col("dotqc") + adc) /
           (sqrt(col("q2")) * sqrt(col("xn2"))), 6))
       .select(col("q_id"), col("v_id").as("c_id"), col("sim"))
+  }
 
   // ---------- DuckDB twins ----------
 

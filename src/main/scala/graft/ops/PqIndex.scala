@@ -30,7 +30,9 @@ object PqIndex {
     * a stale on-disk index from an older code version rebuilds instead of
     * silently serving wrong results.
     */
-  val AlgoVersion = 3 // v2: hash-seeded coarse k-means init; v3: same for PQ codebooks
+  // v2: hash-seeded coarse k-means init; v3: same for PQ codebooks;
+  // v4: residual codes carry the byte-packed qcodes word
+  val AlgoVersion = 4
 
   /** Build-once gate: run `build` unless `path` already holds an index
     * whose recorded signature matches. This is the steady-state split the
@@ -118,6 +120,8 @@ object PqIndex {
     val cent = Pq.pqCentroids(resid, "v_id", "rvec", dim, m, kSub, iters)
     cent.write.mode("overwrite").parquet(s"$path/codebooks")
     Pq.residualEncode(resid, assigned, ccn, cent, m, w)
+      .select(col("v_id"), col("codes"),
+        expr("graft_pack_i8(codes)").as("qcodes"), col("xn2"), col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes")
   }
 
@@ -129,7 +133,7 @@ object PqIndex {
     */
   def searchResidualTopK(spark: SparkSession, path: String, queries: DataFrame,
                          k: Int, dim: Int, m: Int = 4, kSub: Int = 8,
-                         nprobe: Int = 2): DataFrame = {
+                         nprobe: Int = 2, packed: Boolean = false): DataFrame = {
     val w = dim / m
     val coarse = broadcast(spark.read.parquet(s"$path/coarse"))
     val ccn = Pq.coarseWithNorms(coarse)
@@ -145,7 +149,7 @@ object PqIndex {
     val codes = spark.read.parquet(s"$path/codes")
       .where(col("cluster").isin(probedClusters: _*))
     val qrows = broadcast(probed.join(Pq.queryLutsFor(q, cent, m, kSub, w), Seq("q_id")))
-    Similarity.topkByQuery(Pq.residualScore(codes, qrows, kSub), k)
+    Similarity.topkByQuery(Pq.residualScore(codes, qrows, kSub, packed), k)
   }
 
   /** Build and persist the index. `dim` must divide into `m` subspaces. */

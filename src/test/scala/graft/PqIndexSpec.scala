@@ -48,6 +48,13 @@ class PqIndexSpec extends SparkSpec {
     graft.ops.Caches.releaseAll()
     assert(got.sorted.sameElements(want.sorted),
       s"persisted residual search must reproduce the in-memory operator:\n${got.toSeq}\nvs\n${want.toSeq}")
+    // the byte-packed at-rest word must score bit-identically
+    val packed = PqIndex.searchResidualTopK(spark, path, queries, k = 3,
+        dim = 8, m = 2, kSub = 8, nprobe = 2, packed = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    graft.ops.Caches.releaseAll()
+    assert(packed.sorted.sameElements(got.sorted),
+      "packed residual ADC must equal the unpacked kernel")
   }
 
   test("the codes scan partition-prunes to the probed clusters only") {
