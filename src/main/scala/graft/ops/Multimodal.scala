@@ -262,6 +262,61 @@ object Multimodal {
       }
   }
 
+  /** Real-downsample output (exact integer checksum over the kept
+    * samples).
+    */
+  final case class DownsampledAudio(media_id: Long, r_sample_rate: Int,
+                                    r_n_samples: Long, r_sample_sum: Long)
+
+  /** REAL audio downsample: decode WAV -> decimate by 2 (keep every
+    * 2nd sample — the nearest-neighbor resample; a production pipeline
+    * would low-pass first, which needs no new plumbing) -> re-encode at
+    * half the rate -> re-decode -> checksum. The double round-trip
+    * witnesses the decimation and a second full WAV encode/decode
+    * cycle, mirroring [[resizeDecoded]] for images.
+    */
+  def downsampleAudio(df: DataFrame): Dataset[DownsampledAudio] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (rate, samples) = AudioCodec.decode(payload)
+          val kept = Array.range(0, (samples.length + 1) / 2).map(t => samples(2 * t))
+          val pcm = new Array[Byte](kept.length * 2)
+          var t = 0
+          while (t < kept.length) {
+            pcm(2 * t) = (kept(t) & 0xff).toByte
+            pcm(2 * t + 1) = ((kept(t) >> 8) & 0xff).toByte
+            t += 1
+          }
+          val fmt = new AudioFormat(rate / 2f, 16, 1, true, false)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, kept.length.toLong),
+            AudioFileFormat.Type.WAVE, bos)
+          val (rRate, rSamples) = AudioCodec.decode(bos.toByteArray)
+          var sum = 0L
+          rSamples.foreach(sum += _)
+          DownsampledAudio(id, rRate, rSamples.length.toLong, sum)
+        }
+      }
+  }
+
+  /** Twin of [[downsampleAudio]]: kept sample t = planted value at 2t. */
+  def downsampleAudioSql(table: String, id: String): String =
+    s"""WITH g AS (SELECT $id AS media_id,
+       |  (((50 + $id % 50) + 1) // 2)::BIGINT AS rn FROM $table),
+       |smp AS (
+       |  SELECT media_id, rn, unnest(generate_series(0, rn - 1)) AS t FROM g)
+       |SELECT media_id, ${AudioCodec.SampleRate / 2} AS r_sample_rate,
+       |  rn AS r_n_samples,
+       |  CAST(sum(((media_id * 31 + (t * 2) * 7) % 65536) - 32768) AS BIGINT)
+       |    AS r_sample_sum
+       |FROM smp GROUP BY media_id, rn""".stripMargin
+
   /** Columnar metadata extraction from the REAL WAV format: channels
     * (uint16 LE at offset 22) and sample rate (uint32 LE at offset 24)
     * of the canonical 44-byte RIFF header, parsed inside Catalyst —

@@ -671,6 +671,14 @@ object Queries {
         Multimodal.attachWavPayload(t(s, dir, "documents"), "doc_id")).toDF(),
       Some(Multimodal.decodeAudioSql("documents", "doc_id"))),
 
+    // real audio resample: decode -> decimate by 2 -> re-encode at half
+    // rate -> re-decode -> integer checksum (the audio twin of
+    // mm_resize's double round-trip)
+    QueryDef("mm_audio_downsample",
+      (s, dir) => Multimodal.downsampleAudio(
+        Multimodal.attachWavPayload(t(s, dir, "documents"), "doc_id")).toDF(),
+      Some(Multimodal.downsampleAudioSql("documents", "doc_id"))),
+
     // columnar RIFF header parse of the same real WAV bytes: channels +
     // sample rate from the little-endian header fields, entirely in
     // codegen — the audio metadata pass (no decoder touched)

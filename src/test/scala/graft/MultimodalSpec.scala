@@ -115,6 +115,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio downsample: decimation by 2 survives the second WAV round-trip") {
+    import graft.ops.Multimodal.AudioCodec
+    val docs = (0L to 5L).toDF("doc_id")
+    val out = Multimodal.downsampleAudio(Multimodal.attachWavPayload(docs, "doc_id"))
+      .collect().map(a => a.media_id -> a).toMap
+    for (id <- 0L to 5L) {
+      val n = AudioCodec.plantedN(id)
+      val rn = (n + 1) / 2
+      val expected = (0 until rn).map(t => AudioCodec.sampleValue(id, 2 * t).toLong).sum
+      assert(out(id).r_sample_rate === AudioCodec.SampleRate / 2)
+      assert(out(id).r_n_samples === rn.toLong)
+      assert(out(id).r_sample_sum === expected, s"id=$id")
+    }
+  }
+
   test("undecodable payload fails loudly, not silently") {
     val e = intercept[Exception] {
       ImageCodec.decode(Array[Byte](1, 2, 3, 4))
