@@ -72,7 +72,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver only keeps a 2,000-char tail of stdout, which truncates
+    // the per-query map once it grows past ~55 queries — persist the full
+    // line next to the build so every timing stays auditable per round.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // read-only cwd must not fail the bench
     spark.stop()
   }
 }

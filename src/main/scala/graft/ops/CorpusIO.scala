@@ -95,7 +95,20 @@ object CorpusIO {
         spark.sessionState.catalog.defaultTablePath(
           org.apache.spark.sql.catalyst.TableIdentifier(tableName)))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      if (fs.exists(loc)) {
+        // scope the delete to directories that LOOK like an orphaned
+        // prior table write (parquet parts or a _SUCCESS marker): a
+        // warehouse dir owned by another application's metastore must
+        // fail loudly instead of being silently destroyed
+        val names = fs.listStatus(loc).map(_.getPath.getName)
+        val looksLikeTableWrite = names.isEmpty ||
+          names.exists(n => n == "_SUCCESS" || n.endsWith(".parquet"))
+        require(looksLikeTableWrite,
+          s"refusing to clear '$loc' for table '$tableName': the directory " +
+            "exists but does not look like an orphaned parquet table " +
+            s"(contents: ${names.take(5).mkString(", ")})")
+        fs.delete(loc, true)
+      }
     }
     df.write.mode("overwrite")
       .bucketBy(nBuckets, key)

@@ -325,9 +325,19 @@ object Multimodal {
   def audioMetaColumnar(df: DataFrame): DataFrame = {
     def leByte(off: Int): String =
       s"cast(conv(hex(substring(payload, ${off + 1}, 1)), 16, 10) AS INT)"
+    // the fixed offsets assume the canonical header: 'RIFF' at 0, 'WAVE'
+    // at 8, 'fmt ' at 12. A WAV with an extended fmt or LIST chunk before
+    // fmt would be silently MISPARSED by the raw offsets — gate the
+    // projection on the magic bytes so non-canonical headers yield NULLs
+    // (fail loudly downstream) exactly like undecodable PNGs do
+    val canonical = "substring(payload, 1, 4) = X'52494646' AND " + // 'RIFF'
+      "substring(payload, 9, 4) = X'57415645' AND " +               // 'WAVE'
+      "substring(payload, 13, 4) = X'666D7420'"                     // 'fmt '
     df.select(col("media_id"),
-      expr(s"${leByte(22)} + 256 * ${leByte(23)}").as("channels"),
-      expr(s"${leByte(24)} + 256 * ${leByte(25)} + 65536 * ${leByte(26)} + 16777216 * ${leByte(27)}")
+      expr(s"IF($canonical, ${leByte(22)} + 256 * ${leByte(23)}, " +
+        "cast(NULL AS INT))").as("channels"),
+      expr(s"IF($canonical, ${leByte(24)} + 256 * ${leByte(25)} + " +
+        s"65536 * ${leByte(26)} + 16777216 * ${leByte(27)}, cast(NULL AS INT))")
         .as("sample_rate"))
   }
 

@@ -51,8 +51,39 @@ object PqIndex {
     }
     if (!upToDate) {
       build
-      val out = fs.create(marker, true)
+      // write-then-RENAME so the marker appears atomically: a crash (or a
+      // concurrent reader) can never observe a marker claiming readiness
+      // over a half-written marker file. Concurrent BUILDS remain
+      // single-writer by assumption (two interleaved builds could still
+      // cross-write index files; callers that share a path across
+      // sessions must serialize builds externally).
+      val tmp = new org.apache.hadoop.fs.Path(path, "_GRAFT_READY.tmp")
+      val out = fs.create(tmp, true)
       try out.write(s"$AlgoVersion:$signature".getBytes("UTF-8")) finally out.close()
+      if (fs.exists(marker)) fs.delete(marker, false)
+      fs.rename(tmp, marker)
+    }
+  }
+
+  /** Identity of the DATA an index was built from: file count + total
+    * bytes + max mtime of the source directory. [[ensure]] callers embed
+    * this in the signature so regenerating a dataset in place (same dir,
+    * different content) forces a rebuild instead of silently serving
+    * results from the stale index.
+    */
+  def dataFingerprint(spark: SparkSession, dataPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0L; var bytes = 0L; var mtime = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        n += 1; bytes += f.getLen
+        mtime = math.max(mtime, f.getModificationTime)
+      }
+      s"n=$n,bytes=$bytes,mtime=$mtime"
     }
   }
 

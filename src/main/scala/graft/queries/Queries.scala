@@ -55,6 +55,22 @@ object Queries {
   private def dsum(c: String): String =
     s"cast(sum(cast($c AS DECIMAL(18,2))) AS DOUBLE)"
 
+  /** First-touch index location: derived from the SANITIZED full dir
+    * path, not its hashCode — two dirs can collide on abs(hashCode) and
+    * would then silently share (and cross-serve) one index.
+    */
+  private def idxPath(kind: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Build signature for [[graft.ops.PqIndex.ensure]]: params PLUS the
+    * source-data fingerprint (file count/bytes/mtime), so regenerating
+    * the dataset in place forces a rebuild instead of serving searches
+    * from a stale index built over the old content.
+    */
+  private def idxSig(s: SparkSession, dir: String, params: String): String =
+    params + ";" + graft.ops.PqIndex.dataFingerprint(s, s"$dir/embeddings.parquet")
+
   /** Shared oracle for BOTH curation-manifest variants (identical
     * result sets): the DAG rebuilt from each stage's SQL twin.
     */
@@ -753,8 +769,8 @@ object Queries {
     QueryDef("embed_pq_topk",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_pqflat_${math.abs(dir.hashCode)}"
-        graft.ops.PqIndex.ensure(s, path, "dim=64,m=4,kSub=8,iters=2") {
+        val path = idxPath("pqflat", dir)
+        graft.ops.PqIndex.ensure(s, path, idxSig(s, dir, "dim=64,m=4,kSub=8,iters=2")) {
           graft.ops.PqIndex.writeFlat(emb, "vec_id", "embedding", path,
             dim = 64, m = 4, kSub = 8, iters = 2)
         }
@@ -785,8 +801,8 @@ object Queries {
     QueryDef("embed_pq_topk_packed",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_pqflat_${math.abs(dir.hashCode)}"
-        graft.ops.PqIndex.ensure(s, path, "dim=64,m=4,kSub=8,iters=2") {
+        val path = idxPath("pqflat", dir)
+        graft.ops.PqIndex.ensure(s, path, idxSig(s, dir, "dim=64,m=4,kSub=8,iters=2")) {
           graft.ops.PqIndex.writeFlat(emb, "vec_id", "embedding", path,
             dim = 64, m = 4, kSub = 8, iters = 2)
         }
@@ -805,8 +821,8 @@ object Queries {
     QueryDef("embed_ivfpq_topk",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_pqivf_${math.abs(dir.hashCode)}"
-        graft.ops.PqIndex.ensure(s, path, "dim=64,m=4,kSub=8,iters=2,nCoarse=8,coarseIters=2") {
+        val path = idxPath("pqivf", dir)
+        graft.ops.PqIndex.ensure(s, path, idxSig(s, dir, "dim=64,m=4,kSub=8,iters=2,nCoarse=8,coarseIters=2")) {
           graft.ops.PqIndex.write(emb, "vec_id", "embedding", path,
             dim = 64, m = 4, kSub = 8, iters = 2, nCoarse = 8, coarseIters = 2)
         }
@@ -1315,7 +1331,7 @@ object Queries {
     QueryDef("embed_ivfpq_persisted",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_pqidx_${math.abs(dir.hashCode)}"
+        val path = idxPath("pqidx", dir)
         graft.ops.PqIndex.write(emb, "vec_id", "embedding", path,
           dim = 64, m = 4, kSub = 8, iters = 2, nCoarse = 8, coarseIters = 2)
         graft.ops.PqIndex.searchTopK(s, path,
@@ -1363,8 +1379,8 @@ object Queries {
     QueryDef("embed_ivfpq_residual_persisted",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_pqivfres_${math.abs(dir.hashCode)}"
-        graft.ops.PqIndex.ensure(s, path, "residual,dim=64,m=4,kSub=8,iters=2,nCoarse=8,coarseIters=2") {
+        val path = idxPath("pqivfres", dir)
+        graft.ops.PqIndex.ensure(s, path, idxSig(s, dir, "residual,dim=64,m=4,kSub=8,iters=2,nCoarse=8,coarseIters=2")) {
           graft.ops.PqIndex.writeResidual(emb, "vec_id", "embedding", path,
             dim = 64, m = 4, kSub = 8, iters = 2, nCoarse = 8, coarseIters = 2)
         }

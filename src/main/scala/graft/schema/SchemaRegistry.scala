@@ -65,9 +65,11 @@ final class SchemaRegistry(persistDir: Option[Path] = None) {
             case Success(_) => ()
             case Failure(e) =>
               // A silently dropped type would let a later incompatible
-              // register() slip past the evolution gate — fail loudly.
-              Console.err.println(
-                s"[graft] WARNING: skipping unparseable persisted schema '$p': $e")
+              // register() see a blank slate and bypass the evolution
+              // gate — a corrupted sidecar must STOP the load, not warn.
+              throw new IllegalStateException(
+                s"unparseable persisted schema '$p' — repair or remove it " +
+                  "before reloading the registry", e)
           }
         }
       }
