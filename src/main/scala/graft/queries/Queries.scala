@@ -628,6 +628,22 @@ object Queries {
         "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))",
         budget = 12000))),
 
+    // the same token-budget curation DENOMINATED IN BPE TOKENS — what a
+    // training run actually bills. Same two-pass distributed prefix sum;
+    // only the tokens column changes (larger budget: BPE counts run
+    // ~3× the regex word-token counts on this corpus)
+    QueryDef("pipeline_token_budget_bpe",
+      (s, dir) => graft.ops.Sampling.selectByTokenBudget(
+        graft.functions.VectorFunctions.attach(t(s, dir, "documents"))
+          .select(col("doc_id"),
+            expr(TextAnalysis.stopwordRatioExpr("text")).as("score"),
+            expr(graft.ops.Bpe.sparkTokenCountExpr("text")).as("n_toks")),
+        "doc_id", "score", "n_toks", budget = 40000),
+      Some(graft.ops.Sampling.selectByTokenBudgetSql("documents", "doc_id",
+        TextAnalysis.duckStopwordRatioExpr("text"),
+        graft.ops.Bpe.duckTokenCountExpr("text"),
+        budget = 40000))),
+
     // document chunking for embedding pipelines: overlapping token
     // windows (32 tokens, stride 24), chunk content witnessed by one
     // portable hash of the joined tokens per chunk — pure projection +
@@ -636,6 +652,15 @@ object Queries {
       (s, dir) => TextAnalysis.chunkDocuments(
         t(s, dir, "documents"), "doc_id", "text"),
       Some(TextAnalysis.chunkDocumentsSql("documents", "doc_id", "text"))),
+
+    // subword (BPE) tokenization over the committed merge table — the
+    // denomination a training run actually consumes. first_tokens
+    // witnesses the token SEQUENCE cross-engine, and n_words rides along
+    // so the count divergence from word-tokens is visible in the result
+    QueryDef("text_bpe_tokens",
+      (s, dir) => graft.ops.Bpe.bpeTokens(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some(graft.ops.Bpe.bpeTokensSql("documents", "doc_id", "text"))),
 
     // ================= multimodal plumbing ===============================
 

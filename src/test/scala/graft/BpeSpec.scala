@@ -1,0 +1,59 @@
+package graft
+
+import graft.ops.Bpe
+import org.apache.spark.sql.functions._
+
+/** Pins the BPE tokenizer's semantics: exact single-epoch apply-merges
+  * segmentation (boundary-delimited merges — a pair must bind two WHOLE
+  * units, never the suffix of an earlier merge), divergence from word
+  * counts, and edge cases (empty text, digits, newlines).
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tokenize(texts: String*): Map[String, Seq[String]] =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), expr(Bpe.sparkTokensExpr("text")).as("toks"))
+      .collect()
+      .map(r => r.getString(1) -> r.getSeq[String](2))
+      .toMap
+
+  test("single-epoch apply-merges segmentation on pinned fixtures") {
+    val got = tokenize("the thing", "rest and motion", "question", "100 12", "")
+    // the:   t h e -> th e -> the        thing: t h i n g -> th in g -> th ing
+    assert(got("the thing") === Seq("the", "th", "ing"))
+    // rest: r e s t -> re s t ((r,e)) -> re st ((s,t)); the (e,s) merge
+    // must NOT split the earlier "re" unit (boundary-delimited pattern)
+    assert(got("rest and motion") === Seq("re", "st", "and", "m", "o", "t", "i", "on"))
+    // question: (o,n) -> on, (e,s) -> es, (q,u) -> qu; no io without a
+    // bare o left
+    assert(got("question") === Seq("qu", "es", "t", "i", "on"))
+    // digits: (1,0) pairs left-to-right, (1,2) after
+    assert(got("100 12") === Seq("10", "0", "12"))
+    assert(got("") === Seq.empty)
+  }
+
+  test("back-to-back pair runs merge left-to-right non-overlapping (two-pass exactness)") {
+    val got = tokenize("thththth", "ththth", "101010 1010")
+    assert(got("thththth") === Seq("th", "th", "th", "th"))
+    assert(got("ththth") === Seq("th", "th", "th"))
+    assert(got("101010 1010") === Seq("10", "10", "10", "10", "10"))
+  }
+
+  test("newlines are symbol tokens; separator chars in input are stripped") {
+    val got = tokenize("a\nb", "x\u0001y")
+    assert(got("a\nb") === Seq("a", "\n", "b"))
+    assert(got("x\u0001y") === Seq("x", "y"))
+  }
+
+  test("BPE token counts differ from word counts (not a rename)") {
+    val df = Seq((1L, "the thing"), (2L, "rest and motion"))
+      .toDF("doc_id", "text")
+    val out = Bpe.bpeTokens(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((2L, 3L, "the|th|ing")))
+    assert(out(2L) === ((3L, 8L, "re|st|and|m|o|t|i|on")))
+    assert(out.values.forall { case (w, b, _) => w != b })
+  }
+}
