@@ -147,6 +147,85 @@ object Dedup {
        |FROM l LEFT JOIN f ON l.line = f.line
        |GROUP BY l.$id""".stripMargin
 
+  /** Exact substring-span dedup — the batch ExactSubstr shape of the
+    * public "Deduplicating Training Data Makes Language Models Better"
+    * construction (Lee et al. 2021), at word-span grain: any fixed-length
+    * word n-gram (span) that occurs more than `maxFreq` times CORPUS-WIDE
+    * is boilerplate; every word position covered by a duplicated span is
+    * struck from every document (overlapping spans union — stride-1
+    * grams, so a shared passage is caught at ANY alignment, unlike
+    * non-overlapping chunking). Generalizes [[dedupLines]] from
+    * newline-delimited to arbitrary-span boilerplate.
+    *
+    * Plan shape (linear, the 100 TB shape):
+    *  1. one scan explodes (doc, spos, gram) span rows; the duplicated-
+    *     digest set comes from a partial-agg count over the 128-bit gram
+    *     digest (the exchange carries one row per distinct digest per map
+    *     partition — never the text);
+    *  2. duplicated digests broadcast back (boilerplate is rare relative
+    *     to the corpus — same smallness assumption as [[dedupLines]]);
+    *  3. covered word positions = explode of each flagged span's range,
+    *     distinct per doc, left-anti'd against the word rows;
+    *  4. one keyed exchange on doc id reassembles clean_text in word
+    *     order.
+    */
+  def dedupSpans(df: DataFrame, id: String, text: String,
+                 spanLen: Int = 5, maxFreq: Int = 10): DataFrame = {
+    val fdf = graft.functions.VectorFunctions.attach(df)
+    val words = fdf.select(col(id),
+      posexplode(split(col(text), " ")).as(Seq("pos", "word")))
+    val grams = fdf.select(col(id),
+      posexplode(expr(s"graft_ngrams(split($text, ' '), $spanLen)"))
+        .as(Seq("spos", "gram")))
+    val dup = grams
+      .groupBy(md5(col("gram")).as("gh")).agg(count(lit(1)).as("c"))
+      .where(col("c") > maxFreq)
+    val covered = grams.join(broadcast(dup), md5(col("gram")) === col("gh"))
+      .select(col(id).as("__cid"),
+        explode(expr(s"sequence(spos, spos + ${spanLen - 1})")).as("cpos"))
+      .distinct()
+    words
+      .join(covered, words(id) === covered("__cid") && col("pos") === col("cpos"),
+        "left_outer")
+      .groupBy(col(id))
+      .agg(
+        // collect_list skips the NULL CASE branches — covered words drop
+        // out while their rows still anchor the doc's group (a doc of
+        // pure boilerplate survives as clean_text = '')
+        expr("concat_ws(' ', transform(array_sort(" +
+          "collect_list(CASE WHEN cpos IS NULL THEN struct(pos, word) END)), s -> s.word))")
+          .as("clean_text"),
+        sum(when(col("cpos").isNotNull, 1).otherwise(0)).cast("long").as("n_removed"),
+        count(lit(1)).as("n_words"))
+  }
+
+  /** DuckDB twin of [[dedupSpans]] (1-based positions; same stride-1
+    * grams, same corpus-frequency threshold, same coverage union).
+    */
+  def dedupSpansSql(table: String, id: String, text: String,
+                    spanLen: Int = 5, maxFreq: Int = 10): String = {
+    val w = "w"
+    val gramExpr = (0 until spanLen).map(j => s"$w[i + $j]").mkString(" || ' ' || ")
+    s"""WITH d AS (SELECT $id, string_split($text, ' ') AS $w FROM $table),
+       |l AS (SELECT $id, unnest(generate_series(1, len($w))) AS pos,
+       |             unnest($w) AS word FROM d),
+       |g AS (SELECT $id, unnest(generate_series(1, len($w) - ${spanLen - 1})) AS spos,
+       |             unnest(list_transform(generate_series(1, len($w) - ${spanLen - 1}),
+       |               i -> $gramExpr)) AS gram
+       |      FROM d WHERE len($w) >= $spanLen),
+       |f AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > $maxFreq),
+       |cov AS (SELECT DISTINCT $id, cpos FROM (
+       |  SELECT g.$id, unnest(generate_series(g.spos, g.spos + ${spanLen - 1})) AS cpos
+       |  FROM g JOIN f USING (gram))),
+       |j AS (SELECT l.$id, l.pos, l.word, cov.cpos
+       |      FROM l LEFT JOIN cov ON l.$id = cov.$id AND l.pos = cov.cpos)
+       |SELECT $id,
+       |  coalesce(string_agg(CASE WHEN cpos IS NULL THEN word END, ' ' ORDER BY pos), '') AS clean_text,
+       |  sum(CASE WHEN cpos IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       |  count(*) AS n_words
+       |FROM j GROUP BY $id""".stripMargin
+  }
+
   /** MinHash signature: for each doc, `numHashes` minima of universal
     * hashes over its shingle hashes. Pure projection — no shuffle.
     */

@@ -1103,6 +1103,25 @@ object Queries {
           "chr(10) || 'footer ' || doc_id AS text2 FROM documents)",
         "doc_id", "text2", maxFreq = 10))),
 
+    // exact substring-SPAN dedup (the ExactSubstr batch shape): stride-1
+    // word 5-grams duplicated corpus-wide are struck at every covered
+    // position. The fixture appends an 8-word boilerplate run (4
+    // duplicated grams whose union covers all 8 words) plus a per-doc
+    // unique footer word — straddling grams carry the unique id, so the
+    // footer survives and both strike/keep paths are exercised at every
+    // alignment (no span-boundary assumption, unlike line dedup)
+    QueryDef("dedup_spans",
+      (s, dir) => Dedup.dedupSpans(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" subscribe to our newsletter for more content every day "),
+            col("doc_id")).as("text2")),
+        "doc_id", "text2", spanLen = 5, maxFreq = 10),
+      Some(Dedup.dedupSpansSql(
+        "(SELECT doc_id, text || ' subscribe to our newsletter for more " +
+          "content every day ' || doc_id AS text2 FROM documents)",
+        "doc_id", "text2", spanLen = 5, maxFreq = 10))),
+
     // incremental snapshot dedup: the new crawl keeps only documents whose
     // content digest is absent from the accumulated prior corpus. The
     // fixture PLANTS 20 re-crawled copies (id-shifted, text identical) on
