@@ -165,6 +165,158 @@ object Multimodal {
     }
   }
 
+  /** REAL multi-frame codec on the JDK's built-in animated-GIF
+    * reader/writer (`javax.imageio` ships both; GIF is the one
+    * multi-frame format the JDK can decode, so frame sampling gets real
+    * codec frames — a true video codec would need an ffmpeg-class
+    * external library). Frames are 256-gray INDEXED images: GIF's
+    * palette model represents them losslessly, which is what lets the
+    * SQL oracle verify per-frame pixel checksums exactly (the planted-
+    * pixel convention, per frame).
+    *
+    * Planted-frame convention: the clip for id has
+    * `nf = 2 + id % 4` frames of `(5 + id % 12) × (5 + id % 9)` gray
+    * pixels, and pixel `(x, y)` of frame `f` holds
+    * `(id*31 + f*17 + x*7 + y*13) % 256`. The dims floor at 5 ON PURPOSE:
+    * the JDK's GIF writer/reader pair corrupts rows 2+ of any frame with
+    * height ≤ 4 (verified empirically across a 3..20 × 2..14 grid — every
+    * height ≤ 4 round-trips wrong, every height ≥ 5 exact), so planted
+    * clips stay above the defect and [[renderGif]] enforces it.
+    */
+  object GifCodec {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.{IIOImage, ImageIO}
+
+    def plantedFrames(id: Long): Int = (2 + id % 4).toInt
+    def plantedWidth(id: Long): Int  = (5 + id % 12).toInt
+    def plantedHeight(id: Long): Int = (5 + id % 9).toInt
+
+    def pixelValue(id: Long, f: Int, x: Int, y: Int): Int =
+      ((id * 31 + f * 17 + x * 7 + y * 13) % 256).toInt
+
+    // identity gray ramp: palette index i = color (i,i,i), so indexed
+    // storage round-trips gray values exactly
+    private val grayPalette: IndexColorModel = {
+      val ramp = Array.tabulate(256)(_.toByte)
+      new IndexColorModel(8, 256, ramp, ramp, ramp)
+    }
+
+    /** Render the planted frames for `id` as a real animated GIF. */
+    def renderGif(id: Long): Array[Byte] = {
+      val (w, h) = (plantedWidth(id), plantedHeight(id))
+      require(h >= 5, s"JDK GIF codec corrupts frames with height <= 4 (got $h)")
+      val bos = new ByteArrayOutputStream()
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        val nf = plantedFrames(id)
+        while (f < nf) {
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = pixelValue(id, f, x, y)
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
+    /** Decode ALL frames back via the real GIF reader. */
+    def decodeFrames(payload: Array[Byte]): IndexedSeq[BufferedImage] = {
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        require(n > 0, "undecodable gif payload")
+        (0 until n).map(reader.read)
+      } finally { reader.dispose(); iis.close() }
+    }
+
+    /** Exact-integer gray checksum of one decoded frame. */
+    def graySum(img: BufferedImage): Long = {
+      var s = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { s += img.getRGB(x, y) & 0xff; x += 1 }
+        y += 1
+      }
+      s
+    }
+  }
+
+  /** Plant real animated-GIF payloads, one clip per row of `id`. */
+  def attachGifPayload(df: DataFrame, id: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long")).as[Long].mapPartitions { it =>
+      it.map(i => (i, "video", GifCodec.renderGif(i), s"mem://$i"))
+    }.toDF("media_id", "kind", "payload", "uri")
+  }
+
+  /** One REALLY-decoded sampled frame: `frame_idx` is the sampled order,
+    * `src_frame` the original frame number, checksum over decoded grays.
+    */
+  final case class SampledFrame(media_id: Long, frame_idx: Int, src_frame: Int,
+                                f_width: Int, f_height: Int, f_pixel_sum: Long)
+
+  /** REAL frame sampling: decode every frame of the multi-frame payload
+    * with the JDK GIF reader, keep every `stride`-th frame. Iterator-to-
+    * iterator mapPartitions like the other codec paths — decode cost is
+    * per kept CLIP (the codec must parse preceding frames to compose a
+    * frame, so sampling saves checksum work, not parse work; a seekable
+    * container format would prune at the byte level — that is what
+    * [[frameSample]]'s codec-free chunking models).
+    */
+  def frameSampleDecoded(df: DataFrame, stride: Int): Dataset[SampledFrame] = {
+    require(stride >= 1, "stride must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          GifCodec.decodeFrames(payload).zipWithIndex
+            .filter(_._2 % stride == 0)
+            .zipWithIndex
+            .map { case ((img, f), i) =>
+              SampledFrame(id, i, f, img.getWidth, img.getHeight,
+                GifCodec.graySum(img))
+            }
+        }
+      }
+  }
+
+  /** Twin of [[frameSampleDecoded]]: replay the per-frame planted-pixel
+    * formula for the sampled frame numbers.
+    */
+  def frameSampleDecodedSql(table: String, id: String, stride: Int): String =
+    s"""WITH g AS (SELECT $id AS media_id, (5 + $id % 12)::BIGINT AS w,
+       |  (5 + $id % 9)::BIGINT AS h, (2 + $id % 4)::BIGINT AS nf FROM $table),
+       |fr AS (SELECT media_id, w, h, unnest(generate_series(0, nf - 1)) AS f FROM g),
+       |sf AS (SELECT media_id, w, h, f, (f // $stride) AS fi FROM fr WHERE f % $stride = 0),
+       |px AS (SELECT media_id, w, h, f, fi,
+       |  unnest(generate_series(0, w * h - 1)) AS i FROM sf)
+       |SELECT media_id, fi::INT AS frame_idx, f::INT AS src_frame,
+       |  w::INT AS f_width, h::INT AS f_height,
+       |  CAST(sum((media_id * 31 + f * 17 + (i % w) * 7 + (i // w) * 13) % 256) AS BIGINT)
+       |    AS f_pixel_sum
+       |FROM px GROUP BY media_id, fi, f, w, h""".stripMargin
+
   /** Real-decode audio outputs (exact integer arithmetic). */
   final case class DecodedAudio(media_id: Long, sample_rate: Int, n_samples: Long,
                                 sample_sum: Long, energy_sum: Long)
@@ -268,11 +420,15 @@ object Multimodal {
   final case class DownsampledAudio(media_id: Long, r_sample_rate: Int,
                                     r_n_samples: Long, r_sample_sum: Long)
 
-  /** REAL audio downsample: decode WAV -> decimate by 2 (keep every
-    * 2nd sample — the nearest-neighbor resample; a production pipeline
-    * would low-pass first, which needs no new plumbing) -> re-encode at
-    * half the rate -> re-decode -> checksum. The double round-trip
-    * witnesses the decimation and a second full WAV encode/decode
+  /** REAL audio downsample: decode WAV -> LOW-PASS (2-tap moving
+    * average in exact integer arithmetic: out(t) = (s(2t) + s(2t+1)) / 2
+    * truncating division, the last window clamped to the final sample)
+    * -> keep every 2nd position -> re-encode at half the rate ->
+    * re-decode -> checksum. The anti-aliasing filter runs BEFORE
+    * decimation, as a production resampler requires; truncating integer
+    * division is what both engines' `/` / `//` compute, so the oracle
+    * replays the identical filter bit-for-bit. The double round-trip
+    * witnesses the filter+decimation and a second full WAV encode/decode
     * cycle, mirroring [[resizeDecoded]] for images.
     */
   def downsampleAudio(df: DataFrame): Dataset[DownsampledAudio] = {
@@ -284,7 +440,11 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, payload) =>
           val (rate, samples) = AudioCodec.decode(payload)
-          val kept = Array.range(0, (samples.length + 1) / 2).map(t => samples(2 * t))
+          val kept = Array.range(0, (samples.length + 1) / 2).map { t =>
+            val a = samples(2 * t)
+            val b = samples(math.min(2 * t + 1, samples.length - 1))
+            (a + b) / 2 // truncating division — matches DuckDB `//`
+          }
           val pcm = new Array[Byte](kept.length * 2)
           var t = 0
           while (t < kept.length) {
@@ -305,16 +465,20 @@ object Multimodal {
       }
   }
 
-  /** Twin of [[downsampleAudio]]: kept sample t = planted value at 2t. */
+  /** Twin of [[downsampleAudio]]: kept sample t = truncating mean of the
+    * planted values at 2t and min(2t+1, n−1) — the identical integer
+    * low-pass (DuckDB `//` truncates toward zero exactly like Scala `/`).
+    */
   def downsampleAudioSql(table: String, id: String): String =
-    s"""WITH g AS (SELECT $id AS media_id,
+    s"""WITH g AS (SELECT $id AS media_id, (50 + $id % 50)::BIGINT AS n,
        |  (((50 + $id % 50) + 1) // 2)::BIGINT AS rn FROM $table),
        |smp AS (
-       |  SELECT media_id, rn, unnest(generate_series(0, rn - 1)) AS t FROM g)
+       |  SELECT media_id, n, rn, unnest(generate_series(0, rn - 1)) AS t FROM g)
        |SELECT media_id, ${AudioCodec.SampleRate / 2} AS r_sample_rate,
        |  rn AS r_n_samples,
-       |  CAST(sum(((media_id * 31 + (t * 2) * 7) % 65536) - 32768) AS BIGINT)
-       |    AS r_sample_sum
+       |  CAST(sum(((((media_id * 31 + (t * 2) * 7) % 65536) - 32768)
+       |          + (((media_id * 31 + least(t * 2 + 1, n - 1) * 7) % 65536) - 32768)) // 2)
+       |    AS BIGINT) AS r_sample_sum
        |FROM smp GROUP BY media_id, rn""".stripMargin
 
   /** Columnar metadata extraction from the REAL WAV format: channels

@@ -859,9 +859,22 @@ object Queries {
         dim = 64, m = 4, kSub = 8, iters = 2,
         nCoarse = 8, coarseIters = 2, nprobe = 2, queryPred = "v_id < 10"))),
 
-    // video-kind frame sampling: every stride-th fixed-size chunk of the
-    // payload becomes a frame row (hex-emitted for the portable compare)
+    // REAL multi-frame sampling: payloads are actual animated GIFs
+    // (planted gray pixels per frame), every frame decoded with the JDK
+    // GIF reader, every 2nd kept — the oracle replays the per-frame
+    // pixel formula, so a decoder that misreads frame count, dims, or
+    // pixels fails the hash
     QueryDef("mm_frame_sample",
+      (s, dir) => Multimodal.frameSampleDecoded(
+        Multimodal.attachGifPayload(t(s, dir, "documents"), "doc_id"),
+        stride = 2).toDF(),
+      Some(Multimodal.frameSampleDecodedSql("documents", "doc_id", stride = 2))),
+
+    // codec-free byte-level frame sampling: every stride-th fixed-size
+    // chunk of the container bytes becomes a frame row (hex-emitted for
+    // the portable compare) — the shape for seekable containers the JDK
+    // cannot decode, where sampling must prune at the byte level
+    QueryDef("mm_frame_sample_bytes",
       (s, dir) => Multimodal.frameSample(
         Multimodal.attachFakePayload(t(s, dir, "documents"), "doc_id", "text"),
         frameBytes = 4, stride = 2)

@@ -115,7 +115,7 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("audio downsample: decimation by 2 survives the second WAV round-trip") {
+  test("audio downsample: low-pass + decimation by 2 survives the second WAV round-trip") {
     import graft.ops.Multimodal.AudioCodec
     val docs = (0L to 5L).toDF("doc_id")
     val out = Multimodal.downsampleAudio(Multimodal.attachWavPayload(docs, "doc_id"))
@@ -123,10 +123,50 @@ class MultimodalSpec extends SparkSpec {
     for (id <- 0L to 5L) {
       val n = AudioCodec.plantedN(id)
       val rn = (n + 1) / 2
-      val expected = (0 until rn).map(t => AudioCodec.sampleValue(id, 2 * t).toLong).sum
+      // 2-tap integer moving average (last window clamped), then keep
+      // every 2nd position — truncating division like the op and oracle
+      val expected = (0 until rn).map { t =>
+        val a = AudioCodec.sampleValue(id, 2 * t)
+        val b = AudioCodec.sampleValue(id, math.min(2 * t + 1, n - 1))
+        ((a + b) / 2).toLong
+      }.sum
       assert(out(id).r_sample_rate === AudioCodec.SampleRate / 2)
       assert(out(id).r_n_samples === rn.toLong)
       assert(out(id).r_sample_sum === expected, s"id=$id")
+    }
+  }
+
+  test("animated GIF round-trips planted frames exactly; stride sampling keeps every 2nd") {
+    import graft.ops.Multimodal.GifCodec
+    // direct codec round-trip: every frame, every pixel — 0..35 covers
+    // every (width, height, frame-count) residue combination
+    for (id <- 0L to 35L) {
+      val frames = GifCodec.decodeFrames(GifCodec.renderGif(id))
+      assert(frames.size === GifCodec.plantedFrames(id), s"id=$id frame count")
+      frames.zipWithIndex.foreach { case (img, f) =>
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+          assert((img.getRGB(x, y) & 0xff) === GifCodec.pixelValue(id, f, x, y),
+            s"id=$id f=$f ($x,$y)")
+      }
+    }
+    // the distributed op: sampled frames carry the right src_frame + sum
+    val docs = (0L to 9L).toDF("doc_id")
+    val out = Multimodal.frameSampleDecoded(
+      Multimodal.attachGifPayload(docs, "doc_id"), stride = 2)
+      .collect().map(s => (s.media_id, s.frame_idx) -> s).toMap
+    for (id <- 0L to 9L) {
+      val nf = GifCodec.plantedFrames(id)
+      val sampled = (0 until nf).filter(_ % 2 == 0)
+      assert(out.count(_._1._1 == id) === sampled.size)
+      sampled.zipWithIndex.foreach { case (f, i) =>
+        val s = out((id, i))
+        val w = GifCodec.plantedWidth(id)
+        val h = GifCodec.plantedHeight(id)
+        val expected = (for (y <- 0 until h; x <- 0 until w)
+          yield GifCodec.pixelValue(id, f, x, y).toLong).sum
+        assert(s.src_frame === f && s.f_width === w && s.f_height === h)
+        assert(s.f_pixel_sum === expected, s"id=$id f=$f")
+      }
     }
   }
 
