@@ -568,6 +568,101 @@ object Pq {
        |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** Twin of the INCREMENTAL residual index: coarse centroids and
+    * codebooks trained on the `trainPred` subset only (the original
+    * build), the FULL corpus encoded against those frozen parameters
+    * (build half + appended half), searched identically to
+    * [[ivfPqResidualTopKSql]]. This is the from-scratch-encode-of-the-
+    * union formulation that `PqIndex.appendResidual` must reproduce.
+    */
+  def ivfPqResidualIncrementalSql(table: String, idCol: String, vecCol: String,
+                                  k: Int, dim: Int, m: Int = 4, kSub: Int = 8,
+                                  iters: Int = 2, nCoarse: Int = 8,
+                                  coarseIters: Int = 2, nprobe: Int = 2,
+                                  trainPred: String = "true",
+                                  queryPred: String = "false"): String = {
+    val w = dim / m
+    val adc = s"list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform(generate_series(1, $m), " +
+      s"j -> f.flat[(j - 1) * $kSub + x.codes[j] + 1])), (acc, v) -> acc + v)"
+    s"""WITH ${Similarity.kmeansCtes(s"(SELECT * FROM $table WHERE $trainPred)",
+           idCol, vecCol, nCoarse, coarseIters)},
+       |ccn AS (SELECT cent_id, c_vec, ${duckDot("c_vec", "c_vec")} AS cc2 FROM cent$coarseIters),
+       |fbase AS (SELECT $idCol AS v_id, $vecCol AS vec FROM $table),
+       |af AS (
+       |  SELECT v_id, vec, cluster FROM (
+       |    SELECT b.v_id, b.vec, c.cent_id AS cluster, row_number() OVER (
+       |      PARTITION BY b.v_id
+       |      ORDER BY round(${Similarity.duckCosine("b.vec", "c.c_vec")}, 6) DESC, c.cent_id ASC) AS rn
+       |    FROM fbase b CROSS JOIN cent$coarseIters c) WHERE rn = 1),
+       |residt AS (
+       |  SELECT a.v_id, a.cluster,
+       |    list_transform(generate_series(1, $dim), i -> a.vec[i]::DOUBLE - cc.c_vec[i]) AS rvec
+       |  FROM a JOIN ccn cc ON a.cluster = cc.cent_id),
+       |${pqTrainCtes("residt", "v_id", "rvec", dim, m, kSub, iters, p = "r")},
+       |residf AS (
+       |  SELECT a.v_id, a.cluster,
+       |    list_transform(generate_series(1, $dim), i -> a.vec[i]::DOUBLE - cc.c_vec[i]) AS rvec
+       |  FROM af a JOIN ccn cc ON a.cluster = cc.cent_id),
+       |esub AS (SELECT v_id, j AS sub,
+       |          list_transform(list_slice(rvec, j * $w + 1, (j + 1) * $w), x -> x::DOUBLE) AS svec
+       |        FROM residf, UNNEST(generate_series(0, ${m - 1})) AS t(j)),
+       |coarsesub AS (
+       |  SELECT cent_id AS cluster, cc2, j AS sub,
+       |         list_transform(list_slice(c_vec, j * $w + 1, (j + 1) * $w), x -> x::DOUBLE) AS cs_vec
+       |  FROM ccn, UNNEST(generate_series(0, ${m - 1})) AS t(j)),
+       |renc AS (
+       |  SELECT v_id, cluster, list(code ORDER BY sub) AS codes, max(cc2) AS cc2,
+       |         CAST(sum(CAST(c2 AS DECIMAL(28,12))) AS DOUBLE) AS sumc2,
+       |         CAST(sum(CAST(dotcs AS DECIMAL(28,12))) AS DOUBLE) AS sumdot
+       |  FROM (
+       |    SELECT sub, v_id, cluster, cent_id AS code, c2, dotcs, cc2 FROM (
+       |      SELECT s.sub, s.v_id, cs.cluster, c.cent_id, c.c2, cs.cc2,
+       |             ${duckDot("cs.cs_vec", "c.c_vec")} AS dotcs,
+       |             row_number() OVER (PARTITION BY s.sub, s.v_id
+       |               ORDER BY round(${duckDist2("s.svec", "c.c_vec")}, 6) ASC, c.cent_id ASC) AS rn
+       |      FROM esub s
+       |      JOIN rcentf c ON s.sub = c.sub
+       |      JOIN residf rr ON s.v_id = rr.v_id
+       |      JOIN coarsesub cs ON rr.cluster = cs.cluster AND s.sub = cs.sub) WHERE rn = 1)
+       |  GROUP BY v_id, cluster),
+       |xn AS (SELECT v_id, cluster, codes, cc2 + 2 * sumdot + sumc2 AS xn2 FROM renc),
+       |q AS (SELECT v_id AS q_id, vec FROM af WHERE $queryPred),
+       |probes AS (
+       |  SELECT q_id, cluster FROM (
+       |    SELECT q.q_id, c.cent_id AS cluster, row_number() OVER (
+       |      PARTITION BY q.q_id
+       |      ORDER BY round(${Similarity.duckCosine("q.vec", "c.c_vec")}, 6) DESC, c.cent_id ASC) AS prn
+       |    FROM q CROSS JOIN cent$coarseIters c) WHERE prn <= $nprobe),
+       |probed AS (
+       |  SELECT p.q_id, p.cluster, ${duckDot("q.vec", "cc.c_vec")} AS dotqc
+       |  FROM probes p JOIN q ON p.q_id = q.q_id JOIN ccn cc ON p.cluster = cc.cent_id),
+       |qdots AS (
+       |  SELECT q.q_id, (c.sub * $kSub + c.cent_id) AS gi,
+       |         ${duckDot(s"list_transform(list_slice(q.vec, c.sub * $w + 1, (c.sub + 1) * $w), x -> x::DOUBLE)", "c.c_vec")} AS dot
+       |  FROM q CROSS JOIN rcentf c),
+       |grid AS (SELECT q_id, gi FROM (SELECT DISTINCT q_id FROM q),
+       |         UNNEST(generate_series(0, ${m * kSub - 1})) AS t(gi)),
+       |qflat AS (
+       |  SELECT g.q_id, list(coalesce(d.dot, 0.0::DOUBLE) ORDER BY g.gi) AS flat
+       |  FROM grid g LEFT JOIN qdots d ON g.q_id = d.q_id AND g.gi = d.gi
+       |  GROUP BY g.q_id),
+       |qn AS (SELECT q_id, ${duckDot("vec", "vec")} AS q2 FROM q),
+       |scored AS (
+       |  SELECT f.q_id, x.v_id AS c_id,
+       |         round((p.dotqc + $adc) / (sqrt(n.q2) * sqrt(x.xn2)), 6) AS sim
+       |  FROM xn x
+       |  JOIN probed p ON p.cluster = x.cluster
+       |  JOIN qflat f ON f.q_id = p.q_id
+       |  JOIN qn n ON n.q_id = f.q_id
+       |  WHERE f.q_id <> x.v_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   /** Twin of [[pqEncodePacked]]∘[[pqCentroids]] with the binary word
     * hex-serialized (same byte-hex fold as the packed-int8 oracle).
     */

@@ -183,6 +183,43 @@ object PqIndex {
     Similarity.topkByQuery(Pq.residualScore(codes, qrows, kSub, packed), k)
   }
 
+  /** Incremental maintenance of the RESIDUAL index — the daily-crawl
+    * shape: encode `newVectors` with the index's FROZEN coarse centroids
+    * and codebooks (read from the index itself; NO retrain) and append
+    * them into the cluster-partitioned codes layout. Search is unchanged
+    * and sees old + new rows; append-vs-rebuild equality is pinned by
+    * PqIndexSpec (appending equals the one-shot encode of the union
+    * under the same frozen parameters, because encode is a pure function
+    * of (vector, centroids, codebooks)).
+    *
+    * Scale shape: the new crawl pays one assignment pass against the
+    * broadcast centroids + one encode — never touches existing code
+    * rows; `partitionBy(cluster)` append drops new files into existing
+    * cluster directories, so directory pruning keeps working. Codebook
+    * drift under a shifting distribution is the documented operational
+    * caveat (standard IVFADC practice: monitor recall, retrain + rebuild
+    * when it decays — [[AlgoVersion]]/signature forces that rebuild).
+    */
+  def appendResidual(spark: SparkSession, path: String, newVectors: DataFrame,
+                     idCol: String, vecCol: String): Unit = {
+    val coarse = broadcast(spark.read.parquet(s"$path/coarse"))
+    val cent = spark.read.parquet(s"$path/codebooks")
+    // m and w come off the persisted codebooks — metadata-sized read
+    val mw = cent.selectExpr("cast(max(sub) AS INT)", "cast(max(size(c_vec)) AS INT)").first()
+    val m = mw.getInt(0) + 1
+    val w = mw.getInt(1)
+    val b = graft.functions.VectorFunctions.attach(newVectors)
+      .select(col(idCol).as("v_id"), col(vecCol).as("vec"))
+    val assigned = Similarity.assignClusters(b, coarse)
+      .transform(Caches.lease(_))
+    val ccn = Pq.coarseWithNorms(coarse)
+    val resid = Pq.residualFrame(assigned, ccn).transform(Caches.lease(_))
+    Pq.residualEncode(resid, assigned, ccn, cent, m, w)
+      .select(col("v_id"), col("codes"),
+        expr("graft_pack_i8(codes)").as("qcodes"), col("xn2"), col("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
+  }
+
   /** Build and persist the index. `dim` must divide into `m` subspaces. */
   def write(corpus: DataFrame, idCol: String, vecCol: String, path: String,
             dim: Int, m: Int = 4, kSub: Int = 8, iters: Int = 2,

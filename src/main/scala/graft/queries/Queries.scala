@@ -1449,6 +1449,34 @@ object Queries {
         dim = 64, m = 4, kSub = 8, iters = 2,
         nCoarse = 8, coarseIters = 2, nprobe = 2, queryPred = "v_id < 10"))),
 
+    // INCREMENTAL index maintenance — the daily-crawl shape: the index
+    // is built on the first half of the corpus (coarse + codebooks
+    // trained there), the second half is APPENDED with those parameters
+    // frozen (no retrain, cluster-partitioned append), and the search
+    // must equal the from-scratch encode of the union — which is what
+    // the oracle computes (train on half-1, encode all, search).
+    // PqIndexSpec pins append-vs-rebuild equality at the codes level
+    QueryDef("embed_ivfpq_incremental",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = idxPath("pqinc", dir)
+        graft.ops.PqIndex.ensure(s, path,
+          idxSig(s, dir, "residual-incr,dim=64,m=4,kSub=8,iters=2,nCoarse=8,coarseIters=2,split=250")) {
+          graft.ops.PqIndex.writeResidual(emb.where(col("vec_id") < 250),
+            "vec_id", "embedding", path,
+            dim = 64, m = 4, kSub = 8, iters = 2, nCoarse = 8, coarseIters = 2)
+          graft.ops.PqIndex.appendResidual(s, path,
+            emb.where(col("vec_id") >= 250), "vec_id", "embedding")
+        }
+        graft.ops.PqIndex.searchResidualTopK(s, path,
+          emb.where(col("vec_id") < 10).select("vec_id", "embedding"),
+          k = 5, dim = 64, m = 4, kSub = 8, nprobe = 2)
+      },
+      Some(Pq.ivfPqResidualIncrementalSql("embeddings", "vec_id", "embedding",
+        k = 5, dim = 64, m = 4, kSub = 8, iters = 2,
+        nCoarse = 8, coarseIters = 2, nprobe = 2,
+        trainPred = "vec_id < 250", queryPred = "v_id < 10"))),
+
     // per-label centroid + class size: decimal-exact per-dimension means,
     // exchange carries labels x dims cells — never the vectors. Registered
     // with the centroid serialized to fixed-scale decimal CSV (no raw

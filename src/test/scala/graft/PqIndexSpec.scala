@@ -57,6 +57,45 @@ class PqIndexSpec extends SparkSpec {
       "packed residual ADC must equal the unpacked kernel")
   }
 
+  test("appendResidual with frozen params equals the one-shot encode of the union") {
+    // pathA: the incremental path — build on half-1, append half-2
+    val pathA = Files.createTempDirectory("graft_pqinc_a").toString
+    PqIndex.writeResidual(corpus.where($"vec_id" < 32), "vec_id", "embedding",
+      pathA, dim = 8, m = 2, kSub = 8, iters = 2, nCoarse = 4, coarseIters = 2)
+    graft.ops.Caches.releaseAll()
+    PqIndex.appendResidual(spark, pathA, corpus.where($"vec_id" >= 32),
+      "vec_id", "embedding")
+    graft.ops.Caches.releaseAll()
+    // pathB: same frozen parameters (built on the SAME half-1, so coarse
+    // + codebooks are identical by determinism), then the UNION encoded
+    // in one shot into an emptied codes dir
+    val pathB = Files.createTempDirectory("graft_pqinc_b").toString
+    PqIndex.writeResidual(corpus.where($"vec_id" < 32), "vec_id", "embedding",
+      pathB, dim = 8, m = 2, kSub = 8, iters = 2, nCoarse = 4, coarseIters = 2)
+    graft.ops.Caches.releaseAll()
+    val codesB = new org.apache.hadoop.fs.Path(s"$pathB/codes")
+    codesB.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(codesB, true)
+    PqIndex.appendResidual(spark, pathB, corpus, "vec_id", "embedding")
+    graft.ops.Caches.releaseAll()
+    def codesOf(p: String) = spark.read.parquet(s"$p/codes")
+      .select($"v_id", $"cluster", expr("array_join(codes, ',')"), hex($"qcodes"),
+        round($"xn2", 6))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(codesOf(pathA).sameElements(codesOf(pathB)),
+      "appended codes must equal the one-shot union encode under frozen params")
+    // and the search over the incremental index equals the search over
+    // the one-shot index
+    val qs = corpus.where($"vec_id" < 5)
+    def searchOf(p: String) = {
+      val r = PqIndex.searchResidualTopK(spark, p, qs, k = 3,
+          dim = 8, m = 2, kSub = 8, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      graft.ops.Caches.releaseAll()
+      r.sorted
+    }
+    assert(searchOf(pathA).sameElements(searchOf(pathB)))
+  }
+
   test("the codes scan partition-prunes to the probed clusters only") {
     val path = Files.createTempDirectory("graft_pqidx2").toString
     PqIndex.write(corpus, "vec_id", "embedding", path,
