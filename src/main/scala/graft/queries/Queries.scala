@@ -663,11 +663,22 @@ object Queries {
       Some(graft.ops.Bpe.bpeTokensSql("documents", "doc_id", "text"))),
 
     // ================= multimodal plumbing ===============================
+    //
+    // COST RULE for the mm_* family (the 100 TB contract): decode only
+    // what the columnar pass cannot answer. `mm_meta_columnar` /
+    // `mm_audio_meta` read 8-16 HEADER bytes per blob inside codegen
+    // (244k imgs/s and 312k clips/s measured) and answer dims, channels,
+    // and sample rate; full codec decode (`mm_decode_meta`, 13k imgs/s —
+    // ~19× slower) is for PIXEL/SAMPLE-dependent outputs only (checksums,
+    // features, resize, resample). A caller who runs full decode for
+    // metadata a header parse answers is paying 19× for nothing.
 
     // REAL image decode: payloads are actual PNG bytes (rendered
     // executor-side from the planted-pixel formula), decoded with the
     // JDK's javax.imageio; the oracle replays the pixel formula in SQL,
-    // so a decoder that misreads dims or pixel values fails the hash
+    // so a decoder that misreads dims or pixel values fails the hash.
+    // Pixel-dependent outputs only — dims alone come 19× cheaper from
+    // mm_meta_columnar (see the family cost rule above)
     QueryDef("mm_decode_meta",
       (s, dir) => Multimodal.decodeMeta(
         Multimodal.attachPngPayload(t(s, dir, "documents"), "doc_id")).toDF(),
@@ -1028,11 +1039,18 @@ object Queries {
     // text five times — at 100 TB the scan volume IS the cost, so this
     // is the production form and the composed one is the modular
     // reference.
-    // CROSSOVER (measured): the fused form wins above ~1M docs (17.3s vs
-    // 24s at the 1M probe) but loses ~25% below it (0.97s vs 0.75s at
-    // sf0.1) — when the corpus fits in page cache, the composed DAG's
-    // five cheap scans beat the fused plan's one wide projection. Small-
-    // corpus callers should pick the composed form deliberately
+    // CROSSOVER (re-measured round 8, 2×3-rep medians at the 1M probe):
+    // composed 11.4-12.0s vs fused 14.5-16.3s — the in-box crossover the
+    // round-6 probe found (~1M docs) is GONE: after the per-stage kernel
+    // optimizations of rounds 6-7, the composed DAG's five cheap scans
+    // now win at every scale this 128 GB box can hold, because the whole
+    // corpus sits in page cache and re-reading text is nearly free. The
+    // fused form's advantage is SCAN-VOLUME-bound: it reads text once
+    // where the composed form reads it five times, which decides the
+    // matchup exactly when scans hit storage — the 100 TB regime this
+    // box cannot reproduce. Production guidance stands: fused for
+    // cold-storage-scale corpora, composed when the working set fits in
+    // memory (or when stage modularity is worth 5× scan volume)
     QueryDef("pipeline_curation_manifest_fused",
       (s, dir) => {
         val docs = t(s, dir, "documents")
