@@ -170,6 +170,35 @@ case class ClassifierLogit(child: Expression, dim: Int) extends HashArrayExpress
     copy(child = c)
 }
 
+/** `graft_bpe_count(text)`: single-epoch BPE token count over the
+  * committed merge table ([[HashOps.bpeTokenCount]]) — the compiled twin
+  * of the 2-passes-per-merge boundary-replace chain (graft.ops.Bpe),
+  * which interprets ~60 string scans per row where this is one unit-list
+  * pass per merge.
+  */
+case class BpeCount(child: Expression) extends StringCountExpression {
+  override def prettyName: String = "graft_bpe_count"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(s: Any): Any =
+    HashOps.bpeTokenCount(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.HashOps.bpeTokenCount($s);")
+  override protected def withNewChildInternal(c: Expression): BpeCount = copy(child = c)
+}
+
+/** `graft_bpe_tokens(text)`: the BPE token SEQUENCE ([[HashOps.bpeTokens]]). */
+case class BpeTokens(child: Expression) extends StringCountExpression {
+  override def prettyName: String = "graft_bpe_tokens"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(s: Any): Any =
+    HashOps.bpeTokens(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.HashOps.bpeTokens($s);")
+  override protected def withNewChildInternal(c: Expression): BpeTokens = copy(child = c)
+}
+
 case class TokenCount(child: Expression) extends StringCountExpression {
   override def prettyName: String = "graft_token_count"
   override def nullSafeEval(s: Any): Any =

@@ -357,4 +357,71 @@ object HashOps {
     }
     acc
   }
+
+  // the committed merge table, materialized once (see graft.ops.Bpe for
+  // the table, its rank-order + a≠b invariants, and the semantics proof)
+  private lazy val bpeMerges: Array[(String, String)] = graft.ops.Bpe.merges.toArray
+
+  /** Single-epoch BPE segmentation over code-point units — the compiled
+    * twin of [[graft.ops.Bpe.hofTokensExpr]]'s boundary-delimited
+    * two-pass replace chain. For `a ≠ b` merges (a table invariant),
+    * occurrences of adjacent units (a, b) are pairwise disjoint, so the
+    * declarative two-pass replace merges EVERY such occurrence of the
+    * merge's input — exactly this one left-to-right compaction pass per
+    * merge. Units are code points (matching `(?s)(.)` in both regex
+    * dialects); U+0001 input chars are stripped; space units are the
+    * word boundary and drop from the token list.
+    */
+  private def bpeUnits(text: UTF8String): java.util.ArrayList[String] = {
+    val s = text.toString
+    val units = new java.util.ArrayList[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val cc = Character.charCount(cp)
+      if (cp != 1) units.add(s.substring(i, i + cc))
+      i += cc
+    }
+    var m = 0
+    while (m < bpeMerges.length) {
+      val (a, b) = bpeMerges(m)
+      var r = 0
+      var w = 0
+      while (r < units.size) {
+        if (r + 1 < units.size && units.get(r) == a && units.get(r + 1) == b) {
+          units.set(w, a + b); r += 2
+        } else {
+          if (w != r) units.set(w, units.get(r))
+          r += 1
+        }
+        w += 1
+      }
+      var k = units.size - 1
+      while (k >= w) { units.remove(k); k -= 1 }
+      m += 1
+    }
+    units
+  }
+
+  /** BPE token count (units minus space units). */
+  def bpeTokenCount(text: UTF8String): Long = {
+    val units = bpeUnits(text)
+    var n = 0L
+    var i = 0
+    while (i < units.size) { if (units.get(i) != " ") n += 1; i += 1 }
+    n
+  }
+
+  /** BPE token array (units minus space units), in order. */
+  def bpeTokens(text: UTF8String): ArrayData = {
+    val units = bpeUnits(text)
+    val out = new java.util.ArrayList[Any](units.size)
+    var i = 0
+    while (i < units.size) {
+      val u = units.get(i)
+      if (u != " ") out.add(UTF8String.fromString(u))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }

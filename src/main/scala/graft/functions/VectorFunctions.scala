@@ -172,6 +172,10 @@ object VectorFunctions {
       (e: Seq[Expression]) => TopKAgg(e(0), e(1), intLit(e(2), "graft_topk"))),
     "graft_token_count" -> (classOf[TokenCount],
       (e: Seq[Expression]) => TokenCount(e(0))),
+    "graft_bpe_count" -> (classOf[BpeCount],
+      (e: Seq[Expression]) => BpeCount(e(0))),
+    "graft_bpe_tokens" -> (classOf[BpeTokens],
+      (e: Seq[Expression]) => BpeTokens(e(0))),
     "graft_alpha_count" -> (classOf[AlphaCount],
       (e: Seq[Expression]) => AlphaCount(e(0))),
     "graft_classifier_logit" -> (classOf[ClassifierLogit],

@@ -80,16 +80,27 @@ object Bpe {
       s"replace($once, '$Sep$a$Sep$b$Sep', '$Sep$a$b$Sep')"
     }
 
-  /** Spark expression: ARRAY<STRING> of the BPE tokens of `text`. */
-  def sparkTokensExpr(text: String): String = {
+  /** Spark expression: ARRAY<STRING> of the BPE tokens of `text` — the
+    * compiled kernel ([[graft.functions.HashOps.bpeTokens]]: one
+    * unit-list pass per merge). Requires the graft functions to be
+    * registered (`VectorFunctions.attach`).
+    */
+  def sparkTokensExpr(text: String): String = s"graft_bpe_tokens($text)"
+
+  /** Spark expression: BIGINT BPE token count of `text` (compiled). */
+  def sparkTokenCountExpr(text: String): String = s"graft_bpe_count($text)"
+
+  /** Declarative boundary-replace twin of [[sparkTokensExpr]] — the
+    * parity baseline BpeSpec pins the compiled kernel against (the
+    * DuckDB oracle runs this same construction in its dialect). ~60
+    * interpreted string scans per row; the kernel replaces it in the
+    * hot path.
+    */
+  def hofTokensExpr(text: String): String = {
     val base =
       s"concat('$Sep', regexp_replace(replace($text, '$Sep', ''), '(?s)(.)', '$$1$Sep'))"
     s"filter(split(${mergePasses(base)}, '$Sep'), u -> u <> '' AND u <> ' ')"
   }
-
-  /** Spark expression: BIGINT BPE token count of `text`. */
-  def sparkTokenCountExpr(text: String): String =
-    s"cast(size(${sparkTokensExpr(text)}) AS BIGINT)"
 
   /** DuckDB twin of [[sparkTokensExpr]]. */
   def duckTokensExpr(text: String): String = {
@@ -110,7 +121,7 @@ object Bpe {
     */
   def bpeTokens(df: DataFrame, id: String, text: String,
                 firstK: Int = 8): DataFrame =
-    df.select(col(id),
+    graft.functions.VectorFunctions.attach(df).select(col(id),
       expr(s"cast(size(split($text, ' ')) AS BIGINT)").as("n_words"),
       expr(sparkTokensExpr(text)).as("__toks"))
       .select(col(id), col("n_words"),

@@ -12,8 +12,9 @@ class BpeSpec extends SparkSpec {
   import spark.implicits._
 
   private def tokenize(texts: String*): Map[String, Seq[String]] =
-    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-      .toDF("doc_id", "text")
+    graft.functions.VectorFunctions.attach(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"))
       .select(col("doc_id"), col("text"), expr(Bpe.sparkTokensExpr("text")).as("toks"))
       .collect()
       .map(r => r.getString(1) -> r.getSeq[String](2))
@@ -45,6 +46,26 @@ class BpeSpec extends SparkSpec {
     val got = tokenize("a\nb", "x\u0001y")
     assert(got("a\nb") === Seq("a", "\n", "b"))
     assert(got("x\u0001y") === Seq("x", "y"))
+  }
+
+  test("compiled kernel equals the declarative boundary-replace chain") {
+    // deterministic pseudo-random corpus hitting the interesting shapes:
+    // merge chains, back-to-back pairs, digits, unicode, newlines,
+    // multi-space, empties, U+0001 strip
+    val rnd = new scala.util.Random(42)
+    val alphabet = "thein gandorse10 2\nqué中 "
+    val texts = (0 until 200).map { i =>
+      if (i == 0) "" else (0 until rnd.nextInt(80))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    } :+ "x\u0001y the\u0001thing"
+    val df = graft.functions.VectorFunctions.attach(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+    val mismatches = df.select(
+        expr(Bpe.sparkTokensExpr("text")).as("kernel"),
+        expr(Bpe.hofTokensExpr("text")).as("declarative"))
+      .where(expr("kernel <> declarative"))
+      .count()
+    assert(mismatches === 0L)
   }
 
   test("BPE token counts differ from word counts (not a rename)") {
