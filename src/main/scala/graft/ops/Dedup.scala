@@ -172,31 +172,40 @@ object Dedup {
   def dedupSpans(df: DataFrame, id: String, text: String,
                  spanLen: Int = 5, maxFreq: Int = 10): DataFrame = {
     val fdf = graft.functions.VectorFunctions.attach(df)
-    val words = fdf.select(col(id),
-      posexplode(split(col(text), " ")).as(Seq("pos", "word")))
+    // gram DIGESTS, never gram text, cross the exchanges. md5 (128-bit)
+    // deliberately: over ~10⁸ distinct grams a 64-bit hash carries real
+    // collision odds, and a collision falsely strikes a clean span
     val grams = fdf.select(col(id),
       posexplode(expr(s"graft_ngrams(split($text, ' '), $spanLen)"))
         .as(Seq("spos", "gram")))
+      .select(col(id), col("spos"), md5(col("gram")).as("gh"))
     val dup = grams
-      .groupBy(md5(col("gram")).as("gh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("gh")).agg(count(lit(1)).as("c"))
       .where(col("c") > maxFreq)
-    val covered = grams.join(broadcast(dup), md5(col("gram")) === col("gh"))
-      .select(col(id).as("__cid"),
-        explode(expr(s"sequence(spos, spos + ${spanLen - 1})")).as("cpos"))
-      .distinct()
-    words
-      .join(covered, words(id) === covered("__cid") && col("pos") === col("cpos"),
-        "left_outer")
+    // flagged SPAN STARTS collapse to one sorted array per doc
+    // (collect_set dedups inside the partial agg) — starts, NOT expanded
+    // positions: expanding to covered positions before the exchange
+    // multiplies shuffle volume by spanLen. The original words-explode ⋈
+    // covered-distinct formulation paid a corpus-wide DISTINCT plus a
+    // words-grain join plus a words-grain reassembly agg — measured 246s
+    // at the 1M probe's boilerplate-saturated worst case (200×
+    // replication flags EVERY gram) vs ~45s for this shape. Coverage and
+    // reassembly are then row-local over the doc's own split array —
+    // O(len × flagged-starts) per doc, bounded by the doc's own size
+    val cov = grams.join(broadcast(dup), Seq("gh"))
       .groupBy(col(id))
-      .agg(
-        // collect_list skips the NULL CASE branches — covered words drop
-        // out while their rows still anchor the doc's group (a doc of
-        // pure boilerplate survives as clean_text = '')
-        expr("concat_ws(' ', transform(array_sort(" +
-          "collect_list(CASE WHEN cpos IS NULL THEN struct(pos, word) END)), s -> s.word))")
-          .as("clean_text"),
-        sum(when(col("cpos").isNotNull, 1).otherwise(0)).cast("long").as("n_removed"),
-        count(lit(1)).as("n_words"))
+      .agg(sort_array(collect_set(col("spos"))).as("__ss"))
+    fdf.select(col(id), expr(s"split($text, ' ')").as("__w"))
+      .join(cov, Seq(id), "left_outer")
+      .select(col(id), col("__w"),
+        expr(s"transform(sequence(0, size(__w) - 1), " +
+          s"i -> NOT exists(coalesce(__ss, array()), s -> s <= i AND i < s + $spanLen))")
+          .as("__keep"))
+      .select(col(id),
+        expr("concat_ws(' ', filter(zip_with(__w, __keep, (w, k) -> IF(k, w, NULL)), " +
+          "x -> x IS NOT NULL))").as("clean_text"),
+        expr("cast(size(__w) - size(filter(__keep, k -> k)) AS BIGINT)").as("n_removed"),
+        expr("cast(size(__w) AS BIGINT)").as("n_words"))
   }
 
   /** DuckDB twin of [[dedupSpans]] (1-based positions; same stride-1

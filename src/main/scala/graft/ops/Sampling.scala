@@ -84,14 +84,16 @@ object Sampling {
     */
   def packSequencesSharded(df: DataFrame, id: String, text: String,
                            strata: String, budget: Int,
-                           shards: Int = 16): DataFrame = {
+                           shards: Int = 16,
+                           tokensExpr: String => String =
+                             t => s"graft_token_count($t)"): DataFrame = {
     require(shards >= 1, "shards must be positive")
     import org.apache.spark.sql.expressions.Window
     val shard = s"(${sparkStringHash(s"cast($id AS STRING)")} % $shards)"
     val w = Window.partitionBy(col(strata), col("shard")).orderBy(col(id))
     graft.functions.VectorFunctions.attach(df)
       .select(col(id), col(strata), expr(shard).as("shard"),
-        expr(s"graft_token_count($text)").as("n_tokens"))
+        expr(tokensExpr(text)).as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .withColumn("seq_id",
         expr(s"cast(floor((cum - n_tokens) / $budget.0) AS BIGINT)"))
@@ -100,9 +102,11 @@ object Sampling {
 
   def packSequencesShardedSql(table: String, id: String, text: String,
                               strata: String, budget: Int,
-                              shards: Int = 16): String = {
+                              shards: Int = 16,
+                              tokensExpr: String => String = t =>
+                                s"len(regexp_extract_all($t, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))"): String = {
     val shard = s"(${duckStringHash(s"($id)::VARCHAR")} % $shards)"
-    val ntok = s"len(regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))"
+    val ntok = tokensExpr(text)
     s"""SELECT $id, $strata, shard, n_tokens,
        |  floor((cum - n_tokens) / $budget.0)::BIGINT AS seq_id
        |FROM (

@@ -604,6 +604,18 @@ object Queries {
     // globally contiguous seq_ids within a stratum, at the price of one
     // reducer per stratum — only for jobs that NEED stratum-contiguous
     // sequence numbering and have many strata or small corpora
+    // sequence packing DENOMINATED IN BPE TOKENS — the packing a
+    // training run actually fills context windows with (word-token
+    // budgets over/under-fill by the word/BPE ratio). Same skew-free
+    // (stratum, shard) window; only the per-doc token expression changes
+    QueryDef("pipeline_pack_bpe",
+      (s, dir) => graft.ops.Sampling.packSequencesSharded(
+        t(s, dir, "documents"), "doc_id", "text", "source", budget = 2048,
+        shards = 8, tokensExpr = graft.ops.Bpe.sparkTokenCountExpr),
+      Some(graft.ops.Sampling.packSequencesShardedSql(
+        "documents", "doc_id", "text", "source", budget = 2048, shards = 8,
+        tokensExpr = graft.ops.Bpe.duckTokenCountExpr))),
+
     QueryDef("pipeline_pack_stratum",
       (s, dir) => graft.ops.Sampling.packSequences(
         t(s, dir, "documents"), "doc_id", "text", "source", budget = 2048),

@@ -1,0 +1,33 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object ProbeBpe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/probe_1m")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe] $label%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s  (rows=$n)")
+    }
+    // warm
+    docs.select(expr("graft_bpe_count(text)")).queryExecution.toRdd.count()
+    time("bpe_count scan")(docs.select(col("doc_id"), col("source"),
+      expr("graft_bpe_count(text)").as("n")).queryExecution.toRdd.count())
+    time("word_count scan")(docs.select(col("doc_id"), col("source"),
+      expr("graft_token_count(text)").as("n")).queryExecution.toRdd.count())
+    time("pack word")(graft.ops.Sampling.packSequencesSharded(
+      docs, "doc_id", "text", "source", budget = 2048, shards = 8)
+      .queryExecution.toRdd.count())
+    time("pack bpe")(graft.ops.Sampling.packSequencesSharded(
+      docs, "doc_id", "text", "source", budget = 2048, shards = 8,
+      tokensExpr = graft.ops.Bpe.sparkTokenCountExpr)
+      .queryExecution.toRdd.count())
+    spark.stop()
+  }
+}

@@ -393,6 +393,36 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("text_bpe_tokens: tokenization is a zero-shuffle compiled scan projection") {
+    val p = plan("text_bpe_tokens")
+    assert(count(p, "Exchange") == 0,
+      s"BPE tokenization must be a pure scan projection:\n$p")
+    assert(p.contains("graft_bpe"),
+      s"the hot path must run the compiled kernel, not the replace chain:\n$p")
+    assert(!p.toLowerCase.contains("udf"), s"no UDF in the token path:\n$p")
+  }
+
+  test("dedup_spans: duplicated-digest set broadcasts back; corpus shuffles only on digest-agg and doc id") {
+    val p = plan("dedup_spans")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the flagged-span set must broadcast against the gram rows:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span coverage must never be a nested-loop join:\n$p")
+    // exchanges: gram-digest partial agg (1) + its broadcast feed, the
+    // covered-position distinct, the final doc-id agg, and the word/cover
+    // join keys — bounded, never data-squared
+    assert(count(p, "HashAggregate") >= 2,
+      s"the digest count must partial-aggregate map-side:\n$p")
+  }
+
+  test("pipeline_pack_bpe: one (stratum, shard) window exchange, compiled token kernel") {
+    val p = plan("pipeline_pack_bpe")
+    assert(count(p, "Exchange") == 1,
+      s"sharded packing must shuffle exactly once, on (stratum, shard):\n$p")
+    assert(p.contains("graft_bpe_count"),
+      s"packing must count with the compiled BPE kernel:\n$p")
+  }
+
   test("join_bucketed: bucketed join + key-grained agg run with ZERO exchange") {
     // disable broadcast and AQE so the sort-merge path is forced: the
     // assertion is that bucketing alone satisfies every distribution
