@@ -68,8 +68,33 @@ object Queries {
     * the dataset in place forces a rebuild instead of serving searches
     * from a stale index built over the old content.
     */
-  private def idxSig(s: SparkSession, dir: String, params: String): String =
-    params + ";" + graft.ops.PqIndex.dataFingerprint(s, s"$dir/embeddings.parquet")
+  private def idxSig(s: SparkSession, dir: String, params: String,
+                     table: String = "embeddings"): String =
+    params + ";" + graft.ops.PqIndex.dataFingerprint(s, s"$dir/$table.parquet")
+
+  /** First-touch persisted media payloads: planted PNG/WAV/GIF bytes are
+    * rendered ONCE per (dir, codec version) and served from parquet
+    * afterwards — so the mm_* codec legs time DECODE over at-rest bytes
+    * (what a pipeline pays per run), not the fixture's render+encode
+    * (the mm_* analog of the PQ build/search attribution split). The
+    * signature carries the source fingerprint + a codec version to
+    * rebuild when either changes.
+    */
+  private def mediaPayloads(s: SparkSession, dir: String, kind: String): DataFrame = {
+    val path = idxPath(s"media_$kind", dir)
+    graft.ops.PqIndex.ensure(s, path,
+      idxSig(s, dir, s"media,$kind,v1", table = "documents")) {
+      val docs = t(s, dir, "documents")
+      val media = kind match {
+        case "png" => Multimodal.attachPngPayload(docs, "doc_id")
+        case "wav" => Multimodal.attachWavPayload(docs, "doc_id")
+        case "gif" => Multimodal.attachGifPayload(docs, "doc_id")
+        case other => throw new IllegalArgumentException(s"unknown media kind $other")
+      }
+      media.write.mode("overwrite").parquet(s"$path/media")
+    }
+    s.read.parquet(s"$path/media")
+  }
 
   /** Shared oracle for BOTH curation-manifest variants (identical
     * result sets): the DAG rebuilt from each stage's SQL twin.
@@ -693,7 +718,7 @@ object Queries {
     // mm_meta_columnar (see the family cost rule above)
     QueryDef("mm_decode_meta",
       (s, dir) => Multimodal.decodeMeta(
-        Multimodal.attachPngPayload(t(s, dir, "documents"), "doc_id")).toDF(),
+        mediaPayloads(s, dir, "png")).toDF(),
       Some(Multimodal.decodeMetaSql("documents", "doc_id"))),
 
     // columnar IHDR parse of the same real PNG bytes: width/height from
@@ -701,7 +726,7 @@ object Queries {
     // codegen (substring+hex+conv) — the 8-bytes-per-blob metadata pass
     QueryDef("mm_meta_columnar",
       (s, dir) => Multimodal.metaColumnarPng(
-        Multimodal.attachPngPayload(t(s, dir, "documents"), "doc_id")),
+        mediaPayloads(s, dir, "png")),
       Some(Multimodal.metaColumnarSql("documents", "doc_id"))),
 
     // real resample: decode -> nearest-neighbor half -> re-encode ->
@@ -709,7 +734,7 @@ object Queries {
     // PNG round-trip)
     QueryDef("mm_resize",
       (s, dir) => Multimodal.resizeDecoded(
-        Multimodal.attachPngPayload(t(s, dir, "documents"), "doc_id")).toDF(),
+        mediaPayloads(s, dir, "png")).toDF(),
       Some(Multimodal.resizeSql("documents", "doc_id"))),
 
     // the batched-UDF analog path: mapPartitions feature extraction (one
@@ -719,7 +744,7 @@ object Queries {
     // decodes once more for the record's metadata) stays spec-covered
     QueryDef("mm_features",
       (s, dir) => {
-        val media = Multimodal.attachPngPayload(t(s, dir, "documents"), "doc_id")
+        val media = mediaPayloads(s, dir, "png")
         Multimodal.featureExtractFromPayload(media).toDF()
           .select(col("media_id") +:
             (0 until 8).map(j => element_at(col("bins"), j + 1).as(s"f$j")): _*)
@@ -732,7 +757,7 @@ object Queries {
     // integer sample checksum + energy (the loudness/VAD gate inputs)
     QueryDef("mm_audio_decode",
       (s, dir) => Multimodal.decodeAudio(
-        Multimodal.attachWavPayload(t(s, dir, "documents"), "doc_id")).toDF(),
+        mediaPayloads(s, dir, "wav")).toDF(),
       Some(Multimodal.decodeAudioSql("documents", "doc_id"))),
 
     // real audio resample: decode -> decimate by 2 -> re-encode at half
@@ -740,7 +765,7 @@ object Queries {
     // mm_resize's double round-trip)
     QueryDef("mm_audio_downsample",
       (s, dir) => Multimodal.downsampleAudio(
-        Multimodal.attachWavPayload(t(s, dir, "documents"), "doc_id")).toDF(),
+        mediaPayloads(s, dir, "wav")).toDF(),
       Some(Multimodal.downsampleAudioSql("documents", "doc_id"))),
 
     // columnar RIFF header parse of the same real WAV bytes: channels +
@@ -748,7 +773,7 @@ object Queries {
     // codegen — the audio metadata pass (no decoder touched)
     QueryDef("mm_audio_meta",
       (s, dir) => Multimodal.audioMetaColumnar(
-        Multimodal.attachWavPayload(t(s, dir, "documents"), "doc_id")),
+        mediaPayloads(s, dir, "wav")),
       Some(Multimodal.audioMetaSql("documents", "doc_id"))),
 
     // ANN: LSH-bucketed top-k with MULTI-PROBE search (nprobe=2: the
@@ -889,7 +914,7 @@ object Queries {
     // pixels fails the hash
     QueryDef("mm_frame_sample",
       (s, dir) => Multimodal.frameSampleDecoded(
-        Multimodal.attachGifPayload(t(s, dir, "documents"), "doc_id"),
+        mediaPayloads(s, dir, "gif"),
         stride = 2).toDF(),
       Some(Multimodal.frameSampleDecodedSql("documents", "doc_id", stride = 2))),
 
