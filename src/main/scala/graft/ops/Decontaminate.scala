@@ -111,6 +111,72 @@ object Decontaminate {
       .select(col(id), col("n_shingles"), col("contamination"))
   }
 
+  /** Contamination REPORT — the eval-hygiene view the drop operators
+    * don't give: for every BENCHMARK item, how many corpus documents
+    * share at least one shingle with it (`n_corpus_docs`) and how many
+    * of its distinct shingles leak (`n_shingles_hit`), zero-hit items
+    * included. This is what decides whether an eval number is
+    * trustworthy and which bench items to quarantine.
+    *
+    * Scale shape: the corpus pays ONE scan and explodes ONLY ITS
+    * MATCHED shingles — each doc's sorted hash array intersects the
+    * broadcast benchmark set row-locally first (`array_intersect`), so
+    * clean docs (the vast majority) emit zero rows; the matched sliver
+    * joins the broadcast (shingle → bench item) table map-side and the
+    * only exchange is the partial-agg'd distinct count per bench item.
+    * The corpus never materializes a full (doc, shingle) row set.
+    */
+  def contaminationReport(corpus: DataFrame, bench: DataFrame,
+                          id: String, text: String, k: Int = 3): DataFrame = {
+    val attach = graft.functions.VectorFunctions.attach _
+    val benchSh = attach(bench)
+      .select(col(id).as("bench_id"),
+        explode(expr(Dedup.nativeShingleHashes(text, k))).as("h"))
+      .distinct()
+    val benchSet = benchSh.agg(sort_array(collect_set(col("h"))).as("bench_hs"))
+    val matches = attach(corpus)
+      .select(col(id).as("corpus_id"),
+        // no sort: array_intersect hashes, unlike the two-pointer kernel
+        expr(Dedup.nativeShingleHashes(text, k)).as("doc_hs"))
+      .crossJoin(broadcast(benchSet))
+      .select(col("corpus_id"),
+        explode(expr("array_intersect(doc_hs, bench_hs)")).as("h"))
+      .join(broadcast(benchSh), Seq("h"))
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("corpus_id")).as("n_corpus_docs"),
+        countDistinct(col("h")).as("n_shingles_hit"))
+    attach(bench)
+      .select(col(id).as("bench_id"),
+        expr(s"size(${Dedup.nativeShingleHashes(text, k)})").as("n_shingles"))
+      .join(matches, Seq("bench_id"), "left_outer")
+      .select(col("bench_id"), col("n_shingles"),
+        coalesce(col("n_shingles_hit"), lit(0L)).as("n_shingles_hit"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"))
+  }
+
+  /** DuckDB twin of [[contaminationReport]]. */
+  def contaminationReportSql(corpusTable: String, benchPred: String,
+                             corpusPred: String, id: String, text: String,
+                             k: Int = 3): String =
+    s"""WITH bsh AS (
+       |  SELECT DISTINCT $id AS bench_id, unnest(${Dedup.duckShingleHashes(text, k)}) AS h
+       |  FROM $corpusTable WHERE $benchPred),
+       |csh AS (
+       |  SELECT DISTINCT $id AS corpus_id, unnest(${Dedup.duckShingleHashes(text, k)}) AS h
+       |  FROM $corpusTable WHERE $corpusPred),
+       |hits AS (
+       |  SELECT b.bench_id, count(DISTINCT c.corpus_id) AS n_corpus_docs,
+       |         count(DISTINCT b.h) AS n_shingles_hit
+       |  FROM bsh b JOIN csh c ON b.h = c.h
+       |  GROUP BY b.bench_id),
+       |base AS (
+       |  SELECT $id AS bench_id, len(${Dedup.duckShingleHashes(text, k)}) AS n_shingles
+       |  FROM $corpusTable WHERE $benchPred)
+       |SELECT base.bench_id, base.n_shingles::INT AS n_shingles,
+       |  coalesce(hits.n_shingles_hit, 0)::BIGINT AS n_shingles_hit,
+       |  coalesce(hits.n_corpus_docs, 0)::BIGINT AS n_corpus_docs
+       |FROM base LEFT JOIN hits ON base.bench_id = hits.bench_id""".stripMargin
+
   /** DuckDB twin of [[cleanDocsFractional]] (`list_intersect` over the
     * distinct hash arrays ≡ the two-pointer count).
     */

@@ -943,6 +943,21 @@ object Queries {
       (s, dir) => TextAnalysis.corpusFilter(t(s, dir, "documents"), "doc_id", "text"),
       Some(TextAnalysis.corpusFilterSql("documents", "doc_id", "text"))),
 
+    // contamination REPORT — per bench item: corpus docs sharing any
+    // shingle + distinct shingles leaked, zero-hit items included. The
+    // corpus explodes only MATCHED shingles (row-local array_intersect
+    // against the broadcast set first), so clean docs emit nothing
+    QueryDef("pipeline_contamination_report",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.ops.Decontaminate.contaminationReport(
+          docs.where(col("doc_id") >= 25), docs.where(col("doc_id") < 25),
+          "doc_id", "text", k = 5)
+      },
+      Some(graft.ops.Decontaminate.contaminationReportSql("documents",
+        benchPred = "doc_id < 25", corpusPred = "doc_id >= 25",
+        "doc_id", "text", k = 5))),
+
     // skew-mitigated join: salted execution (hot keys split over `salt`
     // reducers) must produce EXACTLY the plain-join result — the oracle
     // runs the unsalted join

@@ -309,6 +309,23 @@ class PlanAuditSpec extends SparkSpec {
       s"the corpus side must not shuffle:\n$p")
   }
 
+  test("pipeline_contamination_report: corpus explodes only MATCHED shingles; bench sides broadcast") {
+    val p = plan("pipeline_contamination_report")
+    assert(!p.contains("CartesianProduct"),
+      s"the one-row bench shingle set must broadcast, never a cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the corpus probes the broadcast one-row bench set row-locally:\n$p")
+    // the ONLY explode on the corpus side feeds on array_intersect output
+    // (the matched sliver) — clean docs emit zero rows; raw shingle
+    // explodes exist only under the metadata-sized bench aggregates
+    assert(count(p, "Generate explode\\(array_intersect") == 1,
+      s"corpus must explode the intersected (matched) shingles only:\n$p")
+    assert(count(p, "Generate explode\\(graft_shingle_hashes") == 2,
+      s"raw shingle explodes belong to the two bench-side builds only:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the shingle -> bench_id attribution join must broadcast:\n$p")
+  }
+
   test("pipeline_temperature: rates broadcast back; the corpus pays one scan + filter") {
     val p = plan("pipeline_temperature")
     assert(p.contains("BroadcastHashJoin"),
