@@ -118,13 +118,19 @@ object Decontaminate {
     * included. This is what decides whether an eval number is
     * trustworthy and which bench items to quarantine.
     *
-    * Scale shape: the corpus pays ONE scan and explodes ONLY ITS
-    * MATCHED shingles — each doc's sorted hash array intersects the
-    * broadcast benchmark set row-locally first (`array_intersect`), so
-    * clean docs (the vast majority) emit zero rows; the matched sliver
-    * joins the broadcast (shingle → bench item) table map-side and the
-    * only exchange is the partial-agg'd distinct count per bench item.
-    * The corpus never materializes a full (doc, shingle) row set.
+    * Scale shape: the corpus pays ONE scan, its shingles STREAM through
+    * `posexplode`-free Generate straight into the broadcast
+    * (shingle → bench item) hash join — an O(1) probe per shingle, so
+    * the whole pass is O(total corpus shingles) regardless of benchmark
+    * size; clean shingles die map-side and the only exchange is the
+    * partial-agg'd distinct count per bench item. A row-local
+    * `array_intersect`/two-pointer probe against the full bench array
+    * (the [[cleanDocs]] shape) was measured 43× SLOWER here
+    * (`tools/ProbeContamination`, 1M docs × 100k-shingle bench: 270s vs
+    * 6.3s) — per-row work scales with the BENCH size in that shape,
+    * while the report's attribution needs shingle granularity anyway;
+    * the drop operators keep the row-local probe because their bench
+    * regime is small and they need no attribution.
     */
   def contaminationReport(corpus: DataFrame, bench: DataFrame,
                           id: String, text: String, k: Int = 3): DataFrame = {
@@ -133,14 +139,9 @@ object Decontaminate {
       .select(col(id).as("bench_id"),
         explode(expr(Dedup.nativeShingleHashes(text, k))).as("h"))
       .distinct()
-    val benchSet = benchSh.agg(sort_array(collect_set(col("h"))).as("bench_hs"))
     val matches = attach(corpus)
       .select(col(id).as("corpus_id"),
-        // no sort: array_intersect hashes, unlike the two-pointer kernel
-        expr(Dedup.nativeShingleHashes(text, k)).as("doc_hs"))
-      .crossJoin(broadcast(benchSet))
-      .select(col("corpus_id"),
-        explode(expr("array_intersect(doc_hs, bench_hs)")).as("h"))
+        explode(expr(Dedup.nativeShingleHashes(text, k))).as("h"))
       .join(broadcast(benchSh), Seq("h"))
       .groupBy(col("bench_id"))
       .agg(countDistinct(col("corpus_id")).as("n_corpus_docs"),

@@ -573,6 +573,79 @@ object Similarity {
        |WHERE round(${duckCosine("a.vec", "b.vec")}, 6) >= $threshold""".stripMargin
   }
 
+  /** SEMANTIC dedup keepers — the SemDeDup shape (public: Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): k-means over the embedding space
+    * ([[kmeansCentroids]] — deterministic hash-seeded init, so the DuckDB
+    * oracle replays it bit-for-bit), then within each cluster every
+    * cosine-ε-ball keeps ONE representative — the member LEAST similar to
+    * its own centroid (the paper's keeper choice: retain the edge of the
+    * ball, drop the redundant interior), ties to the lower id. Catches
+    * paraphrase-level redundancy that lexical MinHash and raw-vector LSH
+    * ([[embeddingDedupKeepers]], which needs near-identical vectors to
+    * share a bucket) both miss.
+    *
+    * A vector v is dropped iff a same-cluster witness u exists with
+    * cos(u, v) ≥ eps and (u.csim, u.id) <ₗₑₓ (v.csim, v.id) — the same
+    * pairwise-witness rule as the near-dup family, no transitive closure.
+    *
+    * Scale shape: centroids broadcast (assignment stays map-side; the one
+    * corpus-wide exchange is the per-vector argmax partial agg), the
+    * witness join keys on `cluster`, and the ε-test runs WITHIN clusters
+    * only — Θ(Σ cluster²), which is the published algorithm's own cost
+    * model: k grows with the corpus (the paper runs k ≈ 0.1%·N) so
+    * cluster size stays bounded. Never an all-pairs join; at 100 TB you
+    * train centroids on a sample (pass a sampled `corpus` to
+    * [[kmeansCentroids]] — same contract as IVF).
+    */
+  def semanticDedupKeepers(corpus: DataFrame, idCol: String, vecCol: String,
+                           nClusters: Int = 8, iters: Int = 2,
+                           eps: Double = 0.95): DataFrame = {
+    val base = Par.floor(withCosine(corpus), col(idCol))
+      .select(col(idCol).as("v_id"), col(vecCol).as("vec"))
+    val cent = broadcast(kmeansCentroids(corpus, idCol, vecCol, nClusters, iters))
+    // csim (sim to OWN centroid) decides the keeper; recompute it against
+    // the broadcast centroid set — assignment's argmax already paid it,
+    // but re-deriving map-side beats carrying it through the partial agg
+    val assigned = Caches.lease(
+      assignClusters(base, cent)
+        .join(cent.select(col("cent_id"), col("c_vec")), col("cluster") === col("cent_id"))
+        .withColumn("csim", round(expr(nativeCosine("vec", "c_vec")), 6))
+        .select(col("v_id"), col("vec"), col("cluster"), col("csim")))
+    val witnesses = assigned.select(col("v_id").as("u_id"),
+      col("vec").as("u_vec"), col("cluster"), col("csim").as("u_csim"))
+    val dropped = assigned.join(witnesses, Seq("cluster"))
+      .where(col("u_id") =!= col("v_id"))
+      .where(col("u_csim") < col("csim") ||
+        (col("u_csim") === col("csim") && col("u_id") < col("v_id")))
+      .where(round(expr(nativeCosine("vec", "u_vec")), 6) >= eps)
+      .select(col("v_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.join(dropped, Seq("v_id"), "left_outer")
+      .select(col("v_id").as(idCol), col("cluster"), col("csim"),
+        col("is_dup").isNull.as("keep"))
+  }
+
+  /** DuckDB twin of [[semanticDedupKeepers]] — replays the same k-means
+    * CTEs, centroid-sim keeper priority, and ε-ball witness rule.
+    */
+  def semanticDedupKeepersSql(table: String, idCol: String, vecCol: String,
+                              nClusters: Int = 8, iters: Int = 2,
+                              eps: Double = 0.95): String =
+    s"""WITH ${kmeansCtes(table, idCol, vecCol, nClusters, iters)},
+       |cs AS (
+       |  SELECT a.v_id, a.vec, a.cluster,
+       |         round(${duckCosine("a.vec", "c.c_vec")}, 6) AS csim
+       |  FROM a JOIN cent$iters c ON a.cluster = c.cent_id),
+       |d AS (
+       |  SELECT DISTINCT v.v_id
+       |  FROM cs v JOIN cs u ON v.cluster = u.cluster AND u.v_id <> v.v_id
+       |  WHERE (u.csim < v.csim OR (u.csim = v.csim AND u.v_id < v.v_id))
+       |    AND round(${duckCosine("v.vec", "u.vec")}, 6) >= $eps)
+       |SELECT cs.v_id AS $idCol, cs.cluster, cs.csim,
+       |       d.v_id IS NULL AS keep
+       |FROM cs LEFT JOIN d ON cs.v_id = d.v_id""".stripMargin
+
   // ================= int8 scalar quantization ============================
 
   /** Symmetric per-vector int8 scalar quantization: scale = max|x| / 127

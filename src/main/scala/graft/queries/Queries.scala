@@ -587,6 +587,36 @@ object Queries {
         t(s, dir, "embeddings"), "vec_id", "embedding"),
       Some(Similarity.embeddingDedupKeepersSql("embeddings", "vec_id", "embedding"))),
 
+    // SEMANTIC dedup (SemDeDup shape): k-means cluster -> within-cluster
+    // cosine ε-ball -> keep the member least similar to its centroid.
+    // Planted exact copies (+1000) and a dim-0 perturbation (+2000) give
+    // the ε-balls; the rest of the corpus must come back keep=true
+    QueryDef("embed_dedup_semantic",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val exact = emb.where(col("vec_id") < 3)
+          .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+        val near = emb.where(col("vec_id") >= 3 && col("vec_id") < 5)
+          .select((col("vec_id") + 2000).as("vec_id"),
+            expr("transform(embedding, (x, i) -> " +
+              "IF(i = 0, cast(cast(x AS DOUBLE) * 1.25D AS FLOAT), x))")
+              .as("embedding"))
+        Similarity.semanticDedupKeepers(
+          emb.unionByName(exact).unionByName(near),
+          "vec_id", "embedding", nClusters = 8, iters = 2, eps = 0.95)
+      },
+      Some(Similarity.semanticDedupKeepersSql(
+        """(SELECT vec_id, embedding FROM embeddings
+          | UNION ALL
+          | SELECT vec_id + 1000, embedding FROM embeddings WHERE vec_id < 3
+          | UNION ALL
+          | SELECT vec_id + 2000,
+          |   list_transform(generate_series(1, len(embedding)),
+          |     i -> CASE WHEN i = 1 THEN CAST(embedding[1]::DOUBLE * 1.25 AS REAL)
+          |          ELSE embedding[i] END)
+          | FROM embeddings WHERE vec_id >= 3 AND vec_id < 5)""".stripMargin,
+        "vec_id", "embedding", nClusters = 8, iters = 2, eps = 0.95))),
+
     // ================= text analysis =====================================
 
     QueryDef("text_langid",
@@ -945,8 +975,9 @@ object Queries {
 
     // contamination REPORT — per bench item: corpus docs sharing any
     // shingle + distinct shingles leaked, zero-hit items included. The
-    // corpus explodes only MATCHED shingles (row-local array_intersect
-    // against the broadcast set first), so clean docs emit nothing
+    // corpus streams its shingles through the broadcast (shingle ->
+    // bench item) hash join — O(1) per shingle regardless of bench size
+    // (tools/ProbeContamination: 43x over a row-local intersect probe)
     QueryDef("pipeline_contamination_report",
       (s, dir) => {
         val docs = t(s, dir, "documents")

@@ -309,21 +309,32 @@ class PlanAuditSpec extends SparkSpec {
       s"the corpus side must not shuffle:\n$p")
   }
 
-  test("pipeline_contamination_report: corpus explodes only MATCHED shingles; bench sides broadcast") {
+  test("pipeline_contamination_report: corpus shingles stream into a broadcast hash join") {
     val p = plan("pipeline_contamination_report")
-    assert(!p.contains("CartesianProduct"),
-      s"the one-row bench shingle set must broadcast, never a cartesian:\n$p")
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"the corpus probes the broadcast one-row bench set row-locally:\n$p")
-    // the ONLY explode on the corpus side feeds on array_intersect output
-    // (the matched sliver) — clean docs emit zero rows; raw shingle
-    // explodes exist only under the metadata-sized bench aggregates
-    assert(count(p, "Generate explode\\(array_intersect") == 1,
-      s"corpus must explode the intersected (matched) shingles only:\n$p")
-    assert(count(p, "Generate explode\\(graft_shingle_hashes") == 2,
-      s"raw shingle explodes belong to the two bench-side builds only:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no per-row probe of a full bench array — O(1)-per-shingle hash join only:\n$p")
     assert(p.contains("BroadcastHashJoin"),
-      s"the shingle -> bench_id attribution join must broadcast:\n$p")
+      s"the (shingle -> bench_id) attribution table must broadcast:\n$p")
+    // corpus + bench build + bench base: three shingle explodes, all
+    // streaming Generates — the corpus one feeds the broadcast probe
+    // directly, so clean shingles die map-side before any exchange
+    assert(count(p, "Generate explode\\(graft_shingle_hashes") == 2,
+      s"exactly two streaming shingle explodes (corpus + bench build):\n$p")
+    assert(!p.contains("SortMergeJoin") ||
+      p.indexOf("SortMergeJoin") < p.indexOf("BroadcastHashJoin"),
+      s"the corpus side must never sort-merge against the shingle table:\n$p")
+  }
+
+  test("embed_dedup_semantic: centroids broadcast; the ε-ball witness join keys on cluster") {
+    val p = plan("embed_dedup_semantic")
+    assert(!p.contains("CartesianProduct"),
+      s"assignment must probe the broadcast centroid set, never a cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"corpus x centroids must be a broadcast nested-loop (map-side argmax feed):\n$p")
+    // the pairwise ε-test must stay WITHIN clusters: a keyed join on
+    // `cluster`, never an all-pairs corpus join
+    assert(count(p, "hashpartitioning\\(cluster#\\d+") >= 1,
+      s"the witness join must exchange on cluster (bounded Θ(Σ cluster²) by design):\n$p")
   }
 
   test("pipeline_temperature: rates broadcast back; the corpus pays one scan + filter") {
