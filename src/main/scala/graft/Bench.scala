@@ -60,6 +60,12 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3).max(1)
     val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     for (_ <- 1 to reps; (name, fn) <- queries) {
+      // Collect the PREVIOUS query's garbage before starting the clock:
+      // the heavy index-build/recall queries leave GB-scale young-gen
+      // debris whose collection otherwise lands inside whichever query
+      // runs next — measured 3.7x inflation on mm_resize (1.4s isolated
+      // vs 5.4s interleaved) purely from inherited heap pressure.
+      System.gc()
       val t0 = System.nanoTime()
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }
       val t = (System.nanoTime() - t0) / 1e9

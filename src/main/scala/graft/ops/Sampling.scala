@@ -257,6 +257,95 @@ object Sampling {
        |        FROM $table) s) t
        |WHERE cum_tokens <= $budget""".stripMargin
 
+  /** PER-STRATUM token budgets — the data-MIXING form of
+    * [[selectByTokenBudget]]: each stratum (source/domain/language) gets
+    * its own token allocation, filled best-score-first within the
+    * stratum. This is how a real pretraining mix is assembled (fixed
+    * token counts per domain), not one global budget.
+    *
+    * Same two-pass distributed prefix sum, generalized to a keyed one:
+    * range-partition on (stratum, score desc, id) — each stratum spans a
+    * CONTIGUOUS run of ranges, so (pass 1) the collected per-(range,
+    * stratum) totals (≤ nRanges + #strata rows, metadata-sized) give an
+    * exclusive per-stratum offset for every range, and (pass 2) each
+    * partition streams, re-basing its running sum at every (range,
+    * stratum) transition. One shuffle, no SinglePartition window, and —
+    * unlike a `sum over (partition by stratum)` window — no stratum ever
+    * funnels through a single reducer: a hot stratum spreads over as
+    * many ranges as its row share demands.
+    */
+  def selectByTokenBudgetStratified(scored: DataFrame, id: String,
+                                    strataCol: String, scoreCol: String,
+                                    tokensCol: String,
+                                    budgets: Map[String, Long],
+                                    defaultBudget: Long,
+                                    nRanges: Int = 32): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val sorted = scored
+      .select(col(strataCol).cast("string"), col(id).cast("long"),
+        col(scoreCol).cast("double"), col(tokensCol).cast("long"))
+      .repartitionByRange(nRanges, col(strataCol).asc, col(scoreCol).desc, col(id).asc)
+      .sortWithinPartitions(col(strataCol).asc, col(scoreCol).desc, col(id).asc)
+      .as[(String, Long, Double, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        it.map { case (st, i, sc, tk) => (st, i, sc, tk, pid) }
+      }
+      .toDF(strataCol, id, scoreCol, "n_tokens", "pid")
+      .localCheckpoint(true) // stamp + freeze pids (see selectByTokenBudget)
+    // pass 1: per-(range, stratum) totals — metadata-sized
+    val totals = sorted.groupBy(col("pid"), col(strataCol))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val prefix: Map[(Int, String), Long] = totals.groupBy(_._2).flatMap {
+      case (st, rows) =>
+        val byPid = rows.sortBy(_._1)
+        byPid.map(_._1).zip(byPid.map(_._3).scanLeft(0L)(_ + _))
+          .map { case (pid, off) => (pid, st) -> off }
+    }
+    val bcPrefix = spark.sparkContext.broadcast(prefix)
+    val bcBudgets = spark.sparkContext.broadcast(budgets)
+    // pass 2: rows of one (pid, stratum) are contiguous and sorted; every
+    // transition re-bases the running sum from the broadcast offsets
+    sorted.as[(String, Long, Double, Long, Int)].mapPartitions { it =>
+      var curSt: String = null
+      var curPid = -1
+      var run = 0L
+      it.flatMap { case (st, i, sc, tk, pid) =>
+        if (pid != curPid || st != curSt) {
+          curPid = pid; curSt = st
+          run = bcPrefix.value.getOrElse((pid, st), 0L)
+        }
+        run += tk
+        if (run <= bcBudgets.value.getOrElse(st, defaultBudget)) {
+          Some((st, i, sc, tk, run))
+        } else None
+      }
+    }.toDF(strataCol, id, scoreCol, "n_tokens", "cum_tokens")
+  }
+
+  /** DuckDB twin of [[selectByTokenBudgetStratified]] — the keyed-window
+    * formulation the distributed keyed prefix sum must reproduce.
+    */
+  def selectByTokenBudgetStratifiedSql(table: String, id: String,
+                                       strataCol: String, scoreExpr: String,
+                                       tokensExpr: String,
+                                       budgets: Map[String, Long],
+                                       defaultBudget: Long): String = {
+    val cases = budgets.toSeq.sortBy(_._1)
+      .map { case (st, b) => s"WHEN '$st' THEN $b" }.mkString(" ")
+    s"""SELECT $strataCol, $id, score, n_tokens, cum_tokens FROM (
+       |  SELECT $strataCol, $id, score, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY $strataCol
+       |                             ORDER BY score DESC, $id ASC
+       |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM (SELECT $strataCol, $id, $scoreExpr AS score,
+       |               ($tokensExpr)::BIGINT AS n_tokens
+       |        FROM $table) s) t
+       |WHERE cum_tokens <= CASE $strataCol $cases ELSE $defaultBudget END""".stripMargin
+  }
+
   def stratifiedSampleSql(table: String, id: String, strata: String,
                           rates: Map[String, Double],
                           default: Double): String = {

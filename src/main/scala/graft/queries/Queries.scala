@@ -711,6 +711,25 @@ object Queries {
         graft.ops.Bpe.duckTokenCountExpr("text"),
         budget = 40000))),
 
+    // the data-MIXING form: per-source token allocations (src0 starved,
+    // src1 unconstrained, everything else on the default) filled
+    // best-score-first within each stratum — keyed two-pass prefix sum,
+    // no SinglePartition window, no per-stratum reducer funnel
+    QueryDef("pipeline_token_budget_mix",
+      (s, dir) => graft.ops.Sampling.selectByTokenBudgetStratified(
+        graft.functions.VectorFunctions.attach(t(s, dir, "documents"))
+          .select(col("doc_id"), col("source"),
+            expr(TextAnalysis.stopwordRatioExpr("text")).as("score"),
+            expr("graft_token_count(text)").as("n_toks")),
+        "doc_id", "source", "score", "n_toks",
+        budgets = Map("src0" -> 400L, "src1" -> 1000000L),
+        defaultBudget = 800L),
+      Some(graft.ops.Sampling.selectByTokenBudgetStratifiedSql("documents",
+        "doc_id", "source", TextAnalysis.duckStopwordRatioExpr("text"),
+        "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))",
+        budgets = Map("src0" -> 400L, "src1" -> 1000000L),
+        defaultBudget = 800L))),
+
     // document chunking for embedding pipelines: overlapping token
     // windows (32 tokens, stride 24), chunk content witnessed by one
     // portable hash of the joined tokens per chunk — pure projection +

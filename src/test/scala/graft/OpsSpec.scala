@@ -204,6 +204,26 @@ class OpsSpec extends SparkSpec {
     assert(coalesced.toSeq === want, "coalesce must not restart range offsets")
   }
 
+  test("stratified token budget: each stratum fills its own allocation, keyed prefix sum") {
+    // two strata interleaved by id; scores descending within each; ranges
+    // forced small so strata SPAN range boundaries (the offset re-basing
+    // path) — a: budget 60 cuts mid-stratum; b: default budget keeps all
+    val rows = (0 until 10).map { i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", 100.0 - i, 10L + i)
+    }
+    val df = rows.toDF("doc_id", "source", "score", "n_toks")
+    val out = graft.ops.Sampling.selectByTokenBudgetStratified(df, "doc_id",
+        "source", "score", "n_toks",
+        budgets = Map("a" -> 60L), defaultBudget = 1000L, nRanges = 3)
+      .select($"doc_id", $"cum_tokens").as[(Long, Long)].collect().sorted
+    // stratum a = docs 0,2,4,6,8 (toks 10,12,14,16,18): cumsum 10,22,36,52,70
+    //   -> keeps 0,2,4,6 (52 <= 60), drops 8
+    // stratum b = docs 1,3,5,7,9 (toks 11,13,15,17,19): all kept, cums 11,24,39,56,75
+    val want = Seq((0L, 10L), (1L, 11L), (2L, 22L), (3L, 24L),
+      (4L, 36L), (5L, 39L), (6L, 52L), (7L, 56L), (9L, 75L))
+    assert(out.toSeq === want)
+  }
+
   test("document chunking: window boundaries, overlap, tail chunk, empty doc") {
     val docs = Seq(
       // 40 pure-alpha tokens (digits would split under the alternation)
