@@ -218,4 +218,33 @@ object Decontaminate {
        |SELECT c.$id, len(c.doc_hs) AS n_shingles
        |FROM corpus c, bench_hs b
        |WHERE NOT list_has_any(c.doc_hs, b.hs)""".stripMargin
+
+  /** STREAMING ingest-time decontamination guard — [[cleanDocs]] for the
+    * daily-crawl shape: the benchmark set is STATIC (eval sets change
+    * rarely), so it is reduced ONCE to its sorted hash array and embedded
+    * as a literal; the stream side stays a pure stateless
+    * projection+filter (no stream-static join, no state store), which
+    * means it composes with any watermark/dedup stage downstream and
+    * restarts from a checkpoint with zero recovery cost.
+    *
+    * The one driver-side collect is the benchmark reduction — metadata-
+    * sized by the same argument as [[cleanDocs]]'s broadcast (eval sets
+    * are thousands of docs, not corpora). Same keep/drop rule as
+    * [[cleanDocs]]: any shared shingle drops the doc; sub-k-word docs
+    * carry no evidence and pass.
+    */
+  def cleanDocsStreaming(corpusStream: DataFrame, bench: DataFrame,
+                         id: String, text: String, k: Int = 3): DataFrame = {
+    val attach = graft.functions.VectorFunctions.attach _
+    val benchHs: Array[Long] = attach(bench)
+      .select(explode(expr(Dedup.nativeShingleHashes(text, k))).as("h"))
+      .distinct().orderBy(col("h"))
+      .collect().map(_.getLong(0))
+    attach(corpusStream)
+      .withColumn("doc_hs",
+        expr(s"sort_array(${Dedup.nativeShingleHashes(text, k)})"))
+      .withColumn("__bench", typedLit(benchHs))
+      .where(expr("graft_intersect_count(doc_hs, __bench) = 0"))
+      .select(col(id), size(col("doc_hs")).as("n_shingles"))
+  }
 }

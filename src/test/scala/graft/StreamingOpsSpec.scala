@@ -83,6 +83,26 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination guard: bench-overlapping docs drop in-flight, clean and sub-k docs pass") {
+    implicit val sq = spark.sqlContext
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val docs = MemoryStream[(Long, String)]
+    val out = graft.ops.Decontaminate.cleanDocsStreaming(
+      docs.toDF().toDF("doc_id", "text"), bench, "doc_id", "text", k = 3)
+    val q = out.writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").start()
+    try {
+      docs.addData(
+        (1L, "totally unrelated content about databases and sparks"), // clean
+        (2L, "he saw the quick brown fox jumps far away"),            // leaks a bench shingle
+        (3L, "tiny doc"))                                             // < k words: no evidence
+      q.processAllAvailable()
+      val kept = spark.table("decon_stream").select($"doc_id").as[Long].collect().sorted
+      assert(kept.toSeq === Seq(1L, 3L), "bench-overlapping doc 2 must drop; sub-k doc 3 passes")
+    } finally q.stop()
+  }
+
   test("streaming ANN: query-vector stream gets bounded-heap top-k against the static corpus") {
     implicit val sq = spark.sqlContext
     val corpus = Seq(
