@@ -65,7 +65,8 @@ object Bench {
       // debris whose collection otherwise lands inside whichever query
       // runs next — measured 3.7x inflation on mm_resize (1.4s isolated
       // vs 5.4s interleaved) purely from inherited heap pressure.
-      System.gc()
+      // SPARK_GRAFT_GC=0 disables (A/B attribution knob).
+      if (sys.env.getOrElse("SPARK_GRAFT_GC", "1") != "0") System.gc()
       val t0 = System.nanoTime()
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }
       val t = (System.nanoTime() - t0) / 1e9

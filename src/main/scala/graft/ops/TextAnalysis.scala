@@ -158,6 +158,70 @@ object TextAnalysis {
   def hofFingerprintExpr(text: String): String =
     sparkFoldHashes(sparkHashArrayOf(s"split($text, ' ')"))
 
+  /** WINNOWING fingerprints (public algorithm: Schleimer, Wilkerson,
+    * Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — the MOSS selector): hash every POSITIONAL word
+    * k-gram, slide a window of `w` consecutive gram hashes, select each
+    * window's minimum — any shared substring of ≥ w+k-1 words between
+    * two documents is GUARANTEED to share at least one selected
+    * fingerprint, at ~2/(w+1) the density of the full gram set. The
+    * partial-copy detection primitive that whole-doc digests
+    * ([[fingerprint]]) and bag-of-shingles MinHash both miss.
+    *
+    * Divergence from the paper, documented: plain per-window min with a
+    * set-dedup, not the rightmost-min tie rule (which only tightens
+    * worst-case density; selection guarantees are unchanged). Docs with
+    * fewer grams than `w` contribute one window over what they have;
+    * gram-less docs (< k words) emit zero fingerprints.
+    *
+    * Zero-shuffle scan: grams, window minima, dedup, and the checksum
+    * all row-local. The fingerprint SET is emitted as (count, fold
+    * checksum) — scalar columns; the raw set feeds a (fingerprint →
+    * doc) inverted index via posexplode when pair-finding is the goal.
+    */
+  /** The raw (gram hashes, fingerprint set) pairs behind [[winnow]] —
+    * the inverted-index feed (posexplode `fingerprints` → (fp, doc)
+    * postings) and the spec surface for the selection guarantee.
+    */
+  def winnowSets(df: DataFrame, id: String, text: String,
+                 k: Int = 3, w: Int = 4): DataFrame =
+    graft.functions.VectorFunctions.attach(df)
+      .withColumn("gram_hashes",
+        expr(sparkHashArrayOf(s"graft_ngrams(split($text, ' '), $k)")))
+      .withColumn("fingerprints", expr(
+        s"IF(size(gram_hashes) = 0, cast(array() AS ARRAY<BIGINT>), " +
+          s"array_sort(array_distinct(transform(" +
+          s"sequence(1, greatest(size(gram_hashes) - ${w - 1}, 1)), " +
+          s"i -> array_min(slice(gram_hashes, i, $w))))))"))
+
+  def winnow(df: DataFrame, id: String, text: String,
+             k: Int = 3, w: Int = 4): DataFrame =
+    winnowSets(df, id, text, k, w)
+      .select(col(id),
+        size(col("gram_hashes")).as("n_grams"),
+        size(col("fingerprints")).as("n_fingerprints"),
+        expr(sparkFoldHashes("fingerprints")).as("fp_checksum"))
+
+  /** DuckDB twin of [[winnow]] — same positional grams, H, window
+    * minima, dedup, and fold checksum.
+    */
+  def winnowSql(table: String, id: String, text: String,
+                k: Int = 3, w: Int = 4): String = {
+    val words = s"string_split($text, ' ')"
+    val parts = (0 until k).map(j => s"$words[i + $j]").mkString(" || ' ' || ")
+    val grams =
+      s"list_transform(generate_series(1, len($words) - ${k - 1}), i -> $parts)"
+    s"""SELECT $id, len(gh)::INT AS n_grams, len(fp)::INT AS n_fingerprints,
+       |       ${duckFoldHashes("fp")} AS fp_checksum
+       |FROM (
+       |  SELECT $id, gh,
+       |    CASE WHEN len(gh) = 0 THEN []::BIGINT[]
+       |         ELSE list_sort(list_distinct(list_transform(
+       |           generate_series(1, greatest(len(gh) - ${w - 1}, 1)),
+       |           i -> list_min(gh[i:i+${w - 1}])))) END AS fp
+       |  FROM (SELECT $id, ${duckHashArrayOf(grams)} AS gh FROM $table))""".stripMargin
+  }
+
   def fingerprintSql(table: String, id: String, text: String): String = {
     val wordHashes = duckHashArrayOf(s"string_split($text, ' ')")
     s"SELECT $id, ${duckFoldHashes(wordHashes)} AS fingerprint FROM $table"

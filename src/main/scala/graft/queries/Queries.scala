@@ -635,6 +635,13 @@ object Queries {
       (s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text"),
       Some(TextAnalysis.fingerprintSql("documents", "doc_id", "text"))),
 
+    // winnowing fingerprints (MOSS selector): per-window min over
+    // positional gram hashes — the partial-copy detection primitive;
+    // zero-shuffle scan, set emitted as (count, fold checksum)
+    QueryDef("text_winnow",
+      (s, dir) => TextAnalysis.winnow(t(s, dir, "documents"), "doc_id", "text"),
+      Some(TextAnalysis.winnowSql("documents", "doc_id", "text"))),
+
     QueryDef("pipeline_sample",
       (s, dir) => graft.ops.Sampling.stratifiedSample(
         t(s, dir, "documents"), "doc_id", "source",

@@ -224,6 +224,32 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq === want)
   }
 
+  test("winnowing: shared >= w+k-1 word substring guarantees a shared fingerprint; density drops; short-doc edges") {
+    // k=3, w=4: guarantee threshold = w+k-1 = 6 shared words
+    val shared = "zebra quilt onyx vapor lunar grove" // 6 words, unique tokens
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $shared epsilon eta theta iota"),
+      (2L, s"one two three $shared four five six seven eight nine"),
+      (3L, "completely different words with no overlap at all here now"),
+      (4L, "only two"),                 // < k words: no grams
+      (5L, "just four small words")     // 2 grams < w: one window
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.winnowSets(docs, "doc_id", "text")
+      .select($"doc_id", $"gram_hashes", $"fingerprints")
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._2.toSet.intersect(got(2L)._2.toSet).nonEmpty,
+      "docs sharing a 6-word substring must share at least one fingerprint")
+    assert(got(1L)._2.toSet.intersect(got(3L)._2.toSet).isEmpty,
+      "disjoint docs must not collide")
+    assert(got(1L)._2.size < got(1L)._1.size,
+      "selection must be denser than 1:1 over grams")
+    assert(got(4L)._1.isEmpty && got(4L)._2.isEmpty, "sub-k doc: no grams, no fingerprints")
+    assert(got(5L)._1.size == 2 && got(5L)._2.size == 1 &&
+      got(5L)._2.head == got(5L)._1.min,
+      "fewer grams than w: one window over all grams, min selected")
+  }
+
   test("document chunking: window boundaries, overlap, tail chunk, empty doc") {
     val docs = Seq(
       // 40 pure-alpha tokens (digits would split under the alternation)
