@@ -202,6 +202,63 @@ object TextAnalysis {
         size(col("fingerprints")).as("n_fingerprints"),
         expr(sparkFoldHashes("fingerprints")).as("fp_checksum"))
 
+  /** Partial-copy candidate PAIRS over the winnowing fingerprints: the
+    * inverted-index shape — posexplode each doc's fingerprint set into
+    * (fp, doc) postings, join postings on fp, count shared fingerprints
+    * per pair, keep pairs sharing ≥ `minShared`. Two docs containing any
+    * common run of ≥ w+k-1 words are guaranteed candidates (the
+    * [[winnow]] selection guarantee); ranking by `n_shared` orders by
+    * extent of copying.
+    *
+    * Scale shape: the join keys on the FINGERPRINT (the exchange carries
+    * (fp, doc_id) longs, never text), so cost is Θ(Σ posting-list²) —
+    * bounded the same way LSH bucket joins are: winnowing keeps ~2/(w+1)
+    * of grams, and a fingerprint shared by half the corpus is a
+    * boilerplate artifact to dedup BEFORE pair-finding (the
+    * `maxPostings` guard drops such degenerate lists, exactly like the
+    * frequent-line threshold in dedup_lines).
+    */
+  def winnowPairs(df: DataFrame, id: String, text: String,
+                  k: Int = 3, w: Int = 4, minShared: Int = 2,
+                  maxPostings: Int = 1000): DataFrame = {
+    val posts = winnowSets(df, id, text, k, w)
+      .select(col(id).as("d"), explode(col("fingerprints")).as("fp"))
+    val bounded = posts.withColumn("cnt",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .where(col("cnt") <= maxPostings).drop("cnt")
+    bounded.select(col("d").as("a_id"), col("fp"))
+      .join(bounded.select(col("d").as("b_id"), col("fp")), Seq("fp"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** DuckDB twin of [[winnowPairs]]. */
+  def winnowPairsSql(table: String, id: String, text: String,
+                     k: Int = 3, w: Int = 4, minShared: Int = 2,
+                     maxPostings: Int = 1000): String = {
+    val words = s"string_split($text, ' ')"
+    val parts = (0 until k).map(j => s"$words[i + $j]").mkString(" || ' ' || ")
+    val grams =
+      s"list_transform(generate_series(1, len($words) - ${k - 1}), i -> $parts)"
+    s"""WITH fps AS (
+       |  SELECT $id AS d,
+       |    CASE WHEN len(gh) = 0 THEN []::BIGINT[]
+       |         ELSE list_distinct(list_transform(
+       |           generate_series(1, greatest(len(gh) - ${w - 1}, 1)),
+       |           i -> list_min(gh[i:i+${w - 1}]))) END AS fp_set
+       |  FROM (SELECT $id, ${duckHashArrayOf(grams)} AS gh FROM $table)),
+       |posts AS (SELECT d, unnest(fp_set) AS fp FROM fps),
+       |bounded AS (
+       |  SELECT d, fp FROM (
+       |    SELECT d, fp, count(*) OVER (PARTITION BY fp) AS cnt FROM posts)
+       |  WHERE cnt <= $maxPostings)
+       |SELECT a.d AS a_id, b.d AS b_id, count(*) AS n_shared
+       |FROM bounded a JOIN bounded b ON a.fp = b.fp AND a.d < b.d
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared""".stripMargin
+  }
+
   /** DuckDB twin of [[winnow]] — same positional grams, H, window
     * minima, dedup, and fold checksum.
     */

@@ -642,6 +642,25 @@ object Queries {
       (s, dir) => TextAnalysis.winnow(t(s, dir, "documents"), "doc_id", "text"),
       Some(TextAnalysis.winnowSql("documents", "doc_id", "text"))),
 
+    // partial-copy pair-finding over the winnow fingerprints (inverted
+    // index: postings join on fp, never on text). Planted partial copies
+    // (+100000: original text with an appended tail) make the guarantee
+    // observable: every planted pair must surface
+    QueryDef("text_winnow_pairs",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val planted = docs.where(col("doc_id") < 3)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" extra tail words appended here")).as("text"))
+        TextAnalysis.winnowPairs(docs.unionByName(planted), "doc_id", "text")
+      },
+      Some(TextAnalysis.winnowPairsSql(
+        """(SELECT doc_id, text FROM documents
+          | UNION ALL
+          | SELECT doc_id + 100000, text || ' extra tail words appended here'
+          | FROM documents WHERE doc_id < 3)""".stripMargin,
+        "doc_id", "text"))),
+
     QueryDef("pipeline_sample",
       (s, dir) => graft.ops.Sampling.stratifiedSample(
         t(s, dir, "documents"), "doc_id", "source",

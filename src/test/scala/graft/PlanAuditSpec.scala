@@ -325,6 +325,16 @@ class PlanAuditSpec extends SparkSpec {
       s"the corpus side must never sort-merge against the shingle table:\n$p")
   }
 
+  test("text_winnow_pairs: postings join keys on the fingerprint; text never reaches the exchange") {
+    val p = plan("text_winnow_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair-finding must be the keyed postings join, never all-pairs:\n$p")
+    assert(count(p, "hashpartitioning\\(fp#\\d+") >= 1,
+      s"the postings exchange keys on fp (longs only):\n$p")
+    assert(!p.matches("(?s).*Exchange[^\\n]*text#.*"),
+      s"no exchange may carry the text column:\n$p")
+  }
+
   test("embed_dedup_semantic: centroids broadcast; the ε-ball witness join keys on cluster") {
     val p = plan("embed_dedup_semantic")
     assert(!p.contains("CartesianProduct"),
