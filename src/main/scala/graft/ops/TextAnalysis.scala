@@ -179,28 +179,53 @@ object TextAnalysis {
     * checksum) — scalar columns; the raw set feeds a (fingerprint →
     * doc) inverted index via posexplode when pair-finding is the goal.
     */
+  private def winnowGramHashesExpr(text: String, k: Int): String =
+    sparkHashArrayOf(s"graft_ngrams(split($text, ' '), $k)")
+
+  /** The fingerprint selection over a BOUND gram-hash array variable.
+    * `gv` must be a let1/lambda variable, NEVER the raw gram-hash
+    * expression: `slice(gv, i, w)` sits inside a per-window lambda, and
+    * CollapseProject happily substitutes a referenced projection column
+    * into it — re-hashing every gram PER WINDOW, O(n²·md5) per doc
+    * (observed as a 1M-doc probe that never finished; with the let1
+    * binding the same probe passes in seconds-class time).
+    */
+  private def winnowFpBody(gv: String, w: Int): String =
+    s"IF(size($gv) = 0, cast(array() AS ARRAY<BIGINT>), " +
+      s"array_sort(array_distinct(transform(" +
+      s"sequence(1, greatest(size($gv) - ${w - 1}, 1)), " +
+      s"i -> array_min(slice($gv, i, $w))))))"
+
   /** The raw (gram hashes, fingerprint set) pairs behind [[winnow]] —
     * the inverted-index feed (posexplode `fingerprints` → (fp, doc)
-    * postings) and the spec surface for the selection guarantee.
+    * postings) and the spec surface for the selection guarantee. Each
+    * output column is a SELF-CONTAINED let1-bound expression (gram
+    * hashing runs once per column, O(n) — see [[winnowFpBody]] for why a
+    * shared projection column would go quadratic under CollapseProject).
     */
   def winnowSets(df: DataFrame, id: String, text: String,
-                 k: Int = 3, w: Int = 4): DataFrame =
+                 k: Int = 3, w: Int = 4): DataFrame = {
+    val gh = winnowGramHashesExpr(text, k)
     graft.functions.VectorFunctions.attach(df)
-      .withColumn("gram_hashes",
-        expr(sparkHashArrayOf(s"graft_ngrams(split($text, ' '), $k)")))
-      .withColumn("fingerprints", expr(
-        s"IF(size(gram_hashes) = 0, cast(array() AS ARRAY<BIGINT>), " +
-          s"array_sort(array_distinct(transform(" +
-          s"sequence(1, greatest(size(gram_hashes) - ${w - 1}, 1)), " +
-          s"i -> array_min(slice(gram_hashes, i, $w))))))"))
+      .select(col(id),
+        expr(gh).as("gram_hashes"),
+        expr(let1("__gh", gh, winnowFpBody("__gh", w))).as("fingerprints"))
+  }
 
   def winnow(df: DataFrame, id: String, text: String,
-             k: Int = 3, w: Int = 4): DataFrame =
-    winnowSets(df, id, text, k, w)
+             k: Int = 3, w: Int = 4): DataFrame = {
+    val gh = winnowGramHashesExpr(text, k)
+    val fp = let1("__gh", gh, winnowFpBody("__gh", w))
+    graft.functions.VectorFunctions.attach(df)
       .select(col(id),
-        size(col("gram_hashes")).as("n_grams"),
-        size(col("fingerprints")).as("n_fingerprints"),
-        expr(sparkFoldHashes("fingerprints")).as("fp_checksum"))
+        expr(s"size($gh)").as("n_grams"),
+        expr(let1("__fp", fp,
+          s"named_struct('n', size(__fp), 'c', ${sparkFoldHashes("__fp")})"))
+          .as("__nf"))
+      .select(col(id), col("n_grams"),
+        col("__nf.n").as("n_fingerprints"),
+        col("__nf.c").as("fp_checksum"))
+  }
 
   /** Partial-copy candidate PAIRS over the winnowing fingerprints: the
     * inverted-index shape — posexplode each doc's fingerprint set into
@@ -217,6 +242,13 @@ object TextAnalysis {
     * boilerplate artifact to dedup BEFORE pair-finding (the
     * `maxPostings` guard drops such degenerate lists, exactly like the
     * frequent-line threshold in dedup_lines).
+    *
+    * 1M-doc probe (`tools/ProbeWinnow`, 200×-replicated corpus — every
+    * doc in a 200-copy clique): selector 33s; pairs 696s emitting 99.5M
+    * pairs — the time is the LEGITIMATE Θ(Σ clique²) output, not waste.
+    * Order of operations at scale: exact/MinHash KEEPER dedup first
+    * (linear), THEN winnow pairs on the deduped corpus for
+    * partial-overlap analytics.
     */
   def winnowPairs(df: DataFrame, id: String, text: String,
                   k: Int = 3, w: Int = 4, minShared: Int = 2,
