@@ -46,6 +46,45 @@ case class ShingleHashes(child: Expression, k: Int) extends HashArrayExpression 
     copy(child = c)
 }
 
+/** `graft_gram_hashes(words, k)`: POSITIONAL hashed word-k-grams (every
+  * occurrence, document order — [[ShingleHashes]] is the distinct twin).
+  */
+case class GramHashes(child: Expression, k: Int) extends HashArrayExpression {
+  override def prettyName: String = "graft_gram_hashes"
+  override protected def requiredElem: DataType = StringType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(words: Any): Any =
+    HashOps.gramHashes(words.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, w =>
+      s"${ev.value} = graft.functions.HashOps.gramHashes($w, $k);")
+
+  override protected def withNewChildInternal(c: Expression): GramHashes =
+    copy(child = c)
+}
+
+/** `graft_winnow(words, k, w)`: winnowing fingerprint set (sorted
+  * distinct per-window gram-hash minima) in one compiled monotone-deque
+  * pass; see [[HashOps.winnowFps]].
+  */
+case class WinnowFps(child: Expression, k: Int, w: Int) extends HashArrayExpression {
+  override def prettyName: String = "graft_winnow"
+  override protected def requiredElem: DataType = StringType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(words: Any): Any =
+    HashOps.winnowFps(words.asInstanceOf[ArrayData], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, ws =>
+      s"${ev.value} = graft.functions.HashOps.winnowFps($ws, $k, $w);")
+
+  override protected def withNewChildInternal(c: Expression): WinnowFps =
+    copy(child = c)
+}
+
 /** `graft_minhash_sig(hs, n)`: n universal-hash minima (MinHash signature). */
 case class MinhashSig(child: Expression, numHashes: Int) extends HashArrayExpression {
   override def prettyName: String = "graft_minhash_sig"

@@ -231,6 +231,67 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** POSITIONAL hashed word-k-grams — every occurrence, document order,
+    * no dedup (the winnowing input; [[shingleHashes]] is the distinct
+    * twin). Empty when the doc has fewer than k words.
+    */
+  def gramHashes(words: ArrayData, k: Int): ArrayData = {
+    val n = words.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= n - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words.getUTF8String(i + j).toString)
+        j += 1
+      }
+      out(i) = hashUtf8(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Winnowing fingerprint set in one compiled pass: positional gram
+    * hashes ([[gramHashes]] inlined), sliding-window minima over windows
+    * of `w` grams via a monotone deque (O(m) amortized — each index
+    * enters and leaves the deque once), distinct + ascending sort. Docs
+    * with fewer grams than `w` yield the min of what they have; < k
+    * words yields empty — all matching the declarative
+    * transform/slice/array_min twin value-for-value (per-window MIN
+    * VALUES are tie-rule independent).
+    */
+  def winnowFps(words: ArrayData, k: Int, w: Int): ArrayData = {
+    val gh = gramHashes(words, k)
+    val m = gh.numElements()
+    if (m == 0) return new GenericArrayData(Array.emptyLongArray)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    if (m <= w) {
+      var mn = gh.getLong(0)
+      var i = 1
+      while (i < m) { if (gh.getLong(i) < mn) mn = gh.getLong(i); i += 1 }
+      set.add(mn)
+    } else {
+      val deque = new java.util.ArrayDeque[Integer]()
+      var i = 0
+      while (i < m) {
+        while (!deque.isEmpty && gh.getLong(deque.peekLast()) >= gh.getLong(i))
+          deque.pollLast()
+        deque.addLast(i)
+        if (deque.peekFirst() <= i - w) deque.pollFirst()
+        if (i >= w - 1) set.add(gh.getLong(deque.peekFirst()))
+        i += 1
+      }
+    }
+    val out = new Array[Long](set.size())
+    val it = set.iterator(); var x = 0
+    while (it.hasNext) { out(x) = it.next(); x += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Pack int8 quantization codes (each in [-127, 127]) into a signed
     * byte array — the at-rest / in-memory form that actually realizes
     * the 4× compression vs float32 (Spark `ARRAY<INT>` holds 4-byte

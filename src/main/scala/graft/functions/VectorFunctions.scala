@@ -135,6 +135,11 @@ object VectorFunctions {
       (e: Seq[Expression]) => CosineSim(e(0), e(1))),
     "graft_shingle_hashes" -> (classOf[ShingleHashes],
       (e: Seq[Expression]) => ShingleHashes(e(0), intLit(e(1), "graft_shingle_hashes"))),
+    "graft_gram_hashes" -> (classOf[GramHashes],
+      (e: Seq[Expression]) => GramHashes(e(0), intLit(e(1), "graft_gram_hashes"))),
+    "graft_winnow" -> (classOf[WinnowFps],
+      (e: Seq[Expression]) => WinnowFps(e(0), intLit(e(1), "graft_winnow"),
+        intLit(e(2), "graft_winnow"))),
     "graft_minhash_sig" -> (classOf[MinhashSig],
       (e: Seq[Expression]) => MinhashSig(e(0), intLit(e(1), "graft_minhash_sig"))),
     "graft_band_buckets" -> (classOf[BandBuckets],

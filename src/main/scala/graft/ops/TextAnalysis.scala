@@ -179,18 +179,23 @@ object TextAnalysis {
     * checksum) — scalar columns; the raw set feeds a (fingerprint →
     * doc) inverted index via posexplode when pair-finding is the goal.
     */
-  private def winnowGramHashesExpr(text: String, k: Int): String =
+  /** Declarative gram-hash twin (parity baseline for
+    * `graft_gram_hashes` — VectorFunctionsSpec pins equality).
+    */
+  def hofGramHashesExpr(text: String, k: Int): String =
     sparkHashArrayOf(s"graft_ngrams(split($text, ' '), $k)")
 
-  /** The fingerprint selection over a BOUND gram-hash array variable.
-    * `gv` must be a let1/lambda variable, NEVER the raw gram-hash
-    * expression: `slice(gv, i, w)` sits inside a per-window lambda, and
+  /** Declarative winnow-selection twin over a BOUND gram-hash array
+    * variable (parity baseline for `graft_winnow`). `gv` must be a
+    * let1/lambda variable, NEVER the raw gram-hash expression:
+    * `slice(gv, i, w)` sits inside a per-window lambda, and
     * CollapseProject happily substitutes a referenced projection column
     * into it — re-hashing every gram PER WINDOW, O(n²·md5) per doc
-    * (observed as a 1M-doc probe that never finished; with the let1
-    * binding the same probe passes in seconds-class time).
+    * (observed as a 1M-doc probe that never finished; the let1 binding
+    * fixes the declarative form, and the compiled `graft_winnow` the
+    * operators use is immune: one opaque O(n) call).
     */
-  private def winnowFpBody(gv: String, w: Int): String =
+  def hofWinnowBody(gv: String, w: Int): String =
     s"IF(size($gv) = 0, cast(array() AS ARRAY<BIGINT>), " +
       s"array_sort(array_distinct(transform(" +
       s"sequence(1, greatest(size($gv) - ${w - 1}, 1)), " +
@@ -198,34 +203,28 @@ object TextAnalysis {
 
   /** The raw (gram hashes, fingerprint set) pairs behind [[winnow]] —
     * the inverted-index feed (posexplode `fingerprints` → (fp, doc)
-    * postings) and the spec surface for the selection guarantee. Each
-    * output column is a SELF-CONTAINED let1-bound expression (gram
-    * hashing runs once per column, O(n) — see [[winnowFpBody]] for why a
-    * shared projection column would go quadratic under CollapseProject).
+    * postings) and the spec surface for the selection guarantee. Both
+    * columns are compiled one-pass kernels (monotone-deque window
+    * minima for the fingerprints).
     */
   def winnowSets(df: DataFrame, id: String, text: String,
-                 k: Int = 3, w: Int = 4): DataFrame = {
-    val gh = winnowGramHashesExpr(text, k)
+                 k: Int = 3, w: Int = 4): DataFrame =
     graft.functions.VectorFunctions.attach(df)
       .select(col(id),
-        expr(gh).as("gram_hashes"),
-        expr(let1("__gh", gh, winnowFpBody("__gh", w))).as("fingerprints"))
-  }
+        expr(s"graft_gram_hashes(split($text, ' '), $k)").as("gram_hashes"),
+        expr(s"graft_winnow(split($text, ' '), $k, $w)").as("fingerprints"))
 
   def winnow(df: DataFrame, id: String, text: String,
-             k: Int = 3, w: Int = 4): DataFrame = {
-    val gh = winnowGramHashesExpr(text, k)
-    val fp = let1("__gh", gh, winnowFpBody("__gh", w))
+             k: Int = 3, w: Int = 4): DataFrame =
     graft.functions.VectorFunctions.attach(df)
       .select(col(id),
-        expr(s"size($gh)").as("n_grams"),
-        expr(let1("__fp", fp,
+        expr(s"greatest(size(split($text, ' ')) - ${k - 1}, 0)").as("n_grams"),
+        expr(let1("__fp", s"graft_winnow(split($text, ' '), $k, $w)",
           s"named_struct('n', size(__fp), 'c', ${sparkFoldHashes("__fp")})"))
           .as("__nf"))
       .select(col(id), col("n_grams"),
         col("__nf.n").as("n_fingerprints"),
         col("__nf.c").as("fp_checksum"))
-  }
 
   /** Partial-copy candidate PAIRS over the winnowing fingerprints: the
     * inverted-index shape — posexplode each doc's fingerprint set into

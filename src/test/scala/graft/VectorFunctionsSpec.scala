@@ -52,6 +52,28 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(short.getSeq[Long](0).isEmpty)
   }
 
+  test("native gram hashes and winnow fingerprints match the declarative HOF forms") {
+    VectorFunctions.ensureRegistered(spark)
+    import graft.ops.PortableHash.let1
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val hofFp = let1("__gh", graft.ops.TextAnalysis.hofGramHashesExpr("text", 3),
+      graft.ops.TextAnalysis.hofWinnowBody("__gh", 4))
+    val diff = d
+      .withColumn("ng", expr("graft_gram_hashes(split(text, ' '), 3)"))
+      .withColumn("hg", expr(graft.ops.TextAnalysis.hofGramHashesExpr("text", 3)))
+      .withColumn("nf", expr("graft_winnow(split(text, ' '), 3, 4)"))
+      .withColumn("hf", expr(hofFp))
+      .where(col("ng") =!= col("hg") || col("nf") =!= col("hf")).count()
+    assert(diff == 0, "compiled gram hashes / winnow must equal the HOF twins exactly")
+    // edges: below-k words -> empty; grams in (0, w] -> single whole-window min
+    val r = spark.sql(
+      "SELECT graft_winnow(array('a', 'b'), 3, 4) AS e, " +
+        "graft_winnow(array('a', 'b', 'c', 'd'), 3, 4) AS s, " +
+        "graft_gram_hashes(array('a', 'b', 'c', 'd'), 3) AS g").collect()(0)
+    assert(r.getSeq[Long](0).isEmpty)
+    assert(r.getSeq[Long](1) == Seq(r.getSeq[Long](2).min))
+  }
+
   test("native minhash signature and band buckets match the HOF fold") {
     VectorFunctions.ensureRegistered(spark)
     import graft.ops.PortableHash._
