@@ -239,6 +239,31 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("winnowing fingerprints run unchanged on a streaming Dataset (stateless scan)") {
+    implicit val sq = spark.sqlContext
+    val docs = MemoryStream[(Long, String)]
+    val out = graft.ops.TextAnalysis.winnow(
+      docs.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("winnow_stream")
+      .outputMode("append").start()
+    try {
+      docs.addData(
+        (1L, "alpha beta gamma delta epsilon eta theta iota kappa"),
+        (2L, "ab"))
+      q.processAllAvailable()
+      val got = spark.table("winnow_stream")
+        .select($"doc_id", $"n_grams", $"n_fingerprints")
+        .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val batch = graft.ops.TextAnalysis.winnow(
+        Seq((1L, "alpha beta gamma delta epsilon eta theta iota kappa"),
+          (2L, "ab")).toDF("doc_id", "text"), "doc_id", "text")
+        .select($"doc_id", $"n_grams", $"n_fingerprints")
+        .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === batch, "streaming output must equal the batch operator")
+      assert(got(1L)._1 == 7 && got(2L)._1 == 0)
+    } finally q.stop()
+  }
+
   test("classifier and unigram-style scoring run unchanged on a streaming Dataset") {
     implicit val sq = spark.sqlContext
     val docs = MemoryStream[(Long, String)]
