@@ -136,4 +136,111 @@ object Bpe {
        |  array_to_string(list_slice(toks, 1, $firstK), '|') AS first_tokens
        |FROM (SELECT $id, len(string_split($text, ' '))::BIGINT AS n_words,
        |      ${duckTokensExpr(text)} AS toks FROM $table)""".stripMargin
+
+  /** LEARN a merge table from the corpus — the training half of BPE
+    * (Sennrich et al. 2016) that [[bpeTokens]] applies: repeatedly count
+    * frequency-weighted adjacent unit pairs over the WORD HISTOGRAM and
+    * merge the argmax pair everywhere it occurs.
+    *
+    * The distributed shape (how SentencePiece/HF trainers are built):
+    * the corpus is scanned ONCE into a (word, freq) table — vocabulary
+    * is bounded, so everything after that first exchange is metadata-
+    * scale regardless of corpus size. Each of the `k` iterations is one
+    * small pair-count aggregation over the vocab plus a TakeOrdered-1
+    * argmax (count desc, then (a, b) ascending — deterministic
+    * cross-engine on the alnum-restricted pairs), and the winning pair
+    * merges into the unit strings via the same boundary-delimited
+    * double-replace used by the apply side. Eager localCheckpoints
+    * truncate the per-iteration lineage exactly like
+    * [[Similarity.kmeansCentroids]] (without them iteration i re-derives
+    * every earlier iteration's plan per action).
+    *
+    * Learned pairs observe the same constraints the committed table
+    * enforces: `a != b` and alphanumeric-only sides (they must ride
+    * inside string literals in the oracle dialect; classic trainers
+    * restrict candidate pairs similarly via the pre-tokenizer). If the
+    * vocab runs out of eligible pairs before rank k, the table is
+    * simply shorter — identically on both engines.
+    */
+  def learnMerges(df: DataFrame, text: String, k: Int = 8): DataFrame = {
+    val attach = graft.functions.VectorFunctions.attach _
+    var vocab = attach(df)
+      .select(explode(split(expr(s"replace($text, '$Sep', '')"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      .select(
+        expr(s"concat('$Sep', regexp_replace(word, '(?s)(.)', '$$1$Sep'))").as("u"),
+        col("f"))
+      .localCheckpoint(true)
+    val spark = df.sparkSession
+    var ranks: DataFrame = null
+    for (r <- 1 to k) {
+      val pair = vocab
+        .select(expr(s"filter(split(u, '$Sep'), x -> x <> '')").as("us"), col("f"))
+        .select(explode(expr(
+          "IF(size(us) < 2, cast(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>), " +
+            "transform(sequence(1, size(us) - 1), " +
+            "i -> struct(element_at(us, i) AS a, element_at(us, i + 1) AS b)))"))
+          .as("p"), col("f"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("f"))
+        .where(col("a") =!= col("b") &&
+          expr("concat(a, b) rlike '^[0-9A-Za-z]+$'"))
+        .groupBy(col("a"), col("b")).agg(sum(col("f")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .localCheckpoint(true)
+      val ranked = pair.withColumn("rank", lit(r))
+      ranks = if (ranks == null) ranked else ranks.unionByName(ranked)
+      if (r < k) vocab = vocab
+        .crossJoin(broadcast(pair.select(col("a").as("__a"), col("b").as("__b"))))
+        .select(expr(
+          s"replace(replace(u, concat('$Sep', __a, '$Sep', __b, '$Sep'), " +
+            s"concat('$Sep', __a, __b, '$Sep')), " +
+            s"concat('$Sep', __a, '$Sep', __b, '$Sep'), " +
+            s"concat('$Sep', __a, __b, '$Sep'))").as("u"), col("f"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("rank"), col("a"), col("b"), col("pair_count"))
+  }
+
+  /** DuckDB twin of [[learnMerges]] — the same word histogram, argmax
+    * tie-breaks, and double-replace merges unrolled to `k` CTE pairs.
+    */
+  def learnMergesSql(table: String, text: String, k: Int = 8): String = {
+    val ctes = new StringBuilder
+    ctes.append(
+      s"""w AS (
+         |  SELECT word, count(*)::BIGINT AS f FROM (
+         |    SELECT unnest(string_split(replace($text, '$Sep', ''), ' ')) AS word
+         |    FROM $table) WHERE word <> '' GROUP BY word),
+         |v0 AS (
+         |  SELECT ('$Sep' || regexp_replace(word, '(?s)(.)', '\\1$Sep', 'g')) AS u, f
+         |  FROM w)""".stripMargin)
+    for (r <- 1 to k) {
+      ctes.append(
+        s""",
+           |p$r AS (
+           |  SELECT a, b, cnt FROM (
+           |    SELECT us[i] AS a, us[i + 1] AS b, CAST(sum(f) AS BIGINT) AS cnt
+           |    FROM (SELECT list_filter(string_split(u, '$Sep'), x -> x <> '') AS us, f
+           |          FROM v${r - 1}),
+           |         UNNEST(generate_series(1, len(us) - 1)) AS t(i)
+           |    GROUP BY 1, 2)
+           |  WHERE a <> b AND regexp_matches(a || b, '^[0-9A-Za-z]+$$')
+           |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)""".stripMargin)
+      if (r < k) ctes.append(
+        s""",
+           |v$r AS (
+           |  SELECT replace(replace(v.u,
+           |      '$Sep' || p.a || '$Sep' || p.b || '$Sep',
+           |      '$Sep' || p.a || p.b || '$Sep'),
+           |      '$Sep' || p.a || '$Sep' || p.b || '$Sep',
+           |      '$Sep' || p.a || p.b || '$Sep') AS u, v.f
+           |  FROM v${r - 1} v, p$r p)""".stripMargin)
+    }
+    val union = (1 to k)
+      .map(r => s"SELECT $r AS rank, a, b, cnt AS pair_count FROM p$r")
+      .mkString("\n|UNION ALL\n|")
+    s"WITH ${ctes.toString}\n|$union".stripMargin
+  }
 }

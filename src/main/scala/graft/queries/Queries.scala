@@ -774,6 +774,14 @@ object Queries {
         t(s, dir, "documents"), "doc_id", "text"),
       Some(graft.ops.Bpe.bpeTokensSql("documents", "doc_id", "text"))),
 
+    // the TRAINING half of BPE: learn the top-8 merges from the corpus's
+    // word histogram (one corpus scan; every iteration after it is
+    // metadata-scale over the bounded vocab). Argmax tie-breaks pinned
+    // (count desc, pair asc) so both engines learn the identical table
+    QueryDef("text_bpe_learn",
+      (s, dir) => graft.ops.Bpe.learnMerges(t(s, dir, "documents"), "text"),
+      Some(graft.ops.Bpe.learnMergesSql("documents", "text"))),
+
     // ================= multimodal plumbing ===============================
     //
     // COST RULE for the mm_* family (the 100 TB contract): decode only

@@ -68,6 +68,31 @@ class BpeSpec extends SparkSpec {
     assert(mismatches === 0L)
   }
 
+  test("merge learning: argmax + tie-breaks + iterative merging on a hand-computed fixture") {
+    // corpus: "the the cat" ×1 doc + "the" ×1 doc
+    //   words: the×3, cat×1
+    //   iter1 pairs: (t,h)=3, (h,e)=3, (c,a)=1, (a,t)=1
+    //     tie 3: a asc -> (h,e) wins (h < t)
+    //   iter2 (after he merged): (t,he)=3, (c,a)=1, (a,t)=1 -> (t,he)
+    //   iter3: the×3 is one unit; remaining pairs (c,a)=1, (a,t)=1
+    //     tie 1: a asc -> (a,t) wins
+    //   iter4: units c,at -> (c,at)=1
+    val docs = Seq((1L, "the the cat"), (2L, "the")).toDF("doc_id", "text")
+    val got = graft.ops.Bpe.learnMerges(docs, "text", k = 4)
+      .select($"rank", $"a", $"b", $"pair_count")
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1, "h", "e", 3L), (2, "t", "he", 3L),
+      (3, "a", "t", 1L), (4, "c", "at", 1L)))
+  }
+
+  test("merge learning stops early when no eligible pair remains") {
+    // single 2-char word: one merge exhausts every alnum pair
+    val docs = Seq((1L, "ab")).toDF("doc_id", "text")
+    val got = graft.ops.Bpe.learnMerges(docs, "text", k = 3)
+      .select($"rank", $"a", $"b").as[(Int, String, String)].collect().toSeq
+    assert(got === Seq((1, "a", "b")))
+  }
+
   test("BPE token counts differ from word counts (not a rename)") {
     val df = Seq((1L, "the thing"), (2L, "rest and motion"))
       .toDF("doc_id", "text")
