@@ -219,6 +219,47 @@ object Decontaminate {
        |FROM corpus c, bench_hs b
        |WHERE NOT list_has_any(c.doc_hs, b.hs)""".stripMargin
 
+  /** SEMANTIC contamination report — the embedding-space twin of
+    * [[contaminationReport]]: for every benchmark item, how many CORPUS
+    * vectors sit within cosine ≥ `threshold` of it (`n_corpus_hits`) and
+    * the closest similarity seen (`max_sim`), zero-hit items included.
+    * Lexical shingle overlap misses paraphrased eval leakage; this is
+    * the check that catches it (same reasoning as SemDeDup vs MinHash).
+    *
+    * Scale shape: the benchmark side broadcasts (eval sets are small),
+    * the corpus pays ONE scan scoring `|bench|` compiled cosines per
+    * vector map-side, and the only exchange is the partial-agg'd
+    * (bench_id, count, max) reduction — bench-cardinality rows per map
+    * task, never the corpus.
+    */
+  def semanticContaminationReport(corpus: DataFrame, bench: DataFrame,
+                                  id: String, vecCol: String,
+                                  threshold: Double = 0.95): DataFrame = {
+    val attach = graft.functions.VectorFunctions.attach _
+    attach(corpus)
+      .select(col(vecCol).as("c_vec"))
+      .crossJoin(broadcast(
+        bench.select(col(id).as("bench_id"), col(vecCol).as("b_vec"))))
+      .withColumn("sim",
+        round(expr(Similarity.nativeCosine("c_vec", "b_vec")), 6))
+      .groupBy(col("bench_id"))
+      .agg(sum(when(col("sim") >= threshold, 1L).otherwise(0L)).as("n_corpus_hits"),
+        max(col("sim")).as("max_sim"))
+  }
+
+  /** DuckDB twin of [[semanticContaminationReport]]. */
+  def semanticContaminationReportSql(table: String, benchPred: String,
+                                     corpusPred: String, id: String,
+                                     vecCol: String,
+                                     threshold: Double = 0.95): String =
+    s"""SELECT b.$id AS bench_id,
+       |  CAST(sum(CASE WHEN round(${Similarity.duckCosine("c.cv", "b.bv")}, 6) >= $threshold
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus_hits,
+       |  max(round(${Similarity.duckCosine("c.cv", "b.bv")}, 6)) AS max_sim
+       |FROM (SELECT $id, $vecCol AS bv FROM $table WHERE $benchPred) b,
+       |     (SELECT $vecCol AS cv FROM $table WHERE $corpusPred) c
+       |GROUP BY 1""".stripMargin
+
   /** STREAMING ingest-time decontamination guard — [[cleanDocs]] for the
     * daily-crawl shape: the benchmark set is STATIC (eval sets change
     * rarely), so it is reduced ONCE to its sorted hash array and embedded

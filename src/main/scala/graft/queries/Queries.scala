@@ -1042,6 +1042,28 @@ object Queries {
         benchPred = "doc_id < 25", corpusPred = "doc_id >= 25",
         "doc_id", "text", k = 5))),
 
+    // SEMANTIC contamination report — embedding-space eval-leak census:
+    // per bench item, corpus vectors within cosine >= 0.95 + closest
+    // sim, zero-hit rows included (catches paraphrased leakage lexical
+    // shingles miss). Planted corpus copies of bench vecs 0-1 make the
+    // hit counts non-vacuous
+    QueryDef("pipeline_contamination_semantic",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val bench = emb.where(col("vec_id") < 5)
+        val corpus = emb.where(col("vec_id") >= 5)
+          .unionByName(emb.where(col("vec_id") < 2)
+            .select((col("vec_id") + 3000).as("vec_id"), col("embedding")))
+        graft.ops.Decontaminate.semanticContaminationReport(
+          corpus, bench, "vec_id", "embedding")
+      },
+      Some(graft.ops.Decontaminate.semanticContaminationReportSql(
+        """(SELECT vec_id, embedding FROM embeddings
+          | UNION ALL
+          | SELECT vec_id + 3000, embedding FROM embeddings WHERE vec_id < 2)""".stripMargin,
+        benchPred = "vec_id < 5", corpusPred = "vec_id >= 5",
+        "vec_id", "embedding"))),
+
     // skew-mitigated join: salted execution (hot keys split over `salt`
     // reducers) must produce EXACTLY the plain-join result — the oracle
     // runs the unsalted join

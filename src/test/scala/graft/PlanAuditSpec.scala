@@ -335,6 +335,16 @@ class PlanAuditSpec extends SparkSpec {
       s"no exchange may carry the text column:\n$p")
   }
 
+  test("pipeline_contamination_semantic: bench broadcasts; one corpus scan, partial-agg exchange only") {
+    val p = plan("pipeline_contamination_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the eval set must broadcast against the one corpus scan:\n$p")
+    assert(count(p, "HashAggregate") >= 2,
+      s"the (bench_id, count, max) reduction must partial-aggregate map-side:\n$p")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"exactly one exchange — bench-cardinality partial rows, never the corpus:\n$p")
+  }
+
   test("embed_dedup_semantic: centroids broadcast; the ε-ball witness join keys on cluster") {
     val p = plan("embed_dedup_semantic")
     assert(!p.contains("CartesianProduct"),
