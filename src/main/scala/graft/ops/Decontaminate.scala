@@ -247,6 +247,37 @@ object Decontaminate {
         max(col("sim")).as("max_sim"))
   }
 
+  /** SEMANTIC decontamination DROP — keep only corpus vectors whose
+    * closest benchmark similarity stays BELOW `threshold` (the acting
+    * twin of [[semanticContaminationReport]], as [[cleanDocs]] is to
+    * [[contaminationReport]]). Emits survivors with their closest bench
+    * similarity so the margin is visible. Same scale shape: broadcast
+    * bench, one corpus scan, the exchange carries one partial-agg'd row
+    * per corpus vector.
+    */
+  def cleanVectors(corpus: DataFrame, bench: DataFrame,
+                   id: String, vecCol: String,
+                   threshold: Double = 0.95): DataFrame = {
+    val attach = graft.functions.VectorFunctions.attach _
+    attach(corpus)
+      .select(col(id), col(vecCol).as("c_vec"))
+      .crossJoin(broadcast(bench.select(col(vecCol).as("b_vec"))))
+      .withColumn("sim",
+        round(expr(Similarity.nativeCosine("c_vec", "b_vec")), 6))
+      .groupBy(col(id))
+      .agg(max(col("sim")).as("max_bench_sim"))
+      .where(col("max_bench_sim") < threshold)
+  }
+
+  /** DuckDB twin of [[cleanVectors]]. */
+  def cleanVectorsSql(table: String, benchPred: String, corpusPred: String,
+                      id: String, vecCol: String,
+                      threshold: Double = 0.95): String =
+    s"""SELECT c.$id, max(round(${Similarity.duckCosine("c.cv", "b.bv")}, 6)) AS max_bench_sim
+       |FROM (SELECT $id, $vecCol AS cv FROM $table WHERE $corpusPred) c,
+       |     (SELECT $vecCol AS bv FROM $table WHERE $benchPred) b
+       |GROUP BY 1 HAVING max(round(${Similarity.duckCosine("c.cv", "b.bv")}, 6)) < $threshold""".stripMargin
+
   /** DuckDB twin of [[semanticContaminationReport]]. */
   def semanticContaminationReportSql(table: String, benchPred: String,
                                      corpusPred: String, id: String,

@@ -1064,6 +1064,25 @@ object Queries {
         benchPred = "vec_id < 5", corpusPred = "vec_id >= 5",
         "vec_id", "embedding"))),
 
+    // the acting twin: DROP corpus vectors within cosine >= 0.95 of any
+    // bench item (planted copies of bench vecs 0-1 must vanish;
+    // survivors carry their closest-bench margin)
+    QueryDef("pipeline_decontaminate_semantic",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val bench = emb.where(col("vec_id") < 5)
+        val corpus = emb.where(col("vec_id") >= 5)
+          .unionByName(emb.where(col("vec_id") < 2)
+            .select((col("vec_id") + 3000).as("vec_id"), col("embedding")))
+        graft.ops.Decontaminate.cleanVectors(corpus, bench, "vec_id", "embedding")
+      },
+      Some(graft.ops.Decontaminate.cleanVectorsSql(
+        """(SELECT vec_id, embedding FROM embeddings
+          | UNION ALL
+          | SELECT vec_id + 3000, embedding FROM embeddings WHERE vec_id < 2)""".stripMargin,
+        benchPred = "vec_id < 5", corpusPred = "vec_id >= 5",
+        "vec_id", "embedding"))),
+
     // skew-mitigated join: salted execution (hot keys split over `salt`
     // reducers) must produce EXACTLY the plain-join result — the oracle
     // runs the unsalted join
