@@ -643,6 +643,69 @@ object TextAnalysis {
           (col("n_tokens").cast("double") * col("total_ref")), 6).as("avg_tok_freq"))
   }
 
+  /** BIGRAM corpus-frequency scoring — one order up from
+    * [[unigramScore]] (the CCNet/KenLM quality-filter ladder: real
+    * pipelines use 5-gram LMs; bigram coverage is the first rung that
+    * sees WORD ORDER, so scrambled or machine-glued text scores low
+    * even when its unigrams are all common). Same exact-integer
+    * discipline: reference bigram counts are integers, the only
+    * division is the final rounded ratio, so the cross-engine hash
+    * cannot drift.
+    *
+    * Per doc: `n_bigrams`, `oov_ratio` (bigrams unseen in the top-V
+    * reference table), `avg_bigram_freq` (mean reference frequency).
+    * Docs with fewer than 2 non-empty words have no bigrams and are
+    * excluded — identically on both engines (the [[repetitionSignals]]
+    * convention). Scale shape: reference reduces to a broadcast top-V
+    * table + one total; the corpus pays one scan and one keyed
+    * partial-agg exchange of per-doc rows.
+    */
+  def bigramScore(docs: DataFrame, ref: DataFrame, id: String, text: String,
+                  vocab: Int = 1000): DataFrame = {
+    val grams = s"graft_ngrams(filter(split($text, ' '), w -> w <> ''), 2)"
+    val refGrams = graft.functions.VectorFunctions.attach(ref)
+      .select(explode(expr(grams)).as("g"))
+    val top = refGrams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("g").asc).limit(vocab)
+    val total = refGrams.agg(count(lit(1)).as("total_ref"))
+    graft.functions.VectorFunctions.attach(docs)
+      .select(col(id), explode(expr(grams)).as("g"))
+      .join(broadcast(top), Seq("g"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("cnt"), lit(0L))).as("sum_cnt"))
+      .crossJoin(broadcast(total))
+      .select(col(id), col("n_bigrams"),
+        round(col("n_oov").cast("double") / col("n_bigrams"), 6).as("oov_ratio"),
+        round(col("sum_cnt").cast("double") /
+          (col("n_bigrams").cast("double") * col("total_ref")), 6).as("avg_bigram_freq"))
+  }
+
+  /** DuckDB twin of [[bigramScore]]. */
+  def bigramScoreSql(table: String, docsPred: String, refPred: String,
+                     id: String, text: String, vocab: Int = 1000): String = {
+    val w = s"list_filter(string_split($text, ' '), x -> x <> '')"
+    val grams = s"list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1])"
+    s"""WITH rg AS (
+       |  SELECT unnest($grams) AS g FROM (SELECT $w AS ws FROM $table WHERE $refPred)),
+       |top AS (SELECT g, count(*) AS cnt FROM rg GROUP BY g
+       |        ORDER BY cnt DESC, g ASC LIMIT $vocab),
+       |total AS (SELECT count(*) AS total_ref FROM rg),
+       |dg AS (
+       |  SELECT $id, unnest($grams) AS g
+       |  FROM (SELECT $id, $w AS ws FROM $table WHERE $docsPred)),
+       |agg AS (
+       |  SELECT d.$id, count(*) AS n_bigrams,
+       |         sum(CASE WHEN t.cnt IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       |         sum(coalesce(t.cnt, 0)) AS sum_cnt
+       |  FROM dg d LEFT JOIN top t ON d.g = t.g GROUP BY d.$id)
+       |SELECT $id, n_bigrams,
+       |  round(n_oov::DOUBLE / n_bigrams, 6) AS oov_ratio,
+       |  round(sum_cnt::DOUBLE / (n_bigrams::DOUBLE * total_ref), 6) AS avg_bigram_freq
+       |FROM agg, total""".stripMargin
+  }
+
   /** DuckDB twin of [[unigramScore]] (`docsPred`/`refPred` split one
     * table into the scored and reference sides, the decontamination
     * convention).

@@ -1296,6 +1296,20 @@ object Queries {
         docsPred = "doc_id >= 100", refPred = "doc_id < 100",
         "doc_id", "text", vocab = 500))),
 
+    // one order up the LM-filter ladder: bigram coverage sees WORD ORDER
+    // (scrambled text scores low even when its unigrams are common) —
+    // same ref/scored split, same exact-integer arithmetic
+    QueryDef("text_bigram_score",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextAnalysis.bigramScore(
+          docs.where(col("doc_id") >= 100), docs.where(col("doc_id") < 100),
+          "doc_id", "text", vocab = 500)
+      },
+      Some(TextAnalysis.bigramScoreSql("documents",
+        docsPred = "doc_id >= 100", refPred = "doc_id < 100",
+        "doc_id", "text", vocab = 500))),
+
     // Duplicated-line removal: the fixture appends one boilerplate line
     // to EVERY doc (corpus frequency = N docs, far over maxFreq=10) and
     // one per-doc unique footer, so both the strike and keep paths are

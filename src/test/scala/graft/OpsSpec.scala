@@ -224,6 +224,19 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq === want)
   }
 
+  test("bigram score sees word order: scrambled doc scores higher OOV than its in-order twin") {
+    val ref = Seq((1L, "the cat sat on the mat"), (2L, "the cat sat on the rug"))
+      .toDF("doc_id", "text")
+    // identical unigrams, different order — unigram scoring cannot tell
+    // these apart; bigram coverage must
+    val docs = Seq((10L, "the cat sat on the mat"),
+      (11L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.bigramScore(docs, ref, "doc_id", "text")
+      .select($"doc_id", $"oov_ratio").as[(Long, Double)].collect().toMap
+    assert(got(10L) == 0.0, s"in-order doc's bigrams are all in the reference: ${got(10L)}")
+    assert(got(11L) > got(10L), s"scrambled doc must have higher bigram OOV: ${got(11L)}")
+  }
+
   test("winnowing: shared >= w+k-1 word substring guarantees a shared fingerprint; density drops; short-doc edges") {
     // k=3, w=4: guarantee threshold = w+k-1 = 6 shared words
     val shared = "zebra quilt onyx vapor lunar grove" // 6 words, unique tokens
