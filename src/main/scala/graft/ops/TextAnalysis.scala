@@ -252,17 +252,29 @@ object TextAnalysis {
   def winnowPairs(df: DataFrame, id: String, text: String,
                   k: Int = 3, w: Int = 4, minShared: Int = 2,
                   maxPostings: Int = 1000): DataFrame = {
-    val posts = winnowSets(df, id, text, k, w)
-      .select(col(id).as("d"), explode(col("fingerprints")).as("fp"))
+    val sets = winnowSets(df, id, text, k, w)
+      .select(col(id).as("d"), col("fingerprints"),
+        size(col("fingerprints")).as("n_fp"))
+    val posts = sets.select(col("d"), col("n_fp"),
+      explode(col("fingerprints")).as("fp"))
     val bounded = posts.withColumn("cnt",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
       .where(col("cnt") <= maxPostings).drop("cnt")
-    bounded.select(col("d").as("a_id"), col("fp"))
-      .join(bounded.select(col("d").as("b_id"), col("fp")), Seq("fp"))
+    // containment = shared / min(|A|, |B|): 1.0 when one doc's selected
+    // fingerprints all appear in the other — the asymmetric-copy signal
+    // (a quote inside a long doc) that symmetric Jaccard-style ratios
+    // dilute. n_fp rides the postings, so no join back to the sets
+    bounded.select(col("d").as("a_id"), col("n_fp").as("n_a"), col("fp"))
+      .join(bounded.select(col("d").as("b_id"), col("n_fp").as("n_b"), col("fp")),
+        Seq("fp"))
       .where(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
       .where(col("n_shared") >= minShared)
+      .select(col("a_id"), col("b_id"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 6).as("containment"))
   }
 
   /** DuckDB twin of [[winnowPairs]]. */
@@ -280,14 +292,19 @@ object TextAnalysis {
        |           generate_series(1, greatest(len(gh) - ${w - 1}, 1)),
        |           i -> list_min(gh[i:i+${w - 1}]))) END AS fp_set
        |  FROM (SELECT $id, ${duckHashArrayOf(grams)} AS gh FROM $table)),
-       |posts AS (SELECT d, unnest(fp_set) AS fp FROM fps),
+       |posts AS (SELECT d, len(fp_set) AS n_fp, unnest(fp_set) AS fp FROM fps),
        |bounded AS (
-       |  SELECT d, fp FROM (
-       |    SELECT d, fp, count(*) OVER (PARTITION BY fp) AS cnt FROM posts)
-       |  WHERE cnt <= $maxPostings)
-       |SELECT a.d AS a_id, b.d AS b_id, count(*) AS n_shared
-       |FROM bounded a JOIN bounded b ON a.fp = b.fp AND a.d < b.d
-       |GROUP BY 1, 2 HAVING count(*) >= $minShared""".stripMargin
+       |  SELECT d, n_fp, fp FROM (
+       |    SELECT d, n_fp, fp, count(*) OVER (PARTITION BY fp) AS cnt FROM posts)
+       |  WHERE cnt <= $maxPostings),
+       |agg AS (
+       |  SELECT a.d AS a_id, b.d AS b_id, count(*) AS n_shared,
+       |         max(a.n_fp) AS n_a, max(b.n_fp) AS n_b
+       |  FROM bounded a JOIN bounded b ON a.fp = b.fp AND a.d < b.d
+       |  GROUP BY 1, 2 HAVING count(*) >= $minShared)
+       |SELECT a_id, b_id, n_shared,
+       |  round(n_shared::DOUBLE / least(n_a, n_b)::DOUBLE, 6) AS containment
+       |FROM agg""".stripMargin
   }
 
   /** DuckDB twin of [[winnow]] — same positional grams, H, window
