@@ -236,7 +236,7 @@ object Decontaminate {
                                   id: String, vecCol: String,
                                   threshold: Double = 0.95): DataFrame = {
     val attach = graft.functions.VectorFunctions.attach _
-    attach(corpus)
+    val hits = attach(corpus)
       .select(col(vecCol).as("c_vec"))
       .crossJoin(broadcast(
         bench.select(col(id).as("bench_id"), col(vecCol).as("b_vec"))))
@@ -245,6 +245,16 @@ object Decontaminate {
       .groupBy(col("bench_id"))
       .agg(sum(when(col("sim") >= threshold, 1L).otherwise(0L)).as("n_corpus_hits"),
         max(col("sim")).as("max_sim"))
+    // left-join the aggregated hits back onto the bench base so the
+    // "zero-hit items included" contract survives an EMPTY corpus side
+    // (the crossJoin alone yields no rows at all in that case); with a
+    // non-empty corpus every bench id appears in `hits` and the join is
+    // value-identical to the bare aggregation
+    bench.select(col(id).as("bench_id"))
+      .join(hits, Seq("bench_id"), "left_outer")
+      .select(col("bench_id"),
+        coalesce(col("n_corpus_hits"), lit(0L)).as("n_corpus_hits"),
+        col("max_sim"))
   }
 
   /** SEMANTIC decontamination DROP — keep only corpus vectors whose
@@ -259,37 +269,54 @@ object Decontaminate {
                    id: String, vecCol: String,
                    threshold: Double = 0.95): DataFrame = {
     val attach = graft.functions.VectorFunctions.attach _
+    // LEFT join on true, not a bare crossJoin: an EMPTY bench side must
+    // mean "nothing to decontaminate, keep all" (every corpus row
+    // survives with a null margin), not "zero survivors" — a crossJoin
+    // against zero bench rows silently drops the whole corpus. With a
+    // non-empty bench the plans are identical (broadcast nested loop,
+    // one partial-agg'd row per corpus vector on the exchange).
     attach(corpus)
       .select(col(id), col(vecCol).as("c_vec"))
-      .crossJoin(broadcast(bench.select(col(vecCol).as("b_vec"))))
+      .join(broadcast(bench.select(col(vecCol).as("b_vec"))), lit(true), "left_outer")
       .withColumn("sim",
         round(expr(Similarity.nativeCosine("c_vec", "b_vec")), 6))
       .groupBy(col(id))
       .agg(max(col("sim")).as("max_bench_sim"))
-      .where(col("max_bench_sim") < threshold)
+      .where(col("max_bench_sim").isNull || col("max_bench_sim") < threshold)
   }
 
-  /** DuckDB twin of [[cleanVectors]]. */
+  /** DuckDB twin of [[cleanVectors]] (same LEFT-join-on-true empty-bench
+    * semantics: no bench rows → every corpus row kept with null margin).
+    */
   def cleanVectorsSql(table: String, benchPred: String, corpusPred: String,
                       id: String, vecCol: String,
                       threshold: Double = 0.95): String =
     s"""SELECT c.$id, max(round(${Similarity.duckCosine("c.cv", "b.bv")}, 6)) AS max_bench_sim
-       |FROM (SELECT $id, $vecCol AS cv FROM $table WHERE $corpusPred) c,
-       |     (SELECT $vecCol AS bv FROM $table WHERE $benchPred) b
-       |GROUP BY 1 HAVING max(round(${Similarity.duckCosine("c.cv", "b.bv")}, 6)) < $threshold""".stripMargin
+       |FROM (SELECT $id, $vecCol AS cv FROM $table WHERE $corpusPred) c
+       |LEFT JOIN (SELECT $vecCol AS bv FROM $table WHERE $benchPred) b ON TRUE
+       |GROUP BY 1
+       |HAVING max(round(${Similarity.duckCosine("c.cv", "b.bv")}, 6)) IS NULL
+       |    OR max(round(${Similarity.duckCosine("c.cv", "b.bv")}, 6)) < $threshold""".stripMargin
 
-  /** DuckDB twin of [[semanticContaminationReport]]. */
+  /** DuckDB twin of [[semanticContaminationReport]] (same hits-onto-base
+    * left join, so zero-hit bench rows survive an empty corpus side).
+    */
   def semanticContaminationReportSql(table: String, benchPred: String,
                                      corpusPred: String, id: String,
                                      vecCol: String,
                                      threshold: Double = 0.95): String =
-    s"""SELECT b.$id AS bench_id,
-       |  CAST(sum(CASE WHEN round(${Similarity.duckCosine("c.cv", "b.bv")}, 6) >= $threshold
-       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus_hits,
-       |  max(round(${Similarity.duckCosine("c.cv", "b.bv")}, 6)) AS max_sim
-       |FROM (SELECT $id, $vecCol AS bv FROM $table WHERE $benchPred) b,
-       |     (SELECT $vecCol AS cv FROM $table WHERE $corpusPred) c
-       |GROUP BY 1""".stripMargin
+    s"""WITH hits AS (
+       |  SELECT b.$id AS bench_id,
+       |    CAST(sum(CASE WHEN round(${Similarity.duckCosine("c.cv", "b.bv")}, 6) >= $threshold
+       |         THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus_hits,
+       |    max(round(${Similarity.duckCosine("c.cv", "b.bv")}, 6)) AS max_sim
+       |  FROM (SELECT $id, $vecCol AS bv FROM $table WHERE $benchPred) b,
+       |       (SELECT $vecCol AS cv FROM $table WHERE $corpusPred) c
+       |  GROUP BY 1)
+       |SELECT base.$id AS bench_id,
+       |  coalesce(hits.n_corpus_hits, 0)::BIGINT AS n_corpus_hits, hits.max_sim
+       |FROM (SELECT $id FROM $table WHERE $benchPred) base
+       |LEFT JOIN hits ON base.$id = hits.bench_id""".stripMargin
 
   /** STREAMING ingest-time decontamination guard — [[cleanDocs]] for the
     * daily-crawl shape: the benchmark set is STATIC (eval sets change

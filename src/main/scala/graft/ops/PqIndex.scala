@@ -65,11 +65,17 @@ object PqIndex {
     }
   }
 
-  /** Identity of the DATA an index was built from: file count + total
-    * bytes + max mtime of the source directory. [[ensure]] callers embed
-    * this in the signature so regenerating a dataset in place (same dir,
-    * different content) forces a rebuild instead of silently serving
-    * results from the stale index.
+  /** Identity of the DATA an index was built from: a digest folding
+    * every file's (path, length, mtime) — NOT count/bytes/mtime
+    * aggregates, which an in-place regeneration can leave unchanged
+    * (equal-and-opposite size shifts, same file count, writes inside one
+    * mtime granule). [[ensure]] callers embed this in the signature so
+    * regenerating a dataset in place (same dir, different content)
+    * forces a rebuild instead of silently serving results from the stale
+    * index. Entries are sorted by path so listing order can't move the
+    * digest. Residual caveat: content rewritten with identical per-file
+    * length AND mtime is indistinguishable without reading bytes —
+    * filesystem-metadata fingerprints can't see through that.
     */
   def dataFingerprint(spark: SparkSession, dataPath: String): String = {
     val p = new org.apache.hadoop.fs.Path(dataPath)
@@ -77,13 +83,14 @@ object PqIndex {
     if (!fs.exists(p)) "absent"
     else {
       val it = fs.listFiles(p, true)
-      var n = 0L; var bytes = 0L; var mtime = 0L
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
       while (it.hasNext) {
         val f = it.next()
-        n += 1; bytes += f.getLen
-        mtime = math.max(mtime, f.getModificationTime)
+        entries += s"${f.getPath.toUri.getPath}:${f.getLen}:${f.getModificationTime}"
       }
-      s"n=$n,bytes=$bytes,mtime=$mtime"
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+      s"n=${entries.size},sha=" + md.digest().take(8).map("%02x".format(_)).mkString
     }
   }
 

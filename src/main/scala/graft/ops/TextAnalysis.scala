@@ -253,13 +253,18 @@ object TextAnalysis {
                   k: Int = 3, w: Int = 4, minShared: Int = 2,
                   maxPostings: Int = 1000): DataFrame = {
     val sets = winnowSets(df, id, text, k, w)
-      .select(col(id).as("d"), col("fingerprints"),
-        size(col("fingerprints")).as("n_fp"))
-    val posts = sets.select(col("d"), col("n_fp"),
-      explode(col("fingerprints")).as("fp"))
+      .select(col(id).as("d"), col("fingerprints"))
+    val posts = sets.select(col("d"), explode(col("fingerprints")).as("fp"))
+    // n_fp is counted AFTER the maxPostings guard so numerator and
+    // denominator share one fingerprint universe: a full copy whose set
+    // includes a boilerplate fingerprint the guard drops still reaches
+    // containment 1.0 (pre-guard counts would silently deflate it). The
+    // second window keys on d — one postings-sized exchange of longs
     val bounded = posts.withColumn("cnt",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
       .where(col("cnt") <= maxPostings).drop("cnt")
+      .withColumn("n_fp",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("d"))))
     // containment = shared / min(|A|, |B|): 1.0 when one doc's selected
     // fingerprints all appear in the other — the asymmetric-copy signal
     // (a quote inside a long doc) that symmetric Jaccard-style ratios
@@ -292,10 +297,10 @@ object TextAnalysis {
        |           generate_series(1, greatest(len(gh) - ${w - 1}, 1)),
        |           i -> list_min(gh[i:i+${w - 1}]))) END AS fp_set
        |  FROM (SELECT $id, ${duckHashArrayOf(grams)} AS gh FROM $table)),
-       |posts AS (SELECT d, len(fp_set) AS n_fp, unnest(fp_set) AS fp FROM fps),
+       |posts AS (SELECT d, unnest(fp_set) AS fp FROM fps),
        |bounded AS (
-       |  SELECT d, n_fp, fp FROM (
-       |    SELECT d, n_fp, fp, count(*) OVER (PARTITION BY fp) AS cnt FROM posts)
+       |  SELECT d, fp, count(*) OVER (PARTITION BY d) AS n_fp FROM (
+       |    SELECT d, fp, count(*) OVER (PARTITION BY fp) AS cnt FROM posts)
        |  WHERE cnt <= $maxPostings),
        |agg AS (
        |  SELECT a.d AS a_id, b.d AS b_id, count(*) AS n_shared,

@@ -55,13 +55,19 @@ object Queries {
   private def dsum(c: String): String =
     s"cast(sum(cast($c AS DECIMAL(18,2))) AS DOUBLE)"
 
-  /** First-touch index location: derived from the SANITIZED full dir
-    * path, not its hashCode — two dirs can collide on abs(hashCode) and
-    * would then silently share (and cross-serve) one index.
+  /** First-touch index location: the sanitized dir path (readable) PLUS
+    * a digest of the RAW dir string — sanitization alone collides
+    * ("/a/b" and "/a_b" both map to "_a_b"), which with the
+    * data-fingerprinted signature would degrade to alternating rebuild
+    * thrash; the digest makes distinct dirs structurally unable to share
+    * an index path.
     */
-  private def idxPath(kind: String, dir: String): String =
+  private def idxPath(kind: String, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
-      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest
+  }
 
   /** Build signature for [[graft.ops.PqIndex.ensure]]: params PLUS the
     * source-data fingerprint (file count/bytes/mtime), so regenerating
@@ -1327,8 +1333,8 @@ object Queries {
 
     // exact substring-SPAN dedup (the ExactSubstr batch shape): stride-1
     // word 5-grams duplicated corpus-wide are struck at every covered
-    // position. The fixture appends an 8-word boilerplate run (4
-    // duplicated grams whose union covers all 8 words) plus a per-doc
+    // position. The fixture appends a 9-word boilerplate run (5 fully-
+    // interior duplicated grams whose union covers all 9 words) plus a per-doc
     // unique footer word — straddling grams carry the unique id, so the
     // footer survives and both strike/keep paths are exercised at every
     // alignment (no span-boundary assumption, unlike line dedup)

@@ -415,4 +415,51 @@ class OpsSpec extends SparkSpec {
     assert(got(11L) === ((2L, 0.5, 0.166667)))
     assert(got(13L) === ((3L, 1.0, 0.0)))
   }
+
+  test("semantic decontamination: empty bench keeps ALL corpus rows; empty corpus keeps all bench report rows") {
+    import spark.implicits._
+    val corpus = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val bench = corpus.where($"vec_id" < 0) // empty bench side
+    val kept = graft.ops.Decontaminate.cleanVectors(corpus, bench, "vec_id", "embedding")
+      .collect()
+    assert(kept.map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L),
+      "nothing to decontaminate must mean keep-all, not drop-all")
+    assert(kept.forall(_.isNullAt(1)), "no bench -> no margin (null, not a number)")
+    // report twin: EMPTY CORPUS side must still emit every bench item at 0 hits
+    val report = graft.ops.Decontaminate.semanticContaminationReport(
+      corpus.where($"vec_id" < 0), corpus, "vec_id", "embedding").collect()
+    assert(report.map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L),
+      "zero-hit bench items must be included even with an empty corpus")
+    assert(report.forall(r => r.getLong(1) == 0L && r.isNullAt(2)))
+    // non-degenerate sides: planted copy dropped, orthogonal survivor keeps its margin
+    val kept2 = graft.ops.Decontaminate.cleanVectors(
+      corpus, Seq((9L, Seq(1.0, 0.0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding").collect()
+    assert(kept2.map(r => (r.getLong(0), r.getDouble(1))).toSeq === Seq((2L, 0.0)))
+  }
+
+  test("winnow pairs containment uses the post-maxPostings fingerprint universe (full copy with boilerplate still scores 1.0)") {
+    import spark.implicits._
+    // 6 distinct docs + 1 exact copy of doc 1, ALL carrying the same
+    // 9-word boilerplate tail: boilerplate fingerprints post in all 7
+    // docs (> maxPostings = 6) and are dropped by the guard; the copy
+    // pair's remaining fingerprints are identical, so containment must
+    // read exactly 1.0 — a pre-guard denominator would deflate it
+    val boiler = "subscribe to our newsletter for more content every day"
+    val base = (1 to 6).map(i =>
+      (i.toLong, (1 to 12).map(j => s"w${i}_$j").mkString(" ") + " " + boiler))
+    val docs = (base :+ (7L, base.head._2)).toDF("doc_id", "text")
+    // precondition: the guard actually drops something (some fingerprint
+    // posts in all 7 docs) — otherwise this test wouldn't discriminate
+    val postCounts = graft.ops.TextAnalysis.winnowSets(docs, "doc_id", "text")
+      .select(explode($"fingerprints").as("fp"))
+      .groupBy("fp").count().collect().map(_.getLong(1))
+    assert(postCounts.exists(_ > 6), "fixture must produce an over-threshold posting list")
+    val pairs = graft.ops.TextAnalysis.winnowPairs(
+      docs, "doc_id", "text", maxPostings = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs((1L, 7L)) === 1.0,
+      "numerator and denominator must share the post-guard fingerprint universe")
+  }
 }
