@@ -10,6 +10,24 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
+  /** The recall join every gate shares: exact vs ANY approximate
+    * (q_id, c_id) frame — per query, the fraction of the true top-k the
+    * approximate side returned. Exposed so the registered gates can
+    * point the approximate side at a FIRST-TOUCH PERSISTED index search
+    * ([[PqIndex.searchTopK]] & co.) instead of an in-query rebuild: the
+    * gate then times search + the (by-definition) exact brute-force
+    * side, never index construction — the same build/search attribution
+    * split the *_topk queries already have, and the production shape
+    * (you build once, then gate on a sampled query set).
+    */
+  def recallOf(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    exact.select(col("q_id"), col("c_id"))
+      .join(approx.select(col("q_id"), col("c_id"), lit(1L).as("__hit")),
+        Seq("q_id", "c_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_matched"))
+      .withColumn("recall", round(col("n_matched").cast("double") / k, 6))
+
   /** Recall@k of the LSH multi-probe ANN path ([[Similarity.lshTopK]])
     * against exact brute force ([[Similarity.bruteForceTopK]]) on the
     * same query set: per query, the fraction of the true top-k the index

@@ -227,6 +227,54 @@ object PqIndex {
       .write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
   }
 
+  /** Build and persist the IVF-FLAT index (learned-centroid routing over
+    * FULL vectors — no PQ loss): coarse k-means centroids plus the
+    * assigned corpus partitioned by cluster. The exact-vector tier of
+    * the index family: same directory-pruned search as the PQ layouts,
+    * scoring true cosines within the probed clusters.
+    */
+  def writeIvfFlat(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+                   nCentroids: Int = 8, iters: Int = 2): Unit = {
+    val coarse = Similarity.kmeansCentroids(corpus, idCol, vecCol, nCentroids, iters)
+    coarse.write.mode("overwrite").parquet(s"$path/coarse")
+    val base = graft.functions.VectorFunctions.attach(corpus)
+      .select(col(idCol).as("v_id"), col(vecCol).as("vec"))
+    Similarity.assignClusters(base, broadcast(coarse))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/vectors")
+  }
+
+  /** Multi-probe search over the persisted IVF-FLAT index: probe
+    * selection against the broadcast coarse table, directory-pruned scan
+    * of the probed clusters' vectors, exact cosine within candidates.
+    * Results are identical to [[Similarity.ivfTopKKmeans]] on the same
+    * parameters (same centroids by build determinism, same probes, same
+    * rounding, same bounded-heap top-k) — IvfFlatIndexSpec pins it.
+    */
+  def searchIvfFlatTopK(spark: SparkSession, path: String, queries: DataFrame,
+                        k: Int, nprobe: Int = 2): DataFrame = {
+    val coarse = broadcast(spark.read.parquet(s"$path/coarse"))
+    val q = graft.functions.VectorFunctions.attach(queries)
+      .select(col(queries.columns.head).as("q_id"),
+        col(queries.columns(1)).as("q_vec"))
+    val probes = q.crossJoin(coarse)
+      .withColumn("csim", round(expr(Similarity.nativeCosine("q_vec", "c_vec")), 6))
+      .groupBy(col("q_id"))
+      .agg(expr(s"graft_topk(csim, cent_id, $nprobe)").as("top"))
+      .select(col("q_id"), explode(col("top.c_id")).as("cluster"))
+    // metadata-sized collect (≤ queries × nprobe ints): literal cluster
+    // ids let the vectors scan directory-prune (a join could not)
+    val probedClusters = probes.select(col("cluster")).distinct()
+      .collect().map(_.getLong(0))
+    val vecs = spark.read.parquet(s"$path/vectors")
+      .where(col("cluster").isin(probedClusters: _*))
+    val qrows = broadcast(probes.join(q, Seq("q_id")))
+    Similarity.topkByQuery(
+      qrows.join(vecs.select(col("v_id").as("c_id"), col("vec").as("c_vec"),
+          col("cluster")), Seq("cluster"))
+        .where(col("q_id") =!= col("c_id"))
+        .withColumn("sim", round(expr(Similarity.nativeCosine("q_vec", "c_vec")), 6)), k)
+  }
+
   /** Build and persist the index. `dim` must divide into `m` subspaces. */
   def write(corpus: DataFrame, idCol: String, vecCol: String, path: String,
             dim: Int, m: Int = 4, kSub: Int = 8, iters: Int = 2,

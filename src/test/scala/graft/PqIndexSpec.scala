@@ -96,6 +96,22 @@ class PqIndexSpec extends SparkSpec {
     assert(searchOf(pathA).sameElements(searchOf(pathB)))
   }
 
+  test("persisted IVF-FLAT search equals the in-memory k-means IVF operator") {
+    val path = Files.createTempDirectory("graft_ivfflat").toString
+    PqIndex.writeIvfFlat(corpus, "vec_id", "embedding", path,
+      nCentroids = 4, iters = 2)
+    graft.ops.Caches.releaseAll()
+    val got = PqIndex.searchIvfFlatTopK(spark, path,
+        corpus.where($"vec_id" < 5), k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val want = graft.ops.Similarity.ivfTopKKmeans(corpus, "vec_id", "embedding",
+        k = 3, nCentroids = 4, iters = 2, nprobe = 2, queryPred = col("v_id") < 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    graft.ops.Caches.releaseAll()
+    assert(got.sorted.sameElements(want.sorted),
+      s"persisted IVF-flat search must reproduce the in-memory operator:\n${got.toSeq}\nvs\n${want.toSeq}")
+  }
+
   test("the codes scan partition-prunes to the probed clusters only") {
     val path = Files.createTempDirectory("graft_pqidx2").toString
     PqIndex.write(corpus, "vec_id", "embedding", path,
