@@ -72,8 +72,18 @@ object Bench {
       val t = (System.nanoTime() - t0) / 1e9
       samples.updateWith(name)(prev => Some(t :: prev.getOrElse(Nil)))
     }
+    // linear-interpolated quantile over the sorted reps: with the default
+    // 3 reps this reads (min, median, max) — exactly the spread that
+    // disambiguates cross-run noise (the r8 driver/builder divergence on
+    // identical code) from a real regression
+    def quantile(sorted: IndexedSeq[Double], q: Double): Double = {
+      val pos = q * (sorted.size - 1)
+      val lo = pos.toInt
+      val hi = math.min(lo + 1, sorted.size - 1)
+      sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo))
+    }
     val results = samples.map { case (name, ts) =>
-      val sorted = ts.sorted
+      val sorted = ts.sorted.toIndexedSeq
       name -> sorted(sorted.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -84,9 +94,19 @@ object Bench {
     // The driver only keeps a 2,000-char tail of stdout, which truncates
     // the per-query map once it grows past ~55 queries — persist the full
     // line next to the build so every timing stays auditable per round.
+    // The file also carries the per-query p25/median/p75 spread (the
+    // stdout line keeps the driver's flat name->median contract).
+    val spread = samples.map { case (name, ts) =>
+      val sorted = ts.sorted.toIndexedSeq
+      s"\"" + name + "\":{" +
+        s"\"p25\":${quantile(sorted, 0.25)}," +
+        s"\"p50\":${quantile(sorted, 0.50)}," +
+        s"\"p75\":${quantile(sorted, 0.75)}}"
+    }.mkString("{", ",", "}")
+    val fileLine = line.dropRight(1) + s""","reps":$reps,"quantiles":$spread}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
-      (line + "\n").getBytes("UTF-8"))
+      (fileLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // read-only cwd must not fail the bench
     spark.stop()
   }
