@@ -203,6 +203,108 @@ object Bpe {
     ranks.select(col("rank"), col("a"), col("b"), col("pair_count"))
   }
 
+  /** The SCALE path of [[learnMerges]]: one distributed corpus scan
+    * builds the (word, freq) histogram — after that first exchange the
+    * problem is VOCABULARY-bounded metadata, so the per-merge
+    * argmax+replace loop runs driver-side over the collected histogram
+    * (the shape every production trainer uses: SentencePiece / HF
+    * tokenizers collect the word counts, then train locally). The Spark
+    * loop above stays as the cross-engine parity baseline; BpeSpec pins
+    * this local learner equal to it at small k, and `tools/ProbeBpe`
+    * drives it to real-tokenizer rank counts (≥ 1,000 merges) — the
+    * Spark loop at that k would schedule ~2k jobs of millisecond work.
+    *
+    * The driver loop is the classic incremental trainer: pair counts are
+    * maintained under merges (only words CONTAINING the merged pair are
+    * touched, via an occurrence index), so iteration cost is
+    * O(affected words × word length), not O(vocab) — rank-1000 tables
+    * train in seconds on million-doc corpora.
+    *
+    * `minFreq` prunes the histogram tail before training (standard
+    * trainer knob; 1 = exact parity with [[learnMerges]]). Same
+    * eligibility and tie-breaks: a != b, ASCII-alnum sides, argmax by
+    * (count desc, a asc, b asc) — ASCII ordering ≡ UTF8 binary ordering
+    * on the eligible alphabet, so the driver's String compare reproduces
+    * the engines' sort exactly.
+    */
+  def learnMergesLocal(df: DataFrame, text: String, k: Int,
+                       minFreq: Long = 1L): Seq[(Int, String, String, Long)] = {
+    val hist: Array[(String, Long)] = df
+      .select(explode(split(expr(s"replace($text, '$Sep', '')"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      .where(col("f") >= minFreq)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val words: Array[Array[String]] = hist.map(_._1.map(_.toString).toArray)
+    val freqs: Array[Long] = hist.map(_._2)
+    val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occur = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    def index(wi: Int, sign: Long): Unit = {
+      val us = words(wi); val f = freqs(wi); var i = 0
+      while (i < us.length - 1) {
+        val p = (us(i), us(i + 1))
+        val c = pairCounts.getOrElse(p, 0L) + sign * f
+        if (c == 0L) pairCounts.remove(p) else pairCounts(p) = c
+        if (sign > 0L) occur.getOrElseUpdate(
+          p, scala.collection.mutable.HashSet.empty) += wi
+        i += 1
+      }
+    }
+    words.indices.foreach(index(_, 1L))
+    def eligible(a: String, b: String): Boolean = a != b &&
+      (a + b).forall(ch => (ch >= '0' && ch <= '9') ||
+        (ch >= 'A' && ch <= 'Z') || (ch >= 'a' && ch <= 'z'))
+    // the standard left-to-right non-overlapping merge — exactly what the
+    // boundary-delimited double-replace computes for a != b (BpeSpec pins
+    // that equivalence on back-to-back runs)
+    def mergeUnits(us: Array[String], a: String, b: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]; var i = 0
+      while (i < us.length) {
+        if (i < us.length - 1 && us(i) == a && us(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += us(i); i += 1 }
+      }
+      out.toArray
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= k && !done) {
+      var bestPair: (String, String) = null; var bestCount = 0L
+      pairCounts.foreach { case (p, c) =>
+        if (c > 0L && eligible(p._1, p._2) &&
+          (bestPair == null || c > bestCount || (c == bestCount &&
+            (p._1 < bestPair._1 ||
+              (p._1 == bestPair._1 && p._2 < bestPair._2))))) {
+          bestPair = p; bestCount = c
+        }
+      }
+      if (bestPair == null) done = true
+      else {
+        out += ((r, bestPair._1, bestPair._2, bestCount))
+        val affected = occur.getOrElse(bestPair,
+          scala.collection.mutable.HashSet.empty[Int]).toArray
+        affected.foreach { wi =>
+          val us = words(wi)
+          // the occurrence index keeps stale entries (a word may have
+          // lost the pair under an earlier merge) — re-check before work
+          var has = false; var i = 0
+          while (!has && i < us.length - 1) {
+            has = us(i) == bestPair._1 && us(i + 1) == bestPair._2; i += 1
+          }
+          if (has) {
+            index(wi, -1L)
+            words(wi) = mergeUnits(us, bestPair._1, bestPair._2)
+            index(wi, 1L)
+          }
+        }
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
   /** DuckDB twin of [[learnMerges]] — the same word histogram, argmax
     * tie-breaks, and double-replace merges unrolled to `k` CTE pairs.
     */

@@ -28,6 +28,16 @@ object ProbeBpe {
       docs, "doc_id", "text", "source", budget = 2048, shards = 8,
       tokensExpr = graft.ops.Bpe.sparkTokenCountExpr)
       .queryExecution.toRdd.count())
+    // the SCALE half of the learner (VERDICT r8 #3): collected-histogram
+    // driver loop to real-tokenizer rank counts — the Spark parity loop
+    // at this k would schedule ~2k jobs of millisecond work
+    val k = args.lift(1).map(_.toInt).getOrElse(1000)
+    time(s"learnMergesLocal k=$k") {
+      val merges = graft.ops.Bpe.learnMergesLocal(docs, "text", k = k)
+      println(s"[probe]   learned ${merges.size} merges; " +
+        s"first 5: ${merges.take(5).mkString(", ")}; last: ${merges.lastOption.getOrElse("-")}")
+      merges.size.toLong
+    }
     spark.stop()
   }
 }

@@ -85,6 +85,31 @@ class BpeSpec extends SparkSpec {
       (3, "a", "t", 1L), (4, "c", "at", 1L)))
   }
 
+  test("local (driver-loop) learner equals the Spark-loop learner, rank for rank") {
+    // a corpus rich enough to exercise merged-unit pairs, ties, and
+    // repeated words across docs; k deep enough that later ranks depend
+    // on earlier merges compounding correctly
+    val docs = Seq(
+      (1L, "the thing sang a long song"),
+      (2L, "the thin man ran and ran"),
+      (3L, "singing in the rain again and again"),
+      (4L, "10 12 100 1200 the end")).toDF("doc_id", "text")
+    val want = graft.ops.Bpe.learnMerges(docs, "text", k = 12)
+      .select($"rank", $"a", $"b", $"pair_count")
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    val got = graft.ops.Bpe.learnMergesLocal(docs, "text", k = 12)
+    assert(got === want,
+      "the collected-histogram driver loop must reproduce the Spark loop exactly")
+    // and on the hand-computed fixture from the Spark-loop test
+    val tiny = Seq((1L, "the the cat"), (2L, "the")).toDF("doc_id", "text")
+    assert(graft.ops.Bpe.learnMergesLocal(tiny, "text", k = 4) ===
+      Seq((1, "h", "e", 3L), (2, "t", "he", 3L), (3, "a", "t", 1L), (4, "c", "at", 1L)))
+    // early stop matches too
+    assert(graft.ops.Bpe.learnMergesLocal(
+      Seq((1L, "ab")).toDF("doc_id", "text"), "text", k = 3)
+      .map(m => (m._1, m._2, m._3)) === Seq((1, "a", "b")))
+  }
+
   test("merge learning stops early when no eligible pair remains") {
     // single 2-char word: one merge exhausts every alnum pair
     val docs = Seq((1L, "ab")).toDF("doc_id", "text")
