@@ -209,6 +209,28 @@ case class ClassifierLogit(child: Expression, dim: Int) extends HashArrayExpress
     copy(child = c)
 }
 
+/** `graft_classifier_logit_t(words)` — the TRAINED variant of
+  * [[ClassifierLogit]]: same compiled integer-logit loop over the
+  * committed LR table ([[graft.ops.QualityClassifierWeights]], learned
+  * from the planted fixture — see [[graft.ops.QualityClassifier]])
+  * instead of the placeholder formula.
+  */
+case class ClassifierLogitTrained(child: Expression) extends HashArrayExpression {
+  override def prettyName: String = "graft_classifier_logit_t"
+  override protected def requiredElem: DataType = StringType
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(words: Any): Any =
+    HashOps.classifierLogitTrained(words.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, w =>
+      s"${ev.value} = graft.functions.HashOps.classifierLogitTrained($w);")
+
+  override protected def withNewChildInternal(c: Expression): ClassifierLogitTrained =
+    copy(child = c)
+}
+
 /** `graft_bpe_count(text)`: single-epoch BPE token count over the
   * committed merge table ([[HashOps.bpeTokenCount]]) — the compiled twin
   * of the 2-passes-per-merge boundary-replace chain (graft.ops.Bpe),

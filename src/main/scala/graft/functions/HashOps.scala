@@ -419,6 +419,27 @@ object HashOps {
     acc
   }
 
+  // the committed TRAINED table (graft.ops.QualityClassifierWeights),
+  // materialized once; same integer-logit loop as classifierLogit with a
+  // table lookup in place of the placeholder formula
+  private lazy val trainedWeights: Array[Long] = graft.ops.QualityClassifier.Weights
+  private lazy val trainedDim: Int = graft.ops.QualityClassifier.Dim
+
+  def classifierLogitTrained(words: ArrayData): Long = {
+    val n = words.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val t = words.getUTF8String(i)
+        if (t.numBytes() > 0)
+          acc += trainedWeights((hashUtf8(t) % trainedDim).toInt)
+      }
+      i += 1
+    }
+    acc
+  }
+
   // the committed merge table, materialized once (see graft.ops.Bpe for
   // the table, its rank-order + a≠b invariants, and the semantics proof)
   private lazy val bpeMerges: Array[(String, String)] = graft.ops.Bpe.merges.toArray

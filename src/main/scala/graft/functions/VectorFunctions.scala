@@ -185,6 +185,8 @@ object VectorFunctions {
       (e: Seq[Expression]) => AlphaCount(e(0))),
     "graft_classifier_logit" -> (classOf[ClassifierLogit],
       (e: Seq[Expression]) => ClassifierLogit(e(0), intLit(e(1), "graft_classifier_logit"))),
+    "graft_classifier_logit_t" -> (classOf[ClassifierLogitTrained],
+      (e: Seq[Expression]) => ClassifierLogitTrained(e(0))),
     "graft_stop_count" -> (classOf[StopCount],
       (e: Seq[Expression]) => StopCount(e(0), stringArrayLit(e(1), "graft_stop_count")))
   )

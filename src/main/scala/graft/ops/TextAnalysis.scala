@@ -814,6 +814,58 @@ object TextAnalysis {
        |  FROM $table) WHERE n_tokens > 0""".stripMargin
   }
 
+  /** [[hashClassifierScore]] with the TRAINED committed weight table
+    * ([[QualityClassifier]]): logistic-regression weights learned over
+    * the bounded hashed feature space from the planted labeled fixture,
+    * quantized to integer milli-units so the logit stays an exact
+    * integer sum (same cross-engine contract as the placeholder
+    * variant). `score >= 0` is the LR decision boundary. Same plan
+    * shape: one corpus scan, zero shuffle, compiled kernel.
+    */
+  def trainedClassifierScore(docs: DataFrame, id: String, text: String): DataFrame = {
+    val tok = s"filter(split($text, ' '), w -> w <> '')"
+    graft.functions.VectorFunctions.attach(docs)
+      .select(col(id),
+        expr(s"size($tok)").as("n_tokens"),
+        expr(s"graft_classifier_logit_t(split($text, ' '))").as("logit"))
+      .where(col("n_tokens") > 0)
+      .withColumn("score", round(col("logit").cast("double") /
+        (col("n_tokens") * 1000.0), 6))
+      .withColumn("keep", (col("score") >= 0.0).cast("int"))
+  }
+
+  /** Declarative Spark twin of the trained compiled logit (parity
+    * baseline — the committed table rides as an array literal).
+    */
+  def trainedClassifierLogitHof(text: String): String = {
+    val tok = s"filter(split($text, ' '), w -> w <> '')"
+    val h = graft.ops.PortableHash.sparkStringHash("t")
+    val arr = QualityClassifier.Weights.mkString("array(", ", ", ")")
+    s"aggregate(transform($tok, t -> " +
+      s"cast(element_at($arr, cast(($h % ${QualityClassifier.Dim}) AS INT) + 1) AS BIGINT)), " +
+      "cast(0 AS BIGINT), (acc, v) -> acc + v)"
+  }
+
+  /** DuckDB twin of [[trainedClassifierScore]] (same committed table as
+    * a list literal — the oracle replays scoring with the trained
+    * weights exactly).
+    */
+  def trainedClassifierScoreSql(table: String, id: String, text: String): String = {
+    val tok = s"list_filter(string_split($text, ' '), w -> w <> '')"
+    val h = graft.ops.PortableHash.duckStringHash("t")
+    val arr = QualityClassifier.Weights.mkString("[", ", ", "]")
+    s"""SELECT $id, n_tokens, logit,
+       |  round(logit::DOUBLE / (n_tokens * 1000.0), 6) AS score,
+       |  CASE WHEN round(logit::DOUBLE / (n_tokens * 1000.0), 6) >= 0.0
+       |       THEN 1 ELSE 0 END AS keep
+       |FROM (
+       |  SELECT $id, len($tok) AS n_tokens,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      list_transform($tok, t -> (($arr)[(($h % ${QualityClassifier.Dim}) + 1)])::BIGINT)),
+       |      (acc, v) -> acc + v) AS logit
+       |  FROM $table) WHERE n_tokens > 0""".stripMargin
+  }
+
   /** DuckDB fragment: the `s_<lang>` scores folded into `lang_pred` as a
     * single nested-CASE select-list item (the twin of [[langBestCol]]).
     */

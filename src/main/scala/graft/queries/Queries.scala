@@ -1278,10 +1278,23 @@ object Queries {
       // variant's oracle is this one's oracle too (full hash check)
       Some(curationManifestOracle)),
 
-    // model-based quality filtering (the fastText stage) with honest
-    // placeholder weights: the hashing/bucketing/scoring plumbing is
-    // real and cross-engine exact; trained weights are a drop-in
+    // model-based quality filtering (the fastText stage) with TRAINED
+    // weights: in-engine logistic regression over the bounded hashed
+    // feature space, learned from the planted labeled fixture and
+    // committed as an integer milli-unit table (QualityClassifier) the
+    // oracle replays — the r8 "trained weights are a drop-in" caveat
+    // closed by actually dropping them in
     QueryDef("text_quality_classifier",
+      (s, dir) => TextAnalysis.trainedClassifierScore(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some(TextAnalysis.trainedClassifierScoreSql(
+        "documents", "doc_id", "text"))),
+
+    // the placeholder-formula variant stays registered: it is the
+    // structural twin the fused/composed curation DAG embeds (k_cls) and
+    // keeps the arbitrary-dim plumbing (4096 buckets vs the trained
+    // table's 256) under the oracle
+    QueryDef("text_quality_classifier_hash",
       (s, dir) => TextAnalysis.hashClassifierScore(
         t(s, dir, "documents"), "doc_id", "text", dim = 4096),
       Some(TextAnalysis.hashClassifierScoreSql(
