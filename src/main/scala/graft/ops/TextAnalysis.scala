@@ -251,7 +251,17 @@ object TextAnalysis {
     */
   def winnowPairs(df: DataFrame, id: String, text: String,
                   k: Int = 3, w: Int = 4, minShared: Int = 2,
-                  maxPostings: Int = 1000): DataFrame = {
+                  maxPostings: Int = 1000): DataFrame =
+    winnowPairsFull(df, id, text, k, w, minShared, maxPostings)
+      .select(col("a_id"), col("b_id"), col("n_shared"), col("containment"))
+
+  /** [[winnowPairs]] with the per-side post-guard fingerprint counts
+    * still attached — the feed [[containmentDedup]] needs to pick its
+    * victims (the contained side is the one with FEWER fingerprints).
+    */
+  private def winnowPairsFull(df: DataFrame, id: String, text: String,
+                              k: Int, w: Int, minShared: Int,
+                              maxPostings: Int): DataFrame = {
     val sets = winnowSets(df, id, text, k, w)
       .select(col(id).as("d"), col("fingerprints"))
     val posts = sets.select(col("d"), explode(col("fingerprints")).as("fp"))
@@ -277,15 +287,70 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared"),
         max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
       .where(col("n_shared") >= minShared)
-      .select(col("a_id"), col("b_id"), col("n_shared"),
+      .select(col("a_id"), col("b_id"), col("n_shared"), col("n_a"), col("n_b"),
         round(col("n_shared").cast("double") /
           least(col("n_a"), col("n_b")).cast("double"), 6).as("containment"))
   }
 
+  /** The ACTING twin of [[winnowPairs]] (the report→action pattern of
+    * `pipeline_decontaminate_semantic`): for every pair with containment
+    * ≥ `threshold`, KEEP the lowest-id side and DROP the other — the
+    * same priority rule every keeper op in this engine uses (MinHash
+    * keeper points clusters at their min id, SemDeDup keeps
+    * lowest-(sim, id)), which makes the decision independent of which
+    * side's fingerprint count a boilerplate guard happened to touch; in
+    * production the id stands for any priority column (quality score,
+    * crawl recency). Emits the surviving doc ids: docs in no
+    * over-threshold pair (including fingerprint-less short docs) all
+    * survive. Transitive chains resolve like the LSH keeper: a doc
+    * dropped for one pair cannot save its own victims (victims are the
+    * union of higher-id sides — conservative, one pass).
+    *
+    * Scale shape: the victim set is derived from the pair frame (same
+    * postings-join cost as the report — run AFTER linear keeper dedup,
+    * as documented there) and removed with a left_anti join keyed on the
+    * id; no new shuffle class beyond the pairs themselves.
+    */
+  def containmentDedup(df: DataFrame, id: String, text: String,
+                       k: Int = 3, w: Int = 4, minShared: Int = 2,
+                       maxPostings: Int = 1000,
+                       threshold: Double = 0.8): DataFrame = {
+    val victims = winnowPairsFull(df, id, text, k, w, minShared, maxPostings)
+      .where(col("containment") >= threshold)
+      .select(col("b_id").as("victim")) // a_id < b_id: b is the higher id
+      .distinct()
+    df.select(col(id))
+      .join(victims, col(id) === col("victim"), "left_anti")
+      .select(col(id))
+  }
+
+  /** DuckDB twin of [[containmentDedup]]. */
+  def containmentDedupSql(table: String, id: String, text: String,
+                          k: Int = 3, w: Int = 4, minShared: Int = 2,
+                          maxPostings: Int = 1000,
+                          threshold: Double = 0.8): String =
+    s"""WITH pairs AS (
+       |  SELECT b_id, containment FROM (
+       |${winnowPairsFullSql(table, id, text, k, w, minShared, maxPostings)}) t),
+       |victims AS (
+       |  SELECT DISTINCT b_id AS victim FROM pairs
+       |  WHERE containment >= $threshold)
+       |SELECT $id FROM $table
+       |WHERE $id NOT IN (SELECT victim FROM victims)""".stripMargin
+
   /** DuckDB twin of [[winnowPairs]]. */
   def winnowPairsSql(table: String, id: String, text: String,
                      k: Int = 3, w: Int = 4, minShared: Int = 2,
-                     maxPostings: Int = 1000): String = {
+                     maxPostings: Int = 1000): String =
+    s"""SELECT a_id, b_id, n_shared, containment FROM (
+       |${winnowPairsFullSql(table, id, text, k, w, minShared, maxPostings)}) t""".stripMargin
+
+  /** The [[winnowPairsSql]] chain with n_a/n_b kept (twin of
+    * [[winnowPairsFull]]).
+    */
+  private def winnowPairsFullSql(table: String, id: String, text: String,
+                                 k: Int, w: Int, minShared: Int,
+                                 maxPostings: Int): String = {
     val words = s"string_split($text, ' ')"
     val parts = (0 until k).map(j => s"$words[i + $j]").mkString(" || ' ' || ")
     val grams =
@@ -307,7 +372,7 @@ object TextAnalysis {
        |         max(a.n_fp) AS n_a, max(b.n_fp) AS n_b
        |  FROM bounded a JOIN bounded b ON a.fp = b.fp AND a.d < b.d
        |  GROUP BY 1, 2 HAVING count(*) >= $minShared)
-       |SELECT a_id, b_id, n_shared,
+       |SELECT a_id, b_id, n_shared, n_a, n_b,
        |  round(n_shared::DOUBLE / least(n_a, n_b)::DOUBLE, 6) AS containment
        |FROM agg""".stripMargin
   }

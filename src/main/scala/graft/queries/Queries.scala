@@ -667,6 +667,27 @@ object Queries {
           | FROM documents WHERE doc_id < 3)""".stripMargin,
         "doc_id", "text"))),
 
+    // the ACTING twin of text_winnow_pairs (report -> action, the same
+    // pattern as pipeline_decontaminate_semantic): the planted partial
+    // copies sit at containment 1.0 against their originals and carry
+    // the higher id, so the lowest-id keeper drops exactly them; every
+    // unpaired fixture doc survives
+    QueryDef("dedup_containment",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val planted = docs.where(col("doc_id") < 3)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" extra tail words appended here")).as("text"))
+        TextAnalysis.containmentDedup(docs.unionByName(planted),
+          "doc_id", "text", threshold = 0.8)
+      },
+      Some(TextAnalysis.containmentDedupSql(
+        """(SELECT doc_id, text FROM documents
+          | UNION ALL
+          | SELECT doc_id + 100000, text || ' extra tail words appended here'
+          | FROM documents WHERE doc_id < 3)""".stripMargin,
+        "doc_id", "text", threshold = 0.8))),
+
     QueryDef("pipeline_sample",
       (s, dir) => graft.ops.Sampling.stratifiedSample(
         t(s, dir, "documents"), "doc_id", "source",

@@ -462,4 +462,22 @@ class OpsSpec extends SparkSpec {
     assert(pairs((1L, 7L)) === 1.0,
       "numerator and denominator must share the post-guard fingerprint universe")
   }
+
+  test("containment dedup drops the higher-id side of over-threshold pairs, keeps the rest") {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val other = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val docs = Seq(
+      (1L, base),                                   // original: kept (lowest id of its pair)
+      (2L, other),                                  // unrelated: kept
+      (3L, base + " extra tail words appended here"), // full copy of 1 + tail: dropped
+      (4L, "short doc"),                            // fingerprint-less: kept
+      (5L, other + " more trailing content here too") // full copy of 2 + tail: dropped
+    ).toDF("doc_id", "text")
+    val kept = graft.ops.TextAnalysis.containmentDedup(
+      docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 2L, 4L),
+      "planted partial copies must drop; originals, unrelated and short docs survive")
+  }
 }
