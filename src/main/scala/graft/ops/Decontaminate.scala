@@ -249,9 +249,11 @@ object Decontaminate {
     // "zero-hit items included" contract survives an EMPTY corpus side
     // (the crossJoin alone yields no rows at all in that case); with a
     // non-empty corpus every bench id appears in `hits` and the join is
-    // value-identical to the bare aggregation
+    // value-identical to the bare aggregation. The hits side is
+    // bench-cardinality — broadcast it so the patch-up join adds no
+    // bench-keyed exchange (PlanAuditSpec pins the single exchange)
     bench.select(col(id).as("bench_id"))
-      .join(hits, Seq("bench_id"), "left_outer")
+      .join(broadcast(hits), Seq("bench_id"), "left_outer")
       .select(col("bench_id"),
         coalesce(col("n_corpus_hits"), lit(0L)).as("n_corpus_hits"),
         col("max_sim"))

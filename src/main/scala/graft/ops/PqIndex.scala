@@ -118,6 +118,10 @@ object PqIndex {
   def searchFlatTopK(spark: SparkSession, path: String, queries: DataFrame,
                      k: Int, dim: Int, m: Int = 4, kSub: Int = 8,
                      packed: Boolean = false): DataFrame = {
+    // register the graft expressions BEFORE any eagerly-analyzed
+    // transformation touches them (Dataset ops resolve at construction;
+    // without this the first index call in a fresh session fails analysis)
+    graft.functions.VectorFunctions.ensureRegistered(spark)
     val w = dim / m
     val cent = spark.read.parquet(s"$path/codebooks")
     val q = graft.functions.VectorFunctions.attach(queries)
@@ -172,6 +176,10 @@ object PqIndex {
   def searchResidualTopK(spark: SparkSession, path: String, queries: DataFrame,
                          k: Int, dim: Int, m: Int = 4, kSub: Int = 8,
                          nprobe: Int = 2, packed: Boolean = false): DataFrame = {
+    // register the graft expressions BEFORE any eagerly-analyzed
+    // transformation touches them (Dataset ops resolve at construction;
+    // without this the first index call in a fresh session fails analysis)
+    graft.functions.VectorFunctions.ensureRegistered(spark)
     val w = dim / m
     val coarse = broadcast(spark.read.parquet(s"$path/coarse"))
     val ccn = Pq.coarseWithNorms(coarse)
@@ -209,6 +217,10 @@ object PqIndex {
     */
   def appendResidual(spark: SparkSession, path: String, newVectors: DataFrame,
                      idCol: String, vecCol: String): Unit = {
+    // register the graft expressions BEFORE any eagerly-analyzed
+    // transformation touches them (Dataset ops resolve at construction;
+    // without this the first index call in a fresh session fails analysis)
+    graft.functions.VectorFunctions.ensureRegistered(spark)
     val coarse = broadcast(spark.read.parquet(s"$path/coarse"))
     val cent = spark.read.parquet(s"$path/codebooks")
     // m and w come off the persisted codebooks — metadata-sized read
@@ -252,6 +264,10 @@ object PqIndex {
     */
   def searchIvfFlatTopK(spark: SparkSession, path: String, queries: DataFrame,
                         k: Int, nprobe: Int = 2): DataFrame = {
+    // register the graft expressions BEFORE any eagerly-analyzed
+    // transformation touches them (Dataset ops resolve at construction;
+    // without this the first index call in a fresh session fails analysis)
+    graft.functions.VectorFunctions.ensureRegistered(spark)
     val coarse = broadcast(spark.read.parquet(s"$path/coarse"))
     val q = graft.functions.VectorFunctions.attach(queries)
       .select(col(queries.columns.head).as("q_id"),
@@ -298,6 +314,10 @@ object PqIndex {
   def searchTopK(spark: SparkSession, path: String, queries: DataFrame,
                  k: Int, dim: Int, m: Int = 4, kSub: Int = 8,
                  nprobe: Int = 2): DataFrame = {
+    // register the graft expressions BEFORE any eagerly-analyzed
+    // transformation touches them (Dataset ops resolve at construction;
+    // without this the first index call in a fresh session fails analysis)
+    graft.functions.VectorFunctions.ensureRegistered(spark)
     val w = dim / m
     val coarse = broadcast(spark.read.parquet(s"$path/coarse"))
     val cent = spark.read.parquet(s"$path/codebooks")

@@ -988,6 +988,66 @@ object TextAnalysis {
         expr(PortableHash.sparkStringHash("array_join(col, ' ')")).as("chunk_hash"))
   }
 
+  /** Chunk + HASH-EMBED in one projection: [[chunkDocuments]]'s token
+    * windows mapped to a `dim`-dimensional signed feature-hash vector
+    * (the hashing trick: token t adds ±1 to bucket `H(t) mod dim`, sign
+    * from the next hash bit) — the deterministic, engine-exact stand-in
+    * for a neural encoder that makes the chunk→embed→index→probe
+    * pipeline testable end to end cross-engine (same role the planted
+    * codecs play for multimodal). Swapping in real model vectors changes
+    * this one projection. Emits (v_id, vec): v_id = doc_id·100000 +
+    * chunk_idx, vec integer-valued doubles (exact on both engines).
+    *
+    * Scale shape: identical to [[chunkDocuments]] — one corpus scan,
+    * per-row projection + bounded explode, zero shuffle.
+    */
+  def hashEmbedChunks(df: DataFrame, id: String, text: String,
+                      size: Int = 32, stride: Int = 24,
+                      dim: Int = 16): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size && dim > 0,
+      s"need 0 < stride <= size and dim > 0, got size=$size stride=$stride dim=$dim")
+    val h = PortableHash.sparkStringHash("t")
+    df.where(col(text).isNotNull && trim(col(text)) =!= "")
+      .select(col(id).as("doc_id"),
+        expr(s"regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(greatest(ceil((size(toks) - $size) / cast($stride AS DOUBLE)), 0) AS INT)), " +
+          s"i -> slice(toks, i * $stride + 1, $size))")))
+      .select(expr("doc_id * 100000 + pos").as("v_id"),
+        expr(s"transform(sequence(0, ${dim - 1}), j -> cast(" +
+          s"aggregate(col, cast(0 AS BIGINT), (acc, t) -> acc + " +
+          s"IF(($h % $dim) = j, IF((($h div $dim) % 2) = 0, -1L, 1L), 0L)) AS DOUBLE))")
+          .as("vec"))
+  }
+
+  /** DuckDB twin of [[hashEmbedChunks]] — a parenthesized derived table
+    * emitting (v_id, vec), shaped to slot into the index-twin SQL's
+    * `table` parameter.
+    */
+  def hashEmbedChunksSql(table: String, id: String, text: String,
+                         size: Int = 32, stride: Int = 24,
+                         dim: Int = 16): String = {
+    val h = PortableHash.duckStringHash("t")
+    s"""(WITH etoks AS (
+       |  SELECT $id AS doc_id,
+       |    regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]') AS toks
+       |  FROM $table),
+       |ech AS (
+       |  SELECT doc_id, i AS chunk_idx,
+       |    list_slice(toks, i * $stride + 1, i * $stride + $size) AS ctoks
+       |  FROM (SELECT * FROM etoks WHERE len(toks) > 0),
+       |    UNNEST(generate_series(0,
+       |      greatest(ceil((len(toks) - $size) / ${stride}.0), 0)::BIGINT)) AS t(i))
+       |SELECT doc_id * 100000 + chunk_idx AS v_id,
+       |  list_transform(generate_series(0, ${dim - 1}), j ->
+       |    (list_reduce(list_prepend(0::BIGINT, list_transform(ctoks, t ->
+       |      CASE WHEN ($h % $dim) = j
+       |           THEN (CASE WHEN (($h // $dim) % 2) = 0 THEN -1 ELSE 1 END)::BIGINT
+       |           ELSE 0::BIGINT END)),
+       |      (a, b) -> a + b))::DOUBLE) AS vec
+       |FROM ech)""".stripMargin
+  }
+
   /** DuckDB twin of [[chunkDocuments]]. */
   def chunkDocumentsSql(table: String, id: String, text: String,
                         size: Int = 32, stride: Int = 24): String =

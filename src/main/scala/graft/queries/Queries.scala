@@ -1770,6 +1770,44 @@ object Queries {
         nCoarse = 8, coarseIters = 2, nprobe = 2,
         trainPred = "vec_id < 250", queryPred = "v_id < 10"))),
 
+    // THE END-TO-END EMBEDDING PIPELINE as one registered query — what a
+    // RAG/curation user actually runs: chunk -> hash-embed (one corpus
+    // scan, zero shuffle; PlanAuditSpec pins the single documents scan)
+    // -> encode into the first-touch-persisted RESIDUAL index -> ANN
+    // probe with directory pruning. The oracle replays the identical
+    // chain: the chunk+embed derived table slots into the residual
+    // index twin's table parameter
+    QueryDef("pipeline_embed_index",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val chunks = TextAnalysis.hashEmbedChunks(docs, "doc_id", "text",
+          size = 32, stride = 24, dim = 16)
+        val path = idxPath("embpipe", dir)
+        graft.ops.PqIndex.ensure(s, path,
+          idxSig(s, dir, "embpipe,dim=16,m=4,kSub=8,iters=2,nCoarse=8,coarseIters=2,size=32,stride=24",
+            table = "documents")) {
+          graft.ops.PqIndex.writeResidual(chunks, "v_id", "vec", path,
+            dim = 16, m = 4, kSub = 8, iters = 2, nCoarse = 8, coarseIters = 2)
+        }
+        // query side: filter on doc_id BEFORE chunking (pushes to the
+        // parquet scan — v_id < 200000 ⟺ doc_id < 2 since chunk_idx
+        // stays far below 100000) and LEASE the tiny frame: the search
+        // references the query vectors several times (probes, norms,
+        // LUTs), and an uncached computed-column frame would re-derive
+        // the chunk+embed subtree per reference
+        val queries = TextAnalysis.hashEmbedChunks(
+            docs.where(col("doc_id") < 2), "doc_id", "text",
+            size = 32, stride = 24, dim = 16)
+          .transform(graft.ops.Caches.lease(_))
+        graft.ops.PqIndex.searchResidualTopK(s, path, queries, k = 5,
+          dim = 16, m = 4, kSub = 8, nprobe = 2)
+      },
+      Some(Pq.ivfPqResidualTopKSql(
+        TextAnalysis.hashEmbedChunksSql("documents", "doc_id", "text",
+          size = 32, stride = 24, dim = 16),
+        "v_id", "vec", k = 5, dim = 16, m = 4, kSub = 8, iters = 2,
+        nCoarse = 8, coarseIters = 2, nprobe = 2, queryPred = "v_id < 200000"))),
+
     // per-label centroid + class size: decimal-exact per-dimension means,
     // exchange carries labels x dims cells — never the vectors. Registered
     // with the centroid serialized to fixed-scale decimal CSV (no raw

@@ -490,4 +490,17 @@ class PlanAuditSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("pipeline_embed_index: steady state scans documents ONCE (query chunks); codes are directory-pruned index reads") {
+    val p = formatted("pipeline_embed_index")
+    // the corpus feeds the plan exactly once — the query-vector
+    // derivation; the indexed side comes from the at-rest files
+    assert(count(p, "Location[^\\n]*documents\\.parquet") == 1,
+      s"chunk+embed must be ONE corpus scan:\n$p")
+    assert(count(p, "Location[^\\n]*graft_embpipe") >= 1,
+      s"the candidate side must read the persisted index, not recompute:\n$p")
+    // the probed clusters become partition filters on the codes layout
+    assert(p.matches("(?s).*PartitionFilters[^\\n]*cluster.*"),
+      s"the codes scan must directory-prune on the probed clusters:\n$p")
+  }
 }
