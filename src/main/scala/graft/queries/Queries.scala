@@ -1633,11 +1633,25 @@ object Queries {
         nCentroids = 8, iters = 2, nprobe = 2))),
 
     // ...and the PQ family's gate: what the (m, kSub) budget keeps. The
-    // production tuning loop raises m/kSub until this clears the bar
+    // production tuning loop raises m/kSub until this clears the bar.
+    // Approximate side = the SAME first-touch-persisted flat index
+    // embed_pq_topk searches (shared path + signature): the gate times
+    // ADC search + the by-definition exact side, never codebook training
     QueryDef("embed_pq_recall",
-      (s, dir) => graft.ops.Eval.pqRecallAtK(t(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 5, dim = 64, m = 4, kSub = 8, iters = 2,
-        queryPred = col("v_id") < 10),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = idxPath("pqflat", dir)
+        graft.ops.PqIndex.ensure(s, path, idxSig(s, dir, "dim=64,m=4,kSub=8,iters=2")) {
+          graft.ops.PqIndex.writeFlat(emb, "vec_id", "embedding", path,
+            dim = 64, m = 4, kSub = 8, iters = 2)
+        }
+        val queries = emb.where(col("vec_id") < 10).select("vec_id", "embedding")
+        graft.ops.Eval.recallOf(
+          Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5),
+          graft.ops.PqIndex.searchFlatTopK(s, path, queries,
+            k = 5, dim = 64, m = 4, kSub = 8),
+          k = 5)
+      },
       Some(graft.ops.Eval.pqRecallAtKSql("embeddings", "vec_id", "embedding",
         k = 5, queryPredId = "vec_id < 10", queryPredVid = "v_id < 10",
         dim = 64, m = 4, kSub = 8, iters = 2))),
