@@ -924,6 +924,28 @@ object Queries {
       Some(Similarity.ivfTopKKmeansSql("embeddings", "vec_id", "embedding",
         k = 5, nCentroids = 8, iters = 2, nprobe = 2, queryPred = "v_id < 10"))),
 
+    // the IVF-flat family's AT-REST search leg (the analog of
+    // embed_ivfpq_topk for the exact-vector tier): first-touch-persisted
+    // coarse centroids + cluster-partitioned FULL vectors, multi-probe
+    // search directory-pruned to the probed clusters, exact cosine
+    // within candidates — spec-pinned ≡ the in-memory k-means IVF, which
+    // is what the oracle recomputes. Prices what production pays per
+    // query once the assignment is laid down at ingest
+    QueryDef("embed_ivf_persisted",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = idxPath("ivfflat", dir)
+        graft.ops.PqIndex.ensure(s, path, idxSig(s, dir, "ivfflat,nCentroids=8,iters=2")) {
+          graft.ops.PqIndex.writeIvfFlat(emb, "vec_id", "embedding", path,
+            nCentroids = 8, iters = 2)
+        }
+        graft.ops.PqIndex.searchIvfFlatTopK(s, path,
+          emb.where(col("vec_id") < 10).select("vec_id", "embedding"),
+          k = 5, nprobe = 2)
+      },
+      Some(Similarity.ivfTopKKmeansSql("embeddings", "vec_id", "embedding",
+        k = 5, nCentroids = 8, iters = 2, nprobe = 2, queryPred = "v_id < 10"))),
+
     // ANN, third index family: product quantization. Vectors become m
     // subspace-centroid codes (L2 k-means per subspace); search is the
     // compiled ADC lookup over per-query dot tables — zero per-pair float
