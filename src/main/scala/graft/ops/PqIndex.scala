@@ -291,6 +291,27 @@ object PqIndex {
         .withColumn("sim", round(expr(Similarity.nativeCosine("q_vec", "c_vec")), 6)), k)
   }
 
+  /** Incremental maintenance of the IVF-FLAT index — the daily-crawl
+    * shape for the exact-vector tier (the [[appendResidual]] analog):
+    * assign `newVectors` to the index's FROZEN coarse centroids (read
+    * from the index; no retrain) and append them into the
+    * cluster-partitioned vectors layout. Search is unchanged and sees
+    * old + new rows; append-vs-rebuild equality holds because
+    * assignment is a pure function of (vector, centroids) —
+    * IvfFlat parity is pinned at the search level by PqIndexSpec. Same
+    * codebook-drift caveat as the residual index: monitor recall,
+    * rebuild via signature change when the distribution moves.
+    */
+  def appendIvfFlat(spark: SparkSession, path: String, newVectors: DataFrame,
+                    idCol: String, vecCol: String): Unit = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val coarse = broadcast(spark.read.parquet(s"$path/coarse"))
+    val base = graft.functions.VectorFunctions.attach(newVectors)
+      .select(col(idCol).as("v_id"), col(vecCol).as("vec"))
+    Similarity.assignClusters(base, coarse)
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/vectors")
+  }
+
   /** Build and persist the index. `dim` must divide into `m` subspaces. */
   def write(corpus: DataFrame, idCol: String, vecCol: String, path: String,
             dim: Int, m: Int = 4, kSub: Int = 8, iters: Int = 2,

@@ -55,6 +55,22 @@ object ProbePqIndex {
     searchR()
     val tsR = (1 to 3).map(_ => time(searchR())._2).sorted
     println(s"""{"metric":"pq_index_residual","build_sec":$tBuildR,"search_sec":${tsR(1)},"nCoarse":$nCoarse,"dir":"$dir"}""")
+
+    // the exact-vector tier: IVF-flat (coarse + cluster-partitioned full
+    // vectors) — same split, no quantization loss, ~dim× the at-rest
+    // bytes of the PQ layouts (the tiering trade made visible)
+    val fpath = s"${System.getProperty("java.io.tmpdir")}/graft_pqidx_probe_flat"
+    val (_, tBuildF) = time {
+      graft.ops.PqIndex.writeIvfFlat(emb, "vec_id", "embedding", fpath,
+        nCentroids = nCoarse, iters = 2)
+    }
+    graft.ops.Caches.releaseAll()
+    def searchF() = graft.ops.PqIndex.searchIvfFlatTopK(spark, fpath, queries,
+      k = 5, nprobe = 2)
+      .queryExecution.toRdd.count()
+    searchF()
+    val tsF = (1 to 3).map(_ => time(searchF())._2).sorted
+    println(s"""{"metric":"ivf_flat_index","build_sec":$tBuildF,"search_sec":${tsF(1)},"nCoarse":$nCoarse,"dir":"$dir"}""")
     spark.stop()
   }
 }

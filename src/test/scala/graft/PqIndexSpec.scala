@@ -112,6 +112,31 @@ class PqIndexSpec extends SparkSpec {
       s"persisted IVF-flat search must reproduce the in-memory operator:\n${got.toSeq}\nvs\n${want.toSeq}")
   }
 
+  test("appendIvfFlat with frozen centroids equals the one-shot build's search") {
+    // incremental: build on half-1, append half-2 under frozen centroids
+    val pathA = Files.createTempDirectory("graft_ivfinc_a").toString
+    PqIndex.writeIvfFlat(corpus.where($"vec_id" < 32), "vec_id", "embedding",
+      pathA, nCentroids = 4, iters = 2)
+    graft.ops.Caches.releaseAll()
+    PqIndex.appendIvfFlat(spark, pathA, corpus.where($"vec_id" >= 32),
+      "vec_id", "embedding")
+    // one-shot twin under the SAME centroids (trained on the same half-1)
+    val pathB = Files.createTempDirectory("graft_ivfinc_b").toString
+    PqIndex.writeIvfFlat(corpus.where($"vec_id" < 32), "vec_id", "embedding",
+      pathB, nCentroids = 4, iters = 2)
+    graft.ops.Caches.releaseAll()
+    val vecsB = new org.apache.hadoop.fs.Path(s"$pathB/vectors")
+    vecsB.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(vecsB, true)
+    PqIndex.appendIvfFlat(spark, pathB, corpus, "vec_id", "embedding")
+    val qs = corpus.where($"vec_id" < 5)
+    def searchOf(p: String) =
+      PqIndex.searchIvfFlatTopK(spark, p, qs, k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sorted
+    assert(searchOf(pathA).sameElements(searchOf(pathB)),
+      "appended vectors must search identically to the one-shot layout")
+  }
+
   test("the codes scan partition-prunes to the probed clusters only") {
     val path = Files.createTempDirectory("graft_pqidx2").toString
     PqIndex.write(corpus, "vec_id", "embedding", path,
