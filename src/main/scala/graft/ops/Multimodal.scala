@@ -148,6 +148,74 @@ object Multimodal {
       bins
     }
 
+    /** Planted NEAR-DUPLICATE image groups: ids in a group of 4 share
+      * one base image (`base = id div 4`) at a per-member brightness
+      * offset (`delta = (id % 4) * 3`, channels clamped at 255). A
+      * brightness shift preserves almost every luminance GRADIENT — the
+      * signal [[dhash]] fingerprints — flipping only comparisons whose
+      * pixels clamp, so group members land within a few hamming bits of
+      * each other: the deterministic stand-in for the re-encoded /
+      * re-exposed copies of one photo a crawl actually contains.
+      */
+    def groupBase(id: Long): Long  = id / 4
+    def groupDelta(id: Long): Int  = ((id % 4) * 3).toInt
+
+    def groupPixelValue(id: Long, x: Int, y: Int, c: Int): Int =
+      math.min(255, pixelValue(groupBase(id), x, y, c) + groupDelta(id))
+
+    /** Render the near-dup-group image for `id` as real PNG bytes. */
+    def renderGroupPng(id: Long): Array[Byte] = {
+      val base = groupBase(id)
+      val (w, h) = (plantedWidth(base), plantedHeight(base))
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (groupPixelValue(id, x, y, 0) << 16) |
+            (groupPixelValue(id, x, y, 1) << 8) | groupPixelValue(id, x, y, 2))
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(img)
+    }
+
+    /** 63-bit difference hash (dHash) over the decoded pixels: sample a
+      * 9×8 luminance grid with floor/nearest positions
+      * (`sx = gx·W div 9`, `sy = gy·H div 8`, gray = (r+g+b) div 3 —
+      * all integer, so a SQL oracle replays it exactly), set bit
+      * `gy·8+gx` iff the right neighbor is brighter. The final bit
+      * (index 63) is dropped to keep the hash a non-negative BIGINT:
+      * band extraction below then needs only `div`/`%`, which Spark and
+      * DuckDB agree on for non-negative operands (`>>` on a negative
+      * would hit arithmetic-vs-logical shift divergence).
+      */
+    def dhash(img: BufferedImage): Long = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val grid = Array.ofDim[Int](9, 8)
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 9) {
+          val sx = gx * w / 9
+          val sy = gy * h / 8
+          grid(gx)(gy) = (channel(img, sx, sy, 0) + channel(img, sx, sy, 1) +
+            channel(img, sx, sy, 2)) / 3
+          gx += 1
+        }
+        gy += 1
+      }
+      var hash = 0L
+      var i = 0
+      while (i < 63) {
+        val (gx, y) = (i % 8, i / 8)
+        if (grid(gx + 1)(y) > grid(gx)(y)) hash |= 1L << i
+        i += 1
+      }
+      hash
+    }
+
     /** Nearest-neighbor downscale by 2 (dst(x,y) = src(2x,2y)),
       * ceil-sized so a 1-pixel axis survives.
       */
@@ -743,4 +811,113 @@ object Multimodal {
        |      recursive := true)
        |  FROM $table)""".stripMargin
   }
+
+  // ==================== perceptual-hash image dedup ====================
+
+  final case class Phashed(media_id: Long, phash: Long)
+
+  /** Plant the near-dup-group PNG payloads ([[ImageCodec.renderGroupPng]]:
+    * groups of 4 ids share a base image at stepped brightness) — the
+    * fixture for [[perceptualHash]]/[[dedupPhashKeepers]], rendered
+    * executor-side like [[attachPngPayload]].
+    */
+  def attachGroupedPngPayload(df: DataFrame, id: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long")).as[Long].mapPartitions { it =>
+      it.map(i => (i, "image", ImageCodec.renderGroupPng(i), s"mem://$i"))
+    }.toDF("media_id", "kind", "payload", "uri")
+  }
+
+  /** REAL-decode perceptual hashing: `javax.imageio` reads each PNG, the
+    * 63-bit dHash ([[ImageCodec.dhash]]) fingerprints its luminance
+    * gradients. One scan, zero shuffle, iterator-to-iterator
+    * mapPartitions (decoder amortized per partition) — the image-side
+    * analog of [[graft.ops.Dedup.simhash]]: a 63-bit sketch per item
+    * that near-duplicate detection then bands.
+    */
+  def perceptualHash(df: DataFrame): Dataset[Phashed] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          Phashed(id, ImageCodec.dhash(ImageCodec.decode(payload)))
+        }
+      }
+  }
+
+  /** Shared gray-grid SQL fragment: luminance at dHash grid cell
+    * (`gx`, `gy`) replayed from the planted GROUP formula (base/delta
+    * from media_id, channels clamped at 255, integer floor sampling) —
+    * exactly what [[ImageCodec.dhash]] reads off the decoded pixels.
+    */
+  private def duckGroupGray(gx: String, gy: String): String = {
+    val chans = (0 to 2).map(c =>
+      s"least(255, ((base * 31 + ((($gx) * w) // 9) * 7 + ((($gy) * h) // 8) * 13 + $c) % 256) + delta)")
+    s"((${chans.mkString(" + ")}) // 3)"
+  }
+
+  /** Twin of [[perceptualHash]] over [[attachGroupedPngPayload]]'s
+    * planted groups: the oracle never decodes a PNG — it replays the
+    * planted-pixel formula at the 72 grid positions and rebuilds the
+    * same 63 comparison bits.
+    */
+  def perceptualHashSql(table: String, id: String): String =
+    s"""WITH g AS (
+       |  SELECT $id AS media_id, $id // 4 AS base, ($id % 4) * 3 AS delta,
+       |    (3 + ($id // 4) % 14)::BIGINT AS w, (2 + ($id // 4) % 11)::BIGINT AS h
+       |  FROM $table)
+       |SELECT media_id,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(0, 62), i ->
+       |    CASE WHEN ${duckGroupGray("i % 8 + 1", "i // 8")} > ${duckGroupGray("i % 8", "i // 8")}
+       |         THEN (1::BIGINT << i) ELSE 0::BIGINT END)),
+       |    (a, b) -> a + b) AS phash
+       |FROM g""".stripMargin
+
+  /** Near-duplicate image dedup over dHash: LSH banding (four 16-bit
+    * bands — near-dup hashes agree on ≥ 1 whole band with overwhelming
+    * probability at hamming ≤ `maxHamming` of 63) proposes candidates,
+    * `bit_count(xor)` verifies the hamming radius, and the engine-wide
+    * keeper rule (drop any image with a qualifying neighbor of LOWER id)
+    * picks survivors. Plan shape: the (id, phash) frame is leased (one
+    * decode scan feeds the band explode AND the final anti-join); the
+    * candidate join keys on (band index, band value) — 8-byte rows, text
+    * and payloads never cross the exchange; the verify is a projection.
+    * At 100 TB of images the banding is the scale lever: candidates are
+    * Θ(Σ per-band-bucket²) like every LSH family (same trade as
+    * [[graft.ops.Dedup.minhashLshPairs]]); widen bands to 5×12 bits or
+    * pre-cluster by a coarse band prefix if buckets skew.
+    */
+  def dedupPhashKeepers(phashed: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val p = Caches.lease(phashed.select(col("media_id"), col("phash")))
+    val bands = p.select(col("media_id"), col("phash"),
+      explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("v", expr("(phash div shiftleft(cast(1 AS BIGINT), b * 16)) % 65536"))
+    val a = bands.select(col("media_id").as("a_id"), col("phash").as("a_hash"),
+      col("b"), col("v"))
+    val bb = bands.select(col("media_id").as("b_id"), col("phash").as("b_hash"),
+      col("b"), col("v"))
+    val victims = a.join(bb, Seq("b", "v"))
+      .where(col("a_id") < col("b_id") &&
+        expr(s"bit_count(a_hash ^ b_hash) <= $maxHamming"))
+      .select(col("b_id").as("media_id")).distinct()
+    p.join(victims, Seq("media_id"), "left_anti")
+  }
+
+  /** DuckDB twin of [[dedupPhashKeepers]] over the planted groups. */
+  def dedupPhashKeepersSql(table: String, id: String,
+                           maxHamming: Int = 8): String =
+    s"""WITH p AS (${perceptualHashSql(table, id)}),
+       |bands AS (
+       |  SELECT media_id, phash, b, (phash // (1::BIGINT << (b * 16))) % 65536 AS v
+       |  FROM p, (SELECT unnest(generate_series(0, 3)) AS b)),
+       |victims AS (
+       |  SELECT DISTINCT hi.media_id
+       |  FROM bands lo JOIN bands hi ON lo.b = hi.b AND lo.v = hi.v
+       |    AND lo.media_id < hi.media_id
+       |    AND bit_count(xor(lo.phash, hi.phash)) <= $maxHamming)
+       |SELECT p.media_id, p.phash FROM p
+       |WHERE p.media_id NOT IN (SELECT media_id FROM victims)""".stripMargin
 }

@@ -190,4 +190,82 @@ object Stats {
        |HAVING CAST(sum(CAST($valueCol AS DECIMAL(18,2)) * CAST($valueCol AS DECIMAL(18,2))) AS DOUBLE) / count(*)
        |  - (CAST(sum(CAST($valueCol AS DECIMAL(18,2))) AS DOUBLE) / count(*))
        |    * (CAST(sum(CAST($valueCol AS DECIMAL(18,2))) AS DOUBLE) / count(*)) > 0""".stripMargin
+
+  /** HyperLogLog register sketch (Flajolet et al. 2007) over the
+    * portable hash — the sketch-MERGEABLE distinct-count family the exact
+    * `count(distinct)` path can't give at 100 TB: the whole sketch is
+    * `groupBy(register).max(rho)`, a distributive partial aggregation, so
+    * map-side combine collapses every partition to ≤ `m` rows before the
+    * exchange, two sketches union by element-wise max, and a day's
+    * sketch merges into a month's without rescanning either. Reference
+    * scope: `typebus` has no sketch ops (its only "table" is keyed
+    * entity state) — this is the training-pipeline extension mandate
+    * (corpus-profile cardinalities: distinct URLs/domains/users per
+    * shard, cheap enough to compute per partition of a 100 TB crawl).
+    *
+    * Register assignment uses the engine-portable md5 hash
+    * ([[PortableHash]], values in `[0, P)`, `P < 2^30`): register
+    * `h % 64`, rank `rho` = leading-zero count of the remaining 24-bit
+    * budget + 1 (`bin()`'s digit count gives the exact integer bit
+    * length in both engines — no floats anywhere, so the sketch is
+    * hash-identical cross-engine). `h div 64 < P/64 < 2^24` exactly
+    * bounds the budget; the slight non-uniformity of `[0, P)` vs
+    * `[0, 2^30)` perturbs rank probabilities by < 7% at rho=1 — noise
+    * far below HLL's own `1.04/sqrt(64)` = 13% standard error (the
+    * ESTIMATE is approximate BY DESIGN; the REGISTERS — the registered
+    * output — are deterministic).
+    *
+    * Output: exactly 64 rows `(register, max_rho)`, absent registers as
+    * `rho = 0` via a 64-row spine join (broadcast — the agg side is
+    * ≤ 64 rows post-combine).
+    */
+  def hllRegisters(df: DataFrame, valueExpr: String): DataFrame = {
+    val m = HllM
+    val agg = df
+      .select(expr(PortableHash.sparkStringHash(valueExpr)).as("h"))
+      .select((col("h") % m).as("register"),
+        expr(s"IF(h div $m = 0, ${HllW + 1}, ${HllW + 1} - length(bin(h div $m)))")
+          .cast("int").as("rho"))
+      .groupBy("register").agg(max(col("rho")).as("max_rho"))
+    val spine = df.sparkSession.range(m).select(col("id").as("register"))
+    spine.join(agg, Seq("register"), "left")
+      .select(col("register"),
+        coalesce(col("max_rho"), lit(0)).cast("int").as("max_rho"))
+  }
+
+  /** Register count (fixed: the 30-bit portable-hash budget splits into
+    * 6 register bits + 24 rank bits).
+    */
+  val HllM = 64
+  /** Rank-bit budget: `h div 64 < 2^24`. */
+  val HllW = 24
+
+  /** DuckDB twin of [[hllRegisters]]. */
+  def hllRegistersSql(table: String, valueExpr: String): String = {
+    val m = HllM
+    s"""WITH agg AS (
+       |  SELECT h % $m AS register,
+       |    CASE WHEN h // $m = 0 THEN ${HllW + 1}
+       |         ELSE ${HllW + 1} - length(bin(h // $m)) END AS rho
+       |  FROM (SELECT ${PortableHash.duckStringHash(valueExpr)} AS h FROM $table)),
+       |mx AS (SELECT register, max(rho) AS max_rho FROM agg GROUP BY register)
+       |SELECT s.register::BIGINT AS register,
+       |  coalesce(mx.max_rho, 0)::INT AS max_rho
+       |FROM generate_series(0, ${m - 1}) AS s(register)
+       |LEFT JOIN mx ON s.register = mx.register""".stripMargin
+  }
+
+  /** Classic HLL estimator over a `(register, max_rho)` sketch — the
+    * spec-side consumer (raw estimate + linear-counting small-range
+    * correction). Driver-side arithmetic over 64 integers; the
+    * distributed work is all in [[hllRegisters]].
+    */
+  def hllEstimate(maxRho: Seq[Int]): Double = {
+    val m = HllM.toDouble
+    require(maxRho.size == HllM, s"expected $HllM registers")
+    val alpha = 0.709 // alpha_64 (Flajolet et al., Fig. 3)
+    val raw = alpha * m * m / maxRho.map(r => math.pow(2.0, -r)).sum
+    val zeros = maxRho.count(_ == 0)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
+  }
 }

@@ -816,6 +816,110 @@ object TextAnalysis {
        |FROM agg, total""".stripMargin
   }
 
+  /** BM25 keyword retrieval (Robertson/Spärck Jones) — the LEXICAL
+    * search leg next to the embedding-ANN family: top-k documents for a
+    * fixed bag of query terms, scored by term frequency, document
+    * length, and inverse document frequency. What a curation pipeline
+    * runs to pull topic slices out of a crawl, and the BM25 half of any
+    * hybrid (lexical + vector) retrieval stack.
+    *
+    * Scoring is the BM25 shape at k1 = 1.2, b = 0.75 with every factor
+    * held in INTEGER fixed-point, so the cross-engine hash cannot drift
+    * (the [[unigramScore]] discipline — no `ln`, no double sums):
+    *
+    *  - `idf_milli(t) = (1000·(2(N−df)+1)) div (2·df+1)` — the exact
+    *    Robertson idf RATIO `(N−df+0.5)/(df+0.5)` in milli-units,
+    *    without the log wrap. Log-free idf is monotone in the classical
+    *    form, preserves per-term ordering, and stays exact-integer;
+    *    the trade is more top-weight on very rare terms (documented,
+    *    deliberate).
+    *  - tf normalization: `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    *    cleared of rationals with `A = (1000·Σdl) div N` (avgdl in
+    *    milli-units): numerator `22·tf·A`, denominator
+    *    `10·tf·A + 3·A + 9000·dl` — integers end to end.
+    *  - `score_milli = Σ_t idf_milli(t)·22·tf·A div (…)`, summed as
+    *    BIGINTs. (Overflow headroom: terms ≤ ~2^60 at N ≈ 10^6 docs;
+    *    beyond that drop the milli scaling or score in doubles with a
+    *    tolerance gate — the fixed-point form is the ORACLE-exact gate.)
+    *
+    * Plan shape: ONE corpus scan projects `(id, dl, tf_0..tf_q)` — the
+    * token array is let1-bound so `split` runs once per row, and tf
+    * counting is `size(filter(...))` per term, zero explode, zero
+    * shuffle. That doc-grain frame (q+2 longs per doc — tiny next to
+    * the text) is leased and consumed twice: a one-row metadata agg
+    * (N, Σdl, df_t — partial-aggregated to a single row, broadcast
+    * back) and the scoring projection. Top-k is `ORDER BY … LIMIT k`
+    * → TakeOrdered (per-partition bounded heaps + driver merge of k),
+    * never a global sort. Ties break (score DESC, id ASC);
+    * zero-score docs (no query term, or terms with df = N) are dropped
+    * on both engines.
+    */
+  def bm25TopK(docs: DataFrame, id: String, text: String,
+               terms: Seq[String], k: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.forall(t => t.nonEmpty && !t.contains("'")),
+      "terms must be non-empty and quote-free")
+    val tfFields = terms.indices.map(i =>
+      s"'tf$i', size(filter(__t, w -> w = '${terms(i)}'))").mkString(", ")
+    val docStruct = PortableHash.let1("__t",
+      s"filter(split($text, ' '), w -> w <> '')",
+      s"named_struct('dl', size(__t), $tfFields)")
+    val perDoc = Caches.lease(
+      graft.functions.VectorFunctions.attach(docs)
+        .select(col(id), expr(docStruct).as("__s"))
+        .select(col(id) +: (col("__s.dl").cast("long").as("dl") +:
+          terms.indices.map(i => col(s"__s.tf$i").cast("long").as(s"tf$i"))): _*))
+    val meta = perDoc.agg(
+      count(lit(1)).as("n"),
+      (sum(col("dl")).as("sum_dl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))): _*)
+    val termScore = terms.indices.map { i =>
+      val idf = s"((1000 * (2 * (n - df$i) + 1)) div (2 * df$i + 1))"
+      s"IF(tf$i > 0, ($idf * 22 * tf$i * __a) div (10 * tf$i * __a + 3 * __a + 9000 * dl), 0L)"
+    }.mkString(" + ")
+    perDoc.crossJoin(broadcast(meta))
+      .withColumn("__a", expr("(1000 * sum_dl) div n"))
+      .withColumn("score_milli", expr(termScore))
+      .where(col("score_milli") > 0)
+      .select(col(id), col("score_milli"),
+        expr(terms.indices.map(i => s"IF(tf$i > 0, 1, 0)").mkString(" + "))
+          .cast("int").as("n_matched"))
+      .orderBy(col("score_milli").desc, col(id).asc)
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[bm25TopK]] — identical integer fixed-point
+    * arithmetic (`//` floors like Spark's `div` truncates: every operand
+    * here is non-negative, where the two agree).
+    */
+  def bm25TopKSql(table: String, id: String, text: String,
+                  terms: Seq[String], k: Int = 20): String = {
+    val tfCols = terms.indices.map(i =>
+      s"len(list_filter(ws, w -> w = '${terms(i)}')) AS tf$i").mkString(", ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val termScore = terms.indices.map { i =>
+      val idf = s"((1000 * (2 * (n - df$i) + 1)) // (2 * df$i + 1))"
+      s"CASE WHEN tf$i > 0 THEN ($idf * 22 * tf$i * a) // (10 * tf$i * a + 3 * a + 9000 * dl) ELSE 0 END"
+    }.mkString(" + ")
+    val nMatched = terms.indices.map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH per_doc AS (
+       |  SELECT $id, len(ws)::BIGINT AS dl, $tfCols
+       |  FROM (SELECT $id, list_filter(string_split($text, ' '), w -> w <> '') AS ws
+       |        FROM $table)),
+       |meta AS (
+       |  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sum_dl, $dfCols
+       |  FROM per_doc),
+       |scored AS (
+       |  SELECT $id, CAST($termScore AS BIGINT) AS score_milli,
+       |    CAST($nMatched AS INT) AS n_matched
+       |  FROM (SELECT p.*, m.*, (1000 * m.sum_dl) // m.n AS a
+       |        FROM per_doc p CROSS JOIN meta m))
+       |SELECT $id, score_milli, n_matched FROM scored
+       |WHERE score_milli > 0
+       |ORDER BY score_milli DESC, $id ASC LIMIT $k""".stripMargin
+  }
+
   /** Model-based quality filtering — the fastText-classifier stage of a
     * modern pretraining pipeline (FineWeb-Edu, DCLM) as Spark plumbing:
     * feature-hash each token into `dim` buckets, dot with a weight

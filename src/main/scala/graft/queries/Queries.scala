@@ -36,14 +36,21 @@ object Queries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark
-      // rejects outright (PARQUET_TYPE_ILLEGAL); read the nanos as a long
-      // and rebuild a microsecond timestamp — the generator's precision is
-      // µs, so `div 1000` is lossless, and with the UTC session the value
-      // matches DuckDB's native nanosecond-timestamp read.
+      // The generator's ts encoding has varied across rounds: INT64
+      // TIMESTAMP(NANOS) (which Spark rejects outright without
+      // nanosAsLong — PARQUET_TYPE_ILLEGAL) vs plain TIMESTAMP(MICROS)
+      // (read as TIMESTAMP_NTZ). Normalize both to a session-TZ
+      // TIMESTAMP so every downstream query sees one shape; with the
+      // UTC session both rebuilds are value-identical to DuckDB's
+      // native read.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // nanos-as-long; generator precision is µs so div 1000 is lossless
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
 
   // TPC-H date columns are TIMESTAMP_NTZ in the testdata; unix_millis
@@ -93,6 +100,7 @@ object Queries {
       val docs = t(s, dir, "documents")
       val media = kind match {
         case "png" => Multimodal.attachPngPayload(docs, "doc_id")
+        case "png_group" => Multimodal.attachGroupedPngPayload(docs, "doc_id")
         case "wav" => Multimodal.attachWavPayload(docs, "doc_id")
         case "gif" => Multimodal.attachGifPayload(docs, "doc_id")
         case other => throw new IllegalArgumentException(s"unknown media kind $other")
@@ -861,6 +869,28 @@ object Queries {
       },
       Some(Multimodal.featuresSql("documents", "doc_id"))),
 
+    // perceptual image hashing over REAL decoded pixels: the fixture
+    // plants near-dup GROUPS (4 ids share a base image at stepped
+    // brightness, channels clamped at 255 — the re-encoded-copy shape),
+    // the engine dHashes the decoded luminance grid, and the oracle
+    // replays the 72 grid positions from the planted formula — a decoder
+    // that misreads any sampled pixel flips a comparison bit and fails
+    // the hash
+    QueryDef("mm_phash",
+      (s, dir) => Multimodal.perceptualHash(
+        mediaPayloads(s, dir, "png_group")).toDF(),
+      Some(Multimodal.perceptualHashSql("documents", "doc_id"))),
+
+    // the acting twin: 16-bit-band LSH over the dHashes proposes
+    // candidates, bit_count(xor) verifies hamming <= 8, and the keeper
+    // rule (drop any image with a qualifying lower-id neighbor) picks
+    // survivors — image near-dup dedup end to end, exchanges carry only
+    // (id, hash64) rows
+    QueryDef("mm_dedup_phash",
+      (s, dir) => Multimodal.dedupPhashKeepers(
+        Multimodal.perceptualHash(mediaPayloads(s, dir, "png_group")).toDF()),
+      Some(Multimodal.dedupPhashKeepersSql("documents", "doc_id"))),
+
     // REAL audio decode: payloads are actual WAV bytes (planted 16-bit
     // PCM rendered through javax.sound's encoder), decoded with the
     // JDK's parser; the oracle replays the sample formula — exact
@@ -1371,6 +1401,19 @@ object Queries {
       Some(TextAnalysis.bigramScoreSql("documents",
         docsPred = "doc_id >= 100", refPred = "doc_id < 100",
         "doc_id", "text", vocab = 500))),
+
+    // BM25 keyword retrieval — the LEXICAL search leg next to the
+    // embedding-ANN family, in integer fixed-point (log-free Robertson
+    // idf; no libm, no double sums — the unigram-score discipline).
+    // 'dup' is the corpus's one genuinely rare term (df ≈ 5% of docs),
+    // so the idf weighting is exercised against the ~77%-df common
+    // words: a short doc dense in 'dup' must outrank a long doc padded
+    // with 'spark'/'vector'
+    QueryDef("text_bm25_topk",
+      (s, dir) => TextAnalysis.bm25TopK(t(s, dir, "documents"),
+        "doc_id", "text", terms = Seq("dup", "vector", "spark"), k = 25),
+      Some(TextAnalysis.bm25TopKSql("documents",
+        "doc_id", "text", terms = Seq("dup", "vector", "spark"), k = 25))),
 
     // Duplicated-line removal: the fixture appends one boilerplate line
     // to EVERY doc (corpus frequency = N docs, far over maxFreq=10) and
@@ -1900,6 +1943,18 @@ object Queries {
              |  round((value - mean) / sd, 6) AS z
              |FROM events JOIN m USING (event_type)
              |WHERE abs(round((value - mean) / sd, 6)) >= 3.0""".stripMargin)),
+
+    // HyperLogLog register sketch over event ids — the sketch-MERGEABLE
+    // distinct-count family (the whole sketch is groupBy(register).max,
+    // a distributive partial agg: every partition collapses to <= 64
+    // rows before the exchange, and two sketches union by element-wise
+    // max). The REGISTERS are deterministic integers (portable md5 hash,
+    // bin()-exact bit lengths) — the approximation lives only in the
+    // estimator, which the spec exercises; the oracle pins the sketch
+    QueryDef("stats_hll_sketch",
+      (s, dir) => graft.ops.Stats.hllRegisters(t(s, dir, "events"),
+        "cast(event_id AS STRING)"),
+      Some(graft.ops.Stats.hllRegistersSql("events", "event_id::VARCHAR"))),
 
     // JSONL round-trip: documents -> one-object-per-line files -> read
     // back with an EXPLICIT schema (no inference pass) -> per-source

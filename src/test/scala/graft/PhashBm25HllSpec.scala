@@ -1,0 +1,135 @@
+package graft
+
+import graft.ops.{Multimodal, Stats, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-9 additions: perceptual-hash image dedup, BM25 keyword
+  * retrieval, and the HyperLogLog register sketch.
+  */
+class PhashBm25HllSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------- perceptual hash (dHash) ----------------
+
+  test("dhash: brightness-shifted group members stay within the hamming radius") {
+    // ids 0..3 share base image 0 at deltas 0,3,6,9; id 4 starts base 1
+    def h(id: Long): Long =
+      Multimodal.ImageCodec.dhash(
+        Multimodal.ImageCodec.decode(Multimodal.ImageCodec.renderGroupPng(id)))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val inGroup = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield ham(h(a), h(b))
+    assert(inGroup.forall(_ <= 8),
+      s"group members within 8 hamming bits (clamp-only flips): $inGroup")
+    // different bases are different pseudo-random images: far apart
+    val cross = for (a <- 0L to 3L) yield ham(h(a), h(4L))
+    assert(cross.forall(_ > 8), s"cross-base images outside the radius: $cross")
+  }
+
+  test("dhash is invariant to a global non-clamping brightness shift") {
+    // A +delta shift that never clamps preserves every gradient comparison.
+    val w = 9; val h = 8
+    def img(delta: Int) = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = (x * 17 + y * 29) % 200 + delta // <= 229: never clamps
+        im.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      im
+    }
+    assert(Multimodal.ImageCodec.dhash(img(0)) === Multimodal.ImageCodec.dhash(img(30)))
+  }
+
+  test("dedupPhashKeepers: one survivor per planted group, lowest id") {
+    val docs = spark.range(20).select($"id".as("doc_id"))
+    val phashed = Multimodal.perceptualHash(
+      Multimodal.attachGroupedPngPayload(docs, "doc_id")).toDF()
+    val kept = Multimodal.dedupPhashKeepers(phashed)
+      .select($"media_id").as[Long].collect().sorted.toSeq
+    // 20 ids = 5 groups of 4; keeper rule keeps the lowest id of each
+    assert(kept === Seq(0L, 4L, 8L, 12L, 16L),
+      s"one lowest-id survivor per brightness group: $kept")
+    graft.ops.Caches.releaseAll()
+  }
+
+  // ---------------- BM25 ----------------
+
+  test("bm25TopK: rare-term density beats common-term padding; ordering sane") {
+    val docs = Seq(
+      (1L, "rare rare rare x"),                       // short, dense in rare term
+      (2L, "common common common common common common common common pad"),
+      (3L, "common common x y z"),                    // common only
+      (4L, "x y z"),                                  // no query terms
+      (5L, "common common x y z")                     // tie with 3 -> id order
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      terms = Seq("rare", "common"), k = 10)
+      .select($"doc_id", $"score_milli", $"n_matched")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got.map(_._1) === Seq(1L, 2L, 3L, 5L),
+      s"rare-dense first (idf: df=1 vs df=3), zero-score doc 4 dropped, tie by id: $got")
+    assert(got.map(_._2) === got.map(_._2).sorted(Ordering[Long].reverse),
+      "scores non-increasing")
+    assert(got.filter(_._1 >= 3L).forall(_._3 === 1), "common-only docs match one term")
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("bm25TopK: a term present in every doc gets zero idf weight") {
+    // df = N => idf_milli = (1000*(2*0+1)) div (2*N+1) = 0 for N >= 500
+    val docs = (1L to 600L).map(i => (i, s"everywhere filler$i"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      terms = Seq("everywhere"), k = 5).count()
+    assert(got === 0L, "all-docs term scores 0 everywhere -> no rows survive")
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("bm25TopK plan: one documents scan feeds both the meta agg and scoring") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val plan = TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("b"), k = 3)
+      .queryExecution.executedPlan.toString
+    assert("TakeOrdered".r.findAllMatchIn(plan).nonEmpty,
+      s"top-k is TakeOrdered, not a global sort:\n$plan")
+    graft.ops.Caches.releaseAll()
+  }
+
+  // ---------------- HyperLogLog ----------------
+
+  test("hllRegisters: 64 rows, deterministic, merge = sketch of union") {
+    val a = (1L to 500L).map(i => s"u$i").toDF("v")
+    val b = (400L to 900L).map(i => s"u$i").toDF("v")
+    val skA = Stats.hllRegisters(a, "v").as[(Long, Int)].collect().toMap
+    val skB = Stats.hllRegisters(b, "v").as[(Long, Int)].collect().toMap
+    assert(skA.size === 64 && skB.size === 64)
+    val merged = (0L until 64L).map(r => r -> math.max(skA(r), skB(r))).toMap
+    val skU = Stats.hllRegisters(a.union(b), "v").as[(Long, Int)].collect().toMap
+    assert(merged === skU, "element-wise max of two sketches = sketch of the union")
+  }
+
+  test("hllEstimate: within 3 standard errors of the true cardinality") {
+    for (n <- Seq(100, 1000, 10000)) {
+      val df = (1 to n).map(i => s"item-$i").toDF("v")
+      val regs = Stats.hllRegisters(df, "v")
+        .orderBy("register").as[(Long, Int)].collect().map(_._2).toSeq
+      val est = Stats.hllEstimate(regs)
+      val se = 1.04 / math.sqrt(64) // ~13%
+      assert(math.abs(est - n) <= 3 * se * n,
+        s"n=$n est=$est outside 3 standard errors")
+    }
+  }
+
+  test("hllRegisters: duplicates do not move the sketch") {
+    val once = (1 to 200).map(i => s"k$i").toDF("v")
+    val dup = (once.collect().map(_.getString(0)) ++
+      (1 to 200).map(i => s"k$i")).toSeq.toDF("v")
+    assert(Stats.hllRegisters(once, "v").collect().toSet ===
+      Stats.hllRegisters(dup, "v").collect().toSet)
+  }
+
+  test("hllRegisters plan: partial aggregation before the exchange") {
+    val df = (1 to 100).map(i => s"v$i").toDF("v")
+    val plan = Stats.hllRegisters(df, "v").queryExecution.executedPlan.toString
+    assert("partial_max|HashAggregate".r.findAllMatchIn(plan).nonEmpty,
+      s"map-side combine collapses partitions to <= 64 rows:\n$plan")
+  }
+}
