@@ -268,4 +268,121 @@ object Stats {
     val zeros = maxRho.count(_ == 0)
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
   }
+
+  /** Per-key HLL: one register sketch per group — "distinct users per
+    * event_type over 100 TB" as a single keyed partial agg. Identical
+    * register/rank arithmetic to [[hllRegisters]]; the exchange carries
+    * ≤ `keys × 64` rows post-combine, and per-key sketches from
+    * different days merge by element-wise max exactly like the global
+    * one. Absent registers zero-fill via a per-key spine (distinct keys
+    * × 64 — metadata-sized, derived from the same agg, no second corpus
+    * scan).
+    */
+  def hllRegistersByKey(df: DataFrame, keyCol: String,
+                        valueExpr: String): DataFrame = {
+    val m = HllM
+    val agg = Caches.lease(df
+      .select(col(keyCol).as("key"),
+        expr(PortableHash.sparkStringHash(valueExpr)).as("h"))
+      .select(col("key"), (col("h") % m).as("register"),
+        expr(s"IF(h div $m = 0, ${HllW + 1}, ${HllW + 1} - length(bin(h div $m)))")
+          .cast("int").as("rho"))
+      .groupBy("key", "register").agg(max(col("rho")).as("max_rho")))
+    val spine = agg.select(col("key")).distinct()
+      .crossJoin(broadcast(
+        df.sparkSession.range(m).select(col("id").as("register"))))
+    spine.join(agg, Seq("key", "register"), "left")
+      .select(col("key"), col("register"),
+        coalesce(col("max_rho"), lit(0)).cast("int").as("max_rho"))
+  }
+
+  /** DuckDB twin of [[hllRegistersByKey]]. */
+  def hllRegistersByKeySql(table: String, keyCol: String,
+                           valueExpr: String): String = {
+    val m = HllM
+    s"""WITH agg AS (
+       |  SELECT key, h % $m AS register,
+       |    max(CASE WHEN h // $m = 0 THEN ${HllW + 1}
+       |             ELSE ${HllW + 1} - length(bin(h // $m)) END) AS max_rho
+       |  FROM (SELECT $keyCol AS key,
+       |          ${PortableHash.duckStringHash(valueExpr)} AS h FROM $table)
+       |  GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT k.key, s.register
+       |  FROM (SELECT DISTINCT key FROM agg) k,
+       |       generate_series(0, ${m - 1}) AS s(register))
+       |SELECT spine.key, spine.register::BIGINT AS register,
+       |  coalesce(agg.max_rho, 0)::INT AS max_rho
+       |FROM spine LEFT JOIN agg USING (key, register)""".stripMargin
+  }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) — the mergeable
+    * FREQUENCY sketch next to HLL's distinct-count one: `d` universal
+    * hash rows × `w` counters, point estimate = min over rows, always an
+    * over-estimate, error ≤ N·e/w with probability 1 − e^−d. At 100 TB
+    * the counters are the whole story: the sketch is one
+    * `groupBy(row, col).count` distributive partial agg (≤ d·w rows per
+    * partition pre-exchange — counters, never items), two sketches merge
+    * by element-wise SUM (spec-pinned), so per-shard/day sketches fold
+    * into corpus totals without rescanning, and heavy-hitter candidates
+    * fall out of any counter ≥ threshold. All arithmetic is exact
+    * integers over the portable hash (row i's column =
+    * `universal(i, H(v)) % w` — [[PortableHash.universal]]'s constants
+    * inlined with symbolic i), so the counters are deterministic
+    * cross-engine. Output: exactly `d·w` rows `(row, col, n)`,
+    * zero-filled via a broadcast spine.
+    */
+  def cmsCounters(df: DataFrame, valueExpr: String): DataFrame = {
+    val (d, w, p) = (CmsD, CmsW, PortableHash.P)
+    val agg = df
+      .select(expr(PortableHash.sparkStringHash(valueExpr)).as("h"))
+      .select(explode(expr(
+        s"transform(sequence(0, ${d - 1}), i -> named_struct(" +
+          s"'row', cast(i AS BIGINT), " +
+          s"'col', (((37 + 61 * i) * h + (101 + 97 * i)) % $p) % $w))")).as("s"))
+      .groupBy(col("s.row").as("row"), col("s.col").as("col"))
+      .agg(count(lit(1)).as("n"))
+    val spark = df.sparkSession
+    val spine = spark.range(d).select(col("id").as("row"))
+      .crossJoin(spark.range(w).select(col("id").as("col")))
+    spine.join(broadcast(agg), Seq("row", "col"), "left")
+      .select(col("row"), col("col"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Depth (hash rows) and width (counters per row): ε = e/256 ≈ 1%,
+    * δ = e^−4 ≈ 1.8%.
+    */
+  val CmsD = 4
+  val CmsW = 256
+
+  /** DuckDB twin of [[cmsCounters]]. */
+  def cmsCountersSql(table: String, valueExpr: String): String = {
+    val (d, w, p) = (CmsD, CmsW, PortableHash.P)
+    s"""WITH agg AS (
+       |  SELECT i::BIGINT AS row,
+       |    (((37 + 61 * i) * h + (101 + 97 * i)) % $p) % $w AS col,
+       |    count(*)::BIGINT AS n
+       |  FROM (SELECT ${PortableHash.duckStringHash(valueExpr)} AS h FROM $table),
+       |       (SELECT unnest(generate_series(0, ${d - 1})) AS i)
+       |  GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT r.row, c.col
+       |  FROM generate_series(0, ${d - 1}) AS r(row),
+       |       generate_series(0, ${w - 1}) AS c(col))
+       |SELECT spine.row, spine.col, coalesce(agg.n, 0)::BIGINT AS n
+       |FROM spine LEFT JOIN agg USING (row, col)""".stripMargin
+  }
+
+  /** Point-frequency estimate from a collected sketch: min over the `d`
+    * counters the value hashes to (always ≥ the true count). Driver-side
+    * arithmetic over d·w integers; the distributed work is all in
+    * [[cmsCounters]].
+    */
+  def cmsEstimate(counters: Map[(Long, Long), Long], value: String): Long = {
+    val h = PortableHash.jvmStringHash(value)
+    (0 until CmsD).map { i =>
+      val c = ((37L + 61L * i) * h + (101L + 97L * i)) % PortableHash.P % CmsW
+      counters((i.toLong, c))
+    }.min
+  }
 }

@@ -1956,6 +1956,26 @@ object Queries {
         "cast(event_id AS STRING)"),
       Some(graft.ops.Stats.hllRegistersSql("events", "event_id::VARCHAR"))),
 
+    // per-key HLL: distinct users per event_type as ONE keyed partial
+    // agg (exchange carries <= keys x 64 rows); per-key sketches merge
+    // across days by element-wise max exactly like the global sketch
+    QueryDef("stats_hll_by_key",
+      (s, dir) => graft.ops.Stats.hllRegistersByKey(t(s, dir, "events"),
+        "event_type", "cast(user_id AS STRING)"),
+      Some(graft.ops.Stats.hllRegistersByKeySql("events",
+        "event_type", "user_id::VARCHAR"))),
+
+    // count-min sketch: the mergeable FREQUENCY sketch next to HLL's
+    // distinct-count one — 4x256 exact-integer counters over the
+    // portable hash (deterministic cross-engine), one
+    // groupBy(row,col).count partial agg, sketches merge by element-wise
+    // sum; point estimates and heavy-hitter candidates are spec-side
+    // arithmetic over the 1024 collected counters
+    QueryDef("stats_cms_sketch",
+      (s, dir) => graft.ops.Stats.cmsCounters(t(s, dir, "events"),
+        "event_type"),
+      Some(graft.ops.Stats.cmsCountersSql("events", "event_type"))),
+
     // JSONL round-trip: documents -> one-object-per-line files -> read
     // back with an EXPLICIT schema (no inference pass) -> per-source
     // content checksum. The oracle checksums the ORIGINAL table, so any

@@ -132,4 +132,49 @@ class PhashBm25HllSpec extends SparkSpec {
     assert("partial_max|HashAggregate".r.findAllMatchIn(plan).nonEmpty,
       s"map-side combine collapses partitions to <= 64 rows:\n$plan")
   }
+
+  test("hllRegistersByKey: per-key sketch equals the global sketch of that key's rows") {
+    val df = Seq.tabulate(300)(i => (s"t${i % 3}", s"u${i % 50}"))
+      .toDF("k", "u")
+    val byKey = Stats.hllRegistersByKey(df, "k", "u")
+      .as[(String, Long, Int)].collect()
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(r => r._2 -> r._3).toMap }
+    val solo = Stats.hllRegisters(df.where($"k" === "t1"), "u")
+      .as[(Long, Int)].collect().toMap
+    assert(byKey("t1") === solo, "keyed sketch = global sketch of the slice")
+    assert(byKey.keySet === Set("t0", "t1", "t2"))
+    assert(byKey.values.forall(_.size === 64), "zero-filled 64-register spine per key")
+    graft.ops.Caches.releaseAll()
+  }
+
+  // ---------------- count-min sketch ----------------
+
+  test("cmsCounters: exact shape, estimates over-count but bound heavy hitters") {
+    // 500 of 'hot', 5 each of 40 cold keys
+    val rows = Seq.fill(500)("hot") ++ (1 to 40).flatMap(i => Seq.fill(5)(s"cold$i"))
+    val df = rows.toDF("v")
+    val counters = Stats.cmsCounters(df, "v")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(counters.size === Stats.CmsD * Stats.CmsW, "d*w zero-filled counters")
+    (0L until Stats.CmsD).foreach { r =>
+      assert(counters.collect { case ((`r`, _), n) => n }.sum === rows.size.toLong,
+        s"every row of the sketch sums to N (row $r)")
+    }
+    val hot = Stats.cmsEstimate(counters, "hot")
+    assert(hot >= 500L && hot <= 500L + rows.size / 50,
+      s"min-over-rows estimate >= true, within N*e/w slack: $hot")
+    assert(Stats.cmsEstimate(counters, "cold7") >= 5L)
+    assert(Stats.cmsEstimate(counters, "absent") <= rows.size / 50,
+      "absent key estimates only collision mass")
+  }
+
+  test("cmsCounters: element-wise sum of two sketches = sketch of the union") {
+    val a = (1 to 300).map(i => s"x${i % 17}").toDF("v")
+    val b = (1 to 200).map(i => s"y${i % 11}").toDF("v")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Stats.cmsCounters(df, "v").as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val (ma, mb, mu) = (m(a), m(b), m(a.union(b)))
+    assert(ma.map { case (k, n) => k -> (n + mb(k)) } === mu)
+  }
 }
