@@ -1976,6 +1976,17 @@ object Queries {
         "event_type"),
       Some(graft.ops.Stats.cmsCountersSql("events", "event_type"))),
 
+    // log-bucketed quantile sketch: the mergeable QUANTILE rung (HLL =
+    // distinct, CMS = frequency) — power-of-two magnitude buckets over
+    // DECIMAL-exact fixed-point, one partial agg, merge = per-bucket
+    // sum, any quantile within the 2x bucket band; the always-on
+    // per-shard percentile profile exact percentilesDisc can't keep at
+    // stream rate
+    QueryDef("stats_quantile_sketch",
+      (s, dir) => graft.ops.Stats.logQuantileSketch(t(s, dir, "events"),
+        "value"),
+      Some(graft.ops.Stats.logQuantileSketchSql("events", "value"))),
+
     // JSONL round-trip: documents -> one-object-per-line files -> read
     // back with an EXPLICIT schema (no inference pass) -> per-source
     // content checksum. The oracle checksums the ORIGINAL table, so any

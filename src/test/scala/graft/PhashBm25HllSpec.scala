@@ -177,4 +177,43 @@ class PhashBm25HllSpec extends SparkSpec {
     val (ma, mb, mu) = (m(a), m(b), m(a.union(b)))
     assert(ma.map { case (k, n) => k -> (n + mb(k)) } === mu)
   }
+
+  // ---------------- log-bucketed quantile sketch ----------------
+
+  test("logQuantileSketch: estimates stay within the bucket's 2x band; merge = per-bucket sum") {
+    val vals = (1 to 1000).map(i => i * 0.37)
+    val df = vals.map(v => Tuple1(v)).toDF("value")
+    val sk = Stats.logQuantileSketch(df, "value")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(sk.map(_._2).sum === 1000L, "every row lands in a bucket")
+    for (p <- Seq(0.25, 0.5, 0.9, 0.99)) {
+      val est = Stats.logQuantileEstimate(sk, p)
+      val exact = vals.sorted.apply(math.ceil(p * vals.size).toInt - 1)
+      assert(est >= exact / 2.0 && est <= exact * 2.0,
+        s"p=$p est=$est exact=$exact outside the 2x band")
+    }
+    // merge: per-bucket element-wise sum of halves = sketch of the whole
+    val (h1, h2) = vals.splitAt(500)
+    def m(xs: Seq[Double]) = Stats.logQuantileSketch(
+      xs.map(Tuple1(_)).toDF("value"), "value")
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val (m1, m2, mw) = (m(h1), m(h2), m(vals))
+    val merged = (m1.keySet ++ m2.keySet).map { b =>
+      val (n1, s1) = m1.getOrElse(b, (0L, 0L))
+      val (n2, s2) = m2.getOrElse(b, (0L, 0L))
+      b -> (n1 + n2, s1 + s2)
+    }.toMap
+    assert(merged === mw)
+  }
+
+  test("logQuantileSketch: negative magnitudes mirror to negative buckets, ascending id = ascending value") {
+    val df = Seq(-120.0, -3.5, -0.01, 0.0, 0.02, 5.0, 90.0).map(Tuple1(_)).toDF("value")
+    val sk = Stats.logQuantileSketch(df, "value")
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(sk.map(_._2).sum === 7L)
+    assert(sk.head._1 < 0 && sk.last._1 > 0)
+    // bucket means must be non-decreasing when buckets are id-sorted
+    val means = sk.map(r => r._3.toDouble / r._2)
+    assert(means === means.sorted, s"bucket order = value order: $sk")
+  }
 }

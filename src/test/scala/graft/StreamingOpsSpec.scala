@@ -310,4 +310,35 @@ class StreamingOpsSpec extends SparkSpec {
         "only in-window views attribute to the purchase")
     } finally q.stop()
   }
+
+  test("streaming HLL: the register sketch maintains itself as a streaming agg, converging to the batch sketch") {
+    // hllRegisters is a pure distributive agg (groupBy(register).max), so
+    // Structured Streaming maintains it incrementally in complete mode —
+    // the live corpus-profile counter, no custom state store needed. The
+    // zero-fill spine is batch-side cosmetics; the streaming query runs
+    // the raw agg and the assertion zero-fills.
+    implicit val sq = spark.sqlContext
+    val values = MemoryStream[String]
+    val agg = values.toDF().toDF("v")
+      .selectExpr(s"${graft.ops.PortableHash.sparkStringHash("v")} AS h")
+      .selectExpr(s"h % ${graft.ops.Stats.HllM} AS register",
+        s"cast(IF(h div ${graft.ops.Stats.HllM} = 0, ${graft.ops.Stats.HllW + 1}, " +
+          s"${graft.ops.Stats.HllW + 1} - length(bin(h div ${graft.ops.Stats.HllM}))) AS INT) AS rho")
+      .groupBy("register").agg(max($"rho").as("max_rho"))
+    val q = agg.writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      values.addData((1 to 400).map(i => s"u$i"): _*)
+      q.processAllAvailable()
+      values.addData((300 to 700).map(i => s"u$i"): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hll_stream")
+        .as[(Long, Int)].collect().toMap.withDefaultValue(0)
+      val batch = graft.ops.Stats.hllRegisters(
+        (1 to 700).map(i => s"u$i").toDF("v"), "v")
+        .as[(Long, Int)].collect().toMap
+      assert((0L until 64L).forall(r => streamed(r) == batch(r)),
+        "incrementally-maintained registers = batch sketch of everything seen")
+    } finally q.stop()
+  }
 }
