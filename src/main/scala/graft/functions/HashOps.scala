@@ -141,6 +141,40 @@ object HashOps {
     n
   }
 
+  /** One-pass doc stats for BM25: split on single spaces (0x20; empty
+    * tokens from space runs skipped — the `filter(split(text,' '),
+    * w -> w <> '')` contract), return `[n_words, tf_0, …, tf_q]`. Term
+    * match is UTF-8 byte equality, i.e. SQL string `=`.
+    */
+  def termCounts(text: UTF8String, terms: Array[Array[Byte]]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = text.getBytes
+    val out = new Array[Long](terms.length + 1)
+    val n = b.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || b(i) == ' ') {
+        if (i > start) {
+          out(0) += 1
+          val len = i - start
+          var t = 0
+          while (t < terms.length) {
+            val tb = terms(t)
+            if (tb.length == len) {
+              var j = 0
+              while (j < len && b(start + j) == tb(j)) j += 1
+              if (j == len) out(t + 1) += 1
+            }
+            t += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** SimHash over the word-hash sequence: bit j of the result is set iff
     * the sum over words of (bit j of H(word) ? +1 : -1) is positive.
     * One pass over the words; all `bits` votes accumulate in one array —

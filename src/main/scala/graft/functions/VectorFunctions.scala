@@ -188,7 +188,9 @@ object VectorFunctions {
     "graft_classifier_logit_t" -> (classOf[ClassifierLogitTrained],
       (e: Seq[Expression]) => ClassifierLogitTrained(e(0))),
     "graft_stop_count" -> (classOf[StopCount],
-      (e: Seq[Expression]) => StopCount(e(0), stringArrayLit(e(1), "graft_stop_count")))
+      (e: Seq[Expression]) => StopCount(e(0), stringArrayLit(e(1), "graft_stop_count"))),
+    "graft_term_counts" -> (classOf[TermCounts],
+      (e: Seq[Expression]) => TermCounts(e(0), stringArrayLit(e(1), "graft_term_counts")))
   )
 
   /** Pass-through that registers the native functions on the frame's

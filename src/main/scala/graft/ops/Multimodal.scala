@@ -876,48 +876,66 @@ object Multimodal {
        |    (a, b) -> a + b) AS phash
        |FROM g""".stripMargin
 
-  /** Near-duplicate image dedup over dHash: LSH banding (four 16-bit
-    * bands — near-dup hashes agree on ≥ 1 whole band with overwhelming
-    * probability at hamming ≤ `maxHamming` of 63) proposes candidates,
-    * `bit_count(xor)` verifies the hamming radius, and the engine-wide
-    * keeper rule (drop any image with a qualifying neighbor of LOWER id)
-    * picks survivors. Plan shape: the (id, phash) frame is leased (one
-    * decode scan feeds the band explode AND the final anti-join); the
-    * candidate join keys on (band index, band value) — 8-byte rows, text
-    * and payloads never cross the exchange; the verify is a projection.
-    * At 100 TB of images the banding is the scale lever: candidates are
-    * Θ(Σ per-band-bucket²) like every LSH family (same trade as
-    * [[graft.ops.Dedup.minhashLshPairs]]); widen bands to 5×12 bits or
-    * pre-cluster by a coarse band prefix if buckets skew.
+  /** Near-duplicate image dedup over dHash: exact-equal hashes collapse
+    * to their min-id REPRESENTATIVE first (one linear groupBy — this is
+    * where the boilerplate mass goes: a crawl's millions of blank /
+    * placeholder / identical-ramp images are hash-EQUAL, and banding
+    * them raw puts k copies in every band bucket → Θ(k²) candidates;
+    * probed at 100k planted images, the raw-row form never finished
+    * while this form runs in seconds), then LSH banding over DISTINCT
+    * hashes only (four 16-bit bands — near-dup hashes agree on ≥ 1
+    * whole band at hamming ≤ `maxHamming` of 63) proposes candidate
+    * representative pairs, `bit_count(xor)` verifies, and the keeper
+    * rule drops any image with a qualifying lower-id neighbor.
+    *
+    * The representative collapse preserves the pairwise semantics
+    * EXACTLY: image i has a neighbor j < i with ham ≤ t  ⇔  i is not
+    * its hash's min-id (j = rep, ham 0), or its hash's rep is dominated
+    * by a rep of another in-radius hash with smaller id (minId(H') < i
+    * ⇔ some member of H' < i, since minId is the member minimum) —
+    * spec-pinned against the brute-force all-pairs form. Exchanges
+    * carry (hash64, id) pairs only; the candidate join is over distinct
+    * hashes, Θ(Σ per-bucket distinct²) — content diversity, not copy
+    * count, bounds the buckets (residual skew: a near-identical
+    * distinct-hash clique is the same documented trade as
+    * [[graft.ops.Dedup.minhashLshPairs]]).
     */
   def dedupPhashKeepers(phashed: DataFrame, maxHamming: Int = 8): DataFrame = {
     val p = Caches.lease(phashed.select(col("media_id"), col("phash")))
-    val bands = p.select(col("media_id"), col("phash"),
+    val reps = Caches.lease(
+      p.groupBy("phash").agg(min(col("media_id")).as("rep_id")))
+    val bands = reps.select(col("rep_id"), col("phash"),
       explode(expr("sequence(0, 3)")).as("b"))
       .withColumn("v", expr("(phash div shiftleft(cast(1 AS BIGINT), b * 16)) % 65536"))
-    val a = bands.select(col("media_id").as("a_id"), col("phash").as("a_hash"),
+    val a = bands.select(col("rep_id").as("a_id"), col("phash").as("a_hash"),
       col("b"), col("v"))
-    val bb = bands.select(col("media_id").as("b_id"), col("phash").as("b_hash"),
+    val bb = bands.select(col("rep_id").as("b_id"), col("phash").as("b_hash"),
       col("b"), col("v"))
-    val victims = a.join(bb, Seq("b", "v"))
+    val dominated = a.join(bb, Seq("b", "v"))
       .where(col("a_id") < col("b_id") &&
         expr(s"bit_count(a_hash ^ b_hash) <= $maxHamming"))
-      .select(col("b_id").as("media_id")).distinct()
-    p.join(victims, Seq("media_id"), "left_anti")
+      .select(col("b_hash").as("phash")).distinct()
+    p.join(reps, Seq("phash"))
+      .where(col("media_id") === col("rep_id"))
+      .join(dominated, Seq("phash"), "left_anti")
+      .select(col("media_id"), col("phash"))
   }
 
   /** DuckDB twin of [[dedupPhashKeepers]] over the planted groups. */
   def dedupPhashKeepersSql(table: String, id: String,
                            maxHamming: Int = 8): String =
     s"""WITH p AS (${perceptualHashSql(table, id)}),
+       |reps AS (SELECT phash, min(media_id) AS rep_id FROM p GROUP BY 1),
        |bands AS (
-       |  SELECT media_id, phash, b, (phash // (1::BIGINT << (b * 16))) % 65536 AS v
-       |  FROM p, (SELECT unnest(generate_series(0, 3)) AS b)),
-       |victims AS (
-       |  SELECT DISTINCT hi.media_id
+       |  SELECT rep_id, phash, b, (phash // (1::BIGINT << (b * 16))) % 65536 AS v
+       |  FROM reps, (SELECT unnest(generate_series(0, 3)) AS b)),
+       |dominated AS (
+       |  SELECT DISTINCT hi.phash
        |  FROM bands lo JOIN bands hi ON lo.b = hi.b AND lo.v = hi.v
-       |    AND lo.media_id < hi.media_id
+       |    AND lo.rep_id < hi.rep_id
        |    AND bit_count(xor(lo.phash, hi.phash)) <= $maxHamming)
-       |SELECT p.media_id, p.phash FROM p
-       |WHERE p.media_id NOT IN (SELECT media_id FROM victims)""".stripMargin
+       |SELECT p.media_id, p.phash
+       |FROM p JOIN reps USING (phash)
+       |WHERE p.media_id = reps.rep_id
+       |  AND p.phash NOT IN (SELECT phash FROM dominated)""".stripMargin
 }

@@ -842,9 +842,10 @@ object TextAnalysis {
     *    beyond that drop the milli scaling or score in doubles with a
     *    tolerance gate — the fixed-point form is the ORACLE-exact gate.)
     *
-    * Plan shape: ONE corpus scan projects `(id, dl, tf_0..tf_q)` — the
-    * token array is let1-bound so `split` runs once per row, and tf
-    * counting is `size(filter(...))` per term, zero explode, zero
+    * Plan shape: ONE corpus scan projects `(id, dl, tf_0..tf_q)` via the
+    * compiled [[graft.functions.TermCounts]] kernel — one byte-scan pass
+    * per doc (the declarative split + per-term `size(filter(...))` HOFs
+    * interpret: 101s vs seconds at 1M docs), zero explode, zero
     * shuffle. That doc-grain frame (q+2 longs per doc — tiny next to
     * the text) is leased and consumed twice: a one-row metadata agg
     * (N, Σdl, df_t — partial-aggregated to a single row, broadcast
@@ -858,16 +859,13 @@ object TextAnalysis {
                terms: Seq[String], k: Int = 20): DataFrame = {
     require(terms.nonEmpty && terms.forall(t => t.nonEmpty && !t.contains("'")),
       "terms must be non-empty and quote-free")
-    val tfFields = terms.indices.map(i =>
-      s"'tf$i', size(filter(__t, w -> w = '${terms(i)}'))").mkString(", ")
-    val docStruct = PortableHash.let1("__t",
-      s"filter(split($text, ' '), w -> w <> '')",
-      s"named_struct('dl', size(__t), $tfFields)")
+    val termArr = terms.map(t => s"'$t'").mkString("array(", ", ", ")")
     val perDoc = Caches.lease(
       graft.functions.VectorFunctions.attach(docs)
-        .select(col(id), expr(docStruct).as("__s"))
-        .select(col(id) +: (col("__s.dl").cast("long").as("dl") +:
-          terms.indices.map(i => col(s"__s.tf$i").cast("long").as(s"tf$i"))): _*))
+        .select(col(id), expr(s"graft_term_counts($text, $termArr)").as("__tc"))
+        .select(col(id) +: (expr("element_at(__tc, 1)").as("dl") +:
+          terms.indices.map(i =>
+            expr(s"element_at(__tc, ${i + 2})").as(s"tf$i"))): _*))
     val meta = perDoc.agg(
       count(lit(1)).as("n"),
       (sum(col("dl")).as("sum_dl") +:

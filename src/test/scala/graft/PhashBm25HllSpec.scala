@@ -52,6 +52,33 @@ class PhashBm25HllSpec extends SparkSpec {
     graft.ops.Caches.releaseAll()
   }
 
+  test("dedupPhashKeepers: representative collapse = brute-force pairwise keeper rule") {
+    // Crafted hashes: an exact-dup cluster (boilerplate mass), a near
+    // pair at hamming 3 (guaranteed banded: 3 bits < 4 bands), chained
+    // near-dups, and isolated hashes differing in every band.
+    val h0 = 0x1111222233334444L
+    val rows = Seq(
+      10L -> h0, 11L -> h0, 12L -> h0,          // exact cluster: keep 10
+      20L -> (h0 ^ 7L),                          // ham 3 from h0: dominated by 10
+      5L  -> (h0 ^ 0x0070L),                     // ham 3 from h0, LOWER id: 10 dominated!
+      30L -> 0x7777000012345678L,                // isolated
+      31L -> (0x0123456789abcdeFL & Long.MaxValue) // isolated
+    )
+    val df = rows.toDF("media_id", "phash")
+    val got = Multimodal.dedupPhashKeepers(df)
+      .select($"media_id").as[Long].collect().sorted.toSeq
+    // brute force over all pairs (every near pair here is within 3 bits,
+    // so banding finds exactly what brute force does)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val ids = rows.map(_._1)
+    val brute = ids.filter(i => !ids.exists(j =>
+      j < i && ham(rows.toMap.apply(i), rows.toMap.apply(j)) <= 8)).sorted
+    assert(got === brute, s"got $got, brute-force keeper set $brute")
+    assert(got === Seq(5L, 30L, 31L),
+      "id 5 dominates the whole h0 neighborhood; isolated hashes survive")
+    graft.ops.Caches.releaseAll()
+  }
+
   // ---------------- BM25 ----------------
 
   test("bm25TopK: rare-term density beats common-term padding; ordering sane") {

@@ -145,6 +145,26 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(diff == 0, "native stopword ratio / token count must match the HOF/regex forms")
   }
 
+  test("native term counts match the declarative split+filter HOF form") {
+    VectorFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    // corpus rows plus adversarial shapes: empty, all-spaces, space runs,
+    // term at both ends, unicode neighbors, term as substring (no match)
+    val edge = Seq("", "   ", "dup", " dup  dup ", "dup x dup", "xdup dupx",
+      "héllo dup wörld", "dup dup dup dup").toDF("text")
+    val d = spark.read.parquet(s"$sf/documents.parquet").select($"text")
+      .union(edge)
+    val hof = "filter(split(text, ' '), w -> w <> '')"
+    val diff = d
+      .withColumn("k", expr("graft_term_counts(text, array('dup', 'vector'))"))
+      .withColumn("h", expr(
+        s"element_at(transform(array($hof), __t -> array(cast(size(__t) AS BIGINT), " +
+          "cast(size(filter(__t, w -> w = 'dup')) AS BIGINT), " +
+          "cast(size(filter(__t, w -> w = 'vector')) AS BIGINT))), 1)"))
+      .where($"k" =!= $"h").count()
+    assert(diff == 0, "graft_term_counts must match the split+filter HOFs")
+  }
+
   test("native simhash and fingerprint match the declarative HOF folds") {
     VectorFunctions.ensureRegistered(spark)
     val d = spark.read.parquet(s"$sf/documents.parquet")
