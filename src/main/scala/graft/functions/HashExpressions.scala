@@ -270,6 +270,50 @@ case class TokenCount(child: Expression) extends StringCountExpression {
   override protected def withNewChildInternal(c: Expression): TokenCount = copy(child = c)
 }
 
+/** `graft_hash_embed(words, dim)`: signed feature-hash embedding
+  * ([[HashOps.hashEmbed]]) — the compiled twin of the dim-separate-folds
+  * declarative form; returns ARRAY<BIGINT> of length `dim`.
+  */
+case class HashEmbed(child: Expression, dim: Int) extends HashArrayExpression {
+  require(dim > 0, s"graft_hash_embed requires positive dim, got $dim")
+  override def prettyName: String = "graft_hash_embed"
+  override protected def requiredElem: DataType = StringType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(words: Any): Any =
+    HashOps.hashEmbed(words.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, w =>
+      s"${ev.value} = graft.functions.HashOps.hashEmbed($w, $dim);")
+
+  override protected def withNewChildInternal(c: Expression): HashEmbed =
+    copy(child = c)
+}
+
+/** `graft_hash_embed_text(text, dim)`: tokenize-and-embed fused
+  * ([[HashOps.hashEmbedText]]) — the whole-doc vector-leg projection as
+  * one byte scan, bit-equal to
+  * `graft_hash_embed(regexp_extract_all(text, …), dim)`.
+  */
+case class HashEmbedText(child: Expression, dim: Int)
+    extends StringCountExpression {
+  require(dim > 0, s"graft_hash_embed_text requires positive dim, got $dim")
+  override def prettyName: String = "graft_hash_embed_text"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(s: Any): Any =
+    HashOps.hashEmbedText(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.HashOps.hashEmbedText($s, $dim);")
+
+  override protected def withNewChildInternal(c: Expression): HashEmbedText =
+    copy(child = c)
+}
+
 /** `graft_term_counts(text, array('t1', …))`: one byte-scan pass over the
   * text — split on single spaces (empty tokens from runs of spaces
   * skipped), emit `[doc_len, tf_0, …, tf_q]` as ARRAY<BIGINT>. The

@@ -35,6 +35,80 @@ object HashOps {
     (top >>> 4) % P
   }
 
+  /** Signed feature-hash embedding (the hashing trick): token t adds
+    * ±1 (sign bit `(H div dim) % 2`) to bucket `H(t) % dim`. One
+    * md5-per-token pass — the compiled twin of the per-bucket
+    * `aggregate` fold, which interprets dim SEPARATE folds per row
+    * (hybrid retrieval at 1M docs: 141.7s declarative → 26.3s with this
+    * kernel behind regexp tokenization → 8.5s with the fused
+    * [[hashEmbedText]]). Null/empty tokens contribute nothing.
+    */
+  def hashEmbed(words: ArrayData, dim: Int): ArrayData = {
+    val out = new Array[Long](dim)
+    val n = words.numElements()
+    var i = 0
+    while (i < n) {
+      val w = words.getUTF8String(i)
+      if (w != null && w.numBytes() > 0) {
+        val h = hashUtf8(w)
+        out((h % dim).toInt) += (if (((h / dim) % 2) == 0L) -1L else 1L)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** md5-based H over a byte range (no UTF8String allocation). */
+  private def hashRange(b: Array[Byte], off: Int, len: Int): Long = {
+    val d = md.get(); d.reset()
+    d.update(b, off, len)
+    val g = d.digest()
+    val top = ((g(0) & 0xffL) << 56) | ((g(1) & 0xffL) << 48) |
+      ((g(2) & 0xffL) << 40) | ((g(3) & 0xffL) << 32) |
+      ((g(4) & 0xffL) << 24) | ((g(5) & 0xffL) << 16) |
+      ((g(6) & 0xffL) << 8) | (g(7) & 0xffL)
+    (top >>> 4) % P
+  }
+
+  /** Tokenize-and-embed fused: one byte scan over the raw text applying
+    * the BPE-ish token classes (`[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]` —
+    * ASCII-letter runs, digit runs, every other non-space CODE POINT one
+    * token, the [[tokenCount]] contract) and folding each token's
+    * portable hash straight into the signed embedding — no regex engine,
+    * no token-array materialization (the regexp_extract_all +
+    * [[hashEmbed]] pipeline pays both: whole hybrid query at 1M docs
+    * 26.3s → 8.5s, the vector leg's share dropping to ~2.5s).
+    */
+  def hashEmbedText(text: UTF8String, dim: Int): ArrayData = {
+    val b = text.getBytes
+    val out = new Array[Long](dim)
+    val n = b.length
+    @inline def isAlpha(c: Byte) =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+    @inline def isDigit(c: Byte) = c >= '0' && c <= '9'
+    @inline def add(off: Int, len: Int): Unit = {
+      val h = hashRange(b, off, len)
+      out((h % dim).toInt) += (if (((h / dim) % 2) == 0L) -1L else 1L)
+    }
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (c == ' ') i += 1
+      else if (isAlpha(c)) {
+        val s = i; while (i < n && isAlpha(b(i))) i += 1; add(s, i - s)
+      } else if (isDigit(c)) {
+        val s = i; while (i < n && isDigit(b(i))) i += 1; add(s, i - s)
+      } else {
+        // one code point: UTF-8 sequence length from the lead byte
+        val u = c & 0xff
+        val len = if (u < 0x80) 1 else if (u < 0xe0) 2 else if (u < 0xf0) 3 else 4
+        val e = math.min(i + len, n)
+        add(i, e - i); i = e
+      }
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct hashed word-k-shingles (first-occurrence order — the
     * array_distinct twin); empty when the doc has fewer than k words.
     */

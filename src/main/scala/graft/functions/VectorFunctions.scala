@@ -190,7 +190,11 @@ object VectorFunctions {
     "graft_stop_count" -> (classOf[StopCount],
       (e: Seq[Expression]) => StopCount(e(0), stringArrayLit(e(1), "graft_stop_count"))),
     "graft_term_counts" -> (classOf[TermCounts],
-      (e: Seq[Expression]) => TermCounts(e(0), stringArrayLit(e(1), "graft_term_counts")))
+      (e: Seq[Expression]) => TermCounts(e(0), stringArrayLit(e(1), "graft_term_counts"))),
+    "graft_hash_embed" -> (classOf[HashEmbed],
+      (e: Seq[Expression]) => HashEmbed(e(0), intLit(e(1), "graft_hash_embed"))),
+    "graft_hash_embed_text" -> (classOf[HashEmbedText],
+      (e: Seq[Expression]) => HashEmbedText(e(0), intLit(e(1), "graft_hash_embed_text")))
   )
 
   /** Pass-through that registers the native functions on the frame's

@@ -918,6 +918,109 @@ object TextAnalysis {
        |ORDER BY score_milli DESC, $id ASC LIMIT $k""".stripMargin
   }
 
+  /** Hybrid retrieval: the BM25 lexical leg fused with a vector leg by
+    * reciprocal-rank fusion (Cormack et al. SIGIR'09) — the standard
+    * two-tower search stack (what "BM25 + embeddings" means in every
+    * modern RAG/curation system) as one registered operator.
+    *
+    *  - Lexical leg: [[bm25TopK]]'s top `poolK` (compiled doc-stats
+    *    kernel, TakeOrdered), ranked (score DESC, id ASC).
+    *  - Vector leg: whole-doc signed feature-hash embedding (the
+    *    [[hashEmbedChunks]] trick at doc grain, dim buckets) via the
+    *    FUSED tokenize-and-embed kernel [[graft.functions.HashEmbedText]]
+    *    — the declarative per-bucket folds interpret dim passes per doc
+    *    (141.7s at 1M docs), the array-kernel + regexp tokenizer still
+    *    pays the regex engine and token materialization (26.3s); the
+    *    fused byte scan brings the whole query to 8.5s — scored by
+    *    INTEGER dot product against the query string's own embedding —
+    *    signed-hash embeds are integer vectors, so the dot is exact and
+    *    the ranking cannot drift cross-engine (cosine's float sqrt
+    *    could flip near-ties); top `poolK` via TakeOrdered. The query
+    *    embedding is a one-row broadcast.
+    *  - Fusion: RRF in exact integers — `1000000 div (rrfK + rank)`
+    *    summed over the legs where the doc appears (absent leg
+    *    contributes 0; ranks coalesce to 0 in the output), final
+    *    ordering (fused DESC, id ASC), `LIMIT k`.
+    *
+    * Plan shape: two corpus scans (one per leg — each is one projection
+    * + TakeOrdered; a shared-scan fusion would force the kernel AND the
+    * embed fold into one projection, serializing what AQE runs as two
+    * independent stages), rank windows only over the poolK-row pools
+    * (single-partition but bounded by `poolK`, never corpus-sized), and
+    * the legs join on id at poolK cardinality.
+    */
+  def hybridTopK(docs: DataFrame, id: String, text: String,
+                 terms: Seq[String], k: Int = 20, poolK: Int = 50,
+                 dim: Int = 16, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    def embed(toks: String) = s"graft_hash_embed($toks, $dim)"
+    val qText = terms.mkString(" ")
+    val lexPool = bm25TopK(docs, id, text, terms, poolK)
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("score_milli").desc, col(id).asc)))
+      .select(col(id), col("r_lex"))
+    val qv = spark.range(1).select(expr(embed(
+      s"regexp_extract_all('$qText', '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")).as("qv"))
+    val vecPool = graft.functions.VectorFunctions.attach(docs)
+      .select(col(id), expr(s"graft_hash_embed_text($text, $dim)").as("dv"))
+      .crossJoin(broadcast(qv))
+      .select(col(id), expr(
+        "aggregate(zip_with(dv, qv, (a, b) -> a * b), cast(0 AS BIGINT), (acc, x) -> acc + x)")
+        .as("dot"))
+      .orderBy(col("dot").desc, col(id).asc).limit(poolK)
+      .withColumn("r_vec", row_number().over(
+        Window.orderBy(col("dot").desc, col(id).asc)))
+      .select(col(id), col("r_vec"))
+    lexPool.join(vecPool, Seq(id), "full_outer")
+      .select(col(id),
+        coalesce(col("r_lex"), lit(0)).as("r_lex"),
+        coalesce(col("r_vec"), lit(0)).as("r_vec"))
+      .withColumn("rrf_milli",
+        expr(s"IF(r_lex > 0, 1000000 div ($rrfK + r_lex), 0L) + " +
+          s"IF(r_vec > 0, 1000000 div ($rrfK + r_vec), 0L)"))
+      .orderBy(col("rrf_milli").desc, col(id).asc)
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[hybridTopK]] — same two pools, same integer RRF. */
+  def hybridTopKSql(table: String, id: String, text: String,
+                    terms: Seq[String], k: Int = 20, poolK: Int = 50,
+                    dim: Int = 16, rrfK: Int = 60): String = {
+    val h = PortableHash.duckStringHash("t")
+    def embed(toks: String) =
+      s"""list_transform(generate_series(0, ${dim - 1}), j ->
+         |    list_reduce(list_prepend(0::BIGINT, list_transform($toks, t ->
+         |      CASE WHEN ($h % $dim) = j
+         |           THEN (CASE WHEN (($h // $dim) % 2) = 0 THEN -1 ELSE 1 END)::BIGINT
+         |           ELSE 0::BIGINT END)), (a, b) -> a + b))""".stripMargin
+    val qText = terms.mkString(" ")
+    s"""WITH lex AS (
+       |  SELECT $id, row_number() OVER (ORDER BY score_milli DESC, $id ASC) AS r_lex
+       |  FROM (${bm25TopKSql(table, id, text, terms, poolK)})),
+       |qv AS (SELECT ${embed(s"regexp_extract_all('$qText', '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')")} AS qv),
+       |dots AS (
+       |  SELECT $id,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(generate_series(1, ${dim}), i -> dv[i] * qv[i])),
+       |      (a, b) -> a + b) AS dot
+       |  FROM (SELECT $id, ${embed(s"regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')")} AS dv
+       |        FROM $table), qv),
+       |vec AS (
+       |  SELECT $id, row_number() OVER (ORDER BY dot DESC, $id ASC) AS r_vec
+       |  FROM (SELECT $id, dot FROM dots ORDER BY dot DESC, $id ASC LIMIT $poolK)),
+       |fused AS (
+       |  SELECT $id,
+       |    coalesce(r_lex, 0)::INT AS r_lex, coalesce(r_vec, 0)::INT AS r_vec
+       |  FROM lex FULL OUTER JOIN vec USING ($id))
+       |SELECT $id, r_lex, r_vec,
+       |  (CASE WHEN r_lex > 0 THEN 1000000 // ($rrfK + r_lex) ELSE 0 END +
+       |   CASE WHEN r_vec > 0 THEN 1000000 // ($rrfK + r_vec) ELSE 0 END)::BIGINT AS rrf_milli
+       |FROM fused
+       |ORDER BY rrf_milli DESC, $id ASC LIMIT $k""".stripMargin
+  }
+
   /** Model-based quality filtering — the fastText-classifier stage of a
     * modern pretraining pipeline (FineWeb-Edu, DCLM) as Spark plumbing:
     * feature-hash each token into `dim` buckets, dot with a weight
@@ -1108,7 +1211,7 @@ object TextAnalysis {
                       dim: Int = 16): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size && dim > 0,
       s"need 0 < stride <= size and dim > 0, got size=$size stride=$stride dim=$dim")
-    val h = PortableHash.sparkStringHash("t")
+    graft.functions.VectorFunctions.ensureRegistered(df.sparkSession)
     df.where(col(text).isNotNull && trim(col(text)) =!= "")
       .select(col(id).as("doc_id"),
         expr(s"regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)").as("toks"))
@@ -1116,9 +1219,9 @@ object TextAnalysis {
         s"transform(sequence(0, cast(greatest(ceil((size(toks) - $size) / cast($stride AS DOUBLE)), 0) AS INT)), " +
           s"i -> slice(toks, i * $stride + 1, $size))")))
       .select(expr("doc_id * 100000 + pos").as("v_id"),
-        expr(s"transform(sequence(0, ${dim - 1}), j -> cast(" +
-          s"aggregate(col, cast(0 AS BIGINT), (acc, t) -> acc + " +
-          s"IF(($h % $dim) = j, IF((($h div $dim) % 2) = 0, -1L, 1L), 0L)) AS DOUBLE))")
+        // compiled signed-hash fold; the trailing per-element double cast
+        // is dim-sized, not token-sized
+        expr(s"transform(graft_hash_embed(col, $dim), x -> cast(x AS DOUBLE))")
           .as("vec"))
   }
 

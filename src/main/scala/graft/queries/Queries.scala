@@ -1415,6 +1415,16 @@ object Queries {
       Some(TextAnalysis.bm25TopKSql("documents",
         "doc_id", "text", terms = Seq("dup", "vector", "spark"), k = 25))),
 
+    // Hybrid retrieval: BM25 lexical pool + signed-hash-embedding dot
+    // pool fused by integer reciprocal-rank fusion — the two-tower
+    // search stack as one operator. Docs strong in either leg surface;
+    // a doc ranked by both legs outranks single-leg docs at equal depth
+    QueryDef("pipeline_hybrid_search",
+      (s, dir) => TextAnalysis.hybridTopK(t(s, dir, "documents"),
+        "doc_id", "text", terms = Seq("dup", "vector", "spark"), k = 25),
+      Some(TextAnalysis.hybridTopKSql("documents",
+        "doc_id", "text", terms = Seq("dup", "vector", "spark"), k = 25))),
+
     // Duplicated-line removal: the fixture appends one boilerplate line
     // to EVERY doc (corpus frequency = N docs, far over maxFreq=10) and
     // one per-doc unique footer, so both the strike and keep paths are

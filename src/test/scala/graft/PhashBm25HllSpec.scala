@@ -120,6 +120,32 @@ class PhashBm25HllSpec extends SparkSpec {
     graft.ops.Caches.releaseAll()
   }
 
+  test("hybridTopK: RRF arithmetic exact, ordering total, both legs contribute") {
+    val docs = Seq(
+      (1L, "dup vector spark"),            // the query itself: strong in both legs
+      (2L, "dup dup dup dup"),             // lexical-dense
+      (3L, "filler words only here none"), // matches nothing
+      (4L, "vector spark vector spark")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.hybridTopK(docs, "doc_id", "text",
+      terms = Seq("dup", "vector", "spark"), k = 10, poolK = 10)
+      .select($"doc_id", $"r_lex", $"r_vec", $"rrf_milli")
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    def f(r: Int) = if (r > 0) 1000000L / (60 + r) else 0L
+    got.foreach { case (id, rl, rv, rrf) =>
+      assert(rrf === f(rl) + f(rv), s"doc $id: RRF must be the exact integer sum")
+    }
+    assert(got.map(_._4) === got.map(_._4).sorted(Ordering[Long].reverse),
+      "fused scores non-increasing")
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(Set(1L, 2L, 4L).subsetOf(byId.keySet), "term-bearing docs all surface")
+    assert(byId(1L)._2 > 0 && byId(1L)._3 > 0,
+      "the query-identical doc ranks in BOTH legs")
+    assert(!byId.contains(3L) || byId(3L)._2 === 0,
+      "no lexical rank for a doc with no query terms")
+    graft.ops.Caches.releaseAll()
+  }
+
   // ---------------- HyperLogLog ----------------
 
   test("hllRegisters: 64 rows, deterministic, merge = sketch of union") {

@@ -165,6 +165,40 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(diff == 0, "graft_term_counts must match the split+filter HOFs")
   }
 
+  test("native hash embed matches the declarative per-bucket folds") {
+    VectorFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val h = ops.PortableHash.sparkStringHash("t")
+    val dim = 16
+    val d = spark.read.parquet(s"$sf/documents.parquet").select($"text")
+      .union(Seq("", "one", "héllo wörld unicode").toDF("text"))
+      .withColumn("toks",
+        expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
+    val diff = d
+      .withColumn("k", expr(s"graft_hash_embed(toks, $dim)"))
+      .withColumn("h", expr(
+        s"transform(sequence(0, ${dim - 1}), j -> " +
+          s"aggregate(toks, cast(0 AS BIGINT), (acc, t) -> acc + " +
+          s"IF(($h % $dim) = j, IF((($h div $dim) % 2) = 0, -1L, 1L), 0L)))"))
+      .where($"k" =!= $"h").count()
+    assert(diff == 0, "graft_hash_embed must match the declarative folds")
+  }
+
+  test("fused hash-embed-text matches regexp tokenization + array embed") {
+    VectorFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val edge = Seq("", " ", "abc", "abc123", "a1b2c3", "héllo, wörld!",
+      "日本語 text", "tabs\tand\nnewlines", "!!!", "a  b   c").toDF("text")
+    val d = spark.read.parquet(s"$sf/documents.parquet").select($"text")
+      .union(edge)
+    val diff = d
+      .withColumn("f", expr("graft_hash_embed_text(text, 16)"))
+      .withColumn("r", expr(
+        "graft_hash_embed(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0), 16)"))
+      .where($"f" =!= $"r").count()
+    assert(diff == 0, "fused kernel must match the regexp + array-kernel chain")
+  }
+
   test("native simhash and fingerprint match the declarative HOF folds") {
     VectorFunctions.ensureRegistered(spark)
     val d = spark.read.parquet(s"$sf/documents.parquet")
