@@ -291,6 +291,21 @@ case class HashEmbed(child: Expression, dim: Int) extends HashArrayExpression {
     copy(child = c)
 }
 
+/** `graft_normalize(text)`: NFC + ASCII-lower + whitespace-collapse
+  * canonical normalization ([[HashOps.normalizeText]]).
+  */
+case class NormalizeText(child: Expression) extends StringCountExpression {
+  override def prettyName: String = "graft_normalize"
+  override def dataType: DataType = StringType
+  override def nullSafeEval(s: Any): Any =
+    HashOps.normalizeText(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.HashOps.normalizeText($s);")
+  override protected def withNewChildInternal(c: Expression): NormalizeText =
+    copy(child = c)
+}
+
 /** `graft_hash_embed_text(text, dim)`: tokenize-and-embed fused
   * ([[HashOps.hashEmbedText]]) — the whole-doc vector-leg projection as
   * one byte scan, bit-equal to

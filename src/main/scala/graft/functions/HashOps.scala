@@ -58,6 +58,36 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** Canonical text normalization for dedup/matching: Unicode NFC, then
+    * one pass lowering ASCII A–Z and collapsing ASCII whitespace runs
+    * (space, \t, \n, \r, \f) to single spaces, trimmed. DELIBERATELY
+    * ASCII-only case mapping: full Unicode case folding is
+    * implementation-variant (JVM full mappings vs utf8proc simple —
+    * 'İ'→"i̇" vs 'i', final sigma ς vs σ), so restricting to the subset
+    * both engines agree on keeps the op oracle-exact; NFC itself is a
+    * standard both implement identically.
+    */
+  def normalizeText(s: UTF8String): UTF8String = {
+    val nfc = java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(nfc.length)
+    var pendingSpace = false
+    var started = false
+    var i = 0
+    while (i < nfc.length) {
+      val c = nfc.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f')
+        pendingSpace = true
+      else {
+        if (pendingSpace && started) sb.append(' ')
+        pendingSpace = false; started = true
+        sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** md5-based H over a byte range (no UTF8String allocation). */
   private def hashRange(b: Array[Byte], off: Int, len: Int): Long = {
     val d = md.get(); d.reset()

@@ -194,7 +194,9 @@ object VectorFunctions {
     "graft_hash_embed" -> (classOf[HashEmbed],
       (e: Seq[Expression]) => HashEmbed(e(0), intLit(e(1), "graft_hash_embed"))),
     "graft_hash_embed_text" -> (classOf[HashEmbedText],
-      (e: Seq[Expression]) => HashEmbedText(e(0), intLit(e(1), "graft_hash_embed_text")))
+      (e: Seq[Expression]) => HashEmbedText(e(0), intLit(e(1), "graft_hash_embed_text"))),
+    "graft_normalize" -> (classOf[NormalizeText],
+      (e: Seq[Expression]) => NormalizeText(e(0)))
   )
 
   /** Pass-through that registers the native functions on the frame's

@@ -918,6 +918,29 @@ object TextAnalysis {
        |ORDER BY score_milli DESC, $id ASC LIMIT $k""".stripMargin
   }
 
+  /** Canonical text normalization — the pass every pipeline runs BEFORE
+    * dedup/matching so that case, spacing, and Unicode-encoding variants
+    * of the same content collapse to one form: NFC (decomposed é = e +
+    * U+0301 composes to the single code point), ASCII A–Z lowered, ASCII
+    * whitespace runs collapsed to single spaces, trimmed. One compiled
+    * scan ([[graft.functions.NormalizeText]]), zero shuffle. Full
+    * Unicode case folding is DELIBERATELY excluded: JVM full mappings
+    * and utf8proc simple mappings disagree ('İ', final sigma), so the
+    * op restricts to the subset every engine agrees on — documented
+    * contract, oracle-exact.
+    */
+  def normalize(df: DataFrame, id: String, text: String): DataFrame =
+    graft.functions.VectorFunctions.attach(df)
+      .select(col(id), expr(s"graft_normalize($text)").as("norm_text"))
+
+  /** DuckDB twin of [[normalize]]. */
+  def normalizeSql(table: String, id: String, text: String): String =
+    s"""SELECT $id, trim(regexp_replace(
+       |    translate(nfc_normalize($text),
+       |      'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+       |    '[ \\t\\n\\r\\f]+', ' ', 'g'), ' ') AS norm_text
+       |FROM $table""".stripMargin
+
   /** Hybrid retrieval: the BM25 lexical leg fused with a vector leg by
     * reciprocal-rank fusion (Cormack et al. SIGIR'09) — the standard
     * two-tower search stack (what "BM25 + embeddings" means in every

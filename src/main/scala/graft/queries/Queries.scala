@@ -1415,6 +1415,20 @@ object Queries {
       Some(TextAnalysis.bm25TopKSql("documents",
         "doc_id", "text", terms = Seq("dup", "vector", "spark"), k = 25))),
 
+    // Canonical normalization (NFC + ascii-lower + whitespace collapse):
+    // the planted suffix carries a DECOMPOSED e+U+0301 (must compose),
+    // an uppercase run, a tab, and double spaces — any engine that
+    // skips a stage diverges from the oracle. ASCII-only case mapping
+    // by documented contract (full folding is implementation-variant)
+    QueryDef("text_normalize",
+      (s, dir) => TextAnalysis.normalize(
+        t(s, dir, "documents").withColumn("text",
+          concat(col("text"), lit(" MIXED  Case\tÉcole  "))),
+        "doc_id", "text"),
+      Some(TextAnalysis.normalizeSql(
+        s"(SELECT doc_id, text || ' MIXED  Case\tÉcole  ' AS text FROM documents)",
+        "doc_id", "text"))),
+
     // Hybrid retrieval: BM25 lexical pool + signed-hash-embedding dot
     // pool fused by integer reciprocal-rank fusion — the two-tower
     // search stack as one operator. Docs strong in either leg surface;

@@ -146,6 +146,29 @@ class PhashBm25HllSpec extends SparkSpec {
     graft.ops.Caches.releaseAll()
   }
 
+  test("normalize: NFC composes, ascii lowers, whitespace collapses; variants collapse for dedup") {
+    val decomposed = "Café"   // Cafe + combining acute
+    val composed = "café"           // café, already NFC + lower
+    val docs = Seq(
+      (1L, s"  THE  Quick\tBrown\n$decomposed  "),
+      (2L, s"the quick brown $composed"),  // same content, different form
+      (3L, "unrelated text")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.normalize(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === s"the quick brown $composed",
+      "NFC + ascii-lower + collapse + trim")
+    assert(got(1L) === got(2L),
+      "encoding/case/spacing variants collapse to one form -> exact dedup catches them")
+    assert(got(3L) === "unrelated text")
+    // non-ASCII case deliberately untouched (documented contract)
+    val up = TextAnalysis.normalize(
+      Seq((1L, "ÉCOLE Straße")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, String)].collect().head._2
+    assert(up === "École straße",
+      s"only ASCII A-Z lowers (S does, É and ß do not); got $up")
+  }
+
   // ---------------- HyperLogLog ----------------
 
   test("hllRegisters: 64 rows, deterministic, merge = sketch of union") {
