@@ -513,6 +513,29 @@ object Queries {
       (s, dir) => Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text"),
       Some(Dedup.exactDedupSql("documents", "doc_id", "text"))),
 
+    // normalize -> exact dedup: the acting composition text_normalize
+    // exists for. The fixture plants case/spacing/NFC variants of ONE
+    // shared sentence on even/odd doc pairs: raw exact dedup cannot
+    // merge them (different bytes), normalized dedup collapses each
+    // pair -- n_dups = 2 exactly for the planted groups
+    QueryDef("dedup_exact_normalized",
+      (s, dir) => Dedup.exactDedup(
+        TextAnalysis.normalize(
+          t(s, dir, "documents").withColumn("text",
+            expr("IF(doc_id % 2 = 0, " +
+              "concat('Shared  PLANTED\tsentence nr ', cast(doc_id div 2 AS STRING)), " +
+              "concat('shared planted sentence nr ', cast(doc_id div 2 AS STRING)))")),
+          "doc_id", "text"),
+        "doc_id", "norm_text"),
+      Some(Dedup.exactDedupSql(
+        s"""(${TextAnalysis.normalizeSql(
+          "(SELECT doc_id, CASE WHEN doc_id % 2 = 0 " +
+            "THEN 'Shared  PLANTED\tsentence nr ' || (doc_id // 2) " +
+            "ELSE 'shared planted sentence nr ' || (doc_id // 2) END AS text " +
+            "FROM documents)",
+          "doc_id", "text")})""",
+        "doc_id", "norm_text"))),
+
     QueryDef("dedup_minhash_sig",
       (s, dir) => Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text"),
       Some(Dedup.minhashSignaturesSql("documents", "doc_id", "text"))),
