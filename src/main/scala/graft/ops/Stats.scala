@@ -373,6 +373,50 @@ object Stats {
        |FROM spine LEFT JOIN agg USING (row, col)""".stripMargin
   }
 
+  /** Serve a sketch: estimate the CORPUS frequency of every distinct
+    * value in a (small) batch from the corpus's count-min counters —
+    * the mergeable-sketch serving pattern: yesterday's 100 TB crawl is
+    * summarized once into d·w integers, and today's batch scores
+    * against it with NO rescan of the corpus. Each batch value derives
+    * its `d` (row, col) probe keys (same universal-hash arithmetic as
+    * [[cmsCounters]]), joins the broadcast counter table, and takes
+    * `min(n)` — the CMS point estimate, always ≥ the true corpus count.
+    * Exchanges carry distinct batch values only; the counters are a
+    * broadcast.
+    */
+  def cmsProbe(corpusCounters: DataFrame, batch: DataFrame,
+               valueExpr: String): DataFrame = {
+    val (d, w, p) = (CmsD, CmsW, PortableHash.P)
+    batch
+      .select(expr(valueExpr).as("value")).distinct()
+      .select(col("value"),
+        expr(PortableHash.sparkStringHash("value")).as("h"))
+      .select(col("value"), explode(expr(
+        s"transform(sequence(0, ${d - 1}), i -> named_struct(" +
+          s"'row', cast(i AS BIGINT), " +
+          s"'col', (((37 + 61 * i) * h + (101 + 97 * i)) % $p) % $w))")).as("s"))
+      .select(col("value"), col("s.row").as("row"), col("s.col").as("col"))
+      .join(broadcast(corpusCounters), Seq("row", "col"))
+      .groupBy("value").agg(min(col("n")).as("est_freq"))
+  }
+
+  /** DuckDB twin of [[cmsProbe]] over [[cmsCountersSql]]'s counters. */
+  def cmsProbeSql(corpusTable: String, batchTable: String,
+                  valueExpr: String): String = {
+    val (d, w, p) = (CmsD, CmsW, PortableHash.P)
+    s"""WITH counters AS (${cmsCountersSql(corpusTable, valueExpr)}),
+       |probes AS (
+       |  SELECT value, i::BIGINT AS row,
+       |    (((37 + 61 * i) * h + (101 + 97 * i)) % $p) % $w AS col
+       |  FROM (SELECT DISTINCT $valueExpr AS value,
+       |          ${PortableHash.duckStringHash(s"($valueExpr)")} AS h
+       |        FROM $batchTable),
+       |       (SELECT unnest(generate_series(0, ${d - 1})) AS i))
+       |SELECT p.value, min(c.n)::BIGINT AS est_freq
+       |FROM probes p JOIN counters c USING (row, col)
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Point-frequency estimate from a collected sketch: min over the `d`
     * counters the value hashes to (always ≥ the true count). Driver-side
     * arithmetic over d·w integers; the distributed work is all in

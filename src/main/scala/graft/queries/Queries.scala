@@ -2023,6 +2023,20 @@ object Queries {
         "event_type"),
       Some(graft.ops.Stats.cmsCountersSql("events", "event_type"))),
 
+    // serve the sketch: score a small batch (user_id < 50 slice played
+    // as "today's arrivals") against the CORPUS count-min counters with
+    // no corpus rescan -- probe keys derive per value, counters
+    // broadcast, min-over-rows estimate >= true corpus frequency
+    QueryDef("stats_cms_probe",
+      (s, dir) => {
+        val events = t(s, dir, "events")
+        graft.ops.Stats.cmsProbe(
+          graft.ops.Stats.cmsCounters(events, "event_type"),
+          events.where(col("user_id") < 50), "event_type")
+      },
+      Some(graft.ops.Stats.cmsProbeSql("events",
+        "(SELECT * FROM events WHERE user_id < 50)", "event_type"))),
+
     // log-bucketed quantile sketch: the mergeable QUANTILE rung (HLL =
     // distinct, CMS = frequency) — power-of-two magnitude buckets over
     // DECIMAL-exact fixed-point, one partial agg, merge = per-bucket

@@ -254,6 +254,29 @@ class PhashBm25HllSpec extends SparkSpec {
     assert(ma.map { case (k, n) => k -> (n + mb(k)) } === mu)
   }
 
+  test("cmsProbe: serving estimates >= true corpus counts, broadcast plan, exact for skew-free sketch") {
+    val corpus = (Seq.fill(300)("hot") ++ (1 to 20).flatMap(i => Seq.fill(3)(s"c$i")))
+      .toDF("v")
+    val batch = Seq("hot", "c7", "absent").toDF("v")
+    val probe = Stats.cmsProbe(Stats.cmsCounters(corpus, "v"), batch, "v")
+    val got = probe.as[(String, Long)].collect().toMap
+    assert(got.keySet === Set("hot", "c7", "absent"))
+    assert(got("hot") >= 300L && got("c7") >= 3L,
+      s"estimates never undercount: $got")
+    assert(got("absent") <= 360L / 50,
+      s"absent value sees only collision mass: $got")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllMatchIn(plan).nonEmpty,
+      s"counters must broadcast — the batch never shuffles the corpus:\n$plan")
+  }
+
+  test("normalize plan: one projection over the scan, zero exchange") {
+    val docs = Seq((1L, "Some TEXT")).toDF("doc_id", "text")
+    val plan = TextAnalysis.normalize(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"normalize must not shuffle:\n$plan")
+  }
+
   // ---------------- log-bucketed quantile sketch ----------------
 
   test("logQuantileSketch: estimates stay within the bucket's 2x band; merge = per-bucket sum") {

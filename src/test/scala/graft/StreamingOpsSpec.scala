@@ -341,4 +341,35 @@ class StreamingOpsSpec extends SparkSpec {
         "incrementally-maintained registers = batch sketch of everything seen")
     } finally q.stop()
   }
+
+  test("streaming log-quantile sketch: bucket counters maintain themselves as a streaming agg") {
+    // Same property as the HLL test for the quantile rung: the bucket
+    // agg is distributive, so complete mode converges to the batch
+    // sketch — the always-on per-shard percentile profile.
+    implicit val sq = spark.sqlContext
+    val values = MemoryStream[Double]
+    val agg = values.toDF().toDF("value")
+      .selectExpr("cast(cast(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100")
+      .selectExpr(
+        "cast(IF(v100 = 0, 0, IF(v100 > 0, length(bin(v100)), -length(bin(-v100)))) AS INT) AS bucket",
+        "v100")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum($"v100").as("sum100"))
+    val q = agg.writeStream.format("memory").queryName("lq_stream")
+      .outputMode("complete").start()
+    try {
+      values.addData((1 to 500).map(_ * 0.73): _*)
+      q.processAllAvailable()
+      values.addData((1 to 300).map(_ * 2.11): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("lq_stream")
+        .as[(Int, Long, Long)].collect().toSet
+      val batch = graft.ops.Stats.logQuantileSketch(
+        ((1 to 500).map(_ * 0.73) ++ (1 to 300).map(_ * 2.11))
+          .map(Tuple1(_)).toDF("value"), "value")
+        .as[(Int, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        "incrementally-maintained bucket counters = batch sketch")
+    } finally q.stop()
+  }
 }
