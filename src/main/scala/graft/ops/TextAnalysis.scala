@@ -918,6 +918,40 @@ object TextAnalysis {
        |ORDER BY score_milli DESC, $id ASC LIMIT $k""".stripMargin
   }
 
+  /** One-pass corpus profile — the first report anyone runs on a new
+    * crawl: per (lang, source) stratum, document count, exact-dup count
+    * (distinct content digests), total compiled-kernel tokens, total
+    * chars, and integer-exact mean tokens/doc. ONE scan + ONE keyed
+    * partial agg (count-distinct adds the standard two-phase expand —
+    * still keyed, never global); all outputs exact integers. At 100 TB
+    * this is the job that sizes every downstream stage (mixing weights,
+    * dedup budget, token budget), so it must be one pass — and it is.
+    */
+  def corpusProfile(df: DataFrame, lang: String, source: String,
+                    text: String, nChars: String): DataFrame =
+    graft.functions.VectorFunctions.attach(df)
+      .groupBy(col(lang), col(source))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col(text))).as("n_unique_texts"),
+        sum(expr(s"cast(graft_token_count($text) AS BIGINT)")).as("total_tokens"),
+        sum(col(nChars)).as("total_chars"))
+      .withColumn("avg_tokens_milli",
+        expr("(1000 * total_tokens) div n_docs"))
+
+  /** DuckDB twin of [[corpusProfile]]. */
+  def corpusProfileSql(table: String, lang: String, source: String,
+                       text: String, nChars: String): String =
+    s"""SELECT $lang, $source,
+       |  count(*)::BIGINT AS n_docs,
+       |  count(DISTINCT md5($text))::BIGINT AS n_unique_texts,
+       |  sum(len(regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')))::BIGINT AS total_tokens,
+       |  sum($nChars)::BIGINT AS total_chars,
+       |  (1000 * sum(len(regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')))::BIGINT)
+       |    // count(*)::BIGINT AS avg_tokens_milli
+       |FROM $table
+       |GROUP BY 1, 2""".stripMargin
+
   /** Canonical text normalization — the pass every pipeline runs BEFORE
     * dedup/matching so that case, spacing, and Unicode-encoding variants
     * of the same content collapse to one form: NFC (decomposed é = e +

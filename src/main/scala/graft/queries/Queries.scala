@@ -1438,6 +1438,16 @@ object Queries {
       Some(TextAnalysis.bm25TopKSql("documents",
         "doc_id", "text", terms = Seq("dup", "vector", "spark"), k = 25))),
 
+    // One-pass corpus profile per (lang, source): doc counts, exact-dup
+    // counts (distinct digests), compiled-kernel token totals, chars,
+    // integer mean tokens -- the report that sizes every downstream
+    // stage of a new crawl; one scan, one keyed partial agg
+    QueryDef("pipeline_corpus_profile",
+      (s, dir) => TextAnalysis.corpusProfile(t(s, dir, "documents"),
+        "lang", "source", "text", "n_chars"),
+      Some(TextAnalysis.corpusProfileSql("documents",
+        "lang", "source", "text", "n_chars"))),
+
     // Canonical normalization (NFC + ascii-lower + whitespace collapse):
     // the planted suffix carries a DECOMPOSED e+U+0301 (must compose),
     // an uppercase run, a tab, and double spaces — any engine that
