@@ -383,6 +383,42 @@ object Sampling {
        |FROM $table""".stripMargin
   }
 
+  /** Leakage-safe split: assignment hashes a GROUP key instead of the
+    * doc's own id, so correlated documents — near-duplicate components,
+    * same-origin pages, chunk siblings — can never straddle
+    * train/val/test (the eval-leakage mode a plain per-doc hash split
+    * invites: the val copy of a near-dup pair scores what train
+    * memorized). `groups` maps id → group (e.g.
+    * [[graft.ops.Dedup.minhashDedupComponents]] output); ungrouped docs
+    * coalesce to their own id, which makes their assignment IDENTICAL
+    * to [[splitAssign]] — adding the guard never reshuffles singleton
+    * docs. One broadcast-or-keyed left join + a projection; the split
+    * stays stable as the corpus grows (hash-range membership).
+    */
+  def splitAssignGrouped(df: DataFrame, id: String, groups: DataFrame,
+                         gid: String, ggroup: String,
+                         valPct: Int = 1, testPct: Int = 1): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100)
+    val g = groups.select(col(gid).as(id), col(ggroup).as("__g"))
+    val h = s"(${sparkStringHash(s"cast(coalesce(__g, $id) AS STRING)")} % 100)"
+    df.join(g, Seq(id), "left")
+      .withColumn("split", expr(
+        s"CASE WHEN $h < $valPct THEN 'val' " +
+          s"WHEN $h < ${valPct + testPct} THEN 'test' ELSE 'train' END"))
+      .drop("__g")
+  }
+
+  /** DuckDB twin of [[splitAssignGrouped]]: `groupsSql` emits
+    * (doc_id, component_id) — e.g. [[graft.ops.Dedup.minhashDedupComponentsSql]].
+    */
+  def splitAssignGroupedSql(table: String, id: String, groupsSql: String,
+                            valPct: Int = 1, testPct: Int = 1): String = {
+    val h = s"(${duckStringHash(s"coalesce(c.component_id, d.$id)::VARCHAR")} % 100)"
+    s"""SELECT d.*, CASE WHEN $h < $valPct THEN 'val'
+       |  WHEN $h < ${valPct + testPct} THEN 'test' ELSE 'train' END AS split
+       |FROM $table d LEFT JOIN ($groupsSql) c ON d.$id = c.doc_id""".stripMargin
+  }
+
   /** Deterministic sharded corpus shuffle: shard = H(id) mod `nShards`,
     * rank = position in the shard's (H2(id), id) order — the stable
     * "shuffle once" a training run needs (epoch order must be

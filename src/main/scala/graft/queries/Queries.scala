@@ -2180,6 +2180,24 @@ object Queries {
       Some(s"""SELECT doc_id, source, split FROM (
              |${graft.ops.Sampling.splitAssignSql("documents", "doc_id", valPct = 2, testPct = 2)}) t""".stripMargin)),
 
+    // leakage-safe split: the assignment hashes the near-dup COMPONENT
+    // id (minhash label propagation), so a near-dup pair can never land
+    // in different splits -- the eval-leakage guard; ungrouped docs
+    // coalesce to their own id and get exactly pipeline_split's
+    // assignment
+    QueryDef("pipeline_split_grouped",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.ops.Sampling.splitAssignGrouped(docs, "doc_id",
+            Dedup.minhashDedupComponents(docs, "doc_id", "text"),
+            "doc_id", "component_id", valPct = 2, testPct = 2)
+          .select(col("doc_id"), col("split"))
+      },
+      Some(s"""SELECT doc_id, split FROM (
+             |${graft.ops.Sampling.splitAssignGroupedSql("documents", "doc_id",
+               Dedup.minhashDedupComponentsSql("documents", "doc_id", "text"),
+               valPct = 2, testPct = 2)}) t""".stripMargin)),
+
     // deterministic sharded corpus shuffle: shard = H(id) mod N, rank =
     // per-shard (H2, id) order — epoch order is reproducible and the
     // sort parallelizes per shard (no single-partition global window)

@@ -277,6 +277,29 @@ class PhashBm25HllSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"normalize must not shuffle:\n$plan")
   }
 
+  test("splitAssignGrouped: group members share a split; singletons match splitAssign exactly") {
+    import graft.ops.Sampling
+    val docs = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // every pair (2k, 2k+1) is one near-dup group labeled by its even id
+    val groups = (1L to 400L).map(i => (i, (i / 2) * 2)).toDF("did", "grp")
+    val got = Sampling.splitAssignGrouped(docs, "doc_id", groups,
+      "did", "grp", valPct = 10, testPct = 10)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    (1L to 199L).foreach { k =>
+      assert(got(2 * k) === got(2 * k + 1),
+        s"pair (${2 * k}, ${2 * k + 1}) must share a split")
+    }
+    assert(got.values.toSet === Set("train", "val", "test"),
+      "all three splits populated at 10/10 pct over 200 groups")
+    // ungrouped docs coalesce to their own id = plain splitAssign
+    val solo = Sampling.splitAssignGrouped(docs, "doc_id",
+      groups.where(lit(false)), "did", "grp", valPct = 10, testPct = 10)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val plain = Sampling.splitAssign(docs, "doc_id", valPct = 10, testPct = 10)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(solo === plain, "guard never reshuffles singleton docs")
+  }
+
   // ---------------- log-bucketed quantile sketch ----------------
 
   test("logQuantileSketch: estimates stay within the bucket's 2x band; merge = per-bucket sum") {
