@@ -488,6 +488,85 @@ object Dedup {
        |FROM $table""".stripMargin
   }
 
+  /** Generic hamming-radius keeper over any ≤ 64-bit sketch column —
+    * the shared engine behind SimHash text dedup and perceptual-hash
+    * image dedup ([[graft.ops.Multimodal.dedupPhashKeepers]] delegates
+    * here): exact-equal sketches collapse to their min-id REPRESENTATIVE
+    * first (one linear groupBy — the boilerplate/blank-content mass, and
+    * the reason the raw-row banding form dies at scale: k copies of one
+    * sketch put k rows in every band bucket → Θ(k²) candidates), then
+    * LSH banding over DISTINCT sketch values (`bands` equal slices of
+    * `bits`; ≥ 1 shared band w.h.p. at the radius — guaranteed for
+    * hamming < bands by pigeonhole) proposes representative pairs,
+    * `bit_count(xor)` verifies, and any row whose sketch is dominated by
+    * (or non-minimal within) its neighborhood drops. Rep collapse
+    * preserves pairwise keeper semantics exactly (spec-pinned against
+    * brute force). Exchanges carry (sketch64, id) pairs only.
+    */
+  def hammingKeepers(hashed: DataFrame, id: String, hash: String,
+                     bits: Int, bands: Int, maxHamming: Int): DataFrame = {
+    require(bands > 0 && bits % bands == 0 && bits <= 64,
+      s"bits=$bits must split evenly into bands=$bands (<= 64)")
+    val bb = bits / bands
+    val p = Caches.lease(hashed.select(col(id), col(hash)))
+    val reps = Caches.lease(p.groupBy(hash).agg(min(col(id)).as("__rep")))
+    val bandRows = reps.select(col("__rep"), col(hash),
+      explode(expr(s"sequence(0, ${bands - 1})")).as("__b"))
+      .withColumn("__v",
+        expr(s"($hash div shiftleft(cast(1 AS BIGINT), __b * $bb)) % ${1L << bb}"))
+    val a = bandRows.select(col("__rep").as("__aid"), col(hash).as("__ah"),
+      col("__b"), col("__v"))
+    val b = bandRows.select(col("__rep").as("__bid"), col(hash).as("__bh"),
+      col("__b"), col("__v"))
+    val dominated = a.join(b, Seq("__b", "__v"))
+      .where(col("__aid") < col("__bid") &&
+        expr(s"bit_count(__ah ^ __bh) <= $maxHamming"))
+      .select(col("__bh").as(hash)).distinct()
+    p.join(reps, Seq(hash))
+      .where(col(id) === col("__rep"))
+      .join(dominated, Seq(hash), "left_anti")
+      .select(col(id), col(hash))
+  }
+
+  /** DuckDB twin of [[hammingKeepers]]: `hashedSql` is a derived table
+    * emitting ($id, $hash).
+    */
+  def hammingKeepersSql(hashedSql: String, id: String, hash: String,
+                        bits: Int, bands: Int, maxHamming: Int): String = {
+    val bb = bits / bands
+    s"""WITH p AS (SELECT * FROM ($hashedSql)),
+       |reps AS (SELECT $hash, min($id) AS rep_id FROM p GROUP BY 1),
+       |bands AS (
+       |  SELECT rep_id, $hash, b, ($hash // (1::BIGINT << (b * $bb))) % ${1L << bb} AS v
+       |  FROM reps, (SELECT unnest(generate_series(0, ${bands - 1})) AS b)),
+       |dominated AS (
+       |  SELECT DISTINCT hi.$hash
+       |  FROM bands lo JOIN bands hi ON lo.b = hi.b AND lo.v = hi.v
+       |    AND lo.rep_id < hi.rep_id
+       |    AND bit_count(xor(lo.$hash, hi.$hash)) <= $maxHamming)
+       |SELECT p.$id, p.$hash
+       |FROM p JOIN reps USING ($hash)
+       |WHERE p.$id = reps.rep_id
+       |  AND p.$hash NOT IN (SELECT $hash FROM dominated)""".stripMargin
+  }
+
+  /** SimHash near-dup KEEPER — the acting twin of [[simhash]]: band the
+    * 30-bit sketches (3 × 10-bit bands) through [[hammingKeepers]] and
+    * keep the lowest id of every hamming ≤ `maxHamming` neighborhood.
+    * The text-side sibling of the image pipeline's
+    * [[graft.ops.Multimodal.dedupPhashKeepers]].
+    */
+  def simhashKeepers(df: DataFrame, id: String, text: String,
+                     bits: Int = 30, maxHamming: Int = 2): DataFrame =
+    hammingKeepers(simhash(df, id, text, bits), id, "simhash",
+      bits = bits, bands = 3, maxHamming = maxHamming)
+
+  /** DuckDB twin of [[simhashKeepers]]. */
+  def simhashKeepersSql(table: String, id: String, text: String,
+                        bits: Int = 30, maxHamming: Int = 2): String =
+    hammingKeepersSql(simhashSql(table, id, text, bits), id, "simhash",
+      bits = bits, bands = 3, maxHamming = maxHamming)
+
   /** All-pairs word-k-gram Jaccard above a threshold — the exact near-dup
     * ground truth (O(n²); the verifier/oracle path, not the scale path).
     * Shingle-hash arrays are computed ONCE per doc before the pair join,

@@ -900,42 +900,13 @@ object Multimodal {
     * distinct-hash clique is the same documented trade as
     * [[graft.ops.Dedup.minhashLshPairs]]).
     */
-  def dedupPhashKeepers(phashed: DataFrame, maxHamming: Int = 8): DataFrame = {
-    val p = Caches.lease(phashed.select(col("media_id"), col("phash")))
-    val reps = Caches.lease(
-      p.groupBy("phash").agg(min(col("media_id")).as("rep_id")))
-    val bands = reps.select(col("rep_id"), col("phash"),
-      explode(expr("sequence(0, 3)")).as("b"))
-      .withColumn("v", expr("(phash div shiftleft(cast(1 AS BIGINT), b * 16)) % 65536"))
-    val a = bands.select(col("rep_id").as("a_id"), col("phash").as("a_hash"),
-      col("b"), col("v"))
-    val bb = bands.select(col("rep_id").as("b_id"), col("phash").as("b_hash"),
-      col("b"), col("v"))
-    val dominated = a.join(bb, Seq("b", "v"))
-      .where(col("a_id") < col("b_id") &&
-        expr(s"bit_count(a_hash ^ b_hash) <= $maxHamming"))
-      .select(col("b_hash").as("phash")).distinct()
-    p.join(reps, Seq("phash"))
-      .where(col("media_id") === col("rep_id"))
-      .join(dominated, Seq("phash"), "left_anti")
-      .select(col("media_id"), col("phash"))
-  }
+  def dedupPhashKeepers(phashed: DataFrame, maxHamming: Int = 8): DataFrame =
+    Dedup.hammingKeepers(phashed, "media_id", "phash",
+      bits = 64, bands = 4, maxHamming = maxHamming)
 
   /** DuckDB twin of [[dedupPhashKeepers]] over the planted groups. */
   def dedupPhashKeepersSql(table: String, id: String,
                            maxHamming: Int = 8): String =
-    s"""WITH p AS (${perceptualHashSql(table, id)}),
-       |reps AS (SELECT phash, min(media_id) AS rep_id FROM p GROUP BY 1),
-       |bands AS (
-       |  SELECT rep_id, phash, b, (phash // (1::BIGINT << (b * 16))) % 65536 AS v
-       |  FROM reps, (SELECT unnest(generate_series(0, 3)) AS b)),
-       |dominated AS (
-       |  SELECT DISTINCT hi.phash
-       |  FROM bands lo JOIN bands hi ON lo.b = hi.b AND lo.v = hi.v
-       |    AND lo.rep_id < hi.rep_id
-       |    AND bit_count(xor(lo.phash, hi.phash)) <= $maxHamming)
-       |SELECT p.media_id, p.phash
-       |FROM p JOIN reps USING (phash)
-       |WHERE p.media_id = reps.rep_id
-       |  AND p.phash NOT IN (SELECT phash FROM dominated)""".stripMargin
+    Dedup.hammingKeepersSql(perceptualHashSql(table, id), "media_id", "phash",
+      bits = 64, bands = 4, maxHamming = maxHamming)
 }

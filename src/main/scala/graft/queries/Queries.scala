@@ -556,6 +556,16 @@ object Queries {
       (s, dir) => Dedup.simhash(t(s, dir, "documents"), "doc_id", "text"),
       Some(Dedup.simhashSql("documents", "doc_id", "text"))),
 
+    // SimHash near-dup KEEPER -- the acting twin of dedup_simhash and
+    // the text-side sibling of mm_dedup_phash, both running on the
+    // shared rep-collapse + distinct-hash-banding engine
+    // (Dedup.hammingKeepers): exact-equal sketches collapse linearly,
+    // 3x10-bit bands propose representative pairs, bit_count verifies
+    // hamming <= 2, lowest id survives
+    QueryDef("dedup_simhash_keeper",
+      (s, dir) => Dedup.simhashKeepers(t(s, dir, "documents"), "doc_id", "text"),
+      Some(Dedup.simhashKeepersSql("documents", "doc_id", "text"))),
+
     // exact all-pairs verifier on a deterministic 1-in-3 sample (the LSH
     // path covers the full corpus; all-pairs is O(n²) by construction).
     // 1-in-3 — not the earlier 1-in-10 — because a pair survives an id

@@ -79,6 +79,29 @@ class PhashBm25HllSpec extends SparkSpec {
     graft.ops.Caches.releaseAll()
   }
 
+  test("simhashKeepers: exact and near word-bags collapse to the lowest id; distinct docs survive") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (7L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 3
+      (9L, "the quick brown fox jumps over the lazy cat"),   // near dup (1 word)
+      (20L, "completely different content about spark sql engines entirely")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.simhashKeepers(docs, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept.contains(3L) && !kept.contains(7L),
+      s"exact dup collapses to the lowest id: $kept")
+    assert(kept.contains(20L), s"distinct doc survives: $kept")
+    // at maxHamming=2 with 3 bands, pigeonhole GUARANTEES a shared band,
+    // so the banded keeper must equal brute force over the sketches
+    val hs = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val brute = hs.keys.toSeq.filter(i => !hs.keys.exists(j =>
+      j < i && java.lang.Long.bitCount(hs(i) ^ hs(j)) <= 2)).sorted
+    assert(kept === brute, s"banded = brute force at radius < bands: $kept vs $brute")
+    graft.ops.Caches.releaseAll()
+  }
+
   // ---------------- BM25 ----------------
 
   test("bm25TopK: rare-term density beats common-term padding; ordering sane") {
