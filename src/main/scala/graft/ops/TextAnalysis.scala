@@ -952,6 +952,34 @@ object TextAnalysis {
        |FROM $table
        |GROUP BY 1, 2""".stripMargin
 
+  /** Sentence segmentation — boundary-aware chunk units for RAG /
+    * curation (fixed token windows cut mid-sentence; retrieval quality
+    * wants sentence-aligned chunks): split after terminal punctuation
+    * ([.!?]) followed by whitespace, keeping the punctuation with its
+    * sentence. The rule is deliberately REGEX-SIMPLE (no abbreviation
+    * dictionary — that's model territory) and runs as a marker-insert +
+    * split so both engines apply the identical regex semantics
+    * (whitespace spelled [ \t\n\r] explicitly: Java's \s and RE2's \s
+    * disagree on \x0B). Zero shuffle: one projection + posexplode.
+    */
+  def sentences(df: DataFrame, id: String, text: String): DataFrame = {
+    val marked = s"regexp_replace($text, '([.!?])[ \\t\\n\\r]+', '$$1\\u0001')"
+    df.select(col(id), posexplode(expr(
+        s"filter(transform(split($marked, '\\u0001'), s -> trim(s)), s -> s <> '')")))
+      .select(col(id), col("pos").cast("int").as("sent_idx"),
+        col("col").as("sentence"))
+  }
+
+  /** DuckDB twin of [[sentences]]. */
+  def sentencesSql(table: String, id: String, text: String): String =
+    s"""WITH s AS (
+       |  SELECT $id, list_filter(list_transform(
+       |    string_split(regexp_replace($text, '([.!?])[ \\t\\n\\r]+', '\\1' || chr(1), 'g'), chr(1)),
+       |    x -> trim(x)), x -> x <> '') AS sents
+       |  FROM $table)
+       |SELECT $id, (u.i - 1)::INT AS sent_idx, sents[u.i] AS sentence
+       |FROM s, UNNEST(generate_series(1, len(sents))) AS u(i)""".stripMargin
+
   /** Canonical text normalization — the pass every pipeline runs BEFORE
     * dedup/matching so that case, spacing, and Unicode-encoding variants
     * of the same content collapse to one form: NFC (decomposed é = e +

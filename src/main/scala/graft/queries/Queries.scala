@@ -1458,6 +1458,20 @@ object Queries {
       Some(TextAnalysis.corpusProfileSql("documents",
         "lang", "source", "text", "n_chars"))),
 
+    // Sentence segmentation: boundary-aware chunk units (terminal
+    // punctuation + whitespace, punctuation kept with its sentence) --
+    // the corpus text is punctuation-free word soup, so the fixture
+    // plants a multi-sentence tail exercising ., !, ?, and runs of
+    // spaces; zero shuffle, one projection + posexplode
+    QueryDef("text_sentences",
+      (s, dir) => TextAnalysis.sentences(
+        t(s, dir, "documents").withColumn("text",
+          concat(col("text"), lit(". Planted tail!  Second one? Third."))),
+        "doc_id", "text"),
+      Some(TextAnalysis.sentencesSql(
+        "(SELECT doc_id, text || '. Planted tail!  Second one? Third.' AS text FROM documents)",
+        "doc_id", "text"))),
+
     // Canonical normalization (NFC + ascii-lower + whitespace collapse):
     // the planted suffix carries a DECOMPOSED e+U+0301 (must compose),
     // an uppercase run, a tab, and double spaces — any engine that

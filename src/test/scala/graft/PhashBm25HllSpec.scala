@@ -192,6 +192,20 @@ class PhashBm25HllSpec extends SparkSpec {
       s"only ASCII A-Z lowers (S does, É and ß do not); got $up")
   }
 
+  test("sentences: terminal punctuation splits, punctuation stays, no empty sentences") {
+    val docs = Seq(
+      (1L, "One. Two!  Three? Four"),          // trailing unterminated sentence kept
+      (2L, "No terminal punctuation at all"),
+      (3L, "Dots... everywhere! Done.")        // run of dots = one boundary
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.sentences(docs, "doc_id", "text")
+      .as[(Long, Int, String)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    assert(got(1L) === Seq("One.", "Two!", "Three?", "Four"))
+    assert(got(2L) === Seq("No terminal punctuation at all"))
+    assert(got(3L) === Seq("Dots...", "everywhere!", "Done."))
+  }
+
   // ---------------- HyperLogLog ----------------
 
   test("hllRegisters: 64 rows, deterministic, merge = sketch of union") {
