@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -156,6 +156,56 @@ object CorpusIO {
       df.repartitionByRange(nAfter, col(c)))
     out.write.mode("overwrite").parquet(outPath)
     (nBefore, nAfter)
+  }
+
+  /** Z-order (Morton) curve value over two integer expressions: each
+    * input is scaled into a 16-bit bucket over its [min, max] range and
+    * the bucket bits are interleaved (x even bits, y odd), so points
+    * close in BOTH dimensions land close on the 1-D curve. Pure integer
+    * arithmetic built from shift/mask terms on disjoint bits — codegen
+    * keeps it in the scan projection.
+    */
+  def zorderValue(xCol: String, yCol: String,
+                  xMin: Long, xMax: Long, yMin: Long, yMax: Long): Column = {
+    def bucket(c: String, lo: Long, hi: Long): String =
+      s"((cast($c AS BIGINT) - ${lo}L) * 65535L div ${math.max(1L, hi - lo)}L)"
+    val (bx, by) = (bucket(xCol, xMin, xMax), bucket(yCol, yMin, yMax))
+    val terms = (0 until 16).flatMap { i =>
+      Seq(s"shiftleft(shiftright($bx, $i) & 1, ${2 * i})",
+        s"shiftleft(shiftright($by, $i) & 1, ${2 * i + 1})")
+    }
+    expr(terms.mkString("(", " + ", ")"))   // disjoint bits: + = |
+  }
+
+  /** Multi-dimensional clustering rewrite (Delta/Iceberg `OPTIMIZE
+    * ZORDER BY` shape): lay the table out along the Morton curve of TWO
+    * columns so range predicates on EITHER dimension touch a small
+    * fraction of files — single-column range layout ([[compact]] with
+    * `sortCol`) prunes only its own column; z-order buys both at a
+    * modest cost to each. The mechanism is per-file min/max zone maps:
+    * curve-adjacent rows share files, so each file covers a small tile
+    * of (x, y) space and a predicate on either coordinate eliminates
+    * every file whose tile misses it (LayoutSpec pins both-dimension
+    * pruning; at 100 TB this is the difference between scanning ~√F of
+    * F files and scanning all of them for the off-sort dimension).
+    *
+    * The min/max scan is one 1-row agg collect (metadata-sized, the
+    * documented exception); the rewrite is one `repartitionByRange` on
+    * the z value + in-partition sort — the same shuffle budget as a
+    * single-column clustering pass.
+    */
+  def zorderWrite(spark: SparkSession, df: DataFrame, outPath: String,
+                  xCol: String, yCol: String, nFiles: Int): Unit = {
+    val r = df.agg(
+      min(expr(xCol).cast("long")), max(expr(xCol).cast("long")),
+      min(expr(yCol).cast("long")), max(expr(yCol).cast("long"))).head()
+    val z = zorderValue(xCol, yCol, r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(outPath)
   }
 
   /** Content checksum at the `groupCol` grain: doc count, exact char

@@ -430,6 +430,58 @@ object Stats {
     }.min
   }
 
+  /** Heavy hitters with sketch accuracy in-row: exact top-`k` values by
+    * frequency (TakeOrdered over the keyed count agg — never a global
+    * sort) joined with their CMS point estimates, emitting
+    * `(value, true_freq, est_freq, overcount)` — the frequency-sketch
+    * family's accuracy gate, the analog of the ANN families' recall@k
+    * queries. CMS guarantees `est_freq ≥ true_freq` with
+    * `overcount ≤ N·e/w` at probability `1 − e^−d`; a row violating the
+    * lower bound means a broken sketch, and the overcount column makes
+    * the ε-band auditable per value.
+    *
+    * Scale shape: the exact side is one keyed partial-agg exchange +
+    * TakeOrdered(k); the sketch side is [[cmsCounters]]'s d·w-row
+    * counter table; the probe joins only the k winners against the
+    * broadcast counters. At 100 TB the exact side is the one linear
+    * scan you are already paying for the count — the sketch's value is
+    * that TOMORROW's batches probe yesterday's d·w integers with no
+    * rescan ([[cmsProbe]]), and this query is the standing proof the
+    * estimates stay inside their band.
+    */
+  def heavyHitters(df: DataFrame, valueExpr: String, k: Int): DataFrame = {
+    val exact = df.select(expr(valueExpr).as("value"))
+      .groupBy(col("value")).agg(count(lit(1)).as("true_freq"))
+      .orderBy(col("true_freq").desc, col("value").asc).limit(k)
+    cmsProbe(cmsCounters(df, valueExpr), exact, "value")
+      .join(broadcast(exact), Seq("value"))
+      .select(col("value"), col("true_freq"), col("est_freq"),
+        (col("est_freq") - col("true_freq")).as("overcount"))
+  }
+
+  /** DuckDB twin of [[heavyHitters]]. */
+  def heavyHittersSql(table: String, valueExpr: String, k: Int): String = {
+    val (d, w, p) = (CmsD, CmsW, PortableHash.P)
+    s"""WITH counters AS (${cmsCountersSql(table, valueExpr)}),
+       |exact AS (
+       |  SELECT $valueExpr AS value, count(*)::BIGINT AS true_freq
+       |  FROM $table GROUP BY 1
+       |  ORDER BY true_freq DESC, value ASC LIMIT $k),
+       |probes AS (
+       |  SELECT value, i::BIGINT AS row,
+       |    (((37 + 61 * i) * h + (101 + 97 * i)) % $p) % $w AS col
+       |  FROM (SELECT value, ${PortableHash.duckStringHash("value")} AS h
+       |        FROM exact),
+       |       (SELECT unnest(generate_series(0, ${d - 1})) AS i)),
+       |est AS (
+       |  SELECT p.value, min(c.n)::BIGINT AS est_freq
+       |  FROM probes p JOIN counters c USING (row, col)
+       |  GROUP BY 1)
+       |SELECT e.value, e.true_freq, est.est_freq,
+       |  (est.est_freq - e.true_freq)::BIGINT AS overcount
+       |FROM exact e JOIN est USING (value)""".stripMargin
+  }
+
   /** Log-bucketed quantile sketch — the mergeable QUANTILE rung of the
     * sketch family (HLL = distinct, CMS = frequency): values land in
     * power-of-two magnitude buckets (HDR-histogram shape), so the sketch

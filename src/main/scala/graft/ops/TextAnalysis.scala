@@ -952,6 +952,67 @@ object TextAnalysis {
        |FROM $table
        |GROUP BY 1, 2""".stripMargin
 
+  /** Per-document top-`k` TF-IDF keyword extraction — the tagging /
+    * topic-slicing primitive next to [[bm25TopK]]'s retrieval leg: BM25
+    * answers "which docs match these terms", this answers "which terms
+    * characterize each doc" (what a curation pipeline materializes as a
+    * keyword column for faceted slicing and mixture reports).
+    *
+    * Exact-integer discipline ([[unigramScore]]): no `ln` — the rank
+    * order of `tf · log(N/df)` is preserved by the rational surrogate
+    * `score_milli = tf · ⌊10⁶·N / df⌋` per doc... except where log's
+    * compression would reorder tf-vs-rarity trades; the surrogate IS
+    * the contract here (documented, deterministic cross-engine), and it
+    * keeps the hash gate exact where a float log would drift.
+    *
+    * Scale shape: ONE corpus scan explodes to (doc, term) and
+    * partial-aggs to tf rows; the leased tf frame derives document
+    * frequency with a second keyed agg (no rescan); N is a broadcast
+    * 1-row agg. The term-keyed join and the per-doc top-k window are
+    * both KEYED exchanges (term, then doc) — nothing global, nothing
+    * driver-side; df is corpus-vocabulary-sized so it is joined, never
+    * broadcast.
+    */
+  def tfidfKeywords(docs: DataFrame, id: String, text: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = s"filter(split($text, ' '), w -> w <> '')"
+    val terms = Caches.lease(
+      graft.functions.VectorFunctions.attach(docs)
+        .select(col(id), explode(expr(tok)).as("w"))
+        .groupBy(col(id), col("w")).agg(count(lit(1)).as("tf")))
+    val dfreq = terms.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val win = Window.partitionBy(col(id))
+      .orderBy(col("score_milli").desc, col("w").asc)
+    terms.join(dfreq, Seq("w"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_milli", expr("tf * ((1000000 * n_docs) div df)"))
+      .withColumn("rank", row_number().over(win))
+      .where(col("rank") <= k)
+      .select(col(id), col("w").as("keyword"), col("tf"),
+        col("score_milli"), col("rank"))
+  }
+
+  /** DuckDB twin of [[tfidfKeywords]]. */
+  def tfidfKeywordsSql(table: String, id: String, text: String,
+                       k: Int = 3): String =
+    s"""WITH terms AS (
+       |  SELECT $id, w, count(*)::BIGINT AS tf
+       |  FROM (SELECT $id,
+       |          unnest(list_filter(string_split($text, ' '), w -> w <> '')) AS w
+       |        FROM $table)
+       |  GROUP BY 1, 2),
+       |dfreq AS (SELECT w, count(*)::BIGINT AS df FROM terms GROUP BY 1),
+       |meta AS (SELECT count(*)::BIGINT AS n_docs FROM $table)
+       |SELECT $id, w AS keyword, tf, score_milli, rank FROM (
+       |  SELECT t.$id, t.w, t.tf,
+       |    t.tf * ((1000000 * m.n_docs) // d.df) AS score_milli,
+       |    (row_number() OVER (PARTITION BY t.$id
+       |       ORDER BY t.tf * ((1000000 * m.n_docs) // d.df) DESC, t.w ASC))::INT AS rank
+       |  FROM terms t JOIN dfreq d USING (w) CROSS JOIN meta m)
+       |WHERE rank <= $k""".stripMargin
+
   /** Sentence segmentation — boundary-aware chunk units for RAG /
     * curation (fixed token windows cut mid-sentence; retrieval quality
     * wants sentence-aligned chunks): split after terminal punctuation

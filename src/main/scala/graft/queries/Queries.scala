@@ -1448,6 +1448,17 @@ object Queries {
       Some(TextAnalysis.bm25TopKSql("documents",
         "doc_id", "text", terms = Seq("dup", "vector", "spark"), k = 25))),
 
+    // Per-doc top-3 TF-IDF keywords: the tagging primitive next to
+    // BM25's retrieval leg (which docs match -> which terms
+    // characterize). Exact-integer surrogate score tf * (1e6*N div df)
+    // -- no libm log in the hash gate; one scan to leased tf rows, df
+    // by second keyed agg, term-keyed join + per-doc window (all keyed
+    // exchanges, df joined never broadcast)
+    QueryDef("text_tfidf_keywords",
+      (s, dir) => TextAnalysis.tfidfKeywords(t(s, dir, "documents"),
+        "doc_id", "text", k = 3),
+      Some(TextAnalysis.tfidfKeywordsSql("documents", "doc_id", "text", k = 3))),
+
     // One-pass corpus profile per (lang, source): doc counts, exact-dup
     // counts (distinct digests), compiled-kernel token totals, chars,
     // integer mean tokens -- the report that sizes every downstream
@@ -2071,6 +2082,24 @@ object Queries {
       Some(graft.ops.Stats.cmsProbeSql("events",
         "(SELECT * FROM events WHERE user_id < 50)", "event_type"))),
 
+    // heavy hitters with the sketch's accuracy in-row: exact top-10 by
+    // count (TakeOrdered) + CMS estimate + overcount — the frequency
+    // sketch's recall-gate analog. The testdata's own columns are
+    // near-uniform (event_type has ~5 values; user_id is flat), so the
+    // fixture derives a SKEWED key the way pipeline_temperature does:
+    // floor(sqrt(user_id % 10000)) puts ~2v+1 source ids under key v,
+    // giving real heavy tails for the top-k to find (sqrt is an IEEE
+    // basic op — correctly rounded in both engines, so the derived key
+    // is bit-deterministic)
+    QueryDef("stats_heavy_hitters",
+      (s, dir) => graft.ops.Stats.heavyHitters(
+        t(s, dir, "events").withColumn("hh",
+          expr("concat('k', cast(cast(floor(sqrt(cast(user_id % 10000 AS DOUBLE))) AS BIGINT) AS STRING))")),
+        "hh", k = 10),
+      Some(graft.ops.Stats.heavyHittersSql(
+        "(SELECT *, 'k' || (floor(sqrt((user_id % 10000)::DOUBLE))::BIGINT)::VARCHAR AS hh FROM events)",
+        "hh", k = 10))),
+
     // log-bucketed quantile sketch: the mergeable QUANTILE rung (HLL =
     // distinct, CMS = frequency) — power-of-two magnitude buckets over
     // DECIMAL-exact fixed-point, one partial agg, merge = per-bucket
@@ -2163,6 +2192,22 @@ object Queries {
         graft.ops.CorpusIO.checksum(s.read.parquet(out), "source", "doc_id", "text")
       },
       Some(graft.ops.CorpusIO.checksumSql("documents", "source", "doc_id", "text"))),
+
+    // multi-dimensional clustering rewrite (OPTIMIZE ZORDER shape):
+    // events laid out along the Morton curve of (user_id, event_id) so
+    // range predicates on EITHER column touch few files — the oracle
+    // checksums the ORIGINAL table (a row lost or reordered into
+    // corruption by the rewrite fails the hash); LayoutSpec pins the
+    // both-dimension pruning the curve exists for
+    QueryDef("io_zorder",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_io_zorder_${math.abs(dir.hashCode)}"
+        graft.ops.CorpusIO.zorderWrite(s, ev, out, "user_id", "event_id", nFiles = 16)
+        graft.ops.CorpusIO.checksum(s.read.parquet(out),
+          "event_type", "event_id", "props")
+      },
+      Some(graft.ops.CorpusIO.checksumSql("events", "event_type", "event_id", "props"))),
 
     // the bucketed at-rest layout under the hard signal: both sides
     // written bucketBy(custkey), then the recurring join + key-grained

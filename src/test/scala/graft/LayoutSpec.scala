@@ -94,6 +94,33 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout: range predicates on EITHER dimension touch a small file fraction; content exact") {
+    val out = Files.createTempDirectory("graft_zorder").toString
+    // 64x64 independent grid: x and y carry no joint structure, so a
+    // single-column sort could only ever prune its own column
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y =>
+      (x.toLong, y.toLong, x * 64L + y, s"cell $x $y")))
+      .toDF("x", "y", "id", "payload")
+    val before = CorpusIO.checksum(grid.withColumn("g", lit("all")),
+      "g", "id", "payload").collect().toSeq
+    CorpusIO.zorderWrite(spark, grid, out, "x", "y", nFiles = 16)
+    val back = spark.read.parquet(out)
+    val after = CorpusIO.checksum(back.withColumn("g", lit("all")),
+      "g", "id", "payload").collect().toSeq
+    assert(after == before, "content checksum must survive the rewrite")
+    val total = back.select(input_file_name()).distinct().count()
+    assert(total >= 8, s"fixture must actually fragment, got $total files")
+    def filesTouched(pred: String): Long =
+      back.where(pred).select(input_file_name()).distinct().count()
+    // a 1/8-wide band on each dimension: z-order confines either band
+    // to a minority of files (x-sorted layout would leave the y band
+    // smeared over every file)
+    val fx = filesTouched("x >= 24 AND x < 32")
+    val fy = filesTouched("y >= 24 AND y < 32")
+    assert(fx <= total / 2, s"x band must prune: $fx of $total files")
+    assert(fy <= total / 2, s"y band must prune: $fy of $total files")
+  }
+
   private def withConf[A](pairs: (String, String)*)(body: => A): A = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -307,6 +307,23 @@ class PhashBm25HllSpec extends SparkSpec {
       s"counters must broadcast — the batch never shuffles the corpus:\n$plan")
   }
 
+  test("heavyHitters: exact top-k found, estimates bound them from above within the CMS band") {
+    // zipf-ish: value v_i appears ~ 600/i times
+    val rows = (1 to 30).flatMap(i => Seq.fill(600 / i)(s"v$i"))
+    val df = rows.toDF("v")
+    val got = Stats.heavyHitters(df, "v", k = 5)
+      .as[(String, Long, Long, Long)].collect().sortBy(-_._2).toSeq
+    assert(got.map(_._1) === Seq("v1", "v2", "v3", "v4", "v5"),
+      s"exact top-5 of the planted zipf: $got")
+    assert(got.map(_._2) === Seq(600L, 300L, 200L, 150L, 120L))
+    got.foreach { case (v, t, e, over) =>
+      assert(e >= t, s"CMS never undercounts: $v")
+      assert(over === e - t)
+      assert(over <= rows.size.toLong * 3 / Stats.CmsW * 3 + rows.size / 50,
+        s"overcount within the e*N/w band with slack: $v over=$over")
+    }
+  }
+
   test("normalize plan: one projection over the scan, zero exchange") {
     val docs = Seq((1L, "Some TEXT")).toDF("doc_id", "text")
     val plan = TextAnalysis.normalize(docs, "doc_id", "text")
