@@ -502,52 +502,69 @@ object Dedup {
     * (or non-minimal within) its neighborhood drops. Rep collapse
     * preserves pairwise keeper semantics exactly (spec-pinned against
     * brute force). Exchanges carry (sketch64, id) pairs only.
+    *
+    * `groupCols` scopes the whole neighborhood structure: rows are
+    * candidates ONLY within equal group values (e.g. audio fingerprints
+    * of different frame counts live in disjoint bit spaces — comparing
+    * them bitwise would be meaningless), threaded through rep collapse,
+    * banding, and the verify join alike.
     */
   def hammingKeepers(hashed: DataFrame, id: String, hash: String,
-                     bits: Int, bands: Int, maxHamming: Int): DataFrame = {
+                     bits: Int, bands: Int, maxHamming: Int,
+                     groupCols: Seq[String] = Nil): DataFrame = {
     require(bands > 0 && bits % bands == 0 && bits <= 64,
       s"bits=$bits must split evenly into bands=$bands (<= 64)")
     val bb = bits / bands
-    val p = Caches.lease(hashed.select(col(id), col(hash)))
-    val reps = Caches.lease(p.groupBy(hash).agg(min(col(id)).as("__rep")))
-    val bandRows = reps.select(col("__rep"), col(hash),
-      explode(expr(s"sequence(0, ${bands - 1})")).as("__b"))
+    val gc = groupCols.map(col)
+    val keyCols = groupCols :+ hash
+    val p = Caches.lease(hashed.select((col(id) +: gc :+ col(hash)): _*))
+    val reps = Caches.lease(
+      p.groupBy(keyCols.map(col): _*).agg(min(col(id)).as("__rep")))
+    val bandRows = reps.select((col("__rep") +: gc :+ col(hash) :+
+        explode(expr(s"sequence(0, ${bands - 1})")).as("__b")): _*)
       .withColumn("__v",
         expr(s"($hash div shiftleft(cast(1 AS BIGINT), __b * $bb)) % ${1L << bb}"))
-    val a = bandRows.select(col("__rep").as("__aid"), col(hash).as("__ah"),
-      col("__b"), col("__v"))
-    val b = bandRows.select(col("__rep").as("__bid"), col(hash).as("__bh"),
-      col("__b"), col("__v"))
-    val dominated = a.join(b, Seq("__b", "__v"))
+    val a = bandRows.select((col("__rep").as("__aid") +:
+      col(hash).as("__ah") +: col("__b") +: col("__v") +: gc): _*)
+    val b = bandRows.select((col("__rep").as("__bid") +:
+      col(hash).as("__bh") +: col("__b") +: col("__v") +: gc): _*)
+    val dominated = a.join(b, Seq("__b", "__v") ++ groupCols)
       .where(col("__aid") < col("__bid") &&
         expr(s"bit_count(__ah ^ __bh) <= $maxHamming"))
-      .select(col("__bh").as(hash)).distinct()
-    p.join(reps, Seq(hash))
+      .select((col("__bh").as(hash) +: gc): _*).distinct()
+    p.join(reps, keyCols)
       .where(col(id) === col("__rep"))
-      .join(dominated, Seq(hash), "left_anti")
-      .select(col(id), col(hash))
+      .join(dominated, keyCols, "left_anti")
+      .select((col(id) +: gc :+ col(hash)): _*)
   }
 
   /** DuckDB twin of [[hammingKeepers]]: `hashedSql` is a derived table
     * emitting ($id, $hash).
     */
   def hammingKeepersSql(hashedSql: String, id: String, hash: String,
-                        bits: Int, bands: Int, maxHamming: Int): String = {
+                        bits: Int, bands: Int, maxHamming: Int,
+                        groupCols: Seq[String] = Nil): String = {
     val bb = bits / bands
+    val gsel = groupCols.map(g => s"$g, ").mkString
+    val gkey = groupCols.map(g => s"$g, ").mkString
+    val gjoin = groupCols.map(g => s" AND lo.$g = hi.$g").mkString
+    val gusing = (groupCols :+ hash).mkString(", ")
+    val gdom = groupCols.map(g => s"hi.$g, ").mkString
     s"""WITH p AS (SELECT * FROM ($hashedSql)),
-       |reps AS (SELECT $hash, min($id) AS rep_id FROM p GROUP BY 1),
+       |reps AS (SELECT $gkey$hash, min($id) AS rep_id FROM p GROUP BY ${(1 to groupCols.size + 1).mkString(", ")}),
        |bands AS (
-       |  SELECT rep_id, $hash, b, ($hash // (1::BIGINT << (b * $bb))) % ${1L << bb} AS v
+       |  SELECT rep_id, $gsel$hash, b, ($hash // (1::BIGINT << (b * $bb))) % ${1L << bb} AS v
        |  FROM reps, (SELECT unnest(generate_series(0, ${bands - 1})) AS b)),
        |dominated AS (
-       |  SELECT DISTINCT hi.$hash
-       |  FROM bands lo JOIN bands hi ON lo.b = hi.b AND lo.v = hi.v
+       |  SELECT DISTINCT $gdom hi.$hash
+       |  FROM bands lo JOIN bands hi ON lo.b = hi.b AND lo.v = hi.v$gjoin
        |    AND lo.rep_id < hi.rep_id
        |    AND bit_count(xor(lo.$hash, hi.$hash)) <= $maxHamming)
-       |SELECT p.$id, p.$hash
-       |FROM p JOIN reps USING ($hash)
+       |SELECT p.$id, $gsel p.$hash
+       |FROM p JOIN reps USING ($gusing)
        |WHERE p.$id = reps.rep_id
-       |  AND p.$hash NOT IN (SELECT $hash FROM dominated)""".stripMargin
+       |  AND NOT EXISTS (SELECT 1 FROM dominated d
+       |    WHERE d.$hash = p.$hash${groupCols.map(g => s" AND d.$g = p.$g").mkString})""".stripMargin
   }
 
   /** SimHash near-dup KEEPER — the acting twin of [[simhash]]: band the

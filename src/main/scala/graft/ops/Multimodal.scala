@@ -408,24 +408,90 @@ object Multimodal {
     def sampleValue(id: Long, t: Int): Int =
       (((id * 31 + t * 7) % 65536) - 32768).toInt
 
-    /** Render the planted samples for `id` as real WAV bytes (canonical
+    /** Encode 16-bit signed mono samples as real WAV bytes (canonical
       * 44-byte RIFF header + little-endian PCM frames).
       */
-    def renderWav(id: Long): Array[Byte] = {
-      val n = plantedN(id)
-      val pcm = new Array[Byte](n * 2)
+    def encodeWav(samples: Array[Int]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
       var t = 0
-      while (t < n) {
-        val s = sampleValue(id, t)
-        pcm(2 * t) = (s & 0xff).toByte          // little-endian
-        pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      while (t < samples.length) {
+        pcm(2 * t) = (samples(t) & 0xff).toByte // little-endian
+        pcm(2 * t + 1) = ((samples(t) >> 8) & 0xff).toByte
         t += 1
       }
       val fmt = new AudioFormat(SampleRate.toFloat, 16, 1, true, false)
-      val in = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+      val in = new AudioInputStream(new ByteArrayInputStream(pcm), fmt,
+        samples.length.toLong)
       val bos = new ByteArrayOutputStream()
       AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
+    }
+
+    /** Render the planted samples for `id` as real WAV bytes. */
+    def renderWav(id: Long): Array[Byte] =
+      encodeWav(Array.tabulate(plantedN(id))(t => sampleValue(id, t)))
+
+    /** GROUPED planted audio — the WAV analog of
+      * [[ImageCodec.renderGroupPng]]'s near-dup image groups: four
+      * consecutive ids share one base waveform, each member ATTENUATED
+      * by gain (16 − m)/16 in truncating integer arithmetic (the
+      * re-encoded-at-lower-volume copy shape). Attenuation scales every
+      * frame's energy by (almost exactly) the same factor, so the
+      * energy-delta fingerprint below is invariant across members while
+      * distinct groups stay apart.
+      *
+      * Group clips are LONGER than the ungrouped fixture's (256–504
+      * samples vs 50–99): the fingerprint carries n/8 − 1 comparison
+      * bits, and a 5–11-bit sketch space collapses DISTINCT content
+      * under a hamming-1 radius (probed: 125 planted groups → 7
+      * survivors). 31–62 bits puts random collisions at ~nf²·ham/2^bits
+      * — negligible, which is also why real acoustic fingerprints are
+      * hundreds of bits.
+      */
+    def groupN(g: Long): Int = (256 + (g % 32) * 8).toInt
+
+    def groupSample(id: Long, t: Int): Int = {
+      val g = id / 4
+      val m = (id % 4).toInt
+      // the g·t CROSS term is load-bearing: without it, same-length
+      // groups are one sawtooth at shifted phase — near-identical energy
+      // envelopes, and the fingerprint merges DISTINCT groups (probed:
+      // one survivor per length class). The cross term gives each group
+      // its own frequency, decorrelating envelopes.
+      val base =
+        (((g * 2654435761L + t * 2246822519L + g * t * 31L) % 65536) - 32768).toInt
+      base * (16 - m) / 16 // truncating division — matches DuckDB `//`
+    }
+
+    def renderGroupWav(id: Long): Array[Byte] =
+      encodeWav(Array.tabulate(groupN(id / 4))(t => groupSample(id, t)))
+
+    /** Acoustic fingerprint over decoded samples (the chromaprint
+      * family's core move, reduced to its deterministic skeleton): cut
+      * into `frame`-sample windows (remainder dropped), integer energy
+      * per window, bit i = [energy(i+1) > energy(i)] — the SIGN of the
+      * energy envelope's change, which gain scaling preserves and
+      * different content almost surely flips. Returns
+      * (n_frames, fingerprint); fingerprints of different n_frames live
+      * in disjoint bit spaces and must never be compared bitwise.
+      */
+    def fingerprint(samples: Array[Int], frame: Int = 8): (Int, Long) = {
+      val nf = samples.length / frame
+      val e = Array.tabulate(nf) { i =>
+        var s = 0L
+        var t = i * frame
+        while (t < (i + 1) * frame) {
+          s += samples(t).toLong * samples(t); t += 1
+        }
+        s
+      }
+      var fp = 0L
+      var i = 0
+      while (i < nf - 1) {
+        if (e(i + 1) > e(i)) fp |= 1L << i
+        i += 1
+      }
+      (nf, fp)
     }
 
     /** Decode WAV bytes back to (sampleRate, samples) via the real
@@ -909,4 +975,90 @@ object Multimodal {
                            maxHamming: Int = 8): String =
     Dedup.hammingKeepersSql(perceptualHashSql(table, id), "media_id", "phash",
       bits = 64, bands = 4, maxHamming = maxHamming)
+
+  /** Plant GROUPED real WAV payloads (four consecutive ids share one
+    * base waveform at stepped attenuation) — the audio analog of
+    * [[attachGroupedPngPayload]].
+    */
+  def attachGroupedWavPayload(df: DataFrame, id: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long")).as[Long].mapPartitions { it =>
+      it.map(i => (i, "audio", AudioCodec.renderGroupWav(i), s"mem://$i"))
+    }.toDF("media_id", "kind", "payload", "uri")
+  }
+
+  final case class AudioFp(media_id: Long, n_frames: Int, afp: Long)
+
+  /** REAL-decode acoustic fingerprinting: javax.sound parses each WAV,
+    * [[AudioCodec.fingerprint]] sketches the sign of its frame-energy
+    * envelope — the audio-side analog of [[perceptualHash]]: a compact
+    * per-item sketch that near-duplicate detection then bands. One
+    * scan, zero shuffle, iterator-to-iterator mapPartitions.
+    */
+  def audioFingerprint(df: DataFrame): Dataset[AudioFp] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (_, samples) = AudioCodec.decode(payload)
+          val (nf, fp) = AudioCodec.fingerprint(samples)
+          AudioFp(id, nf, fp)
+        }
+      }
+  }
+
+  /** Twin of [[audioFingerprint]] over [[attachGroupedWavPayload]]'s
+    * planted groups: the oracle never parses a WAV — it replays the
+    * attenuated planted-sample formula, the 8-sample frame energies,
+    * and the same comparison bits.
+    */
+  def audioFingerprintSql(table: String, id: String): String =
+    s"""WITH g AS (
+       |  SELECT $id AS media_id, $id // 4 AS grp, $id % 4 AS m,
+       |    (256 + (($id // 4) % 32) * 8)::BIGINT AS n
+       |  FROM $table),
+       |smp AS (
+       |  SELECT media_id, (n // 8)::INT AS n_frames, grp, m,
+       |    unnest(generate_series(0, (n // 8) * 8 - 1)) AS t
+       |  FROM g),
+       |fr AS (
+       |  SELECT media_id, n_frames, t // 8 AS f, sum(s * s) AS e
+       |  FROM (SELECT media_id, n_frames, t,
+       |          ((((grp * 2654435761 + t * 2246822519 + grp * t * 31) % 65536)
+       |            - 32768) * (16 - m)) // 16 AS s
+       |        FROM smp)
+       |  GROUP BY 1, 2, 3),
+       |bits AS (
+       |  SELECT media_id, n_frames, f, e,
+       |    lead(e) OVER (PARTITION BY media_id ORDER BY f) AS e_next
+       |  FROM fr)
+       |SELECT media_id, n_frames,
+       |  CAST(coalesce(sum(CASE WHEN e_next > e THEN (1::BIGINT << f)
+       |                         ELSE 0 END), 0) AS BIGINT) AS afp
+       |FROM bits GROUP BY 1, 2""".stripMargin
+
+  /** Near-duplicate audio dedup over the energy-envelope fingerprint:
+    * the shared ≤ 64-bit hamming keeper engine
+    * ([[graft.ops.Dedup.hammingKeepers]]) with `n_frames` as the GROUP
+    * key — fingerprints of different frame counts occupy disjoint bit
+    * spaces (bit i exists only below n_frames − 1), so cross-length
+    * comparisons are structurally excluded rather than probabilistically
+    * unlikely. Within a length class: exact-equal collapse to min-id
+    * reps, 3 × 21-bit band LSH over distinct sketches, `bit_count(xor)`
+    * verify at hamming ≤ `maxHamming`.
+    */
+  def dedupAudioKeepers(fps: DataFrame, maxHamming: Int = 1): DataFrame =
+    Dedup.hammingKeepers(fps, "media_id", "afp",
+      bits = 63, bands = 3, maxHamming = maxHamming,
+      groupCols = Seq("n_frames"))
+
+  /** DuckDB twin of [[dedupAudioKeepers]] over the planted groups. */
+  def dedupAudioKeepersSql(table: String, id: String,
+                           maxHamming: Int = 1): String =
+    Dedup.hammingKeepersSql(audioFingerprintSql(table, id), "media_id", "afp",
+      bits = 63, bands = 3, maxHamming = maxHamming,
+      groupCols = Seq("n_frames"))
 }

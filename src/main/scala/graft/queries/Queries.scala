@@ -95,13 +95,21 @@ object Queries {
     */
   private def mediaPayloads(s: SparkSession, dir: String, kind: String): DataFrame = {
     val path = idxPath(s"media_$kind", dir)
+    // per-kind codec version: bump when a kind's PLANTED FORMULA changes
+    // so stale first-touch payloads rebuild (wav_group: clip length grew
+    // 50-99 -> 256-504 samples for fingerprint-width reasons)
+    val ver = kind match {
+      case "wav_group" => "v3"
+      case _           => "v1"
+    }
     graft.ops.PqIndex.ensure(s, path,
-      idxSig(s, dir, s"media,$kind,v1", table = "documents")) {
+      idxSig(s, dir, s"media,$kind,$ver", table = "documents")) {
       val docs = t(s, dir, "documents")
       val media = kind match {
         case "png" => Multimodal.attachPngPayload(docs, "doc_id")
         case "png_group" => Multimodal.attachGroupedPngPayload(docs, "doc_id")
         case "wav" => Multimodal.attachWavPayload(docs, "doc_id")
+        case "wav_group" => Multimodal.attachGroupedWavPayload(docs, "doc_id")
         case "gif" => Multimodal.attachGifPayload(docs, "doc_id")
         case other => throw new IllegalArgumentException(s"unknown media kind $other")
       }
@@ -923,6 +931,27 @@ object Queries {
       (s, dir) => Multimodal.dedupPhashKeepers(
         Multimodal.perceptualHash(mediaPayloads(s, dir, "png_group")).toDF()),
       Some(Multimodal.dedupPhashKeepersSql("documents", "doc_id"))),
+
+    // acoustic fingerprinting over REAL decoded WAV samples: the
+    // fixture plants near-dup GROUPS (4 ids share a base waveform at
+    // stepped attenuation — the re-encoded-at-lower-volume copy shape),
+    // the engine sketches the SIGN of the frame-energy envelope's
+    // change (gain-invariant), and the oracle replays the attenuated
+    // sample formula — a decoder that misreads any sample perturbs a
+    // frame energy and risks flipping a comparison bit
+    QueryDef("mm_audio_fp",
+      (s, dir) => Multimodal.audioFingerprint(
+        mediaPayloads(s, dir, "wav_group")).toDF(),
+      Some(Multimodal.audioFingerprintSql("documents", "doc_id"))),
+
+    // the acting twin: near-dup audio dedup through the shared hamming
+    // keeper engine with n_frames as the GROUP key (different-length
+    // fingerprints live in disjoint bit spaces — structurally excluded,
+    // not probabilistically unlikely); one survivor per planted group
+    QueryDef("mm_dedup_audio",
+      (s, dir) => Multimodal.dedupAudioKeepers(
+        Multimodal.audioFingerprint(mediaPayloads(s, dir, "wav_group")).toDF()),
+      Some(Multimodal.dedupAudioKeepersSql("documents", "doc_id"))),
 
     // REAL audio decode: payloads are actual WAV bytes (planted 16-bit
     // PCM rendered through javax.sound's encoder), decoded with the

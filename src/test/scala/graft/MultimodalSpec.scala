@@ -176,4 +176,46 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("undecodable"))
   }
+
+  test("audio fingerprint: gain-invariant within a planted group, groups decorrelated") {
+    val docs = (0L until 160L).toDF("doc_id")
+    val fps = Multimodal.audioFingerprint(
+      Multimodal.attachGroupedWavPayload(docs, "doc_id"))
+      .collect().map(f => f.media_id -> (f.n_frames, f.afp)).toMap
+    // members of a group: same frame count, fingerprint within hamming 1
+    for (g <- 0L until 40L; m <- 1 to 3) {
+      val (nf0, fp0) = fps(4 * g)
+      val (nfM, fpM) = fps(4 * g + m)
+      assert(nf0 === nfM)
+      assert(java.lang.Long.bitCount(fp0 ^ fpM) <= 1,
+        s"group $g member $m drifted: ${fp0.toBinaryString} vs ${fpM.toBinaryString}")
+    }
+    // distinct groups of the SAME length class stay far apart
+    val byNf = fps.toSeq.collect { case (id, (nf, fp)) if id % 4 == 0 => (nf, fp) }
+      .groupBy(_._1).values.filter(_.size > 1)
+    assert(byNf.nonEmpty, "fixture must exercise shared length classes")
+    byNf.foreach { cls =>
+      val reps = cls.map(_._2).toSeq
+      for (i <- reps.indices; j <- i + 1 until reps.size)
+        assert(java.lang.Long.bitCount(reps(i) ^ reps(j)) > 1,
+          s"distinct groups must not sit within the dedup radius: $cls")
+    }
+  }
+
+  test("dedupAudioKeepers: one lowest-id survivor per planted group; lengths never cross") {
+    val docs = (0L until 160L).toDF("doc_id")
+    val fps = Multimodal.audioFingerprint(
+      Multimodal.attachGroupedWavPayload(docs, "doc_id")).toDF()
+    val keepers = Multimodal.dedupAudioKeepers(fps)
+      .select($"media_id").as[Long].collect().toSet
+    assert(keepers === (0L until 40L).map(_ * 4).toSet,
+      "exactly the lowest id of each group of 4 survives")
+    // same fingerprint bits at DIFFERENT lengths must both survive:
+    // the group column scopes the neighborhood structurally
+    val synth = Seq((1L, 10, 5L), (2L, 12, 5L)).toDF("media_id", "n_frames", "afp")
+    val survivors = Multimodal.dedupAudioKeepers(synth)
+      .select($"media_id").as[Long].collect().toSet
+    assert(survivors === Set(1L, 2L),
+      "equal bit patterns at different n_frames are not duplicates")
+  }
 }
