@@ -488,6 +488,43 @@ object Dedup {
        |FROM $table""".stripMargin
   }
 
+  /** Duplication census — the REPORT a curation run publishes before
+    * acting on dedup (what fraction of the crawl is duplicated, at what
+    * clique sizes, and how many docs dedup would remove): near-dup
+    * components ([[minhashDedupComponents]]) roll up to per-component
+    * sizes, sizes roll up to a histogram row per cluster size with the
+    * doc mass and the redundant mass (`n_docs − n_clusters` = docs a
+    * keeper pass would drop). Scale shape: the component labeling is
+    * the whole cost (probed ~14s / 1M docs); the census itself is two
+    * keyed partial aggs whose second input is component-count-sized.
+    * Docs below the k-word shingle floor have no shingles and are
+    * outside the census, identically on both engines (the components
+    * convention).
+    */
+  def dedupCensus(df: DataFrame, id: String, text: String,
+                  bands: Int = 4, rowsPerBand: Int = 4,
+                  k: Int = 3, iters: Int = 3): DataFrame =
+    minhashDedupComponents(df, id, text, bands, rowsPerBand, k, iters)
+      .groupBy(col("component_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+      .withColumn("n_redundant", col("n_docs") - col("n_clusters"))
+
+  /** DuckDB twin of [[dedupCensus]]. */
+  def dedupCensusSql(table: String, id: String, text: String,
+                     bands: Int = 4, rowsPerBand: Int = 4,
+                     k: Int = 3, iters: Int = 3): String =
+    s"""WITH comp AS (
+       |${minhashDedupComponentsSql(table, id, text, bands, rowsPerBand, k, iters)}),
+       |sizes AS (
+       |  SELECT component_id, count(*)::BIGINT AS cluster_size
+       |  FROM comp GROUP BY 1)
+       |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+       |  sum(cluster_size)::BIGINT AS n_docs,
+       |  (sum(cluster_size) - count(*))::BIGINT AS n_redundant
+       |FROM sizes GROUP BY 1""".stripMargin
+
   /** Generic hamming-radius keeper over any ≤ 64-bit sketch column —
     * the shared engine behind SimHash text dedup and perceptual-hash
     * image dedup ([[graft.ops.Multimodal.dedupPhashKeepers]] delegates

@@ -560,6 +560,14 @@ object Queries {
       (s, dir) => Dedup.minhashDedupComponents(t(s, dir, "documents"), "doc_id", "text"),
       Some(Dedup.minhashDedupComponentsSql("documents", "doc_id", "text"))),
 
+    // duplication census: the pre-dedup REPORT (how much of the crawl
+    // is duplicated, at what clique sizes, how many docs a keeper pass
+    // would drop) -- component labeling is the cost, the census is two
+    // keyed aggs over component-count-sized frames
+    QueryDef("dedup_census",
+      (s, dir) => Dedup.dedupCensus(t(s, dir, "documents"), "doc_id", "text"),
+      Some(Dedup.dedupCensusSql("documents", "doc_id", "text"))),
+
     QueryDef("dedup_simhash",
       (s, dir) => Dedup.simhash(t(s, dir, "documents"), "doc_id", "text"),
       Some(Dedup.simhashSql("documents", "doc_id", "text"))),

@@ -63,6 +63,20 @@ class OpsSpec extends SparkSpec {
     assert(comp(5L) == 5L && comp(6L) == 5L && comp(7L) == 5L && comp(4L) == 4L)
   }
 
+  test("dedup census: histogram arithmetic over the planted components") {
+    // fixture components: {5,6,7} one 3-clique, 4 a singleton (zh doc);
+    // shingle-less docs are outside the census
+    val got = Dedup.dedupCensus(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(3L) === ((1L, 3L, 2L)), "one 3-clique = 3 docs, 2 removable")
+    assert(got(1L)._1 >= 1L, "singletons present")
+    got.foreach { case (size, (clusters, nd, red)) =>
+      assert(nd === size * clusters && red === nd - clusters,
+        s"mass arithmetic at size $size")
+    }
+  }
+
   test("ngram jaccard length prefilter is lossless at the threshold boundary") {
     // k=3 shingles of an n-distinct-word doc: n-2, all distinct, and a
     // prefix doc's shingles are a subset of its extension's. So with
