@@ -270,6 +270,63 @@ object Eval {
     * DuckDB's 1-based UNNEST index vs Spark's 0-based pos only orders
     * dimensions, it never reaches the output.
     */
+  /** Planted-copy recall gate for the NEAR-DUP KEEPER family — the
+    * dedup analog of the ANN recall gates (an approximate dedup you
+    * cannot score against planted ground truth is a hope, not an
+    * operator): append a marker suffix to the first `nPlant` docs as
+    * known near-dup copies at `offset` ids, run the LSH keeper over the
+    * union, and report in one row how many planted copies collapsed
+    * back below the offset (recall) next to how much of the BASE corpus
+    * merged among itself (the baseline the recall is read against —
+    * organic near-dups, not errors). All arithmetic exact integers;
+    * recall in milli-units via integer division.
+    *
+    * Banding math makes the expected recall visible: a 3-word suffix on
+    * an n-word doc leaves Jaccard ≈ (n−2)/(n+1); with 4×4 banding the
+    * copy shares ≥ 1 bucket w.p. 1−(1−J⁴)⁴ — ~0.999 at 100 words. The
+    * gate MEASURES it instead of assuming it, per corpus, which is the
+    * rebuild/re-tune signal at 100 TB (dropping recall = docs got
+    * shorter or bands need retuning).
+    */
+  def dedupRecall(base: DataFrame, id: String, text: String,
+                  nPlant: Int, offset: Long = 1000000L,
+                  suffix: String = " planted trailing copy"): DataFrame = {
+    val copies = base.where(col(id) < nPlant)
+      .select((col(id) + offset).as(id),
+        concat(col(text), lit(suffix)).as(text))
+    val union = base.select(col(id), col(text)).unionByName(copies)
+    Dedup.minhashDedupKeepers(union, id, text)
+      .agg(
+        sum(when(col("doc_id") >= offset, 1L).otherwise(0L)).as("n_planted"),
+        sum(when(col("doc_id") >= offset && col("keep_id") < offset, 1L)
+          .otherwise(0L)).as("n_recalled"),
+        sum(when(col("doc_id") < offset, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("doc_id") < offset && col("keep_id") =!= col("doc_id"), 1L)
+          .otherwise(0L)).as("n_base_merged"))
+      .withColumn("recall_milli",
+        expr("(1000 * n_recalled) div n_planted"))
+  }
+
+  /** DuckDB twin of [[dedupRecall]]. */
+  def dedupRecallSql(table: String, id: String, text: String,
+                     nPlant: Int, offset: Long = 1000000L,
+                     suffix: String = " planted trailing copy"): String = {
+    val uni = s"""(SELECT $id, $text FROM $table
+                 | UNION ALL
+                 | SELECT $id + $offset AS $id, $text || '$suffix' AS $text
+                 | FROM $table WHERE $id < $nPlant)""".stripMargin
+    s"""WITH keep AS (
+       |${Dedup.minhashDedupKeepersSql(uni, id, text)})
+       |SELECT
+       |  count(*) FILTER (WHERE doc_id >= $offset)::BIGINT AS n_planted,
+       |  count(*) FILTER (WHERE doc_id >= $offset AND keep_id < $offset)::BIGINT AS n_recalled,
+       |  count(*) FILTER (WHERE doc_id < $offset)::BIGINT AS n_base,
+       |  count(*) FILTER (WHERE doc_id < $offset AND keep_id <> doc_id)::BIGINT AS n_base_merged,
+       |  ((1000 * count(*) FILTER (WHERE doc_id >= $offset AND keep_id < $offset))
+       |    // count(*) FILTER (WHERE doc_id >= $offset))::BIGINT AS recall_milli
+       |FROM keep""".stripMargin
+  }
+
   def labelCentroidsSql(table: String, labelCol: String, vecCol: String): String =
     s"""WITH cells AS (
        |  SELECT $labelCol AS label, pos,

@@ -1013,6 +1013,56 @@ object TextAnalysis {
        |  FROM terms t JOIN dfreq d USING (w) CROSS JOIN meta m)
        |WHERE rank <= $k""".stripMargin
 
+  /** Unicode-script profile — the CHARACTER-CLASS language signal next
+    * to the word-marker [[langId]] heuristic (marker words only exist
+    * for languages with word lists; script counts need none, and mixed-
+    * script docs — code-switched text, spam padding ASCII into CJK
+    * pages, mojibake — show up here first). Per doc: counts of Latin,
+    * CJK, Cyrillic, Arabic, and digit characters plus total length, and
+    * the dominant script by strict-majority comparison in a fixed order
+    * (deterministic tie-break: earlier class wins ties). Counts via
+    * `regexp_extract_all` over codepoint ranges — one zero-shuffle scan
+    * projection; no division, so no empty-doc guard needed.
+    */
+  def scriptProfile(df: DataFrame, id: String, text: String): DataFrame = {
+    def cnt(pat: String) = s"size(regexp_extract_all($text, '$pat', 0))"
+    val classes = Seq(
+      "n_latin" -> cnt("[A-Za-z]"),
+      "n_cjk" -> cnt("[\\\\x{4e00}-\\\\x{9fff}]"),
+      "n_cyrillic" -> cnt("[\\\\x{0400}-\\\\x{04ff}]"),
+      "n_arabic" -> cnt("[\\\\x{0600}-\\\\x{06ff}]"),
+      "n_digit" -> cnt("[0-9]"))
+    val names = classes.map(_._1)
+    // CASE takes the FIRST matching WHEN, so ties break in declaration
+    // order — identically on both engines
+    df.select((col(id) +:
+        length(col(text)).cast("long").as("n_chars_total") +:
+        classes.map { case (n, e) => expr(e).cast("long").as(n) }): _*)
+      .withColumn("dominant", expr("CASE " + names.map(n =>
+        s"WHEN $n = greatest(${names.mkString(", ")}) THEN '$n'")
+        .mkString(" ") + " END"))
+  }
+
+  /** DuckDB twin of [[scriptProfile]]. */
+  def scriptProfileSql(table: String, id: String, text: String): String = {
+    def cnt(pat: String) = s"len(regexp_extract_all($text, '$pat'))"
+    val classes = Seq(
+      "n_latin" -> cnt("[A-Za-z]"),
+      "n_cjk" -> cnt("[\\x{4e00}-\\x{9fff}]"),
+      "n_cyrillic" -> cnt("[\\x{0400}-\\x{04ff}]"),
+      "n_arabic" -> cnt("[\\x{0600}-\\x{06ff}]"),
+      "n_digit" -> cnt("[0-9]"))
+    val names = classes.map(_._1)
+    val sel = classes.map { case (n, e) => s"$e::BIGINT AS $n" }.mkString(",\n  ")
+    val dom = "CASE " + names.map(n =>
+      s"WHEN $n = greatest(${names.mkString(", ")}) THEN '$n'").mkString(" ") +
+      " END"
+    s"""SELECT $id, n_chars_total, ${names.mkString(", ")}, $dom AS dominant
+       |FROM (SELECT $id, length($text)::BIGINT AS n_chars_total,
+       |  $sel
+       |  FROM $table)""".stripMargin
+  }
+
   /** Sentence segmentation — boundary-aware chunk units for RAG /
     * curation (fixed token windows cut mid-sentence; retrieval quality
     * wants sentence-aligned chunks): split after terminal punctuation

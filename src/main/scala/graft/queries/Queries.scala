@@ -568,6 +568,17 @@ object Queries {
       (s, dir) => Dedup.dedupCensus(t(s, dir, "documents"), "doc_id", "text"),
       Some(Dedup.dedupCensusSql("documents", "doc_id", "text"))),
 
+    // planted-copy recall gate for the near-dup keeper -- the dedup
+    // analog of the ANN recall gates: 50 suffix-marked copies planted
+    // at offset ids, keeper runs over the union, one row reports
+    // recall (copies collapsed back) next to the organic base-merge
+    // baseline; exact integers, recall in milli-units
+    QueryDef("dedup_minhash_recall",
+      (s, dir) => graft.ops.Eval.dedupRecall(
+        t(s, dir, "documents"), "doc_id", "text", nPlant = 50),
+      Some(graft.ops.Eval.dedupRecallSql(
+        "documents", "doc_id", "text", nPlant = 50))),
+
     QueryDef("dedup_simhash",
       (s, dir) => Dedup.simhash(t(s, dir, "documents"), "doc_id", "text"),
       Some(Dedup.simhashSql("documents", "doc_id", "text"))),
@@ -1505,6 +1516,27 @@ object Queries {
         "lang", "source", "text", "n_chars"),
       Some(TextAnalysis.corpusProfileSql("documents",
         "lang", "source", "text", "n_chars"))),
+
+    // Unicode-script profile: the character-class language signal next
+    // to the marker-word langid (mixed-script and code-switched docs
+    // show here first). The ASCII corpus gets planted multilingual
+    // tails: a CJK run sized past the doc's own latin mass (dominance
+    // must flip), a Cyrillic tail, an Arabic+digit tail; dominance
+    // tie-breaks in fixed declaration order via CASE on both engines
+    QueryDef("text_scripts",
+      (s, dir) => TextAnalysis.scriptProfile(
+        t(s, dir, "documents").withColumn("text", expr(
+          "CASE WHEN doc_id % 4 = 1 THEN concat(text, repeat('中', cast(n_chars AS INT))) " +
+            "WHEN doc_id % 4 = 2 THEN concat(text, ' Пример Текста для проверки') " +
+            "WHEN doc_id % 4 = 3 THEN concat(text, ' مثال نصي 123') " +
+            "ELSE text END")),
+        "doc_id", "text"),
+      Some(TextAnalysis.scriptProfileSql(
+        "(SELECT doc_id, CASE WHEN doc_id % 4 = 1 THEN text || repeat('中', n_chars::INT) " +
+          "WHEN doc_id % 4 = 2 THEN text || ' Пример Текста для проверки' " +
+          "WHEN doc_id % 4 = 3 THEN text || ' مثال نصي 123' " +
+          "ELSE text END AS text FROM documents)",
+        "doc_id", "text"))),
 
     // Sentence segmentation: boundary-aware chunk units (terminal
     // punctuation + whitespace, punctuation kept with its sentence) --

@@ -134,6 +134,21 @@ class EventsEvalSpec extends SparkSpec {
     assert(r.values.forall(_ == 1.0), s"all-cluster probe must be exact: $r")
   }
 
+  test("dedupRecall: planted copies collapse, clean base stays unmerged") {
+    // 20 long distinct docs — suffix copies sit at Jaccard ~0.9 and the
+    // 4x4 banding must recall essentially all of them
+    val docs = (0L until 20L).map(i =>
+      (i, (0 until 40).map(w => s"w${i}_$w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Eval.dedupRecall(docs, "doc_id", "text", nPlant = 20)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val (nPlanted, nRecalled, nBase, nBaseMerged, recallMilli) = r
+    assert(nPlanted === 20L && nBase === 20L)
+    assert(nRecalled === 20L, "every planted near-copy must collapse")
+    assert(recallMilli === 1000L)
+    assert(nBaseMerged === 0L, "fully-distinct base docs must not merge")
+  }
+
   test("labelCentroids: exact mean per dimension and class sizes") {
     val df = Seq(
       (0, Array(1.0f, 2.0f)), (0, Array(3.0f, 4.0f)),

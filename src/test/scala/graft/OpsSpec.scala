@@ -77,6 +77,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("scriptProfile: codepoint-class counts and fixed-order dominance ties") {
+    val d = Seq(
+      (1L, "hello world 42"),
+      (2L, "中文内容测试 ok"),
+      (3L, "Пример текста"),
+      (4L, "مثال نصي"),
+      (5L, "aa 11 ЖЖ") // three-way tie at 2 — declaration order wins
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getString(7))).toMap
+    assert(got(1L) === ((10L, 0L, 0L, 0L, 2L, "n_latin")))
+    assert(got(2L) === ((2L, 6L, 0L, 0L, 0L, "n_cjk")))
+    assert(got(3L)._3 === 12L); assert(got(3L)._6 === "n_cyrillic")
+    assert(got(4L)._4 === 7L); assert(got(4L)._6 === "n_arabic")
+    assert(got(5L)._6 === "n_latin", "ties break in declaration order")
+  }
+
   test("ngram jaccard length prefilter is lossless at the threshold boundary") {
     // k=3 shingles of an n-distinct-word doc: n-2, all distinct, and a
     // prefix doc's shingles are a subset of its extension's. So with
