@@ -269,6 +269,50 @@ object Stats {
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
   }
 
+  /** HLL accuracy gate — the distinct-count analog of
+    * [[heavyHitters]]'s frequency gate and the ANN recall gates: exact
+    * `count(distinct)` next to the sketch's raw estimate in ONE row, so
+    * the driver-checked board carries the estimator's error per corpus,
+    * not just the registers. Determinism discipline: Σ 2^−rho is held
+    * as the EXACT integer Σ 2^(56−rho) (rho ≤ 25 by the 24-bit rank
+    * budget, so terms fit and 64 of them stay under 2^63 — no clamp
+    * needed, no float sum whose ordering could drift cross-engine);
+    * the only floating step is the final α·m²·2^56 / sum quotient —
+    * exactly-representable operands through correctly-rounded IEEE
+    * multiply/divide, bit-identical on both engines, rounded at 3.
+    * `n_zero_registers` rides along so the linear-counting regime
+    * (raw ≤ 2.5m — where the raw estimate is biased and the published
+    * correction applies) is visible in the row; the gate deliberately
+    * reports the RAW estimate (the log-free half) and leaves the
+    * corrected estimator to [[hllEstimate]]/specs.
+    */
+  def hllAccuracy(df: DataFrame, valueExpr: String): DataFrame = {
+    val exact = df.agg(
+      countDistinct(expr(valueExpr)).as("n_exact"))
+    hllRegisters(df, valueExpr)
+      .agg(
+        sum(expr("cast(1 AS BIGINT) * shiftleft(cast(1 AS BIGINT), 56 - max_rho)"))
+          .as("sum_scaled"),
+        sum(when(col("max_rho") === 0, 1L).otherwise(0L)).as("n_zero_registers"))
+      .crossJoin(broadcast(exact))
+      .select(col("n_exact"), col("sum_scaled"), col("n_zero_registers"),
+        round(lit(2904064.0) * lit(72057594037927936.0) /
+          col("sum_scaled") / lit(1000.0), 3).as("est_raw"))
+  }
+
+  /** DuckDB twin of [[hllAccuracy]]. */
+  def hllAccuracySql(table: String, valueExpr: String): String =
+    s"""WITH regs AS (
+       |${hllRegistersSql(table, valueExpr)}),
+       |agg AS (
+       |  SELECT sum(1::BIGINT << (56 - max_rho))::BIGINT AS sum_scaled,
+       |    sum(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_registers
+       |  FROM regs),
+       |exact AS (SELECT count(DISTINCT $valueExpr)::BIGINT AS n_exact FROM $table)
+       |SELECT e.n_exact, a.sum_scaled, a.n_zero_registers,
+       |  round(2904064e0 * 72057594037927936e0 / a.sum_scaled / 1000e0, 3) AS est_raw
+       |FROM agg a, exact e""".stripMargin
+
   /** Per-key HLL: one register sketch per group — "distinct users per
     * event_type over 100 TB" as a single keyed partial agg. Identical
     * register/rank arithmetic to [[hllRegisters]]; the exchange carries
@@ -520,6 +564,71 @@ object Stats {
        |FROM (SELECT (($valueCol)::DECIMAL(18,2) * 100)::BIGINT AS v100
        |      FROM $table)
        |GROUP BY 1""".stripMargin
+
+  /** Quantile-sketch accuracy gate — completes the sketch family's gate
+    * symmetry (HLL → [[hllAccuracy]], CMS → [[heavyHitters]]): one row
+    * holding, per percentile, the EXACT rank-selected value (the
+    * [[percentilesDiscPreagg]] formulation over distinct fixed-point
+    * values) next to the SKETCH's estimate (first log-bucket whose
+    * cumulative count reaches rank `ceil(p·n)`, answered as the
+    * bucket's truncated integer mean), both in v100 fixed-point units —
+    * the 2× bucket band is auditable per corpus on the driver-checked
+    * board. All arithmetic exact integers except the shared
+    * correctly-rounded `ceil(p·n)` rank product (the
+    * [[percentilesDisc]] precedent). The sketch-side window is a
+    * single-partition sort over ≤ ~128 bucket rows — metadata-sized by
+    * construction, the documented exception.
+    */
+  def quantileAccuracy(df: DataFrame, valueCol: String,
+                       ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame = {
+    def tag(p: Double) = math.round(p * 100)
+    val v100 = df.select(
+      expr(s"cast(cast($valueCol AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v100"),
+      lit(1).as("g"))
+    val exact = percentilesDiscPreagg(v100, "g", "v100", ps)
+      .select(ps.map(p => col(s"p${tag(p)}").as(s"exact_p${tag(p)}")): _*)
+    val cumW = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy()
+    val ranked = logQuantileSketch(df, valueCol)
+      .withColumn("__cum", sum(col("n")).over(cumW))
+      .withColumn("__tot", sum(col("n")).over(whole))
+    val estAggs = ps.map { p =>
+      min(when(col("__cum") >= ceil(lit(p) * col("__tot")),
+        expr("sum100 div n"))).as(s"est_p${tag(p)}")
+    }
+    ranked.agg(estAggs.head, estAggs.tail: _*)
+      .crossJoin(broadcast(exact))
+  }
+
+  /** DuckDB twin of [[quantileAccuracy]]. */
+  def quantileAccuracySql(table: String, valueCol: String,
+                          ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): String = {
+    def tag(p: Double) = math.round(p * 100)
+    val exactSel = ps.map(p =>
+      s"min(CASE WHEN cum >= ceil($p * n) THEN v100 END) AS exact_p${tag(p)}")
+      .mkString(", ")
+    val estSel = ps.map(p =>
+      s"min(CASE WHEN cum >= ceil($p * tot) THEN sum100 // n END) AS est_p${tag(p)}")
+      .mkString(", ")
+    s"""WITH v AS (SELECT (($valueCol)::DECIMAL(18,2) * 100)::BIGINT AS v100 FROM $table),
+       |counts AS (SELECT v100, count(*)::BIGINT AS c FROM v GROUP BY 1),
+       |r AS (
+       |  SELECT v100,
+       |    sum(c) OVER (ORDER BY v100 ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(c) OVER () AS n
+       |  FROM counts),
+       |exact AS (SELECT $exactSel FROM r),
+       |sk AS (
+       |${logQuantileSketchSql(table, valueCol)}),
+       |skr AS (
+       |  SELECT bucket, n, sum100,
+       |    sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(n) OVER () AS tot
+       |  FROM sk),
+       |est AS (SELECT $estSel FROM skr)
+       |SELECT est.*, exact.* FROM est, exact""".stripMargin
+  }
 
   /** Quantile estimate from a collected sketch: rank-select the bucket
     * by cumulative count (PERCENTILE_DISC's rank rule), answer the

@@ -2151,6 +2151,18 @@ object Queries {
       Some(graft.ops.Stats.cmsProbeSql("events",
         "(SELECT * FROM events WHERE user_id < 50)", "event_type"))),
 
+    // the HLL accuracy gate: exact count(distinct) next to the raw
+    // sketch estimate in one row (dyadic sum held as exact integer
+    // sum(2^(56-rho)) -- no float sum ordering; single correctly-
+    // rounded IEEE quotient at the end). Cardinality fixture
+    // user_id x event_type clears the linear-counting regime at the
+    // driver's sf0.01 gate
+    QueryDef("stats_hll_accuracy",
+      (s, dir) => graft.ops.Stats.hllAccuracy(t(s, dir, "events"),
+        "concat(cast(user_id AS STRING), '-', event_type)"),
+      Some(graft.ops.Stats.hllAccuracySql("events",
+        "(user_id::VARCHAR || '-' || event_type)"))),
+
     // heavy hitters with the sketch's accuracy in-row: exact top-10 by
     // count (TakeOrdered) + CMS estimate + overcount — the frequency
     // sketch's recall-gate analog. The testdata's own columns are
@@ -2179,6 +2191,16 @@ object Queries {
       (s, dir) => graft.ops.Stats.logQuantileSketch(t(s, dir, "events"),
         "value"),
       Some(graft.ops.Stats.logQuantileSketchSql("events", "value"))),
+
+    // the quantile sketch's accuracy gate: exact rank-selected
+    // percentiles (preagg formulation, fixed-point) next to the
+    // sketch's log-bucket estimates in one row -- the 2x band
+    // auditable on the board; completes the sketch family's gate
+    // symmetry (HLL -> stats_hll_accuracy, CMS -> stats_heavy_hitters)
+    QueryDef("stats_quantile_accuracy",
+      (s, dir) => graft.ops.Stats.quantileAccuracy(t(s, dir, "events"),
+        "value"),
+      Some(graft.ops.Stats.quantileAccuracySql("events", "value"))),
 
     // JSONL round-trip: documents -> one-object-per-line files -> read
     // back with an EXPLICIT schema (no inference pass) -> per-source

@@ -307,6 +307,22 @@ class PhashBm25HllSpec extends SparkSpec {
       s"counters must broadcast — the batch never shuffles the corpus:\n$plan")
   }
 
+  test("hllAccuracy: integer dyadic sum matches the registers; raw estimate inside the error band") {
+    val df = (1 to 5000).map(i => s"val$i").toDF("v")
+    val regs = Stats.hllRegisters(df, "v")
+      .as[(Long, Int)].collect().map(_._2)
+    val row = Stats.hllAccuracy(df, "v")
+      .as[(Long, Long, Long, Double)].collect().head
+    val (nExact, sumScaled, nZero, estRaw) = row
+    assert(nExact === 5000L)
+    assert(sumScaled === regs.map(r => 1L << (56 - r)).sum,
+      "gate's integer sum must equal the register sketch's")
+    assert(nZero === regs.count(_ == 0).toLong)
+    // alpha_64 raw estimate at m=64: sigma = 1.04/8 = 13%; allow 3 sigma
+    assert(estRaw > 5000 * 0.6 && estRaw < 5000 * 1.4,
+      s"raw estimate $estRaw outside 3-sigma of 5000")
+  }
+
   test("heavyHitters: exact top-k found, estimates bound them from above within the CMS band") {
     // zipf-ish: value v_i appears ~ 600/i times
     val rows = (1 to 30).flatMap(i => Seq.fill(600 / i)(s"v$i"))
@@ -380,6 +396,22 @@ class PhashBm25HllSpec extends SparkSpec {
       b -> (n1 + n2, s1 + s2)
     }.toMap
     assert(merged === mw)
+  }
+
+  test("quantileAccuracy: exact side is true PERCENTILE_DISC; estimates inside the 2x band") {
+    val vals = (1 to 2000).map(i => i * 0.73)
+    val df = vals.map(Tuple1(_)).toDF("value")
+    val row = Stats.quantileAccuracy(df, "value").collect().head
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    ps.foreach { p =>
+      val exact = row.getAs[Long](s"exact_p${math.round(p * 100)}")
+      val est = row.getAs[Long](s"est_p${math.round(p * 100)}")
+      val trueV100 = math.round(
+        vals.sorted.apply(math.ceil(p * vals.size).toInt - 1) * 100)
+      assert(exact === trueV100, s"exact side must be PERCENTILE_DISC at p=$p")
+      assert(est >= exact / 2 && est <= exact * 2,
+        s"p=$p est=$est exact=$exact outside the 2x band")
+    }
   }
 
   test("logQuantileSketch: negative magnitudes mirror to negative buckets, ascending id = ascending value") {
