@@ -769,6 +769,63 @@ object TextAnalysis {
           (col("n_bigrams").cast("double") * col("total_ref")), 6).as("avg_bigram_freq"))
   }
 
+  /** TRIGRAM corpus-frequency scoring — the third rung of the
+    * [[unigramScore]]/[[bigramScore]] LM-filter ladder (real pipelines
+    * run 5-gram KenLMs; each added order sees longer word-order
+    * structure, so locally-plausible-but-globally-glued text scores low
+    * even when its bigrams are all common). Identical exact-integer
+    * discipline and scale shape: reference reduces to a broadcast
+    * top-V table + one total, the corpus pays one scan and one keyed
+    * partial-agg exchange. Docs under 3 non-empty words have no
+    * trigrams and are excluded identically on both engines.
+    */
+  def trigramScore(docs: DataFrame, ref: DataFrame, id: String, text: String,
+                   vocab: Int = 1000): DataFrame = {
+    val grams = s"graft_ngrams(filter(split($text, ' '), w -> w <> ''), 3)"
+    val refGrams = graft.functions.VectorFunctions.attach(ref)
+      .select(explode(expr(grams)).as("g"))
+    val top = refGrams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("g").asc).limit(vocab)
+    val total = refGrams.agg(count(lit(1)).as("total_ref"))
+    graft.functions.VectorFunctions.attach(docs)
+      .select(col(id), explode(expr(grams)).as("g"))
+      .join(broadcast(top), Seq("g"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("cnt"), lit(0L))).as("sum_cnt"))
+      .crossJoin(broadcast(total))
+      .select(col(id), col("n_trigrams"),
+        round(col("n_oov").cast("double") / col("n_trigrams"), 6).as("oov_ratio"),
+        round(col("sum_cnt").cast("double") /
+          (col("n_trigrams").cast("double") * col("total_ref")), 6).as("avg_trigram_freq"))
+  }
+
+  /** DuckDB twin of [[trigramScore]]. */
+  def trigramScoreSql(table: String, docsPred: String, refPred: String,
+                      id: String, text: String, vocab: Int = 1000): String = {
+    val w = s"list_filter(string_split($text, ' '), x -> x <> '')"
+    val grams =
+      s"list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])"
+    s"""WITH rg AS (
+       |  SELECT unnest($grams) AS g FROM (SELECT $w AS ws FROM $table WHERE $refPred)),
+       |top AS (SELECT g, count(*) AS cnt FROM rg GROUP BY g
+       |        ORDER BY cnt DESC, g ASC LIMIT $vocab),
+       |total AS (SELECT count(*) AS total_ref FROM rg),
+       |dg AS (
+       |  SELECT $id, unnest($grams) AS g
+       |  FROM (SELECT $id, $w AS ws FROM $table WHERE $docsPred)),
+       |agg AS (
+       |  SELECT d.$id, count(*) AS n_trigrams,
+       |         sum(CASE WHEN t.cnt IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       |         sum(coalesce(t.cnt, 0)) AS sum_cnt
+       |  FROM dg d LEFT JOIN top t ON d.g = t.g GROUP BY d.$id)
+       |SELECT $id, n_trigrams,
+       |  round(n_oov::DOUBLE / n_trigrams, 6) AS oov_ratio,
+       |  round(sum_cnt::DOUBLE / (n_trigrams::DOUBLE * total_ref), 6) AS avg_trigram_freq
+       |FROM agg, total""".stripMargin
+  }
+
   /** DuckDB twin of [[bigramScore]]. */
   def bigramScoreSql(table: String, docsPred: String, refPred: String,
                      id: String, text: String, vocab: Int = 1000): String = {

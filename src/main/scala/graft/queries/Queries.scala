@@ -1483,6 +1483,21 @@ object Queries {
         docsPred = "doc_id >= 100", refPred = "doc_id < 100",
         "doc_id", "text", vocab = 500))),
 
+    // the third LM-ladder rung: trigram coverage sees two-step word
+    // order (locally-plausible glued text scores low even when its
+    // bigrams are common); same exact-integer discipline and
+    // broadcast-top-V scale shape as the unigram/bigram rungs
+    QueryDef("text_trigram_score",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextAnalysis.trigramScore(
+          docs.where(col("doc_id") >= 100), docs.where(col("doc_id") < 100),
+          "doc_id", "text", vocab = 500)
+      },
+      Some(TextAnalysis.trigramScoreSql("documents",
+        docsPred = "doc_id >= 100", refPred = "doc_id < 100",
+        "doc_id", "text", vocab = 500))),
+
     // BM25 keyword retrieval — the LEXICAL search leg next to the
     // embedding-ANN family, in integer fixed-point (log-free Robertson
     // idf; no libm, no double sums — the unigram-score discipline).

@@ -491,6 +491,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("text_scripts: script counts are one zero-exchange scan projection") {
+    val p = plan("text_scripts")
+    assert(!p.contains("Exchange"), s"scriptProfile must not shuffle:\n$p")
+  }
+
+  test("stats_heavy_hitters: the probe joins broadcast counters; exact side is TakeOrdered, no global sort") {
+    val p = plan("stats_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"exact top-k must be TakeOrdered, not a global sort:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      s"counters and winners must broadcast into the probe:\n$p")
+  }
+
   test("pipeline_embed_index: steady state scans documents ONCE (query chunks); codes are directory-pruned index reads") {
     val p = formatted("pipeline_embed_index")
     // the corpus feeds the plan exactly once — the query-vector
