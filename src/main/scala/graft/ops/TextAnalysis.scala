@@ -1021,6 +1021,10 @@ object TextAnalysis {
     * compression would reorder tf-vs-rarity trades; the surrogate IS
     * the contract here (documented, deterministic cross-engine), and it
     * keeps the hash gate exact where a float log would drift.
+    * Arithmetic bound: `score_milli = tf · ⌊10⁶·N/df⌋` stays inside
+    * BIGINT while `tf · N ≲ 9·10¹²` per (doc, term) — safe to ~10¹⁰
+    * docs at realistic tf; past that, drop the milli scale (ANSI mode
+    * turns the overflow into an error, never a silent wrap).
     *
     * Scale shape: ONE corpus scan explodes to (doc, term) and
     * partial-aggs to tf rows; the leased tf frame derives document
