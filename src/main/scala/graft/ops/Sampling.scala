@@ -365,6 +365,52 @@ object Sampling {
     * between splits when the corpus grows, because membership depends
     * only on its own id (the leakage guarantee a random split lacks).
     */
+  /** Deterministic round-robin source interleave — the TRAINING-ORDER
+    * op for a mixed corpus (a run that reads source A's docs then
+    * source B's collapses its early batches onto one distribution;
+    * interleaving fixes the mixing rate and hash-determinism makes the
+    * order reproducible run-to-run): docs rank within their source by
+    * (portable hash of id, id), and the global position is pure
+    * ARITHMETIC — `pos = (rank−1)·S + source_index` — so no global
+    * sort ever runs: the only exchanges are the per-source rank window
+    * (keyed) and a broadcast join against the S-row source-index frame
+    * (its own window sorts S metadata rows). Consumers `ORDER BY pos`
+    * per shard, or range-partition on pos for the packed write.
+    * Positions are gap-free per round until a source exhausts, then
+    * that source's slots go unused — the standard round-robin
+    * semantics (exhausted-source slots are NOT recycled, keeping every
+    * doc's position independent of other sources' sizes).
+    */
+  def interleave(df: DataFrame, id: String, source: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val srcIdx = df.select(col(source)).distinct()
+      .withColumn("__sidx",
+        row_number().over(Window.orderBy(col(source))).cast("long") - 1)
+    val nSrc = srcIdx.agg(count(lit(1)).as("__ns"))
+    val rank = Window.partitionBy(col(source))
+      .orderBy(expr(sparkStringHash(s"cast($id AS STRING)")), col(id))
+    df.select(col(id), col(source))
+      .withColumn("__rank", row_number().over(rank).cast("long") - 1)
+      .join(broadcast(srcIdx), Seq(source))
+      .crossJoin(broadcast(nSrc))
+      .select(col(id), col(source),
+        (col("__rank") * col("__ns") + col("__sidx")).as("pos"))
+  }
+
+  /** DuckDB twin of [[interleave]]. */
+  def interleaveSql(table: String, id: String, source: String): String =
+    s"""WITH sidx AS (
+       |  SELECT $source, (row_number() OVER (ORDER BY $source) - 1)::BIGINT AS si
+       |  FROM (SELECT DISTINCT $source FROM $table)),
+       |ns AS (SELECT count(*)::BIGINT AS n FROM sidx),
+       |ranked AS (
+       |  SELECT $id, $source,
+       |    (row_number() OVER (PARTITION BY $source
+       |       ORDER BY ${duckStringHash(s"($id)::VARCHAR")}, $id) - 1)::BIGINT AS rk
+       |  FROM $table)
+       |SELECT r.$id, r.$source, (r.rk * ns.n + s.si)::BIGINT AS pos
+       |FROM ranked r JOIN sidx s ON r.$source = s.$source, ns""".stripMargin
+
   def splitAssign(df: DataFrame, id: String,
                   valPct: Int = 1, testPct: Int = 1): DataFrame = {
     require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100)

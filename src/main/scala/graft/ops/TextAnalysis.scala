@@ -1175,6 +1175,47 @@ object TextAnalysis {
        |    '[ \\t\\n\\r\\f]+', ' ', 'g'), ' ') AS norm_text
        |FROM $table""".stripMargin
 
+  /** Markup stripping — the crawl→text extraction stage every web
+    * corpus passes through before any quality/dedup op sees it
+    * (trafilatura's job, reduced to the deterministic core a SQL oracle
+    * can replay): drop `<...>` tags, unescape the five predefined HTML
+    * entities, collapse whitespace. Entity order is load-bearing and
+    * identical on both engines: `&amp;` is unescaped LAST so
+    * `&amp;lt;` yields the literal text `&lt;` (one level, the HTML
+    * spec's behavior) instead of double-unescaping to `<`. Emits the
+    * cleaned text plus tag/entity counts (the markup-density signal —
+    * a page that is mostly tags is boilerplate, the Gopher-adjacent
+    * gate). One zero-shuffle scan projection of regexp/replace chains.
+    */
+  def stripMarkup(df: DataFrame, id: String, text: String): DataFrame = {
+    val tagRe = "<[^>]*>"
+    val entRe = "&(amp|lt|gt|quot|#39);"
+    df.select(col(id),
+      expr(s"""trim(regexp_replace(
+        replace(replace(replace(replace(replace(
+          regexp_replace($text, '$tagRe', ' '),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', char(39)),
+          '&amp;', '&'),
+        ' +', ' '))""").as("clean_text"),
+      expr(s"size(regexp_extract_all($text, '$tagRe', 0))").cast("long")
+        .as("n_tags"),
+      expr(s"size(regexp_extract_all($text, '$entRe', 0))").cast("long")
+        .as("n_entities"))
+  }
+
+  /** DuckDB twin of [[stripMarkup]] (same entity order: `&amp;` last). */
+  def stripMarkupSql(table: String, id: String, text: String): String =
+    s"""SELECT $id,
+       |  trim(regexp_replace(
+       |    replace(replace(replace(replace(replace(
+       |      regexp_replace($text, '<[^>]*>', ' ', 'g'),
+       |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+       |      '&amp;', '&'),
+       |    ' +', ' ', 'g')) AS clean_text,
+       |  len(regexp_extract_all($text, '<[^>]*>'))::BIGINT AS n_tags,
+       |  len(regexp_extract_all($text, '&(amp|lt|gt|quot|#39);'))::BIGINT AS n_entities
+       |FROM $table""".stripMargin
+
   /** Hybrid retrieval: the BM25 lexical leg fused with a vector leg by
     * reciprocal-rank fusion (Cormack et al. SIGIR'09) — the standard
     * two-tower search stack (what "BM25 + embeddings" means in every

@@ -1532,6 +1532,32 @@ object Queries {
       Some(TextAnalysis.corpusProfileSql("documents",
         "lang", "source", "text", "n_chars"))),
 
+    // markup stripping: the crawl->text extraction stage (drop tags,
+    // unescape the five predefined entities with &amp; LAST so
+    // &amp;lt; single-unescapes per the HTML spec, collapse spaces) +
+    // tag/entity density counts; the corpus is markup-free so the
+    // fixture plants tags, nested entities, and attributes
+    QueryDef("text_strip_markup",
+      (s, dir) => TextAnalysis.stripMarkup(
+        t(s, dir, "documents").withColumn("text", expr(
+          "concat('<div class=\"hd\"><b>T</b></div> ', text, " +
+            "' &amp;lt; kept &quot;q&quot; &#39;a&#39; <br/> tail &gt;')")),
+        "doc_id", "text"),
+      Some(TextAnalysis.stripMarkupSql(
+        "(SELECT doc_id, '<div class=\"hd\"><b>T</b></div> ' || text || " +
+          "' &amp;lt; kept &quot;q&quot; &#39;a&#39; <br/> tail &gt;' AS text " +
+          "FROM documents)",
+        "doc_id", "text"))),
+
+    // deterministic round-robin source interleave: the training-order
+    // op -- rank within source by portable hash, global position by
+    // pure arithmetic rank*S + source_index (NO global sort; keyed
+    // window + two broadcast metadata joins)
+    QueryDef("pipeline_interleave",
+      (s, dir) => graft.ops.Sampling.interleave(
+        t(s, dir, "documents"), "doc_id", "source"),
+      Some(graft.ops.Sampling.interleaveSql("documents", "doc_id", "source"))),
+
     // Unicode-script profile: the character-class language signal next
     // to the marker-word langid (mixed-script and code-switched docs
     // show here first). The ASCII corpus gets planted multilingual

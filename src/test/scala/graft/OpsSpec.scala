@@ -77,6 +77,41 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("stripMarkup: tags drop, entities single-unescape with &amp; last, density counts") {
+    val d = Seq(
+      (1L, "<p>Hello <b>world</b></p>"),
+      (2L, "a &amp;lt; b &lt; c &amp; d"),   // &amp;lt; must yield literal &lt;
+      (3L, "no markup at all")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.stripMarkup(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) === (("Hello world", 4L, 0L)))
+    assert(got(2L)._1 === "a &lt; b < c & d",
+      "&amp;lt; unescapes ONE level (HTML spec), bare &lt; fully")
+    assert(got(2L)._3 === 3L, "&amp; twice + &lt; once")
+    assert(got(3L) === (("no markup at all", 0L, 0L)))
+  }
+
+  test("interleave: per-source arithmetic positions, no global sort, prefix balanced") {
+    val d = (1L to 300L).map(i => (i, s"doc $i", s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ops.Sampling.interleave(d, "doc_id", "source")
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._3).toSet === (0L until 300L).toSet,
+      "equal-sized sources -> gap-free positions")
+    // every source occupies exactly the residue class of its index
+    rows.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3 % 3).toSet.size === 1,
+        "a source's docs sit in one residue class mod S")
+    }
+    // any prefix of K full rounds carries K docs of EVERY source
+    val first30 = rows.sortBy(_._3).take(30).groupBy(_._2).view.mapValues(_.size)
+    assert(first30.values.toSet === Set(10), s"balanced prefix: $first30")
+    assert(!out.queryExecution.executedPlan.toString.contains("Sort [pos"),
+      "no global sort on pos is ever planned")
+  }
+
   test("scriptProfile: codepoint-class counts and fixed-order dominance ties") {
     val d = Seq(
       (1L, "hello world 42"),
