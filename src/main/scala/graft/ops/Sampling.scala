@@ -371,45 +371,79 @@ object Sampling {
     * interleaving fixes the mixing rate and hash-determinism makes the
     * order reproducible run-to-run): docs rank within their source by
     * (portable hash of id, id), and the global position is pure
-    * ARITHMETIC — `pos = (rank−1)·S + source_index` — so no global
-    * sort ever runs: the only exchanges are the per-source rank window
-    * (keyed) and a broadcast join against the S-row source-index frame
-    * (its own window sorts S metadata rows). Consumers `ORDER BY pos`
+    * ARITHMETIC — `pos = rank·S + source_index` — so no global sort
+    * ever runs. The within-source rank itself is TWO-PASS (the
+    * [[selectByTokenBudget]] discipline): local ranks within
+    * (source, shard) — parallelism S·nShards, so a 5-source 100 TB
+    * corpus never funnels a whole source through one reducer — then
+    * exclusive shard-prefix offsets from an (S × nShards)-row metadata
+    * frame broadcast back. Consumers `ORDER BY pos`
     * per shard, or range-partition on pos for the packed write.
     * Positions are gap-free per round until a source exhausts, then
     * that source's slots go unused — the standard round-robin
     * semantics (exhausted-source slots are NOT recycled, keeping every
     * doc's position independent of other sources' sizes).
     */
-  def interleave(df: DataFrame, id: String, source: String): DataFrame = {
+  def interleave(df: DataFrame, id: String, source: String,
+                 nShards: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val h = sparkStringHash(s"cast($id AS STRING)")
+    val h2 = universal(1, h)
+    // within-source rank in TWO passes so no reducer ever sees a whole
+    // source (the selectByTokenBudget/shardedShuffle discipline): local
+    // rank within (source, shard), then exclusive shard-prefix offsets
+    // — an (S × nShards)-row metadata frame — broadcast back
+    val w = Window.partitionBy(col(source), col("__shard"))
+      .orderBy(col("__h2"), col(id))
+    val ranked = Caches.lease(df.select(col(id), col(source))
+      .withColumn("__shard", expr(s"$h % $nShards"))
+      .withColumn("__h2", expr(h2))
+      .withColumn("__lr", row_number().over(w).cast("long") - 1))
+    val offW = Window.partitionBy(col(source)).orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranked.groupBy(col(source), col("__shard"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(offW), lit(0L)))
+      .select(col(source), col("__shard"), col("__off"))
     val srcIdx = df.select(col(source)).distinct()
       .withColumn("__sidx",
         row_number().over(Window.orderBy(col(source))).cast("long") - 1)
     val nSrc = srcIdx.agg(count(lit(1)).as("__ns"))
-    val rank = Window.partitionBy(col(source))
-      .orderBy(expr(sparkStringHash(s"cast($id AS STRING)")), col(id))
-    df.select(col(id), col(source))
-      .withColumn("__rank", row_number().over(rank).cast("long") - 1)
+    ranked.join(broadcast(offsets), Seq(source, "__shard"))
       .join(broadcast(srcIdx), Seq(source))
       .crossJoin(broadcast(nSrc))
       .select(col(id), col(source),
-        (col("__rank") * col("__ns") + col("__sidx")).as("pos"))
+        ((col("__off") + col("__lr")) * col("__ns") + col("__sidx")).as("pos"))
   }
 
   /** DuckDB twin of [[interleave]]. */
-  def interleaveSql(table: String, id: String, source: String): String =
-    s"""WITH sidx AS (
+  def interleaveSql(table: String, id: String, source: String,
+                    nShards: Int = 16): String = {
+    val h = duckStringHash(s"($id)::VARCHAR")
+    val h2 = universal(1, h)
+    s"""WITH base AS (
+       |  SELECT $id, $source, ($h % $nShards) AS shard, $h2 AS h2 FROM $table),
+       |ranked AS (
+       |  SELECT $id, $source, shard,
+       |    (row_number() OVER (PARTITION BY $source, shard
+       |       ORDER BY h2, $id) - 1)::BIGINT AS lr
+       |  FROM base),
+       |cnts AS (SELECT $source, shard, count(*)::BIGINT AS c
+       |         FROM ranked GROUP BY 1, 2),
+       |offs AS (
+       |  SELECT $source, shard,
+       |    coalesce(sum(c) OVER (PARTITION BY $source ORDER BY shard
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+       |  FROM cnts),
+       |sidx AS (
        |  SELECT $source, (row_number() OVER (ORDER BY $source) - 1)::BIGINT AS si
        |  FROM (SELECT DISTINCT $source FROM $table)),
-       |ns AS (SELECT count(*)::BIGINT AS n FROM sidx),
-       |ranked AS (
-       |  SELECT $id, $source,
-       |    (row_number() OVER (PARTITION BY $source
-       |       ORDER BY ${duckStringHash(s"($id)::VARCHAR")}, $id) - 1)::BIGINT AS rk
-       |  FROM $table)
-       |SELECT r.$id, r.$source, (r.rk * ns.n + s.si)::BIGINT AS pos
-       |FROM ranked r JOIN sidx s ON r.$source = s.$source, ns""".stripMargin
+       |ns AS (SELECT count(*)::BIGINT AS n FROM sidx)
+       |SELECT r.$id, r.$source, ((o.off + r.lr) * ns.n + s.si)::BIGINT AS pos
+       |FROM ranked r
+       |JOIN offs o ON r.$source = o.$source AND r.shard = o.shard
+       |JOIN sidx s ON r.$source = s.$source, ns""".stripMargin
+  }
 
   def splitAssign(df: DataFrame, id: String,
                   valPct: Int = 1, testPct: Int = 1): DataFrame = {

@@ -1551,8 +1551,10 @@ object Queries {
 
     // deterministic round-robin source interleave: the training-order
     // op -- rank within source by portable hash, global position by
-    // pure arithmetic rank*S + source_index (NO global sort; keyed
-    // window + two broadcast metadata joins)
+    // pure arithmetic rank*S + source_index (NO global sort); the
+    // within-source rank is two-pass sharded (local (source, shard)
+    // ranks + broadcast prefix offsets) so few-source corpora never
+    // funnel a whole source through one reducer
     QueryDef("pipeline_interleave",
       (s, dir) => graft.ops.Sampling.interleave(
         t(s, dir, "documents"), "doc_id", "source"),
