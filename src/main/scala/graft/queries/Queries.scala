@@ -1549,6 +1549,34 @@ object Queries {
           "FROM documents)",
         "doc_id", "text"))),
 
+    // the INGEST chain composed end to end: crawl markup -> stripped
+    // text -> canonical normalization -> language/quality/dedup gate,
+    // as ONE declarative plan (every stage is a projection until the
+    // filter's digest window -- one corpus scan + one keyed exchange;
+    // PlanAuditSpec pins the single scan). The fixture plants markup
+    // the way text_strip_markup does; the oracle replays the identical
+    // three-stage chain as nested derived tables
+    QueryDef("pipeline_ingest",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").withColumn("text", expr(
+          "concat('<p>Crawl <b>page</b></p> ', text, ' &amp; tail')"))
+        val clean = TextAnalysis.stripMarkup(docs, "doc_id", "text")
+          .select(col("doc_id"), col("clean_text").as("text"))
+        val norm = TextAnalysis.normalize(clean, "doc_id", "text")
+          .select(col("doc_id"), col("norm_text").as("text"))
+        TextAnalysis.corpusFilter(norm, "doc_id", "text")
+      },
+      Some(TextAnalysis.corpusFilterSql(
+        "(SELECT doc_id, norm_text AS text FROM (" +
+          TextAnalysis.normalizeSql(
+            "(SELECT doc_id, clean_text AS text FROM (" +
+              TextAnalysis.stripMarkupSql(
+                "(SELECT doc_id, '<p>Crawl <b>page</b></p> ' || text || " +
+                  "' &amp; tail' AS text FROM documents)",
+                "doc_id", "text") + "))",
+            "doc_id", "text") + "))",
+        "doc_id", "text"))),
+
     // deterministic round-robin source interleave: the training-order
     // op -- rank within source by portable hash, global position by
     // pure arithmetic rank*S + source_index (NO global sort); the

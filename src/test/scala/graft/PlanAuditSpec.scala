@@ -491,6 +491,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_ingest: the strip->normalize->filter chain is ONE corpus scan + one keyed exchange") {
+    val p = formatted("pipeline_ingest")
+    assert(count(p, "Location[^\\n]*documents\\.parquet") == 1,
+      s"the three stages must fuse onto one scan:\n$p")
+    val plan = Queries.queryMap("pipeline_ingest")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(count(plan, "Exchange") == 1,
+      s"only the dedup digest window may shuffle:\n$plan")
+  }
+
   test("text_scripts: script counts are one zero-exchange scan projection") {
     val p = plan("text_scripts")
     assert(!p.contains("Exchange"), s"scriptProfile must not shuffle:\n$p")
