@@ -270,6 +270,39 @@ object Eval {
     * DuckDB's 1-based UNNEST index vs Spark's 0-based pos only orders
     * dimensions, it never reaches the output.
     */
+  /** Inter-class centroid separation — the embedding-quality report
+    * next to [[labelCentroids]]: pairwise cosine between every label
+    * pair's centroid (well-separated classes ⇒ the embedding carries
+    * the label signal; near-1 pairs flag classes the representation
+    * cannot distinguish — the eval a curation team runs before trusting
+    * embedding-based dedup/filtering on a new encoder). The centroid
+    * frame is labels × dim (metadata) — the pair join is a broadcast
+    * over L(L−1)/2 rows; the corpus cost is [[labelCentroids]]'s one
+    * scan. Cosine via the declarative HOF twin over the ROUNDED
+    * centroids both engines already hash-agree on.
+    */
+  def centroidSeparation(df: DataFrame, labelCol: String,
+                         vecCol: String): DataFrame = {
+    val cents = labelCentroids(df, labelCol, vecCol)
+    val a = cents.select(col("label").as("label_a"), col("centroid").as("ca"),
+      col("n_vectors").as("n_a"))
+    val b = cents.select(col("label").as("label_b"), col("centroid").as("cb"),
+      col("n_vectors").as("n_b"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        expr(s"round(${Similarity.sparkCosine("ca", "cb")}, 6)").as("cos_sim"))
+  }
+
+  /** DuckDB twin of [[centroidSeparation]]. */
+  def centroidSeparationSql(table: String, labelCol: String,
+                            vecCol: String): String =
+    s"""WITH cents AS (
+       |${labelCentroidsSql(table, labelCol, vecCol)})
+       |SELECT a.label AS label_a, b.label AS label_b,
+       |  a.n_vectors AS n_a, b.n_vectors AS n_b,
+       |  round(${Similarity.duckCosine("a.centroid", "b.centroid")}, 6) AS cos_sim
+       |FROM cents a JOIN cents b ON a.label < b.label""".stripMargin
+
   /** Planted-copy recall gate for the NEAR-DUP KEEPER family — the
     * dedup analog of the ANN recall gates (an approximate dedup you
     * cannot score against planted ground truth is a hope, not an

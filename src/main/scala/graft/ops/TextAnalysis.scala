@@ -559,6 +559,40 @@ object TextAnalysis {
         "CAST(r_words + r_mean_len + r_symbol + r_alpha + r_stop + r_bullet + r_ellipsis = 7 AS INT)"))
   }
 
+  /** Per-source quality REPORT — the Gopher-gate profile a curation run
+    * reads next to [[corpusProfile]]'s size census: per source, doc
+    * count, gate pass-rate in milli-units, and integer mean words/doc.
+    * One scan (the `carry` hook keeps source in [[gopherRules]]'s own
+    * projection — no re-join), one keyed partial agg; all outputs exact
+    * integers. The report that tells you WHERE the filter's mass loss
+    * lands before you commit to it.
+    */
+  def qualityReport(df: DataFrame, id: String, text: String,
+                    source: String, minWords: Int = 50): DataFrame =
+    gopherRules(df, id, text, minWords = minWords, carry = Seq(source))
+      .groupBy(col(source))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_pass"),
+        sum(col("n_words").cast("long")).as("total_words"))
+      .withColumn("pass_rate_milli", expr("(1000 * n_pass) div n_docs"))
+      .withColumn("mean_words_milli", expr("(1000 * total_words) div n_docs"))
+
+  /** DuckDB twin of [[qualityReport]] (the oracle may re-join freely —
+    * scale discipline binds the engine side only).
+    */
+  def qualityReportSql(table: String, id: String, text: String,
+                       source: String, minWords: Int = 50): String =
+    s"""WITH g AS (
+       |${gopherRulesSql(table, id, text, minWords = minWords)}),
+       |j AS (SELECT t.$source, g.keep, g.n_words
+       |      FROM $table t JOIN g ON t.$id = g.$id)
+       |SELECT $source, count(*)::BIGINT AS n_docs,
+       |  sum(keep)::BIGINT AS n_pass,
+       |  sum(n_words)::BIGINT AS total_words,
+       |  ((1000 * sum(keep)) // count(*))::BIGINT AS pass_rate_milli,
+       |  ((1000 * sum(n_words)) // count(*))::BIGINT AS mean_words_milli
+       |FROM j GROUP BY 1""".stripMargin
+
   def gopherRulesSql(table: String, id: String, text: String,
                      minWords: Int = 50, maxWords: Int = 100000,
                      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,

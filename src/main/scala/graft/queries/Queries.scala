@@ -1549,6 +1549,26 @@ object Queries {
           "FROM documents)",
         "doc_id", "text"))),
 
+    // per-source Gopher-gate profile: pass rate + mean words per
+    // source in one scan (gopherRules' carry hook keeps source in the
+    // same projection) + one keyed agg -- the report that shows WHERE
+    // a filter's mass loss lands before committing to it
+    QueryDef("pipeline_quality_report",
+      (s, dir) => TextAnalysis.qualityReport(t(s, dir, "documents"),
+        "doc_id", "text", "source"),
+      Some(TextAnalysis.qualityReportSql("documents",
+        "doc_id", "text", "source"))),
+
+    // inter-class centroid separation: pairwise cosine over the
+    // label-centroid frame (labels x dim metadata; broadcast pair
+    // join) -- the embedding-quality eval run before trusting
+    // embedding-based dedup/filtering on a new encoder
+    QueryDef("embed_centroid_separation",
+      (s, dir) => graft.ops.Eval.centroidSeparation(
+        t(s, dir, "embeddings"), "label", "embedding"),
+      Some(graft.ops.Eval.centroidSeparationSql("embeddings",
+        "label", "embedding"))),
+
     // the INGEST chain composed end to end: crawl markup -> stripped
     // text -> canonical normalization -> language/quality/dedup gate,
     // as ONE declarative plan (every stage is a projection until the
