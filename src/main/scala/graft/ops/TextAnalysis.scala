@@ -1197,9 +1197,11 @@ object TextAnalysis {
     * op restricts to the subset every engine agrees on — documented
     * contract, oracle-exact.
     */
-  def normalize(df: DataFrame, id: String, text: String): DataFrame =
+  def normalize(df: DataFrame, id: String, text: String,
+                carry: Seq[String] = Nil): DataFrame =
     graft.functions.VectorFunctions.attach(df)
-      .select(col(id), expr(s"graft_normalize($text)").as("norm_text"))
+      .select((col(id) +: carry.map(col)) :+
+        expr(s"graft_normalize($text)").as("norm_text"): _*)
 
   /** DuckDB twin of [[normalize]]. */
   def normalizeSql(table: String, id: String, text: String): String =
@@ -1221,10 +1223,11 @@ object TextAnalysis {
     * a page that is mostly tags is boilerplate, the Gopher-adjacent
     * gate). One zero-shuffle scan projection of regexp/replace chains.
     */
-  def stripMarkup(df: DataFrame, id: String, text: String): DataFrame = {
+  def stripMarkup(df: DataFrame, id: String, text: String,
+                  carry: Seq[String] = Nil): DataFrame = {
     val tagRe = "<[^>]*>"
     val entRe = "&(amp|lt|gt|quot|#39);"
-    df.select(col(id),
+    df.select((col(id) +: carry.map(col)) ++ Seq(
       expr(s"""trim(regexp_replace(
         replace(replace(replace(replace(replace(
           regexp_replace($text, '$tagRe', ' '),
@@ -1234,7 +1237,7 @@ object TextAnalysis {
       expr(s"size(regexp_extract_all($text, '$tagRe', 0))").cast("long")
         .as("n_tags"),
       expr(s"size(regexp_extract_all($text, '$entRe', 0))").cast("long")
-        .as("n_entities"))
+        .as("n_entities")): _*)
   }
 
   /** DuckDB twin of [[stripMarkup]] (same entity order: `&amp;` last). */

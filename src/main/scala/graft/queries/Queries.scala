@@ -2375,6 +2375,38 @@ object Queries {
       },
       Some(graft.ops.CorpusIO.checksumSql("documents", "source", "doc_id", "text"))),
 
+    // schema evolution across corpus snapshots: v1 files lack a column
+    // a later crawl added; the merged-schema read must surface v1 rows
+    // with NULLs and lose nothing — the lake-layout drift every
+    // long-lived corpus hits. The oracle replays the two-snapshot union
+    // over the original table; content checksummed per source
+    QueryDef("io_schema_evolution",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_io_evo_${math.abs(dir.hashCode)}"
+        docs.select(col("doc_id"), col("text"), col("source"))
+          .write.mode("overwrite").parquet(s"$out/v1")
+        docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            col("source"), col("lang"))
+          .write.mode("overwrite").parquet(s"$out/v2")
+        s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("lang")).as("n_with_lang"),
+            sum(col("doc_id")).as("id_sum"),
+            sum(expr(graft.ops.PortableHash.sparkStringHash("text")))
+              .as("text_hash_sum"))
+      },
+      Some(s"""SELECT source, count(*) AS n_docs,
+             |  count(lang)::BIGINT AS n_with_lang,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(${graft.ops.PortableHash.duckStringHash("text")}) AS BIGINT) AS text_hash_sum
+             |FROM (
+             |  SELECT doc_id, text, source, NULL AS lang FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text, source, lang FROM documents)
+             |GROUP BY source""".stripMargin)),
+
     // multi-dimensional clustering rewrite (OPTIMIZE ZORDER shape):
     // events laid out along the Morton curve of (user_id, event_id) so
     // range predicates on EITHER column touch few files — the oracle

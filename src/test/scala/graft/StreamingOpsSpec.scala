@@ -83,6 +83,34 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest chain: markup strips, normalization collapses variants before dedup, gate holds") {
+    implicit val sq = spark.sqlContext
+    val docs = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val raw = docs.toDF().toDF("doc_id", "text", "ts")
+    // the batch pipeline_ingest chain, unchanged on a stream: every
+    // stage before the watermarked dedup is a stateless projection
+    val clean = TextAnalysis.stripMarkup(raw, "doc_id", "text", carry = Seq("ts"))
+      .select($"doc_id", $"clean_text".as("text"), $"ts")
+    val norm = TextAnalysis.normalize(clean, "doc_id", "text", carry = Seq("ts"))
+      .select($"doc_id", $"norm_text".as("text"), $"ts")
+    val out = TextAnalysis.corpusFilterStreaming(norm, "doc_id", "text",
+      "ts", "10 seconds", lang = "en", minWords = 5, minStopRatio = 0.02)
+    val q = out.writeStream.format("memory").queryName("ingest_stream")
+      .outputMode("append").start()
+    try {
+      docs.addData(
+        (1L, "<p>The cat sat on a mat and slept</p>", ts("2024-01-01 00:00:00")),
+        // markup + case VARIANT of doc 1: normalization must collapse
+        // it to the same digest, so the dedup drops it in-flight
+        (2L, "the CAT <b>sat</b> on a mat and slept", ts("2024-01-01 00:00:01")),
+        (3L, "<i>der hund</i> ist und das auch hier", ts("2024-01-01 00:00:02")))
+      q.processAllAvailable()
+      val kept = spark.table("ingest_stream").select($"doc_id").as[Long].collect().sorted
+      assert(kept.toSeq === Seq(1L),
+        "markup/case variants collapse; wrong-language doc gated")
+    } finally q.stop()
+  }
+
   test("streaming decontamination guard: bench-overlapping docs drop in-flight, clean and sub-k docs pass") {
     implicit val sq = spark.sqlContext
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
