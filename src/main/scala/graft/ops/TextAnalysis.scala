@@ -1588,6 +1588,82 @@ object TextAnalysis {
        |FROM ech)""".stripMargin
   }
 
+  /** Late-interaction MaxSim retrieval (the ColBERT scoring shape over
+    * this engine's deterministic hash embeddings) — the third retrieval
+    * paradigm next to [[bm25TopK]] (lexical) and the ANN family
+    * (single-vector dense): score(doc) = Σ_term max_chunk
+    * dot(term_emb, chunk_emb), so each query term independently finds
+    * its best-matching CHUNK and a doc wins by covering all terms
+    * somewhere, not by one chunk matching everything — what
+    * single-vector retrieval structurally cannot express.
+    *
+    * Determinism: chunk embeddings are the signed-hash integer vectors
+    * of [[hashEmbedChunks]] (double-typed but integer-valued — exact
+    * until 2^53, and dots here are bounded by chunk size); query-term
+    * embeddings are computed ONCE driver-side from the portable hash
+    * (PortableHashSpec pins jvm = spark = duck) and inlined as
+    * literals on BOTH engines. Scale shape: one corpus scan to chunk
+    * embeddings, a broadcast |terms|-row cross join, two keyed partial
+    * aggs (max per (doc, term), sum per doc), TakeOrdered(k) — no
+    * global sort, exchanges carry (doc, term, dot) longs.
+    */
+  def maxSimTopK(docs: DataFrame, id: String, text: String,
+                 terms: Seq[String], k: Int = 10,
+                 size: Int = 32, stride: Int = 24,
+                 dim: Int = 16): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val s = docs.sparkSession
+    import s.implicits._
+    def termEmbed(t: String): Seq[Double] = {
+      val h = PortableHash.jvmStringHash(t)
+      Seq.tabulate(dim)(j =>
+        if (h % dim == j) { if ((h / dim) % 2 == 0) -1.0 else 1.0 } else 0.0)
+    }
+    val chunks = hashEmbedChunks(docs, id, text, size, stride, dim)
+      .select(expr("v_id div 100000").as("did"), col("vec"))
+    val qterms = terms.zipWithIndex
+      .map { case (t, i) => (i, termEmbed(t)) }.toDF("q_idx", "qv")
+    val dot = "cast(aggregate(zip_with(vec, qv, (a, b) -> a * b), " +
+      "cast(0.0 AS DOUBLE), (acc, v) -> acc + v) AS BIGINT)"
+    chunks.crossJoin(broadcast(qterms))
+      .select(col("did"), col("q_idx"), expr(dot).as("d"))
+      .groupBy(col("did"), col("q_idx")).agg(max(col("d")).as("mx"))
+      .groupBy(col("did")).agg(sum(col("mx")).as("maxsim"))
+      .orderBy(col("maxsim").desc, col("did").asc).limit(k)
+      .select(col("did").as(id), col("maxsim"))
+  }
+
+  /** DuckDB twin of [[maxSimTopK]] (same driver-side literal term
+    * embeddings).
+    */
+  def maxSimTopKSql(table: String, id: String, text: String,
+                    terms: Seq[String], k: Int = 10,
+                    size: Int = 32, stride: Int = 24,
+                    dim: Int = 16): String = {
+    def termEmbed(t: String): Seq[Double] = {
+      val h = PortableHash.jvmStringHash(t)
+      Seq.tabulate(dim)(j =>
+        if (h % dim == j) { if ((h / dim) % 2 == 0) -1.0 else 1.0 } else 0.0)
+    }
+    val qt = terms.zipWithIndex.map { case (t, i) =>
+      s"SELECT $i AS q_idx, ${termEmbed(t).mkString("[", ", ", "]")}::DOUBLE[] AS qv"
+    }.mkString(" UNION ALL ")
+    s"""WITH chunks AS (
+       |  SELECT v_id // 100000 AS did, vec
+       |  FROM ${hashEmbedChunksSql(table, id, text, size, stride, dim)}),
+       |qt AS ($qt),
+       |dots AS (
+       |  SELECT did, q_idx,
+       |    (list_reduce(list_prepend(0.0::DOUBLE,
+       |       list_transform(generate_series(1, $dim), j -> vec[j] * qv[j])),
+       |      (a, b) -> a + b))::BIGINT AS d
+       |  FROM chunks, qt),
+       |mx AS (SELECT did, q_idx, max(d) AS mx FROM dots GROUP BY 1, 2)
+       |SELECT did AS $id, sum(mx)::BIGINT AS maxsim
+       |FROM mx GROUP BY 1
+       |ORDER BY maxsim DESC, $id ASC LIMIT $k""".stripMargin
+  }
+
   /** DuckDB twin of [[chunkDocuments]]. */
   def chunkDocumentsSql(table: String, id: String, text: String,
                         size: Int = 32, stride: Int = 24): String =

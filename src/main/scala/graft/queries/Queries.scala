@@ -1657,6 +1657,18 @@ object Queries {
         s"(SELECT doc_id, text || ' MIXED  Case\tÉcole  ' AS text FROM documents)",
         "doc_id", "text"))),
 
+    // late-interaction MaxSim retrieval (ColBERT scoring shape): each
+    // query term independently finds its best CHUNK, docs win by
+    // covering all terms somewhere -- the third retrieval paradigm
+    // next to BM25 (lexical) and ANN (single-vector dense); integer
+    // dots, driver-side literal term embeddings (portable-hash parity
+    // spec-pinned), two keyed partial aggs + TakeOrdered
+    QueryDef("pipeline_maxsim_search",
+      (s, dir) => TextAnalysis.maxSimTopK(t(s, dir, "documents"),
+        "doc_id", "text", terms = Seq("vector", "spark", "dedup"), k = 10),
+      Some(TextAnalysis.maxSimTopKSql("documents", "doc_id", "text",
+        terms = Seq("vector", "spark", "dedup"), k = 10))),
+
     // Hybrid retrieval: BM25 lexical pool + signed-hash-embedding dot
     // pool fused by integer reciprocal-rank fusion — the two-tower
     // search stack as one operator. Docs strong in either leg surface;

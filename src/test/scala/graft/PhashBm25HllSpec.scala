@@ -340,6 +340,44 @@ class PhashBm25HllSpec extends SparkSpec {
     }
   }
 
+  test("maxSimTopK: equals the brute-force late-interaction score; coverage beats concentration") {
+    import graft.ops.PortableHash
+    val (size, stride, dim) = (4, 4, 16)
+    val terms = Seq("alpha", "beta", "gamma")
+    val fill = "pad"
+    val docs = Seq(
+      (1L, s"alpha $fill $fill $fill beta $fill $fill $fill gamma $fill $fill $fill"),
+      (2L, s"alpha beta $fill $fill $fill $fill $fill $fill"), // gamma missing
+      (3L, s"$fill $fill $fill $fill")                          // nothing
+    ).toDF("doc_id", "text")
+    def embed(tok: String): Array[Long] = {
+      val h = PortableHash.jvmStringHash(tok)
+      val v = new Array[Long](dim)
+      v((h % dim).toInt) += (if ((h / dim) % 2 == 0) -1L else 1L)
+      v
+    }
+    def brute(text: String): Long = {
+      val toks = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]".r.findAllIn(text).toArray
+      val nCh = math.max(math.ceil((toks.length - size) / stride.toDouble), 0).toInt + 1
+      val chunks = (0 until nCh).map(i => toks.slice(i * stride, i * stride + size))
+      val cvs = chunks.map(c => c.map(embed).foldLeft(new Array[Long](dim)) {
+        (acc, v) => acc.indices.foreach(j => acc(j) += v(j)); acc })
+      terms.map { t =>
+        val qv = embed(t)
+        cvs.map(cv => cv.indices.map(j => cv(j) * qv(j)).sum).max
+      }.sum
+    }
+    val got = TextAnalysis.maxSimTopK(docs, "doc_id", "text", terms,
+        k = 3, size = size, stride = stride, dim = dim)
+      .as[(Long, Long)].collect().toMap
+    val texts = docs.as[(Long, String)].collect().toMap
+    texts.foreach { case (d, t) =>
+      assert(got(d) === brute(t), s"doc $d maxsim must equal brute force")
+    }
+    assert(got(1L) > got(2L),
+      "covering every term across chunks beats a doc missing a term")
+  }
+
   test("normalize plan: one projection over the scan, zero exchange") {
     val docs = Seq((1L, "Some TEXT")).toDF("doc_id", "text")
     val plan = TextAnalysis.normalize(docs, "doc_id", "text")
