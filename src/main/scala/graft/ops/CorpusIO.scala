@@ -199,6 +199,8 @@ object CorpusIO {
     val r = df.agg(
       min(expr(xCol).cast("long")), max(expr(xCol).cast("long")),
       min(expr(yCol).cast("long")), max(expr(yCol).cast("long"))).head()
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"zorderWrite: empty input (or all-null $xCol/$yCol) — nothing to cluster")
     val z = zorderValue(xCol, yCol, r.getLong(0), r.getLong(1),
       r.getLong(2), r.getLong(3))
     df.withColumn("__z", z)

@@ -283,7 +283,9 @@ object Eval {
     */
   def centroidSeparation(df: DataFrame, labelCol: String,
                          vecCol: String): DataFrame = {
-    val cents = labelCentroids(df, labelCol, vecCol)
+    // leased: both join sides reference the centroid frame — an
+    // uncached plan would re-run the corpus aggregation per side
+    val cents = Caches.lease(labelCentroids(df, labelCol, vecCol))
     val a = cents.select(col("label").as("label_a"), col("centroid").as("ca"),
       col("n_vectors").as("n_a"))
     val b = cents.select(col("label").as("label_b"), col("centroid").as("cb"),
@@ -324,6 +326,8 @@ object Eval {
   def dedupRecall(base: DataFrame, id: String, text: String,
                   nPlant: Int, offset: Long = 1000000L,
                   suffix: String = " planted trailing copy"): DataFrame = {
+    require(nPlant > 0, "dedupRecall needs planted copies (nPlant > 0) " +
+      "— recall over an empty plant set is 0/0")
     val copies = base.where(col(id) < nPlant)
       .select((col(id) + offset).as(id),
         concat(col(text), lit(suffix)).as(text))

@@ -474,6 +474,14 @@ object Multimodal {
       * different content almost surely flips. Returns
       * (n_frames, fingerprint); fingerprints of different n_frames live
       * in disjoint bit spaces and must never be compared bitwise.
+      *
+      * Clips longer than 64 frames carry a PREFIX fingerprint: bits cap
+      * at 63 comparisons (the chromaprint move — subfingerprints over a
+      * window, not one unbounded word). Without the cap `1L << i` wraps
+      * mod 64 on the JVM: bit 64 aliases onto bit 0 and unrelated long
+      * clips collide, and bit 63 makes the sketch negative — breaking
+      * the keeper's div/mod banding and diverging from the oracle's
+      * unwrapped `<<`.
       */
     def fingerprint(samples: Array[Int], frame: Int = 8): (Int, Long) = {
       val nf = samples.length / frame
@@ -487,7 +495,8 @@ object Multimodal {
       }
       var fp = 0L
       var i = 0
-      while (i < nf - 1) {
+      val bits = math.min(nf - 1, 63)
+      while (i < bits) {
         if (e(i + 1) > e(i)) fp |= 1L << i
         i += 1
       }
@@ -1036,7 +1045,8 @@ object Multimodal {
        |    lead(e) OVER (PARTITION BY media_id ORDER BY f) AS e_next
        |  FROM fr)
        |SELECT media_id, n_frames,
-       |  CAST(coalesce(sum(CASE WHEN e_next > e THEN (1::BIGINT << f)
+       |  CAST(coalesce(sum(CASE WHEN f < 63 AND e_next > e
+       |                         THEN (1::BIGINT << f)
        |                         ELSE 0 END), 0) AS BIGINT) AS afp
        |FROM bits GROUP BY 1, 2""".stripMargin
 

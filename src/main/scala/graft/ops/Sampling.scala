@@ -405,7 +405,9 @@ object Sampling {
       .agg(count(lit(1)).as("__c"))
       .withColumn("__off", coalesce(sum(col("__c")).over(offW), lit(0L)))
       .select(col(source), col("__shard"), col("__off"))
-    val srcIdx = df.select(col(source)).distinct()
+    // source index derived from the OFFSETS metadata frame (itself off
+    // the leased ranked rows) — never a second scan of the input
+    val srcIdx = offsets.select(col(source)).distinct()
       .withColumn("__sidx",
         row_number().over(Window.orderBy(col(source))).cast("long") - 1)
     val nSrc = srcIdx.agg(count(lit(1)).as("__ns"))

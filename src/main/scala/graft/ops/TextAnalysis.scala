@@ -1129,13 +1129,17 @@ object TextAnalysis {
       "n_digit" -> cnt("[0-9]"))
     val names = classes.map(_._1)
     // CASE takes the FIRST matching WHEN, so ties break in declaration
-    // order — identically on both engines
+    // order — identically on both engines. All-zero docs (empty text,
+    // or entirely in an uncovered script — Greek, Hangul, emoji) get
+    // dominant = NULL, never a spurious 'n_latin'
     df.select((col(id) +:
         length(col(text)).cast("long").as("n_chars_total") +:
         classes.map { case (n, e) => expr(e).cast("long").as(n) }): _*)
-      .withColumn("dominant", expr("CASE " + names.map(n =>
-        s"WHEN $n = greatest(${names.mkString(", ")}) THEN '$n'")
-        .mkString(" ") + " END"))
+      .withColumn("dominant", expr(
+        s"CASE WHEN greatest(${names.mkString(", ")}) = 0 THEN NULL " +
+          names.map(n =>
+            s"WHEN $n = greatest(${names.mkString(", ")}) THEN '$n'")
+            .mkString(" ") + " END"))
   }
 
   /** DuckDB twin of [[scriptProfile]]. */
@@ -1149,8 +1153,9 @@ object TextAnalysis {
       "n_digit" -> cnt("[0-9]"))
     val names = classes.map(_._1)
     val sel = classes.map { case (n, e) => s"$e::BIGINT AS $n" }.mkString(",\n  ")
-    val dom = "CASE " + names.map(n =>
-      s"WHEN $n = greatest(${names.mkString(", ")}) THEN '$n'").mkString(" ") +
+    val dom = s"CASE WHEN greatest(${names.mkString(", ")}) = 0 THEN NULL " +
+      names.map(n =>
+        s"WHEN $n = greatest(${names.mkString(", ")}) THEN '$n'").mkString(" ") +
       " END"
     s"""SELECT $id, n_chars_total, ${names.mkString(", ")}, $dom AS dominant
        |FROM (SELECT $id, length($text)::BIGINT AS n_chars_total,
@@ -1607,6 +1612,18 @@ object TextAnalysis {
     * aggs (max per (doc, term), sum per doc), TakeOrdered(k) — no
     * global sort, exchanges carry (doc, term, dot) longs.
     */
+  /** Driver-side one-hot signed-hash embedding of a single query term —
+    * the literal both [[maxSimTopK]] and [[maxSimTopKSql]] inline, so
+    * the two engines cannot diverge on it (it replays the same
+    * bucket/sign formula as the chunk-side kernels, over the
+    * spec-pinned jvm = spark = duck portable hash).
+    */
+  private def termEmbed(t: String, dim: Int): Seq[Double] = {
+    val h = PortableHash.jvmStringHash(t)
+    Seq.tabulate(dim)(j =>
+      if (h % dim == j) { if ((h / dim) % 2 == 0) -1.0 else 1.0 } else 0.0)
+  }
+
   def maxSimTopK(docs: DataFrame, id: String, text: String,
                  terms: Seq[String], k: Int = 10,
                  size: Int = 32, stride: Int = 24,
@@ -1614,15 +1631,10 @@ object TextAnalysis {
     require(terms.nonEmpty, "need at least one query term")
     val s = docs.sparkSession
     import s.implicits._
-    def termEmbed(t: String): Seq[Double] = {
-      val h = PortableHash.jvmStringHash(t)
-      Seq.tabulate(dim)(j =>
-        if (h % dim == j) { if ((h / dim) % 2 == 0) -1.0 else 1.0 } else 0.0)
-    }
     val chunks = hashEmbedChunks(docs, id, text, size, stride, dim)
       .select(expr("v_id div 100000").as("did"), col("vec"))
     val qterms = terms.zipWithIndex
-      .map { case (t, i) => (i, termEmbed(t)) }.toDF("q_idx", "qv")
+      .map { case (t, i) => (i, termEmbed(t, dim)) }.toDF("q_idx", "qv")
     val dot = "cast(aggregate(zip_with(vec, qv, (a, b) -> a * b), " +
       "cast(0.0 AS DOUBLE), (acc, v) -> acc + v) AS BIGINT)"
     chunks.crossJoin(broadcast(qterms))
@@ -1640,13 +1652,8 @@ object TextAnalysis {
                     terms: Seq[String], k: Int = 10,
                     size: Int = 32, stride: Int = 24,
                     dim: Int = 16): String = {
-    def termEmbed(t: String): Seq[Double] = {
-      val h = PortableHash.jvmStringHash(t)
-      Seq.tabulate(dim)(j =>
-        if (h % dim == j) { if ((h / dim) % 2 == 0) -1.0 else 1.0 } else 0.0)
-    }
     val qt = terms.zipWithIndex.map { case (t, i) =>
-      s"SELECT $i AS q_idx, ${termEmbed(t).mkString("[", ", ", "]")}::DOUBLE[] AS qv"
+      s"SELECT $i AS q_idx, ${termEmbed(t, dim).mkString("[", ", ", "]")}::DOUBLE[] AS qv"
     }.mkString(" UNION ALL ")
     s"""WITH chunks AS (
        |  SELECT v_id // 100000 AS did, vec

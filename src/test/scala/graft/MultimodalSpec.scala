@@ -202,6 +202,19 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio fingerprint caps at 63 comparison bits: long clips get a non-negative prefix sketch") {
+    import graft.ops.Multimodal.AudioCodec
+    // 1000 samples -> 125 frames: without the cap, bit 64 would wrap
+    // onto bit 0 and bit 63 would flip the sign
+    val samples = Array.tabulate(1000)(t => ((t * 7919) % 65536) - 32768)
+    val (nf, fp) = AudioCodec.fingerprint(samples)
+    assert(nf === 125)
+    assert(fp >= 0L, "sketch must stay a non-negative 63-bit word")
+    // the prefix property: the first 64 frames alone give the same bits
+    val (_, fpPrefix) = AudioCodec.fingerprint(samples.take(64 * 8))
+    assert(fp === fpPrefix, "bits beyond frame 63 never reach the sketch")
+  }
+
   test("dedupAudioKeepers: one lowest-id survivor per planted group; lengths never cross") {
     val docs = (0L until 160L).toDF("doc_id")
     val fps = Multimodal.audioFingerprint(

@@ -118,7 +118,8 @@ class OpsSpec extends SparkSpec {
       (2L, "中文内容测试 ok"),
       (3L, "Пример текста"),
       (4L, "مثال نصي"),
-      (5L, "aa 11 ЖЖ") // three-way tie at 2 — declaration order wins
+      (5L, "aa 11 ЖЖ"), // three-way tie at 2 — declaration order wins
+      (6L, "ελληνικά !!")  // uncovered script: all classes zero
     ).toDF("doc_id", "text")
     val got = TextAnalysis.scriptProfile(d, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
@@ -129,6 +130,8 @@ class OpsSpec extends SparkSpec {
     assert(got(3L)._3 === 12L); assert(got(3L)._6 === "n_cyrillic")
     assert(got(4L)._4 === 7L); assert(got(4L)._6 === "n_arabic")
     assert(got(5L)._6 === "n_latin", "ties break in declaration order")
+    assert(got(6L)._6 === null,
+      "all-zero docs (uncovered script) must not claim Latin dominance")
   }
 
   test("ngram jaccard length prefilter is lossless at the threshold boundary") {
