@@ -719,4 +719,54 @@ object Dedup {
     s"""SELECT n.$id, md5(n.$text) AS h FROM $newRel n
        |WHERE NOT EXISTS (SELECT 1 FROM $priorRel o
        |                  WHERE md5(o.$text) = md5(n.$text))""".stripMargin
+
+  /** SOFT dedup — down-WEIGHT duplicates instead of dropping them (the
+    * published alternative to hard keeper dedup: duplicate-aware
+    * training reweighting, e.g. SoftDeDup — keeps the information while
+    * removing the over-representation). Every doc gets
+    * `weight = 1 / |its near-dup component|`, so each duplicate CLUSTER
+    * contributes exactly one document's worth of sampling mass no
+    * matter how many copies the crawl found. Docs too short to shingle
+    * (< k words — outside the component labeling by construction) are
+    * their own singleton: weight 1.
+    *
+    * Scale shape: the component labeling ([[minhashDedupComponents]])
+    * dominates and is the linear bucketed mass path; sizes are one
+    * keyed partial-agg over (component_id) rows; the join back to the
+    * corpus is keyed on the doc id — weights attach without the text
+    * column ever shuffling.
+    */
+  def softDedupWeights(df: DataFrame, id: String, text: String,
+                       bands: Int = 4, rowsPerBand: Int = 4,
+                       k: Int = 3, iters: Int = 3): DataFrame = {
+    val comp = minhashDedupComponents(df, id, text, bands, rowsPerBand, k, iters)
+      .select(col("doc_id").as("__cid"), col("component_id"))
+    val sizes = comp.groupBy(col("component_id"))
+      .agg(count(lit(1)).as("dup_count"))
+    df.select(col(id))
+      .join(comp, col(id) === col("__cid"), "left")
+      .join(sizes, Seq("component_id"), "left")
+      .select(col(id),
+        coalesce(col("component_id"), col(id)).as("component_id"),
+        coalesce(col("dup_count"), lit(1L)).as("dup_count"),
+        round(lit(1.0) / coalesce(col("dup_count"), lit(1L)).cast("double"), 6)
+          .as("weight"))
+  }
+
+  /** DuckDB twin of [[softDedupWeights]]. */
+  def softDedupWeightsSql(table: String, id: String, text: String,
+                          bands: Int = 4, rowsPerBand: Int = 4,
+                          k: Int = 3, iters: Int = 3): String =
+    s"""WITH comp AS (
+       |${minhashDedupComponentsSql(table, id, text, bands, rowsPerBand, k, iters)}),
+       |sizes AS (
+       |  SELECT component_id, count(*)::BIGINT AS dup_count
+       |  FROM comp GROUP BY 1)
+       |SELECT t.$id,
+       |  coalesce(c.component_id, t.$id) AS component_id,
+       |  coalesce(s.dup_count, 1)::BIGINT AS dup_count,
+       |  round(1.0 / coalesce(s.dup_count, 1), 6) AS weight
+       |FROM $table t
+       |LEFT JOIN comp c ON t.$id = c.doc_id
+       |LEFT JOIN sizes s ON c.component_id = s.component_id""".stripMargin
 }

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data selection via hashed n-gram importance weights
+  * (Xie et al. 2023, "Data Selection for Language Models via Importance
+  * Resampling" — public algorithm): score every raw document by how much
+  * more likely its n-grams are under a TARGET distribution (the data you
+  * want more of — here a predicate over the corpus itself, e.g. one
+  * language or one curated source) than under the RAW distribution, then
+  * keep the top-scoring documents.
+  *
+  * The published weight is Σ_g log p_target(g) − log p_raw(g) over the
+  * doc's hashed n-grams. Per-token `log` is exactly the cross-engine
+  * hazard this repo's LM scoring rung already avoids
+  * ([[TextAnalysis.unigramScore]]: libm last-ulp differences break hash
+  * equality), so the committed weight is the EXACT-INTEGER surrogate
+  *
+  *   w(d) = Σ_g ( cnt_t(b(g)) · T_r  −  cnt_r(b(g)) · T_t )
+  *
+  * i.e. Σ_g (p_t − p_r) scaled by the integer totals T_t·T_r: same sign
+  * per gram as the log-ratio (positive iff the gram is more likely under
+  * the target), summed in BIGINT so both engines agree bit-for-bit. The
+  * ordering differs from the log form (probability DIFFERENCES weigh
+  * common grams more than ratios do) — documented surrogate, same
+  * selection intent. Resampling is the deterministic top-N variant
+  * (Gumbel noise is inherently engine-random): rank by (w_sum DESC,
+  * id ASC).
+  *
+  * Features are the paper's construction: word unigrams + bigrams hashed
+  * into `buckets` buckets ([[PortableHash]] mod B — collisions are part
+  * of the model, they just coarsen the distributions identically on both
+  * sides).
+  *
+  * Scale shape (100 TB): pass 1 builds the bucket table — one corpus
+  * scan exploding to (bucket, is_target) that partial-aggregates to B
+  * rows (B is metadata-sized: the exchange carries ≤ B rows per map
+  * partition); pass 2 re-scans the corpus, joins the BROADCAST bucket
+  * table, and partial-aggregates back to doc grain — no shuffle ever
+  * carries gram rows across the wire beyond the keyed doc-grain partial
+  * agg. In production the pass-1 side runs on a SAMPLE (the op takes any
+  * frame for `ref`); here both passes read the registered corpus so the
+  * oracle can replay them. BIGINT bound: |w_sum| ≤ n_grams(d) · max_cnt
+  * · total ≈ 10² · C² for corpus gram count C — overflows past C ≈ 3·10⁸
+  * grams on the counting side; at that scale train the bucket table on a
+  * fixed-size sample (the intended shape), which restores the bound.
+  */
+object Dsir {
+
+  /** Word unigrams + bigrams of `text` (non-empty words), one array. */
+  private def sparkGramsExpr(text: String): String =
+    PortableHash.let1("__w", s"filter(split($text, ' '), w -> w <> '')",
+      "concat(__w, graft_ngrams(__w, 2))")
+
+  private def duckGramsExpr(text: String): String = {
+    val w = s"list_filter(string_split($text, ' '), w -> w <> '')"
+    s"list_concat($w, list_transform(generate_series(1, len($w) - 1), " +
+      s"i -> $w[i] || ' ' || $w[i + 1]))"
+  }
+
+  /** Per-document importance weights: (id, n_grams, w_sum). `targetPred`
+    * is evaluated per document BEFORE gram explosion (it references doc
+    * columns, e.g. `col("lang") === "en"`).
+    */
+  def weights(docs: DataFrame, id: String, text: String,
+              targetPred: Column, buckets: Int = 256): DataFrame = {
+    val fdf = graft.functions.VectorFunctions.attach(docs)
+    val grams = fdf
+      .select(col(id), targetPred.as("__is_t"),
+        explode(expr(sparkGramsExpr(text))).as("g"))
+      .withColumn("b", expr(s"${PortableHash.sparkStringHash("g")} % $buckets"))
+    // pass 1: B-row bucket table + 1-row totals (both broadcast)
+    val bucketTable = grams.groupBy(col("b")).agg(
+      sum(when(col("__is_t"), 1L).otherwise(0L)).as("cnt_t"),
+      count(lit(1)).as("cnt_r"))
+    val totals = bucketTable.agg(sum(col("cnt_t")).as("tot_t"),
+      sum(col("cnt_r")).as("tot_r"))
+    // pass 2: corpus scan -> broadcast join -> doc-grain partial agg
+    grams.select(col(id), col("b"))
+      .join(broadcast(bucketTable), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("cnt_t") * col("tot_r") - col("cnt_r") * col("tot_t"))
+          .as("w_sum"))
+  }
+
+  /** Deterministic top-N selection over [[weights]] (w_sum DESC, id ASC
+    * — a TakeOrdered, never a global sort). */
+  def select(docs: DataFrame, id: String, text: String, targetPred: Column,
+             n: Int, buckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the unpartitioned rank window runs AFTER limit(n): its input is
+    // <= n rows by construction, never the corpus
+    weights(docs, id, text, targetPred, buckets)
+      .orderBy(col("w_sum").desc, col(id).asc).limit(n)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("w_sum").desc, col(id).asc)))
+  }
+
+  /** DuckDB twin of [[weights]]. */
+  def weightsSql(table: String, id: String, text: String,
+                 targetPredSql: String, buckets: Int = 256): String =
+    s"""WITH grams AS (
+       |  SELECT $id, ($targetPredSql) AS is_t,
+       |    (${PortableHash.duckStringHash("g.g")} % $buckets) AS b
+       |  FROM $table, UNNEST(${duckGramsExpr(text)}) AS g(g)),
+       |bt AS (
+       |  SELECT b,
+       |    sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS cnt_t,
+       |    count(*)::BIGINT AS cnt_r
+       |  FROM grams GROUP BY b),
+       |tot AS (
+       |  SELECT sum(cnt_t)::BIGINT AS tot_t, sum(cnt_r)::BIGINT AS tot_r
+       |  FROM bt)
+       |SELECT $id, count(*)::BIGINT AS n_grams,
+       |  sum(bt.cnt_t * tot.tot_r - bt.cnt_r * tot.tot_t)::BIGINT AS w_sum
+       |FROM grams JOIN bt USING (b) CROSS JOIN tot
+       |GROUP BY $id""".stripMargin
+
+  /** DuckDB twin of [[select]]. */
+  def selectSql(table: String, id: String, text: String,
+                targetPredSql: String, n: Int, buckets: Int = 256): String =
+    s"""WITH w AS (
+       |${weightsSql(table, id, text, targetPredSql, buckets)})
+       |SELECT $id, n_grams, w_sum,
+       |  row_number() OVER (ORDER BY w_sum DESC, $id ASC) AS rank
+       |FROM w ORDER BY w_sum DESC, $id ASC LIMIT $n""".stripMargin
+}

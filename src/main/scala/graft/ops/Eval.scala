@@ -375,4 +375,33 @@ object Eval {
        |SELECT label, max(CASE WHEN pos = 1 THEN cnt END) AS n_vectors,
        |       list(round(v, 6) ORDER BY pos) AS centroid
        |FROM cells GROUP BY label""".stripMargin
+
+  /** Recall@k of the binary sign-sketch two-phase path
+    * ([[Similarity.binaryTopK]]) against exact brute force — the gate
+    * that tells a user how much candidate quality the 1-bit prefilter
+    * costs at a given `rerank` budget (the knob: recall rises toward
+    * 1.0 as `rerank` grows, while phase-2 cost stays |Q|·rerank).
+    * Same sampled-query-set discipline as the other recall gates.
+    */
+  def binaryRecallAtK(corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      rerank: Int = 20, bits: Int = 63): DataFrame =
+    recallOf(Similarity.bruteForceTopK(corpus, queries, idCol, vecCol, k),
+      Similarity.binaryTopK(corpus, queries, idCol, vecCol, k, rerank, bits), k)
+
+  /** DuckDB twin of [[binaryRecallAtK]]. */
+  def binaryRecallAtKSql(table: String, idCol: String, vecCol: String,
+                         k: Int, queryPred: String, rerank: Int = 20,
+                         bits: Int = 63): String =
+    s"""WITH exact AS (
+       |  SELECT q_id, c_id FROM (
+       |${Similarity.bruteForceTopKSql(table, idCol, vecCol, k, queryPred)}) t),
+       |approx AS (
+       |  SELECT q_id, c_id FROM (
+       |${Similarity.binaryTopKSql(table, idCol, vecCol, k, queryPred, rerank, bits)}) t)
+       |SELECT e.q_id,
+       |  CAST(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       |  round(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / $k, 6) AS recall
+       |FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
+       |GROUP BY e.q_id""".stripMargin
 }

@@ -773,4 +773,110 @@ object Similarity {
       .withColumn("sim", round(expr("graft_cosine_i8(q_codes, c_codes)"), 6))
     topkByQuery(scored, k)
   }
+
+  // --------------------------------------------------------------------
+  // Binary (sign-bit) quantization — the 32× at-rest compression rung
+  // below int8: one BIT per dimension. The standard two-phase serving
+  // shape (binary hashing / "binary quantization" in vector-DB
+  // literature): a hamming-distance prefilter over the 1-bit sketches
+  // shortlists `rerank` candidates per query, then an exact float
+  // rerank on only the shortlist decides the final top-k. At 100 TB the
+  // sketch column for a billion 64-dim vectors is 8 GB — the whole
+  // prefilter side fits the page cache of a single executor wave, and
+  // the expensive float vectors are touched for |Q|·rerank rows only.
+  // --------------------------------------------------------------------
+
+  /** Sign-bit sketch of the first `bits` dimensions of `vecCol`, packed
+    * into ONE BIGINT: bit i set iff `vec[i+1] > 0`. Capped at 63 bits —
+    * the engine-portable hamming convention used by every ≤64-bit
+    * sketch in this repo ([[Dedup.hammingKeepers]]): bit 63 is the
+    * BIGINT sign bit and `1::BIGINT << 63` is implementation-defined
+    * across engines, so dimensions past `bits` simply don't vote in the
+    * prefilter (the exact rerank still sees the FULL vector, so the
+    * cap costs candidate quality only, never correctness of the
+    * reranked scores). Requires `size(vec) >= bits`.
+    */
+  def binarySketchExpr(vecCol: String, bits: Int = 63): String = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+    s"aggregate(sequence(0, ${bits - 1}), cast(0 AS BIGINT), " +
+      s"(acc, i) -> acc + IF(cast(element_at($vecCol, i + 1) AS DOUBLE) > 0.0D, " +
+      s"shiftleft(cast(1 AS BIGINT), i), cast(0 AS BIGINT)))"
+  }
+
+  /** DuckDB twin of [[binarySketchExpr]] (same bit weights, same
+    * strictly-positive vote, summed — bits are distinct so sum = OR).
+    */
+  def binarySketchSqlExpr(vecCol: String, bits: Int = 63): String = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+    s"list_reduce(list_prepend(0::BIGINT, " +
+      s"list_transform(generate_series(0, ${bits - 1}), i -> " +
+      s"CASE WHEN $vecCol[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)), " +
+      s"(a, b) -> a + b)"
+  }
+
+  /** Two-phase binary-quantized ANN: hamming prefilter on the 1-bit
+    * sketches → exact cosine rerank of the shortlist.
+    *
+    * Plan shape (the serving architecture, spelled in Spark):
+    *  - scan 1 sketches the corpus to (id, BIGINT) and joins the
+    *    broadcast query sketches; per query the bounded-heap aggregate
+    *    ([[graft.functions.TopKAgg]], sim = −hamming so the heap's
+    *    sim DESC is hamming ASC, ties on c_id ASC) keeps the `rerank`
+    *    shortlist — the exchange carries ≤ |Q|·rerank·partitions rows,
+    *    never the corpus;
+    *  - scan 2 fetches ONLY the shortlist's float vectors via a
+    *    broadcast hash join on the |Q|·rerank candidate list (no
+    *    shuffle), and the exact compiled-cosine rerank + final top-k
+    *    heap run over that shortlist.
+    * Both phases are deterministic under ties, so the DuckDB twin's
+    * window formulation selects the identical shortlist.
+    */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int,
+                 rerank: Int = 20, bits: Int = 63): DataFrame = {
+    val qsk = broadcast(graft.functions.VectorFunctions.attach(queries)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        expr(binarySketchExpr(vecCol, bits)).as("q_sk")))
+    val csk = Par.floor(withCosine(corpus), col(idCol))
+      .select(col(idCol).as("c_id"), expr(binarySketchExpr(vecCol, bits)).as("c_sk"))
+    val shortlist = qsk.select(col("q_id"), col("q_sk"))
+      .join(csk, col("q_id") =!= col("c_id"))
+      .withColumn("sim", -expr("cast(bit_count(q_sk ^ c_sk) AS DOUBLE)"))
+    val cand = topkByQuery(shortlist, rerank).select(col("q_id"), col("c_id"))
+    val fetched = withCosine(corpus)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .join(broadcast(cand), Seq("c_id"))
+    val scored = fetched.join(qsk.select(col("q_id"), col("q_vec")), Seq("q_id"))
+      .withColumn("sim", round(expr(nativeCosine("q_vec", "c_vec")), 6))
+    topkByQuery(scored, k)
+  }
+
+  /** DuckDB twin of [[binaryTopK]] — identical shortlist (hamming ASC,
+    * c_id ASC) and identical rerank order (sim DESC, c_id ASC).
+    */
+  def binaryTopKSql(table: String, idCol: String, vecCol: String, k: Int,
+                    queryPred: String, rerank: Int = 20,
+                    bits: Int = 63): String =
+    s"""WITH sk AS (
+       |  SELECT $idCol, $vecCol AS vec,
+       |    ${binarySketchSqlExpr(vecCol, bits)} AS sk
+       |  FROM $table),
+       |q AS (SELECT $idCol AS q_id, vec AS q_vec, sk AS q_sk FROM sk WHERE $queryPred),
+       |shortlist AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.q_id, c.$idCol AS c_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY bit_count(xor(q.q_sk, c.sk)) ASC, c.$idCol ASC) AS rn
+       |    FROM q JOIN sk c ON q.q_id <> c.$idCol) t
+       |  WHERE rn <= $rerank),
+       |scored AS (
+       |  SELECT s.q_id, s.c_id,
+       |    round(${duckCosine("q.q_vec", "c.vec")}, 6) AS sim
+       |  FROM shortlist s JOIN q ON s.q_id = q.q_id
+       |    JOIN sk c ON s.c_id = c.$idCol),
+       |ranked AS (
+       |  SELECT q_id, c_id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= $k""".stripMargin
 }

@@ -1838,6 +1838,26 @@ object Queries {
     // The testdata's sources are uniform (rate would be 1.0 everywhere =
     // a vacuous filter), so the fixture derives a deterministically
     // SKEWED grouping (5:3:2) to make the oracle exercise real rates
+    // DSIR-style data selection (hashed unigram+bigram importance
+    // weights, exact-integer surrogate of the log-ratio — see
+    // ops/Dsir.scala): target = English docs, keep the 50 raw docs most
+    // target-like. Two corpus scans: B-row bucket table (broadcast),
+    // then doc-grain scoring; selection is a TakeOrdered
+    QueryDef("pipeline_dsir",
+      (s, dir) => graft.ops.Dsir.select(t(s, dir, "documents"),
+        "doc_id", "text", col("lang") === "en", n = 50),
+      Some(graft.ops.Dsir.selectSql("documents", "doc_id", "text",
+        "lang = 'en'", n = 50))),
+
+    // SOFT dedup: down-weight near-dup clusters to unit total mass
+    // instead of dropping members (duplicate-aware reweighting) —
+    // weight = 1/|component| over the minhash near-dup components,
+    // singletons (and un-shingleable short docs) keep weight 1
+    QueryDef("pipeline_soft_dedup",
+      (s, dir) => graft.ops.Dedup.softDedupWeights(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some(graft.ops.Dedup.softDedupWeightsSql("documents", "doc_id", "text"))),
+
     QueryDef("pipeline_temperature",
       (s, dir) => graft.ops.Sampling.temperatureSample(
         t(s, dir, "documents").withColumn("src_grp",
@@ -1888,6 +1908,73 @@ object Queries {
       },
       Some(Similarity.quantizedTopKSql("embeddings", "vec_id", "embedding",
         k = 5, queryPred = "vec_id < 10"))),
+
+    // binary (1-bit-per-dim) quantized ANN: hamming prefilter over
+    // BIGINT sign sketches shortlists `rerank` candidates per query,
+    // exact compiled-cosine rerank decides top-k — the 32x at-rest
+    // compression rung below int8, two corpus scans (sketch + fetch),
+    // shortlist-only float access
+    QueryDef("embed_binary_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.binaryTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, rerank = 20)
+      },
+      Some(Similarity.binaryTopKSql("embeddings", "vec_id", "embedding",
+        k = 5, queryPred = "vec_id < 10", rerank = 20))),
+
+    // the recall gate for the binary family (gate symmetry: every index
+    // family ships with its driver-checked quality metric) — recall@5
+    // of the 1-bit prefilter at rerank=20 vs exact brute force
+    QueryDef("embed_binary_recall",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        graft.ops.Eval.binaryRecallAtK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, rerank = 20)
+      },
+      Some(graft.ops.Eval.binaryRecallAtKSql("embeddings", "vec_id", "embedding",
+        k = 5, queryPred = "vec_id < 10", rerank = 20))),
+
+    // Matryoshka-style PREFIX-DIM retrieval (MRL: nested representations
+    // usable at truncated dimensionality): exact top-k over the first 16
+    // of 64 dims — cosine renormalizes over the prefix, so this is the
+    // 4x-cheaper scan a tiered retrieval system runs first
+    QueryDef("embed_matryoshka_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("slice(embedding, 1, 16)").as("embedding"))
+        Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+      },
+      Some(Similarity.bruteForceTopKSql(
+        "(SELECT vec_id, embedding[1:16] AS embedding FROM embeddings)",
+        "vec_id", "embedding", k = 5, queryPred = "vec_id < 10"))),
+
+    // how much ranking survives the 16-dim truncation: recall@5 of the
+    // prefix-dim top-k against the full-dim exact top-k (the tiering
+    // decision number — prefix recall vs 4x scan cost)
+    QueryDef("embed_matryoshka_recall",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val trunc = emb.select(col("vec_id"),
+          expr("slice(embedding, 1, 16)").as("embedding"))
+        graft.ops.Eval.recallOf(
+          Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5),
+          Similarity.bruteForceTopK(trunc, trunc.where(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5), k = 5)
+      },
+      Some(s"""WITH exact AS (
+              |  SELECT q_id, c_id FROM (
+              |${Similarity.bruteForceTopKSql("embeddings", "vec_id", "embedding", k = 5, queryPred = "vec_id < 10")}) t),
+              |approx AS (
+              |  SELECT q_id, c_id FROM (
+              |${Similarity.bruteForceTopKSql("(SELECT vec_id, embedding[1:16] AS embedding FROM embeddings)", "vec_id", "embedding", k = 5, queryPred = "vec_id < 10")}) t)
+              |SELECT e.q_id,
+              |  CAST(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+              |  round(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 5, 6) AS recall
+              |FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
+              |GROUP BY e.q_id""".stripMargin)),
 
     // Gopher-style repetition quality signals: dup-word fraction from the
     // scan projection; top-bigram fraction via explode -> partial-agg
