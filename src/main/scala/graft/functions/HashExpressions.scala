@@ -260,6 +260,70 @@ case class BpeTokens(child: Expression) extends StringCountExpression {
   override protected def withNewChildInternal(c: Expression): BpeTokens = copy(child = c)
 }
 
+/** `graft_dsir_buckets(text, B)`: fused DSIR feature extraction
+  * ([[HashOps.dsirBuckets]]) — word unigram + bigram md5 bucket ids in
+  * one byte scan, bit-equal to the declarative
+  * `transform(concat(grams...), g -> H(g) % B)` twin (the gram strings
+  * are never materialized; the measured gap at 1M docs is the
+  * difference between a 9-minute and a seconds-scale scoring pass).
+  */
+case class DsirBuckets(child: Expression, buckets: Int)
+    extends StringCountExpression {
+  require(buckets > 0, s"graft_dsir_buckets requires positive B, got $buckets")
+  override def prettyName: String = "graft_dsir_buckets"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(s: Any): Any =
+    HashOps.dsirBuckets(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.HashOps.dsirBuckets($s, $buckets);")
+  override protected def withNewChildInternal(c: Expression): DsirBuckets =
+    copy(child = c)
+}
+
+/** `graft_bucket_score(ids, weights)`: Σ weights(id) over a bucket-id
+  * array against a LITERAL per-bucket weight table
+  * ([[HashOps.bucketScore]]) — the row-local DSIR scoring pass; the B
+  * longs ride the expression instance, referenced once per codegen (the
+  * [[StopCount]] pattern), so the scoring scan needs no join at all.
+  */
+case class BucketScore(child: Expression, weights: Seq[Long])
+    extends HashArrayExpression {
+  override def prettyName: String = "graft_bucket_score"
+  override protected def requiredElem: DataType = LongType
+  override def dataType: DataType = LongType
+
+  @transient lazy val weightArr: Array[Long] = weights.toArray
+
+  override def nullSafeEval(ids: Any): Any =
+    HashOps.bucketScore(ids.asInstanceOf[ArrayData], weightArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bucketScoreExpr", this, classOf[BucketScore].getName)
+    nullSafeCodeGen(ctx, ev, ids =>
+      s"${ev.value} = graft.functions.HashOps.bucketScore($ids, $ref.weightArr());")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BucketScore =
+    copy(child = c)
+}
+
+/** `graft_word_count(text)`: non-empty space-separated word count
+  * ([[HashOps.wordCount]]) — the compiled twin of
+  * `size(filter(split(text, ' '), w -> w <> ''))`.
+  */
+case class WordCount(child: Expression) extends StringCountExpression {
+  override def prettyName: String = "graft_word_count"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(s: Any): Any =
+    HashOps.wordCount(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.HashOps.wordCount($s);")
+  override protected def withNewChildInternal(c: Expression): WordCount =
+    copy(child = c)
+}
+
 case class TokenCount(child: Expression) extends StringCountExpression {
   override def prettyName: String = "graft_token_count"
   override def nullSafeEval(s: Any): Any =

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -246,4 +246,62 @@ case class PqAdcPacked(left: Expression, right: Expression, kSub: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqAdcPacked =
     copy(left = newLeft, right = newRight)
+}
+
+/** `graft_binary_sketch(vec, bits)` — sign-bit sketch of the first
+  * `bits` dims packed into one long (bit i set iff `vec[i] > 0`), the
+  * compiled twin of the declarative
+  * [[graft.ops.Similarity.binarySketchExpr]] fold (63 interpreted
+  * lambda steps per row; at 500k×64d the interpreted sketch alone costs
+  * more than the full compiled-cosine scan it is meant to undercut).
+  */
+case class BinarySketch(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 63, s"graft_binary_sketch bits in [1,63], got $bits")
+  override def prettyName: String = "graft_binary_sketch"
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT|DOUBLE>, got ${dt.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = math.min(bits, x.numElements())
+    val f = elemIsFloat
+    var acc = 0L; var i = 0
+    while (i < n) {
+      val xv = if (f) x.getFloat(i).toDouble else x.getDouble(i)
+      if (xv > 0.0) acc |= (1L << i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($bits, $v.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (((double) $v.$get($i)) > 0.0) $acc |= (1L << $i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): BinarySketch =
+    copy(child = c)
 }

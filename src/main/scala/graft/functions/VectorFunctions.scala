@@ -117,6 +117,20 @@ object VectorFunctions {
     }
   }
 
+  private def longArrayLit(e: Expression, fn: String): Seq[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+    e match {
+      case CreateArray(children, _) => children.map {
+        case Literal(v: Long, LongType) => v
+        case Literal(v: Int, IntegerType) => v.toLong
+        case other => throw new IllegalArgumentException(
+          s"$fn expects literal BIGINT array elements, got $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a literal ARRAY<BIGINT> argument, got $other")
+    }
+  }
+
   private def binaryLit(e: Expression, fn: String): Array[Byte] = {
     // accepts any FOLDABLE binary expression (typically `unhex('...')`) so
     // sketches can ride in SQL text; evaluated once at analysis time
@@ -196,7 +210,15 @@ object VectorFunctions {
     "graft_hash_embed_text" -> (classOf[HashEmbedText],
       (e: Seq[Expression]) => HashEmbedText(e(0), intLit(e(1), "graft_hash_embed_text"))),
     "graft_normalize" -> (classOf[NormalizeText],
-      (e: Seq[Expression]) => NormalizeText(e(0)))
+      (e: Seq[Expression]) => NormalizeText(e(0))),
+    "graft_dsir_buckets" -> (classOf[DsirBuckets],
+      (e: Seq[Expression]) => DsirBuckets(e(0), intLit(e(1), "graft_dsir_buckets"))),
+    "graft_bucket_score" -> (classOf[BucketScore],
+      (e: Seq[Expression]) => BucketScore(e(0), longArrayLit(e(1), "graft_bucket_score"))),
+    "graft_binary_sketch" -> (classOf[BinarySketch],
+      (e: Seq[Expression]) => BinarySketch(e(0), intLit(e(1), "graft_binary_sketch"))),
+    "graft_word_count" -> (classOf[WordCount],
+      (e: Seq[Expression]) => WordCount(e(0)))
   )
 
   /** Pass-through that registers the native functions on the frame's

@@ -99,6 +99,72 @@ object Dsir {
         row_number().over(Window.orderBy(col("w_sum").desc, col(id).asc)))
   }
 
+  /** The SCALE formulation of [[weights]] — identical values, compiled
+    * end to end. Two structural upgrades over the declarative twin
+    * (which measured 531s at 1M docs — per-gram md5 through interpreted
+    * HOFs plus a 2×10⁸-row explode/join/agg chain):
+    *  - gram hashing is the fused [[graft.functions.HashOps.dsirBuckets]]
+    *    kernel (one byte scan per doc, no gram strings);
+    *  - pass 1 still explodes (bucket) rows for the B-row count table —
+    *    but carries ONE long per gram, aggregated map-side; the B-row
+    *    result is COLLECTED (metadata-sized, the
+    *    [[PqIndex]]/contamination-guard precedent) and folded into a
+    *    per-bucket weight literal;
+    *  - pass 2 is then a ZERO-SHUFFLE projection: per doc, bucket ids →
+    *    `graft_bucket_score` against the literal table. No join, no
+    *    explode, no agg.
+    * At 100 TB pass 1 runs on a sample (`ref`); pass 2 is a linear scan.
+    */
+  def weightsFast(docs: DataFrame, id: String, text: String,
+                  targetPred: Column, buckets: Int = 256,
+                  ref: Option[DataFrame] = None): DataFrame = {
+    val fdf = graft.functions.VectorFunctions.attach(docs)
+    val refDf = graft.functions.VectorFunctions.attach(ref.getOrElse(docs))
+    val counts = refDf
+      .select(targetPred.as("__is_t"),
+        explode(expr(s"graft_dsir_buckets($text, $buckets)")).as("b"))
+      .groupBy(col("b")).agg(
+        sum(when(col("__is_t"), 1L).otherwise(0L)).as("cnt_t"),
+        count(lit(1)).as("cnt_r"))
+      .collect()
+    val cntT = new Array[Long](buckets)
+    val cntR = new Array[Long](buckets)
+    counts.foreach { r =>
+      val b = r.getLong(0).toInt
+      cntT(b) = r.getLong(1); cntR(b) = r.getLong(2)
+    }
+    val totT = cntT.sum
+    val totR = cntR.sum
+    val w = Array.tabulate(buckets)(b => cntT(b) * totR - cntR(b) * totT)
+    val wLit = w.mkString("array(", "L, ", "L)")
+    // zero grams ⟺ zero words ⟺ trim(text) = '' — filter on the CHEAP
+    // equivalent BEFORE projecting (a post-projection filter on a
+    // computed column is pushed below the project with the kernel
+    // substituted into it), and reference the kernel EXACTLY ONCE:
+    // sibling-column references let CollapseProject re-evaluate it per
+    // reference (probed: 49s → 16s at 1M docs for this projection, the
+    // winnow lesson again). n_grams = 2·words − 1 comes from the
+    // compiled word count, NOT `size(filter(split(...)))` — that
+    // interpreted split-filter alone measured 32s at 1M docs, costlier
+    // than the md5 gram kernel (19s) it rides next to.
+    fdf.where(trim(col(text)) =!= "")
+      .select(col(id),
+        expr(s"2 * graft_word_count($text) - 1").as("n_grams"),
+        expr(s"graft_bucket_score(graft_dsir_buckets($text, $buckets), $wLit)")
+          .as("w_sum"))
+  }
+
+  /** [[select]] over [[weightsFast]] — the registered scale path. */
+  def selectFast(docs: DataFrame, id: String, text: String,
+                 targetPred: Column, n: Int, buckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // rank window input is <= n rows (post-limit), never the corpus
+    weightsFast(docs, id, text, targetPred, buckets)
+      .orderBy(col("w_sum").desc, col(id).asc).limit(n)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("w_sum").desc, col(id).asc)))
+  }
+
   /** DuckDB twin of [[weights]]. */
   def weightsSql(table: String, id: String, text: String,
                  targetPredSql: String, buckets: Int = 256): String =

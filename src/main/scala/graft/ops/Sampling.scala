@@ -533,4 +533,44 @@ object Sampling {
        |    ORDER BY $h2, $id) AS rank
        |FROM $table""".stripMargin
   }
+
+  /** Percentile-BAND filter (winsorized selection): keep the documents
+    * whose `valueCol` lies inside the per-group [p(lo), p(hi)] band —
+    * the curation move that drops both distribution tails (truncated /
+    * boilerplate-short docs AND concatenation-artifact giants) with
+    * thresholds that ADAPT per group instead of one global constant
+    * (a 5th-percentile length in one language is a 50th in another).
+    *
+    * Exact rank-selection percentiles ([[Stats.percentilesDiscPreagg]]
+    * — the pre-aggregated scale formulation: per-group sorts run over
+    * DISTINCT values, the duplication-heavy case value columns are);
+    * the groups×2 band table broadcasts back onto a second corpus scan,
+    * so the filter itself is shuffle-free.
+    */
+  def qualityBand(df: DataFrame, id: String, groupCol: String,
+                  valueCol: String, pLo: Double = 0.1,
+                  pHi: Double = 0.9): DataFrame = {
+    val lo = s"p${math.round(pLo * 100)}"
+    val hi = s"p${math.round(pHi * 100)}"
+    val bands = Stats.percentilesDiscPreagg(df, groupCol, valueCol, Seq(pLo, pHi))
+      .select(col(groupCol), col(lo), col(hi))
+    df.select(col(id), col(groupCol), col(valueCol))
+      .join(org.apache.spark.sql.functions.broadcast(bands), Seq(groupCol))
+      .where(col(valueCol) >= col(lo) && col(valueCol) <= col(hi))
+      .select(col(id), col(groupCol), col(valueCol), col(lo), col(hi))
+  }
+
+  /** DuckDB twin of [[qualityBand]] (row-sort percentile formulation —
+    * identical rank selection, see [[Stats.percentilesDiscPreagg]]). */
+  def qualityBandSql(table: String, id: String, groupCol: String,
+                     valueCol: String, tieCol: String, pLo: Double = 0.1,
+                     pHi: Double = 0.9): String = {
+    val lo = s"p${math.round(pLo * 100)}"
+    val hi = s"p${math.round(pHi * 100)}"
+    s"""WITH bands AS (
+       |${Stats.percentilesDiscSql(table, groupCol, valueCol, tieCol, Seq(pLo, pHi))})
+       |SELECT t.$id, t.$groupCol, t.$valueCol, b.$lo, b.$hi
+       |FROM $table t JOIN bands b ON t.$groupCol = b.$groupCol
+       |WHERE t.$valueCol >= b.$lo AND t.$valueCol <= b.$hi""".stripMargin
+  }
 }

@@ -1838,13 +1838,22 @@ object Queries {
     // The testdata's sources are uniform (rate would be 1.0 everywhere =
     // a vacuous filter), so the fixture derives a deterministically
     // SKEWED grouping (5:3:2) to make the oracle exercise real rates
+    // percentile-BAND filter: keep docs inside the per-language
+    // [p10, p90] length band — adaptive winsorized selection; exact
+    // preagg percentiles, band table broadcasts, filter is shuffle-free
+    QueryDef("pipeline_quality_band",
+      (s, dir) => graft.ops.Sampling.qualityBand(t(s, dir, "documents"),
+        "doc_id", "lang", "n_chars"),
+      Some(graft.ops.Sampling.qualityBandSql("documents",
+        "doc_id", "lang", "n_chars", tieCol = "doc_id"))),
+
     // DSIR-style data selection (hashed unigram+bigram importance
     // weights, exact-integer surrogate of the log-ratio — see
     // ops/Dsir.scala): target = English docs, keep the 50 raw docs most
     // target-like. Two corpus scans: B-row bucket table (broadcast),
     // then doc-grain scoring; selection is a TakeOrdered
     QueryDef("pipeline_dsir",
-      (s, dir) => graft.ops.Dsir.select(t(s, dir, "documents"),
+      (s, dir) => graft.ops.Dsir.selectFast(t(s, dir, "documents"),
         "doc_id", "text", col("lang") === "en", n = 50),
       Some(graft.ops.Dsir.selectSql("documents", "doc_id", "text",
         "lang = 'en'", n = 50))),

@@ -92,6 +92,44 @@ class BinaryDsirSpec extends SparkSpec {
     assert(sel === Set(0L, 1L, 2L), "top-3 = the two target docs + the target-like raw doc")
   }
 
+  test("compiled binary sketch kernel is bit-equal to the declarative fold") {
+    val both = graft.functions.VectorFunctions.attach(vecs)
+      .select($"vec_id",
+        expr("graft_binary_sketch(embedding, 4)").as("k"),
+        expr(Similarity.binarySketchExpr("embedding", bits = 4)).as("d"))
+      .as[(Long, Long, Long)].collect()
+    both.foreach { case (id, k, d) =>
+      assert(k === d, s"kernel/declarative sketch diverge for vec $id") }
+  }
+
+  test("compiled DSIR bucket kernel matches the declarative gram hashing (incl. multi-space gaps)") {
+    val docs = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha  beta"),            // double space: empty word filtered
+      (2L, " leading trailing "),
+      (3L, ""),
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val w = "filter(split(text, ' '), w -> w <> '')"
+    val decl = s"transform(concat($w, graft_ngrams($w, 2)), " +
+      s"g -> ${graft.ops.PortableHash.sparkStringHash("g")} % 256)"
+    val both = graft.functions.VectorFunctions.attach(docs)
+      .select($"doc_id",
+        expr("graft_dsir_buckets(text, 256)").as("k"),
+        expr(decl).as("d"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    both.foreach { case (id, k, d) =>
+      assert(k === d, s"kernel/declarative buckets diverge for doc $id") }
+  }
+
+  test("DSIR fast path (kernel + literal weight table) equals the declarative selection") {
+    val slow = Dsir.select(dsirDocs, "doc_id", "text", col("grp") === "tgt", n = 5)
+      .orderBy($"rank").as[(Long, Long, Long, Int)].collect().toSeq
+    val fast = Dsir.selectFast(dsirDocs, "doc_id", "text", col("grp") === "tgt", n = 5)
+      .orderBy($"rank").as[(Long, Long, Long, Int)].collect().toSeq
+    assert(fast === slow)
+  }
+
   test("soft dedup conserves unit mass per near-dup cluster") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog today"),

@@ -526,4 +526,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.matches("(?s).*PartitionFilters[^\\n]*cluster.*"),
       s"the codes scan must directory-prune on the probed clusters:\n$p")
   }
+
+  test("embed_binary_topk: hamming shortlist is a bounded heap; phase-2 fetch joins broadcast — corpus never shuffles") {
+    val p = plan("embed_binary_topk")
+    assert(!p.contains("Window"),
+      s"both the prefilter shortlist and the final top-k must be bounded heaps, not window sorts:\n$p")
+    assert(count(p, "ObjectHashAggregate") >= 4,
+      s"both top-k phases must partial-aggregate map-side (2 phases x partial+final):\n$p")
+    assert(count(p, "BroadcastHashJoin|BroadcastNestedLoopJoin") >= 2,
+      s"query sketches and the candidate shortlist must broadcast — the corpus side joins without an exchange:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-side shuffle join anywhere in the two-phase search:\n$p")
+  }
+
+  test("pipeline_dsir: bucket table broadcasts; doc scoring is one keyed partial-agg; selection is TakeOrdered") {
+    val p = plan("pipeline_dsir")
+    assert(count(p, "BroadcastHashJoin|BroadcastNestedLoopJoin") >= 2,
+      s"the B-row bucket table and the 1-row totals must broadcast into the scoring scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N selection must be TakeOrdered, never a global sort of all weights:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"gram rows must never shuffle for a join — only the doc-grain partial agg exchanges:\n$p")
+  }
+
+  test("pipeline_soft_dedup: weights attach by keyed joins — text is dropped at the scan") {
+    val p = formatted("pipeline_soft_dedup")
+    // the full-corpus side that carries doc ids into the final join
+    // reads (doc_id) only; text feeds the shingle scan, nothing else
+    assert(count(p, "ReadSchema[^\\n]*struct<doc_id:bigint>") >= 1,
+      s"the reweighting join's corpus side must prune to the id column:\n$p")
+  }
 }
