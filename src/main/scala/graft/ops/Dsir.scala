@@ -165,6 +165,46 @@ object Dsir {
         row_number().over(Window.orderBy(col("w_sum").desc, col(id).asc)))
   }
 
+  /** Streaming ingest-time DSIR gate — the natural composition of the
+    * fast path with live ingest: the per-bucket weight table is trained
+    * ONCE on a static reference corpus (pass 1 of [[weightsFast]]) and
+    * embedded as a literal, so scoring the stream is a pure STATELESS
+    * projection + filter — no stream-static join, no state store,
+    * checkpoint-free recovery (the [[Decontaminate.cleanDocsStreaming]]
+    * discipline). Emits arrivals whose importance weight ≥ `minWeight`
+    * (0 = "at least as target-like as the raw average", the natural
+    * keep line since off-target mass scores negative).
+    */
+  def scoreStreaming(corpusStream: DataFrame, ref: DataFrame,
+                     id: String, text: String, targetPred: Column,
+                     minWeight: Long = 0L, buckets: Int = 256): DataFrame = {
+    val refDf = graft.functions.VectorFunctions.attach(ref)
+    val counts = refDf
+      .select(targetPred.as("__is_t"),
+        explode(expr(s"graft_dsir_buckets($text, $buckets)")).as("b"))
+      .groupBy(col("b")).agg(
+        sum(when(col("__is_t"), 1L).otherwise(0L)).as("cnt_t"),
+        count(lit(1)).as("cnt_r"))
+      .collect()
+    val cntT = new Array[Long](buckets)
+    val cntR = new Array[Long](buckets)
+    counts.foreach { r =>
+      val b = r.getLong(0).toInt
+      cntT(b) = r.getLong(1); cntR(b) = r.getLong(2)
+    }
+    val totT = cntT.sum
+    val totR = cntR.sum
+    val w = Array.tabulate(buckets)(b => cntT(b) * totR - cntR(b) * totT)
+    val wLit = w.mkString("array(", "L, ", "L)")
+    graft.functions.VectorFunctions.attach(corpusStream)
+      .where(trim(col(text)) =!= "")
+      .select(col(id),
+        expr(s"2 * graft_word_count($text) - 1").as("n_grams"),
+        expr(s"graft_bucket_score(graft_dsir_buckets($text, $buckets), $wLit)")
+          .as("w_sum"))
+      .where(col("w_sum") >= minWeight)
+  }
+
   /** DuckDB twin of [[weights]]. */
   def weightsSql(table: String, id: String, text: String,
                  targetPredSql: String, buckets: Int = 256): String =

@@ -376,4 +376,47 @@ object PqIndex {
       .select(col("q_id"), col("v_id").as("c_id"), col("sim"))
     Similarity.topkByQuery(scored, k)
   }
+
+  /** At-rest BINARY sign-sketch index: one parquet frame
+    * (v_id, sk BIGINT, vec). The columnar layout IS the index — the
+    * hamming prefilter reads only (v_id, sk), 16 bytes per vector
+    * (parquet column pruning; a billion 64-dim vectors' prefilter side
+    * is 16 GB where the float vectors are 256 GB), and the rerank
+    * fetch re-reads the SAME frame pruned to (v_id, vec) for the
+    * |Q|·rerank shortlist only.
+    */
+  def writeBinary(corpus: DataFrame, idCol: String, vecCol: String,
+                  path: String, bits: Int = 63): Unit =
+    graft.functions.VectorFunctions.attach(corpus)
+      .select(col(idCol).as("v_id"), col(vecCol).as("vec"),
+        expr(s"graft_binary_sketch($vecCol, $bits)").as("sk"))
+      .write.mode("overwrite").parquet(s"$path/sketches")
+
+  /** Two-phase search over the persisted binary index — identical
+    * results to [[Similarity.binaryTopK]] on the same parameters (same
+    * sketches by build determinism, same shortlist order, same rounded
+    * rerank; spec-pinned), but steady-state: no sketch computation in
+    * the query path at all.
+    */
+  def searchBinaryTopK(spark: SparkSession, path: String, queries: DataFrame,
+                       k: Int, rerank: Int = 20, bits: Int = 63): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val qsk = broadcast(graft.functions.VectorFunctions.attach(queries)
+      .select(col(queries.columns.head).as("q_id"),
+        col(queries.columns(1)).as("q_vec"),
+        expr(s"graft_binary_sketch(${queries.columns(1)}, $bits)").as("q_sk")))
+    val idx = spark.read.parquet(s"$path/sketches")
+    val shortlist = qsk.select(col("q_id"), col("q_sk"))
+      .join(idx.select(col("v_id"), col("sk")), col("q_id") =!= col("v_id"))
+      .withColumn("sim", -expr("cast(bit_count(q_sk ^ sk) AS DOUBLE)"))
+      .select(col("q_id"), col("v_id").as("c_id"), col("sim"))
+    val cand = Similarity.topkByQuery(shortlist, rerank)
+      .select(col("q_id"), col("c_id"))
+    val fetched = idx.select(col("v_id").as("c_id"), col("vec").as("c_vec"))
+      .join(broadcast(cand), Seq("c_id"))
+    val scored = fetched.join(qsk.select(col("q_id"), col("q_vec")), Seq("q_id"))
+      .withColumn("sim",
+        round(expr(Similarity.nativeCosine("q_vec", "c_vec")), 6))
+    Similarity.topkByQuery(scored.select(col("q_id"), col("c_id"), col("sim")), k)
+  }
 }

@@ -1932,6 +1932,26 @@ object Queries {
       Some(Similarity.binaryTopKSql("embeddings", "vec_id", "embedding",
         k = 5, queryPred = "vec_id < 10", rerank = 20))),
 
+    // the PERSISTED binary index: (v_id, sk, vec) parquet written first
+    // touch — the columnar layout IS the index (prefilter reads only
+    // the 16-byte (v_id, sk) columns; rerank re-reads the same frame
+    // pruned to the shortlist's vectors). Steady-state search, zero
+    // sketch computation in the query path; results pinned equal to
+    // the in-memory operator
+    QueryDef("embed_binary_persisted",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = idxPath("binsk", dir)
+        graft.ops.PqIndex.ensure(s, path, idxSig(s, dir, "binsk,bits=63")) {
+          graft.ops.PqIndex.writeBinary(emb, "vec_id", "embedding", path)
+        }
+        graft.ops.PqIndex.searchBinaryTopK(s, path,
+          emb.where(col("vec_id") < 10).select("vec_id", "embedding"),
+          k = 5, rerank = 20)
+      },
+      Some(Similarity.binaryTopKSql("embeddings", "vec_id", "embedding",
+        k = 5, queryPred = "vec_id < 10", rerank = 20))),
+
     // the recall gate for the binary family (gate symmetry: every index
     // family ships with its driver-checked quality metric) — recall@5
     // of the 1-bit prefilter at rerank=20 vs exact brute force

@@ -130,6 +130,22 @@ class BinaryDsirSpec extends SparkSpec {
     assert(fast === slow)
   }
 
+  test("persisted binary index search equals the in-memory operator") {
+    val path = java.nio.file.Files.createTempDirectory("graft_binsk_spec").toString
+    graft.ops.PqIndex.writeBinary(vecs, "vec_id", "embedding", path, bits = 4)
+    val q = vecs.where($"vec_id" < 2).select($"vec_id", $"embedding")
+    val persisted = graft.ops.PqIndex.searchBinaryTopK(spark, path, q,
+        k = 3, rerank = 10, bits = 4)
+      .orderBy($"q_id", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val inMem = Similarity.binaryTopK(vecs, q, "vec_id", "embedding",
+        k = 3, rerank = 10, bits = 4)
+      .orderBy($"q_id", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(persisted === inMem,
+      "at-rest sketches must reproduce the in-memory two-phase search exactly")
+  }
+
   test("soft dedup conserves unit mass per near-dup cluster") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog today"),

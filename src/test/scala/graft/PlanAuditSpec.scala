@@ -539,14 +539,18 @@ class PlanAuditSpec extends SparkSpec {
       s"no corpus-side shuffle join anywhere in the two-phase search:\n$p")
   }
 
-  test("pipeline_dsir: bucket table broadcasts; doc scoring is one keyed partial-agg; selection is TakeOrdered") {
+  test("pipeline_dsir: scoring is a JOIN-FREE kernel projection; selection is TakeOrdered") {
+    // the fast path folds the collected bucket table into a literal
+    // weight array, so the SCORING pass (the plan this query returns —
+    // pass 1's count collect runs eagerly before it) must contain no
+    // join, no explode, and no exchange other than the TakeOrdered
     val p = plan("pipeline_dsir")
-    assert(count(p, "BroadcastHashJoin|BroadcastNestedLoopJoin") >= 2,
-      s"the B-row bucket table and the 1-row totals must broadcast into the scoring scan:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-N selection must be TakeOrdered, never a global sort of all weights:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"gram rows must never shuffle for a join — only the doc-grain partial agg exchanges:\n$p")
+    assert(count(p, "Join") == 0,
+      s"the literal weight table replaces every join in the scoring pass:\n$p")
+    assert(!p.contains("Generate"),
+      s"the scoring pass must not explode gram rows — the kernel scores row-locally:\n$p")
   }
 
   test("pipeline_soft_dedup: weights attach by keyed joins — text is dropped at the scan") {

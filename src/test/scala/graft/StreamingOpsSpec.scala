@@ -131,6 +131,33 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DSIR gate: off-target arrivals drop in-flight, target-like arrivals pass scored") {
+    implicit val sq = spark.sqlContext
+    val ref = Seq(
+      (0L, "alpha beta alpha beta alpha", "tgt"),
+      (1L, "alpha beta gamma alpha beta", "tgt"),
+      (2L, "zeta eta theta zeta eta", "raw"),
+      (3L, "zeta eta zeta eta theta", "raw")
+    ).toDF("doc_id", "text", "grp")
+    val docs = MemoryStream[(Long, String)]
+    val out = graft.ops.Dsir.scoreStreaming(
+      docs.toDF().toDF("doc_id", "text"), ref, "doc_id", "text",
+      targetPred = col("grp") === "tgt")
+    val q = out.writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    try {
+      docs.addData(
+        (10L, "alpha beta alpha gamma"),   // target-like: passes
+        (11L, "zeta eta theta zeta"),      // off-target: negative weight, drops
+        (12L, ""))                         // empty: no grams, drops pre-score
+      q.processAllAvailable()
+      val kept = spark.table("dsir_stream")
+        .select($"doc_id", $"w_sum").as[(Long, Long)].collect().toMap
+      assert(kept.keySet === Set(10L), "only the target-like arrival passes the gate")
+      assert(kept(10L) > 0L)
+    } finally q.stop()
+  }
+
   test("streaming ANN: query-vector stream gets bounded-heap top-k against the static corpus") {
     implicit val sq = spark.sqlContext
     val corpus = Seq(
