@@ -62,6 +62,14 @@ object Dsir {
   /** Per-document importance weights: (id, n_grams, w_sum). `targetPred`
     * is evaluated per document BEFORE gram explosion (it references doc
     * columns, e.g. `col("lang") === "en"`).
+    *
+    * Empty-side semantics (deliberate, identical on both engines and in
+    * [[weightsFast]]/[[scoreStreaming]]): a `targetPred` matching ZERO
+    * documents gives T_t = 0 and cnt_t ≡ 0, so every gram term is
+    * cnt_t·T_r − cnt_r·0 = 0 — all weights collapse to 0, selection
+    * degrades to (id ASC) order, and the streaming gate (minWeight 0)
+    * passes everything. "No target signal" keeps the corpus; it never
+    * silently drops it.
     */
   def weights(docs: DataFrame, id: String, text: String,
               targetPred: Column, buckets: Int = 256): DataFrame = {
