@@ -862,6 +862,47 @@ object Similarity {
     topkByQuery(scored, k)
   }
 
+  /** HARD-NEGATIVE mining — the contrastive-training data op: for every
+    * query vector, the top-k most similar corpus vectors with a
+    * DIFFERENT label (similar-but-wrong = the negatives that actually
+    * teach; random negatives are trivially separable). Same plan shape
+    * as [[bruteForceTopK]] — broadcast queries (with labels) × one
+    * corpus scan × bounded-heap top-k — the label inequality rides the
+    * join condition, so excluded same-label pairs never reach scoring.
+    * At 100 TB the query side is the batch being mined (always the
+    * small side); an ANN shortlist (e.g. [[binaryTopK]]'s phase 1) can
+    * replace the exact scan when the corpus side outgrows it.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String,
+                    k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"), col(labelCol).as("q_label")))
+    val c = Par.floor(withCosine(corpus), col(idCol))
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        col(labelCol).as("c_label"))
+    val scored = q.join(c,
+        col("q_id") =!= col("c_id") && col("q_label") =!= col("c_label"))
+      .withColumn("sim", round(expr(nativeCosine("q_vec", "c_vec")), 6))
+    topkByQuery(scored, k)
+  }
+
+  /** DuckDB twin of [[hardNegatives]]. */
+  def hardNegativesSql(table: String, idCol: String, vecCol: String,
+                       labelCol: String, k: Int, queryPred: String): String =
+    s"""WITH q AS (SELECT $idCol AS q_id, $vecCol AS q_vec, $labelCol AS q_label
+       |           FROM $table WHERE $queryPred),
+       |c AS (SELECT $idCol AS c_id, $vecCol AS c_vec, $labelCol AS c_label
+       |      FROM $table),
+       |scored AS (
+       |  SELECT q_id, c_id, round(${duckCosine("q_vec", "c_vec")}, 6) AS sim
+       |  FROM q JOIN c ON q_id <> c_id AND q_label <> c_label),
+       |ranked AS (
+       |  SELECT q_id, c_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= $k""".stripMargin
+
   /** DuckDB twin of [[binaryTopK]] — identical shortlist (hamming ASC,
     * c_id ASC) and identical rerank order (sim DESC, c_id ASC).
     */

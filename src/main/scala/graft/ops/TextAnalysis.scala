@@ -637,6 +637,46 @@ object TextAnalysis {
       .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram").asc).limit(topK)
 
+  /** Vocabulary builder — the artifact a tokenizer/LM-filter pipeline
+    * ships: the top-`topV` words by occurrence count with each word's
+    * CUMULATIVE corpus-coverage share (the curve that decides "how big
+    * must the vocab be to cover 95% of tokens"). One scan → keyed
+    * partial-agg word counts → 1-row total (broadcast) + top-V via
+    * TakeOrdered; the cumulative window runs over the V result rows
+    * only (never the vocabulary, never the corpus). Deterministic
+    * total order: (cnt DESC, token ASC).
+    */
+  def vocabulary(df: DataFrame, text: String, topV: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = graft.functions.VectorFunctions.attach(df)
+      .select(explode(expr(s"filter(split($text, ' '), w -> w <> '')")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("__total"))
+    val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(topV)
+    // rank/cumsum window input is <= topV rows by construction
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("coverage",
+        round(sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double") / col("__total"), 6))
+      .select(col("rank"), col("token"), col("cnt"), col("coverage"))
+  }
+
+  /** DuckDB twin of [[vocabulary]]. */
+  def vocabularySql(table: String, text: String, topV: Int = 100): String =
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(string_split($text, ' '), w -> w <> '')) AS token
+       |  FROM $table),
+       |counts AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token),
+       |tot AS (SELECT sum(cnt)::BIGINT AS total FROM counts),
+       |top AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT $topV)
+       |SELECT row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+       |  token, cnt,
+       |  round(sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE / tot.total, 6) AS coverage
+       |FROM top CROSS JOIN tot""".stripMargin
+
   /** Declarative HOF twin of `graft_ngrams` (parity baseline). */
   def hofNgramsExpr(text: String, n: Int): String = {
     val parts = (0 until n).map(j => s"element_at(__w, i + $j)").mkString(", ' ', ")

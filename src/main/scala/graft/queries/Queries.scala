@@ -1932,6 +1932,27 @@ object Queries {
       Some(Similarity.binaryTopKSql("embeddings", "vec_id", "embedding",
         k = 5, queryPred = "vec_id < 10", rerank = 20))),
 
+    // hard-negative mining for contrastive training: per query vector,
+    // top-k most-similar corpus vectors with a DIFFERENT label
+    // (similar-but-wrong — the negatives that teach); label inequality
+    // rides the broadcast join condition, bounded-heap top-k
+    QueryDef("embed_hard_negatives",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.hardNegatives(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", "label", k = 5)
+      },
+      Some(Similarity.hardNegativesSql("embeddings", "vec_id", "embedding",
+        "label", k = 5, queryPred = "vec_id < 10"))),
+
+    // vocabulary builder: top-V words with cumulative coverage share
+    // (the "how big a vocab covers 95% of tokens" curve) — one scan,
+    // keyed partial-agg counts, TakeOrdered top-V, cumsum over V rows
+    QueryDef("text_vocab",
+      (s, dir) => TextAnalysis.vocabulary(t(s, dir, "documents"),
+        "text", topV = 100),
+      Some(TextAnalysis.vocabularySql("documents", "text", topV = 100))),
+
     // the PERSISTED binary index: (v_id, sk, vec) parquet written first
     // touch — the columnar layout IS the index (prefilter reads only
     // the 16-byte (v_id, sk) columns; rerank re-reads the same frame

@@ -146,6 +146,33 @@ class BinaryDsirSpec extends SparkSpec {
       "at-rest sketches must reproduce the in-memory two-phase search exactly")
   }
 
+  test("hard negatives: same-label vectors never appear; nearest wrong-label ranks first") {
+    val lv = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.1f, 0.0f), 0),   // same label as 0: nearest overall but excluded
+      (2L, Array(0.9f, 0.2f, 0.0f), 1),    // nearest wrong-label
+      (3L, Array(0.0f, 1.0f, 0.0f), 1),
+      (4L, Array(0.0f, 0.0f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val negs = Similarity.hardNegatives(lv, lv.where($"vec_id" === 0L),
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy($"rank").select($"c_id").as[Long].collect().toSeq
+    assert(!negs.contains(1L), "same-label vector must be excluded however similar")
+    assert(negs.head === 2L, "the most similar WRONG-label vector is the top negative")
+    assert(negs === Seq(2L, 3L, 4L))
+  }
+
+  test("vocabulary coverage is monotone and reaches 1.0 when topV spans the vocab") {
+    val docs = Seq((0L, "a a a b b c"), (1L, "a b d")).toDF("doc_id", "text")
+    val v = graft.ops.TextAnalysis.vocabulary(docs, "text", topV = 10)
+      .orderBy($"rank").select($"token", $"cnt", $"coverage")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(v.map(_._1) === Seq("a", "b", "c", "d"), "order: cnt DESC, token ASC")
+    assert(v.map(_._2) === Seq(4L, 3L, 1L, 1L))
+    assert(v.map(_._3) === Seq(0.444444, 0.777778, 0.888889, 1.0),
+      "cumulative shares over 9 tokens")
+  }
+
   test("soft dedup conserves unit mass per near-dup cluster") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog today"),
