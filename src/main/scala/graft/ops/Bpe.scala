@@ -133,9 +133,12 @@ object Bpe {
                    firstK: Int = 8): String =
     s"""SELECT $id, n_words,
        |  len(toks)::BIGINT AS n_bpe_tokens,
-       |  array_to_string(list_slice(toks, 1, $firstK), '|') AS first_tokens
+       |  coalesce(array_to_string(list_slice(toks, 1, $firstK), '|'), '') AS first_tokens
        |FROM (SELECT $id, len(string_split($text, ' '))::BIGINT AS n_words,
        |      ${duckTokensExpr(text)} AS toks FROM $table)""".stripMargin
+  // ^ coalesce: DuckDB array_to_string([]) is NULL where Spark
+  //   array_join(array()) is '' — an empty-TEXT doc (zero tokens) must
+  //   witness identically on both engines (probe-fixture finding)
 
   /** LEARN a merge table from the corpus — the training half of BPE
     * (Sennrich et al. 2016) that [[bpeTokens]] applies: repeatedly count
