@@ -459,7 +459,9 @@ object HashOps {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-magnitude convention (see CosineSim): sim(0⃗, ·) = 0
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den == 0.0) 0.0 else dot / den
   }
 
   /** |A ∩ B| of two SORTED distinct long arrays by two-pointer merge —

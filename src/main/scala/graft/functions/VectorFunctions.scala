@@ -62,7 +62,12 @@ case class CosineSim(left: Expression, right: Expression)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       ab += xv * yv; aa += xv * xv; bb += yv * yv; i += 1
     }
-    ab / (math.sqrt(aa) * math.sqrt(bb))
+    // zero-magnitude convention: sim(0⃗, ·) = 0. Without it the engines
+    // DIVERGE, not just misbehave — Spark 0/0 is NaN (sorts greatest),
+    // DuckDB x/0 is NULL (sorts last) — and a real corpus DOES contain
+    // zero embeddings (failed encoder output).
+    val den = math.sqrt(aa) * math.sqrt(bb)
+    if (den == 0.0) 0.0 else ab / den
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -76,6 +81,7 @@ case class CosineSim(left: Expression, right: Expression)
       val bb = ctx.freshName("bb")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val den = ctx.freshName("den")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
@@ -84,7 +90,8 @@ case class CosineSim(left: Expression, right: Expression)
          |  double $yv = (double) $b.$rGet($i);
          |  $ab += $xv * $yv; $aa += $xv * $xv; $bb += $yv * $yv;
          |}
-         |${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
+         |double $den = java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb);
+         |${ev.value} = ($den == 0.0) ? 0.0 : $ab / $den;
        """.stripMargin
     })
   }

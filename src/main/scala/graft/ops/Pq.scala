@@ -138,9 +138,18 @@ object Pq {
     flat.join(qn, Seq("q_id"))
   }
 
+  /** sim = num / (|q|·|x̂|) with the engine-wide zero-magnitude
+    * convention (see [[Similarity.duckCosine]]): a zero query or a
+    * zero-norm encoded vector scores 0 — Spark's 0/0 NaN and DuckDB's
+    * x/0 NULL sort to OPPOSITE ends, so the guard is cross-engine
+    * correctness, not style.
+    */
+  private[ops] def normSim(num: Column): Column =
+    round(when(col("q2") * col("xn2") === 0.0, 0.0)
+      .otherwise(num / (sqrt(col("q2")) * sqrt(col("xn2")))), 6)
+
   private def adcSim(kSub: Int): Column =
-    round(expr(s"graft_pq_adc(codes, flat, $kSub)") /
-      (sqrt(col("q2")) * sqrt(col("xn2"))), 6)
+    normSim(expr(s"graft_pq_adc(codes, flat, $kSub)"))
 
   /** ADC top-k: approximate cosine neighbors from codes alone.
     * `queryPred` selects queries over `v_id` (the [[pqCentroids]]
@@ -184,8 +193,8 @@ object Pq {
     val qrows = broadcast(queryLutsFor(queries, cent, m, kSub, w))
     val scored = enc.crossJoin(qrows)
       .where(col("q_id") =!= col("v_id"))
-      .withColumn("sim", round(expr(s"graft_pq_adc_packed(qcodes, flat, $kSub)") /
-        (sqrt(col("q2")) * sqrt(col("xn2"))), 6))
+      .withColumn("sim",
+        normSim(expr(s"graft_pq_adc_packed(qcodes, flat, $kSub)")))
       .select(col("q_id"), col("v_id").as("c_id"), col("sim"))
     Similarity.topkByQuery(scored, k)
   }
@@ -357,9 +366,7 @@ object Pq {
       else expr(s"graft_pq_adc(codes, flat, $kSub)")
     enc.join(qrows, Seq("cluster"))
       .where(col("q_id") =!= col("v_id"))
-      .withColumn("sim",
-        round((col("dotqc") + adc) /
-          (sqrt(col("q2")) * sqrt(col("xn2"))), 6))
+      .withColumn("sim", normSim(col("dotqc") + adc))
       .select(col("q_id"), col("v_id").as("c_id"), col("sim"))
   }
 
@@ -479,7 +486,7 @@ object Pq {
        |qn AS (SELECT q_id, ${duckDot("vec", "vec")} AS q2 FROM q),
        |scored AS (
        |  SELECT f.q_id, e.v_id AS c_id,
-       |         round($adc / (sqrt(n.q2) * sqrt(e.xn2)), 6) AS sim
+       |         round(CASE WHEN n.q2 * e.xn2 = 0 THEN 0.0 ELSE $adc / (sqrt(n.q2) * sqrt(e.xn2)) END, 6) AS sim
        |  FROM penc e JOIN a ON e.v_id = a.v_id
        |  JOIN probes p ON p.cluster = a.cluster
        |  JOIN qflat f ON f.q_id = p.q_id
@@ -555,7 +562,7 @@ object Pq {
        |qn AS (SELECT q_id, ${duckDot("vec", "vec")} AS q2 FROM q),
        |scored AS (
        |  SELECT f.q_id, x.v_id AS c_id,
-       |         round((p.dotqc + $adc) / (sqrt(n.q2) * sqrt(x.xn2)), 6) AS sim
+       |         round(CASE WHEN n.q2 * x.xn2 = 0 THEN 0.0 ELSE (p.dotqc + $adc) / (sqrt(n.q2) * sqrt(x.xn2)) END, 6) AS sim
        |  FROM xn x
        |  JOIN probed p ON p.cluster = x.cluster
        |  JOIN qflat f ON f.q_id = p.q_id
@@ -650,7 +657,7 @@ object Pq {
        |qn AS (SELECT q_id, ${duckDot("vec", "vec")} AS q2 FROM q),
        |scored AS (
        |  SELECT f.q_id, x.v_id AS c_id,
-       |         round((p.dotqc + $adc) / (sqrt(n.q2) * sqrt(x.xn2)), 6) AS sim
+       |         round(CASE WHEN n.q2 * x.xn2 = 0 THEN 0.0 ELSE (p.dotqc + $adc) / (sqrt(n.q2) * sqrt(x.xn2)) END, 6) AS sim
        |  FROM xn x
        |  JOIN probed p ON p.cluster = x.cluster
        |  JOIN qflat f ON f.q_id = p.q_id
@@ -699,7 +706,7 @@ object Pq {
        |qn AS (SELECT q_id, ${duckDot("vec", "vec")} AS q2 FROM q),
        |scored AS (
        |  SELECT f.q_id, e.v_id AS c_id,
-       |         round($adc / (sqrt(n.q2) * sqrt(e.xn2)), 6) AS sim
+       |         round(CASE WHEN n.q2 * e.xn2 = 0 THEN 0.0 ELSE $adc / (sqrt(n.q2) * sqrt(e.xn2)) END, 6) AS sim
        |  FROM enc e CROSS JOIN qflat f JOIN qn n ON f.q_id = n.q_id
        |  WHERE f.q_id <> e.v_id),
        |ranked AS (

@@ -31,8 +31,10 @@ object PqIndex {
     * silently serving wrong results.
     */
   // v2: hash-seeded coarse k-means init; v3: same for PQ codebooks;
-  // v4: residual codes carry the byte-packed qcodes word
-  val AlgoVersion = 4
+  // v4: residual codes carry the byte-packed qcodes word;
+  // v5: zero-magnitude convention (sim(0⃗,·) = 0) in every cosine/ADC —
+  //     indexes built under the unguarded arithmetic must rebuild
+  val AlgoVersion = 5
 
   /** Build-once gate: run `build` unless `path` already holds an index
     * whose recorded signature matches. This is the steady-state split the
@@ -133,7 +135,7 @@ object PqIndex {
       else expr(s"graft_pq_adc(codes, flat, $kSub)")
     val scored = spark.read.parquet(s"$path/codes").crossJoin(qrows)
       .where(col("q_id") =!= col("v_id"))
-      .withColumn("sim", round(adc / (sqrt(col("q2")) * sqrt(col("xn2"))), 6))
+      .withColumn("sim", Pq.normSim(adc))
       .select(col("q_id"), col("v_id").as("c_id"), col("sim"))
     Similarity.topkByQuery(scored, k)
   }
@@ -371,8 +373,7 @@ object PqIndex {
     val qrows = broadcast(probes.join(Pq.queryLutsFor(q, cent, m, kSub, w), Seq("q_id")))
     val scored = codes.join(qrows, Seq("cluster"))
       .where(col("q_id") =!= col("v_id"))
-      .withColumn("sim", round(expr(s"graft_pq_adc(codes, flat, $kSub)") /
-        (sqrt(col("q2")) * sqrt(col("xn2"))), 6))
+      .withColumn("sim", Pq.normSim(expr(s"graft_pq_adc(codes, flat, $kSub)")))
       .select(col("q_id"), col("v_id").as("c_id"), col("sim"))
     Similarity.topkByQuery(scored, k)
   }

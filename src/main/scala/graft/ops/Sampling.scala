@@ -560,6 +560,34 @@ object Sampling {
       .select(col(id), col(groupCol), col(valueCol), col(lo), col(hi))
   }
 
+  /** [[qualityBand]] keeping ALL of the document's columns (the
+    * composition form — downstream stages need the text): same
+    * broadcast band table, same shuffle-free filter, no projection.
+    */
+  def qualityBandAll(df: DataFrame, groupCol: String, valueCol: String,
+                     pLo: Double = 0.1, pHi: Double = 0.9): DataFrame = {
+    val lo = s"p${math.round(pLo * 100)}"
+    val hi = s"p${math.round(pHi * 100)}"
+    val bands = Stats.percentilesDiscPreagg(df, groupCol, valueCol, Seq(pLo, pHi))
+      .select(col(groupCol), col(lo), col(hi))
+    df.join(org.apache.spark.sql.functions.broadcast(bands), Seq(groupCol))
+      .where(col(valueCol) >= col(lo) && col(valueCol) <= col(hi))
+      .drop(lo, hi)
+  }
+
+  /** Derived-table SQL of [[qualityBandAll]] (all base columns, band
+    * bounds dropped) — slots into any downstream twin's table slot. */
+  def qualityBandAllSql(table: String, groupCol: String, valueCol: String,
+                        tieCol: String, pLo: Double = 0.1,
+                        pHi: Double = 0.9): String = {
+    val lo = s"p${math.round(pLo * 100)}"
+    val hi = s"p${math.round(pHi * 100)}"
+    s"""(SELECT t.* FROM $table t JOIN (
+       |${Stats.percentilesDiscSql(table, groupCol, valueCol, tieCol, Seq(pLo, pHi))}) b
+       |ON t.$groupCol = b.$groupCol
+       |WHERE t.$valueCol >= b.$lo AND t.$valueCol <= b.$hi)""".stripMargin
+  }
+
   /** DuckDB twin of [[qualityBand]] (row-sort percentile formulation —
     * identical rank selection, see [[Stats.percentilesDiscPreagg]]). */
   def qualityBandSql(table: String, id: String, groupCol: String,

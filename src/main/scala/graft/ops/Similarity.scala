@@ -58,15 +58,24 @@ object Similarity {
     def dot(x: String, y: String) =
       s"aggregate(zip_with($x, $y, (p, q) -> cast(p AS DOUBLE) * cast(q AS DOUBLE)), " +
         s"cast(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+    // zero-magnitude convention (see CosineSim): sim(0⃗, ·) = 0. Without
+    // it the ENGINES diverge, not just misbehave — Spark 0/0 is NaN
+    // (sorts greatest), DuckDB x/0 is NULL (sorts last under DESC) —
+    // and real corpora contain zero embeddings (failed encoder output).
+    s"(IF(sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}) = 0.0D, 0.0D, " +
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))))"
   }
 
-  /** DuckDB-dialect twin: identical fold order and double arithmetic. */
+  /** DuckDB-dialect twin: identical fold order, double arithmetic, and
+    * zero-magnitude convention (a cross-engine NECESSITY, not style:
+    * DuckDB x/0 is NULL where Spark 0/0 is NaN).
+    */
   def duckCosine(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($x)), " +
         s"i -> ($x)[i]::DOUBLE * ($y)[i]::DOUBLE)), (acc, v) -> acc + v)"
-    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+    s"(CASE WHEN sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}) = 0.0 THEN 0.0 " +
+      s"ELSE ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) END)"
   }
 
   /** Exact top-k cosine neighbors for each query vector.

@@ -1932,6 +1932,23 @@ object Queries {
       Some(Similarity.binaryTopKSql("embeddings", "vec_id", "embedding",
         k = 5, queryPred = "vec_id < 10", rerank = 20))),
 
+    // COMPOSED curation: per-language length-band filter (adaptive
+    // winsorized gate) feeding DSIR target-likeness selection — the
+    // two-stage "drop the tails, then keep the most target-like N"
+    // pipeline as one registered query. The DSIR bucket table trains on
+    // the band SURVIVORS (the distribution that actually ships); both
+    // stages keep their own scale shapes (broadcast bands + broadcast
+    // literal weight table, selection via TakeOrdered)
+    QueryDef("pipeline_curated_select",
+      (s, dir) => graft.ops.Dsir.selectFast(
+        graft.ops.Sampling.qualityBandAll(t(s, dir, "documents"),
+          "lang", "n_chars"),
+        "doc_id", "text", col("lang") === "en", n = 30),
+      Some(graft.ops.Dsir.selectSql(
+        graft.ops.Sampling.qualityBandAllSql("documents",
+          "lang", "n_chars", tieCol = "doc_id"),
+        "doc_id", "text", "lang = 'en'", n = 30))),
+
     // hard-negative mining for contrastive training: per query vector,
     // top-k most-similar corpus vectors with a DIFFERENT label
     // (similar-but-wrong — the negatives that teach); label inequality
