@@ -912,6 +912,98 @@ object Similarity {
        |  FROM scored)
        |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= $k""".stripMargin
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the LASER
+    * parallel-corpus construction, public): candidate pair (x, y) from
+    * two language partitions scores
+    *   margin(x,y) = sim(x,y) / ((avgNN_k(x) + avgNN_k(y)) / 2)
+    * — raw cosine is miscalibrated across hubness regions, the ratio to
+    * each side's average-top-k neighborhood normalizes it; the mined
+    * pair per source doc is the argmax-margin target above `minMargin`.
+    *
+    * Exact-arithmetic discipline: sims are the house rounded-6 cosines,
+    * SCALED TO INTEGER MICROS before any summation (sum order across
+    * engines would drift double addition), so
+    *   margin = sim_µ · 2k / (ΣtopX_µ + ΣtopY_µ)
+    * is one double division over exact integers. Zero neighborhoods
+    * (all-zero vectors under the engine-wide convention) get margin 0.
+    *
+    * Plan shape: broadcast source side × one target scan, the scored
+    * frame leased (referenced by both neighborhood averages and the
+    * margin base); per-side top-k through the bounded heap, averages
+    * join back BROADCAST (side-cardinality), final argmax is the same
+    * heap at k=1. This is the brute form — at corpus scale each side's
+    * candidate set comes from an ANN shortlist ([[binaryTopK]] phase 1
+    * or the IVF probes) and the margin arithmetic is unchanged.
+    */
+  def bitextMine(emb: DataFrame, idCol: String, vecCol: String,
+                 labelCol: String, srcLabel: Int, tgtLabel: Int,
+                 kNN: Int = 4, minMargin: Double = 1.0): DataFrame = {
+    val fdf = withCosine(emb)
+    val src = broadcast(fdf.where(col(labelCol) === srcLabel)
+      .select(col(idCol).as("x_id"), col(vecCol).as("x_vec")))
+    val tgt = Par.floor(fdf.where(col(labelCol) === tgtLabel), col(idCol))
+      .select(col(idCol).as("y_id"), col(vecCol).as("y_vec"))
+    val scored = src.crossJoin(tgt)
+      .select(col("x_id"), col("y_id"),
+        expr(s"cast(round(${nativeCosine("x_vec", "y_vec")} * 1000000, 0) AS BIGINT)")
+          .as("sim_u"))
+      .transform(Caches.lease(_))
+    def topSum(key: String, other: String) = scored
+      .select(col(key), col("sim_u").cast("double").as("sim"), col(other))
+      .groupBy(col(key))
+      .agg(expr(s"graft_topk(sim, $other, $kNN)").as("top"))
+      .select(col(key),
+        expr("aggregate(top.sim, cast(0 AS BIGINT), (a, s) -> a + cast(s AS BIGINT))")
+          .as(s"sum_$key"))
+    val withM = scored
+      .join(broadcast(topSum("x_id", "y_id")), Seq("x_id"))
+      .join(broadcast(topSum("y_id", "x_id")), Seq("y_id"))
+      .withColumn("margin", round(
+        when(col("sum_x_id") + col("sum_y_id") === 0L, 0.0)
+          .otherwise(col("sim_u").cast("double") * (2 * kNN) /
+            (col("sum_x_id") + col("sum_y_id")).cast("double")), 6))
+    withM.groupBy(col("x_id"))
+      .agg(expr("graft_topk(margin, y_id, 1)").as("top"))
+      .select(col("x_id").as("src_id"),
+        expr("top.c_id[0]").as("tgt_id"),
+        expr("top.sim[0]").as("margin"))
+      .where(col("margin") >= minMargin)
+  }
+
+  /** DuckDB twin of [[bitextMine]] — identical integer-micros
+    * arithmetic, window formulations of the heaps.
+    */
+  def bitextMineSql(table: String, idCol: String, vecCol: String,
+                    labelCol: String, srcLabel: Int, tgtLabel: Int,
+                    kNN: Int = 4, minMargin: Double = 1.0): String =
+    s"""WITH src AS (SELECT $idCol AS x_id, $vecCol AS x_vec FROM $table WHERE $labelCol = $srcLabel),
+       |tgt AS (SELECT $idCol AS y_id, $vecCol AS y_vec FROM $table WHERE $labelCol = $tgtLabel),
+       |scored AS (
+       |  SELECT x_id, y_id,
+       |    CAST(round(${duckCosine("x_vec", "y_vec")} * 1000000, 0) AS BIGINT) AS sim_u
+       |  FROM src CROSS JOIN tgt),
+       |ax AS (
+       |  SELECT x_id, sum(sim_u)::BIGINT AS sum_x FROM (
+       |    SELECT x_id, sim_u,
+       |      row_number() OVER (PARTITION BY x_id ORDER BY sim_u DESC, y_id ASC) AS rn
+       |    FROM scored) t WHERE rn <= $kNN GROUP BY x_id),
+       |ay AS (
+       |  SELECT y_id, sum(sim_u)::BIGINT AS sum_y FROM (
+       |    SELECT y_id, sim_u,
+       |      row_number() OVER (PARTITION BY y_id ORDER BY sim_u DESC, x_id ASC) AS rn
+       |    FROM scored) t WHERE rn <= $kNN GROUP BY y_id),
+       |m AS (
+       |  SELECT s.x_id, s.y_id,
+       |    round(CASE WHEN ax.sum_x + ay.sum_y = 0 THEN 0.0
+       |      ELSE s.sim_u::DOUBLE * ${2 * kNN} / (ax.sum_x + ay.sum_y)::DOUBLE END, 6) AS margin
+       |  FROM scored s JOIN ax ON s.x_id = ax.x_id JOIN ay ON s.y_id = ay.y_id),
+       |best AS (
+       |  SELECT x_id, y_id, margin,
+       |    row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id ASC) AS rn
+       |  FROM m)
+       |SELECT x_id AS src_id, y_id AS tgt_id, margin
+       |FROM best WHERE rn = 1 AND margin >= $minMargin""".stripMargin
+
   /** DuckDB twin of [[binaryTopK]] — identical shortlist (hamming ASC,
     * c_id ASC) and identical rerank order (sim DESC, c_id ASC).
     */

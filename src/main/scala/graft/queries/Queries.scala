@@ -1949,6 +1949,16 @@ object Queries {
           "lang", "n_chars", tieCol = "doc_id"),
         "doc_id", "text", "lang = 'en'", n = 30))),
 
+    // margin-based bitext mining (LASER parallel-corpus construction):
+    // per source-partition doc, the argmax-margin target-partition doc
+    // where margin = sim / mean of both sides' avg-top-k neighborhoods
+    // — integer-micros arithmetic, broadcast side tables, bounded heaps
+    QueryDef("embed_bitext_mine",
+      (s, dir) => Similarity.bitextMine(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", srcLabel = 0, tgtLabel = 1),
+      Some(Similarity.bitextMineSql("embeddings", "vec_id", "embedding",
+        "label", srcLabel = 0, tgtLabel = 1))),
+
     // hard-negative mining for contrastive training: per query vector,
     // top-k most-similar corpus vectors with a DIFFERENT label
     // (similar-but-wrong — the negatives that teach); label inequality

@@ -95,6 +95,30 @@ object ProbeRound9c {
     if (on("soft")) time("softDedupWeights 1M docs")(
       graft.ops.Dedup.softDedupWeights(docs, "doc_id", "text")
         .queryExecution.toRdd.count())
+    if (on("vocab")) time("vocabulary topV=50k 1M docs")(
+      graft.ops.TextAnalysis.vocabulary(docs, "text", topV = 50000)
+        .queryExecution.toRdd.count())
+    if (on("band")) time("qualityBand 1M docs")(
+      graft.ops.Sampling.qualityBand(docs, "doc_id", "lang", "n_chars")
+        .queryExecution.toRdd.count())
+    if (on("curated")) time("curatedSelect (band->DSIR) 1M docs")(
+      graft.ops.Dsir.selectFast(
+        graft.ops.Sampling.qualityBandAll(docs, "lang", "n_chars"),
+        "doc_id", "text", col("lang") === "en", n = 1000)
+        .queryExecution.toRdd.count())
+    if (on("hardneg")) time("hardNegatives 200k vecs, 10q")(
+      graft.ops.Similarity.hardNegatives(emb, queries,
+        "vec_id", "embedding", "label", k = 10)
+        .queryExecution.toRdd.count())
+    if (on("binpersist")) {
+      val path = "/tmp/probe_binsk_idx"
+      time("writeBinary index 200k vecs")(
+        { graft.ops.PqIndex.writeBinary(emb, "vec_id", "embedding", path); 1L })
+      time("searchBinary persisted 200k vecs")(
+        graft.ops.PqIndex.searchBinaryTopK(spark, path,
+          queries.select("vec_id", "embedding"), k = 10, rerank = 100)
+          .queryExecution.toRdd.count())
+    }
     spark.stop()
   }
 }

@@ -173,6 +173,29 @@ class BinaryDsirSpec extends SparkSpec {
       "cumulative shares over 9 tokens")
   }
 
+  test("bitext mining: planted parallel pair mines with margin > 1; flat neighborhoods stay near 1") {
+    val emb = Seq(
+      // source partition (label 0)
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),    // planted translation of y=10
+      (1L, Array(0.5f, 0.5f, 0.5f, 0.5f), 0),    // equidistant to everything
+      // target partition (label 1)
+      (10L, Array(0.99f, 0.05f, 0.0f, 0.0f), 1), // the planted pair
+      (11L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (12L, Array(0.0f, 0.0f, 1.0f, 0.0f), 1),
+      (13L, Array(0.0f, 0.0f, 0.0f, 1.0f), 1),
+      (14L, Array(0.1f, 0.9f, 0.1f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val mined = Similarity.bitextMine(emb, "vec_id", "embedding", "label",
+        srcLabel = 0, tgtLabel = 1, kNN = 3, minMargin = 0.0)
+      .select($"src_id", $"tgt_id", $"margin")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(mined(0L)._1 === 10L, "the planted parallel doc must be the mined match")
+    assert(mined(0L)._2 > 1.2,
+      s"a sharp match over a flat neighborhood scores margin well above 1, got ${mined(0L)._2}")
+    assert(mined(1L)._2 < mined(0L)._2,
+      "the equidistant source doc's best margin must be smaller than the planted pair's")
+  }
+
   test("soft dedup conserves unit mass per near-dup cluster") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog today"),
