@@ -110,6 +110,12 @@ object ProbeRound9c {
       graft.ops.Similarity.hardNegatives(emb, queries,
         "vec_id", "embedding", "label", k = 10)
         .queryExecution.toRdd.count())
+    if (on("bitext")) time("bitextMine 1k src x 200k tgt")(
+      graft.ops.Similarity.bitextMine(
+        emb.withColumn("label",
+          expr("IF(vec_id < 1000, 0, IF(vec_id % 3 = 1, 1, 2))")),
+        "vec_id", "embedding", "label", srcLabel = 0, tgtLabel = 1)
+        .queryExecution.toRdd.count())
     if (on("binpersist")) {
       val path = "/tmp/probe_binsk_idx"
       time("writeBinary index 200k vecs")(

@@ -553,6 +553,35 @@ class PlanAuditSpec extends SparkSpec {
       s"the scoring pass must not explode gram rows — the kernel scores row-locally:\n$p")
   }
 
+  test("embed_bitext_mine: side tables broadcast; every top-k is a bounded heap, no window sort") {
+    val p = plan("embed_bitext_mine")
+    assert(!p.contains("Window"),
+      s"neighborhood top-k and the final argmax must be bounded heaps:\n$p")
+    assert(count(p, "BroadcastHashJoin|BroadcastNestedLoopJoin") >= 3,
+      s"the source side and both neighborhood-average tables must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in the mining plan justifies a shuffle join:\n$p")
+  }
+
+  test("text_vocab: counts partial-aggregate; top-V is TakeOrdered; cumsum window sees V rows only") {
+    val p = plan("text_vocab")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-V selection must be TakeOrdered, not a vocabulary-wide sort:\n$p")
+  }
+
+  test("embed_hard_negatives: broadcast queries, label filter in the join, bounded-heap top-k") {
+    val p = plan("embed_hard_negatives")
+    assert(!p.contains("Window"), s"top-k must be the bounded heap:\n$p")
+    assert(count(p, "BroadcastHashJoin|BroadcastNestedLoopJoin") >= 1,
+      s"the query side must broadcast against one corpus scan:\n$p")
+  }
+
+  test("embed_binary_persisted: prefilter scan reads ONLY (v_id, sk) — the 16-byte column slice") {
+    val p = formatted("embed_binary_persisted")
+    assert(count(p, "ReadSchema[^\\n]*struct<v_id:bigint,sk:bigint>") >= 1,
+      s"the hamming prefilter must column-prune the index to (v_id, sk):\n$p")
+  }
+
   test("pipeline_soft_dedup: weights attach by keyed joins — text is dropped at the scan") {
     val p = formatted("pipeline_soft_dedup")
     // the full-corpus side that carries doc ids into the final join
