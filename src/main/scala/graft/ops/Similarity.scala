@@ -948,6 +948,16 @@ object Similarity {
         expr(s"cast(round(${nativeCosine("x_vec", "y_vec")} * 1000000, 0) AS BIGINT)")
           .as("sim_u"))
       .transform(Caches.lease(_))
+    marginMine(scored, kNN, minMargin)
+  }
+
+  /** Shared margin tail over a (x_id, y_id, sim_u) candidate frame —
+    * identical for the brute cross product and the ANN-shortlisted
+    * candidate set (the margin definition doesn't care where the
+    * candidates came from).
+    */
+  private def marginMine(scored: DataFrame, kNN: Int,
+                         minMargin: Double): DataFrame = {
     def topSum(key: String, other: String) = scored
       .select(col(key), col("sim_u").cast("double").as("sim"), col(other))
       .groupBy(col(key))
@@ -970,6 +980,43 @@ object Similarity {
       .where(col("margin") >= minMargin)
   }
 
+  /** The SCALE form of [[bitextMine]]: candidate pairs come from the
+    * binary sign-sketch hamming prefilter (per source doc, the
+    * `rerank` nearest target sketches — [[binaryTopK]] phase 1)
+    * instead of the full cross product, so the exact-cosine work drops
+    * from Θ(|src|·|tgt|) to Θ(|src|·rerank). Neighborhood averages are
+    * computed over the SAME candidate set (each side's top-kNN among
+    * the pairs it appears in — the standard shortlist approximation:
+    * both directions of the kNN graph restricted to mined candidates).
+    * With `rerank ≥ |tgt|` the candidate set is the full cross product
+    * and the result equals [[bitextMine]] exactly (spec-pinned).
+    */
+  def bitextMineShortlist(emb: DataFrame, idCol: String, vecCol: String,
+                          labelCol: String, srcLabel: Int, tgtLabel: Int,
+                          kNN: Int = 4, minMargin: Double = 1.0,
+                          rerank: Int = 50, bits: Int = 63): DataFrame = {
+    val fdf = withCosine(emb)
+    val src = broadcast(fdf.where(col(labelCol) === srcLabel)
+      .select(col(idCol).as("x_id"), col(vecCol).as("x_vec"),
+        expr(s"graft_binary_sketch($vecCol, $bits)").as("x_sk")))
+    val tgt = Par.floor(fdf.where(col(labelCol) === tgtLabel), col(idCol))
+      .select(col(idCol).as("y_id"), col(vecCol).as("y_vec"),
+        expr(s"graft_binary_sketch($vecCol, $bits)").as("y_sk"))
+    val shortlist = src.select(col("x_id").as("q_id"), col("x_sk"))
+      .crossJoin(tgt.select(col("y_id").as("c_id"), col("y_sk")))
+      .withColumn("sim", -expr("cast(bit_count(x_sk ^ y_sk) AS DOUBLE)"))
+    val cand = topkByQuery(shortlist, rerank)
+      .select(col("q_id").as("x_id"), col("c_id").as("y_id"))
+    val scored = tgt.select(col("y_id"), col("y_vec"))
+      .join(broadcast(cand), Seq("y_id"))
+      .join(src.select(col("x_id"), col("x_vec")), Seq("x_id"))
+      .select(col("x_id"), col("y_id"),
+        expr(s"cast(round(${nativeCosine("x_vec", "y_vec")} * 1000000, 0) AS BIGINT)")
+          .as("sim_u"))
+      .transform(Caches.lease(_))
+    marginMine(scored, kNN, minMargin)
+  }
+
   /** DuckDB twin of [[bitextMine]] — identical integer-micros
     * arithmetic, window formulations of the heaps.
     */
@@ -982,7 +1029,11 @@ object Similarity {
        |  SELECT x_id, y_id,
        |    CAST(round(${duckCosine("x_vec", "y_vec")} * 1000000, 0) AS BIGINT) AS sim_u
        |  FROM src CROSS JOIN tgt),
-       |ax AS (
+       |${bitextMarginTailSql(kNN, minMargin)}""".stripMargin
+
+  /** Shared SQL margin tail over a `scored(x_id, y_id, sim_u)` CTE. */
+  private def bitextMarginTailSql(kNN: Int, minMargin: Double): String =
+    s"""ax AS (
        |  SELECT x_id, sum(sim_u)::BIGINT AS sum_x FROM (
        |    SELECT x_id, sim_u,
        |      row_number() OVER (PARTITION BY x_id ORDER BY sim_u DESC, y_id ASC) AS rn
@@ -1003,6 +1054,36 @@ object Similarity {
        |  FROM m)
        |SELECT x_id AS src_id, y_id AS tgt_id, margin
        |FROM best WHERE rn = 1 AND margin >= $minMargin""".stripMargin
+
+  /** DuckDB twin of [[bitextMineShortlist]] — identical hamming
+    * shortlist order (hamming ASC, y_id ASC) and the shared margin
+    * tail over the candidate pairs.
+    */
+  def bitextMineShortlistSql(table: String, idCol: String, vecCol: String,
+                             labelCol: String, srcLabel: Int, tgtLabel: Int,
+                             kNN: Int = 4, minMargin: Double = 1.0,
+                             rerank: Int = 50, bits: Int = 63): String =
+    s"""WITH src AS (
+       |  SELECT $idCol AS x_id, $vecCol AS x_vec,
+       |    ${binarySketchSqlExpr(vecCol, bits)} AS x_sk
+       |  FROM $table WHERE $labelCol = $srcLabel),
+       |tgt AS (
+       |  SELECT $idCol AS y_id, $vecCol AS y_vec,
+       |    ${binarySketchSqlExpr(vecCol, bits)} AS y_sk
+       |  FROM $table WHERE $labelCol = $tgtLabel),
+       |short AS (
+       |  SELECT x_id, y_id FROM (
+       |    SELECT s.x_id, t.y_id,
+       |      row_number() OVER (PARTITION BY s.x_id
+       |        ORDER BY bit_count(xor(s.x_sk, t.y_sk)) ASC, t.y_id ASC) AS rn
+       |    FROM src s CROSS JOIN tgt t) z
+       |  WHERE rn <= $rerank),
+       |scored AS (
+       |  SELECT sh.x_id, sh.y_id,
+       |    CAST(round(${duckCosine("s.x_vec", "t.y_vec")} * 1000000, 0) AS BIGINT) AS sim_u
+       |  FROM short sh JOIN src s ON sh.x_id = s.x_id
+       |    JOIN tgt t ON sh.y_id = t.y_id),
+       |${bitextMarginTailSql(kNN, minMargin)}""".stripMargin
 
   /** DuckDB twin of [[binaryTopK]] — identical shortlist (hamming ASC,
     * c_id ASC) and identical rerank order (sim DESC, c_id ASC).

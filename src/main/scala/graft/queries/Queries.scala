@@ -1959,6 +1959,17 @@ object Queries {
       Some(Similarity.bitextMineSql("embeddings", "vec_id", "embedding",
         "label", srcLabel = 0, tgtLabel = 1))),
 
+    // the SCALE form of bitext mining: candidates from the binary
+    // hamming prefilter (per src doc, `rerank` nearest tgt sketches)
+    // instead of the cross product — exact-cosine work drops to
+    // |src|*rerank; margin tail identical
+    QueryDef("embed_bitext_shortlist",
+      (s, dir) => Similarity.bitextMineShortlist(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", srcLabel = 0, tgtLabel = 1,
+        rerank = 15),
+      Some(Similarity.bitextMineShortlistSql("embeddings", "vec_id",
+        "embedding", "label", srcLabel = 0, tgtLabel = 1, rerank = 15))),
+
     // hard-negative mining for contrastive training: per query vector,
     // top-k most-similar corpus vectors with a DIFFERENT label
     // (similar-but-wrong — the negatives that teach); label inequality

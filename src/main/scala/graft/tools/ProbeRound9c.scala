@@ -116,6 +116,12 @@ object ProbeRound9c {
           expr("IF(vec_id < 1000, 0, IF(vec_id % 3 = 1, 1, 2))")),
         "vec_id", "embedding", "label", srcLabel = 0, tgtLabel = 1)
         .queryExecution.toRdd.count())
+    if (on("bitextshort")) time("bitextMineShortlist 1k x 200k, R=50")(
+      graft.ops.Similarity.bitextMineShortlist(
+        emb.withColumn("label",
+          expr("IF(vec_id < 1000, 0, IF(vec_id % 3 = 1, 1, 2))")),
+        "vec_id", "embedding", "label", srcLabel = 0, tgtLabel = 1,
+        rerank = 50).queryExecution.toRdd.count())
     if (on("binpersist")) {
       val path = "/tmp/probe_binsk_idx"
       time("writeBinary index 200k vecs")(

@@ -196,6 +196,27 @@ class BinaryDsirSpec extends SparkSpec {
       "the equidistant source doc's best margin must be smaller than the planted pair's")
   }
 
+  test("shortlisted bitext mining equals the brute form at exhaustive rerank") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.5f, 0.5f, 0.5f, 0.5f), 0),
+      (10L, Array(0.99f, 0.05f, 0.0f, 0.0f), 1),
+      (11L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (12L, Array(0.0f, 0.0f, 1.0f, 0.0f), 1),
+      (13L, Array(0.0f, 0.0f, 0.0f, 1.0f), 1),
+      (14L, Array(0.1f, 0.9f, 0.1f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val brute = Similarity.bitextMine(emb, "vec_id", "embedding", "label",
+        srcLabel = 0, tgtLabel = 1, kNN = 3, minMargin = 0.0)
+      .orderBy($"src_id").as[(Long, Long, Double)].collect().toSeq
+    val short = Similarity.bitextMineShortlist(emb, "vec_id", "embedding",
+        "label", srcLabel = 0, tgtLabel = 1, kNN = 3, minMargin = 0.0,
+        rerank = 10, bits = 4)
+      .orderBy($"src_id").as[(Long, Long, Double)].collect().toSeq
+    assert(short === brute,
+      "rerank >= |tgt| => candidate set is the full cross product; results must match exactly")
+  }
+
   test("soft dedup conserves unit mass per near-dup cluster") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog today"),
