@@ -655,6 +655,58 @@ object Similarity {
        |       d.v_id IS NULL AS keep
        |FROM cs LEFT JOIN d ON cs.v_id = d.v_id""".stripMargin
 
+  /** CLUSTER-BALANCED selection — the diversity-preserving downsampling
+    * rung of the curation ladder (DCLM/SemDeDup-style cluster-then-cap:
+    * partition the corpus in embedding space and give every cluster its
+    * own retention budget, so one dominant mode — boilerplate, one
+    * crawl's template — cannot crowd the mix the way a single global
+    * top-k lets it). Members fill their cluster's budget most-central
+    * first (csim to own centroid DESC, id ASC tie-break): the budget
+    * keeps each mode's most representative members.
+    *
+    * Composition of two existing green paths, no new mechanism:
+    * [[kmeansCentroids]] assignment (broadcast centroids, one argmax
+    * partial-agg exchange) feeds
+    * [[Sampling.selectByTokenBudgetStratified]] with stratum = cluster
+    * and 1 "token" per vector — i.e. the keyed two-pass prefix sum, so
+    * a hot cluster spreads over ranges instead of funneling through one
+    * reducer (the exact skew the PARTITION BY cluster window would
+    * reintroduce at 100 TB).
+    */
+  def clusterBudgetSelect(corpus: DataFrame, idCol: String, vecCol: String,
+                          nClusters: Int = 8, iters: Int = 2,
+                          perClusterBudget: Long = 4): DataFrame = {
+    val base = Par.floor(withCosine(corpus), col(idCol))
+      .select(col(idCol).as("v_id"), col(vecCol).as("vec"))
+    val cent = broadcast(kmeansCentroids(corpus, idCol, vecCol, nClusters, iters))
+    val scored = assignClusters(base, cent)
+      .join(cent.select(col("cent_id"), col("c_vec")), col("cluster") === col("cent_id"))
+      .withColumn("score", round(expr(nativeCosine("vec", "c_vec")), 6))
+      .select(col("cluster"), col("v_id"), col("score"), lit(1L).as("one"))
+    Sampling.selectByTokenBudgetStratified(scored, "v_id", "cluster", "score",
+        "one", budgets = Map.empty, defaultBudget = perClusterBudget)
+      .withColumnRenamed("n_tokens", "n_taken")
+      .withColumnRenamed("cum_tokens", "rank_in_cluster")
+  }
+
+  /** DuckDB twin of [[clusterBudgetSelect]] — same k-means CTEs, the
+    * budget replayed as the keyed window the prefix sum must match.
+    */
+  def clusterBudgetSelectSql(table: String, idCol: String, vecCol: String,
+                             nClusters: Int = 8, iters: Int = 2,
+                             perClusterBudget: Long = 4): String =
+    s"""SELECT cluster, v_id, score, n_taken, rank_in_cluster FROM (
+       |  SELECT cluster, v_id, score, 1::BIGINT AS n_taken,
+       |    CAST(row_number() OVER (PARTITION BY cluster
+       |                            ORDER BY score DESC, v_id ASC) AS BIGINT)
+       |      AS rank_in_cluster
+       |  FROM (
+       |    WITH ${kmeansCtes(table, idCol, vecCol, nClusters, iters)}
+       |    SELECT a.cluster, a.v_id,
+       |           round(${duckCosine("a.vec", "c.c_vec")}, 6) AS score
+       |    FROM a JOIN cent$iters c ON a.cluster = c.cent_id) s) t
+       |WHERE rank_in_cluster <= $perClusterBudget""".stripMargin
+
   // ================= int8 scalar quantization ============================
 
   /** Symmetric per-vector int8 scalar quantization: scale = max|x| / 127

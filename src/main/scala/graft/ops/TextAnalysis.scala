@@ -900,6 +900,128 @@ object TextAnalysis {
        |FROM agg, total""".stripMargin
   }
 
+  /** STUPID-BACKOFF scoring — the rung that makes the
+    * [[unigramScore]]/[[bigramScore]]/[[trigramScore]] ladder a single
+    * score the way production LM filters use it (Brants et al. 2007,
+    * "Large Language Models in Machine Translation": back off to the
+    * next-lower order with a fixed 0.4 penalty instead of a trained
+    * discount — the simplification that made web-scale n-gram filtering
+    * tractable, and exactly the right shape for an exact-arithmetic
+    * cross-engine oracle). Per trigram POSITION i the scorer takes the
+    * highest order the reference vocabulary has seen:
+    * trigram w[i..i+2] → else 0.4 · bigram w[i..i+1] → else 0.4² ·
+    * unigram w[i] → else OOV (contributes 0).
+    *
+    * Exact-integer discipline (the ladder's invariant): per-level counts
+    * and reference-frequency sums aggregate as integers; the ONLY
+    * double arithmetic is the final fixed-shape expression
+    * `(s3/T3 + 0.4·s2/T2 + 0.16·s1/T1) / n_pos`, identical
+    * operation-for-operation on both engines — no per-token log, no
+    * order-dependent double summation.
+    *
+    * Scale shape: the reference collapses to three broadcast top-V
+    * tables + one 3-column totals row (totals from word-list LENGTHS —
+    * no second explode); the corpus pays one scan exploding to trigram
+    * positions that partial-aggregate straight back to doc grain
+    * through three broadcast left joins. Docs under 3 words have no
+    * positions and drop out identically on both engines.
+    */
+  def backoffScore(docs: DataFrame, ref: DataFrame, id: String, text: String,
+                   vocab: Int = 1000): DataFrame = {
+    val ws = s"filter(split($text, ' '), w -> w <> '')"
+    val refWs = graft.ops.Caches.lease(
+      graft.functions.VectorFunctions.attach(ref).select(expr(ws).as("__ws")))
+    def top(gramsExpr: String, g: String, cnt: String) =
+      refWs.select(explode(expr(gramsExpr)).as(g))
+        .groupBy(col(g)).agg(count(lit(1)).as(cnt))
+        .orderBy(col(cnt).desc, col(g).asc).limit(vocab)
+    val top3 = top("graft_ngrams(__ws, 3)", "g3", "cnt3")
+    val top2 = top("graft_ngrams(__ws, 2)", "g2", "cnt2")
+    val top1 = top("__ws", "g1", "cnt1")
+    val totals = refWs.agg(
+      sum(expr("greatest(size(__ws) - 2, 0)")).as("total3"),
+      sum(expr("greatest(size(__ws) - 1, 0)")).as("total2"),
+      sum(expr("size(__ws)")).as("total1"))
+    val pos = graft.functions.VectorFunctions.attach(docs)
+      .select(col(id), expr(ws).as("__ws"))
+      // sequence(0, n) is DESCENDING for n < 0 (not empty) — the IF guard
+      // keeps short docs out instead of exploding a reversed range
+      .select(col(id), explode(expr(
+        "IF(size(__ws) >= 3, transform(sequence(0, size(__ws) - 3), " +
+          "i -> struct(concat_ws(' ', __ws[i], __ws[i + 1], __ws[i + 2]) AS g3, " +
+          "concat_ws(' ', __ws[i], __ws[i + 1]) AS g2, __ws[i] AS g1)), " +
+          "array())")).as("p"))
+      .select(col(id), col("p.g3").as("g3"), col("p.g2").as("g2"), col("p.g1").as("g1"))
+    pos.join(broadcast(top3), Seq("g3"), "left")
+      .join(broadcast(top2), Seq("g2"), "left")
+      .join(broadcast(top1), Seq("g1"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("cnt3").isNotNull, 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("cnt3").isNull && col("cnt2").isNotNull, 1L).otherwise(0L)).as("n_bi"),
+        sum(when(col("cnt3").isNull && col("cnt2").isNull && col("cnt1").isNotNull, 1L)
+          .otherwise(0L)).as("n_uni"),
+        sum(when(col("cnt3").isNull && col("cnt2").isNull && col("cnt1").isNull, 1L)
+          .otherwise(0L)).as("n_oov"),
+        sum(when(col("cnt3").isNotNull, col("cnt3")).otherwise(0L)).as("s3"),
+        sum(when(col("cnt3").isNull && col("cnt2").isNotNull, col("cnt2"))
+          .otherwise(0L)).as("s2"),
+        sum(when(col("cnt3").isNull && col("cnt2").isNull, coalesce(col("cnt1"), lit(0L)))
+          .otherwise(0L)).as("s1"))
+      .crossJoin(broadcast(totals))
+      .select(col(id), col("n_pos"), col("n_tri"), col("n_bi"), col("n_uni"), col("n_oov"),
+        round((col("s3").cast("double") / col("total3")
+          + lit(0.4) * col("s2").cast("double") / col("total2")
+          + lit(0.16) * col("s1").cast("double") / col("total1"))
+          / col("n_pos").cast("double"), 6).as("backoff_score"))
+  }
+
+  /** DuckDB twin of [[backoffScore]] — same three top-V tables,
+    * length-derived totals, winning-level CASE sums, and the identical
+    * fixed-shape final double expression.
+    */
+  def backoffScoreSql(table: String, docsPred: String, refPred: String,
+                      id: String, text: String, vocab: Int = 1000): String = {
+    val w = s"list_filter(string_split($text, ' '), x -> x <> '')"
+    s"""WITH rw AS (SELECT $w AS ws FROM $table WHERE $refPred),
+       |r3 AS (SELECT ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g3
+       |       FROM rw, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+       |top3 AS (SELECT g3, count(*) AS cnt3 FROM r3 GROUP BY g3
+       |         ORDER BY cnt3 DESC, g3 ASC LIMIT $vocab),
+       |r2 AS (SELECT ws[i] || ' ' || ws[i + 1] AS g2
+       |       FROM rw, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)),
+       |top2 AS (SELECT g2, count(*) AS cnt2 FROM r2 GROUP BY g2
+       |         ORDER BY cnt2 DESC, g2 ASC LIMIT $vocab),
+       |r1 AS (SELECT unnest(ws) AS g1 FROM rw),
+       |top1 AS (SELECT g1, count(*) AS cnt1 FROM r1 GROUP BY g1
+       |         ORDER BY cnt1 DESC, g1 ASC LIMIT $vocab),
+       |totals AS (SELECT CAST(sum(greatest(len(ws) - 2, 0)) AS BIGINT) AS total3,
+       |                  CAST(sum(greatest(len(ws) - 1, 0)) AS BIGINT) AS total2,
+       |                  CAST(sum(len(ws)) AS BIGINT) AS total1 FROM rw),
+       |dp AS (SELECT $id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g3,
+       |              ws[i] || ' ' || ws[i + 1] AS g2, ws[i] AS g1
+       |       FROM (SELECT $id, $w AS ws FROM $table WHERE $docsPred),
+       |            UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+       |agg AS (
+       |  SELECT $id, count(*) AS n_pos,
+       |    CAST(sum(CASE WHEN t3.cnt3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+       |    CAST(sum(CASE WHEN t3.cnt3 IS NULL AND t2.cnt2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+       |    CAST(sum(CASE WHEN t3.cnt3 IS NULL AND t2.cnt2 IS NULL AND t1.cnt1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+       |    CAST(sum(CASE WHEN t3.cnt3 IS NULL AND t2.cnt2 IS NULL AND t1.cnt1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |    CAST(sum(CASE WHEN t3.cnt3 IS NOT NULL THEN t3.cnt3 ELSE 0 END) AS BIGINT) AS s3,
+       |    CAST(sum(CASE WHEN t3.cnt3 IS NULL AND t2.cnt2 IS NOT NULL THEN t2.cnt2 ELSE 0 END) AS BIGINT) AS s2,
+       |    CAST(sum(CASE WHEN t3.cnt3 IS NULL AND t2.cnt2 IS NULL THEN coalesce(t1.cnt1, 0) ELSE 0 END) AS BIGINT) AS s1
+       |  FROM dp LEFT JOIN top3 t3 ON dp.g3 = t3.g3
+       |          LEFT JOIN top2 t2 ON dp.g2 = t2.g2
+       |          LEFT JOIN top1 t1 ON dp.g1 = t1.g1
+       |  GROUP BY $id)
+       |SELECT $id, n_pos, n_tri, n_bi, n_uni, n_oov,
+       |  round((s3::DOUBLE / total3
+       |         + 0.4 * s2::DOUBLE / total2
+       |         + 0.16 * s1::DOUBLE / total1) / n_pos::DOUBLE, 6) AS backoff_score
+       |FROM agg, totals""".stripMargin
+  }
+
   /** DuckDB twin of [[bigramScore]]. */
   def bigramScoreSql(table: String, docsPred: String, refPred: String,
                      id: String, text: String, vocab: Int = 1000): String = {
