@@ -551,4 +551,58 @@ class OpsSpec extends SparkSpec {
     assert(kept === Seq(1L, 2L, 4L),
       "planted partial copies must drop; originals, unrelated and short docs survive")
   }
+
+  test("stupid backoff: each doc lands on the highest reference-seen order; OOV contributes zero") {
+    import spark.implicits._
+    val ref = Seq((0L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val scored = Seq(
+      (10L, "the quick brown"),   // exact ref trigram -> tri level
+      (11L, "the quick zebra"),   // ref bigram prefix only -> bi level
+      (12L, "the zzz zzz"),       // ref unigram only -> uni level
+      (13L, "zzz yyy xxx"),       // fully unseen -> oov, score 0
+      (14L, "too short")          // < 3 words -> absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.backoffScore(scored, ref, "doc_id", "text", vocab = 100)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(out.keySet === Set(10L, 11L, 12L, 13L))
+    assert(out(10L)._1 == 1 && out(10L)._5 > 0, "exact trigram must win at the top level")
+    assert(out(11L)._2 == 1 && out(11L)._1 == 0, "bigram prefix must back off one level")
+    assert(out(12L)._3 == 1 && out(12L)._2 == 0, "first-word-only must back off to unigram")
+    assert(out(13L)._4 == 1 && out(13L)._5 == 0.0, "all-OOV must score exactly zero")
+    // backoff penalty orders the levels: tri > bi > uni for one position each
+    assert(out(10L)._5 > out(11L)._5 && out(11L)._5 > out(12L)._5,
+      "0.4-per-level penalty must rank tri > bi > uni hits")
+  }
+
+  test("cluster budget: the keyed prefix sum caps each stratum, keeps best-score-first, spares small strata") {
+    import spark.implicits._
+    // the budget semantics on a hand-made assignment: stratum a has 5
+    // members (over budget), b has 2 (under) — the exact frame the
+    // k-means stage hands to the prefix sum
+    val scored = Seq(
+      ("a", 1L, 0.9, 1L), ("a", 2L, 0.8, 1L), ("a", 3L, 0.99, 1L),
+      ("a", 4L, 0.7, 1L), ("a", 5L, 0.99, 1L),
+      ("b", 10L, 0.5, 1L), ("b", 11L, 0.4, 1L)
+    ).toDF("cluster", "v_id", "score", "one")
+    val out = graft.ops.Sampling.selectByTokenBudgetStratified(scored,
+        "v_id", "cluster", "score", "one", budgets = Map.empty, defaultBudget = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    // a: top-3 by (score desc, id asc) = 3 (0.99), 5 (0.99), 1 (0.9); b kept whole
+    assert(out === Seq(("a", 1L), ("a", 3L), ("a", 5L), ("b", 10L), ("b", 11L)))
+  }
+
+  test("cluster budget end-to-end: no cluster exceeds its budget, ranks stay within it") {
+    import spark.implicits._
+    val vecs = (0 until 6).map(i => (i.toLong, Array(1f + i * 0.01f, 0f, 0f, 0f))) ++
+      Seq((10L, Array(0f, 1f, 0f, 0f)), (11L, Array(0f, 1.1f, 0f, 0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.clusterBudgetSelect(df, "vec_id", "embedding",
+      nClusters = 2, iters = 2, perClusterBudget = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    assert(out.nonEmpty)
+    assert(out.groupBy(_._1).values.forall(_.length <= 3),
+      s"no cluster may exceed its budget: ${out.toSeq}")
+    assert(out.forall(_._3 <= 3), "rank_in_cluster must never exceed the budget")
+  }
 }

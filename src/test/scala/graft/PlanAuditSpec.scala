@@ -589,4 +589,66 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "ReadSchema[^\\n]*struct<doc_id:bigint>") >= 1,
       s"the reweighting join's corpus side must prune to the id column:\n$p")
   }
+
+  test("q7_volume_shipping: both nation-filtered sides broadcast; one shuffle join (lineitem⋈orders)") {
+    val p = plan("q7_volume_shipping")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"the supplier and customer sides (2/25 of their tables) must broadcast:\n$p")
+    assert(count(p, "SortMergeJoin|ShuffledHashJoin") <= 1,
+      s"only lineitem⋈orders may shuffle:\n$p")
+  }
+
+  test("q15_top_supplier: the scalar max re-joins by broadcast — no single-partition window") {
+    val p = plan("q15_top_supplier")
+    assert(!p.contains("Window"),
+      s"max-revenue selection must not be a window over the aggregate:\n$p")
+    assert(count(p, "BroadcastHashJoin|BroadcastNestedLoopJoin") >= 2,
+      s"the 1-row max and the supplier dim must both broadcast:\n$p")
+  }
+
+  test("q17_small_quantity: part list and per-part averages broadcast against the fact scans") {
+    val p = plan("q17_small_quantity")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"the brand-filtered part list and the avg-qty side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in q17 justifies shuffling the fact table for a join:\n$p")
+  }
+
+  test("q19_bracketed_revenue: the OR-of-ANDs stays a residual filter on a broadcast equi-join") {
+    val p = plan("q19_bracketed_revenue")
+    assert(p.contains("BroadcastHashJoin"),
+      s"partkey must remain the hash key with the brackets as residual predicate:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the disjunction must not degrade the join to a nested loop:\n$p")
+  }
+
+  test("text_backoff_score: three broadcast vocab joins; positions partial-aggregate to doc grain") {
+    val p = plan("text_backoff_score")
+    assert(count(p, "BroadcastHashJoin") >= 3,
+      s"top-V trigram/bigram/unigram tables must all broadcast:\n$p")
+    assert(count(p, "HashAggregate") >= 2,
+      s"the per-doc level counts must combine map-side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no vocab table justifies shuffling the exploded positions:\n$p")
+  }
+
+  test("pipeline_cluster_budget: budget fill is the keyed prefix sum — no per-cluster window funnel") {
+    // the range partitioning itself lives behind the prefix sum's
+    // localCheckpoint (lineage is cut by design), so the observable
+    // signature is: the pass-2 streamer, and no window or further
+    // exchange anywhere after it
+    val p = plan("pipeline_cluster_budget")
+    assert(!p.contains("Window"),
+      s"a PARTITION BY cluster window would funnel each cluster through one reducer:\n$p")
+    assert(p.contains("MapPartitions"),
+      s"pass 2 must stream partitions against the broadcast offsets:\n$p")
+    assert(!p.contains("Exchange"),
+      s"the budget filter must add no shuffle beyond the checkpointed range exchange:\n$p")
+  }
+
+  test("text_bpe_fertility: the fertility band is a pure compiled map — zero shuffles") {
+    val p = plan("text_bpe_fertility")
+    assert(!p.contains("Exchange"),
+      s"fertility scoring must stay a zero-shuffle scan projection:\n$p")
+  }
 }
