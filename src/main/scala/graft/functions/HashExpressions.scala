@@ -287,6 +287,49 @@ case class DsirBuckets(child: Expression, buckets: Int)
   * longs ride the expression instance, referenced once per codegen (the
   * [[StopCount]] pattern), so the scoring scan needs no join at all.
   */
+/** `graft_backoff_stats(words, triH, triC, biH, biC, uniH, uniC)`:
+  * stupid-backoff per-level statistics against three broadcast-literal
+  * (hash, cnt) vocabulary tables — see [[HashOps.backoffStats]]. The
+  * pair arrays are re-sorted by hash at construction so binary search
+  * holds regardless of the caller's collection order.
+  */
+case class BackoffStats(child: Expression,
+                        triH: Seq[Long], triC: Seq[Long],
+                        biH: Seq[Long], biC: Seq[Long],
+                        uniH: Seq[Long], uniC: Seq[Long])
+    extends HashArrayExpression {
+  override def prettyName: String = "graft_backoff_stats"
+  override protected def requiredElem: DataType = StringType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def sortedH(h: Seq[Long]): Array[Long] =
+    h.indices.sortBy(h(_)).map(h(_)).toArray
+  private def sortedC(h: Seq[Long], c: Seq[Long]): Array[Long] =
+    h.indices.sortBy(h(_)).map(c(_)).toArray
+
+  @transient lazy val triHArr: Array[Long] = sortedH(triH)
+  @transient lazy val triCArr: Array[Long] = sortedC(triH, triC)
+  @transient lazy val biHArr: Array[Long] = sortedH(biH)
+  @transient lazy val biCArr: Array[Long] = sortedC(biH, biC)
+  @transient lazy val uniHArr: Array[Long] = sortedH(uniH)
+  @transient lazy val uniCArr: Array[Long] = sortedC(uniH, uniC)
+
+  override def nullSafeEval(words: Any): Any =
+    HashOps.backoffStats(words.asInstanceOf[ArrayData],
+      triHArr, triCArr, biHArr, biCArr, uniHArr, uniCArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("backoffStatsExpr", this, classOf[BackoffStats].getName)
+    nullSafeCodeGen(ctx, ev, w =>
+      s"""${ev.value} = graft.functions.HashOps.backoffStats($w,
+         |  $ref.triHArr(), $ref.triCArr(), $ref.biHArr(), $ref.biCArr(),
+         |  $ref.uniHArr(), $ref.uniCArr());""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): BackoffStats =
+    copy(child = c)
+}
+
 case class BucketScore(child: Expression, weights: Seq[Long])
     extends HashArrayExpression {
   override def prettyName: String = "graft_bucket_score"

@@ -393,6 +393,55 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** Stupid-backoff level statistics in one compiled pass (the kernel
+    * behind `graft_backoff_stats`): per trigram position probe the
+    * sorted reference-vocabulary hash arrays highest-order-first —
+    * trigram hit, else bigram, else unigram, else OOV — and accumulate
+    * `[n_pos, n_tri, n_bi, n_uni, n_oov, s3, s2, s1]` (per-level
+    * position counts and winning-level reference-frequency sums).
+    * Lower-order hashes are computed ONLY on a miss (the declarative
+    * twin pays all three joins per position). Binary search over the
+    * broadcast-literal (hash, cnt) pairs; gram hashing identical to
+    * [[gramHashes]] so the declarative hash-keyed form is bit-equal.
+    * Docs under 3 words return all-zero stats (the caller filters
+    * n_pos = 0 to match the explode→groupBy form's absent rows).
+    */
+  def backoffStats(words: ArrayData,
+                   triH: Array[Long], triC: Array[Long],
+                   biH: Array[Long], biC: Array[Long],
+                   uniH: Array[Long], uniC: Array[Long]): ArrayData = {
+    val n = words.numElements()
+    val out = new Array[Long](8)
+    if (n >= 3) {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= n - 3) {
+        val w0 = words.getUTF8String(i).toString
+        val w1 = words.getUTF8String(i + 1).toString
+        val w2 = words.getUTF8String(i + 2).toString
+        sb.setLength(0); sb.append(w0).append(' ').append(w1).append(' ').append(w2)
+        val i3 = java.util.Arrays.binarySearch(triH,
+          hashUtf8(UTF8String.fromString(sb.toString)))
+        if (i3 >= 0) { out(1) += 1; out(5) += triC(i3) }
+        else {
+          sb.setLength(0); sb.append(w0).append(' ').append(w1)
+          val i2 = java.util.Arrays.binarySearch(biH,
+            hashUtf8(UTF8String.fromString(sb.toString)))
+          if (i2 >= 0) { out(2) += 1; out(6) += biC(i2) }
+          else {
+            val i1 = java.util.Arrays.binarySearch(uniH,
+              hashUtf8(words.getUTF8String(i)))
+            if (i1 >= 0) { out(3) += 1; out(7) += uniC(i1) }
+            else out(4) += 1
+          }
+        }
+        out(0) += 1
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing fingerprint set in one compiled pass: positional gram
     * hashes ([[gramHashes]] inlined), sliding-window minima over windows
     * of `w` grams via a monotone deque (O(m) amortized — each index

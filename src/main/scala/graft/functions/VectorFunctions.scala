@@ -222,6 +222,11 @@ object VectorFunctions {
       (e: Seq[Expression]) => DsirBuckets(e(0), intLit(e(1), "graft_dsir_buckets"))),
     "graft_bucket_score" -> (classOf[BucketScore],
       (e: Seq[Expression]) => BucketScore(e(0), longArrayLit(e(1), "graft_bucket_score"))),
+    "graft_backoff_stats" -> (classOf[BackoffStats],
+      (e: Seq[Expression]) => BackoffStats(e(0),
+        longArrayLit(e(1), "graft_backoff_stats"), longArrayLit(e(2), "graft_backoff_stats"),
+        longArrayLit(e(3), "graft_backoff_stats"), longArrayLit(e(4), "graft_backoff_stats"),
+        longArrayLit(e(5), "graft_backoff_stats"), longArrayLit(e(6), "graft_backoff_stats"))),
     "graft_binary_sketch" -> (classOf[BinarySketch],
       (e: Seq[Expression]) => BinarySketch(e(0), intLit(e(1), "graft_binary_sketch"))),
     "graft_word_count" -> (classOf[WordCount],

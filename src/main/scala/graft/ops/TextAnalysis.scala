@@ -928,33 +928,21 @@ object TextAnalysis {
     */
   def backoffScore(docs: DataFrame, ref: DataFrame, id: String, text: String,
                    vocab: Int = 1000): DataFrame = {
-    val ws = s"filter(split($text, ' '), w -> w <> '')"
-    val refWs = graft.ops.Caches.lease(
-      graft.functions.VectorFunctions.attach(ref).select(expr(ws).as("__ws")))
-    def top(gramsExpr: String, g: String, cnt: String) =
-      refWs.select(explode(expr(gramsExpr)).as(g))
-        .groupBy(col(g)).agg(count(lit(1)).as(cnt))
-        .orderBy(col(cnt).desc, col(g).asc).limit(vocab)
-    val top3 = top("graft_ngrams(__ws, 3)", "g3", "cnt3")
-    val top2 = top("graft_ngrams(__ws, 2)", "g2", "cnt2")
-    val top1 = top("__ws", "g1", "cnt1")
-    val totals = refWs.agg(
-      sum(expr("greatest(size(__ws) - 2, 0)")).as("total3"),
-      sum(expr("greatest(size(__ws) - 1, 0)")).as("total2"),
-      sum(expr("size(__ws)")).as("total1"))
+    val (top3, top2, top1, totals) = backoffVocab(ref, text, vocab)
     val pos = graft.functions.VectorFunctions.attach(docs)
-      .select(col(id), expr(ws).as("__ws"))
+      .select(col(id), expr(s"filter(split($text, ' '), w -> w <> '')").as("__ws"))
+      .select(col(id), expr("graft_gram_hashes(__ws, 3)").as("a3"),
+        expr("graft_gram_hashes(__ws, 2)").as("a2"),
+        expr("graft_gram_hashes(__ws, 1)").as("a1"))
       // sequence(0, n) is DESCENDING for n < 0 (not empty) — the IF guard
       // keeps short docs out instead of exploding a reversed range
       .select(col(id), explode(expr(
-        "IF(size(__ws) >= 3, transform(sequence(0, size(__ws) - 3), " +
-          "i -> struct(concat_ws(' ', __ws[i], __ws[i + 1], __ws[i + 2]) AS g3, " +
-          "concat_ws(' ', __ws[i], __ws[i + 1]) AS g2, __ws[i] AS g1)), " +
-          "array())")).as("p"))
-      .select(col(id), col("p.g3").as("g3"), col("p.g2").as("g2"), col("p.g1").as("g1"))
-    pos.join(broadcast(top3), Seq("g3"), "left")
-      .join(broadcast(top2), Seq("g2"), "left")
-      .join(broadcast(top1), Seq("g1"), "left")
+        "IF(size(a3) > 0, transform(sequence(0, size(a3) - 1), " +
+          "i -> struct(a3[i] AS h3, a2[i] AS h2, a1[i] AS h1)), array())")).as("p"))
+      .select(col(id), col("p.h3").as("h3"), col("p.h2").as("h2"), col("p.h1").as("h1"))
+    pos.join(broadcast(top3), Seq("h3"), "left")
+      .join(broadcast(top2), Seq("h2"), "left")
+      .join(broadcast(top1), Seq("h1"), "left")
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_pos"),
         sum(when(col("cnt3").isNotNull, 1L).otherwise(0L)).as("n_tri"),
@@ -970,36 +958,113 @@ object TextAnalysis {
           .otherwise(0L)).as("s1"))
       .crossJoin(broadcast(totals))
       .select(col(id), col("n_pos"), col("n_tri"), col("n_bi"), col("n_uni"), col("n_oov"),
-        round((col("s3").cast("double") / col("total3")
-          + lit(0.4) * col("s2").cast("double") / col("total2")
-          + lit(0.16) * col("s1").cast("double") / col("total1"))
-          / col("n_pos").cast("double"), 6).as("backoff_score"))
+        backoffScoreExpr)
   }
 
-  /** DuckDB twin of [[backoffScore]] — same three top-V tables,
-    * length-derived totals, winning-level CASE sums, and the identical
-    * fixed-shape final double expression.
+  /** The shared reference side of [[backoffScore]]/[[backoffScoreFast]]:
+    * top-V (gram HASH, cnt) tables per order — hash-keyed so the
+    * exchange and the probe carry longs, never gram strings — plus the
+    * 3-column totals row derived from word-list LENGTHS (no second
+    * explode). Tie-break (cnt DESC, hash ASC), identical in the SQL twin.
+    */
+  private def backoffVocab(ref: DataFrame, text: String, vocab: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val ws = s"filter(split($text, ' '), w -> w <> '')"
+    val refWs = graft.ops.Caches.lease(
+      graft.functions.VectorFunctions.attach(ref).select(expr(ws).as("__ws")))
+    def top(k: Int, h: String, cnt: String) =
+      refWs.select(explode(expr(s"graft_gram_hashes(__ws, $k)")).as(h))
+        .groupBy(col(h)).agg(count(lit(1)).as(cnt))
+        .orderBy(col(cnt).desc, col(h).asc).limit(vocab)
+    val totals = refWs.agg(
+      sum(expr("greatest(size(__ws) - 2, 0)")).as("total3"),
+      sum(expr("greatest(size(__ws) - 1, 0)")).as("total2"),
+      sum(expr("size(__ws)")).as("total1"))
+    (top(3, "h3", "cnt3"), top(2, "h2", "cnt2"), top(1, "h1", "cnt1"), totals)
+  }
+
+  /** The one fixed-shape double expression both backoff forms and the
+    * SQL twin share — identical operation order keeps it bit-equal.
+    */
+  private def backoffScoreExpr: Column =
+    round((col("s3").cast("double") / col("total3")
+      + lit(0.4) * col("s2").cast("double") / col("total2")
+      + lit(0.16) * col("s1").cast("double") / col("total1"))
+      / col("n_pos").cast("double"), 6).as("backoff_score")
+
+  /** COMPILED form of [[backoffScore]] — the registered scale path. The
+    * three top-V tables collapse to broadcast-literal sorted (hash, cnt)
+    * arrays inside one `graft_backoff_stats` kernel call: per doc the
+    * stats come back row-locally (binary search per position,
+    * lower-order hashes computed only on a miss), so the corpus pays ONE
+    * zero-shuffle scan — no position explode, no joins, no doc-grain
+    * re-aggregation. Measured at 1M docs / V=5000 (ProbeRound9d): 5.8s
+    * vs 63.6s for the declarative hash-join form (and 115s for the
+    * original string-keyed joins) — 11×, because the per-position work
+    * drops to one binary search and the 60M-row position explode never
+    * materializes. Spec-pinned bit-equal to [[backoffScore]]. The three
+    * V-row collects are metadata-sized (the DSIR literal-weight-table
+    * pattern).
+    */
+  def backoffScoreFast(docs: DataFrame, ref: DataFrame, id: String, text: String,
+                       vocab: Int = 1000): DataFrame = {
+    val (top3, top2, top1, totals) = backoffVocab(ref, text, vocab)
+    def pairs(df: DataFrame): (Seq[Long], Seq[Long]) = {
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      (rows.map(_._1).toSeq, rows.map(_._2).toSeq)
+    }
+    val (h3, c3) = pairs(top3)
+    val (h2, c2) = pairs(top2)
+    val (h1, c1) = pairs(top1)
+    val Array(t3, t2, t1) = totals.collect().head match {
+      case r => Array(r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    def lit_(a: Seq[Long]) = a.mkString("array(", "L, ", "L)")
+    graft.functions.VectorFunctions.attach(docs)
+      .select(col(id), expr(s"filter(split($text, ' '), w -> w <> '')").as("__ws"))
+      // cheap pre-filter (word count), NOT the kernel output — a filter
+      // on the computed stats would be pushed below the projection with
+      // the kernel substituted in, running it twice per row
+      .where(expr("size(__ws) >= 3"))
+      .select(col(id), expr(
+        s"graft_backoff_stats(__ws, ${lit_(h3)}, ${lit_(c3)}, " +
+          s"${lit_(h2)}, ${lit_(c2)}, ${lit_(h1)}, ${lit_(c1)})").as("st"))
+      .select(col(id), col("st")(0).as("n_pos"),
+        col("st")(1).as("n_tri"), col("st")(2).as("n_bi"),
+        col("st")(3).as("n_uni"), col("st")(4).as("n_oov"),
+        col("st")(5).as("s3"), col("st")(6).as("s2"), col("st")(7).as("s1"),
+        lit(t3).as("total3"), lit(t2).as("total2"), lit(t1).as("total1"))
+      .select(col(id), col("n_pos"), col("n_tri"), col("n_bi"), col("n_uni"),
+        col("n_oov"), backoffScoreExpr)
+  }
+
+  /** DuckDB twin of [[backoffScore]]/[[backoffScoreFast]] — same three
+    * hash-keyed top-V tables (portable gram hash, tie-break cnt DESC,
+    * hash ASC), length-derived totals, winning-level CASE sums, and the
+    * identical fixed-shape final double expression.
     */
   def backoffScoreSql(table: String, docsPred: String, refPred: String,
                       id: String, text: String, vocab: Int = 1000): String = {
     val w = s"list_filter(string_split($text, ' '), x -> x <> '')"
+    def h(g: String) = graft.ops.PortableHash.duckStringHash(g)
     s"""WITH rw AS (SELECT $w AS ws FROM $table WHERE $refPred),
-       |r3 AS (SELECT ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g3
+       |r3 AS (SELECT ${h("ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]")} AS h3
        |       FROM rw, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
-       |top3 AS (SELECT g3, count(*) AS cnt3 FROM r3 GROUP BY g3
-       |         ORDER BY cnt3 DESC, g3 ASC LIMIT $vocab),
-       |r2 AS (SELECT ws[i] || ' ' || ws[i + 1] AS g2
+       |top3 AS (SELECT h3, count(*) AS cnt3 FROM r3 GROUP BY h3
+       |         ORDER BY cnt3 DESC, h3 ASC LIMIT $vocab),
+       |r2 AS (SELECT ${h("ws[i] || ' ' || ws[i + 1]")} AS h2
        |       FROM rw, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)),
-       |top2 AS (SELECT g2, count(*) AS cnt2 FROM r2 GROUP BY g2
-       |         ORDER BY cnt2 DESC, g2 ASC LIMIT $vocab),
-       |r1 AS (SELECT unnest(ws) AS g1 FROM rw),
-       |top1 AS (SELECT g1, count(*) AS cnt1 FROM r1 GROUP BY g1
-       |         ORDER BY cnt1 DESC, g1 ASC LIMIT $vocab),
+       |top2 AS (SELECT h2, count(*) AS cnt2 FROM r2 GROUP BY h2
+       |         ORDER BY cnt2 DESC, h2 ASC LIMIT $vocab),
+       |r1 AS (SELECT ${h("g1")} AS h1 FROM (SELECT unnest(ws) AS g1 FROM rw)),
+       |top1 AS (SELECT h1, count(*) AS cnt1 FROM r1 GROUP BY h1
+       |         ORDER BY cnt1 DESC, h1 ASC LIMIT $vocab),
        |totals AS (SELECT CAST(sum(greatest(len(ws) - 2, 0)) AS BIGINT) AS total3,
        |                  CAST(sum(greatest(len(ws) - 1, 0)) AS BIGINT) AS total2,
        |                  CAST(sum(len(ws)) AS BIGINT) AS total1 FROM rw),
-       |dp AS (SELECT $id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g3,
-       |              ws[i] || ' ' || ws[i + 1] AS g2, ws[i] AS g1
+       |dp AS (SELECT $id,
+       |              ${h("ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]")} AS h3,
+       |              ${h("ws[i] || ' ' || ws[i + 1]")} AS h2, ${h("ws[i]")} AS h1
        |       FROM (SELECT $id, $w AS ws FROM $table WHERE $docsPred),
        |            UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
        |agg AS (
@@ -1011,9 +1076,9 @@ object TextAnalysis {
        |    CAST(sum(CASE WHEN t3.cnt3 IS NOT NULL THEN t3.cnt3 ELSE 0 END) AS BIGINT) AS s3,
        |    CAST(sum(CASE WHEN t3.cnt3 IS NULL AND t2.cnt2 IS NOT NULL THEN t2.cnt2 ELSE 0 END) AS BIGINT) AS s2,
        |    CAST(sum(CASE WHEN t3.cnt3 IS NULL AND t2.cnt2 IS NULL THEN coalesce(t1.cnt1, 0) ELSE 0 END) AS BIGINT) AS s1
-       |  FROM dp LEFT JOIN top3 t3 ON dp.g3 = t3.g3
-       |          LEFT JOIN top2 t2 ON dp.g2 = t2.g2
-       |          LEFT JOIN top1 t1 ON dp.g1 = t1.g1
+       |  FROM dp LEFT JOIN top3 t3 ON dp.h3 = t3.h3
+       |          LEFT JOIN top2 t2 ON dp.h2 = t2.h2
+       |          LEFT JOIN top1 t1 ON dp.h1 = t1.h1
        |  GROUP BY $id)
        |SELECT $id, n_pos, n_tri, n_bi, n_uni, n_oov,
        |  round((s3::DOUBLE / total3

@@ -1881,7 +1881,7 @@ object Queries {
         val docs = t(s, dir, "documents")
         val planted = s.range(1).select(lit(999999L).as("doc_id"),
           lit("zzqx zzqy zzqz zzqw").as("text"))
-        TextAnalysis.backoffScore(
+        TextAnalysis.backoffScoreFast(
           docs.where(col("doc_id") >= 100).select("doc_id", "text")
             .unionByName(planted),
           docs.where(col("doc_id") < 100),

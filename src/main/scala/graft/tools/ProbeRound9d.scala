@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the backoff / fertility / cluster-budget additions:
+  *  - stupid-backoff scoring at 1M docs (exploded trigram positions
+  *    through three broadcast vocab joins, ref = a 5k-doc slice);
+  *  - BPE fertility band at 1M docs (zero-shuffle compiled scan);
+  *  - cluster-balanced budget at 500k × 64-dim vectors (k-means
+  *    assignment + keyed two-pass prefix sum; nClusters scaled to 64 so
+  *    cluster size stays ~8k — the "more clusters, not bigger windows"
+  *    scale knob).
+  *
+  * Usage: runMain graft.tools.ProbeRound9d [probeDir] [what,csv]
+  */
+object ProbeRound9d {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/probe_1m")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe] $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$n)")
+      graft.ops.Caches.releaseAll()
+    }
+    val what = if (args.length > 1) args(1).split(',').toSet else Set.empty[String]
+    def on(k: String) = what.isEmpty || what(k)
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    if (on("backoff")) time("backoffScore (hash joins) 1M docs, V=5000")(
+      graft.ops.TextAnalysis.backoffScore(
+        docs.where(col("doc_id") >= 5000), docs.where(col("doc_id") < 5000),
+        "doc_id", "text", vocab = 5000).queryExecution.toRdd.count())
+    if (on("backoff_fast")) time("backoffScoreFast (kernel) 1M docs, V=5000")(
+      graft.ops.TextAnalysis.backoffScoreFast(
+        docs.where(col("doc_id") >= 5000), docs.where(col("doc_id") < 5000),
+        "doc_id", "text", vocab = 5000).queryExecution.toRdd.count())
+    if (on("fertility")) time("bpe fertility band 1M docs")(
+      graft.functions.VectorFunctions.attach(docs)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("len_chars"),
+          expr(graft.ops.Bpe.sparkTokenCountExpr("text")).as("n_bpe"))
+        .withColumn("fertility",
+          when(col("n_bpe") > 0,
+            round(col("len_chars").cast("double") / col("n_bpe"), 6)))
+        .withColumn("keep", col("n_bpe") > 0 && col("fertility").between(1.5, 1.56))
+        .queryExecution.toRdd.count())
+
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    if (on("cluster")) time("clusterBudgetSelect 500k vecs, k=64, B=2000")(
+      graft.ops.Similarity.clusterBudgetSelect(emb, "vec_id", "embedding",
+        nClusters = 64, iters = 2, perClusterBudget = 2000)
+        .queryExecution.toRdd.count())
+
+    spark.stop()
+  }
+}

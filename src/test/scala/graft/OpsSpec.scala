@@ -575,6 +575,23 @@ class OpsSpec extends SparkSpec {
       "0.4-per-level penalty must rank tri > bi > uni hits")
   }
 
+  test("stupid backoff: compiled kernel is bit-equal to the declarative hash-join form") {
+    import spark.implicits._
+    val ref = Seq((0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown cat naps under the warm sun")).toDF("doc_id", "text")
+    val scored = Seq(
+      (10L, "the quick brown fox runs"), (11L, "the quick zebra sprints fast"),
+      (12L, "quick zzz yyy the brown"), (13L, "zzz yyy xxx www"),
+      (14L, "too short"), (15L, "")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString).toSeq
+    val slow = rows(TextAnalysis.backoffScore(scored, ref, "doc_id", "text", vocab = 7))
+    val fast = rows(TextAnalysis.backoffScoreFast(scored, ref, "doc_id", "text", vocab = 7))
+    assert(fast === slow, "kernel and hash-join forms must agree bit-for-bit " +
+      "(including at the top-V tie boundary — vocab=7 truncates mid-tie)")
+  }
+
   test("cluster budget: the keyed prefix sum caps each stratum, keeps best-score-first, spares small strata") {
     import spark.implicits._
     // the budget semantics on a hand-made assignment: stratum a has 5

@@ -622,14 +622,17 @@ class PlanAuditSpec extends SparkSpec {
       s"the disjunction must not degrade the join to a nested loop:\n$p")
   }
 
-  test("text_backoff_score: three broadcast vocab joins; positions partial-aggregate to doc grain") {
+  test("text_backoff_score: the literal-vocab kernel leaves a join-free, explode-free, shuffle-free scan") {
+    // the three top-V collects run eagerly at build time (metadata-sized,
+    // the DSIR literal-table pattern); the plan this query RETURNS is the
+    // corpus pass and must be a pure projection
     val p = plan("text_backoff_score")
-    assert(count(p, "BroadcastHashJoin") >= 3,
-      s"top-V trigram/bigram/unigram tables must all broadcast:\n$p")
-    assert(count(p, "HashAggregate") >= 2,
-      s"the per-doc level counts must combine map-side:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"no vocab table justifies shuffling the exploded positions:\n$p")
+    assert(count(p, "Join") == 0,
+      s"the literal (hash, cnt) arrays replace every vocab join:\n$p")
+    assert(!p.contains("Generate"),
+      s"the kernel scores positions row-locally — no explode:\n$p")
+    assert(!p.contains("Exchange"),
+      s"the scoring pass must not shuffle the corpus:\n$p")
   }
 
   test("pipeline_cluster_budget: budget fill is the keyed prefix sum — no per-cluster window funnel") {
