@@ -158,6 +158,33 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming backoff-LM gate: literal-vocab kernel scores arrivals in-flight, garbage drops") {
+    implicit val sq = spark.sqlContext
+    // the DSIR-gate pattern one rung up: the reference vocabulary
+    // collapses to broadcast-literal arrays at construction, so the
+    // scoring pass is a stateless projection a stream runs unchanged
+    val ref = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown cat naps under the warm sun")).toDF("doc_id", "text")
+    val docs = MemoryStream[(Long, String)]
+    val out = TextAnalysis.backoffScoreFast(
+      docs.toDF().toDF("doc_id", "text"), ref, "doc_id", "text", vocab = 100)
+      .where($"backoff_score" > 0.0)
+    val q = out.writeStream.format("memory").queryName("backoff_stream")
+      .outputMode("append").start()
+    try {
+      docs.addData(
+        (10L, "the quick brown fox runs"), // ref-like: trigram hits, passes
+        (11L, "zzz yyy xxx www vvv"),      // all-OOV: score 0, drops
+        (12L, "too short"))                // < 3 words: dropped pre-kernel
+      q.processAllAvailable()
+      val kept = spark.table("backoff_stream")
+        .select($"doc_id", $"n_tri").as[(Long, Long)].collect().toMap
+      assert(kept.keySet === Set(10L), "only the reference-like arrival passes")
+      assert(kept(10L) >= 1L, "the pass must come from a trigram-level hit")
+    } finally q.stop()
+  }
+
   test("streaming ANN: query-vector stream gets bounded-heap top-k against the static corpus") {
     implicit val sq = spark.sqlContext
     val corpus = Seq(
