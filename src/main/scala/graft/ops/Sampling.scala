@@ -346,6 +346,71 @@ object Sampling {
        |WHERE cum_tokens <= CASE $strataCol $cases ELSE $defaultBudget END""".stripMargin
   }
 
+  /** MIX FILL REPORT over [[selectByTokenBudgetStratified]] — the
+    * report-before-acting twin of the data-mixing budget (the census /
+    * corpus-profile / quality-report pattern): per stratum, what was
+    * OFFERED (docs and tokens available), what the budget TOOK, the
+    * requested allocation, and the integer-milli fill rate. This is the
+    * table a run publishes to show which strata are supply-limited
+    * (fill < 1000 means the stratum ran out of docs before its budget)
+    * vs budget-limited — the decision input for re-balancing the mix.
+    *
+    * Scale shape: the scored frame is leased so the offered-side agg and
+    * the selection share one derivation; both aggregations are keyed
+    * partial-agg exchanges of stratum rows (metadata-sized outputs).
+    */
+  def budgetFillReport(scored: DataFrame, id: String, strataCol: String,
+                       scoreCol: String, tokensCol: String,
+                       budgets: Map[String, Long], defaultBudget: Long,
+                       nRanges: Int = 32): DataFrame = {
+    val leased = Caches.lease(scored)
+    val offered = leased
+      .groupBy(col(strataCol).cast("string").as(strataCol))
+      .agg(count(lit(1)).as("n_offered"),
+        sum(col(tokensCol).cast("long")).as("tokens_offered"))
+    val taken = selectByTokenBudgetStratified(leased, id, strataCol, scoreCol,
+        tokensCol, budgets, defaultBudget, nRanges)
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
+    val budgetCol = budgets.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultBudget)) { case ((st, b), acc) =>
+        when(col(strataCol) === st, lit(b)).otherwise(acc)
+      }
+    // left join keeps strata whose budget took nothing (or that offered
+    // docs none of which fit) in the report
+    offered.join(taken, Seq(strataCol), "left_outer")
+      .select(col(strataCol), col("n_offered"), col("tokens_offered"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
+        budgetCol.as("budget"))
+      .withColumn("fill_milli", expr("(1000 * tokens_kept) div budget"))
+  }
+
+  /** DuckDB twin of [[budgetFillReport]]. */
+  def budgetFillReportSql(table: String, id: String, strataCol: String,
+                          scoreExpr: String, tokensExpr: String,
+                          budgets: Map[String, Long],
+                          defaultBudget: Long): String = {
+    val cases = budgets.toSeq.sortBy(_._1)
+      .map { case (st, b) => s"WHEN '$st' THEN $b" }.mkString(" ")
+    s"""WITH sel AS (
+       |${selectByTokenBudgetStratifiedSql(table, id, strataCol, scoreExpr,
+            tokensExpr, budgets, defaultBudget)}),
+       |off AS (SELECT $strataCol, count(*)::BIGINT AS n_offered,
+       |               sum(($tokensExpr)::BIGINT)::BIGINT AS tokens_offered
+       |        FROM $table GROUP BY 1),
+       |tk AS (SELECT $strataCol, count(*)::BIGINT AS n_kept,
+       |              sum(n_tokens)::BIGINT AS tokens_kept
+       |       FROM sel GROUP BY 1)
+       |SELECT o.$strataCol, o.n_offered, o.tokens_offered,
+       |  coalesce(tk.n_kept, 0)::BIGINT AS n_kept,
+       |  coalesce(tk.tokens_kept, 0)::BIGINT AS tokens_kept,
+       |  (CASE o.$strataCol $cases ELSE $defaultBudget END)::BIGINT AS budget,
+       |  ((1000 * coalesce(tk.tokens_kept, 0)) //
+       |   CASE o.$strataCol $cases ELSE $defaultBudget END)::BIGINT AS fill_milli
+       |FROM off o LEFT JOIN tk ON o.$strataCol = tk.$strataCol""".stripMargin
+  }
+
   def stratifiedSampleSql(table: String, id: String, strata: String,
                           rates: Map[String, Double],
                           default: Double): String = {

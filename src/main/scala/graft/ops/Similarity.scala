@@ -689,6 +689,46 @@ object Similarity {
       .withColumnRenamed("cum_tokens", "rank_in_cluster")
   }
 
+  /** PER-CLUSTER corpus profile — the embedding-space analog of the
+    * per-(lang, source) corpus profile: for each k-means cluster, member
+    * count, mean and minimum similarity-to-centroid. The report a run
+    * reads BEFORE trusting cluster-based ops (SemDeDup, cluster budgets,
+    * IVF routing) on a new corpus/encoder: a cluster with low mean csim
+    * is incoherent (k too small or the encoder is weak there), a
+    * dominant-count cluster is the template mode the budget should cap.
+    *
+    * Mean through exact decimal sums (double summation is
+    * order-dependent; csim is already round-6 so the decimal cast is
+    * exact), one argmax-assignment exchange + one cluster-keyed
+    * partial agg — metadata-sized output.
+    */
+  def clusterProfile(corpus: DataFrame, idCol: String, vecCol: String,
+                     nClusters: Int = 8, iters: Int = 2): DataFrame = {
+    val base = Par.floor(withCosine(corpus), col(idCol))
+      .select(col(idCol).as("v_id"), col(vecCol).as("vec"))
+    val cent = broadcast(kmeansCentroids(corpus, idCol, vecCol, nClusters, iters))
+    assignClusters(base, cent)
+      .join(cent.select(col("cent_id"), col("c_vec")), col("cluster") === col("cent_id"))
+      .withColumn("csim", round(expr(nativeCosine("vec", "c_vec")), 6))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("csim").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("mean_csim"),
+        min(col("csim")).as("min_csim"))
+  }
+
+  /** DuckDB twin of [[clusterProfile]]. */
+  def clusterProfileSql(table: String, idCol: String, vecCol: String,
+                        nClusters: Int = 8, iters: Int = 2): String =
+    s"""WITH ${kmeansCtes(table, idCol, vecCol, nClusters, iters)},
+       |cs AS (
+       |  SELECT a.cluster, round(${duckCosine("a.vec", "c.c_vec")}, 6) AS csim
+       |  FROM a JOIN cent$iters c ON a.cluster = c.cent_id)
+       |SELECT cluster, count(*)::BIGINT AS n_vecs,
+       |  round(CAST(sum(CAST(csim AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_csim,
+       |  min(csim) AS min_csim
+       |FROM cs GROUP BY cluster""".stripMargin
+
   /** DuckDB twin of [[clusterBudgetSelect]] — same k-means CTEs, the
     * budget replayed as the keyed window the prefix sum must match.
     */

@@ -1194,6 +1194,36 @@ object Queries {
       Some(Similarity.clusterBudgetSelectSql("embeddings",
         "vec_id", "embedding", nClusters = 8, iters = 2, perClusterBudget = 4))),
 
+    // the mix budget's REPORT twin: per stratum, offered vs taken vs
+    // requested with integer-milli fill — which strata are
+    // supply-limited (fill < 1000: ran out of docs) vs budget-limited.
+    // The decision table a run publishes before re-balancing the mix
+    QueryDef("pipeline_mix_report",
+      (s, dir) => graft.ops.Sampling.budgetFillReport(
+        graft.functions.VectorFunctions.attach(t(s, dir, "documents"))
+          .select(col("doc_id"), col("source"),
+            expr(TextAnalysis.stopwordRatioExpr("text")).as("score"),
+            expr("graft_token_count(text)").as("n_toks")),
+        "doc_id", "source", "score", "n_toks",
+        budgets = Map("src0" -> 400L, "src1" -> 1000000L),
+        defaultBudget = 800L),
+      Some(graft.ops.Sampling.budgetFillReportSql("documents",
+        "doc_id", "source", TextAnalysis.duckStopwordRatioExpr("text"),
+        "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))",
+        budgets = Map("src0" -> 400L, "src1" -> 1000000L),
+        defaultBudget = 800L))),
+
+    // per-cluster embedding-space corpus profile: member count + mean
+    // and min similarity-to-centroid per k-means cluster — the report
+    // read before trusting SemDeDup / cluster budgets / IVF routing on
+    // a new corpus or encoder (incoherent and template-mode clusters
+    // both show up here first)
+    QueryDef("embed_cluster_profile",
+      (s, dir) => Similarity.clusterProfile(t(s, dir, "embeddings"),
+        "vec_id", "embedding", nClusters = 8, iters = 2),
+      Some(Similarity.clusterProfileSql("embeddings",
+        "vec_id", "embedding", nClusters = 8, iters = 2))),
+
     // document chunking for embedding pipelines: overlapping token
     // windows (32 tokens, stride 24), chunk content witnessed by one
     // portable hash of the joined tokens per chunk — pure projection +
