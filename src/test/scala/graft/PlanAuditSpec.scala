@@ -649,6 +649,54 @@ class PlanAuditSpec extends SparkSpec {
       s"the budget filter must add no shuffle beyond the checkpointed range exchange:\n$p")
   }
 
+  test("q8_market_share: part/supplier/customer-region sides all broadcast; one fact shuffle") {
+    val p = plan("q8_market_share")
+    assert(count(p, "BroadcastHashJoin") >= 3,
+      s"filtered part, supplier⋈nation, and the EUROPE customer side must broadcast:\n$p")
+    assert(count(p, "SortMergeJoin|ShuffledHashJoin") <= 1,
+      s"only lineitem⋈orders may shuffle:\n$p")
+  }
+
+  test("q10_returned_customers: top-20 is TakeOrdered over the grouped revenue, nation broadcasts") {
+    val p = plan("q10_returned_customers")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the limit must compile to per-partition top-k + merge, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 25-row nation dim must broadcast:\n$p")
+  }
+
+  test("q13_order_counts: both aggregations combine map-side; the priority filter rides the outer join") {
+    val p = plan("q13_order_counts")
+    assert(count(p, "HashAggregate") >= 4,
+      s"per-customer counts and the histogram must each partial-aggregate:\n$p")
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"),
+      s"zero-order customers must survive via the outer join:\n$p")
+  }
+
+  test("q18_large_volume: the HAVING side carries (key, sum) only; customers broadcast") {
+    val p = plan("q18_large_volume")
+    assert(count(p, "HashAggregate") >= 2,
+      s"the per-order quantity sum must combine map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must not globally sort the join result:\n$p")
+  }
+
+  test("pipeline_mix_report: one leased derivation feeds both the offered agg and the selection") {
+    val p = plan("pipeline_mix_report")
+    assert(p.contains("InMemoryTableScan"),
+      s"the scored frame must be leased so offered/taken share one corpus derivation:\n$p")
+    assert(!p.contains("Window"),
+      s"the report must not reintroduce a per-stratum window:\n$p")
+  }
+
+  test("embed_cluster_profile: centroids broadcast; one argmax exchange + one cluster-keyed agg") {
+    val p = plan("embed_cluster_profile")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the centroid set must broadcast into the assignment:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in the profile justifies shuffling the corpus for a join:\n$p")
+  }
+
   test("text_bpe_fertility: the fertility band is a pure compiled map — zero shuffles") {
     val p = plan("text_bpe_fertility")
     assert(!p.contains("Exchange"),
