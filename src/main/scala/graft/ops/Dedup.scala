@@ -720,6 +720,88 @@ object Dedup {
        |WHERE NOT EXISTS (SELECT 1 FROM $priorRel o
        |                  WHERE md5(o.$text) = md5(n.$text))""".stripMargin
 
+  /** LSH band-bucket table of a corpus — the PERSISTABLE near-dup index
+    * state: (band, bucket, _did) rows, three longs per band per doc, no
+    * text. This is what an accumulating pipeline keeps between crawls
+    * (the near-dup analog of [[incrementalNew]]'s digest set): writing
+    * it bucketed/partitioned by (band, bucket) makes the daily
+    * incremental join shuffle only the new crawl's rows.
+    */
+  def bandTable(df: DataFrame, id: String, text: String,
+                bands: Int = 4, rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
+    val fdf = graft.functions.VectorFunctions.attach(df)
+    Par.floor(fdf.where(expr(s"size(split($text, ' ')) >= $k")), col(id))
+      .select(col(id).as("_did"), expr(nativeShingleHashes(text, k)).as("hs"))
+      .select(col("_did"),
+        posexplode(expr(s"graft_band_buckets(hs, $bands, $rowsPerBand)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** Incremental NEAR-dup — the daily-crawl form of
+    * [[minhashDedupKeepers]]: each new-snapshot doc is checked against
+    * the PRIOR corpus's band-bucket table ([[bandTable]], typically
+    * persisted once and appended per crawl) instead of re-banding the
+    * union. A new doc sharing ANY band bucket with a prior doc is a
+    * near-dup of that corpus (the banding's own threshold semantics —
+    * the same rule the keeper uses); `matched_prior` reports the lowest
+    * colliding prior id, NULL ⇒ keep. Docs too short to shingle carry
+    * no bands and keep (the LEFT join preserves them).
+    *
+    * Scale shape: the new crawl pays one scan to band rows; the join is
+    * keyed on (band, bucket) against the prior table — with the prior
+    * side stored bucketed on that key, only the (small) new side
+    * shuffles; the per-doc min is one keyed partial agg.
+    */
+  def incrementalNearDup(newSnap: DataFrame, priorBands: DataFrame,
+                         id: String, text: String,
+                         bands: Int = 4, rowsPerBand: Int = 4,
+                         k: Int = 3): DataFrame = {
+    val newBands = bandTable(newSnap, id, text, bands, rowsPerBand, k)
+    val matches = newBands
+      .join(priorBands.select(col("band"), col("bucket"),
+        col("_did").as("prior_id")), Seq("band", "bucket"))
+      .groupBy(col("_did")).agg(min(col("prior_id")).as("matched_prior"))
+    newSnap.select(col(id))
+      .join(matches, col(id) === col("_did"), "left_outer")
+      .select(col(id), col("matched_prior"),
+        col("matched_prior").isNull.as("keep"))
+  }
+
+  /** DuckDB twin of [[incrementalNearDup]] — prior and new band tables
+    * rebuilt inline from their predicates over the same relation.
+    */
+  def incrementalNearDupSql(table: String, newPred: String,
+                            priorPred: String, id: String, text: String,
+                            bands: Int = 4, rowsPerBand: Int = 4,
+                            k: Int = 3): String = {
+    def bandSelects(src: String) = (0 until bands).map { b =>
+      val sig = (0 until rowsPerBand).map { r =>
+        val i = b * rowsPerBand + r
+        s"list_min(list_transform(hs, h -> ${universal(i, "h")}))"
+      }.mkString("[", ", ", "]::BIGINT[]")
+      s"SELECT _did, $b AS band, ${duckFoldHashes(sig)} AS bucket FROM $src"
+    }.mkString(" UNION ALL ")
+    s"""WITH docs_new AS (
+       |  SELECT _did, hs FROM
+       |    (SELECT $id AS _did, ${duckShingleHashes(text, k)} AS hs
+       |     FROM $table WHERE $newPred)
+       |  WHERE len(hs) > 0),
+       |docs_prior AS (
+       |  SELECT _did, hs FROM
+       |    (SELECT $id AS _did, ${duckShingleHashes(text, k)} AS hs
+       |     FROM $table WHERE $priorPred)
+       |  WHERE len(hs) > 0),
+       |nb AS (${bandSelects("docs_new")}),
+       |pb AS (${bandSelects("docs_prior")}),
+       |m AS (
+       |  SELECT nb._did, min(pb._did) AS matched_prior
+       |  FROM nb JOIN pb ON nb.band = pb.band AND nb.bucket = pb.bucket
+       |  GROUP BY nb._did)
+       |SELECT n.$id, m.matched_prior, m.matched_prior IS NULL AS keep
+       |FROM (SELECT $id FROM $table WHERE $newPred) n
+       |LEFT JOIN m ON n.$id = m._did""".stripMargin
+  }
+
   /** SOFT dedup — down-WEIGHT duplicates instead of dropping them (the
     * published alternative to hard keeper dedup: duplicate-aware
     * training reweighting, e.g. SoftDeDup — keeps the information while

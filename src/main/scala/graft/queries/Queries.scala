@@ -2158,6 +2158,38 @@ object Queries {
         "(SELECT doc_id, text FROM documents WHERE doc_id < 400)",
         "doc_id", "text"))),
 
+    // the NEAR-dup form of the daily-crawl check: the prior corpus's LSH
+    // band-bucket table persists first-touch (the index state an
+    // accumulating pipeline keeps — 3 longs per band per doc, no text)
+    // and each new-crawl doc joins against it instead of re-banding the
+    // union. Planted suffix-varied re-crawls (+300000) exercise the drop
+    // branch — exact-digest incremental dedup cannot see them
+    QueryDef("dedup_incremental_near",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val prior = docs.where(col("doc_id") >= 50).select("doc_id", "text")
+        val path = idxPath("bandtab", dir)
+        graft.ops.PqIndex.ensure(s, path,
+          idxSig(s, dir, "bandtab,b=4,r=4,k=3,prior>=50", table = "documents")) {
+          Dedup.bandTable(prior, "doc_id", "text").write
+            .mode("overwrite").parquet(s"$path/bands")
+        }
+        val priorBands = s.read.parquet(s"$path/bands")
+        val recrawl = docs.where(col("doc_id") >= 50 && col("doc_id") < 53)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat(col("text"), lit(" appended crawl tail")).as("text"))
+        val newSnap = docs.where(col("doc_id") < 50).select("doc_id", "text")
+          .unionByName(recrawl)
+        Dedup.incrementalNearDup(newSnap, priorBands, "doc_id", "text")
+      },
+      Some(Dedup.incrementalNearDupSql(
+        "(SELECT doc_id, text FROM documents " +
+          "UNION ALL SELECT doc_id + 300000, text || ' appended crawl tail' " +
+          "FROM documents WHERE doc_id >= 50 AND doc_id < 53)",
+        newPred = "doc_id < 50 OR doc_id >= 300000",
+        priorPred = "doc_id >= 50 AND doc_id < 300000",
+        "doc_id", "text"))),
+
     // AS-OF join (point-in-time state lookup): each view event gets the
     // latest prior-or-equal purchase per user. Spark lacks native ASOF;
     // the op is the merge formulation — union + ONE keyed exchange + ONE

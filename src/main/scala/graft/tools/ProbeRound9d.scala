@@ -51,6 +51,13 @@ object ProbeRound9d {
         .withColumn("keep", col("n_bpe") > 0 && col("fertility").between(1.5, 1.56))
         .queryExecution.toRdd.count())
 
+    if (on("incnear")) time("incrementalNearDup 100k new vs 900k prior")(
+      graft.ops.Dedup.incrementalNearDup(
+        docs.where(col("doc_id") < 100000).select("doc_id", "text"),
+        graft.ops.Dedup.bandTable(
+          docs.where(col("doc_id") >= 100000), "doc_id", "text"),
+        "doc_id", "text").queryExecution.toRdd.count())
+
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     if (on("cluster")) time("clusterBudgetSelect 500k vecs, k=64, B=2000")(
       graft.ops.Similarity.clusterBudgetSelect(emb, "vec_id", "embedding",

@@ -575,6 +575,24 @@ class OpsSpec extends SparkSpec {
       "0.4-per-level penalty must rank tri > bi > uni hits")
   }
 
+  test("incremental near-dup: suffix-varied re-crawls drop against the prior band table, clean and short docs keep") {
+    import spark.implicits._
+    // a 33-shingle base: the 3 shingles the tail adds cannot displace a
+    // whole band of signature minima (a 10-word base flips all 4 bands)
+    val prior = Seq((100L, longDoc),
+      (101L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, longDoc + " trailing crawl noise"),   // near-copy of 100: drops
+      (2L, "a wholly different document with its own distinct words here"),
+      (3L, "tiny")                               // < k words: no bands, keeps
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(newSnap,
+        Dedup.bandTable(prior, "doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), r.getBoolean(2))).toMap
+    assert(out(1L) === (Some(100L), false), "planted near-copy must match its prior original")
+    assert(out(2L)._2 && out(3L)._2, "clean and sub-shingle docs must keep")
+  }
+
   test("stupid backoff: compiled kernel is bit-equal to the declarative hash-join form") {
     import spark.implicits._
     val ref = Seq((0L, "the quick brown fox jumps over the lazy dog"),

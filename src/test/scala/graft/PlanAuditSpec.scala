@@ -697,6 +697,16 @@ class PlanAuditSpec extends SparkSpec {
       s"nothing in the profile justifies shuffling the corpus for a join:\n$p")
   }
 
+  test("dedup_incremental_near: prior side reads the persisted band table — no prior-corpus text scan") {
+    val p = formatted("dedup_incremental_near")
+    assert(p.contains("bands"),
+      s"the prior side must come from the first-touch band-table parquet:\n$p")
+    // the prior corpus's text is never re-shingled in the query plan:
+    // exactly the new-snapshot scans touch the text column
+    assert(count(p, "ReadSchema[^\\n]*text") <= 2,
+      s"only the new snapshot (union of base + planted) may scan text:\n$p")
+  }
+
   test("text_bpe_fertility: the fertility band is a pure compiled map — zero shuffles") {
     val p = plan("text_bpe_fertility")
     assert(!p.contains("Exchange"),
