@@ -767,6 +767,38 @@ object Dedup {
         col("matched_prior").isNull.as("keep"))
   }
 
+  /** Streaming twin of [[incrementalNearDup]] — the live-crawl NEAR-dup
+    * guard (the [[incrementalNewStreaming]] / cleanDocsStreaming
+    * pattern one level up): the prior corpus's (band, bucket) pairs
+    * fold to single longs — `(bucket << ceil(log2 bands)) | band`,
+    * identical arithmetic on the probe side; the dropped top bucket
+    * bits can only create a conservative extra match, never a miss —
+    * collected once into a sorted literal array, and each arriving doc
+    * is one stateless projection: band its shingles, fold, two-pointer
+    * probe. No state store, no stream-static join; checkpoint-free.
+    * Sub-k-word docs carry no bands and pass. Literal-array reach is
+    * the same broadcast bound as the decontamination guard — beyond it,
+    * fold the keys into a bloom sketch exactly as
+    * [[incrementalNewStreaming]] does for digests.
+    */
+  def incrementalNearDupStreaming(newStream: DataFrame, priorBands: DataFrame,
+                                  id: String, text: String,
+                                  bands: Int = 4, rowsPerBand: Int = 4,
+                                  k: Int = 3): DataFrame = {
+    val shift = 32 - Integer.numberOfLeadingZeros(math.max(bands - 1, 1))
+    val priorKeys: Array[Long] = priorBands
+      .select(expr(s"shiftleft(bucket, $shift) | band").as("bk"))
+      .distinct().orderBy(col("bk")).collect().map(_.getLong(0))
+    graft.functions.VectorFunctions.attach(newStream)
+      .withColumn("__bks", expr(
+        s"IF(size(split($text, ' ')) >= $k, " +
+          s"sort_array(transform(graft_band_buckets(${nativeShingleHashes(text, k)}, $bands, $rowsPerBand), " +
+          s"(x, i) -> shiftleft(x, $shift) | i)), CAST(array() AS ARRAY<BIGINT>))"))
+      .withColumn("__prior", typedLit(priorKeys))
+      .select(col(id),
+        expr("graft_intersect_count(__bks, __prior) = 0").as("keep"))
+  }
+
   /** DuckDB twin of [[incrementalNearDup]] — prior and new band tables
     * rebuilt inline from their predicates over the same relation.
     */

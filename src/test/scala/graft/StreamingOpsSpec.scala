@@ -158,6 +158,38 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental near-dup guard: suffix-varied re-crawls drop in-flight against the prior band table") {
+    implicit val sq = spark.sqlContext
+    val longDoc = "a b c d e f g h i j k l m n o p q r s t u v w x y z " +
+      "aa bb cc dd ee ff gg hh"
+    val prior = Seq((100L, longDoc),
+      (101L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val priorBands = Dedup.bandTable(prior, "doc_id", "text")
+    val docs = MemoryStream[(Long, String)]
+    val out = Dedup.incrementalNearDupStreaming(
+      docs.toDF().toDF("doc_id", "text"), priorBands, "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("incnear_stream")
+      .outputMode("append").start()
+    try {
+      docs.addData(
+        (1L, longDoc + " trailing crawl noise"), // near-copy of 100: flagged
+        (2L, "a wholly different document with its own distinct words here"),
+        (3L, "tiny"))                            // < k words: no bands, keeps
+      q.processAllAvailable()
+      val flags = spark.table("incnear_stream")
+        .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+      assert(flags === Map(1L -> false, 2L -> true, 3L -> true))
+      // parity with the batch op on identical data
+      val batch = Dedup.incrementalNearDup(
+        Seq((1L, longDoc + " trailing crawl noise"),
+          (2L, "a wholly different document with its own distinct words here"),
+          (3L, "tiny")).toDF("doc_id", "text"),
+        priorBands, "doc_id", "text")
+        .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+      assert(flags === batch, "stream guard must agree with the batch check")
+    } finally q.stop()
+  }
+
   test("streaming backoff-LM gate: literal-vocab kernel scores arrivals in-flight, garbage drops") {
     implicit val sq = spark.sqlContext
     // the DSIR-gate pattern one rung up: the reference vocabulary
