@@ -609,10 +609,12 @@ object Similarity {
     */
   def semanticDedupKeepers(corpus: DataFrame, idCol: String, vecCol: String,
                            nClusters: Int = 8, iters: Int = 2,
-                           eps: Double = 0.95): DataFrame = {
+                           eps: Double = 0.95,
+                           centroids: Option[DataFrame] = None): DataFrame = {
     val base = Par.floor(withCosine(corpus), col(idCol))
       .select(col(idCol).as("v_id"), col(vecCol).as("vec"))
-    val cent = broadcast(kmeansCentroids(corpus, idCol, vecCol, nClusters, iters))
+    val cent = broadcast(centroids.getOrElse(
+      kmeansCentroids(corpus, idCol, vecCol, nClusters, iters)))
     // csim (sim to OWN centroid) decides the keeper; recompute it against
     // the broadcast centroid set — assignment's argmax already paid it,
     // but re-deriving map-side beats carrying it through the partial agg
@@ -675,10 +677,12 @@ object Similarity {
     */
   def clusterBudgetSelect(corpus: DataFrame, idCol: String, vecCol: String,
                           nClusters: Int = 8, iters: Int = 2,
-                          perClusterBudget: Long = 4): DataFrame = {
+                          perClusterBudget: Long = 4,
+                          centroids: Option[DataFrame] = None): DataFrame = {
     val base = Par.floor(withCosine(corpus), col(idCol))
       .select(col(idCol).as("v_id"), col(vecCol).as("vec"))
-    val cent = broadcast(kmeansCentroids(corpus, idCol, vecCol, nClusters, iters))
+    val cent = broadcast(centroids.getOrElse(
+      kmeansCentroids(corpus, idCol, vecCol, nClusters, iters)))
     val scored = assignClusters(base, cent)
       .join(cent.select(col("cent_id"), col("c_vec")), col("cluster") === col("cent_id"))
       .withColumn("score", round(expr(nativeCosine("vec", "c_vec")), 6))
@@ -703,10 +707,12 @@ object Similarity {
     * partial agg — metadata-sized output.
     */
   def clusterProfile(corpus: DataFrame, idCol: String, vecCol: String,
-                     nClusters: Int = 8, iters: Int = 2): DataFrame = {
+                     nClusters: Int = 8, iters: Int = 2,
+                     centroids: Option[DataFrame] = None): DataFrame = {
     val base = Par.floor(withCosine(corpus), col(idCol))
       .select(col(idCol).as("v_id"), col(vecCol).as("vec"))
-    val cent = broadcast(kmeansCentroids(corpus, idCol, vecCol, nClusters, iters))
+    val cent = broadcast(centroids.getOrElse(
+      kmeansCentroids(corpus, idCol, vecCol, nClusters, iters)))
     assignClusters(base, cent)
       .join(cent.select(col("cent_id"), col("c_vec")), col("cluster") === col("cent_id"))
       .withColumn("csim", round(expr(nativeCosine("vec", "c_vec")), 6))
