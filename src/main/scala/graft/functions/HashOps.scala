@@ -410,15 +410,26 @@ object HashOps {
                    triH: Array[Long], triC: Array[Long],
                    biH: Array[Long], biC: Array[Long],
                    uniH: Array[Long], uniC: Array[Long]): ArrayData = {
-    val n = words.numElements()
+    // compact away empty words here instead of a `filter(...)` HOF
+    // upstream: higher-order functions are CodegenFallback and would
+    // break the whole-stage span around this kernel
+    val raw = words.numElements()
+    val ws = new Array[UTF8String](raw)
+    var n = 0
+    var r = 0
+    while (r < raw) {
+      val w = words.getUTF8String(r)
+      if (w != null && w.numBytes() > 0) { ws(n) = w; n += 1 }
+      r += 1
+    }
     val out = new Array[Long](8)
     if (n >= 3) {
       val sb = new java.lang.StringBuilder()
       var i = 0
       while (i <= n - 3) {
-        val w0 = words.getUTF8String(i).toString
-        val w1 = words.getUTF8String(i + 1).toString
-        val w2 = words.getUTF8String(i + 2).toString
+        val w0 = ws(i).toString
+        val w1 = ws(i + 1).toString
+        val w2 = ws(i + 2).toString
         sb.setLength(0); sb.append(w0).append(' ').append(w1).append(' ').append(w2)
         val i3 = java.util.Arrays.binarySearch(triH,
           hashUtf8(UTF8String.fromString(sb.toString)))
@@ -429,8 +440,7 @@ object HashOps {
             hashUtf8(UTF8String.fromString(sb.toString)))
           if (i2 >= 0) { out(2) += 1; out(6) += biC(i2) }
           else {
-            val i1 = java.util.Arrays.binarySearch(uniH,
-              hashUtf8(words.getUTF8String(i)))
+            val i1 = java.util.Arrays.binarySearch(uniH, hashUtf8(ws(i)))
             if (i1 >= 0) { out(3) += 1; out(7) += uniC(i1) }
             else out(4) += 1
           }

@@ -1021,13 +1021,15 @@ object TextAnalysis {
     }
     def lit_(a: Seq[Long]) = a.mkString("array(", "L, ", "L)")
     graft.functions.VectorFunctions.attach(docs)
-      .select(col(id), expr(s"filter(split($text, ' '), w -> w <> '')").as("__ws"))
-      // cheap pre-filter (word count), NOT the kernel output — a filter
-      // on the computed stats would be pushed below the projection with
-      // the kernel substituted in, running it twice per row
-      .where(expr("size(__ws) >= 3"))
+      // pre-filter via the compiled word count, NOT the kernel output —
+      // a filter on the computed stats would be pushed below the
+      // projection with the kernel substituted in, running it twice per
+      // row. The kernel takes the RAW split (it compacts empty words
+      // itself): a filter(...) HOF here is CodegenFallback and would
+      // break the whole-stage span around the kernel
+      .where(expr(s"graft_word_count($text) >= 3"))
       .select(col(id), expr(
-        s"graft_backoff_stats(__ws, ${lit_(h3)}, ${lit_(c3)}, " +
+        s"graft_backoff_stats(split($text, ' '), ${lit_(h3)}, ${lit_(c3)}, " +
           s"${lit_(h2)}, ${lit_(c2)}, ${lit_(h1)}, ${lit_(c1)})").as("st"))
       .select(col(id), col("st")(0).as("n_pos"),
         col("st")(1).as("n_tri"), col("st")(2).as("n_bi"),
