@@ -998,9 +998,10 @@ object TextAnalysis {
     * stats come back row-locally (binary search per position,
     * lower-order hashes computed only on a miss), so the corpus pays ONE
     * zero-shuffle scan — no position explode, no joins, no doc-grain
-    * re-aggregation. Measured at 1M docs / V=5000 (ProbeRound9d): 5.8s
-    * vs 63.6s for the declarative hash-join form (and 115s for the
-    * original string-keyed joins) — 11×, because the per-position work
+    * re-aggregation. Measured at 1M docs / V=5000 within one probe JVM
+    * (ProbeRound9d; cold-JVM solo readings swing several-fold): 6.2s vs
+    * 37.0s for the declarative hash-join form (and 115s for the
+    * original string-keyed joins) — 6×, because the per-position work
     * drops to one binary search and the 60M-row position explode never
     * materializes. Spec-pinned bit-equal to [[backoffScore]]. The three
     * V-row collects are metadata-sized (the DSIR literal-weight-table
