@@ -115,6 +115,49 @@ object Sampling {
        |  FROM $table)""".stripMargin
   }
 
+  /** PACKING EFFICIENCY report over [[packSequencesSharded]] — the
+    * report-before-acting twin of sequence packing: per stratum, how
+    * many training sequences the packing produced, the integer-milli
+    * mean fill against the budget, and the under/overflow counts. Fill
+    * is what a training run loses to padding (underfull tails — at most
+    * one per (stratum, shard) by construction) or to boundary-crossing
+    * docs (a doc is assigned to the sequence where it STARTS, so a long
+    * doc overflows its sequence; persistent overflow means the budget
+    * is too small for the doc-length tail and chunking should run
+    * first). Exact integer arithmetic; two keyed partial-agg exchanges
+    * (sequence grain, then stratum grain — both metadata-sized).
+    */
+  def packReport(df: DataFrame, id: String, text: String,
+                 strata: String, budget: Int, shards: Int = 16): DataFrame = {
+    val seqs = packSequencesSharded(df, id, text, strata, budget, shards)
+      .groupBy(col(strata), col("shard"), col("seq_id"))
+      .agg(sum(col("n_tokens")).as("seq_tokens"))
+    seqs.groupBy(col(strata))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("seq_tokens")).as("total_tokens"),
+        sum(when(col("seq_tokens") < budget, 1L).otherwise(0L)).as("n_underfull"),
+        sum(when(col("seq_tokens") > budget, 1L).otherwise(0L)).as("n_overflow"))
+      .withColumn("budget", lit(budget.toLong))
+      .withColumn("mean_fill_milli",
+        expr(s"(1000 * total_tokens) div (n_seqs * $budget)"))
+  }
+
+  /** DuckDB twin of [[packReport]]. */
+  def packReportSql(table: String, id: String, text: String,
+                    strata: String, budget: Int, shards: Int = 16): String =
+    s"""WITH p AS (
+       |${packSequencesShardedSql(table, id, text, strata, budget, shards)}),
+       |seqs AS (
+       |  SELECT $strata, shard, seq_id, sum(n_tokens) AS seq_tokens
+       |  FROM p GROUP BY 1, 2, 3)
+       |SELECT $strata, count(*)::BIGINT AS n_seqs,
+       |  sum(seq_tokens)::BIGINT AS total_tokens,
+       |  CAST(sum(CASE WHEN seq_tokens < $budget THEN 1 ELSE 0 END) AS BIGINT) AS n_underfull,
+       |  CAST(sum(CASE WHEN seq_tokens > $budget THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
+       |  $budget::BIGINT AS budget,
+       |  ((1000 * sum(seq_tokens)) // (count(*) * $budget))::BIGINT AS mean_fill_milli
+       |FROM seqs GROUP BY 1""".stripMargin
+
   def packSequencesSql(table: String, id: String, text: String,
                        strata: String, budget: Int): String =
     s"""SELECT $id, $strata, n_tokens,

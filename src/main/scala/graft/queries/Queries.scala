@@ -1129,6 +1129,20 @@ object Queries {
       Some(graft.ops.Sampling.packSequencesShardedSql(
         "documents", "doc_id", "text", "source", budget = 2048, shards = 8))),
 
+    // packing-efficiency report: per source, sequences produced,
+    // integer-milli mean fill vs budget, underfull tails (padding
+    // loss) and boundary-overflow counts — the table that says whether
+    // the budget fits the doc-length distribution or chunking should
+    // run first. budget/shards sized so full, underfull, AND overflow
+    // branches all occur on this corpus (2048/8 left every per-shard
+    // supply under one sequence — all-tail, nothing measured)
+    QueryDef("pipeline_pack_report",
+      (s, dir) => graft.ops.Sampling.packReport(
+        t(s, dir, "documents"), "doc_id", "text", "source",
+        budget = 512, shards = 2),
+      Some(graft.ops.Sampling.packReportSql(
+        "documents", "doc_id", "text", "source", budget = 512, shards = 2))),
+
     // DEMOTED fallback (was `pipeline_pack`): one window per stratum gives
     // globally contiguous seq_ids within a stratum, at the price of one
     // reducer per stratum — only for jobs that NEED stratum-contiguous
