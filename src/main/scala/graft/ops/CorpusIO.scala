@@ -234,4 +234,87 @@ object CorpusIO {
        |  CAST(sum($idCol) AS BIGINT) AS id_sum,
        |  CAST(sum(${PortableHash.duckStringHash(textCol)}) AS BIGINT) AS text_hash_sum
        |FROM $table GROUP BY $groupCol""".stripMargin
+
+  // ================= WARC container parsing ============================
+
+  /** Render documents as WARC/1.0 response records concatenated into
+    * per-group container blobs — the FIXTURE half of [[parseWarc]]
+    * (the testdata has no crawl containers; the planted blobs follow
+    * ISO 28500's record grammar: version line, named headers, blank
+    * line, payload, double CRLF record terminator). Records concatenate
+    * in doc-id order inside each container, deterministically on both
+    * engines. Fixture simplification, consistent on both ends: the
+    * planted Content-Length counts CHARACTERS (real WARC counts bytes;
+    * a byte-true variant would render payloads as BINARY — the parse
+    * grammar is unchanged).
+    */
+  def warcBlobs(df: DataFrame, id: String, text: String,
+                docsPerBlob: Int = 10): DataFrame =
+    df.select((col(id) cast "long").as("__id"), col(text).as("__t"))
+      .select(expr(s"__id div $docsPerBlob").as("blob_id"),
+        struct(col("__id"), concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://example.com/doc/"),
+          col("__id"),
+          lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
+          length(col("__t")),
+          lit("\r\n\r\n"), col("__t"), lit("\r\n\r\n")).as("rec")).as("s"))
+      .groupBy(col("blob_id"))
+      .agg(array_sort(collect_list(col("s"))).as("recs"))
+      .select(col("blob_id"),
+        expr("array_join(transform(recs, x -> x.rec), '')").as("blob"))
+
+  /** Parse WARC container blobs back to record grain: split on the
+    * version line, extract Target-URI / Date / Content-Length headers,
+    * take the payload after the first blank line, and witness it by
+    * length + portable hash. One scan, one explode — the crawl-ingest
+    * shape (a 100 TB pipeline reads containers, not documents; records
+    * per blob bounds the explode fan-out, and everything after the
+    * split is a zero-shuffle projection).
+    */
+  def parseWarc(blobs: DataFrame, blobCol: String): DataFrame =
+    blobs
+      .select(explode(expr(s"filter(split($blobCol, 'WARC/1\\\\.0\\r\\n'), r -> r <> '')")).as("rec"))
+      .select(
+        regexp_extract(col("rec"), "WARC-Target-URI: (\\S+)", 1).as("uri"),
+        regexp_extract(col("rec"), "WARC-Date: (\\S+)", 1).as("warc_date"),
+        regexp_extract(col("rec"), "Content-Length: (\\d+)", 1).cast("long").as("content_length"),
+        expr("substring(rec, instr(rec, '\\r\\n\\r\\n') + 4)").as("__p"))
+      .select(col("uri"), col("warc_date"), col("content_length"),
+        // payload is bounded by the declared Content-Length (the record
+        // terminator CRLFs trail it)
+        expr("substring(__p, 1, cast(content_length AS INT))").as("payload"))
+      .select(col("uri"), col("warc_date"), col("content_length"),
+        length(col("payload")).cast("long").as("n_payload_chars"),
+        expr(PortableHash.sparkStringHash("payload")).as("payload_hash"))
+
+  /** DuckDB twin of [[warcBlobs]] ∘ [[parseWarc]]: render the same
+    * containers, split and parse them back with the same grammar.
+    */
+  def warcRoundTripSql(table: String, id: String, text: String,
+                       docsPerBlob: Int = 10): String =
+    s"""WITH blobs AS (
+       |  SELECT $id // $docsPerBlob AS blob_id,
+       |    string_agg('WARC/1.0' || chr(13) || chr(10) ||
+       |      'WARC-Type: response' || chr(13) || chr(10) ||
+       |      'WARC-Target-URI: https://example.com/doc/' || $id || chr(13) || chr(10) ||
+       |      'WARC-Date: 2024-01-01T00:00:00Z' || chr(13) || chr(10) ||
+       |      'Content-Length: ' || length($text) || chr(13) || chr(10) ||
+       |      chr(13) || chr(10) || $text || chr(13) || chr(10) || chr(13) || chr(10),
+       |      '' ORDER BY $id) AS blob
+       |  FROM $table GROUP BY 1),
+       |recs AS (
+       |  SELECT unnest(list_filter(
+       |    string_split(blob, 'WARC/1.0' || chr(13) || chr(10)),
+       |    r -> r <> '')) AS rec
+       |  FROM blobs),
+       |parsed AS (
+       |  SELECT regexp_extract(rec, 'WARC-Target-URI: (\\S+)', 1) AS uri,
+       |    regexp_extract(rec, 'WARC-Date: (\\S+)', 1) AS warc_date,
+       |    regexp_extract(rec, 'Content-Length: (\\d+)', 1)::BIGINT AS content_length,
+       |    substring(rec, instr(rec, chr(13) || chr(10) || chr(13) || chr(10)) + 4) AS p
+       |  FROM recs)
+       |SELECT uri, warc_date, content_length,
+       |  CAST(length(substring(p, 1, content_length::INT)) AS BIGINT) AS n_payload_chars,
+       |  ${PortableHash.duckStringHash("substring(p, 1, content_length::INT)")} AS payload_hash
+       |FROM parsed""".stripMargin
 }

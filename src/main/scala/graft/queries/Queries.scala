@@ -2979,6 +2979,18 @@ object Queries {
 
     // JSONL round-trip: documents -> one-object-per-line files -> read
     // back with an EXPLICIT schema (no inference pass) -> per-source
+    // WARC container round-trip: documents render as ISO-28500 response
+    // records concatenated into per-group container blobs (the format a
+    // crawl pipeline actually ingests), then parse back to record grain
+    // — header extraction + Content-Length-bounded payload, witnessed by
+    // length + portable hash. One scan, one bounded explode; everything
+    // after the record split is a zero-shuffle projection
+    QueryDef("io_warc_parse",
+      (s, dir) => graft.ops.CorpusIO.parseWarc(
+        graft.ops.CorpusIO.warcBlobs(t(s, dir, "documents"),
+          "doc_id", "text"), "blob"),
+      Some(graft.ops.CorpusIO.warcRoundTripSql("documents", "doc_id", "text"))),
+
     // content checksum. The oracle checksums the ORIGINAL table, so any
     // character lost in serialization fails the hash-sum compare
     QueryDef("io_roundtrip_jsonl",
