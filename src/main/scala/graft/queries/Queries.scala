@@ -2979,6 +2979,56 @@ object Queries {
 
     // JSONL round-trip: documents -> one-object-per-line files -> read
     // back with an EXPLICIT schema (no inference pass) -> per-source
+    // ================= URL curation ======================================
+    // The crawl has no URL column, so the fixture synthesizes one per
+    // doc exercising every canonicalization rule at once: upper-case
+    // host, `www.`, default port 443, trailing slash, fragment, and
+    // query-order variants. ids congruent mod 150 canonicalize to the
+    // SAME URL (3 hosts × 50 paths), so the dedup and census branches
+    // both carry mass.
+
+    QueryDef("pipeline_url_canon",
+      (s, dir) => graft.ops.Url.canonicalize(
+        t(s, dir, "documents").withColumn("url", expr(
+          "concat('https://WWW.Example', cast(doc_id % 3 AS STRING), " +
+            "'.com:443/path/', cast(doc_id % 50 AS STRING), " +
+            "IF(doc_id % 2 = 0, '/?b=2&a=1#frag', '?a=1&b=2'))")),
+        "doc_id", "url"),
+      Some(graft.ops.Url.canonicalizeSql(
+        "(SELECT doc_id, 'https://WWW.Example' || (doc_id % 3) || '.com:443/path/' || (doc_id % 50) || " +
+          "CASE WHEN doc_id % 2 = 0 THEN '/?b=2&a=1#frag' ELSE '?a=1&b=2' END AS url FROM documents)",
+        "doc_id", "url"))),
+
+    // URL-level dedup: cosmetic re-fetch variants collapse to one
+    // keeper per canonical URL — an 8-byte-key groupBy that runs before
+    // (and spares) every text-hash dedup pass
+    QueryDef("dedup_url",
+      (s, dir) => graft.ops.Url.urlDedupKeepers(
+        t(s, dir, "documents").withColumn("url", expr(
+          "concat('https://WWW.Example', cast(doc_id % 3 AS STRING), " +
+            "'.com:443/path/', cast(doc_id % 50 AS STRING), " +
+            "IF(doc_id % 2 = 0, '/?b=2&a=1#frag', '?a=1&b=2'))")),
+        "doc_id", "url"),
+      Some(graft.ops.Url.urlDedupKeepersSql(
+        "(SELECT doc_id, 'https://WWW.Example' || (doc_id % 3) || '.com:443/path/' || (doc_id % 50) || " +
+          "CASE WHEN doc_id % 2 = 0 THEN '/?b=2&a=1#frag' ELSE '?a=1&b=2' END AS url FROM documents)",
+        "doc_id", "url"))),
+
+    // per-domain census: docs, distinct canonical URLs, integer-milli
+    // dup rate — the mirror/template-domain detector a crawl publishes
+    // before any text op runs
+    QueryDef("pipeline_domain_report",
+      (s, dir) => graft.ops.Url.domainReport(
+        t(s, dir, "documents").withColumn("url", expr(
+          "concat('https://WWW.Example', cast(doc_id % 3 AS STRING), " +
+            "'.com:443/path/', cast(doc_id % 50 AS STRING), " +
+            "IF(doc_id % 2 = 0, '/?b=2&a=1#frag', '?a=1&b=2'))")),
+        "doc_id", "url"),
+      Some(graft.ops.Url.domainReportSql(
+        "(SELECT doc_id, 'https://WWW.Example' || (doc_id % 3) || '.com:443/path/' || (doc_id % 50) || " +
+          "CASE WHEN doc_id % 2 = 0 THEN '/?b=2&a=1#frag' ELSE '?a=1&b=2' END AS url FROM documents)",
+        "doc_id", "url"))),
+
     // WARC container round-trip: documents render as ISO-28500 response
     // records concatenated into per-group container blobs (the format a
     // crawl pipeline actually ingests), then parse back to record grain
