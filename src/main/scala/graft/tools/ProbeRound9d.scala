@@ -51,6 +51,17 @@ object ProbeRound9d {
         .withColumn("keep", col("n_bpe") > 0 && col("fertility").between(1.5, 1.56))
         .queryExecution.toRdd.count())
 
+    if (on("warc")) time("warc render+parse 1M docs (100k blobs)")(
+      graft.ops.CorpusIO.parseWarc(
+        graft.ops.CorpusIO.warcBlobs(docs, "doc_id", "text"), "blob")
+        .queryExecution.toRdd.count())
+    if (on("url")) time("url canon+dedup 1M synthetic urls")(
+      graft.ops.Url.urlDedupKeepers(
+        docs.select(col("doc_id"), expr(
+          "concat('https://WWW.Example', cast(doc_id % 1000 AS STRING), " +
+            "'.com:443/path/', cast(doc_id % 50000 AS STRING), " +
+            "IF(doc_id % 2 = 0, '/?b=2&a=1#frag', '?a=1&b=2'))").as("url")),
+        "doc_id", "url").queryExecution.toRdd.count())
     if (on("incnear")) time("incrementalNearDup 100k new vs 900k prior")(
       graft.ops.Dedup.incrementalNearDup(
         docs.where(col("doc_id") < 100000).select("doc_id", "text"),

@@ -707,6 +707,30 @@ class PlanAuditSpec extends SparkSpec {
       s"only the new snapshot (union of base + planted) may scan text:\n$p")
   }
 
+  test("pipeline_url_canon: canonicalization is a pure projection — zero shuffles") {
+    val p = plan("pipeline_url_canon")
+    assert(!p.contains("Exchange"),
+      s"URL canonicalization must stay a zero-shuffle scan projection:\n$p")
+  }
+
+  test("dedup_url: one keyed partial-agg exchange of (canon_url, id) — text never moves") {
+    val p = plan("dedup_url")
+    assert(count(p, "HashAggregate") >= 2,
+      s"the keeper min must combine map-side:\n$p")
+    assert(count(p, "Exchange") == 1,
+      s"URL dedup needs exactly one shuffle:\n$p")
+    assert(!p.contains("text#"),
+      s"the text column must never appear in the URL dedup plan:\n$p")
+  }
+
+  test("io_warc_parse: record split explodes once; header parsing stays a projection") {
+    val p = plan("io_warc_parse")
+    assert(count(p, "Generate") == 1,
+      s"exactly one explode (the record split) may appear:\n$p")
+    assert(count(p, "Join") == 0,
+      s"container parsing must not join:\n$p")
+  }
+
   test("text_bpe_fertility: the fertility band is a pure compiled map — zero shuffles") {
     val p = plan("text_bpe_fertility")
     assert(!p.contains("Exchange"),
