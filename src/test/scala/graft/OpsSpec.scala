@@ -593,6 +593,29 @@ class OpsSpec extends SparkSpec {
     assert(out(2L)._2 && out(3L)._2, "clean and sub-shingle docs must keep")
   }
 
+  test("url canonicalization: each rule fires alone; path case preserved; degenerate urls don't crash") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://WWW.Example.com:443/Path/A/?b=2&a=1#frag"),
+      (2L, "http://example.com:80/Path/A?a=1&b=2"),   // same canon as 1
+      (3L, "https://example.com/Path/A?a=1&b=2"),     // same canon as 1
+      (4L, "https://sub.Example.com/x"),              // subdomain kept in canon, domain = last 2 labels
+      (5L, "https://10.0.0.1/x?z=1"),                 // IP host
+      (6L, "example.com/no-scheme"),                  // schemeless: host extract empty, no crash
+      (7L, "https://example.com")                     // no path, no query
+    ).toDF("doc_id", "url")
+    val out = graft.ops.Url.canonicalize(urls, "doc_id", "url")
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getString(3))).toMap
+    assert(out(1L)._1 === "example.com/Path/A?a=1&b=2", "all rules at once")
+    assert(out(2L)._1 === out(1L)._1 && out(3L)._1 === out(1L)._1,
+      "port-80/explicit-https variants canonicalize identically")
+    assert(out(1L)._1.contains("Path"), "path case must be preserved (paths are case-sensitive)")
+    assert(out(4L) === ("sub.example.com/x", "example.com"))
+    assert(out(5L)._1 === "10.0.0.1/x?z=1")
+    assert(out(7L)._1 === "example.com")
+    assert(out(6L)._1 !== null, "schemeless input must not crash")
+  }
+
   test("stupid backoff: compiled kernel is bit-equal to the declarative hash-join form") {
     import spark.implicits._
     val ref = Seq((0L, "the quick brown fox jumps over the lazy dog"),
