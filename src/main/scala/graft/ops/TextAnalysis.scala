@@ -478,6 +478,73 @@ object TextAnalysis {
        |FROM g GROUP BY $id""".stripMargin
   }
 
+  /** QUALITY ENSEMBLE gate — the vote real curation runs instead of any
+    * single filter (each family has a known blind spot: the classifier
+    * misses repetition, Gopher's rules miss topic drift, fertility only
+    * sees the tokenizer): four independent zero-shuffle signals —
+    * trained-classifier sign, the 7-rule Gopher conjunction, top-bigram
+    * repetition (threshold 0.09 ≈ this corpus's p95 — calibrate per
+    * corpus), BPE fertility band — each as a 0/1 flag, kept at
+    * `minVotes`-of-4. The whole gate is ONE corpus scan: every signal
+    * is a compiled projection, chained through [[gopherRules]]' carry
+    * hook; the expensive BPE count is projected once and referenced
+    * twice (multiply-referenced non-cheap expressions stay materialized
+    * — the CollapseProject rule the minhash path documents).
+    */
+  def qualityEnsemble(df: DataFrame, id: String, text: String,
+                      minVotes: Int = 3): DataFrame = {
+    val w = s"split($text, ' ')"
+    gopherRules(df, id, text, carry = Seq(text))
+      .select(col(id), col("n_words"), col("keep").as("f_gopher"), col(text))
+      .withColumn("__bpe", expr(s"graft_bpe_count($text)"))
+      .select(col(id), col("n_words"), col("f_gopher"),
+        expr(s"CAST(IF(graft_word_count($text) > 0, " +
+          s"graft_classifier_logit_t($w) >= 0, false) AS INT)").as("f_cls"),
+        expr(s"CAST(IF(size($w) < 2, true, " +
+          s"cast(graft_top_ngram_count($w, 2) AS DOUBLE) / " +
+          s"cast(size($w) - 1 AS DOUBLE) <= 0.09) AS INT)").as("f_rep"),
+        expr(s"CAST(IF(__bpe > 0, " +
+          s"length($text) / cast(__bpe AS DOUBLE) BETWEEN 1.5 AND 1.56, " +
+          "false) AS INT)").as("f_fert"))
+      .withColumn("votes",
+        expr("f_gopher + f_cls + f_rep + f_fert").cast("long"))
+      .withColumn("keep", expr(s"CAST(votes >= $minVotes AS INT)"))
+  }
+
+  /** DuckDB twin of [[qualityEnsemble]] (the oracle joins the signal
+    * families freely — the one-scan discipline binds the engine side).
+    */
+  def qualityEnsembleSql(table: String, id: String, text: String,
+                         minVotes: Int = 3): String = {
+    val ws = s"string_split($text, ' ')"
+    val tok = s"list_filter($ws, w -> w <> '')"
+    val h = graft.ops.PortableHash.duckStringHash("t")
+    val arr = QualityClassifier.Weights.mkString("[", ", ", "]")
+    val logit =
+      s"""list_reduce(list_prepend(0::BIGINT,
+         |      list_transform($tok, t -> (($arr)[(($h % ${QualityClassifier.Dim}) + 1)])::BIGINT)),
+         |      (acc, v) -> acc + v)""".stripMargin
+    val bis = s"list_transform(generate_series(1, len($ws) - 1), i -> ($ws)[i] || ' ' || ($ws)[i + 1])"
+    val bpe = graft.ops.Bpe.duckTokenCountExpr(text)
+    s"""WITH g AS (
+       |${gopherRulesSql(table, id, text)}),
+       |o AS (
+       |  SELECT $id,
+       |    CASE WHEN len($tok) > 0 AND $logit >= 0 THEN 1 ELSE 0 END AS f_cls,
+       |    CASE WHEN len($ws) < 2 THEN 1
+       |         WHEN list_max(list_transform(list_distinct($bis),
+       |                d -> len(list_filter($bis, x -> x = d))))::DOUBLE /
+       |              (len($ws) - 1)::DOUBLE <= 0.09 THEN 1 ELSE 0 END AS f_rep,
+       |    CASE WHEN $bpe > 0 AND length($text) / ($bpe)::DOUBLE
+       |              BETWEEN 1.5 AND 1.56 THEN 1 ELSE 0 END AS f_fert
+       |  FROM $table)
+       |SELECT g.$id, g.n_words, g.keep AS f_gopher, o.f_cls, o.f_rep, o.f_fert,
+       |  CAST(g.keep + o.f_cls + o.f_rep + o.f_fert AS BIGINT) AS votes,
+       |  CASE WHEN g.keep + o.f_cls + o.f_rep + o.f_fert >= $minVotes
+       |       THEN 1 ELSE 0 END AS keep
+       |FROM g JOIN o ON g.$id = o.$id""".stripMargin
+  }
+
   /** PII / boilerplate scrubbing: redact emails, URLs, and long digit
     * runs (phone/account numbers) with typed placeholder tokens, and
     * count each redaction — the standard pretraining privacy pass.

@@ -112,6 +112,28 @@ object Url {
       .withColumn("dup_milli",
         expr("(1000 * (n_docs - n_urls)) div n_docs"))
 
+  /** Domain blocklist filter — the ACTING twin of [[domainReport]]
+    * (drop everything from domains the census flagged): rows whose
+    * registrable domain is in the list are removed. The list is
+    * metadata (a curation decision, rarely more than thousands of
+    * entries) and rides the expression as a literal — zero shuffle,
+    * streaming-safe. An allowlist is the same op with `keep = true`.
+    */
+  def domainFilter(df: DataFrame, urlCol: String, blocked: Seq[String],
+                   allow: Boolean = false): DataFrame = {
+    val lst = blocked.map(d => s"'${d.replace("'", "''")}'").mkString("array(", ", ", ")")
+    val hit = s"array_contains($lst, ${sparkDomainExpr(urlCol)})"
+    df.where(expr(if (allow) hit else s"NOT $hit"))
+  }
+
+  /** DuckDB twin of [[domainFilter]] — emits the WHERE predicate. */
+  def domainFilterPredSql(urlCol: String, blocked: Seq[String],
+                          allow: Boolean = false): String = {
+    val lst = blocked.map(d => s"'${d.replace("'", "''")}'").mkString("[", ", ", "]")
+    val hit = s"list_contains($lst, ${duckDomainExpr(urlCol)})"
+    if (allow) hit else s"NOT $hit"
+  }
+
   /** DuckDB twin of [[domainReport]]. */
   def domainReportSql(table: String, id: String, urlCol: String): String =
     s"""SELECT ${duckDomainExpr(urlCol)} AS domain,

@@ -2024,6 +2024,15 @@ object Queries {
       Some(TextAnalysis.qualityReportSql("documents",
         "doc_id", "text", "source"))),
 
+    // the quality-vote gate: four independent signal families
+    // (classifier sign, Gopher conjunction, repetition, BPE fertility)
+    // as 0/1 flags, kept at 3-of-4 — each family's blind spot is
+    // covered by the others; plan-wise ONE compiled corpus scan
+    QueryDef("pipeline_quality_ensemble",
+      (s, dir) => TextAnalysis.qualityEnsemble(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some(TextAnalysis.qualityEnsembleSql("documents", "doc_id", "text"))),
+
     // inter-class centroid separation: pairwise cosine over the
     // label-centroid frame (labels x dim metadata; broadcast pair
     // join) -- the embedding-quality eval run before trusting
