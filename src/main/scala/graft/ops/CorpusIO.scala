@@ -249,12 +249,16 @@ object CorpusIO {
     * grammar is unchanged).
     */
   def warcBlobs(df: DataFrame, id: String, text: String,
-                docsPerBlob: Int = 10): DataFrame =
-    df.select((col(id) cast "long").as("__id"), col(text).as("__t"))
+                docsPerBlob: Int = 10,
+                uriCol: Option[String] = None): DataFrame = {
+    val uri = uriCol.map(col).getOrElse(
+      concat(lit("https://example.com/doc/"), col(id).cast("long")))
+    df.select((col(id) cast "long").as("__id"), col(text).as("__t"),
+        uri.as("__u"))
       .select(expr(s"__id div $docsPerBlob").as("blob_id"),
         struct(col("__id"), concat(
-          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://example.com/doc/"),
-          col("__id"),
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+          col("__u"),
           lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
           length(col("__t")),
           lit("\r\n\r\n"), col("__t"), lit("\r\n\r\n")).as("rec")).as("s"))
@@ -262,6 +266,21 @@ object CorpusIO {
       .agg(array_sort(collect_list(col("s"))).as("recs"))
       .select(col("blob_id"),
         expr("array_join(transform(recs, x -> x.rec), '')").as("blob"))
+  }
+
+  /** [[parseWarc]]'s record-to-DOCUMENT form: (uri, payload) rows for
+    * pipelines that continue past parsing (the hash-witness form above
+    * is the round-trip verifier). Same grammar, same single explode.
+    */
+  def parseWarcDocs(blobs: DataFrame, blobCol: String): DataFrame =
+    blobs
+      .select(explode(expr(s"filter(split($blobCol, 'WARC/1\\\\.0\\r\\n'), r -> r <> '')")).as("rec"))
+      .select(
+        regexp_extract(col("rec"), "WARC-Target-URI: (\\S+)", 1).as("uri"),
+        regexp_extract(col("rec"), "Content-Length: (\\d+)", 1).cast("long").as("content_length"),
+        expr("substring(rec, instr(rec, '\\r\\n\\r\\n') + 4)").as("__p"))
+      .select(col("uri"),
+        expr("substring(__p, 1, cast(content_length AS INT))").as("payload"))
 
   /** Parse WARC container blobs back to record grain: split on the
     * version line, extract Target-URI / Date / Content-Length headers,

@@ -3038,6 +3038,64 @@ object Queries {
           "CASE WHEN doc_id % 2 = 0 THEN '/?b=2&a=1#frag' ELSE '?a=1&b=2' END AS url FROM documents)",
         "doc_id", "url"))),
 
+    // the crawl FRONT DOOR composed end to end: WARC containers →
+    // record parse → URL canonicalization → domain blocklist → one
+    // representative per canonical URL → Gopher gate → per-domain
+    // manifest (docs, words, payload hash sum). The oracle takes the
+    // INDEPENDENT path — no container render/parse, straight from the
+    // url-bearing rows — so a parse bug that loses or mangles any
+    // payload character diverges the hash compare
+    QueryDef("pipeline_crawl_ingest",
+      (s, dir) => {
+        val docsU = t(s, dir, "documents").withColumn("url", expr(
+          "concat('https://WWW.Example', cast(doc_id % 3 AS STRING), " +
+            "'.com:443/path/', cast(doc_id % 50 AS STRING), " +
+            "IF(doc_id % 2 = 0, '/?b=2&a=1#frag', '?a=1&b=2'))"))
+        val blobs = graft.ops.CorpusIO.warcBlobs(docsU, "doc_id", "text",
+          uriCol = Some("url"))
+        val recs = graft.ops.CorpusIO.parseWarcDocs(blobs, "blob")
+        val canon = recs.select(col("uri"), col("payload"),
+          expr(graft.ops.Url.sparkCanonExpr("uri")).as("canon_url"))
+        val filtered = graft.ops.Url.domainFilter(canon, "uri",
+          blocked = Seq("example2.com"))
+          .withColumn("domain", expr(graft.ops.Url.sparkDomainExpr("uri")))
+        // representative = lexicographic MIN payload: re-crawl variants
+        // of one canonical URL can share the identical RAW uri (ids
+        // congruent mod 150 here), so a min-by-uri pick would tie
+        // nondeterministically — the payload itself is the total order
+        val reps = filtered.groupBy(col("canon_url"))
+          .agg(min(col("payload")).as("payload"),
+            min(col("domain")).as("domain"))
+        TextAnalysis.gopherRules(reps, "canon_url", "payload",
+            carry = Seq("domain", "payload"))
+          .where(col("keep") === 1)
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words").cast("long")).as("total_words"),
+            sum(expr(graft.ops.PortableHash.sparkStringHash("payload")))
+              .as("payload_hash_sum"))
+      },
+      Some {
+        val urlSql = "'https://WWW.Example' || (doc_id % 3) || '.com:443/path/' || (doc_id % 50) || " +
+          "CASE WHEN doc_id % 2 = 0 THEN '/?b=2&a=1#frag' ELSE '?a=1&b=2' END"
+        s"""WITH u AS (SELECT doc_id, text, $urlSql AS url FROM documents),
+           |c AS (SELECT doc_id, text, url,
+           |  ${graft.ops.Url.duckCanonExpr("url")} AS canon_url,
+           |  ${graft.ops.Url.duckDomainExpr("url")} AS domain FROM u),
+           |f AS (SELECT * FROM c
+           |      WHERE ${graft.ops.Url.domainFilterPredSql("url", Seq("example2.com"))}),
+           |r AS (SELECT canon_url, min(text) AS payload,
+           |             min(domain) AS domain
+           |      FROM f GROUP BY 1),
+           |g AS (${TextAnalysis.gopherRulesSql("r", "canon_url", "payload")}),
+           |j AS (SELECT g.canon_url, g.keep, g.n_words, r.domain, r.payload
+           |      FROM g JOIN r ON g.canon_url = r.canon_url)
+           |SELECT domain, count(*) AS n_docs,
+           |  CAST(sum(n_words) AS BIGINT) AS total_words,
+           |  CAST(sum(${graft.ops.PortableHash.duckStringHash("payload")}) AS BIGINT) AS payload_hash_sum
+           |FROM j WHERE keep = 1 GROUP BY domain""".stripMargin
+      }),
+
     // WARC container round-trip: documents render as ISO-28500 response
     // records concatenated into per-group container blobs (the format a
     // crawl pipeline actually ingests), then parse back to record grain

@@ -723,6 +723,16 @@ class PlanAuditSpec extends SparkSpec {
       s"the text column must never appear in the URL dedup plan:\n$p")
   }
 
+  test("pipeline_crawl_ingest: container-to-manifest is explode + keyed aggs — join-free, window-free") {
+    val p = plan("pipeline_crawl_ingest")
+    assert(count(p, "Join") == 0,
+      s"every stage composes as projection/filter/agg — no join anywhere:\n$p")
+    assert(count(p, "Generate") == 1,
+      s"exactly one explode (the record split):\n$p")
+    assert(!p.contains("Window"),
+      s"no stage needs a window:\n$p")
+  }
+
   test("io_warc_parse: record split explodes once; header parsing stays a projection") {
     val p = plan("io_warc_parse")
     assert(count(p, "Generate") == 1,
