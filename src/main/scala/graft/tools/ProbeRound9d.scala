@@ -62,6 +62,29 @@ object ProbeRound9d {
             "'.com:443/path/', cast(doc_id % 50000 AS STRING), " +
             "IF(doc_id % 2 = 0, '/?b=2&a=1#frag', '?a=1&b=2'))").as("url")),
         "doc_id", "url").queryExecution.toRdd.count())
+    if (on("crawl")) time("crawl ingest end-to-end 1M docs")(
+      {
+        val docsU = docs.withColumn("url", expr(
+          "concat('https://WWW.Example', cast(doc_id % 1000 AS STRING), " +
+            "'.com:443/path/', cast(doc_id % 300000 AS STRING), " +
+            "IF(doc_id % 2 = 0, '/?b=2&a=1#frag', '?a=1&b=2'))"))
+        val blobs = graft.ops.CorpusIO.warcBlobs(docsU, "doc_id", "text",
+          uriCol = Some("url"))
+        val recs = graft.ops.CorpusIO.parseWarcDocs(blobs, "blob")
+        val canon = recs.select(col("uri"), col("payload"),
+          expr(graft.ops.Url.sparkCanonExpr("uri")).as("canon_url"))
+        val filtered = graft.ops.Url.domainFilter(canon, "uri",
+          blocked = Seq("example7.com"))
+          .withColumn("domain", expr(graft.ops.Url.sparkDomainExpr("uri")))
+        val reps = filtered.groupBy(col("canon_url"))
+          .agg(min(col("payload")).as("payload"), min(col("domain")).as("domain"))
+        graft.ops.TextAnalysis.gopherRules(reps, "canon_url", "payload",
+            carry = Seq("domain", "payload"))
+          .where(col("keep") === 1)
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_docs"))
+          .queryExecution.toRdd.count()
+      })
     if (on("incnear")) time("incrementalNearDup 100k new vs 900k prior")(
       graft.ops.Dedup.incrementalNearDup(
         docs.where(col("doc_id") < 100000).select("doc_id", "text"),
