@@ -190,6 +190,30 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming URL guard: canonicalization + domain blocklist run as stateless stages") {
+    implicit val sq = spark.sqlContext
+    val docs = MemoryStream[(Long, String)]
+    val out = graft.ops.Url.canonicalize(
+      graft.ops.Url.domainFilter(
+        // the blocklist keys on the REGISTRABLE domain (last two
+        // labels): subdomains of a blocked domain drop with it
+        docs.toDF().toDF("doc_id", "url"), "url", blocked = Seq("spam.com")),
+      "doc_id", "url")
+    val q = out.writeStream.format("memory").queryName("url_stream")
+      .outputMode("append").start()
+    try {
+      docs.addData(
+        (1L, "https://WWW.Good.com:443/x/?b=2&a=1#f"),
+        (2L, "https://sub.spam.com/y"),           // blocked domain (via subdomain): dropped
+        (3L, "http://good.com:80/x?a=1&b=2"))     // canon-equal to 1
+      q.processAllAvailable()
+      val rows = spark.table("url_stream")
+        .select($"doc_id", $"canon_url").as[(Long, String)].collect().toMap
+      assert(rows.keySet === Set(1L, 3L), "the blocked domain must drop in-flight")
+      assert(rows(1L) === rows(3L), "cosmetic variants canonicalize identically on the stream")
+    } finally q.stop()
+  }
+
   test("streaming backoff-LM gate: literal-vocab kernel scores arrivals in-flight, garbage drops") {
     implicit val sq = spark.sqlContext
     // the DSIR-gate pattern one rung up: the reference vocabulary
