@@ -723,6 +723,18 @@ class PlanAuditSpec extends SparkSpec {
       s"the text column must never appear in the URL dedup plan:\n$p")
   }
 
+  test("pipeline_quality_ensemble: all four signal families compute in ONE zero-shuffle corpus scan") {
+    val p = formatted("pipeline_quality_ensemble")
+    // formatted explain prints each node once in the tree and once in
+    // the details — count the numbered detail headers
+    assert(count(p, "\\(\\d+\\) Scan parquet") == 1,
+      s"the ensemble must not re-scan the corpus per signal family:\n$p")
+    assert(!p.contains("Exchange"),
+      s"every signal is a projection — nothing may shuffle:\n$p")
+    assert(!p.contains("Join"),
+      s"the carry hook replaces every signal join:\n$p")
+  }
+
   test("pipeline_crawl_ingest: container-to-manifest is explode + keyed aggs — join-free, window-free") {
     val p = plan("pipeline_crawl_ingest")
     assert(count(p, "Join") == 0,
