@@ -691,6 +691,10 @@ object Similarity {
         "one", budgets = Map.empty, defaultBudget = perClusterBudget)
       .withColumnRenamed("n_tokens", "n_taken")
       .withColumnRenamed("cum_tokens", "rank_in_cluster")
+      // the stratified helper strata-keys as string internally; restore
+      // the assignment's LONG cluster id so the result schema matches
+      // the oracle's BIGINT (values were already identical)
+      .withColumn("cluster", col("cluster").cast("long"))
   }
 
   /** PER-CLUSTER corpus profile — the embedding-space analog of the

@@ -657,7 +657,7 @@ class OpsSpec extends SparkSpec {
     val df = vecs.toDF("vec_id", "embedding")
     val out = Similarity.clusterBudgetSelect(df, "vec_id", "embedding",
       nClusters = 2, iters = 2, perClusterBudget = 3)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
     assert(out.nonEmpty)
     assert(out.groupBy(_._1).values.forall(_.length <= 3),
       s"no cluster may exceed its budget: ${out.toSeq}")
