@@ -7,68 +7,137 @@ import org.apache.spark.sql.functions._
   * text op (RefinedWeb/CCNet drop ~half their crawl on URL evidence
   * alone): canonicalization, URL-level dedup, and the per-domain census.
   * A crawl re-fetches the same page under cosmetic URL variants (case,
-  * `www.`, default ports, fragments, query-parameter order, trailing
-  * slashes); canonicalizing first makes URL dedup catch what exact text
-  * dedup pays a full text hash for, at 8-byte-key cost.
+  * `www.`, default ports, percent-encoding of unreserved characters,
+  * fragments, query-parameter order, trailing slashes); canonicalizing
+  * first makes URL dedup catch what exact text dedup pays a full text
+  * hash for, at 8-byte-key cost.
   *
-  * All string surgery is regex/array arithmetic with an identical
-  * DuckDB twin — no JVM URL parser (whose quirks the oracle could not
-  * replay). Canonical form: lowercased host without `www.`/default
-  * port, path without trailing slashes, query parameters sorted,
-  * fragment dropped. `domain` is the last-two-label approximation of
-  * the registrable domain (a public-suffix list is a data file, not an
-  * algorithm; the op takes the label count on faith and documents it).
+  * All string surgery is regex/array arithmetic generated ONCE per
+  * rule and rendered into both dialects — no JVM URL parser (whose
+  * quirks the oracle could not replay). Canonical form:
+  *   - percent-encoding normalized per RFC 3986 §6.2.2: `%XX` of the
+  *     unreserved set (ALPHA / DIGIT / `-._~`) decoded, remaining hex
+  *     digits uppercased (`%3a` → `%3A`). Reserved escapes (`%2F`,
+  *     `%26`, `%23`, `%25`, …) stay encoded, so path/query/fragment
+  *     structure never changes under the rewrite. Assumes well-formed
+  *     encoding (every `%` starts a hex triplet) — a crawl's URL field
+  *     is; a bare `%` passes through untouched only if no later text
+  *     happens to look like a triplet.
+  *   - scheme-matching default port stripped (http↔80, https↔443 — an
+  *     http://host:443 is a DIFFERENT resource and keeps its port);
+  *   - lowercased host without `www.`; scheme dropped;
+  *   - path without trailing slashes (case preserved — paths are
+  *     case-sensitive); query parameters sorted; fragment dropped.
   *
-  * Scale shape: canonicalization is a zero-shuffle projection; dedup is
-  * one keyed partial-agg exchange of (canon_url → min id); the census
-  * is the same exchange at domain grain.
+  * `domain` is the REGISTRABLE domain: longest public suffix from the
+  * committed [[PublicSuffixes.multiLabel]] table plus one label
+  * (`shop.example.co.uk` → `example.co.uk`), defaulting to the last
+  * two labels when no multi-label suffix matches (the PSL's implicit
+  * `*` rule). The longest-match requirement falls out of regex
+  * mechanics: the suffix alternation is anchored at `$` behind one
+  * extra label, so an earlier match start needs a longer suffix — the
+  * leftmost match IS the longest-suffix resolution, in both engines. A
+  * host that equals a bare suffix (no extra label) resolves to its
+  * last two labels — documented approximation (the PSL proper says
+  * "no registrable domain").
+  *
+  * Scale shape: canonicalization is a zero-shuffle projection (the
+  * percent/port rewrite is a per-row constant-pattern replace chain —
+  * no lookup, no state); dedup is one keyed partial-agg exchange of
+  * (canon_url → min id); the census is the same exchange at domain
+  * grain. The suffix table rides the compiled regex literal, never a
+  * join.
   */
 object Url {
 
-  private def sparkCanonParts(u: String): (String, String, String) = {
+  /** Dialect knobs: `esc` is the backslash as it must appear in the SQL
+    * text (Spark string literals unescape `\\`→`\`; DuckDB's do not),
+    * `ref(i)` the regexp_replace replacement backreference.
+    */
+  private final case class Dl(esc: String, ref: Int => String) {
+    def dot: String = esc + "."
+  }
+  private val SparkDl = Dl("\\\\", i => "$" + i)
+  private val DuckDl  = Dl("\\", i => "\\" + i)
+
+  /** RFC 3986 §6.2.2 percent-normalization, as a constant replace
+    * chain: (1) uppercase the hex digits of every triplet — six plain
+    * replaces for a lowercase FIRST digit (`%a`→`%A`; safe: after `%`
+    * only hex digits occur), then six backreference rewrites for a
+    * lowercase SECOND digit (`%3a`→`%3A`); (2) decode the 66 unreserved
+    * triplets (now uniformly uppercase) with plain replaces. No decoded
+    * character is `%`, so decoding never fabricates a new triplet.
+    */
+  private def percentNormExpr(u: String, d: Dl): String = {
+    val upFirst = "abcdef".foldLeft(u)((acc, c) =>
+      s"replace($acc, '%$c', '%${c.toUpper}')")
+    val upSecond = "abcdef".foldLeft(upFirst)((acc, c) =>
+      "regexp_replace(" + acc + ", '%([0-9A-F])" + c + "', '%" + d.ref(1) + c.toUpper + "')")
+    val unreserved = ('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~')
+    unreserved.foldLeft(upSecond) { (acc, ch) =>
+      val hex = f"${ch.toInt}%02X"
+      "replace(" + acc + ", '%" + hex + "', '" + ch + "')"
+    }
+  }
+
+  /** Scheme-matching default-port strip on the RAW url (before any part
+    * extraction): `http://…:80` and `https://…:443` lose the port; a
+    * mismatched default (`http://host:443`) names a different resource
+    * and keeps it. Group 2 (the rest after the port) may be absent —
+    * both engines substitute the empty string for an unmatched group.
+    */
+  private def portStripExpr(u: String, d: Dl): String = {
+    val rep = "'" + d.ref(1) + d.ref(2) + "'"
+    val h80 = s"regexp_replace($u, '(?i)^(http://[^/?#]*):80([/?#].*)?$$', $rep)"
+    s"regexp_replace($h80, '(?i)^(https://[^/?#]*):443([/?#].*)?$$', $rep)"
+  }
+
+  private def canonParts(u0: String, d: Dl): (String, String, String) = {
+    val u = portStripExpr(percentNormExpr(u0, d), d)
     val noFrag = s"regexp_replace($u, '#.*$$', '')"
     val host = s"regexp_extract($noFrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)"
     val rest = s"regexp_replace($noFrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+', '')"
-    val canonHost =
-      s"regexp_replace(regexp_replace(lower($host), '^www\\\\.', ''), ':(80|443)$$', '')"
+    val canonHost = s"regexp_replace(lower($host), '^www${d.dot}', '')"
     val path = s"regexp_replace(regexp_extract($rest, '^([^?]*)', 1), '/+$$', '')"
-    val query = s"regexp_extract($rest, '\\\\?(.*)$$', 1)"
+    val query = s"regexp_extract($rest, '${d.esc}?(.*)$$', 1)"
     (canonHost, path, query)
+  }
+
+  /** Registrable domain from a (canonical) host expression: strip any
+    * `:port`, then longest-public-suffix + 1 label, last-two-labels
+    * fallback (see object scaladoc for why leftmost regex match =
+    * longest suffix).
+    */
+  private def domainFromHost(h: String, d: Dl): String = {
+    val hp = s"regexp_replace($h, ':[0-9]+$$', '')"
+    val alt = PublicSuffixes.multiLabel.map(_.replace(".", d.dot)).mkString("|")
+    val psl = s"regexp_extract($hp, '([^.]+${d.dot}(?:$alt))$$', 1)"
+    val fallback = s"regexp_extract($hp, '([^.]+${d.dot}[^.]+)$$', 1)"
+    s"coalesce(nullif($psl, ''), $fallback)"
   }
 
   /** Canonical-URL expression (Spark SQL dialect). */
   def sparkCanonExpr(u: String): String = {
-    val (h, p, q) = sparkCanonParts(u)
+    val (h, p, q) = canonParts(u, SparkDl)
     s"concat($h, $p, IF($q <> '', concat('?', array_join(array_sort(split($q, '&')), '&')), ''))"
   }
 
-  /** Registrable-domain (last two labels) expression, Spark dialect. */
+  /** Registrable-domain expression, Spark dialect. */
   def sparkDomainExpr(u: String): String = {
-    val (h, _, _) = sparkCanonParts(u)
-    s"regexp_extract($h, '([^.]+\\\\.[^.]+)$$', 1)"
-  }
-
-  private def duckCanonParts(u: String): (String, String, String) = {
-    val noFrag = s"regexp_replace($u, '#.*$$', '')"
-    val host = s"regexp_extract($noFrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)"
-    val rest = s"regexp_replace($noFrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+', '')"
-    val canonHost =
-      s"regexp_replace(regexp_replace(lower($host), '^www\\.', ''), ':(80|443)$$', '')"
-    val path = s"regexp_replace(regexp_extract($rest, '^([^?]*)', 1), '/+$$', '')"
-    val query = s"regexp_extract($rest, '\\?(.*)$$', 1)"
-    (canonHost, path, query)
+    val (h, _, _) = canonParts(u, SparkDl)
+    domainFromHost(h, SparkDl)
   }
 
   /** Canonical-URL expression (DuckDB dialect). */
   def duckCanonExpr(u: String): String = {
-    val (h, p, q) = duckCanonParts(u)
+    val (h, p, q) = canonParts(u, DuckDl)
     s"($h || $p || CASE WHEN $q <> '' THEN '?' || array_to_string(list_sort(string_split($q, '&')), '&') ELSE '' END)"
   }
 
   /** Registrable-domain expression, DuckDB dialect. */
   def duckDomainExpr(u: String): String = {
-    val (h, _, _) = duckCanonParts(u)
-    s"regexp_extract($h, '([^.]+\\.[^.]+)$$', 1)"
+    val (h, _, _) = canonParts(u, DuckDl)
+    domainFromHost(h, DuckDl)
   }
 
   /** Per-row canonicalization: (id, url, canon_url, domain). */
@@ -114,9 +183,10 @@ object Url {
 
   /** Domain blocklist filter — the ACTING twin of [[domainReport]]
     * (drop everything from domains the census flagged): rows whose
-    * registrable domain is in the list are removed. The list is
-    * metadata (a curation decision, rarely more than thousands of
-    * entries) and rides the expression as a literal — zero shuffle,
+    * REGISTRABLE domain (public-suffix aware: blocking `example.co.uk`
+    * drops `shop.example.co.uk` too) is in the list are removed. The
+    * list is metadata (a curation decision, rarely more than thousands
+    * of entries) and rides the expression as a literal — zero shuffle,
     * streaming-safe. An allowlist is the same op with `keep = true`.
     */
   def domainFilter(df: DataFrame, urlCol: String, blocked: Seq[String],

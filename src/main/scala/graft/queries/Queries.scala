@@ -164,6 +164,34 @@ object Queries {
              |  CAST(sum(${graft.ops.PortableHash.duckStringHash("text")}) AS BIGINT) AS text_hash_sum
              |FROM sp GROUP BY split, source""".stripMargin
 
+  /** Shared URL fixture for the url_* queries: four host classes
+    * covering every canonicalization rule — (0) www + https default
+    * port, (1) http default port, (2) MISMATCHED default port
+    * (http://…:443 keeps it — distinct resource), (3) a public-suffix
+    * host (`shop.Example3.CO.UK` → registrable `example3.co.uk`); plus
+    * a percent-encoded unreserved variant (`pa%74h` ≡ `path`, every
+    * 10th row) and the query-order/fragment variants. ids congruent
+    * mod 200 canonicalize to the SAME URL (4 hosts × 50 paths), so the
+    * dedup and census branches carry mass.
+    */
+  private val urlFixtureSpark: String =
+    "concat(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'https://WWW.Example0.com:443' " +
+      "WHEN 1 THEN 'http://example1.com:80' WHEN 2 THEN 'http://example2.com:443' " +
+      "ELSE 'https://shop.Example3.CO.UK' END, " +
+      "'/pa', IF(doc_id % 10 = 0, '%74', 't'), 'h/', cast(doc_id % 50 AS STRING), " +
+      "IF(doc_id % 2 = 0, '/?b=2&a=1#frag', '?a=1&b=2'))"
+
+  private val urlFixtureDuck: String =
+    "CASE doc_id % 4 WHEN 0 THEN 'https://WWW.Example0.com:443' " +
+      "WHEN 1 THEN 'http://example1.com:80' WHEN 2 THEN 'http://example2.com:443' " +
+      "ELSE 'https://shop.Example3.CO.UK' END " +
+      "|| '/pa' || CASE WHEN doc_id % 10 = 0 THEN '%74' ELSE 't' END " +
+      "|| 'h/' || (doc_id % 50) " +
+      "|| CASE WHEN doc_id % 2 = 0 THEN '/?b=2&a=1#frag' ELSE '?a=1&b=2' END"
+
+  private val urlFixtureDuckTable: String =
+    s"(SELECT doc_id, $urlFixtureDuck AS url FROM documents)"
+
   val all: Seq[QueryDef] = Seq(
 
     // ================= relational core (scan/filter/agg/join/window) ====
@@ -2989,54 +3017,37 @@ object Queries {
     // JSONL round-trip: documents -> one-object-per-line files -> read
     // back with an EXPLICIT schema (no inference pass) -> per-source
     // ================= URL curation ======================================
-    // The crawl has no URL column, so the fixture synthesizes one per
-    // doc exercising every canonicalization rule at once: upper-case
-    // host, `www.`, default port 443, trailing slash, fragment, and
-    // query-order variants. ids congruent mod 150 canonicalize to the
-    // SAME URL (3 hosts × 50 paths), so the dedup and census branches
-    // both carry mass.
+    // The crawl has no URL column, so the shared fixture
+    // (`urlFixtureSpark`/`urlFixtureDuck`, defined above `all`)
+    // synthesizes one per doc exercising every canonicalization rule:
+    // upper-case host, `www.`, scheme-matching default ports (plus a
+    // MISMATCHED http://…:443 class that keeps its port), a public-
+    // suffix host (co.uk), percent-encoded unreserved variants,
+    // trailing slash, fragment, and query-order variants.
 
     QueryDef("pipeline_url_canon",
       (s, dir) => graft.ops.Url.canonicalize(
-        t(s, dir, "documents").withColumn("url", expr(
-          "concat('https://WWW.Example', cast(doc_id % 3 AS STRING), " +
-            "'.com:443/path/', cast(doc_id % 50 AS STRING), " +
-            "IF(doc_id % 2 = 0, '/?b=2&a=1#frag', '?a=1&b=2'))")),
+        t(s, dir, "documents").withColumn("url", expr(urlFixtureSpark)),
         "doc_id", "url"),
-      Some(graft.ops.Url.canonicalizeSql(
-        "(SELECT doc_id, 'https://WWW.Example' || (doc_id % 3) || '.com:443/path/' || (doc_id % 50) || " +
-          "CASE WHEN doc_id % 2 = 0 THEN '/?b=2&a=1#frag' ELSE '?a=1&b=2' END AS url FROM documents)",
-        "doc_id", "url"))),
+      Some(graft.ops.Url.canonicalizeSql(urlFixtureDuckTable, "doc_id", "url"))),
 
     // URL-level dedup: cosmetic re-fetch variants collapse to one
     // keeper per canonical URL — an 8-byte-key groupBy that runs before
     // (and spares) every text-hash dedup pass
     QueryDef("dedup_url",
       (s, dir) => graft.ops.Url.urlDedupKeepers(
-        t(s, dir, "documents").withColumn("url", expr(
-          "concat('https://WWW.Example', cast(doc_id % 3 AS STRING), " +
-            "'.com:443/path/', cast(doc_id % 50 AS STRING), " +
-            "IF(doc_id % 2 = 0, '/?b=2&a=1#frag', '?a=1&b=2'))")),
+        t(s, dir, "documents").withColumn("url", expr(urlFixtureSpark)),
         "doc_id", "url"),
-      Some(graft.ops.Url.urlDedupKeepersSql(
-        "(SELECT doc_id, 'https://WWW.Example' || (doc_id % 3) || '.com:443/path/' || (doc_id % 50) || " +
-          "CASE WHEN doc_id % 2 = 0 THEN '/?b=2&a=1#frag' ELSE '?a=1&b=2' END AS url FROM documents)",
-        "doc_id", "url"))),
+      Some(graft.ops.Url.urlDedupKeepersSql(urlFixtureDuckTable, "doc_id", "url"))),
 
     // per-domain census: docs, distinct canonical URLs, integer-milli
     // dup rate — the mirror/template-domain detector a crawl publishes
     // before any text op runs
     QueryDef("pipeline_domain_report",
       (s, dir) => graft.ops.Url.domainReport(
-        t(s, dir, "documents").withColumn("url", expr(
-          "concat('https://WWW.Example', cast(doc_id % 3 AS STRING), " +
-            "'.com:443/path/', cast(doc_id % 50 AS STRING), " +
-            "IF(doc_id % 2 = 0, '/?b=2&a=1#frag', '?a=1&b=2'))")),
+        t(s, dir, "documents").withColumn("url", expr(urlFixtureSpark)),
         "doc_id", "url"),
-      Some(graft.ops.Url.domainReportSql(
-        "(SELECT doc_id, 'https://WWW.Example' || (doc_id % 3) || '.com:443/path/' || (doc_id % 50) || " +
-          "CASE WHEN doc_id % 2 = 0 THEN '/?b=2&a=1#frag' ELSE '?a=1&b=2' END AS url FROM documents)",
-        "doc_id", "url"))),
+      Some(graft.ops.Url.domainReportSql(urlFixtureDuckTable, "doc_id", "url"))),
 
     // the crawl FRONT DOOR composed end to end: WARC containers →
     // record parse → URL canonicalization → domain blocklist → one
@@ -3047,10 +3058,7 @@ object Queries {
     // payload character diverges the hash compare
     QueryDef("pipeline_crawl_ingest",
       (s, dir) => {
-        val docsU = t(s, dir, "documents").withColumn("url", expr(
-          "concat('https://WWW.Example', cast(doc_id % 3 AS STRING), " +
-            "'.com:443/path/', cast(doc_id % 50 AS STRING), " +
-            "IF(doc_id % 2 = 0, '/?b=2&a=1#frag', '?a=1&b=2'))"))
+        val docsU = t(s, dir, "documents").withColumn("url", expr(urlFixtureSpark))
         val blobs = graft.ops.CorpusIO.warcBlobs(docsU, "doc_id", "text",
           uriCol = Some("url"))
         val recs = graft.ops.CorpusIO.parseWarcDocs(blobs, "blob")
@@ -3076,9 +3084,7 @@ object Queries {
               .as("payload_hash_sum"))
       },
       Some {
-        val urlSql = "'https://WWW.Example' || (doc_id % 3) || '.com:443/path/' || (doc_id % 50) || " +
-          "CASE WHEN doc_id % 2 = 0 THEN '/?b=2&a=1#frag' ELSE '?a=1&b=2' END"
-        s"""WITH u AS (SELECT doc_id, text, $urlSql AS url FROM documents),
+        s"""WITH u AS (SELECT doc_id, text, $urlFixtureDuck AS url FROM documents),
            |c AS (SELECT doc_id, text, url,
            |  ${graft.ops.Url.duckCanonExpr("url")} AS canon_url,
            |  ${graft.ops.Url.duckDomainExpr("url")} AS domain FROM u),

@@ -602,7 +602,12 @@ class OpsSpec extends SparkSpec {
       (4L, "https://sub.Example.com/x"),              // subdomain kept in canon, domain = last 2 labels
       (5L, "https://10.0.0.1/x?z=1"),                 // IP host
       (6L, "example.com/no-scheme"),                  // schemeless: host extract empty, no crash
-      (7L, "https://example.com")                     // no path, no query
+      (7L, "https://example.com"),                    // no path, no query
+      (8L, "http://example.com:443/x"),               // MISmatched default port: kept (distinct resource)
+      (9L, "https://shop.Example.CO.UK/x"),           // public suffix: registrable = example.co.uk
+      (10L, "https://portal.district.k12.ca.us/x"),   // 3-label suffix: longest match wins over ca.us
+      (11L, "https://example.com/pa%74h/%7Edoc?q=%2Fv%3a1"), // unreserved decode + hex uppercase; reserved stay
+      (12L, "https://example.com/path/~doc?q=%2Fv%3A1")      // canon-equal to 11 post-normalization
     ).toDF("doc_id", "url")
     val out = graft.ops.Url.canonicalize(urls, "doc_id", "url")
       .collect().map(r => r.getLong(0) -> (r.getString(2), r.getString(3))).toMap
@@ -614,6 +619,17 @@ class OpsSpec extends SparkSpec {
     assert(out(5L)._1 === "10.0.0.1/x?z=1")
     assert(out(7L)._1 === "example.com")
     assert(out(6L)._1 !== null, "schemeless input must not crash")
+    assert(out(8L) === ("example.com:443/x", "example.com"),
+      "a MISmatched default port (http on 443) names a distinct resource and stays " +
+        "in the canon host; the domain census still strips it")
+    assert(out(9L) === ("shop.example.co.uk/x", "example.co.uk"),
+      "public-suffix host: registrable domain = suffix + one label, not last-two")
+    assert(out(10L)._2 === "district.k12.ca.us",
+      "longest suffix must win: k12.ca.us (3 labels) over ca.us (2)")
+    assert(out(11L)._1 === "example.com/path/~doc?q=%2Fv%3A1",
+      "unreserved %74/%7E decode; reserved %2F stays; lowercase hex %3a uppercases")
+    assert(out(11L)._1 === out(12L)._1,
+      "percent-variants of the same resource must canonicalize identically")
   }
 
   test("stupid backoff: compiled kernel is bit-equal to the declarative hash-join form") {
