@@ -125,8 +125,11 @@ object VectorFunctions {
   }
 
   private def longArrayLit(e: Expression, fn: String): Seq[Long] = {
-    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, CreateArray, Literal}
     e match {
+      // an EMPTY vocabulary rides in as CAST(array() AS ARRAY<BIGINT>)
+      // (bare array() is ARRAY<NULL>); unwrap the cast and recurse
+      case c: Cast => longArrayLit(c.child, fn)
       case CreateArray(children, _) => children.map {
         case Literal(v: Long, LongType) => v
         case Literal(v: Int, IntegerType) => v.toLong

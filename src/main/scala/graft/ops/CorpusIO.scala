@@ -271,6 +271,13 @@ object CorpusIO {
   /** [[parseWarc]]'s record-to-DOCUMENT form: (uri, payload) rows for
     * pipelines that continue past parsing (the hash-witness form above
     * is the round-trip verifier). Same grammar, same single explode.
+    *
+    * CHARACTERS-vs-BYTES caveat (same as [[parseWarc]]): Content-Length
+    * is interpreted as a CHARACTER count, matching what [[warcBlobs]]
+    * plants. Real WARC (ISO 28500) declares BYTE lengths — pointing this
+    * at genuine crawl containers with multi-byte UTF-8 payloads would
+    * truncate or over-read. For real WARC, parse on BINARY columns with
+    * a byte-true reader before this op.
     */
   def parseWarcDocs(blobs: DataFrame, blobCol: String): DataFrame =
     blobs
@@ -289,6 +296,13 @@ object CorpusIO {
     * shape (a 100 TB pipeline reads containers, not documents; records
     * per blob bounds the explode fan-out, and everything after the
     * split is a zero-shuffle projection).
+    *
+    * CHARACTERS-vs-BYTES caveat: the payload is bounded by a
+    * character-based substring against Content-Length, matching the
+    * CHARACTER count [[warcBlobs]] plants. Real WARC (ISO 28500)
+    * declares BYTE lengths — on genuine crawl containers with
+    * multi-byte UTF-8 payloads this would truncate or over-read. For
+    * real WARC, parse on BINARY columns with a byte-true reader first.
     */
   def parseWarc(blobs: DataFrame, blobCol: String): DataFrame =
     blobs

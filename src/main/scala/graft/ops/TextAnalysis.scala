@@ -483,17 +483,24 @@ object TextAnalysis {
     * misses repetition, Gopher's rules miss topic drift, fertility only
     * sees the tokenizer): four independent zero-shuffle signals —
     * trained-classifier sign, the 7-rule Gopher conjunction, top-bigram
-    * repetition (threshold 0.09 ≈ this corpus's p95 — calibrate per
-    * corpus), BPE fertility band — each as a 0/1 flag, kept at
-    * `minVotes`-of-4. The whole gate is ONE corpus scan: every signal
+    * repetition, BPE fertility band — each as a 0/1 flag, kept at
+    * `minVotes`-of-4. The repetition threshold and fertility band are
+    * corpus/tokenizer calibrations (the defaults are THIS corpus's p95
+    * repetition and the committed merge table's observed fertility on
+    * it) — on any other corpus pass recalibrated values, as with
+    * [[gopherRules]]' parameters, or the fertility vote silently
+    * degrades to a constant. The whole gate is ONE corpus scan: every signal
     * is a compiled projection, chained through [[gopherRules]]' carry
     * hook; the expensive BPE count is projected once and referenced
     * twice (multiply-referenced non-cheap expressions stay materialized
     * — the CollapseProject rule the minhash path documents).
     */
   def qualityEnsemble(df: DataFrame, id: String, text: String,
-                      minVotes: Int = 3): DataFrame = {
+                      minVotes: Int = 3,
+                      maxTopBigramFrac: Double = 0.09,
+                      fertilityBand: (Double, Double) = (1.5, 1.56)): DataFrame = {
     val w = s"split($text, ' ')"
+    val (fLo, fHi) = fertilityBand
     gopherRules(df, id, text, carry = Seq(text))
       .select(col(id), col("n_words"), col("keep").as("f_gopher"), col(text))
       .withColumn("__bpe", expr(s"graft_bpe_count($text)"))
@@ -502,9 +509,9 @@ object TextAnalysis {
           s"graft_classifier_logit_t($w) >= 0, false) AS INT)").as("f_cls"),
         expr(s"CAST(IF(size($w) < 2, true, " +
           s"cast(graft_top_ngram_count($w, 2) AS DOUBLE) / " +
-          s"cast(size($w) - 1 AS DOUBLE) <= 0.09) AS INT)").as("f_rep"),
+          s"cast(size($w) - 1 AS DOUBLE) <= $maxTopBigramFrac) AS INT)").as("f_rep"),
         expr(s"CAST(IF(__bpe > 0, " +
-          s"length($text) / cast(__bpe AS DOUBLE) BETWEEN 1.5 AND 1.56, " +
+          s"length($text) / cast(__bpe AS DOUBLE) BETWEEN $fLo AND $fHi, " +
           "false) AS INT)").as("f_fert"))
       .withColumn("votes",
         expr("f_gopher + f_cls + f_rep + f_fert").cast("long"))
@@ -515,7 +522,10 @@ object TextAnalysis {
     * families freely — the one-scan discipline binds the engine side).
     */
   def qualityEnsembleSql(table: String, id: String, text: String,
-                         minVotes: Int = 3): String = {
+                         minVotes: Int = 3,
+                         maxTopBigramFrac: Double = 0.09,
+                         fertilityBand: (Double, Double) = (1.5, 1.56)): String = {
+    val (fLo, fHi) = fertilityBand
     val ws = s"string_split($text, ' ')"
     val tok = s"list_filter($ws, w -> w <> '')"
     val h = graft.ops.PortableHash.duckStringHash("t")
@@ -534,9 +544,9 @@ object TextAnalysis {
        |    CASE WHEN len($ws) < 2 THEN 1
        |         WHEN list_max(list_transform(list_distinct($bis),
        |                d -> len(list_filter($bis, x -> x = d))))::DOUBLE /
-       |              (len($ws) - 1)::DOUBLE <= 0.09 THEN 1 ELSE 0 END AS f_rep,
+       |              (len($ws) - 1)::DOUBLE <= $maxTopBigramFrac THEN 1 ELSE 0 END AS f_rep,
        |    CASE WHEN $bpe > 0 AND length($text) / ($bpe)::DOUBLE
-       |              BETWEEN 1.5 AND 1.56 THEN 1 ELSE 0 END AS f_fert
+       |              BETWEEN $fLo AND $fHi THEN 1 ELSE 0 END AS f_fert
        |  FROM $table)
        |SELECT g.$id, g.n_words, g.keep AS f_gopher, o.f_cls, o.f_rep, o.f_fert,
        |  CAST(g.keep + o.f_cls + o.f_rep + o.f_fert AS BIGINT) AS votes,
@@ -1053,11 +1063,18 @@ object TextAnalysis {
   /** The one fixed-shape double expression both backoff forms and the
     * SQL twin share — identical operation order keeps it bit-equal.
     */
-  private def backoffScoreExpr: Column =
-    round((col("s3").cast("double") / col("total3")
-      + lit(0.4) * col("s2").cast("double") / col("total2")
-      + lit(0.16) * col("s1").cast("double") / col("total1"))
+  private def backoffScoreExpr: Column = {
+    // a zero total (ref has no n-grams at that order — e.g. no 3-word
+    // docs) contributes 0, not a divide-by-zero (ANSI) / NaN: the guard
+    // is mirrored verbatim in the SQL twin, and with nonzero totals the
+    // arithmetic is the identical op sequence, so bit-parity holds
+    def term(t: String, c: Column): Column =
+      when(col(t) === 0L, lit(0.0)).otherwise(c)
+    round((term("total3", col("s3").cast("double") / col("total3"))
+      + term("total2", lit(0.4) * col("s2").cast("double") / col("total2"))
+      + term("total1", lit(0.16) * col("s1").cast("double") / col("total1")))
       / col("n_pos").cast("double"), 6).as("backoff_score")
+  }
 
   /** COMPILED form of [[backoffScore]] — the registered scale path. The
     * three top-V tables collapse to broadcast-literal sorted (hash, cnt)
@@ -1084,10 +1101,20 @@ object TextAnalysis {
     val (h3, c3) = pairs(top3)
     val (h2, c2) = pairs(top2)
     val (h1, c1) = pairs(top1)
-    val Array(t3, t2, t1) = totals.collect().head match {
-      case r => Array(r.getLong(0), r.getLong(1), r.getLong(2))
-    }
-    def lit_(a: Seq[Long]) = a.mkString("array(", "L, ", "L)")
+    // an empty ref sums to NULL; coalesce to 0 then fail fast — a
+    // reference with zero words cannot define a backoff LM, and a
+    // silent all-NaN score column would just defer the failure
+    val trow = totals.collect().head
+    val Array(t3, t2, t1) = Array(0, 1, 2).map(i =>
+      if (trow.isNullAt(i)) 0L else trow.getLong(i))
+    require(t1 > 0,
+      "backoffScoreFast: reference corpus has no words — no backoff LM to score against")
+    // empty top-V at an order (e.g. no 3-word ref docs) must still emit
+    // a well-typed literal: bare array() is ARRAY<NULL> and 'array(L)'
+    // doesn't parse at all
+    def lit_(a: Seq[Long]) =
+      if (a.isEmpty) "CAST(array() AS ARRAY<BIGINT>)"
+      else a.mkString("array(", "L, ", "L)")
     graft.functions.VectorFunctions.attach(docs)
       // pre-filter via the compiled word count, NOT the kernel output —
       // a filter on the computed stats would be pushed below the
@@ -1151,9 +1178,9 @@ object TextAnalysis {
        |          LEFT JOIN top1 t1 ON dp.h1 = t1.h1
        |  GROUP BY $id)
        |SELECT $id, n_pos, n_tri, n_bi, n_uni, n_oov,
-       |  round((s3::DOUBLE / total3
-       |         + 0.4 * s2::DOUBLE / total2
-       |         + 0.16 * s1::DOUBLE / total1) / n_pos::DOUBLE, 6) AS backoff_score
+       |  round((CASE WHEN total3 = 0 THEN 0.0 ELSE s3::DOUBLE / total3 END
+       |         + CASE WHEN total2 = 0 THEN 0.0 ELSE 0.4 * s2::DOUBLE / total2 END
+       |         + CASE WHEN total1 = 0 THEN 0.0 ELSE 0.16 * s1::DOUBLE / total1 END) / n_pos::DOUBLE, 6) AS backoff_score
        |FROM agg, totals""".stripMargin
   }
 

@@ -649,6 +649,40 @@ class OpsSpec extends SparkSpec {
       "(including at the top-V tie boundary — vocab=7 truncates mid-tie)")
   }
 
+  test("quality ensemble: repetition threshold and fertility band are live parameters") {
+    import spark.implicits._
+    val docs = Seq((1L, ("the common word list keeps growing nicely today " * 8).trim))
+      .toDF("doc_id", "text")
+    def flags(maxRep: Double, band: (Double, Double)): (Int, Int) = {
+      val r = TextAnalysis.qualityEnsemble(docs, "doc_id", "text",
+        maxTopBigramFrac = maxRep, fertilityBand = band).collect().head
+      (r.getInt(r.fieldIndex("f_rep")), r.getInt(r.fieldIndex("f_fert")))
+    }
+    // 8x-repeated sentence: top bigram frac ≈ 8/63 ≈ 0.127 — fails the
+    // default 0.09, passes a loosened 0.2; an absurd band kills f_fert,
+    // an all-encompassing one passes it
+    assert(flags(0.09, (0.0, 100.0)) === ((0, 1)))
+    assert(flags(0.2, (99.0, 100.0)) === ((1, 0)))
+  }
+
+  test("stupid backoff: degenerate references — trigram-free ref runs, wordless ref fails fast") {
+    import spark.implicits._
+    val docs = Seq((10L, "the quick brown fox runs")).toDF("doc_id", "text")
+    // no 3-word ref doc: the trigram top-V is EMPTY and must still form
+    // a well-typed literal (bare 'array(L)' used to fail to parse)
+    val bigramOnly = Seq((0L, "the quick"), (1L, "brown fox")).toDF("doc_id", "text")
+    val out = TextAnalysis.backoffScoreFast(docs, bigramOnly, "doc_id", "text", vocab = 7)
+      .collect()
+    assert(out.length === 1 && out.head.getLong(1) === 3L,
+      "trigram-free reference must still score (3 positions, all trigram misses)")
+    // wordless ref: clear require, not an NPE from a NULL totals row
+    val empty = Seq((0L, ""), (1L, " ")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.backoffScoreFast(docs, empty, "doc_id", "text", vocab = 7)
+    }
+    assert(e.getMessage.contains("no words"))
+  }
+
   test("cluster budget: the keyed prefix sum caps each stratum, keeps best-score-first, spares small strata") {
     import spark.implicits._
     // the budget semantics on a hand-made assignment: stratum a has 5
