@@ -205,26 +205,27 @@ object Stats {
     *
     * Register assignment uses the engine-portable md5 hash
     * ([[PortableHash]], values in `[0, P)`, `P < 2^30`): register
-    * `h % 64`, rank `rho` = leading-zero count of the remaining 24-bit
-    * budget + 1 (`bin()`'s digit count gives the exact integer bit
-    * length in both engines — no floats anywhere, so the sketch is
-    * hash-identical cross-engine). `h div 64 < P/64 < 2^24` exactly
+    * `h % m` (m = 2^p, `p` a parameter — default [[HllP]] = 6), rank
+    * `rho` = leading-zero count of the remaining `30 − p`-bit budget
+    * + 1 (`bin()`'s digit count gives the exact integer bit length in
+    * both engines — no floats anywhere, so the sketch is
+    * hash-identical cross-engine). `h div m < P/m < 2^(30−p)` exactly
     * bounds the budget; the slight non-uniformity of `[0, P)` vs
     * `[0, 2^30)` perturbs rank probabilities by < 7% at rho=1 — noise
-    * far below HLL's own `1.04/sqrt(64)` = 13% standard error (the
+    * below HLL's own `1.04/sqrt(m)` standard error (the
     * ESTIMATE is approximate BY DESIGN; the REGISTERS — the registered
     * output — are deterministic).
     *
-    * Output: exactly 64 rows `(register, max_rho)`, absent registers as
-    * `rho = 0` via a 64-row spine join (broadcast — the agg side is
-    * ≤ 64 rows post-combine).
+    * Output: exactly m rows `(register, max_rho)`, absent registers as
+    * `rho = 0` via an m-row spine join (broadcast — the agg side is
+    * ≤ m rows post-combine).
     */
-  def hllRegisters(df: DataFrame, valueExpr: String): DataFrame = {
-    val m = HllM
+  def hllRegisters(df: DataFrame, valueExpr: String, p: Int = HllP): DataFrame = {
+    val (m, w1) = hllShape(p)
     val agg = df
       .select(expr(PortableHash.sparkStringHash(valueExpr)).as("h"))
       .select((col("h") % m).as("register"),
-        expr(s"IF(h div $m = 0, ${HllW + 1}, ${HllW + 1} - length(bin(h div $m)))")
+        expr(s"IF(h div $m = 0, $w1, $w1 - length(bin(h div $m)))")
           .cast("int").as("rho"))
       .groupBy("register").agg(max(col("rho")).as("max_rho"))
     val spine = df.sparkSession.range(m).select(col("id").as("register"))
@@ -233,20 +234,44 @@ object Stats {
         coalesce(col("max_rho"), lit(0)).cast("int").as("max_rho"))
   }
 
-  /** Register count (fixed: the 30-bit portable-hash budget splits into
-    * 6 register bits + 24 rank bits).
+  /** Default precision: the 30-bit portable-hash budget splits into
+    * `p` register bits + `30 − p` rank bits. `p` is a parameter on all
+    * sketch builders (m = 2^p registers, standard error 1.04/√m);
+    * default 6 keeps the original 64-register shape.
     */
-  val HllM = 64
-  /** Rank-bit budget: `h div 64 < 2^24`. */
-  val HllW = 24
+  val HllP = 6
+  /** m at the default precision. */
+  val HllM = 1 << HllP
+  /** Rank-bit budget at the default precision: `h div 64 < 2^24`. */
+  val HllW = 30 - HllP
+
+  /** (m, max-rank) for precision p — rank `rho ∈ [1, 31−p]`; p is
+    * bounded so at least one rank bit remains and registers stay
+    * metadata-sized.
+    */
+  private def hllShape(p: Int): (Int, Int) = {
+    require(p >= 4 && p <= 16, s"hll precision p must be in [4,16], got $p")
+    (1 << p, 31 - p)
+  }
+
+  /** Integer milli-alpha for m = 2^p (Flajolet et al., Fig. 3) — an
+    * INTEGER so `alphaMilli · m²` literals are exact in both engines
+    * and the estimator's fixed-point arithmetic stays bit-identical.
+    */
+  private def hllAlphaMilli(p: Int): Long = p match {
+    case 4 => 673L
+    case 5 => 697L
+    case 6 => 709L
+    case _ => math.round(0.7213 / (1.0 + 1.079 / (1 << p)) * 1000.0)
+  }
 
   /** DuckDB twin of [[hllRegisters]]. */
-  def hllRegistersSql(table: String, valueExpr: String): String = {
-    val m = HllM
+  def hllRegistersSql(table: String, valueExpr: String, p: Int = HllP): String = {
+    val (m, w1) = hllShape(p)
     s"""WITH agg AS (
        |  SELECT h % $m AS register,
-       |    CASE WHEN h // $m = 0 THEN ${HllW + 1}
-       |         ELSE ${HllW + 1} - length(bin(h // $m)) END AS rho
+       |    CASE WHEN h // $m = 0 THEN $w1
+       |         ELSE $w1 - length(bin(h // $m)) END AS rho
        |  FROM (SELECT ${PortableHash.duckStringHash(valueExpr)} AS h FROM $table)),
        |mx AS (SELECT register, max(rho) AS max_rho FROM agg GROUP BY register)
        |SELECT s.register::BIGINT AS register,
@@ -257,13 +282,13 @@ object Stats {
 
   /** Classic HLL estimator over a `(register, max_rho)` sketch — the
     * spec-side consumer (raw estimate + linear-counting small-range
-    * correction). Driver-side arithmetic over 64 integers; the
+    * correction). Driver-side arithmetic over m integers; the
     * distributed work is all in [[hllRegisters]].
     */
-  def hllEstimate(maxRho: Seq[Int]): Double = {
-    val m = HllM.toDouble
-    require(maxRho.size == HllM, s"expected $HllM registers")
-    val alpha = 0.709 // alpha_64 (Flajolet et al., Fig. 3)
+  def hllEstimate(maxRho: Seq[Int], p: Int = HllP): Double = {
+    val m = (1 << p).toDouble
+    require(maxRho.size == (1 << p), s"expected ${1 << p} registers")
+    val alpha = hllAlphaMilli(p) / 1000.0
     val raw = alpha * m * m / maxRho.map(r => math.pow(2.0, -r)).sum
     val zeros = maxRho.count(_ == 0)
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
@@ -271,13 +296,15 @@ object Stats {
 
   /** HLL accuracy gate — the distinct-count analog of
     * [[heavyHitters]]'s frequency gate and the ANN recall gates: exact
-    * `count(distinct)` next to the sketch's raw estimate in ONE row, so
-    * the driver-checked board carries the estimator's error per corpus,
-    * not just the registers. Determinism discipline: Σ 2^−rho is held
-    * as the EXACT integer Σ 2^(56−rho) (rho ≤ 25 by the 24-bit rank
-    * budget, so terms fit and 64 of them stay under 2^63 — no clamp
-    * needed, no float sum whose ordering could drift cross-engine);
-    * the only floating step is the final α·m²·2^56 / sum quotient —
+    * `count(distinct)` next to the sketch's raw estimate in ONE row
+    * (per precision `p`; the registered query unions two precisions so
+    * the board gates the error band at both), so the driver-checked
+    * board carries the estimator's error per corpus, not just the
+    * registers. Determinism discipline: Σ 2^−rho is held as the EXACT
+    * integer Σ 2^((62−p)−rho) (rho ≤ 31−p by the rank budget, so terms
+    * fit and 2^p of them stay under 2^63 — no clamp needed, no float
+    * sum whose ordering could drift cross-engine);
+    * the only floating step is the final α·m²·2^(62−p) / sum quotient —
     * exactly-representable operands through correctly-rounded IEEE
     * multiply/divide, bit-identical on both engines, rounded at 3.
     * `n_zero_registers` rides along so the linear-counting regime
@@ -286,32 +313,42 @@ object Stats {
     * reports the RAW estimate (the log-free half) and leaves the
     * corrected estimator to [[hllEstimate]]/specs.
     */
-  def hllAccuracy(df: DataFrame, valueExpr: String): DataFrame = {
+  def hllAccuracy(df: DataFrame, valueExpr: String, p: Int = HllP): DataFrame = {
+    val (m, _) = hllShape(p)
+    val s = 62 - p                       // Σ 2^(s−rho): m·2^s ≤ 2^62, no overflow
+    val numer = hllAlphaMilli(p) * m * m // exact integer αm²·1000
+    val pow2s = 1L << s
     val exact = df.agg(
       countDistinct(expr(valueExpr)).as("n_exact"))
-    hllRegisters(df, valueExpr)
+    hllRegisters(df, valueExpr, p)
       .agg(
-        sum(expr("cast(1 AS BIGINT) * shiftleft(cast(1 AS BIGINT), 56 - max_rho)"))
+        sum(expr(s"cast(1 AS BIGINT) * shiftleft(cast(1 AS BIGINT), $s - max_rho)"))
           .as("sum_scaled"),
         sum(when(col("max_rho") === 0, 1L).otherwise(0L)).as("n_zero_registers"))
       .crossJoin(broadcast(exact))
-      .select(col("n_exact"), col("sum_scaled"), col("n_zero_registers"),
-        round(lit(2904064.0) * lit(72057594037927936.0) /
+      .select(lit(p.toLong).as("p"), col("n_exact"), col("sum_scaled"),
+        col("n_zero_registers"),
+        round(lit(numer.toDouble) * lit(pow2s.toDouble) /
           col("sum_scaled") / lit(1000.0), 3).as("est_raw"))
   }
 
   /** DuckDB twin of [[hllAccuracy]]. */
-  def hllAccuracySql(table: String, valueExpr: String): String =
+  def hllAccuracySql(table: String, valueExpr: String, p: Int = HllP): String = {
+    val (m, _) = hllShape(p)
+    val s = 62 - p
+    val numer = hllAlphaMilli(p) * m * m
+    val pow2s = 1L << s
     s"""WITH regs AS (
-       |${hllRegistersSql(table, valueExpr)}),
+       |${hllRegistersSql(table, valueExpr, p)}),
        |agg AS (
-       |  SELECT sum(1::BIGINT << (56 - max_rho))::BIGINT AS sum_scaled,
+       |  SELECT sum(1::BIGINT << ($s - max_rho))::BIGINT AS sum_scaled,
        |    sum(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_registers
        |  FROM regs),
        |exact AS (SELECT count(DISTINCT $valueExpr)::BIGINT AS n_exact FROM $table)
-       |SELECT e.n_exact, a.sum_scaled, a.n_zero_registers,
-       |  round(2904064e0 * 72057594037927936e0 / a.sum_scaled / 1000e0, 3) AS est_raw
+       |SELECT ${p}::BIGINT AS p, e.n_exact, a.sum_scaled, a.n_zero_registers,
+       |  round(${numer}e0 * ${pow2s}e0 / a.sum_scaled / 1000e0, 3) AS est_raw
        |FROM agg a, exact e""".stripMargin
+  }
 
   /** Per-key HLL: one register sketch per group — "distinct users per
     * event_type over 100 TB" as a single keyed partial agg. Identical

@@ -2964,16 +2964,24 @@ object Queries {
         "(SELECT * FROM events WHERE user_id < 50)", "event_type"))),
 
     // the HLL accuracy gate: exact count(distinct) next to the raw
-    // sketch estimate in one row (dyadic sum held as exact integer
-    // sum(2^(56-rho)) -- no float sum ordering; single correctly-
-    // rounded IEEE quotient at the end). Cardinality fixture
+    // sketch estimate, one row PER PRECISION (p=6 and p=10 — the error
+    // band gated at two register counts; dyadic sum held as exact
+    // integer sum(2^((62-p)-rho)) -- no float sum ordering; single
+    // correctly-rounded IEEE quotient at the end). Cardinality fixture
     // user_id x event_type clears the linear-counting regime at the
-    // driver's sf0.01 gate
+    // driver's sf0.01 gate for p=6
     QueryDef("stats_hll_accuracy",
-      (s, dir) => graft.ops.Stats.hllAccuracy(t(s, dir, "events"),
-        "concat(cast(user_id AS STRING), '-', event_type)"),
-      Some(graft.ops.Stats.hllAccuracySql("events",
-        "(user_id::VARCHAR || '-' || event_type)"))),
+      (s, dir) => {
+        val v = "concat(cast(user_id AS STRING), '-', event_type)"
+        graft.ops.Stats.hllAccuracy(t(s, dir, "events"), v, p = 6)
+          .unionAll(graft.ops.Stats.hllAccuracy(t(s, dir, "events"), v, p = 10))
+      },
+      Some {
+        val v = "(user_id::VARCHAR || '-' || event_type)"
+        s"""(${graft.ops.Stats.hllAccuracySql("events", v, p = 6)})
+           |UNION ALL
+           |(${graft.ops.Stats.hllAccuracySql("events", v, p = 10)})""".stripMargin
+      }),
 
     // heavy hitters with the sketch's accuracy in-row: exact top-10 by
     // count (TakeOrdered) + CMS estimate + overcount — the frequency

@@ -309,18 +309,40 @@ class PhashBm25HllSpec extends SparkSpec {
 
   test("hllAccuracy: integer dyadic sum matches the registers; raw estimate inside the error band") {
     val df = (1 to 5000).map(i => s"val$i").toDF("v")
-    val regs = Stats.hllRegisters(df, "v")
-      .as[(Long, Int)].collect().map(_._2)
-    val row = Stats.hllAccuracy(df, "v")
-      .as[(Long, Long, Long, Double)].collect().head
-    val (nExact, sumScaled, nZero, estRaw) = row
-    assert(nExact === 5000L)
-    assert(sumScaled === regs.map(r => 1L << (56 - r)).sum,
-      "gate's integer sum must equal the register sketch's")
-    assert(nZero === regs.count(_ == 0).toLong)
-    // alpha_64 raw estimate at m=64: sigma = 1.04/8 = 13%; allow 3 sigma
-    assert(estRaw > 5000 * 0.6 && estRaw < 5000 * 1.4,
-      s"raw estimate $estRaw outside 3-sigma of 5000")
+    // p is a live precision knob: gate the band at the default 64
+    // registers AND at 1024 (sigma 13% vs 3.25%)
+    for (p <- Seq(6, 10)) {
+      val regs = Stats.hllRegisters(df, "v", p)
+        .as[(Long, Int)].collect().map(_._2)
+      assert(regs.length === (1 << p))
+      val row = Stats.hllAccuracy(df, "v", p)
+        .as[(Long, Long, Long, Long, Double)].collect().head
+      val (pOut, nExact, sumScaled, nZero, estRaw) = row
+      assert(pOut === p.toLong && nExact === 5000L)
+      assert(sumScaled === regs.map(r => 1L << ((62 - p) - r)).sum,
+        "gate's integer sum must equal the register sketch's")
+      assert(nZero === regs.count(_ == 0).toLong)
+      val sigma = 1.04 / math.sqrt((1 << p).toDouble)
+      assert(math.abs(estRaw - 5000) <= 3 * sigma * 5000,
+        s"p=$p raw estimate $estRaw outside 3-sigma of 5000")
+    }
+  }
+
+  test("hll precision p: merge law and estimator hold at p=10; invalid p fails fast") {
+    val a = (1L to 500L).map(i => s"u$i").toDF("v")
+    val b = (400L to 900L).map(i => s"u$i").toDF("v")
+    val skA = Stats.hllRegisters(a, "v", p = 10).as[(Long, Int)].collect().toMap
+    val skB = Stats.hllRegisters(b, "v", p = 10).as[(Long, Int)].collect().toMap
+    assert(skA.size === 1024 && skB.size === 1024)
+    val merged = (0L until 1024L).map(r => r -> math.max(skA(r), skB(r))).toMap
+    val skU = Stats.hllRegisters(a.union(b), "v", p = 10).as[(Long, Int)].collect().toMap
+    assert(merged === skU, "element-wise max merge must hold at every precision")
+    val est = Stats.hllEstimate(
+      skU.toSeq.sortBy(_._1).map(_._2), p = 10)
+    assert(math.abs(est - 900) <= 3 * (1.04 / 32.0) * 900,
+      s"p=10 estimate $est outside 3-sigma of 900")
+    intercept[IllegalArgumentException](Stats.hllRegisters(a, "v", p = 3))
+    intercept[IllegalArgumentException](Stats.hllRegisters(a, "v", p = 17))
   }
 
   test("heavyHitters: exact top-k found, estimates bound them from above within the CMS band") {
