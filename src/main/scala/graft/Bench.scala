@@ -58,8 +58,15 @@ object Bench {
     // 2, ...): a transient stall then lands in one pass of a query, not
     // in all of its back-to-back reps, so the median actually rejects it.
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3).max(1)
+    // PRICED queries (registered build-price legs and the quarantined
+    // quadratic verifiers — see Queries.priced) run ONCE: their cost is
+    // a design artifact, not a steady-state path, and at 3 reps they
+    // alone were ~20% of suite wall-clock. Keeps bench growth sublinear
+    // in query count without touching the median discipline elsewhere.
+    val priced = graft.queries.Queries.priced
     val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
-    for (_ <- 1 to reps; (name, fn) <- queries) {
+    for (rep <- 1 to reps; (name, fn) <- queries
+         if rep == 1 || !priced(name)) {
       // Collect the PREVIOUS query's garbage before starting the clock:
       // the heavy index-build/recall queries leave GB-scale young-gen
       // debris whose collection otherwise lands inside whichever query
@@ -103,7 +110,9 @@ object Bench {
         s"\"p50\":${quantile(sorted, 0.50)}," +
         s"\"p75\":${quantile(sorted, 0.75)}}"
     }.mkString("{", ",", "}")
-    val fileLine = line.dropRight(1) + s""","reps":$reps,"quantiles":$spread}"""
+    val pricedRan = queries.keys.filter(priced).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fileLine = line.dropRight(1) +
+      s""","reps":$reps,"priced_single_rep":$pricedRan,"quantiles":$spread}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
       (fileLine + "\n").getBytes("UTF-8"))
