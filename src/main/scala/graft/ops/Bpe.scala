@@ -243,21 +243,36 @@ object Bpe {
     val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val occur = scala.collection.mutable.HashMap
       .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    def eligible(a: String, b: String): Boolean = a != b &&
+      (a + b).forall(ch => (ch >= '0' && ch <= '9') ||
+        (ch >= 'A' && ch <= 'Z') || (ch >= 'a' && ch <= 'z'))
+    // the argmax ladder: ELIGIBLE positive-count pairs ordered by
+    // (count desc, a asc, b asc), maintained INCREMENTALLY under every
+    // pair-count mutation — head() replaces the per-round O(#pairs)
+    // linear scan that made 32k-merge training quadratic-ish (probe:
+    // the scan form spent minutes re-scanning ~1M live pairs per rank;
+    // the ladder's per-mutation cost is one remove + one insert, so a
+    // rank costs O(affected words × word length × log #pairs))
+    val candidates = scala.collection.mutable.TreeSet
+      .empty[(Long, String, String)](Ordering.Tuple3(
+        Ordering.Long.reverse, Ordering.String, Ordering.String))
     def index(wi: Int, sign: Long): Unit = {
       val us = words(wi); val f = freqs(wi); var i = 0
       while (i < us.length - 1) {
         val p = (us(i), us(i + 1))
-        val c = pairCounts.getOrElse(p, 0L) + sign * f
+        val c0 = pairCounts.getOrElse(p, 0L)
+        val c = c0 + sign * f
         if (c == 0L) pairCounts.remove(p) else pairCounts(p) = c
+        if (eligible(p._1, p._2)) {
+          if (c0 > 0L) candidates.remove((c0, p._1, p._2))
+          if (c > 0L) candidates.add((c, p._1, p._2))
+        }
         if (sign > 0L) occur.getOrElseUpdate(
           p, scala.collection.mutable.HashSet.empty) += wi
         i += 1
       }
     }
     words.indices.foreach(index(_, 1L))
-    def eligible(a: String, b: String): Boolean = a != b &&
-      (a + b).forall(ch => (ch >= '0' && ch <= '9') ||
-        (ch >= 'A' && ch <= 'Z') || (ch >= 'a' && ch <= 'z'))
     // the standard left-to-right non-overlapping merge — exactly what the
     // boundary-delimited double-replace computes for a != b (BpeSpec pins
     // that equivalence on back-to-back runs)
@@ -274,17 +289,12 @@ object Bpe {
     var r = 1
     var done = false
     while (r <= k && !done) {
-      var bestPair: (String, String) = null; var bestCount = 0L
-      pairCounts.foreach { case (p, c) =>
-        if (c > 0L && eligible(p._1, p._2) &&
-          (bestPair == null || c > bestCount || (c == bestCount &&
-            (p._1 < bestPair._1 ||
-              (p._1 == bestPair._1 && p._2 < bestPair._2))))) {
-          bestPair = p; bestCount = c
-        }
-      }
-      if (bestPair == null) done = true
+      // ladder head = max count, then (a, b) ascending — the exact
+      // selection rule the engines' ORDER BY cnt DESC, a, b LIMIT 1 uses
+      if (candidates.isEmpty) done = true
       else {
+        val (bestCount, ba, bb) = candidates.head
+        val bestPair = (ba, bb)
         out += ((r, bestPair._1, bestPair._2, bestCount))
         val affected = occur.getOrElse(bestPair,
           scala.collection.mutable.HashSet.empty[Int]).toArray

@@ -28,12 +28,23 @@ object ProbeBpe {
       docs, "doc_id", "text", "source", budget = 2048, shards = 8,
       tokensExpr = graft.ops.Bpe.sparkTokenCountExpr)
       .queryExecution.toRdd.count())
-    // the SCALE half of the learner (VERDICT r8 #3): collected-histogram
-    // driver loop to real-tokenizer rank counts — the Spark parity loop
-    // at this k would schedule ~2k jobs of millisecond work
-    val k = args.lift(1).map(_.toInt).getOrElse(1000)
-    time(s"learnMergesLocal k=$k") {
-      val merges = graft.ops.Bpe.learnMergesLocal(docs, "text", k = k)
+    // the SCALE half of the learner (VERDICT r8 #3 / r9 #3): collected-
+    // histogram driver loop to real-tokenizer rank counts — the Spark
+    // parity loop at this k would schedule ~2k jobs of millisecond work.
+    // Every k after the first runs against the SAME JVM (cold-vs-warm
+    // discipline); the synthetic crawl corpus exhausts at ~289 merges
+    // (template vocabulary), so pass a rich-vocab corpus dir as arg 2
+    // (see SURVEY's scale-validation recipe for /tmp/probe_bpe: 1M docs
+    // x 40 words over a log-uniform ~40k-word vocabulary) to drive the
+    // 32k-merge production-vocab shape.
+    val learnDocs = args.lift(1).filter(_.forall(!_.isDigit))
+      .map(d => spark.read.parquet(s"$d/documents.parquet")).getOrElse(docs)
+    val ks = {
+      val given = args.drop(1).filter(_.forall(_.isDigit)).map(_.toInt)
+      if (given.nonEmpty) given.toSeq else Seq(1000)
+    }
+    for (k <- ks) time(s"learnMergesLocal k=$k") {
+      val merges = graft.ops.Bpe.learnMergesLocal(learnDocs, "text", k = k)
       println(s"[probe]   learned ${merges.size} merges; " +
         s"first 5: ${merges.take(5).mkString(", ")}; last: ${merges.lastOption.getOrElse("-")}")
       merges.size.toLong
