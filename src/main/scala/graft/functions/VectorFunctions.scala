@@ -233,7 +233,11 @@ object VectorFunctions {
     "graft_binary_sketch" -> (classOf[BinarySketch],
       (e: Seq[Expression]) => BinarySketch(e(0), intLit(e(1), "graft_binary_sketch"))),
     "graft_word_count" -> (classOf[WordCount],
-      (e: Seq[Expression]) => WordCount(e(0)))
+      (e: Seq[Expression]) => WordCount(e(0))),
+    "graft_url_canon" -> (classOf[UrlCanon],
+      (e: Seq[Expression]) => UrlCanon(e(0))),
+    "graft_url_domain" -> (classOf[UrlDomain],
+      (e: Seq[Expression]) => UrlDomain(e(0)))
   )
 
   /** Pass-through that registers the native functions on the frame's

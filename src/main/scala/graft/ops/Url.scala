@@ -140,11 +140,17 @@ object Url {
     domainFromHost(h, DuckDl)
   }
 
-  /** Per-row canonicalization: (id, url, canon_url, domain). */
+  /** Per-row canonicalization: (id, url, canon_url, domain). Runs the
+    * compiled kernels (`graft_url_canon`/`graft_url_domain` —
+    * [[graft.functions.UrlOps]], spec-pinned bit-equal to
+    * [[sparkCanonExpr]]/[[sparkDomainExpr]]): the declarative chain's
+    * ~90-node tree per instance is the measured 2–3× cost at sf0.1.
+    */
   def canonicalize(df: DataFrame, id: String, urlCol: String): DataFrame =
-    df.select(col(id), col(urlCol).as("url"),
-      expr(sparkCanonExpr(urlCol)).as("canon_url"),
-      expr(sparkDomainExpr(urlCol)).as("domain"))
+    graft.functions.VectorFunctions.attach(df)
+      .select(col(id), col(urlCol).as("url"),
+        expr(s"graft_url_canon($urlCol)").as("canon_url"),
+        expr(s"graft_url_domain($urlCol)").as("domain"))
 
   /** DuckDB twin of [[canonicalize]]. */
   def canonicalizeSql(table: String, id: String, urlCol: String): String =
@@ -158,7 +164,8 @@ object Url {
     * (canon_url, id) — no text ever moves.
     */
   def urlDedupKeepers(df: DataFrame, id: String, urlCol: String): DataFrame =
-    df.select(col(id), expr(sparkCanonExpr(urlCol)).as("canon_url"))
+    graft.functions.VectorFunctions.attach(df)
+      .select(col(id), expr(s"graft_url_canon($urlCol)").as("canon_url"))
       .groupBy(col("canon_url"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_variants"))
 
@@ -173,8 +180,9 @@ object Url {
     * domains before any text op runs.
     */
   def domainReport(df: DataFrame, id: String, urlCol: String): DataFrame =
-    df.select(expr(sparkDomainExpr(urlCol)).as("domain"),
-        expr(sparkCanonExpr(urlCol)).as("canon_url"))
+    graft.functions.VectorFunctions.attach(df)
+      .select(expr(s"graft_url_domain($urlCol)").as("domain"),
+        expr(s"graft_url_canon($urlCol)").as("canon_url"))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("canon_url")).as("n_urls"))
@@ -192,8 +200,9 @@ object Url {
   def domainFilter(df: DataFrame, urlCol: String, blocked: Seq[String],
                    allow: Boolean = false): DataFrame = {
     val lst = blocked.map(d => s"'${d.replace("'", "''")}'").mkString("array(", ", ", ")")
-    val hit = s"array_contains($lst, ${sparkDomainExpr(urlCol)})"
-    df.where(expr(if (allow) hit else s"NOT $hit"))
+    val hit = s"array_contains($lst, graft_url_domain($urlCol))"
+    graft.functions.VectorFunctions.attach(df)
+      .where(expr(if (allow) hit else s"NOT $hit"))
   }
 
   /** DuckDB twin of [[domainFilter]] — emits the WHERE predicate. */

@@ -3089,11 +3089,12 @@ object Queries {
         val blobs = graft.ops.CorpusIO.warcBlobs(docsU, "doc_id", "text",
           uriCol = Some("url"))
         val recs = graft.ops.CorpusIO.parseWarcDocs(blobs, "blob")
-        val canon = recs.select(col("uri"), col("payload"),
-          expr(graft.ops.Url.sparkCanonExpr("uri")).as("canon_url"))
+        val canon = graft.functions.VectorFunctions.attach(recs)
+          .select(col("uri"), col("payload"),
+            expr("graft_url_canon(uri)").as("canon_url"))
         val filtered = graft.ops.Url.domainFilter(canon, "uri",
           blocked = Seq("example2.com"))
-          .withColumn("domain", expr(graft.ops.Url.sparkDomainExpr("uri")))
+          .withColumn("domain", expr("graft_url_domain(uri)"))
         // representative = lexicographic MIN payload: re-crawl variants
         // of one canonical URL can share the identical RAW uri (ids
         // congruent mod 150 here), so a min-by-uri pick would tie

@@ -62,6 +62,24 @@ object ProbeRound9d {
             "'.com:443/path/', cast(doc_id % 50000 AS STRING), " +
             "IF(doc_id % 2 = 0, '/?b=2&a=1#frag', '?a=1&b=2'))").as("url")),
         "doc_id", "url").queryExecution.toRdd.count())
+    // kernel-vs-declarative A/B for the round-10 RFC 3986 chain: the
+    // same canon+domain projection at 1M urls, compiled vs the ~90-op
+    // declarative expression tree (spec-pinned bit-equal)
+    if (on("url_ab")) {
+      val urls = docs.select(col("doc_id"), expr(
+        "concat('https://WWW.Example', cast(doc_id % 1000 AS STRING), " +
+          "'.co.uk:443/pa', IF(doc_id % 10 = 0, '%74', 't'), 'h/', " +
+          "cast(doc_id % 50000 AS STRING), " +
+          "IF(doc_id % 2 = 0, '/?b=2&a=1#frag', '?a=1&b=2'))").as("url"))
+      time("url canon+domain KERNEL 1M urls")(
+        graft.functions.VectorFunctions.attach(urls)
+          .select(col("doc_id"), expr("graft_url_canon(url)"),
+            expr("graft_url_domain(url)")).queryExecution.toRdd.count())
+      time("url canon+domain DECLARATIVE 1M urls")(
+        urls.select(col("doc_id"),
+          expr(graft.ops.Url.sparkCanonExpr("url")),
+          expr(graft.ops.Url.sparkDomainExpr("url"))).queryExecution.toRdd.count())
+    }
     if (on("crawl")) time("crawl ingest end-to-end 1M docs")(
       {
         val docsU = docs.withColumn("url", expr(
@@ -71,11 +89,12 @@ object ProbeRound9d {
         val blobs = graft.ops.CorpusIO.warcBlobs(docsU, "doc_id", "text",
           uriCol = Some("url"))
         val recs = graft.ops.CorpusIO.parseWarcDocs(blobs, "blob")
-        val canon = recs.select(col("uri"), col("payload"),
-          expr(graft.ops.Url.sparkCanonExpr("uri")).as("canon_url"))
+        val canon = graft.functions.VectorFunctions.attach(recs)
+          .select(col("uri"), col("payload"),
+            expr("graft_url_canon(uri)").as("canon_url"))
         val filtered = graft.ops.Url.domainFilter(canon, "uri",
           blocked = Seq("example7.com"))
-          .withColumn("domain", expr(graft.ops.Url.sparkDomainExpr("uri")))
+          .withColumn("domain", expr("graft_url_domain(uri)"))
         val reps = filtered.groupBy(col("canon_url"))
           .agg(min(col("payload")).as("payload"), min(col("domain")).as("domain"))
         graft.ops.TextAnalysis.gopherRules(reps, "canon_url", "payload",

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bit-parity of the compiled url kernels (`graft_url_canon` /
+  * `graft_url_domain`, [[graft.functions.UrlOps]]) against the
+  * declarative chain ([[graft.ops.Url.sparkCanonExpr]] /
+  * `sparkDomainExpr`) — the DuckDB oracle only ever sees the
+  * declarative dialect, so this equivalence is what carries the
+  * kernel's correctness. The fixture list deliberately includes the
+  * MALFORMED-percent shapes where a single-pass decoder would diverge
+  * from the chain's sequential-replace artifacts ('%6%43' → 'l':
+  * decoding '%43'→'C' first creates '%6C', which the chain's
+  * earlier-ordered 'l' pass no longer sees but a rescanning decoder
+  * would decode).
+  */
+class UrlKernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixtures = Seq(
+    "https://WWW.Example.com:443/Path/A/?b=2&a=1#frag",
+    "http://example.com:80/Path/A?a=1&b=2",
+    "http://example.com:443/x",                  // mismatched default port
+    "HTTPS://UPPER.example.COM:443/X",           // uppercase scheme+host
+    "https://shop.Example.CO.UK/x",              // public suffix
+    "https://portal.district.k12.ca.us/x",       // 3-label suffix
+    "https://example.com/pa%74h/%7Edoc?q=%2Fv%3a1", // unreserved decode + hex upper
+    "https://example.com/%41%42%43",             // full decode run
+    "https://example.com/a%2Fb",                 // reserved stays
+    "https://example.com/%6%43",                 // MALFORMED: sequential artifact
+    "https://example.com/100%able",              // MALFORMED: bare % + hex-ish
+    "https://example.com/%zz%4",                 // MALFORMED: non-hex
+    "https://example.com/%2541",                 // double-encoded: %25 stays
+    "https://example.com/x?b=&a&c=2&a=1",        // empty params, dup keys
+    "https://example.com/x?",                    // empty query
+    "https://example.com/x?&&",                  // only separators
+    "https://example.com:8080/x",                // non-default port kept
+    "http://example.com:8080?z=1",               // port + query, no path
+    "https://10.0.0.1:443/x",                    // IP host
+    "https://www.example.com",                   // bare www host
+    "example.com/no-scheme",                     // schemeless
+    "",                                          // empty
+    "https://example.com/ünïcode/pä?k=ü&a=ß",    // non-ASCII path+query
+    "https://example.com/x#frag1#frag2",         // multiple #
+    "https://example.com/x?a=1#f?b=2",           // ? after #
+    "https://example.com////",                   // all slashes
+    "https://co.uk",                             // bare suffix host
+    "https://example.com/x?a=😀&b=z"   // supplementary-plane query
+  )
+
+  test("graft_url_canon / graft_url_domain are bit-equal to the declarative chain") {
+    val df = graft.functions.VectorFunctions.attach(
+      fixtures.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url"))
+    val rows = df.select(col("id"),
+        expr("graft_url_canon(url)").as("kc"),
+        expr(graft.ops.Url.sparkCanonExpr("url")).as("dc"),
+        expr("graft_url_domain(url)").as("kd"),
+        expr(graft.ops.Url.sparkDomainExpr("url")).as("dd"))
+      .collect()
+    val bad = rows.filter(r => r.getString(1) != r.getString(2) ||
+      r.getString(3) != r.getString(4))
+    assert(bad.isEmpty, bad.map(r =>
+      s"url=${fixtures(r.getLong(0).toInt)}\n  canon  kernel=${r.getString(1)} declarative=${r.getString(2)}" +
+        s"\n  domain kernel=${r.getString(3)} declarative=${r.getString(4)}").mkString("\n"))
+  }
+
+  test("null url: kernel and declarative agree (both null)") {
+    val df = graft.functions.VectorFunctions.attach(
+      Seq((1L, Option.empty[String])).toDF("id", "url"))
+    val r = df.select(expr("graft_url_canon(url)"),
+      expr(graft.ops.Url.sparkCanonExpr("url"))).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("deterministic fuzz: generated percent/port/query soup stays bit-equal") {
+    // fixed-seed generator: random-ish strings over a URL-ish alphabet
+    // heavy in '%', hex digits, separators — the shapes where sequential
+    // replace semantics bite
+    val alphabet = "abcdfATZ019%?&#/=.:~_-"
+    def gen(seed: Long, len: Int): String = {
+      var x = seed; val sb = new StringBuilder("http://h")
+      for (_ <- 0 until len) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        sb.append(alphabet(((x >>> 33) % alphabet.length).toInt))
+      }
+      sb.toString
+    }
+    val urls = (1 to 200).map(i => (i.toLong, gen(i.toLong, 24)))
+    val df = graft.functions.VectorFunctions.attach(urls.toDF("id", "url"))
+    val bad = df.select(col("id"),
+        expr("graft_url_canon(url)").as("kc"),
+        expr(graft.ops.Url.sparkCanonExpr("url")).as("dc"),
+        expr("graft_url_domain(url)").as("kd"),
+        expr(graft.ops.Url.sparkDomainExpr("url")).as("dd"))
+      .collect()
+      .filter(r => r.getString(1) != r.getString(2) || r.getString(3) != r.getString(4))
+    assert(bad.isEmpty, bad.take(5).map(r =>
+      s"url=${urls(r.getLong(0).toInt - 1)._2}\n  canon  kernel=${r.getString(1)} declarative=${r.getString(2)}" +
+        s"\n  domain kernel=${r.getString(3)} declarative=${r.getString(4)}").mkString("\n"))
+  }
+}
