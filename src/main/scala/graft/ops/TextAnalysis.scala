@@ -2012,4 +2012,30 @@ object TextAnalysis {
        |  len(ctoks)::BIGINT AS n_tokens,
        |  ${PortableHash.duckStringHash("array_to_string(ctoks, ' ')")} AS chunk_hash
        |FROM ch""".stripMargin
+
+  /** Chunk MANIFEST — the metadata-sized audit a chunking run publishes
+    * before encoding: chunks, docs, mean chunk fill (integer milli of
+    * the window), and the short-fragment count (< size/2 — the tail
+    * fragments a mix decides to drop or re-pack; with stride < size a
+    * tail always exceeds size − stride, so the counter bites on
+    * non-overlapping configs). One keyed partial agg over
+    * [[chunkDocuments]]'s zero-shuffle chunk grain.
+    */
+  def chunkManifest(df: DataFrame, id: String, text: String,
+                    size: Int = 32, stride: Int = 24): DataFrame =
+    chunkDocuments(df, id, text, size, stride)
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        expr(s"CAST(1000 * sum(n_tokens) div (count(*) * $size) AS BIGINT)")
+          .as("fill_milli"),
+        sum(when(col("n_tokens") < size / 2, 1L).otherwise(0L)).as("n_short"))
+
+  /** DuckDB twin of [[chunkManifest]]. */
+  def chunkManifestSql(table: String, id: String, text: String,
+                       size: Int = 32, stride: Int = 24): String =
+    s"""SELECT count(*)::BIGINT AS n_chunks,
+       |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |  ((1000 * sum(n_tokens)) // (count(*) * $size))::BIGINT AS fill_milli,
+       |  CAST(sum(CASE WHEN n_tokens < ${size / 2} THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+       |FROM (${chunkDocumentsSql(table, id, text, size, stride)})""".stripMargin
 }

@@ -211,6 +211,14 @@ object Queries {
   private val urlFixtureDuckTable: String =
     s"(SELECT doc_id, $urlFixtureDuck AS url FROM documents)"
 
+  /** Mojibake fixture suffix: a phrase run through the ACTUAL
+    * corruption the op repairs (UTF-8 bytes read as cp1252), appended
+    * to every 3rd doc. Contains no quotes, so it embeds in both
+    * dialects' literals verbatim.
+    */
+  private val mojiSuffix: String =
+    " " + graft.ops.Mojibake.mojibakeOf("café ’quoted’ «guille» – dash… 90° ¡sí! ñandú")
+
   val all: Seq[QueryDef] = Seq(
 
     // ================= relational core (scan/filter/agg/join/window) ====
@@ -1363,6 +1371,32 @@ object Queries {
     QueryDef("text_bpe_learn",
       (s, dir) => graft.ops.Bpe.learnMerges(t(s, dir, "documents"), "text"),
       Some(graft.ops.Bpe.learnMergesSql("documents", "text"))),
+
+    // the chunk run's metadata-sized audit over text_chunk's grain:
+    // chunks, docs, mean fill (integer milli of the window), and the
+    // short-fragment count — read before encoding to decide whether
+    // tails get dropped or re-packed. Non-overlapping config (stride =
+    // size) so the short counter actually bites: with stride < size a
+    // tail always exceeds size - stride
+    QueryDef("pipeline_chunk_manifest",
+      (s, dir) => TextAnalysis.chunkManifest(t(s, dir, "documents"),
+        "doc_id", "text", size = 32, stride = 32),
+      Some(TextAnalysis.chunkManifestSql("documents", "doc_id", "text",
+        size = 32, stride = 32))),
+
+    // mojibake repair: the committed-derivation artifact table applied
+    // as a constant replace chain; the fixture corrupts every 3rd doc
+    // by APPENDING a suffix run through the actual corruption (UTF-8
+    // read as cp1252 — Mojibake.mojibakeOf), so the oracle compare
+    // witnesses byte-exact repair plus untouched clean rows
+    QueryDef("text_fix_mojibake",
+      (s, dir) => graft.ops.Mojibake.fix(
+        t(s, dir, "documents").withColumn("text",
+          expr(s"concat(text, IF(doc_id % 3 = 0, '$mojiSuffix', ''))")),
+        "doc_id", "text"),
+      Some(graft.ops.Mojibake.fixSql(
+        s"(SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 THEN '$mojiSuffix' ELSE '' END AS text FROM documents)",
+        "doc_id", "text"))),
 
     // ================= multimodal plumbing ===============================
     //

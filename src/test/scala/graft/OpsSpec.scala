@@ -649,6 +649,38 @@ class OpsSpec extends SparkSpec {
       "(including at the top-V tie boundary — vocab=7 truncates mid-tie)")
   }
 
+  test("chunk manifest: counts and fill arithmetic over a known frame") {
+    import spark.implicits._
+    // pure-letter words so the token classes tokenize 1:1 with words
+    val docs = Seq(
+      (1L, Seq.fill(8)("aa").mkString(" ")),  // 1 full chunk at size=8
+      (2L, Seq.fill(10)("bb").mkString(" "))  // chunks of 8 + a 2-token tail
+    ).toDF("doc_id", "text")
+    // stride = size (no overlap): tails can be genuinely short — with
+    // stride < size a tail always exceeds size − stride, so the
+    // short-fragment counter only bites on non-overlapping chunking
+    val r = TextAnalysis.chunkManifest(docs, "doc_id", "text", size = 8, stride = 8)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(3)) === ((3L, 2L, 1L)),
+      "3 chunks over 2 docs; doc2's 2-token tail is the one short fragment")
+    // fill: (8 + 8 + 2) * 1000 div (3 * 8) = 18000 div 24 = 750
+    assert(r.getLong(2) === 750L)
+  }
+
+  test("mojibake: derived artifacts repair byte-exactly; clean text untouched") {
+    import spark.implicits._
+    val phrase = "café ’quoted’ «guille» – dash… 90° ¡sí! ñandú"
+    val broken = graft.ops.Mojibake.mojibakeOf(phrase)
+    assert(broken !== phrase, "fixture corruption must actually corrupt")
+    val docs = Seq((1L, broken), (2L, "plain ascii text"), (3L, phrase))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Mojibake.fix(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(out(1L) === ((phrase, true)), "corrupted row repairs to the original bytes")
+    assert(out(2L) === (("plain ascii text", false)))
+    assert(out(3L) === ((phrase, false)), "already-clean unicode passes through")
+  }
+
   test("quality ensemble: repetition threshold and fertility band are live parameters") {
     import spark.implicits._
     val docs = Seq((1L, ("the common word list keeps growing nicely today " * 8).trim))
