@@ -2018,19 +2018,46 @@ object TextAnalysis {
     * the window), and the short-fragment count (< size/2 — the tail
     * fragments a mix decides to drop or re-pack; with stride < size a
     * tail always exceeds size − stride, so the counter bites on
-    * non-overlapping configs). One keyed partial agg over
-    * [[chunkDocuments]]'s zero-shuffle chunk grain.
+    * non-overlapping configs).
+    *
+    * CLOSED FORM, no explode: per doc with n tokens,
+    * k = max(⌈(n−size)/stride⌉, 0) + 1 chunks, of which the first k−1
+    * are full (`size` tokens — for i ≤ k−2, i·stride + size < n by k's
+    * definition) and the tail holds n − (k−1)·stride (> size − stride,
+    * ≤ size). Every statistic is integer arithmetic over (n, k), so
+    * the manifest is one compiled token-count scan (`graft_token_count`
+    * — the same token classes as [[chunkDocuments]]' regex, kernelized)
+    * + a scalar agg — at 1M docs this read 22.4s through
+    * [[chunkDocuments]]' slice materialization, 10.4s with the formula
+    * over interpreted regexp_extract_all, 3.3s compiled (each a cold
+    * solo JVM). The DuckDB
+    * twin DELIBERATELY aggregates the exploded chunk grain instead:
+    * the driver's hash compare then pins formula ≡ grain (and kernel ≡
+    * regex tokenization) on every corpus it runs.
     */
   def chunkManifest(df: DataFrame, id: String, text: String,
-                    size: Int = 32, stride: Int = 24): DataFrame =
-    chunkDocuments(df, id, text, size, stride)
-      .agg(count(lit(1)).as("n_chunks"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        expr(s"CAST(1000 * sum(n_tokens) div (count(*) * $size) AS BIGINT)")
-          .as("fill_milli"),
-        sum(when(col("n_tokens") < size / 2, 1L).otherwise(0L)).as("n_short"))
+                    size: Int = 32, stride: Int = 24): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    graft.functions.VectorFunctions.attach(df)
+      .where(col(text).isNotNull && trim(col(text)) =!= "")
+      .select(expr(s"graft_token_count($text)").cast("long").as("n"))
+      .select(col("n"), expr(
+        s"CAST(greatest(ceil((n - $size) / cast($stride AS DOUBLE)), 0) AS BIGINT) + 1")
+        .as("k"))
+      .agg(sum(col("k")).as("n_chunks"),
+        count(lit(1)).as("n_docs"),
+        sum(expr(s"(k - 1) * $size + (n - (k - 1) * $stride)")).as("__tok"),
+        sum(expr(s"IF(n - (k - 1) * $stride < ${size / 2}, 1L, 0L)")).as("n_short"))
+      .select(col("n_chunks"), col("n_docs"),
+        expr(s"CAST(1000 * __tok div (n_chunks * $size) AS BIGINT)").as("fill_milli"),
+        col("n_short"))
+      .select(col("n_chunks"), col("n_docs"), col("fill_milli"), col("n_short"))
+  }
 
-  /** DuckDB twin of [[chunkManifest]]. */
+  /** DuckDB twin of [[chunkManifest]] — over the EXPLODED chunk grain
+    * (see the formula-vs-grain pinning note on the Spark side).
+    */
   def chunkManifestSql(table: String, id: String, text: String,
                        size: Int = 32, stride: Int = 24): String =
     s"""SELECT count(*)::BIGINT AS n_chunks,
