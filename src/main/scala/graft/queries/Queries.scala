@@ -178,10 +178,12 @@ object Queries {
     * steady-state number.
     */
   val priced: Set[String] = Set(
-    "embed_ivfpq_persisted", // build-price row; search legs: embed_ivfpq_topk etc.
-    "embed_ivf_kmeans",      // k-means training leg; consumers read persisted centroids
-    "dedup_ngram_jaccard",   // quadratic all-pairs verifier; linear twin: minhash family
-    "embed_bitext_mine")     // brute margin verifier; scale path: embed_bitext_shortlist
+    "embed_ivfpq_persisted",  // build-price row; search legs: embed_ivfpq_topk etc.
+    "embed_ivf_kmeans",       // k-means training leg; consumers read persisted centroids
+    "embed_pq_codes",         // PQ codebook train+encode leg; search: embed_pq_topk
+    "embed_pq_codes_packed",  // ditto, byte-packed; search: embed_pq_topk_packed
+    "dedup_ngram_jaccard",    // quadratic all-pairs verifier; linear twin: minhash family
+    "embed_bitext_mine")      // brute margin verifier; scale path: embed_bitext_shortlist
 
   /** Shared URL fixture for the url_* queries: four host classes
     * covering every canonicalization rule — (0) www + https default

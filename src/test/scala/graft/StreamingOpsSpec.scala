@@ -335,6 +335,25 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mojibake repair runs unchanged on a streaming Dataset") {
+    implicit val sq = spark.sqlContext
+    val docs = MemoryStream[(Long, String)]
+    val out = graft.ops.Mojibake.fix(
+      docs.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("moji_stream")
+      .outputMode("append").start()
+    try {
+      val phrase = "café – ’ok’"
+      docs.addData((1L, graft.ops.Mojibake.mojibakeOf(phrase)), (2L, "clean"))
+      q.processAllAvailable()
+      val rows = spark.table("moji_stream")
+        .select($"doc_id", $"fixed_text", $"changed")
+        .as[(Long, String, Boolean)].collect().sortBy(_._1)
+      assert(rows.toSeq === Seq((1L, phrase, true), (2L, "clean", false)),
+        "the constant replace chain is a stateless projection — repairs in-flight")
+    } finally q.stop()
+  }
+
   test("stateless text features (langId) run unchanged on a streaming Dataset") {
     implicit val sq = spark.sqlContext
     val docs = MemoryStream[(Long, String)]
