@@ -758,4 +758,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"),
       s"fertility scoring must stay a zero-shuffle scan projection:\n$p")
   }
+
+  test("pipeline_url_canon: kernel projection, zero shuffle, whole-stage codegen") {
+    val p = plan("pipeline_url_canon")
+    assert(!p.contains("Exchange"),
+      s"canonicalization must stay a zero-shuffle scan projection:\n$p")
+    assert(p.contains("graft_url_canon") && p.contains("graft_url_domain"),
+      s"the compiled kernels must carry the projection (not the ~90-op declarative chain):\n$p")
+    assert(count(p, "\\*\\(\\d+\\)") >= 1 && !p.contains("regexp_replace"),
+      s"kernel path must keep whole-stage codegen (starred nodes) with no regex nodes:\n$p")
+  }
+
+  test("dedup_url: one keyed (canon_url, id) exchange and nothing else") {
+    val p = plan("dedup_url")
+    assert(count(p, "Exchange") == 1,
+      s"url dedup is exactly one partial-agg exchange of (canon_url -> min id):\n$p")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      s"map-side combine before the exchange:\n$p")
+  }
+
+  test("text_fix_mojibake: replace chain materializes ONCE, fully codegen'd, zero shuffle") {
+    val p = plan("text_fix_mojibake")
+    assert(!p.contains("Exchange"), s"repair is a pure projection:\n$p")
+    // the chain feeds both fixed_text and the changed comparison; a
+    // CollapseProject regression would inline it TWICE (2x row cost).
+    // Count a per-chain sentinel (the first artifact pair), not nested
+    // "replace(replace(" — one 41-deep chain already repeats that
+    val chains = count(p, java.util.regex.Pattern.quote(
+      graft.ops.Mojibake.table.head._1 + ", " + graft.ops.Mojibake.table.head._2))
+    assert(chains == 1,
+      s"the ~37-step chain must appear exactly once (attribute-referenced by `changed`), found $chains:\n$p")
+  }
+
+  test("pipeline_chunk_manifest: closed form — no explode, no slices, compiled token count") {
+    val p = plan("pipeline_chunk_manifest")
+    assert(!p.contains("Generate"),
+      s"the closed form needs no chunk explode:\n$p")
+    assert(p.contains("graft_token_count") && !p.contains("regexp_extract_all"),
+      s"token counting must ride the compiled kernel:\n$p")
+  }
 }
