@@ -883,4 +883,54 @@ object Dedup {
        |FROM $table t
        |LEFT JOIN comp c ON t.$id = c.doc_id
        |LEFT JOIN sizes s ON c.component_id = s.component_id""".stripMargin
+
+  /** PASSAGE-grain dedup report — exact dedup one level below the
+    * document: over [[TextAnalysis.chunkDocuments]]' fixed token
+    * windows, a chunk is a DUPLICATE iff its content hash already
+    * occurs at a lexicographically smaller (doc_id, chunk_idx) — the
+    * engine-wide lowest-key keeper rule at chunk grain. Per doc:
+    * chunks, duplicate chunks, integer-milli redundancy. This is the
+    * boilerplate census document-level exact dedup cannot see (two
+    * distinct pages sharing a 32-token header are document-unique but
+    * passage-redundant); the window alignment caveat is inherent to
+    * fixed-window chunking (a shared passage at different token
+    * offsets does not collide — dedupSpans is the alignment-free
+    * heavy twin).
+    *
+    * Scale shape: the chunk explode (bounded fan-out), one
+    * chunk_hash-keyed partial agg for (keeper, occurrences), one keyed
+    * join back (hash-keyed, never broadcast — the hash table is
+    * corpus-sized), one doc-keyed agg. Text never moves past the
+    * chunk hash. The oracle replays the same rule with a row_number
+    * window — free on its side, the keyed shapes bind this side.
+    */
+  def passageDedupReport(df: DataFrame, id: String, text: String,
+                         size: Int = 32, stride: Int = 32): DataFrame = {
+    val ch = TextAnalysis.chunkDocuments(df, id, text, size, stride)
+    val groups = ch.groupBy(col("chunk_hash"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"),
+        count(lit(1)).as("n_occ"))
+    ch.join(groups, Seq("chunk_hash"))
+      .select(col("doc_id"),
+        (col("n_occ") > 1 &&
+          struct(col("doc_id"), col("chunk_idx")) =!= col("keeper")).as("is_dup"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_milli",
+        expr("CAST(1000 * n_dup_chunks div n_chunks AS BIGINT)"))
+  }
+
+  /** DuckDB twin of [[passageDedupReport]]. */
+  def passageDedupReportSql(table: String, id: String, text: String,
+                            size: Int = 32, stride: Int = 32): String =
+    s"""WITH ch AS (${TextAnalysis.chunkDocumentsSql(table, id, text, size, stride)}),
+       |r AS (SELECT doc_id, chunk_idx,
+       |        row_number() OVER (PARTITION BY chunk_hash
+       |                           ORDER BY doc_id, chunk_idx) AS rn
+       |      FROM ch)
+       |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       |  ((1000 * sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)) // count(*))::BIGINT AS dup_milli
+       |FROM r GROUP BY doc_id""".stripMargin
 }

@@ -221,6 +221,11 @@ object Queries {
   private val mojiSuffix: String =
     " " + graft.ops.Mojibake.mojibakeOf("café ’quoted’ «guille» – dash… 90° ¡sí! ñandú")
 
+  /** 32-token boilerplate paragraph (one exactly-aligned chunk at
+    * size=stride=32) for the passage-dedup fixture.
+    */
+  private val bp32: String = (1 to 32).map(i => "boiler").mkString(" ")
+
   val all: Seq[QueryDef] = Seq(
 
     // ================= relational core (scan/filter/agg/join/window) ====
@@ -1373,6 +1378,20 @@ object Queries {
     QueryDef("text_bpe_learn",
       (s, dir) => graft.ops.Bpe.learnMerges(t(s, dir, "documents"), "text"),
       Some(graft.ops.Bpe.learnMergesSql("documents", "text"))),
+
+    // passage-grain dedup: a fixture boilerplate PARAGRAPH prepended to
+    // every doc (32 tokens = exactly one aligned chunk at stride 32)
+    // makes each doc's chunk 0 identical corpus-wide — the shared-header
+    // redundancy document-level exact dedup cannot see; the report
+    // counts it per doc with the lowest-(doc_id, chunk_idx) keeper rule
+    QueryDef("dedup_passages",
+      (s, dir) => Dedup.passageDedupReport(
+        t(s, dir, "documents").withColumn("text",
+          expr(s"concat('$bp32 ', text)")),
+        "doc_id", "text", size = 32, stride = 32),
+      Some(Dedup.passageDedupReportSql(
+        s"(SELECT doc_id, '$bp32 ' || text AS text FROM documents)",
+        "doc_id", "text", size = 32, stride = 32))),
 
     // the chunk run's metadata-sized audit over text_chunk's grain:
     // chunks, docs, mean fill (integer milli of the window), and the

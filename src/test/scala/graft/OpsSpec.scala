@@ -667,6 +667,23 @@ class OpsSpec extends SparkSpec {
     assert(r.getLong(2) === 750L)
   }
 
+  test("passage dedup: shared aligned chunk counts as dup everywhere but its keeper") {
+    import spark.implicits._
+    val bp = Seq.fill(4)("bp").mkString(" ") // one aligned chunk at size=stride=4
+    val docs = Seq(
+      (1L, s"$bp aa bb cc dd"),  // keeper of the bp chunk + unique tail chunk
+      (2L, s"$bp ee ff gg hh"),  // dup bp chunk + unique tail
+      (3L, s"$bp aa bb cc dd"),  // dup bp chunk + tail dup of doc 1's tail
+      (4L, "ii jj kk ll")        // no shared content
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageDedupReport(docs, "doc_id", "text", size = 4, stride = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === ((2L, 0L, 0L)), "lowest (doc_id, chunk_idx) keeps both chunks")
+    assert(out(2L) === ((2L, 1L, 500L)), "shared header is a dup; unique tail keeps")
+    assert(out(3L) === ((2L, 2L, 1000L)), "full duplicate doc: every chunk a dup")
+    assert(out(4L) === ((1L, 0L, 0L)))
+  }
+
   test("mojibake: derived artifacts repair byte-exactly; clean text untouched") {
     import spark.implicits._
     val phrase = "café ’quoted’ «guille» – dash… 90° ¡sí! ñandú"
