@@ -897,16 +897,21 @@ object Dedup {
     * offsets does not collide — dedupSpans is the alignment-free
     * heavy twin).
     *
-    * Scale shape: the chunk explode (bounded fan-out), one
+    * Scale shape: the chunk explode (bounded fan-out) runs ONCE — the
+    * hash-grain projection (doc_id, chunk_idx, chunk_hash; n_tokens
+    * dropped, text never materialized past the hash) is leased, since
+    * both the keeper agg and the flag join consume it; then one
     * chunk_hash-keyed partial agg for (keeper, occurrences), one keyed
     * join back (hash-keyed, never broadcast — the hash table is
-    * corpus-sized), one doc-keyed agg. Text never moves past the
-    * chunk hash. The oracle replays the same rule with a row_number
-    * window — free on its side, the keyed shapes bind this side.
+    * corpus-sized), one doc-keyed agg. The oracle replays the same
+    * rule with a row_number window — free on its side, the keyed
+    * shapes bind this side.
     */
   def passageDedupReport(df: DataFrame, id: String, text: String,
                          size: Int = 32, stride: Int = 32): DataFrame = {
-    val ch = TextAnalysis.chunkDocuments(df, id, text, size, stride)
+    val ch = Caches.lease(
+      TextAnalysis.chunkDocuments(df, id, text, size, stride)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_hash")))
     val groups = ch.groupBy(col("chunk_hash"))
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"),
         count(lit(1)).as("n_occ"))

@@ -1379,6 +1379,23 @@ object Queries {
       (s, dir) => graft.ops.Bpe.learnMerges(t(s, dir, "documents"), "text"),
       Some(graft.ops.Bpe.learnMergesSql("documents", "text"))),
 
+    // the blocklist filter ACTING standalone (it also runs inside
+    // pipeline_crawl_ingest): registrable-domain keyed, so blocking
+    // example3.co.uk drops the shop.* subdomain class with it —
+    // public-suffix resolution doing real filtering work on the board
+    QueryDef("pipeline_domain_filter",
+      (s, dir) => graft.ops.Url.domainFilter(
+          t(s, dir, "documents").withColumn("url", expr(urlFixtureSpark)),
+          "url", blocked = Seq("example1.com", "example3.co.uk"))
+        .select(col("doc_id"), expr("graft_url_domain(url)").as("domain"))
+        .groupBy(col("domain")).agg(count(lit(1)).as("n_docs")),
+      Some(s"""SELECT ${graft.ops.Url.duckDomainExpr("url")} AS domain,
+              |  count(*) AS n_docs
+              |FROM $urlFixtureDuckTable
+              |WHERE ${graft.ops.Url.domainFilterPredSql("url",
+                  Seq("example1.com", "example3.co.uk"))}
+              |GROUP BY 1""".stripMargin)),
+
     // passage-grain dedup: a fixture boilerplate PARAGRAPH prepended to
     // every doc (32 tokens = exactly one aligned chunk at stride 32)
     // makes each doc's chunk 0 identical corpus-wide — the shared-header
