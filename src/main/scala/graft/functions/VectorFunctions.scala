@@ -266,9 +266,13 @@ object VectorFunctions {
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     VectorFunctions.all.foreach { case (n, (cls, builder)) =>
       ext.injectFunction((FunctionIdentifier(n),
         new ExpressionInfo(cls.getName, n, s"$n - native graft expression"), builder))
     }
+    // auto-kernelize the known interpreted-HOF text-scan shapes in
+    // USER-authored plans (conservative structural match; see the rule)
+    ext.injectOptimizerRule(_ => graft.plans.KernelizeTextOps)
+  }
 }

@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Optimizer rule: rewrite the two known interpreted-HOF text-scan
+  * cliffs to their compiled kernels, so a user who writes the
+  * IDIOMATIC declarative form gets kernel speed without knowing the
+  * kernels exist:
+  *
+  *   - `size(filter(split(t, ' '), w -> w <> ''))` → `graft_word_count(t)`
+  *     (cast back to INT — the kernel is BIGINT). The declarative form
+  *     is CodegenFallback per element per row; at 1M docs the measured
+  *     gap is ~32s vs ~0.4s (the DSIR denominator finding).
+  *   - `size(regexp_extract_all(t, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0))`
+  *     → `graft_token_count(t)` — the BPE-ish token-class count.
+  *
+  * Safety: both kernels are spec-pinned bit-equal to exactly these
+  * declarative forms (VectorFunctionsSpec / HashOpsPropertySpec), and
+  * the match is STRUCTURAL and conservative — literal `' '` separator,
+  * limit −1, the `<> ''` predicate on the lambda's own variable, the
+  * exact token-class regex, and non-legacy `size` null semantics
+  * (`size(NULL)` must be NULL, as the kernels return NULL; under
+  * `spark.sql.legacy.sizeOfNull` the declarative form yields −1 and
+  * the rule leaves it alone). Anything else — other separators, other
+  * predicates, other regexes — is untouched.
+  *
+  * Install builder-time via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (which also
+  * injects the kernels) or at runtime with [[install]] on a live
+  * session. The registered queries call the kernels explicitly; this
+  * rule is the path by which USER-authored plans reach them.
+  */
+object KernelizeTextOps extends Rule[LogicalPlan] {
+
+  private val TokenClasses = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  private def lit(e: Expression, want: String): Boolean = e match {
+    case Literal(s: UTF8String, StringType) => s.toString == want
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case Size(
+        ArrayFilter(
+          StringSplit(t, sep, Literal(-1, IntegerType)),
+          LambdaFunction(
+            Not(EqualTo(v: NamedLambdaVariable, empty)),
+            Seq(arg: NamedLambdaVariable), _)),
+        false)
+        if lit(sep, " ") && lit(empty, "") && v.exprId == arg.exprId =>
+      Cast(graft.functions.WordCount(t), IntegerType)
+
+    case Size(RegExpExtractAll(t, re, Literal(0, IntegerType)), false)
+        if lit(re, TokenClasses) =>
+      graft.functions.TokenCount(t)
+  }
+
+  /** Runtime installation (idempotent) — the `experimental` analog of
+    * the builder-time `GraftExtensions` injection.
+    */
+  def install(spark: SparkSession): Unit = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    if (!spark.experimental.extraOptimizations.contains(KernelizeTextOps))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ KernelizeTextOps
+  }
+}

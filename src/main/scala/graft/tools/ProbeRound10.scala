@@ -37,6 +37,16 @@ object ProbeRound10 {
     if (on("chunk_manifest")) time("chunk manifest 1M docs (size=32)")(
       graft.ops.TextAnalysis.chunkManifest(docs, "doc_id", "text",
         size = 32, stride = 32).queryExecution.toRdd.count())
+    // the optimizer-rule rung: the SAME user-authored declarative word
+    // count, without and with KernelizeTextOps installed
+    if (on("kernelize")) {
+      val q = "size(filter(split(text, ' '), w -> w <> '')) AS n"
+      time("user word-count DECLARATIVE 1M docs")(
+        docs.selectExpr("doc_id", q).queryExecution.toRdd.count())
+      graft.plans.KernelizeTextOps.install(spark)
+      time("user word-count RULE-KERNELIZED 1M docs")(
+        docs.selectExpr("doc_id", q).queryExecution.toRdd.count())
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import graft.plans.KernelizeTextOps
+
+/** The optimizer rule that rewrites idiomatic declarative text scans to
+  * the compiled kernels. Installed/removed around each assertion so the
+  * kernel-vs-declarative PARITY suites elsewhere keep comparing two
+  * genuinely different implementations (a leaked rule would silently
+  * turn them into kernel-vs-kernel). Fixtures read the sf0.001 parquet:
+  * a local Seq relation is constant-folded by ConvertToLocalRelation
+  * BEFORE `experimental.extraOptimizations` run, so the pattern would
+  * never reach the rule (the builder-time `GraftExtensions` injection
+  * runs inside the main optimizer batches and has no such ordering
+  * caveat).
+  */
+class KernelizeSpec extends SparkSpec {
+
+  private val docs = () => spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .where("doc_id < 40")
+
+  private def withRule[A](f: => A): A = {
+    KernelizeTextOps.install(spark)
+    try f
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == KernelizeTextOps)
+  }
+
+  test("word-count shape rewrites to graft_word_count; values unchanged") {
+    val q = "size(filter(split(text, ' '), w -> w <> '')) AS n"
+    val baseline = docs().selectExpr("doc_id", q).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    withRule {
+      val df = docs().selectExpr("doc_id", q)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_word_count"),
+        s"declarative word count must kernelize:\n$plan")
+      assert(!plan.toLowerCase.contains("array_filter") && !plan.contains("ArrayFilter"),
+        s"the HOF must be gone:\n$plan")
+      val got = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === baseline, "rewrite must be value-invariant")
+      assert(baseline.values.exists(_ > 0), "fixture must carry real words")
+    }
+  }
+
+  test("token-count shape rewrites to graft_token_count; values unchanged") {
+    val q = "size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS n"
+    val baseline = docs().selectExpr("doc_id", q).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    withRule {
+      val df = docs().selectExpr("doc_id", q)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_token_count"),
+        s"declarative token count must kernelize:\n$plan")
+      val got = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === baseline)
+    }
+  }
+
+  test("conservative match: other separators, predicates, regexes, and legacy-size stay declarative") {
+    withRule {
+      for (q <- Seq(
+        "size(filter(split(text, ','), w -> w <> '')) AS n",        // other separator
+        "size(filter(split(text, ' '), w -> w <> 'x')) AS n",       // other predicate
+        "size(regexp_extract_all(text, '[a-z]+', 0)) AS n"))        // other regex
+      {
+        val plan = docs().selectExpr("doc_id", q).queryExecution.executedPlan.toString
+        assert(!plan.contains("graft_word_count") && !plan.contains("graft_token_count"),
+          s"must NOT rewrite `$q`:\n$plan")
+      }
+      // legacy size-of-null: size(NULL) = -1 there, the kernels return
+      // NULL — the rule must not fire. ANSI mode (this repo's default)
+      // forces legacySizeOfNull=false at analysis, so exercising the
+      // guard needs BOTH confs flipped for the one analysis
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      spark.conf.set("spark.sql.legacy.sizeOfNull", "true")
+      try {
+        val plan = docs()
+          .selectExpr("size(filter(split(text, ' '), w -> w <> '')) AS n")
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("graft_word_count"),
+          s"legacy size(NULL) = -1 diverges from the kernel's NULL — no rewrite:\n$plan")
+      } finally {
+        spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+      }
+    }
+  }
+
+  test("install is idempotent and removable") {
+    KernelizeTextOps.install(spark)
+    KernelizeTextOps.install(spark)
+    assert(spark.experimental.extraOptimizations.count(_ == KernelizeTextOps) === 1)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == KernelizeTextOps)
+    val plan = docs().selectExpr("size(filter(split(text, ' '), w -> w <> '')) AS n")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("graft_word_count"), "removed rule must stop firing")
+  }
+}
