@@ -2041,18 +2041,20 @@ object TextAnalysis {
       s"need 0 < stride <= size, got size=$size stride=$stride")
     graft.functions.VectorFunctions.attach(df)
       .where(col(text).isNotNull && trim(col(text)) =!= "")
-      .select(expr(s"graft_token_count($text)").cast("long").as("n"))
-      .select(col("n"), expr(
+      .select(col(id).as("__id"),
+        expr(s"graft_token_count($text)").cast("long").as("n"))
+      .select(col("__id"), col("n"), expr(
         s"CAST(greatest(ceil((n - $size) / cast($stride AS DOUBLE)), 0) AS BIGINT) + 1")
         .as("k"))
+      // n_docs = DISTINCT ids, matching the oracle's count over the
+      // exploded grain — plain count(*) would diverge on duplicate ids
       .agg(sum(col("k")).as("n_chunks"),
-        count(lit(1)).as("n_docs"),
+        countDistinct(col("__id")).as("n_docs"),
         sum(expr(s"(k - 1) * $size + (n - (k - 1) * $stride)")).as("__tok"),
         sum(expr(s"IF(n - (k - 1) * $stride < ${size / 2}, 1L, 0L)")).as("n_short"))
       .select(col("n_chunks"), col("n_docs"),
         expr(s"CAST(1000 * __tok div (n_chunks * $size) AS BIGINT)").as("fill_milli"),
         col("n_short"))
-      .select(col("n_chunks"), col("n_docs"), col("fill_milli"), col("n_short"))
   }
 
   /** DuckDB twin of [[chunkManifest]] — over the EXPLODED chunk grain

@@ -52,13 +52,16 @@ object Url {
 
   /** Dialect knobs: `esc` is the backslash as it must appear in the SQL
     * text (Spark string literals unescape `\\`→`\`; DuckDB's do not),
-    * `ref(i)` the regexp_replace replacement backreference.
+    * `ref(i)` the regexp_replace replacement backreference, `gFlag`
+    * the trailing argument that makes an UNANCHORED regexp_replace
+    * global — Spark replaces every match by default, DuckDB only the
+    * FIRST unless `'g'` is passed (anchored patterns don't need it).
     */
-  private final case class Dl(esc: String, ref: Int => String) {
+  private final case class Dl(esc: String, ref: Int => String, gFlag: String) {
     def dot: String = esc + "."
   }
-  private val SparkDl = Dl("\\\\", i => "$" + i)
-  private val DuckDl  = Dl("\\", i => "\\" + i)
+  private val SparkDl = Dl("\\\\", i => "$" + i, "")
+  private val DuckDl  = Dl("\\", i => "\\" + i, ", 'g'")
 
   /** RFC 3986 §6.2.2 percent-normalization, as a constant replace
     * chain: (1) uppercase the hex digits of every triplet — six plain
@@ -71,8 +74,12 @@ object Url {
   private def percentNormExpr(u: String, d: Dl): String = {
     val upFirst = "abcdef".foldLeft(u)((acc, c) =>
       s"replace($acc, '%$c', '%${c.toUpper}')")
+    // UNANCHORED multi-match rewrite: needs the dialect's global flag
+    // (DuckDB regexp_replace is first-match-only without 'g' — a URL
+    // with two triplets sharing a lowercase second digit would
+    // otherwise normalize differently in the oracle)
     val upSecond = "abcdef".foldLeft(upFirst)((acc, c) =>
-      "regexp_replace(" + acc + ", '%([0-9A-F])" + c + "', '%" + d.ref(1) + c.toUpper + "')")
+      "regexp_replace(" + acc + ", '%([0-9A-F])" + c + "', '%" + d.ref(1) + c.toUpper + "'" + d.gFlag + ")")
     val unreserved = ('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~')
     unreserved.foldLeft(upSecond) { (acc, ch) =>
       val hex = f"${ch.toInt}%02X"

@@ -191,16 +191,21 @@ object Queries {
     * (http://…:443 keeps it — distinct resource), (3) a public-suffix
     * host (`shop.Example3.CO.UK` → registrable `example3.co.uk`); plus
     * a percent-encoded unreserved variant (`pa%74h` ≡ `path`, every
-    * 10th row) and the query-order/fragment variants. ids congruent
-    * mod 200 canonicalize to the SAME URL (4 hosts × 50 paths), so the
-    * dedup and census branches carry mass.
+    * 10th row), a DOUBLE lowercase-hex reserved escape on odd rows
+    * (`c=%3a%3a` must uppercase BOTH triplets — the case that catches
+    * a first-match-only oracle regexp_replace), and the
+    * query-order/fragment variants. Canonical identity has period
+    * lcm(4, 50, 2) = 100 (host class id%4, path id%50, tail id%2 —
+    * all determined by id mod 100), so ids congruent mod 100
+    * canonicalize to the SAME URL — 100 distinct canonical URLs, and
+    * the dedup and census branches carry mass.
     */
   private val urlFixtureSpark: String =
     "concat(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'https://WWW.Example0.com:443' " +
       "WHEN 1 THEN 'http://example1.com:80' WHEN 2 THEN 'http://example2.com:443' " +
       "ELSE 'https://shop.Example3.CO.UK' END, " +
       "'/pa', IF(doc_id % 10 = 0, '%74', 't'), 'h/', cast(doc_id % 50 AS STRING), " +
-      "IF(doc_id % 2 = 0, '/?b=2&a=1#frag', '?a=1&b=2'))"
+      "IF(doc_id % 2 = 0, '/?b=2&a=1#frag', '?a=1&b=2&c=%3a%3a'))"
 
   private val urlFixtureDuck: String =
     "CASE doc_id % 4 WHEN 0 THEN 'https://WWW.Example0.com:443' " +
@@ -208,7 +213,7 @@ object Queries {
       "ELSE 'https://shop.Example3.CO.UK' END " +
       "|| '/pa' || CASE WHEN doc_id % 10 = 0 THEN '%74' ELSE 't' END " +
       "|| 'h/' || (doc_id % 50) " +
-      "|| CASE WHEN doc_id % 2 = 0 THEN '/?b=2&a=1#frag' ELSE '?a=1&b=2' END"
+      "|| CASE WHEN doc_id % 2 = 0 THEN '/?b=2&a=1#frag' ELSE '?a=1&b=2&c=%3a%3a' END"
 
   private val urlFixtureDuckTable: String =
     s"(SELECT doc_id, $urlFixtureDuck AS url FROM documents)"
@@ -3169,8 +3174,9 @@ object Queries {
           .withColumn("domain", expr("graft_url_domain(uri)"))
         // representative = lexicographic MIN payload: re-crawl variants
         // of one canonical URL can share the identical RAW uri (ids
-        // congruent mod 150 here), so a min-by-uri pick would tie
-        // nondeterministically — the payload itself is the total order
+        // congruent mod 100 here — the shared fixture's canonical
+        // period), so a min-by-uri pick would tie nondeterministically
+        // — the payload itself is the total order
         val reps = filtered.groupBy(col("canon_url"))
           .agg(min(col("payload")).as("payload"),
             min(col("domain")).as("domain"))

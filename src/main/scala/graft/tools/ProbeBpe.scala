@@ -37,10 +37,12 @@ object ProbeBpe {
     // (see SURVEY's scale-validation recipe for /tmp/probe_bpe: 1M docs
     // x 40 words over a log-uniform ~40k-word vocabulary) to drive the
     // 32k-merge production-vocab shape.
-    val learnDocs = args.lift(1).filter(_.forall(!_.isDigit))
+    // arg 2 is a corpus DIR iff it is not purely numeric (a digit
+    // ANYWHERE in a path — /tmp/probe_1m — must not disqualify it)
+    val learnDocs = args.lift(1).filter(a => !a.forall(_.isDigit))
       .map(d => spark.read.parquet(s"$d/documents.parquet")).getOrElse(docs)
     val ks = {
-      val given = args.drop(1).filter(_.forall(_.isDigit)).map(_.toInt)
+      val given = args.drop(1).filter(a => a.nonEmpty && a.forall(_.isDigit)).map(_.toInt)
       if (given.nonEmpty) given.toSeq else Seq(1000)
     }
     for (k <- ks) time(s"learnMergesLocal k=$k") {

@@ -45,7 +45,8 @@ class UrlKernelSpec extends SparkSpec {
     "https://example.com/x?a=1#f?b=2",           // ? after #
     "https://example.com////",                   // all slashes
     "https://co.uk",                             // bare suffix host
-    "https://example.com/x?a=😀&b=z"   // supplementary-plane query
+    "https://example.com/x?a=😀&b=z",  // supplementary-plane query
+    "https://example.com/x?a=%3a&b=%3a%3a"  // repeated lowercase-hex triplets (global rewrite)
   )
 
   test("graft_url_canon / graft_url_domain are bit-equal to the declarative chain") {
