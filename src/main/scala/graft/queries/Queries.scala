@@ -1384,6 +1384,15 @@ object Queries {
       (s, dir) => graft.ops.Bpe.learnMerges(t(s, dir, "documents"), "text"),
       Some(graft.ops.Bpe.learnMergesSql("documents", "text"))),
 
+    // the corpus DATACARD: volume, exact-dup rate, language share,
+    // quality pass rate, mean length as one (metric, value) table in
+    // integer milli — the release summary a registry ingests per
+    // corpus version; every number a composition of green families
+    QueryDef("pipeline_datacard",
+      (s, dir) => graft.ops.Datacard.datacard(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some(graft.ops.Datacard.datacardSql("documents", "doc_id", "text"))),
+
     // the blocklist filter ACTING standalone (it also runs inside
     // pipeline_crawl_ingest): registrable-domain keyed, so blocking
     // example3.co.uk drops the shop.* subdomain class with it —

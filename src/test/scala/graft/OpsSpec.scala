@@ -684,6 +684,24 @@ class OpsSpec extends SparkSpec {
     assert(out(4L) === ((1L, 0L, 0L)))
   }
 
+  test("datacard: metrics over a hand-computable corpus") {
+    import spark.implicits._
+    val en = "the quick brown fox jumps over the lazy dog and runs on with many more " +
+      "plain words that keep this document long enough to pass the gopher gate " +
+      "because it needs fifty words in total to clear the minimum threshold set there " +
+      "so here are several additional filler words now done"
+    val docs = Seq((1L, en), (2L, en), (3L, "corto y no inglés")).toDF("doc_id", "text")
+    val m = graft.ops.Datacard.datacard(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("n_docs") === 3L)
+    assert(m("n_unique_texts") === 2L, "exact-dup pair collapses to one digest")
+    assert(m("dup_milli") === 333L)
+    assert(m.keySet === Set("n_docs", "n_tokens", "n_chars", "n_unique_texts",
+      "dup_milli", "lang_en_milli", "gopher_pass_milli", "mean_tokens_milli"))
+    assert(m("lang_en_milli") === 666L, "2 of 3 docs are English")
+    assert(m("mean_tokens_milli") === m("n_tokens") * 1000 / 3)
+  }
+
   test("mojibake: derived artifacts repair byte-exactly; clean text untouched") {
     import spark.implicits._
     val phrase = "café ’quoted’ «guille» – dash… 90° ¡sí! ñandú"
