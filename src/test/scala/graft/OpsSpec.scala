@@ -700,6 +700,18 @@ class OpsSpec extends SparkSpec {
       "dup_milli", "lang_en_milli", "gopher_pass_milli", "mean_tokens_milli"))
     assert(m("lang_en_milli") === 666L, "2 of 3 docs are English")
     assert(m("mean_tokens_milli") === m("n_tokens") * 1000 / 3)
+    // duplicate-id rows count as ROWS (oracle's count(*) semantics — the
+    // fused no-join form can't fan out), and an empty corpus yields
+    // defined zeros, not a divide-by-zero
+    val dup = Seq((7L, en), (7L, "other words here")).toDF("doc_id", "text")
+    val md = graft.ops.Datacard.datacard(dup, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(md("n_docs") === 2L && md("n_unique_texts") === 2L)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val me = graft.ops.Datacard.datacard(empty, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(me("n_docs") === 0L && me("dup_milli") === 0L &&
+      me("mean_tokens_milli") === 0L, "empty corpus: defined zeros")
   }
 
   test("mojibake: derived artifacts repair byte-exactly; clean text untouched") {

@@ -790,6 +790,14 @@ class PlanAuditSpec extends SparkSpec {
       s"the ~37-step chain must appear exactly once (attribute-referenced by `changed`), found $chains:\n$p")
   }
 
+  test("pipeline_datacard: ONE corpus scan, no joins — every metric fused into the gate projection") {
+    val p = plan("pipeline_datacard")
+    assert(count(p, "Scan parquet") == 1,
+      s"the card must not re-scan the corpus per metric family:\n$p")
+    assert(count(p, "Join") == 0,
+      s"no doc-keyed joins (they fan out on duplicate ids and drop nulls):\n$p")
+  }
+
   test("pipeline_chunk_manifest: closed form — no explode, no slices, compiled token count") {
     val p = plan("pipeline_chunk_manifest")
     assert(!p.contains("Generate"),
