@@ -37,6 +37,9 @@ object ProbeRound10 {
     if (on("chunk_manifest")) time("chunk manifest 1M docs (size=32)")(
       graft.ops.TextAnalysis.chunkManifest(docs, "doc_id", "text",
         size = 32, stride = 32).queryExecution.toRdd.count())
+    if (on("datacard")) time("datacard 1M docs (one scan, no joins)")(
+      graft.ops.Datacard.datacard(docs, "doc_id", "text")
+        .queryExecution.toRdd.count())
     // the optimizer-rule rung: the SAME user-authored declarative word
     // count, without and with KernelizeTextOps installed
     if (on("kernelize")) {
