@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled Gopher-rule evaluation — one byte scan computing all seven
+  * rule flags + the word count that the declarative
+  * [[graft.ops.TextAnalysis.gopherRulesHof]] projection spreads over
+  * two splits and five interpreted HOF `filter(...)` walks per row.
+  *
+  * BIT-PARITY CONTRACT (GopherKernelSpec fuzzes it): every quantity
+  * reproduces the declarative expression exactly —
+  *   - word/line arrays are `split(text,' ')` / `split(text, chr(10))`
+  *     WITH empties (Java split(sep, −1) ≡ Spark's regex split on a
+  *     1-char literal);
+  *   - `length()` counts CODEPOINTS (Spark's numChars), not UTF-16
+  *     units — supplementary-plane text diverges otherwise;
+  *   - the symbol ratio's `/3` ellipsis term and every ratio follow the
+  *     declarative operation ORDER in IEEE doubles (int-valued
+  *     intermediates, one division each — bit-stable);
+  *   - `…` occurrences count non-overlapping left-to-right, exactly
+  *     what `replace(text,'...','')` removes;
+  *   - BETWEEN is inclusive on both ends.
+  * Output: ARRAY<INT> [n_words, r_words, r_mean_len, r_symbol,
+  * r_alpha, r_stop, r_bullet, r_ellipsis].
+  */
+object GopherOps {
+  def flags(text: UTF8String,
+            minWords: Int, maxWords: Int,
+            minMeanLen: Double, maxMeanLen: Double,
+            maxSymbolRatio: Double, minAlphaWordRatio: Double,
+            minStopHits: Int, maxBulletRatio: Double, maxEllipsisRatio: Double,
+            stop: java.util.HashSet[String]): ArrayData = {
+    val s = text.toString
+    val words = s.split(" ", -1)
+    val lines = s.split("\n", -1)
+    val nW = words.length
+    val nL = lines.length
+    val nWd = nW.toDouble
+
+    val lenCp = s.codePointCount(0, s.length)
+    var spaces = 0; var hashes = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ' ') spaces += 1 else if (c == '#') hashes += 1
+      i += 1
+    }
+    // non-overlapping '...' occurrences = chars replace() removes / 3
+    var dots = 0; var from = 0
+    while ({ from = s.indexOf("...", from); from >= 0 }) { dots += 1; from += 3 }
+
+    var alphaWords = 0; var stopHits = 0
+    i = 0
+    while (i < nW) {
+      val w = words(i)
+      var j = 0; var hasAlpha = false
+      while (!hasAlpha && j < w.length) {
+        val c = w.charAt(j)
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) hasAlpha = true
+        j += 1
+      }
+      if (hasAlpha) alphaWords += 1
+      if (stop.contains(w)) stopHits += 1
+      i += 1
+    }
+    var bullets = 0; var ellipsisLines = 0
+    i = 0
+    while (i < nL) {
+      val l = lines(i)
+      if (l.startsWith("-") || l.startsWith("*")) bullets += 1
+      if (l.endsWith("...")) ellipsisLines += 1
+      i += 1
+    }
+
+    val rWords = if (nW >= minWords && nW <= maxWords) 1 else 0
+    val meanLen = (lenCp - spaces).toDouble / nWd
+    val rMean = if (meanLen >= minMeanLen && meanLen <= maxMeanLen) 1 else 0
+    // declarative order: (hashChars + ellipsisChars / 3) / n_words
+    val symbolRatio = (hashes.toDouble + (3 * dots).toDouble / 3.0) / nWd
+    val rSymbol = if (symbolRatio <= maxSymbolRatio) 1 else 0
+    val rAlpha = if (alphaWords.toDouble / nWd >= minAlphaWordRatio) 1 else 0
+    val rStop = if (stopHits >= minStopHits) 1 else 0
+    val rBullet = if (bullets.toDouble / nL.toDouble <= maxBulletRatio) 1 else 0
+    val rEllipsis = if (ellipsisLines.toDouble / nL.toDouble <= maxEllipsisRatio) 1 else 0
+    new GenericArrayData(Array(nW, rWords, rMean, rSymbol, rAlpha, rStop,
+      rBullet, rEllipsis))
+  }
+}
+
+/** `graft_gopher_flags(text, minWords, maxWords, minMeanLen, maxMeanLen,
+  * maxSymbolRatio, minAlphaWordRatio, minStopHits, maxBulletRatio,
+  * maxEllipsisRatio, stopWords)` — see [[GopherOps.flags]].
+  */
+case class GopherFlags(child: Expression,
+                       minWords: Int, maxWords: Int,
+                       minMeanLen: Double, maxMeanLen: Double,
+                       maxSymbolRatio: Double, minAlphaWordRatio: Double,
+                       minStopHits: Int, maxBulletRatio: Double,
+                       maxEllipsisRatio: Double,
+                       stopWords: Seq[String]) extends UnaryExpression {
+  override def prettyName: String = "graft_gopher_flags"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${dt.catalogString}")
+  }
+
+  @transient lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopWords.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    GopherOps.flags(s.asInstanceOf[UTF8String], minWords, maxWords,
+      minMeanLen, maxMeanLen, maxSymbolRatio, minAlphaWordRatio,
+      minStopHits, maxBulletRatio, maxEllipsisRatio, stopSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gopherFlagsExpr", this, classOf[GopherFlags].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.GopherOps.flags($s, " +
+        s"$minWords, $maxWords, $minMeanLen, $maxMeanLen, $maxSymbolRatio, " +
+        s"$minAlphaWordRatio, $minStopHits, $maxBulletRatio, $maxEllipsisRatio, " +
+        s"$ref.stopSet());")
+  }
+
+  override protected def withNewChildInternal(c: Expression): GopherFlags =
+    copy(child = c)
+}

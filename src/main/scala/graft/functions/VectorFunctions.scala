@@ -124,6 +124,15 @@ object VectorFunctions {
     }
   }
 
+  private def doubleLit(e: Expression, fn: String): Double = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, DoubleType) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(d: org.apache.spark.sql.types.Decimal, _) =>
+      d.toDouble // SQL '0.1' parses as DECIMAL
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal numeric argument, got $other")
+  }
+
   private def longArrayLit(e: Expression, fn: String): Seq[Long] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, CreateArray, Literal}
     e match {
@@ -236,6 +245,14 @@ object VectorFunctions {
       (e: Seq[Expression]) => WordCount(e(0))),
     "graft_url_canon" -> (classOf[UrlCanon],
       (e: Seq[Expression]) => UrlCanon(e(0))),
+    "graft_gopher_flags" -> (classOf[GopherFlags],
+      (e: Seq[Expression]) => GopherFlags(e(0),
+        intLit(e(1), "graft_gopher_flags"), intLit(e(2), "graft_gopher_flags"),
+        doubleLit(e(3), "graft_gopher_flags"), doubleLit(e(4), "graft_gopher_flags"),
+        doubleLit(e(5), "graft_gopher_flags"), doubleLit(e(6), "graft_gopher_flags"),
+        intLit(e(7), "graft_gopher_flags"),
+        doubleLit(e(8), "graft_gopher_flags"), doubleLit(e(9), "graft_gopher_flags"),
+        stringArrayLit(e(10), "graft_gopher_flags"))),
     "graft_url_domain" -> (classOf[UrlDomain],
       (e: Seq[Expression]) => UrlDomain(e(0)))
   )

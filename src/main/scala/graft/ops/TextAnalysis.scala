@@ -610,6 +610,38 @@ object TextAnalysis {
                   minStopHits: Int = 2, maxBulletRatio: Double = 0.9,
                   maxEllipsisRatio: Double = 0.3,
                   carry: Seq[String] = Nil): DataFrame = {
+    // COMPILED form (round 10): the whole rule set is one
+    // `graft_gopher_flags` byte scan ([[graft.functions.GopherOps]],
+    // GopherKernelSpec fuzz-pins it bit-equal to [[gopherRulesHof]] —
+    // the two splits and five interpreted HOF filter(...) walks were
+    // the dominant cost of every composition this gate rides in).
+    // Same output schema as the HOF form, `carry` hook included.
+    val stop = markerList(gopherStops, "spark")
+    val flags = expr(s"graft_gopher_flags($text, $minWords, $maxWords, " +
+      s"$minMeanLen, $maxMeanLen, $maxSymbolRatio, $minAlphaWordRatio, " +
+      s"$minStopHits, $maxBulletRatio, $maxEllipsisRatio, $stop)")
+    graft.functions.VectorFunctions.attach(df)
+      .select((col(id) +: carry.map(col)) :+ flags.as("__g"): _*)
+      .select((col(id) +: carry.map(col)) ++ Seq(
+        col("__g")(0).as("n_words"), col("__g")(1).as("r_words"),
+        col("__g")(2).as("r_mean_len"), col("__g")(3).as("r_symbol"),
+        col("__g")(4).as("r_alpha"), col("__g")(5).as("r_stop"),
+        col("__g")(6).as("r_bullet"), col("__g")(7).as("r_ellipsis")): _*)
+      .withColumn("keep", expr(
+        "CAST(r_words + r_mean_len + r_symbol + r_alpha + r_stop + r_bullet + r_ellipsis = 7 AS INT)"))
+  }
+
+  /** Declarative HOF twin of [[gopherRules]] — the parity baseline the
+    * kernel is fuzz-pinned against (the DuckDB oracle replays this
+    * construction in its dialect).
+    */
+  def gopherRulesHof(df: DataFrame, id: String, text: String,
+                     minWords: Int = 50, maxWords: Int = 100000,
+                     minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                     maxSymbolRatio: Double = 0.1, minAlphaWordRatio: Double = 0.8,
+                     minStopHits: Int = 2, maxBulletRatio: Double = 0.9,
+                     maxEllipsisRatio: Double = 0.3,
+                     carry: Seq[String] = Nil): DataFrame = {
     // `carry` passes extra input columns through the projection so fused
     // pipelines can keep text/source in the SAME single scan (Catalyst
     // collapses the adjacent Projects) instead of re-scanning to re-join

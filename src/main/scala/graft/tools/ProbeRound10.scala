@@ -40,6 +40,15 @@ object ProbeRound10 {
     if (on("datacard")) time("datacard 1M docs (one scan, no joins)")(
       graft.ops.Datacard.datacard(docs, "doc_id", "text")
         .queryExecution.toRdd.count())
+    // gopher kernel vs the declarative HOF construction, same JVM
+    if (on("gopher")) {
+      time("gopher rules KERNEL 1M docs")(
+        graft.ops.TextAnalysis.gopherRules(docs, "doc_id", "text")
+          .queryExecution.toRdd.count())
+      time("gopher rules HOF 1M docs")(
+        graft.ops.TextAnalysis.gopherRulesHof(docs, "doc_id", "text")
+          .queryExecution.toRdd.count())
+    }
     // the optimizer-rule rung: the SAME user-authored declarative word
     // count, without and with KernelizeTextOps installed
     if (on("kernelize")) {
