@@ -92,6 +92,76 @@ object GopherOps {
   }
 }
 
+/** Compiled language-marker scores — `graft_lang_scores(text)`: for
+  * each language in [[graft.ops.TextAnalysis.langMarkers]] (fixed
+  * order), the number of DISTINCT words of `split(text, ' ')` that
+  * appear in that language's marker list — bit-equal to the
+  * declarative `size(array_intersect(array_distinct(split(t, ' ')),
+  * markers))` per language, but ONE byte scan with a shared
+  * word→(lang, marker) map instead of five interpreted
+  * distinct+intersect walks per row (distinctness via per-language
+  * marker bitmasks; a marker word hit twice counts once).
+  */
+object LangOps {
+  import graft.ops.TextAnalysis.langMarkers
+
+  val nLangs: Int = langMarkers.size
+  // word -> bit positions (langIdx * 32 + markerIdx); marker lists are
+  // small (≤ 32 per language by construction below)
+  private val hits: java.util.HashMap[String, Array[Int]] = {
+    require(langMarkers.forall(_._2.size <= 32), "marker lists must fit a 32-bit mask")
+    val m = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+    langMarkers.zipWithIndex.foreach { case ((_, ws), li) =>
+      ws.zipWithIndex.foreach { case (w, mi) =>
+        m.computeIfAbsent(w, _ => scala.collection.mutable.ArrayBuffer.empty) += (li * 32 + mi)
+      }
+    }
+    val out = new java.util.HashMap[String, Array[Int]]()
+    m.forEach((k, v) => out.put(k, v.toArray))
+    out
+  }
+
+  def scores(text: UTF8String): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val masks = new Array[Int](nLangs)
+    var i = 0
+    while (i < words.length) {
+      val ps = hits.get(words(i))
+      if (ps != null) {
+        var j = 0
+        while (j < ps.length) {
+          masks(ps(j) / 32) |= 1 << (ps(j) % 32)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Int](nLangs)
+    i = 0
+    while (i < nLangs) { out(i) = Integer.bitCount(masks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_lang_scores(text)` — see [[LangOps.scores]]. */
+case class LangScores(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_lang_scores"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${dt.catalogString}")
+  }
+  override def nullSafeEval(s: Any): Any =
+    LangOps.scores(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.LangOps.scores($s);")
+  override protected def withNewChildInternal(c: Expression): LangScores =
+    copy(child = c)
+}
+
 /** `graft_gopher_flags(text, minWords, maxWords, minMeanLen, maxMeanLen,
   * maxSymbolRatio, minAlphaWordRatio, minStopHits, maxBulletRatio,
   * maxEllipsisRatio, stopWords)` — see [[GopherOps.flags]].

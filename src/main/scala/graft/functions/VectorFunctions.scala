@@ -245,6 +245,8 @@ object VectorFunctions {
       (e: Seq[Expression]) => WordCount(e(0))),
     "graft_url_canon" -> (classOf[UrlCanon],
       (e: Seq[Expression]) => UrlCanon(e(0))),
+    "graft_lang_scores" -> (classOf[LangScores],
+      (e: Seq[Expression]) => LangScores(e(0))),
     "graft_gopher_flags" -> (classOf[GopherFlags],
       (e: Seq[Expression]) => GopherFlags(e(0),
         intLit(e(1), "graft_gopher_flags"), intLit(e(2), "graft_gopher_flags"),

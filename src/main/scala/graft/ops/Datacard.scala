@@ -28,12 +28,11 @@ object Datacard {
   def datacard(df: DataFrame, id: String, text: String): DataFrame = {
     val flagged = TextAnalysis.gopherRules(df, id, text, carry = Seq(text))
     val perRow = flagged
-      .select(Seq(col("keep").cast("long").as("__keep"),
+      .select(col("keep").cast("long").as("__keep"),
         expr(s"graft_token_count($text)").cast("long").as("__tok"),
         length(col(text)).cast("long").as("__chars"),
-        expr(PortableHash.sparkStringHash(text)).as("__h")) ++
-        TextAnalysis.langScoreCols(text): _*)
-      .withColumn("__en", (TextAnalysis.langBestCol === "en").cast("long"))
+        expr(PortableHash.sparkStringHash(text)).as("__h"),
+        (expr(TextAnalysis.langPredExpr(text)) === "en").cast("long").as("__en"))
     perRow
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("__tok")), lit(0L)).as("n_tokens"),

@@ -47,12 +47,34 @@ object TextAnalysis {
         .foldLeft(lit(true))(_ && _), lit(lang)).otherwise(acc)
   }
 
+  /** Language prediction as ONE expression over the compiled
+    * `graft_lang_scores` kernel (scores bound once via let1 — the
+    * argmax references the array, never re-evaluates the scan), with
+    * [[langBestCol]]'s exact tie-break. [[langScoreCols]]+
+    * [[langBestCol]] stay as the declarative parity baseline
+    * (LangKernelSpec pins equality; the oracle replays the declarative
+    * construction).
+    */
+  def langPredExpr(text: String): String = {
+    val langs = langMarkers.map(_._1)
+    def sc(name: String) = s"__ls[${langs.indexOf(name)}]"
+    val body = langs.foldRight("'und'") { (lang, acc) =>
+      val conds = Seq(s"${sc(lang)} > 0") ++
+        langs.filter(_ < lang).map(l => s"${sc(lang)} > ${sc(l)}") ++
+        langs.filter(_ > lang).map(l => s"${sc(lang)} >= ${sc(l)}")
+      s"IF(${conds.mkString(" AND ")}, '$lang', $acc)"
+    }
+    PortableHash.let1("__ls", s"graft_lang_scores($text)", body)
+  }
+
   /** Language ID: argmax of marker-word hit counts; ties and zero scores
-    * fall back to 'und' (undetermined).
+    * fall back to 'und' (undetermined). Compiled path (round 10): one
+    * `graft_lang_scores` byte scan instead of five interpreted
+    * distinct+intersect walks per row.
     */
   def langId(df: DataFrame, id: String, text: String): DataFrame =
-    df.select(col(id) +: langScoreCols(text): _*).withColumn("lang_pred", langBestCol)
-      .select(col(id), col("lang_pred"))
+    graft.functions.VectorFunctions.attach(df)
+      .select(col(id), expr(langPredExpr(text)).as("lang_pred"))
 
   def langIdSql(table: String, id: String, text: String): String = {
     val scoreDefs = langMarkers.map { case (lang, ws) =>
@@ -815,11 +837,11 @@ object TextAnalysis {
                    minStopRatio: Double = 0.02): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val feats = graft.functions.VectorFunctions.attach(df).select(
-      Seq(col(id), md5(col(text)).as("h"),
-        expr(nWordsExpr(text)).as("n_words"),
-        expr(stopwordRatioExpr(text)).as("stopword_ratio"),
-        expr(nTokensExpr(text)).as("n_tokens")) ++ langScoreCols(text): _*)
-      .withColumn("lang_pred", langBestCol)
+      col(id), md5(col(text)).as("h"),
+      expr(nWordsExpr(text)).as("n_words"),
+      expr(stopwordRatioExpr(text)).as("stopword_ratio"),
+      expr(nTokensExpr(text)).as("n_tokens"),
+      expr(langPredExpr(text)).as("lang_pred"))
     feats
       .withColumn("keep_id", min(col(id)).over(Window.partitionBy(col("h"))))
       .where(col(id) === col("keep_id") && col("lang_pred") === lang &&
@@ -840,11 +862,11 @@ object TextAnalysis {
                             lang: String = "en", minWords: Int = 5,
                             minStopRatio: Double = 0.02): DataFrame =
     graft.functions.VectorFunctions.attach(df).select(
-        Seq(col(id), col(eventTime), md5(col(text)).as("h"),
-          expr(nWordsExpr(text)).as("n_words"),
-          expr(stopwordRatioExpr(text)).as("stopword_ratio"),
-          expr(nTokensExpr(text)).as("n_tokens")) ++ langScoreCols(text): _*)
-      .withColumn("lang_pred", langBestCol)
+        col(id), col(eventTime), md5(col(text)).as("h"),
+        expr(nWordsExpr(text)).as("n_words"),
+        expr(stopwordRatioExpr(text)).as("stopword_ratio"),
+        expr(nTokensExpr(text)).as("n_tokens"),
+        expr(langPredExpr(text)).as("lang_pred"))
       .where(col("lang_pred") === lang && col("n_words") >= minWords &&
         col("stopword_ratio") >= minStopRatio)
       .withWatermark(eventTime, delay)

@@ -1975,9 +1975,8 @@ object Queries {
         // adjacent Projects, collapsed by Catalyst into a single scan
         val gop = TextAnalysis.gopherRules(corpus, "doc_id", "text",
           minWords = 50, carry = Seq("source", "text"))
-        val lng = gop.select(gop.columns.map(col) ++
-            TextAnalysis.langScoreCols("text"): _*)
-          .withColumn("lang_pred", TextAnalysis.langBestCol)
+        val lng = gop.withColumn("lang_pred",
+          expr(TextAnalysis.langPredExpr("text")))
         val features = lng.select(
           col("doc_id"), col("source"),
           (col("keep") === 1).as("k_gop"),
