@@ -471,6 +471,65 @@ object TextAnalysis {
     * Identical output (OpsSpec pins equality; the oracle runs the same
     * SQL for both).
     */
+  /** The FULL Gopher repetition suite at document level — the four
+    * signals the word-grain pair above doesn't see: duplicate-LINE and
+    * duplicate-PARAGRAPH fractions (boilerplate repeats whole lines;
+    * scraped templates repeat whole paragraphs) and the top-3/4-gram
+    * fractions (longer-range loops the bigram signal underestimates).
+    * All row-local: line/paragraph splits + the compiled
+    * `graft_top_ngram_count` over the word array — zero shuffle, the
+    * same pure-map scale shape as [[repetitionSignalsLocal]].
+    * Rows need ≥ 4 words (the 4-gram denominator) and ≥ 1 non-empty
+    * line; fractions round(…, 6) for cross-engine bit equality.
+    */
+  def repetitionSignalsDoc(df: DataFrame, id: String, text: String): DataFrame =
+    graft.functions.VectorFunctions.attach(df)
+      .select(col(id),
+        expr(s"split($text, ' ')").as("__w"),
+        expr(s"filter(split($text, '\\n'), x -> x <> '')").as("__l"),
+        expr(s"filter(split($text, '\\n\\n'), x -> x <> '')").as("__p"))
+      .where(expr("size(__w) >= 4 AND size(__l) >= 1"))
+      .select(col(id),
+        round(lit(1.0) - expr("cast(size(array_distinct(__l)) AS DOUBLE)") /
+          expr("cast(size(__l) AS DOUBLE)"), 6).as("dup_line_frac"),
+        round(lit(1.0) - expr("cast(size(array_distinct(__p)) AS DOUBLE)") /
+          expr("cast(size(__p) AS DOUBLE)"), 6).as("dup_para_frac"),
+        round(expr("cast(graft_top_ngram_count(__w, 3) AS DOUBLE)") /
+          expr("cast(size(__w) - 2 AS DOUBLE)"), 6).as("top_trigram_frac"),
+        round(expr("cast(graft_top_ngram_count(__w, 4) AS DOUBLE)") /
+          expr("cast(size(__w) - 3 AS DOUBLE)"), 6).as("top_quadgram_frac"))
+
+  /** DuckDB twin of [[repetitionSignalsDoc]] (the oracle computes the
+    * top-n-gram maxima by explode+agg — free on its side).
+    */
+  def repetitionSignalsDocSql(table: String, id: String, text: String): String = {
+    val w = s"string_split($text, ' ')"
+    def topN(n: Int): String = {
+      val gram = (0 until n).map(k => s"(ws)[i + $k]").mkString(" || ' ' || ")
+      s"""SELECT $id, max(c) AS t$n FROM (
+         |  SELECT $id, gram, count(*) AS c FROM (
+         |    SELECT $id, $gram AS gram
+         |    FROM (SELECT $id, $w AS ws FROM $table),
+         |         UNNEST(generate_series(1, len(ws) - ${n - 1})) AS t(i))
+         |  GROUP BY $id, gram) GROUP BY $id"""
+    }
+    s"""WITH base AS (
+       |  SELECT $id,
+       |    len($w) AS nw,
+       |    list_filter(string_split($text, chr(10)), x -> x <> '') AS ls,
+       |    list_filter(string_split($text, chr(10) || chr(10)), x -> x <> '') AS ps
+       |  FROM $table),
+       |t3 AS (${topN(3).stripMargin}),
+       |t4 AS (${topN(4).stripMargin})
+       |SELECT b.$id,
+       |  round(1.0 - len(list_distinct(ls))::DOUBLE / len(ls)::DOUBLE, 6) AS dup_line_frac,
+       |  round(1.0 - len(list_distinct(ps))::DOUBLE / len(ps)::DOUBLE, 6) AS dup_para_frac,
+       |  round(t3.t3::DOUBLE / (b.nw - 2)::DOUBLE, 6) AS top_trigram_frac,
+       |  round(t4.t4::DOUBLE / (b.nw - 3)::DOUBLE, 6) AS top_quadgram_frac
+       |FROM base b JOIN t3 ON b.$id = t3.$id JOIN t4 ON b.$id = t4.$id
+       |WHERE b.nw >= 4 AND len(ls) >= 1""".stripMargin
+  }
+
   def repetitionSignalsLocal(df: DataFrame, id: String, text: String): DataFrame =
     graft.functions.VectorFunctions.attach(df)
       .select(col(id), expr(s"split($text, ' ')").as("__w"))

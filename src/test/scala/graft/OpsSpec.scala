@@ -684,6 +684,28 @@ class OpsSpec extends SparkSpec {
     assert(out(4L) === ((1L, 0L, 0L)))
   }
 
+  test("doc-grain repetition: line/paragraph dup fractions and 3/4-gram loops") {
+    import spark.implicits._
+    val looped = "spin the wheel again and " * 8  // 4-gram loop
+    val docs = Seq(
+      (1L, "line one\nline two\nline one\n\npara\n\npara"), // dup line + dup para
+      (2L, looped.trim),
+      (3L, "all words distinct here today ok")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignalsDoc(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // doc 1: lines = [line one, line two, line one, para, para] -> 2 dups of 5
+    assert(out(1L)._1 === 0.4)
+    assert(out(1L)._2 > 0.0, "repeated paragraph must register")
+    // doc 2: 'spin the wheel again and' x8 = 40 words; the loop makes
+    // every 5-word-period trigram appear 8 (or 7) times
+    assert(out(2L)._3 > 0.15 && out(2L)._4 > 0.15, "loop must light the 3/4-gram signals")
+    // doc 3: 6 distinct words -> max n-gram count 1 over 4/3 positions
+    assert(out(3L) === ((0.0, 0.0, 0.25, 0.333333)),
+      s"distinct doc: got ${out(3L)}")
+  }
+
   test("datacard: metrics over a hand-computable corpus") {
     import spark.implicits._
     val en = "the quick brown fox jumps over the lazy dog and runs on with many more " +
