@@ -110,6 +110,11 @@ object LangOps {
   // small (≤ 32 per language by construction below)
   private val hits: java.util.HashMap[String, Array[Int]] = {
     require(langMarkers.forall(_._2.size <= 32), "marker lists must fit a 32-bit mask")
+    // each marker gets its own bit, so a DUPLICATED word within one
+    // language would count twice where array_intersect counts once —
+    // reject it at class load, not at a downstream fuzz failure
+    require(langMarkers.forall { case (_, ws) => ws.distinct.size == ws.size },
+      "marker lists must be duplicate-free (bitmask counting assumes it)")
     val m = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
     langMarkers.zipWithIndex.foreach { case ((_, ws), li) =>
       ws.zipWithIndex.foreach { case (w, mi) =>
@@ -182,6 +187,9 @@ case class GopherFlags(child: Expression,
       s"$prettyName requires STRING, got ${dt.catalogString}")
   }
 
+  // same build as StopCount.stopSet — the kernel's stop counting must
+  // stay in lockstep with graft_stop_count (the HOF baseline's path);
+  // any normalization added there must land here too
   @transient lazy val stopSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
     stopWords.foreach(s.add)

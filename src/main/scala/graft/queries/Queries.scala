@@ -2713,19 +2713,20 @@ object Queries {
     // the zero-shuffle scale path for the same signals: compiled
     // single-pass top-ngram count in the scan projection (per-row-bounded
     // memory); same oracle — the two formulations must agree exactly
-    // the FULL Gopher repetition suite at document grain: duplicate
-    // line/paragraph fractions + top-3/4-gram fractions — the longer-
-    // range template/loop signals the word-grain pair can't see; pure
-    // row-local map, compiled n-gram maxima
-    QueryDef("text_repetition_doc",
-      (s, dir) => TextAnalysis.repetitionSignalsDoc(
-        t(s, dir, "documents"), "doc_id", "text"),
-      Some(TextAnalysis.repetitionSignalsDocSql("documents", "doc_id", "text"))),
-
     QueryDef("text_repetition_local",
       (s, dir) => TextAnalysis.repetitionSignalsLocal(
         t(s, dir, "documents"), "doc_id", "text"),
       Some(TextAnalysis.repetitionSignalsSql("documents", "doc_id", "text"))),
+
+    // the FULL Gopher repetition suite at document grain: duplicate
+    // line/paragraph fractions + top-3/4-gram fractions — the longer-
+    // range template/loop signals the word-grain pair can't see; pure
+    // row-local map, compiled n-gram maxima (its OWN oracle,
+    // repetitionSignalsDocSql — unlike the pair above, which share one)
+    QueryDef("text_repetition_doc",
+      (s, dir) => TextAnalysis.repetitionSignalsDoc(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some(TextAnalysis.repetitionSignalsDocSql("documents", "doc_id", "text"))),
 
     // funnel progression (signup -> view -> click -> purchase): chained
     // whole-partition window minimums — ONE exchange and ONE key-sort on
