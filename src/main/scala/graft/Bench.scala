@@ -59,14 +59,18 @@ object Bench {
     // in all of its back-to-back reps, so the median actually rejects it.
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3).max(1)
     // PRICED queries (registered build-price legs and the quarantined
-    // quadratic verifiers — see Queries.priced) run ONCE: their cost is
-    // a design artifact, not a steady-state path, and at 3 reps they
-    // alone were ~20% of suite wall-clock. Keeps bench growth sublinear
-    // in query count without touching the median discipline elsewhere.
+    // quadratic verifiers — see Queries.priced) run at MOST TWICE and
+    // report the MIN of their reps: their cost is a design artifact,
+    // not a steady-state path, and at 3 reps they alone were ~20% of
+    // suite wall-clock. One rep alone would let a transient stall/GC
+    // hiccup land directly in the reported number (the rejection the
+    // median discipline exists for); min-of-2 keeps that protection at
+    // a third of the median's price. The median discipline is unchanged
+    // for every steady-state query.
     val priced = graft.queries.Queries.priced
     val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     for (rep <- 1 to reps; (name, fn) <- queries
-         if rep == 1 || !priced(name)) {
+         if rep <= 2 || !priced(name)) {
       // Collect the PREVIOUS query's garbage before starting the clock:
       // the heavy index-build/recall queries leave GB-scale young-gen
       // debris whose collection otherwise lands inside whichever query
@@ -91,7 +95,9 @@ object Bench {
     }
     val results = samples.map { case (name, ts) =>
       val sorted = ts.sorted.toIndexedSeq
-      name -> sorted(sorted.size / 2)
+      // priced queries: min of their (up to) 2 reps — the lower sample
+      // is the one not hit by a transient stall
+      name -> (if (priced(name)) sorted.head else sorted(sorted.size / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -112,7 +118,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val pricedRan = queries.keys.filter(priced).map("\"" + _ + "\"").mkString("[", ",", "]")
     val fileLine = line.dropRight(1) +
-      s""","reps":$reps,"priced_single_rep":$pricedRan,"quantiles":$spread}"""
+      s""","reps":$reps,"priced_min_of_2":$pricedRan,"quantiles":$spread}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
       (fileLine + "\n").getBytes("UTF-8"))

@@ -117,24 +117,97 @@ object UrlOps {
     UTF8String.fromString(sb.toString)
   }
 
-  // ---- registrable domain ----
+  // ---- registrable domain: sorted-array longest-suffix probe ----
+  // The declarative twin is a depth-descending CASE chain of last-k-
+  // label extractions probed against IN lists (graft.ops.Url
+  // .domainFromHost); this kernel runs the IDENTICAL resolution —
+  // exceptions first, then suffix depth descending over exact rules
+  // and wildcard tails, then the last-two-labels fallback — with the
+  // committed table held as per-depth SORTED arrays and each probe a
+  // binary search, so the full PSL rides without a regex alternation
+  // whose pattern grows with the table.
   private val portAnyP = Pattern.compile(":[0-9]+$")
-  private val pslP = Pattern.compile(
-    "([^.]+\\.(?:" +
-      graft.ops.PublicSuffixes.multiLabel.map(_.replace(".", "\\.")).mkString("|") +
-      "))$")
-  private val fallbackP = Pattern.compile("([^.]+\\.[^.]+)$")
+
+  private val excLevels: Array[(Int, Array[String])] =
+    graft.ops.PublicSuffixes.exceptions
+      .groupBy(graft.ops.PublicSuffixes.depth).toArray.sortBy(-_._1)
+      .map { case (d, xs) => (d, xs.sorted.toArray) }
+
+  // suffix depth s -> (sorted exact rules of depth s, sorted wildcard
+  // tails of depth s-1), depth descending, empty levels dropped
+  private val sufLevels: Array[(Int, Array[String], Array[String])] = {
+    val ex = graft.ops.PublicSuffixes.exact.groupBy(graft.ops.PublicSuffixes.depth)
+    val wc = graft.ops.PublicSuffixes.wildcardTails.groupBy(graft.ops.PublicSuffixes.depth)
+    (graft.ops.PublicSuffixes.maxSuffixDepth to 2 by -1).toArray
+      .map(s => (s, ex.getOrElse(s, Nil).sorted.toArray,
+        wc.getOrElse(s - 1, Nil).sorted.toArray))
+      .filter(l => l._2.nonEmpty || l._3.nonEmpty)
+  }
+
+  private def bsearch(a: Array[String], key: String): Boolean = {
+    var lo = 0
+    var hi = a.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = a(mid).compareTo(key)
+      if (c == 0) return true
+      if (c < 0) lo = mid + 1 else hi = mid - 1
+    }
+    false
+  }
+
+  /** Start index of the last `k` labels of `hp`, mirroring the
+    * declarative `regexp_extract(hp, '([^.]+(?:\.[^.]+){k-1})$', 1)`
+    * contract exactly: -1 when the host has fewer than k labels or
+    * any of the last k is empty (the regex would not match).
+    */
+  private def lastKStart(hp: String, k: Int): Int = {
+    var pos = hp.length // exclusive end of the label being scanned
+    var start = -1
+    var i = 0
+    while (i < k) {
+      if (pos <= 0) return -1
+      val dot = hp.lastIndexOf('.', pos - 1)
+      start = dot + 1
+      if (start == pos) return -1 // empty label
+      i += 1
+      pos = dot
+    }
+    start
+  }
+
+  /** Full-PSL registrable-domain resolution on a port-stripped host. */
+  private def registrable(hp: String): String = {
+    var li = 0
+    while (li < excLevels.length) {
+      val (d, names) = excLevels(li)
+      val st = lastKStart(hp, d)
+      if (st >= 0) {
+        val cand = hp.substring(st)
+        if (bsearch(names, cand)) return cand
+      }
+      li += 1
+    }
+    li = 0
+    while (li < sufLevels.length) {
+      val (s, ex, tails) = sufLevels(li)
+      val regSt = lastKStart(hp, s + 1)
+      if (regSt >= 0) {
+        // a valid (s+1)-label extraction implies valid s and s-1 ones
+        val hit =
+          (ex.length > 0 && bsearch(ex, hp.substring(lastKStart(hp, s)))) ||
+            (tails.length > 0 && bsearch(tails, hp.substring(lastKStart(hp, s - 1))))
+        if (hit) return hp.substring(regSt)
+      }
+      li += 1
+    }
+    val fSt = lastKStart(hp, 2)
+    if (fSt >= 0) hp.substring(fSt) else ""
+  }
 
   def domain(u8: UTF8String): UTF8String = {
     val (canonHost, _) = partsOf(u8.toString)
     val hp = portAnyP.matcher(canonHost).replaceAll("")
-    val m1 = pslP.matcher(hp)
-    val d =
-      if (m1.find()) m1.group(1)
-      else {
-        val m2 = fallbackP.matcher(hp)
-        if (m2.find()) m2.group(1) else ""
-      }
-    UTF8String.fromString(d)
+    UTF8String.fromString(registrable(hp))
   }
 }

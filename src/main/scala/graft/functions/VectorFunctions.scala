@@ -259,6 +259,42 @@ object VectorFunctions {
       (e: Seq[Expression]) => UrlDomain(e(0)))
   )
 
+  /** Declared argument count per function, consulted by the arity
+    * guard wrapped around every builder at registration: a SQL call
+    * with the wrong argument count must fail as a clean analysis-time
+    * error naming the expected signature, not as the builder's
+    * IndexOutOfBoundsException on `e(i)`. Object init requires the key
+    * set to match [[all]] exactly, so an entry cannot drift missing.
+    */
+  private val arity: Map[String, Int] = Map(
+    "graft_cosine" -> 2, "graft_shingle_hashes" -> 2, "graft_gram_hashes" -> 2,
+    "graft_winnow" -> 3, "graft_minhash_sig" -> 2, "graft_band_buckets" -> 3,
+    "graft_hyperplane_bucket" -> 2, "graft_intersect_count" -> 2,
+    "graft_dist2" -> 2, "graft_dot" -> 2, "graft_pq_adc" -> 3,
+    "graft_pq_adc_packed" -> 3, "graft_bloom_contains" -> 2,
+    "graft_bloom_any" -> 2, "graft_ngrams" -> 2, "graft_top_ngram_count" -> 2,
+    "graft_pack_i8" -> 1, "graft_cosine_i8" -> 2, "graft_simhash" -> 2,
+    "graft_fingerprint" -> 1, "graft_topk" -> 3, "graft_token_count" -> 1,
+    "graft_bpe_count" -> 1, "graft_bpe_tokens" -> 1, "graft_alpha_count" -> 1,
+    "graft_classifier_logit" -> 2, "graft_classifier_logit_t" -> 1,
+    "graft_stop_count" -> 2, "graft_term_counts" -> 2, "graft_hash_embed" -> 2,
+    "graft_hash_embed_text" -> 2, "graft_normalize" -> 1,
+    "graft_dsir_buckets" -> 2, "graft_bucket_score" -> 2,
+    "graft_backoff_stats" -> 7, "graft_binary_sketch" -> 2,
+    "graft_word_count" -> 1, "graft_url_canon" -> 1, "graft_lang_scores" -> 1,
+    "graft_gopher_flags" -> 11, "graft_url_domain" -> 1)
+  require(arity.keySet == all.map(_._1).toSet,
+    "arity map must cover exactly the registered function set; missing: " +
+      (all.map(_._1).toSet -- arity.keySet).mkString(",") + " extra: " +
+      (arity.keySet -- all.map(_._1).toSet).mkString(","))
+
+  private[functions] def guarded(n: String, builder: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression = es => {
+    require(es.length == arity(n),
+      s"$n expects ${arity(n)} argument(s), got ${es.length}")
+    builder(es)
+  }
+
   /** Pass-through that registers the native functions on the frame's
     * session — ops call this on their input before building expressions
     * (DataFrame transforms analyze eagerly, so registration must precede
@@ -276,7 +312,7 @@ object VectorFunctions {
     all.foreach { case (n, (cls, builder)) =>
       val id = FunctionIdentifier(n)
       if (!reg.functionExists(id))
-        reg.registerFunction(id, new ExpressionInfo(cls.getName, n, s"$n - native graft expression"), builder)
+        reg.registerFunction(id, new ExpressionInfo(cls.getName, n, s"$n - native graft expression"), guarded(n, builder))
     }
   }
 }
@@ -288,7 +324,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     VectorFunctions.all.foreach { case (n, (cls, builder)) =>
       ext.injectFunction((FunctionIdentifier(n),
-        new ExpressionInfo(cls.getName, n, s"$n - native graft expression"), builder))
+        new ExpressionInfo(cls.getName, n, s"$n - native graft expression"),
+        VectorFunctions.guarded(n, builder)))
     }
     // auto-kernelize the known interpreted-HOF text-scan shapes in
     // USER-authored plans (conservative structural match; see the rule)

@@ -1,41 +1,78 @@
 package graft.ops
 
-/** Committed multi-label public-suffix table — the data file behind
-  * registrable-domain resolution (same committed-constant pattern as
+/** Committed public-suffix table — the data file behind registrable-
+  * domain resolution (same committed-constant pattern as
   * [[QualityClassifierWeights.table]] and [[Bpe.merges]]: one Scala
   * constant rendered identically into both engine dialects, so the
   * DuckDB oracle replays the exact rule set).
   *
-  * A bounded subset of the Mozilla Public Suffix List
-  * (publicsuffix.org, MPL 2.0): the multi-label ccTLD registries a web
-  * corpus actually hits. Single-label suffixes (`com`, `org`, `de`, …)
-  * need no entry — the implicit `*` rule makes the fallback
-  * "last two labels" exactly right for them. Entries are lowercase,
-  * dot-separated, most of them 2-label; a few 3-label US K-12 style
-  * entries exercise depth > 2. The full PSL is ~9k rules; extending is
-  * adding lines here (both dialects pick them up), which is the point
-  * of committing it as data.
+  * A knowledge-bounded rendering of the Mozilla Public Suffix List
+  * (publicsuffix.org, MPL 2.0, attributed) covering all THREE of the
+  * PSL's rule forms, which is what the lookup mechanism
+  * ([[Url.domainFromHost]] / [[graft.functions.UrlOps.domain]]) is
+  * built around:
+  *
+  *   - '''exact''' rules (`co.uk`): the named suffix is a public
+  *     suffix; registrable domain = suffix + one label.
+  *   - '''wildcard''' rules (`*.ck`, stored here as the tail `ck`):
+  *     EVERY child of the tail is a public suffix — `foo.ck` is a
+  *     suffix, so `bar.foo.ck` is the registrable domain.
+  *   - '''exception''' rules (`!www.ck`, stored without the `!`):
+  *     carve-outs from a wildcard — `www.ck` is NOT a suffix despite
+  *     `*.ck`; it is itself the registrable domain for any host
+  *     under it. Object init enforces that every exception's parent
+  *     tail is a committed wildcard (the PSL invariant).
+  *
+  * Single-label suffixes (`com`, `org`, `de`, …) need no entry — the
+  * implicit `*` rule makes the "last two labels" fallback exactly
+  * right for them. Entries are lowercase dotted names. The full PSL
+  * is ~9k rules and refreshes continuously; this environment has no
+  * network egress, so the table is the stable, well-known core (all
+  * rule FORMS represented, the mechanism sized for the full list —
+  * per-depth sorted-array probes, not a regex alternation, so
+  * extending is appending lines here and both dialects pick them up).
   */
 object PublicSuffixes {
-  val multiLabel: Seq[String] = Seq(
+
+  /** US state second-levels: the PSL registers `<st>.us` plus the
+    * `k12./cc./lib.` third-levels per state; rendered by comprehension
+    * from the literal state list (still committed data — the codes ARE
+    * the table).
+    */
+  private val usStates: Seq[String] = Seq(
+    "al", "ak", "az", "ar", "ca", "co", "ct", "de", "dc", "fl", "ga",
+    "hi", "id", "il", "in", "ia", "ks", "ky", "la", "me", "md", "ma",
+    "mi", "mn", "ms", "mo", "mt", "ne", "nv", "nh", "nj", "nm", "ny",
+    "nc", "nd", "oh", "ok", "or", "pa", "ri", "sc", "sd", "tn", "tx",
+    "ut", "vt", "va", "wa", "wv", "wi", "wy")
+
+  /** Exact rules (multi-label only — see the implicit-`*` note above). */
+  val exact: Seq[String] = Seq(
     // United Kingdom
     "co.uk", "org.uk", "me.uk", "net.uk", "ac.uk", "gov.uk", "ltd.uk",
     "plc.uk", "sch.uk", "nhs.uk",
-    // Australia
+    // Australia (incl. state second-levels)
     "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "act.au", "nsw.au", "nt.au", "qld.au", "sa.au", "tas.au", "vic.au", "wa.au",
     // Japan
     "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
     // Brazil
     "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br", "art.br", "blog.br",
     // New Zealand
     "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz", "geek.nz",
+    "maori.nz", "iwi.nz", "mil.nz", "parliament.nz", "health.nz", "cri.nz",
     // South Africa
-    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
+    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za", "edu.za",
+    "law.za", "mil.za", "nom.za", "school.za", "tm.za",
     // India
     "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in", "ac.in",
-    "edu.in", "gov.in", "res.in", "nic.in",
-    // China
+    "edu.in", "gov.in", "res.in", "nic.in", "mil.in",
+    // China (incl. province second-levels)
     "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    "bj.cn", "sh.cn", "tj.cn", "cq.cn", "he.cn", "sx.cn", "nm.cn", "ln.cn",
+    "jl.cn", "hl.cn", "js.cn", "zj.cn", "ah.cn", "fj.cn", "jx.cn", "sd.cn",
+    "ha.cn", "hb.cn", "hn.cn", "gd.cn", "gx.cn", "hi.cn", "sc.cn", "gz.cn",
+    "yn.cn", "xz.cn", "sn.cn", "gs.cn", "qh.cn", "nx.cn", "xj.cn",
     // Taiwan
     "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
     // South Korea
@@ -44,35 +81,148 @@ object PublicSuffixes {
     "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
     "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar", "int.ar", "mil.ar",
     "com.co", "net.co", "org.co", "edu.co", "gov.co", "mil.co", "nom.co",
-    // Singapore / Hong Kong / Malaysia / Indonesia / Thailand / Vietnam
+    // the rest of Latin America
+    "com.pe", "edu.pe", "gob.pe", "mil.pe", "net.pe", "nom.pe", "org.pe",
+    "gov.cl", "gob.cl", "co.cl", "mil.cl",
+    "com.ve", "edu.ve", "gob.ve", "mil.ve", "net.ve", "org.ve", "info.ve", "web.ve",
+    "com.ec", "info.ec", "net.ec", "fin.ec", "med.ec", "pro.ec", "org.ec",
+    "edu.ec", "gov.ec", "gob.ec", "mil.ec",
+    "com.uy", "edu.uy", "gub.uy", "mil.uy", "net.uy", "org.uy",
+    "com.py", "coop.py", "edu.py", "gov.py", "mil.py", "net.py", "org.py",
+    "com.bo", "edu.bo", "gob.bo", "int.bo", "org.bo", "net.bo", "mil.bo", "tv.bo", "web.bo",
+    "ac.cr", "co.cr", "ed.cr", "fi.cr", "go.cr", "or.cr", "sa.cr",
+    "com.do", "edu.do", "gob.do", "gov.do", "mil.do", "net.do", "org.do", "sld.do", "web.do", "art.do",
+    "com.gt", "edu.gt", "gob.gt", "ind.gt", "mil.gt", "net.gt", "org.gt",
+    "ac.pa", "gob.pa", "com.pa", "org.pa", "sld.pa", "edu.pa", "net.pa",
+    "ing.pa", "abo.pa", "med.pa", "nom.pa",
+    // Singapore / Hong Kong / Malaysia / Indonesia / Thailand / Vietnam /
+    // Philippines / Pakistan / Sri Lanka
     "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
     "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
     "com.my", "net.my", "org.my", "edu.my", "gov.my", "mil.my",
     "co.id", "or.id", "net.id", "web.id", "ac.id", "sch.id", "go.id", "mil.id",
     "co.th", "in.th", "ac.th", "go.th", "mi.th", "net.th", "or.th",
     "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn", "ac.vn",
-    // Turkey / Israel / Egypt / Saudi Arabia / Nigeria / Kenya
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph", "ngo.ph", "mil.ph", "i.ph",
+    "com.pk", "net.pk", "edu.pk", "org.pk", "fam.pk", "biz.pk", "web.pk",
+    "gov.pk", "gob.pk", "gok.pk", "gon.pk", "gop.pk", "gos.pk",
+    "gov.lk", "sch.lk", "net.lk", "int.lk", "com.lk", "org.lk", "edu.lk",
+    "ngo.lk", "soc.lk", "web.lk", "ltd.lk", "assn.lk", "grp.lk", "hotel.lk", "ac.lk",
+    // Middle East / Central Asia
     "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "mil.tr", "web.tr",
     "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il", "idf.il",
     "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "sci.eg",
     "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa", "sch.sa",
+    "ac.ir", "co.ir", "gov.ir", "id.ir", "net.ir", "org.ir", "sch.ir",
+    "gov.iq", "edu.iq", "mil.iq", "com.iq", "org.iq", "net.iq",
+    "com.jo", "org.jo", "net.jo", "edu.jo", "sch.jo", "gov.jo", "mil.jo", "name.jo",
+    "com.kw", "edu.kw", "emb.kw", "gov.kw", "ind.kw", "net.kw", "org.kw",
+    "com.lb", "edu.lb", "gov.lb", "net.lb", "org.lb",
+    "co.om", "com.om", "edu.om", "gov.om", "med.om", "net.om", "org.om", "pro.om",
+    "com.qa", "edu.qa", "gov.qa", "mil.qa", "name.qa", "net.qa", "org.qa", "sch.qa",
+    "co.ae", "net.ae", "org.ae", "sch.ae", "ac.ae", "gov.ae", "mil.ae",
+    "com.bh", "edu.bh", "net.bh", "org.bh", "gov.bh",
+    "com.az", "net.az", "int.az", "gov.az", "org.az", "edu.az", "info.az",
+    "pp.az", "mil.az", "name.az", "pro.az", "biz.az",
+    "com.ge", "edu.ge", "gov.ge", "org.ge", "mil.ge", "net.ge", "pvt.ge",
+    "co.am", "com.am", "commune.am", "net.am", "org.am",
+    "org.kz", "edu.kz", "net.kz", "gov.kz", "mil.kz", "com.kz",
+    "co.uz", "com.uz", "net.uz", "org.uz",
+    // Africa
     "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng", "sch.ng",
     "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "me.ke", "info.ke",
-    // Russia / Ukraine / Poland
-    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
+    "co.ma", "net.ma", "gov.ma", "org.ma", "ac.ma", "press.ma",
+    "com.tn", "ens.tn", "fin.tn", "gov.tn", "ind.tn", "info.tn", "intl.tn",
+    "nat.tn", "net.tn", "org.tn", "perso.tn", "tourism.tn",
+    "com.dz", "org.dz", "net.dz", "gov.dz", "edu.dz", "asso.dz", "pol.dz", "art.dz",
+    "com.gh", "edu.gh", "gov.gh", "org.gh", "mil.gh",
+    "co.tz", "ac.tz", "go.tz", "hotel.tz", "info.tz", "me.tz", "mil.tz",
+    "mobi.tz", "ne.tz", "or.tz", "sc.tz", "tv.tz",
+    "co.ug", "or.ug", "ac.ug", "sc.ug", "go.ug", "ne.ug", "com.ug", "org.ug",
+    "ac.zm", "biz.zm", "co.zm", "com.zm", "edu.zm", "gov.zm", "info.zm",
+    "mil.zm", "net.zm", "org.zm", "sch.zm",
+    "ac.zw", "co.zw", "gov.zw", "mil.zw", "org.zw",
+    "com.et", "gov.et", "org.et", "edu.et", "biz.et", "name.et", "info.et", "net.et",
+    // Russia / Ukraine / Belarus / Eastern Europe
+    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru", "ac.ru", "edu.ru",
+    "gov.ru", "int.ru", "mil.ru",
     "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua", "kiev.ua",
+    "kyiv.ua", "lviv.ua",
+    "com.by", "gov.by", "mil.by", "of.by",
     "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl", "info.pl", "biz.pl",
-    // 3-label entries (depth > 2 must resolve by LONGEST suffix)
-    "k12.ca.us", "cc.ca.us", "lib.ca.us",
-    "k12.ma.us", "cc.ma.us", "lib.ma.us",
-    "k12.ny.us", "cc.ny.us", "lib.ny.us",
-    // generic second-level operators
+    "arts.ro", "com.ro", "firm.ro", "info.ro", "nom.ro", "nt.ro", "org.ro",
+    "rec.ro", "store.ro", "tm.ro", "www.ro",
+    "ac.rs", "co.rs", "edu.rs", "gov.rs", "in.rs", "org.rs",
+    "com.ba", "edu.ba", "gov.ba", "mil.ba", "net.ba", "org.ba",
+    "com.mk", "org.mk", "net.mk", "edu.mk", "gov.mk", "inf.mk", "name.mk",
+    "co.hu", "info.hu", "org.hu", "priv.hu", "tm.hu",
+    "com.lv", "edu.lv", "gov.lv", "org.lv", "mil.lv", "id.lv", "net.lv",
+    "asn.lv", "conf.lv",
+    "gov.lt",
+    "com.ee", "org.ee", "edu.ee", "gov.ee", "riik.ee", "lib.ee", "med.ee",
+    "pri.ee", "aip.ee", "fie.ee",
+    // Western Europe second-levels
+    "ac.at", "co.at", "gv.at", "or.at",
+    "ac.be",
+    "asso.fr", "com.fr", "gouv.fr", "nom.fr", "prd.fr", "tm.fr",
+    "edu.it", "gov.it",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "com.pt", "edu.pt", "gov.pt", "int.pt", "net.pt", "nome.pt", "org.pt", "publ.pt",
+    "com.gr", "edu.gr", "net.gr", "org.gr", "gov.gr",
+    "com.se", "org.se", "pp.se", "tm.se", "parti.se", "press.se",
+    // Canada
+    "ab.ca", "bc.ca", "mb.ca", "nb.ca", "nf.ca", "nl.ca", "ns.ca", "nt.ca",
+    "nu.ca", "on.ca", "pe.ca", "qc.ca", "sk.ca", "yt.ca", "gc.ca",
+    // generic second-level operators (PSL private section)
     "blogspot.com", "github.io", "gitlab.io", "herokuapp.com",
     "appspot.com", "netlify.app", "vercel.app", "web.app", "pages.dev",
     "windows.net", "cloudfront.net", "amazonaws.com", "azurewebsites.net",
-    "wordpress.com", "tumblr.com", "weebly.com", "wixsite.com")
+    "wordpress.com", "tumblr.com", "weebly.com", "wixsite.com",
+    "firebaseapp.com", "cloudapp.net", "readthedocs.io", "neocities.org",
+    "fly.dev", "onrender.com", "workers.dev", "repl.co", "glitch.me",
+    "s3.amazonaws.com", "global.ssl.fastly.net") ++
+    // United States: <st>.us plus the k12/cc/lib third-levels per state
+    usStates.flatMap(st => Seq(s"$st.us", s"k12.$st.us", s"cc.$st.us", s"lib.$st.us"))
 
-  require(multiLabel.forall(s => s.contains('.') && s == s.toLowerCase &&
-    s.split('.').forall(l => l.nonEmpty && l.forall(c => c.isLetterOrDigit || c == '-'))),
-    "suffix entries must be lowercase multi-label dotted names")
+  /** Wildcard rules, stored as the TAIL after `*.` — `*.ck` is "ck",
+    * `*.kawasaki.jp` is "kawasaki.jp". Every child of a tail is a
+    * public suffix.
+    */
+  val wildcardTails: Seq[String] = Seq(
+    "ck", "er", "fk", "np", "pg", "bd", "kh", "mm",
+    // Japanese city wildcards (the PSL's canonical wildcard+exception
+    // cluster: every ward of these cities is a registry, but the city
+    // government itself sits at city.<city>.jp)
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp")
+
+  /** Exception rules, stored without the `!` — `!www.ck` is "www.ck":
+    * NOT a public suffix despite the parent wildcard; it is itself the
+    * registrable domain for any host at or under it.
+    */
+  val exceptions: Seq[String] = Seq(
+    "www.ck",
+    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp")
+
+  /** Label count of a dotted rule. */
+  def depth(s: String): Int = s.count(_ == '.') + 1
+
+  /** Deepest public suffix any rule can name (wildcards add one label
+    * over their tail) — bounds the lookup walk in both dialects.
+    */
+  val maxSuffixDepth: Int =
+    (exact.map(depth) ++ wildcardTails.map(depth(_) + 1)).max
+
+  private def wellFormed(s: String): Boolean = s == s.toLowerCase &&
+    s.split('.').forall(l => l.nonEmpty && l.forall(c => c.isLetterOrDigit || c == '-'))
+
+  require(exact.forall(s => s.contains('.') && wellFormed(s)),
+    "exact entries must be lowercase multi-label dotted names")
+  require(exact.distinct.size == exact.size, "duplicate exact entries")
+  require(wildcardTails.forall(wellFormed), "malformed wildcard tail")
+  require(exceptions.forall(e => wellFormed(e) &&
+    wildcardTails.contains(e.split('.').drop(1).mkString("."))),
+    "every exception must carve out a committed wildcard (PSL invariant)")
 }

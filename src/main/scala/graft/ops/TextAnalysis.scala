@@ -2161,10 +2161,14 @@ object TextAnalysis {
         .as("k"))
       // n_docs = DISTINCT ids, matching the oracle's count over the
       // exploded grain — plain count(*) would diverge on duplicate ids
-      .agg(sum(col("k")).as("n_chunks"),
+      // coalesce the zero-row sums: on an empty (or all-blank) corpus
+      // Spark's sum yields NULL while the oracle's count(*)-over-grain
+      // twin yields 0 — same pattern as Datacard.datacard
+      .agg(coalesce(sum(col("k")), lit(0L)).as("n_chunks"),
         countDistinct(col("__id")).as("n_docs"),
         sum(expr(s"(k - 1) * $size + (n - (k - 1) * $stride)")).as("__tok"),
-        sum(expr(s"IF(n - (k - 1) * $stride < ${size / 2}, 1L, 0L)")).as("n_short"))
+        coalesce(sum(expr(s"IF(n - (k - 1) * $stride < ${size / 2}, 1L, 0L)")),
+          lit(0L)).as("n_short"))
       .select(col("n_chunks"), col("n_docs"),
         expr(s"CAST(1000 * __tok div (n_chunks * $size) AS BIGINT)").as("fill_milli"),
         col("n_short"))
@@ -2178,6 +2182,6 @@ object TextAnalysis {
     s"""SELECT count(*)::BIGINT AS n_chunks,
        |  count(DISTINCT doc_id)::BIGINT AS n_docs,
        |  ((1000 * sum(n_tokens)) // (count(*) * $size))::BIGINT AS fill_milli,
-       |  CAST(sum(CASE WHEN n_tokens < ${size / 2} THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+       |  coalesce(CAST(sum(CASE WHEN n_tokens < ${size / 2} THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_short
        |FROM (${chunkDocumentsSql(table, id, text, size, stride)})""".stripMargin
 }

@@ -29,17 +29,23 @@ import org.apache.spark.sql.functions._
   *   - path without trailing slashes (case preserved — paths are
   *     case-sensitive); query parameters sorted; fragment dropped.
   *
-  * `domain` is the REGISTRABLE domain: longest public suffix from the
-  * committed [[PublicSuffixes.multiLabel]] table plus one label
-  * (`shop.example.co.uk` → `example.co.uk`), defaulting to the last
-  * two labels when no multi-label suffix matches (the PSL's implicit
-  * `*` rule). The longest-match requirement falls out of regex
-  * mechanics: the suffix alternation is anchored at `$` behind one
-  * extra label, so an earlier match start needs a longer suffix — the
-  * leftmost match IS the longest-suffix resolution, in both engines. A
-  * host that equals a bare suffix (no extra label) resolves to its
-  * last two labels — documented approximation (the PSL proper says
-  * "no registrable domain").
+  * `domain` is the REGISTRABLE domain under full PSL rule semantics
+  * over the committed [[PublicSuffixes]] table: exception rules
+  * prevail (`!www.ck` → any host under `www.ck` registers as
+  * `www.ck`), then the LONGEST matching suffix — exact rules
+  * (`shop.example.co.uk` → `example.co.uk`) and wildcard rules
+  * (`*.ck`: `a.b.anything.ck` → `b.anything.ck`) at the same depth
+  * resolve identically — then the implicit `*` fallback of the last
+  * two labels. The lookup is a depth-descending CASE chain: one
+  * last-k-labels extraction per rule depth probed against the
+  * committed set (an IN list in the declarative dialects, a sorted-
+  * array binary search in the compiled kernel) — the mechanism is
+  * sized for the full ~9k-rule PSL, unlike the single regex
+  * alternation it replaced, whose pattern grew with the table and
+  * could not express wildcard/exception forms at all. A host that IS
+  * a bare public suffix (no extra label) resolves to its last two
+  * labels — documented approximation (the PSL proper says "no
+  * registrable domain").
   *
   * Scale shape: canonicalization is a zero-shuffle projection (the
   * percent/port rewrite is a per-row constant-pattern replace chain —
@@ -110,17 +116,51 @@ object Url {
     (canonHost, path, query)
   }
 
+  /** The last `k` labels of `hp` as one extraction — '' when the host
+    * has fewer than k labels or any of the last k is empty (label
+    * atoms are `[^.]+`). The compiled kernel's `lastKStart` mirrors
+    * exactly this contract.
+    */
+  private def lastKExpr(hp: String, k: Int, d: Dl): String =
+    s"regexp_extract($hp, '([^.]+(?:${d.dot}[^.]+){${k - 1}})$$', 1)"
+
   /** Registrable domain from a (canonical) host expression: strip any
-    * `:port`, then longest-public-suffix + 1 label, last-two-labels
-    * fallback (see object scaladoc for why leftmost regex match =
-    * longest suffix).
+    * `:port`, then resolve against the committed [[PublicSuffixes]]
+    * rule set as a depth-descending CASE chain —
+    *
+    *   1. exception rules (depth desc): host's last-depth(e) labels
+    *      equal `e` → `e` IS the registrable domain (`!www.ck`);
+    *   2. per suffix depth s (desc): last-s labels in the exact rules
+    *      OR last-(s−1) labels in the wildcard tails, AND a valid
+    *      (s+1)-label extraction exists → that extraction (suffix + 1
+    *      label). A host that IS the bare suffix falls through;
+    *   3. implicit `*` fallback: last two labels.
+    *
+    * Pure generated-constant SQL — IN lists over the committed table,
+    * no join, no UDF — rendered identically into both dialects, so the
+    * oracle replays the IDENTICAL rule set.
     */
   private def domainFromHost(h: String, d: Dl): String = {
     val hp = s"regexp_replace($h, ':[0-9]+$$', '')"
-    val alt = PublicSuffixes.multiLabel.map(_.replace(".", d.dot)).mkString("|")
-    val psl = s"regexp_extract($hp, '([^.]+${d.dot}(?:$alt))$$', 1)"
-    val fallback = s"regexp_extract($hp, '([^.]+${d.dot}[^.]+)$$', 1)"
-    s"coalesce(nullif($psl, ''), $fallback)"
+    def q(s: String) = "'" + s + "'"
+    def lastK(k: Int) = lastKExpr(hp, k, d)
+    val excBranches = PublicSuffixes.exceptions
+      .sortBy(e => (-PublicSuffixes.depth(e), e))
+      .map(e => s"WHEN ${lastK(PublicSuffixes.depth(e))} = ${q(e)} THEN ${q(e)}")
+    val exactByDepth = PublicSuffixes.exact.groupBy(PublicSuffixes.depth)
+    val tailsByDepth = PublicSuffixes.wildcardTails.groupBy(PublicSuffixes.depth)
+    val sufBranches = (PublicSuffixes.maxSuffixDepth to 2 by -1).flatMap { s =>
+      val conds = Seq(
+        exactByDepth.get(s).map(xs =>
+          s"${lastK(s)} IN (${xs.sorted.map(q).mkString(", ")})"),
+        tailsByDepth.get(s - 1).map(ts =>
+          s"${lastK(s - 1)} IN (${ts.sorted.map(q).mkString(", ")})")).flatten
+      if (conds.isEmpty) None
+      else Some(
+        s"WHEN (${conds.mkString(" OR ")}) AND ${lastK(s + 1)} <> '' THEN ${lastK(s + 1)}")
+    }
+    (Seq("CASE") ++ excBranches ++ sufBranches ++
+      Seq(s"ELSE ${lastK(2)} END")).mkString(" ")
   }
 
   /** Canonical-URL expression (Spark SQL dialect). */

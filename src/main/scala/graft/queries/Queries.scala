@@ -185,32 +185,40 @@ object Queries {
     "dedup_ngram_jaccard",    // quadratic all-pairs verifier; linear twin: minhash family
     "embed_bitext_mine")      // brute margin verifier; scale path: embed_bitext_shortlist
 
-  /** Shared URL fixture for the url_* queries: four host classes
-    * covering every canonicalization rule — (0) www + https default
-    * port, (1) http default port, (2) MISMATCHED default port
-    * (http://…:443 keeps it — distinct resource), (3) a public-suffix
-    * host (`shop.Example3.CO.UK` → registrable `example3.co.uk`); plus
-    * a percent-encoded unreserved variant (`pa%74h` ≡ `path`, every
-    * 10th row), a DOUBLE lowercase-hex reserved escape on odd rows
-    * (`c=%3a%3a` must uppercase BOTH triplets — the case that catches
-    * a first-match-only oracle regexp_replace), and the
+  /** Shared URL fixture for the url_* queries: six host classes
+    * covering every canonicalization AND public-suffix rule form —
+    * (0) www + https default port, (1) http default port, (2)
+    * MISMATCHED default port (http://…:443 keeps it — distinct
+    * resource), (3) an exact-rule public-suffix host
+    * (`shop.Example3.CO.UK` → registrable `example3.co.uk`), (4) a
+    * WILDCARD-rule host (`*.ck`: `x.y.somewhere.ck` → registrable
+    * `y.somewhere.ck`), (5) an EXCEPTION-rule host (`!www.ck`:
+    * `a.www.ck` → registrable `www.ck`); plus a percent-encoded
+    * unreserved variant (`pa%74h` ≡ `path`, every 10th row), a DOUBLE
+    * lowercase-hex reserved escape on odd rows (`c=%3a%3a` must
+    * uppercase BOTH triplets — the case that catches a
+    * first-match-only oracle regexp_replace), and the
     * query-order/fragment variants. Canonical identity has period
-    * lcm(4, 50, 2) = 100 (host class id%4, path id%50, tail id%2 —
-    * all determined by id mod 100), so ids congruent mod 100
-    * canonicalize to the SAME URL — 100 distinct canonical URLs, and
+    * lcm(6, 50, 2) = 150 (host class id%6, path id%50, tail id%2 —
+    * all determined by id mod 150), so ids congruent mod 150
+    * canonicalize to the SAME URL — 150 distinct canonical URLs, and
     * the dedup and census branches carry mass.
     */
   private val urlFixtureSpark: String =
-    "concat(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'https://WWW.Example0.com:443' " +
+    "concat(CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 'https://WWW.Example0.com:443' " +
       "WHEN 1 THEN 'http://example1.com:80' WHEN 2 THEN 'http://example2.com:443' " +
-      "ELSE 'https://shop.Example3.CO.UK' END, " +
+      "WHEN 3 THEN 'https://shop.Example3.CO.UK' " +
+      "WHEN 4 THEN 'http://x.y.somewhere.ck' " +
+      "ELSE 'https://a.www.ck' END, " +
       "'/pa', IF(doc_id % 10 = 0, '%74', 't'), 'h/', cast(doc_id % 50 AS STRING), " +
       "IF(doc_id % 2 = 0, '/?b=2&a=1#frag', '?a=1&b=2&c=%3a%3a'))"
 
   private val urlFixtureDuck: String =
-    "CASE doc_id % 4 WHEN 0 THEN 'https://WWW.Example0.com:443' " +
+    "CASE doc_id % 6 WHEN 0 THEN 'https://WWW.Example0.com:443' " +
       "WHEN 1 THEN 'http://example1.com:80' WHEN 2 THEN 'http://example2.com:443' " +
-      "ELSE 'https://shop.Example3.CO.UK' END " +
+      "WHEN 3 THEN 'https://shop.Example3.CO.UK' " +
+      "WHEN 4 THEN 'http://x.y.somewhere.ck' " +
+      "ELSE 'https://a.www.ck' END " +
       "|| '/pa' || CASE WHEN doc_id % 10 = 0 THEN '%74' ELSE 't' END " +
       "|| 'h/' || (doc_id % 50) " +
       "|| CASE WHEN doc_id % 2 = 0 THEN '/?b=2&a=1#frag' ELSE '?a=1&b=2&c=%3a%3a' END"
@@ -1395,19 +1403,21 @@ object Queries {
 
     // the blocklist filter ACTING standalone (it also runs inside
     // pipeline_crawl_ingest): registrable-domain keyed, so blocking
-    // example3.co.uk drops the shop.* subdomain class with it —
-    // public-suffix resolution doing real filtering work on the board
+    // example3.co.uk drops the shop.* subdomain class with it, and
+    // blocking www.ck (an EXCEPTION-rule registrable under *.ck) drops
+    // the a.www.ck class — public-suffix resolution, including the
+    // PSL's exception form, doing real filtering work on the board
     QueryDef("pipeline_domain_filter",
       (s, dir) => graft.ops.Url.domainFilter(
           t(s, dir, "documents").withColumn("url", expr(urlFixtureSpark)),
-          "url", blocked = Seq("example1.com", "example3.co.uk"))
+          "url", blocked = Seq("example1.com", "example3.co.uk", "www.ck"))
         .select(col("doc_id"), expr("graft_url_domain(url)").as("domain"))
         .groupBy(col("domain")).agg(count(lit(1)).as("n_docs")),
       Some(s"""SELECT ${graft.ops.Url.duckDomainExpr("url")} AS domain,
               |  count(*) AS n_docs
               |FROM $urlFixtureDuckTable
               |WHERE ${graft.ops.Url.domainFilterPredSql("url",
-                  Seq("example1.com", "example3.co.uk"))}
+                  Seq("example1.com", "example3.co.uk", "www.ck"))}
               |GROUP BY 1""".stripMargin)),
 
     // passage-grain dedup: a fixture boilerplate PARAGRAPH prepended to

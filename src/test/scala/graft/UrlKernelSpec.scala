@@ -46,7 +46,20 @@ class UrlKernelSpec extends SparkSpec {
     "https://example.com////",                   // all slashes
     "https://co.uk",                             // bare suffix host
     "https://example.com/x?a=😀&b=z",  // supplementary-plane query
-    "https://example.com/x?a=%3a&b=%3a%3a"  // repeated lowercase-hex triplets (global rewrite)
+    "https://example.com/x?a=%3a&b=%3a%3a",  // repeated lowercase-hex triplets (global rewrite)
+    // PSL wildcard (*.ck) and exception (!www.ck) rule forms
+    "https://shop.biz.ck/x",                     // *.ck: biz.ck is the suffix
+    "https://a.shop.biz.ck/x",                   // deeper under the wildcard
+    "https://biz.ck/x",                          // host IS a wildcard suffix
+    "https://a.www.ck/x",                        // !www.ck exception
+    "https://deep.a.www.ck/x",                   // exception from further down
+    "https://city.kawasaki.jp/x",                // !city.kawasaki.jp itself
+    "https://ward.kawasaki.jp/x",                // *.kawasaki.jp: ward is suffix
+    "https://site.ward.kawasaki.jp/x",           // registrable under the ward
+    "https://x.city.kawasaki.jp/x",              // under the jp exception
+    "https://school.k12.ca.us/x",                // 3-label exact rule
+    "https://x..co.uk/x",                        // empty label above the suffix
+    "https://example.er"                         // bare *.er tail (1 label)
   )
 
   test("graft_url_canon / graft_url_domain are bit-equal to the declarative chain") {
@@ -63,6 +76,36 @@ class UrlKernelSpec extends SparkSpec {
     assert(bad.isEmpty, bad.map(r =>
       s"url=${fixtures(r.getLong(0).toInt)}\n  canon  kernel=${r.getString(1)} declarative=${r.getString(2)}" +
         s"\n  domain kernel=${r.getString(3)} declarative=${r.getString(4)}").mkString("\n"))
+  }
+
+  test("PSL rule-form semantics: exact, wildcard, exception, fallback") {
+    // expected REGISTRABLE domains under full PSL semantics (the values
+    // themselves, not just kernel≡declarative parity): wildcard *.ck
+    // makes every child of ck a suffix; exception !www.ck carves
+    // www.ck back out as a registrable domain; bare suffixes fall back
+    // to last-two-labels (documented approximation)
+    val cases = Seq(
+      "https://shop.biz.ck/x" -> "shop.biz.ck",       // suffix = biz.ck (wildcard)
+      "https://a.shop.biz.ck/x" -> "shop.biz.ck",
+      "https://biz.ck/x" -> "biz.ck",                 // host IS suffix -> fallback
+      "https://a.www.ck/x" -> "www.ck",               // exception
+      "https://deep.a.www.ck/x" -> "www.ck",
+      "https://city.kawasaki.jp/x" -> "city.kawasaki.jp",
+      "https://x.city.kawasaki.jp/x" -> "city.kawasaki.jp",
+      "https://ward.kawasaki.jp/x" -> "kawasaki.jp", // host IS a wildcard suffix -> last-two fallback
+      "https://site.ward.kawasaki.jp/x" -> "site.ward.kawasaki.jp", // suffix = ward.kawasaki.jp
+      "https://shop.example.co.uk/x" -> "example.co.uk", // exact rule
+      "https://school.k12.ca.us/x" -> "school.k12.ca.us", // 3-label exact
+      "https://a.school.k12.ca.us/x" -> "school.k12.ca.us",
+      "https://example.com/x" -> "example.com",       // implicit * fallback
+      "https://example.er" -> "example.er")           // bare 1-label tail -> fallback
+    val df = graft.functions.VectorFunctions.attach(
+      cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }.toDF("id", "url"))
+    val got = df.select(col("id"), expr("graft_url_domain(url)").as("d"))
+      .collect().map(r => r.getLong(0).toInt -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((u, want), i) =>
+      assert(got(i) == want, s"url=$u expected=$want got=${got(i)}")
+    }
   }
 
   test("null url: kernel and declarative agree (both null)") {
