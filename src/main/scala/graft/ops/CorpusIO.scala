@@ -320,6 +320,139 @@ object CorpusIO {
         length(col("payload")).cast("long").as("n_payload_chars"),
         expr(PortableHash.sparkStringHash("payload")).as("payload_hash"))
 
+  // ---------------- byte-true WARC (ISO 28500) ----------------------
+
+  /** Parsed record row of [[parseWarcBytes]]: `content_length` is the
+    * DECLARED byte count, `n_payload_bytes` the byte count actually
+    * captured — equal iff the parse is byte-true end to end.
+    */
+  final case class WarcByteRecord(uri: String, warc_date: String,
+                                  content_length: Long, n_payload_bytes: Long,
+                                  payload_hash: Long)
+
+  /** Byte-true container render — [[warcBlobs]] with ISO 28500's actual
+    * Content-Length semantics: the header declares the payload's size
+    * in BYTES (`octet_length`), and the blob is a BINARY column (UTF-8
+    * encoding of the rendered container — encoding distributes over
+    * concatenation, so encoding once at the end equals concatenating
+    * per-record encodings). On pure-ASCII text this renders the same
+    * container as [[warcBlobs]]; on multi-byte UTF-8 the declared
+    * length differs from the character count — the divergence
+    * [[parseWarcBytes]] exists to honor.
+    */
+  def warcBlobsBytes(df: DataFrame, id: String, text: String,
+                     docsPerBlob: Int = 10,
+                     uriCol: Option[String] = None): DataFrame = {
+    val uri = uriCol.map(col).getOrElse(
+      concat(lit("https://example.com/doc/"), col(id).cast("long")))
+    df.select((col(id) cast "long").as("__id"), col(text).as("__t"),
+        uri.as("__u"))
+      .select(expr(s"__id div $docsPerBlob").as("blob_id"),
+        struct(col("__id"), concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+          col("__u"),
+          lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
+          expr("octet_length(__t)"),
+          lit("\r\n\r\n"), col("__t"), lit("\r\n\r\n")).as("rec")).as("s"))
+      .groupBy(col("blob_id"))
+      .agg(array_sort(collect_list(col("s"))).as("recs"))
+      .select(col("blob_id"),
+        expr("encode(array_join(transform(recs, x -> x.rec), ''), 'UTF-8')")
+          .as("blob"))
+  }
+
+  private val WarcMarker: Array[Byte] = "WARC/1.0\r\n".getBytes("US-ASCII")
+
+  /** Byte-level scan of one container: record starts are marker
+    * occurrences; headers run to the first CRLFCRLF and are ASCII by
+    * the spec (decoded latin-1 so a malformed byte cannot throw);
+    * the payload is the next Content-Length BYTES, bounded by the
+    * record region. Payload bytes decode as UTF-8 for the portable
+    * content hash (the corpus payloads are text; a truly opaque
+    * payload would hash raw bytes instead — the capture logic is
+    * identical).
+    */
+  private[ops] def parseOneBlobBytes(blob: Array[Byte]): Iterator[WarcByteRecord] = {
+    def isMarkerAt(i: Int): Boolean = {
+      if (i + WarcMarker.length > blob.length) return false
+      var j = 0
+      while (j < WarcMarker.length) {
+        if (blob(i + j) != WarcMarker(j)) return false
+        j += 1
+      }
+      true
+    }
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i <= blob.length - WarcMarker.length) {
+      if (isMarkerAt(i)) { starts += i; i += WarcMarker.length } else i += 1
+    }
+    val uriP = java.util.regex.Pattern.compile("WARC-Target-URI: (\\S+)")
+    val dateP = java.util.regex.Pattern.compile("WARC-Date: (\\S+)")
+    val lenP = java.util.regex.Pattern.compile("Content-Length: (\\d+)")
+    starts.iterator.zipWithIndex.flatMap { case (st, k) =>
+      val end = if (k + 1 < starts.length) starts(k + 1) else blob.length
+      val hdrStart = st + WarcMarker.length
+      // find CRLFCRLF within the record region
+      var he = hdrStart
+      var found = -1
+      while (found < 0 && he + 3 < end) {
+        if (blob(he) == '\r' && blob(he + 1) == '\n' &&
+          blob(he + 2) == '\r' && blob(he + 3) == '\n') found = he
+        else he += 1
+      }
+      if (found < 0) Iterator.empty
+      else {
+        val header = new String(blob, hdrStart, found - hdrStart, "ISO-8859-1")
+        val um = uriP.matcher(header)
+        val dm = dateP.matcher(header)
+        val lm = lenP.matcher(header)
+        val uri = if (um.find()) um.group(1) else ""
+        val date = if (dm.find()) dm.group(1) else ""
+        val declared = if (lm.find()) lm.group(1).toLong else 0L
+        val pStart = found + 4
+        val pEnd = math.min(pStart + declared, end.toLong).toInt
+        val payload = new String(blob, pStart, pEnd - pStart, "UTF-8")
+        Iterator.single(WarcByteRecord(uri, date, declared,
+          (pEnd - pStart).toLong, PortableHash.jvmStringHash(payload)))
+      }
+    }
+  }
+
+  /** Parse byte-true WARC containers at record grain, honoring
+    * Content-Length in BYTES (ISO 28500) — the reader you would point
+    * at genuine crawl segments, where [[parseWarc]]'s character-based
+    * bound would truncate or over-read every multi-byte-UTF-8 payload.
+    * Iterator-streaming `mapPartitions` on the BINARY column (no
+    * Catalyst expression can byte-address a blob); everything else in
+    * the ingest chain is unchanged. One scan, fan-out bounded by
+    * records per blob, zero shuffle.
+    */
+  def parseWarcBytes(blobs: DataFrame, blobCol: String): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col(blobCol)).as[Array[Byte]]
+      .mapPartitions(_.flatMap(parseOneBlobBytes))
+      .toDF()
+  }
+
+  /** DuckDB twin of [[warcBlobsBytes]] ∘ [[parseWarcBytes]] — the
+    * INDEPENDENT path: no container render/parse, the expected record
+    * table computed straight from the documents (strlen = DuckDB's
+    * byte length of the UTF-8 encoding). `n_payload_bytes` equals the
+    * declared length only if the reader captured exactly the declared
+    * bytes, and `payload_hash` only if those bytes decode back to the
+    * original text — so a single off-by-one anywhere in the byte scan
+    * diverges the compare.
+    */
+  def warcBytesRoundTripSql(table: String, id: String, text: String): String =
+    s"""SELECT 'https://example.com/doc/' || $id AS uri,
+       |  '2024-01-01T00:00:00Z' AS warc_date,
+       |  strlen($text)::BIGINT AS content_length,
+       |  strlen($text)::BIGINT AS n_payload_bytes,
+       |  ${PortableHash.duckStringHash(text)} AS payload_hash
+       |FROM $table""".stripMargin
+
   /** DuckDB twin of [[warcBlobs]] ∘ [[parseWarc]]: render the same
     * containers, split and parse them back with the same grammar.
     */

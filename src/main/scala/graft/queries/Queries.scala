@@ -239,6 +239,14 @@ object Queries {
     */
   private val bp32: String = (1 to 32).map(i => "boiler").mkString(" ")
 
+  /** Multi-byte fixture suffix for the byte-true WARC query: one 2-,
+    * 3-, and 4-byte UTF-8 character each, so every payload's byte
+    * length strictly exceeds its character count and a character-based
+    * Content-Length bound would provably mis-capture. No quotes, so it
+    * embeds in both dialects' literals verbatim.
+    */
+  private val mbSuffix: String = " é 中 😀"
+
   val all: Seq[QueryDef] = Seq(
 
     // ================= relational core (scan/filter/agg/join/window) ====
@@ -3247,6 +3255,24 @@ object Queries {
         graft.ops.CorpusIO.warcBlobs(t(s, dir, "documents"),
           "doc_id", "text"), "blob"),
       Some(graft.ops.CorpusIO.warcRoundTripSql("documents", "doc_id", "text"))),
+
+    // BYTE-TRUE WARC round-trip (ISO 28500: Content-Length declares
+    // BYTES): payloads get a planted multi-byte-UTF-8 suffix so byte
+    // length strictly exceeds character count on every record — the
+    // char-based reader above would provably mis-capture here. The
+    // oracle takes the independent no-container path: declared length,
+    // captured length, and content hash computed straight from the
+    // documents (strlen = DuckDB byte length), so any off-by-one in
+    // the byte scan diverges the compare
+    QueryDef("io_warc_parse_bytes",
+      (s, dir) => graft.ops.CorpusIO.parseWarcBytes(
+        graft.ops.CorpusIO.warcBlobsBytes(
+          t(s, dir, "documents")
+            .withColumn("text", concat(col("text"), lit(mbSuffix))),
+          "doc_id", "text"), "blob"),
+      Some(graft.ops.CorpusIO.warcBytesRoundTripSql(
+        s"(SELECT doc_id, text || '$mbSuffix' AS text FROM documents)",
+        "doc_id", "text"))),
 
     // content checksum. The oracle checksums the ORIGINAL table, so any
     // character lost in serialization fails the hash-sum compare

@@ -53,4 +53,44 @@ class CorpusIOSpec extends SparkSpec {
       .select($"text_hash_sum").as[Long].head()
     assert(ca != cb)
   }
+
+  test("byte-true WARC: multi-byte payloads survive; char-based bound provably mis-captures") {
+    // every payload mixes 1/2/3/4-byte UTF-8, so declared BYTE length
+    // strictly exceeds character count on every record
+    val docs = Seq(
+      (1L, "héllo wörld"),
+      (2L, "中文 payload 中文"),
+      (3L, "emoji 😀😀 tail"),
+      (4L, "plain then é"),
+      (5L, "緊 mixed ascii 終")).toDF("doc_id", "text")
+    val blobs = CorpusIO.warcBlobsBytes(docs, "doc_id", "text", docsPerBlob = 2)
+    val parsed = CorpusIO.parseWarcBytes(blobs, "blob")
+      .orderBy($"uri").collect()
+    assert(parsed.length == 5)
+    val byText = docs.collect().map(r =>
+      s"https://example.com/doc/${r.getLong(0)}" -> r.getString(1)).toMap
+    parsed.foreach { r =>
+      val text = byText(r.getString(0))
+      val bytes = text.getBytes("UTF-8").length.toLong
+      assert(r.getLong(2) == bytes, s"declared=${r.getLong(2)} want=$bytes")
+      assert(r.getLong(3) == bytes, "captured bytes != declared")
+      assert(r.getLong(4) == graft.ops.PortableHash.jvmStringHash(text),
+        s"payload content hash diverged for ${r.getString(0)}")
+      assert(bytes > text.length, "fixture must be multi-byte to prove anything")
+    }
+    // the CHARACTER-based reader on the same BYTE-declared container:
+    // its substring(payload, 1, content_length) bound over-reads past
+    // the payload into the record terminator on every multi-byte row —
+    // the documented reason parseWarcBytes exists
+    val charParsed = CorpusIO.parseWarc(
+        blobs.select($"blob_id", decode($"blob", "UTF-8").as("blob")), "blob")
+      .orderBy($"uri").collect()
+    val overRead = charParsed.filter { r =>
+      val text = byText(r.getString(0))
+      r.getLong(3) != text.length.toLong ||
+        r.getLong(4) != graft.ops.PortableHash.jvmStringHash(text)
+    }
+    assert(overRead.length == charParsed.length,
+      s"char-based parse should mis-capture EVERY multi-byte record, got ${overRead.length}/${charParsed.length}")
+  }
 }
