@@ -672,6 +672,67 @@ object TextAnalysis {
        |  len(regexp_extract_all($text, '$longNumRe')) AS n_longnums
        |FROM $table""".stripMargin
 
+  // ================= CJK-robust word grain =============================
+
+  /** Codepoint ranges of the unsegmented scripts — Han (incl. Ext A),
+    * Hiragana, Katakana, Thai — as a regex character-class INTERIOR
+    * with LITERAL endpoints: the same bytes mean the same class under
+    * Java regex and DuckDB's RE2, where the NAMED script classes do
+    * not (`\p{IsHan}` vs `\p{Han}`, against different Unicode
+    * versions). Whitespace tokenization silently degrades on these
+    * scripts (a zh sentence is one "word"); the standard IR fallback
+    * is each such codepoint as its own token.
+    */
+  private val cjkRangeInterior: String =
+    Seq((0x3400, 0x4DBF), (0x4E00, 0x9FFF), (0x3040, 0x309F),
+        (0x30A0, 0x30FF), (0x0E00, 0x0E7F))
+      .map { case (a, b) => s"${a.toChar}-${b.toChar}" }.mkString
+
+  /** One unsegmented-script codepoint. */
+  val cjkCharClass: String = s"[$cjkRangeInterior]"
+
+  /** Token alternation: one unsegmented-script codepoint, or a run of
+    * non-space non-unsegmented characters (space stays the separator —
+    * the engine-wide whitespace convention).
+    */
+  val cjkTokenPattern: String = s"$cjkCharClass|[^ $cjkRangeInterior]+"
+
+  /** Script-dominance predicate: unsegmented-script codepoints are at
+    * least half the non-space characters AND present at all (the
+    * presence guard keeps empty/whitespace-only docs on the ws grain,
+    * where `split` yields the [''] singleton both engines expect).
+    */
+  private def cjkDominantSpark(text: String): String = {
+    val ncjk = s"(length($text) - length(regexp_replace($text, '$cjkCharClass', '')))"
+    s"(2 * $ncjk >= length(replace($text, ' ', '')) AND $ncjk > 0)"
+  }
+  private def cjkDominantDuck(text: String): String = {
+    val ncjk = s"(length($text) - length(regexp_replace($text, '$cjkCharClass', '', 'g')))"
+    s"(2 * $ncjk >= length(replace($text, ' ', '')) AND $ncjk > 0)"
+  }
+
+  /** Script-dominance-ROUTED token array (the `cjk-auto` word grain):
+    * rows dominated by unsegmented scripts tokenize per
+    * [[cjkTokenPattern]], everything else keeps the whitespace grain.
+    * `keepEmpties` preserves the Gopher gate's split-with-empties ws
+    * convention; BM25's grain drops them. Per-row constant-pattern
+    * projection — zero shuffle, streaming-safe.
+    */
+  def routedTokensSpark(text: String, keepEmpties: Boolean): String = {
+    val ws = if (keepEmpties) s"split($text, ' ')"
+             else s"array_remove(split($text, ' '), '')"
+    s"IF(${cjkDominantSpark(text)}, " +
+      s"regexp_extract_all($text, '$cjkTokenPattern', 0), $ws)"
+  }
+
+  /** DuckDB twin of [[routedTokensSpark]]. */
+  def routedTokensDuck(text: String, keepEmpties: Boolean): String = {
+    val ws = if (keepEmpties) s"string_split($text, ' ')"
+             else s"list_filter(string_split($text, ' '), w -> w <> '')"
+    s"CASE WHEN ${cjkDominantDuck(text)} " +
+      s"THEN regexp_extract_all($text, '$cjkTokenPattern') ELSE $ws END"
+  }
+
   /** Gopher-style document-level quality rules (Rae et al. 2021, §A1.1 —
     * public paper): word-count bounds, mean-word-length bounds, symbol-
     * to-word ratio ('#' and '...'), fraction of words with an alphabetic
@@ -690,7 +751,18 @@ object TextAnalysis {
                   maxSymbolRatio: Double = 0.1, minAlphaWordRatio: Double = 0.8,
                   minStopHits: Int = 2, maxBulletRatio: Double = 0.9,
                   maxEllipsisRatio: Double = 0.3,
-                  carry: Seq[String] = Nil): DataFrame = {
+                  carry: Seq[String] = Nil,
+                  wordGrain: String = "ws"): DataFrame = {
+    require(wordGrain == "ws" || wordGrain == "cjk-auto",
+      s"wordGrain must be 'ws' or 'cjk-auto', got $wordGrain")
+    // cjk-auto routes through the declarative form: the byte-scan
+    // kernel implements the whitespace grain only (a routed kernel is
+    // future work if the CJK path ever becomes hot — the routing
+    // predicate itself is one constant-pattern regexp per row)
+    if (wordGrain == "cjk-auto")
+      return gopherRulesHof(df, id, text, minWords, maxWords, minMeanLen,
+        maxMeanLen, maxSymbolRatio, minAlphaWordRatio, minStopHits,
+        maxBulletRatio, maxEllipsisRatio, carry, wordGrain)
     // COMPILED form (round 10): the whole rule set is one
     // `graft_gopher_flags` byte scan ([[graft.functions.GopherOps]],
     // GopherKernelSpec fuzz-pins it bit-equal to [[gopherRulesHof]] —
@@ -722,12 +794,18 @@ object TextAnalysis {
                      maxSymbolRatio: Double = 0.1, minAlphaWordRatio: Double = 0.8,
                      minStopHits: Int = 2, maxBulletRatio: Double = 0.9,
                      maxEllipsisRatio: Double = 0.3,
-                     carry: Seq[String] = Nil): DataFrame = {
+                     carry: Seq[String] = Nil,
+                     wordGrain: String = "ws"): DataFrame = {
     // `carry` passes extra input columns through the projection so fused
     // pipelines can keep text/source in the SAME single scan (Catalyst
     // collapses the adjacent Projects) instead of re-scanning to re-join
     val stop = markerList(gopherStops, "spark")
-    val w = s"split($text, ' ')"
+    // cjk-auto: script-dominated rows tokenize per codepoint (the ws
+    // grain returns n_words=1 on unsegmented zh/ja/th text — every
+    // word-count bound and ratio below silently degrades); keepEmpties
+    // preserves the gate's split-with-empties convention on the ws path
+    val w = if (wordGrain == "cjk-auto") routedTokensSpark(text, keepEmpties = true)
+            else s"split($text, ' ')"
     val l = s"split($text, chr(10))"
     graft.functions.VectorFunctions.attach(df).select(
       (col(id) +: carry.map(col)) ++ Seq(
@@ -788,9 +866,11 @@ object TextAnalysis {
                      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
                      maxSymbolRatio: Double = 0.1, minAlphaWordRatio: Double = 0.8,
                      minStopHits: Int = 2, maxBulletRatio: Double = 0.9,
-                     maxEllipsisRatio: Double = 0.3): String = {
+                     maxEllipsisRatio: Double = 0.3,
+                     wordGrain: String = "ws"): String = {
     val stop = markerList(gopherStops, "duck")
-    val w = s"string_split($text, ' ')"
+    val w = if (wordGrain == "cjk-auto") routedTokensDuck(text, keepEmpties = true)
+            else s"string_split($text, ' ')"
     val l = s"string_split($text, chr(10))"
     s"""SELECT $id, n_words, r_words, r_mean_len, r_symbol, r_alpha, r_stop,
        |  r_bullet, r_ellipsis,
@@ -1384,16 +1464,31 @@ object TextAnalysis {
     * on both engines.
     */
   def bm25TopK(docs: DataFrame, id: String, text: String,
-               terms: Seq[String], k: Int = 20): DataFrame = {
+               terms: Seq[String], k: Int = 20,
+               wordGrain: String = "ws"): DataFrame = {
     require(terms.nonEmpty && terms.forall(t => t.nonEmpty && !t.contains("'")),
       "terms must be non-empty and quote-free")
+    require(wordGrain == "ws" || wordGrain == "cjk-auto",
+      s"wordGrain must be 'ws' or 'cjk-auto', got $wordGrain")
     val termArr = terms.map(t => s"'$t'").mkString("array(", ", ", ")")
     val perDoc = Caches.lease(
-      graft.functions.VectorFunctions.attach(docs)
-        .select(col(id), expr(s"graft_term_counts($text, $termArr)").as("__tc"))
-        .select(col(id) +: (expr("element_at(__tc, 1)").as("dl") +:
-          terms.indices.map(i =>
-            expr(s"element_at(__tc, ${i + 2})").as(s"tf$i"))): _*))
+      if (wordGrain == "cjk-auto")
+        // routed grain (script-dominated rows tokenize per codepoint —
+        // single-codepoint query terms then match): declarative path;
+        // tf via native array_remove length-diff, no interpreted HOF
+        graft.functions.VectorFunctions.attach(docs)
+          .select(col(id),
+            expr(routedTokensSpark(text, keepEmpties = false)).as("__ws"))
+          .select(col(id) +: (expr("CAST(size(__ws) AS BIGINT)").as("dl") +:
+            terms.indices.map(i =>
+              expr(s"CAST(size(__ws) - size(array_remove(__ws, '${terms(i)}')) AS BIGINT)")
+                .as(s"tf$i"))): _*)
+      else
+        graft.functions.VectorFunctions.attach(docs)
+          .select(col(id), expr(s"graft_term_counts($text, $termArr)").as("__tc"))
+          .select(col(id) +: (expr("element_at(__tc, 1)").as("dl") +:
+            terms.indices.map(i =>
+              expr(s"element_at(__tc, ${i + 2})").as(s"tf$i"))): _*))
     val meta = perDoc.agg(
       count(lit(1)).as("n"),
       (sum(col("dl")).as("sum_dl") +:
@@ -1419,7 +1514,11 @@ object TextAnalysis {
     * here is non-negative, where the two agree).
     */
   def bm25TopKSql(table: String, id: String, text: String,
-                  terms: Seq[String], k: Int = 20): String = {
+                  terms: Seq[String], k: Int = 20,
+                  wordGrain: String = "ws"): String = {
+    val wsExpr =
+      if (wordGrain == "cjk-auto") routedTokensDuck(text, keepEmpties = false)
+      else s"list_filter(string_split($text, ' '), w -> w <> '')"
     val tfCols = terms.indices.map(i =>
       s"len(list_filter(ws, w -> w = '${terms(i)}')) AS tf$i").mkString(", ")
     val dfCols = terms.indices.map(i =>
@@ -1431,7 +1530,7 @@ object TextAnalysis {
     val nMatched = terms.indices.map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH per_doc AS (
        |  SELECT $id, len(ws)::BIGINT AS dl, $tfCols
-       |  FROM (SELECT $id, list_filter(string_split($text, ' '), w -> w <> '') AS ws
+       |  FROM (SELECT $id, $wsExpr AS ws
        |        FROM $table)),
        |meta AS (
        |  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sum_dl, $dfCols

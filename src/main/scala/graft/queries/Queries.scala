@@ -247,6 +247,19 @@ object Queries {
     */
   private val mbSuffix: String = " é 中 😀"
 
+  /** zh fixture for the cjk-auto word-grain queries: every 3rd doc
+    * re-rendered as UNSEGMENTED Han text — letters mapped 1:1 onto Han
+    * codepoints (the 26 most frequent hanzi), spaces removed — so the
+    * whitespace grain provably returns n_words = 1 on those rows while
+    * the routed grain tokenizes per codepoint. translate() maps
+    * codepoint-for-codepoint in both dialects.
+    */
+  private val han26: String = "的一是不了人我在有他这为之大来以个中上们到说国和地也"
+  private val zhFixtureSpark: String =
+    s"IF(doc_id % 3 = 0, replace(translate(lower(text), 'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', ''), text)"
+  private val zhFixtureDuck: String =
+    s"CASE WHEN doc_id % 3 = 0 THEN replace(translate(lower(text), 'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', '') ELSE text END"
+
   val all: Seq[QueryDef] = Seq(
 
     // ================= relational core (scan/filter/agg/join/window) ====
@@ -1917,6 +1930,19 @@ object Queries {
         t(s, dir, "documents"), "doc_id", "text", minWords = 50),
       Some(TextAnalysis.gopherRulesSql("documents", "doc_id", "text", minWords = 50))),
 
+    // the Gopher gate on the cjk-auto word grain over the zh fixture:
+    // script-dominated rows (every 3rd doc, unsegmented Han) tokenize
+    // per codepoint — the whitespace grain returns n_words = 1 on them
+    // and every bound silently degrades; the routed grain restores a
+    // real word count, so the minWords rule does actual work on zh rows
+    QueryDef("text_gopher_rules_cjk",
+      (s, dir) => TextAnalysis.gopherRules(
+        t(s, dir, "documents").withColumn("text", expr(zhFixtureSpark)),
+        "doc_id", "text", minWords = 50, wordGrain = "cjk-auto"),
+      Some(TextAnalysis.gopherRulesSql(
+        s"(SELECT doc_id, $zhFixtureDuck AS text FROM documents)",
+        "doc_id", "text", minWords = 50, wordGrain = "cjk-auto"))),
+
     // THE END-TO-END CURATION DAG as one declarative plan: classifier
     // keep ∧ Gopher rules ∧ language ∧ exact-dedup keeper ∧ not
     // benchmark-contaminated → train/val/test assignment → per-(split,
@@ -2125,6 +2151,21 @@ object Queries {
         "doc_id", "text", terms = Seq("dup", "vector", "spark"), k = 25),
       Some(TextAnalysis.bm25TopKSql("documents",
         "doc_id", "text", terms = Seq("dup", "vector", "spark"), k = 25))),
+
+    // BM25 retrieval on the cjk-auto grain over the zh fixture:
+    // single-codepoint Han query terms (的=translated 'a', 中='r') only
+    // match at all because the routed grain tokenizes unsegmented rows
+    // per codepoint — on the whitespace grain every zh doc is one giant
+    // token, tf = 0 corpus-wide, and the result set is empty
+    QueryDef("text_bm25_topk_cjk",
+      (s, dir) => TextAnalysis.bm25TopK(
+        t(s, dir, "documents").withColumn("text", expr(zhFixtureSpark)),
+        "doc_id", "text", terms = Seq("的", "中", "是"), k = 25,
+        wordGrain = "cjk-auto"),
+      Some(TextAnalysis.bm25TopKSql(
+        s"(SELECT doc_id, $zhFixtureDuck AS text FROM documents)",
+        "doc_id", "text", terms = Seq("的", "中", "是"), k = 25,
+        wordGrain = "cjk-auto"))),
 
     // Per-doc top-3 TF-IDF keywords: the tagging primitive next to
     // BM25's retrieval leg (which docs match -> which terms

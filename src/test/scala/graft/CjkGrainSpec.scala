@@ -1,0 +1,78 @@
+package graft
+
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Pins the cjk-auto word grain ([[TextAnalysis.routedTokensSpark]] and
+  * its consumers): script-dominance routing, per-codepoint
+  * tokenization on unsegmented text, and — the reason the grain exists
+  * — that the whitespace form PROVABLY returns n_words = 1 on a zh
+  * fixture where the routed form counts real tokens.
+  */
+class CjkGrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val zh = "这是一个没有空格的中文句子"         // 13 Han codepoints, no spaces
+  private val en = "plain english words only"
+
+  test("zh fixture: whitespace grain returns n_words = 1, routed grain counts codepoints") {
+    val df = Seq((1L, zh)).toDF("doc_id", "text")
+    val ws = TextAnalysis.gopherRules(df, "doc_id", "text", minWords = 2)
+      .select($"n_words").as[Int].head()
+    assert(ws == 1, s"whitespace grain must see ONE word on unsegmented zh, got $ws")
+    val routed = TextAnalysis.gopherRules(df, "doc_id", "text", minWords = 2,
+        wordGrain = "cjk-auto")
+      .select($"n_words").as[Int].head()
+    assert(routed == zh.length, s"routed grain must count codepoints, got $routed")
+    // and the minWords rule now does real work on the zh row
+    val keep = TextAnalysis.gopherRules(df, "doc_id", "text", minWords = 2,
+        wordGrain = "cjk-auto").select($"r_words").as[Int].head()
+    assert(keep == 1)
+  }
+
+  test("routing: english rows keep the exact whitespace tokenization; latin runs inside zh stay units") {
+    val df = Seq((1L, en), (2L, s"${zh}abc$zh")).toDF("doc_id", "text")
+    val toks = df.select($"doc_id",
+        expr(TextAnalysis.routedTokensSpark("text", keepEmpties = true)).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(toks(1L) == en.split(' ').toSeq, "non-dominated rows must keep the ws grain")
+    // 26 Han codepoints + the embedded ascii run as ONE token
+    assert(toks(2L).size == 2 * zh.length + 1)
+    assert(toks(2L).contains("abc"))
+  }
+
+  test("dominance boundary: >= half of non-space chars, and empty/ascii-only rows never route") {
+    // exactly half: 2 cjk, 2 ascii, no space -> routes (>= semantics)
+    val half = Seq((1L, "中文ab")).toDF("doc_id", "text")
+      .select(expr(TextAnalysis.routedTokensSpark("text", keepEmpties = true)).as("t"))
+      .as[Seq[String]].head()
+    assert(half == Seq("中", "文", "ab"))
+    // below half: 1 cjk, 3 ascii -> ws grain (one token, split on space)
+    val below = Seq((1L, "中abc")).toDF("doc_id", "text")
+      .select(expr(TextAnalysis.routedTokensSpark("text", keepEmpties = true)).as("t"))
+      .as[Seq[String]].head()
+    assert(below == Seq("中abc"))
+    // empty and whitespace-only: presence guard keeps the [''] ws shape
+    val degenerate = Seq((1L, ""), (2L, "  ")).toDF("doc_id", "text")
+      .select($"doc_id",
+        expr(TextAnalysis.routedTokensSpark("text", keepEmpties = true)).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(degenerate(1L) == Seq(""))
+    assert(degenerate(2L) == Seq("", "", ""))
+  }
+
+  test("bm25 cjk-auto: single-codepoint Han terms retrieve zh docs; ws grain retrieves nothing") {
+    val docs = Seq(
+      (1L, zh), (2L, zh + zh), (3L, en), (4L, "词只出现一次")
+    ).toDF("doc_id", "text")
+    val routed = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      terms = Seq("中", "一"), k = 10, wordGrain = "cjk-auto")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(routed.nonEmpty && routed.subsetOf(Set(1L, 2L, 4L)),
+      s"Han terms must hit only the zh docs, got $routed")
+    val ws = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      terms = Seq("中", "一"), k = 10)
+      .select($"doc_id").as[Long].collect()
+    assert(ws.isEmpty, "on the ws grain every zh doc is one token - tf must be 0 corpus-wide")
+  }
+}
