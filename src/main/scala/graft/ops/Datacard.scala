@@ -53,6 +53,126 @@ object Datacard {
           |) AS (metric, value)""".stripMargin))
   }
 
+  /** [[datacard]] with an APPROXIMATE unique-text count — the 100 TB
+    * form. The exact card's `countDistinct(digest)` is its one
+    * corpus-sized exchange (every distinct digest crosses the wire in
+    * the two-phase expand); here the distinct count rides the same
+    * parameterized HLL sketch as [[Stats.hllRegisters]] (m = 2^p
+    * registers, standard error 1.04/√m), folded INTO the card's single
+    * global aggregation as m per-register `max` aggregates — so the
+    * whole card is one scan, one partial-agg exchange of O(m) longs,
+    * zero joins, strictly cheaper than the exact card it approximates.
+    *
+    * Estimator discipline (same as [[Stats.hllAccuracy]]): Σ 2^−rho is
+    * held as the exact integer Σ 2^((62−p)−rho); the only floating
+    * step is the final α·m²·2^s / sum quotient — exactly-representable
+    * operands, bit-identical cross-engine — rounded to an integer
+    * BEFORE the BIGINT cast (DuckDB's double→BIGINT cast rounds where
+    * Spark's truncates; an integral double casts identically). The RAW
+    * estimate is published (no linear-counting log — libm is a
+    * cross-engine drift risk); `hll_n_zero_registers` rides along so
+    * the small-range regime is visible on the card, and `hll_p`
+    * documents the error band (±1.04/√m standard error on
+    * `n_unique_texts_est`, hence on `dup_milli_est`). The estimate is
+    * clamped to n_docs for the dup rate so the published rate stays a
+    * rate.
+    */
+  def datacardApprox(df: DataFrame, id: String, text: String,
+                     p: Int = Stats.HllP): DataFrame = {
+    val (m, w1) = Stats.hllShape(p)
+    val s = 62 - p
+    val numer = Stats.hllAlphaMilli(p) * m * m
+    val pow2s = 1L << s
+    val flagged = TextAnalysis.gopherRules(df, id, text, carry = Seq(text))
+    val perRow = flagged
+      .select(col("keep").cast("long").as("__keep"),
+        expr(s"graft_token_count($text)").cast("long").as("__tok"),
+        length(col(text)).cast("long").as("__chars"),
+        expr(PortableHash.sparkStringHash(text)).as("__h"),
+        (expr(TextAnalysis.langPredExpr(text)) === "en").cast("long").as("__en"))
+      .select(col("__keep"), col("__tok"), col("__chars"), col("__en"),
+        (col("__h") % m).as("__reg"),
+        expr(s"IF(__h div $m = 0, $w1, $w1 - length(bin(__h div $m)))")
+          .cast("int").as("__rho"))
+    val regAggs = (0 until m).map(r =>
+      coalesce(max(when(col("__reg") === r, col("__rho"))), lit(0))
+        .as(s"__r$r"))
+    val sumScaled = (0 until m)
+      .map(r => s"shiftleft(CAST(1 AS BIGINT), $s - __r$r)").mkString(" + ")
+    val zeros = (0 until m)
+      .map(r => s"IF(__r$r = 0, 1L, 0L)").mkString(" + ")
+    perRow
+      .agg(count(lit(1)).as("n_docs"),
+        (Seq(coalesce(sum(col("__tok")), lit(0L)).as("n_tokens"),
+          coalesce(sum(col("__chars")), lit(0L)).as("n_chars"),
+          coalesce(sum(col("__en")), lit(0L)).as("n_en"),
+          coalesce(sum(col("__keep")), lit(0L)).as("n_pass")) ++ regAggs): _*)
+      .withColumn("__sum", expr(sumScaled))
+      .withColumn("__zeros", expr(zeros))
+      .withColumn("__est", expr(
+        s"IF(n_docs = 0, 0L, CAST(round(CAST($numer AS DOUBLE) * " +
+          s"CAST($pow2s AS DOUBLE) / __sum / 1000.0D) AS BIGINT))"))
+      .select(expr(
+        s"""stack(10,
+           |  'n_docs', n_docs,
+           |  'n_tokens', n_tokens,
+           |  'n_chars', n_chars,
+           |  'n_unique_texts_est', __est,
+           |  'dup_milli_est', IF(n_docs = 0, 0L, 1000 * (n_docs - least(__est, n_docs)) div n_docs),
+           |  'lang_en_milli', IF(n_docs = 0, 0L, 1000 * n_en div n_docs),
+           |  'gopher_pass_milli', IF(n_docs = 0, 0L, 1000 * n_pass div n_docs),
+           |  'mean_tokens_milli', IF(n_docs = 0, 0L, 1000 * n_tokens div n_docs),
+           |  'hll_p', CAST($p AS BIGINT),
+           |  'hll_n_zero_registers', __zeros
+           |) AS (metric, value)""".stripMargin))
+  }
+
+  /** DuckDB twin of [[datacardApprox]] — replays the identical sketch
+    * (same registers via [[Stats.hllRegistersSql]], same fixed-point
+    * estimator) at the oracle's natural register grain.
+    */
+  def datacardApproxSql(table: String, id: String, text: String,
+                        p: Int = Stats.HllP): String = {
+    val (m, _) = Stats.hllShape(p)
+    val s = 62 - p
+    val numer = Stats.hllAlphaMilli(p) * m * m
+    val pow2s = 1L << s
+    val tok = s"len(regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))"
+    def milli(num: String) =
+      s"CASE WHEN n_docs = 0 THEN 0 ELSE ($num) // n_docs END"
+    s"""WITH m AS (
+       |  SELECT count(*)::BIGINT AS n_docs,
+       |    coalesce(CAST(sum($tok) AS BIGINT), 0) AS n_tokens,
+       |    coalesce(CAST(sum(length($text)) AS BIGINT), 0) AS n_chars
+       |  FROM $table),
+       |regs AS (
+       |${Stats.hllRegistersSql(table, text, p)}),
+       |a AS (
+       |  SELECT sum(1::BIGINT << ($s - max_rho))::BIGINT AS sum_scaled,
+       |    sum(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zeros
+       |  FROM regs),
+       |e AS (
+       |  SELECT CASE WHEN m.n_docs = 0 THEN 0
+       |    ELSE CAST(round(${numer}e0 * ${pow2s}e0 / a.sum_scaled / 1000e0) AS BIGINT)
+       |    END AS est, a.n_zeros
+       |  FROM m, a),
+       |l AS (SELECT count(*)::BIGINT AS n_en FROM (
+       |${TextAnalysis.langIdSql(table, id, text)}) WHERE lang_pred = 'en'),
+       |g AS (SELECT count(*)::BIGINT AS n_pass FROM (
+       |${TextAnalysis.gopherRulesSql(table, id, text)}) WHERE keep = 1)
+       |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+       |  SELECT 'n_docs' AS metric, n_docs AS value FROM m
+       |  UNION ALL SELECT 'n_tokens', n_tokens FROM m
+       |  UNION ALL SELECT 'n_chars', n_chars FROM m
+       |  UNION ALL SELECT 'n_unique_texts_est', est FROM e
+       |  UNION ALL SELECT 'dup_milli_est', ${milli("1000 * (n_docs - least(est, n_docs))")} FROM m, e
+       |  UNION ALL SELECT 'lang_en_milli', ${milli("1000 * n_en")} FROM m, l
+       |  UNION ALL SELECT 'gopher_pass_milli', ${milli("1000 * n_pass")} FROM m, g
+       |  UNION ALL SELECT 'mean_tokens_milli', ${milli("1000 * n_tokens")} FROM m
+       |  UNION ALL SELECT 'hll_p', $p
+       |  UNION ALL SELECT 'hll_n_zero_registers', n_zeros FROM e)""".stripMargin
+  }
+
   /** DuckDB twin of [[datacard]]. */
   def datacardSql(table: String, id: String, text: String): String = {
     val tok = s"len(regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))"

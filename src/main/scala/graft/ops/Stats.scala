@@ -249,7 +249,7 @@ object Stats {
     * bounded so at least one rank bit remains and registers stay
     * metadata-sized.
     */
-  private def hllShape(p: Int): (Int, Int) = {
+  private[ops] def hllShape(p: Int): (Int, Int) = {
     require(p >= 4 && p <= 16, s"hll precision p must be in [4,16], got $p")
     (1 << p, 31 - p)
   }
@@ -258,7 +258,7 @@ object Stats {
     * INTEGER so `alphaMilli · m²` literals are exact in both engines
     * and the estimator's fixed-point arithmetic stays bit-identical.
     */
-  private def hllAlphaMilli(p: Int): Long = p match {
+  private[ops] def hllAlphaMilli(p: Int): Long = p match {
     case 4 => 673L
     case 5 => 697L
     case 6 => 709L

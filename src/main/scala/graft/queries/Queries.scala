@@ -1422,6 +1422,17 @@ object Queries {
         t(s, dir, "documents"), "doc_id", "text"),
       Some(graft.ops.Datacard.datacardSql("documents", "doc_id", "text"))),
 
+    // the datacard's 100 TB form: the exact card's one corpus-sized
+    // exchange (countDistinct of the digest) swapped for the
+    // parameterized HLL sketch folded into the card's single global
+    // agg as per-register maxes — one scan, O(m) exchange, zero joins;
+    // hll_p and the zero-register count ride on the card so the error
+    // band (±1.04/√m) is part of the published artifact
+    QueryDef("pipeline_datacard_approx",
+      (s, dir) => graft.ops.Datacard.datacardApprox(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some(graft.ops.Datacard.datacardApproxSql("documents", "doc_id", "text"))),
+
     // the blocklist filter ACTING standalone (it also runs inside
     // pipeline_crawl_ingest): registrable-domain keyed, so blocking
     // example3.co.uk drops the shop.* subdomain class with it, and

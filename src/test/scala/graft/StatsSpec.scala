@@ -63,4 +63,39 @@ class StatsSpec extends SparkSpec {
       s"only the spike is >= 3 sigma (zero-variance group b must not divide by zero): $got")
     assert(got.head._3 > 4.0)
   }
+
+  test("datacardApprox: estimate within 1.04/sqrt(m) of the exact card; empty corpus defined zeros") {
+    // 3000 docs over 1200 distinct texts with >= 50 words each (the
+    // gopher carry path needs real text); deterministic, so the
+    // observed HLL error is a fixed number this test pins inside the
+    // published standard-error band
+    val docs = (0 until 3000).map { i =>
+      val d = i % 1200
+      (i.toLong, (1 to 55).map(w => s"tok${(d * 31 + w * 7) % 500}").mkString(" ") + s" doc$d")
+    }.toDF("doc_id", "text")
+    for (p <- Seq(6, 8)) {
+      val card = graft.ops.Datacard.datacardApprox(docs, "doc_id", "text", p = p)
+        .as[(String, Long)].collect().toMap
+      val exact = graft.ops.Datacard.datacard(docs, "doc_id", "text")
+        .as[(String, Long)].collect().toMap
+      assert(exact("n_unique_texts") == 1200L)
+      val est = card("n_unique_texts_est").toDouble
+      val band = 1.04 / math.sqrt((1 << p).toDouble)
+      assert(math.abs(est - 1200.0) / 1200.0 <= band,
+        s"p=$p est=$est exact=1200 band=$band")
+      assert(card("hll_p") == p.toLong)
+      // shared metrics agree exactly with the exact card
+      Seq("n_docs", "n_tokens", "n_chars", "lang_en_milli",
+        "gopher_pass_milli", "mean_tokens_milli").foreach { k =>
+        assert(card(k) == exact(k), s"p=$p metric $k diverged")
+      }
+    }
+    // empty corpus: defined zeros (raw HLL on an empty sketch is alpha*m,
+    // NOT zero - the n_docs guard must win)
+    val empty = graft.ops.Datacard.datacardApprox(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(empty("n_unique_texts_est") == 0L && empty("dup_milli_est") == 0L)
+    assert(empty("hll_n_zero_registers") == 64L)
+  }
 }
