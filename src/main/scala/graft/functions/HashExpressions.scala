@@ -413,6 +413,27 @@ case class NormalizeText(child: Expression) extends StringCountExpression {
     copy(child = c)
 }
 
+/** `graft_lower_collapse(text)`: Spark-semantics lowercase + whitespace
+  * collapse + trim as one scan ([[HashOps.lowerCollapse]]) — the
+  * compiled form of the user-authored
+  * `trim(regexp_replace(lower(t), '[ \t\n\r\f]+', ' '))` chain that
+  * [[graft.plans.KernelizeTextOps]] rewrites (`vt` is the `'\s+'`
+  * spelling, whose class also collapses U+000B).
+  */
+case class LowerCollapse(child: Expression, vt: Boolean = false)
+    extends StringCountExpression {
+  override def prettyName: String = "graft_lower_collapse"
+  override def dataType: DataType = StringType
+  override def nullSafeEval(s: Any): Any =
+    HashOps.lowerCollapse(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], vt)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.HashOps.lowerCollapse($s, $vt);")
+  override protected def withNewChildInternal(c: Expression): LowerCollapse =
+    copy(child = c)
+}
+
 /** `graft_hash_embed_text(text, dim)`: tokenize-and-embed fused
   * ([[HashOps.hashEmbedText]]) — the whole-doc vector-leg projection as
   * one byte scan, bit-equal to

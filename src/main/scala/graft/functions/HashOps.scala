@@ -88,6 +88,40 @@ object HashOps {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Spark-semantics lowercase + whitespace collapse + trim in ONE
+    * scan — the compiled form of the chain a Spark user actually
+    * authors, `trim(regexp_replace(lower(t), '[ \t\n\r\f]+', ' '))`
+    * (no declarative NFC exists in Spark SQL, and `lower()` is FULL
+    * Unicode, so this is deliberately a different op from
+    * [[normalizeText]]'s oracle-portable ASCII fold — the rewrite rule
+    * must stay value-invariant against what the user wrote).
+    * `vt` adds U+000B (vertical tab) to the collapse set — the `'\\s+'` spelling of
+    * the same chain (Java `\s` includes vertical tab). Non-class
+    * whitespace is emitted verbatim, and only collapse-produced
+    * spaces can lead/trail, exactly as the replace-then-trim(0x20)
+    * chain behaves.
+    */
+  def lowerCollapse(s: UTF8String, vt: Boolean): UTF8String = {
+    val low = s.toLowerCase.toString // Spark Lower's own mapping
+    val sb = new java.lang.StringBuilder(low.length)
+    var pendingSpace = false
+    var started = false
+    var i = 0
+    while (i < low.length) {
+      val c = low.charAt(i)
+      val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
+        c == '\f' || (vt && c == '\u000B')
+      if (isWs) pendingSpace = true
+      else {
+        if (pendingSpace && started) sb.append(' ')
+        pendingSpace = false; started = true
+        sb.append(c)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** md5-based H over a byte range (no UTF8String allocation). */
   private def hashRange(b: Array[Byte], off: Int, len: Int): Long = {
     val d = md.get(); d.reset()

@@ -230,6 +230,8 @@ object VectorFunctions {
       (e: Seq[Expression]) => HashEmbedText(e(0), intLit(e(1), "graft_hash_embed_text"))),
     "graft_normalize" -> (classOf[NormalizeText],
       (e: Seq[Expression]) => NormalizeText(e(0))),
+    "graft_lower_collapse" -> (classOf[LowerCollapse],
+      (e: Seq[Expression]) => LowerCollapse(e(0))),
     "graft_dsir_buckets" -> (classOf[DsirBuckets],
       (e: Seq[Expression]) => DsirBuckets(e(0), intLit(e(1), "graft_dsir_buckets"))),
     "graft_bucket_score" -> (classOf[BucketScore],
@@ -279,6 +281,7 @@ object VectorFunctions {
     "graft_classifier_logit" -> 2, "graft_classifier_logit_t" -> 1,
     "graft_stop_count" -> 2, "graft_term_counts" -> 2, "graft_hash_embed" -> 2,
     "graft_hash_embed_text" -> 2, "graft_normalize" -> 1,
+    "graft_lower_collapse" -> 1,
     "graft_dsir_buckets" -> 2, "graft_bucket_score" -> 2,
     "graft_backoff_stats" -> 7, "graft_binary_sketch" -> 2,
     "graft_word_count" -> 1, "graft_url_canon" -> 1, "graft_lang_scores" -> 1,

@@ -18,6 +18,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *     gap is ~32s vs ~0.4s (the DSIR denominator finding).
   *   - `size(regexp_extract_all(t, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0))`
   *     → `graft_token_count(t)` — the BPE-ish token-class count.
+  *   - `trim(regexp_replace(lower(t), <ws-class>, ' '))` →
+  *     `graft_lower_collapse(t)` — the normalization chain a Spark
+  *     user actually authors, fused to one scan. Accepted ws-class
+  *     spellings: `[ \t\n\r\f]+` (escaped or literal control chars)
+  *     and `\s+` (whose Java class also collapses U+000B — the kernel's
+  *     `vt` flag). NOT rewritten to `graft_normalize`: no declarative
+  *     NFC exists in Spark SQL, and `lower()` is full-Unicode where
+  *     that kernel's oracle-portable fold is ASCII-only — the rewrite
+  *     must stay value-invariant against what the user wrote.
   *
   * Safety: both kernels are spec-pinned bit-equal to exactly these
   * declarative forms (VectorFunctionsSpec / HashOpsPropertySpec), and
@@ -58,6 +67,25 @@ object KernelizeTextOps extends Rule[LogicalPlan] {
     case Size(RegExpExtractAll(t, re, Literal(0, IntegerType)), false)
         if lit(re, TokenClasses) =>
       graft.functions.TokenCount(t)
+
+    case StringTrim(
+        RegExpReplace(Lower(t), re, rep, Literal(1, IntegerType)), None)
+        if lit(rep, " ") && wsClassOf(re).isDefined =>
+      graft.functions.LowerCollapse(t, vt = wsClassOf(re).get)
+  }
+
+  /** `Some(vt)` when the regex literal is an accepted whitespace-run
+    * class: the project's documented class (escaped or as literal
+    * control characters — SQL literal parsing produces either) → the
+    * plain collapse set, `\s+` → the set including U+000B.
+    */
+  private def wsClassOf(re: Expression): Option[Boolean] = re match {
+    case Literal(s: UTF8String, StringType) => s.toString match {
+      case "[ \\t\\n\\r\\f]+" | "[ \t\n\r\f]+" => Some(false)
+      case "\\s+" => Some(true)
+      case _ => None
+    }
+    case _ => None
   }
 
   /** Runtime installation (idempotent) — the `experimental` analog of

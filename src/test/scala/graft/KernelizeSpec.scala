@@ -57,6 +57,36 @@ class KernelizeSpec extends SparkSpec {
     }
   }
 
+  test("normalize shape rewrites to graft_lower_collapse; values unchanged incl. unicode case and VT") {
+    // fixture variation the corpus lacks: uppercase unicode (lower() is
+    // FULL unicode), tabs/newlines/VT, leading/trailing runs
+    val fix = () => docs().selectExpr("doc_id",
+      "concat('  ÉΣA\tBc\n ', text, '   ') AS t")
+    for ((q, wantVt) <- Seq(
+      ("trim(regexp_replace(lower(t), '[ \\t\\n\\r\\f]+', ' ')) AS n", false),
+      ("trim(regexp_replace(lower(t), '\\\\s+', ' ')) AS n", true))) {
+      val baseline = fix().selectExpr("doc_id", q).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      withRule {
+        val df = fix().selectExpr("doc_id", q)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("graft_lower_collapse"),
+          s"normalize chain must kernelize (vt=$wantVt):\n$plan")
+        assert(!plan.contains("regexp_replace"),
+          s"the three-op chain must be gone:\n$plan")
+        val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(got === baseline, s"rewrite must be value-invariant (vt=$wantVt)")
+      }
+    }
+    // the two ws-class spellings genuinely differ on VT — prove the
+    // fixture exercises that (so value-invariance above is not vacuous)
+    val a = fix().selectExpr("trim(regexp_replace(lower(t), '[ \\t\\n\\r\\f]+', ' ')) AS n")
+      .limit(1).collect().head.getString(0)
+    val b = fix().selectExpr("trim(regexp_replace(lower(t), '\\\\s+', ' ')) AS n")
+      .limit(1).collect().head.getString(0)
+    assert(a != b, "fixture must distinguish the VT-including class")
+  }
+
   test("conservative match: other separators, predicates, regexes, and legacy-size stay declarative") {
     withRule {
       for (q <- Seq(
