@@ -61,9 +61,13 @@ class KernelizeSpec extends SparkSpec {
     // fixture variation the corpus lacks: uppercase unicode (lower() is
     // FULL unicode), tabs/newlines/VT, leading/trailing runs
     val fix = () => docs().selectExpr("doc_id",
-      "concat('  ÉΣA\tBc\n ', text, '   ') AS t")
+      "concat('  ÉΣA\tBc', chr(11), '\n ', text, '   ') AS t")
+    // SQL-authored fixtures. Spark's SQL string unescaper recognizes
+    // \t \n \r but NOT \f (that backslash is silently dropped), so the
+    // escape-sequence class needs DOUBLE backslashes in the SQL text to
+    // survive unescaping as the regex-escape spelling the rule accepts.
     for ((q, wantVt) <- Seq(
-      ("trim(regexp_replace(lower(t), '[ \\t\\n\\r\\f]+', ' ')) AS n", false),
+      ("trim(regexp_replace(lower(t), '[ \\\\t\\\\n\\\\r\\\\f]+', ' ')) AS n", false),
       ("trim(regexp_replace(lower(t), '\\\\s+', ' ')) AS n", true))) {
       val baseline = fix().selectExpr("doc_id", q).collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -78,9 +82,35 @@ class KernelizeSpec extends SparkSpec {
         assert(got === baseline, s"rewrite must be value-invariant (vt=$wantVt)")
       }
     }
-    // the two ws-class spellings genuinely differ on VT — prove the
-    // fixture exercises that (so value-invariance above is not vacuous)
-    val a = fix().selectExpr("trim(regexp_replace(lower(t), '[ \\t\\n\\r\\f]+', ' ')) AS n")
+    // DataFrame-API fixture: the literal-control-character spelling of
+    // the class (this path has no SQL unescaping layer)
+    locally {
+      import org.apache.spark.sql.functions.{col, lower, regexp_replace, trim}
+      val build = () => fix().select(col("doc_id"),
+        trim(regexp_replace(lower(col("t")), "[ \t\n\r\f]+", " ")).as("n"))
+      val baseline = build().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      withRule {
+        val df = build()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("graft_lower_collapse"),
+          s"DataFrame-API literal-control-char class must kernelize:\n$plan")
+        val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(got === baseline, "rewrite must be value-invariant (API spelling)")
+      }
+    }
+    // NEGATIVE: the single-backslash SQL spelling unescapes to a class
+    // containing the LETTER f ('[ <TAB><LF><CR>f]+'); collapsing runs of
+    // "f" is different semantics — the rule must refuse it
+    withRule {
+      val plan = fix().selectExpr("doc_id",
+        "trim(regexp_replace(lower(t), '[ \\t\\n\\r\\f]+', ' ')) AS n")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("graft_lower_collapse"),
+        s"letter-f class (mis-escaped SQL) must stay declarative:\n$plan")
+    }
+    // the two ws-class spellings genuinely differ on VT — the fixture
+    // plants U+000B, so value-invariance above is not vacuous
+    val a = fix().selectExpr("trim(regexp_replace(lower(t), '[ \\\\t\\\\n\\\\r\\\\f]+', ' ')) AS n")
       .limit(1).collect().head.getString(0)
     val b = fix().selectExpr("trim(regexp_replace(lower(t), '\\\\s+', ' ')) AS n")
       .limit(1).collect().head.getString(0)
