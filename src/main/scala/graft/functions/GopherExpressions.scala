@@ -27,47 +27,117 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - BETWEEN is inclusive on both ends.
   * Output: ARRAY<INT> [n_words, r_words, r_mean_len, r_symbol,
   * r_alpha, r_stop, r_bullet, r_ellipsis].
+  *
+  * `cjkAuto = true` compiles the script-dominance-routed word grain
+  * ([[graft.ops.TextAnalysis.routedTokensSpark]]) into the same byte
+  * scan: rows where unsegmented-script codepoints are at least half
+  * the non-space characters tokenize per codepoint (Han/kana/Thai
+  * char each its own token, runs of other non-space chars one token),
+  * and on exactly those rows the English-calibrated mean-word-length
+  * and stop-word rules are EXEMPT (flag = 1: mean codepoint length is
+  * ~1 and the stop list is English — both would reject every routed
+  * row by construction) while the alpha-word rule widens its letter
+  * class to include the unsegmented scripts, so it still rejects
+  * symbol/digit soup. Bit-parity against the routed declarative
+  * construction is pinned by GopherKernelSpec's cjk block.
   */
 object GopherOps {
+  // must stay equal to TextAnalysis.cjkRanges (shared dominance +
+  // token semantics); object init in TextAnalysis asserts the link
+  val cjkRanges: Array[Int] = Array(
+    0x3400, 0x4DBF, 0x4E00, 0x9FFF, 0x3040, 0x309F,
+    0x30A0, 0x30FF, 0x0E00, 0x0E7F)
+
+  // 64K-entry membership table: one array load per char instead of a
+  // 5-range comparison ladder (the scan's hottest instruction; all
+  // ranges are BMP, surrogate code units fall outside them so
+  // supplementary-plane codepoints correctly never match)
+  private val cjkBit: Array[Boolean] = {
+    val b = new Array[Boolean](0x10000)
+    var k = 0
+    while (k < cjkRanges.length) {
+      var c = cjkRanges(k)
+      while (c <= cjkRanges(k + 1)) { b(c) = true; c += 1 }
+      k += 2
+    }
+    b
+  }
+
+  @inline private def isCjk(c: Char): Boolean = cjkBit(c)
+
   def flags(text: UTF8String,
             minWords: Int, maxWords: Int,
             minMeanLen: Double, maxMeanLen: Double,
             maxSymbolRatio: Double, minAlphaWordRatio: Double,
             minStopHits: Int, maxBulletRatio: Double, maxEllipsisRatio: Double,
-            stop: java.util.HashSet[String]): ArrayData = {
+            stop: java.util.HashSet[String], cjkAuto: Boolean): ArrayData = {
     val s = text.toString
-    val words = s.split(" ", -1)
     val lines = s.split("\n", -1)
-    val nW = words.length
     val nL = lines.length
-    val nWd = nW.toDouble
 
     val lenCp = s.codePointCount(0, s.length)
-    var spaces = 0; var hashes = 0
+    var spaces = 0; var hashes = 0; var ncjk = 0
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == ' ') spaces += 1 else if (c == '#') hashes += 1
+      // >= lowest range start: ASCII/Latin text short-circuits on one
+      // compare instead of paying the membership load per char
+      if (cjkAuto && c >= 0x0E00 && isCjk(c)) ncjk += 1
       i += 1
     }
+    // dominance: unsegmented codepoints >= half the non-space
+    // CODEPOINTS and present at all (ranges are BMP, so the char count
+    // is the codepoint count; non-space codepoints = lenCp - spaces)
+    val routed = cjkAuto && ncjk > 0 && 2 * ncjk >= lenCp - spaces
+
     // non-overlapping '...' occurrences = chars replace() removes / 3
     var dots = 0; var from = 0
     while ({ from = s.indexOf("...", from); from >= 0 }) { dots += 1; from += 3 }
 
-    var alphaWords = 0; var stopHits = 0
-    i = 0
-    while (i < nW) {
-      val w = words(i)
-      var j = 0; var hasAlpha = false
-      while (!hasAlpha && j < w.length) {
-        val c = w.charAt(j)
-        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) hasAlpha = true
-        j += 1
+    var nW = 0; var alphaWords = 0; var stopHits = 0
+    if (routed) {
+      // routed grain (`cjkChar|[^ cjk]+`): count tokens and alpha
+      // tokens in one walk WITHOUT materializing them — every
+      // unsegmented codepoint is its own (letter) token, a run of
+      // other non-space chars is one token, alphabetic iff it contains
+      // ASCII alpha; the stop rule is exempt on routed rows, so no
+      // token strings are ever needed
+      var i2 = 0
+      while (i2 < s.length) {
+        val c = s.charAt(i2)
+        if (c == ' ') i2 += 1
+        else if (isCjk(c)) { nW += 1; alphaWords += 1; i2 += 1 }
+        else {
+          var hasAlpha = false
+          var cc = c
+          while ({
+            if ((cc >= 'A' && cc <= 'Z') || (cc >= 'a' && cc <= 'z')) hasAlpha = true
+            i2 += 1
+            i2 < s.length && { cc = s.charAt(i2); cc != ' ' && !isCjk(cc) }
+          }) ()
+          nW += 1
+          if (hasAlpha) alphaWords += 1
+        }
       }
-      if (hasAlpha) alphaWords += 1
-      if (stop.contains(w)) stopHits += 1
-      i += 1
+    } else {
+      val words = s.split(" ", -1)
+      nW = words.length
+      i = 0
+      while (i < nW) {
+        val w = words(i)
+        var j = 0; var hasAlpha = false
+        while (!hasAlpha && j < w.length) {
+          val c = w.charAt(j)
+          if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) hasAlpha = true
+          j += 1
+        }
+        if (hasAlpha) alphaWords += 1
+        if (stop.contains(w)) stopHits += 1
+        i += 1
+      }
     }
+    val nWd = nW.toDouble
     var bullets = 0; var ellipsisLines = 0
     i = 0
     while (i < nL) {
@@ -79,12 +149,12 @@ object GopherOps {
 
     val rWords = if (nW >= minWords && nW <= maxWords) 1 else 0
     val meanLen = (lenCp - spaces).toDouble / nWd
-    val rMean = if (meanLen >= minMeanLen && meanLen <= maxMeanLen) 1 else 0
+    val rMean = if (routed || (meanLen >= minMeanLen && meanLen <= maxMeanLen)) 1 else 0
     // declarative order: (hashChars + ellipsisChars / 3) / n_words
     val symbolRatio = (hashes.toDouble + (3 * dots).toDouble / 3.0) / nWd
     val rSymbol = if (symbolRatio <= maxSymbolRatio) 1 else 0
     val rAlpha = if (alphaWords.toDouble / nWd >= minAlphaWordRatio) 1 else 0
-    val rStop = if (stopHits >= minStopHits) 1 else 0
+    val rStop = if (routed || stopHits >= minStopHits) 1 else 0
     val rBullet = if (bullets.toDouble / nL.toDouble <= maxBulletRatio) 1 else 0
     val rEllipsis = if (ellipsisLines.toDouble / nL.toDouble <= maxEllipsisRatio) 1 else 0
     new GenericArrayData(Array(nW, rWords, rMean, rSymbol, rAlpha, rStop,
@@ -169,7 +239,8 @@ case class LangScores(child: Expression) extends UnaryExpression {
 
 /** `graft_gopher_flags(text, minWords, maxWords, minMeanLen, maxMeanLen,
   * maxSymbolRatio, minAlphaWordRatio, minStopHits, maxBulletRatio,
-  * maxEllipsisRatio, stopWords)` — see [[GopherOps.flags]].
+  * maxEllipsisRatio, stopWords, grain)` — see [[GopherOps.flags]];
+  * `grain` is `'ws'` or `'cjk-auto'`.
   */
 case class GopherFlags(child: Expression,
                        minWords: Int, maxWords: Int,
@@ -177,7 +248,11 @@ case class GopherFlags(child: Expression,
                        maxSymbolRatio: Double, minAlphaWordRatio: Double,
                        minStopHits: Int, maxBulletRatio: Double,
                        maxEllipsisRatio: Double,
-                       stopWords: Seq[String]) extends UnaryExpression {
+                       stopWords: Seq[String],
+                       grain: String = "ws") extends UnaryExpression {
+  require(grain == "ws" || grain == "cjk-auto",
+    s"grain must be 'ws' or 'cjk-auto', got $grain")
+  private val cjkAuto: Boolean = grain == "cjk-auto"
   override def prettyName: String = "graft_gopher_flags"
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -199,7 +274,7 @@ case class GopherFlags(child: Expression,
   override def nullSafeEval(s: Any): Any =
     GopherOps.flags(s.asInstanceOf[UTF8String], minWords, maxWords,
       minMeanLen, maxMeanLen, maxSymbolRatio, minAlphaWordRatio,
-      minStopHits, maxBulletRatio, maxEllipsisRatio, stopSet)
+      minStopHits, maxBulletRatio, maxEllipsisRatio, stopSet, cjkAuto)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("gopherFlagsExpr", this, classOf[GopherFlags].getName)
@@ -207,7 +282,7 @@ case class GopherFlags(child: Expression,
       s"${ev.value} = graft.functions.GopherOps.flags($s, " +
         s"$minWords, $maxWords, $minMeanLen, $maxMeanLen, $maxSymbolRatio, " +
         s"$minAlphaWordRatio, $minStopHits, $maxBulletRatio, $maxEllipsisRatio, " +
-        s"$ref.stopSet());")
+        s"$ref.stopSet(), $cjkAuto);")
   }
 
   override protected def withNewChildInternal(c: Expression): GopherFlags =

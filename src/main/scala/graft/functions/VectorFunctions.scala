@@ -124,6 +124,13 @@ object VectorFunctions {
     }
   }
 
+  private def stringLit(e: Expression, fn: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        s: org.apache.spark.unsafe.types.UTF8String, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal STRING argument, got $other")
+  }
+
   private def doubleLit(e: Expression, fn: String): Double = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, DoubleType) => v
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v.toDouble
@@ -256,7 +263,8 @@ object VectorFunctions {
         doubleLit(e(5), "graft_gopher_flags"), doubleLit(e(6), "graft_gopher_flags"),
         intLit(e(7), "graft_gopher_flags"),
         doubleLit(e(8), "graft_gopher_flags"), doubleLit(e(9), "graft_gopher_flags"),
-        stringArrayLit(e(10), "graft_gopher_flags"))),
+        stringArrayLit(e(10), "graft_gopher_flags"),
+        stringLit(e(11), "graft_gopher_flags"))),
     "graft_url_domain" -> (classOf[UrlDomain],
       (e: Seq[Expression]) => UrlDomain(e(0)))
   )
@@ -285,7 +293,7 @@ object VectorFunctions {
     "graft_dsir_buckets" -> 2, "graft_bucket_score" -> 2,
     "graft_backoff_stats" -> 7, "graft_binary_sketch" -> 2,
     "graft_word_count" -> 1, "graft_url_canon" -> 1, "graft_lang_scores" -> 1,
-    "graft_gopher_flags" -> 11, "graft_url_domain" -> 1)
+    "graft_gopher_flags" -> 12, "graft_url_domain" -> 1)
   require(arity.keySet == all.map(_._1).toSet,
     "arity map must cover exactly the registered function set; missing: " +
       (all.map(_._1).toSet -- arity.keySet).mkString(",") + " extra: " +

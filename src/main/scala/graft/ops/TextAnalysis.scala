@@ -684,12 +684,16 @@ object TextAnalysis {
     * is each such codepoint as its own token.
     */
   private val cjkRangeInterior: String =
-    Seq((0x3400, 0x4DBF), (0x4E00, 0x9FFF), (0x3040, 0x309F),
-        (0x30A0, 0x30FF), (0x0E00, 0x0E7F))
-      .map { case (a, b) => s"${a.toChar}-${b.toChar}" }.mkString
+    graft.functions.GopherOps.cjkRanges.grouped(2)
+      .map { case Array(a, b) => s"${a.toChar}-${b.toChar}" }.mkString
 
   /** One unsegmented-script codepoint. */
   val cjkCharClass: String = s"[$cjkRangeInterior]"
+
+  /** A "letter" under the routed grain: ASCII alpha OR an unsegmented-
+    * script codepoint — the alpha-word rule's class on CJK-routed rows.
+    */
+  val cjkAlphaClass: String = s"[A-Za-z$cjkRangeInterior]"
 
   /** Token alternation: one unsegmented-script codepoint, or a run of
     * non-space non-unsegmented characters (space stays the separator —
@@ -755,15 +759,8 @@ object TextAnalysis {
                   wordGrain: String = "ws"): DataFrame = {
     require(wordGrain == "ws" || wordGrain == "cjk-auto",
       s"wordGrain must be 'ws' or 'cjk-auto', got $wordGrain")
-    // cjk-auto routes through the declarative form: the byte-scan
-    // kernel implements the whitespace grain only (a routed kernel is
-    // future work if the CJK path ever becomes hot — the routing
-    // predicate itself is one constant-pattern regexp per row)
-    if (wordGrain == "cjk-auto")
-      return gopherRulesHof(df, id, text, minWords, maxWords, minMeanLen,
-        maxMeanLen, maxSymbolRatio, minAlphaWordRatio, minStopHits,
-        maxBulletRatio, maxEllipsisRatio, carry, wordGrain)
-    // COMPILED form (round 10): the whole rule set is one
+    // COMPILED form (round 10; cjk-auto compiled round 12): the whole
+    // rule set — script-dominance routing included — is one
     // `graft_gopher_flags` byte scan ([[graft.functions.GopherOps]],
     // GopherKernelSpec fuzz-pins it bit-equal to [[gopherRulesHof]] —
     // the two splits and five interpreted HOF filter(...) walks were
@@ -772,7 +769,7 @@ object TextAnalysis {
     val stop = markerList(gopherStops, "spark")
     val flags = expr(s"graft_gopher_flags($text, $minWords, $maxWords, " +
       s"$minMeanLen, $maxMeanLen, $maxSymbolRatio, $minAlphaWordRatio, " +
-      s"$minStopHits, $maxBulletRatio, $maxEllipsisRatio, $stop)")
+      s"$minStopHits, $maxBulletRatio, $maxEllipsisRatio, $stop, '$wordGrain')")
     graft.functions.VectorFunctions.attach(df)
       .select((col(id) +: carry.map(col)) :+ flags.as("__g"): _*)
       .select((col(id) +: carry.map(col)) ++ Seq(
@@ -803,22 +800,33 @@ object TextAnalysis {
     // cjk-auto: script-dominated rows tokenize per codepoint (the ws
     // grain returns n_words=1 on unsegmented zh/ja/th text — every
     // word-count bound and ratio below silently degrades); keepEmpties
-    // preserves the gate's split-with-empties convention on the ws path
-    val w = if (wordGrain == "cjk-auto") routedTokensSpark(text, keepEmpties = true)
+    // preserves the gate's split-with-empties convention on the ws path.
+    // On ROUTED rows the English-calibrated mean-word-length and
+    // stop-word rules are exempt (codepoint tokens have mean length ~1
+    // and the stop list is English — both would reject every routed row
+    // by construction) and the alpha-word class widens to the
+    // unsegmented scripts so it still rejects symbol/digit soup.
+    val routed = wordGrain == "cjk-auto"
+    val w = if (routed) routedTokensSpark(text, keepEmpties = true)
             else s"split($text, ' ')"
     val l = s"split($text, chr(10))"
+    val dom = cjkDominantSpark(text)
+    val meanExpr = s"CAST(length(replace($text, ' ', '')) / CAST(size($w) AS DOUBLE) " +
+      s"BETWEEN $minMeanLen AND $maxMeanLen AS INT)"
+    def alphaExpr(cls: String) = s"CAST(size(filter($w, x -> x rlike '$cls')) / " +
+      s"CAST(size($w) AS DOUBLE) >= $minAlphaWordRatio AS INT)"
+    val stopExpr = s"CAST(graft_stop_count($w, $stop) >= $minStopHits AS INT)"
     graft.functions.VectorFunctions.attach(df).select(
       (col(id) +: carry.map(col)) ++ Seq(
       expr(s"size($w)").as("n_words"),
       expr(s"CAST(size($w) BETWEEN $minWords AND $maxWords AS INT)").as("r_words"),
-      expr(s"CAST(length(replace($text, ' ', '')) / CAST(size($w) AS DOUBLE) " +
-        s"BETWEEN $minMeanLen AND $maxMeanLen AS INT)").as("r_mean_len"),
+      expr(if (routed) s"IF($dom, 1, $meanExpr)" else meanExpr).as("r_mean_len"),
       expr(s"CAST((length($text) - length(replace($text, '#', '')) + " +
         s"(length($text) - length(replace($text, '...', ''))) / 3) / " +
         s"CAST(size($w) AS DOUBLE) <= $maxSymbolRatio AS INT)").as("r_symbol"),
-      expr(s"CAST(size(filter($w, x -> x rlike '[A-Za-z]')) / " +
-        s"CAST(size($w) AS DOUBLE) >= $minAlphaWordRatio AS INT)").as("r_alpha"),
-      expr(s"CAST(graft_stop_count($w, $stop) >= $minStopHits AS INT)").as("r_stop"),
+      expr(if (routed) s"IF($dom, ${alphaExpr(cjkAlphaClass)}, ${alphaExpr("[A-Za-z]")})"
+           else alphaExpr("[A-Za-z]")).as("r_alpha"),
+      expr(if (routed) s"IF($dom, 1, $stopExpr)" else stopExpr).as("r_stop"),
       expr(s"CAST(size(filter($l, x -> x LIKE '-%' OR x LIKE '*%')) / " +
         s"CAST(size($l) AS DOUBLE) <= $maxBulletRatio AS INT)").as("r_bullet"),
       expr(s"CAST(size(filter($l, x -> x LIKE '%...')) / " +
@@ -869,9 +877,20 @@ object TextAnalysis {
                      maxEllipsisRatio: Double = 0.3,
                      wordGrain: String = "ws"): String = {
     val stop = markerList(gopherStops, "duck")
-    val w = if (wordGrain == "cjk-auto") routedTokensDuck(text, keepEmpties = true)
+    val routed = wordGrain == "cjk-auto"
+    val w = if (routed) routedTokensDuck(text, keepEmpties = true)
             else s"string_split($text, ' ')"
     val l = s"string_split($text, chr(10))"
+    val dom = cjkDominantDuck(text)
+    val meanExpr = s"""(length(replace($text, ' ', '')) / (len($w)::DOUBLE)
+       |      BETWEEN $minMeanLen AND $maxMeanLen)::INT""".stripMargin
+    def alphaExpr(cls: String) = s"""(len(list_filter($w, x -> regexp_matches(x, '$cls'))) /
+       |      (len($w)::DOUBLE) >= $minAlphaWordRatio)::INT""".stripMargin
+    val stopExpr = s"(len(list_filter($w, x -> list_contains($stop, x))) >= $minStopHits)::INT"
+    val rMean = if (routed) s"CASE WHEN $dom THEN 1 ELSE $meanExpr END" else meanExpr
+    val rAlpha = if (routed) s"CASE WHEN $dom THEN ${alphaExpr(cjkAlphaClass)} ELSE ${alphaExpr("[A-Za-z]")} END"
+                 else alphaExpr("[A-Za-z]")
+    val rStop = if (routed) s"CASE WHEN $dom THEN 1 ELSE $stopExpr END" else stopExpr
     s"""SELECT $id, n_words, r_words, r_mean_len, r_symbol, r_alpha, r_stop,
        |  r_bullet, r_ellipsis,
        |  (r_words + r_mean_len + r_symbol + r_alpha + r_stop + r_bullet + r_ellipsis = 7)::INT AS keep
@@ -879,14 +898,12 @@ object TextAnalysis {
        |  SELECT $id,
        |    len($w)::INT AS n_words,
        |    (len($w) BETWEEN $minWords AND $maxWords)::INT AS r_words,
-       |    (length(replace($text, ' ', '')) / (len($w)::DOUBLE)
-       |      BETWEEN $minMeanLen AND $maxMeanLen)::INT AS r_mean_len,
+       |    $rMean AS r_mean_len,
        |    ((length($text) - length(replace($text, '#', '')) +
        |      (length($text) - length(replace($text, '...', ''))) / 3) /
        |      (len($w)::DOUBLE) <= $maxSymbolRatio)::INT AS r_symbol,
-       |    (len(list_filter($w, x -> regexp_matches(x, '[A-Za-z]'))) /
-       |      (len($w)::DOUBLE) >= $minAlphaWordRatio)::INT AS r_alpha,
-       |    (len(list_filter($w, x -> list_contains($stop, x))) >= $minStopHits)::INT AS r_stop,
+       |    $rAlpha AS r_alpha,
+       |    $rStop AS r_stop,
        |    (len(list_filter($l, x -> x LIKE '-%' OR x LIKE '*%')) /
        |      (len($l)::DOUBLE) <= $maxBulletRatio)::INT AS r_bullet,
        |    (len(list_filter($l, x -> x LIKE '%...')) /
