@@ -363,18 +363,26 @@ object CorpusIO {
 
   private val WarcMarker: Array[Byte] = "WARC/1.0\r\n".getBytes("US-ASCII")
 
-  /** Byte-level scan of one container: record starts are marker
-    * occurrences; headers run to the first CRLFCRLF and are ASCII by
-    * the spec (decoded latin-1 so a malformed byte cannot throw);
-    * the payload is the next Content-Length BYTES, bounded by the
-    * record region. Payload bytes decode as UTF-8 for the portable
-    * content hash (the corpus payloads are text; a truly opaque
-    * payload would hash raw bytes instead — the capture logic is
-    * identical).
+  /** Byte-level scan of one container, LENGTH-DELIMITED per ISO 28500:
+    * records are walked sequentially — header to the first CRLFCRLF
+    * (ASCII by the spec; decoded latin-1 so a malformed byte cannot
+    * throw), payload is exactly the declared Content-Length BYTES,
+    * then the two-CRLF record terminator, then the next record's
+    * version line. A payload that itself contains the `WARC/1.0\r\n`
+    * marker bytes (a page about WARC, a warc-in-warc) therefore stays
+    * ONE record — the pre-r12 marker-scan segmentation split it.
+    * Only a record whose declared length does not land on a record
+    * boundary (truncated container, corrupt header) falls back to
+    * scanning for the next marker. Header regexes are line-anchored
+    * (`^…` MULTILINE) so e.g. an `X-Crawler-Content-Length` line can
+    * never shadow the real header. Payload bytes decode as UTF-8 for
+    * the portable content hash (the corpus payloads are text; a truly
+    * opaque payload would hash raw bytes instead — the capture logic
+    * is identical).
     */
   private[ops] def parseOneBlobBytes(blob: Array[Byte]): Iterator[WarcByteRecord] = {
     def isMarkerAt(i: Int): Boolean = {
-      if (i + WarcMarker.length > blob.length) return false
+      if (i < 0 || i + WarcMarker.length > blob.length) return false
       var j = 0
       while (j < WarcMarker.length) {
         if (blob(i + j) != WarcMarker(j)) return false
@@ -382,26 +390,32 @@ object CorpusIO {
       }
       true
     }
-    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
-    var i = 0
-    while (i <= blob.length - WarcMarker.length) {
-      if (isMarkerAt(i)) { starts += i; i += WarcMarker.length } else i += 1
+    def nextMarker(from: Int): Int = {
+      var i = math.max(from, 0)
+      while (i <= blob.length - WarcMarker.length) {
+        if (isMarkerAt(i)) return i
+        i += 1
+      }
+      -1
     }
-    val uriP = java.util.regex.Pattern.compile("WARC-Target-URI: (\\S+)")
-    val dateP = java.util.regex.Pattern.compile("WARC-Date: (\\S+)")
-    val lenP = java.util.regex.Pattern.compile("Content-Length: (\\d+)")
-    starts.iterator.zipWithIndex.flatMap { case (st, k) =>
-      val end = if (k + 1 < starts.length) starts(k + 1) else blob.length
+    import java.util.regex.Pattern
+    val uriP = Pattern.compile("^WARC-Target-URI: (\\S+)", Pattern.MULTILINE)
+    val dateP = Pattern.compile("^WARC-Date: (\\S+)", Pattern.MULTILINE)
+    val lenP = Pattern.compile("^Content-Length: (\\d+)", Pattern.MULTILINE)
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcByteRecord]
+    var st = nextMarker(0)
+    while (st >= 0) {
       val hdrStart = st + WarcMarker.length
-      // find CRLFCRLF within the record region
+      // header runs to the first CRLFCRLF (scan bounded by the blob —
+      // record extents are not known before the header is read)
       var he = hdrStart
       var found = -1
-      while (found < 0 && he + 3 < end) {
+      while (found < 0 && he + 3 < blob.length) {
         if (blob(he) == '\r' && blob(he + 1) == '\n' &&
           blob(he + 2) == '\r' && blob(he + 3) == '\n') found = he
         else he += 1
       }
-      if (found < 0) Iterator.empty
+      if (found < 0) st = -1 // truncated header: no parseable record left
       else {
         val header = new String(blob, hdrStart, found - hdrStart, "ISO-8859-1")
         val um = uriP.matcher(header)
@@ -411,12 +425,29 @@ object CorpusIO {
         val date = if (dm.find()) dm.group(1) else ""
         val declared = if (lm.find()) lm.group(1).toLong else 0L
         val pStart = found + 4
-        val pEnd = math.min(pStart + declared, end.toLong).toInt
-        val payload = new String(blob, pStart, pEnd - pStart, "UTF-8")
-        Iterator.single(WarcByteRecord(uri, date, declared,
-          (pEnd - pStart).toLong, PortableHash.jvmStringHash(payload)))
+        if (pStart + declared <= blob.length) {
+          // length-delimited capture: exactly the declared bytes
+          val pEnd = (pStart + declared).toInt
+          val payload = new String(blob, pStart, pEnd - pStart, "UTF-8")
+          out += WarcByteRecord(uri, date, declared,
+            (pEnd - pStart).toLong, PortableHash.jvmStringHash(payload))
+          val nxt = pEnd + 4 // skip the two-CRLF record terminator
+          st = if (nxt > blob.length - WarcMarker.length) -1 // container end
+               else if (isMarkerAt(nxt)) nxt
+               else nextMarker(pEnd) // malformed framing: marker-scan fallback
+        } else {
+          // declared length over-runs the container (truncated/corrupt):
+          // clamp to the next marker occurrence — the pre-framing bound
+          val end = { val m = nextMarker(pStart); if (m < 0) blob.length else m }
+          val pEnd = math.min(pStart + declared, end.toLong).toInt
+          val payload = new String(blob, pStart, pEnd - pStart, "UTF-8")
+          out += WarcByteRecord(uri, date, declared,
+            (pEnd - pStart).toLong, PortableHash.jvmStringHash(payload))
+          st = nextMarker(pEnd)
+        }
       }
     }
+    out.iterator
   }
 
   /** Parse byte-true WARC containers at record grain, honoring

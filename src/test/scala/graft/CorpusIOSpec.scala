@@ -93,4 +93,58 @@ class CorpusIOSpec extends SparkSpec {
     assert(overRead.length == charParsed.length,
       s"char-based parse should mis-capture EVERY multi-byte record, got ${overRead.length}/${charParsed.length}")
   }
+
+  test("length-delimited framing: a payload embedding the literal WARC marker stays ONE record") {
+    // a page ABOUT warc files / a warc-in-warc: the payload contains
+    // the exact version-line bytes twice; marker-scan segmentation
+    // provably split this at the first false marker — length-delimited
+    // framing walks straight over it
+    val tricky = "see WARC/1.0\r\n as the version line and a nested\r\n" +
+      "WARC/1.0\r\nWARC-Target-URI: https://inner/x\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n tail"
+    val docs = Seq((1L, tricky), (2L, "a plain record after it"))
+      .toDF("doc_id", "text")
+    val blobs = CorpusIO.warcBlobsBytes(docs, "doc_id", "text", docsPerBlob = 2)
+    val parsed = CorpusIO.parseWarcBytes(blobs, "blob").orderBy($"uri").collect()
+    assert(parsed.length == 2,
+      s"embedded marker bytes must not split the record, got ${parsed.length} records")
+    val byText = docs.collect().map(r =>
+      s"https://example.com/doc/${r.getLong(0)}" -> r.getString(1)).toMap
+    parsed.foreach { r =>
+      val text = byText(r.getString(0))
+      assert(r.getLong(3) == text.getBytes("UTF-8").length.toLong)
+      assert(r.getLong(4) == graft.ops.PortableHash.jvmStringHash(text),
+        s"payload must survive byte-exact for ${r.getString(0)}")
+    }
+  }
+
+  test("anchored headers: X-Crawler-Content-Length cannot shadow the real Content-Length") {
+    val rec = "WARC/1.0\r\n" +
+      "X-Crawler-Content-Length: 999\r\n" + // precedes the real header
+      "WARC-Target-URI: https://x/1\r\n" +
+      "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      "Content-Length: 5\r\n\r\n" +
+      "hello\r\n\r\n"
+    val df = Seq(Tuple1(rec.getBytes("UTF-8"))).toDF("blob")
+    val r = CorpusIO.parseWarcBytes(df, "blob").collect().head
+    assert(r.getString(0) == "https://x/1")
+    assert(r.getLong(2) == 5L, s"declared must come from the anchored header, got ${r.getLong(2)}")
+    assert(r.getLong(3) == 5L)
+    assert(r.getLong(4) == graft.ops.PortableHash.jvmStringHash("hello"))
+  }
+
+  test("malformed declared length: over-run clamps to container end, framing falls back to marker scan") {
+    val rec = "WARC/1.0\r\nWARC-Target-URI: https://x/trunc\r\nContent-Length: 9999\r\n\r\nshort" +
+      "\r\n\r\nWARC/1.0\r\nWARC-Target-URI: https://x/next\r\nContent-Length: 4\r\n\r\nnext\r\n\r\n"
+    val df = Seq(Tuple1(rec.getBytes("UTF-8"))).toDF("blob")
+    val rows = CorpusIO.parseWarcBytes(df, "blob").orderBy($"uri").collect()
+    // over-running record clamps at the NEXT marker (not container end,
+    // which would swallow the second record), and the walk recovers
+    assert(rows.length == 2, s"marker-scan fallback must recover the next record, got ${rows.length}")
+    val trunc = rows.find(_.getString(0) == "https://x/trunc").get
+    assert(trunc.getLong(2) == 9999L)
+    assert(trunc.getLong(3) < 9999L, "captured bytes must clamp below the declared over-run")
+    val next = rows.find(_.getString(0) == "https://x/next").get
+    assert(next.getLong(3) == 4L)
+    assert(next.getLong(4) == graft.ops.PortableHash.jvmStringHash("next"))
+  }
 }

@@ -190,6 +190,38 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming WARC ingest: byte-true length-delimited parse runs unchanged on a binary stream") {
+    implicit val sq = spark.sqlContext
+    // the crawl front door as a stream: containers arrive as BINARY
+    // blobs; parseWarcBytes is mapPartitions on the blob column — a
+    // stateless projection, so the batch op runs on the stream as-is
+    val blobs = MemoryStream[Array[Byte]]
+    val out = graft.ops.CorpusIO.parseWarcBytes(
+      blobs.toDF().toDF("blob"), "blob")
+    val q = out.writeStream.format("memory").queryName("warc_stream")
+      .outputMode("append").start()
+    try {
+      val multi = "héllo 中文 wörld" // multi-byte: bytes > chars
+      val rec1 = "WARC/1.0\r\nWARC-Target-URI: https://s/1\r\n" +
+        s"Content-Length: ${multi.getBytes("UTF-8").length}\r\n\r\n$multi\r\n\r\n"
+      val rec2 = "WARC/1.0\r\nWARC-Target-URI: https://s/2\r\n" +
+        "Content-Length: 24\r\n\r\nabout WARC/1.0\r\n markers\r\n\r\n"
+      blobs.addData((rec1 + rec2).getBytes("UTF-8"))
+      q.processAllAvailable()
+      val rows = spark.table("warc_stream")
+        .select($"uri", $"content_length", $"n_payload_bytes", $"payload_hash")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(rows.keySet === Set("https://s/1", "https://s/2"),
+        "both records must parse in-flight; the embedded marker must not split")
+      val nb = multi.getBytes("UTF-8").length.toLong
+      assert(rows("https://s/1") ===
+        ((nb, nb, graft.ops.PortableHash.jvmStringHash(multi))))
+      assert(rows("https://s/2")._3 ===
+        graft.ops.PortableHash.jvmStringHash("about WARC/1.0\r\n markers"))
+    } finally q.stop()
+  }
+
   test("streaming URL guard: canonicalization + domain blocklist run as stateless stages") {
     implicit val sq = spark.sqlContext
     val docs = MemoryStream[(Long, String)]
