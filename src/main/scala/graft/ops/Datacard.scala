@@ -79,6 +79,14 @@ object Datacard {
     */
   def datacardApprox(df: DataFrame, id: String, text: String,
                      p: Int = Stats.HllP): DataFrame = {
+    // the folded shape materializes 2^p aggregate columns plus
+    // 2^p-term sum/zero expressions: plan/codegen width, not data,
+    // bounds p here (p=10 is a 1024-column agg and ±3.2% standard
+    // error; [[Stats.hllRegisters]]' grouped-register shape carries
+    // the higher precisions without widening the plan)
+    require(p <= 10,
+      s"datacardApprox folds 2^p agg columns into one projection; p=$p would " +
+        s"blow up plan width — use p <= 10 or Stats.hllRegisters for higher precision")
     val (m, w1) = Stats.hllShape(p)
     val s = 62 - p
     val numer = Stats.hllAlphaMilli(p) * m * m
@@ -133,6 +141,7 @@ object Datacard {
     */
   def datacardApproxSql(table: String, id: String, text: String,
                         p: Int = Stats.HllP): String = {
+    require(p <= 10, s"datacardApproxSql mirrors the folded 2^p-column shape; p=$p > 10")
     val (m, _) = Stats.hllShape(p)
     val s = 62 - p
     val numer = Stats.hllAlphaMilli(p) * m * m

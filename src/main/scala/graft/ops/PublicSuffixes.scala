@@ -222,7 +222,17 @@ object PublicSuffixes {
     "exact entries must be lowercase multi-label dotted names")
   require(exact.distinct.size == exact.size, "duplicate exact entries")
   require(wildcardTails.forall(wellFormed), "malformed wildcard tail")
+  require(wildcardTails.distinct.size == wildcardTails.size,
+    "duplicate wildcard tails")
   require(exceptions.forall(e => wellFormed(e) &&
     wildcardTails.contains(e.split('.').drop(1).mkString("."))),
     "every exception must carve out a committed wildcard (PSL invariant)")
+  require(exceptions.distinct.size == exceptions.size, "duplicate exceptions")
+  // disjointness: a name listed under two rule forms would resolve at
+  // whichever depth the probe consults first — reject the overlap at
+  // init instead of silently changing depth ordering in both dialects
+  require(exact.toSet.intersect(exceptions.toSet).isEmpty,
+    "an exception must not also be an exact rule")
+  require(exact.toSet.intersect(wildcardTails.toSet).isEmpty,
+    "a wildcard tail must not also be an exact rule (PSL implies the tail)")
 }

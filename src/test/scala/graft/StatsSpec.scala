@@ -97,5 +97,13 @@ class StatsSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(empty("n_unique_texts_est") == 0L && empty("dup_milli_est") == 0L)
     assert(empty("hll_n_zero_registers") == 64L)
+    // plan-width guard: the folded 2^p-column shape refuses p > 10
+    // (hllRegisters is the grouped shape for higher precisions)
+    intercept[IllegalArgumentException] {
+      graft.ops.Datacard.datacardApprox(docs, "doc_id", "text", p = 12)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Datacard.datacardApproxSql("documents", "doc_id", "text", p = 12)
+    }
   }
 }
