@@ -1070,8 +1070,14 @@ object TextAnalysis {
     * is typically a SAMPLE (the op takes any frame).
     */
   def unigramScore(docs: DataFrame, ref: DataFrame, id: String, text: String,
-                   vocab: Int = 1000): DataFrame = {
-    val tok = s"filter(split($text, ' '), w -> w <> '')"
+                   vocab: Int = 1000, wordGrain: String = "ws"): DataFrame = {
+    require(wordGrain == "ws" || wordGrain == "cjk-auto",
+      s"wordGrain must be 'ws' or 'cjk-auto', got $wordGrain")
+    // cjk-auto: the vocabulary and the scored tokens both ride the
+    // routed grain, so an unsegmented reference corpus yields a real
+    // codepoint unigram table instead of whole-document "tokens"
+    val tok = if (wordGrain == "cjk-auto") routedTokensSpark(text, keepEmpties = false)
+              else s"filter(split($text, ' '), w -> w <> '')"
     val refTokens = graft.functions.VectorFunctions.attach(ref)
       .select(explode(expr(tok)).as("w"))
     val top = refTokens.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -1423,8 +1429,10 @@ object TextAnalysis {
     * convention).
     */
   def unigramScoreSql(table: String, docsPred: String, refPred: String,
-                      id: String, text: String, vocab: Int = 1000): String = {
-    val tok = s"list_filter(string_split($text, ' '), w -> w <> '')"
+                      id: String, text: String, vocab: Int = 1000,
+                      wordGrain: String = "ws"): String = {
+    val tok = if (wordGrain == "cjk-auto") routedTokensDuck(text, keepEmpties = false)
+              else s"list_filter(string_split($text, ' '), w -> w <> '')"
     s"""WITH rt AS (SELECT unnest($tok) AS w FROM $table WHERE $refPred),
        |top AS (SELECT w, count(*) AS cnt FROM rt GROUP BY w
        |        ORDER BY cnt DESC, w ASC LIMIT $vocab),
@@ -1622,9 +1630,15 @@ object TextAnalysis {
     * broadcast.
     */
   def tfidfKeywords(docs: DataFrame, id: String, text: String,
-                    k: Int = 3): DataFrame = {
+                    k: Int = 3, wordGrain: String = "ws"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = s"filter(split($text, ' '), w -> w <> '')"
+    require(wordGrain == "ws" || wordGrain == "cjk-auto",
+      s"wordGrain must be 'ws' or 'cjk-auto', got $wordGrain")
+    // cjk-auto: script-dominated rows keyword per CODEPOINT term (the
+    // ws grain makes an unsegmented zh doc ONE term with tf=1 — the
+    // tf signal vanishes exactly where keywords are wanted)
+    val tok = if (wordGrain == "cjk-auto") routedTokensSpark(text, keepEmpties = false)
+              else s"filter(split($text, ' '), w -> w <> '')"
     val terms = Caches.lease(
       graft.functions.VectorFunctions.attach(docs)
         .select(col(id), explode(expr(tok)).as("w"))
@@ -1644,11 +1658,13 @@ object TextAnalysis {
 
   /** DuckDB twin of [[tfidfKeywords]]. */
   def tfidfKeywordsSql(table: String, id: String, text: String,
-                       k: Int = 3): String =
+                       k: Int = 3, wordGrain: String = "ws"): String = {
+    val tok = if (wordGrain == "cjk-auto") routedTokensDuck(text, keepEmpties = false)
+              else s"list_filter(string_split($text, ' '), w -> w <> '')"
     s"""WITH terms AS (
        |  SELECT $id, w, count(*)::BIGINT AS tf
        |  FROM (SELECT $id,
-       |          unnest(list_filter(string_split($text, ' '), w -> w <> '')) AS w
+       |          unnest($tok) AS w
        |        FROM $table)
        |  GROUP BY 1, 2),
        |dfreq AS (SELECT w, count(*)::BIGINT AS df FROM terms GROUP BY 1),
@@ -1660,6 +1676,7 @@ object TextAnalysis {
        |       ORDER BY t.tf * ((1000000 * m.n_docs) // d.df) DESC, t.w ASC))::INT AS rank
        |  FROM terms t JOIN dfreq d USING (w) CROSS JOIN meta m)
        |WHERE rank <= $k""".stripMargin
+  }
 
   /** Unicode-script profile — the CHARACTER-CLASS language signal next
     * to the word-marker [[langId]] heuristic (marker words only exist

@@ -2189,6 +2189,35 @@ object Queries {
         "doc_id", "text", k = 3),
       Some(TextAnalysis.tfidfKeywordsSql("documents", "doc_id", "text", k = 3))),
 
+    // TF-IDF keywording on the cjk-auto grain over the zh fixture:
+    // on the ws grain an unsegmented zh doc is ONE term with tf=1 —
+    // the tf signal vanishes exactly where keywords are wanted; the
+    // routed grain restores per-codepoint terms on routed rows while
+    // the untranslated 2/3 of the corpus keeps its ws keywords
+    QueryDef("text_tfidf_keywords_cjk",
+      (s, dir) => TextAnalysis.tfidfKeywords(
+        t(s, dir, "documents").withColumn("text", expr(zhFixtureSpark)),
+        "doc_id", "text", k = 3, wordGrain = "cjk-auto"),
+      Some(TextAnalysis.tfidfKeywordsSql(
+        s"(SELECT doc_id, $zhFixtureDuck AS text FROM documents)",
+        "doc_id", "text", k = 3, wordGrain = "cjk-auto"))),
+
+    // unigram LM-filter scoring on the cjk-auto grain: vocabulary AND
+    // scored tokens both ride the routed grain, so the unsegmented
+    // reference rows contribute a real codepoint unigram table instead
+    // of whole-document "tokens" with count 1
+    QueryDef("text_unigram_score_cjk",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").withColumn("text", expr(zhFixtureSpark))
+        TextAnalysis.unigramScore(
+          docs.where(col("doc_id") >= 100), docs.where(col("doc_id") < 100),
+          "doc_id", "text", vocab = 500, wordGrain = "cjk-auto")
+      },
+      Some(TextAnalysis.unigramScoreSql(
+        s"(SELECT doc_id, $zhFixtureDuck AS text FROM documents)",
+        docsPred = "doc_id >= 100", refPred = "doc_id < 100",
+        "doc_id", "text", vocab = 500, wordGrain = "cjk-auto"))),
+
     // One-pass corpus profile per (lang, source): doc counts, exact-dup
     // counts (distinct digests), compiled-kernel token totals, chars,
     // integer mean tokens -- the report that sizes every downstream

@@ -61,6 +61,36 @@ class CjkGrainSpec extends SparkSpec {
     assert(degenerate(2L) == Seq("", "", ""))
   }
 
+  test("tfidf cjk-auto: routed rows get real per-codepoint keywords; ws grain sees one tf=1 term") {
+    val docs = Seq((1L, zh + zh), (2L, en), (3L, "词只出现一次")).toDF("doc_id", "text")
+    val ws = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 3)
+      .where($"doc_id" === 1L).select($"keyword", $"tf").as[(String, Long)].collect()
+    assert(ws.toSeq === Seq((zh + zh, 1L)),
+      "ws grain must collapse the unsegmented doc to ONE tf=1 term")
+    val routed = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 3,
+        wordGrain = "cjk-auto")
+      .where($"doc_id" === 1L).select($"keyword", $"tf").as[(String, Long)].collect()
+    assert(routed.nonEmpty && routed.forall { case (kw, tf) =>
+      kw.length == 1 && tf >= 2L },
+      s"routed keywords must be codepoint terms with real tf, got ${routed.toSeq}")
+  }
+
+  test("unigram cjk-auto: codepoint vocabulary scores zh docs; ws grain makes them all OOV") {
+    val ref = Seq((1L, zh), (2L, zh + "的"), (3L, "共通的字")).toDF("doc_id", "text")
+    val score = Seq((10L, zh)).toDF("doc_id", "text")
+    val ws = TextAnalysis.unigramScore(score, ref, "doc_id", "text", vocab = 100)
+      .select($"oov_ratio").as[Double].head()
+    // ws grain: doc 10's single whole-document token only matches ref
+    // doc 1's identical whole-document token — but that IS in-vocab
+    val routed = TextAnalysis.unigramScore(score, ref, "doc_id", "text",
+        vocab = 100, wordGrain = "cjk-auto")
+      .select($"n_tokens", $"oov_ratio").as[(Long, Double)].head()
+    assert(routed._1 == zh.length.toLong,
+      s"routed grain must score per codepoint, got n_tokens=${routed._1}")
+    assert(routed._2 == 0.0, "every codepoint of doc 10 appears in the routed vocab")
+    assert(ws == 0.0 || ws == 1.0, "ws grain is all-or-nothing on unsegmented docs")
+  }
+
   test("bm25 cjk-auto: single-codepoint Han terms retrieve zh docs; ws grain retrieves nothing") {
     val docs = Seq(
       (1L, zh), (2L, zh + zh), (3L, en), (4L, "词只出现一次")
