@@ -42,8 +42,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * construction is pinned by GopherKernelSpec's cjk block.
   */
 object GopherOps {
-  // must stay equal to TextAnalysis.cjkRanges (shared dominance +
-  // token semantics); object init in TextAnalysis asserts the link
+  // SINGLE SOURCE OF TRUTH for the unsegmented-script ranges:
+  // TextAnalysis derives its regex char class (cjkRangeInterior, hence
+  // the routed token pattern and both dialects' dominance predicates)
+  // directly from this array, so kernel and declarative/oracle forms
+  // cannot drift
   val cjkRanges: Array[Int] = Array(
     0x3400, 0x4DBF, 0x4E00, 0x9FFF, 0x3040, 0x309F,
     0x30A0, 0x30FF, 0x0E00, 0x0E7F)
@@ -64,6 +67,132 @@ object GopherOps {
   }
 
   @inline private def isCjk(c: Char): Boolean = cjkBit(c)
+
+  /** Script-dominance predicate of the routed grain — bit-equal to the
+    * declarative `2·ncjk >= length(replace(text,' ','')) AND ncjk > 0`
+    * (codepoint counts; the ranges are BMP, so per-char hits ARE
+    * per-codepoint hits and surrogate units never match).
+    */
+  private[functions] def isDominated(s: String): Boolean = {
+    var ncjk = 0; var spaces = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ' ') spaces += 1
+      // same ASCII short-circuit as flags(): one compare before the
+      // membership load, so Latin corpora pay ~nothing
+      else if (c >= 0x0E00 && isCjk(c)) ncjk += 1
+      i += 1
+    }
+    if (ncjk == 0) return false
+    2 * ncjk >= s.codePointCount(0, s.length) - spaces
+  }
+
+  /** COMPILED `cjk-auto` word grain as a token array — bit-equal to the
+    * declarative routed construction
+    * ([[graft.ops.TextAnalysis.routedTokensRegex]]): rows dominated by
+    * unsegmented-script codepoints tokenize per the
+    * `cjkChar|[^ cjk]+` alternation (each Han/kana/Thai codepoint its
+    * own token, a maximal run of other non-space chars one token —
+    * the routed branch never emits empties), everything else keeps the
+    * whitespace grain (`split(text,' ')` WITH empties when
+    * `keepEmpties`, `array_remove(…, '')` otherwise). One char scan
+    * instead of a regex-engine pass per row; RoutedGrainSpec pins the
+    * parity. Supplementary-plane codepoints: their surrogate units are
+    * non-space non-cjk chars, so they join runs — exactly what the
+    * regex's `[^ …]+` (which matches them as whole codepoints) yields.
+    */
+  def routedTokens(text: UTF8String, keepEmpties: Boolean): ArrayData = {
+    val s = text.toString
+    if (isDominated(s)) {
+      val out = new scala.collection.mutable.ArrayBuffer[AnyRef]()
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == ' ') i += 1
+        else if (isCjk(c)) { out += UTF8String.fromString(String.valueOf(c)); i += 1 }
+        else {
+          val st = i
+          i += 1
+          while (i < s.length && { val cc = s.charAt(i); cc != ' ' && !isCjk(cc) }) i += 1
+          out += UTF8String.fromString(s.substring(st, i))
+        }
+      }
+      new GenericArrayData(out.toArray)
+    } else {
+      val parts = s.split(" ", -1)
+      if (keepEmpties) {
+        val arr = new Array[AnyRef](parts.length)
+        var i = 0
+        while (i < parts.length) { arr(i) = UTF8String.fromString(parts(i)); i += 1 }
+        new GenericArrayData(arr)
+      } else {
+        val out = new scala.collection.mutable.ArrayBuffer[AnyRef](parts.length)
+        var i = 0
+        while (i < parts.length) {
+          if (parts(i).nonEmpty) out += UTF8String.fromString(parts(i))
+          i += 1
+        }
+        new GenericArrayData(out.toArray)
+      }
+    }
+  }
+
+  /** `size(routedTokens(text, keepEmpties = false))` WITHOUT
+    * materializing any token — the count-only walk the chunk manifest
+    * and datacard token totals ride (`graft_word_count(t, 'cjk-auto')`).
+    */
+  def routedWordCount(text: UTF8String): Long = {
+    val s = text.toString
+    if (!isDominated(s)) return HashOps.wordCount(text)
+    var n = 0L; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ' ') i += 1
+      else if (isCjk(c)) { n += 1; i += 1 }
+      else {
+        n += 1; i += 1
+        while (i < s.length && { val cc = s.charAt(i); cc != ' ' && !isCjk(cc) }) i += 1
+      }
+    }
+    n
+  }
+
+  /** [[HashOps.termCounts]] on the routed grain — `[doc_len, tf_0, …,
+    * tf_q]` with doc_len and term matches counted over routed tokens
+    * (token = term by exact codepoint equality, i.e. SQL string `=`);
+    * non-dominated rows delegate to the ws byte scan unchanged. The
+    * BM25 cjk leg rides this instead of materializing the token array
+    * and paying one `array_remove` length-diff per term.
+    */
+  def routedTermCounts(text: UTF8String, termBytes: Array[Array[Byte]],
+                       termStrs: Array[String]): ArrayData = {
+    val s = text.toString
+    if (!isDominated(s)) return HashOps.termCounts(text, termBytes)
+    val out = new Array[Long](termStrs.length + 1)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ' ') i += 1
+      else {
+        val st = i
+        if (isCjk(c)) i += 1
+        else {
+          i += 1
+          while (i < s.length && { val cc = s.charAt(i); cc != ' ' && !isCjk(cc) }) i += 1
+        }
+        out(0) += 1
+        val len = i - st
+        var t = 0
+        while (t < termStrs.length) {
+          val ts = termStrs(t)
+          if (ts.length == len && s.regionMatches(st, ts, 0, len)) out(t + 1) += 1
+          t += 1
+        }
+      }
+    }
+    new GenericArrayData(out)
+  }
 
   def flags(text: UTF8String,
             minWords: Int, maxWords: Int,
@@ -286,5 +415,33 @@ case class GopherFlags(child: Expression,
   }
 
   override protected def withNewChildInternal(c: Expression): GopherFlags =
+    copy(child = c)
+}
+
+/** `graft_routed_tokens(text, keepEmpties)` — see [[GopherOps.routedTokens]]:
+  * the compiled `cjk-auto` word grain as ARRAY<STRING>, bit-equal to
+  * the declarative routed construction
+  * ([[graft.ops.TextAnalysis.routedTokensRegex]]) that costs a
+  * regex-engine pass per row. The explode-consuming retrieval/keyword
+  * legs (tfidf/unigram) ride this; count-only consumers ride
+  * `graft_word_count(t, 'cjk-auto')` instead and never materialize
+  * the array.
+  */
+case class RoutedTokens(child: Expression, keepEmpties: Boolean)
+    extends UnaryExpression {
+  override def prettyName: String = "graft_routed_tokens"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${dt.catalogString}")
+  }
+  override def nullSafeEval(s: Any): Any =
+    GopherOps.routedTokens(s.asInstanceOf[UTF8String], keepEmpties)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.GopherOps.routedTokens($s, $keepEmpties);")
+  override protected def withNewChildInternal(c: Expression): RoutedTokens =
     copy(child = c)
 }

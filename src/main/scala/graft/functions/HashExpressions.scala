@@ -351,18 +351,33 @@ case class BucketScore(child: Expression, weights: Seq[Long])
     copy(child = c)
 }
 
-/** `graft_word_count(text)`: non-empty space-separated word count
-  * ([[HashOps.wordCount]]) — the compiled twin of
-  * `size(filter(split(text, ' '), w -> w <> ''))`.
+/** `graft_word_count(text[, grain])`: word count on the engine's word
+  * grains — `'ws'` (default) is the non-empty space-separated count
+  * ([[HashOps.wordCount]]), the compiled twin of
+  * `size(filter(split(text, ' '), w -> w <> ''))`; `'cjk-auto'` is the
+  * script-dominance-routed count ([[GopherOps.routedWordCount]]), the
+  * compiled twin of `size(<routed tokens, empties dropped>)` — a
+  * count-only walk that never materializes token strings.
   */
-case class WordCount(child: Expression) extends StringCountExpression {
+case class WordCount(child: Expression, grain: String = "ws")
+    extends StringCountExpression {
+  require(grain == "ws" || grain == "cjk-auto",
+    s"grain must be 'ws' or 'cjk-auto', got $grain")
+  private val routed = grain == "cjk-auto"
   override def prettyName: String = "graft_word_count"
   override def dataType: DataType = LongType
   override def nullSafeEval(s: Any): Any =
-    HashOps.wordCount(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    if (routed)
+      GopherOps.routedWordCount(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    else
+      HashOps.wordCount(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, s =>
-      s"${ev.value} = graft.functions.HashOps.wordCount($s);")
+    if (routed)
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.GopherOps.routedWordCount($s);")
+    else
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.HashOps.wordCount($s);")
   override protected def withNewChildInternal(c: Expression): WordCount =
     copy(child = c)
 }
@@ -457,33 +472,52 @@ case class HashEmbedText(child: Expression, dim: Int)
     copy(child = c)
 }
 
-/** `graft_term_counts(text, array('t1', …))`: one byte-scan pass over the
-  * text — split on single spaces (empty tokens from runs of spaces
-  * skipped), emit `[doc_len, tf_0, …, tf_q]` as ARRAY<BIGINT>. The
-  * compiled twin of `size(filter(split(text,' '), w -> w <> ''))` plus
-  * one `size(filter(__t, w -> w = 'tᵢ'))` per term (each an interpreted
+/** `graft_term_counts(text, array('t1', …)[, grain])`: one scan pass
+  * over the text, emitting `[doc_len, tf_0, …, tf_q]` as ARRAY<BIGINT>.
+  * On the `'ws'` grain (default) it is a byte scan — split on single
+  * spaces (empty tokens from runs of spaces skipped) — the compiled
+  * twin of `size(filter(split(text,' '), w -> w <> ''))` plus one
+  * `size(filter(__t, w -> w = 'tᵢ'))` per term (each an interpreted
   * HOF walk; measured 101s → a few seconds for BM25's doc-stats
-  * projection at 1M docs). Term matching is UTF-8 byte equality —
-  * exactly SQL `=` on strings.
+  * projection at 1M docs). On `'cjk-auto'` the doc length and term
+  * matches count over the routed grain
+  * ([[GopherOps.routedTermCounts]]) so single-codepoint query terms
+  * match on script-dominated rows. Term matching is exact string
+  * equality — SQL `=`.
   */
-case class TermCounts(child: Expression, terms: Seq[String])
+case class TermCounts(child: Expression, terms: Seq[String],
+                      grain: String = "ws")
     extends StringCountExpression {
   require(terms.nonEmpty, "graft_term_counts requires at least one term")
+  require(grain == "ws" || grain == "cjk-auto",
+    s"grain must be 'ws' or 'cjk-auto', got $grain")
+  private val routed = grain == "cjk-auto"
   override def prettyName: String = "graft_term_counts"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   @transient lazy val termBytes: Array[Array[Byte]] =
     terms.map(_.getBytes("UTF-8")).toArray
+  @transient lazy val termStrs: Array[String] = terms.toArray
 
   override def nullSafeEval(s: Any): Any =
-    HashOps.termCounts(
-      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], termBytes)
+    if (routed)
+      GopherOps.routedTermCounts(
+        s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], termBytes, termStrs)
+    else
+      HashOps.termCounts(
+        s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], termBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // reference THIS instance so the term byte arrays build once, not per row
+    // reference THIS instance so the term byte/string arrays build once,
+    // not per row
     val ref = ctx.addReferenceObj("termCountsExpr", this, classOf[TermCounts].getName)
-    nullSafeCodeGen(ctx, ev, s =>
-      s"${ev.value} = graft.functions.HashOps.termCounts($s, $ref.termBytes());")
+    if (routed)
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.GopherOps.routedTermCounts($s, " +
+          s"$ref.termBytes(), $ref.termStrs());")
+    else
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.HashOps.termCounts($s, $ref.termBytes());")
   }
 
   override protected def withNewChildInternal(c: Expression): TermCounts =

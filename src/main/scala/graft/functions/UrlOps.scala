@@ -128,21 +128,38 @@ object UrlOps {
   // whose pattern grows with the table.
   private val portAnyP = Pattern.compile(":[0-9]+$")
 
-  private val excLevels: Array[(Int, Array[String])] =
-    graft.ops.PublicSuffixes.exceptions
-      .groupBy(graft.ops.PublicSuffixes.depth).toArray.sortBy(-_._1)
+  /** Probe tables built from an arbitrary rule set — parameterized so
+    * the spec can pin resolution semantics (exact+wildcard coexistence,
+    * exception precedence) on tables the committed list doesn't happen
+    * to contain; the production instance below is built once from
+    * [[graft.ops.PublicSuffixes]].
+    */
+  private[graft] def buildLevels(exact: Seq[String], tails: Seq[String],
+      exceptions: Seq[String])
+      : (Array[(Int, Array[String])], Array[(Int, Array[String], Array[String])]) = {
+    import graft.ops.PublicSuffixes.depth
+    val exc = exceptions.groupBy(depth).toArray.sortBy(-_._1)
       .map { case (d, xs) => (d, xs.sorted.toArray) }
-
-  // suffix depth s -> (sorted exact rules of depth s, sorted wildcard
-  // tails of depth s-1), depth descending, empty levels dropped
-  private val sufLevels: Array[(Int, Array[String], Array[String])] = {
-    val ex = graft.ops.PublicSuffixes.exact.groupBy(graft.ops.PublicSuffixes.depth)
-    val wc = graft.ops.PublicSuffixes.wildcardTails.groupBy(graft.ops.PublicSuffixes.depth)
-    (graft.ops.PublicSuffixes.maxSuffixDepth to 2 by -1).toArray
+    // suffix depth s -> (sorted exact rules of depth s, sorted wildcard
+    // tails of depth s-1), depth descending, empty levels dropped. An
+    // exact rule and a wildcard tail MAY name the same suffix (legal
+    // upstream): they land at DIFFERENT levels (tail X serves suffix
+    // depth d+1, exact X depth d), so the descending walk resolves the
+    // coexistence longest-match-first — upstream's prevailing-rule order
+    val maxDepth = ((exact.map(depth) ++ tails.map(depth(_) + 1)) :+ 2).max
+    val ex = exact.groupBy(depth)
+    val wc = tails.groupBy(depth)
+    val suf = (maxDepth to 2 by -1).toArray
       .map(s => (s, ex.getOrElse(s, Nil).sorted.toArray,
         wc.getOrElse(s - 1, Nil).sorted.toArray))
       .filter(l => l._2.nonEmpty || l._3.nonEmpty)
+    (exc, suf)
   }
+
+  private val (excLevels, sufLevels) = buildLevels(
+    graft.ops.PublicSuffixes.exact,
+    graft.ops.PublicSuffixes.wildcardTails,
+    graft.ops.PublicSuffixes.exceptions)
 
   private def bsearch(a: Array[String], key: String): Boolean = {
     var lo = 0
@@ -177,7 +194,12 @@ object UrlOps {
   }
 
   /** Full-PSL registrable-domain resolution on a port-stripped host. */
-  private def registrable(hp: String): String = {
+  private def registrable(hp: String): String =
+    registrableWith(hp, excLevels, sufLevels)
+
+  private[graft] def registrableWith(hp: String,
+      excLevels: Array[(Int, Array[String])],
+      sufLevels: Array[(Int, Array[String], Array[String])]): String = {
     var li = 0
     while (li < excLevels.length) {
       val (d, names) = excLevels(li)

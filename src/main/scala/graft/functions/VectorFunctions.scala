@@ -124,6 +124,12 @@ object VectorFunctions {
     }
   }
 
+  private def boolLit(e: Expression, fn: String): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, BooleanType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal BOOLEAN argument, got $other")
+  }
+
   private def stringLit(e: Expression, fn: String): String = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(
         s: org.apache.spark.unsafe.types.UTF8String, StringType) => s.toString
@@ -230,7 +236,10 @@ object VectorFunctions {
     "graft_stop_count" -> (classOf[StopCount],
       (e: Seq[Expression]) => StopCount(e(0), stringArrayLit(e(1), "graft_stop_count"))),
     "graft_term_counts" -> (classOf[TermCounts],
-      (e: Seq[Expression]) => TermCounts(e(0), stringArrayLit(e(1), "graft_term_counts"))),
+      (e: Seq[Expression]) => TermCounts(e(0), stringArrayLit(e(1), "graft_term_counts"),
+        if (e.length > 2) stringLit(e(2), "graft_term_counts") else "ws")),
+    "graft_routed_tokens" -> (classOf[RoutedTokens],
+      (e: Seq[Expression]) => RoutedTokens(e(0), boolLit(e(1), "graft_routed_tokens"))),
     "graft_hash_embed" -> (classOf[HashEmbed],
       (e: Seq[Expression]) => HashEmbed(e(0), intLit(e(1), "graft_hash_embed"))),
     "graft_hash_embed_text" -> (classOf[HashEmbedText],
@@ -251,12 +260,16 @@ object VectorFunctions {
     "graft_binary_sketch" -> (classOf[BinarySketch],
       (e: Seq[Expression]) => BinarySketch(e(0), intLit(e(1), "graft_binary_sketch"))),
     "graft_word_count" -> (classOf[WordCount],
-      (e: Seq[Expression]) => WordCount(e(0))),
+      (e: Seq[Expression]) => WordCount(e(0),
+        if (e.length > 1) stringLit(e(1), "graft_word_count") else "ws")),
     "graft_url_canon" -> (classOf[UrlCanon],
       (e: Seq[Expression]) => UrlCanon(e(0))),
     "graft_lang_scores" -> (classOf[LangScores],
       (e: Seq[Expression]) => LangScores(e(0))),
     "graft_gopher_flags" -> (classOf[GopherFlags],
+      // the trailing grain arg is optional in SQL (defaults to 'ws'),
+      // mirroring the case-class default — pre-grain 11-arg SQL keeps
+      // analyzing unchanged
       (e: Seq[Expression]) => GopherFlags(e(0),
         intLit(e(1), "graft_gopher_flags"), intLit(e(2), "graft_gopher_flags"),
         doubleLit(e(3), "graft_gopher_flags"), doubleLit(e(4), "graft_gopher_flags"),
@@ -264,36 +277,47 @@ object VectorFunctions {
         intLit(e(7), "graft_gopher_flags"),
         doubleLit(e(8), "graft_gopher_flags"), doubleLit(e(9), "graft_gopher_flags"),
         stringArrayLit(e(10), "graft_gopher_flags"),
-        stringLit(e(11), "graft_gopher_flags"))),
+        if (e.length > 11) stringLit(e(11), "graft_gopher_flags") else "ws")),
     "graft_url_domain" -> (classOf[UrlDomain],
       (e: Seq[Expression]) => UrlDomain(e(0)))
   )
 
-  /** Declared argument count per function, consulted by the arity
-    * guard wrapped around every builder at registration: a SQL call
-    * with the wrong argument count must fail as a clean analysis-time
-    * error naming the expected signature, not as the builder's
-    * IndexOutOfBoundsException on `e(i)`. Object init requires the key
-    * set to match [[all]] exactly, so an entry cannot drift missing.
+  /** Accepted argument counts per function (a set — functions with
+    * trailing optional args list every legal count), consulted by the
+    * arity guard wrapped around every builder at registration: a SQL
+    * call with the wrong argument count must fail as a clean
+    * analysis-time error naming the expected signature, not as the
+    * builder's IndexOutOfBoundsException on `e(i)`. Object init
+    * requires the key set to match [[all]] exactly, so an entry cannot
+    * drift missing.
     */
-  private val arity: Map[String, Int] = Map(
-    "graft_cosine" -> 2, "graft_shingle_hashes" -> 2, "graft_gram_hashes" -> 2,
-    "graft_winnow" -> 3, "graft_minhash_sig" -> 2, "graft_band_buckets" -> 3,
-    "graft_hyperplane_bucket" -> 2, "graft_intersect_count" -> 2,
-    "graft_dist2" -> 2, "graft_dot" -> 2, "graft_pq_adc" -> 3,
-    "graft_pq_adc_packed" -> 3, "graft_bloom_contains" -> 2,
-    "graft_bloom_any" -> 2, "graft_ngrams" -> 2, "graft_top_ngram_count" -> 2,
-    "graft_pack_i8" -> 1, "graft_cosine_i8" -> 2, "graft_simhash" -> 2,
-    "graft_fingerprint" -> 1, "graft_topk" -> 3, "graft_token_count" -> 1,
-    "graft_bpe_count" -> 1, "graft_bpe_tokens" -> 1, "graft_alpha_count" -> 1,
-    "graft_classifier_logit" -> 2, "graft_classifier_logit_t" -> 1,
-    "graft_stop_count" -> 2, "graft_term_counts" -> 2, "graft_hash_embed" -> 2,
-    "graft_hash_embed_text" -> 2, "graft_normalize" -> 1,
-    "graft_lower_collapse" -> 1,
-    "graft_dsir_buckets" -> 2, "graft_bucket_score" -> 2,
-    "graft_backoff_stats" -> 7, "graft_binary_sketch" -> 2,
-    "graft_word_count" -> 1, "graft_url_canon" -> 1, "graft_lang_scores" -> 1,
-    "graft_gopher_flags" -> 12, "graft_url_domain" -> 1)
+  private val arity: Map[String, Set[Int]] = Map(
+    "graft_cosine" -> Set(2), "graft_shingle_hashes" -> Set(2),
+    "graft_gram_hashes" -> Set(2),
+    "graft_winnow" -> Set(3), "graft_minhash_sig" -> Set(2),
+    "graft_band_buckets" -> Set(3),
+    "graft_hyperplane_bucket" -> Set(2), "graft_intersect_count" -> Set(2),
+    "graft_dist2" -> Set(2), "graft_dot" -> Set(2), "graft_pq_adc" -> Set(3),
+    "graft_pq_adc_packed" -> Set(3), "graft_bloom_contains" -> Set(2),
+    "graft_bloom_any" -> Set(2), "graft_ngrams" -> Set(2),
+    "graft_top_ngram_count" -> Set(2),
+    "graft_pack_i8" -> Set(1), "graft_cosine_i8" -> Set(2),
+    "graft_simhash" -> Set(2),
+    "graft_fingerprint" -> Set(1), "graft_topk" -> Set(3),
+    "graft_token_count" -> Set(1),
+    "graft_bpe_count" -> Set(1), "graft_bpe_tokens" -> Set(1),
+    "graft_alpha_count" -> Set(1),
+    "graft_classifier_logit" -> Set(2), "graft_classifier_logit_t" -> Set(1),
+    "graft_stop_count" -> Set(2), "graft_term_counts" -> Set(2, 3),
+    "graft_hash_embed" -> Set(2),
+    "graft_hash_embed_text" -> Set(2), "graft_normalize" -> Set(1),
+    "graft_lower_collapse" -> Set(1),
+    "graft_dsir_buckets" -> Set(2), "graft_bucket_score" -> Set(2),
+    "graft_backoff_stats" -> Set(7), "graft_binary_sketch" -> Set(2),
+    "graft_word_count" -> Set(1, 2), "graft_url_canon" -> Set(1),
+    "graft_lang_scores" -> Set(1),
+    "graft_routed_tokens" -> Set(2),
+    "graft_gopher_flags" -> Set(11, 12), "graft_url_domain" -> Set(1))
   require(arity.keySet == all.map(_._1).toSet,
     "arity map must cover exactly the registered function set; missing: " +
       (all.map(_._1).toSet -- arity.keySet).mkString(",") + " extra: " +
@@ -301,8 +325,8 @@ object VectorFunctions {
 
   private[functions] def guarded(n: String, builder: Seq[Expression] => Expression)
       : Seq[Expression] => Expression = es => {
-    require(es.length == arity(n),
-      s"$n expects ${arity(n)} argument(s), got ${es.length}")
+    require(arity(n).contains(es.length),
+      s"$n expects ${arity(n).toSeq.sorted.mkString(" or ")} argument(s), got ${es.length}")
     builder(es)
   }
 

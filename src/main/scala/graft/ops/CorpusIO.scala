@@ -406,16 +406,23 @@ object CorpusIO {
     var st = nextMarker(0)
     while (st >= 0) {
       val hdrStart = st + WarcMarker.length
-      // header runs to the first CRLFCRLF (scan bounded by the blob —
-      // record extents are not known before the header is read)
+      // header runs to the first CRLFCRLF. The scan is BOUNDED at the
+      // next marker occurrence: a record whose header lacks CRLFCRLF
+      // (truncated/malformed) must not consume the FOLLOWING record's
+      // bytes as a merged garbage header — on a miss within the bound,
+      // resync to that marker and keep parsing the well-formed tail.
+      // (For well-formed records the bound is inert: the header's
+      // CRLFCRLF precedes any payload content, so it is found before
+      // even an embedded payload marker.)
+      val bound = { val m = nextMarker(hdrStart); if (m < 0) blob.length else m }
       var he = hdrStart
       var found = -1
-      while (found < 0 && he + 3 < blob.length) {
+      while (found < 0 && he + 3 < bound) {
         if (blob(he) == '\r' && blob(he + 1) == '\n' &&
           blob(he + 2) == '\r' && blob(he + 3) == '\n') found = he
         else he += 1
       }
-      if (found < 0) st = -1 // truncated header: no parseable record left
+      if (found < 0) st = nextMarker(hdrStart) // drop the malformed record, resync
       else {
         val header = new String(blob, hdrStart, found - hdrStart, "ISO-8859-1")
         val um = uriP.matcher(header)

@@ -228,11 +228,20 @@ object PublicSuffixes {
     wildcardTails.contains(e.split('.').drop(1).mkString("."))),
     "every exception must carve out a committed wildcard (PSL invariant)")
   require(exceptions.distinct.size == exceptions.size, "duplicate exceptions")
-  // disjointness: a name listed under two rule forms would resolve at
-  // whichever depth the probe consults first — reject the overlap at
-  // init instead of silently changing depth ordering in both dialects
+  // a name listed as BOTH an exception and an exact rule would be
+  // resolved as the exception (the resolvers probe exceptions first —
+  // which is also upstream's prevailing-rule order: exception beats
+  // everything), making the exact entry dead data; reject it at init
+  // as table hygiene, not as a PSL-semantics claim
   require(exact.toSet.intersect(exceptions.toSet).isEmpty,
-    "an exception must not also be an exact rule")
-  require(exact.toSet.intersect(wildcardTails.toSet).isEmpty,
-    "a wildcard tail must not also be an exact rule (PSL implies the tail)")
+    "an exception must not also be an exact rule (the exact entry would be dead)")
+  // NOTE deliberately NO disjointness require between `exact` and
+  // `wildcardTails`: upstream PSL semantics allow `foo.example` and
+  // `*.foo.example` to coexist (the wildcard does NOT imply its tail
+  // is a suffix, and listing both is legal and meaningful). Both
+  // resolvers handle the coexistence by construction — the per-depth
+  // probe is longest-match descending, so a host deep enough to match
+  // the wildcard child (suffix depth d+1) resolves there, and a
+  // shallower host falls through to the exact rule (suffix depth d) —
+  // exactly upstream's prevailing-rule ordering. UrlKernelSpec pins it.
 }

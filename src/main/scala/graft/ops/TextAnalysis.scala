@@ -721,8 +721,25 @@ object TextAnalysis {
     * `keepEmpties` preserves the Gopher gate's split-with-empties ws
     * convention; BM25's grain drops them. Per-row constant-pattern
     * projection — zero shuffle, streaming-safe.
+    *
+    * COMPILED (round 13): emits the `graft_routed_tokens` kernel
+    * ([[graft.functions.GopherOps.routedTokens]]) — one char scan per
+    * row instead of the dominance `regexp_replace` + token
+    * `regexp_extract_all` regex-engine passes of
+    * [[routedTokensRegex]], which stays as the spec-pinned parity
+    * baseline (RoutedGrainSpec) and the shape
+    * [[graft.plans.KernelizeTextOps]] rewrites in USER-authored plans.
+    * Callers must have the graft functions registered
+    * (`VectorFunctions.attach`).
     */
-  def routedTokensSpark(text: String, keepEmpties: Boolean): String = {
+  def routedTokensSpark(text: String, keepEmpties: Boolean): String =
+    s"graft_routed_tokens($text, $keepEmpties)"
+
+  /** The DECLARATIVE routed construction — built-in regexps only, no
+    * graft kernel: the parity baseline [[routedTokensSpark]]'s kernel
+    * is pinned bit-equal to, and the idiom the Kernelize rule matches.
+    */
+  def routedTokensRegex(text: String, keepEmpties: Boolean): String = {
     val ws = if (keepEmpties) s"split($text, ' ')"
              else s"array_remove(split($text, ' '), '')"
     s"IF(${cjkDominantSpark(text)}, " +
@@ -807,7 +824,9 @@ object TextAnalysis {
     // by construction) and the alpha-word class widens to the
     // unsegmented scripts so it still rejects symbol/digit soup.
     val routed = wordGrain == "cjk-auto"
-    val w = if (routed) routedTokensSpark(text, keepEmpties = true)
+    // the HOF form is the DECLARATIVE parity baseline — it must stay
+    // kernel-free, so the routed grain rides the regexp construction
+    val w = if (routed) routedTokensRegex(text, keepEmpties = true)
             else s"split($text, ' ')"
     val l = s"split($text, chr(10))"
     val dom = cjkDominantSpark(text)
@@ -1496,24 +1515,18 @@ object TextAnalysis {
     require(wordGrain == "ws" || wordGrain == "cjk-auto",
       s"wordGrain must be 'ws' or 'cjk-auto', got $wordGrain")
     val termArr = terms.map(t => s"'$t'").mkString("array(", ", ", ")")
+    // BOTH grains ride the one-scan doc-stats kernel; 'cjk-auto' routes
+    // script-dominated rows to the codepoint grain inside the same scan
+    // (single-codepoint query terms then match), compiled round 13 —
+    // the r12 declarative leg materialized the routed token array and
+    // paid an array_remove length-diff per term
     val perDoc = Caches.lease(
-      if (wordGrain == "cjk-auto")
-        // routed grain (script-dominated rows tokenize per codepoint —
-        // single-codepoint query terms then match): declarative path;
-        // tf via native array_remove length-diff, no interpreted HOF
-        graft.functions.VectorFunctions.attach(docs)
-          .select(col(id),
-            expr(routedTokensSpark(text, keepEmpties = false)).as("__ws"))
-          .select(col(id) +: (expr("CAST(size(__ws) AS BIGINT)").as("dl") +:
-            terms.indices.map(i =>
-              expr(s"CAST(size(__ws) - size(array_remove(__ws, '${terms(i)}')) AS BIGINT)")
-                .as(s"tf$i"))): _*)
-      else
-        graft.functions.VectorFunctions.attach(docs)
-          .select(col(id), expr(s"graft_term_counts($text, $termArr)").as("__tc"))
-          .select(col(id) +: (expr("element_at(__tc, 1)").as("dl") +:
-            terms.indices.map(i =>
-              expr(s"element_at(__tc, ${i + 2})").as(s"tf$i"))): _*))
+      graft.functions.VectorFunctions.attach(docs)
+        .select(col(id),
+          expr(s"graft_term_counts($text, $termArr, '$wordGrain')").as("__tc"))
+        .select(col(id) +: (expr("element_at(__tc, 1)").as("dl") +:
+          terms.indices.map(i =>
+            expr(s"element_at(__tc, ${i + 2})").as(s"tf$i"))): _*))
     val meta = perDoc.agg(
       count(lit(1)).as("n"),
       (sum(col("dl")).as("sum_dl") +:

@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
 class CjkGrainSpec extends SparkSpec {
   import spark.implicits._
 
+  // routedTokensSpark emits the graft_routed_tokens kernel (round 13),
+  // so direct expr() uses need the functions registered up front
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+  }
+
   private val zh = "这是一个没有空格的中文句子"         // 13 Han codepoints, no spaces
   private val en = "plain english words only"
 

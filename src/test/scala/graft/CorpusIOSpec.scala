@@ -132,6 +132,24 @@ class CorpusIOSpec extends SparkSpec {
     assert(r.getLong(4) == graft.ops.PortableHash.jvmStringHash("hello"))
   }
 
+  test("truncated header: CRLFCRLF-less record is dropped, the following record is recovered") {
+    // record B's header never terminates (no CRLFCRLF before record C's
+    // marker). The un-bounded scan would find C's CRLFCRLF and consume
+    // a merged garbage header — the bounded scan drops B and resyncs to
+    // C. A records cleanly before, C cleanly after.
+    val rec = "WARC/1.0\r\nWARC-Target-URI: https://x/a\r\nContent-Length: 2\r\n\r\nok\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Target-URI: https://x/broken\r\nContent-Length: 3\r\n" + // no blank line
+      "WARC/1.0\r\nWARC-Target-URI: https://x/c\r\nContent-Length: 5\r\n\r\nhello\r\n\r\n"
+    val df = Seq(Tuple1(rec.getBytes("UTF-8"))).toDF("blob")
+    val rows = CorpusIO.parseWarcBytes(df, "blob").orderBy($"uri").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("https://x/a", "https://x/c"),
+      s"malformed-header record must drop, neighbors must survive: ${rows.map(_.getString(0)).toSeq}")
+    val c = rows.find(_.getString(0) == "https://x/c").get
+    assert(c.getLong(3) == 5L)
+    assert(c.getLong(4) == graft.ops.PortableHash.jvmStringHash("hello"),
+      "the recovered record must capture its exact payload")
+  }
+
   test("malformed declared length: over-run clamps to container end, framing falls back to marker scan") {
     val rec = "WARC/1.0\r\nWARC-Target-URI: https://x/trunc\r\nContent-Length: 9999\r\n\r\nshort" +
       "\r\n\r\nWARC/1.0\r\nWARC-Target-URI: https://x/next\r\nContent-Length: 4\r\n\r\nnext\r\n\r\n"

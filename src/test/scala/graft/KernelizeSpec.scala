@@ -147,6 +147,58 @@ class KernelizeSpec extends SparkSpec {
     }
   }
 
+  test("routed-grain construction rewrites to graft_routed_tokens; values unchanged") {
+    import graft.ops.TextAnalysis
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    // zh-ify every 3rd doc (the queries' fixture recipe) so both
+    // routing outcomes carry mass and value-invariance is not vacuous
+    val han26 = "的一是不了人我在有他这为之大来以个中上们到说国和地也"
+    val fix = () => docs().selectExpr("doc_id",
+      s"IF(doc_id % 3 = 0, replace(translate(lower(text), 'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', ''), text) AS text")
+    for (keep <- Seq(true, false)) {
+      val q = TextAnalysis.routedTokensRegex("text", keep) + " AS t"
+      val baseline = fix().selectExpr("doc_id", q).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      withRule {
+        val df = fix().selectExpr("doc_id", q)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("graft_routed_tokens"),
+          s"routed construction (keepEmpties=$keep) must kernelize:\n$plan")
+        assert(!plan.contains("regexp_extract_all"),
+          s"the regex tokenization must be gone:\n$plan")
+        val got = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+        assert(got === baseline, s"rewrite must be value-invariant (keepEmpties=$keep)")
+        assert(baseline.values.exists(_.exists(_.length == 1)),
+          "fixture must actually route some rows to the codepoint grain")
+      }
+    }
+    // size(<routed, no empties>) folds all the way to the count-only
+    // kernel on the optimizer's fixed-point second pass
+    withRule {
+      val q = s"size(${TextAnalysis.routedTokensRegex("text", keepEmpties = false)}) AS n"
+      val baseline = fix().selectExpr("doc_id", q).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val df = fix().selectExpr("doc_id", q)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_word_count"),
+        s"size-of-routed must fold to the count kernel:\n$plan")
+      assert(!plan.contains("graft_routed_tokens"),
+        s"the token-array materialization must be gone:\n$plan")
+      val got = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === baseline, "count fold must be value-invariant")
+    }
+    // NEGATIVE: a construction over a DIFFERENT char class (user's own
+    // ranges = a different grain) must stay declarative
+    withRule {
+      val other = TextAnalysis.routedTokensRegex("text", keepEmpties = true)
+        .replace(TextAnalysis.cjkCharClass, "[\\u3040-\\u30FF]")
+      val plan = fix().selectExpr("doc_id", s"$other AS t")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("graft_routed_tokens"),
+        s"foreign char class must NOT rewrite:\n$plan")
+    }
+  }
+
   test("install is idempotent and removable") {
     KernelizeTextOps.install(spark)
     KernelizeTextOps.install(spark)

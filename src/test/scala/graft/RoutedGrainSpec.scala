@@ -1,0 +1,149 @@
+package graft
+
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bit-parity of the round-13 COMPILED routed-grain kernels against
+  * the declarative regexp construction the DuckDB oracle replays:
+  *
+  *   - `graft_routed_tokens(t, keepEmpties)` ≡
+  *     [[TextAnalysis.routedTokensRegex]] (dominance `regexp_replace`
+  *     + token `regexp_extract_all`) — both empties conventions;
+  *   - `graft_word_count(t, 'cjk-auto')` ≡ `size(<routed, no
+  *     empties>)` (and `'ws'`/1-arg stays the old count);
+  *   - `graft_term_counts(t, terms, 'cjk-auto')` ≡ the declarative
+  *     `[size(__ws), size(__ws) − size(array_remove(__ws, tᵢ)) …]`
+  *     doc-stats row the r12 BM25 cjk leg computed;
+  *   - the 11-arg `graft_gopher_flags` SQL spelling ≡ the 12-arg
+  *     `'ws'` one (the optional-grain compat contract).
+  *
+  * Fixtures hit the routing edges (dominance boundary, empty/space
+  * rows, embedded ascii runs, supplementary-plane codepoints inside
+  * runs, Thai, space runs) and a deterministic fuzz sweep covers the
+  * soup in between.
+  */
+class RoutedGrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+  }
+
+  private val zh = "这是一个没有空格的中文句子"
+  private val fixtures: Seq[(Long, String)] = Seq(
+    1L -> "",
+    2L -> "   ",
+    3L -> "plain english words only",
+    4L -> "double  space and  trailing ",
+    5L -> zh,
+    6L -> s"${zh}abc$zh",                    // ascii run inside routed text
+    7L -> "中文ab",                           // exactly half -> routes
+    8L -> "中abc",                            // below half -> ws grain
+    9L -> "中 文 a b",                        // routed WITH spaces
+    10L -> "ไทยแบ่งคำไม่ได้เลย",               // Thai (unsegmented, non-Han)
+    11L -> "中文😀中文",                       // supplementary codepoint in a run
+    12L -> "😀 😀 😀",                         // emoji only -> ws grain
+    13L -> "的的的 xx 的的的",
+    14L -> ("中" * 40 + " latin tail here"))
+
+  private def fuzz(n: Int): Seq[(Long, String)] = {
+    val alphabet = "中文的一 漢字ไทยab x.#😀 "
+    (1 to n).map { i =>
+      var x = i.toLong; val sb = new StringBuilder
+      for (_ <- 0 until 50) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        sb.append(alphabet(((x >>> 33) % alphabet.length).toInt))
+      }
+      (i.toLong + 100L) -> sb.toString
+    }
+  }
+
+  private def df(): DataFrame =
+    (fixtures ++ fuzz(300)).toDF("doc_id", "text")
+
+  test("graft_routed_tokens ≡ declarative routed construction, both empties conventions") {
+    for (keep <- Seq(true, false)) {
+      val rows = df().select($"doc_id",
+          expr(TextAnalysis.routedTokensSpark("text", keep)).as("k"),
+          expr(TextAnalysis.routedTokensRegex("text", keep)).as("r"))
+        .as[(Long, Seq[String], Seq[String])].collect()
+      rows.foreach { case (id, k, r) =>
+        assert(k == r, s"doc $id keepEmpties=$keep: kernel $k != regex $r")
+      }
+      assert(rows.length == fixtures.length + 300)
+    }
+  }
+
+  test("graft_word_count grain: 'cjk-auto' ≡ size of routed no-empty tokens; 'ws'/1-arg unchanged") {
+    val rows = df().select($"doc_id",
+        expr("graft_word_count(text, 'cjk-auto')").as("k"),
+        size(expr(TextAnalysis.routedTokensRegex("text", keepEmpties = false)))
+          .cast("long").as("r"),
+        expr("graft_word_count(text)").as("ws1"),
+        expr("graft_word_count(text, 'ws')").as("ws2"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    rows.foreach { case (id, k, r, ws1, ws2) =>
+      assert(k == r, s"doc $id: routed word count $k != declarative size $r")
+      assert(ws1 == ws2, s"doc $id: 1-arg and explicit-'ws' must agree")
+    }
+    // the grains genuinely diverge on the routed fixtures
+    assert(rows.exists { case (_, k, _, ws, _) => k != ws })
+  }
+
+  test("graft_term_counts grain: 'cjk-auto' ≡ declarative dl/tf over routed tokens") {
+    val terms = Seq("的", "中", "ab", "x")
+    val termArr = terms.map(t => s"'$t'").mkString("array(", ", ", ")")
+    val ws = TextAnalysis.routedTokensRegex("text", keepEmpties = false)
+    val declared = ($"doc_id" +: (expr(s"CAST(size(__ws) AS BIGINT)").as("dl") +:
+      terms.indices.map(i =>
+        expr(s"CAST(size(__ws) - size(array_remove(__ws, '${terms(i)}')) AS BIGINT)")
+          .as(s"r$i"))))
+    val rows = df()
+      .select($"doc_id", expr(s"graft_term_counts(text, $termArr, 'cjk-auto')").as("__tc"),
+        expr(ws).as("__ws"))
+      .select(($"doc_id" +: expr("__tc[0]").as("kdl") +:
+        terms.indices.map(i => expr(s"__tc[${i + 1}]").as(s"k$i"))) ++
+        (expr("CAST(size(__ws) AS BIGINT)").as("dl") +:
+          terms.indices.map(i =>
+            expr(s"CAST(size(__ws) - size(array_remove(__ws, '${terms(i)}')) AS BIGINT)")
+              .as(s"r$i"))): _*)
+      .collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val k = (0 to terms.length).map(j => r.getLong(1 + j))
+      val d = (0 to terms.length).map(j => r.getLong(2 + terms.length + j))
+      assert(k == d, s"doc $id: kernel $k != declarative $d")
+    }
+    // tf must actually fire on routed single-codepoint terms
+    assert(rows.exists(_.getLong(2) > 0), "fixture must produce 的 matches")
+  }
+
+  test("graft_gopher_flags: 11-arg SQL defaults the grain to 'ws' (12-arg parity)") {
+    val stop = TextAnalysis.gopherStops.map(s => s"'$s'").mkString("array(", ", ", ")")
+    val args = s"text, 3, 100000, 3.0D, 10.0D, 0.1D, 0.8D, 2, 0.9D, 0.3D, $stop"
+    val rows = df().select($"doc_id",
+        expr(s"graft_gopher_flags($args)").as("v11"),
+        expr(s"graft_gopher_flags($args, 'ws')").as("v12"))
+      .as[(Long, Seq[Int], Seq[Int])].collect()
+    rows.foreach { case (id, a, b) => assert(a == b, s"doc $id: 11-arg != 12-arg 'ws'") }
+  }
+
+  test("null text: every grain kernel yields NULL, matching the declarative forms") {
+    val one = Seq((1L, null: String)).toDF("doc_id", "text")
+    val r = one.select(
+      expr("graft_routed_tokens(text, true)"),
+      expr("graft_word_count(text, 'cjk-auto')"),
+      expr("graft_term_counts(text, array('的'), 'cjk-auto')"),
+      expr(TextAnalysis.routedTokensRegex("text", keepEmpties = true))).head()
+    assert((0 to 3).forall(r.isNullAt), s"null text must stay null, got $r")
+  }
+
+  test("bad grain literal fails at analysis with a clear message") {
+    val e = intercept[Exception] {
+      df().selectExpr("graft_word_count(text, 'bytes')").collect()
+    }
+    assert(e.getMessage.contains("grain"), s"unexpected: ${e.getMessage}")
+  }
+}

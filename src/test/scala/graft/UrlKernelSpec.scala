@@ -108,6 +108,27 @@ class UrlKernelSpec extends SparkSpec {
     }
   }
 
+  test("coexisting exact + wildcard rules for the SAME name resolve longest-match-first (upstream PSL)") {
+    // upstream allows `foo.example` (exact) alongside `*.foo.example`
+    // (wildcard) — legal and meaningful, NOT redundant. The resolver's
+    // per-depth descending probe realizes upstream's prevailing-rule
+    // order: hosts deep enough for the wildcard child resolve there;
+    // shallower hosts fall through to the exact rule. Exercised on a
+    // synthetic probe table since the committed list has no such pair.
+    val (exc, suf) = graft.functions.UrlOps.buildLevels(
+      exact = Seq("foo.example", "co.test"),
+      tails = Seq("foo.example"),
+      exceptions = Nil)
+    def d(h: String) = graft.functions.UrlOps.registrableWith(h, exc, suf)
+    // deep host: wildcard child b.foo.example is the suffix (depth 3)
+    assert(d("a.b.foo.example") == "a.b.foo.example")
+    assert(d("x.a.b.foo.example") == "a.b.foo.example")
+    // shallow host: falls through to the exact rule (suffix depth 2)
+    assert(d("b.foo.example") == "b.foo.example")
+    // unrelated exact rule unaffected
+    assert(d("shop.site.co.test") == "site.co.test")
+  }
+
   test("null url: kernel and declarative agree (both null)") {
     val df = graft.functions.VectorFunctions.attach(
       Seq((1L, Option.empty[String])).toDF("id", "url"))
