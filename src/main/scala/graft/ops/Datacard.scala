@@ -25,11 +25,27 @@ import org.apache.spark.sql.functions._
   */
 object Datacard {
 
-  def datacard(df: DataFrame, id: String, text: String): DataFrame = {
-    val flagged = TextAnalysis.gopherRules(df, id, text, carry = Seq(text))
+  /** `wordGrain = "ws"` (default) publishes token totals in the BPE-ish
+    * compiled token grain (`graft_token_count` — whose single-char
+    * catch-all class already tokenizes unsegmented scripts per
+    * codepoint) and gates quality on the whitespace word grain.
+    * `wordGrain = "cjk-auto"` routes BOTH through the
+    * script-dominance-routed word grain: the Gopher gate stops
+    * rejecting every unsegmented row (the judge of pass-rate), and the
+    * published token totals/means are denominated in routed WORDS —
+    * one consistent grain across the whole card.
+    */
+  def datacard(df: DataFrame, id: String, text: String,
+               wordGrain: String = "ws"): DataFrame = {
+    require(wordGrain == "ws" || wordGrain == "cjk-auto",
+      s"wordGrain must be 'ws' or 'cjk-auto', got $wordGrain")
+    val tok = if (wordGrain == "cjk-auto") s"graft_word_count($text, 'cjk-auto')"
+              else s"graft_token_count($text)"
+    val flagged = TextAnalysis.gopherRules(df, id, text, carry = Seq(text),
+      wordGrain = wordGrain)
     val perRow = flagged
       .select(col("keep").cast("long").as("__keep"),
-        expr(s"graft_token_count($text)").cast("long").as("__tok"),
+        expr(tok).cast("long").as("__tok"),
         length(col(text)).cast("long").as("__chars"),
         expr(PortableHash.sparkStringHash(text)).as("__h"),
         (expr(TextAnalysis.langPredExpr(text)) === "en").cast("long").as("__en"))
@@ -183,8 +199,12 @@ object Datacard {
   }
 
   /** DuckDB twin of [[datacard]]. */
-  def datacardSql(table: String, id: String, text: String): String = {
-    val tok = s"len(regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))"
+  def datacardSql(table: String, id: String, text: String,
+                  wordGrain: String = "ws"): String = {
+    val tok =
+      if (wordGrain == "cjk-auto")
+        s"len(${TextAnalysis.routedTokensDuck(text, keepEmpties = false)})"
+      else s"len(regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))"
     def milli(num: String) =
       s"CASE WHEN n_docs = 0 THEN 0 ELSE ($num) // n_docs END"
     s"""WITH m AS (
@@ -196,7 +216,7 @@ object Datacard {
        |l AS (SELECT count(*)::BIGINT AS n_en FROM (
        |${TextAnalysis.langIdSql(table, id, text)}) WHERE lang_pred = 'en'),
        |g AS (SELECT count(*)::BIGINT AS n_pass FROM (
-       |${TextAnalysis.gopherRulesSql(table, id, text)}) WHERE keep = 1)
+       |${TextAnalysis.gopherRulesSql(table, id, text, wordGrain = wordGrain)}) WHERE keep = 1)
        |SELECT metric, CAST(value AS BIGINT) AS value FROM (
        |  SELECT 'n_docs' AS metric, n_docs AS value FROM m
        |  UNION ALL SELECT 'n_tokens', n_tokens FROM m

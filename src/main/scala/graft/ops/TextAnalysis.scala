@@ -2096,8 +2096,31 @@ object TextAnalysis {
     * that before the raw-column empty filter below). Stateless — runs
     * unchanged on a streaming Dataset.
     */
+  /** Token expression of a chunk grain: `"token"` (default) is the
+    * BPE-ish compiled alternation both engines share; `"cjk-auto"` is
+    * the script-dominance-routed WORD grain (empties dropped) — the
+    * chunk denomination an embedding pipeline wants when its encoder
+    * counts words, where a "512-token" window on an unsegmented corpus
+    * must mean 512 routed tokens, not 512 whitespace mega-tokens.
+    * Either grain yields ≥1 token iff any non-space char exists, so
+    * the raw-column empty filter below serves both.
+    */
+  private def chunkTokExpr(text: String, grain: String): String = {
+    require(grain == "token" || grain == "cjk-auto",
+      s"chunk grain must be 'token' or 'cjk-auto', got $grain")
+    if (grain == "cjk-auto") routedTokensSpark(text, keepEmpties = false)
+    else s"regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"
+  }
+  private def chunkTokDuck(text: String, grain: String): String = {
+    require(grain == "token" || grain == "cjk-auto",
+      s"chunk grain must be 'token' or 'cjk-auto', got $grain")
+    if (grain == "cjk-auto") routedTokensDuck(text, keepEmpties = false)
+    else s"regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')"
+  }
+
   def chunkDocuments(df: DataFrame, id: String, text: String,
-                     size: Int = 32, stride: Int = 24): DataFrame = {
+                     size: Int = 32, stride: Int = 24,
+                     grain: String = "token"): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       s"need 0 < stride <= size, got size=$size stride=$stride")
     // empty-doc filter on the RAW column, not on size(toks): a computed-
@@ -2105,9 +2128,10 @@ object TextAnalysis {
     // substituted in, tokenizing every doc twice (Explain showed the
     // duplicate). Equivalent: >=1 token iff any non-space char exists
     // (every non-space char matches one alternation branch).
-    df.where(col(text).isNotNull && trim(col(text)) =!= "")
+    graft.functions.VectorFunctions.attach(df)
+      .where(col(text).isNotNull && trim(col(text)) =!= "")
       .select(col(id).as("doc_id"),
-        expr(s"regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)").as("toks"))
+        expr(chunkTokExpr(text, grain)).as("toks"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, cast(greatest(ceil((size(toks) - $size) / cast($stride AS DOUBLE)), 0) AS INT)), " +
           s"i -> slice(toks, i * $stride + 1, $size))")))
@@ -2131,13 +2155,13 @@ object TextAnalysis {
     */
   def hashEmbedChunks(df: DataFrame, id: String, text: String,
                       size: Int = 32, stride: Int = 24,
-                      dim: Int = 16): DataFrame = {
+                      dim: Int = 16, grain: String = "token"): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size && dim > 0,
       s"need 0 < stride <= size and dim > 0, got size=$size stride=$stride dim=$dim")
     graft.functions.VectorFunctions.ensureRegistered(df.sparkSession)
     df.where(col(text).isNotNull && trim(col(text)) =!= "")
       .select(col(id).as("doc_id"),
-        expr(s"regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)").as("toks"))
+        expr(chunkTokExpr(text, grain)).as("toks"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, cast(greatest(ceil((size(toks) - $size) / cast($stride AS DOUBLE)), 0) AS INT)), " +
           s"i -> slice(toks, i * $stride + 1, $size))")))
@@ -2154,11 +2178,11 @@ object TextAnalysis {
     */
   def hashEmbedChunksSql(table: String, id: String, text: String,
                          size: Int = 32, stride: Int = 24,
-                         dim: Int = 16): String = {
+                         dim: Int = 16, grain: String = "token"): String = {
     val h = PortableHash.duckStringHash("t")
     s"""(WITH etoks AS (
        |  SELECT $id AS doc_id,
-       |    regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]') AS toks
+       |    ${chunkTokDuck(text, grain)} AS toks
        |  FROM $table),
        |ech AS (
        |  SELECT doc_id, i AS chunk_idx,
@@ -2256,10 +2280,11 @@ object TextAnalysis {
 
   /** DuckDB twin of [[chunkDocuments]]. */
   def chunkDocumentsSql(table: String, id: String, text: String,
-                        size: Int = 32, stride: Int = 24): String =
+                        size: Int = 32, stride: Int = 24,
+                        grain: String = "token"): String =
     s"""WITH toks AS (
        |  SELECT $id AS doc_id,
-       |    regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]') AS toks
+       |    ${chunkTokDuck(text, grain)} AS toks
        |  FROM $table),
        |ch AS (
        |  SELECT doc_id, i AS chunk_idx,
@@ -2295,13 +2320,19 @@ object TextAnalysis {
     * regex tokenization) on every corpus it runs.
     */
   def chunkManifest(df: DataFrame, id: String, text: String,
-                    size: Int = 32, stride: Int = 24): DataFrame = {
+                    size: Int = 32, stride: Int = 24,
+                    grain: String = "token"): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       s"need 0 < stride <= size, got size=$size stride=$stride")
+    // the closed-form arithmetic must ride the SAME grain the chunker
+    // cuts: the routed grain's count-only kernel for 'cjk-auto', the
+    // BPE-ish token kernel otherwise
+    val cnt = if (grain == "cjk-auto") s"graft_word_count($text, 'cjk-auto')"
+              else s"graft_token_count($text)"
     graft.functions.VectorFunctions.attach(df)
       .where(col(text).isNotNull && trim(col(text)) =!= "")
       .select(col(id).as("__id"),
-        expr(s"graft_token_count($text)").cast("long").as("n"))
+        expr(cnt).cast("long").as("n"))
       .select(col("__id"), col("n"), expr(
         s"CAST(greatest(ceil((n - $size) / cast($stride AS DOUBLE)), 0) AS BIGINT) + 1")
         .as("k"))
@@ -2324,10 +2355,11 @@ object TextAnalysis {
     * (see the formula-vs-grain pinning note on the Spark side).
     */
   def chunkManifestSql(table: String, id: String, text: String,
-                       size: Int = 32, stride: Int = 24): String =
+                       size: Int = 32, stride: Int = 24,
+                       grain: String = "token"): String =
     s"""SELECT count(*)::BIGINT AS n_chunks,
        |  count(DISTINCT doc_id)::BIGINT AS n_docs,
        |  ((1000 * sum(n_tokens)) // (count(*) * $size))::BIGINT AS fill_milli,
        |  coalesce(CAST(sum(CASE WHEN n_tokens < ${size / 2} THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_short
-       |FROM (${chunkDocumentsSql(table, id, text, size, stride)})""".stripMargin
+       |FROM (${chunkDocumentsSql(table, id, text, size, stride, grain)})""".stripMargin
 }

@@ -1370,6 +1370,20 @@ object Queries {
         t(s, dir, "documents"), "doc_id", "text"),
       Some(TextAnalysis.chunkDocumentsSql("documents", "doc_id", "text"))),
 
+    // chunking on the routed cjk-auto word grain over the zh fixture:
+    // an embedding pipeline whose encoder counts words needs a
+    // "32-token" window to mean 32 ROUTED tokens on unsegmented rows
+    // (per codepoint), not one whitespace mega-token per doc; the
+    // chunk_hash witnesses that both engines cut identical routed
+    // windows
+    QueryDef("text_chunk_cjk",
+      (s, dir) => TextAnalysis.chunkDocuments(
+        t(s, dir, "documents").withColumn("text", expr(zhFixtureSpark)),
+        "doc_id", "text", grain = "cjk-auto"),
+      Some(TextAnalysis.chunkDocumentsSql(
+        s"(SELECT doc_id, $zhFixtureDuck AS text FROM documents)",
+        "doc_id", "text", grain = "cjk-auto"))),
+
     // subword (BPE) tokenization over the committed merge table — the
     // denomination a training run actually consumes. first_tokens
     // witnesses the token SEQUENCE cross-engine, and n_words rides along
@@ -1421,6 +1435,20 @@ object Queries {
       (s, dir) => graft.ops.Datacard.datacard(
         t(s, dir, "documents"), "doc_id", "text"),
       Some(graft.ops.Datacard.datacardSql("documents", "doc_id", "text"))),
+
+    // the datacard on the routed word grain over the zh fixture: the
+    // quality gate stops auto-rejecting unsegmented rows and the
+    // published token totals/means are denominated in routed words —
+    // one consistent grain across the card (the ws card's BPE-ish
+    // token classes already count CJK per codepoint; this card's
+    // contract is word-grain consistency between gate and totals)
+    QueryDef("pipeline_datacard_cjk",
+      (s, dir) => graft.ops.Datacard.datacard(
+        t(s, dir, "documents").withColumn("text", expr(zhFixtureSpark)),
+        "doc_id", "text", wordGrain = "cjk-auto"),
+      Some(graft.ops.Datacard.datacardSql(
+        s"(SELECT doc_id, $zhFixtureDuck AS text FROM documents)",
+        "doc_id", "text", wordGrain = "cjk-auto"))),
 
     // the datacard's 100 TB form: the exact card's one corpus-sized
     // exchange (countDistinct of the digest) swapped for the
@@ -1477,6 +1505,20 @@ object Queries {
         "doc_id", "text", size = 32, stride = 32),
       Some(TextAnalysis.chunkManifestSql("documents", "doc_id", "text",
         size = 32, stride = 32))),
+
+    // the manifest on the routed grain: the Spark side is the
+    // CLOSED-FORM arithmetic over the count-only routed kernel
+    // (graft_word_count 'cjk-auto' — no explode, no array), the oracle
+    // aggregates the EXPLODED routed chunk grain — the hash compare
+    // pins formula ≡ grain on the routed tokenization exactly as the
+    // ws manifest pins it on the token grain
+    QueryDef("pipeline_chunk_manifest_cjk",
+      (s, dir) => TextAnalysis.chunkManifest(
+        t(s, dir, "documents").withColumn("text", expr(zhFixtureSpark)),
+        "doc_id", "text", size = 32, stride = 32, grain = "cjk-auto"),
+      Some(TextAnalysis.chunkManifestSql(
+        s"(SELECT doc_id, $zhFixtureDuck AS text FROM documents)",
+        "doc_id", "text", size = 32, stride = 32, grain = "cjk-auto"))),
 
     // mojibake repair: the committed-derivation artifact table applied
     // as a constant replace chain; the fixture corrupts every 3rd doc

@@ -112,4 +112,28 @@ class CjkGrainSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect()
     assert(ws.isEmpty, "on the ws grain every zh doc is one token - tf must be 0 corpus-wide")
   }
+
+  test("chunk cjk-auto: windows are cut in routed tokens; manifest formula matches the exploded grain") {
+    // 13 Han codepoints, size=4/stride=4 -> chunks of 4,4,4,1; the
+    // latin doc chunks on ws WORDS under the routed grain (the 'token'
+    // grain would count the apostrophe-free punctuation separately)
+    val docs = Seq((1L, zh), (2L, "five plain words right here")).toDF("doc_id", "text")
+    val ch = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
+      size = 4, stride = 4, grain = "cjk-auto")
+      .select($"doc_id", $"chunk_idx", $"n_tokens").as[(Long, Int, Long)].collect()
+    val zhChunks = ch.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    assert(zhChunks == Seq(4L, 4L, 4L, 1L), s"routed windows wrong: $zhChunks")
+    val enChunks = ch.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq
+    assert(enChunks == Seq(4L, 1L), s"ws-routed latin windows wrong: $enChunks")
+    // manifest closed form (count-only routed kernel) ≡ exploded grain
+    val m = TextAnalysis.chunkManifest(docs, "doc_id", "text",
+      size = 4, stride = 4, grain = "cjk-auto").head()
+    assert(m.getLong(0) == ch.length.toLong, "n_chunks must match the exploded grain")
+    assert(m.getLong(1) == 2L)
+    assert(m.getLong(3) == ch.count(_._3 < 2).toLong, "n_short must match the exploded grain")
+    // hash-embed rides the same routed windows: one vector per chunk
+    val emb = TextAnalysis.hashEmbedChunks(docs, "doc_id", "text",
+      size = 4, stride = 4, dim = 8, grain = "cjk-auto").collect()
+    assert(emb.length == ch.length, "hash-embed must cut the same routed windows")
+  }
 }
