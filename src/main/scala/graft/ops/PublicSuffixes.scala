@@ -54,10 +54,28 @@ object PublicSuffixes {
     // Australia (incl. state second-levels)
     "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
     "act.au", "nsw.au", "nt.au", "qld.au", "sa.au", "tas.au", "vic.au", "wa.au",
-    // Japan
+    // Japan (organizational + the 47 prefecture geographic names)
     "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
-    // Brazil
+    "aichi.jp", "akita.jp", "aomori.jp", "chiba.jp", "ehime.jp", "fukui.jp",
+    "fukuoka.jp", "fukushima.jp", "gifu.jp", "gunma.jp", "hiroshima.jp",
+    "hokkaido.jp", "hyogo.jp", "ibaraki.jp", "ishikawa.jp", "iwate.jp",
+    "kagawa.jp", "kagoshima.jp", "kanagawa.jp", "kochi.jp", "kumamoto.jp",
+    "kyoto.jp", "mie.jp", "miyagi.jp", "miyazaki.jp", "nagano.jp",
+    "nagasaki.jp", "nara.jp", "niigata.jp", "oita.jp", "okayama.jp",
+    "okinawa.jp", "osaka.jp", "saga.jp", "saitama.jp", "shiga.jp",
+    "shimane.jp", "shizuoka.jp", "tochigi.jp", "tokushima.jp", "tokyo.jp",
+    "tottori.jp", "toyama.jp", "wakayama.jp", "yamagata.jp", "yamaguchi.jp",
+    "yamanashi.jp",
+    // Brazil (registro.br organizational/professional categories)
     "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br", "art.br", "blog.br",
+    "adv.br", "agr.br", "am.br", "arq.br", "bio.br", "cim.br", "cng.br",
+    "cnt.br", "coop.br", "ecn.br", "eco.br", "emp.br", "eng.br", "esp.br",
+    "etc.br", "eti.br", "far.br", "flog.br", "fm.br", "fnd.br", "fot.br",
+    "fst.br", "g12.br", "ggf.br", "imb.br", "ind.br", "inf.br", "jor.br",
+    "jus.br", "lel.br", "mat.br", "med.br", "mus.br", "not.br", "ntr.br",
+    "odo.br", "ppg.br", "pro.br", "psc.br", "psi.br", "qsl.br", "radio.br",
+    "rec.br", "slg.br", "srv.br", "taxi.br", "teo.br", "tmp.br", "trd.br",
+    "tur.br", "tv.br", "vet.br", "vlog.br", "wiki.br", "zlg.br",
     // New Zealand
     "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz", "geek.nz",
     "maori.nz", "iwi.nz", "mil.nz", "parliament.nz", "health.nz", "cri.nz",
@@ -75,8 +93,14 @@ object PublicSuffixes {
     "yn.cn", "xz.cn", "sn.cn", "gs.cn", "qh.cn", "nx.cn", "xj.cn",
     // Taiwan
     "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
-    // South Korea
+    // South Korea (organizational, school levels, and the 16 regional
+    // geographic names)
     "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr", "mil.kr",
+    "es.kr", "ms.kr", "hs.kr", "kg.kr", "sc.kr",
+    "seoul.kr", "busan.kr", "daegu.kr", "incheon.kr", "gwangju.kr",
+    "daejeon.kr", "ulsan.kr", "gyeonggi.kr", "gangwon.kr", "chungbuk.kr",
+    "chungnam.kr", "jeonbuk.kr", "jeonnam.kr", "gyeongbuk.kr",
+    "gyeongnam.kr", "jeju.kr",
     // Mexico / Argentina / Colombia
     "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
     "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar", "int.ar", "mil.ar",
@@ -101,8 +125,10 @@ object PublicSuffixes {
     "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
     "com.my", "net.my", "org.my", "edu.my", "gov.my", "mil.my",
     "co.id", "or.id", "net.id", "web.id", "ac.id", "sch.id", "go.id", "mil.id",
+    "biz.id", "my.id", "desa.id",
     "co.th", "in.th", "ac.th", "go.th", "mi.th", "net.th", "or.th",
     "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn", "ac.vn",
+    "biz.vn", "health.vn", "info.vn", "name.vn", "pro.vn",
     "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph", "ngo.ph", "mil.ph", "i.ph",
     "com.pk", "net.pk", "edu.pk", "org.pk", "fam.pk", "biz.pk", "web.pk",
     "gov.pk", "gob.pk", "gok.pk", "gon.pk", "gop.pk", "gos.pk",
@@ -110,6 +136,8 @@ object PublicSuffixes {
     "ngo.lk", "soc.lk", "web.lk", "ltd.lk", "assn.lk", "grp.lk", "hotel.lk", "ac.lk",
     // Middle East / Central Asia
     "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "mil.tr", "web.tr",
+    "av.tr", "bbs.tr", "bel.tr", "biz.tr", "dr.tr", "gen.tr", "info.tr",
+    "k12.tr", "name.tr", "pol.tr", "tel.tr", "tv.tr",
     "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il", "idf.il",
     "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "sci.eg",
     "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa", "sch.sa",
@@ -148,8 +176,20 @@ object PublicSuffixes {
     "gov.ru", "int.ru", "mil.ru",
     "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua", "kiev.ua",
     "kyiv.ua", "lviv.ua",
+    "cherkasy.ua", "chernihiv.ua", "chernivtsi.ua", "crimea.ua",
+    "dnipropetrovsk.ua", "donetsk.ua", "ivano-frankivsk.ua", "kharkiv.ua",
+    "kharkov.ua", "kherson.ua", "kirovograd.ua", "lugansk.ua", "lutsk.ua",
+    "mykolaiv.ua", "odesa.ua", "odessa.ua", "poltava.ua", "rivne.ua",
+    "sumy.ua", "ternopil.ua", "uzhgorod.ua", "vinnica.ua", "zaporizhzhe.ua",
+    "zhitomir.ua", "cv.ua", "dp.ua", "if.ua", "kh.ua", "km.ua", "kr.ua",
+    "lg.ua", "mk.ua", "od.ua", "pl.ua", "rv.ua", "te.ua", "vn.ua", "zp.ua",
+    "zt.ua",
     "com.by", "gov.by", "mil.by", "of.by",
     "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl", "info.pl", "biz.pl",
+    "bialystok.pl", "bydgoszcz.pl", "gda.pl", "gdansk.pl", "katowice.pl",
+    "krakow.pl", "lodz.pl", "lublin.pl", "olsztyn.pl", "opole.pl",
+    "poznan.pl", "radom.pl", "rzeszow.pl", "slupsk.pl", "szczecin.pl",
+    "torun.pl", "warszawa.pl", "wroc.pl", "wroclaw.pl",
     "arts.ro", "com.ro", "firm.ro", "info.ro", "nom.ro", "nt.ro", "org.ro",
     "rec.ro", "store.ro", "tm.ro", "www.ro",
     "ac.rs", "co.rs", "edu.rs", "gov.rs", "in.rs", "org.rs",
@@ -165,6 +205,9 @@ object PublicSuffixes {
     "ac.at", "co.at", "gv.at", "or.at",
     "ac.be",
     "asso.fr", "com.fr", "gouv.fr", "nom.fr", "prd.fr", "tm.fr",
+    "aeroport.fr", "avocat.fr", "chambagri.fr", "chirurgiens-dentistes.fr",
+    "experts-comptables.fr", "medecin.fr", "notaires.fr", "pharmacien.fr",
+    "port.fr", "veterinaire.fr",
     "edu.it", "gov.it",
     "com.es", "nom.es", "org.es", "gob.es", "edu.es",
     "com.pt", "edu.pt", "gov.pt", "int.pt", "net.pt", "nome.pt", "org.pt", "publ.pt",

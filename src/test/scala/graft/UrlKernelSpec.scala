@@ -98,7 +98,15 @@ class UrlKernelSpec extends SparkSpec {
       "https://school.k12.ca.us/x" -> "school.k12.ca.us", // 3-label exact
       "https://a.school.k12.ca.us/x" -> "school.k12.ca.us",
       "https://example.com/x" -> "example.com",       // implicit * fallback
-      "https://example.er" -> "example.er")           // bare 1-label tail -> fallback
+      "https://example.er" -> "example.er",           // bare 1-label tail -> fallback
+      // round-13 table growth: one value row per new family
+      "https://shop.sakai.osaka.jp/x" -> "sakai.osaka.jp",   // jp prefecture
+      "https://www.firm.adv.br/x" -> "firm.adv.br",          // br category
+      "https://cafe.gangnam.seoul.kr/x" -> "gangnam.seoul.kr", // kr geographic
+      "https://news.portal.kharkiv.ua/x" -> "portal.kharkiv.ua", // ua geographic
+      "https://sklep.firma.krakow.pl/x" -> "firma.krakow.pl",  // pl geographic
+      "https://cabinet.dupont.avocat.fr/x" -> "dupont.avocat.fr", // fr profession
+      "https://okul.ornek.k12.tr/x" -> "ornek.k12.tr")       // tr k12
     val df = graft.functions.VectorFunctions.attach(
       cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }.toDF("id", "url"))
     val got = df.select(col("id"), expr("graft_url_domain(url)").as("d"))
