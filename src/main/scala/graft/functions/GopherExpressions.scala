@@ -158,6 +158,61 @@ object GopherOps {
     n
   }
 
+  /** Per-row TERM-FREQUENCY pairs — `ARRAY<STRUCT<w, tf>>` of the
+    * row's DISTINCT tokens with their counts, on either word grain
+    * (`cjkAuto = false` → ws tokens, empties dropped; `true` → the
+    * routed grain). The row-local twin of
+    * `explode(tokens) → groupBy(id, w) → count`: the explode/hash-agg
+    * form feeds the aggregate one row PER TOKEN (118.7M rows at the 1M
+    * probe corpus on the routed grain) where this emits one row per
+    * DISTINCT (doc, term) straight from the scan — the corpus-sized
+    * aggregate disappears and the first exchange already carries tf
+    * rows. Pair order is first-occurrence (deterministic; consumers
+    * aggregate, so order never reaches a result).
+    */
+  def termTfPairs(text: UTF8String, cjkAuto: Boolean): ArrayData = {
+    val s = text.toString
+    val m = new java.util.LinkedHashMap[String, Array[Long]]()
+    @inline def bump(w: String): Unit = {
+      val c = m.get(w)
+      if (c == null) m.put(w, Array(1L)) else c(0) += 1L
+    }
+    if (cjkAuto && isDominated(s)) {
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == ' ') i += 1
+        else if (isCjk(c)) { bump(String.valueOf(c)); i += 1 }
+        else {
+          val st = i
+          i += 1
+          while (i < s.length && { val cc = s.charAt(i); cc != ' ' && !isCjk(cc) }) i += 1
+          bump(s.substring(st, i))
+        }
+      }
+    } else {
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == ' ') i += 1
+        else {
+          val st = i
+          while (i < s.length && s.charAt(i) != ' ') i += 1
+          bump(s.substring(st, i))
+        }
+      }
+    }
+    val out = new Array[AnyRef](m.size)
+    var j = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey), e.getValue()(0)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** [[HashOps.termCounts]] on the routed grain — `[doc_len, tf_0, …,
     * tf_q]` with doc_len and term matches counted over routed tokens
     * (token = term by exact codepoint equality, i.e. SQL string `=`);
@@ -415,6 +470,36 @@ case class GopherFlags(child: Expression,
   }
 
   override protected def withNewChildInternal(c: Expression): GopherFlags =
+    copy(child = c)
+}
+
+/** `graft_term_tf(text[, grain])` — see [[GopherOps.termTfPairs]]:
+  * the row's distinct tokens with counts as ARRAY<STRUCT<w, tf>>,
+  * the row-local replacement for the corpus-sized
+  * explode→groupBy(id, w)→count aggregate in TF-IDF / unigram-style
+  * consumers.
+  */
+case class TermTf(child: Expression, grain: String = "ws")
+    extends UnaryExpression {
+  require(grain == "ws" || grain == "cjk-auto",
+    s"grain must be 'ws' or 'cjk-auto', got $grain")
+  private val cjkAuto = grain == "cjk-auto"
+  override def prettyName: String = "graft_term_tf"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(new StructType()
+    .add("w", StringType, nullable = false)
+    .add("tf", LongType, nullable = false), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${dt.catalogString}")
+  }
+  override def nullSafeEval(s: Any): Any =
+    GopherOps.termTfPairs(s.asInstanceOf[UTF8String], cjkAuto)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.GopherOps.termTfPairs($s, $cjkAuto);")
+  override protected def withNewChildInternal(c: Expression): TermTf =
     copy(child = c)
 }
 

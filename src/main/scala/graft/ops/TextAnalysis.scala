@@ -1094,21 +1094,28 @@ object TextAnalysis {
       s"wordGrain must be 'ws' or 'cjk-auto', got $wordGrain")
     // cjk-auto: the vocabulary and the scored tokens both ride the
     // routed grain, so an unsegmented reference corpus yields a real
-    // codepoint unigram table instead of whole-document "tokens"
-    val tok = if (wordGrain == "cjk-auto") routedTokensSpark(text, keepEmpties = false)
-              else s"filter(split($text, ' '), w -> w <> '')"
-    val refTokens = graft.functions.VectorFunctions.attach(ref)
-      .select(explode(expr(tok)).as("w"))
-    val top = refTokens.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // codepoint unigram table instead of whole-document "tokens".
+    // BOTH grains explode the row-local (w, tf) pair kernel
+    // (graft_term_tf, round 13) instead of one row per token: the
+    // first exchange carries distinct-(doc, term) tf rows and the
+    // corpus-sized token hash-aggregate disappears — value-identical
+    // (Σ tf per term ≡ the token count) to the exploded construction
+    // the DuckDB oracle replays
+    val pairs = s"graft_term_tf($text, '$wordGrain')"
+    val refTerms = graft.functions.VectorFunctions.attach(ref)
+      .select(explode(expr(pairs)).as("p"))
+      .select(col("p.w").as("w"), col("p.tf").as("tf"))
+    val top = refTerms.groupBy(col("w")).agg(sum(col("tf")).as("cnt"))
       .orderBy(col("cnt").desc, col("w").asc).limit(vocab)
-    val total = refTokens.agg(count(lit(1)).as("total_ref"))
+    val total = refTerms.agg(coalesce(sum(col("tf")), lit(0L)).as("total_ref"))
     graft.functions.VectorFunctions.attach(docs)
-      .select(col(id), explode(expr(tok)).as("w"))
+      .select(col(id), explode(expr(pairs)).as("p"))
+      .select(col(id), col("p.w").as("w"), col("p.tf").as("tf"))
       .join(broadcast(top), Seq("w"), "left")
       .groupBy(col(id))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
-        sum(coalesce(col("cnt"), lit(0L))).as("sum_cnt"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("cnt").isNull, col("tf")).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("cnt"), lit(0L)) * col("tf")).as("sum_cnt"))
       .crossJoin(broadcast(total))
       .select(col(id), col("n_tokens"),
         round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_ratio"),
@@ -1649,13 +1656,21 @@ object TextAnalysis {
       s"wordGrain must be 'ws' or 'cjk-auto', got $wordGrain")
     // cjk-auto: script-dominated rows keyword per CODEPOINT term (the
     // ws grain makes an unsegmented zh doc ONE term with tf=1 — the
-    // tf signal vanishes exactly where keywords are wanted)
-    val tok = if (wordGrain == "cjk-auto") routedTokensSpark(text, keepEmpties = false)
-              else s"filter(split($text, ' '), w -> w <> '')"
+    // tf signal vanishes exactly where keywords are wanted).
+    // tf rows come from the row-local (w, tf) pair kernel
+    // (graft_term_tf, round 13) on BOTH grains — one exploded row per
+    // DISTINCT (doc, term) instead of one per token, so the
+    // corpus-sized groupBy(id, w) hash-aggregate this stage used to
+    // pay (118.7M rows at the 1M probe on the routed grain) shrinks to
+    // a distinct-(doc, term)-grain agg (kept — it is what merges
+    // DUPLICATE doc ids exactly as the oracle's GROUP BY does, and
+    // with mostly size-1 groups the partial agg is near-free);
+    // value-identical to the exploded construction the oracle replays
     val terms = Caches.lease(
       graft.functions.VectorFunctions.attach(docs)
-        .select(col(id), explode(expr(tok)).as("w"))
-        .groupBy(col(id), col("w")).agg(count(lit(1)).as("tf")))
+        .select(col(id), explode(expr(s"graft_term_tf($text, '$wordGrain')")).as("p"))
+        .select(col(id), col("p.w").as("w"), col("p.tf").as("tf"))
+        .groupBy(col(id), col("w")).agg(sum(col("tf")).as("tf")))
     val dfreq = terms.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val win = Window.partitionBy(col(id))

@@ -120,6 +120,30 @@ class RoutedGrainSpec extends SparkSpec {
     assert(rows.exists(_.getLong(2) > 0), "fixture must produce 的 matches")
   }
 
+  test("graft_term_tf: exploded pairs ≡ explode-tokens + groupBy counts, both grains") {
+    for (grain <- Seq("ws", "cjk-auto")) {
+      val tok =
+        if (grain == "cjk-auto") TextAnalysis.routedTokensRegex("text", keepEmpties = false)
+        else "filter(split(text, ' '), w -> w <> '')"
+      val declared = df().select($"doc_id", explode(expr(tok)).as("w"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+        .as[(Long, String, Long)].collect().toSet
+      val kernel = df()
+        .select($"doc_id", explode(expr(s"graft_term_tf(text, '$grain')")).as("p"))
+        .select($"doc_id", $"p.w", $"p.tf")
+        .as[(Long, String, Long)].collect().toSet
+      assert(kernel == declared, s"grain=$grain: pair kernel must equal exploded counts " +
+        s"(missing=${(declared -- kernel).take(5)} extra=${(kernel -- declared).take(5)})")
+      assert(kernel.exists(_._3 > 1), s"grain=$grain: fixture must produce real tf > 1")
+    }
+    // 1-arg SQL defaults to 'ws'
+    val one = df().selectExpr("explode(graft_term_tf(text)) AS p")
+      .selectExpr("p.w", "p.tf").as[(String, Long)].collect().toSet
+    val two = df().selectExpr("explode(graft_term_tf(text, 'ws')) AS p")
+      .selectExpr("p.w", "p.tf").as[(String, Long)].collect().toSet
+    assert(one == two)
+  }
+
   test("graft_gopher_flags: 11-arg SQL defaults the grain to 'ws' (12-arg parity)") {
     val stop = TextAnalysis.gopherStops.map(s => s"'$s'").mkString("array(", ", ", ")")
     val args = s"text, 3, 100000, 3.0D, 10.0D, 0.1D, 0.8D, 2, 0.9D, 0.3D, $stop"
