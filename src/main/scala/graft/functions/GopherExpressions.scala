@@ -213,6 +213,56 @@ object GopherOps {
     new GenericArrayData(out)
   }
 
+  /** Per-row word-n-GRAM-frequency pairs — [[termTfPairs]] one order
+    * up: distinct space-joined n-grams of the ws token sequence
+    * (empties dropped) with occurrence counts, fused from the raw
+    * text. The consumers previously computed
+    * `graft_ngrams(filter(split(text, ' '), w -> w <> ''), n)` — a
+    * HOF child, which is CodegenFallback and pushes the whole
+    * projection out of whole-stage codegen — then exploded one row
+    * per gram into a corpus-sized hash aggregate. Docs with fewer
+    * than n tokens yield an empty array (no gram rows), matching
+    * `ngrams`' contract.
+    */
+  def gramTfPairs(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val m = new java.util.LinkedHashMap[String, Array[Long]]()
+    val ring = new Array[String](n)
+    var filled = 0
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == ' ') i += 1
+      else {
+        val st = i
+        while (i < s.length && s.charAt(i) != ' ') i += 1
+        // shift the ring; a bounded arraycopy per token (n is 2 or 3)
+        var k = 0
+        while (k < n - 1) { ring(k) = ring(k + 1); k += 1 }
+        ring(n - 1) = s.substring(st, i)
+        if (filled < n) filled += 1
+        if (filled == n) {
+          sb.setLength(0)
+          k = 0
+          while (k < n) { if (k > 0) sb.append(' '); sb.append(ring(k)); k += 1 }
+          val g = sb.toString
+          val c = m.get(g)
+          if (c == null) m.put(g, Array(1L)) else c(0) += 1L
+        }
+      }
+    }
+    val out = new Array[AnyRef](m.size)
+    var j = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey), e.getValue()(0)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** [[HashOps.termCounts]] on the routed grain — `[doc_len, tf_0, …,
     * tf_q]` with doc_len and term matches counted over routed tokens
     * (token = term by exact codepoint equality, i.e. SQL string `=`);
@@ -500,6 +550,31 @@ case class TermTf(child: Expression, grain: String = "ws")
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = graft.functions.GopherOps.termTfPairs($s, $cjkAuto);")
   override protected def withNewChildInternal(c: Expression): TermTf =
+    copy(child = c)
+}
+
+/** `graft_gram_tf(text, n)` — see [[GopherOps.gramTfPairs]]: the row's
+  * distinct ws word-n-grams with counts as ARRAY<STRUCT<w, tf>>, fused
+  * from raw text (no HOF child, no per-gram explode grain).
+  */
+case class GramTf(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"graft_gram_tf requires positive n, got $n")
+  override def prettyName: String = "graft_gram_tf"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(new StructType()
+    .add("w", StringType, nullable = false)
+    .add("tf", LongType, nullable = false), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${dt.catalogString}")
+  }
+  override def nullSafeEval(s: Any): Any =
+    GopherOps.gramTfPairs(s.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.GopherOps.gramTfPairs($s, $n);")
+  override protected def withNewChildInternal(c: Expression): GramTf =
     copy(child = c)
 }
 

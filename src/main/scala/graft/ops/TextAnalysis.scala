@@ -1141,25 +1141,41 @@ object TextAnalysis {
     * partial-agg exchange of per-doc rows.
     */
   def bigramScore(docs: DataFrame, ref: DataFrame, id: String, text: String,
-                  vocab: Int = 1000): DataFrame = {
-    val grams = s"graft_ngrams(filter(split($text, ' '), w -> w <> ''), 2)"
+                  vocab: Int = 1000): DataFrame =
+    gramScore(docs, ref, id, text, n = 2, vocab, "n_bigrams", "avg_bigram_freq")
+
+  /** Shared n-gram scoring body — since round 13 both sides explode
+    * the row-local `graft_gram_tf` pair kernel (fused from raw text:
+    * the prior `graft_ngrams(filter(split(…)))` form had a HOF child —
+    * CodegenFallback, pushing the projection out of whole-stage
+    * codegen — and exploded one row per gram occurrence into a
+    * corpus-sized hash aggregate; pairs land at distinct-(doc, gram)
+    * grain and the aggregates become tf-weighted sums,
+    * value-identical to the exploded construction the oracle replays).
+    */
+  private def gramScore(docs: DataFrame, ref: DataFrame, id: String,
+                        text: String, n: Int, vocab: Int,
+                        nCol: String, freqCol: String): DataFrame = {
+    val pairs = s"graft_gram_tf($text, $n)"
     val refGrams = graft.functions.VectorFunctions.attach(ref)
-      .select(explode(expr(grams)).as("g"))
-    val top = refGrams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .select(explode(expr(pairs)).as("p"))
+      .select(col("p.w").as("g"), col("p.tf").as("tf"))
+    val top = refGrams.groupBy(col("g")).agg(sum(col("tf")).as("cnt"))
       .orderBy(col("cnt").desc, col("g").asc).limit(vocab)
-    val total = refGrams.agg(count(lit(1)).as("total_ref"))
+    val total = refGrams.agg(coalesce(sum(col("tf")), lit(0L)).as("total_ref"))
     graft.functions.VectorFunctions.attach(docs)
-      .select(col(id), explode(expr(grams)).as("g"))
+      .select(col(id), explode(expr(pairs)).as("p"))
+      .select(col(id), col("p.w").as("g"), col("p.tf").as("tf"))
       .join(broadcast(top), Seq("g"), "left")
       .groupBy(col(id))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
-        sum(coalesce(col("cnt"), lit(0L))).as("sum_cnt"))
+      .agg(sum(col("tf")).as(nCol),
+        sum(when(col("cnt").isNull, col("tf")).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("cnt"), lit(0L)) * col("tf")).as("sum_cnt"))
       .crossJoin(broadcast(total))
-      .select(col(id), col("n_bigrams"),
-        round(col("n_oov").cast("double") / col("n_bigrams"), 6).as("oov_ratio"),
+      .select(col(id), col(nCol),
+        round(col("n_oov").cast("double") / col(nCol), 6).as("oov_ratio"),
         round(col("sum_cnt").cast("double") /
-          (col("n_bigrams").cast("double") * col("total_ref")), 6).as("avg_bigram_freq"))
+          (col(nCol).cast("double") * col("total_ref")), 6).as(freqCol))
   }
 
   /** TRIGRAM corpus-frequency scoring — the third rung of the
@@ -1173,26 +1189,8 @@ object TextAnalysis {
     * trigrams and are excluded identically on both engines.
     */
   def trigramScore(docs: DataFrame, ref: DataFrame, id: String, text: String,
-                   vocab: Int = 1000): DataFrame = {
-    val grams = s"graft_ngrams(filter(split($text, ' '), w -> w <> ''), 3)"
-    val refGrams = graft.functions.VectorFunctions.attach(ref)
-      .select(explode(expr(grams)).as("g"))
-    val top = refGrams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("g").asc).limit(vocab)
-    val total = refGrams.agg(count(lit(1)).as("total_ref"))
-    graft.functions.VectorFunctions.attach(docs)
-      .select(col(id), explode(expr(grams)).as("g"))
-      .join(broadcast(top), Seq("g"), "left")
-      .groupBy(col(id))
-      .agg(count(lit(1)).as("n_trigrams"),
-        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
-        sum(coalesce(col("cnt"), lit(0L))).as("sum_cnt"))
-      .crossJoin(broadcast(total))
-      .select(col(id), col("n_trigrams"),
-        round(col("n_oov").cast("double") / col("n_trigrams"), 6).as("oov_ratio"),
-        round(col("sum_cnt").cast("double") /
-          (col("n_trigrams").cast("double") * col("total_ref")), 6).as("avg_trigram_freq"))
-  }
+                   vocab: Int = 1000): DataFrame =
+    gramScore(docs, ref, id, text, n = 3, vocab, "n_trigrams", "avg_trigram_freq")
 
   /** DuckDB twin of [[trigramScore]]. */
   def trigramScoreSql(table: String, docsPred: String, refPred: String,

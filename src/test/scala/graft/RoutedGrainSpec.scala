@@ -46,7 +46,8 @@ class RoutedGrainSpec extends SparkSpec {
     11L -> "中文😀中文",                       // supplementary codepoint in a run
     12L -> "😀 😀 😀",                         // emoji only -> ws grain
     13L -> "的的的 xx 的的的",
-    14L -> ("中" * 40 + " latin tail here"))
+    14L -> ("中" * 40 + " latin tail here"),
+    15L -> "a b c a b c a b c")   // repeated bigrams AND trigrams
 
   private def fuzz(n: Int): Seq[(Long, String)] = {
     val alphabet = "中文的一 漢字ไทยab x.#😀 "
@@ -142,6 +143,22 @@ class RoutedGrainSpec extends SparkSpec {
     val two = df().selectExpr("explode(graft_term_tf(text, 'ws')) AS p")
       .selectExpr("p.w", "p.tf").as[(String, Long)].collect().toSet
     assert(one == two)
+  }
+
+  test("graft_gram_tf: exploded pairs ≡ explode-ngrams + groupBy counts (n = 2, 3)") {
+    for (n <- Seq(2, 3)) {
+      val grams = s"graft_ngrams(filter(split(text, ' '), w -> w <> ''), $n)"
+      val declared = df().select($"doc_id", explode(expr(grams)).as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("tf"))
+        .as[(Long, String, Long)].collect().toSet
+      val kernel = df()
+        .select($"doc_id", explode(expr(s"graft_gram_tf(text, $n)")).as("p"))
+        .select($"doc_id", $"p.w", $"p.tf")
+        .as[(Long, String, Long)].collect().toSet
+      assert(kernel == declared, s"n=$n: gram pair kernel must equal exploded counts " +
+        s"(missing=${(declared -- kernel).take(5)} extra=${(kernel -- declared).take(5)})")
+      assert(kernel.exists(_._3 > 1), s"n=$n: fixture must produce repeated grams")
+    }
   }
 
   test("graft_gopher_flags: 11-arg SQL defaults the grain to 'ws' (12-arg parity)") {
