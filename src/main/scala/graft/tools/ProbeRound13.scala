@@ -86,6 +86,24 @@ object ProbeRound13 {
           .queryExecution.toRdd.count())
     }
 
+    if (on("grams")) {
+      // the n-gram pair kernel vs the HOF-child + per-gram-explode
+      // construction it replaced (bigram/trigram scoring's inner stage)
+      // row counts differ by design: pairs land at DISTINCT-gram grain
+      // (52.3M rows) where the HOF form emits every occurrence (54.1M)
+      time("bigram pairs KERNEL 1M docs explode (distinct grain)")(
+        docs.select(explode(expr("graft_gram_tf(text, 2)")))
+          .queryExecution.toRdd.count())
+      time("bigram HOF-child+ngrams 1M docs explode (occurrences)")(
+        docs.select(explode(expr(
+          "graft_ngrams(filter(split(text, ' '), w -> w <> ''), 2)")))
+          .queryExecution.toRdd.count())
+      time("bigram score END-TO-END 1M docs (pair kernel)")(
+        TextAnalysis.bigramScore(
+          docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+          "doc_id", "text").queryExecution.toRdd.count())
+    }
+
     if (on("warc")) {
       // every 20th payload embeds the literal record marker — the
       // length-delimited walk must stride over it (the pre-r12 marker

@@ -246,6 +246,41 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming routed grain: cjk-auto tokenizer, term pairs, and chunking run as stateless stages") {
+    implicit val sq = spark.sqlContext
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val docs = MemoryStream[(Long, String)]
+    val out = graft.ops.TextAnalysis.chunkDocuments(
+      docs.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      size = 4, stride = 4, grain = "cjk-auto")
+    val q = out.writeStream.format("memory").queryName("routed_stream")
+      .outputMode("append").start()
+    try {
+      docs.addData(
+        (1L, "这是一个没有空格的中文句子"),   // 13 codepoints -> chunks 4,4,4,1
+        (2L, "five plain words right here")) // ws words -> chunks 4,1
+      q.processAllAvailable()
+      val rows = spark.table("routed_stream")
+        .select($"doc_id", $"n_tokens").as[(Long, Long)].collect()
+      assert(rows.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(1L, 4L, 4L, 4L),
+        "routed chunk windows must cut per codepoint on the stream")
+      assert(rows.filter(_._1 == 2L).map(_._2).sorted.toSeq == Seq(1L, 4L))
+      // the pair kernel is a stateless projection too: same micro-batch
+      val tf = docs.toDF().toDF("doc_id", "text")
+      val q2 = tf.selectExpr("doc_id", "explode(graft_term_tf(text, 'cjk-auto')) AS p")
+        .selectExpr("doc_id", "p.w AS w", "p.tf AS tf")
+        .writeStream.format("memory").queryName("tf_stream")
+        .outputMode("append").start()
+      try {
+        q2.processAllAvailable()
+        val pairs = spark.table("tf_stream")
+          .where($"doc_id" === 1L).select($"w", $"tf").as[(String, Long)].collect()
+        assert(pairs.nonEmpty && pairs.forall(_._1.length == 1),
+          "routed pairs must be codepoint terms on the stream")
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("streaming backoff-LM gate: literal-vocab kernel scores arrivals in-flight, garbage drops") {
     implicit val sq = spark.sqlContext
     // the DSIR-gate pattern one rung up: the reference vocabulary
