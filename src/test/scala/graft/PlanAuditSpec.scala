@@ -805,4 +805,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_token_count") && !p.contains("regexp_extract_all"),
       s"token counting must ride the compiled kernel:\n$p")
   }
+
+  test("pipeline_chunk_manifest_cjk: closed form rides the count-only routed kernel") {
+    val p = plan("pipeline_chunk_manifest_cjk")
+    assert(!p.contains("Generate"),
+      s"the routed closed form needs no chunk explode either:\n$p")
+    assert(p.contains("graft_word_count") && !p.contains("graft_routed_tokens"),
+      s"the manifest must count, never materialize, routed tokens:\n$p")
+  }
+
+  test("text_tfidf_keywords: pair-kernel grain + heap-bounded per-doc top-k") {
+    for (q <- Seq("text_tfidf_keywords", "text_tfidf_keywords_cjk")) {
+      val p = plan(q)
+      // the per-doc rank<=k filter must push a WindowGroupLimit BELOW
+      // the window exchange (partial) — without it every (doc, term)
+      // row is sorted through the window at full corpus width, the
+      // difference between a bounded heap and a global-ish sort at
+      // 100 TB. Two occurrences = partial (pre-exchange) + final.
+      assert(count(p, "WindowGroupLimit") >= 2,
+        s"$q: rank<=k must keep partial+final WindowGroupLimit:\n$p")
+      // tf rows come from the row-local pair kernel, not a token explode
+      assert(p.contains("graft_term_tf"),
+        s"$q: tf must ride the pair kernel:\n$p")
+      assert(!p.contains("regexp_extract_all"),
+        s"$q: no regex-engine tokenization in the plan:\n$p")
+    }
+  }
+
+  test("text_bigram_score: fused gram pairs — no HOF child, no per-occurrence grain") {
+    val p = plan("text_bigram_score")
+    assert(p.contains("graft_gram_tf"),
+      s"gram tf must ride the fused pair kernel:\n$p")
+    assert(!p.contains("graft_ngrams") && !p.contains("array_filter"),
+      s"the HOF-child ngrams construction must be gone:\n$p")
+  }
 }
