@@ -222,32 +222,53 @@ object GopherOps {
     * projection out of whole-stage codegen — then exploded one row
     * per gram into a corpus-sized hash aggregate. Docs with fewer
     * than n tokens yield an empty array (no gram rows), matching
-    * `ngrams`' contract.
+    * `ngrams`' contract. `cjkAuto = true` grams over the ROUTED token
+    * sequence on script-dominated rows (codepoint n-grams — the
+    * character-n-gram LM the CJK literature actually uses, since
+    * word n-grams don't exist without segmentation).
     */
-  def gramTfPairs(text: UTF8String, n: Int): ArrayData = {
+  def gramTfPairs(text: UTF8String, n: Int, cjkAuto: Boolean): ArrayData = {
     val s = text.toString
     val m = new java.util.LinkedHashMap[String, Array[Long]]()
     val ring = new Array[String](n)
     var filled = 0
     val sb = new java.lang.StringBuilder()
+    // shift the ring and bucket the gram once `n` tokens have passed;
+    // a bounded arraycopy per token (n is 2 or 3)
+    @inline def push(tok: String): Unit = {
+      var k = 0
+      while (k < n - 1) { ring(k) = ring(k + 1); k += 1 }
+      ring(n - 1) = tok
+      if (filled < n) filled += 1
+      if (filled == n) {
+        sb.setLength(0)
+        k = 0
+        while (k < n) { if (k > 0) sb.append(' '); sb.append(ring(k)); k += 1 }
+        val g = sb.toString
+        val c = m.get(g)
+        if (c == null) m.put(g, Array(1L)) else c(0) += 1L
+      }
+    }
     var i = 0
-    while (i < s.length) {
-      if (s.charAt(i) == ' ') i += 1
-      else {
-        val st = i
-        while (i < s.length && s.charAt(i) != ' ') i += 1
-        // shift the ring; a bounded arraycopy per token (n is 2 or 3)
-        var k = 0
-        while (k < n - 1) { ring(k) = ring(k + 1); k += 1 }
-        ring(n - 1) = s.substring(st, i)
-        if (filled < n) filled += 1
-        if (filled == n) {
-          sb.setLength(0)
-          k = 0
-          while (k < n) { if (k > 0) sb.append(' '); sb.append(ring(k)); k += 1 }
-          val g = sb.toString
-          val c = m.get(g)
-          if (c == null) m.put(g, Array(1L)) else c(0) += 1L
+    if (cjkAuto && isDominated(s)) {
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == ' ') i += 1
+        else if (isCjk(c)) { push(String.valueOf(c)); i += 1 }
+        else {
+          val st = i
+          i += 1
+          while (i < s.length && { val cc = s.charAt(i); cc != ' ' && !isCjk(cc) }) i += 1
+          push(s.substring(st, i))
+        }
+      }
+    } else {
+      while (i < s.length) {
+        if (s.charAt(i) == ' ') i += 1
+        else {
+          val st = i
+          while (i < s.length && s.charAt(i) != ' ') i += 1
+          push(s.substring(st, i))
         }
       }
     }
@@ -553,12 +574,18 @@ case class TermTf(child: Expression, grain: String = "ws")
     copy(child = c)
 }
 
-/** `graft_gram_tf(text, n)` — see [[GopherOps.gramTfPairs]]: the row's
-  * distinct ws word-n-grams with counts as ARRAY<STRUCT<w, tf>>, fused
-  * from raw text (no HOF child, no per-gram explode grain).
+/** `graft_gram_tf(text, n[, grain])` — see [[GopherOps.gramTfPairs]]:
+  * the row's distinct word-n-grams with counts as ARRAY<STRUCT<w,
+  * tf>>, fused from raw text (no HOF child, no per-gram explode
+  * grain); `'cjk-auto'` grams over the routed token sequence on
+  * script-dominated rows.
   */
-case class GramTf(child: Expression, n: Int) extends UnaryExpression {
+case class GramTf(child: Expression, n: Int, grain: String = "ws")
+    extends UnaryExpression {
   require(n > 0, s"graft_gram_tf requires positive n, got $n")
+  require(grain == "ws" || grain == "cjk-auto",
+    s"grain must be 'ws' or 'cjk-auto', got $grain")
+  private val cjkAuto = grain == "cjk-auto"
   override def prettyName: String = "graft_gram_tf"
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(new StructType()
@@ -570,10 +597,10 @@ case class GramTf(child: Expression, n: Int) extends UnaryExpression {
       s"$prettyName requires STRING, got ${dt.catalogString}")
   }
   override def nullSafeEval(s: Any): Any =
-    GopherOps.gramTfPairs(s.asInstanceOf[UTF8String], n)
+    GopherOps.gramTfPairs(s.asInstanceOf[UTF8String], n, cjkAuto)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
-      s"${ev.value} = graft.functions.GopherOps.gramTfPairs($s, $n);")
+      s"${ev.value} = graft.functions.GopherOps.gramTfPairs($s, $n, $cjkAuto);")
   override protected def withNewChildInternal(c: Expression): GramTf =
     copy(child = c)
 }

@@ -244,7 +244,8 @@ object VectorFunctions {
       (e: Seq[Expression]) => TermTf(e(0),
         if (e.length > 1) stringLit(e(1), "graft_term_tf") else "ws")),
     "graft_gram_tf" -> (classOf[GramTf],
-      (e: Seq[Expression]) => GramTf(e(0), intLit(e(1), "graft_gram_tf"))),
+      (e: Seq[Expression]) => GramTf(e(0), intLit(e(1), "graft_gram_tf"),
+        if (e.length > 2) stringLit(e(2), "graft_gram_tf") else "ws")),
     "graft_hash_embed" -> (classOf[HashEmbed],
       (e: Seq[Expression]) => HashEmbed(e(0), intLit(e(1), "graft_hash_embed"))),
     "graft_hash_embed_text" -> (classOf[HashEmbedText],
@@ -322,7 +323,7 @@ object VectorFunctions {
     "graft_word_count" -> Set(1, 2), "graft_url_canon" -> Set(1),
     "graft_lang_scores" -> Set(1),
     "graft_routed_tokens" -> Set(2), "graft_term_tf" -> Set(1, 2),
-    "graft_gram_tf" -> Set(2),
+    "graft_gram_tf" -> Set(2, 3),
     "graft_gopher_flags" -> Set(11, 12), "graft_url_domain" -> Set(1))
   require(arity.keySet == all.map(_._1).toSet,
     "arity map must cover exactly the registered function set; missing: " +

@@ -1141,8 +1141,9 @@ object TextAnalysis {
     * partial-agg exchange of per-doc rows.
     */
   def bigramScore(docs: DataFrame, ref: DataFrame, id: String, text: String,
-                  vocab: Int = 1000): DataFrame =
-    gramScore(docs, ref, id, text, n = 2, vocab, "n_bigrams", "avg_bigram_freq")
+                  vocab: Int = 1000, wordGrain: String = "ws"): DataFrame =
+    gramScore(docs, ref, id, text, n = 2, vocab, "n_bigrams",
+      "avg_bigram_freq", wordGrain)
 
   /** Shared n-gram scoring body — since round 13 both sides explode
     * the row-local `graft_gram_tf` pair kernel (fused from raw text:
@@ -1155,8 +1156,11 @@ object TextAnalysis {
     */
   private def gramScore(docs: DataFrame, ref: DataFrame, id: String,
                         text: String, n: Int, vocab: Int,
-                        nCol: String, freqCol: String): DataFrame = {
-    val pairs = s"graft_gram_tf($text, $n)"
+                        nCol: String, freqCol: String,
+                        wordGrain: String = "ws"): DataFrame = {
+    require(wordGrain == "ws" || wordGrain == "cjk-auto",
+      s"wordGrain must be 'ws' or 'cjk-auto', got $wordGrain")
+    val pairs = s"graft_gram_tf($text, $n, '$wordGrain')"
     val refGrams = graft.functions.VectorFunctions.attach(ref)
       .select(explode(expr(pairs)).as("p"))
       .select(col("p.w").as("g"), col("p.tf").as("tf"))
@@ -1189,13 +1193,16 @@ object TextAnalysis {
     * trigrams and are excluded identically on both engines.
     */
   def trigramScore(docs: DataFrame, ref: DataFrame, id: String, text: String,
-                   vocab: Int = 1000): DataFrame =
-    gramScore(docs, ref, id, text, n = 3, vocab, "n_trigrams", "avg_trigram_freq")
+                   vocab: Int = 1000, wordGrain: String = "ws"): DataFrame =
+    gramScore(docs, ref, id, text, n = 3, vocab, "n_trigrams",
+      "avg_trigram_freq", wordGrain)
 
   /** DuckDB twin of [[trigramScore]]. */
   def trigramScoreSql(table: String, docsPred: String, refPred: String,
-                      id: String, text: String, vocab: Int = 1000): String = {
-    val w = s"list_filter(string_split($text, ' '), x -> x <> '')"
+                      id: String, text: String, vocab: Int = 1000,
+                      wordGrain: String = "ws"): String = {
+    val w = if (wordGrain == "cjk-auto") routedTokensDuck(text, keepEmpties = false)
+            else s"list_filter(string_split($text, ' '), x -> x <> '')"
     val grams =
       s"list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])"
     s"""WITH rg AS (
@@ -1426,8 +1433,10 @@ object TextAnalysis {
 
   /** DuckDB twin of [[bigramScore]]. */
   def bigramScoreSql(table: String, docsPred: String, refPred: String,
-                     id: String, text: String, vocab: Int = 1000): String = {
-    val w = s"list_filter(string_split($text, ' '), x -> x <> '')"
+                     id: String, text: String, vocab: Int = 1000,
+                     wordGrain: String = "ws"): String = {
+    val w = if (wordGrain == "cjk-auto") routedTokensDuck(text, keepEmpties = false)
+            else s"list_filter(string_split($text, ' '), x -> x <> '')"
     val grams = s"list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1])"
     s"""WITH rg AS (
        |  SELECT unnest($grams) AS g FROM (SELECT $w AS ws FROM $table WHERE $refPred)),

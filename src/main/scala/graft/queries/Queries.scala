@@ -2152,6 +2152,24 @@ object Queries {
         docsPred = "doc_id >= 100", refPred = "doc_id < 100",
         "doc_id", "text", vocab = 500))),
 
+    // the second LM-ladder rung on the routed grain: bigrams of
+    // CODEPOINT tokens on script-dominated rows — the character-n-gram
+    // LM the CJK literature uses (word n-grams don't exist without
+    // segmentation); on the ws grain every unsegmented doc is one
+    // token and has NO bigrams at all, so the rung is silently blind
+    // to exactly the rows it should be scoring
+    QueryDef("text_bigram_score_cjk",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").withColumn("text", expr(zhFixtureSpark))
+        TextAnalysis.bigramScore(
+          docs.where(col("doc_id") >= 100), docs.where(col("doc_id") < 100),
+          "doc_id", "text", vocab = 500, wordGrain = "cjk-auto")
+      },
+      Some(TextAnalysis.bigramScoreSql(
+        s"(SELECT doc_id, $zhFixtureDuck AS text FROM documents)",
+        docsPred = "doc_id >= 100", refPred = "doc_id < 100",
+        "doc_id", "text", vocab = 500, wordGrain = "cjk-auto"))),
+
     // the third LM-ladder rung: trigram coverage sees two-step word
     // order (locally-plausible glued text scores low even when its
     // bigrams are common); same exact-integer discipline and
