@@ -52,8 +52,12 @@ object Dedup {
         s"transform(sequence(1, size(__w) - ${k - 1}), i -> concat($parts))))")
   }
 
-  def duckShingles(text: String, k: Int = 3): String = {
-    val w = s"string_split($text, ' ')"
+  def duckShingles(text: String, k: Int = 3, grain: String = "ws"): String = {
+    // parenthesized: the routed form is a CASE expression and list
+    // indexing binds tighter than CASE in the DuckDB grammar
+    val w = if (grain == "cjk-auto")
+              s"(${TextAnalysis.routedTokensDuck(text, keepEmpties = true)})"
+            else s"string_split($text, ' ')"
     val parts = (0 until k).map(j => s"$w[i + $j]").mkString(" || ' ' || ")
     s"list_distinct(list_transform(generate_series(1, len($w) - ${k - 1}), i -> $parts))"
   }
@@ -72,11 +76,20 @@ object Dedup {
     * order) in a compiled loop instead of interpreted HOF lambdas.
     * Requires [[graft.functions.VectorFunctions.attach]] on the session.
     */
-  def nativeShingleHashes(text: String, k: Int = 3): String =
-    s"graft_shingle_hashes(split($text, ' '), $k)"
+  def nativeShingleHashes(text: String, k: Int = 3,
+                          grain: String = "ws"): String =
+    // 'cjk-auto': shingles over the ROUTED token sequence (codepoint
+    // k-grams on script-dominated rows — without it an unsegmented doc
+    // is ONE ws token, has no k-shingles, and the whole minhash family
+    // is silently blind to it). Kernel child of a kernel — stays in
+    // whole-stage codegen, unlike a HOF child.
+    if (grain == "cjk-auto")
+      s"graft_shingle_hashes(graft_routed_tokens($text, true), $k)"
+    else s"graft_shingle_hashes(split($text, ' '), $k)"
 
-  def duckShingleHashes(text: String, k: Int = 3): String =
-    s"list_distinct(${duckHashArrayOf(duckShingles(text, k))})"
+  def duckShingleHashes(text: String, k: Int = 3,
+                        grain: String = "ws"): String =
+    s"list_distinct(${duckHashArrayOf(duckShingles(text, k, grain))})"
 
   /** Exact dedup by content digest: (digest, keep_id = min id, dup count).
     * One partial-aggregated shuffle on md5(text).
@@ -332,13 +345,22 @@ object Dedup {
     */
   def minhashDedupKeepers(df: DataFrame, id: String, text: String,
                           bands: Int = 4, rowsPerBand: Int = 4,
-                          k: Int = 3): DataFrame = {
+                          k: Int = 3, wordGrain: String = "ws"): DataFrame = {
+    require(wordGrain == "ws" || wordGrain == "cjk-auto",
+      s"wordGrain must be 'ws' or 'cjk-auto', got $wordGrain")
     val fdf = graft.functions.VectorFunctions.attach(df)
+    // the < k-token filter mirrors each grain's shingle token sequence
+    // exactly (ws: split WITH empties — an empty token shingles like
+    // any other; routed: the keepEmpties=true routed array)
+    val pred =
+      if (wordGrain == "cjk-auto") s"size(graft_routed_tokens($text, true)) >= $k"
+      else s"size(split($text, ' ')) >= $k"
     // (band, bucket, id) feeds two branches (bucket minima + join back);
     // persist so the corpus is shingle-hashed once — the cached rows are
     // three longs per band per doc, tiny relative to the text
-    val bandRows = Par.floor(fdf.where(expr(s"size(split($text, ' ')) >= $k")), col(id))
-      .select(col(id).as("_did"), expr(nativeShingleHashes(text, k)).as("hs"))
+    val bandRows = Par.floor(fdf.where(expr(pred)), col(id))
+      .select(col(id).as("_did"),
+        expr(nativeShingleHashes(text, k, wordGrain)).as("hs"))
       .select(col("_did"),
         posexplode(expr(s"graft_band_buckets(hs, $bands, $rowsPerBand)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
@@ -352,7 +374,7 @@ object Dedup {
 
   def minhashDedupKeepersSql(table: String, id: String, text: String,
                              bands: Int = 4, rowsPerBand: Int = 4,
-                             k: Int = 3): String = {
+                             k: Int = 3, wordGrain: String = "ws"): String = {
     val bandSelects = (0 until bands).map { b =>
       val sig = (0 until rowsPerBand).map { r =>
         val i = b * rowsPerBand + r
@@ -362,7 +384,7 @@ object Dedup {
     }.mkString(" UNION ALL ")
     s"""WITH docs AS (
        |  SELECT _did, hs FROM
-       |    (SELECT $id AS _did, ${duckShingleHashes(text, k)} AS hs FROM $table)
+       |    (SELECT $id AS _did, ${duckShingleHashes(text, k, wordGrain)} AS hs FROM $table)
        |  WHERE len(hs) > 0),
        |bandrows AS ($bandSelects),
        |bucketmin AS (

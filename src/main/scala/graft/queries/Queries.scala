@@ -1003,6 +1003,21 @@ object Queries {
       (s, dir) => Dedup.minhashDedupKeepers(t(s, dir, "documents"), "doc_id", "text"),
       Some(Dedup.minhashDedupKeepersSql("documents", "doc_id", "text"))),
 
+    // the keeper pass on the routed grain over the zh fixture: an
+    // unsegmented doc is ONE ws token and has no 3-shingles, so the ws
+    // keeper silently EXCLUDES every routed row (near-dup zh crawls
+    // sail through); routed shingles are codepoint 3-grams — the zh
+    // rows re-enter the pass and their translated near-dup structure
+    // (the fixture maps text deterministically, so base-corpus
+    // near-dups stay near-dups) collapses to keepers like any other
+    QueryDef("dedup_minhash_keeper_cjk",
+      (s, dir) => Dedup.minhashDedupKeepers(
+        t(s, dir, "documents").withColumn("text", expr(zhFixtureSpark)),
+        "doc_id", "text", wordGrain = "cjk-auto"),
+      Some(Dedup.minhashDedupKeepersSql(
+        s"(SELECT doc_id, $zhFixtureDuck AS text FROM documents)",
+        "doc_id", "text", wordGrain = "cjk-auto"))),
+
     QueryDef("dedup_minhash_components",
       (s, dir) => Dedup.minhashDedupComponents(t(s, dir, "documents"), "doc_id", "text"),
       Some(Dedup.minhashDedupComponentsSql("documents", "doc_id", "text"))),

@@ -113,6 +113,25 @@ class CjkGrainSpec extends SparkSpec {
     assert(ws.isEmpty, "on the ws grain every zh doc is one token - tf must be 0 corpus-wide")
   }
 
+  test("minhash keeper cjk-auto: routed shingles see unsegmented near-dups the ws grain is blind to") {
+    val zhA = "这是一个没有空格的中文句子在这里继续延长内容"
+    val zhB = zhA + "尾"                      // near-dup: one extra codepoint
+    val docs = Seq((1L, zhA), (2L, zhB), (3L, en + " padded out to length"))
+      .toDF("doc_id", "text")
+    // ws grain: each zh doc is ONE token -> no 3-shingles -> EXCLUDED
+    val ws = graft.ops.Dedup.minhashDedupKeepers(docs, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!ws.contains(1L) && !ws.contains(2L),
+      s"ws keeper must be blind to unsegmented docs, got $ws")
+    // routed grain: codepoint 3-shingles -> both enter, near-dups collapse
+    val routed = graft.ops.Dedup.minhashDedupKeepers(docs, "doc_id", "text",
+        wordGrain = "cjk-auto")
+      .select($"doc_id", $"keep_id").as[(Long, Long)].collect().toMap
+    assert(routed.keySet == Set(1L, 2L, 3L), s"routed keeper must cover all docs: $routed")
+    assert(routed(2L) == 1L, s"the zh near-dup must collapse to its keeper: $routed")
+    assert(routed(3L) == 3L, "the unrelated english doc keeps itself")
+  }
+
   test("chunk cjk-auto: windows are cut in routed tokens; manifest formula matches the exploded grain") {
     // 13 Han codepoints, size=4/stride=4 -> chunks of 4,4,4,1; the
     // latin doc chunks on ws WORDS under the routed grain (the 'token'
