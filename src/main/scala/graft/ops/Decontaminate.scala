@@ -24,16 +24,23 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   def cleanDocs(corpus: DataFrame, bench: DataFrame,
-                id: String, text: String, k: Int = 3): DataFrame = {
+                id: String, text: String, k: Int = 3,
+                wordGrain: String = "ws"): DataFrame = {
+    require(wordGrain == "ws" || wordGrain == "cjk-auto",
+      s"wordGrain must be 'ws' or 'cjk-auto', got $wordGrain")
     val attach = graft.functions.VectorFunctions.attach _
     // one row: the benchmark's distinct shingle hashes, sorted for the
-    // two-pointer probe
+    // two-pointer probe. 'cjk-auto' shingles BOTH sides on the routed
+    // grain — an unsegmented benchmark (a zh eval set) has no ws
+    // 3-shingles at all, so the ws guard vacuously passes every
+    // contaminated doc; routed codepoint shingles restore the overlap
+    // signal on exactly those rows
     val benchSet = attach(bench)
-      .select(explode(expr(Dedup.nativeShingleHashes(text, k))).as("h"))
+      .select(explode(expr(Dedup.nativeShingleHashes(text, k, wordGrain))).as("h"))
       .agg(sort_array(collect_set(col("h"))).as("bench_hs"))
     attach(corpus)
       .select(col(id),
-        expr(s"sort_array(${Dedup.nativeShingleHashes(text, k)})").as("doc_hs"))
+        expr(s"sort_array(${Dedup.nativeShingleHashes(text, k, wordGrain)})").as("doc_hs"))
       .crossJoin(broadcast(benchSet))
       .where(expr("graft_intersect_count(doc_hs, bench_hs) = 0"))
       .select(col(id), size(col("doc_hs")).as("n_shingles"))
@@ -207,13 +214,14 @@ object Decontaminate {
     * on both engines).
     */
   def cleanDocsSql(corpusTable: String, benchPred: String, corpusPred: String,
-                   id: String, text: String, k: Int = 3): String =
+                   id: String, text: String, k: Int = 3,
+                   wordGrain: String = "ws"): String =
     s"""WITH bench_hs AS (
        |  SELECT list_sort(list(DISTINCT h)) AS hs FROM (
-       |    SELECT unnest(${Dedup.duckShingleHashes(text, k)}) AS h
+       |    SELECT unnest(${Dedup.duckShingleHashes(text, k, wordGrain)}) AS h
        |    FROM $corpusTable WHERE $benchPred)),
        |corpus AS (
-       |  SELECT $id, ${Dedup.duckShingleHashes(text, k)} AS doc_hs
+       |  SELECT $id, ${Dedup.duckShingleHashes(text, k, wordGrain)} AS doc_hs
        |  FROM $corpusTable WHERE $corpusPred)
        |SELECT c.$id, len(c.doc_hs) AS n_shingles
        |FROM corpus c, bench_hs b

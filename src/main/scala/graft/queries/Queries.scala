@@ -2613,6 +2613,24 @@ object Queries {
         benchPred = "doc_id < 25", corpusPred = "doc_id >= 25",
         "doc_id", "text"))),
 
+    // the guard on the routed grain over the zh fixture: an
+    // unsegmented BENCHMARK (a zh eval set) has no ws 3-shingles at
+    // all, so the ws guard vacuously passes every contaminated doc;
+    // routed codepoint shingles restore the overlap signal — the
+    // fixture's translate is deterministic, so zh bench items overlap
+    // zh corpus docs exactly where their english sources did
+    QueryDef("pipeline_decontaminate_cjk",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").withColumn("text", expr(zhFixtureSpark))
+        graft.ops.Decontaminate.cleanDocs(
+          docs.where(col("doc_id") >= 25), docs.where(col("doc_id") < 25),
+          "doc_id", "text", wordGrain = "cjk-auto")
+      },
+      Some(graft.ops.Decontaminate.cleanDocsSql(
+        s"(SELECT doc_id, $zhFixtureDuck AS text FROM documents)",
+        benchPred = "doc_id < 25", corpusPred = "doc_id >= 25",
+        "doc_id", "text", wordGrain = "cjk-auto"))),
+
     // bloom-prefiltered decontamination: identical output to
     // pipeline_decontaminate (same oracle), but the corpus-side check is a
     // codegen'd short-circuit sketch probe — the scale path once the
