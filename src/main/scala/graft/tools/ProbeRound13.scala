@@ -104,6 +104,19 @@ object ProbeRound13 {
           "doc_id", "text").queryExecution.toRdd.count())
     }
 
+    if (on("dedup")) {
+      // the linear keeper pass with routed shingling at 1M docs (1/3
+      // unsegmented Han): prices the codepoint-shingle tokenize next
+      // to the ws form on the same corpus (which silently EXCLUDES
+      // the Han third — fewer rows, less work, blind)
+      time("minhash keeper cjk-auto 1M docs (1/3 Han)")(
+        graft.ops.Dedup.minhashDedupKeepers(zh, "doc_id", "text",
+          wordGrain = "cjk-auto").queryExecution.toRdd.count())
+      time("minhash keeper ws 1M docs (Han third excluded)")(
+        graft.ops.Dedup.minhashDedupKeepers(zh, "doc_id", "text")
+          .queryExecution.toRdd.count())
+    }
+
     if (on("warc")) {
       // every 20th payload embeds the literal record marker — the
       // length-delimited walk must stride over it (the pre-r12 marker
