@@ -486,10 +486,19 @@ object Dedup {
   /** 30-bit SimHash over word hashes (bit j set iff the +1/-1 vote of all
     * token hashes' j-th bits is positive). Linear scan, zero shuffle.
     */
-  def simhash(df: DataFrame, id: String, text: String, bits: Int = 30): DataFrame = {
+  def simhash(df: DataFrame, id: String, text: String, bits: Int = 30,
+              wordGrain: String = "ws"): DataFrame = {
+    require(wordGrain == "ws" || wordGrain == "cjk-auto",
+      s"wordGrain must be 'ws' or 'cjk-auto', got $wordGrain")
+    // 'cjk-auto': votes come from ROUTED tokens — on the ws grain an
+    // unsegmented doc is ONE token, so its simhash is the hash of that
+    // whole-document word and a one-codepoint edit flips ~half the
+    // bits: the hamming keeper can never see unsegmented near-dups
+    val toks = if (wordGrain == "cjk-auto") s"graft_routed_tokens($text, true)"
+               else s"split($text, ' ')"
     val fdf = graft.functions.VectorFunctions.attach(df)
     Par.floor(fdf, col(id))
-      .select(col(id), expr(s"graft_simhash(split($text, ' '), $bits)").as("simhash"))
+      .select(col(id), expr(s"graft_simhash($toks, $bits)").as("simhash"))
   }
 
   /** Declarative HOF twin of `graft_simhash` (parity baseline): word-hash
@@ -501,8 +510,12 @@ object Dedup {
         s"aggregate(__hs, cast(0 AS BIGINT), (acc, h) -> acc + ((h div shiftleft(cast(1 AS BIGINT), j)) % 2) * 2 - 1) > 0, " +
         s"shiftleft(cast(1 AS BIGINT), j), cast(0 AS BIGINT))), cast(0 AS BIGINT), (a, b) -> a + b)")
 
-  def simhashSql(table: String, id: String, text: String, bits: Int = 30): String = {
-    val hashes = s"list_transform(string_split($text, ' '), s -> ${duckStringHash("s")})"
+  def simhashSql(table: String, id: String, text: String, bits: Int = 30,
+                 wordGrain: String = "ws"): String = {
+    val toks = if (wordGrain == "cjk-auto")
+                 s"(${TextAnalysis.routedTokensDuck(text, keepEmpties = true)})"
+               else s"string_split($text, ' ')"
+    val hashes = s"list_transform($toks, s -> ${duckStringHash("s")})"
     s"""SELECT $id, list_reduce(list_prepend(0::BIGINT,
        |  list_transform(generate_series(0, ${bits - 1}), j -> CASE WHEN
        |    list_reduce(list_prepend(0::BIGINT, $hashes), (acc, h) -> acc + ((h // (1::BIGINT << j)) % 2) * 2 - 1) > 0
@@ -633,14 +646,16 @@ object Dedup {
     * [[graft.ops.Multimodal.dedupPhashKeepers]].
     */
   def simhashKeepers(df: DataFrame, id: String, text: String,
-                     bits: Int = 30, maxHamming: Int = 2): DataFrame =
-    hammingKeepers(simhash(df, id, text, bits), id, "simhash",
+                     bits: Int = 30, maxHamming: Int = 2,
+                     wordGrain: String = "ws"): DataFrame =
+    hammingKeepers(simhash(df, id, text, bits, wordGrain), id, "simhash",
       bits = bits, bands = 3, maxHamming = maxHamming)
 
   /** DuckDB twin of [[simhashKeepers]]. */
   def simhashKeepersSql(table: String, id: String, text: String,
-                        bits: Int = 30, maxHamming: Int = 2): String =
-    hammingKeepersSql(simhashSql(table, id, text, bits), id, "simhash",
+                        bits: Int = 30, maxHamming: Int = 2,
+                        wordGrain: String = "ws"): String =
+    hammingKeepersSql(simhashSql(table, id, text, bits, wordGrain), id, "simhash",
       bits = bits, bands = 3, maxHamming = maxHamming)
 
   /** All-pairs word-k-gram Jaccard above a threshold — the exact near-dup

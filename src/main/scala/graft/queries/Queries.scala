@@ -1055,6 +1055,20 @@ object Queries {
       (s, dir) => Dedup.simhashKeepers(t(s, dir, "documents"), "doc_id", "text"),
       Some(Dedup.simhashKeepersSql("documents", "doc_id", "text"))),
 
+    // the simhash keeper on the routed grain over the zh fixture: on
+    // the ws grain an unsegmented doc's simhash is the hash of its ONE
+    // whole-document token — a single-codepoint edit flips ~half the
+    // bits, so the hamming keeper can never see zh near-dups; routed
+    // votes come from codepoint tokens and near-dups land within the
+    // hamming radius like any other corpus
+    QueryDef("dedup_simhash_keeper_cjk",
+      (s, dir) => Dedup.simhashKeepers(
+        t(s, dir, "documents").withColumn("text", expr(zhFixtureSpark)),
+        "doc_id", "text", wordGrain = "cjk-auto"),
+      Some(Dedup.simhashKeepersSql(
+        s"(SELECT doc_id, $zhFixtureDuck AS text FROM documents)",
+        "doc_id", "text", wordGrain = "cjk-auto"))),
+
     // exact all-pairs verifier on a deterministic 1-in-3 sample (the LSH
     // path covers the full corpus; all-pairs is O(n²) by construction).
     // 1-in-3 — not the earlier 1-in-10 — because a pair survives an id
