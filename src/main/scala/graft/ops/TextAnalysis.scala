@@ -230,11 +230,20 @@ object TextAnalysis {
     * minima for the fingerprints).
     */
   def winnowSets(df: DataFrame, id: String, text: String,
-                 k: Int = 3, w: Int = 4): DataFrame =
+                 k: Int = 3, w: Int = 4,
+                 wordGrain: String = "ws"): DataFrame = {
+    require(wordGrain == "ws" || wordGrain == "cjk-auto",
+      s"wordGrain must be 'ws' or 'cjk-auto', got $wordGrain")
+    // 'cjk-auto': positional grams over ROUTED tokens — an unsegmented
+    // doc is one ws token with no k-grams, so ws winnowing selects
+    // nothing on it and partial-copy detection is blind to it
+    val toks = if (wordGrain == "cjk-auto") s"graft_routed_tokens($text, true)"
+               else s"split($text, ' ')"
     graft.functions.VectorFunctions.attach(df)
       .select(col(id),
-        expr(s"graft_gram_hashes(split($text, ' '), $k)").as("gram_hashes"),
-        expr(s"graft_winnow(split($text, ' '), $k, $w)").as("fingerprints"))
+        expr(s"graft_gram_hashes($toks, $k)").as("gram_hashes"),
+        expr(s"graft_winnow($toks, $k, $w)").as("fingerprints"))
+  }
 
   def winnow(df: DataFrame, id: String, text: String,
              k: Int = 3, w: Int = 4): DataFrame =
@@ -273,8 +282,9 @@ object TextAnalysis {
     */
   def winnowPairs(df: DataFrame, id: String, text: String,
                   k: Int = 3, w: Int = 4, minShared: Int = 2,
-                  maxPostings: Int = 1000): DataFrame =
-    winnowPairsFull(df, id, text, k, w, minShared, maxPostings)
+                  maxPostings: Int = 1000,
+                  wordGrain: String = "ws"): DataFrame =
+    winnowPairsFull(df, id, text, k, w, minShared, maxPostings, wordGrain)
       .select(col("a_id"), col("b_id"), col("n_shared"), col("containment"))
 
   /** [[winnowPairs]] with the per-side post-guard fingerprint counts
@@ -283,8 +293,9 @@ object TextAnalysis {
     */
   private def winnowPairsFull(df: DataFrame, id: String, text: String,
                               k: Int, w: Int, minShared: Int,
-                              maxPostings: Int): DataFrame = {
-    val sets = winnowSets(df, id, text, k, w)
+                              maxPostings: Int,
+                              wordGrain: String = "ws"): DataFrame = {
+    val sets = winnowSets(df, id, text, k, w, wordGrain)
       .select(col(id).as("d"), col("fingerprints"))
     val posts = sets.select(col("d"), explode(col("fingerprints")).as("fp"))
     // n_fp is counted AFTER the maxPostings guard so numerator and
@@ -336,8 +347,10 @@ object TextAnalysis {
   def containmentDedup(df: DataFrame, id: String, text: String,
                        k: Int = 3, w: Int = 4, minShared: Int = 2,
                        maxPostings: Int = 1000,
-                       threshold: Double = 0.8): DataFrame = {
-    val victims = winnowPairsFull(df, id, text, k, w, minShared, maxPostings)
+                       threshold: Double = 0.8,
+                       wordGrain: String = "ws"): DataFrame = {
+    val victims = winnowPairsFull(df, id, text, k, w, minShared, maxPostings,
+        wordGrain)
       .where(col("containment") >= threshold)
       .select(col("b_id").as("victim")) // a_id < b_id: b is the higher id
       .distinct()
@@ -350,10 +363,11 @@ object TextAnalysis {
   def containmentDedupSql(table: String, id: String, text: String,
                           k: Int = 3, w: Int = 4, minShared: Int = 2,
                           maxPostings: Int = 1000,
-                          threshold: Double = 0.8): String =
+                          threshold: Double = 0.8,
+                          wordGrain: String = "ws"): String =
     s"""WITH pairs AS (
        |  SELECT b_id, containment FROM (
-       |${winnowPairsFullSql(table, id, text, k, w, minShared, maxPostings)}) t),
+       |${winnowPairsFullSql(table, id, text, k, w, minShared, maxPostings, wordGrain)}) t),
        |victims AS (
        |  SELECT DISTINCT b_id AS victim FROM pairs
        |  WHERE containment >= $threshold)
@@ -372,8 +386,11 @@ object TextAnalysis {
     */
   private def winnowPairsFullSql(table: String, id: String, text: String,
                                  k: Int, w: Int, minShared: Int,
-                                 maxPostings: Int): String = {
-    val words = s"string_split($text, ' ')"
+                                 maxPostings: Int,
+                                 wordGrain: String = "ws"): String = {
+    val words = if (wordGrain == "cjk-auto")
+                  s"(${routedTokensDuck(text, keepEmpties = true)})"
+                else s"string_split($text, ' ')"
     val parts = (0 until k).map(j => s"$words[i + $j]").mkString(" || ' ' || ")
     val grams =
       s"list_transform(generate_series(1, len($words) - ${k - 1}), i -> $parts)"

@@ -1234,6 +1234,32 @@ object Queries {
           | FROM documents WHERE doc_id < 3)""".stripMargin,
         "doc_id", "text", threshold = 0.8))),
 
+    // containment dedup on the routed grain over the zh fixture, with
+    // an UNSEGMENTED planted copy (translated text + translated tail,
+    // spaces removed): ws winnowing sees one giant token and no
+    // k-grams on those rows — the planted zh containment pair is
+    // invisible; routed positional grams are codepoint k-grams, so the
+    // contained copy is caught and dropped like any latin pair
+    QueryDef("dedup_containment_cjk",
+      (s, dir) => {
+        val base = t(s, dir, "documents").select("doc_id", "text")
+        // offset 99999 (a multiple of 3) keeps each planted copy in its
+        // original's translate class, so zh originals get zh copies
+        val planted = base.where(col("doc_id") < 3)
+          .select((col("doc_id") + 99999).as("doc_id"),
+            concat(col("text"), lit(" extra tail words appended here")).as("text"))
+        TextAnalysis.containmentDedup(
+          base.unionByName(planted).withColumn("text", expr(zhFixtureSpark)),
+          "doc_id", "text", threshold = 0.8, wordGrain = "cjk-auto")
+      },
+      Some(TextAnalysis.containmentDedupSql(
+        s"""(SELECT doc_id, $zhFixtureDuck AS text FROM
+          | (SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 99999, text || ' extra tail words appended here'
+          |  FROM documents WHERE doc_id < 3))""".stripMargin,
+        "doc_id", "text", threshold = 0.8, wordGrain = "cjk-auto"))),
+
     QueryDef("pipeline_sample",
       (s, dir) => graft.ops.Sampling.stratifiedSample(
         t(s, dir, "documents"), "doc_id", "source",
