@@ -42,6 +42,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * construction is pinned by GopherKernelSpec's cjk block.
   */
 object GopherOps {
+  // NOTE on the deliberately REPEATED routed-scan loops below
+  // (routedTokens / routedWordCount / routedTokenCountAll /
+  // termTfPairs / gramTfPairs / routedTermCounts): each kernel inlines
+  // the same per-token walk rather than sharing a per-token visitor —
+  // six distinct callbacks through one walker would make the call site
+  // megamorphic (virtual dispatch per token on the hottest loops in
+  // the engine; this build does not run the Scala optimizer, so
+  // closures do not inline). The single-source-of-truth property is
+  // held by SPECS instead of code sharing: RoutedGrainSpec pins every
+  // one of these kernels bit-equal to constructions over
+  // [[graft.ops.TextAnalysis.routedTokensRegex]]/`graft_routed_tokens`
+  // on the shared fixture+fuzz corpus, so a boundary change applied to
+  // one copy and not the others fails the suite, not production.
+
   // SINGLE SOURCE OF TRUTH for the unsegmented-script ranges:
   // TextAnalysis derives its regex char class (cjkRangeInterior, hence
   // the routed token pattern and both dialects' dominance predicates)
@@ -136,6 +150,21 @@ object GopherOps {
         new GenericArrayData(out.toArray)
       }
     }
+  }
+
+  /** `size(routedTokens(text, keepEmpties = true))` WITHOUT
+    * materializing any token — the cheap filter predicate for
+    * shingle-floor checks on the routed grain (`graft_routed_token_count`;
+    * hs is empty iff this count < k, and the ws-convention split
+    * size on non-dominated rows is just spaces + 1).
+    */
+  def routedTokenCountAll(text: UTF8String): Long = {
+    val s = text.toString
+    if (isDominated(s)) return routedWordCount(text) // routed branch has no empties
+    var spaces = 0L
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == ' ') spaces += 1; i += 1 }
+    spaces + 1L
   }
 
   /** `size(routedTokens(text, keepEmpties = false))` WITHOUT
@@ -602,6 +631,29 @@ case class GramTf(child: Expression, n: Int, grain: String = "ws")
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = graft.functions.GopherOps.gramTfPairs($s, $n, $cjkAuto);")
   override protected def withNewChildInternal(c: Expression): GramTf =
+    copy(child = c)
+}
+
+/** `graft_routed_token_count(text)` — see [[GopherOps.routedTokenCountAll]]:
+  * `size(graft_routed_tokens(text, true))` as a count-only walk, the
+  * cheap shingle-floor predicate on the routed grain (no token array
+  * in the filter, mirroring the ws path's `size(split(text, ' '))`).
+  */
+case class RoutedTokenCount(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_routed_token_count"
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${dt.catalogString}")
+  }
+  override def nullSafeEval(s: Any): Any =
+    GopherOps.routedTokenCountAll(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.GopherOps.routedTokenCountAll($s);")
+  override protected def withNewChildInternal(c: Expression): RoutedTokenCount =
     copy(child = c)
 }
 

@@ -240,6 +240,8 @@ object VectorFunctions {
         if (e.length > 2) stringLit(e(2), "graft_term_counts") else "ws")),
     "graft_routed_tokens" -> (classOf[RoutedTokens],
       (e: Seq[Expression]) => RoutedTokens(e(0), boolLit(e(1), "graft_routed_tokens"))),
+    "graft_routed_token_count" -> (classOf[RoutedTokenCount],
+      (e: Seq[Expression]) => RoutedTokenCount(e(0))),
     "graft_term_tf" -> (classOf[TermTf],
       (e: Seq[Expression]) => TermTf(e(0),
         if (e.length > 1) stringLit(e(1), "graft_term_tf") else "ws")),
@@ -322,7 +324,8 @@ object VectorFunctions {
     "graft_backoff_stats" -> Set(7), "graft_binary_sketch" -> Set(2),
     "graft_word_count" -> Set(1, 2), "graft_url_canon" -> Set(1),
     "graft_lang_scores" -> Set(1),
-    "graft_routed_tokens" -> Set(2), "graft_term_tf" -> Set(1, 2),
+    "graft_routed_tokens" -> Set(2), "graft_routed_token_count" -> Set(1),
+    "graft_term_tf" -> Set(1, 2),
     "graft_gram_tf" -> Set(2, 3),
     "graft_gopher_flags" -> Set(11, 12), "graft_url_domain" -> Set(1))
   require(arity.keySet == all.map(_._1).toSet,

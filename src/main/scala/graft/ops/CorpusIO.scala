@@ -390,10 +390,18 @@ object CorpusIO {
       }
       true
     }
+    // a RECORD-START candidate is line-anchored: the version line of a
+    // real record always begins a line (container start, or after the
+    // record terminator's '\n'), while marker BYTES inside a header
+    // value (a 'WARC-Profile: …/WARC/1.0' line) or mid-payload start
+    // mid-line — anchoring keeps resync and over-run clamps from
+    // biting on those
+    @inline def isRecordStartAt(i: Int): Boolean =
+      (i == 0 || blob(i - 1) == '\n') && isMarkerAt(i)
     def nextMarker(from: Int): Int = {
       var i = math.max(from, 0)
       while (i <= blob.length - WarcMarker.length) {
-        if (isMarkerAt(i)) return i
+        if (isRecordStartAt(i)) return i
         i += 1
       }
       -1
@@ -406,23 +414,25 @@ object CorpusIO {
     var st = nextMarker(0)
     while (st >= 0) {
       val hdrStart = st + WarcMarker.length
-      // header runs to the first CRLFCRLF. The scan is BOUNDED at the
-      // next marker occurrence: a record whose header lacks CRLFCRLF
-      // (truncated/malformed) must not consume the FOLLOWING record's
-      // bytes as a merged garbage header — on a miss within the bound,
-      // resync to that marker and keep parsing the well-formed tail.
-      // (For well-formed records the bound is inert: the header's
-      // CRLFCRLF precedes any payload content, so it is found before
-      // even an embedded payload marker.)
-      val bound = { val m = nextMarker(hdrStart); if (m < 0) blob.length else m }
+      // header runs to the first CRLFCRLF — ONE fused scan that also
+      // watches for a line-anchored record start: hitting one first
+      // means THIS record's header never terminates (truncated/
+      // malformed), so the record is dropped and parsing resyncs at
+      // that next record instead of consuming its bytes as a merged
+      // garbage header. (A well-formed header cannot contain a
+      // line-anchored marker — every header line starts with a field
+      // name — so the resync branch is unreachable on good records,
+      // and no separate bound pre-scan over the payload is paid.)
       var he = hdrStart
       var found = -1
-      while (found < 0 && he + 3 < bound) {
+      var resync = -1
+      while (found < 0 && resync < 0 && he + 3 < blob.length) {
         if (blob(he) == '\r' && blob(he + 1) == '\n' &&
           blob(he + 2) == '\r' && blob(he + 3) == '\n') found = he
+        else if (he > hdrStart && isRecordStartAt(he)) resync = he
         else he += 1
       }
-      if (found < 0) st = nextMarker(hdrStart) // drop the malformed record, resync
+      if (found < 0) st = resync // drop the malformed record; -1 ends the walk
       else {
         val header = new String(blob, hdrStart, found - hdrStart, "ISO-8859-1")
         val um = uriP.matcher(header)

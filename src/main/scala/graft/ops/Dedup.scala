@@ -351,9 +351,11 @@ object Dedup {
     val fdf = graft.functions.VectorFunctions.attach(df)
     // the < k-token filter mirrors each grain's shingle token sequence
     // exactly (ws: split WITH empties — an empty token shingles like
-    // any other; routed: the keepEmpties=true routed array)
+    // any other; routed: the keepEmpties=true routed SIZE via the
+    // count-only kernel, so the filter never materializes a token
+    // array — the projection's shingle kernel is the only tokenize)
     val pred =
-      if (wordGrain == "cjk-auto") s"size(graft_routed_tokens($text, true)) >= $k"
+      if (wordGrain == "cjk-auto") s"graft_routed_token_count($text) >= $k"
       else s"size(split($text, ' ')) >= $k"
     // (band, bucket, id) feeds two branches (bucket minima + join back);
     // persist so the corpus is shingle-hashed once — the cached rows are

@@ -150,6 +150,27 @@ class CorpusIOSpec extends SparkSpec {
       "the recovered record must capture its exact payload")
   }
 
+  test("header value ending in the marker bytes: record parses intact (resync is line-anchored)") {
+    // a 'WARC-Profile' style header line whose VALUE ends with
+    // 'WARC/1.0' puts the marker byte sequence INSIDE a well-formed
+    // header, mid-line; a naive bounded scan would stop there, drop
+    // the record, and resync into garbage — line-anchoring keeps the
+    // header scan walking to its real CRLFCRLF terminator
+    val rec = "WARC/1.0\r\n" +
+      "WARC-Profile: http://example.org/profiles/WARC/1.0\r\n" +
+      "WARC-Target-URI: https://x/profiled\r\n" +
+      "Content-Length: 5\r\n\r\n" +
+      "hello\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Target-URI: https://x/after\r\nContent-Length: 2\r\n\r\nok\r\n\r\n"
+    val df = Seq(Tuple1(rec.getBytes("UTF-8"))).toDF("blob")
+    val rows = CorpusIO.parseWarcBytes(df, "blob").orderBy($"uri").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("https://x/after", "https://x/profiled"),
+      s"both records must parse: ${rows.map(_.getString(0)).toSeq}")
+    val p = rows.find(_.getString(0) == "https://x/profiled").get
+    assert(p.getLong(3) == 5L && p.getLong(4) == graft.ops.PortableHash.jvmStringHash("hello"),
+      "the marker-in-header record must capture its exact payload")
+  }
+
   test("malformed declared length: over-run clamps to container end, framing falls back to marker scan") {
     val rec = "WARC/1.0\r\nWARC-Target-URI: https://x/trunc\r\nContent-Length: 9999\r\n\r\nshort" +
       "\r\n\r\nWARC/1.0\r\nWARC-Target-URI: https://x/next\r\nContent-Length: 4\r\n\r\nnext\r\n\r\n"

@@ -145,6 +145,34 @@ class RoutedGrainSpec extends SparkSpec {
     assert(one == two)
   }
 
+  test("graft_routed_token_count ≡ size of the keepEmpties routed array") {
+    val rows = df().select($"doc_id",
+        expr("graft_routed_token_count(text)").as("k"),
+        size(expr("graft_routed_tokens(text, true)")).cast("long").as("r"))
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (id, k, r) =>
+      assert(k == r, s"doc $id: count kernel $k != array size $r")
+    }
+    // differs from the no-empties word count exactly on space runs
+    assert(rows.nonEmpty)
+  }
+
+  test("graft_gram_tf cjk-auto: exploded pairs ≡ grams over the routed declarative tokens") {
+    for (n <- Seq(2, 3)) {
+      val routed = TextAnalysis.routedTokensRegex("text", keepEmpties = false)
+      val declared = df().select($"doc_id",
+          explode(expr(s"graft_ngrams($routed, $n)")).as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("tf"))
+        .as[(Long, String, Long)].collect().toSet
+      val kernel = df()
+        .select($"doc_id", explode(expr(s"graft_gram_tf(text, $n, 'cjk-auto')")).as("p"))
+        .select($"doc_id", $"p.w", $"p.tf")
+        .as[(Long, String, Long)].collect().toSet
+      assert(kernel == declared, s"n=$n cjk: gram pair kernel must equal routed gram counts " +
+        s"(missing=${(declared -- kernel).take(5)} extra=${(kernel -- declared).take(5)})")
+    }
+  }
+
   test("graft_gram_tf: exploded pairs ≡ explode-ngrams + groupBy counts (n = 2, 3)") {
     for (n <- Seq(2, 3)) {
       val grams = s"graft_ngrams(filter(split(text, ' '), w -> w <> ''), $n)"
