@@ -313,6 +313,47 @@ object GopherOps {
     new GenericArrayData(out)
   }
 
+  /** [[HashOps.dsirBuckets]] on the routed grain: hashed unigram +
+    * bigram bucket ids over the ROUTED token sequence on dominated
+    * rows (layout `[unigrams…, bigrams…]`, same hash, same `% B`) —
+    * without it an unsegmented doc contributes ONE whole-document
+    * unigram and no bigrams, so DSIR's importance distributions carry
+    * no signal on exactly the rows a cjk target predicate selects for.
+    * Non-dominated rows delegate to the fused ws byte scan.
+    */
+  def routedDsirBuckets(text: UTF8String, buckets: Int): ArrayData = {
+    val s = text.toString
+    if (!isDominated(s)) return HashOps.dsirBuckets(text, buckets)
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ' ') i += 1
+      else if (isCjk(c)) { toks += String.valueOf(c); i += 1 }
+      else {
+        val st = i
+        i += 1
+        while (i < s.length && { val cc = s.charAt(i); cc != ' ' && !isCjk(cc) }) i += 1
+        toks += s.substring(st, i)
+      }
+    }
+    val m = toks.length
+    if (m == 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m + math.max(0, m - 1))
+    var j = 0
+    while (j < m) {
+      out(j) = HashOps.hashUtf8(UTF8String.fromString(toks(j))) % buckets
+      j += 1
+    }
+    j = 0
+    while (j < m - 1) {
+      out(m + j) = HashOps.hashUtf8(
+        UTF8String.fromString(toks(j) + " " + toks(j + 1))) % buckets
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** [[HashOps.termCounts]] on the routed grain — `[doc_len, tf_0, …,
     * tf_q]` with doc_len and term matches counted over routed tokens
     * (token = term by exact codepoint equality, i.e. SQL string `=`);

@@ -267,16 +267,28 @@ case class BpeTokens(child: Expression) extends StringCountExpression {
   * are never materialized; the measured gap at 1M docs is the
   * difference between a 9-minute and a seconds-scale scoring pass).
   */
-case class DsirBuckets(child: Expression, buckets: Int)
+case class DsirBuckets(child: Expression, buckets: Int,
+                       grain: String = "ws")
     extends StringCountExpression {
   require(buckets > 0, s"graft_dsir_buckets requires positive B, got $buckets")
+  require(grain == "ws" || grain == "cjk-auto",
+    s"grain must be 'ws' or 'cjk-auto', got $grain")
+  private val routed = grain == "cjk-auto"
   override def prettyName: String = "graft_dsir_buckets"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(s: Any): Any =
-    HashOps.dsirBuckets(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], buckets)
+    if (routed)
+      GopherOps.routedDsirBuckets(
+        s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], buckets)
+    else
+      HashOps.dsirBuckets(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], buckets)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, s =>
-      s"${ev.value} = graft.functions.HashOps.dsirBuckets($s, $buckets);")
+    if (routed)
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.GopherOps.routedDsirBuckets($s, $buckets);")
+    else
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.HashOps.dsirBuckets($s, $buckets);")
   override protected def withNewChildInternal(c: Expression): DsirBuckets =
     copy(child = c)
 }

@@ -257,7 +257,8 @@ object VectorFunctions {
     "graft_lower_collapse" -> (classOf[LowerCollapse],
       (e: Seq[Expression]) => LowerCollapse(e(0))),
     "graft_dsir_buckets" -> (classOf[DsirBuckets],
-      (e: Seq[Expression]) => DsirBuckets(e(0), intLit(e(1), "graft_dsir_buckets"))),
+      (e: Seq[Expression]) => DsirBuckets(e(0), intLit(e(1), "graft_dsir_buckets"),
+        if (e.length > 2) stringLit(e(2), "graft_dsir_buckets") else "ws")),
     "graft_bucket_score" -> (classOf[BucketScore],
       (e: Seq[Expression]) => BucketScore(e(0), longArrayLit(e(1), "graft_bucket_score"))),
     "graft_backoff_stats" -> (classOf[BackoffStats],
@@ -320,7 +321,7 @@ object VectorFunctions {
     "graft_hash_embed" -> Set(2),
     "graft_hash_embed_text" -> Set(2), "graft_normalize" -> Set(1),
     "graft_lower_collapse" -> Set(1),
-    "graft_dsir_buckets" -> Set(2), "graft_bucket_score" -> Set(2),
+    "graft_dsir_buckets" -> Set(2, 3), "graft_bucket_score" -> Set(2),
     "graft_backoff_stats" -> Set(7), "graft_binary_sketch" -> Set(2),
     "graft_word_count" -> Set(1, 2), "graft_url_canon" -> Set(1),
     "graft_lang_scores" -> Set(1),

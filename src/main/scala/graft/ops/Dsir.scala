@@ -53,8 +53,10 @@ object Dsir {
     PortableHash.let1("__w", s"filter(split($text, ' '), w -> w <> '')",
       "concat(__w, graft_ngrams(__w, 2))")
 
-  private def duckGramsExpr(text: String): String = {
-    val w = s"list_filter(string_split($text, ' '), w -> w <> '')"
+  private def duckGramsExpr(text: String, wordGrain: String = "ws"): String = {
+    val w = if (wordGrain == "cjk-auto")
+              s"(${TextAnalysis.routedTokensDuck(text, keepEmpties = false)})"
+            else s"list_filter(string_split($text, ' '), w -> w <> '')"
     s"list_concat($w, list_transform(generate_series(1, len($w) - 1), " +
       s"i -> $w[i] || ' ' || $w[i + 1]))"
   }
@@ -125,12 +127,15 @@ object Dsir {
     */
   def weightsFast(docs: DataFrame, id: String, text: String,
                   targetPred: Column, buckets: Int = 256,
-                  ref: Option[DataFrame] = None): DataFrame = {
+                  ref: Option[DataFrame] = None,
+                  wordGrain: String = "ws"): DataFrame = {
+    require(wordGrain == "ws" || wordGrain == "cjk-auto",
+      s"wordGrain must be 'ws' or 'cjk-auto', got $wordGrain")
     val fdf = graft.functions.VectorFunctions.attach(docs)
     val refDf = graft.functions.VectorFunctions.attach(ref.getOrElse(docs))
     val counts = refDf
       .select(targetPred.as("__is_t"),
-        explode(expr(s"graft_dsir_buckets($text, $buckets)")).as("b"))
+        explode(expr(s"graft_dsir_buckets($text, $buckets, '$wordGrain')")).as("b"))
       .groupBy(col("b")).agg(
         sum(when(col("__is_t"), 1L).otherwise(0L)).as("cnt_t"),
         count(lit(1)).as("cnt_r"))
@@ -157,17 +162,18 @@ object Dsir {
     // than the md5 gram kernel (19s) it rides next to.
     fdf.where(trim(col(text)) =!= "")
       .select(col(id),
-        expr(s"2 * graft_word_count($text) - 1").as("n_grams"),
-        expr(s"graft_bucket_score(graft_dsir_buckets($text, $buckets), $wLit)")
+        expr(s"2 * graft_word_count($text, '$wordGrain') - 1").as("n_grams"),
+        expr(s"graft_bucket_score(graft_dsir_buckets($text, $buckets, '$wordGrain'), $wLit)")
           .as("w_sum"))
   }
 
   /** [[select]] over [[weightsFast]] — the registered scale path. */
   def selectFast(docs: DataFrame, id: String, text: String,
-                 targetPred: Column, n: Int, buckets: Int = 256): DataFrame = {
+                 targetPred: Column, n: Int, buckets: Int = 256,
+                 wordGrain: String = "ws"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // rank window input is <= n rows (post-limit), never the corpus
-    weightsFast(docs, id, text, targetPred, buckets)
+    weightsFast(docs, id, text, targetPred, buckets, wordGrain = wordGrain)
       .orderBy(col("w_sum").desc, col(id).asc).limit(n)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("w_sum").desc, col(id).asc)))
@@ -215,11 +221,12 @@ object Dsir {
 
   /** DuckDB twin of [[weights]]. */
   def weightsSql(table: String, id: String, text: String,
-                 targetPredSql: String, buckets: Int = 256): String =
+                 targetPredSql: String, buckets: Int = 256,
+                 wordGrain: String = "ws"): String =
     s"""WITH grams AS (
        |  SELECT $id, ($targetPredSql) AS is_t,
        |    (${PortableHash.duckStringHash("g.g")} % $buckets) AS b
-       |  FROM $table, UNNEST(${duckGramsExpr(text)}) AS g(g)),
+       |  FROM $table, UNNEST(${duckGramsExpr(text, wordGrain)}) AS g(g)),
        |bt AS (
        |  SELECT b,
        |    sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS cnt_t,
@@ -235,9 +242,10 @@ object Dsir {
 
   /** DuckDB twin of [[select]]. */
   def selectSql(table: String, id: String, text: String,
-                targetPredSql: String, n: Int, buckets: Int = 256): String =
+                targetPredSql: String, n: Int, buckets: Int = 256,
+                wordGrain: String = "ws"): String =
     s"""WITH w AS (
-       |${weightsSql(table, id, text, targetPredSql, buckets)})
+       |${weightsSql(table, id, text, targetPredSql, buckets, wordGrain)})
        |SELECT $id, n_grams, w_sum,
        |  row_number() OVER (ORDER BY w_sum DESC, $id ASC) AS rank
        |FROM w ORDER BY w_sum DESC, $id ASC LIMIT $n""".stripMargin

@@ -2728,6 +2728,22 @@ object Queries {
       Some(graft.ops.Dsir.selectSql("documents", "doc_id", "text",
         "lang = 'en'", n = 50))),
 
+    // DSIR on the routed grain over the zh fixture, targeting the
+    // UNSEGMENTED rows: on the ws grain each zh doc contributes one
+    // whole-document unigram and no bigrams — the target/raw
+    // distributions carry ~no reusable signal on exactly the rows the
+    // predicate selects for; routed grams are codepoint unigrams +
+    // bigrams, so target-like (Han-dense) docs genuinely outscore
+    QueryDef("pipeline_dsir_cjk",
+      (s, dir) => graft.ops.Dsir.selectFast(
+        t(s, dir, "documents").withColumn("text", expr(zhFixtureSpark)),
+        "doc_id", "text", expr("doc_id % 3 = 0"), n = 50,
+        wordGrain = "cjk-auto"),
+      Some(graft.ops.Dsir.selectSql(
+        s"(SELECT doc_id, $zhFixtureDuck AS text FROM documents)",
+        "doc_id", "text", "doc_id % 3 = 0", n = 50,
+        wordGrain = "cjk-auto"))),
+
     // SOFT dedup: down-weight near-dup clusters to unit total mass
     // instead of dropping members (duplicate-aware reweighting) —
     // weight = 1/|component| over the minhash near-dup components,
