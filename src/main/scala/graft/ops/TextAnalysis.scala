@@ -969,11 +969,19 @@ object TextAnalysis {
     * only (never the vocabulary, never the corpus). Deterministic
     * total order: (cnt DESC, token ASC).
     */
-  def vocabulary(df: DataFrame, text: String, topV: Int = 100): DataFrame = {
+  def vocabulary(df: DataFrame, text: String, topV: Int = 100,
+                 wordGrain: String = "ws"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(wordGrain == "ws" || wordGrain == "cjk-auto",
+      s"wordGrain must be 'ws' or 'cjk-auto', got $wordGrain")
+    // round 13: rides the row-local (token, tf) pair kernel — one
+    // exploded row per DISTINCT (doc, token), tf-weighted sums replace
+    // the per-token count — and takes the routed grain (a ws "vocab"
+    // over an unsegmented corpus is a table of whole documents)
     val counts = graft.functions.VectorFunctions.attach(df)
-      .select(explode(expr(s"filter(split($text, ' '), w -> w <> '')")).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .select(explode(expr(s"graft_term_tf($text, '$wordGrain')")).as("p"))
+      .select(col("p.w").as("token"), col("p.tf").as("tf"))
+      .groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("__total"))
     val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(topV)
     // rank/cumsum window input is <= topV rows by construction
@@ -987,9 +995,12 @@ object TextAnalysis {
   }
 
   /** DuckDB twin of [[vocabulary]]. */
-  def vocabularySql(table: String, text: String, topV: Int = 100): String =
+  def vocabularySql(table: String, text: String, topV: Int = 100,
+                    wordGrain: String = "ws"): String = {
+    val toks = if (wordGrain == "cjk-auto") routedTokensDuck(text, keepEmpties = false)
+               else s"list_filter(string_split($text, ' '), w -> w <> '')"
     s"""WITH toks AS (
-       |  SELECT unnest(list_filter(string_split($text, ' '), w -> w <> '')) AS token
+       |  SELECT unnest($toks) AS token
        |  FROM $table),
        |counts AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token),
        |tot AS (SELECT sum(cnt)::BIGINT AS total FROM counts),
@@ -999,6 +1010,7 @@ object TextAnalysis {
        |  round(sum(cnt) OVER (ORDER BY cnt DESC, token ASC
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE / tot.total, 6) AS coverage
        |FROM top CROSS JOIN tot""".stripMargin
+  }
 
   /** Declarative HOF twin of `graft_ngrams` (parity baseline). */
   def hofNgramsExpr(text: String, n: Int): String = {

@@ -2877,6 +2877,19 @@ object Queries {
         "text", topV = 100),
       Some(TextAnalysis.vocabularySql("documents", "text", topV = 100))),
 
+    // the vocabulary on the routed grain over the zh fixture: a ws
+    // "vocabulary" of an unsegmented corpus is a table of whole
+    // DOCUMENTS (each zh doc one token, cnt 1) — useless as a vocab
+    // and it crowds the top-V; routed tokens give codepoint entries
+    // with real counts alongside the latin words
+    QueryDef("text_vocab_cjk",
+      (s, dir) => TextAnalysis.vocabulary(
+        t(s, dir, "documents").withColumn("text", expr(zhFixtureSpark)),
+        "text", topV = 100, wordGrain = "cjk-auto"),
+      Some(TextAnalysis.vocabularySql(
+        s"(SELECT doc_id, $zhFixtureDuck AS text FROM documents)",
+        "text", topV = 100, wordGrain = "cjk-auto"))),
+
     // the PERSISTED binary index: (v_id, sk, vec) parquet written first
     // touch — the columnar layout IS the index (prefilter reads only
     // the 16-byte (v_id, sk) columns; rerank re-reads the same frame
