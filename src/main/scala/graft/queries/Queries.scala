@@ -1239,7 +1239,14 @@ object Queries {
     // spaces removed): ws winnowing sees one giant token and no
     // k-grams on those rows — the planted zh containment pair is
     // invisible; routed positional grams are codepoint k-grams, so the
-    // contained copy is caught and dropped like any latin pair
+    // contained copy is caught and dropped like any latin pair.
+    // k=5/w=8, not the latin default k=3/w=4: single CODEPOINTS carry
+    // far less context than ws words — 5-codepoint grams with a wider
+    // selection window are the standard character-fingerprint shape
+    // (and cheaper: 4.5s vs 5.8s at sf0.1 with k=3/w=4). The residual
+    // cost over the 1.9s ws containment is the Han third's ~6× gram
+    // volume through the md5 gram hashing + postings join — the same
+    // priced coverage delta as the routed minhash keeper at 1M
     QueryDef("dedup_containment_cjk",
       (s, dir) => {
         val base = t(s, dir, "documents").select("doc_id", "text")
@@ -1250,7 +1257,8 @@ object Queries {
             concat(col("text"), lit(" extra tail words appended here")).as("text"))
         TextAnalysis.containmentDedup(
           base.unionByName(planted).withColumn("text", expr(zhFixtureSpark)),
-          "doc_id", "text", threshold = 0.8, wordGrain = "cjk-auto")
+          "doc_id", "text", k = 5, w = 8, threshold = 0.8,
+          wordGrain = "cjk-auto")
       },
       Some(TextAnalysis.containmentDedupSql(
         s"""(SELECT doc_id, $zhFixtureDuck AS text FROM
@@ -1258,7 +1266,8 @@ object Queries {
           |  UNION ALL
           |  SELECT doc_id + 99999, text || ' extra tail words appended here'
           |  FROM documents WHERE doc_id < 3))""".stripMargin,
-        "doc_id", "text", threshold = 0.8, wordGrain = "cjk-auto"))),
+        "doc_id", "text", k = 5, w = 8, threshold = 0.8,
+        wordGrain = "cjk-auto"))),
 
     QueryDef("pipeline_sample",
       (s, dir) => graft.ops.Sampling.stratifiedSample(
