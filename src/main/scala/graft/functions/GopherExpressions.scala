@@ -160,11 +160,27 @@ object GopherOps {
     */
   def routedTokenCountAll(text: UTF8String): Long = {
     val s = text.toString
-    if (isDominated(s)) return routedWordCount(text) // routed branch has no empties
-    var spaces = 0L
-    var i = 0
-    while (i < s.length) { if (s.charAt(i) == ' ') spaces += 1; i += 1 }
-    spaces + 1L
+    if (isDominated(s)) {
+      // inline the dominated count walk (delegating to routedWordCount
+      // would re-run the dominance scan — a third full-string pass on
+      // the keeper filter's hot path)
+      var n = 0L; var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == ' ') i += 1
+        else if (isCjk(c)) { n += 1; i += 1 }
+        else {
+          n += 1; i += 1
+          while (i < s.length && { val cc = s.charAt(i); cc != ' ' && !isCjk(cc) }) i += 1
+        }
+      }
+      n
+    } else {
+      var spaces = 0L
+      var i = 0
+      while (i < s.length) { if (s.charAt(i) == ' ') spaces += 1; i += 1 }
+      spaces + 1L
+    }
   }
 
   /** `size(routedTokens(text, keepEmpties = false))` WITHOUT
@@ -230,6 +246,15 @@ object GopherOps {
         }
       }
     }
+    pairsToArray(m)
+  }
+
+  /** (word, count) map → ARRAY<STRUCT<w, tf>> in insertion order — the
+    * shared per-row epilogue of [[termTfPairs]] and [[gramTfPairs]]
+    * (runs once per row over the distinct-term map, so sharing it has
+    * no dispatch cost in the per-token hot loops).
+    */
+  private def pairsToArray(m: java.util.LinkedHashMap[String, Array[Long]]): ArrayData = {
     val out = new Array[AnyRef](m.size)
     var j = 0
     val it = m.entrySet().iterator()
@@ -301,16 +326,7 @@ object GopherOps {
         }
       }
     }
-    val out = new Array[AnyRef](m.size)
-    var j = 0
-    val it = m.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](UTF8String.fromString(e.getKey), e.getValue()(0)))
-      j += 1
-    }
-    new GenericArrayData(out)
+    pairsToArray(m)
   }
 
   /** [[HashOps.dsirBuckets]] on the routed grain: hashed unigram +
@@ -324,31 +340,24 @@ object GopherOps {
   def routedDsirBuckets(text: UTF8String, buckets: Int): ArrayData = {
     val s = text.toString
     if (!isDominated(s)) return HashOps.dsirBuckets(text, buckets)
-    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == ' ') i += 1
-      else if (isCjk(c)) { toks += String.valueOf(c); i += 1 }
-      else {
-        val st = i
-        i += 1
-        while (i < s.length && { val cc = s.charAt(i); cc != ' ' && !isCjk(cc) }) i += 1
-        toks += s.substring(st, i)
-      }
-    }
-    val m = toks.length
+    // this kernel materializes tokens anyway (every one is hashed, the
+    // bigram leg re-reads neighbors), so it reuses [[routedTokens]]
+    // instead of an eighth hand-inlined walk — the megamorphic-dispatch
+    // rationale in the NOTE above only covers count-only scans
+    val toks = routedTokens(text, keepEmpties = false)
+    val m = toks.numElements()
     if (m == 0) return new GenericArrayData(Array.emptyLongArray)
+    val space = UTF8String.fromString(" ")
     val out = new Array[Long](m + math.max(0, m - 1))
     var j = 0
     while (j < m) {
-      out(j) = HashOps.hashUtf8(UTF8String.fromString(toks(j))) % buckets
+      out(j) = HashOps.hashUtf8(toks.getUTF8String(j)) % buckets
       j += 1
     }
     j = 0
     while (j < m - 1) {
-      out(m + j) = HashOps.hashUtf8(
-        UTF8String.fromString(toks(j) + " " + toks(j + 1))) % buckets
+      out(m + j) = HashOps.hashUtf8(UTF8String.concat(
+        toks.getUTF8String(j), space, toks.getUTF8String(j + 1))) % buckets
       j += 1
     }
     new GenericArrayData(out)

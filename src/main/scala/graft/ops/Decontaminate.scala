@@ -63,17 +63,18 @@ object Decontaminate {
   def cleanDocsBloom(corpus: DataFrame, bench: DataFrame,
                      id: String, text: String, k: Int = 3,
                      expectedShingles: Long = 1 << 16,
-                     fpp: Double = 0.01): DataFrame = {
+                     fpp: Double = 0.01,
+                     wordGrain: String = "ws"): DataFrame = {
     val attach = graft.functions.VectorFunctions.attach _
     val benchHashes = attach(bench)
-      .select(explode(expr(Dedup.nativeShingleHashes(text, k))).as("h"))
+      .select(explode(expr(Dedup.nativeShingleHashes(text, k, wordGrain))).as("h"))
       .distinct()
     val sketch = BloomJoin.sketchOf(benchHashes, "h", expectedShingles, fpp)
     // null-text docs drop here, matching cleanDocs (null intersect count
     // fails its filter too)
     val corpusH = attach(corpus)
       .select(col(id),
-        expr(s"sort_array(${Dedup.nativeShingleHashes(text, k)})").as("doc_hs"))
+        expr(s"sort_array(${Dedup.nativeShingleHashes(text, k, wordGrain)})").as("doc_hs"))
       .where(col("doc_hs").isNotNull)
     val probe = expr(BloomJoin.anySql(sketch, "doc_hs"))
     val benchSet = benchHashes.agg(sort_array(collect_set(col("h"))).as("bench_hs"))
@@ -99,14 +100,15 @@ object Decontaminate {
     */
   def cleanDocsFractional(corpus: DataFrame, bench: DataFrame,
                           id: String, text: String, k: Int = 3,
-                          maxContamination: Double = 0.05): DataFrame = {
+                          maxContamination: Double = 0.05,
+                          wordGrain: String = "ws"): DataFrame = {
     val attach = graft.functions.VectorFunctions.attach _
     val benchSet = attach(bench)
-      .select(explode(expr(Dedup.nativeShingleHashes(text, k))).as("h"))
+      .select(explode(expr(Dedup.nativeShingleHashes(text, k, wordGrain))).as("h"))
       .agg(sort_array(collect_set(col("h"))).as("bench_hs"))
     attach(corpus)
       .select(col(id),
-        expr(s"sort_array(${Dedup.nativeShingleHashes(text, k)})").as("doc_hs"))
+        expr(s"sort_array(${Dedup.nativeShingleHashes(text, k, wordGrain)})").as("doc_hs"))
       .crossJoin(broadcast(benchSet))
       .withColumn("n_shingles", size(col("doc_hs")))
       .withColumn("contamination",
@@ -140,22 +142,23 @@ object Decontaminate {
     * regime is small and they need no attribution.
     */
   def contaminationReport(corpus: DataFrame, bench: DataFrame,
-                          id: String, text: String, k: Int = 3): DataFrame = {
+                          id: String, text: String, k: Int = 3,
+                          wordGrain: String = "ws"): DataFrame = {
     val attach = graft.functions.VectorFunctions.attach _
     val benchSh = attach(bench)
       .select(col(id).as("bench_id"),
-        explode(expr(Dedup.nativeShingleHashes(text, k))).as("h"))
+        explode(expr(Dedup.nativeShingleHashes(text, k, wordGrain))).as("h"))
       .distinct()
     val matches = attach(corpus)
       .select(col(id).as("corpus_id"),
-        explode(expr(Dedup.nativeShingleHashes(text, k))).as("h"))
+        explode(expr(Dedup.nativeShingleHashes(text, k, wordGrain))).as("h"))
       .join(broadcast(benchSh), Seq("h"))
       .groupBy(col("bench_id"))
       .agg(countDistinct(col("corpus_id")).as("n_corpus_docs"),
         countDistinct(col("h")).as("n_shingles_hit"))
     attach(bench)
       .select(col(id).as("bench_id"),
-        expr(s"size(${Dedup.nativeShingleHashes(text, k)})").as("n_shingles"))
+        expr(s"size(${Dedup.nativeShingleHashes(text, k, wordGrain)})").as("n_shingles"))
       .join(matches, Seq("bench_id"), "left_outer")
       .select(col("bench_id"), col("n_shingles"),
         coalesce(col("n_shingles_hit"), lit(0L)).as("n_shingles_hit"),
@@ -165,12 +168,13 @@ object Decontaminate {
   /** DuckDB twin of [[contaminationReport]]. */
   def contaminationReportSql(corpusTable: String, benchPred: String,
                              corpusPred: String, id: String, text: String,
-                             k: Int = 3): String =
+                             k: Int = 3,
+                             wordGrain: String = "ws"): String =
     s"""WITH bsh AS (
-       |  SELECT DISTINCT $id AS bench_id, unnest(${Dedup.duckShingleHashes(text, k)}) AS h
+       |  SELECT DISTINCT $id AS bench_id, unnest(${Dedup.duckShingleHashes(text, k, wordGrain)}) AS h
        |  FROM $corpusTable WHERE $benchPred),
        |csh AS (
-       |  SELECT DISTINCT $id AS corpus_id, unnest(${Dedup.duckShingleHashes(text, k)}) AS h
+       |  SELECT DISTINCT $id AS corpus_id, unnest(${Dedup.duckShingleHashes(text, k, wordGrain)}) AS h
        |  FROM $corpusTable WHERE $corpusPred),
        |hits AS (
        |  SELECT b.bench_id, count(DISTINCT c.corpus_id) AS n_corpus_docs,
@@ -178,7 +182,7 @@ object Decontaminate {
        |  FROM bsh b JOIN csh c ON b.h = c.h
        |  GROUP BY b.bench_id),
        |base AS (
-       |  SELECT $id AS bench_id, len(${Dedup.duckShingleHashes(text, k)}) AS n_shingles
+       |  SELECT $id AS bench_id, len(${Dedup.duckShingleHashes(text, k, wordGrain)}) AS n_shingles
        |  FROM $corpusTable WHERE $benchPred)
        |SELECT base.bench_id, base.n_shingles::INT AS n_shingles,
        |  coalesce(hits.n_shingles_hit, 0)::BIGINT AS n_shingles_hit,
@@ -190,13 +194,14 @@ object Decontaminate {
     */
   def cleanDocsFractionalSql(corpusTable: String, benchPred: String,
                              corpusPred: String, id: String, text: String,
-                             k: Int = 3, maxContamination: Double = 0.05): String =
+                             k: Int = 3, maxContamination: Double = 0.05,
+                             wordGrain: String = "ws"): String =
     s"""WITH bench_hs AS (
        |  SELECT list_sort(list(DISTINCT h)) AS hs FROM (
-       |    SELECT unnest(${Dedup.duckShingleHashes(text, k)}) AS h
+       |    SELECT unnest(${Dedup.duckShingleHashes(text, k, wordGrain)}) AS h
        |    FROM $corpusTable WHERE $benchPred)),
        |corpus AS (
-       |  SELECT $id, ${Dedup.duckShingleHashes(text, k)} AS doc_hs
+       |  SELECT $id, ${Dedup.duckShingleHashes(text, k, wordGrain)} AS doc_hs
        |  FROM $corpusTable WHERE $corpusPred),
        |scored AS (
        |  SELECT c.$id, len(c.doc_hs) AS n_shingles,
@@ -343,15 +348,16 @@ object Decontaminate {
     * carry no evidence and pass.
     */
   def cleanDocsStreaming(corpusStream: DataFrame, bench: DataFrame,
-                         id: String, text: String, k: Int = 3): DataFrame = {
+                         id: String, text: String, k: Int = 3,
+                         wordGrain: String = "ws"): DataFrame = {
     val attach = graft.functions.VectorFunctions.attach _
     val benchHs: Array[Long] = attach(bench)
-      .select(explode(expr(Dedup.nativeShingleHashes(text, k))).as("h"))
+      .select(explode(expr(Dedup.nativeShingleHashes(text, k, wordGrain))).as("h"))
       .distinct().orderBy(col("h"))
       .collect().map(_.getLong(0))
     attach(corpusStream)
       .withColumn("doc_hs",
-        expr(s"sort_array(${Dedup.nativeShingleHashes(text, k)})"))
+        expr(s"sort_array(${Dedup.nativeShingleHashes(text, k, wordGrain)})"))
       .withColumn("__bench", typedLit(benchHs))
       .where(expr("graft_intersect_count(doc_hs, __bench) = 0"))
       .select(col(id), size(col("doc_hs")).as("n_shingles"))

@@ -91,6 +91,21 @@ object Dedup {
                         grain: String = "ws"): String =
     s"list_distinct(${duckHashArrayOf(duckShingles(text, k, grain))})"
 
+  /** Cheap `>= k`-token floor predicate matching the grain's shingle
+    * token sequence exactly (hs is empty iff it fails): ws counts the
+    * split WITH empties, cjk-auto the count-only routed kernel — the
+    * filter never materializes a token array on either grain.
+    */
+  def shingleFloorPred(text: String, k: Int, grain: String = "ws"): String =
+    if (grain == "cjk-auto") s"graft_routed_token_count($text) >= $k"
+    else s"size(split($text, ' ')) >= $k"
+
+  /** DuckDB twin of [[shingleFloorPred]]. */
+  def duckShingleFloorPred(text: String, k: Int, grain: String = "ws"): String =
+    if (grain == "cjk-auto")
+      s"len(${TextAnalysis.routedTokensDuck(text, keepEmpties = true)}) >= $k"
+    else s"len(string_split($text, ' ')) >= $k"
+
   /** Exact dedup by content digest: (digest, keep_id = min id, dup count).
     * One partial-aggregated shuffle on md5(text).
     */
@@ -252,14 +267,15 @@ object Dedup {
     * hashes over its shingle hashes. Pure projection — no shuffle.
     */
   def minhashSignatures(df: DataFrame, id: String, text: String,
-                        numHashes: Int = 16, k: Int = 3): DataFrame = {
+                        numHashes: Int = 16, k: Int = 3,
+                        wordGrain: String = "ws"): DataFrame = {
     val fdf = graft.functions.VectorFunctions.attach(df)
     // filter BEFORE the projection on the equivalent cheap predicate:
     // hs is empty iff the doc has < k words, and filtering on size(hs)
     // after the select would be pushed below it by Catalyst WITH the
     // expensive expression substituted in — hashing every doc twice
-    Par.floor(fdf.where(expr(s"size(split($text, ' ')) >= $k")), col(id))
-      .select(col(id), expr(nativeShingleHashes(text, k)).as("hs"))
+    Par.floor(fdf.where(expr(shingleFloorPred(text, k, wordGrain))), col(id))
+      .select(col(id), expr(nativeShingleHashes(text, k, wordGrain)).as("hs"))
       // one compiled pass computes all numHashes minima; the element_at
       // projection below is NOT collapsed into it (CollapseProject keeps
       // multiply-referenced non-cheap expressions materialized)
@@ -269,11 +285,12 @@ object Dedup {
   }
 
   def minhashSignaturesSql(table: String, id: String, text: String,
-                           numHashes: Int = 16, k: Int = 3): String = {
+                           numHashes: Int = 16, k: Int = 3,
+                           wordGrain: String = "ws"): String = {
     val sigCols = (0 until numHashes).map { i =>
       s"list_min(list_transform(hs, h -> ${universal(i, "h")})) AS mh$i"
     }.mkString(", ")
-    s"SELECT $id, $sigCols FROM (SELECT $id, ${duckShingleHashes(text, k)} AS hs FROM $table) WHERE len(hs) > 0"
+    s"SELECT $id, $sigCols FROM (SELECT $id, ${duckShingleHashes(text, k, wordGrain)} AS hs FROM $table) WHERE len(hs) > 0"
   }
 
   /** MinHash LSH candidate pairs, exact-Jaccard verified.
@@ -294,7 +311,8 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, id: String, text: String,
                       bands: Int = 4, rowsPerBand: Int = 4, k: Int = 3,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      wordGrain: String = "ws"): DataFrame = {
     // The (id, hs) projection feeds FOUR plan branches (band rows twice
     // via the self-join, verify joins twice); without materialization
     // Spark re-scans the corpus and re-hashes per branch. The projection
@@ -304,9 +322,9 @@ object Dedup {
     // sorted once per doc so the verify stage can use the two-pointer
     // graft_intersect_count (signature minima and band buckets are
     // order-independent, so sorting changes no values)
-    val docs = Par.floor(fdf.where(expr(s"size(split($text, ' ')) >= $k")), col(id))
+    val docs = Par.floor(fdf.where(expr(shingleFloorPred(text, k, wordGrain))), col(id))
       .select(col(id).as("_did"),
-        expr(s"sort_array(${nativeShingleHashes(text, k)})").as("hs"))
+        expr(s"sort_array(${nativeShingleHashes(text, k, wordGrain)})").as("hs"))
       .transform(Caches.lease(_))
     val bandRows = docs
       .select(col("_did"),
@@ -408,10 +426,12 @@ object Dedup {
     */
   def minhashDedupComponents(df: DataFrame, id: String, text: String,
                              bands: Int = 4, rowsPerBand: Int = 4,
-                             k: Int = 3, iters: Int = 3): DataFrame = {
+                             k: Int = 3, iters: Int = 3,
+                             wordGrain: String = "ws"): DataFrame = {
     val fdf = graft.functions.VectorFunctions.attach(df)
-    val bandRows = Par.floor(fdf.where(expr(s"size(split($text, ' ')) >= $k")), col(id))
-      .select(col(id).as("_did"), expr(nativeShingleHashes(text, k)).as("hs"))
+    val bandRows = Par.floor(fdf.where(expr(shingleFloorPred(text, k, wordGrain))), col(id))
+      .select(col(id).as("_did"),
+        expr(nativeShingleHashes(text, k, wordGrain)).as("hs"))
       .select(col("_did"),
         posexplode(expr(s"graft_band_buckets(hs, $bands, $rowsPerBand)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
@@ -428,7 +448,8 @@ object Dedup {
 
   def minhashDedupComponentsSql(table: String, id: String, text: String,
                                 bands: Int = 4, rowsPerBand: Int = 4,
-                                k: Int = 3, iters: Int = 3): String = {
+                                k: Int = 3, iters: Int = 3,
+                                wordGrain: String = "ws"): String = {
     val bandSelects = (0 until bands).map { b =>
       val sig = (0 until rowsPerBand).map { r =>
         val i = b * rowsPerBand + r
@@ -449,7 +470,7 @@ object Dedup {
     }.mkString(",\n")
     s"""WITH docs AS (
        |  SELECT _did, hs FROM
-       |    (SELECT $id AS _did, ${duckShingleHashes(text, k)} AS hs FROM $table)
+       |    (SELECT $id AS _did, ${duckShingleHashes(text, k, wordGrain)} AS hs FROM $table)
        |  WHERE len(hs) > 0),
        |bandrows AS ($bandSelects),
        |l0 AS (SELECT DISTINCT _did, _did AS label FROM bandrows),
@@ -459,7 +480,8 @@ object Dedup {
 
   def minhashLshPairsSql(table: String, id: String, text: String,
                          bands: Int = 4, rowsPerBand: Int = 4, k: Int = 3,
-                         threshold: Double = 0.5): String = {
+                         threshold: Double = 0.5,
+                         wordGrain: String = "ws"): String = {
     val bandSelects = (0 until bands).map { b =>
       val sig = (0 until rowsPerBand).map { r =>
         val i = b * rowsPerBand + r
@@ -469,7 +491,7 @@ object Dedup {
     }.mkString(" UNION ALL ")
     s"""WITH docs AS (
        |  SELECT _did, hs FROM
-       |    (SELECT $id AS _did, ${duckShingleHashes(text, k)} AS hs FROM $table)
+       |    (SELECT $id AS _did, ${duckShingleHashes(text, k, wordGrain)} AS hs FROM $table)
        |  WHERE len(hs) > 0),
        |bandrows AS ($bandSelects),
        |cand AS (
@@ -540,8 +562,9 @@ object Dedup {
     */
   def dedupCensus(df: DataFrame, id: String, text: String,
                   bands: Int = 4, rowsPerBand: Int = 4,
-                  k: Int = 3, iters: Int = 3): DataFrame =
-    minhashDedupComponents(df, id, text, bands, rowsPerBand, k, iters)
+                  k: Int = 3, iters: Int = 3,
+                  wordGrain: String = "ws"): DataFrame =
+    minhashDedupComponents(df, id, text, bands, rowsPerBand, k, iters, wordGrain)
       .groupBy(col("component_id")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"),
@@ -551,9 +574,10 @@ object Dedup {
   /** DuckDB twin of [[dedupCensus]]. */
   def dedupCensusSql(table: String, id: String, text: String,
                      bands: Int = 4, rowsPerBand: Int = 4,
-                     k: Int = 3, iters: Int = 3): String =
+                     k: Int = 3, iters: Int = 3,
+                     wordGrain: String = "ws"): String =
     s"""WITH comp AS (
-       |${minhashDedupComponentsSql(table, id, text, bands, rowsPerBand, k, iters)}),
+       |${minhashDedupComponentsSql(table, id, text, bands, rowsPerBand, k, iters, wordGrain)}),
        |sizes AS (
        |  SELECT component_id, count(*)::BIGINT AS cluster_size
        |  FROM comp GROUP BY 1)
@@ -666,14 +690,15 @@ object Dedup {
     * so the quadratic stage does array intersects only.
     */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
-                        k: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        k: Int = 3, threshold: Double = 0.5,
+                        wordGrain: String = "ws"): DataFrame = {
     // docs below k words are excluded on BOTH engines: an empty-vs-empty
     // pair would divide 0/0 — NaN, which Spark excludes at >= t but
     // DuckDB sorts above every number and would include
     val g = Par.floor(graft.functions.VectorFunctions.attach(df)
-        .where(expr(s"size(split($text, ' ')) >= $k")), col(id))
+        .where(expr(shingleFloorPred(text, k, wordGrain))), col(id))
       .select(col(id).as("gid"),
-        expr(s"sort_array(${nativeShingleHashes(text, k)})").as("g"))
+        expr(s"sort_array(${nativeShingleHashes(text, k, wordGrain)})").as("g"))
     val a = g.select(col("gid").as("a_id"), col("g").as("ga"))
     val b = g.select(col("gid").as("b_id"), col("g").as("gb"))
     a.crossJoin(b).where(col("a_id") < col("b_id") &&
@@ -690,9 +715,10 @@ object Dedup {
   }
 
   def ngramJaccardPairsSql(table: String, id: String, text: String,
-                           k: Int = 3, threshold: Double = 0.5): String =
-    s"""WITH d AS (SELECT $id, ${duckShingleHashes(text, k)} AS g FROM $table
-       |            WHERE len(string_split($text, ' ')) >= $k),
+                           k: Int = 3, threshold: Double = 0.5,
+                           wordGrain: String = "ws"): String =
+    s"""WITH d AS (SELECT $id, ${duckShingleHashes(text, k, wordGrain)} AS g FROM $table
+       |            WHERE ${duckShingleFloorPred(text, k, wordGrain)}),
        |p AS (SELECT a.$id AS a_id, b.$id AS b_id,
        |        len(list_intersect(a.g, b.g)) AS c, len(a.g) AS na, len(b.g) AS nb
        |      FROM d a JOIN d b ON a.$id < b.$id)
@@ -767,10 +793,12 @@ object Dedup {
     * incremental join shuffle only the new crawl's rows.
     */
   def bandTable(df: DataFrame, id: String, text: String,
-                bands: Int = 4, rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
+                bands: Int = 4, rowsPerBand: Int = 4, k: Int = 3,
+                wordGrain: String = "ws"): DataFrame = {
     val fdf = graft.functions.VectorFunctions.attach(df)
-    Par.floor(fdf.where(expr(s"size(split($text, ' ')) >= $k")), col(id))
-      .select(col(id).as("_did"), expr(nativeShingleHashes(text, k)).as("hs"))
+    Par.floor(fdf.where(expr(shingleFloorPred(text, k, wordGrain))), col(id))
+      .select(col(id).as("_did"),
+        expr(nativeShingleHashes(text, k, wordGrain)).as("hs"))
       .select(col("_did"),
         posexplode(expr(s"graft_band_buckets(hs, $bands, $rowsPerBand)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
@@ -794,8 +822,8 @@ object Dedup {
   def incrementalNearDup(newSnap: DataFrame, priorBands: DataFrame,
                          id: String, text: String,
                          bands: Int = 4, rowsPerBand: Int = 4,
-                         k: Int = 3): DataFrame = {
-    val newBands = bandTable(newSnap, id, text, bands, rowsPerBand, k)
+                         k: Int = 3, wordGrain: String = "ws"): DataFrame = {
+    val newBands = bandTable(newSnap, id, text, bands, rowsPerBand, k, wordGrain)
     val matches = newBands
       .join(priorBands.select(col("band"), col("bucket"),
         col("_did").as("prior_id")), Seq("band", "bucket"))
@@ -823,15 +851,16 @@ object Dedup {
   def incrementalNearDupStreaming(newStream: DataFrame, priorBands: DataFrame,
                                   id: String, text: String,
                                   bands: Int = 4, rowsPerBand: Int = 4,
-                                  k: Int = 3): DataFrame = {
+                                  k: Int = 3,
+                                  wordGrain: String = "ws"): DataFrame = {
     val shift = 32 - Integer.numberOfLeadingZeros(math.max(bands - 1, 1))
     val priorKeys: Array[Long] = priorBands
       .select(expr(s"shiftleft(bucket, $shift) | band").as("bk"))
       .distinct().orderBy(col("bk")).collect().map(_.getLong(0))
     graft.functions.VectorFunctions.attach(newStream)
       .withColumn("__bks", expr(
-        s"IF(size(split($text, ' ')) >= $k, " +
-          s"sort_array(transform(graft_band_buckets(${nativeShingleHashes(text, k)}, $bands, $rowsPerBand), " +
+        s"IF(${shingleFloorPred(text, k, wordGrain)}, " +
+          s"sort_array(transform(graft_band_buckets(${nativeShingleHashes(text, k, wordGrain)}, $bands, $rowsPerBand), " +
           s"(x, i) -> shiftleft(x, $shift) | i)), CAST(array() AS ARRAY<BIGINT>))"))
       .withColumn("__prior", typedLit(priorKeys))
       .select(col(id),
@@ -844,7 +873,7 @@ object Dedup {
   def incrementalNearDupSql(table: String, newPred: String,
                             priorPred: String, id: String, text: String,
                             bands: Int = 4, rowsPerBand: Int = 4,
-                            k: Int = 3): String = {
+                            k: Int = 3, wordGrain: String = "ws"): String = {
     def bandSelects(src: String) = (0 until bands).map { b =>
       val sig = (0 until rowsPerBand).map { r =>
         val i = b * rowsPerBand + r
@@ -854,12 +883,12 @@ object Dedup {
     }.mkString(" UNION ALL ")
     s"""WITH docs_new AS (
        |  SELECT _did, hs FROM
-       |    (SELECT $id AS _did, ${duckShingleHashes(text, k)} AS hs
+       |    (SELECT $id AS _did, ${duckShingleHashes(text, k, wordGrain)} AS hs
        |     FROM $table WHERE $newPred)
        |  WHERE len(hs) > 0),
        |docs_prior AS (
        |  SELECT _did, hs FROM
-       |    (SELECT $id AS _did, ${duckShingleHashes(text, k)} AS hs
+       |    (SELECT $id AS _did, ${duckShingleHashes(text, k, wordGrain)} AS hs
        |     FROM $table WHERE $priorPred)
        |  WHERE len(hs) > 0),
        |nb AS (${bandSelects("docs_new")}),
@@ -891,8 +920,10 @@ object Dedup {
     */
   def softDedupWeights(df: DataFrame, id: String, text: String,
                        bands: Int = 4, rowsPerBand: Int = 4,
-                       k: Int = 3, iters: Int = 3): DataFrame = {
-    val comp = minhashDedupComponents(df, id, text, bands, rowsPerBand, k, iters)
+                       k: Int = 3, iters: Int = 3,
+                       wordGrain: String = "ws"): DataFrame = {
+    val comp = minhashDedupComponents(df, id, text, bands, rowsPerBand, k, iters,
+        wordGrain)
       .select(col("doc_id").as("__cid"), col("component_id"))
     val sizes = comp.groupBy(col("component_id"))
       .agg(count(lit(1)).as("dup_count"))
@@ -909,9 +940,10 @@ object Dedup {
   /** DuckDB twin of [[softDedupWeights]]. */
   def softDedupWeightsSql(table: String, id: String, text: String,
                           bands: Int = 4, rowsPerBand: Int = 4,
-                          k: Int = 3, iters: Int = 3): String =
+                          k: Int = 3, iters: Int = 3,
+                          wordGrain: String = "ws"): String =
     s"""WITH comp AS (
-       |${minhashDedupComponentsSql(table, id, text, bands, rowsPerBand, k, iters)}),
+       |${minhashDedupComponentsSql(table, id, text, bands, rowsPerBand, k, iters, wordGrain)}),
        |sizes AS (
        |  SELECT component_id, count(*)::BIGINT AS dup_count
        |  FROM comp GROUP BY 1)

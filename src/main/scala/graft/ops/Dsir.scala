@@ -49,9 +49,11 @@ import org.apache.spark.sql.functions._
 object Dsir {
 
   /** Word unigrams + bigrams of `text` (non-empty words), one array. */
-  private def sparkGramsExpr(text: String): String =
-    PortableHash.let1("__w", s"filter(split($text, ' '), w -> w <> '')",
-      "concat(__w, graft_ngrams(__w, 2))")
+  private def sparkGramsExpr(text: String, wordGrain: String = "ws"): String = {
+    val w = if (wordGrain == "cjk-auto") s"graft_routed_tokens($text, false)"
+            else s"filter(split($text, ' '), w -> w <> '')"
+    PortableHash.let1("__w", w, "concat(__w, graft_ngrams(__w, 2))")
+  }
 
   private def duckGramsExpr(text: String, wordGrain: String = "ws"): String = {
     val w = if (wordGrain == "cjk-auto")
@@ -74,11 +76,12 @@ object Dsir {
     * silently drops it.
     */
   def weights(docs: DataFrame, id: String, text: String,
-              targetPred: Column, buckets: Int = 256): DataFrame = {
+              targetPred: Column, buckets: Int = 256,
+              wordGrain: String = "ws"): DataFrame = {
     val fdf = graft.functions.VectorFunctions.attach(docs)
     val grams = fdf
       .select(col(id), targetPred.as("__is_t"),
-        explode(expr(sparkGramsExpr(text))).as("g"))
+        explode(expr(sparkGramsExpr(text, wordGrain))).as("g"))
       .withColumn("b", expr(s"${PortableHash.sparkStringHash("g")} % $buckets"))
     // pass 1: B-row bucket table + 1-row totals (both broadcast)
     val bucketTable = grams.groupBy(col("b")).agg(
@@ -99,11 +102,12 @@ object Dsir {
   /** Deterministic top-N selection over [[weights]] (w_sum DESC, id ASC
     * — a TakeOrdered, never a global sort). */
   def select(docs: DataFrame, id: String, text: String, targetPred: Column,
-             n: Int, buckets: Int = 256): DataFrame = {
+             n: Int, buckets: Int = 256,
+             wordGrain: String = "ws"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the unpartitioned rank window runs AFTER limit(n): its input is
     // <= n rows by construction, never the corpus
-    weights(docs, id, text, targetPred, buckets)
+    weights(docs, id, text, targetPred, buckets, wordGrain)
       .orderBy(col("w_sum").desc, col(id).asc).limit(n)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("w_sum").desc, col(id).asc)))
@@ -191,11 +195,12 @@ object Dsir {
     */
   def scoreStreaming(corpusStream: DataFrame, ref: DataFrame,
                      id: String, text: String, targetPred: Column,
-                     minWeight: Long = 0L, buckets: Int = 256): DataFrame = {
+                     minWeight: Long = 0L, buckets: Int = 256,
+                     wordGrain: String = "ws"): DataFrame = {
     val refDf = graft.functions.VectorFunctions.attach(ref)
     val counts = refDf
       .select(targetPred.as("__is_t"),
-        explode(expr(s"graft_dsir_buckets($text, $buckets)")).as("b"))
+        explode(expr(s"graft_dsir_buckets($text, $buckets, '$wordGrain')")).as("b"))
       .groupBy(col("b")).agg(
         sum(when(col("__is_t"), 1L).otherwise(0L)).as("cnt_t"),
         count(lit(1)).as("cnt_r"))
@@ -213,8 +218,8 @@ object Dsir {
     graft.functions.VectorFunctions.attach(corpusStream)
       .where(trim(col(text)) =!= "")
       .select(col(id),
-        expr(s"2 * graft_word_count($text) - 1").as("n_grams"),
-        expr(s"graft_bucket_score(graft_dsir_buckets($text, $buckets), $wLit)")
+        expr(s"2 * graft_word_count($text, '$wordGrain') - 1").as("n_grams"),
+        expr(s"graft_bucket_score(graft_dsir_buckets($text, $buckets, '$wordGrain'), $wLit)")
           .as("w_sum"))
       .where(col("w_sum") >= minWeight)
   }

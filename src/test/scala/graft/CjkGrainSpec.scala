@@ -132,6 +132,53 @@ class CjkGrainSpec extends SparkSpec {
     assert(routed(3L) == 3L, "the unrelated english doc keeps itself")
   }
 
+  test("sibling entry points honor the routed grain: bloom/streaming guards, components, soft dedup, DSIR paths") {
+    val zhA = "这是一个没有空格的中文句子在这里继续延长内容"
+    val zhB = zhA + "尾"
+    val en1 = "plain english filler text that keeps going for a while here"
+    val docs = Seq((1L, zhA), (2L, zhB), (3L, en1), (4L, "短")).toDF("doc_id", "text")
+    val bench = Seq((100L, zhA)).toDF("doc_id", "text")
+
+    // decontamination: bloom variant must equal the exact guard on the
+    // routed grain (its documented identical-output contract), and both
+    // must DROP the zh-contaminated doc the ws guard is blind to
+    val exact = graft.ops.Decontaminate.cleanDocs(docs, bench,
+      "doc_id", "text", wordGrain = "cjk-auto")
+      .select($"doc_id").as[Long].collect().toSet
+    val bloom = graft.ops.Decontaminate.cleanDocsBloom(docs, bench,
+      "doc_id", "text", wordGrain = "cjk-auto")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(exact == bloom, s"bloom must equal exact on the routed grain: $exact vs $bloom")
+    assert(!exact.contains(1L) && !exact.contains(2L),
+      s"routed shingles must drop the contaminated zh docs: $exact")
+    assert(exact.contains(3L) && exact.contains(4L))
+    val ws = graft.ops.Decontaminate.cleanDocs(docs, bench, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ws.contains(1L), "the ws guard is blind to the unsegmented overlap")
+
+    // components + soft dedup: the zh near-dup pair forms one component
+    // with weight 1/2; the english singleton keeps weight 1
+    val w = graft.ops.Dedup.softDedupWeights(docs, "doc_id", "text",
+        wordGrain = "cjk-auto")
+      .select($"doc_id", $"weight").as[(Long, Double)].collect().toMap
+    assert(w(1L) == 0.5 && w(2L) == 0.5, s"zh near-dups must share mass: $w")
+    assert(w(3L) == 1.0 && w(4L) == 1.0)
+
+    // DSIR: the declarative path must agree with the compiled fast path
+    // on the routed grain (same surrogate weights, same ordering)
+    val target = expr("doc_id <= 2")
+    val slow = graft.ops.Dsir.select(docs, "doc_id", "text", target, n = 4,
+        wordGrain = "cjk-auto")
+      .select($"doc_id", $"n_grams", $"w_sum", $"rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val fast = graft.ops.Dsir.selectFast(docs, "doc_id", "text", target, n = 4,
+        wordGrain = "cjk-auto")
+      .select($"doc_id", $"n_grams", $"w_sum", $"rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(slow == fast, s"declarative and fast DSIR must agree on the routed grain:\n$slow\n$fast")
+    assert(fast.exists(_._3 > 0L), "target-like docs must score positive")
+  }
+
   test("chunk cjk-auto: windows are cut in routed tokens; manifest formula matches the exploded grain") {
     // 13 Han codepoints, size=4/stride=4 -> chunks of 4,4,4,1; the
     // latin doc chunks on ws WORDS under the routed grain (the 'token'

@@ -189,6 +189,21 @@ class RoutedGrainSpec extends SparkSpec {
     }
   }
 
+  test("graft_dsir_buckets cjk-auto ≡ declarative hashed unigram+bigram buckets over routed tokens") {
+    val B = 64
+    val w = TextAnalysis.routedTokensRegex("text", keepEmpties = false)
+    val h = graft.ops.PortableHash.sparkStringHash("g")
+    val declared = s"transform(concat(__w, graft_ngrams(__w, 2)), g -> $h % $B)"
+    val rows = df().select($"doc_id",
+        expr(s"graft_dsir_buckets(text, $B, 'cjk-auto')").as("k"),
+        expr(graft.ops.PortableHash.let1("__w", w, declared)).as("r"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (id, k, r) =>
+      assert(k == r, s"doc $id: routed dsir buckets $k != declarative $r")
+    }
+    assert(rows.exists(_._2.nonEmpty))
+  }
+
   test("graft_gopher_flags: 11-arg SQL defaults the grain to 'ws' (12-arg parity)") {
     val stop = TextAnalysis.gopherStops.map(s => s"'$s'").mkString("array(", ", ", ")")
     val args = s"text, 3, 100000, 3.0D, 10.0D, 0.1D, 0.8D, 2, 0.9D, 0.3D, $stop"
