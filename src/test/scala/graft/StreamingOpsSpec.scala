@@ -281,6 +281,47 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming routed guards: cjk DSIR gate scores Han arrivals; near-dup guard drops a zh re-crawl") {
+    implicit val sq = spark.sqlContext
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val zh = "这是一个没有空格的中文句子在这里继续延长内容"
+    // DSIR gate on the routed grain: the ref corpus's Han rows are the
+    // target; a Han arrival must pass, an off-target latin one drop
+    val ref = Seq((1L, zh), (2L, zh + "的"), (3L, "plain latin filler text here"),
+      (4L, "more latin filler words going on")).toDF("doc_id", "text")
+    val docs = MemoryStream[(Long, String)]
+    val gated = graft.ops.Dsir.scoreStreaming(
+      docs.toDF().toDF("doc_id", "text"), ref, "doc_id", "text",
+      targetPred = expr("doc_id <= 2"), minWeight = 1L, wordGrain = "cjk-auto")
+    val q = gated.writeStream.format("memory").queryName("dsir_cjk_stream")
+      .outputMode("append").start()
+    try {
+      docs.addData((10L, zh), (11L, "plain latin filler text here"))
+      q.processAllAvailable()
+      val kept = spark.table("dsir_cjk_stream").select($"doc_id").as[Long].collect().toSet
+      assert(kept == Set(10L), s"only the Han-dense arrival is target-like: $kept")
+    } finally q.stop()
+    // incremental near-dup guard: prior band table on the routed grain
+    // catches a suffix-varied zh re-crawl in-flight
+    val prior = graft.ops.Dedup.bandTable(
+      Seq((1L, zh)).toDF("doc_id", "text"), "doc_id", "text",
+      wordGrain = "cjk-auto")
+    val crawl = MemoryStream[(Long, String)]
+    val guarded = graft.ops.Dedup.incrementalNearDupStreaming(
+      crawl.toDF().toDF("doc_id", "text"), prior, "doc_id", "text",
+      wordGrain = "cjk-auto")
+    val q2 = guarded.writeStream.format("memory").queryName("neardup_cjk_stream")
+      .outputMode("append").start()
+    try {
+      crawl.addData((20L, zh + "尾"), (21L, "completely different latin text here"))
+      q2.processAllAvailable()
+      val rows = spark.table("neardup_cjk_stream")
+        .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+      assert(!rows(20L), "the zh near-dup re-crawl must drop in-flight")
+      assert(rows(21L), "the unrelated doc passes")
+    } finally q2.stop()
+  }
+
   test("streaming backoff-LM gate: literal-vocab kernel scores arrivals in-flight, garbage drops") {
     implicit val sq = spark.sqlContext
     // the DSIR-gate pattern one rung up: the reference vocabulary
