@@ -547,21 +547,33 @@ object TextAnalysis {
        |WHERE b.nw >= 4 AND len(ls) >= 1""".stripMargin
   }
 
-  def repetitionSignalsLocal(df: DataFrame, id: String, text: String): DataFrame =
+  def repetitionSignalsLocal(df: DataFrame, id: String, text: String,
+                             wordGrain: String = "ws"): DataFrame = {
+    require(wordGrain == "ws" || wordGrain == "cjk-auto",
+      s"wordGrain must be 'ws' or 'cjk-auto', got $wordGrain")
+    // 'cjk-auto': repetition signals over ROUTED tokens — the ws grain
+    // EXCLUDES unsegmented docs entirely (one token fails the >= 2
+    // gate), so looped/template zh spam sails through unscored
+    val w = if (wordGrain == "cjk-auto") s"graft_routed_tokens($text, true)"
+            else s"split($text, ' ')"
     graft.functions.VectorFunctions.attach(df)
-      .select(col(id), expr(s"split($text, ' ')").as("__w"))
+      .select(col(id), expr(w).as("__w"))
       .where(expr("size(__w) >= 2"))
       .select(col(id),
         round(lit(1.0) - expr("cast(size(array_distinct(__w)) AS DOUBLE)") /
           expr("cast(size(__w) AS DOUBLE)"), 6).as("dup_word_frac"),
         round(expr("cast(graft_top_ngram_count(__w, 2) AS DOUBLE)") /
           expr("cast(size(__w) - 1 AS DOUBLE)"), 6).as("top_bigram_frac"))
+  }
 
   /** DuckDB twin of [[repetitionSignals]] (same split/distinct/bigram
     * arithmetic; unnest-based so the grouping mirrors the exploded plan).
     */
-  def repetitionSignalsSql(table: String, id: String, text: String): String = {
-    val w = s"string_split($text, ' ')"
+  def repetitionSignalsSql(table: String, id: String, text: String,
+                           wordGrain: String = "ws"): String = {
+    val w = if (wordGrain == "cjk-auto")
+              s"(${routedTokensDuck(text, keepEmpties = true)})"
+            else s"string_split($text, ' ')"
     s"""WITH d AS (
        |  SELECT $id,
        |    round(1.0 - len(list_distinct($w))::DOUBLE / len($w)::DOUBLE, 6) AS dwf,

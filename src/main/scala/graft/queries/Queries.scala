@@ -2988,6 +2988,20 @@ object Queries {
         t(s, dir, "documents"), "doc_id", "text"),
       Some(TextAnalysis.repetitionSignalsSql("documents", "doc_id", "text"))),
 
+    // repetition scoring on the routed grain over the zh fixture: the
+    // ws grain EXCLUDES unsegmented docs entirely (one giant token
+    // fails the >= 2-word gate), so looped/template zh spam is never
+    // scored; routed tokens restore dup-word and top-bigram fractions
+    // on those rows — the zh fixture's translated repetition structure
+    // mirrors its english source's
+    QueryDef("text_repetition_cjk",
+      (s, dir) => TextAnalysis.repetitionSignalsLocal(
+        t(s, dir, "documents").withColumn("text", expr(zhFixtureSpark)),
+        "doc_id", "text", wordGrain = "cjk-auto"),
+      Some(TextAnalysis.repetitionSignalsSql(
+        s"(SELECT doc_id, $zhFixtureDuck AS text FROM documents)",
+        "doc_id", "text", wordGrain = "cjk-auto"))),
+
     // the FULL Gopher repetition suite at document grain: duplicate
     // line/paragraph fractions + top-3/4-gram fractions — the longer-
     // range template/loop signals the word-grain pair can't see; pure
