@@ -119,20 +119,7 @@ object GopherOps {
   def routedTokens(text: UTF8String, keepEmpties: Boolean): ArrayData = {
     val s = text.toString
     if (isDominated(s)) {
-      val out = new scala.collection.mutable.ArrayBuffer[AnyRef]()
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == ' ') i += 1
-        else if (isCjk(c)) { out += UTF8String.fromString(String.valueOf(c)); i += 1 }
-        else {
-          val st = i
-          i += 1
-          while (i < s.length && { val cc = s.charAt(i); cc != ' ' && !isCjk(cc) }) i += 1
-          out += UTF8String.fromString(s.substring(st, i))
-        }
-      }
-      new GenericArrayData(out.toArray)
+      dominatedTokenArray(s)
     } else {
       val parts = s.split(" ", -1)
       if (keepEmpties) {
@@ -150,6 +137,27 @@ object GopherOps {
         new GenericArrayData(out.toArray)
       }
     }
+  }
+
+  /** The dominated branch's token array — factored so callers that
+    * have ALREADY run the dominance scan (routedDsirBuckets) skip the
+    * re-check [[routedTokens]] would pay.
+    */
+  private def dominatedTokenArray(s: String): ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef]()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ' ') i += 1
+      else if (isCjk(c)) { out += UTF8String.fromString(String.valueOf(c)); i += 1 }
+      else {
+        val st = i
+        i += 1
+        while (i < s.length && { val cc = s.charAt(i); cc != ' ' && !isCjk(cc) }) i += 1
+        out += UTF8String.fromString(s.substring(st, i))
+      }
+    }
+    new GenericArrayData(out.toArray)
   }
 
   /** `size(routedTokens(text, keepEmpties = true))` WITHOUT
@@ -341,10 +349,11 @@ object GopherOps {
     val s = text.toString
     if (!isDominated(s)) return HashOps.dsirBuckets(text, buckets)
     // this kernel materializes tokens anyway (every one is hashed, the
-    // bigram leg re-reads neighbors), so it reuses [[routedTokens]]
-    // instead of an eighth hand-inlined walk — the megamorphic-dispatch
-    // rationale in the NOTE above only covers count-only scans
-    val toks = routedTokens(text, keepEmpties = false)
+    // bigram leg re-reads neighbors), so it reuses the shared dominated
+    // walk instead of an eighth hand-inlined copy — the megamorphic-
+    // dispatch rationale in the NOTE above only covers count-only
+    // scans; the post-dominance entry skips a second dominance pass
+    val toks = dominatedTokenArray(s)
     val m = toks.numElements()
     if (m == 0) return new GenericArrayData(Array.emptyLongArray)
     val space = UTF8String.fromString(" ")

@@ -52,7 +52,20 @@ object Dedup {
         s"transform(sequence(1, size(__w) - ${k - 1}), i -> concat($parts))))")
   }
 
+  /** Fail-fast grain validation — every grain-threaded operator funnels
+    * through the builders below (or through a kernel case class that
+    * validates in its own require), so a typo like "cjk_auto" throws
+    * here instead of silently running the ws grain it was meant to
+    * replace.
+    */
+  private[ops] def requireGrain(g: String): String = {
+    require(g == "ws" || g == "cjk-auto",
+      s"wordGrain must be 'ws' or 'cjk-auto', got $g")
+    g
+  }
+
   def duckShingles(text: String, k: Int = 3, grain: String = "ws"): String = {
+    requireGrain(grain)
     // parenthesized: the routed form is a CASE expression and list
     // indexing binds tighter than CASE in the DuckDB grammar
     val w = if (grain == "cjk-auto")
@@ -77,7 +90,8 @@ object Dedup {
     * Requires [[graft.functions.VectorFunctions.attach]] on the session.
     */
   def nativeShingleHashes(text: String, k: Int = 3,
-                          grain: String = "ws"): String =
+                          grain: String = "ws"): String = {
+    requireGrain(grain)
     // 'cjk-auto': shingles over the ROUTED token sequence (codepoint
     // k-grams on script-dominated rows — without it an unsegmented doc
     // is ONE ws token, has no k-shingles, and the whole minhash family
@@ -86,6 +100,7 @@ object Dedup {
     if (grain == "cjk-auto")
       s"graft_shingle_hashes(graft_routed_tokens($text, true), $k)"
     else s"graft_shingle_hashes(split($text, ' '), $k)"
+  }
 
   def duckShingleHashes(text: String, k: Int = 3,
                         grain: String = "ws"): String =
@@ -97,12 +112,12 @@ object Dedup {
     * filter never materializes a token array on either grain.
     */
   def shingleFloorPred(text: String, k: Int, grain: String = "ws"): String =
-    if (grain == "cjk-auto") s"graft_routed_token_count($text) >= $k"
+    if (requireGrain(grain) == "cjk-auto") s"graft_routed_token_count($text) >= $k"
     else s"size(split($text, ' ')) >= $k"
 
   /** DuckDB twin of [[shingleFloorPred]]. */
   def duckShingleFloorPred(text: String, k: Int, grain: String = "ws"): String =
-    if (grain == "cjk-auto")
+    if (requireGrain(grain) == "cjk-auto")
       s"len(${TextAnalysis.routedTokensDuck(text, keepEmpties = true)}) >= $k"
     else s"len(string_split($text, ' ')) >= $k"
 
@@ -791,6 +806,13 @@ object Dedup {
     * (the near-dup analog of [[incrementalNew]]'s digest set): writing
     * it bucketed/partitioned by (band, bucket) makes the daily
     * incremental join shuffle only the new crawl's rows.
+    */
+  /** CONTRACT: a persisted band table is grain-specific — the incremental
+    * join only matches when prior and new sides were built with the SAME
+    * `wordGrain` (dominated docs' shingle hashes differ entirely between
+    * grains, so a mismatch silently reports every re-crawl as new).
+    * Persist the grain next to the table the way index signatures are
+    * persisted, and pass it to every [[incrementalNearDup]] call.
     */
   def bandTable(df: DataFrame, id: String, text: String,
                 bands: Int = 4, rowsPerBand: Int = 4, k: Int = 3,

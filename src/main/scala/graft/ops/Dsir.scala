@@ -50,13 +50,13 @@ object Dsir {
 
   /** Word unigrams + bigrams of `text` (non-empty words), one array. */
   private def sparkGramsExpr(text: String, wordGrain: String = "ws"): String = {
-    val w = if (wordGrain == "cjk-auto") s"graft_routed_tokens($text, false)"
+    val w = if (Dedup.requireGrain(wordGrain) == "cjk-auto") s"graft_routed_tokens($text, false)"
             else s"filter(split($text, ' '), w -> w <> '')"
     PortableHash.let1("__w", w, "concat(__w, graft_ngrams(__w, 2))")
   }
 
   private def duckGramsExpr(text: String, wordGrain: String = "ws"): String = {
-    val w = if (wordGrain == "cjk-auto")
+    val w = if (Dedup.requireGrain(wordGrain) == "cjk-auto")
               s"(${TextAnalysis.routedTokensDuck(text, keepEmpties = false)})"
             else s"list_filter(string_split($text, ' '), w -> w <> '')"
     s"list_concat($w, list_transform(generate_series(1, len($w) - 1), " +

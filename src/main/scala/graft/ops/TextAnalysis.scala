@@ -460,9 +460,15 @@ object TextAnalysis {
     * Documents with fewer than 2 words have no bigrams and are excluded
     * (identically on both engines).
     */
-  def repetitionSignals(df: DataFrame, id: String, text: String): DataFrame = {
+  def repetitionSignals(df: DataFrame, id: String, text: String,
+                        wordGrain: String = "ws"): DataFrame = {
+    // the OOM-safe exploded variant takes the grain too — large looped
+    // zh spam is exactly the shape this path exists for
+    val w = if (Dedup.requireGrain(wordGrain) == "cjk-auto")
+              s"graft_routed_tokens($text, true)"
+            else s"split($text, ' ')"
     val base = graft.functions.VectorFunctions.attach(df)
-      .select(col(id), expr(s"split($text, ' ')").as("__w"))
+      .select(col(id), expr(w).as("__w"))
       .where(expr("size(__w) >= 2"))
       .select(col(id),
         round(lit(1.0) - expr("cast(size(array_distinct(__w)) AS DOUBLE)") /
@@ -571,7 +577,7 @@ object TextAnalysis {
     */
   def repetitionSignalsSql(table: String, id: String, text: String,
                            wordGrain: String = "ws"): String = {
-    val w = if (wordGrain == "cjk-auto")
+    val w = if (Dedup.requireGrain(wordGrain) == "cjk-auto")
               s"(${routedTokensDuck(text, keepEmpties = true)})"
             else s"string_split($text, ' ')"
     s"""WITH d AS (
@@ -1009,7 +1015,7 @@ object TextAnalysis {
   /** DuckDB twin of [[vocabulary]]. */
   def vocabularySql(table: String, text: String, topV: Int = 100,
                     wordGrain: String = "ws"): String = {
-    val toks = if (wordGrain == "cjk-auto") routedTokensDuck(text, keepEmpties = false)
+    val toks = if (Dedup.requireGrain(wordGrain) == "cjk-auto") routedTokensDuck(text, keepEmpties = false)
                else s"list_filter(string_split($text, ' '), w -> w <> '')"
     s"""WITH toks AS (
        |  SELECT unnest($toks) AS token

@@ -179,6 +179,31 @@ class CjkGrainSpec extends SparkSpec {
     assert(fast.exists(_._3 > 0L), "target-like docs must score positive")
   }
 
+  test("grain typos fail fast at every entry point; exploded ≡ local repetition on the routed grain") {
+    val docs = Seq((1L, zh + zh), (2L, "looped looped looped words here")).toDF("doc_id", "text")
+    // a typo'd grain must throw, never silently run the ws grain it was
+    // meant to replace (the documented fail-fast funnel)
+    for (bad <- Seq("cjk_auto", "cjk", "bytes")) {
+      assert(intercept[Exception] {
+        graft.ops.Dedup.minhashSignatures(docs, "doc_id", "text", wordGrain = bad).collect()
+      }.getMessage.contains("wordGrain"), s"'$bad' must fail fast")
+    }
+    assert(intercept[Exception] {
+      graft.ops.Decontaminate.cleanDocsBloom(docs, docs, "doc_id", "text",
+        wordGrain = "cjk_auto").collect()
+    }.getMessage.contains("wordGrain"))
+    // the OOM-safe exploded repetition variant matches its row-local
+    // sibling on the routed grain (they share one oracle)
+    val local = TextAnalysis.repetitionSignalsLocal(docs, "doc_id", "text",
+        wordGrain = "cjk-auto")
+      .as[(Long, Double, Double)].collect().toSet
+    val exploded = TextAnalysis.repetitionSignals(docs, "doc_id", "text",
+        wordGrain = "cjk-auto")
+      .as[(Long, Double, Double)].collect().toSet
+    assert(local == exploded, s"exploded and local must agree:\n$local\n$exploded")
+    assert(local.exists(_._1 == 1L), "the unsegmented doc must be scored on the routed grain")
+  }
+
   test("chunk cjk-auto: windows are cut in routed tokens; manifest formula matches the exploded grain") {
     // 13 Han codepoints, size=4/stride=4 -> chunks of 4,4,4,1; the
     // latin doc chunks on ws WORDS under the routed grain (the 'token'
