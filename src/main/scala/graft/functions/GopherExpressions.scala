@@ -61,9 +61,15 @@ object GopherOps {
   // the routed token pattern and both dialects' dominance predicates)
   // directly from this array, so kernel and declarative/oracle forms
   // cannot drift
+  // Han Ext-A, Han, Hiragana, Katakana, Thai, Lao, Myanmar, Khmer —
+  // every block is an unsegmented script (no inter-word whitespace),
+  // so the ws grain silently degrades on it and the router must take
+  // the codepoint grain. All BMP; the >= 0x0E00 ASCII short-circuits
+  // below stay valid (Thai 0x0E00 remains the lowest block).
   val cjkRanges: Array[Int] = Array(
     0x3400, 0x4DBF, 0x4E00, 0x9FFF, 0x3040, 0x309F,
-    0x30A0, 0x30FF, 0x0E00, 0x0E7F)
+    0x30A0, 0x30FF, 0x0E00, 0x0E7F, 0x0E80, 0x0EFF,
+    0x1000, 0x109F, 0x1780, 0x17FF)
 
   // 64K-entry membership table: one array load per char instead of a
   // 5-range comparison ladder (the scan's hottest instruction; all

@@ -379,21 +379,14 @@ object Dedup {
   def minhashDedupKeepers(df: DataFrame, id: String, text: String,
                           bands: Int = 4, rowsPerBand: Int = 4,
                           k: Int = 3, wordGrain: String = "ws"): DataFrame = {
-    require(wordGrain == "ws" || wordGrain == "cjk-auto",
-      s"wordGrain must be 'ws' or 'cjk-auto', got $wordGrain")
     val fdf = graft.functions.VectorFunctions.attach(df)
-    // the < k-token filter mirrors each grain's shingle token sequence
-    // exactly (ws: split WITH empties — an empty token shingles like
-    // any other; routed: the keepEmpties=true routed SIZE via the
-    // count-only kernel, so the filter never materializes a token
-    // array — the projection's shingle kernel is the only tokenize)
-    val pred =
-      if (wordGrain == "cjk-auto") s"graft_routed_token_count($text) >= $k"
-      else s"size(split($text, ' ')) >= $k"
     // (band, bucket, id) feeds two branches (bucket minima + join back);
     // persist so the corpus is shingle-hashed once — the cached rows are
-    // three longs per band per doc, tiny relative to the text
-    val bandRows = Par.floor(fdf.where(expr(pred)), col(id))
+    // three longs per band per doc, tiny relative to the text. The
+    // < k-token floor is [[shingleFloorPred]] — grain-validated, count-
+    // only (never materializes a token array; the projection's shingle
+    // kernel is the only tokenize).
+    val bandRows = Par.floor(fdf.where(expr(shingleFloorPred(text, k, wordGrain))), col(id))
       .select(col(id).as("_did"),
         expr(nativeShingleHashes(text, k, wordGrain)).as("hs"))
       .select(col("_did"),
@@ -807,12 +800,15 @@ object Dedup {
     * it bucketed/partitioned by (band, bucket) makes the daily
     * incremental join shuffle only the new crawl's rows.
     */
-  /** CONTRACT: a persisted band table is grain-specific — the incremental
-    * join only matches when prior and new sides were built with the SAME
-    * `wordGrain` (dominated docs' shingle hashes differ entirely between
-    * grains, so a mismatch silently reports every re-crawl as new).
-    * Persist the grain next to the table the way index signatures are
-    * persisted, and pass it to every [[incrementalNearDup]] call.
+  /** CONTRACT (ENFORCED): a persisted band table is grain-specific — the
+    * incremental join only matches when prior and new sides were built
+    * with the SAME `wordGrain` (dominated docs' shingle hashes differ
+    * entirely between grains, so a mismatch silently reports every
+    * re-crawl as new). The grain therefore travels WITH the artifact: a
+    * constant `grain` column (one dictionary-encoded value — free in
+    * parquet), and every [[incrementalNearDup]] /
+    * [[incrementalNearDupStreaming]] probe asserts it matches before
+    * joining ([[requireBandGrain]] — a one-row peek, not a scan).
     */
   def bandTable(df: DataFrame, id: String, text: String,
                 bands: Int = 4, rowsPerBand: Int = 4, k: Int = 3,
@@ -824,6 +820,27 @@ object Dedup {
       .select(col("_did"),
         posexplode(expr(s"graft_band_buckets(hs, $bands, $rowsPerBand)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .withColumn("grain", lit(requireGrain(wordGrain)))
+  }
+
+  /** Fail-fast check that a persisted band table was built under
+    * `wordGrain` — a missing or mismatched `grain` marker throws with
+    * the remedy instead of silently reporting every re-crawl as new.
+    * Cost: a schema check + `head(1)` (one row off the first file;
+    * band tables are constant-grain by construction).
+    */
+  private def requireBandGrain(priorBands: DataFrame, wordGrain: String): Unit = {
+    require(priorBands.columns.contains("grain"),
+      "band table has no 'grain' marker column — rebuild it with " +
+        "Dedup.bandTable (grain-stamped) before probing incrementally")
+    priorBands.select(col("grain")).head(1).foreach { r =>
+      val g = r.getString(0)
+      require(g == wordGrain,
+        s"band table was built under wordGrain='$g' but the probe uses " +
+          s"'$wordGrain' — shingle hashes differ entirely between grains " +
+          "(every re-crawl row would silently report as new); rebuild the " +
+          "band table or probe with the matching grain")
+    }
   }
 
   /** Incremental NEAR-dup — the daily-crawl form of
@@ -845,6 +862,7 @@ object Dedup {
                          id: String, text: String,
                          bands: Int = 4, rowsPerBand: Int = 4,
                          k: Int = 3, wordGrain: String = "ws"): DataFrame = {
+    requireBandGrain(priorBands, wordGrain)
     val newBands = bandTable(newSnap, id, text, bands, rowsPerBand, k, wordGrain)
     val matches = newBands
       .join(priorBands.select(col("band"), col("bucket"),
@@ -875,6 +893,7 @@ object Dedup {
                                   bands: Int = 4, rowsPerBand: Int = 4,
                                   k: Int = 3,
                                   wordGrain: String = "ws"): DataFrame = {
+    requireBandGrain(priorBands, wordGrain)
     val shift = 32 - Integer.numberOfLeadingZeros(math.max(bands - 1, 1))
     val priorKeys: Array[Long] = priorBands
       .select(expr(s"shiftleft(bucket, $shift) | band").as("bk"))

@@ -388,7 +388,7 @@ object TextAnalysis {
                                  k: Int, w: Int, minShared: Int,
                                  maxPostings: Int,
                                  wordGrain: String = "ws"): String = {
-    val words = if (wordGrain == "cjk-auto")
+    val words = if (Dedup.requireGrain(wordGrain) == "cjk-auto")
                   s"(${routedTokensDuck(text, keepEmpties = true)})"
                 else s"string_split($text, ' ')"
     val parts = (0 until k).map(j => s"$words[i + $j]").mkString(" || ' ' || ")
@@ -1248,7 +1248,8 @@ object TextAnalysis {
   def trigramScoreSql(table: String, docsPred: String, refPred: String,
                       id: String, text: String, vocab: Int = 1000,
                       wordGrain: String = "ws"): String = {
-    val w = if (wordGrain == "cjk-auto") routedTokensDuck(text, keepEmpties = false)
+    val w = if (Dedup.requireGrain(wordGrain) == "cjk-auto")
+              routedTokensDuck(text, keepEmpties = false)
             else s"list_filter(string_split($text, ' '), x -> x <> '')"
     val grams =
       s"list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])"
@@ -1482,7 +1483,8 @@ object TextAnalysis {
   def bigramScoreSql(table: String, docsPred: String, refPred: String,
                      id: String, text: String, vocab: Int = 1000,
                      wordGrain: String = "ws"): String = {
-    val w = if (wordGrain == "cjk-auto") routedTokensDuck(text, keepEmpties = false)
+    val w = if (Dedup.requireGrain(wordGrain) == "cjk-auto")
+              routedTokensDuck(text, keepEmpties = false)
             else s"list_filter(string_split($text, ' '), x -> x <> '')"
     val grams = s"list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1])"
     s"""WITH rg AS (
@@ -2393,6 +2395,10 @@ object TextAnalysis {
                     grain: String = "token"): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       s"need 0 < stride <= size, got size=$size stride=$stride")
+    // same fail-fast grain funnel as chunkTokExpr: a typo'd grain must
+    // throw here, not silently describe the 'token' chunker
+    require(grain == "token" || grain == "cjk-auto",
+      s"chunk grain must be 'token' or 'cjk-auto', got $grain")
     // the closed-form arithmetic must ride the SAME grain the chunker
     // cuts: the routed grain's count-only kernel for 'cjk-auto', the
     // BPE-ish token kernel otherwise

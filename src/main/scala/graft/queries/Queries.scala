@@ -2575,7 +2575,7 @@ object Queries {
         val prior = docs.where(col("doc_id") >= 50).select("doc_id", "text")
         val path = idxPath("bandtab", dir)
         graft.ops.PqIndex.ensure(s, path,
-          idxSig(s, dir, "bandtab,b=4,r=4,k=3,prior>=50", table = "documents")) {
+          idxSig(s, dir, "bandtab,b=4,r=4,k=3,g=ws,prior>=50", table = "documents")) {
           Dedup.bandTable(prior, "doc_id", "text").write
             .mode("overwrite").parquet(s"$path/bands")
         }

@@ -73,7 +73,10 @@ class GopherKernelSpec extends SparkSpec {
       (8L, "ประโยคไทยไม่มีช่องว่าง"),                     // thai
       (9L, ""), (10L, "   "),                          // degenerate, ws shape
       (11L, "１２３４５６７８９０"),                     // fullwidth digits: NOT routed
-      (12L, zh + " 😀 " + zh)                          // supplementary plane among Han
+      (12L, zh + " 😀 " + zh),                         // supplementary plane among Han
+      (13L, "ພາສາລາວບໍ່ມີຊ່ອງວ່າງ"),                      // lao (r14 range add)
+      (14L, "မြန်မာစာမှာစာလုံးမခွဲပါ"),                      // myanmar
+      (15L, "ភាសាខ្មែរមិនមានចន្លោះ")                      // khmer
     ).toDF("doc_id", "text")
     val k = TextAnalysis.gopherRules(df, "doc_id", "text", minWords = 3,
         wordGrain = "cjk-auto")
@@ -90,7 +93,7 @@ class GopherKernelSpec extends SparkSpec {
   }
 
   test("cjk-auto deterministic fuzz: 300 texts over a mixed-script alphabet") {
-    val alphabet = "ab #.-*\nthe of 中文かな一二ไทย"
+    val alphabet = "ab #.-*\nthe of 中文かな一二ไทยລາວမြខ្មែ"
     def gen(seed: Long, len: Int): String = {
       var x = seed; val sb = new StringBuilder
       for (_ <- 0 until len) {

@@ -593,6 +593,34 @@ class OpsSpec extends SparkSpec {
     assert(out(2L)._2 && out(3L)._2, "clean and sub-shingle docs must keep")
   }
 
+  test("band-table grain contract: ws-built table probed cjk-auto fails fast; unmarked table refused") {
+    import spark.implicits._
+    val prior = Seq((100L, longDoc)).toDF("doc_id", "text")
+    val newSnap = Seq((1L, longDoc + " tail")).toDF("doc_id", "text")
+    val wsBands = Dedup.bandTable(prior, "doc_id", "text") // grain = 'ws'
+    assert(wsBands.columns.contains("grain") &&
+      wsBands.select("grain").distinct().collect().map(_.getString(0)).toSeq == Seq("ws"),
+      "bandTable must stamp its grain on the artifact")
+    val mismatch = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDup(newSnap, wsBands, "doc_id", "text",
+        wordGrain = "cjk-auto")
+    }
+    assert(mismatch.getMessage.contains("'ws'") &&
+      mismatch.getMessage.contains("'cjk-auto'"),
+      s"mismatch message must name both grains: ${mismatch.getMessage}")
+    val unmarked = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupStreaming(newSnap, wsBands.drop("grain"),
+        "doc_id", "text")
+    }
+    assert(unmarked.getMessage.contains("grain"),
+      s"unmarked-table message must name the missing marker: ${unmarked.getMessage}")
+    // matching grain still flows end-to-end
+    val ok = Dedup.incrementalNearDup(newSnap, wsBands, "doc_id", "text")
+      .collect()
+    assert(ok.length == 1 && !ok.head.getBoolean(2),
+      "matching-grain probe must still find the planted near-copy")
+  }
+
   test("url canonicalization: each rule fires alone; path case preserved; degenerate urls don't crash") {
     import spark.implicits._
     val urls = Seq(

@@ -47,10 +47,13 @@ class RoutedGrainSpec extends SparkSpec {
     12L -> "😀 😀 😀",                         // emoji only -> ws grain
     13L -> "的的的 xx 的的的",
     14L -> ("中" * 40 + " latin tail here"),
-    15L -> "a b c a b c a b c")   // repeated bigrams AND trigrams
+    15L -> "a b c a b c a b c",   // repeated bigrams AND trigrams
+    16L -> "ພາສາລາວບໍ່ມີຊ່ອງວ່າງ",      // Lao (unsegmented, r14 range add)
+    17L -> "မြန်မာစာမှာစာလုံးမခွဲပါ",      // Myanmar
+    18L -> "ភាសាខ្មែរមិនមានចន្លោះ")      // Khmer
 
   private def fuzz(n: Int): Seq[(Long, String)] = {
-    val alphabet = "中文的一 漢字ไทยab x.#😀 "
+    val alphabet = "中文的一 漢字ไทยab x.#😀 ລາວမြန်ខ្មែរ"
     (1 to n).map { i =>
       var x = i.toLong; val sb = new StringBuilder
       for (_ <- 0 until 50) {
@@ -229,5 +232,24 @@ class RoutedGrainSpec extends SparkSpec {
       df().selectExpr("graft_word_count(text, 'bytes')").collect()
     }
     assert(e.getMessage.contains("grain"), s"unexpected: ${e.getMessage}")
+  }
+
+  test("r14 ranges: Lao/Myanmar/Khmer fixtures route to the codepoint grain") {
+    // no-space unsegmented docs: ws grain sees ONE mega-token, the
+    // routed grain one token per in-block codepoint (== char count,
+    // all three blocks are BMP) — the silent degradation the range
+    // widening exists to stop
+    val rows = df().where($"doc_id".isin(16L, 17L, 18L))
+      .select($"doc_id",
+        expr("graft_word_count(text, 'cjk-auto')").as("routed"),
+        expr("graft_word_count(text, 'ws')").as("ws"),
+        length($"text").cast("long").as("nchars"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == 3)
+    rows.foreach { case (id, routed, ws, nchars) =>
+      assert(ws == 1L, s"doc $id: no-space doc must be one ws token")
+      assert(routed == nchars,
+        s"doc $id: routed grain must be per-codepoint ($routed != $nchars)")
+    }
   }
 }
