@@ -1817,29 +1817,52 @@ object TextAnalysis {
        |  FROM $table)""".stripMargin
   }
 
+  /** Full-width sentence-terminator boundary: a RUN of 。！？…
+    * (U+3002/U+FF01/U+FF1F/U+2026 — "！！" is one boundary, not two)
+    * carrying any closing quotes/brackets 」』”’）
+    * (U+300D/U+300F/U+201D/U+2019/U+FF09) with the sentence. Unlike
+    * the ASCII class, NO trailing whitespace is required — zh/ja put
+    * none between sentences (the round-13 gap: every zh doc was ONE
+    * sentence) — and any whitespace that does follow is consumed by
+    * the marker insert.
+    */
+  private val cjkSentBoundary: String =
+    "[。！？…]+[」』”’）]*"
+
   /** Sentence segmentation — boundary-aware chunk units for RAG /
     * curation (fixed token windows cut mid-sentence; retrieval quality
-    * wants sentence-aligned chunks): split after terminal punctuation
-    * ([.!?]) followed by whitespace, keeping the punctuation with its
-    * sentence. The rule is deliberately REGEX-SIMPLE (no abbreviation
-    * dictionary — that's model territory) and runs as a marker-insert +
-    * split so both engines apply the identical regex semantics
-    * (whitespace spelled [ \t\n\r] explicitly: Java's \s and RE2's \s
-    * disagree on \x0B). Zero shuffle: one projection + posexplode.
+    * wants sentence-aligned chunks): split after terminal punctuation,
+    * keeping the punctuation with its sentence. Two boundary classes:
+    * ASCII [.!?] followed by whitespace (whitespace spelled [ \t\n\r]
+    * explicitly: Java's \s and RE2's \s disagree on \x0B), and the
+    * full-width class [[cjkSentBoundary]] which terminates WITHOUT
+    * whitespace — so 。！？-punctuated zh/ja text segments even though
+    * it carries no inter-sentence spaces (U+2026 … also terminates
+    * without whitespace, a deliberate simple-rule artifact on Latin
+    * text using mid-sentence ellipses). The rule stays REGEX-SIMPLE
+    * (no abbreviation dictionary — that's model territory) and runs as
+    * marker-insert + split so both engines apply the identical regex
+    * semantics. Zero shuffle: one projection + posexplode.
     */
   def sentences(df: DataFrame, id: String, text: String): DataFrame = {
-    val marked = s"regexp_replace($text, '([.!?])[ \\t\\n\\r]+', '$$1\\u0001')"
+    val cjkMarked =
+      s"regexp_replace($text, '($cjkSentBoundary)[ \\t\\n\\r]*', '$$1\\u0001')"
+    val marked = s"regexp_replace($cjkMarked, '([.!?])[ \\t\\n\\r]+', '$$1\\u0001')"
     df.select(col(id), posexplode(expr(
         s"filter(transform(split($marked, '\\u0001'), s -> trim(s)), s -> s <> '')")))
       .select(col(id), col("pos").cast("int").as("sent_idx"),
         col("col").as("sentence"))
   }
 
-  /** DuckDB twin of [[sentences]]. */
+  /** DuckDB twin of [[sentences]] (same two boundary classes, same
+    * insert order).
+    */
   def sentencesSql(table: String, id: String, text: String): String =
     s"""WITH s AS (
        |  SELECT $id, list_filter(list_transform(
-       |    string_split(regexp_replace($text, '([.!?])[ \\t\\n\\r]+', '\\1' || chr(1), 'g'), chr(1)),
+       |    string_split(regexp_replace(
+       |      regexp_replace($text, '($cjkSentBoundary)[ \\t\\n\\r]*', '\\1' || chr(1), 'g'),
+       |      '([.!?])[ \\t\\n\\r]+', '\\1' || chr(1), 'g'), chr(1)),
        |    x -> trim(x)), x -> x <> '') AS sents
        |  FROM $table)
        |SELECT $id, (u.i - 1)::INT AS sent_idx, sents[u.i] AS sentence

@@ -2472,6 +2472,32 @@ object Queries {
         "(SELECT doc_id, text || '. Planted tail!  Second one? Third.' AS text FROM documents)",
         "doc_id", "text"))),
 
+    // CJK sentence segmentation (r14): full-width terminators 。！？…
+    // break WITHOUT trailing whitespace (zh/ja put none), closing
+    // quotes ride with their sentence, terminator runs are one
+    // boundary. Fixture: every third doc han-translates INCLUDING its
+    // punctuation (.!? → 。！？) with all spaces stripped — under the
+    // ASCII-only rule those rows were ONE sentence — plus a literal
+    // quoted-boundary + ellipsis tail; the other rows keep the ASCII
+    // tail so both classes run in one corpus
+    QueryDef("text_sentences_cjk",
+      (s, dir) => TextAnalysis.sentences(
+        t(s, dir, "documents").withColumn("text", expr(
+          s"IF(doc_id % 3 = 0, " +
+            s"concat(replace(translate(lower(text) || '. planted tail! second one? third.', " +
+            s"'abcdefghijklmnopqrstuvwxyz.!?', '$han26。！？'), ' ', ''), " +
+            s"'「中文句子。」结尾带省略号…完'), " +
+            s"text || '. Planted tail!  Second one? Third.')")),
+        "doc_id", "text"),
+      Some(TextAnalysis.sentencesSql(
+        s"""(SELECT doc_id, CASE WHEN doc_id % 3 = 0
+           | THEN replace(translate(lower(text) || '. planted tail! second one? third.',
+           |   'abcdefghijklmnopqrstuvwxyz.!?', '$han26。！？'), ' ', '')
+           |   || '「中文句子。」结尾带省略号…完'
+           | ELSE text || '. Planted tail!  Second one? Third.' END AS text
+           | FROM documents)""".stripMargin.replace("\n", " "),
+        "doc_id", "text"))),
+
     // Canonical normalization (NFC + ascii-lower + whitespace collapse):
     // the planted suffix carries a DECOMPOSED e+U+0301 (must compose),
     // an uppercase run, a tab, and double spaces — any engine that

@@ -227,4 +227,32 @@ class CjkGrainSpec extends SparkSpec {
       size = 4, stride = 4, dim = 8, grain = "cjk-auto").collect()
     assert(emb.length == ch.length, "hash-embed must cut the same routed windows")
   }
+
+  test("sentences: full-width terminators break WITHOUT whitespace; runs/quotes/ellipsis boundary cases") {
+    def sents(text: String): Seq[String] = {
+      val out = TextAnalysis.sentences(
+          Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+        .orderBy($"sent_idx").select($"sentence").as[String].collect().toSeq
+      out
+    }
+    // the round-13 gap: no inter-sentence whitespace, ASCII rule blind
+    assert(sents("第一句。第二句！第三句？") ==
+      Seq("第一句。", "第二句！", "第三句？"))
+    // a terminator RUN is one boundary, not one per char
+    assert(sents("真的吗？！当然。") == Seq("真的吗？！", "当然。"))
+    // closing quote rides with its sentence
+    assert(sents("他说「你好。」然后走了。") ==
+      Seq("他说「你好。」", "然后走了。"))
+    // ellipsis terminates; trailing text still a sentence
+    assert(sents("等等…好吧。") == Seq("等等…", "好吧。"))
+    // mixed corpus: ASCII rule still requires whitespace (no mid-word
+    // splits on "3.5"), full-width rule fires in the same doc
+    assert(sents("Version 3.5 shipped. 很好。真的") ==
+      Seq("Version 3.5 shipped.", "很好。", "真的"))
+    // whitespace AFTER a full-width terminator is consumed, not leaked
+    assert(sents("你好。 world. done") == Seq("你好。", "world.", "done"))
+    // ASCII-only text: behavior unchanged from the pre-r14 rule
+    assert(sents("One. Two!  Three? Four") ==
+      Seq("One.", "Two!", "Three?", "Four"))
+  }
 }
