@@ -281,6 +281,98 @@ object GopherOps {
     new GenericArrayData(out)
   }
 
+  /** COMPILED `cjk-dict` word grain ([[graft.ops.ZhLexicon]] FMM):
+    * dominance-routed rows segment by forward maximum match — at each
+    * cursor the LONGEST committed lexicon word (4→2 codepoints) wins;
+    * no match falls back to the `cjk-auto` codepoint grain for
+    * in-block chars and maximal non-space runs otherwise — and
+    * non-dominated rows keep the whitespace grain exactly as
+    * [[routedTokens]]. One char scan + ≤3 hash probes per routed
+    * position; parity with the recursive-CTE oracle is held by
+    * CjkDictSpec against a straight-line reference walk.
+    */
+  def fmmTokens(text: UTF8String, keepEmpties: Boolean): ArrayData = {
+    val s = text.toString
+    if (isDominated(s)) {
+      val out = new scala.collection.mutable.ArrayBuffer[AnyRef]()
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == ' ') i += 1
+        else {
+          val w = graft.ops.ZhLexicon.longestMatch(s, i)
+          if (w != null) { out += UTF8String.fromString(w); i += w.length }
+          else if (isCjk(c)) { out += UTF8String.fromString(String.valueOf(c)); i += 1 }
+          else {
+            val st = i
+            i += 1
+            while (i < s.length && { val cc = s.charAt(i); cc != ' ' && !isCjk(cc) }) i += 1
+            out += UTF8String.fromString(s.substring(st, i))
+          }
+        }
+      }
+      new GenericArrayData(out.toArray)
+    } else {
+      val parts = s.split(" ", -1)
+      if (keepEmpties) {
+        val arr = new Array[AnyRef](parts.length)
+        var i = 0
+        while (i < parts.length) { arr(i) = UTF8String.fromString(parts(i)); i += 1 }
+        new GenericArrayData(arr)
+      } else {
+        val out = new scala.collection.mutable.ArrayBuffer[AnyRef](parts.length)
+        var i = 0
+        while (i < parts.length) {
+          if (parts(i).nonEmpty) out += UTF8String.fromString(parts(i))
+          i += 1
+        }
+        new GenericArrayData(out.toArray)
+      }
+    }
+  }
+
+  /** [[termTfPairs]] on the `cjk-dict` grain — the row's distinct FMM
+    * tokens with counts, fused from the raw text (the vocabulary /
+    * tf consumers' shape: one exploded row per DISTINCT (doc, term)).
+    */
+  def fmmTermTfPairs(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val m = new java.util.LinkedHashMap[String, Array[Long]]()
+    @inline def bump(w: String): Unit = {
+      val c = m.get(w)
+      if (c == null) m.put(w, Array(1L)) else c(0) += 1L
+    }
+    if (isDominated(s)) {
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == ' ') i += 1
+        else {
+          val w = graft.ops.ZhLexicon.longestMatch(s, i)
+          if (w != null) { bump(w); i += w.length }
+          else if (isCjk(c)) { bump(String.valueOf(c)); i += 1 }
+          else {
+            val st = i
+            i += 1
+            while (i < s.length && { val cc = s.charAt(i); cc != ' ' && !isCjk(cc) }) i += 1
+            bump(s.substring(st, i))
+          }
+        }
+      }
+    } else {
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == ' ') i += 1
+        else {
+          val st = i
+          while (i < s.length && s.charAt(i) != ' ') i += 1
+          bump(s.substring(st, i))
+        }
+      }
+    }
+    pairsToArray(m)
+  }
+
   /** Per-row word-n-GRAM-frequency pairs — [[termTfPairs]] one order
     * up: distinct space-joined n-grams of the ws token sequence
     * (empties dropped) with occurrence counts, fused from the raw
@@ -646,9 +738,10 @@ case class GopherFlags(child: Expression,
   */
 case class TermTf(child: Expression, grain: String = "ws")
     extends UnaryExpression {
-  require(grain == "ws" || grain == "cjk-auto",
-    s"grain must be 'ws' or 'cjk-auto', got $grain")
+  require(grain == "ws" || grain == "cjk-auto" || grain == "cjk-dict",
+    s"grain must be 'ws', 'cjk-auto' or 'cjk-dict', got $grain")
   private val cjkAuto = grain == "cjk-auto"
+  private val dict = grain == "cjk-dict"
   override def prettyName: String = "graft_term_tf"
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(new StructType()
@@ -660,11 +753,37 @@ case class TermTf(child: Expression, grain: String = "ws")
       s"$prettyName requires STRING, got ${dt.catalogString}")
   }
   override def nullSafeEval(s: Any): Any =
-    GopherOps.termTfPairs(s.asInstanceOf[UTF8String], cjkAuto)
+    if (dict) GopherOps.fmmTermTfPairs(s.asInstanceOf[UTF8String])
+    else GopherOps.termTfPairs(s.asInstanceOf[UTF8String], cjkAuto)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
-      s"${ev.value} = graft.functions.GopherOps.termTfPairs($s, $cjkAuto);")
+      if (dict) s"${ev.value} = graft.functions.GopherOps.fmmTermTfPairs($s);"
+      else s"${ev.value} = graft.functions.GopherOps.termTfPairs($s, $cjkAuto);")
   override protected def withNewChildInternal(c: Expression): TermTf =
+    copy(child = c)
+}
+
+/** `graft_fmm_tokens(text, keepEmpties)` — see [[GopherOps.fmmTokens]]:
+  * the compiled `cjk-dict` word grain as ARRAY<STRING> — forward
+  * maximum match over the committed [[graft.ops.ZhLexicon]] on
+  * dominance-routed rows, whitespace grain otherwise.
+  */
+case class FmmTokens(child: Expression, keepEmpties: Boolean)
+    extends UnaryExpression {
+  override def prettyName: String = "graft_fmm_tokens"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${dt.catalogString}")
+  }
+  override def nullSafeEval(s: Any): Any =
+    GopherOps.fmmTokens(s.asInstanceOf[UTF8String], keepEmpties)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.GopherOps.fmmTokens($s, $keepEmpties);")
+  override protected def withNewChildInternal(c: Expression): FmmTokens =
     copy(child = c)
 }
 

@@ -240,6 +240,8 @@ object VectorFunctions {
         if (e.length > 2) stringLit(e(2), "graft_term_counts") else "ws")),
     "graft_routed_tokens" -> (classOf[RoutedTokens],
       (e: Seq[Expression]) => RoutedTokens(e(0), boolLit(e(1), "graft_routed_tokens"))),
+    "graft_fmm_tokens" -> (classOf[FmmTokens],
+      (e: Seq[Expression]) => FmmTokens(e(0), boolLit(e(1), "graft_fmm_tokens"))),
     "graft_routed_token_count" -> (classOf[RoutedTokenCount],
       (e: Seq[Expression]) => RoutedTokenCount(e(0))),
     "graft_term_tf" -> (classOf[TermTf],
@@ -326,6 +328,7 @@ object VectorFunctions {
     "graft_word_count" -> Set(1, 2), "graft_url_canon" -> Set(1),
     "graft_lang_scores" -> Set(1),
     "graft_routed_tokens" -> Set(2), "graft_routed_token_count" -> Set(1),
+    "graft_fmm_tokens" -> Set(2),
     "graft_term_tf" -> Set(1, 2),
     "graft_gram_tf" -> Set(2, 3),
     "graft_gopher_flags" -> Set(11, 12), "graft_url_domain" -> Set(1))

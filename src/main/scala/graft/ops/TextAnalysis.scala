@@ -990,8 +990,13 @@ object TextAnalysis {
   def vocabulary(df: DataFrame, text: String, topV: Int = 100,
                  wordGrain: String = "ws"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(wordGrain == "ws" || wordGrain == "cjk-auto",
-      s"wordGrain must be 'ws' or 'cjk-auto', got $wordGrain")
+    // 'cjk-dict' (round 14): forward-maximum-match segmentation over
+    // the committed ZhLexicon on dominance-routed rows — the word
+    // grain a zh vocabulary actually wants (the codepoint grain is an
+    // IR fallback; FMM returns 我们/中国 whole). Rides the same
+    // graft_term_tf kernel, dict mode.
+    require(wordGrain == "ws" || wordGrain == "cjk-auto" || wordGrain == "cjk-dict",
+      s"wordGrain must be 'ws', 'cjk-auto' or 'cjk-dict', got $wordGrain")
     // round 13: rides the row-local (token, tf) pair kernel — one
     // exploded row per DISTINCT (doc, token), tf-weighted sums replace
     // the per-token count — and takes the routed grain (a ws "vocab"
@@ -1012,14 +1017,49 @@ object TextAnalysis {
       .select(col("rank"), col("token"), col("cnt"), col("coverage"))
   }
 
+  /** DuckDB twin of the `cjk-dict` grain as a token RELATION
+    * (`toks(token)` — FMM has a sequential cursor dependency no scalar
+    * list expression can express, so the twin is a recursive CTE over
+    * (row, cursor) with the committed lexicon unrolled as a bounded
+    * CASE ladder ([[ZhLexicon.duckFmmCase]], the PSL-resolver trick);
+    * non-dominated rows union in the ws grain. Iterations = max token
+    * count per doc — an oracle-side cost only, the Spark kernel is one
+    * scan. Caller opens `WITH RECURSIVE`.
+    */
+  private def fmmToksRelDuck(table: String, text: String): String =
+    s"""base AS (
+       |  SELECT row_number() OVER () AS rid, $text AS t,
+       |    ${cjkDominantDuck(text)} AS routed
+       |  FROM $table),
+       |seg AS (
+       |  SELECT rid, t, CAST(1 AS BIGINT) AS pos, '' AS token
+       |  FROM base WHERE routed
+       |  UNION ALL
+       |  SELECT rid, t, pos + CASE WHEN tok = '' THEN 1 ELSE len(tok) END, tok
+       |  FROM (SELECT rid, t, pos,
+       |    ${ZhLexicon.duckFmmCase("t", "pos", cjkRangeInterior)} AS tok
+       |    FROM seg WHERE pos <= len(t)) x),
+       |toks AS (
+       |  SELECT token FROM seg WHERE token <> ''
+       |  UNION ALL
+       |  SELECT unnest(list_filter(string_split(t, ' '), w -> w <> '')) AS token
+       |  FROM base WHERE NOT routed)""".stripMargin
+
   /** DuckDB twin of [[vocabulary]]. */
   def vocabularySql(table: String, text: String, topV: Int = 100,
                     wordGrain: String = "ws"): String = {
-    val toks = if (Dedup.requireGrain(wordGrain) == "cjk-auto") routedTokensDuck(text, keepEmpties = false)
-               else s"list_filter(string_split($text, ' '), w -> w <> '')"
-    s"""WITH toks AS (
-       |  SELECT unnest($toks) AS token
-       |  FROM $table),
+    require(wordGrain == "ws" || wordGrain == "cjk-auto" || wordGrain == "cjk-dict",
+      s"wordGrain must be 'ws', 'cjk-auto' or 'cjk-dict', got $wordGrain")
+    val prelude =
+      if (wordGrain == "cjk-dict") s"WITH RECURSIVE ${fmmToksRelDuck(table, text)},"
+      else {
+        val toks = if (wordGrain == "cjk-auto") routedTokensDuck(text, keepEmpties = false)
+                   else s"list_filter(string_split($text, ' '), w -> w <> '')"
+        s"""WITH toks AS (
+           |  SELECT unnest($toks) AS token
+           |  FROM $table),""".stripMargin
+      }
+    s"""$prelude
        |counts AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token),
        |tot AS (SELECT sum(cnt)::BIGINT AS total FROM counts),
        |top AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT $topV)

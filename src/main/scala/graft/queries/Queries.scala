@@ -260,6 +260,13 @@ object Queries {
   private val zhFixtureDuck: String =
     s"CASE WHEN doc_id % 3 = 0 THEN replace(translate(lower(text), 'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', '') ELSE text END"
 
+  /** Planted phrase for the cjk-dict FMM queries: 2/3/4-codepoint
+    * lexicon words plus single-char connectives that must fall back to
+    * the codepoint grain.
+    */
+  private val zhDictPlant: String =
+    "我们的朋友在中国学习中文他们每天在图书馆用人工智能练习普通话因为我们喜欢中国文化和历史"
+
   val all: Seq[QueryDef] = Seq(
 
     // ================= relational core (scan/filter/agg/join/window) ====
@@ -2924,6 +2931,27 @@ object Queries {
       Some(TextAnalysis.vocabularySql(
         s"(SELECT doc_id, $zhFixtureDuck AS text FROM documents)",
         "text", topV = 100, wordGrain = "cjk-auto"))),
+
+    // the cjk-dict FMM grain (r14): dictionary segmentation over the
+    // committed ZhLexicon — planted multi-char zh words (我们/中国/
+    // 图书馆/人工智能…) come back WHOLE in the vocabulary where the
+    // codepoint grain shredded them to characters; undictionaried han
+    // falls back to codepoints and non-routed rows keep ws. The oracle
+    // replays FMM with a recursive CTE + bounded CASE ladder (the
+    // routed text is length-capped so the cursor recursion stays an
+    // oracle-side triviality)
+    QueryDef("text_vocab_cjkdict",
+      (s, dir) => TextAnalysis.vocabulary(
+        t(s, dir, "documents").withColumn("text", expr(
+          s"IF(doc_id % 3 = 0, concat(replace(translate(lower(substring(text, 1, 120)), " +
+            s"'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', ''), '$zhDictPlant'), text)")),
+        "text", topV = 100, wordGrain = "cjk-dict"),
+      Some(TextAnalysis.vocabularySql(
+        s"(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN " +
+          s"replace(translate(lower(substr(text, 1, 120)), " +
+          s"'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', '') || '$zhDictPlant' " +
+          s"ELSE text END AS text FROM documents)",
+        "text", topV = 100, wordGrain = "cjk-dict"))),
 
     // the PERSISTED binary index: (v_id, sk, vec) parquet written first
     // touch — the columnar layout IS the index (prefilter reads only

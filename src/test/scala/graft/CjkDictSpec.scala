@@ -1,0 +1,150 @@
+package graft
+
+import graft.ops.{TextAnalysis, ZhLexicon}
+import org.apache.spark.sql.functions._
+
+/** Pins the `cjk-dict` FMM word grain: the compiled kernel
+  * (`graft_fmm_tokens` / `graft_term_tf(_, 'cjk-dict')`,
+  * [[graft.functions.GopherOps.fmmTokens]]) against a straight-line
+  * reference walk over the same committed [[ZhLexicon]], the greedy
+  * longest-match rule, the codepoint/run fallbacks, and the
+  * vocabulary consumer returning planted multi-char words WHOLE. The
+  * independent cross-engine twin (recursive CTE + CASE ladder) is
+  * exercised by the `text_vocab_cjkdict` oracle query.
+  */
+class CjkDictSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+  }
+
+  private val inBlock: Char => Boolean = { c =>
+    graft.functions.GopherOps.cjkRanges.grouped(2).exists {
+      case Array(a, b) => c >= a && c <= b
+    }
+  }
+
+  /** Independent FMM reference for DOMINATED rows: linear-scan lookup
+    * over the raw word Seq (no shared data structure with the kernel's
+    * per-length hash sets).
+    */
+  private def refFmm(s: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ' ') i += 1
+      else {
+        val m = (2 to ZhLexicon.maxLen)
+          .withFilter(l => i + l <= s.length)
+          .map(l => s.substring(i, i + l))
+          .filter(ZhLexicon.words.contains)
+          .sortBy(-_.length).headOption
+        m match {
+          case Some(w) => out += w; i += w.length
+          case None if inBlock(c) => out += c.toString; i += 1
+          case None =>
+            val st = i
+            i += 1
+            while (i < s.length && s.charAt(i) != ' ' && !inBlock(s.charAt(i))) i += 1
+            out += s.substring(st, i)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private def kernelTokens(text: String): Seq[String] =
+    Seq((1L, text)).toDF("doc_id", "text")
+      .selectExpr("graft_fmm_tokens(text, false) AS t")
+      .as[Seq[String]].head()
+
+  test("lexicon invariants: 2..maxLen codepoints, in-block only, no duplicates") {
+    assert(ZhLexicon.words.nonEmpty && ZhLexicon.words.size == ZhLexicon.words.distinct.size)
+    assert(ZhLexicon.words.forall(w =>
+      w.length >= 2 && w.length <= ZhLexicon.maxLen && w.forall(inBlock)))
+    assert(ZhLexicon.byLen(2) != null && ZhLexicon.byLen(3) != null &&
+      ZhLexicon.byLen(4) != null)
+  }
+
+  test("kernel FMM ≡ reference walk on dominated fixtures; greedy longest wins") {
+    val fixtures = Seq(
+      "我们的朋友在中国学习中文",            // dict words + single-char connectives
+      "人工智能很重要",                      // 4-char word + fallback
+      "星期天我们去图书馆",                  // 星期天 (3) must beat 星期 (2)
+      "我们abc中国",                         // ascii run inside a routed row
+      "我们 中国 学习",                      // spaces are separators
+      "カタカナとひらがな",                  // dominated, zero dict hits -> codepoints
+      "中文123中文",                         // digit run
+      "我们的朋友😀中国")                    // supplementary-plane run member
+    fixtures.foreach { s =>
+      assert(kernelTokens(s) == refFmm(s), s"FMM mismatch on '$s'")
+    }
+    assert(kernelTokens("星期天我们去图书馆").contains("星期天"))
+    assert(kernelTokens("人工智能很重要") == Seq("人工智能", "很", "重要"))
+    assert(kernelTokens("我们的朋友在中国学习中文") ==
+      Seq("我们", "的", "朋友", "在", "中国", "学习", "中文"))
+  }
+
+  test("non-dominated rows keep the exact whitespace grain, both empties conventions") {
+    val s = "plain  english words "
+    assert(kernelTokens(s) == Seq("plain", "english", "words"))
+    val withEmpties = Seq((1L, s)).toDF("doc_id", "text")
+      .selectExpr("graft_fmm_tokens(text, true) AS t").as[Seq[String]].head()
+    assert(withEmpties == Seq("plain", "", "english", "words", ""))
+  }
+
+  test("graft_term_tf 'cjk-dict' ≡ explode(graft_fmm_tokens) + count") {
+    val docs = Seq(
+      (1L, "我们喜欢我们的中国朋友"),
+      (2L, "english words english"),
+      (3L, "星期天星期天图书馆")).toDF("doc_id", "text")
+    val viaTf = docs.select($"doc_id",
+        explode(expr("graft_term_tf(text, 'cjk-dict')")).as("p"))
+      .select($"doc_id", $"p.w", $"p.tf")
+      .as[(Long, String, Long)].collect().toSet
+    val viaTokens = docs.select($"doc_id",
+        explode(expr("graft_fmm_tokens(text, false)")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(viaTf == viaTokens)
+    assert(viaTf.contains((1L, "我们", 2L)) && viaTf.contains((3L, "星期天", 2L)))
+  }
+
+  test("vocabulary 'cjk-dict': planted multi-char words come back whole; codepoint fallback rides along") {
+    val docs = Seq(
+      (1L, "我们的朋友在中国学习中文我们喜欢人工智能"),
+      (2L, "plain english words only here"),
+      (3L, "我们在图书馆练习普通话")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.vocabulary(docs, "text", topV = 50,
+        wordGrain = "cjk-dict")
+      .select($"token", $"cnt").as[(String, Long)].collect().toMap
+    assert(vocab("我们") == 3L, s"我们 must be whole with corpus tf 3: $vocab")
+    assert(vocab.contains("人工智能") && vocab.contains("图书馆") &&
+      vocab.contains("普通话") && vocab.contains("中国"))
+    assert(vocab.contains("的") && vocab.contains("在"),
+      "undictionaried han must fall back to codepoint tokens")
+    assert(vocab.contains("english"), "ws rows ride along")
+    assert(!vocab.keys.exists(t => t.length > 1 && t.forall(inBlock) &&
+      !ZhLexicon.words.contains(t)),
+      "no multi-codepoint han token may exist outside the lexicon")
+  }
+
+  test("grain typos fail fast at the vocabulary entry point and the kernel") {
+    val docs = Seq((1L, "我们")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      TextAnalysis.vocabulary(docs, "text", wordGrain = "cjkdict")
+    }
+    assert(e1.getMessage.contains("cjk-dict"))
+    val e2 = intercept[Exception] {
+      docs.selectExpr("graft_term_tf(text, 'dict')").collect()
+    }
+    assert(e2.getMessage.contains("grain"))
+    val e3 = intercept[IllegalArgumentException] {
+      TextAnalysis.vocabularySql("documents", "text", wordGrain = "cjkdict")
+    }
+    assert(e3.getMessage.contains("cjk-dict"))
+  }
+}
