@@ -85,6 +85,47 @@ case class WinnowFps(child: Expression, k: Int, w: Int) extends HashArrayExpress
     copy(child = c)
 }
 
+/** `graft_gram_rhashes(words, k)`: ROLLING positional gram hashes — the
+  * md5-free winnow/containment feed (see [[HashOps.gramRollHashes]] and
+  * the cross-engine contract at
+  * [[graft.ops.PortableHash.duckTokenRoll]]).
+  */
+case class GramRollHashes(child: Expression, k: Int) extends HashArrayExpression {
+  override def prettyName: String = "graft_gram_rhashes"
+  override protected def requiredElem: DataType = StringType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(words: Any): Any =
+    HashOps.gramRollHashes(words.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, w =>
+      s"${ev.value} = graft.functions.HashOps.gramRollHashes($w, $k);")
+
+  override protected def withNewChildInternal(c: Expression): GramRollHashes =
+    copy(child = c)
+}
+
+/** `graft_winnow_r(words, k, w)`: winnowing fingerprints over the
+  * ROLLING gram hashes ([[GramRollHashes]]) — same monotone-deque
+  * selection as [[WinnowFps]], md5-free feed.
+  */
+case class WinnowRollFps(child: Expression, k: Int, w: Int) extends HashArrayExpression {
+  override def prettyName: String = "graft_winnow_r"
+  override protected def requiredElem: DataType = StringType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(words: Any): Any =
+    HashOps.winnowRollFps(words.asInstanceOf[ArrayData], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, ws =>
+      s"${ev.value} = graft.functions.HashOps.winnowRollFps($ws, $k, $w);")
+
+  override protected def withNewChildInternal(c: Expression): WinnowRollFps =
+    copy(child = c)
+}
+
 /** `graft_minhash_sig(hs, n)`: n universal-hash minima (MinHash signature). */
 case class MinhashSig(child: Expression, numHashes: Int) extends HashArrayExpression {
   override def prettyName: String = "graft_minhash_sig"

@@ -495,8 +495,64 @@ object HashOps {
     * transform/slice/array_min twin value-for-value (per-window MIN
     * VALUES are tie-rule independent).
     */
-  def winnowFps(words: ArrayData, k: Int, w: Int): ArrayData = {
-    val gh = gramHashes(words, k)
+  def winnowFps(words: ArrayData, k: Int, w: Int): ArrayData =
+    slidingMinSet(gramHashes(words, k), w)
+
+  /** Rolling token hash — see [[graft.ops.PortableHash.duckTokenRoll]]
+    * for the cross-engine contract: `fold(7, cp -> (h*31 + cp) % P)`
+    * over CODEPOINTS (surrogate pairs advance as one), no md5.
+    */
+  def tokenRollHash(w: UTF8String): Long = {
+    val s = w.toString
+    var h = 7L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % graft.ops.PortableHash.P
+      i += Character.charCount(cp)
+    }
+    // final mix — see PortableHash.rollMixA (window-min selection bias)
+    (h * graft.ops.PortableHash.rollMixA + graft.ops.PortableHash.rollMixB) %
+      graft.ops.PortableHash.P
+  }
+
+  /** ROLLING positional gram hashes (round 14): token hashes computed
+    * ONCE per token ([[tokenRollHash]] — an integer fold, no md5, no
+    * gram-string building), then each gram is the k-term fold
+    * `g = fold(7, h -> (g*31 + h) % P)` of its window. Replaces
+    * [[gramHashes]]' md5-per-gram in the winnow/containment family
+    * (fingerprints never leave the op, so the hash needs no
+    * cross-table identity); backoff keeps [[gramHashes]]/H, which key
+    * its broadcast reference tables.
+    */
+  def gramRollHashes(words: ArrayData, k: Int): ArrayData = {
+    val n = words.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = tokenRollHash(words.getUTF8String(i)); i += 1 }
+    val out = new Array[Long](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      var g = 7L
+      var j = 0
+      while (j < k) { g = (g * 31 + th(i + j)) % graft.ops.PortableHash.P; j += 1 }
+      out(i) = g
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[winnowFps]] over the rolling gram hashes. */
+  def winnowRollFps(words: ArrayData, k: Int, w: Int): ArrayData =
+    slidingMinSet(gramRollHashes(words, k), w)
+
+  /** Sliding-window minima + distinct + ascending sort — the winnow
+    * selection shared by the md5 and rolling gram-hash feeds (monotone
+    * deque, O(m) amortized; per-window MIN VALUES are tie-rule
+    * independent, so parity with the declarative twin is value-exact).
+    */
+  private def slidingMinSet(gh: ArrayData, w: Int): ArrayData = {
     val m = gh.numElements()
     if (m == 0) return new GenericArrayData(Array.emptyLongArray)
     val set = new java.util.TreeSet[java.lang.Long]()

@@ -186,6 +186,11 @@ object VectorFunctions {
     "graft_winnow" -> (classOf[WinnowFps],
       (e: Seq[Expression]) => WinnowFps(e(0), intLit(e(1), "graft_winnow"),
         intLit(e(2), "graft_winnow"))),
+    "graft_gram_rhashes" -> (classOf[GramRollHashes],
+      (e: Seq[Expression]) => GramRollHashes(e(0), intLit(e(1), "graft_gram_rhashes"))),
+    "graft_winnow_r" -> (classOf[WinnowRollFps],
+      (e: Seq[Expression]) => WinnowRollFps(e(0), intLit(e(1), "graft_winnow_r"),
+        intLit(e(2), "graft_winnow_r"))),
     "graft_minhash_sig" -> (classOf[MinhashSig],
       (e: Seq[Expression]) => MinhashSig(e(0), intLit(e(1), "graft_minhash_sig"))),
     "graft_band_buckets" -> (classOf[BandBuckets],
@@ -305,7 +310,8 @@ object VectorFunctions {
   private val arity: Map[String, Set[Int]] = Map(
     "graft_cosine" -> Set(2), "graft_shingle_hashes" -> Set(2),
     "graft_gram_hashes" -> Set(2),
-    "graft_winnow" -> Set(3), "graft_minhash_sig" -> Set(2),
+    "graft_winnow" -> Set(3), "graft_gram_rhashes" -> Set(2),
+    "graft_winnow_r" -> Set(3), "graft_minhash_sig" -> Set(2),
     "graft_band_buckets" -> Set(3),
     "graft_hyperplane_bucket" -> Set(2), "graft_intersect_count" -> Set(2),
     "graft_dist2" -> Set(2), "graft_dot" -> Set(2), "graft_pq_adc" -> Set(3),

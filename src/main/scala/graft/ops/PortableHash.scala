@@ -59,6 +59,59 @@ object PortableHash {
   def let1(varName: String, bound: String, body: String): String =
     s"element_at(transform(array($bound), $varName -> $body), 1)"
 
+  /** ROLLING token hash (round 14) — pure integer recurrence over the
+    * token's CODEPOINTS, `h = fold(7, cp -> (h*31 + cp) % P)`, no md5.
+    * This is the FINGERPRINT-DOMAIN hash of the winnow/containment
+    * family, where hashes never leave the op (unlike backoff's H,
+    * which keys broadcast reference tables and stays md5-based): it
+    * removes the per-gram string build + md5 round-trip that dominated
+    * `dedup_containment_cjk` (~6× codepoint-gram volume on the Han
+    * third). Same-value implementations: the compiled kernel
+    * ([[graft.functions.HashOps.tokenRollHash]]), the DuckDB fold
+    * below (validated on ascii/han/empty/astral/combining classes),
+    * and [[jvmTokenRoll]] for specs. Collision class is unchanged —
+    * H also reduces mod P.
+    */
+  /** Final multiplicative mix of the token roll: a bare poly31 fold
+    * leaves short tokens with systematically SMALL values (h ≈ 217 +
+    * cp for a 1-char token, ~2^17 ≪ P), so winnowing's window-MINIMUM
+    * selection would favor common short-token grams — observed as
+    * +45% incidental cross-doc shared fingerprints on the fixture.
+    * One Knuth multiply + offset mod P restores uniformity; products
+    * stay < 2^62 (h < P < 2^30, A < 2^32) in both engines.
+    */
+  val rollMixA: Long = 2654435761L
+  val rollMixB: Long = 40503L
+
+  def duckTokenRoll(w: String): String =
+    s"(list_reduce(list_prepend(7::BIGINT, " +
+      s"list_transform(generate_series(1, len($w)), __j -> unicode(($w)[__j])::BIGINT)), " +
+      s"(__a, __c) -> (__a * 31 + __c) % $P) * $rollMixA + $rollMixB) % $P"
+
+  /** Rolling GRAM hashes over a bound token-hash array variable `th`:
+    * per window the k-term fold `g = fold(7, h -> (g*31 + h) % P)`,
+    * unrolled (k is a literal). Gram-less inputs yield the empty list
+    * (generate_series(1, n<1) is empty in DuckDB).
+    */
+  def duckGramRollOf(th: String, k: Int): String = {
+    val body = (0 until k).foldLeft("7::BIGINT") { (acc, j) =>
+      s"(($acc * 31 + $th[__i + $j]) % $P)"
+    }
+    s"list_transform(generate_series(1, len($th) - ${k - 1}), __i -> $body)"
+  }
+
+  /** JVM reference of the rolling token hash — for unit tests. */
+  def jvmTokenRoll(s: String): Long = {
+    var h = 7L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    (h * rollMixA + rollMixB) % P
+  }
+
   /** i-th universal hash of a base hash value: (a_i*h + b_i) % P.
     * Pure arithmetic — dialect-independent (requires h < P).
     */

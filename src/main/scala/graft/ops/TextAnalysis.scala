@@ -239,10 +239,17 @@ object TextAnalysis {
     // nothing on it and partial-copy detection is blind to it
     val toks = if (wordGrain == "cjk-auto") s"graft_routed_tokens($text, true)"
                else s"split($text, ' ')"
+    // r14: the ROLLING gram-hash feed (graft_gram_rhashes/_winnow_r) —
+    // token hashes are an integer codepoint fold computed once per
+    // token, grams a k-term arithmetic fold; no gram-string build, no
+    // md5 (the dedup_containment_cjk dominator — ~6× codepoint-gram
+    // mass through md5). Fingerprints never leave this op, so the
+    // hash needs no cross-table identity (backoff keeps md5-H, which
+    // keys its broadcast reference tables).
     graft.functions.VectorFunctions.attach(df)
       .select(col(id),
-        expr(s"graft_gram_hashes($toks, $k)").as("gram_hashes"),
-        expr(s"graft_winnow($toks, $k, $w)").as("fingerprints"))
+        expr(s"graft_gram_rhashes($toks, $k)").as("gram_hashes"),
+        expr(s"graft_winnow_r($toks, $k, $w)").as("fingerprints"))
   }
 
   def winnow(df: DataFrame, id: String, text: String,
@@ -250,7 +257,7 @@ object TextAnalysis {
     graft.functions.VectorFunctions.attach(df)
       .select(col(id),
         expr(s"greatest(size(split($text, ' ')) - ${k - 1}, 0)").as("n_grams"),
-        expr(let1("__fp", s"graft_winnow(split($text, ' '), $k, $w)",
+        expr(let1("__fp", s"graft_winnow_r(split($text, ' '), $k, $w)",
           s"named_struct('n', size(__fp), 'c', ${sparkFoldHashes("__fp")})"))
           .as("__nf"))
       .select(col(id), col("n_grams"),
@@ -391,16 +398,15 @@ object TextAnalysis {
     val words = if (Dedup.requireGrain(wordGrain) == "cjk-auto")
                   s"(${routedTokensDuck(text, keepEmpties = true)})"
                 else s"string_split($text, ' ')"
-    val parts = (0 until k).map(j => s"$words[i + $j]").mkString(" || ' ' || ")
-    val grams =
-      s"list_transform(generate_series(1, len($words) - ${k - 1}), i -> $parts)"
     s"""WITH fps AS (
        |  SELECT $id AS d,
        |    CASE WHEN len(gh) = 0 THEN []::BIGINT[]
        |         ELSE list_distinct(list_transform(
        |           generate_series(1, greatest(len(gh) - ${w - 1}, 1)),
        |           i -> list_min(gh[i:i+${w - 1}]))) END AS fp_set
-       |  FROM (SELECT $id, ${duckHashArrayOf(grams)} AS gh FROM $table)),
+       |  FROM (SELECT $id, ${PortableHash.duckGramRollOf("th", k)} AS gh
+       |        FROM (SELECT $id, list_transform($words,
+       |          __w -> ${PortableHash.duckTokenRoll("__w")}) AS th FROM $table))),
        |posts AS (SELECT d, unnest(fp_set) AS fp FROM fps),
        |bounded AS (
        |  SELECT d, fp, count(*) OVER (PARTITION BY d) AS n_fp FROM (
@@ -422,9 +428,6 @@ object TextAnalysis {
   def winnowSql(table: String, id: String, text: String,
                 k: Int = 3, w: Int = 4): String = {
     val words = s"string_split($text, ' ')"
-    val parts = (0 until k).map(j => s"$words[i + $j]").mkString(" || ' ' || ")
-    val grams =
-      s"list_transform(generate_series(1, len($words) - ${k - 1}), i -> $parts)"
     s"""SELECT $id, len(gh)::INT AS n_grams, len(fp)::INT AS n_fingerprints,
        |       ${duckFoldHashes("fp")} AS fp_checksum
        |FROM (
@@ -433,7 +436,9 @@ object TextAnalysis {
        |         ELSE list_sort(list_distinct(list_transform(
        |           generate_series(1, greatest(len(gh) - ${w - 1}, 1)),
        |           i -> list_min(gh[i:i+${w - 1}])))) END AS fp
-       |  FROM (SELECT $id, ${duckHashArrayOf(grams)} AS gh FROM $table))""".stripMargin
+       |  FROM (SELECT $id, ${PortableHash.duckGramRollOf("th", k)} AS gh
+       |        FROM (SELECT $id, list_transform($words,
+       |          __w -> ${PortableHash.duckTokenRoll("__w")}) AS th FROM $table)))""".stripMargin
   }
 
   def fingerprintSql(table: String, id: String, text: String): String = {

@@ -74,6 +74,51 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(r.getSeq[Long](1) == Seq(r.getSeq[Long](2).min))
   }
 
+  test("rolling gram hashes / winnow_r match the JVM recurrence reference (r14, md5-free winnow feed)") {
+    VectorFunctions.ensureRegistered(spark)
+    import graft.ops.PortableHash.{P, jvmTokenRoll}
+    def refGrams(ws: Seq[String], k: Int): Seq[Long] = {
+      if (ws.length < k) Seq.empty
+      else {
+        val th = ws.map(jvmTokenRoll)
+        (0 to ws.length - k).map(i =>
+          (0 until k).foldLeft(7L)((g, j) => (g * 31 + th(i + j)) % P))
+      }
+    }
+    // fixtures cover ascii, han codepoint tokens, empties (ws keeps
+    // them), astral plane, combining marks
+    val rows = Seq(
+      Seq("the", "quick", "brown", "fox", "jumps"),
+      Seq("中", "文", "的", "中", "文"),
+      Seq("a", "", "b", "c"),
+      Seq("😀", "é", "x", "y", "z"))
+    rows.foreach { ws =>
+      val arr = ws.map(s => s"'${s.replace("'", "''")}'").mkString("array(", ", ", ")")
+      val got = spark.sql(
+        s"SELECT graft_gram_rhashes($arr, 3) AS g, graft_winnow_r($arr, 3, 2) AS f")
+        .collect()(0)
+      val ref = refGrams(ws, 3)
+      assert(got.getSeq[Long](0) == ref, s"gram roll mismatch on $ws")
+      val refFp =
+        if (ref.isEmpty) Seq.empty
+        else if (ref.length <= 2) Seq(ref.min)
+        else (0 to ref.length - 2).map(i => ref.slice(i, i + 2).min).distinct.sorted
+      assert(got.getSeq[Long](1) == refFp, s"winnow_r mismatch on $ws")
+    }
+    // the selection guarantee survives the hash swap: winnowSets on a
+    // planted shared run still shares a fingerprint
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "prefix words alpha beta gamma delta epsilon zeta eta theta suffix")
+    ).toDF("doc_id", "text")
+    val sets = graft.ops.TextAnalysis.winnowSets(docs, "doc_id", "text")
+      .select(col("doc_id"), col("fingerprints"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sets(1L).toSet.intersect(sets(2L).toSet).nonEmpty,
+      "shared >= w+k-1 run must still guarantee a shared fingerprint")
+  }
+
   test("native minhash signature and band buckets match the HOF fold") {
     VectorFunctions.ensureRegistered(spark)
     import graft.ops.PortableHash._
