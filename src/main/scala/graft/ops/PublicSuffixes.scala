@@ -223,7 +223,74 @@ object PublicSuffixes {
     "wordpress.com", "tumblr.com", "weebly.com", "wixsite.com",
     "firebaseapp.com", "cloudapp.net", "readthedocs.io", "neocities.org",
     "fly.dev", "onrender.com", "workers.dev", "repl.co", "glitch.me",
-    "s3.amazonaws.com", "global.ssl.fastly.net") ++
+    "s3.amazonaws.com", "global.ssl.fastly.net",
+    "surge.sh", "bitbucket.io", "myshopify.com", "notion.site", "webflow.io",
+    // round 14 growth — Europe (remaining ccTLD second-level families)
+    "police.uk", "mod.uk",
+    "gov.ie",
+    "com.is", "net.is", "edu.is", "gov.is", "org.is", "int.is",
+    "priv.no", "mil.no", "stat.no", "dep.no", "kommune.no", "herad.no",
+    "idrett.no", "museum.no", "folkebibl.no", "fylkesbibl.no",
+    "aland.fi",
+    "com.hr", "iz.hr", "from.hr", "name.hr",
+    "com.mt", "edu.mt", "net.mt", "org.mt", "gov.mt",
+    "ac.cy", "biz.cy", "com.cy", "gov.cy", "ltd.cy", "net.cy", "org.cy",
+    "press.cy", "pro.cy", "tm.cy", "name.cy", "parliament.cy",
+    "com.al", "edu.al", "gov.al", "mil.al", "net.al", "org.al",
+    "ac.me", "co.me", "edu.me", "gov.me", "its.me", "net.me", "org.me",
+    "priv.me",
+    // Central Asia / Caucasus / Mongolia
+    "com.kg", "edu.kg", "gov.kg", "mil.kg", "net.kg", "org.kg",
+    "ac.tj", "biz.tj", "co.tj", "com.tj", "edu.tj", "go.tj", "gov.tj",
+    "int.tj", "mil.tj", "name.tj", "net.tj", "nic.tj", "org.tj", "web.tj",
+    "gov.mn", "edu.mn", "org.mn",
+    // Southeast Asia remainder
+    "com.la", "edu.la", "gov.la", "info.la", "int.la", "net.la", "org.la",
+    "per.la",
+    "com.bn", "edu.bn", "gov.bn", "net.bn", "org.bn",
+    "com.mo", "edu.mo", "gov.mo", "net.mo", "org.mo",
+    // Africa remainder
+    "art.sn", "com.sn", "edu.sn", "gouv.sn", "org.sn", "perso.sn", "univ.sn",
+    "co.cm", "com.cm", "gov.cm", "net.cm",
+    "ac.ci", "asso.ci", "co.ci", "com.ci", "ed.ci", "edu.ci", "go.ci",
+    "gouv.ci", "int.ci", "md.ci", "net.ci", "or.ci", "org.ci", "presse.ci",
+    "ac.rw", "co.rw", "coop.rw", "gov.rw", "mil.rw", "net.rw", "org.rw",
+    "co.bw", "org.bw",
+    "co.na", "com.na", "org.na",
+    "ac.mz", "adv.mz", "co.mz", "edu.mz", "gov.mz", "mil.mz", "net.mz",
+    "org.mz",
+    "ac.mw", "biz.mw", "co.mw", "com.mw", "coop.mw", "edu.mw", "gov.mw",
+    "int.mw", "net.mw", "org.mw",
+    "com.sd", "net.sd", "org.sd", "edu.sd", "med.sd", "tv.sd", "gov.sd",
+    "info.sd",
+    "com.ly", "net.ly", "gov.ly", "plc.ly", "edu.ly", "sch.ly", "med.ly",
+    "org.ly", "id.ly",
+    "ed.ao", "gv.ao", "og.ao", "co.ao", "pb.ao", "it.ao",
+    // Latin America / Caribbean remainder
+    "co.tt", "com.tt", "org.tt", "net.tt", "biz.tt", "info.tt", "pro.tt",
+    "name.tt", "edu.tt", "gov.tt",
+    "biz.bb", "co.bb", "com.bb", "edu.bb", "gov.bb", "info.bb", "net.bb",
+    "org.bb", "store.bb", "tv.bb",
+    "com.bs", "net.bs", "org.bs", "edu.bs", "gov.bs",
+    "com.cu", "edu.cu", "org.cu", "net.cu", "gov.cu", "inf.cu",
+    "ac.ni", "biz.ni", "co.ni", "com.ni", "edu.ni", "gob.ni", "in.ni",
+    "info.ni", "int.ni", "mil.ni", "net.ni", "nom.ni", "org.ni", "web.ni",
+    "com.hn", "edu.hn", "org.hn", "net.hn", "mil.hn", "gob.hn",
+    "com.sv", "edu.sv", "gob.sv", "org.sv", "red.sv",
+    "com.bz", "net.bz", "org.bz", "edu.bz", "gov.bz",
+    "co.gy", "com.gy", "edu.gy", "gov.gy", "net.gy", "org.gy",
+    "com.ht", "shop.ht", "firm.ht", "info.ht", "adult.ht", "net.ht",
+    "pro.ht", "org.ht", "med.ht", "art.ht", "coop.ht", "pol.ht", "asso.ht",
+    "edu.ht", "rel.ht", "gouv.ht", "perso.ht",
+    // Pacific
+    "com.sb", "edu.sb", "gov.sb", "net.sb", "org.sb",
+    "com.vu", "edu.vu", "net.vu", "org.vu",
+    "com.ws", "net.ws", "org.ws", "gov.ws", "edu.ws",
+    "com.to", "gov.to", "net.to", "org.to", "edu.to", "mil.to") ++
+    // Bulgaria: the PSL registers every single alphanumeric label as a
+    // second level — [0-9a-z].bg (rendered by comprehension; the
+    // characters ARE the table)
+    (('a' to 'z') ++ ('0' to '9')).map(c => s"$c.bg") ++
     // United States: <st>.us plus the k12/cc/lib third-levels per state
     usStates.flatMap(st => Seq(s"$st.us", s"k12.$st.us", s"cc.$st.us", s"lib.$st.us"))
 
@@ -232,7 +299,7 @@ object PublicSuffixes {
     * public suffix.
     */
   val wildcardTails: Seq[String] = Seq(
-    "ck", "er", "fk", "np", "pg", "bd", "kh", "mm",
+    "ck", "er", "fk", "np", "pg", "bd", "kh", "mm", "jm",
     // Japanese city wildcards (the PSL's canonical wildcard+exception
     // cluster: every ward of these cities is a registry, but the city
     // government itself sits at city.<city>.jp)

@@ -106,7 +106,16 @@ class UrlKernelSpec extends SparkSpec {
       "https://news.portal.kharkiv.ua/x" -> "portal.kharkiv.ua", // ua geographic
       "https://sklep.firma.krakow.pl/x" -> "firma.krakow.pl",  // pl geographic
       "https://cabinet.dupont.avocat.fr/x" -> "dupont.avocat.fr", // fr profession
-      "https://okul.ornek.k12.tr/x" -> "ornek.k12.tr")       // tr k12
+      "https://okul.ornek.k12.tr/x" -> "ornek.k12.tr",       // tr k12
+      // round-14 table growth: one value row per new family
+      "https://shop.example.a.bg/x" -> "example.a.bg",       // bg [0-9a-z] second levels
+      "https://www.shop.com.mt/x" -> "shop.com.mt",          // mt
+      "https://site.ministere.gouv.sn/x" -> "ministere.gouv.sn", // sn
+      "https://a.biz.example.jm/x" -> "biz.example.jm",      // *.jm wildcard
+      "https://www.store.myshopify.com/x" -> "store.myshopify.com", // private-section operator
+      "https://app.team.surge.sh/x" -> "team.surge.sh",      // private-section operator
+      "https://portal.firm.co.tt/x" -> "firm.co.tt",         // tt
+      "https://x.y.gov.mn/x" -> "y.gov.mn")                  // mn
     val df = graft.functions.VectorFunctions.attach(
       cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }.toDF("id", "url"))
     val got = df.select(col("id"), expr("graft_url_domain(url)").as("d"))
