@@ -2506,6 +2506,43 @@ object Queries {
            | FROM documents)""".stripMargin.replace("\n", " "),
         "doc_id", "text"))),
 
+    // sentence-ALIGNED chunking (r14): sentences pack into fixed
+    // token-budget bins (chunk = before div size, the prefix-sum
+    // discipline) instead of fixed windows cutting mid-sentence — the
+    // RAG chunk shape. One doc-keyed window + keyed agg; text never
+    // crosses a non-doc-keyed exchange
+    QueryDef("text_chunk_sentences",
+      (s, dir) => TextAnalysis.chunkBySentences(
+        t(s, dir, "documents").withColumn("text",
+          concat(col("text"), lit(". Planted tail!  Second one? Third."))),
+        "doc_id", "text", size = 24),
+      Some(TextAnalysis.chunkBySentencesSql(
+        "(SELECT doc_id, text || '. Planted tail!  Second one? Third.' AS text FROM documents)",
+        "doc_id", "text", size = 24))),
+
+    // the zh leg: r14's full-width sentence boundaries + the routed
+    // token budget together — the first chunker that is end-to-end
+    // right on unsegmented text (real sentence units, real budgets);
+    // under the ASCII-only boundary every zh doc was ONE sentence and
+    // sentence-chunking degenerated to one chunk per doc
+    QueryDef("text_chunk_sentences_cjk",
+      (s, dir) => TextAnalysis.chunkBySentences(
+        t(s, dir, "documents").withColumn("text", expr(
+          s"IF(doc_id % 3 = 0, " +
+            s"concat(replace(translate(lower(text) || '. planted tail! second one? third.', " +
+            s"'abcdefghijklmnopqrstuvwxyz.!?', '$han26。！？'), ' ', ''), " +
+            s"'「中文句子。」结尾带省略号…完'), " +
+            s"text || '. Planted tail!  Second one? Third.')")),
+        "doc_id", "text", size = 16, grain = "cjk-auto"),
+      Some(TextAnalysis.chunkBySentencesSql(
+        s"""(SELECT doc_id, CASE WHEN doc_id % 3 = 0
+           | THEN replace(translate(lower(text) || '. planted tail! second one? third.',
+           |   'abcdefghijklmnopqrstuvwxyz.!?', '$han26。！？'), ' ', '')
+           |   || '「中文句子。」结尾带省略号…完'
+           | ELSE text || '. Planted tail!  Second one? Third.' END AS text
+           | FROM documents)""".stripMargin.replace("\n", " "),
+        "doc_id", "text", size = 16, grain = "cjk-auto"))),
+
     // Canonical normalization (NFC + ascii-lower + whitespace collapse):
     // the planted suffix carries a DECOMPOSED e+U+0301 (must compose),
     // an uppercase run, a tab, and double spaces — any engine that

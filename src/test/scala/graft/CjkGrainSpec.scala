@@ -255,4 +255,37 @@ class CjkGrainSpec extends SparkSpec {
     assert(sents("One. Two!  Three? Four") ==
       Seq("One.", "Two!", "Three?", "Four"))
   }
+
+  test("chunkBySentences: prefix-sum bins never split a sentence; zh leg gets real units and budgets") {
+    // en doc: sentences of 2/2/2 tokens (token grain counts the
+    // terminator), size=4 -> before = 0,2,4 -> chunks 0,0,1
+    val en = Seq((1L, "one two. three four. five six.")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkBySentences(en, "doc_id", "text", size = 4)
+      .orderBy($"chunk_idx")
+      .select($"chunk_idx", $"n_sentences", $"n_tokens", $"chunk_text")
+      .as[(Int, Long, Long, String)].collect().toSeq
+    assert(got.map(_._1) == Seq(0, 1))
+    assert(got.map(_._2) == Seq(2L, 1L), s"2+1 sentences per bin: $got")
+    assert(got.head._4 == "one two. three four." && got(1)._4 == "five six.")
+    // an over-budget sentence owns its bin, never splits
+    val big = Seq((1L, "a b c d e f g h. tiny one.")).toDF("doc_id", "text")
+    val g2 = TextAnalysis.chunkBySentences(big, "doc_id", "text", size = 4)
+      .orderBy($"chunk_idx").select($"chunk_text").as[String].collect().toSeq
+    assert(g2 == Seq("a b c d e f g h.", "tiny one."))
+    // zh: full-width boundaries + routed budget — 3 sentences of 4
+    // routed tokens each (3 han + terminator), size=8 -> chunks 0,0,1;
+    // pre-r14 this doc was ONE sentence and ONE chunk
+    val zhDoc = Seq((1L, "第一句话。第二句话。第三句话。")).toDF("doc_id", "text")
+    val g3 = TextAnalysis.chunkBySentences(zhDoc, "doc_id", "text",
+        size = 8, grain = "cjk-auto")
+      .orderBy($"chunk_idx")
+      .select($"chunk_idx", $"n_sentences", $"n_tokens").as[(Int, Long, Long)]
+      .collect().toSeq
+    assert(g3 == Seq((0, 2L, 10L), (1, 1L, 5L)), s"zh bins wrong: $g3")
+    // grain typo fails fast
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.chunkBySentences(zhDoc, "doc_id", "text", grain = "cjk")
+    }
+    assert(e.getMessage.contains("grain"))
+  }
 }
