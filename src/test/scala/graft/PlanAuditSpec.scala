@@ -335,6 +335,16 @@ class PlanAuditSpec extends SparkSpec {
       s"no exchange may carry the text column:\n$p")
   }
 
+  test("text_chunk_sentences: ONE doc-keyed exchange; window partitioning feeds the chunk agg shuffle-free") {
+    val p = plan("text_chunk_sentences")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"sentence chunking is one doc-keyed exchange — the groupBy(doc, chunk) " +
+        s"agg must reuse the window's partitioning, not add a second shuffle:\n$p")
+    assert(!p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*") &&
+      !p.contains("SinglePartition"),
+      s"the prefix-sum window must be doc-partitioned, never corpus-global:\n$p")
+  }
+
   test("pipeline_contamination_semantic: bench broadcasts; one corpus scan, partial-agg exchange only") {
     val p = plan("pipeline_contamination_semantic")
     assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
