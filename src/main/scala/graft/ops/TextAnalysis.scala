@@ -1031,9 +1031,13 @@ object TextAnalysis {
     * count per doc — an oracle-side cost only, the Spark kernel is one
     * scan. Caller opens `WITH RECURSIVE`.
     */
-  private def fmmToksRelDuck(table: String, text: String): String =
+  private def fmmToksRelDuck(table: String, text: String,
+                             idExpr: Option[String] = None): String = {
+    // rid keys the recursion rows; doc-consuming twins (tfidf) pass the
+    // real id column, corpus-level twins (vocabulary) synthesize one
+    val rid = idExpr.getOrElse("row_number() OVER ()")
     s"""base AS (
-       |  SELECT row_number() OVER () AS rid, $text AS t,
+       |  SELECT $rid AS rid, $text AS t,
        |    ${cjkDominantDuck(text)} AS routed
        |  FROM $table),
        |seg AS (
@@ -1045,10 +1049,11 @@ object TextAnalysis {
        |    ${ZhLexicon.duckFmmCase("t", "pos", cjkRangeInterior)} AS tok
        |    FROM seg WHERE pos <= len(t)) x),
        |toks AS (
-       |  SELECT token FROM seg WHERE token <> ''
+       |  SELECT rid, token FROM seg WHERE token <> ''
        |  UNION ALL
-       |  SELECT unnest(list_filter(string_split(t, ' '), w -> w <> '')) AS token
+       |  SELECT rid, unnest(list_filter(string_split(t, ' '), w -> w <> '')) AS token
        |  FROM base WHERE NOT routed)""".stripMargin
+  }
 
   /** DuckDB twin of [[vocabulary]]. */
   def vocabularySql(table: String, text: String, topV: Int = 100,
@@ -1056,7 +1061,8 @@ object TextAnalysis {
     require(wordGrain == "ws" || wordGrain == "cjk-auto" || wordGrain == "cjk-dict",
       s"wordGrain must be 'ws', 'cjk-auto' or 'cjk-dict', got $wordGrain")
     val prelude =
-      if (wordGrain == "cjk-dict") s"WITH RECURSIVE ${fmmToksRelDuck(table, text)},"
+      if (wordGrain == "cjk-dict")
+        s"WITH RECURSIVE ${fmmToksRelDuck(table, text)},"
       else {
         val toks = if (wordGrain == "cjk-auto") routedTokensDuck(text, keepEmpties = false)
                    else s"list_filter(string_split($text, ' '), w -> w <> '')"
@@ -1753,8 +1759,11 @@ object TextAnalysis {
   def tfidfKeywords(docs: DataFrame, id: String, text: String,
                     k: Int = 3, wordGrain: String = "ws"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(wordGrain == "ws" || wordGrain == "cjk-auto",
-      s"wordGrain must be 'ws' or 'cjk-auto', got $wordGrain")
+    // 'cjk-dict' (r14): keywords on the FMM word grain — the form a zh
+    // keyword list actually wants (我们/人工智能 whole, not codepoints);
+    // same kernel, dict mode
+    require(wordGrain == "ws" || wordGrain == "cjk-auto" || wordGrain == "cjk-dict",
+      s"wordGrain must be 'ws', 'cjk-auto' or 'cjk-dict', got $wordGrain")
     // cjk-auto: script-dominated rows keyword per CODEPOINT term (the
     // ws grain makes an unsegmented zh doc ONE term with tf=1 — the
     // tf signal vanishes exactly where keywords are wanted).
@@ -1785,17 +1794,30 @@ object TextAnalysis {
         col("score_milli"), col("rank"))
   }
 
-  /** DuckDB twin of [[tfidfKeywords]]. */
+  /** DuckDB twin of [[tfidfKeywords]] (`cjk-dict`: the id-carrying FMM
+    * recursion feeds the terms relation).
+    */
   def tfidfKeywordsSql(table: String, id: String, text: String,
                        k: Int = 3, wordGrain: String = "ws"): String = {
-    val tok = if (wordGrain == "cjk-auto") routedTokensDuck(text, keepEmpties = false)
-              else s"list_filter(string_split($text, ' '), w -> w <> '')"
-    s"""WITH terms AS (
-       |  SELECT $id, w, count(*)::BIGINT AS tf
-       |  FROM (SELECT $id,
-       |          unnest($tok) AS w
-       |        FROM $table)
-       |  GROUP BY 1, 2),
+    require(wordGrain == "ws" || wordGrain == "cjk-auto" || wordGrain == "cjk-dict",
+      s"wordGrain must be 'ws', 'cjk-auto' or 'cjk-dict', got $wordGrain")
+    val termsRel =
+      if (wordGrain == "cjk-dict")
+        s"""RECURSIVE ${fmmToksRelDuck(table, text, Some(id))},
+           |terms AS (
+           |  SELECT rid AS $id, token AS w, count(*)::BIGINT AS tf
+           |  FROM toks GROUP BY 1, 2)""".stripMargin
+      else {
+        val tok = if (wordGrain == "cjk-auto") routedTokensDuck(text, keepEmpties = false)
+                  else s"list_filter(string_split($text, ' '), w -> w <> '')"
+        s"""terms AS (
+           |  SELECT $id, w, count(*)::BIGINT AS tf
+           |  FROM (SELECT $id,
+           |          unnest($tok) AS w
+           |        FROM $table)
+           |  GROUP BY 1, 2)""".stripMargin
+      }
+    s"""WITH $termsRel,
        |dfreq AS (SELECT w, count(*)::BIGINT AS df FROM terms GROUP BY 1),
        |meta AS (SELECT count(*)::BIGINT AS n_docs FROM $table)
        |SELECT $id, w AS keyword, tf, score_milli, rank FROM (

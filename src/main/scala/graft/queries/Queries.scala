@@ -2334,6 +2334,25 @@ object Queries {
         s"(SELECT doc_id, $zhFixtureDuck AS text FROM documents)",
         "doc_id", "text", k = 3, wordGrain = "cjk-auto"))),
 
+    // keywords on the cjk-dict FMM grain (r14): a zh keyword list
+    // should say 我们/人工智能, not single codepoints — the second
+    // consumer proving cjk-dict is a grain, not a one-query trick. The
+    // oracle's terms relation comes from the id-carrying FMM recursion
+    // (fmmToksRelDuck Some(id)); the length-capped translate fixture
+    // keeps the cursor recursion an oracle-side triviality
+    QueryDef("text_tfidf_keywords_cjkdict",
+      (s, dir) => TextAnalysis.tfidfKeywords(
+        t(s, dir, "documents").withColumn("text", expr(
+          s"IF(doc_id % 3 = 0, concat(replace(translate(lower(substring(text, 1, 120)), " +
+            s"'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', ''), '$zhDictPlant'), text)")),
+        "doc_id", "text", k = 3, wordGrain = "cjk-dict"),
+      Some(TextAnalysis.tfidfKeywordsSql(
+        s"(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN " +
+          s"replace(translate(lower(substr(text, 1, 120)), " +
+          s"'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', '') || '$zhDictPlant' " +
+          s"ELSE text END AS text FROM documents)",
+        "doc_id", "text", k = 3, wordGrain = "cjk-dict"))),
+
     // unigram LM-filter scoring on the cjk-auto grain: vocabulary AND
     // scored tokens both ride the routed grain, so the unsegmented
     // reference rows contribute a real codepoint unigram table instead

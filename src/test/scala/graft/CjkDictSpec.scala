@@ -132,6 +132,27 @@ class CjkDictSpec extends SparkSpec {
       "no multi-codepoint han token may exist outside the lexicon")
   }
 
+  test("tfidfKeywords 'cjk-dict': zh keywords are FMM words, not codepoints") {
+    val docs = Seq(
+      (1L, "人工智能人工智能人工智能我们喜欢"),
+      (2L, "机器学习机器学习我们在学习"),
+      (3L, "plain english filler text here"),
+      (4L, "more plain english filler words")).toDF("doc_id", "text")
+    val kw = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 2,
+        wordGrain = "cjk-dict")
+      .select($"doc_id", $"keyword", $"rank").as[(Long, String, Int)]
+      .collect().groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(kw(1L).head == "人工智能",
+      s"tf=3 four-codepoint word must top doc 1: ${kw(1L)}")
+    assert(kw(2L).head == "机器学习", s"doc 2 keywords: ${kw(2L)}")
+    // under cjk-auto the same doc keywords to single codepoints
+    val auto = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 2,
+        wordGrain = "cjk-auto")
+      .where($"doc_id" === 1L).select($"keyword").as[String].collect().toSeq
+    assert(auto.forall(_.length == 1),
+      s"codepoint grain keywords must be single codepoints: $auto")
+  }
+
   test("grain typos fail fast at the vocabulary entry point and the kernel") {
     val docs = Seq((1L, "我们")).toDF("doc_id", "text")
     val e1 = intercept[IllegalArgumentException] {
