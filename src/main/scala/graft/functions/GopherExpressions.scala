@@ -217,6 +217,78 @@ object GopherOps {
     n
   }
 
+  /** Full-width sentence-terminator boundary (round 14) — SINGLE
+    * SOURCE shared by the declarative marker-insert in
+    * [[graft.ops.TextAnalysis.sentences]] (both dialects) and the
+    * compiled [[sentenceChunks]] kernel: a run of 。！？…
+    * carrying any closing quotes/brackets, breaking WITHOUT trailing
+    * whitespace (zh/ja put none between sentences).
+    */
+  val cjkSentenceBoundary: String = "[。！？…]+[」』”’）]*"
+
+  // the EXACT patterns TextAnalysis.sentences feeds regexp_replace
+  // (Spark's regexp_replace is this same java.util.regex engine, so
+  // compiling the identical strings here is parity by construction)
+  private val cjkSentPattern =
+    java.util.regex.Pattern.compile(s"($cjkSentenceBoundary)[ \t\n\r]*")
+  private val asciiSentPattern =
+    java.util.regex.Pattern.compile("([.!?])[ \t\n\r]+")
+
+  /** COMPILED sentence-aligned chunking — the ROW-LOCAL form of
+    * [[graft.ops.TextAnalysis.chunkBySentences]]: sentence split
+    * (identical marker-insert regexes), per-sentence token count
+    * ([[HashOps.tokenCount]] or the routed [[routedWordCount]]), and
+    * prefix-sum packing (`chunk = before div size`, sentences never
+    * split) all inside one projection — the window/groupBy form
+    * shuffles the FULL TEXT corpus through its doc-keyed exchange,
+    * this emits finished chunks from the scan (zero shuffle,
+    * streaming-safe). Chunks pack per ROW: two rows sharing a doc id
+    * chunk independently (a chunker must not merge distinct documents
+    * that collide on id — the relational twin's groupBy would).
+    */
+  def sentenceChunks(text: UTF8String, size: Int, cjkGrain: Boolean): ArrayData = {
+    val marked = asciiSentPattern.matcher(
+      cjkSentPattern.matcher(text.toString).replaceAll("$1\u0001"))
+      .replaceAll("$1\u0001")
+    val parts = marked.split("\u0001", -1)
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef]()
+    var before = 0L
+    var curIdx = -1
+    var nSent = 0L
+    var nTok = 0L
+    val sb = new java.lang.StringBuilder()
+    @inline def flush(): Unit = if (nSent > 0) {
+      out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](curIdx, nSent, nTok, UTF8String.fromString(sb.toString)))
+    }
+    var p = 0
+    while (p < parts.length) {
+      val raw = parts(p)
+      // Spark trim semantics: strip 0x20 only
+      var a = 0
+      var b = raw.length
+      while (a < b && raw.charAt(a) == ' ') a += 1
+      while (b > a && raw.charAt(b - 1) == ' ') b -= 1
+      if (b > a) {
+        val sent = raw.substring(a, b)
+        val u = UTF8String.fromString(sent)
+        val n = if (cjkGrain) routedWordCount(u) else HashOps.tokenCount(u).toLong
+        val idx = (before / size).toInt
+        if (idx != curIdx) {
+          flush(); curIdx = idx; nSent = 0L; nTok = 0L; sb.setLength(0)
+        }
+        if (nSent > 0) sb.append(' ')
+        sb.append(sent)
+        nSent += 1
+        nTok += n
+        before += n
+      }
+      p += 1
+    }
+    flush()
+    new GenericArrayData(out.toArray)
+  }
+
   /** Per-row TERM-FREQUENCY pairs — `ARRAY<STRUCT<w, tf>>` of the
     * row's DISTINCT tokens with their counts, on either word grain
     * (`cjkAuto = false` → ws tokens, empties dropped; `true` → the
@@ -784,6 +856,38 @@ case class FmmTokens(child: Expression, keepEmpties: Boolean)
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = graft.functions.GopherOps.fmmTokens($s, $keepEmpties);")
   override protected def withNewChildInternal(c: Expression): FmmTokens =
+    copy(child = c)
+}
+
+/** `graft_sentence_chunks(text, size, grain)` — see
+  * [[GopherOps.sentenceChunks]]: row-local sentence-aligned chunking
+  * as ARRAY<STRUCT<chunk_idx, n_sentences, n_tokens, chunk_text>> —
+  * zero shuffle, streaming-safe.
+  */
+case class SentenceChunks(child: Expression, size: Int, grain: String)
+    extends UnaryExpression {
+  require(size > 0, s"graft_sentence_chunks requires positive size, got $size")
+  require(grain == "token" || grain == "cjk-auto",
+    s"chunk grain must be 'token' or 'cjk-auto', got $grain")
+  private val cjkGrain = grain == "cjk-auto"
+  override def prettyName: String = "graft_sentence_chunks"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(new StructType()
+    .add("chunk_idx", IntegerType, nullable = false)
+    .add("n_sentences", LongType, nullable = false)
+    .add("n_tokens", LongType, nullable = false)
+    .add("chunk_text", StringType, nullable = false), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${dt.catalogString}")
+  }
+  override def nullSafeEval(s: Any): Any =
+    GopherOps.sentenceChunks(s.asInstanceOf[UTF8String], size, cjkGrain)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.GopherOps.sentenceChunks($s, $size, $cjkGrain);")
+  override protected def withNewChildInternal(c: Expression): SentenceChunks =
     copy(child = c)
 }
 

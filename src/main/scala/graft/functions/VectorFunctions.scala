@@ -247,6 +247,10 @@ object VectorFunctions {
       (e: Seq[Expression]) => RoutedTokens(e(0), boolLit(e(1), "graft_routed_tokens"))),
     "graft_fmm_tokens" -> (classOf[FmmTokens],
       (e: Seq[Expression]) => FmmTokens(e(0), boolLit(e(1), "graft_fmm_tokens"))),
+    "graft_sentence_chunks" -> (classOf[SentenceChunks],
+      (e: Seq[Expression]) => SentenceChunks(e(0),
+        intLit(e(1), "graft_sentence_chunks"),
+        stringLit(e(2), "graft_sentence_chunks"))),
     "graft_routed_token_count" -> (classOf[RoutedTokenCount],
       (e: Seq[Expression]) => RoutedTokenCount(e(0))),
     "graft_term_tf" -> (classOf[TermTf],
@@ -334,7 +338,7 @@ object VectorFunctions {
     "graft_word_count" -> Set(1, 2), "graft_url_canon" -> Set(1),
     "graft_lang_scores" -> Set(1),
     "graft_routed_tokens" -> Set(2), "graft_routed_token_count" -> Set(1),
-    "graft_fmm_tokens" -> Set(2),
+    "graft_fmm_tokens" -> Set(2), "graft_sentence_chunks" -> Set(3),
     "graft_term_tf" -> Set(1, 2),
     "graft_gram_tf" -> Set(2, 3),
     "graft_gopher_flags" -> Set(11, 12), "graft_url_domain" -> Set(1))

@@ -1894,7 +1894,7 @@ object TextAnalysis {
     * the marker insert.
     */
   private val cjkSentBoundary: String =
-    "[。！？…]+[」』”’）]*"
+    graft.functions.GopherOps.cjkSentenceBoundary
 
   /** Sentence segmentation — boundary-aware chunk units for RAG /
     * curation (fixed token windows cut mid-sentence; retrieval quality
@@ -2474,14 +2474,45 @@ object TextAnalysis {
     * the first chunker that does the right thing end-to-end on zh/ja:
     * real sentence units, real token budgets.
     *
-    * Scale shape: one scan → posexplode sentences → ONE keyed window
-    * (cumulative count per doc, bounded by the doc's own sentence
-    * count) → keyed agg back to chunks. Text crosses the doc-keyed
-    * exchanges only; no corpus-wide window, no driver state.
+    * Scale shape: ZERO shuffle — packing is per-document by
+    * definition, so the compiled kernel does split + count + pack in
+    * one scan projection and the plan is scan → project → explode
+    * (streaming-safe; at 100 TB the window/groupBy construction would
+    * shuffle the full text corpus for nothing).
     */
   def chunkBySentences(df: DataFrame, id: String, text: String,
                        size: Int = 64,
                        grain: String = "token"): DataFrame = {
+    require(size > 0, s"need size > 0, got $size")
+    require(grain == "token" || grain == "cjk-auto",
+      s"chunk grain must be 'token' or 'cjk-auto', got $grain")
+    // COMPILED row-local form (graft_sentence_chunks): the packing is
+    // per-document by definition, so the window/groupBy construction —
+    // which shuffles the FULL TEXT corpus through its doc-keyed
+    // exchange — is pure overhead; the kernel emits finished chunks
+    // from the scan projection (ZERO shuffle, streaming-safe).
+    // [[chunkBySentencesRelational]] is the spec-pinned parity
+    // baseline and the shape the DuckDB oracle replays.
+    graft.functions.VectorFunctions.attach(df)
+      .select(col(id),
+        explode(expr(s"graft_sentence_chunks($text, $size, '$grain')")).as("c"))
+      .select(col(id), col("c.chunk_idx").as("chunk_idx"),
+        col("c.n_sentences").as("n_sentences"),
+        col("c.n_tokens").as("n_tokens"),
+        col("c.chunk_text").as("chunk_text"))
+  }
+
+  /** The declarative window/groupBy construction of
+    * [[chunkBySentences]] — the parity baseline the spec pins the
+    * kernel against and the relational shape [[chunkBySentencesSql]]
+    * replays. NOTE the one contract difference: this form's
+    * groupBy(id, chunk) MERGES rows that collide on id; the kernel
+    * (correctly) chunks each row independently — parity holds on
+    * unique-id corpora, which is the documented chunker contract.
+    */
+  private[graft] def chunkBySentencesRelational(
+      df: DataFrame, id: String, text: String,
+      size: Int = 64, grain: String = "token"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(size > 0, s"need size > 0, got $size")
     require(grain == "token" || grain == "cjk-auto",

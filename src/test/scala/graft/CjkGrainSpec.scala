@@ -288,4 +288,36 @@ class CjkGrainSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("grain"))
   }
+
+  test("sentence-chunk kernel ≡ relational window construction on fixtures + mixed-script fuzz") {
+    val fixtures = Seq(
+      1L -> "one two. three four. five six.",
+      2L -> "第一句话。第二句话。第三句话。",
+      3L -> "a b c d e f g h. tiny one.",
+      4L -> "no terminators at all here",
+      5L -> "", 6L -> "   ",
+      7L -> "Mixed start. 然后中文。tail",
+      8L -> "他说「你好。」然后走了。等等…好吧。",
+      9L -> "Spaces.   After!  Terminators? yes.")
+    val alphabet = "ab cd. 中文。！？…」the of x\n\t"
+    val fuzz = (1 to 200).map { i =>
+      var x = i.toLong; val sb = new StringBuilder
+      for (_ <- 0 until 60) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        sb.append(alphabet(((x >>> 33) % alphabet.length).toInt))
+      }
+      (i + 100L) -> sb.toString
+    }
+    val docs = (fixtures ++ fuzz).toDF("doc_id", "text")
+    for (grain <- Seq("token", "cjk-auto"); size <- Seq(4, 16)) {
+      val k = TextAnalysis.chunkBySentences(docs, "doc_id", "text", size, grain)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+      val rel = TextAnalysis.chunkBySentencesRelational(
+          docs, "doc_id", "text", size, grain)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+      assert(k == rel, s"kernel != relational at grain=$grain size=$size")
+    }
+  }
 }

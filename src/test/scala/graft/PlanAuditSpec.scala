@@ -335,14 +335,13 @@ class PlanAuditSpec extends SparkSpec {
       s"no exchange may carry the text column:\n$p")
   }
 
-  test("text_chunk_sentences: ONE doc-keyed exchange; window partitioning feeds the chunk agg shuffle-free") {
+  test("text_chunk_sentences: ZERO shuffle — chunks come straight off the scan projection") {
     val p = plan("text_chunk_sentences")
-    assert(count(p, "Exchange hashpartitioning") == 1,
-      s"sentence chunking is one doc-keyed exchange — the groupBy(doc, chunk) " +
-        s"agg must reuse the window's partitioning, not add a second shuffle:\n$p")
-    assert(!p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*") &&
-      !p.contains("SinglePartition"),
-      s"the prefix-sum window must be doc-partitioned, never corpus-global:\n$p")
+    assert(!p.contains("Exchange"),
+      s"sentence packing is per-document by definition; the compiled kernel " +
+        s"must emit finished chunks from the scan (the window/groupBy form " +
+        s"shuffles the full text corpus for nothing):\n$p")
+    assert(p.contains("graft_sentence_chunks"), s"kernel must be in the plan:\n$p")
   }
 
   test("pipeline_contamination_semantic: bench broadcasts; one corpus scan, partial-agg exchange only") {

@@ -529,6 +529,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sentence-aligned chunking runs unchanged on a streaming Dataset (r14 zero-shuffle kernel)") {
+    implicit val sq = spark.sqlContext
+    val docs = MemoryStream[(Long, String)]
+    val rows = Seq(
+      (1L, "one two. three four. five six."),
+      (2L, "第一句话。第二句话。第三句话。"))
+    val out = graft.ops.TextAnalysis.chunkBySentences(
+      docs.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      size = 4, grain = "cjk-auto")
+    val q = out.writeStream.format("memory").queryName("sentchunk_stream")
+      .outputMode("append").start()
+    try {
+      docs.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("sentchunk_stream").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(4)).toMap
+      val batch = graft.ops.TextAnalysis.chunkBySentences(
+          rows.toDF("doc_id", "text"), "doc_id", "text",
+          size = 4, grain = "cjk-auto").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(4)).toMap
+      assert(got === batch, "streaming chunks must equal the batch operator")
+      assert(got.keys.count(_._1 == 2L) > 1,
+        "zh doc must chunk into multiple sentence-aligned bins on the stream")
+    } finally q.stop()
+  }
+
   test("classifier and unigram-style scoring run unchanged on a streaming Dataset") {
     implicit val sq = spark.sqlContext
     val docs = MemoryStream[(Long, String)]
