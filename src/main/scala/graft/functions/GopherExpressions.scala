@@ -578,6 +578,42 @@ object GopherOps {
     new GenericArrayData(out)
   }
 
+  /** [[routedTermCounts]] on the `cjk-dict` grain — doc length and
+    * per-term matches over the FMM token walk (BM25's doc-stats
+    * projection, dict mode: multi-codepoint query terms like 人工智能
+    * match as ONE token where the codepoint grain would shred them).
+    */
+  def fmmTermCounts(text: UTF8String, termBytes: Array[Array[Byte]],
+                    termStrs: Array[String]): ArrayData = {
+    val s = text.toString
+    if (!isDominated(s)) return HashOps.termCounts(text, termBytes)
+    val out = new Array[Long](termStrs.length + 1)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ' ') i += 1
+      else {
+        val st = i
+        val w = graft.ops.ZhLexicon.longestMatch(s, i)
+        if (w != null) i += w.length
+        else if (isCjk(c)) i += 1
+        else {
+          i += 1
+          while (i < s.length && { val cc = s.charAt(i); cc != ' ' && !isCjk(cc) }) i += 1
+        }
+        out(0) += 1
+        val len = i - st
+        var t = 0
+        while (t < termStrs.length) {
+          val ts = termStrs(t)
+          if (ts.length == len && s.regionMatches(st, ts, 0, len)) out(t + 1) += 1
+          t += 1
+        }
+      }
+    }
+    new GenericArrayData(out)
+  }
+
   def flags(text: UTF8String,
             minWords: Int, maxWords: Int,
             minMeanLen: Double, maxMeanLen: Double,

@@ -542,9 +542,10 @@ case class TermCounts(child: Expression, terms: Seq[String],
                       grain: String = "ws")
     extends StringCountExpression {
   require(terms.nonEmpty, "graft_term_counts requires at least one term")
-  require(grain == "ws" || grain == "cjk-auto",
-    s"grain must be 'ws' or 'cjk-auto', got $grain")
+  require(grain == "ws" || grain == "cjk-auto" || grain == "cjk-dict",
+    s"grain must be 'ws', 'cjk-auto' or 'cjk-dict', got $grain")
   private val routed = grain == "cjk-auto"
+  private val dict = grain == "cjk-dict"
   override def prettyName: String = "graft_term_counts"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -553,7 +554,10 @@ case class TermCounts(child: Expression, terms: Seq[String],
   @transient lazy val termStrs: Array[String] = terms.toArray
 
   override def nullSafeEval(s: Any): Any =
-    if (routed)
+    if (dict)
+      GopherOps.fmmTermCounts(
+        s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], termBytes, termStrs)
+    else if (routed)
       GopherOps.routedTermCounts(
         s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], termBytes, termStrs)
     else
@@ -564,7 +568,11 @@ case class TermCounts(child: Expression, terms: Seq[String],
     // reference THIS instance so the term byte/string arrays build once,
     // not per row
     val ref = ctx.addReferenceObj("termCountsExpr", this, classOf[TermCounts].getName)
-    if (routed)
+    if (dict)
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.GopherOps.fmmTermCounts($s, " +
+          s"$ref.termBytes(), $ref.termStrs());")
+    else if (routed)
       nullSafeCodeGen(ctx, ev, s =>
         s"${ev.value} = graft.functions.GopherOps.routedTermCounts($s, " +
           s"$ref.termBytes(), $ref.termStrs());")

@@ -1626,8 +1626,11 @@ object TextAnalysis {
                wordGrain: String = "ws"): DataFrame = {
     require(terms.nonEmpty && terms.forall(t => t.nonEmpty && !t.contains("'")),
       "terms must be non-empty and quote-free")
-    require(wordGrain == "ws" || wordGrain == "cjk-auto",
-      s"wordGrain must be 'ws' or 'cjk-auto', got $wordGrain")
+    // 'cjk-dict' (r14): retrieval on the FMM grain — multi-codepoint
+    // query terms (人工智能) match as ONE token; same doc-stats kernel,
+    // dict mode
+    require(wordGrain == "ws" || wordGrain == "cjk-auto" || wordGrain == "cjk-dict",
+      s"wordGrain must be 'ws', 'cjk-auto' or 'cjk-dict', got $wordGrain")
     val termArr = terms.map(t => s"'$t'").mkString("array(", ", ", ")")
     // BOTH grains ride the one-scan doc-stats kernel; 'cjk-auto' routes
     // script-dominated rows to the codepoint grain inside the same scan
@@ -1668,11 +1671,8 @@ object TextAnalysis {
   def bm25TopKSql(table: String, id: String, text: String,
                   terms: Seq[String], k: Int = 20,
                   wordGrain: String = "ws"): String = {
-    val wsExpr =
-      if (wordGrain == "cjk-auto") routedTokensDuck(text, keepEmpties = false)
-      else s"list_filter(string_split($text, ' '), w -> w <> '')"
-    val tfCols = terms.indices.map(i =>
-      s"len(list_filter(ws, w -> w = '${terms(i)}')) AS tf$i").mkString(", ")
+    require(wordGrain == "ws" || wordGrain == "cjk-auto" || wordGrain == "cjk-dict",
+      s"wordGrain must be 'ws', 'cjk-auto' or 'cjk-dict', got $wordGrain")
     val dfCols = terms.indices.map(i =>
       s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
     val termScore = terms.indices.map { i =>
@@ -1680,10 +1680,35 @@ object TextAnalysis {
       s"CASE WHEN tf$i > 0 THEN ($idf * 22 * tf$i * a) // (10 * tf$i * a + 3 * a + 9000 * dl) ELSE 0 END"
     }.mkString(" + ")
     val nMatched = terms.indices.map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH per_doc AS (
-       |  SELECT $id, len(ws)::BIGINT AS dl, $tfCols
-       |  FROM (SELECT $id, $wsExpr AS ws
-       |        FROM $table)),
+    val perDocRel =
+      if (wordGrain == "cjk-dict") {
+        // id-carrying FMM recursion; the LEFT JOIN back to the table
+        // restores token-less docs (empty/blank) as dl = 0 rows, the
+        // row-per-doc shape the scalar ws/cjk-auto forms emit
+        val tfSums = terms.indices.map(i =>
+          s"coalesce(a.tf$i, 0)::BIGINT AS tf$i").mkString(", ")
+        val tfAgg = terms.indices.map(i =>
+          s"sum(CASE WHEN token = '${terms(i)}' THEN 1 ELSE 0 END) AS tf$i")
+          .mkString(", ")
+        s"""RECURSIVE ${fmmToksRelDuck(table, text, Some(id))},
+           |agg AS (
+           |  SELECT rid, count(*)::BIGINT AS dl, $tfAgg
+           |  FROM toks GROUP BY rid),
+           |per_doc AS (
+           |  SELECT b.$id, coalesce(a.dl, 0)::BIGINT AS dl, $tfSums
+           |  FROM $table b LEFT JOIN agg a ON b.$id = a.rid)""".stripMargin
+      } else {
+        val wsExpr =
+          if (wordGrain == "cjk-auto") routedTokensDuck(text, keepEmpties = false)
+          else s"list_filter(string_split($text, ' '), w -> w <> '')"
+        val tfCols = terms.indices.map(i =>
+          s"len(list_filter(ws, w -> w = '${terms(i)}')) AS tf$i").mkString(", ")
+        s"""per_doc AS (
+           |  SELECT $id, len(ws)::BIGINT AS dl, $tfCols
+           |  FROM (SELECT $id, $wsExpr AS ws
+           |        FROM $table))""".stripMargin
+      }
+    s"""WITH $perDocRel,
        |meta AS (
        |  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sum_dl, $dfCols
        |  FROM per_doc),

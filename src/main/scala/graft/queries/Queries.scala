@@ -2310,6 +2310,28 @@ object Queries {
         "doc_id", "text", terms = Seq("的", "中", "是"), k = 25,
         wordGrain = "cjk-auto"))),
 
+    // BM25 on the cjk-dict FMM grain (r14, third consumer): MULTI-
+    // codepoint query terms (我们/人工智能/图书馆) match as single
+    // tokens — on the codepoint grain tf(人工智能) = 0 corpus-wide
+    // (no single codepoint equals a 4-codepoint string), so dict
+    // segmentation is what makes zh retrieval by real words possible.
+    // Oracle: per_doc comes from the id-carrying FMM recursion,
+    // LEFT-JOINed back to the table so token-less docs keep dl=0 rows
+    QueryDef("text_bm25_topk_cjkdict",
+      (s, dir) => TextAnalysis.bm25TopK(
+        t(s, dir, "documents").withColumn("text", expr(
+          s"IF(doc_id % 3 = 0, concat(replace(translate(lower(substring(text, 1, 120)), " +
+            s"'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', ''), '$zhDictPlant'), text)")),
+        "doc_id", "text", terms = Seq("我们", "人工智能", "图书馆"), k = 25,
+        wordGrain = "cjk-dict"),
+      Some(TextAnalysis.bm25TopKSql(
+        s"(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN " +
+          s"replace(translate(lower(substr(text, 1, 120)), " +
+          s"'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', '') || '$zhDictPlant' " +
+          s"ELSE text END AS text FROM documents)",
+        "doc_id", "text", terms = Seq("我们", "人工智能", "图书馆"), k = 25,
+        wordGrain = "cjk-dict"))),
+
     // Per-doc top-3 TF-IDF keywords: the tagging primitive next to
     // BM25's retrieval leg (which docs match -> which terms
     // characterize). Exact-integer surrogate score tf * (1e6*N div df)

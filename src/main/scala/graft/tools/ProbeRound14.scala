@@ -67,6 +67,18 @@ object ProbeRound14 {
           .select(explode(col("fp"))).queryExecution.toRdd.count())
     }
 
+    if (on("sentchunk")) {
+      // the zero-shuffle kernel vs the window/groupBy construction it
+      // replaced (which shuffles the full text corpus, doc-keyed)
+      for (r <- 1 to 2)
+        time(s"sentence-chunk KERNEL 1M docs cjk rep$r")(
+          graft.ops.TextAnalysis.chunkBySentences(zh, "doc_id", "text",
+            size = 64, grain = "cjk-auto").queryExecution.toRdd.count())
+      time("sentence-chunk RELATIONAL (window) 1M docs cjk")(
+        graft.ops.TextAnalysis.chunkBySentencesRelational(zh, "doc_id", "text",
+          size = 64, grain = "cjk-auto").queryExecution.toRdd.count())
+    }
+
     if (on("fmm")) {
       time("cjk-dict FMM tokens 1M docs explode (warmup)")(
         zh.select(explode(expr("graft_fmm_tokens(text, false)")))

@@ -153,6 +153,24 @@ class CjkDictSpec extends SparkSpec {
       s"codepoint grain keywords must be single codepoints: $auto")
   }
 
+  test("bm25 'cjk-dict': multi-codepoint query terms retrieve; the codepoint grain cannot see them") {
+    val docs = Seq(
+      (1L, "人工智能改变了我们的世界因为人工智能无处不在"),
+      (2L, "我们在图书馆学习但是不用电脑"),
+      (3L, "plain english filler document here"),
+      (4L, "another plain filler document text")).toDF("doc_id", "text")
+    val dict = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        terms = Seq("人工智能"), k = 5, wordGrain = "cjk-dict")
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(dict == Seq(1L),
+      s"dict grain must retrieve exactly the 人工智能 doc: $dict")
+    // the codepoint grain tokenizes per char — a 4-codepoint term never
+    // equals any token, tf = 0 corpus-wide, empty result
+    val auto = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        terms = Seq("人工智能"), k = 5, wordGrain = "cjk-auto").count()
+    assert(auto == 0L, "codepoint grain must be blind to multi-codepoint terms")
+  }
+
   test("grain typos fail fast at the vocabulary entry point and the kernel") {
     val docs = Seq((1L, "我们")).toDF("doc_id", "text")
     val e1 = intercept[IllegalArgumentException] {
