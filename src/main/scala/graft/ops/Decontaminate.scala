@@ -197,7 +197,7 @@ object Decontaminate {
                              k: Int = 3, maxContamination: Double = 0.05,
                              wordGrain: String = "ws"): String =
     s"""WITH bench_hs AS (
-       |  SELECT list_sort(list(DISTINCT h)) AS hs FROM (
+       |  SELECT coalesce(list_sort(list(DISTINCT h)), []::BIGINT[]) AS hs FROM (
        |    SELECT unnest(${Dedup.duckShingleHashes(text, k, wordGrain)}) AS h
        |    FROM $corpusTable WHERE $benchPred)),
        |corpus AS (
@@ -216,13 +216,18 @@ object Decontaminate {
     * joined in (a scalar subquery breaks once DuckDB inlines the
     * lambda-bearing CTE: "Subqueries are not supported in lambda
     * expressions"), `list_has_any` ≡ intersect-count > 0 (hash equality
-    * on both engines).
+    * on both engines). The `coalesce(…, [])` on bench_hs is
+    * load-bearing (r14 differential sweep): a benchmark whose docs have
+    * ZERO shingles (all-unsegmented, all-short) makes `list()` aggregate
+    * zero rows to NULL, and `NOT list_has_any(x, NULL)` is NULL — the
+    * twin silently dropped every corpus row where the operator
+    * correctly keeps all (empty benchmark ⇒ nothing is contaminated).
     */
   def cleanDocsSql(corpusTable: String, benchPred: String, corpusPred: String,
                    id: String, text: String, k: Int = 3,
                    wordGrain: String = "ws"): String =
     s"""WITH bench_hs AS (
-       |  SELECT list_sort(list(DISTINCT h)) AS hs FROM (
+       |  SELECT coalesce(list_sort(list(DISTINCT h)), []::BIGINT[]) AS hs FROM (
        |    SELECT unnest(${Dedup.duckShingleHashes(text, k, wordGrain)}) AS h
        |    FROM $corpusTable WHERE $benchPred)),
        |corpus AS (
