@@ -202,7 +202,7 @@ object Datacard {
   def datacardSql(table: String, id: String, text: String,
                   wordGrain: String = "ws"): String = {
     val tok =
-      if (wordGrain == "cjk-auto")
+      if (Dedup.requireGrain(wordGrain) == "cjk-auto")
         s"len(${TextAnalysis.routedTokensDuck(text, keepEmpties = false)})"
       else s"len(regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))"
     def milli(num: String) =

@@ -544,7 +544,7 @@ object Dedup {
 
   def simhashSql(table: String, id: String, text: String, bits: Int = 30,
                  wordGrain: String = "ws"): String = {
-    val toks = if (wordGrain == "cjk-auto")
+    val toks = if (requireGrain(wordGrain) == "cjk-auto")
                  s"(${TextAnalysis.routedTokensDuck(text, keepEmpties = true)})"
                else s"string_split($text, ' ')"
     val hashes = s"list_transform($toks, s -> ${duckStringHash("s")})"

@@ -863,7 +863,7 @@ object TextAnalysis {
     // and the stop list is English — both would reject every routed row
     // by construction) and the alpha-word class widens to the
     // unsegmented scripts so it still rejects symbol/digit soup.
-    val routed = wordGrain == "cjk-auto"
+    val routed = Dedup.requireGrain(wordGrain) == "cjk-auto"
     // the HOF form is the DECLARATIVE parity baseline — it must stay
     // kernel-free, so the routed grain rides the regexp construction
     val w = if (routed) routedTokensRegex(text, keepEmpties = true)
@@ -936,7 +936,7 @@ object TextAnalysis {
                      maxEllipsisRatio: Double = 0.3,
                      wordGrain: String = "ws"): String = {
     val stop = markerList(gopherStops, "duck")
-    val routed = wordGrain == "cjk-auto"
+    val routed = Dedup.requireGrain(wordGrain) == "cjk-auto"
     val w = if (routed) routedTokensDuck(text, keepEmpties = true)
             else s"string_split($text, ' ')"
     val l = s"string_split($text, chr(10))"
@@ -1564,7 +1564,8 @@ object TextAnalysis {
   def unigramScoreSql(table: String, docsPred: String, refPred: String,
                       id: String, text: String, vocab: Int = 1000,
                       wordGrain: String = "ws"): String = {
-    val tok = if (wordGrain == "cjk-auto") routedTokensDuck(text, keepEmpties = false)
+    val tok = if (Dedup.requireGrain(wordGrain) == "cjk-auto")
+                routedTokensDuck(text, keepEmpties = false)
               else s"list_filter(string_split($text, ' '), w -> w <> '')"
     s"""WITH rt AS (SELECT unnest($tok) AS w FROM $table WHERE $refPred),
        |top AS (SELECT w, count(*) AS cnt FROM rt GROUP BY w
