@@ -190,6 +190,62 @@ object Dedup {
        |FROM l LEFT JOIN f ON l.line = f.line
        |GROUP BY l.$id""".stripMargin
 
+  /** Corpus-level duplicated-SENTENCE removal — [[dedupLines]] at the
+    * sentence grain (the CCNet-style pass for boilerplate that repeats
+    * as sentences rather than lines: cookie notices, share prompts,
+    * newsletter calls — and it requires real sentence boundaries,
+    * which the r14 full-width terminator support extends to zh/ja: on
+    * the old ASCII-only rule a zh doc was ONE sentence and this op
+    * could only ever drop whole documents). A sentence occurring more
+    * than `maxFreq` times corpus-wide is struck from every doc; output
+    * rejoins the survivors with single spaces (the inter-sentence
+    * whitespace is consumed by the boundary split — normalized-form
+    * output, identical on both engines). Docs with no sentences (empty
+    * /blank text) have no sentence rows and are absent from the output
+    * on both engines — the sentence relation is the op's domain.
+    *
+    * Plan shape (the [[dedupLines]] shape): sentence frequency is a
+    * partial-aggregated exchange of digests; the frequent set has at
+    * most total_sentences / maxFreq members BY CONSTRUCTION, so it
+    * broadcasts back and the corpus never shuffles for the lookup;
+    * reassembly is the one doc-keyed exchange.
+    */
+  def dedupSentences(df: DataFrame, id: String, text: String,
+                     maxFreq: Int): DataFrame = {
+    val sents = TextAnalysis.sentences(df, id, text)
+    val frequent = sents
+      .groupBy(md5(col("sentence")).as("sh")).agg(count(lit(1)).as("c"))
+      .where(col("c") > maxFreq)
+    sents
+      .join(broadcast(frequent), md5(col("sentence")) === col("sh"), "left_outer")
+      .groupBy(col(id))
+      .agg(
+        // collect_list skips the NULL CASE branches (the dedupLines
+        // pattern): frequent sentences drop out while their rows still
+        // anchor the group, so a doc of pure boilerplate survives with
+        // clean_text = ''
+        expr("concat_ws(' ', transform(array_sort(" +
+          "collect_list(CASE WHEN sh IS NULL THEN struct(sent_idx, sentence) END)), s -> s.sentence))")
+          .as("clean_text"),
+        sum(when(col("sh").isNotNull, 1).otherwise(0)).cast("long").as("n_removed"),
+        count(lit(1)).as("n_sentences"))
+  }
+
+  /** DuckDB twin of [[dedupSentences]] (string-keyed frequent join, the
+    * [[dedupLinesSql]] precedent — Spark keys on md5 of the same
+    * string; equal unless md5 collides between distinct sentences).
+    */
+  def dedupSentencesSql(table: String, id: String, text: String,
+                        maxFreq: Int): String =
+    s"""WITH s AS (${TextAnalysis.sentencesSql(table, id, text)}),
+       |f AS (SELECT sentence FROM s GROUP BY sentence HAVING count(*) > $maxFreq)
+       |SELECT s.$id,
+       |  coalesce(string_agg(CASE WHEN f.sentence IS NULL THEN s.sentence END, ' ' ORDER BY s.sent_idx), '') AS clean_text,
+       |  sum(CASE WHEN f.sentence IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       |  count(*) AS n_sentences
+       |FROM s LEFT JOIN f ON s.sentence = f.sentence
+       |GROUP BY s.$id""".stripMargin
+
   /** Exact substring-span dedup — the batch ExactSubstr shape of the
     * public "Deduplicating Training Data Makes Language Models Better"
     * construction (Lee et al. 2021), at word-span grain: any fixed-length

@@ -2635,6 +2635,27 @@ object Queries {
           "chr(10) || 'footer ' || doc_id AS text2 FROM documents)",
         "doc_id", "text2", maxFreq = 10))),
 
+    // duplicated-SENTENCE removal (r14): dedup_lines at the sentence
+    // grain, exercising BOTH boundary classes in one corpus — the
+    // translated third carries a planted zh boilerplate sentence
+    // (。-terminated, no whitespace anywhere), the rest an ASCII
+    // newsletter call; each repeats corpus-wide >> maxFreq and must be
+    // struck from every doc while the organic sentences survive
+    QueryDef("dedup_sentences",
+      (s, dir) => Dedup.dedupSentences(
+        t(s, dir, "documents").withColumn("text", expr(
+          s"IF(doc_id % 3 = 0, " +
+            s"concat(replace(translate(lower(text), 'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', ''), " +
+            s"'。请关注我们的公众号。'), " +
+            s"concat(text, '. Subscribe to our newsletter today!'))")),
+        "doc_id", "text", maxFreq = 10),
+      Some(Dedup.dedupSentencesSql(
+        s"(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN " +
+          s"replace(translate(lower(text), 'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', '') " +
+          s"|| '。请关注我们的公众号。' " +
+          s"ELSE text || '. Subscribe to our newsletter today!' END AS text FROM documents)",
+        "doc_id", "text", maxFreq = 10))),
+
     // exact substring-SPAN dedup (the ExactSubstr batch shape): stride-1
     // word 5-grams duplicated corpus-wide are struck at every covered
     // position. The fixture appends a 9-word boilerplate run (5 fully-

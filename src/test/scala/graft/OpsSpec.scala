@@ -593,6 +593,28 @@ class OpsSpec extends SparkSpec {
     assert(out(2L)._2 && out(3L)._2, "clean and sub-shingle docs must keep")
   }
 
+  test("sentence dedup: boilerplate struck on both boundary classes; pure-boilerplate doc survives empty") {
+    import spark.implicits._
+    val boiler = "Subscribe to our newsletter today!"
+    val zhBoiler = "请关注我们的公众号。"
+    val docs = (1L to 12L).map { i =>
+      if (i <= 4) (i, s"unique content number $i here. $boiler")
+      else if (i <= 8) (i, s"第${i}篇独特的中文内容。$zhBoiler")
+      else if (i == 9L) (i, boiler)                   // pure boilerplate
+      else if (i == 10L) (i, "")                      // empty: absent from output
+      else (i, s"$boiler $zhBoiler$boiler")           // boilerplate x3
+    }.toDF("doc_id", "text")
+    val out = graft.ops.Dedup.dedupSentences(docs, "doc_id", "text", maxFreq = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(!out.contains(10L), "sentence-less doc has no rows (documented domain)")
+    assert(out(1L) == (("unique content number 1 here.", 1L, 2L)),
+      s"ascii boilerplate struck, organic kept: ${out(1L)}")
+    assert(out(5L)._1 == "第5篇独特的中文内容。" && out(5L)._2 == 1L,
+      s"zh boilerplate struck via full-width boundary: ${out(5L)}")
+    assert(out(9L) == (("", 1L, 1L)), "pure-boilerplate doc survives with clean_text = ''")
+    assert(out(11L) == (("", 3L, 3L)), s"all three boilerplate sentences struck: ${out(11L)}")
+  }
+
   test("band-table grain contract: ws-built table probed cjk-auto fails fast; unmarked table refused") {
     import spark.implicits._
     val prior = Seq((100L, longDoc)).toDF("doc_id", "text")
