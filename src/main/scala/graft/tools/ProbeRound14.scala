@@ -79,6 +79,20 @@ object ProbeRound14 {
           size = 64, grain = "cjk-auto").queryExecution.toRdd.count())
     }
 
+    if (on("sentdedup")) {
+      // duplicated-sentence removal at 1M docs: the dedupLines plan
+      // shape (digest partial-agg + broadcast frequent set + doc-keyed
+      // reassembly) at the sentence grain — the replica corpus's v-N
+      // suffixes make most sentences unique while the shared prefix
+      // sentences cross the maxFreq bar, so the broadcast side is real
+      for (r <- 1 to 2)
+        time(s"dedupSentences 1M docs (mixed boundaries) rep$r")(
+          graft.ops.Dedup.dedupSentences(
+            zh.select(col("doc_id"), concat(col("text"),
+              lit("。请关注我们的公众号。")).as("text")),
+            "doc_id", "text", maxFreq = 100).queryExecution.toRdd.count())
+    }
+
     if (on("fmm")) {
       time("cjk-dict FMM tokens 1M docs explode (warmup)")(
         zh.select(explode(expr("graft_fmm_tokens(text, false)")))
