@@ -363,7 +363,8 @@ object GopherOps {
     * position; parity with the recursive-CTE oracle is held by
     * CjkDictSpec against a straight-line reference walk.
     */
-  def fmmTokens(text: UTF8String, keepEmpties: Boolean): ArrayData = {
+  def fmmTokens(text: UTF8String, keepEmpties: Boolean,
+                lex: graft.ops.FmmLexicon): ArrayData = {
     val s = text.toString
     if (isDominated(s)) {
       val out = new scala.collection.mutable.ArrayBuffer[AnyRef]()
@@ -372,7 +373,7 @@ object GopherOps {
         val c = s.charAt(i)
         if (c == ' ') i += 1
         else {
-          val w = graft.ops.ZhLexicon.longestMatch(s, i)
+          val w = lex.longestMatch(s, i)
           if (w != null) { out += UTF8String.fromString(w); i += w.length }
           else if (isCjk(c)) { out += UTF8String.fromString(String.valueOf(c)); i += 1 }
           else {
@@ -407,7 +408,7 @@ object GopherOps {
     * tokens with counts, fused from the raw text (the vocabulary /
     * tf consumers' shape: one exploded row per DISTINCT (doc, term)).
     */
-  def fmmTermTfPairs(text: UTF8String): ArrayData = {
+  def fmmTermTfPairs(text: UTF8String, lex: graft.ops.FmmLexicon): ArrayData = {
     val s = text.toString
     val m = new java.util.LinkedHashMap[String, Array[Long]]()
     @inline def bump(w: String): Unit = {
@@ -420,7 +421,7 @@ object GopherOps {
         val c = s.charAt(i)
         if (c == ' ') i += 1
         else {
-          val w = graft.ops.ZhLexicon.longestMatch(s, i)
+          val w = lex.longestMatch(s, i)
           if (w != null) { bump(w); i += w.length }
           else if (isCjk(c)) { bump(String.valueOf(c)); i += 1 }
           else {
@@ -584,7 +585,8 @@ object GopherOps {
     * match as ONE token where the codepoint grain would shred them).
     */
   def fmmTermCounts(text: UTF8String, termBytes: Array[Array[Byte]],
-                    termStrs: Array[String]): ArrayData = {
+                    termStrs: Array[String],
+                    lex: graft.ops.FmmLexicon): ArrayData = {
     val s = text.toString
     if (!isDominated(s)) return HashOps.termCounts(text, termBytes)
     val out = new Array[Long](termStrs.length + 1)
@@ -594,7 +596,7 @@ object GopherOps {
       if (c == ' ') i += 1
       else {
         val st = i
-        val w = graft.ops.ZhLexicon.longestMatch(s, i)
+        val w = lex.longestMatch(s, i)
         if (w != null) i += w.length
         else if (isCjk(c)) i += 1
         else {
@@ -612,6 +614,42 @@ object GopherOps {
       }
     }
     new GenericArrayData(out)
+  }
+
+  /** Count-only FMM walk (round 15) — the dict-grain twin of
+    * [[routedTokenCountAll]]: token count WITH empties on the ws
+    * fallback branch, so [[graft.ops.Dedup.shingleFloorPred]] can gate
+    * sub-k-token docs without materializing a token array. Same walk
+    * as [[fmmTokens]] minus the buffer.
+    */
+  def fmmTokenCountAll(text: UTF8String,
+                       lex: graft.ops.FmmLexicon): Long = {
+    val s = text.toString
+    if (isDominated(s)) {
+      var n = 0L
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == ' ') i += 1
+        else {
+          val w = lex.longestMatch(s, i)
+          if (w != null) i += w.length
+          else if (isCjk(c)) i += 1
+          else {
+            i += 1
+            while (i < s.length && { val cc = s.charAt(i); cc != ' ' && !isCjk(cc) }) i += 1
+          }
+          n += 1
+        }
+      }
+      n
+    } else {
+      // split(" ", -1) semantics: empties count (n spaces -> n+1 tokens)
+      var n = 1L
+      var i = 0
+      while (i < s.length) { if (s.charAt(i) == ' ') n += 1; i += 1 }
+      n
+    }
   }
 
   def flags(text: UTF8String,
@@ -846,10 +884,12 @@ case class GopherFlags(child: Expression,
   */
 case class TermTf(child: Expression, grain: String = "ws")
     extends UnaryExpression {
-  require(grain == "ws" || grain == "cjk-auto" || grain == "cjk-dict",
-    s"grain must be 'ws', 'cjk-auto' or 'cjk-dict', got $grain")
+  require(grain == "ws" || grain == "cjk-auto" ||
+      graft.ops.FmmLexicons.isDict(grain),
+    s"grain must be 'ws', 'cjk-auto' or a dict grain " +
+      s"(${graft.ops.FmmLexicons.byGrain.keys.mkString(", ")}), got $grain")
   private val cjkAuto = grain == "cjk-auto"
-  private val dict = grain == "cjk-dict"
+  private val dict = graft.ops.FmmLexicons.isDict(grain)
   override def prettyName: String = "graft_term_tf"
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(new StructType()
@@ -861,23 +901,33 @@ case class TermTf(child: Expression, grain: String = "ws")
       s"$prettyName requires STRING, got ${dt.catalogString}")
   }
   override def nullSafeEval(s: Any): Any =
-    if (dict) GopherOps.fmmTermTfPairs(s.asInstanceOf[UTF8String])
+    if (dict)
+      GopherOps.fmmTermTfPairs(s.asInstanceOf[UTF8String],
+        graft.ops.FmmLexicons(grain))
     else GopherOps.termTfPairs(s.asInstanceOf[UTF8String], cjkAuto)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
-      if (dict) s"${ev.value} = graft.functions.GopherOps.fmmTermTfPairs($s);"
+      if (dict)
+        s"${ev.value} = graft.functions.GopherOps.fmmTermTfPairs($s, " +
+          s"${graft.ops.FmmLexicons.javaRef(grain)});"
       else s"${ev.value} = graft.functions.GopherOps.termTfPairs($s, $cjkAuto);")
   override protected def withNewChildInternal(c: Expression): TermTf =
     copy(child = c)
 }
 
-/** `graft_fmm_tokens(text, keepEmpties)` — see [[GopherOps.fmmTokens]]:
-  * the compiled `cjk-dict` word grain as ARRAY<STRING> — forward
-  * maximum match over the committed [[graft.ops.ZhLexicon]] on
-  * dominance-routed rows, whitespace grain otherwise.
+/** `graft_fmm_tokens(text, keepEmpties[, grain])` — see
+  * [[GopherOps.fmmTokens]]: the compiled dictionary word grain as
+  * ARRAY<STRING> — forward maximum match over the committed lexicon
+  * the grain resolves to ([[graft.ops.FmmLexicons]]; default
+  * `'cjk-dict'` = [[graft.ops.ZhLexicon]]) on dominance-routed rows,
+  * whitespace grain otherwise.
   */
-case class FmmTokens(child: Expression, keepEmpties: Boolean)
+case class FmmTokens(child: Expression, keepEmpties: Boolean,
+                     grain: String = "cjk-dict")
     extends UnaryExpression {
+  require(graft.ops.FmmLexicons.isDict(grain),
+    s"grain must be a dict grain " +
+      s"(${graft.ops.FmmLexicons.byGrain.keys.mkString(", ")}), got $grain")
   override def prettyName: String = "graft_fmm_tokens"
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -887,11 +937,42 @@ case class FmmTokens(child: Expression, keepEmpties: Boolean)
       s"$prettyName requires STRING, got ${dt.catalogString}")
   }
   override def nullSafeEval(s: Any): Any =
-    GopherOps.fmmTokens(s.asInstanceOf[UTF8String], keepEmpties)
+    GopherOps.fmmTokens(s.asInstanceOf[UTF8String], keepEmpties,
+      graft.ops.FmmLexicons(grain))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
-      s"${ev.value} = graft.functions.GopherOps.fmmTokens($s, $keepEmpties);")
+      s"${ev.value} = graft.functions.GopherOps.fmmTokens($s, $keepEmpties, " +
+        s"${graft.ops.FmmLexicons.javaRef(grain)});")
   override protected def withNewChildInternal(c: Expression): FmmTokens =
+    copy(child = c)
+}
+
+/** `graft_fmm_token_count(text[, grain])` — see
+  * [[GopherOps.fmmTokenCountAll]]: the dict-grain token count WITH
+  * ws-branch empties, the floor predicate's count-only kernel (the
+  * dict twin of `graft_routed_token_count`).
+  */
+case class FmmTokenCount(child: Expression, grain: String = "cjk-dict")
+    extends UnaryExpression {
+  require(graft.ops.FmmLexicons.isDict(grain),
+    s"grain must be a dict grain " +
+      s"(${graft.ops.FmmLexicons.byGrain.keys.mkString(", ")}), got $grain")
+  override def prettyName: String = "graft_fmm_token_count"
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${dt.catalogString}")
+  }
+  override def nullSafeEval(s: Any): Any =
+    GopherOps.fmmTokenCountAll(s.asInstanceOf[UTF8String],
+      graft.ops.FmmLexicons(grain))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.GopherOps.fmmTokenCountAll($s, " +
+        s"${graft.ops.FmmLexicons.javaRef(grain)});")
+  override protected def withNewChildInternal(c: Expression): FmmTokenCount =
     copy(child = c)
 }
 

@@ -542,10 +542,12 @@ case class TermCounts(child: Expression, terms: Seq[String],
                       grain: String = "ws")
     extends StringCountExpression {
   require(terms.nonEmpty, "graft_term_counts requires at least one term")
-  require(grain == "ws" || grain == "cjk-auto" || grain == "cjk-dict",
-    s"grain must be 'ws', 'cjk-auto' or 'cjk-dict', got $grain")
+  require(grain == "ws" || grain == "cjk-auto" ||
+      graft.ops.FmmLexicons.isDict(grain),
+    s"grain must be 'ws', 'cjk-auto' or a dict grain " +
+      s"(${graft.ops.FmmLexicons.byGrain.keys.mkString(", ")}), got $grain")
   private val routed = grain == "cjk-auto"
-  private val dict = grain == "cjk-dict"
+  private val dict = graft.ops.FmmLexicons.isDict(grain)
   override def prettyName: String = "graft_term_counts"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -556,7 +558,8 @@ case class TermCounts(child: Expression, terms: Seq[String],
   override def nullSafeEval(s: Any): Any =
     if (dict)
       GopherOps.fmmTermCounts(
-        s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], termBytes, termStrs)
+        s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], termBytes,
+        termStrs, graft.ops.FmmLexicons(grain))
     else if (routed)
       GopherOps.routedTermCounts(
         s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], termBytes, termStrs)
@@ -571,7 +574,8 @@ case class TermCounts(child: Expression, terms: Seq[String],
     if (dict)
       nullSafeCodeGen(ctx, ev, s =>
         s"${ev.value} = graft.functions.GopherOps.fmmTermCounts($s, " +
-          s"$ref.termBytes(), $ref.termStrs());")
+          s"$ref.termBytes(), $ref.termStrs(), " +
+          s"${graft.ops.FmmLexicons.javaRef(grain)});")
     else if (routed)
       nullSafeCodeGen(ctx, ev, s =>
         s"${ev.value} = graft.functions.GopherOps.routedTermCounts($s, " +

@@ -246,7 +246,11 @@ object VectorFunctions {
     "graft_routed_tokens" -> (classOf[RoutedTokens],
       (e: Seq[Expression]) => RoutedTokens(e(0), boolLit(e(1), "graft_routed_tokens"))),
     "graft_fmm_tokens" -> (classOf[FmmTokens],
-      (e: Seq[Expression]) => FmmTokens(e(0), boolLit(e(1), "graft_fmm_tokens"))),
+      (e: Seq[Expression]) => FmmTokens(e(0), boolLit(e(1), "graft_fmm_tokens"),
+        if (e.length > 2) stringLit(e(2), "graft_fmm_tokens") else "cjk-dict")),
+    "graft_fmm_token_count" -> (classOf[FmmTokenCount],
+      (e: Seq[Expression]) => FmmTokenCount(e(0),
+        if (e.length > 1) stringLit(e(1), "graft_fmm_token_count") else "cjk-dict")),
     "graft_sentence_chunks" -> (classOf[SentenceChunks],
       (e: Seq[Expression]) => SentenceChunks(e(0),
         intLit(e(1), "graft_sentence_chunks"),
@@ -338,7 +342,8 @@ object VectorFunctions {
     "graft_word_count" -> Set(1, 2), "graft_url_canon" -> Set(1),
     "graft_lang_scores" -> Set(1),
     "graft_routed_tokens" -> Set(2), "graft_routed_token_count" -> Set(1),
-    "graft_fmm_tokens" -> Set(2), "graft_sentence_chunks" -> Set(3),
+    "graft_fmm_tokens" -> Set(2, 3), "graft_fmm_token_count" -> Set(1, 2),
+    "graft_sentence_chunks" -> Set(3),
     "graft_term_tf" -> Set(1, 2),
     "graft_gram_tf" -> Set(2, 3),
     "graft_gopher_flags" -> Set(11, 12), "graft_url_domain" -> Set(1))

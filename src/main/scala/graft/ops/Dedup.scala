@@ -58,18 +58,53 @@ object Dedup {
     * here instead of silently running the ws grain it was meant to
     * replace.
     */
-  private[ops] def requireGrain(g: String): String = {
-    require(g == "ws" || g == "cjk-auto",
-      s"wordGrain must be 'ws' or 'cjk-auto', got $g")
-    g
+  /** Size-gated broadcast hint (round 15) for "small by construction"
+    * side tables like the dedupLines/dedupSentences frequent sets: the
+    * `total / maxFreq` cardinality BOUND is not a broadcast GUARANTEE —
+    * at 100 TB with a low maxFreq the frequent set can blow past the
+    * driver. The helper leases `df` (it is about to feed a join
+    * anyway), pays ONE eager aggregate to estimate its broadcast
+    * payload (`payloadBytes` summed + a flat per-row overhead), and
+    * hints broadcast only when the estimate fits the session's
+    * `spark.sql.autoBroadcastJoinThreshold`; past it — or with the
+    * threshold set to -1 — the frame is returned unhinted and the join
+    * degrades to a shuffled strategy instead of OOMing the driver.
+    */
+  private[ops] def broadcastIfSmall(df: DataFrame, payloadBytes: Column): DataFrame = {
+    val leased = Caches.lease(df)
+    val r = leased.agg(
+      coalesce(sum(payloadBytes.cast("long")), lit(0L)),
+      count(lit(1))).head()
+    // ~32 B/row of HashedRelation overhead on top of the payload
+    val est = r.getLong(0) + 32L * r.getLong(1)
+    val raw = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val threshold =
+      try java.lang.Long.parseLong(raw.trim)
+      catch { case _: NumberFormatException =>
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw.trim) }
+    if (threshold > 0 && est <= threshold) broadcast(leased) else leased
   }
 
+  private[ops] def requireGrain(g: String): String =
+    TextAnalysis.requireWordGrain(g)
+
   def duckShingles(text: String, k: Int = 3, grain: String = "ws"): String = {
-    requireGrain(grain)
+    // 'toklist' (round 15, internal): `text` is ALREADY a token-list
+    // expression — the dict-grain twins precompute the FMM token list
+    // as a recursive-CTE derived table ([[grainSource]]) because no
+    // scalar SQL expression can run a sequential segmentation cursor.
+    // Dict grain strings themselves are deliberately NOT accepted
+    // here: a twin builder that has not been routed through
+    // [[grainSource]] must fail loudly, not emit wrong-grain SQL.
+    require(grain == "ws" || grain == "cjk-auto" || grain == "toklist",
+      s"duckShingles grain must be 'ws', 'cjk-auto' or 'toklist' " +
+        s"(dict grains go through grainSource), got $grain")
     // parenthesized: the routed form is a CASE expression and list
     // indexing binds tighter than CASE in the DuckDB grammar
     val w = if (grain == "cjk-auto")
               s"(${TextAnalysis.routedTokensDuck(text, keepEmpties = true)})"
+            else if (grain == "toklist") s"($text)"
             else s"string_split($text, ' ')"
     val parts = (0 until k).map(j => s"$w[i + $j]").mkString(" || ' ' || ")
     s"list_distinct(list_transform(generate_series(1, len($w) - ${k - 1}), i -> $parts))"
@@ -99,12 +134,34 @@ object Dedup {
     // whole-stage codegen, unlike a HOF child.
     if (grain == "cjk-auto")
       s"graft_shingle_hashes(graft_routed_tokens($text, true), $k)"
+    else if (FmmLexicons.isDict(grain))
+      // dict grains (round 15): shingles over the FMM WORD sequence —
+      // a zh near-dup pair differing by one character INSIDE a
+      // dictionary word shingles apart at codepoint grain but stays a
+      // near-dup at word grain; kernel child of a kernel, stays in
+      // whole-stage codegen
+      s"graft_shingle_hashes(graft_fmm_tokens($text, true, '$grain'), $k)"
     else s"graft_shingle_hashes(split($text, ' '), $k)"
   }
 
   def duckShingleHashes(text: String, k: Int = 3,
                         grain: String = "ws"): String =
     s"list_distinct(${duckHashArrayOf(duckShingles(text, k, grain))})"
+
+  /** Dict-grain rewrite for the scalar SQL twins (round 15): FMM needs
+    * a recursive CTE, so for a dict grain the (table, text, grain)
+    * triple becomes (fmm-token-list derived table, `__toks`,
+    * `'toklist'`) and the twin's shingling consumes the list directly;
+    * ws/cjk-auto pass through untouched. The derived table exposes
+    * exactly ($id, __toks) — usable by every twin that references only
+    * the id and the text.
+    */
+  private def grainSource(table: String, id: String, text: String,
+                          grain: String): (String, String, String) =
+    if (FmmLexicons.isDict(grain))
+      (s"(${TextAnalysis.fmmTokListRelDuck(table, text, id, FmmLexicons(grain))})",
+        "__toks", "toklist")
+    else (table, text, grain)
 
   /** Cheap `>= k`-token floor predicate matching the grain's shingle
     * token sequence exactly (hs is empty iff it fails): ws counts the
@@ -113,12 +170,18 @@ object Dedup {
     */
   def shingleFloorPred(text: String, k: Int, grain: String = "ws"): String =
     if (requireGrain(grain) == "cjk-auto") s"graft_routed_token_count($text) >= $k"
+    else if (FmmLexicons.isDict(grain))
+      s"graft_fmm_token_count($text, '$grain') >= $k"
     else s"size(split($text, ' ')) >= $k"
 
   /** DuckDB twin of [[shingleFloorPred]]. */
   def duckShingleFloorPred(text: String, k: Int, grain: String = "ws"): String =
-    if (requireGrain(grain) == "cjk-auto")
+    if (grain == "toklist") s"len($text) >= $k"
+    else if (requireGrain(grain) == "cjk-auto")
       s"len(${TextAnalysis.routedTokensDuck(text, keepEmpties = true)}) >= $k"
+    else if (FmmLexicons.isDict(grain))
+      throw new IllegalArgumentException(
+        "dict-grain twins must rewrite through grainSource before the floor")
     else s"len(string_split($text, ' ')) >= $k"
 
   /** Exact dedup by content digest: (digest, keep_id = min id, dup count).
@@ -164,8 +227,12 @@ object Dedup {
     val frequent = lines
       .groupBy(md5(col("line")).as("lh")).agg(count(lit(1)).as("c"))
       .where(col("c") > maxFreq)
+      .select(col("lh"))
+    // 16-byte digest payload per frequent line; size-gated (round 15) —
+    // the total/maxFreq bound is not a broadcast guarantee at 100 TB
     lines
-      .join(broadcast(frequent), md5(col("line")) === col("lh"), "left_outer")
+      .join(broadcastIfSmall(frequent, lit(16)),
+        md5(col("line")) === col("lh"), "left_outer")
       .groupBy(col(id))
       .agg(
         // collect_list skips the NULL CASE branches, so frequent lines
@@ -213,11 +280,19 @@ object Dedup {
   def dedupSentences(df: DataFrame, id: String, text: String,
                      maxFreq: Int): DataFrame = {
     val sents = TextAnalysis.sentences(df, id, text)
+    // frequency keyed on the SENTENCE STRING itself (round 15, was
+    // md5): sentences are boundary-segmented and hence length-bounded,
+    // so the partial-agg exchange carries strings of the same order as
+    // digest rows, the (theoretical) md5 collision merging two distinct
+    // sentences' counts disappears, and the op matches the string-keyed
+    // DuckDB twin EXACTLY instead of modulo-collision
     val frequent = sents
-      .groupBy(md5(col("sentence")).as("sh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("sentence").as("fsent")).agg(count(lit(1)).as("c"))
       .where(col("c") > maxFreq)
+      .select(col("fsent"))
     sents
-      .join(broadcast(frequent), md5(col("sentence")) === col("sh"), "left_outer")
+      .join(broadcastIfSmall(frequent, octet_length(col("fsent"))),
+        col("sentence") === col("fsent"), "left_outer")
       .groupBy(col(id))
       .agg(
         // collect_list skips the NULL CASE branches (the dedupLines
@@ -225,15 +300,14 @@ object Dedup {
         // anchor the group, so a doc of pure boilerplate survives with
         // clean_text = ''
         expr("concat_ws(' ', transform(array_sort(" +
-          "collect_list(CASE WHEN sh IS NULL THEN struct(sent_idx, sentence) END)), s -> s.sentence))")
+          "collect_list(CASE WHEN fsent IS NULL THEN struct(sent_idx, sentence) END)), s -> s.sentence))")
           .as("clean_text"),
-        sum(when(col("sh").isNotNull, 1).otherwise(0)).cast("long").as("n_removed"),
+        sum(when(col("fsent").isNotNull, 1).otherwise(0)).cast("long").as("n_removed"),
         count(lit(1)).as("n_sentences"))
   }
 
-  /** DuckDB twin of [[dedupSentences]] (string-keyed frequent join, the
-    * [[dedupLinesSql]] precedent — Spark keys on md5 of the same
-    * string; equal unless md5 collides between distinct sentences).
+  /** DuckDB twin of [[dedupSentences]] (string-keyed frequent join on
+    * both engines since round 15 — exact, no collision caveat).
     */
   def dedupSentencesSql(table: String, id: String, text: String,
                         maxFreq: Int): String =
@@ -358,10 +432,11 @@ object Dedup {
   def minhashSignaturesSql(table: String, id: String, text: String,
                            numHashes: Int = 16, k: Int = 3,
                            wordGrain: String = "ws"): String = {
+    val (tbl, txt, g) = grainSource(table, id, text, wordGrain)
     val sigCols = (0 until numHashes).map { i =>
       s"list_min(list_transform(hs, h -> ${universal(i, "h")})) AS mh$i"
     }.mkString(", ")
-    s"SELECT $id, $sigCols FROM (SELECT $id, ${duckShingleHashes(text, k, wordGrain)} AS hs FROM $table) WHERE len(hs) > 0"
+    s"SELECT $id, $sigCols FROM (SELECT $id, ${duckShingleHashes(txt, k, g)} AS hs FROM $tbl) WHERE len(hs) > 0"
   }
 
   /** MinHash LSH candidate pairs, exact-Jaccard verified.
@@ -459,6 +534,7 @@ object Dedup {
   def minhashDedupKeepersSql(table: String, id: String, text: String,
                              bands: Int = 4, rowsPerBand: Int = 4,
                              k: Int = 3, wordGrain: String = "ws"): String = {
+    val (tbl, txt, g) = grainSource(table, id, text, wordGrain)
     val bandSelects = (0 until bands).map { b =>
       val sig = (0 until rowsPerBand).map { r =>
         val i = b * rowsPerBand + r
@@ -468,7 +544,7 @@ object Dedup {
     }.mkString(" UNION ALL ")
     s"""WITH docs AS (
        |  SELECT _did, hs FROM
-       |    (SELECT $id AS _did, ${duckShingleHashes(text, k, wordGrain)} AS hs FROM $table)
+       |    (SELECT $id AS _did, ${duckShingleHashes(txt, k, g)} AS hs FROM $tbl)
        |  WHERE len(hs) > 0),
        |bandrows AS ($bandSelects),
        |bucketmin AS (
@@ -514,6 +590,7 @@ object Dedup {
                                 bands: Int = 4, rowsPerBand: Int = 4,
                                 k: Int = 3, iters: Int = 3,
                                 wordGrain: String = "ws"): String = {
+    val (tbl, txt, g) = grainSource(table, id, text, wordGrain)
     val bandSelects = (0 until bands).map { b =>
       val sig = (0 until rowsPerBand).map { r =>
         val i = b * rowsPerBand + r
@@ -534,7 +611,7 @@ object Dedup {
     }.mkString(",\n")
     s"""WITH docs AS (
        |  SELECT _did, hs FROM
-       |    (SELECT $id AS _did, ${duckShingleHashes(text, k, wordGrain)} AS hs FROM $table)
+       |    (SELECT $id AS _did, ${duckShingleHashes(txt, k, g)} AS hs FROM $tbl)
        |  WHERE len(hs) > 0),
        |bandrows AS ($bandSelects),
        |l0 AS (SELECT DISTINCT _did, _did AS label FROM bandrows),
@@ -546,6 +623,7 @@ object Dedup {
                          bands: Int = 4, rowsPerBand: Int = 4, k: Int = 3,
                          threshold: Double = 0.5,
                          wordGrain: String = "ws"): String = {
+    val (tbl, txt, g) = grainSource(table, id, text, wordGrain)
     val bandSelects = (0 until bands).map { b =>
       val sig = (0 until rowsPerBand).map { r =>
         val i = b * rowsPerBand + r
@@ -555,7 +633,7 @@ object Dedup {
     }.mkString(" UNION ALL ")
     s"""WITH docs AS (
        |  SELECT _did, hs FROM
-       |    (SELECT $id AS _did, ${duckShingleHashes(text, k, wordGrain)} AS hs FROM $table)
+       |    (SELECT $id AS _did, ${duckShingleHashes(txt, k, g)} AS hs FROM $tbl)
        |  WHERE len(hs) > 0),
        |bandrows AS ($bandSelects),
        |cand AS (
@@ -780,14 +858,16 @@ object Dedup {
 
   def ngramJaccardPairsSql(table: String, id: String, text: String,
                            k: Int = 3, threshold: Double = 0.5,
-                           wordGrain: String = "ws"): String =
-    s"""WITH d AS (SELECT $id, ${duckShingleHashes(text, k, wordGrain)} AS g FROM $table
-       |            WHERE ${duckShingleFloorPred(text, k, wordGrain)}),
+                           wordGrain: String = "ws"): String = {
+    val (tbl, txt, g) = grainSource(table, id, text, wordGrain)
+    s"""WITH d AS (SELECT $id, ${duckShingleHashes(txt, k, g)} AS g FROM $tbl
+       |            WHERE ${duckShingleFloorPred(txt, k, g)}),
        |p AS (SELECT a.$id AS a_id, b.$id AS b_id,
        |        len(list_intersect(a.g, b.g)) AS c, len(a.g) AS na, len(b.g) AS nb
        |      FROM d a JOIN d b ON a.$id < b.$id)
        |SELECT a_id, b_id, round(c * 1.0 / (na + nb - c), 6) AS jaccard
        |FROM p WHERE round(c * 1.0 / (na + nb - c), 6) >= $threshold""".stripMargin
+  }
 
   /** Incremental snapshot dedup: the new-crawl documents whose content
     * digest does NOT appear in the accumulated prior corpus — the
@@ -885,10 +965,26 @@ object Dedup {
     * Cost: a schema check + `head(1)` (one row off the first file;
     * band tables are constant-grain by construction).
     */
-  private def requireBandGrain(priorBands: DataFrame, wordGrain: String): Unit = {
+  private def requireBandGrain(priorBands: DataFrame, wordGrain: String,
+                               strict: Boolean = false): Unit = {
     require(priorBands.columns.contains("grain"),
       "band table has no 'grain' marker column — rebuild it with " +
         "Dedup.bandTable (grain-stamped) before probing incrementally")
+    // The head(1) peek assumes a CONSTANT-grain table (true of any
+    // single bandTable output by construction). A priorBands formed by
+    // UNIONING band tables built under different grains passes the
+    // one-row peek while its mismatched rows silently report every
+    // re-crawl as new — for multi-file prior tables pass
+    // `strictGrain = true`, which pays one full scan of the (id-and-
+    // longs-only) band table to assert the grain is single-valued.
+    if (strict) {
+      val r = priorBands
+        .agg(min(col("grain")).as("lo"), max(col("grain")).as("hi")).head()
+      require(r.getString(0) == r.getString(1),
+        s"band table mixes grains '${r.getString(0)}'..'${r.getString(1)}' " +
+          "— it was formed by unioning band tables built under different " +
+          "grains; rebuild the halves under one grain before probing")
+    }
     priorBands.select(col("grain")).head(1).foreach { r =>
       val g = r.getString(0)
       require(g == wordGrain,
@@ -917,8 +1013,9 @@ object Dedup {
   def incrementalNearDup(newSnap: DataFrame, priorBands: DataFrame,
                          id: String, text: String,
                          bands: Int = 4, rowsPerBand: Int = 4,
-                         k: Int = 3, wordGrain: String = "ws"): DataFrame = {
-    requireBandGrain(priorBands, wordGrain)
+                         k: Int = 3, wordGrain: String = "ws",
+                         strictGrain: Boolean = false): DataFrame = {
+    requireBandGrain(priorBands, wordGrain, strictGrain)
     val newBands = bandTable(newSnap, id, text, bands, rowsPerBand, k, wordGrain)
     val matches = newBands
       .join(priorBands.select(col("band"), col("bucket"),
@@ -948,8 +1045,9 @@ object Dedup {
                                   id: String, text: String,
                                   bands: Int = 4, rowsPerBand: Int = 4,
                                   k: Int = 3,
-                                  wordGrain: String = "ws"): DataFrame = {
-    requireBandGrain(priorBands, wordGrain)
+                                  wordGrain: String = "ws",
+                                  strictGrain: Boolean = false): DataFrame = {
+    requireBandGrain(priorBands, wordGrain, strictGrain)
     val shift = 32 - Integer.numberOfLeadingZeros(math.max(bands - 1, 1))
     val priorKeys: Array[Long] = priorBands
       .select(expr(s"shiftleft(bucket, $shift) | band").as("bk"))

@@ -69,8 +69,12 @@ object PortableHash {
     * third). Same-value implementations: the compiled kernel
     * ([[graft.functions.HashOps.tokenRollHash]]), the DuckDB fold
     * below (validated on ascii/han/empty/astral/combining classes),
-    * and [[jvmTokenRoll]] for specs. Collision class is unchanged —
-    * H also reduces mod P.
+    * and [[jvmTokenRoll]] for specs. Collision caveat: like H this
+    * reduces mod P, but poly31 additionally has STRUCTURED collision
+    * families md5 lacks (e.g. 2-char tokens "bA"/"a`" collide since
+    * 31·'b'+'A' = 31·'a'+'`', and the final affine mix preserves any
+    * pre-mix tie) — acceptable here because the fingerprints only
+    * feed threshold-based winnow/containment scoring, never identity.
     */
   /** Final multiplicative mix of the token roll: a bare poly31 fold
     * leaves short tokens with systematically SMALL values (h ≈ 217 +

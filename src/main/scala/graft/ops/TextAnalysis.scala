@@ -1000,8 +1000,7 @@ object TextAnalysis {
     // grain a zh vocabulary actually wants (the codepoint grain is an
     // IR fallback; FMM returns 我们/中国 whole). Rides the same
     // graft_term_tf kernel, dict mode.
-    require(wordGrain == "ws" || wordGrain == "cjk-auto" || wordGrain == "cjk-dict",
-      s"wordGrain must be 'ws', 'cjk-auto' or 'cjk-dict', got $wordGrain")
+    requireWordGrain(wordGrain)
     // round 13: rides the row-local (token, tf) pair kernel — one
     // exploded row per DISTINCT (doc, token), tf-weighted sums replace
     // the per-token count — and takes the routed grain (a ws "vocab"
@@ -1022,6 +1021,18 @@ object TextAnalysis {
       .select(col("rank"), col("token"), col("cnt"), col("coverage"))
   }
 
+  /** Central word-grain validator (round 15): 'ws', 'cjk-auto', or
+    * any committed dictionary grain ([[FmmLexicons.byGrain]] —
+    * 'cjk-dict', 'thai-dict'). Returns the grain so call sites can
+    * validate inline; [[Dedup.requireGrain]] funnels here too.
+    */
+  private[ops] def requireWordGrain(g: String): String = {
+    require(g == "ws" || g == "cjk-auto" || FmmLexicons.isDict(g),
+      s"wordGrain must be 'ws', 'cjk-auto' or a dict grain " +
+        s"(${FmmLexicons.byGrain.keys.mkString(", ")}), got $g")
+    g
+  }
+
   /** DuckDB twin of the `cjk-dict` grain as a token RELATION
     * (`toks(token)` — FMM has a sequential cursor dependency no scalar
     * list expression can express, so the twin is a recursive CTE over
@@ -1030,9 +1041,18 @@ object TextAnalysis {
     * non-dominated rows union in the ws grain. Iterations = max token
     * count per doc — an oracle-side cost only, the Spark kernel is one
     * scan. Caller opens `WITH RECURSIVE`.
+    *
+    * ORACLE-GRADE ONLY: the recursion advances ONE token per
+    * iteration, so the twin's cost is (longest routed doc's token
+    * count) × (a per-iteration CASE-ladder scan over every live row).
+    * Fine for the length-capped fixtures the oracle runs on; do NOT
+    * point the generated SQL at real corpora — cap routed text length
+    * first (the Spark kernel has no such limit; it is one linear scan
+    * per row).
     */
   private def fmmToksRelDuck(table: String, text: String,
-                             idExpr: Option[String] = None): String = {
+                             idExpr: Option[String] = None,
+                             lex: FmmLexicon = ZhLexicon): String = {
     // rid keys the recursion rows; doc-consuming twins (tfidf) pass the
     // real id column, corpus-level twins (vocabulary) synthesize one
     val rid = idExpr.getOrElse("row_number() OVER ()")
@@ -1046,7 +1066,7 @@ object TextAnalysis {
        |  UNION ALL
        |  SELECT rid, t, pos + CASE WHEN tok = '' THEN 1 ELSE len(tok) END, tok
        |  FROM (SELECT rid, t, pos,
-       |    ${ZhLexicon.duckFmmCase("t", "pos", cjkRangeInterior)} AS tok
+       |    ${lex.duckFmmCase("t", "pos", cjkRangeInterior)} AS tok
        |    FROM seg WHERE pos <= len(t)) x),
        |toks AS (
        |  SELECT rid, token FROM seg WHERE token <> ''
@@ -1055,14 +1075,47 @@ object TextAnalysis {
        |  FROM base WHERE NOT routed)""".stripMargin
   }
 
+  /** Ordered per-doc token LIST relation on a dict grain (round 15) —
+    * the oracle feed for the SHINGLE family, where the consumer needs
+    * the whole token sequence per doc, not token rows: a complete
+    * `WITH RECURSIVE` SELECT (usable as a derived table) emitting
+    * `($id, __toks)` with `__toks` the FMM token list in text order.
+    * keepEmpties=TRUE semantics on the ws fallback branch
+    * (`string_split` unfiltered), mirroring `graft_fmm_tokens(t, true)`
+    * — the convention the ws/cjk-auto shingle twins already use. Same
+    * oracle-grade-only cost caveat as [[fmmToksRelDuck]].
+    */
+  private[ops] def fmmTokListRelDuck(table: String, text: String,
+                                     id: String, lex: FmmLexicon): String = {
+    s"""WITH RECURSIVE base AS (
+       |  SELECT $id AS rid, $text AS t,
+       |    ${cjkDominantDuck(text)} AS routed
+       |  FROM $table),
+       |seg AS (
+       |  SELECT rid, t, CAST(1 AS BIGINT) AS pos, '' AS token
+       |  FROM base WHERE routed
+       |  UNION ALL
+       |  SELECT rid, t, pos + CASE WHEN tok = '' THEN 1 ELSE len(tok) END, tok
+       |  FROM (SELECT rid, t, pos,
+       |    ${lex.duckFmmCase("t", "pos", cjkRangeInterior)} AS tok
+       |    FROM seg WHERE pos <= len(t)) x),
+       |tokord AS (
+       |  SELECT rid, token, pos AS ord FROM seg WHERE token <> ''
+       |  UNION ALL
+       |  SELECT rid, unnest(ls) AS token,
+       |         unnest(generate_series(1, len(ls))) AS ord
+       |  FROM (SELECT rid, string_split(t, ' ') AS ls FROM base WHERE NOT routed))
+       |SELECT rid AS $id, list(token ORDER BY ord ASC) AS __toks
+       |FROM tokord GROUP BY rid""".stripMargin
+  }
+
   /** DuckDB twin of [[vocabulary]]. */
   def vocabularySql(table: String, text: String, topV: Int = 100,
                     wordGrain: String = "ws"): String = {
-    require(wordGrain == "ws" || wordGrain == "cjk-auto" || wordGrain == "cjk-dict",
-      s"wordGrain must be 'ws', 'cjk-auto' or 'cjk-dict', got $wordGrain")
+    requireWordGrain(wordGrain)
     val prelude =
-      if (wordGrain == "cjk-dict")
-        s"WITH RECURSIVE ${fmmToksRelDuck(table, text)},"
+      if (FmmLexicons.isDict(wordGrain))
+        s"WITH RECURSIVE ${fmmToksRelDuck(table, text, None, FmmLexicons(wordGrain))},"
       else {
         val toks = if (wordGrain == "cjk-auto") routedTokensDuck(text, keepEmpties = false)
                    else s"list_filter(string_split($text, ' '), w -> w <> '')"
@@ -1188,11 +1241,14 @@ object TextAnalysis {
     */
   def unigramScore(docs: DataFrame, ref: DataFrame, id: String, text: String,
                    vocab: Int = 1000, wordGrain: String = "ws"): DataFrame = {
-    require(wordGrain == "ws" || wordGrain == "cjk-auto",
-      s"wordGrain must be 'ws' or 'cjk-auto', got $wordGrain")
+    requireWordGrain(wordGrain)
     // cjk-auto: the vocabulary and the scored tokens both ride the
     // routed grain, so an unsegmented reference corpus yields a real
     // codepoint unigram table instead of whole-document "tokens".
+    // dict grains (round 15): the FMM WORD grain — unigram frequency
+    // over characters measures character frequency, not word
+    // frequency; this is the CCNet-style LM-filter signal the dict
+    // grain exists to sharpen (the graft_term_tf kernel routes it).
     // BOTH grains explode the row-local (w, tf) pair kernel
     // (graft_term_tf, round 13) instead of one row per token: the
     // first exchange carries distinct-(doc, term) tf rows and the
@@ -1564,7 +1620,26 @@ object TextAnalysis {
   def unigramScoreSql(table: String, docsPred: String, refPred: String,
                       id: String, text: String, vocab: Int = 1000,
                       wordGrain: String = "ws"): String = {
-    val tok = if (Dedup.requireGrain(wordGrain) == "cjk-auto")
+    if (FmmLexicons.isDict(Dedup.requireGrain(wordGrain)))
+      // id-carrying FMM recursion scanned once; both preds filter the
+      // (id, token) relation — same rows the scalar branches feed
+      return s"""WITH RECURSIVE ${fmmToksRelDuck(table, text, Some(id), FmmLexicons(wordGrain))},
+         |ti AS (SELECT rid AS $id, token AS w FROM toks),
+         |rt AS (SELECT w FROM ti WHERE $refPred),
+         |top AS (SELECT w, count(*) AS cnt FROM rt GROUP BY w
+         |        ORDER BY cnt DESC, w ASC LIMIT $vocab),
+         |total AS (SELECT count(*) AS total_ref FROM rt),
+         |dt AS (SELECT $id, w FROM ti WHERE $docsPred),
+         |agg AS (
+         |  SELECT d.$id, count(*) AS n_tokens,
+         |         sum(CASE WHEN t.cnt IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         |         sum(coalesce(t.cnt, 0)) AS sum_cnt
+         |  FROM dt d LEFT JOIN top t ON d.w = t.w GROUP BY d.$id)
+         |SELECT $id, n_tokens,
+         |  round(n_oov::DOUBLE / n_tokens, 6) AS oov_ratio,
+         |  round(sum_cnt::DOUBLE / (n_tokens::DOUBLE * total_ref), 6) AS avg_tok_freq
+         |FROM agg, total""".stripMargin
+    val tok = if (wordGrain == "cjk-auto")
                 routedTokensDuck(text, keepEmpties = false)
               else s"list_filter(string_split($text, ' '), w -> w <> '')"
     s"""WITH rt AS (SELECT unnest($tok) AS w FROM $table WHERE $refPred),
@@ -1630,8 +1705,7 @@ object TextAnalysis {
     // 'cjk-dict' (r14): retrieval on the FMM grain — multi-codepoint
     // query terms (人工智能) match as ONE token; same doc-stats kernel,
     // dict mode
-    require(wordGrain == "ws" || wordGrain == "cjk-auto" || wordGrain == "cjk-dict",
-      s"wordGrain must be 'ws', 'cjk-auto' or 'cjk-dict', got $wordGrain")
+    requireWordGrain(wordGrain)
     val termArr = terms.map(t => s"'$t'").mkString("array(", ", ", ")")
     // BOTH grains ride the one-scan doc-stats kernel; 'cjk-auto' routes
     // script-dominated rows to the codepoint grain inside the same scan
@@ -1672,8 +1746,7 @@ object TextAnalysis {
   def bm25TopKSql(table: String, id: String, text: String,
                   terms: Seq[String], k: Int = 20,
                   wordGrain: String = "ws"): String = {
-    require(wordGrain == "ws" || wordGrain == "cjk-auto" || wordGrain == "cjk-dict",
-      s"wordGrain must be 'ws', 'cjk-auto' or 'cjk-dict', got $wordGrain")
+    requireWordGrain(wordGrain)
     val dfCols = terms.indices.map(i =>
       s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
     val termScore = terms.indices.map { i =>
@@ -1682,7 +1755,7 @@ object TextAnalysis {
     }.mkString(" + ")
     val nMatched = terms.indices.map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
     val perDocRel =
-      if (wordGrain == "cjk-dict") {
+      if (FmmLexicons.isDict(wordGrain)) {
         // id-carrying FMM recursion; the LEFT JOIN back to the table
         // restores token-less docs (empty/blank) as dl = 0 rows, the
         // row-per-doc shape the scalar ws/cjk-auto forms emit
@@ -1691,7 +1764,7 @@ object TextAnalysis {
         val tfAgg = terms.indices.map(i =>
           s"sum(CASE WHEN token = '${terms(i)}' THEN 1 ELSE 0 END) AS tf$i")
           .mkString(", ")
-        s"""RECURSIVE ${fmmToksRelDuck(table, text, Some(id))},
+        s"""RECURSIVE ${fmmToksRelDuck(table, text, Some(id), FmmLexicons(wordGrain))},
            |agg AS (
            |  SELECT rid, count(*)::BIGINT AS dl, $tfAgg
            |  FROM toks GROUP BY rid),
@@ -1788,8 +1861,7 @@ object TextAnalysis {
     // 'cjk-dict' (r14): keywords on the FMM word grain — the form a zh
     // keyword list actually wants (我们/人工智能 whole, not codepoints);
     // same kernel, dict mode
-    require(wordGrain == "ws" || wordGrain == "cjk-auto" || wordGrain == "cjk-dict",
-      s"wordGrain must be 'ws', 'cjk-auto' or 'cjk-dict', got $wordGrain")
+    requireWordGrain(wordGrain)
     // cjk-auto: script-dominated rows keyword per CODEPOINT term (the
     // ws grain makes an unsegmented zh doc ONE term with tf=1 — the
     // tf signal vanishes exactly where keywords are wanted).
@@ -1825,11 +1897,10 @@ object TextAnalysis {
     */
   def tfidfKeywordsSql(table: String, id: String, text: String,
                        k: Int = 3, wordGrain: String = "ws"): String = {
-    require(wordGrain == "ws" || wordGrain == "cjk-auto" || wordGrain == "cjk-dict",
-      s"wordGrain must be 'ws', 'cjk-auto' or 'cjk-dict', got $wordGrain")
+    requireWordGrain(wordGrain)
     val termsRel =
-      if (wordGrain == "cjk-dict")
-        s"""RECURSIVE ${fmmToksRelDuck(table, text, Some(id))},
+      if (FmmLexicons.isDict(wordGrain))
+        s"""RECURSIVE ${fmmToksRelDuck(table, text, Some(id), FmmLexicons(wordGrain))},
            |terms AS (
            |  SELECT rid AS $id, token AS w, count(*)::BIGINT AS tf
            |  FROM toks GROUP BY 1, 2)""".stripMargin

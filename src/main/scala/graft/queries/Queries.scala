@@ -267,6 +267,33 @@ object Queries {
   private val zhDictPlant: String =
     "我们的朋友在中国学习中文他们每天在图书馆用人工智能练习普通话因为我们喜欢中国文化和历史"
 
+  /** The cjk-dict fixture as shared vals (round 15): length-capped
+    * translate rows + the planted lexicon phrase — the cap keeps the
+    * oracle's FMM cursor recursion a triviality.
+    */
+  private val zhDictFixtureSpark: String =
+    s"IF(doc_id % 3 = 0, concat(replace(translate(lower(substring(text, 1, 120)), " +
+      s"'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', ''), '$zhDictPlant'), text)"
+  private val zhDictFixtureDuck: String =
+    s"CASE WHEN doc_id % 3 = 0 THEN replace(translate(lower(substr(text, 1, 120)), " +
+      s"'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', '') || '$zhDictPlant' ELSE text END"
+
+  /** th fixture (round 15): every 3rd doc re-rendered as unsegmented
+    * Thai — letters mapped 1:1 onto 26 Thai consonants (codepoint-
+    * fallback fodder; consonant soup matches no lexicon word) — plus a
+    * planted space-free phrase of multi-codepoint [[graft.ops.ThLexicon]]
+    * words the FMM grain must return whole (ประเทศไทย = 9 codepoints).
+    */
+  private val th26: String = "กขคงจชญดตถทนบปผฝพฟมยรลวสหอ"
+  private val thDictPlant: String =
+    "ประเทศไทยมีภาษาไทยและอาหารอร่อยมากเราชอบกินข้าวและว่ายน้ำ"
+  private val thDictFixtureSpark: String =
+    s"IF(doc_id % 3 = 0, concat(replace(translate(lower(substring(text, 1, 120)), " +
+      s"'abcdefghijklmnopqrstuvwxyz', '$th26'), ' ', ''), '$thDictPlant'), text)"
+  private val thDictFixtureDuck: String =
+    s"CASE WHEN doc_id % 3 = 0 THEN replace(translate(lower(substr(text, 1, 120)), " +
+      s"'abcdefghijklmnopqrstuvwxyz', '$th26'), ' ', '') || '$thDictPlant' ELSE text END"
+
   val all: Seq[QueryDef] = Seq(
 
     // ================= relational core (scan/filter/agg/join/window) ====
@@ -1024,6 +1051,21 @@ object Queries {
       Some(Dedup.minhashDedupKeepersSql(
         s"(SELECT doc_id, $zhFixtureDuck AS text FROM documents)",
         "doc_id", "text", wordGrain = "cjk-auto"))),
+
+    // the keeper on the cjk-dict FMM WORD grain (round 15): shingles
+    // ride word tokens, so a zh near-dup pair differing by one char
+    // INSIDE a dictionary word shingles at word windows, not codepoint
+    // windows — the grain the shingle dedup family was missing. Oracle:
+    // the scalar twin cannot run a segmentation cursor, so the derived
+    // table precomputes per-doc FMM token LISTS (fmmTokListRelDuck via
+    // Dedup.grainSource) and shingling consumes the lists directly
+    QueryDef("dedup_minhash_keeper_cjkdict",
+      (s, dir) => Dedup.minhashDedupKeepers(
+        t(s, dir, "documents").withColumn("text", expr(zhDictFixtureSpark)),
+        "doc_id", "text", wordGrain = "cjk-dict"),
+      Some(Dedup.minhashDedupKeepersSql(
+        s"(SELECT doc_id, $zhDictFixtureDuck AS text FROM documents)",
+        "doc_id", "text", wordGrain = "cjk-dict"))),
 
     QueryDef("dedup_minhash_components",
       (s, dir) => Dedup.minhashDedupComponents(t(s, dir, "documents"), "doc_id", "text"),
@@ -2391,6 +2433,26 @@ object Queries {
         docsPred = "doc_id >= 100", refPred = "doc_id < 100",
         "doc_id", "text", vocab = 500, wordGrain = "cjk-auto"))),
 
+    // the unigram LM-filter rung on the cjk-dict WORD grain (round
+    // 15): unigram frequency over characters measures CHARACTER
+    // frequency; over FMM words it measures the word frequency the
+    // CCNet-style quality filter actually wants on zh. Reference
+    // vocabulary and scored tokens both ride graft_term_tf's dict
+    // mode; the oracle scans the id-carrying FMM recursion once and
+    // filters it into the ref/scored halves
+    QueryDef("text_unigram_score_cjkdict",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("text", expr(zhDictFixtureSpark))
+        TextAnalysis.unigramScore(
+          docs.where(col("doc_id") >= 100), docs.where(col("doc_id") < 100),
+          "doc_id", "text", vocab = 500, wordGrain = "cjk-dict")
+      },
+      Some(TextAnalysis.unigramScoreSql(
+        s"(SELECT doc_id, $zhDictFixtureDuck AS text FROM documents)",
+        docsPred = "doc_id >= 100", refPred = "doc_id < 100",
+        "doc_id", "text", vocab = 500, wordGrain = "cjk-dict"))),
+
     // One-pass corpus profile per (lang, source): doc counts, exact-dup
     // counts (distinct digests), compiled-kernel token totals, chars,
     // integer mean tokens -- the report that sizes every downstream
@@ -3052,6 +3114,20 @@ object Queries {
           s"'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', '') || '$zhDictPlant' " +
           s"ELSE text END AS text FROM documents)",
         "text", topV = 100, wordGrain = "cjk-dict"))),
+
+    // vocabulary on the thai-dict FMM grain (round 15): Thai is the
+    // unsegmented script where the codepoint fallback is WORST as an
+    // IR (combining vowels/tone marks are separate codepoints — words
+    // average 3-5), so the planted multi-codepoint ThLexicon words
+    // must come back WHOLE (ประเทศไทย as one 9-codepoint token); the
+    // consonant-soup translate rows exercise the codepoint fallback
+    QueryDef("text_vocab_thaidict",
+      (s, dir) => TextAnalysis.vocabulary(
+        t(s, dir, "documents").withColumn("text", expr(thDictFixtureSpark)),
+        "text", topV = 100, wordGrain = "thai-dict"),
+      Some(TextAnalysis.vocabularySql(
+        s"(SELECT doc_id, $thDictFixtureDuck AS text FROM documents)",
+        "text", topV = 100, wordGrain = "thai-dict"))),
 
     // the PERSISTED binary index: (v_id, sk, vec) parquet written first
     // touch — the columnar layout IS the index (prefilter reads only
