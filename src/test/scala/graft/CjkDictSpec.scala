@@ -186,4 +186,68 @@ class CjkDictSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("cjk-dict"))
   }
+
+  // ================= round 15: the grain reaches scoring + dedup =======
+
+  test("unigramScore 'cjk-dict': char-scrambled pseudo-words are OOV at word grain, invisible at codepoint grain") {
+    // ref corpus: the 4-cp lexicon word 人工智能, repeated. Scored:
+    // doc 10 = the real word; doc 11 = the SAME FOUR CHARACTERS in a
+    // non-word order. Character-frequency scoring (cjk-auto) cannot
+    // tell them apart (same char multiset, all in the ref vocab);
+    // word-frequency scoring (cjk-dict) marks the scramble 100% OOV —
+    // exactly the CCNet-style signal the dict grain exists to sharpen.
+    val docs = Seq(
+      (1L, "人工智能人工智能人工智能"),
+      (2L, "人工智能人工智能"),
+      (10L, "人工智能人工智能"),
+      (11L, "智人工能智人工能")).toDF("doc_id", "text")
+    def score(grain: String) = TextAnalysis.unigramScore(
+        docs.where($"doc_id" >= 10), docs.where($"doc_id" < 10),
+        "doc_id", "text", vocab = 100, wordGrain = grain)
+      .select($"doc_id", $"oov_ratio").as[(Long, Double)].collect().toMap
+    val auto = score("cjk-auto")
+    assert(auto(10L) == 0.0 && auto(11L) == 0.0,
+      s"codepoint grain sees identical char stats: $auto")
+    val dict = score("cjk-dict")
+    assert(dict(10L) == 0.0 && dict(11L) == 1.0,
+      s"word grain must flag the scramble fully OOV: $dict")
+  }
+
+  test("minhash keeper 'cjk-dict': word-grain shingles separate what codepoint shingles merge") {
+    // A = (人工智能 公共汽车)^10 unsegmented; B = A with the LAST
+    // character changed inside the final dictionary word (车 -> 东).
+    // At codepoint grain the distinct 3-gram sets differ by ONE window
+    // (J = 8/9) and the pair band-collides; at word grain the change
+    // breaks the final word into codepoint fallbacks, flooding the
+    // tiny distinct word-shingle set with new windows (J ≈ 0.33) and
+    // the pair stays apart — the planted divergence pinning that the
+    // dedup family really shingles WORDS under the dict grain.
+    val period = "人工智能公共汽车"
+    val a = period * 10
+    val b = period * 9 + "人工智能公共汽东"
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    def keepers(grain: String) = graft.ops.Dedup.minhashDedupKeepers(
+        docs, "doc_id", "text", wordGrain = grain)
+      .as[(Long, Long)].collect().toMap
+    val auto = keepers("cjk-auto")
+    assert(auto(2L) == 1L, s"codepoint grain must merge the pair: $auto")
+    val dict = keepers("cjk-dict")
+    assert(dict(2L) == 2L, s"word grain must keep the pair apart: $dict")
+  }
+
+  test("shingleFloorPred 'cjk-dict' is count-only and matches the token array") {
+    val docs = Seq(
+      (1L, "我们的"),                 // 2 FMM tokens (我们, 的) -> below k=3
+      (2L, "我们的朋友"),             // 3 tokens -> at the floor
+      (3L, "one two"),                // ws fallback: 2 tokens
+      (4L, "one two three four")).toDF("doc_id", "text")
+    val viaPred = docs.where(org.apache.spark.sql.functions.expr(
+        graft.ops.Dedup.shingleFloorPred("text", 3, "cjk-dict")))
+      .select($"doc_id").as[Long].collect().toSet
+    val viaArray = docs.where(
+        org.apache.spark.sql.functions.expr(
+          "size(graft_fmm_tokens(text, true, 'cjk-dict')) >= 3"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(viaPred == viaArray && viaPred == Set(2L, 4L))
+  }
 }
