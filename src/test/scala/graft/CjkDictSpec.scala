@@ -26,6 +26,16 @@ class CjkDictSpec extends SparkSpec {
     }
   }
 
+
+  /** The router's dominance rule, re-stated independently: the
+    * reference walk below is the DOMINATED branch only.
+    */
+  private def dominated(s: String): Boolean = {
+    val nb = s.count(inBlock)
+    val nonSpace = s.codePointCount(0, s.length) - s.count(_ == ' ')
+    nb > 0 && 2 * nb >= nonSpace
+  }
+
   /** Independent FMM reference for DOMINATED rows: linear-scan lookup
     * over the raw word Seq (no shared data structure with the kernel's
     * per-length hash sets).
@@ -233,6 +243,31 @@ class CjkDictSpec extends SparkSpec {
     assert(auto(2L) == 1L, s"codepoint grain must merge the pair: $auto")
     val dict = keepers("cjk-dict")
     assert(dict(2L) == 2L, s"word grain must keep the pair apart: $dict")
+  }
+
+  test("randomized probe-path parity: packed/prefix-gated longestMatch ≡ naive walk (500 docs)") {
+    // seeds compose word fragments, whole words, soup chars, spaces,
+    // ascii runs — every longestMatch branch (prefix miss, packed hit,
+    // partial-prefix miss, end-of-string truncation) fires
+    val rnd = new scala.util.Random(4215)
+    val ws = graft.ops.ZhLexicon.words.toIndexedSeq
+    val docs = (1 to 500).map { _ =>
+      val sb = new StringBuilder
+      (0 until rnd.nextInt(30)).foreach { _ =>
+        rnd.nextInt(6) match {
+          case 0 => sb ++= ws(rnd.nextInt(ws.size))
+          case 1 => val w = ws(rnd.nextInt(ws.size)); sb ++= w.substring(0, 1 + rnd.nextInt(w.length - 1))
+          case 2 => sb += (0x4E00 + rnd.nextInt(100)).toChar
+          case 3 => sb += ' '
+          case 4 => sb ++= "abc"
+          case _ => sb ++= ws(rnd.nextInt(ws.size)).reverse
+        }
+      }
+      sb.toString
+    }.filter(d => d.nonEmpty && dominated(d))
+    docs.foreach { s0 =>
+      assert(kernelTokens(s0) == refFmm(s0), s"parity break on '$s0'")
+    }
   }
 
   test("shingleFloorPred 'cjk-dict' is count-only and matches the token array") {

@@ -27,6 +27,16 @@ class ThaiDictSpec extends SparkSpec {
     }
   }
 
+
+  /** The router's dominance rule, re-stated independently: the
+    * reference walk below is the DOMINATED branch only.
+    */
+  private def dominated(s: String): Boolean = {
+    val nb = s.count(inBlock)
+    val nonSpace = s.codePointCount(0, s.length) - s.count(_ == ' ')
+    nb > 0 && 2 * nb >= nonSpace
+  }
+
   /** Independent FMM reference walk (no shared structure with the
     * kernel's per-length hash probes) — the CjkDictSpec pattern.
     */
@@ -86,6 +96,28 @@ class ThaiDictSpec extends SparkSpec {
     assert(kernelTokens("ประเทศไทยมีภาษาไทย") ==
       Seq("ประเทศไทย", "มี", "ภาษาไทย"))
     assert(kernelTokens("โรงพยาบาลอยู่ที่ไหน").head == "โรงพยาบาล")
+  }
+
+  test("randomized probe-path parity at depth 9: longestMatch ≡ naive walk (500 docs)") {
+    val rnd = new scala.util.Random(1509)
+    val ws = graft.ops.ThLexicon.words.toIndexedSeq
+    val docs = (1 to 500).map { _ =>
+      val sb = new StringBuilder
+      (0 until rnd.nextInt(25)).foreach { _ =>
+        rnd.nextInt(6) match {
+          case 0 => sb ++= ws(rnd.nextInt(ws.size))
+          case 1 => val w = ws(rnd.nextInt(ws.size)); sb ++= w.substring(0, 1 + rnd.nextInt(w.length - 1))
+          case 2 => sb += (0x0E01 + rnd.nextInt(40)).toChar
+          case 3 => sb += ' '
+          case 4 => sb ++= "xy"
+          case _ => sb ++= ws(rnd.nextInt(ws.size)).reverse
+        }
+      }
+      sb.toString
+    }.filter(d => d.nonEmpty && dominated(d))
+    docs.foreach { s0 =>
+      assert(kernelTokens(s0) == refFmm(s0), s"parity break on '$s0'")
+    }
   }
 
   test("vocabulary 'thai-dict': planted words whole, soup falls back to codepoints") {
