@@ -26,15 +26,19 @@ object Decontaminate {
   def cleanDocs(corpus: DataFrame, bench: DataFrame,
                 id: String, text: String, k: Int = 3,
                 wordGrain: String = "ws"): DataFrame = {
-    require(wordGrain == "ws" || wordGrain == "cjk-auto",
-      s"wordGrain must be 'ws' or 'cjk-auto', got $wordGrain")
+    Dedup.requireGrain(wordGrain)
     val attach = graft.functions.VectorFunctions.attach _
     // one row: the benchmark's distinct shingle hashes, sorted for the
     // two-pointer probe. 'cjk-auto' shingles BOTH sides on the routed
     // grain — an unsegmented benchmark (a zh eval set) has no ws
     // 3-shingles at all, so the ws guard vacuously passes every
     // contaminated doc; routed codepoint shingles restore the overlap
-    // signal on exactly those rows
+    // signal on exactly those rows. Dict grains (round 15) shingle the
+    // FMM WORD sequence instead: k codepoints is a far weaker overlap
+    // witness than k words (3 Han chars recur incidentally across
+    // unrelated docs), so the word grain keeps quoting-a-character-
+    // trigram docs that cjk-auto would strike, while verbatim k-word
+    // eval leakage still kills
     val benchSet = attach(bench)
       .select(explode(expr(Dedup.nativeShingleHashes(text, k, wordGrain))).as("h"))
       .agg(sort_array(collect_set(col("h"))).as("bench_hs"))
@@ -225,17 +229,23 @@ object Decontaminate {
     */
   def cleanDocsSql(corpusTable: String, benchPred: String, corpusPred: String,
                    id: String, text: String, k: Int = 3,
-                   wordGrain: String = "ws"): String =
+                   wordGrain: String = "ws"): String = {
+    // dict grains rewrite through Dedup.grainSource: the derived
+    // fmm-token-list table exposes ONLY ($id, __toks), so benchPred /
+    // corpusPred must reference $id alone under a dict grain (true of
+    // every registered twin — they split on doc_id ranges)
+    val (tbl, txt, g) = Dedup.grainSource(corpusTable, id, text, wordGrain)
     s"""WITH bench_hs AS (
        |  SELECT coalesce(list_sort(list(DISTINCT h)), []::BIGINT[]) AS hs FROM (
-       |    SELECT unnest(${Dedup.duckShingleHashes(text, k, wordGrain)}) AS h
-       |    FROM $corpusTable WHERE $benchPred)),
+       |    SELECT unnest(${Dedup.duckShingleHashes(txt, k, g)}) AS h
+       |    FROM $tbl WHERE $benchPred)),
        |corpus AS (
-       |  SELECT $id, ${Dedup.duckShingleHashes(text, k, wordGrain)} AS doc_hs
-       |  FROM $corpusTable WHERE $corpusPred)
+       |  SELECT $id, ${Dedup.duckShingleHashes(txt, k, g)} AS doc_hs
+       |  FROM $tbl WHERE $corpusPred)
        |SELECT c.$id, len(c.doc_hs) AS n_shingles
        |FROM corpus c, bench_hs b
        |WHERE NOT list_has_any(c.doc_hs, b.hs)""".stripMargin
+  }
 
   /** SEMANTIC contamination report — the embedding-space twin of
     * [[contaminationReport]]: for every benchmark item, how many CORPUS

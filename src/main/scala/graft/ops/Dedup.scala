@@ -156,8 +156,8 @@ object Dedup {
     * exactly ($id, __toks) — usable by every twin that references only
     * the id and the text.
     */
-  private def grainSource(table: String, id: String, text: String,
-                          grain: String): (String, String, String) =
+  private[ops] def grainSource(table: String, id: String, text: String,
+                               grain: String): (String, String, String) =
     if (FmmLexicons.isDict(grain))
       (s"(${TextAnalysis.fmmTokListRelDuck(table, text, id, FmmLexicons(grain))})",
         "__toks", "toklist")

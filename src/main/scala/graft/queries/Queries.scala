@@ -2875,6 +2875,28 @@ object Queries {
         benchPred = "doc_id < 25", corpusPred = "doc_id >= 25",
         "doc_id", "text", wordGrain = "cjk-auto"))),
 
+    // the guard on the cjk-dict FMM WORD grain (round 15): cjk-auto's
+    // k=3 CODEPOINT shingles are a weak overlap witness on zh — three
+    // consecutive Han chars recur incidentally across unrelated docs,
+    // so the codepoint guard over-strikes; word shingles make the
+    // witness k WORDS (the ws-grain semantics zh was denied), keeping
+    // incidental char-trigram quoters while verbatim k-word eval
+    // leakage (the planted lexicon phrase shared by bench and corpus
+    // %3 rows) still kills. Oracle: predicates reference doc_id only,
+    // so the fmm-token-list derived table (Dedup.grainSource) carries
+    // them unchanged
+    QueryDef("pipeline_decontaminate_cjkdict",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").withColumn("text", expr(zhDictFixtureSpark))
+        graft.ops.Decontaminate.cleanDocs(
+          docs.where(col("doc_id") >= 25), docs.where(col("doc_id") < 25),
+          "doc_id", "text", wordGrain = "cjk-dict")
+      },
+      Some(graft.ops.Decontaminate.cleanDocsSql(
+        s"(SELECT doc_id, $zhDictFixtureDuck AS text FROM documents)",
+        benchPred = "doc_id < 25", corpusPred = "doc_id >= 25",
+        "doc_id", "text", wordGrain = "cjk-dict"))),
+
     // bloom-prefiltered decontamination: identical output to
     // pipeline_decontaminate (same oracle), but the corpus-side check is a
     // codegen'd short-circuit sketch probe — the scale path once the

@@ -245,6 +245,27 @@ class CjkDictSpec extends SparkSpec {
     assert(dict(2L) == 2L, s"word grain must keep the pair apart: $dict")
   }
 
+  test("decontamination 'cjk-dict': word-shingle witness keeps char-trigram quoters, kills word-phrase leaks") {
+    // bench = 3 words (11 codepoints). Corpus doc 10 embeds the whole
+    // 3-WORD phrase (verbatim leak — both grains must strike it);
+    // doc 11 quotes ONE word, 图书馆 = 3 chars: a matching codepoint
+    // TRIGRAM (cjk-auto strikes) but only a 1-word overlap against a
+    // k=3 WORD witness (cjk-dict keeps — its own 3 word-shingles all
+    // miss the bench). The dict grain restores ws-grain semantics on
+    // zh: k chars is not k words.
+    val bench  = Seq((1L, "人工智能公共汽车图书馆")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "的人工智能公共汽车图书馆的"),
+      (11L, "图书馆的朋友喜欢历史")).toDF("doc_id", "text")
+    def clean(grain: String): Set[Long] = graft.ops.Decontaminate.cleanDocs(
+        corpus, bench, "doc_id", "text", wordGrain = grain)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean("cjk-auto") == Set.empty[Long],
+      "codepoint grain must strike both docs (shared char trigrams)")
+    assert(clean("cjk-dict") == Set(11L),
+      "word grain must keep the one-word quoter and strike the phrase leak")
+  }
+
   test("randomized probe-path parity: packed/prefix-gated longestMatch ≡ naive walk (500 docs)") {
     // seeds compose word fragments, whole words, soup chars, spaces,
     // ascii runs — every longestMatch branch (prefix miss, packed hit,
