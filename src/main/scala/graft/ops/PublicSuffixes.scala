@@ -286,7 +286,62 @@ object PublicSuffixes {
     "com.sb", "edu.sb", "gov.sb", "net.sb", "org.sb",
     "com.vu", "edu.vu", "net.vu", "org.vu",
     "com.ws", "net.ws", "org.ws", "gov.ws", "edu.ws",
-    "com.to", "gov.to", "net.to", "org.to", "edu.to", "mil.to") ++
+    "com.to", "gov.to", "net.to", "org.to", "edu.to", "mil.to",
+    // round 15 growth — Italy geographic second-levels: the PSL
+    // registers every region (Italian + English renderings) and every
+    // province as a registry under .it — the largest well-known exact
+    // family this table was still missing
+    "abruzzo.it", "basilicata.it", "calabria.it", "campania.it",
+    "emilia-romagna.it", "friuli-venezia-giulia.it", "lazio.it",
+    "liguria.it", "lombardia.it", "lombardy.it", "marche.it", "molise.it",
+    "piemonte.it", "piedmont.it", "puglia.it", "apulia.it",
+    "sardegna.it", "sardinia.it", "sicilia.it", "sicily.it",
+    "toscana.it", "tuscany.it", "trentino.it", "umbria.it", "veneto.it",
+    "roma.it", "rome.it", "milano.it", "milan.it", "napoli.it",
+    "naples.it", "torino.it", "turin.it", "firenze.it", "florence.it",
+    "genova.it", "genoa.it", "venezia.it", "venice.it", "bologna.it",
+    "palermo.it", "bari.it", "catania.it", "cagliari.it", "verona.it",
+    "padova.it", "padua.it", "trieste.it", "brescia.it", "bergamo.it",
+    "modena.it", "parma.it", "pisa.it", "siena.it", "trento.it",
+    "bolzano.it", "ancona.it", "perugia.it", "pescara.it", "lecce.it",
+    "salerno.it", "messina.it", "rimini.it", "ravenna.it", "ferrara.it",
+    "pavia.it", "como.it", "cremona.it", "mantova.it", "livorno.it",
+    "lucca.it", "pistoia.it", "prato.it", "arezzo.it", "grosseto.it",
+    "latina.it", "frosinone.it", "viterbo.it", "rieti.it", "terni.it",
+    "macerata.it", "taranto.it", "brindisi.it", "foggia.it", "matera.it",
+    "potenza.it", "cosenza.it", "catanzaro.it", "crotone.it",
+    "trapani.it", "agrigento.it", "caltanissetta.it", "enna.it",
+    "ragusa.it", "siracusa.it", "sassari.it", "nuoro.it", "oristano.it",
+    "novara.it", "alessandria.it", "asti.it", "cuneo.it", "vercelli.it",
+    "biella.it", "imperia.it", "savona.it", "caserta.it", "benevento.it",
+    "avellino.it", "campobasso.it", "isernia.it", "chieti.it",
+    "teramo.it", "udine.it", "pordenone.it", "gorizia.it", "rovigo.it",
+    "vicenza.it", "treviso.it", "belluno.it", "varese.it", "lecco.it",
+    "lodi.it", "sondrio.it", "piacenza.it", "verbania.it", "fermo.it",
+    "monza.it", "vibo-valentia.it", "reggio-calabria.it",
+    "reggio-emilia.it", "la-spezia.it", "ascoli-piceno.it",
+    "pesaro-urbino.it", "forli-cesena.it", "massa-carrara.it",
+    // round 15 growth — the blogspot ccTLD family (PSL private
+    // section: each country mirror is its own registry)
+    "blogspot.co.uk", "blogspot.com.au", "blogspot.ca", "blogspot.de",
+    "blogspot.fr", "blogspot.it", "blogspot.es", "blogspot.pt",
+    "blogspot.nl", "blogspot.be", "blogspot.ch", "blogspot.se",
+    "blogspot.dk", "blogspot.fi", "blogspot.no", "blogspot.ie",
+    "blogspot.in", "blogspot.jp", "blogspot.kr", "blogspot.sg",
+    "blogspot.hk", "blogspot.tw", "blogspot.com.br", "blogspot.mx",
+    "blogspot.com.ar", "blogspot.cl", "blogspot.ru", "blogspot.cz",
+    "blogspot.sk", "blogspot.hu", "blogspot.ro", "blogspot.gr",
+    "blogspot.co.at", "blogspot.co.nz", "blogspot.co.il", "blogspot.ae",
+    // round 15 growth — private-section operators (hosting / dynamic
+    // DNS registries whose children are independent sites)
+    "eu.org", "duckdns.org", "dyndns.org", "ddns.net", "no-ip.biz",
+    "no-ip.info", "no-ip.org", "hopto.org", "zapto.org", "sytes.net",
+    "ngrok.io", "gitbook.io", "hashnode.dev", "shinyapps.io",
+    "pythonanywhere.com", "deno.dev", "streamlit.app", "hf.space",
+    "azurestaticapps.net", "trafficmanager.net", "elasticbeanstalk.com",
+    "now.sh", "keybase.pub", "js.org", "translate.goog",
+    "cloudfunctions.net", "run.app", "codeberg.page",
+    "000webhostapp.com", "up.railway.app") ++
     // Bulgaria: the PSL registers every single alphanumeric label as a
     // second level — [0-9a-z].bg (rendered by comprehension; the
     // characters ARE the table)

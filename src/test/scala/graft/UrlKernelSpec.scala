@@ -115,7 +115,14 @@ class UrlKernelSpec extends SparkSpec {
       "https://www.store.myshopify.com/x" -> "store.myshopify.com", // private-section operator
       "https://app.team.surge.sh/x" -> "team.surge.sh",      // private-section operator
       "https://portal.firm.co.tt/x" -> "firm.co.tt",         // tt
-      "https://x.y.gov.mn/x" -> "y.gov.mn")                  // mn
+      "https://x.y.gov.mn/x" -> "y.gov.mn",                  // mn
+      // round-15 table growth: one value row per new family
+      "https://www.comune.firenze.it/x" -> "comune.firenze.it", // it province
+      "https://turismo.shop.toscana.it/x" -> "shop.toscana.it", // it region
+      "https://posts.myblog.blogspot.de/x" -> "myblog.blogspot.de", // blogspot ccTLD
+      "https://cam.home.duckdns.org/x" -> "home.duckdns.org", // dynamic-DNS operator
+      "https://api.myapp.up.railway.app/x" -> "myapp.up.railway.app", // 3-label private rule
+      "https://svc.team.eu.org/x" -> "team.eu.org")          // eu.org registry
     val df = graft.functions.VectorFunctions.attach(
       cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }.toDF("id", "url"))
     val got = df.select(col("id"), expr("graft_url_domain(url)").as("d"))
