@@ -232,13 +232,19 @@ object TextAnalysis {
   def winnowSets(df: DataFrame, id: String, text: String,
                  k: Int = 3, w: Int = 4,
                  wordGrain: String = "ws"): DataFrame = {
-    require(wordGrain == "ws" || wordGrain == "cjk-auto",
-      s"wordGrain must be 'ws' or 'cjk-auto', got $wordGrain")
+    Dedup.requireGrain(wordGrain)
     // 'cjk-auto': positional grams over ROUTED tokens — an unsegmented
     // doc is one ws token with no k-grams, so ws winnowing selects
-    // nothing on it and partial-copy detection is blind to it
-    val toks = if (wordGrain == "cjk-auto") s"graft_routed_tokens($text, true)"
-               else s"split($text, ' ')"
+    // nothing on it and partial-copy detection is blind to it. Dict
+    // grains (round 15) gram the FMM WORD sequence: a k-gram spans k
+    // WORDS of context instead of k characters, so the fingerprint
+    // guarantee ("any shared run of ≥ w+k-1 tokens is caught") speaks
+    // the unit partial-copy detection on zh actually cares about
+    val toks =
+      if (wordGrain == "cjk-auto") s"graft_routed_tokens($text, true)"
+      else if (graft.ops.FmmLexicons.isDict(wordGrain))
+        s"graft_fmm_tokens($text, true, '$wordGrain')"
+      else s"split($text, ' ')"
     // r14: the ROLLING gram-hash feed (graft_gram_rhashes/_winnow_r) —
     // token hashes are an integer codepoint fold computed once per
     // token, grams a k-term arithmetic fold; no gram-string build, no
@@ -395,9 +401,15 @@ object TextAnalysis {
                                  k: Int, w: Int, minShared: Int,
                                  maxPostings: Int,
                                  wordGrain: String = "ws"): String = {
-    val words = if (Dedup.requireGrain(wordGrain) == "cjk-auto")
-                  s"(${routedTokensDuck(text, keepEmpties = true)})"
-                else s"string_split($text, ' ')"
+    // dict grains route through the fmm-token-list derived table
+    // (the Dedup.grainSource contract: it exposes only ($id, __toks),
+    // and the postings/agg CTEs reference nothing else — the final
+    // full-table SELECT in containmentDedupSql stays on the original)
+    val (tbl, txt, g) = Dedup.grainSource(table, id, text, wordGrain)
+    val words = if (g == "toklist") txt
+                else if (Dedup.requireGrain(g) == "cjk-auto")
+                  s"(${routedTokensDuck(txt, keepEmpties = true)})"
+                else s"string_split($txt, ' ')"
     s"""WITH fps AS (
        |  SELECT $id AS d,
        |    CASE WHEN len(gh) = 0 THEN []::BIGINT[]
@@ -406,7 +418,7 @@ object TextAnalysis {
        |           i -> list_min(gh[i:i+${w - 1}]))) END AS fp_set
        |  FROM (SELECT $id, ${PortableHash.duckGramRollOf("th", k)} AS gh
        |        FROM (SELECT $id, list_transform($words,
-       |          __w -> ${PortableHash.duckTokenRoll("__w")}) AS th FROM $table))),
+       |          __w -> ${PortableHash.duckTokenRoll("__w")}) AS th FROM $tbl))),
        |posts AS (SELECT d, unnest(fp_set) AS fp FROM fps),
        |bounded AS (
        |  SELECT d, fp, count(*) OVER (PARTITION BY d) AS n_fp FROM (

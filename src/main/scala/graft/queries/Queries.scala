@@ -1319,6 +1319,34 @@ object Queries {
         "doc_id", "text", k = 5, w = 8, threshold = 0.8,
         wordGrain = "cjk-auto"))),
 
+    // containment dedup on the cjk-dict WORD grain (round 15): winnow
+    // k-grams span k FMM words instead of k codepoints, so the
+    // fingerprint guarantee ("shared run of >= w+k-1 tokens is caught")
+    // is stated in words — the unit zh partial-copy detection cares
+    // about — and the gram mass drops from the codepoint count to the
+    // word count. Same planted tail-copy construction as the cjk
+    // variant; smaller k/w since word streams are shorter than
+    // codepoint streams (multi-char words collapse to one token)
+    QueryDef("dedup_containment_cjkdict",
+      (s, dir) => {
+        val base = t(s, dir, "documents").select("doc_id", "text")
+        val planted = base.where(col("doc_id") < 3)
+          .select((col("doc_id") + 99999).as("doc_id"),
+            concat(col("text"), lit(" extra tail words appended here")).as("text"))
+        TextAnalysis.containmentDedup(
+          base.unionByName(planted).withColumn("text", expr(zhDictFixtureSpark)),
+          "doc_id", "text", k = 3, w = 4, threshold = 0.8,
+          wordGrain = "cjk-dict")
+      },
+      Some(TextAnalysis.containmentDedupSql(
+        s"""(SELECT doc_id, $zhDictFixtureDuck AS text FROM
+          | (SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 99999, text || ' extra tail words appended here'
+          |  FROM documents WHERE doc_id < 3))""".stripMargin,
+        "doc_id", "text", k = 3, w = 4, threshold = 0.8,
+        wordGrain = "cjk-dict"))),
+
     QueryDef("pipeline_sample",
       (s, dir) => graft.ops.Sampling.stratifiedSample(
         t(s, dir, "documents"), "doc_id", "source",
