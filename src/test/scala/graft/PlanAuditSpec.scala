@@ -176,6 +176,22 @@ class PlanAuditSpec extends SparkSpec {
       s"only the bench-set reduction may exchange:\n$p")
   }
 
+  test("pipeline_decontaminate_cjkdict: FMM word shingles ride the scan, zero corpus shuffles") {
+    // the dict grain must not change the op's scale shape: the FMM
+    // ladder is a kernel child inside the corpus scan projection, so
+    // the only exchanges are still the metadata-sized bench-set
+    // reduction and its broadcast — at 100 TB the corpus stays a pure
+    // map regardless of grain
+    val p = plan("pipeline_decontaminate_cjkdict")
+    assert(p.contains("graft_fmm_tokens") && p.contains("graft_shingle_hashes"),
+      s"word shingling must be compiled into the scan projection:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the corpus must never shuffle on a key:\n$p")
+    assert(count(p, "Exchange") == 2 && p.contains("Exchange SinglePartition")
+      && p.contains("BroadcastExchange"),
+      s"only the bench-set reduction may exchange:\n$p")
+  }
+
   test("pipeline_curation_manifest: text streams through a broadcast-join chain, never shuffled") {
     val p = plan("pipeline_curation_manifest")
     // five stage id-sets join the text-carrying corpus scan as broadcasts
@@ -275,12 +291,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "Exchange") == 0, s"gopher rules must stay in the scan projection:\n$p")
   }
 
-  test("dedup_lines: frequency set broadcasts; corpus shuffles only for freq-agg and reassembly") {
+  test("dedup_lines: gated frequency set broadcasts; corpus shuffles only for reassembly") {
+    // r15 size-gated shape: the frequent set is CACHED (its freq-agg
+    // exchange lives inside the InMemoryRelation subplan — the count
+    // that decides the gate reuses it), the fixture takes the
+    // broadcast branch, and the MAIN plan's only keyed exchange is the
+    // doc-id reassembly — the corpus never shuffles for the lookup
     val p = plan("dedup_lines")
-    assert(p.contains("BroadcastHashJoin"),
-      s"the frequent-line set is small by construction and must broadcast:\n$p")
-    assert(count(p, "Exchange hashpartitioning") == 2,
-      s"exactly two keyed exchanges: (line-digest, count) partial agg + doc-id reassembly:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("InMemoryTableScan"),
+      s"the gated frequent-line set must come from cache and broadcast:\n$p")
+    assert(count(p, "Exchange hashpartitioning\\(doc_id#") == 1,
+      s"exactly one doc-keyed reassembly exchange in the main plan:\n$p")
+    // every other keyed exchange must sit INSIDE the cached subplan
+    // print (the AQE cache prints initial+final, so the same freq
+    // exchange can appear twice — position, not count, is the contract)
+    val cacheAt = p.indexOf("InMemoryTableScan")
+    val stray = "Exchange hashpartitioning\\((?!doc_id)".r
+      .findAllMatchIn(p).map(_.start).filter(_ < cacheAt).toList
+    assert(stray.isEmpty,
+      s"non-reassembly keyed exchanges must live in the cached freq subplan:\n$p")
   }
 
   test("asof_enrich: merge formulation — no join operator, one window over one sort") {
