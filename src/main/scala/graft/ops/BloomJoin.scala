@@ -45,10 +45,21 @@ object BloomJoin {
     * oversized is benign (lower fpp); undersized raises fpp — never
     * correctness, because both join wrappers clear false positives
     * exactly.
+    *
+    * A ZERO-ROW input crashes Spark's `stat.bloomFilter` (the merge
+    * buffer is never initialized — found by the r15 differential sweep
+    * via an all-unsegmented benchmark with no shingles at all), so it
+    * maps to an explicit EMPTY filter: every probe answers false,
+    * which is exactly "nothing is a member". The isEmpty pre-check is
+    * one short job over `small`, which is metadata-sized by every
+    * caller's contract (benchmark shingle sets, join build sides).
     */
   def sketchOf(small: DataFrame, keyCol: String,
                expected: Long, fpp: Double = 0.01): Array[Byte] =
-    BloomExpressions.serialize(small.stat.bloomFilter(keyCol, expected, fpp))
+    BloomExpressions.serialize(
+      if (small.isEmpty)
+        org.apache.spark.util.sketch.BloomFilter.create(math.max(expected, 1L), fpp)
+      else small.stat.bloomFilter(keyCol, expected, fpp))
 
   /** SQL fragment probing a serialized sketch (hex-embedded; the plan
     * broadcast ships it once per executor).

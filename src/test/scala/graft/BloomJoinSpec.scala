@@ -125,6 +125,26 @@ class BloomJoinSpec extends SparkSpec {
     assert(kept.sameElements(Array(11L, 13L)))
   }
 
+  test("zero-row build side: empty filter, not a crash (r15 sweep find)") {
+    // Spark's stat.bloomFilter NPEs on an empty frame (uninitialized
+    // merge buffer); sketchOf maps it to an explicit empty filter —
+    // every probe false — so the join wrappers and the decontamination
+    // guard keep their exact semantics on an empty small side
+    val none = small.where(lit(false))
+    assert(BloomJoin.semiJoin(big, none, "k", "sk", 16).count() == 0L)
+    assert(BloomJoin.antiJoin(big, none, "k", "sk", 16).count() == 1000L)
+    // cleanDocsBloom with a ZERO-SHINGLE benchmark (all docs shorter
+    // than k) ≡ cleanDocs: everything kept — the bloom variant crashed
+    // here before the fix while the exact variant was correct
+    val corpus = Seq((1L, "alpha beta gamma delta"), (2L, "x y z w")).toDF("doc_id", "text")
+    val bench  = Seq((90L, "one two")).toDF("doc_id", "text") // < k=3 words: no shingles
+    val viaBloom = graft.ops.Decontaminate.cleanDocsBloom(corpus, bench, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val viaExact = graft.ops.Decontaminate.cleanDocs(corpus, bench, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(viaBloom == viaExact && viaBloom.size == 2)
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
     val conf = spark.conf
     val old = pairs.map { case (k, _) => k -> conf.getOption(k) }
