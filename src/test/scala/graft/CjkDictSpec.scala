@@ -291,6 +291,36 @@ class CjkDictSpec extends SparkSpec {
     }
   }
 
+  test("incremental near-dup at 'cjk-dict': word-grain band table round-trips with its marker") {
+    // the live-crawl guard composes with the dict grain end-to-end:
+    // a prior band table BUILT at cjk-dict carries the marker, a zh
+    // re-crawl with crawl noise matches its original, and probing the
+    // same table at cjk-auto fails fast instead of silently missing
+    // a REPEATED period has few DISTINCT shingles (sets!), so tail
+    // noise could displace every band's minima; 80 distinct lexicon
+    // words give ~80 distinct word-shingles and the 3 junction
+    // shingles the tail adds cannot flip all 4 bands
+    val base = graft.ops.ZhLexicon.words.take(80).mkString
+    val prior = Seq((100L, base)).toDF("doc_id", "text")
+    val bands = graft.ops.Dedup.bandTable(prior, "doc_id", "text",
+      wordGrain = "cjk-dict")
+    assert(bands.select("grain").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("cjk-dict"))
+    val newSnap = Seq(
+      (1L, base + "的尾部噪声"),  // re-crawl + noise: must match 100
+      (2L, "完全不同的另一篇文档内容和词汇都不一样")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.incrementalNearDup(newSnap, bands,
+        "doc_id", "text", wordGrain = "cjk-dict")
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((Some(100L), false)), s"re-crawl must match: $out")
+    assert(out(2L)._2, s"fresh doc must keep: $out")
+    val mismatch = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.incrementalNearDup(newSnap, bands, "doc_id", "text",
+        wordGrain = "cjk-auto")
+    }
+    assert(mismatch.getMessage.contains("'cjk-dict'"))
+  }
+
   test("shingleFloorPred 'cjk-dict' is count-only and matches the token array") {
     val docs = Seq(
       (1L, "我们的"),                 // 2 FMM tokens (我们, 的) -> below k=3
