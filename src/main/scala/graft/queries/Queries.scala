@@ -3179,6 +3179,20 @@ object Queries {
         s"(SELECT doc_id, $thDictFixtureDuck AS text FROM documents)",
         "text", topV = 100, wordGrain = "thai-dict"))),
 
+    // thai-dict on the per-doc TF-IDF consumer (round 15): the grain
+    // registry's generality proof on the DEEPEST committed ladder —
+    // the id-carrying recursive twin runs the maxLen-9 FMM cursor
+    // (8 probe rungs/position vs zh's 3) and keywords come back as
+    // multi-codepoint Thai WORDS; the codepoint grain would emit
+    // letter soup (Thai combining vowels rank as "keywords")
+    QueryDef("text_tfidf_keywords_thaidict",
+      (s, dir) => TextAnalysis.tfidfKeywords(
+        t(s, dir, "documents").withColumn("text", expr(thDictFixtureSpark)),
+        "doc_id", "text", k = 3, wordGrain = "thai-dict"),
+      Some(TextAnalysis.tfidfKeywordsSql(
+        s"(SELECT doc_id, $thDictFixtureDuck AS text FROM documents)",
+        "doc_id", "text", k = 3, wordGrain = "thai-dict"))),
+
     // the PERSISTED binary index: (v_id, sk, vec) parquet written first
     // touch — the columnar layout IS the index (prefilter reads only
     // the 16-byte (v_id, sk) columns; rerank re-reads the same frame
