@@ -3193,6 +3193,41 @@ object Queries {
         s"(SELECT doc_id, $thDictFixtureDuck AS text FROM documents)",
         "doc_id", "text", k = 3, wordGrain = "thai-dict"))),
 
+    // BM25 retrieval on the thai-dict grain (round 15): the query
+    // terms are multi-codepoint LEXICON WORDS (ประเทศไทย = 9
+    // codepoints) that the planted phrase carries — on the codepoint
+    // grain tf(ประเทศไทย) = 0 corpus-wide, so like zh, dictionary
+    // segmentation is what makes Thai retrieval by real words
+    // possible; completes the same vocab/TF-IDF/BM25 consumer trio
+    // the cjk-dict grain proved, off one registry entry
+    QueryDef("text_bm25_topk_thaidict",
+      (s, dir) => TextAnalysis.bm25TopK(
+        t(s, dir, "documents").withColumn("text", expr(thDictFixtureSpark)),
+        "doc_id", "text", terms = Seq("ประเทศไทย", "ภาษาไทย", "อาหาร"),
+        k = 25, wordGrain = "thai-dict"),
+      Some(TextAnalysis.bm25TopKSql(
+        s"(SELECT doc_id, $thDictFixtureDuck AS text FROM documents)",
+        "doc_id", "text", terms = Seq("ประเทศไทย", "ภาษาไทย", "อาหาร"),
+        k = 25, wordGrain = "thai-dict"))),
+
+    // the unigram LM-filter rung on the thai-dict grain (round 15):
+    // unigram frequency over Thai CODEPOINTS measures consonant/vowel
+    // frequency (combining marks rank as "tokens"); over FMM words it
+    // measures word frequency — the quality signal the grain exists
+    // for, on the script where the codepoint IR is worst
+    QueryDef("text_unigram_score_thaidict",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("text", expr(thDictFixtureSpark))
+        TextAnalysis.unigramScore(
+          docs.where(col("doc_id") >= 100), docs.where(col("doc_id") < 100),
+          "doc_id", "text", vocab = 500, wordGrain = "thai-dict")
+      },
+      Some(TextAnalysis.unigramScoreSql(
+        s"(SELECT doc_id, $thDictFixtureDuck AS text FROM documents)",
+        docsPred = "doc_id >= 100", refPred = "doc_id < 100",
+        "doc_id", "text", vocab = 500, wordGrain = "thai-dict"))),
+
     // the PERSISTED binary index: (v_id, sk, vec) parquet written first
     // touch — the columnar layout IS the index (prefilter reads only
     // the 16-byte (v_id, sk) columns; rerank re-reads the same frame
