@@ -1146,6 +1146,125 @@ object TextAnalysis {
        |FROM top CROSS JOIN tot""".stripMargin
   }
 
+  /** PMI-lift collocation extraction — the association-ranked word-pair
+    * table that feeds LEXICON INDUCTION. [[topNgrams]] ranks bigrams by
+    * raw count, which is dominated by pairs of individually-common
+    * words ("of the"); lift = p(xy) / (p(x)·p(y)) — exp of pointwise
+    * mutual information (Church & Hanks 1990, "Word Association Norms,
+    * Mutual Information, and Lexicography") — ranks by how much more
+    * often the pair co-occurs than its parts predict. On the
+    * `cjk-auto` grain over zh this is unsupervised WORD DISCOVERY:
+    * character pairs that glue (人工/智能) score high, incidental
+    * adjacencies score ≈1 — the corpus-statistics step that PROPOSES
+    * candidates for committed dictionaries like [[graft.ops.ZhLexicon]]
+    * (the other half of the dict-grain loop: the lexicon segments the
+    * corpus, the corpus nominates the lexicon's next band). On a dict
+    * grain it surfaces multiword expressions over segmented words.
+    *
+    * Plan (100 TB shape): one scan per gram order through the fused
+    * `graft_gram_tf` pair kernel (distinct-(doc, gram) grain,
+    * tf-weighted sums — no per-occurrence explode), keyed partial-agg
+    * counts, the `minCount` hapax floor applied BEFORE the joins
+    * prunes the bigram table, then two joins against the unigram
+    * counts — vocabulary-sized but unbounded, so never broadcast-
+    * HINTED: the planner broadcasts when stats fit (it does at test
+    * scale) and degrades to keyed joins past the threshold — one
+    * 1-row broadcast total, and global top-k via
+    * TakeOrderedAndProject. Lift is a double computed in one fixed
+    * operation order both engines replay bit-identically:
+    * round(c_xy·T / (c_x·c_y), 6) — products stay in double, so no
+    * BIGINT overflow at any corpus size. `minCount` also bounds lift
+    * above (≤ T/minCount), keeping the hapax-pair pathology (two words
+    * seen once, together → lift = T) out of the ranking. Deterministic
+    * total order: (lift DESC, w1 ASC, w2 ASC).
+    */
+  def collocations(df: DataFrame, text: String, topK: Int = 50,
+                   minCount: Int = 5, wordGrain: String = "ws"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    requireWordGrain(wordGrain)
+    val at = graft.functions.VectorFunctions.attach(df)
+    val (uniRows, biRows) =
+      if (FmmLexicons.isDict(wordGrain)) {
+        // dict grain: grams over the FMM token array. The bigram
+        // transform is a HOF — CodegenFallback on that projection —
+        // acceptable here: the FMM ladder dominates the row cost, and
+        // the ws/cjk-auto mass path below stays kernel-fused.
+        val toks = s"graft_fmm_tokens($text, false, '$wordGrain')"
+        val bigrams = PortableHash.let1("__w", toks,
+          "IF(size(__w) < 2, cast(array() AS ARRAY<STRING>), " +
+            "transform(sequence(1, size(__w) - 1), i -> " +
+            "concat(element_at(__w, i), ' ', element_at(__w, i + 1))))")
+        (at.select(explode(expr(toks)).as("w"), lit(1L).as("tf")),
+         at.select(explode(expr(bigrams)).as("g"), lit(1L).as("tf")))
+      } else {
+        (at.select(explode(expr(s"graft_gram_tf($text, 1, '$wordGrain')")).as("p"))
+           .select(col("p.w").as("w"), col("p.tf").as("tf")),
+         at.select(explode(expr(s"graft_gram_tf($text, 2, '$wordGrain')")).as("p"))
+           .select(col("p.w").as("g"), col("p.tf").as("tf")))
+      }
+    val uc = uniRows.groupBy(col("w")).agg(sum(col("tf")).as("c"))
+    val total = uc.agg(coalesce(sum(col("c")), lit(0L)).as("total_uni"))
+    val scored = biRows.groupBy(col("g")).agg(sum(col("tf")).as("c_xy"))
+      .where(col("c_xy") >= minCount)
+      // lexicon words / routed tokens / ws words never contain ' ', so
+      // the gram splits back unambiguously
+      .select(expr(s"split(g, ' ')[0]").as("w1"),
+        expr(s"split(g, ' ')[1]").as("w2"), col("c_xy"))
+      .join(uc.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uc.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_xy").as("n_pair"),
+        round(col("c_xy").cast("double") * col("total_uni") /
+          (col("c1").cast("double") * col("c2").cast("double")), 6).as("lift"))
+    val top = scored.orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+    // rank window input is <= topK rows by construction
+    val w = Window.orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("w1"), col("w2"), col("n_pair"), col("lift"))
+  }
+
+  /** DuckDB twin of [[collocations]]. `id` keys the dict-grain FMM
+    * recursion only (ignored on ws/cjk-auto); dict twins carry the
+    * same oracle-grade-only cost caveat as [[fmmToksRelDuck]].
+    */
+  def collocationsSql(table: String, text: String, topK: Int = 50,
+                      minCount: Int = 5, wordGrain: String = "ws",
+                      id: String = "doc_id"): String = {
+    requireWordGrain(wordGrain)
+    val tfSrc =
+      if (FmmLexicons.isDict(wordGrain))
+        // keepEmpties=TRUE relation filtered to the kernel's
+        // keepEmpties=false sequence (empties dropped BEFORE adjacency
+        // on both engines, so bigrams skip empty positions identically)
+        s"(SELECT list_filter(__toks, x -> x <> '') AS ws FROM " +
+          s"(${fmmTokListRelDuck(table, text, id, FmmLexicons(wordGrain))}) __f)"
+      else {
+        val toks = if (wordGrain == "cjk-auto") routedTokensDuck(text, keepEmpties = false)
+                   else s"list_filter(string_split($text, ' '), x -> x <> '')"
+        s"(SELECT $toks AS ws FROM $table)"
+      }
+    s"""WITH tf AS (SELECT ws FROM $tfSrc __t),
+       |uni AS (SELECT unnest(ws) AS w FROM tf),
+       |uc AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY w),
+       |tot AS (SELECT count(*)::BIGINT AS total_uni FROM uni),
+       |bc AS (
+       |  SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+       |         count(*)::BIGINT AS c_xy
+       |  FROM (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+       |          i -> ws[i] || ' ' || ws[i + 1])) AS g FROM tf)
+       |  GROUP BY g HAVING count(*) >= $minCount),
+       |top AS (
+       |  SELECT w1, w2, c_xy,
+       |    round(c_xy::DOUBLE * total_uni / (u1.c::DOUBLE * u2.c::DOUBLE), 6) AS lift
+       |  FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w
+       |  CROSS JOIN tot
+       |  ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT $topK)
+       |SELECT row_number() OVER (ORDER BY lift DESC, w1 ASC, w2 ASC) AS rank,
+       |  w1, w2, c_xy AS n_pair, lift
+       |FROM top""".stripMargin
+  }
+
   /** Declarative HOF twin of `graft_ngrams` (parity baseline). */
   def hofNgramsExpr(text: String, n: Int): String = {
     val parts = (0 until n).map(j => s"element_at(__w, i + $j)").mkString(", ' ', ")

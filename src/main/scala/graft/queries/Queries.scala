@@ -1979,6 +1979,45 @@ object Queries {
       (s, dir) => TextAnalysis.topNgrams(t(s, dir, "documents"), "text", n = 2, topK = 10),
       Some(TextAnalysis.topNgramsSql("documents", "text", n = 2, topK = 10))),
 
+    // PMI-lift collocations (round 15): association-ranked word pairs —
+    // raw-count top bigrams are "of the"; lift = p(xy)/(p(x)p(y))
+    // surfaces pairs that co-occur MORE than their parts predict.
+    // minCount floor before the joins, unhinted unigram joins (planner
+    // broadcasts while stats fit, keyed past the threshold), top-k via
+    // TakeOrderedAndProject
+    QueryDef("text_collocations",
+      (s, dir) => TextAnalysis.collocations(t(s, dir, "documents"),
+        "text", topK = 50, minCount = 5),
+      Some(TextAnalysis.collocationsSql("documents", "text",
+        topK = 50, minCount = 5))),
+
+    // collocations on the cjk-auto grain over the zh fixture:
+    // character-pair lift IS unsupervised zh word discovery — glued
+    // pairs (translated word interiors) outscore incidental
+    // adjacencies — i.e. the corpus-statistics step that NOMINATES
+    // candidates for the committed ZhLexicon bands the dict grain
+    // segments with (the other half of the dict-grain loop)
+    QueryDef("text_collocations_cjk",
+      (s, dir) => TextAnalysis.collocations(
+        t(s, dir, "documents").withColumn("text", expr(zhFixtureSpark)),
+        "text", topK = 50, minCount = 5, wordGrain = "cjk-auto"),
+      Some(TextAnalysis.collocationsSql(
+        s"(SELECT doc_id, $zhFixtureDuck AS text FROM documents)",
+        "text", topK = 50, minCount = 5, wordGrain = "cjk-auto"))),
+
+    // collocations on the cjk-dict grain: over FMM-segmented WORDS the
+    // same statistic surfaces multiword expressions (adjacent lexicon
+    // words that travel together — the planted phrase's word pairs)
+    // instead of character glue; bigram construction rides the FMM
+    // token array, the oracle the recursive token-list relation
+    QueryDef("text_collocations_cjkdict",
+      (s, dir) => TextAnalysis.collocations(
+        t(s, dir, "documents").withColumn("text", expr(zhDictFixtureSpark)),
+        "text", topK = 50, minCount = 5, wordGrain = "cjk-dict"),
+      Some(TextAnalysis.collocationsSql(
+        s"(SELECT doc_id, $zhDictFixtureDuck AS text FROM documents)",
+        "text", topK = 50, minCount = 5, wordGrain = "cjk-dict"))),
+
     // composed pretraining corpus filter: dedup keeper ∧ language ∧
     // quality thresholds — one scan, text dropped before the only shuffle
     QueryDef("pipeline_corpus_filter",
