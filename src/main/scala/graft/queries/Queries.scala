@@ -1347,6 +1347,31 @@ object Queries {
         "doc_id", "text", k = 3, w = 4, threshold = 0.8,
         wordGrain = "cjk-dict"))),
 
+    // the shingle surface on the SECOND lexicon (round 15): containment
+    // dedup with winnow grams spanning FMM Thai words — grainSource
+    // rewrites the twin through the maxLen-9 token-list relation, so
+    // the same registry entry that gave Thai retrieval gives it
+    // near-dup semantics at word grain (no zh-only code path anywhere)
+    QueryDef("dedup_containment_thaidict",
+      (s, dir) => {
+        val base = t(s, dir, "documents").select("doc_id", "text")
+        val planted = base.where(col("doc_id") < 3)
+          .select((col("doc_id") + 99999).as("doc_id"),
+            concat(col("text"), lit(" extra tail words appended here")).as("text"))
+        TextAnalysis.containmentDedup(
+          base.unionByName(planted).withColumn("text", expr(thDictFixtureSpark)),
+          "doc_id", "text", k = 3, w = 4, threshold = 0.8,
+          wordGrain = "thai-dict")
+      },
+      Some(TextAnalysis.containmentDedupSql(
+        s"""(SELECT doc_id, $thDictFixtureDuck AS text FROM
+          | (SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 99999, text || ' extra tail words appended here'
+          |  FROM documents WHERE doc_id < 3))""".stripMargin,
+        "doc_id", "text", k = 3, w = 4, threshold = 0.8,
+        wordGrain = "thai-dict"))),
+
     QueryDef("pipeline_sample",
       (s, dir) => graft.ops.Sampling.stratifiedSample(
         t(s, dir, "documents"), "doc_id", "source",
