@@ -49,8 +49,10 @@ object PublicSuffixes {
   /** Exact rules (multi-label only — see the implicit-`*` note above). */
   val exact: Seq[String] = Seq(
     // United Kingdom
+    // (sch.uk is a WILDCARD rule upstream — `*.sch.uk`, schools
+    // register at <school>.<la>.sch.uk — moved to wildcardTails r15)
     "co.uk", "org.uk", "me.uk", "net.uk", "ac.uk", "gov.uk", "ltd.uk",
-    "plc.uk", "sch.uk", "nhs.uk",
+    "plc.uk", "nhs.uk",
     // Australia (incl. state second-levels)
     "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
     "act.au", "nsw.au", "nt.au", "qld.au", "sa.au", "tas.au", "vic.au", "wa.au",
@@ -341,7 +343,35 @@ object PublicSuffixes {
     "azurestaticapps.net", "trafficmanager.net", "elasticbeanstalk.com",
     "now.sh", "keybase.pub", "js.org", "translate.goog",
     "cloudfunctions.net", "run.app", "codeberg.page",
-    "000webhostapp.com", "up.railway.app") ++
+    "000webhostapp.com", "up.railway.app",
+    // round 15 growth, band 2 — Hungary's thematic second-levels (the
+    // .hu registry's well-known subject-matter registries)
+    "2000.hu", "agrar.hu", "bolt.hu", "casino.hu", "city.hu",
+    "erotica.hu", "erotika.hu", "film.hu", "forum.hu", "games.hu",
+    "hotel.hu", "ingatlan.hu", "jogasz.hu", "konyvelo.hu", "lakas.hu",
+    "media.hu", "news.hu", "reklam.hu", "sex.hu", "shop.hu", "sport.hu",
+    "suli.hu", "szex.hu", "tozsde.hu", "utazas.hu", "video.hu",
+    // Norway's geographic registries — the ASCII-rendered municipality
+    // names (Norid registers under every kommune; the IDN renderings
+    // of ø/å names are omitted — this table is ASCII-only by the
+    // wellFormed invariant)
+    "oslo.no", "bergen.no", "trondheim.no", "stavanger.no", "drammen.no",
+    "kristiansand.no", "fredrikstad.no", "sandnes.no", "sarpsborg.no",
+    "skien.no", "lillehammer.no", "hamar.no", "halden.no", "moss.no",
+    "molde.no", "narvik.no", "arendal.no", "haugesund.no", "alesund.no",
+    "bodo.no", "tromso.no",
+    // Poland geographic, band 2 — regions and remaining well-known
+    // city registries
+    "mazury.pl", "mazowsze.pl", "malopolska.pl", "slask.pl",
+    "pomorze.pl", "podlasie.pl", "warmia.pl", "kaszuby.pl", "podhale.pl",
+    "beskidy.pl", "gliwice.pl", "kalisz.pl", "konin.pl", "legnica.pl",
+    "pila.pl", "plock.pl", "sopot.pl", "zakopane.pl",
+    // private-section operators, band 2 (site builders / object-store
+    // public buckets whose children are independent sites)
+    "r2.dev", "carrd.co", "crd.co", "mystrikingly.com", "square.site",
+    "godaddysites.com", "jimdosite.com", "bubbleapps.io", "cargo.site",
+    "super.site", "framer.app", "framer.website", "wpcomstaging.com",
+    "co.nl", "co.no") ++
     // Bulgaria: the PSL registers every single alphanumeric label as a
     // second level — [0-9a-z].bg (rendered by comprehension; the
     // characters ARE the table)
@@ -354,12 +384,19 @@ object PublicSuffixes {
     * public suffix.
     */
   val wildcardTails: Seq[String] = Seq(
-    "ck", "er", "fk", "np", "pg", "bd", "kh", "mm", "jm",
+    "ck", "er", "fk", "np", "pg", "bd", "kh", "mm", "jm", "ye",
     // Japanese city wildcards (the PSL's canonical wildcard+exception
     // cluster: every ward of these cities is a registry, but the city
     // government itself sits at city.<city>.jp)
     "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
-    "sapporo.jp", "sendai.jp", "yokohama.jp")
+    "sapporo.jp", "sendai.jp", "yokohama.jp",
+    // round 15 growth, band 2 — `*.sch.uk` (UK schools register one
+    // level deeper, at <school>.<la>.sch.uk) and the AWS compute /
+    // load-balancer families (every EC2 public hostname / ELB is an
+    // independent site — the PSL's deepest well-known wildcards,
+    // which push maxSuffixDepth to 5)
+    "sch.uk", "compute.amazonaws.com", "compute-1.amazonaws.com",
+    "compute.amazonaws.com.cn", "elb.amazonaws.com")
 
   /** Exception rules, stored without the `!` — `!www.ck` is "www.ck":
     * NOT a public suffix despite the parent wildcard; it is itself the

@@ -122,7 +122,23 @@ class UrlKernelSpec extends SparkSpec {
       "https://posts.myblog.blogspot.de/x" -> "myblog.blogspot.de", // blogspot ccTLD
       "https://cam.home.duckdns.org/x" -> "home.duckdns.org", // dynamic-DNS operator
       "https://api.myapp.up.railway.app/x" -> "myapp.up.railway.app", // 3-label private rule
-      "https://svc.team.eu.org/x" -> "team.eu.org")          // eu.org registry
+      "https://svc.team.eu.org/x" -> "team.eu.org",          // eu.org registry
+      // round-15 table growth, band 2: one value row per new family
+      "https://www.hotelroyal.hotel.hu/x" -> "hotelroyal.hotel.hu", // hu thematic
+      "https://etat.kommune.oslo.no/x" -> "kommune.oslo.no",  // no municipality
+      "https://sklep.gory.podhale.pl/x" -> "gory.podhale.pl", // pl region band 2
+      "https://blog.mysite.carrd.co/x" -> "mysite.carrd.co",  // site-builder operator
+      "https://a.bucket.r2.dev/x" -> "bucket.r2.dev",         // object-store buckets
+      "https://x.shop.example.ye/x" -> "shop.example.ye",     // *.ye wildcard
+      // *.sch.uk (corrected from exact r15): the LA level is the
+      // suffix, the school registers one deeper
+      "https://www.stjohns.havering.sch.uk/x" -> "stjohns.havering.sch.uk",
+      // AWS wildcards: every EC2 public hostname / ELB is its own
+      // registrable site (depth-5 suffixes — the table's deepest)
+      "https://x.ec2-1-2-3-4.us-east-1.compute.amazonaws.com/x" ->
+        "ec2-1-2-3-4.us-east-1.compute.amazonaws.com",
+      "https://svc.mylb.us-west-2.elb.amazonaws.com/x" ->
+        "mylb.us-west-2.elb.amazonaws.com")
     val df = graft.functions.VectorFunctions.attach(
       cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }.toDF("id", "url"))
     val got = df.select(col("id"), expr("graft_url_domain(url)").as("d"))
