@@ -83,6 +83,22 @@ object ProbeRound15 {
           .queryExecution.toRdd.count())
     }
 
+    if (on("colloc")) {
+      // PMI collocations at corpus scale: two kernel scans + keyed
+      // count aggs + two unigram joins + TakeOrdered — the lexicon-
+      // induction feed. The cjk-auto leg grams over routed codepoints
+      // (the word-discovery configuration, ~6x the ws pair volume)
+      time("collocations 1M docs ws (warmup)")(
+        graft.ops.TextAnalysis.collocations(docs, "text", topK = 100,
+          minCount = 50).queryExecution.toRdd.count())
+      time("collocations 1M docs ws")(
+        graft.ops.TextAnalysis.collocations(docs, "text", topK = 100,
+          minCount = 50).queryExecution.toRdd.count())
+      time("collocations 1M docs cjk-auto (zh word discovery)")(
+        graft.ops.TextAnalysis.collocations(zh, "text", topK = 100,
+          minCount = 50, wordGrain = "cjk-auto").queryExecution.toRdd.count())
+    }
+
     if (on("sentences")) {
       time("dedupSentences 1M docs (size-gated broadcast)")(
         graft.ops.Dedup.dedupSentences(

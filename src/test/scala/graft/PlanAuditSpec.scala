@@ -877,4 +877,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("graft_ngrams") && !p.contains("array_filter"),
       s"the HOF-child ngrams construction must be gone:\n$p")
   }
+
+  test("text_collocations: fused pair kernels, top-k via TakeOrderedAndProject, rank window post-limit") {
+    for (q <- Seq("text_collocations", "text_collocations_cjk")) {
+      val p = plan(q)
+      // both gram orders ride the fused kernel — no per-occurrence
+      // token explode feeding a corpus-grain aggregate
+      assert(p.contains("graft_gram_tf"),
+        s"$q: uni+bi counts must ride the pair kernel:\n$p")
+      // global top-k must be a bounded heap, not a full sort of the
+      // scored bigram table
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: top-k must be TakeOrderedAndProject:\n$p")
+      // the rank window runs over the <= topK surviving rows (above
+      // the TakeOrdered in the formatted tree), never the corpus: the
+      // plan has exactly one Window node and it must sit before (=
+      // above) the TakeOrdered line
+      assert(count(p, "Window") == 1 &&
+        p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
+        s"$q: rank window must be post-limit only:\n$p")
+    }
+  }
 }
