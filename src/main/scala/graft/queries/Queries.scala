@@ -2043,6 +2043,19 @@ object Queries {
         s"(SELECT doc_id, $zhDictFixtureDuck AS text FROM documents)",
         "text", topK = 50, minCount = 5, wordGrain = "cjk-dict"))),
 
+    // collocations on the thai-dict grain: multiword expressions over
+    // FMM Thai words — the fourth operator family the second lexicon
+    // reaches off one registry entry (retrieval, scoring, shingle
+    // dedup, now association mining); the twin rides the same maxLen-9
+    // recursive token-list relation
+    QueryDef("text_collocations_thaidict",
+      (s, dir) => TextAnalysis.collocations(
+        t(s, dir, "documents").withColumn("text", expr(thDictFixtureSpark)),
+        "text", topK = 50, minCount = 5, wordGrain = "thai-dict"),
+      Some(TextAnalysis.collocationsSql(
+        s"(SELECT doc_id, $thDictFixtureDuck AS text FROM documents)",
+        "text", topK = 50, minCount = 5, wordGrain = "thai-dict"))),
+
     // composed pretraining corpus filter: dedup keeper ∧ language ∧
     // quality thresholds — one scan, text dropped before the only shuffle
     QueryDef("pipeline_corpus_filter",
