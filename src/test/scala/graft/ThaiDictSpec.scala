@@ -135,6 +135,28 @@ class ThaiDictSpec extends SparkSpec {
       "greedy FMM must not emit both the 9-cp word and its parts for the same text")
   }
 
+  test("minhash keeper 'thai-dict': word-grain shingles separate what codepoint shingles merge") {
+    // the zh divergence pin at the SECOND lexicon (CjkDictSpec's
+    // planted case, re-instantiated for Thai): A = (ประเทศไทย
+    // ว่ายน้ำ)^10 unsegmented; B changes the LAST character inside the
+    // final dictionary word. At codepoint grain the distinct 3-gram
+    // sets differ by a couple of windows and the pair band-collides;
+    // at word grain the broken word floods the tiny distinct
+    // word-shingle set with codepoint-fallback windows and the pair
+    // stays apart — the shingle surface really sees Thai WORDS.
+    val period = "ประเทศไทยว่ายน้ำ"
+    val a = period * 10
+    val b = period * 9 + "ประเทศไทยว่ายน้ะ"
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    def keepers(grain: String) = graft.ops.Dedup.minhashDedupKeepers(
+        docs, "doc_id", "text", wordGrain = grain)
+      .as[(Long, Long)].collect().toMap
+    val auto = keepers("cjk-auto")
+    assert(auto(2L) == 1L, s"codepoint grain must merge the pair: $auto")
+    val dict = keepers("thai-dict")
+    assert(dict(2L) == 2L, s"word grain must keep the pair apart: $dict")
+  }
+
   test("thai-dict registry wiring: unknown grain rejected, both dicts resolve") {
     assert(graft.ops.FmmLexicons.isDict("thai-dict") &&
       graft.ops.FmmLexicons.isDict("cjk-dict"))
