@@ -508,6 +508,66 @@ object GopherOps {
     pairsToArray(m)
   }
 
+  /** [[gramTfPairs]] on a committed dictionary grain (round 16): the
+    * row's distinct word-n-grams with counts over the FMM token
+    * sequence — the [[fmmTermTfPairs]] walk feeding the
+    * [[gramTfPairs]] ring. Word n-grams over characters measure
+    * character adjacency; over FMM words they measure the word-order
+    * signal the LM-filter ladder's bigram/trigram rungs exist for on
+    * zh/th. Empties never arise (both branches skip spaces), matching
+    * the ws branch's contract.
+    */
+  def fmmGramTfPairs(text: UTF8String, n: Int,
+                     lex: graft.ops.FmmLexicon): ArrayData = {
+    val s = text.toString
+    val m = new java.util.LinkedHashMap[String, Array[Long]]()
+    val ring = new Array[String](n)
+    var filled = 0
+    val sb = new java.lang.StringBuilder()
+    @inline def push(tok: String): Unit = {
+      var k = 0
+      while (k < n - 1) { ring(k) = ring(k + 1); k += 1 }
+      ring(n - 1) = tok
+      if (filled < n) filled += 1
+      if (filled == n) {
+        sb.setLength(0)
+        k = 0
+        while (k < n) { if (k > 0) sb.append(' '); sb.append(ring(k)); k += 1 }
+        val g = sb.toString
+        val c = m.get(g)
+        if (c == null) m.put(g, Array(1L)) else c(0) += 1L
+      }
+    }
+    var i = 0
+    if (isDominated(s)) {
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == ' ') i += 1
+        else {
+          val w = lex.longestMatch(s, i)
+          if (w != null) { push(w); i += w.length }
+          else if (isCjk(c)) { push(String.valueOf(c)); i += 1 }
+          else {
+            val st = i
+            i += 1
+            while (i < s.length && { val cc = s.charAt(i); cc != ' ' && !isCjk(cc) }) i += 1
+            push(s.substring(st, i))
+          }
+        }
+      }
+    } else {
+      while (i < s.length) {
+        if (s.charAt(i) == ' ') i += 1
+        else {
+          val st = i
+          while (i < s.length && s.charAt(i) != ' ') i += 1
+          push(s.substring(st, i))
+        }
+      }
+    }
+    pairsToArray(m)
+  }
+
   /** [[HashOps.dsirBuckets]] on the routed grain: hashed unigram +
     * bigram bucket ids over the ROUTED token sequence on dominated
     * rows (layout `[unigrams…, bigrams…]`, same hash, same `% B`) —
@@ -1012,14 +1072,18 @@ case class SentenceChunks(child: Expression, size: Int, grain: String)
   * the row's distinct word-n-grams with counts as ARRAY<STRUCT<w,
   * tf>>, fused from raw text (no HOF child, no per-gram explode
   * grain); `'cjk-auto'` grams over the routed token sequence on
-  * script-dominated rows.
+  * script-dominated rows; dict grains ([[graft.ops.FmmLexicons]],
+  * round 16) over the FMM word sequence via [[GopherOps.fmmGramTfPairs]].
   */
 case class GramTf(child: Expression, n: Int, grain: String = "ws")
     extends UnaryExpression {
   require(n > 0, s"graft_gram_tf requires positive n, got $n")
-  require(grain == "ws" || grain == "cjk-auto",
-    s"grain must be 'ws' or 'cjk-auto', got $grain")
+  require(grain == "ws" || grain == "cjk-auto" ||
+      graft.ops.FmmLexicons.isDict(grain),
+    s"grain must be 'ws', 'cjk-auto' or a dict grain " +
+      s"(${graft.ops.FmmLexicons.byGrain.keys.mkString(", ")}), got $grain")
   private val cjkAuto = grain == "cjk-auto"
+  private val dict = graft.ops.FmmLexicons.isDict(grain)
   override def prettyName: String = "graft_gram_tf"
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(new StructType()
@@ -1031,10 +1095,16 @@ case class GramTf(child: Expression, n: Int, grain: String = "ws")
       s"$prettyName requires STRING, got ${dt.catalogString}")
   }
   override def nullSafeEval(s: Any): Any =
-    GopherOps.gramTfPairs(s.asInstanceOf[UTF8String], n, cjkAuto)
+    if (dict)
+      GopherOps.fmmGramTfPairs(s.asInstanceOf[UTF8String], n,
+        graft.ops.FmmLexicons(grain))
+    else GopherOps.gramTfPairs(s.asInstanceOf[UTF8String], n, cjkAuto)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
-      s"${ev.value} = graft.functions.GopherOps.gramTfPairs($s, $n, $cjkAuto);")
+      if (dict)
+        s"${ev.value} = graft.functions.GopherOps.fmmGramTfPairs($s, $n, " +
+          s"${graft.ops.FmmLexicons.javaRef(grain)});"
+      else s"${ev.value} = graft.functions.GopherOps.gramTfPairs($s, $n, $cjkAuto);")
   override protected def withNewChildInternal(c: Expression): GramTf =
     copy(child = c)
 }

@@ -343,13 +343,27 @@ object Dedup {
     *     order.
     */
   def dedupSpans(df: DataFrame, id: String, text: String,
-                 spanLen: Int = 5, maxFreq: Int = 10): DataFrame = {
+                 spanLen: Int = 5, maxFreq: Int = 10,
+                 wordGrain: String = "ws"): DataFrame = {
+    requireGrain(wordGrain)
     val fdf = graft.functions.VectorFunctions.attach(df)
+    // the span token sequence rides the word grain (round 16 — was
+    // hard-wired split-on-space, so zh/thai spans shingled at whatever
+    // whitespace existed, i.e. barely): cjk-auto = routed codepoint
+    // tokens, dict = FMM words; keepEmpties=true mirrors the ws
+    // split's contract. clean_text rejoins surviving tokens with
+    // single spaces — normalized-form output on non-ws grains (the
+    // dedupSentences convention).
+    val tokArr =
+      if (wordGrain == "cjk-auto") s"graft_routed_tokens($text, true)"
+      else if (FmmLexicons.isDict(wordGrain))
+        s"graft_fmm_tokens($text, true, '$wordGrain')"
+      else s"split($text, ' ')"
     // gram DIGESTS, never gram text, cross the exchanges. md5 (128-bit)
     // deliberately: over ~10⁸ distinct grams a 64-bit hash carries real
     // collision odds, and a collision falsely strikes a clean span
     val grams = fdf.select(col(id),
-      posexplode(expr(s"graft_ngrams(split($text, ' '), $spanLen)"))
+      posexplode(expr(s"graft_ngrams($tokArr, $spanLen)"))
         .as(Seq("spos", "gram")))
       .select(col(id), col("spos"), md5(col("gram")).as("gh"))
     val dup = grams
@@ -368,7 +382,7 @@ object Dedup {
     val cov = grams.join(broadcast(dup), Seq("gh"))
       .groupBy(col(id))
       .agg(sort_array(collect_set(col("spos"))).as("__ss"))
-    fdf.select(col(id), expr(s"split($text, ' ')").as("__w"))
+    fdf.select(col(id), expr(tokArr).as("__w"))
       .join(cov, Seq(id), "left_outer")
       .select(col(id), col("__w"),
         expr(s"transform(sequence(0, size(__w) - 1), " +
@@ -385,10 +399,20 @@ object Dedup {
     * grams, same corpus-frequency threshold, same coverage union).
     */
   def dedupSpansSql(table: String, id: String, text: String,
-                    spanLen: Int = 5, maxFreq: Int = 10): String = {
+                    spanLen: Int = 5, maxFreq: Int = 10,
+                    wordGrain: String = "ws"): String = {
+    val (tbl, txt, g) = grainSource(table, id, text, wordGrain)
+    // toklist: the FMM token-list derived table already carries the
+    // ordered per-doc word list; cjk-auto: routed codepoint tokens;
+    // keepEmpties=true throughout, mirroring the Spark side
+    val wSrc =
+      if (g == "toklist") s"($txt)"
+      else if (g == "cjk-auto")
+        s"(${TextAnalysis.routedTokensDuck(txt, keepEmpties = true)})"
+      else s"string_split($txt, ' ')"
     val w = "w"
     val gramExpr = (0 until spanLen).map(j => s"$w[i + $j]").mkString(" || ' ' || ")
-    s"""WITH d AS (SELECT $id, string_split($text, ' ') AS $w FROM $table),
+    s"""WITH d AS (SELECT $id, $wSrc AS $w FROM $tbl),
        |l AS (SELECT $id, unnest(generate_series(1, len($w))) AS pos,
        |             unnest($w) AS word FROM d),
        |g AS (SELECT $id, unnest(generate_series(1, len($w) - ${spanLen - 1})) AS spos,

@@ -1443,8 +1443,11 @@ object TextAnalysis {
                         text: String, n: Int, vocab: Int,
                         nCol: String, freqCol: String,
                         wordGrain: String = "ws"): DataFrame = {
-    require(wordGrain == "ws" || wordGrain == "cjk-auto",
-      s"wordGrain must be 'ws' or 'cjk-auto', got $wordGrain")
+    // dict grains (round 16): the kernel routes to the FMM WORD walk
+    // (graft.functions.GopherOps.fmmGramTfPairs) — word n-grams over
+    // characters measure character adjacency; over FMM words they
+    // carry the word-order signal these LM-ladder rungs exist for
+    requireWordGrain(wordGrain)
     val pairs = s"graft_gram_tf($text, $n, '$wordGrain')"
     val refGrams = graft.functions.VectorFunctions.attach(ref)
       .select(explode(expr(pairs)).as("p"))
@@ -1486,7 +1489,10 @@ object TextAnalysis {
   def trigramScoreSql(table: String, docsPred: String, refPred: String,
                       id: String, text: String, vocab: Int = 1000,
                       wordGrain: String = "ws"): String = {
-    val w = if (Dedup.requireGrain(wordGrain) == "cjk-auto")
+    if (FmmLexicons.isDict(Dedup.requireGrain(wordGrain)))
+      return gramScoreDictSql(table, docsPred, refPred, id, text, n = 3,
+        vocab, "n_trigrams", "avg_trigram_freq", FmmLexicons(wordGrain))
+    val w = if (wordGrain == "cjk-auto")
               routedTokensDuck(text, keepEmpties = false)
             else s"list_filter(string_split($text, ' '), x -> x <> '')"
     val grams =
@@ -1507,6 +1513,39 @@ object TextAnalysis {
        |SELECT $id, n_trigrams,
        |  round(n_oov::DOUBLE / n_trigrams, 6) AS oov_ratio,
        |  round(sum_cnt::DOUBLE / (n_trigrams::DOUBLE * total_ref), 6) AS avg_trigram_freq
+       |FROM agg, total""".stripMargin
+  }
+
+  /** Shared dict-grain n-gram-score twin (round 16): the id-carrying
+    * ordered FMM token-LIST relation ([[fmmTokListRelDuck]]) scanned
+    * once, empties filtered (the kernel walk never emits them — the
+    * collocations dict twin's convention), grams over adjacent list
+    * positions; both preds filter the per-doc relation on the id.
+    * Same oracle-grade-only cost caveat as [[fmmToksRelDuck]].
+    */
+  private def gramScoreDictSql(table: String, docsPred: String,
+                               refPred: String, id: String, text: String,
+                               n: Int, vocab: Int, nCol: String,
+                               freqCol: String, lex: FmmLexicon): String = {
+    val gramExpr = (0 until n).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
+    val grams =
+      s"list_transform(generate_series(1, len(ws) - ${n - 1}), i -> $gramExpr)"
+    s"""WITH d0 AS (
+       |  SELECT $id, list_filter(__toks, x -> x <> '') AS ws
+       |  FROM (${fmmTokListRelDuck(table, text, id, lex)}) __f),
+       |rg AS (SELECT unnest($grams) AS g FROM d0 WHERE $refPred),
+       |top AS (SELECT g, count(*) AS cnt FROM rg GROUP BY g
+       |        ORDER BY cnt DESC, g ASC LIMIT $vocab),
+       |total AS (SELECT count(*) AS total_ref FROM rg),
+       |dg AS (SELECT $id, unnest($grams) AS g FROM d0 WHERE $docsPred),
+       |agg AS (
+       |  SELECT d.$id, count(*) AS $nCol,
+       |         sum(CASE WHEN t.cnt IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       |         sum(coalesce(t.cnt, 0)) AS sum_cnt
+       |  FROM dg d LEFT JOIN top t ON d.g = t.g GROUP BY d.$id)
+       |SELECT $id, $nCol,
+       |  round(n_oov::DOUBLE / $nCol, 6) AS oov_ratio,
+       |  round(sum_cnt::DOUBLE / ($nCol::DOUBLE * total_ref), 6) AS $freqCol
        |FROM agg, total""".stripMargin
   }
 
@@ -1721,7 +1760,10 @@ object TextAnalysis {
   def bigramScoreSql(table: String, docsPred: String, refPred: String,
                      id: String, text: String, vocab: Int = 1000,
                      wordGrain: String = "ws"): String = {
-    val w = if (Dedup.requireGrain(wordGrain) == "cjk-auto")
+    if (FmmLexicons.isDict(Dedup.requireGrain(wordGrain)))
+      return gramScoreDictSql(table, docsPred, refPred, id, text, n = 2,
+        vocab, "n_bigrams", "avg_bigram_freq", FmmLexicons(wordGrain))
+    val w = if (wordGrain == "cjk-auto")
               routedTokensDuck(text, keepEmpties = false)
             else s"list_filter(string_split($text, ' '), x -> x <> '')"
     val grams = s"list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1])"

@@ -1067,6 +1067,19 @@ object Queries {
         s"(SELECT doc_id, $zhDictFixtureDuck AS text FROM documents)",
         "doc_id", "text", wordGrain = "cjk-dict"))),
 
+    // the keeper on the thai-dict grain (round 16): previously spec-
+    // pinned only (ThaiDictSpec) — this registers the driver-checked
+    // oracle row, closing the r15 asymmetry where one dict grain had
+    // a keeper oracle and the other didn't. Same grainSource-routed
+    // recursive token-list twin as the cjkdict keeper
+    QueryDef("dedup_minhash_keeper_thaidict",
+      (s, dir) => Dedup.minhashDedupKeepers(
+        t(s, dir, "documents").withColumn("text", expr(thDictFixtureSpark)),
+        "doc_id", "text", wordGrain = "thai-dict"),
+      Some(Dedup.minhashDedupKeepersSql(
+        s"(SELECT doc_id, $thDictFixtureDuck AS text FROM documents)",
+        "doc_id", "text", wordGrain = "thai-dict"))),
+
     QueryDef("dedup_minhash_components",
       (s, dir) => Dedup.minhashDedupComponents(t(s, dir, "documents"), "doc_id", "text"),
       Some(Dedup.minhashDedupComponentsSql("documents", "doc_id", "text"))),
@@ -2389,6 +2402,25 @@ object Queries {
         docsPred = "doc_id >= 100", refPred = "doc_id < 100",
         "doc_id", "text", vocab = 500, wordGrain = "cjk-auto"))),
 
+    // the bigram rung on the cjk-dict WORD grain (round 16): codepoint
+    // bigrams measure character adjacency; FMM-word bigrams carry the
+    // word-order signal the rung exists for on zh (人工智能 is ONE
+    // bigram of two lexicon words, not three character pairs). The
+    // kernel routes graft_gram_tf to the FMM walk; the oracle grams
+    // adjacent positions of the recursive token-LIST relation
+    QueryDef("text_bigram_score_cjkdict",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("text", expr(zhDictFixtureSpark))
+        TextAnalysis.bigramScore(
+          docs.where(col("doc_id") >= 100), docs.where(col("doc_id") < 100),
+          "doc_id", "text", vocab = 500, wordGrain = "cjk-dict")
+      },
+      Some(TextAnalysis.bigramScoreSql(
+        s"(SELECT doc_id, $zhDictFixtureDuck AS text FROM documents)",
+        docsPred = "doc_id >= 100", refPred = "doc_id < 100",
+        "doc_id", "text", vocab = 500, wordGrain = "cjk-dict"))),
+
     // the third LM-ladder rung: trigram coverage sees two-step word
     // order (locally-plausible glued text scores low even when its
     // bigrams are common); same exact-integer discipline and
@@ -2403,6 +2435,25 @@ object Queries {
       Some(TextAnalysis.trigramScoreSql("documents",
         docsPred = "doc_id >= 100", refPred = "doc_id < 100",
         "doc_id", "text", vocab = 500))),
+
+    // the trigram rung on the thai-dict grain (round 16): Thai
+    // codepoint trigrams are sub-syllable fragments (combining marks
+    // count as "tokens"); FMM-word trigrams see real three-word order
+    // — the rung's signal on the script whose codepoint IR is worst.
+    // Completes the dict-grain scoring ladder (unigram r15, bigram/
+    // trigram r16) on the second lexicon off one registry entry
+    QueryDef("text_trigram_score_thaidict",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("text", expr(thDictFixtureSpark))
+        TextAnalysis.trigramScore(
+          docs.where(col("doc_id") >= 100), docs.where(col("doc_id") < 100),
+          "doc_id", "text", vocab = 500, wordGrain = "thai-dict")
+      },
+      Some(TextAnalysis.trigramScoreSql(
+        s"(SELECT doc_id, $thDictFixtureDuck AS text FROM documents)",
+        docsPred = "doc_id >= 100", refPred = "doc_id < 100",
+        "doc_id", "text", vocab = 500, wordGrain = "thai-dict"))),
 
     // the ladder's TOP: stupid backoff (Brants et al. 2007) folds all
     // three rungs into one score — per trigram position take the
@@ -2841,6 +2892,23 @@ object Queries {
         "(SELECT doc_id, text || ' subscribe to our newsletter for more " +
           "content every day ' || doc_id AS text2 FROM documents)",
         "doc_id", "text2", spanLen = 5, maxFreq = 10))),
+
+    // span dedup on the cjk-dict WORD grain (round 16 — dedupSpans was
+    // hard-wired split-on-space, so zh spans shingled at whatever
+    // whitespace existed, i.e. barely): the fixture's planted lexicon
+    // phrase repeats in every 3rd doc, so its interior word 5-grams
+    // are duplicated corpus-wide and struck at word positions; the
+    // doc-specific translated prefix survives. clean_text is the
+    // space-rejoined surviving token sequence (normalized form)
+    QueryDef("dedup_spans_cjkdict",
+      (s, dir) => Dedup.dedupSpans(
+        t(s, dir, "documents").withColumn("text", expr(zhDictFixtureSpark)),
+        "doc_id", "text", spanLen = 5, maxFreq = 10,
+        wordGrain = "cjk-dict"),
+      Some(Dedup.dedupSpansSql(
+        s"(SELECT doc_id, $zhDictFixtureDuck AS text FROM documents)",
+        "doc_id", "text", spanLen = 5, maxFreq = 10,
+        wordGrain = "cjk-dict"))),
 
     // incremental snapshot dedup: the new crawl keeps only documents whose
     // content digest is absent from the accumulated prior corpus. The

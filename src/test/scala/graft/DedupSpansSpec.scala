@@ -26,6 +26,32 @@ class DedupSpansSpec extends SparkSpec {
     }
   }
 
+  test("dict grain: unsegmented zh spans struck at word positions; ws grain is blind") {
+    // 12 docs = unique single-char prefix + the same space-free 5-word
+    // phrase. On the ws grain each doc is ONE token (no 5-grams exist),
+    // so span dedup is silently blind — the round-16 routing fix. On
+    // the cjk-dict grain the trailing word 5-gram repeats 12 > 10
+    // times and is struck; the leading 5-gram carries the unique
+    // prefix char and survives, so clean_text is exactly the prefix.
+    val phrase = "人工智能学习工作今天喜欢" // FMM: 5 lexicon words
+    val prefixes = "子丑寅卯辰巳午未申酉戌亥"
+    val docs = prefixes.zipWithIndex
+      .map { case (c, i) => (i.toLong, s"$c$phrase") }.toSeq
+      .toDF("doc_id", "text")
+    val ws = Dedup.dedupSpans(docs, "doc_id", "text", spanLen = 5, maxFreq = 10)
+      .collect()
+    assert(ws.length === 12 && ws.forall(_.getLong(2) == 0L),
+      "ws grain must see one token per doc and strike nothing")
+    val dict = Dedup.dedupSpans(docs, "doc_id", "text",
+        spanLen = 5, maxFreq = 10, wordGrain = "cjk-dict")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(dict.length === 12)
+    dict.foreach { case (i, clean, removed, n) =>
+      assert(clean === prefixes(i.toInt).toString && removed === 5L && n === 6L,
+        s"doc $i: got ($clean, $removed, $n)")
+    }
+  }
+
   test("a doc of pure boilerplate survives with empty clean_text") {
     val boiler = "a b c d e"
     val docs = ((0 until 11).map(i => (i.toLong, s"x$i $boiler")) :+
