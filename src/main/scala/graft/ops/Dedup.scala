@@ -69,8 +69,21 @@ object Dedup {
     * `spark.sql.autoBroadcastJoinThreshold`; past it — or with the
     * threshold set to -1 — the frame is returned unhinted and the join
     * degrades to a shuffled strategy instead of OOMing the driver.
+    *
+    * AQE gate (round 16): with `spark.sql.adaptive.enabled` (Spark's
+    * default) the UNHINTED join is already sized at runtime from the
+    * frequent set's exact shuffle stats — broadcast when it fits,
+    * shuffled when it doesn't — so the eager estimate would pay an
+    * extra job for strictly worse information (it cost `dedup_lines`
+    * 2.09× on the r15 bench board). Under AQE the input is returned
+    * untouched; the estimator (and with it the construction-time
+    * lease, which lives until `Caches.releaseAll`/scope exit — callers
+    * on the AQE-off path inherit that eager, caching behavior) runs
+    * only when AQE is off and static planning needs the size up front.
     */
-  private[ops] def broadcastIfSmall(df: DataFrame, payloadBytes: Column): DataFrame = {
+  private[graft] def broadcastIfSmall(df: DataFrame, payloadBytes: Column): DataFrame = {
+    if (df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
+          .equalsIgnoreCase("true")) return df
     val leased = Caches.lease(df)
     val r = leased.agg(
       coalesce(sum(payloadBytes.cast("long")), lit(0L)),
@@ -214,34 +227,41 @@ object Dedup {
     * removal counts.
     *
     * Plan shape (the 100 TB path): line frequency is a partial-aggregated
-    * exchange carrying (line-digest, count) — never text; the frequent
-    * set (count > maxFreq) has at most total_lines / maxFreq members BY
-    * CONSTRUCTION, so it broadcasts back and the corpus is never
-    * shuffled for the lookup; reassembly is the one keyed exchange on
-    * doc id. The per-doc collect_list is bounded by the document's own
-    * line count — the same bound as reading the doc.
+    * exchange carrying one (line, count) row per distinct line per map
+    * partition; the frequent set (count > maxFreq) has at most
+    * total_lines / maxFreq members BY CONSTRUCTION, so it broadcasts
+    * back and the corpus is never shuffled for the lookup; reassembly
+    * is the one keyed exchange on doc id. The per-doc collect_list is
+    * bounded by the document's own line count — the same bound as
+    * reading the doc.
     */
   def dedupLines(df: DataFrame, id: String, text: String, maxFreq: Int): DataFrame = {
     val lines = df.select(col(id),
       posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
+    // frequency keyed on the LINE STRING itself (round 16, was md5 —
+    // the dedupSentences r15 move, closing the sibling asymmetry):
+    // Spark's md5() yields a 32-char HEX STRING, so the "digest" key
+    // was itself ~32 B and bought at most ~2× exchange width on
+    // typical lines while carrying a (theoretical) collision that
+    // merges two distinct lines' counts; string keys match the
+    // string-keyed DuckDB twin EXACTLY and drop the per-probe md5
+    // from the corpus-side join
     val frequent = lines
-      .groupBy(md5(col("line")).as("lh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("line").as("fline")).agg(count(lit(1)).as("c"))
       .where(col("c") > maxFreq)
-      .select(col("lh"))
-    // 16-byte digest payload per frequent line; size-gated (round 15) —
-    // the total/maxFreq bound is not a broadcast guarantee at 100 TB
+      .select(col("fline"))
     lines
-      .join(broadcastIfSmall(frequent, lit(16)),
-        md5(col("line")) === col("lh"), "left_outer")
+      .join(broadcastIfSmall(frequent, octet_length(col("fline"))),
+        col("line") === col("fline"), "left_outer")
       .groupBy(col(id))
       .agg(
         // collect_list skips the NULL CASE branches, so frequent lines
         // drop out while their rows still anchor the doc's group (a doc
         // of pure boilerplate survives as clean_text = '')
         expr("concat_ws(chr(10), transform(array_sort(" +
-          "collect_list(CASE WHEN lh IS NULL THEN struct(pos, line) END)), s -> s.line))")
+          "collect_list(CASE WHEN fline IS NULL THEN struct(pos, line) END)), s -> s.line))")
           .as("clean_text"),
-        sum(when(col("lh").isNotNull, 1).otherwise(0)).cast("long").as("n_removed"),
+        sum(when(col("fline").isNotNull, 1).otherwise(0)).cast("long").as("n_removed"),
         count(lit(1)).as("n_lines"))
   }
 

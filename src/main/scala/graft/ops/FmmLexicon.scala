@@ -232,11 +232,24 @@ object FmmLexicons {
 
   /** Static Java reference for the codegen'd kernels — resolved at
     * CODEGEN time, so the generated row loop carries a constant field
-    * read, not a map lookup.
+    * read, not a map lookup. Derived from the registry entry's class
+    * (round 16, ADVICE fix — the prior hand-written match could drift
+    * from [[byGrain]]: a lexicon added only there passed `isDict` and
+    * worked interpreted, then threw from every codegen'd kernel).
+    * Lexicons are Scala `object`s by the trait contract, so the class
+    * name is `graft.ops.XxLexicon$` and the static instance is its
+    * `MODULE$` field.
     */
-  def javaRef(grain: String): String = grain match {
-    case "cjk-dict"  => "graft.ops.ZhLexicon$.MODULE$"
-    case "thai-dict" => "graft.ops.ThLexicon$.MODULE$"
-    case g => throw new IllegalArgumentException(s"no FMM lexicon for grain '$g'")
+  def javaRef(grain: String): String = {
+    val cls = apply(grain).getClass.getName
+    require(cls.endsWith("$"),
+      s"FMM lexicon for '$grain' must be a top-level object (got $cls) — " +
+        "codegen references it as a static MODULE$ field")
+    s"$cls.MODULE$$"
   }
+
+  // init-time guard: every registered grain must yield a codegen
+  // reference (an anonymous/inner lexicon would fail here, at class
+  // load, instead of from the first codegen'd kernel at runtime)
+  byGrain.keys.foreach(javaRef)
 }

@@ -371,7 +371,12 @@ object PublicSuffixes {
     "r2.dev", "carrd.co", "crd.co", "mystrikingly.com", "square.site",
     "godaddysites.com", "jimdosite.com", "bubbleapps.io", "cargo.site",
     "super.site", "framer.app", "framer.website", "wpcomstaging.com",
-    "co.nl", "co.no") ++
+    "co.nl", "co.no",
+    // Yemen (round 16, ADVICE fix): upstream replaced the historical
+    // *.ye wildcard with explicit second-levels — as a wildcard, ANY
+    // <name>.ye became a public suffix and real hosts (y.net.ye)
+    // mis-rooted one level too deep
+    "com.ye", "edu.ye", "gov.ye", "mil.ye", "net.ye", "org.ye") ++
     // Bulgaria: the PSL registers every single alphanumeric label as a
     // second level — [0-9a-z].bg (rendered by comprehension; the
     // characters ARE the table)
@@ -384,7 +389,7 @@ object PublicSuffixes {
     * public suffix.
     */
   val wildcardTails: Seq[String] = Seq(
-    "ck", "er", "fk", "np", "pg", "bd", "kh", "mm", "jm", "ye",
+    "ck", "er", "fk", "np", "pg", "bd", "kh", "mm", "jm",
     // Japanese city wildcards (the PSL's canonical wildcard+exception
     // cluster: every ward of these cities is a registry, but the city
     // government itself sits at city.<city>.jp)
@@ -396,7 +401,10 @@ object PublicSuffixes {
     // independent site — the PSL's deepest well-known wildcards,
     // which push maxSuffixDepth to 5)
     "sch.uk", "compute.amazonaws.com", "compute-1.amazonaws.com",
-    "compute.amazonaws.com.cn", "elb.amazonaws.com")
+    "compute.amazonaws.com.cn", "elb.amazonaws.com",
+    // round 16 (ADVICE fix): upstream carries the CN load-balancer
+    // wildcard next to the global one
+    "elb.amazonaws.com.cn")
 
   /** Exception rules, stored without the `!` — `!www.ck` is "www.ck":
     * NOT a public suffix despite the parent wildcard; it is itself the

@@ -129,7 +129,12 @@ class UrlKernelSpec extends SparkSpec {
       "https://sklep.gory.podhale.pl/x" -> "gory.podhale.pl", // pl region band 2
       "https://blog.mysite.carrd.co/x" -> "mysite.carrd.co",  // site-builder operator
       "https://a.bucket.r2.dev/x" -> "bucket.r2.dev",         // object-store buckets
-      "https://x.shop.example.ye/x" -> "shop.example.ye",     // *.ye wildcard
+      // .ye corrected r16 (upstream dropped the wildcard for explicit
+      // second-levels): real hosts under net.ye root at depth 3; a
+      // name outside the six explicit rules falls through to the
+      // implicit-* TLD fallback
+      "https://www.y.net.ye/x" -> "y.net.ye",
+      "https://x.shop.example.ye/x" -> "example.ye",
       // *.sch.uk (corrected from exact r15): the LA level is the
       // suffix, the school registers one deeper
       "https://www.stjohns.havering.sch.uk/x" -> "stjohns.havering.sch.uk",
@@ -138,7 +143,10 @@ class UrlKernelSpec extends SparkSpec {
       "https://x.ec2-1-2-3-4.us-east-1.compute.amazonaws.com/x" ->
         "ec2-1-2-3-4.us-east-1.compute.amazonaws.com",
       "https://svc.mylb.us-west-2.elb.amazonaws.com/x" ->
-        "mylb.us-west-2.elb.amazonaws.com")
+        "mylb.us-west-2.elb.amazonaws.com",
+      // the CN load-balancer wildcard (r16 ADVICE fix) — depth-6 suffix
+      "https://svc.mylb.cn-north-1.elb.amazonaws.com.cn/x" ->
+        "mylb.cn-north-1.elb.amazonaws.com.cn")
     val df = graft.functions.VectorFunctions.attach(
       cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }.toDF("id", "url"))
     val got = df.select(col("id"), expr("graft_url_domain(url)").as("d"))
