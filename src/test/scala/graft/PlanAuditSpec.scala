@@ -291,25 +291,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "Exchange") == 0, s"gopher rules must stay in the scan projection:\n$p")
   }
 
-  test("dedup_lines: gated frequency set broadcasts; corpus shuffles only for reassembly") {
-    // r15 size-gated shape: the frequent set is CACHED (its freq-agg
-    // exchange lives inside the InMemoryRelation subplan — the count
-    // that decides the gate reuses it), the fixture takes the
-    // broadcast branch, and the MAIN plan's only keyed exchange is the
-    // doc-id reassembly — the corpus never shuffles for the lookup
+  test("dedup_lines: AQE-deferred frequent-set sizing; no eager estimator artifacts") {
+    // r16 shape: under AQE (the default) broadcastIfSmall is the
+    // IDENTITY — no lease (no InMemoryTableScan), no estimator job,
+    // no static broadcast hint; the frequent-set join is left for AQE
+    // to size at runtime from exact shuffle stats. The static plan
+    // therefore shows the unhinted join under an AdaptiveSparkPlan,
+    // one doc-keyed reassembly exchange, and one line-keyed frequency
+    // exchange (the agg AQE will measure) — nothing else.
     val p = plan("dedup_lines")
-    assert(p.contains("BroadcastHashJoin") && p.contains("InMemoryTableScan"),
-      s"the gated frequent-line set must come from cache and broadcast:\n$p")
+    assert(p.contains("AdaptiveSparkPlan"),
+      s"dedup_lines must run under AQE for runtime join sizing:\n$p")
+    assert(!p.contains("InMemoryTableScan"),
+      s"the AQE path must not lease/cache the frequent set:\n$p")
     assert(count(p, "Exchange hashpartitioning\\(doc_id#") == 1,
-      s"exactly one doc-keyed reassembly exchange in the main plan:\n$p")
-    // every other keyed exchange must sit INSIDE the cached subplan
-    // print (the AQE cache prints initial+final, so the same freq
-    // exchange can appear twice — position, not count, is the contract)
-    val cacheAt = p.indexOf("InMemoryTableScan")
-    val stray = "Exchange hashpartitioning\\((?!doc_id)".r
-      .findAllMatchIn(p).map(_.start).filter(_ < cacheAt).toList
-    assert(stray.isEmpty,
-      s"non-reassembly keyed exchanges must live in the cached freq subplan:\n$p")
+      s"exactly one doc-keyed reassembly exchange:\n$p")
+    assert(count(p, "Exchange hashpartitioning\\(line#") == 1,
+      s"exactly one line-keyed frequency exchange (partial-agg combined):\n$p")
+    // end-to-end: after execution AQE converts the tiny frequent-set
+    // join to broadcast — the runtime replacement for the r15
+    // estimator job (DedupGateSpec pins the AQE-off estimator branch)
+    val df = Queries.queryMap("dedup_lines")(spark, sf)
+    df.queryExecution.toRdd.count()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin"),
+      s"AQE must broadcast the tiny frequent set at runtime:\n$executed")
   }
 
   test("asof_enrich: merge formulation — no join operator, one window over one sort") {
