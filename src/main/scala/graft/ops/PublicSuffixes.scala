@@ -376,7 +376,26 @@ object PublicSuffixes {
     // *.ye wildcard with explicit second-levels — as a wildcard, ANY
     // <name>.ye became a public suffix and real hosts (y.net.ye)
     // mis-rooted one level too deep
-    "com.ye", "edu.ye", "gov.ye", "mil.ye", "net.ye", "org.ye") ++
+    "com.ye", "edu.ye", "gov.ye", "mil.ye", "net.ye", "org.ye",
+    // Poland thematic second-levels (round 16 band 3): the classic
+    // NASK functional registries next to the geographic ones
+    "agro.pl", "aid.pl", "atm.pl", "auto.pl", "gmina.pl", "gsm.pl",
+    "irc.pl", "mail.pl", "media.pl", "miasta.pl", "ngo.pl",
+    "nieruchomosci.pl", "nom.pl", "pc.pl", "powiat.pl", "priv.pl",
+    "realestate.pl", "rel.pl", "sex.pl", "shop.pl", "sklep.pl",
+    "sos.pl", "szkola.pl", "targi.pl", "tm.pl", "tourism.pl",
+    "turystyka.pl",
+    // Norway municipality registries, band 3 (round 16) — natively
+    // ASCII kommune names only (the å/ø names ship as punycode
+    // upstream; this table is ASCII-only by the wellFormed invariant)
+    "sandefjord.no", "larvik.no", "kongsberg.no", "horten.no",
+    "porsgrunn.no", "harstad.no", "steinkjer.no", "kristiansund.no",
+    "egersund.no", "grimstad.no", "elverum.no", "kongsvinger.no",
+    "notodden.no", "mandal.no", "flekkefjord.no", "ringerike.no",
+    "lillesand.no", "farsund.no", "askim.no", "rana.no",
+    // private-section operators, band 3 (round 16): the two still
+    // missing from the committed PaaS/tunnel set
+    "eu.pythonanywhere.com", "trycloudflare.com") ++
     // Bulgaria: the PSL registers every single alphanumeric label as a
     // second level — [0-9a-z].bg (rendered by comprehension; the
     // characters ARE the table)

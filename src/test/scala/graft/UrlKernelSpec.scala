@@ -146,7 +146,14 @@ class UrlKernelSpec extends SparkSpec {
         "mylb.us-west-2.elb.amazonaws.com",
       // the CN load-balancer wildcard (r16 ADVICE fix) — depth-6 suffix
       "https://svc.mylb.cn-north-1.elb.amazonaws.com.cn/x" ->
-        "mylb.cn-north-1.elb.amazonaws.com.cn")
+        "mylb.cn-north-1.elb.amazonaws.com.cn",
+      // round-16 table growth: one value row per new family
+      "https://dom.mojsklep.sklep.pl/x" -> "mojsklep.sklep.pl",   // pl thematic
+      "https://www.kino.larvik.no/x" -> "kino.larvik.no",         // no municipality band 3
+      "https://api.myapp.eu.pythonanywhere.com/x" ->
+        "myapp.eu.pythonanywhere.com",                            // regional PaaS operator
+      "https://x.happy-tunnel-1234.trycloudflare.com/x" ->
+        "happy-tunnel-1234.trycloudflare.com")                    // tunnel operator
     val df = graft.functions.VectorFunctions.attach(
       cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }.toDF("id", "url"))
     val got = df.select(col("id"), expr("graft_url_domain(url)").as("d"))
