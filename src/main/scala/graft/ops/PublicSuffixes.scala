@@ -395,7 +395,9 @@ object PublicSuffixes {
     "lillesand.no", "farsund.no", "askim.no", "rana.no",
     // private-section operators, band 3 (round 16): the two still
     // missing from the committed PaaS/tunnel set
-    "eu.pythonanywhere.com", "trycloudflare.com") ++
+    "eu.pythonanywhere.com", "trycloudflare.com",
+    // .nz second-levels missing from the committed set (round 16)
+    "gen.nz", "kiwi.nz") ++
     // Bulgaria: the PSL registers every single alphanumeric label as a
     // second level — [0-9a-z].bg (rendered by comprehension; the
     // characters ARE the table)

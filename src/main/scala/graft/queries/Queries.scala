@@ -3070,6 +3070,24 @@ object Queries {
         benchPred = "doc_id < 25", corpusPred = "doc_id >= 25",
         "doc_id", "text", wordGrain = "cjk-dict"))),
 
+    // decontamination on the thai-dict grain (round 16 — the last
+    // dict-grain consumer family that had only the zh leg): witness
+    // shingles are FMM Thai WORDS, so the planted lexicon phrase
+    // shared by bench and corpus rows kills as verbatim k-word
+    // leakage while incidental codepoint-trigram recurrence survives.
+    // Same grainSource-routed oracle as the cjkdict leg
+    QueryDef("pipeline_decontaminate_thaidict",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").withColumn("text", expr(thDictFixtureSpark))
+        graft.ops.Decontaminate.cleanDocs(
+          docs.where(col("doc_id") >= 25), docs.where(col("doc_id") < 25),
+          "doc_id", "text", wordGrain = "thai-dict")
+      },
+      Some(graft.ops.Decontaminate.cleanDocsSql(
+        s"(SELECT doc_id, $thDictFixtureDuck AS text FROM documents)",
+        benchPred = "doc_id < 25", corpusPred = "doc_id >= 25",
+        "doc_id", "text", wordGrain = "thai-dict"))),
+
     // bloom-prefiltered decontamination: identical output to
     // pipeline_decontaminate (same oracle), but the corpus-side check is a
     // codegen'd short-circuit sketch probe — the scale path once the
