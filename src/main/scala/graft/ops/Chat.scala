@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SFT / chat-data preparation operators (round 16) — the
+  * instruction-tuning stage of a training-data pipeline: conversations
+  * arrive as JSON arrays of `{role, content}` turns (the de-facto
+  * interchange shape of public SFT datasets), and the pipeline must
+  * validate their structure, profile them, and render them into the
+  * single training string a tokenizer consumes.
+  *
+  * Both operators parse the JSON ONCE per row into
+  * `ARRAY<STRUCT<role, content>>` (`from_json` — a codegen'd Catalyst
+  * expression, no UDF) and stay row-local until the final keyed
+  * output: zero shuffles beyond the scan, the 100 TB shape by
+  * construction. The DuckDB twins replay the same semantics through
+  * `json_extract_string` over an unnested turn-index series.
+  *
+  * Domain: conversations with >= 1 turn (a row whose JSON parses to
+  * an empty array is absent from both engines' outputs — the
+  * [[Dedup.dedupSentences]] empty-domain convention).
+  */
+object Chat {
+
+  private val turnsSchema = "array<struct<role:string,content:string>>"
+
+  /** Per-conversation structural profile: turn counts by role, the
+    * system-prompt flag, `valid` — the alternation CONTRACT of chat
+    * fine-tuning data (an optional single leading `system` turn, then
+    * a non-empty strict user/assistant alternation that starts with
+    * `user` and ends with `assistant`; anything else breaks masking
+    * assumptions downstream) — and per-role character masses.
+    */
+  def chatTurnStats(df: DataFrame, id: String, conv: String): DataFrame =
+    df.withColumn("__c", expr(s"from_json($conv, '$turnsSchema')"))
+      .where(expr("size(__c) >= 1"))
+      .select(col(id),
+        expr("cast(size(__c) AS BIGINT)").as("n_turns"),
+        expr("cast(size(filter(__c, x -> x.role = 'user')) AS BIGINT)")
+          .as("n_user"),
+        expr("cast(size(filter(__c, x -> x.role = 'assistant')) AS BIGINT)")
+          .as("n_assistant"),
+        expr("element_at(__c, 1).role = 'system'").as("has_system"),
+        expr(PortableHash.let1("__b",
+          "IF(element_at(__c, 1).role = 'system', " +
+            "slice(__c, 2, size(__c) - 1), __c)",
+          // IF guards keep the forall off descending sequence(0, -1)
+          // (ANSI element_at would throw on the empty body)
+          "IF(size(__b) = 0 OR size(__b) % 2 = 1, false, " +
+            "forall(sequence(0, size(__b) - 1), i -> " +
+            "element_at(__b, cast(i + 1 AS INT)).role = " +
+            "IF(i % 2 = 0, 'user', 'assistant')))")).as("valid"),
+        expr("aggregate(filter(__c, x -> x.role = 'user'), " +
+          "cast(0 AS BIGINT), (a, x) -> a + length(x.content))")
+          .as("user_chars"),
+        expr("aggregate(filter(__c, x -> x.role = 'assistant'), " +
+          "cast(0 AS BIGINT), (a, x) -> a + length(x.content))")
+          .as("assistant_chars"))
+
+  /** DuckDB twin of [[chatTurnStats]]: turns unnested by index,
+    * per-row alternation checked against the windowed first-role
+    * offset, re-aggregated per conversation.
+    */
+  def chatTurnStatsSql(table: String, id: String, conv: String): String =
+    s"""WITH p AS (SELECT $id, $conv AS conv FROM $table),
+       |t AS (
+       |  SELECT $id, i,
+       |    json_extract_string(conv, '$$[' || (i - 1) || '].role') AS role,
+       |    json_extract_string(conv, '$$[' || (i - 1) || '].content') AS content
+       |  FROM (SELECT $id, conv,
+       |          unnest(generate_series(1, json_array_length(conv::JSON)::BIGINT)) AS i
+       |        FROM p)),
+       |t2 AS (
+       |  SELECT *, CASE WHEN first_value(role) OVER (PARTITION BY $id ORDER BY i) = 'system'
+       |                 THEN 1 ELSE 0 END AS off
+       |  FROM t),
+       |a AS (
+       |  SELECT $id,
+       |    count(*) AS n_turns,
+       |    sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user,
+       |    sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS n_assistant,
+       |    max(off) = 1 AS has_system,
+       |    bool_and(CASE WHEN i <= off THEN true
+       |                  ELSE role = (CASE WHEN (i - off) % 2 = 1 THEN 'user'
+       |                                    ELSE 'assistant' END) END) AS alt,
+       |    (count(*) - max(off))::BIGINT AS body_n,
+       |    sum(CASE WHEN role = 'user' THEN len(content) ELSE 0 END)::BIGINT AS user_chars,
+       |    sum(CASE WHEN role = 'assistant' THEN len(content) ELSE 0 END)::BIGINT AS assistant_chars
+       |  FROM t2 GROUP BY $id)
+       |SELECT $id, n_turns, n_user, n_assistant, has_system,
+       |  (body_n > 0 AND body_n % 2 = 0 AND alt) AS valid,
+       |  user_chars, assistant_chars
+       |FROM a""".stripMargin
+
+  /** Template render: flatten each conversation to the single training
+    * string (`<|role|>content` per turn, `<|end|>` terminator — a
+    * neutral ChatML-like shape) with its char and token counts; the
+    * string a packing stage ([[Sampling]]) or the BPE tokenizer
+    * ([[Bpe]]) consumes. Row-local; token counts ride the compiled
+    * `graft_token_count` kernel.
+    */
+  def chatRender(df: DataFrame, id: String, conv: String): DataFrame =
+    graft.functions.VectorFunctions.attach(df)
+      .withColumn("__c", expr(s"from_json($conv, '$turnsSchema')"))
+      .where(expr("size(__c) >= 1"))
+      .withColumn("rendered",
+        expr("concat(aggregate(__c, '', (acc, x) -> " +
+          "concat(acc, '<|', x.role, '|>', x.content)), '<|end|>')"))
+      .select(col(id), col("rendered"),
+        expr("cast(length(rendered) AS BIGINT)").as("n_chars"),
+        expr(s"cast(${TextAnalysis.nTokensExpr("rendered")} AS BIGINT)")
+          .as("n_tokens"))
+
+  /** DuckDB twin of [[chatRender]]. */
+  def chatRenderSql(table: String, id: String, conv: String): String =
+    s"""WITH p AS (SELECT $id, $conv AS conv FROM $table),
+       |t AS (
+       |  SELECT $id, i,
+       |    json_extract_string(conv, '$$[' || (i - 1) || '].role') AS role,
+       |    json_extract_string(conv, '$$[' || (i - 1) || '].content') AS content
+       |  FROM (SELECT $id, conv,
+       |          unnest(generate_series(1, json_array_length(conv::JSON)::BIGINT)) AS i
+       |        FROM p)),
+       |r AS (
+       |  SELECT $id,
+       |    string_agg('<|' || role || '|>' || content, '' ORDER BY i) || '<|end|>' AS rendered
+       |  FROM t GROUP BY $id)
+       |SELECT $id, rendered,
+       |  len(rendered)::BIGINT AS n_chars,
+       |  len(regexp_extract_all(rendered, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::BIGINT AS n_tokens
+       |FROM r""".stripMargin
+}

@@ -294,6 +294,35 @@ object Queries {
     s"CASE WHEN doc_id % 3 = 0 THEN replace(translate(lower(substr(text, 1, 120)), " +
       s"'abcdefghijklmnopqrstuvwxyz', '$th26'), ' ', '') || '$thDictPlant' ELSE text END"
 
+  /** Chat-conversation fixture (round 16): each doc rendered as a
+    * JSON `[{role, content}, …]` turn array. Content words come from
+    * the lower-cased alphanumeric-normalized text (JSON escaping is
+    * then a non-issue on either engine); body turns = 2 + doc_id % 3
+    * so odd bodies (invalid alternation) carry mass; every 5th doc
+    * has no system turn. DuckDB's `regexp_replace` needs the 'g' flag
+    * (first-match-only by default, unlike Spark) and its
+    * `array_to_string([])` is NULL where Spark's `array_join` is ''
+    * (the r9 divergence) — hence the coalesce.
+    */
+  private val chatFixtureSpark: String =
+    "concat(IF(doc_id % 5 = 0, '[', " +
+      "'[{\"role\":\"system\",\"content\":\"be concise\"},'), " +
+      "concat_ws(',', transform(sequence(0, cast(1 + doc_id % 3 AS INT)), i -> " +
+      "concat('{\"role\":\"', IF(i % 2 = 0, 'user', 'assistant'), " +
+      "'\",\"content\":\"', " +
+      "array_join(slice(filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' '), " +
+      "x -> x != ''), cast(i * 6 + 1 AS INT), 6), ' '), '\"}'))), ']')"
+
+  private val chatFixtureDuck: String =
+    "'[' || CASE WHEN doc_id % 5 = 0 THEN '' " +
+      "ELSE '{\"role\":\"system\",\"content\":\"be concise\"},' END || " +
+      "array_to_string(list_transform(generate_series(0, (1 + doc_id % 3)::INT), i -> " +
+      "'{\"role\":\"' || CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END || " +
+      "'\",\"content\":\"' || " +
+      "coalesce(array_to_string((list_filter(string_split(" +
+      "regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '), " +
+      "x -> x <> ''))[(i * 6 + 1):(i * 6 + 6)], ' '), '') || '\"}'), ',') || ']'"
+
   val all: Seq[QueryDef] = Seq(
 
     // ================= relational core (scan/filter/agg/join/window) ====
@@ -2206,6 +2235,31 @@ object Queries {
           "'@example.com or https://ex.com/d/' || doc_id || " +
           "' id 1234567890' AS text2 FROM documents)",
         "doc_id", "text2"))),
+
+    // ============ SFT / chat-data preparation (round 16) ============
+    // The conversation fixture renders each doc as a JSON turn array
+    // (the public SFT interchange shape): content = 6-word slices of
+    // the lower-cased alphanumeric-normalized text (so JSON escaping
+    // is a non-issue on either engine), body turns = 2 + doc_id % 3
+    // (doc_id % 3 == 1 gives an ODD body -> the invalid-alternation
+    // branch carries mass), and every 5th doc drops the system turn.
+    QueryDef("chat_turn_stats",
+      (s, dir) => graft.ops.Chat.chatTurnStats(
+        t(s, dir, "documents").withColumn("conv", expr(chatFixtureSpark)),
+        "doc_id", "conv"),
+      Some(graft.ops.Chat.chatTurnStatsSql(
+        s"(SELECT doc_id, $chatFixtureDuck AS conv FROM documents)",
+        "doc_id", "conv"))),
+
+    // template render: conversation -> the single training string a
+    // packing stage / tokenizer consumes, with char + token counts
+    QueryDef("chat_render",
+      (s, dir) => graft.ops.Chat.chatRender(
+        t(s, dir, "documents").withColumn("conv", expr(chatFixtureSpark)),
+        "doc_id", "conv"),
+      Some(graft.ops.Chat.chatRenderSql(
+        s"(SELECT doc_id, $chatFixtureDuck AS conv FROM documents)",
+        "doc_id", "conv"))),
 
     // Gopher-style quality ruleset: per-rule 0/1 flags + conjunction.
     // minWords=50 sits at the corpus median (word counts run 10-99) so
