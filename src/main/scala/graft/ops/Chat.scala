@@ -112,6 +112,62 @@ object Chat {
         expr(s"cast(${TextAnalysis.nTokensExpr("rendered")} AS BIGINT)")
           .as("n_tokens"))
 
+  /** Assistant LOSS-MASK spans — the reason renders matter: a chat
+    * fine-tune masks the loss to assistant tokens only, so the trainer
+    * needs, for every assistant turn, the character span its content
+    * occupies inside the [[chatRender]] string. One row per assistant
+    * turn: `(id, span_idx, start_char, end_char)` — 0-based,
+    * end-exclusive offsets into the rendered string (each turn
+    * contributes `len('<|' + role + '|>') + len(content)` =
+    * `len(role) + 4 + len(content)` characters).
+    *
+    * Row-local single pass: a struct-accumulator `aggregate` carries
+    * (cursor, spans) across the turn array — no per-turn re-scan, no
+    * shuffle; the explode lands one small row per assistant turn.
+    */
+  def chatAssistantSpans(df: DataFrame, id: String, conv: String): DataFrame =
+    df.withColumn("__c", expr(s"from_json($conv, '$turnsSchema')"))
+      .where(expr("size(__c) >= 1"))
+      .withColumn("__sp", expr(
+        "aggregate(__c, " +
+          "named_struct('pos', cast(0 AS BIGINT), " +
+          "  'spans', cast(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)), " +
+          "(acc, x) -> named_struct(" +
+          "  'pos', acc.pos + length(x.role) + 4 + length(x.content), " +
+          "  'spans', IF(x.role = 'assistant', " +
+          "    concat(acc.spans, array(named_struct(" +
+          "      's', acc.pos + length(x.role) + 4, " +
+          "      'e', acc.pos + length(x.role) + 4 + length(x.content)))), " +
+          "    acc.spans)), " +
+          "acc -> acc.spans)"))
+      .select(col(id), posexplode(col("__sp")).as(Seq("span_idx", "sp")))
+      .select(col(id), col("span_idx").cast("long").as("span_idx"),
+        col("sp.s").as("start_char"), col("sp.e").as("end_char"))
+
+  /** DuckDB twin of [[chatAssistantSpans]]: cumulative turn lengths by
+    * window, filtered to assistant turns.
+    */
+  def chatAssistantSpansSql(table: String, id: String, conv: String): String =
+    s"""WITH p AS (SELECT $id, $conv AS conv FROM $table),
+       |t AS (
+       |  SELECT $id, i,
+       |    json_extract_string(conv, '$$[' || (i - 1) || '].role') AS role,
+       |    json_extract_string(conv, '$$[' || (i - 1) || '].content') AS content
+       |  FROM (SELECT $id, conv,
+       |          unnest(generate_series(1, json_array_length(conv::JSON)::BIGINT)) AS i
+       |        FROM p)),
+       |o AS (
+       |  SELECT $id, i, role, content,
+       |    coalesce(sum(len(role) + 4 + len(content))
+       |      OVER (PARTITION BY $id ORDER BY i
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prev
+       |  FROM t)
+       |SELECT $id,
+       |  (row_number() OVER (PARTITION BY $id ORDER BY i) - 1)::BIGINT AS span_idx,
+       |  (prev + len(role) + 4)::BIGINT AS start_char,
+       |  (prev + len(role) + 4 + len(content))::BIGINT AS end_char
+       |FROM o WHERE role = 'assistant'""".stripMargin
+
   /** DuckDB twin of [[chatRender]]. */
   def chatRenderSql(table: String, id: String, conv: String): String =
     s"""WITH p AS (SELECT $id, $conv AS conv FROM $table),

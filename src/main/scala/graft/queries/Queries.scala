@@ -2251,6 +2251,17 @@ object Queries {
         s"(SELECT doc_id, $chatFixtureDuck AS conv FROM documents)",
         "doc_id", "conv"))),
 
+    // assistant loss-mask spans: per assistant turn, the 0-based
+    // end-exclusive char span its content occupies in the rendered
+    // training string — what a chat fine-tune masks loss to
+    QueryDef("chat_mask_spans",
+      (s, dir) => graft.ops.Chat.chatAssistantSpans(
+        t(s, dir, "documents").withColumn("conv", expr(chatFixtureSpark)),
+        "doc_id", "conv"),
+      Some(graft.ops.Chat.chatAssistantSpansSql(
+        s"(SELECT doc_id, $chatFixtureDuck AS conv FROM documents)",
+        "doc_id", "conv"))),
+
     // template render: conversation -> the single training string a
     // packing stage / tokenizer consumes, with char + token counts
     QueryDef("chat_render",

@@ -51,6 +51,26 @@ class ChatSpec extends SparkSpec {
       "system-only: empty body is invalid but the row stays in-domain")
   }
 
+  test("chatAssistantSpans: offsets slice the rendered string to exactly the assistant content") {
+    val rendered = Chat.chatRender(df, "doc_id", "conv")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val spans = Chat.chatAssistantSpans(df, "doc_id", "conv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every span substring must be the turn's content, in order
+    val expect = Map(
+      1L -> Seq("hello"), 2L -> Seq("c"), 3L -> Seq("a1"),
+      4L -> Seq("a"), 5L -> Seq("a"))
+    expect.foreach { case (id, contents) =>
+      val got = spans.filter(_._1 == id).sortBy(_._2)
+        .map { case (_, _, s, e) => rendered(id).substring(s.toInt, e.toInt) }
+      assert(got === contents, s"doc $id")
+    }
+    assert(!spans.exists(_._1 == 6L), "system-only conv has no assistant spans")
+    // exact offsets for the canonical doc: <|system|>be concise = 20,
+    // <|user|>hi there = 16 -> 36, <|assistant|> = 13 -> content [49, 54)
+    assert(spans.filter(_._1 == 1L) === Array((1L, 0L, 49L, 54L)))
+  }
+
   test("chatRender: exact training string + counts") {
     val m = Chat.chatRender(df, "doc_id", "conv")
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
