@@ -17,13 +17,30 @@ import org.apache.spark.sql.functions._
   * construction. The DuckDB twins replay the same semantics through
   * `json_extract_string` over an unnested turn-index series.
   *
-  * Domain: conversations with >= 1 turn (a row whose JSON parses to
-  * an empty array is absent from both engines' outputs — the
-  * [[Dedup.dedupSentences]] empty-domain convention).
+  * Domain: WELL-FORMED JSON arrays of turn objects with >= 1 turn (a
+  * row whose JSON parses to an empty array is absent from both
+  * engines' outputs — the [[Dedup.dedupSentences]] empty-domain
+  * convention; a malformed conversation is out of contract — the
+  * DuckDB twins' `::JSON` cast rejects it outright).
   */
 object Chat {
 
   private val turnsSchema = "array<struct<role:string,content:string>>"
+
+  /** Domain filter + single parse. The non-empty check is the CHEAP
+    * raw-string predicate `instr(conv, '{') > 0` (≡ "at least one
+    * turn object" on well-formed arrays), NOT `size(__c) >= 1`: a
+    * filter on the parsed column gets pushed below the projection
+    * with `from_json` SUBSTITUTED in, so every row paid the parse
+    * twice — once in the filter, once in the project (caught by the
+    * PlanAuditSpec one-parse pin; the verify-skill pushdown trap).
+    * After the cheap filter, `__c` is multiply referenced and
+    * non-cheap, so CollapseProject keeps it materialized — exactly
+    * one parse per row.
+    */
+  private def withTurns(df: DataFrame, conv: String): DataFrame =
+    df.where(col(conv).isNotNull && expr(s"instr($conv, '{') > 0"))
+      .withColumn("__c", expr(s"from_json($conv, '$turnsSchema')"))
 
   /** Per-conversation structural profile: turn counts by role, the
     * system-prompt flag, `valid` — the alternation CONTRACT of chat
@@ -33,8 +50,7 @@ object Chat {
     * assumptions downstream) — and per-role character masses.
     */
   def chatTurnStats(df: DataFrame, id: String, conv: String): DataFrame =
-    df.withColumn("__c", expr(s"from_json($conv, '$turnsSchema')"))
-      .where(expr("size(__c) >= 1"))
+    withTurns(df, conv)
       .select(col(id),
         expr("cast(size(__c) AS BIGINT)").as("n_turns"),
         expr("cast(size(filter(__c, x -> x.role = 'user')) AS BIGINT)")
@@ -101,9 +117,7 @@ object Chat {
     * `graft_token_count` kernel.
     */
   def chatRender(df: DataFrame, id: String, conv: String): DataFrame =
-    graft.functions.VectorFunctions.attach(df)
-      .withColumn("__c", expr(s"from_json($conv, '$turnsSchema')"))
-      .where(expr("size(__c) >= 1"))
+    withTurns(graft.functions.VectorFunctions.attach(df), conv)
       .withColumn("rendered",
         expr("concat(aggregate(__c, '', (acc, x) -> " +
           "concat(acc, '<|', x.role, '|>', x.content)), '<|end|>')"))
@@ -126,8 +140,7 @@ object Chat {
     * shuffle; the explode lands one small row per assistant turn.
     */
   def chatAssistantSpans(df: DataFrame, id: String, conv: String): DataFrame =
-    df.withColumn("__c", expr(s"from_json($conv, '$turnsSchema')"))
-      .where(expr("size(__c) >= 1"))
+    withTurns(df, conv)
       .withColumn("__sp", expr(
         "aggregate(__c, " +
           "named_struct('pos', cast(0 AS BIGINT), " +
@@ -140,7 +153,16 @@ object Chat {
           "      'e', acc.pos + length(x.role) + 4 + length(x.content)))), " +
           "    acc.spans)), " +
           "acc -> acc.spans)"))
-      .select(col(id), posexplode(col("__sp")).as(Seq("span_idx", "sp")))
+      // OUTER explode + a cheap null filter on the GENERATED column,
+      // not plain posexplode: the optimizer infers `size(__sp) > 0`
+      // from a non-outer Generate (InferFiltersFromGenerate) and
+      // pushes it below the projection with the whole parse+aggregate
+      // SUBSTITUTED in — every row paid the parse twice (caught by
+      // the PlanAuditSpec one-parse pin). The outer form has nothing
+      // to infer; no-assistant rows emit one null that the post-
+      // generate filter drops for free.
+      .select(col(id), posexplode_outer(col("__sp")).as(Seq("span_idx", "sp")))
+      .where(col("sp").isNotNull)
       .select(col(id), col("span_idx").cast("long").as("span_idx"),
         col("sp.s").as("start_char"), col("sp.e").as("end_char"))
 

@@ -318,6 +318,20 @@ class PlanAuditSpec extends SparkSpec {
       s"AQE must broadcast the tiny frequent set at runtime:\n$executed")
   }
 
+  test("chat family: row-local from scan to output — zero exchanges, one json parse") {
+    // the SFT ops are pure per-conversation projections: any Exchange
+    // here means a refactor introduced a shuffle into what must stay
+    // an embarrassingly-parallel scan at 100 TB; and the JSON must be
+    // parsed ONCE per row (from_json appears once per plan — a second
+    // parse doubles the dominant row cost)
+    Seq("chat_turn_stats", "chat_render", "chat_mask_spans").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must have no exchange:\n$p")
+      assert(count(p, "from_json") == 1,
+        s"$q must parse the conversation JSON exactly once:\n$p")
+    }
+  }
+
   test("asof_enrich: merge formulation — no join operator, one window over one sort") {
     val p = plan("asof_enrich")
     assert(!p.contains("Join"),
