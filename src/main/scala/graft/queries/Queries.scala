@@ -2272,6 +2272,30 @@ object Queries {
         s"(SELECT doc_id, $chatFixtureDuck AS conv FROM documents)",
         "doc_id", "conv"))),
 
+    // COMPOSED: rendered conversations feeding the existing sharded
+    // packing stage — the proof the chat family plugs into the
+    // training-sequence pipeline unchanged (render -> source join ->
+    // greedy 128-token sequence assignment per (source, shard));
+    // budget/shards sized so multi-sequence fill, underfull tails,
+    // and boundary overflow all carry mass on ~70-token rendered
+    // convs at the 500-doc gate scale (512/8 left every group under
+    // one sequence — the all-tail trap the pack_report doc warns of)
+    QueryDef("chat_pack",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").withColumn("conv", expr(chatFixtureSpark))
+        val rendered = graft.ops.Chat.chatRender(docs, "doc_id", "conv")
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        graft.ops.Sampling.packSequencesSharded(rendered, "doc_id",
+          "rendered", "source", budget = 128, shards = 2)
+      },
+      Some(graft.ops.Sampling.packSequencesShardedSql(
+        s"""(SELECT r.doc_id, r.rendered, s.source
+           | FROM (${graft.ops.Chat.chatRenderSql(
+                s"(SELECT doc_id, $chatFixtureDuck AS conv FROM documents)",
+                "doc_id", "conv")}) r
+           | JOIN (SELECT doc_id, source FROM documents) s USING (doc_id))""".stripMargin,
+        "doc_id", "rendered", "source", budget = 128, shards = 2))),
+
     // Gopher-style quality ruleset: per-rule 0/1 flags + conjunction.
     // minWords=50 sits at the corpus median (word counts run 10-99) so
     // both keep outcomes occur; the stop-hit rule also splits the corpus
