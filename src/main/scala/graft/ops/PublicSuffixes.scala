@@ -387,12 +387,15 @@ object PublicSuffixes {
     "turystyka.pl",
     // Norway municipality registries, band 3 (round 16) — natively
     // ASCII kommune names only (the å/ø names ship as punycode
-    // upstream; this table is ASCII-only by the wellFormed invariant)
+    // upstream; this table is ASCII-only by the wellFormed invariant),
+    // restricted to municipalities that SURVIVED the 2020 reform
+    // under their own name (merged names like askim/mandal and the
+    // town-vs-kommune trap egersund/eigersund are deliberately out)
     "sandefjord.no", "larvik.no", "kongsberg.no", "horten.no",
     "porsgrunn.no", "harstad.no", "steinkjer.no", "kristiansund.no",
-    "egersund.no", "grimstad.no", "elverum.no", "kongsvinger.no",
-    "notodden.no", "mandal.no", "flekkefjord.no", "ringerike.no",
-    "lillesand.no", "farsund.no", "askim.no", "rana.no",
+    "eigersund.no", "grimstad.no", "elverum.no", "kongsvinger.no",
+    "notodden.no", "stange.no", "flekkefjord.no", "ringerike.no",
+    "lillesand.no", "farsund.no", "ringsaker.no", "rana.no",
     // private-section operators, band 3 (round 16): the two still
     // missing from the committed PaaS/tunnel set
     "eu.pythonanywhere.com", "trycloudflare.com",
