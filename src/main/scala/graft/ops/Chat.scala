@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions._
   * row whose JSON parses to an empty array is absent from both
   * engines' outputs — the [[Dedup.dedupSentences]] empty-domain
   * convention; a malformed conversation is out of contract — the
-  * DuckDB twins' `::JSON` cast rejects it outright).
+  * DuckDB twins' `::JSON` cast rejects it outright). Every turn must
+  * carry a non-null `role` AND `content`: a missing/null field is out
+  * of contract, and the engines' null propagation through string
+  * concatenation differs (Spark nulls the whole render, DuckDB's
+  * string_agg skips the null element) — validate upstream rather
+  * than relying on either behavior.
   */
 object Chat {
 
