@@ -277,6 +277,44 @@ object Dedup {
        |FROM l LEFT JOIN f ON l.line = f.line
        |GROUP BY l.$id""".stripMargin
 
+  /** WITHIN-document duplicate-line removal (round 16) — the CCNet
+    * intra-doc pre-step next to the corpus-level [[dedupLines]]: a
+    * page that repeats its own boilerplate (menus rendered top AND
+    * bottom, repeated share prompts) keeps only the FIRST occurrence
+    * of each line; later copies are struck regardless of corpus-wide
+    * frequency. Entirely ROW-LOCAL — zero exchanges, the
+    * embarrassingly-parallel complement to the corpus pass (which
+    * needs a frequency shuffle): run this first and the corpus pass
+    * sees each doc's distinct lines once.
+    *
+    * The keep predicate is first-occurrence-index equality
+    * (`array_position(lines, x) == i+1`) — O(lines²) per doc, bounded
+    * by the doc's own line count (the same bound as reading it).
+    */
+  def dedupLinesWithinDoc(df: DataFrame, id: String, text: String): DataFrame =
+    df.withColumn("__l", expr(s"split($text, '\\n')"))
+      .withColumn("__k", expr(
+        "filter(__l, (x, i) -> array_position(__l, x) = cast(i + 1 AS BIGINT))"))
+      .select(col(id),
+        expr("array_join(__k, chr(10))").as("clean_text"),
+        expr("cast(size(__l) - size(__k) AS BIGINT)").as("n_removed"),
+        expr("cast(size(__l) AS BIGINT)").as("n_lines"))
+
+  /** DuckDB twin of [[dedupLinesWithinDoc]] (DuckDB lambda indexes are
+    * 1-based where Spark's are 0-based — both sides compare against
+    * the 1-based first-occurrence position).
+    */
+  def dedupLinesWithinDocSql(table: String, id: String, text: String): String =
+    s"""WITH d AS (SELECT $id, string_split($text, chr(10)) AS l FROM $table),
+       |k AS (SELECT $id, l,
+       |        list_filter(l, (x, i) -> list_position(l, x) = i) AS kept
+       |      FROM d)
+       |SELECT $id,
+       |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+       |  (len(l) - len(kept))::BIGINT AS n_removed,
+       |  len(l)::BIGINT AS n_lines
+       |FROM k""".stripMargin
+
   /** Corpus-level duplicated-SENTENCE removal — [[dedupLines]] at the
     * sentence grain (the CCNet-style pass for boilerplate that repeats
     * as sentences rather than lines: cookie notices, share prompts,

@@ -2948,6 +2948,21 @@ object Queries {
     // (。-terminated, no whitespace anywhere), the rest an ASCII
     // newsletter call; each repeats corpus-wide >> maxFreq and must be
     // struck from every doc while the organic sentences survive
+    // WITHIN-doc duplicate-line removal: the row-local CCNet pre-step
+    // (zero exchanges) — the fixture repeats each doc's first line at
+    // its end, so every doc exercises the strike path while interior
+    // unique lines survive in order
+    QueryDef("dedup_lines_doc",
+      (s, dir) => Dedup.dedupLinesWithinDoc(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat_ws("\n", split(col("text"), " "),
+            expr("split(text, ' ')[0]")).as("text2")),
+        "doc_id", "text2"),
+      Some(Dedup.dedupLinesWithinDocSql(
+        "(SELECT doc_id, array_to_string(string_split(text, ' ') || " +
+          "[string_split(text, ' ')[1]], chr(10)) AS text2 FROM documents)",
+        "doc_id", "text2"))),
+
     QueryDef("dedup_sentences",
       (s, dir) => Dedup.dedupSentences(
         t(s, dir, "documents").withColumn("text", expr(

@@ -52,6 +52,23 @@ class DedupSpansSpec extends SparkSpec {
     }
   }
 
+  test("dedupLinesWithinDoc: first occurrence kept in order, later copies struck, row-local") {
+    val docs = Seq(
+      (1L, "menu\nreal content one\nmore text\nmenu"),      // top+bottom boilerplate
+      (2L, "a\nb\na\nb\na"),                                 // heavy repetition
+      (3L, "unique\nlines\nonly"),                           // nothing struck
+      (4L, "")).toDF("doc_id", "text")                       // single empty line
+    val out = Dedup.dedupLinesWithinDoc(docs, "doc_id", "text")
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "within-doc dedup must be row-local")
+    val m = out.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m(1L) === (("menu\nreal content one\nmore text", 1L, 4L)))
+    assert(m(2L) === (("a\nb", 3L, 5L)))
+    assert(m(3L) === (("unique\nlines\nonly", 0L, 3L)))
+    assert(m(4L) === (("", 0L, 1L)))
+  }
+
   test("a doc of pure boilerplate survives with empty clean_text") {
     val boiler = "a b c d e"
     val docs = ((0 until 11).map(i => (i.toLong, s"x$i $boiler")) :+
