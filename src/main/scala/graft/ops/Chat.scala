@@ -195,6 +195,77 @@ object Chat {
        |  (prev + len(role) + 4 + len(content))::BIGINT AS end_char
        |FROM o WHERE role = 'assistant'""".stripMargin
 
+  /** Per-stratum SFT-corpus REPORT — the report-before-acting
+    * companion ([[Sampling.packReport]] convention) over
+    * [[chatTurnStats]]: conversation counts, the valid-alternation
+    * fraction in integer MILLI units (the repo's exact-arithmetic
+    * discipline — no float ratios in hashes), mean turns in milli,
+    * and per-role character masses. One keyed partial-agg exchange of
+    * stratum-grain rows — metadata-sized.
+    */
+  def chatReport(df: DataFrame, id: String, conv: String,
+                 strata: String): DataFrame =
+    withTurns(df, conv)
+      .select(col(strata), expr("cast(size(__c) AS BIGINT)").as("n_turns"),
+        expr(PortableHash.let1("__b",
+          "IF(element_at(__c, 1).role = 'system', " +
+            "slice(__c, 2, size(__c) - 1), __c)",
+          "IF(size(__b) = 0 OR size(__b) % 2 = 1, false, " +
+            "forall(sequence(0, size(__b) - 1), i -> " +
+            "element_at(__b, cast(i + 1 AS INT)).role = " +
+            "IF(i % 2 = 0, 'user', 'assistant')))")).as("valid"),
+        expr("aggregate(filter(__c, x -> x.role = 'user'), " +
+          "cast(0 AS BIGINT), (a, x) -> a + length(x.content))")
+          .as("user_chars"),
+        expr("aggregate(filter(__c, x -> x.role = 'assistant'), " +
+          "cast(0 AS BIGINT), (a, x) -> a + length(x.content))")
+          .as("assistant_chars"))
+      .groupBy(col(strata))
+      .agg(count(lit(1)).as("n_convs"),
+        sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+        expr("cast(sum(IF(valid, 1, 0)) * 1000 div count(*) AS BIGINT)")
+          .as("valid_milli"),
+        expr("cast(sum(n_turns) * 1000 div count(*) AS BIGINT)")
+          .as("mean_turns_milli"),
+        sum(col("user_chars")).as("user_chars"),
+        sum(col("assistant_chars")).as("assistant_chars"))
+
+  /** DuckDB twin of [[chatReport]] (stats re-derived per conversation
+    * through the shared unnested-turn shape, then one stratum agg).
+    */
+  def chatReportSql(table: String, id: String, conv: String,
+                    strata: String): String =
+    s"""WITH p AS (SELECT $id, $strata, $conv AS conv FROM $table),
+       |t AS (
+       |  SELECT $id, $strata, i,
+       |    json_extract_string(conv, '$$[' || (i - 1) || '].role') AS role,
+       |    json_extract_string(conv, '$$[' || (i - 1) || '].content') AS content
+       |  FROM (SELECT $id, $strata, conv,
+       |          unnest(generate_series(1, json_array_length(conv::JSON)::BIGINT)) AS i
+       |        FROM p)),
+       |t2 AS (
+       |  SELECT *, CASE WHEN first_value(role) OVER (PARTITION BY $id ORDER BY i) = 'system'
+       |                 THEN 1 ELSE 0 END AS off
+       |  FROM t),
+       |a AS (
+       |  SELECT $id, any_value($strata) AS $strata,
+       |    count(*) AS n_turns,
+       |    bool_and(CASE WHEN i <= off THEN true
+       |                  ELSE role = (CASE WHEN (i - off) % 2 = 1 THEN 'user'
+       |                                    ELSE 'assistant' END) END)
+       |      AND (count(*) - max(off)) > 0
+       |      AND (count(*) - max(off)) % 2 = 0 AS valid,
+       |    sum(CASE WHEN role = 'user' THEN len(content) ELSE 0 END)::BIGINT AS user_chars,
+       |    sum(CASE WHEN role = 'assistant' THEN len(content) ELSE 0 END)::BIGINT AS assistant_chars
+       |  FROM t2 GROUP BY $id)
+       |SELECT $strata, count(*) AS n_convs,
+       |  sum(CASE WHEN valid THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+       |  (sum(CASE WHEN valid THEN 1 ELSE 0 END) * 1000 // count(*))::BIGINT AS valid_milli,
+       |  (sum(n_turns) * 1000 // count(*))::BIGINT AS mean_turns_milli,
+       |  sum(user_chars)::BIGINT AS user_chars,
+       |  sum(assistant_chars)::BIGINT AS assistant_chars
+       |FROM a GROUP BY $strata""".stripMargin
+
   /** DuckDB twin of [[chatRender]]. */
   def chatRenderSql(table: String, id: String, conv: String): String =
     s"""WITH p AS (SELECT $id, $conv AS conv FROM $table),

@@ -2272,6 +2272,18 @@ object Queries {
         s"(SELECT doc_id, $chatFixtureDuck AS conv FROM documents)",
         "doc_id", "conv"))),
 
+    // per-source SFT corpus report: conversation counts, the
+    // valid-alternation fraction and mean turns (integer milli), and
+    // per-role character masses — the report a curation run reads
+    // BEFORE packing (the pack_report convention)
+    QueryDef("chat_report",
+      (s, dir) => graft.ops.Chat.chatReport(
+        t(s, dir, "documents").withColumn("conv", expr(chatFixtureSpark)),
+        "doc_id", "conv", "source"),
+      Some(graft.ops.Chat.chatReportSql(
+        s"(SELECT doc_id, source, $chatFixtureDuck AS conv FROM documents)",
+        "doc_id", "conv", "source"))),
+
     // COMPOSED: rendered conversations feeding the existing sharded
     // packing stage — the proof the chat family plugs into the
     // training-sequence pipeline unchanged (render -> source join ->

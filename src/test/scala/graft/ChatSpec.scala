@@ -71,6 +71,20 @@ class ChatSpec extends SparkSpec {
     assert(spans.filter(_._1 == 1L) === Array((1L, 0L, 49L, 54L)))
   }
 
+  test("chatReport: integer-milli fractions over the planted contract outcomes") {
+    // strata: docs 1-3 -> 'a' (valid, valid, invalid), 4-6 -> 'b'
+    // (invalid x3); doc 7 (empty array) is out of domain everywhere
+    val strat = df.withColumn("src",
+      when($"doc_id" <= 3, "a").otherwise("b"))
+    val m = Chat.chatReport(strat, "doc_id", "conv", "src")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(m("a") === ((3L, 2L, 666L, 2666L)),
+      "a: 2/3 valid = 666 milli; (3+2+3)/3 turns = 2666 milli")
+    assert(m("b") === ((3L, 0L, 0L, 2000L)),
+      "b: 0/3 valid; (2+3+1)/3 turns = 2000 milli")
+  }
+
   test("chatRender: exact training string + counts") {
     val m = Chat.chatRender(df, "doc_id", "conv")
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
