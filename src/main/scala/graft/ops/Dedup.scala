@@ -80,6 +80,22 @@ object Dedup {
     * lease, which lives until `Caches.releaseAll`/scope exit — callers
     * on the AQE-off path inherit that eager, caching behavior) runs
     * only when AQE is off and static planning needs the size up front.
+    *
+    * COST OF THE AQE PATH, stated precisely (round 17, ADVICE): at
+    * scale the unhinted join's static stats exceed the broadcast
+    * threshold, so it PLANS as a shuffle join, and when AQE converts
+    * it to broadcast at runtime the probe side's shuffle MAP WRITE has
+    * already executed — the local shuffle reader skips the fetch and
+    * the sort, not the write. The probe side is therefore written once
+    * to local disk (pipelined with the scan that produced it, no extra
+    * pass over the data, no network). That map write is the price of
+    * not knowing the build side's size up front; the alternatives are
+    * strictly worse — an eager estimator job (a full extra aggregate
+    * over the build side, the measured 2.09× above) or an unconditional
+    * hint (driver OOM when the "small by construction" bound lies at
+    * 100 TB). Callers' "no corpus shuffle" claims are scoped to
+    * NETWORK movement: no corpus row crosses the wire for the lookup
+    * on either AQE branch.
     */
   private[graft] def broadcastIfSmall(df: DataFrame, payloadBytes: Column): DataFrame = {
     if (df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
@@ -229,11 +245,16 @@ object Dedup {
     * Plan shape (the 100 TB path): line frequency is a partial-aggregated
     * exchange carrying one (line, count) row per distinct line per map
     * partition; the frequent set (count > maxFreq) has at most
-    * total_lines / maxFreq members BY CONSTRUCTION, so it broadcasts
-    * back and the corpus is never shuffled for the lookup; reassembly
-    * is the one keyed exchange on doc id. The per-doc collect_list is
-    * bounded by the document's own line count — the same bound as
-    * reading the doc.
+    * total_lines / maxFreq members BY CONSTRUCTION, so the lookup join
+    * resolves to broadcast — statically via [[broadcastIfSmall]]'s
+    * estimator when AQE is off, at runtime from exact shuffle stats
+    * when AQE is on. On the AQE branch the line rows pay one LOCAL
+    * shuffle map write before the runtime conversion (see
+    * [[broadcastIfSmall]] — the fetch is skipped, not the write); no
+    * corpus row crosses the network for the lookup on either branch.
+    * Reassembly is the one keyed exchange on doc id. The per-doc
+    * collect_list is bounded by the document's own line count — the
+    * same bound as reading the doc.
     */
   def dedupLines(df: DataFrame, id: String, text: String, maxFreq: Int): DataFrame = {
     val lines = df.select(col(id),
@@ -436,8 +457,16 @@ object Dedup {
     // at the 1M probe's boilerplate-saturated worst case (200×
     // replication flags EVERY gram) vs ~45s for this shape. Coverage and
     // reassembly are then row-local over the doc's own split array —
-    // O(len × flagged-starts) per doc, bounded by the doc's own size
-    val cov = grams.join(broadcast(dup), Seq("gh"))
+    // O(len × flagged-starts) per doc, bounded by the doc's own size.
+    // The duplicated-digest set rides [[broadcastIfSmall]] (round 17 —
+    // was an unconditional broadcast hint): its total_grams/maxFreq
+    // cardinality bound is fixed-width (md5 digests, 32 B/row, unlike
+    // unbounded line text) but still not a broadcast GUARANTEE on a
+    // pathological boilerplate corpus; only the digest column crosses
+    // — the count is dropped before the gate so the payload is exact
+    val cov = grams.join(
+        broadcastIfSmall(dup.select(col("gh")), octet_length(col("gh"))),
+        Seq("gh"))
       .groupBy(col(id))
       .agg(sort_array(collect_set(col("spos"))).as("__ss"))
     fdf.select(col(id), expr(tokArr).as("__w"))

@@ -389,8 +389,10 @@ object PublicSuffixes {
     // ASCII kommune names only (the å/ø names ship as punycode
     // upstream; this table is ASCII-only by the wellFormed invariant),
     // restricted to municipalities that SURVIVED the 2020 reform
-    // under their own name (merged names like askim/mandal and the
-    // town-vs-kommune trap egersund/eigersund are deliberately out)
+    // under their own name (merged names like askim/mandal are
+    // deliberately out; eigersund.no is IN — Eigersund kommune
+    // survived the reform — while the town form egersund stays out,
+    // the upstream list registers the kommune name)
     "sandefjord.no", "larvik.no", "kongsberg.no", "horten.no",
     "porsgrunn.no", "harstad.no", "steinkjer.no", "kristiansund.no",
     "eigersund.no", "grimstad.no", "elverum.no", "kongsvinger.no",

@@ -83,8 +83,11 @@ object InduceLexiconBand {
       val status =
         if (committed.contains(w)) "already-committed"
         else if (w.length < 2 || w.length > target.maxLen) "bad-length"
-        else if (!w.forall(inBlock)) "out-of-block"
+        // has-space BEFORE the block check (round 17, ADVICE fix): a
+        // space is itself outside cjkRanges, so the out-of-block branch
+        // used to shadow this one — the status was unreachable
         else if (w.contains(' ')) "has-space"
+        else if (!w.forall(inBlock)) "out-of-block"
         else "NOMINATED"
       Cand(w, r.getDouble(4), r.getLong(3), status)
     }

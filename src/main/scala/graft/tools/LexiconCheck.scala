@@ -26,18 +26,23 @@ object LexiconCheck {
       println(s"[lexcheck] $g: total=${ws.size} distinct=${ws.distinct.size} " +
         s"maxLen=${lex.maxLen} byLenCounts=" +
         (2 to lex.maxLen).map(l => s"$l:${ws.count(_.length == l)}").mkString(","))
+      // per-lexicon flag (round 17, ADVICE fix): gating the init
+      // validation on the CROSS-lexicon flag meant one dirty lexicon
+      // silenced every later clean one's "init OK" line
+      var lexBad = false
       def report(label: String, xs: Seq[String]): Unit = if (xs.nonEmpty) {
-        bad = true
+        lexBad = true
         println(s"[lexcheck]   $label (${xs.size}): ${xs.mkString(" ")}")
       }
       report("DUPLICATES", dups)
       report("BAD-LENGTH", badLen)
       report("OUT-OF-BLOCK", outOfBlock)
       report("HAS-SPACE", spaces)
-      if (!bad) {
+      if (!lexBad) {
         lex.byLen // full init validation incl. packed-probe tables
         println(s"[lexcheck] $g: init OK")
       }
+      bad ||= lexBad
     }
     if (bad) { println("[lexcheck] FAIL"); sys.exit(1) }
     println("[lexcheck] all lexicons clean")

@@ -509,9 +509,16 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("dedup_spans: duplicated-digest set broadcasts back; corpus shuffles only on digest-agg and doc id") {
+    // r17 shape: the digest set goes through broadcastIfSmall — under
+    // AQE (the default) that's the identity, so the static plan shows
+    // the unhinted join under AdaptiveSparkPlan with no estimator
+    // artifacts, and AQE converts it to broadcast at runtime from the
+    // digest agg's exact shuffle stats (the dedup_lines discipline)
     val p = plan("dedup_spans")
-    assert(p.contains("BroadcastHashJoin"),
-      s"the flagged-span set must broadcast against the gram rows:\n$p")
+    assert(p.contains("AdaptiveSparkPlan"),
+      s"dedup_spans must run under AQE for runtime join sizing:\n$p")
+    assert(!p.contains("InMemoryTableScan"),
+      s"the AQE path must not lease/cache the digest set:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"span coverage must never be a nested-loop join:\n$p")
     // exchanges: gram-digest partial agg (1) + its broadcast feed, the
@@ -519,6 +526,11 @@ class PlanAuditSpec extends SparkSpec {
     // join keys — bounded, never data-squared
     assert(count(p, "HashAggregate") >= 2,
       s"the digest count must partial-aggregate map-side:\n$p")
+    val df = Queries.queryMap("dedup_spans")(spark, sf)
+    df.queryExecution.toRdd.count()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin"),
+      s"AQE must broadcast the tiny duplicated-digest set at runtime:\n$executed")
   }
 
   test("pipeline_pack_bpe: one (stratum, shard) window exchange, compiled token kernel") {
