@@ -48,11 +48,19 @@ object Chat {
       .withColumn("__c", expr(s"from_json($conv, '$turnsSchema')"))
 
   /** Per-conversation structural profile: turn counts by role, the
-    * system-prompt flag, `valid` — the alternation CONTRACT of chat
-    * fine-tuning data (an optional single leading `system` turn, then
-    * a non-empty strict user/assistant alternation that starts with
-    * `user` and ends with `assistant`; anything else breaks masking
-    * assumptions downstream) — and per-role character masses.
+    * system-prompt flag, `valid` — the STRICT alternation CONTRACT of
+    * chat fine-tuning data (an optional single leading `system` turn,
+    * then a non-empty strict user/assistant alternation that starts
+    * with `user` and ends with `assistant`; anything else breaks
+    * masking assumptions downstream), `valid_ext` (round 17) — the
+    * EXTENDED grammar that admits `tool` turns (function-call results:
+    * optional system head; body starts with `user`, ends with
+    * `assistant`, roles drawn from {user, assistant, tool}; `user`
+    * follows only `assistant`, `assistant` follows `user` or `tool`,
+    * and `tool` follows only `assistant` or `tool` — a tool result
+    * answers an assistant call, possibly chained) — and per-role
+    * character masses. `valid ⇒ valid_ext` (the strict grammar is the
+    * tool-free fragment of the extended one).
     */
   def chatTurnStats(df: DataFrame, id: String, conv: String): DataFrame =
     withTurns(df, conv)
@@ -62,6 +70,8 @@ object Chat {
           .as("n_user"),
         expr("cast(size(filter(__c, x -> x.role = 'assistant')) AS BIGINT)")
           .as("n_assistant"),
+        expr("cast(size(filter(__c, x -> x.role = 'tool')) AS BIGINT)")
+          .as("n_tool"),
         expr("element_at(__c, 1).role = 'system'").as("has_system"),
         expr(PortableHash.let1("__b",
           "IF(element_at(__c, 1).role = 'system', " +
@@ -72,6 +82,22 @@ object Chat {
             "forall(sequence(0, size(__b) - 1), i -> " +
             "element_at(__b, cast(i + 1 AS INT)).role = " +
             "IF(i % 2 = 0, 'user', 'assistant')))")).as("valid"),
+        expr(PortableHash.let1("__b",
+          "IF(element_at(__c, 1).role = 'system', " +
+            "slice(__c, 2, size(__c) - 1), __c)",
+          // size < 2 is false outright (first=user AND last=assistant
+          // cannot both hold) — and it keeps the successor forall off
+          // descending sequence(1, 0) (the ANSI element_at trap)
+          "IF(size(__b) < 2, false, " +
+            "element_at(__b, 1).role = 'user' AND " +
+            "element_at(__b, size(__b)).role = 'assistant' AND " +
+            "forall(__b, x -> x.role IN ('user', 'assistant', 'tool')) AND " +
+            "forall(sequence(1, size(__b) - 1), i -> " +
+            "CASE element_at(__b, cast(i + 1 AS INT)).role " +
+            "WHEN 'user' THEN element_at(__b, cast(i AS INT)).role = 'assistant' " +
+            "WHEN 'assistant' THEN element_at(__b, cast(i AS INT)).role IN ('user', 'tool') " +
+            "ELSE element_at(__b, cast(i AS INT)).role IN ('assistant', 'tool') END))"))
+          .as("valid_ext"),
         expr("aggregate(filter(__c, x -> x.role = 'user'), " +
           "cast(0 AS BIGINT), (a, x) -> a + length(x.content))")
           .as("user_chars"),
@@ -94,23 +120,34 @@ object Chat {
        |        FROM p)),
        |t2 AS (
        |  SELECT *, CASE WHEN first_value(role) OVER (PARTITION BY $id ORDER BY i) = 'system'
-       |                 THEN 1 ELSE 0 END AS off
+       |                 THEN 1 ELSE 0 END AS off,
+       |         lag(role) OVER (PARTITION BY $id ORDER BY i) AS prev
        |  FROM t),
        |a AS (
        |  SELECT $id,
        |    count(*) AS n_turns,
        |    sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user,
        |    sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS n_assistant,
+       |    sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)::BIGINT AS n_tool,
        |    max(off) = 1 AS has_system,
        |    bool_and(CASE WHEN i <= off THEN true
        |                  ELSE role = (CASE WHEN (i - off) % 2 = 1 THEN 'user'
        |                                    ELSE 'assistant' END) END) AS alt,
+       |    bool_and(CASE WHEN i <= off THEN true
+       |                  WHEN i = off + 1 THEN role = 'user'
+       |                  ELSE CASE role
+       |                       WHEN 'user' THEN prev = 'assistant'
+       |                       WHEN 'assistant' THEN prev IN ('user', 'tool')
+       |                       WHEN 'tool' THEN prev IN ('assistant', 'tool')
+       |                       ELSE false END END) AS ext_alt,
+       |    arg_max(role, i) = 'assistant' AS ends_assistant,
        |    (count(*) - max(off))::BIGINT AS body_n,
        |    sum(CASE WHEN role = 'user' THEN len(content) ELSE 0 END)::BIGINT AS user_chars,
        |    sum(CASE WHEN role = 'assistant' THEN len(content) ELSE 0 END)::BIGINT AS assistant_chars
        |  FROM t2 GROUP BY $id)
-       |SELECT $id, n_turns, n_user, n_assistant, has_system,
+       |SELECT $id, n_turns, n_user, n_assistant, n_tool, has_system,
        |  (body_n > 0 AND body_n % 2 = 0 AND alt) AS valid,
+       |  (body_n >= 2 AND ext_alt AND ends_assistant) AS valid_ext,
        |  user_chars, assistant_chars
        |FROM a""".stripMargin
 
@@ -265,6 +302,175 @@ object Chat {
        |  sum(user_chars)::BIGINT AS user_chars,
        |  sum(assistant_chars)::BIGINT AS assistant_chars
        |FROM a GROUP BY $strata""".stripMargin
+
+  /** Stripped length of a string expression: codepoints excluding the
+    * BPE unit separator (U+0001, stripped by the tokenizer before
+    * unitization) and the space unit (the word boundary, dropped from
+    * the token list) — the coordinate system of [[chatMaskTokens]].
+    */
+  private def strippedLen(x: String): String =
+    s"length(replace(replace($x, '${Bpe.Sep}', ''), ' ', ''))"
+
+  /** TOKEN-grain loss-mask spans (round 17) — the trainer-consumable
+    * form of [[chatAssistantSpans]]: per assistant turn, the 0-based
+    * end-exclusive span of TOKEN INDICES its content occupies in the
+    * BPE token sequence (`graft_bpe_tokens`) of the [[chatRender]]
+    * string. Char spans mask characters; a trainer masks token
+    * positions — this is the rung between them.
+    *
+    * Alignment is EXACT by construction, not approximation: the merge
+    * table's sides are alphanumeric ([[Bpe.merges]] invariant), so the
+    * template delimiters `<`, `|`, `>` can never merge into a content
+    * token and no token straddles a turn boundary. The BPE tokenizer
+    * drops space units (and strips U+0001), so spans live in STRIPPED
+    * coordinates — cumulative non-space codepoints — and the masked
+    * token slice reproduces the turn content minus its spaces
+    * (ChatSpec pins `concat(tokens[start, end)) = content \ spaces`).
+    * A turn whose content is all spaces yields an empty span
+    * (start_token = end_token) — present, zero tokens to mask.
+    *
+    * Plan shape: one `from_json`, one struct-accumulator pass for the
+    * stripped-coordinate spans, one compiled tokenize of the inlined
+    * render, one cumulative-ends accumulator — all row-local; the
+    * explode lands one small row per assistant turn. Zero exchanges,
+    * the [[chatAssistantSpans]] outer-explode idiom against the
+    * InferFiltersFromGenerate double-parse trap.
+    */
+  def chatMaskTokens(df: DataFrame, id: String, conv: String): DataFrame =
+    withTurns(graft.functions.VectorFunctions.attach(df), conv)
+      // assistant spans in stripped coordinates: the accumulator cursor
+      // advances by len_stripped('<|' role '|>' content) per turn
+      // (the four delimiter chars are never spaces, so they count 4)
+      .withColumn("__sp", expr(
+        "aggregate(__c, " +
+          "named_struct('pos', cast(0 AS BIGINT), " +
+          "  'spans', cast(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)), " +
+          s"(acc, x) -> named_struct(" +
+          s"  'pos', acc.pos + ${strippedLen("x.role")} + 4 + ${strippedLen("x.content")}, " +
+          s"  'spans', IF(x.role = 'assistant', " +
+          s"    concat(acc.spans, array(named_struct(" +
+          s"      's', acc.pos + ${strippedLen("x.role")} + 4, " +
+          s"      'e', acc.pos + ${strippedLen("x.role")} + 4 + ${strippedLen("x.content")}))), " +
+          s"    acc.spans)), " +
+          "acc -> acc.spans)"))
+      // cumulative token END offsets (stripped coords) over the BPE
+      // sequence of the render — the render is inlined (referenced
+      // once) so no second materialization of the string
+      .withColumn("__ce", expr(
+        "aggregate(graft_bpe_tokens(concat(aggregate(__c, '', (acc, x) -> " +
+          "concat(acc, '<|', x.role, '|>', x.content)), '<|end|>')), " +
+          "named_struct('c', cast(0 AS BIGINT), " +
+          "  'a', cast(array() AS ARRAY<BIGINT>)), " +
+          "(acc, t) -> named_struct('c', acc.c + length(t), " +
+          "  'a', concat(acc.a, array(acc.c + length(t)))), " +
+          "acc -> acc.a)"))
+      .select(col(id), posexplode_outer(col("__sp")).as(Seq("span_idx", "sp")),
+        col("__ce"))
+      .where(col("sp").isNotNull)
+      // a token belongs LEFT of offset o iff its cumulative end <= o
+      // (boundaries align, see scaladoc) -> the span's token indices
+      // are [#ends <= s, #ends <= e)
+      .select(col(id), col("span_idx").cast("long").as("span_idx"),
+        expr("cast(size(filter(__ce, x -> x <= sp.s)) AS BIGINT)")
+          .as("start_token"),
+        expr("cast(size(filter(__ce, x -> x <= sp.e)) AS BIGINT)")
+          .as("end_token"))
+
+  /** DuckDB twin of [[chatMaskTokens]]: the span CTE in stripped
+    * coordinates (windowed prefix sums), the token sequence unnested
+    * with cumulative ends, and a per-span count of ends at-or-below
+    * each boundary.
+    */
+  def chatMaskTokensSql(table: String, id: String, conv: String): String = {
+    def sl(x: String) = s"len(replace(replace($x, '${Bpe.Sep}', ''), ' ', ''))"
+    s"""WITH p AS (SELECT $id, $conv AS conv FROM $table),
+       |t AS (
+       |  SELECT $id, i,
+       |    json_extract_string(conv, '$$[' || (i - 1) || '].role') AS role,
+       |    json_extract_string(conv, '$$[' || (i - 1) || '].content') AS content
+       |  FROM (SELECT $id, conv,
+       |          unnest(generate_series(1, json_array_length(conv::JSON)::BIGINT)) AS i
+       |        FROM p)),
+       |o AS (
+       |  SELECT $id, i, role, content,
+       |    coalesce(sum(${sl("role")} + 4 + ${sl("content")})
+       |      OVER (PARTITION BY $id ORDER BY i
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prev
+       |  FROM t),
+       |sp AS (
+       |  SELECT $id,
+       |    (row_number() OVER (PARTITION BY $id ORDER BY i) - 1)::BIGINT AS span_idx,
+       |    (prev + ${sl("role")} + 4)::BIGINT AS s,
+       |    (prev + ${sl("role")} + 4 + ${sl("content")})::BIGINT AS e
+       |  FROM o WHERE role = 'assistant'),
+       |r AS (
+       |  SELECT $id,
+       |    string_agg('<|' || role || '|>' || content, '' ORDER BY i) || '<|end|>' AS rendered
+       |  FROM t GROUP BY $id),
+       |ce AS (
+       |  SELECT $id, ti,
+       |    sum(len(tok)) OVER (PARTITION BY $id ORDER BY ti)::BIGINT AS ce
+       |  FROM (SELECT $id, unnest(generate_series(1, len(toks))) AS ti,
+       |               unnest(toks) AS tok
+       |        FROM (SELECT $id, ${Bpe.duckTokensExpr("rendered")} AS toks FROM r)))
+       |SELECT sp.$id, sp.span_idx,
+       |  count(CASE WHEN ce.ce <= sp.s THEN 1 END)::BIGINT AS start_token,
+       |  count(CASE WHEN ce.ce <= sp.e THEN 1 END)::BIGINT AS end_token
+       |FROM sp LEFT JOIN ce ON sp.$id = ce.$id
+       |GROUP BY sp.$id, sp.span_idx""".stripMargin
+  }
+
+  /** Conversation QUARANTINE (round 17) — the documented chat domain
+    * contract, ENFORCED as a split instead of assumed: every row is
+    * classified into the first failing rung of the contract ladder, and
+    * the clean rows (`ok = true`) are exactly the domain every other
+    * chat operator is specified over. The `decodeFailures` pattern of
+    * the envelope layer (envelope/Envelope.scala) applied to
+    * conversations: production SFT corpora contain malformed rows, and
+    * without this split they produce engine-divergent behavior (Spark
+    * nulls the parse; a strict JSON cast errors outright).
+    *
+    * Reasons, first match wins:
+    *  - `null_conv`  — the conversation column is NULL;
+    *  - `malformed`  — not a JSON ARRAY: doesn't start with `[` after
+    *    trimming (cheap raw-string check BOTH engines agree on — it
+    *    also fences off the engine-specific handling of top-level JSON
+    *    objects) or fails to parse;
+    *  - `empty`      — parses to zero turns;
+    *  - `null_field` — some turn is missing `role` or `content` (JSON
+    *    null and absent key are both null after extraction, on both
+    *    engines);
+    *  - `ok`         — in domain; flows on.
+    *
+    * One parse per row, no filter (every input row lands in exactly one
+    * output row) — callers split on `ok`, audit on `reason`.
+    */
+  def chatQuarantine(df: DataFrame, id: String, conv: String): DataFrame =
+    df.withColumn("__c", expr(s"from_json($conv, '$turnsSchema')"))
+      .withColumn("reason", expr(
+        s"CASE WHEN $conv IS NULL THEN 'null_conv' " +
+          s"WHEN NOT (ltrim($conv) LIKE '[%') THEN 'malformed' " +
+          "WHEN __c IS NULL THEN 'malformed' " +
+          "WHEN size(__c) = 0 THEN 'empty' " +
+          "WHEN exists(__c, x -> x.role IS NULL OR x.content IS NULL) " +
+          "THEN 'null_field' ELSE 'ok' END"))
+      .select(col(id), (col("reason") === "ok").as("ok"), col("reason"))
+
+  /** DuckDB twin of [[chatQuarantine]] — `json_valid` instead of the
+    * erroring `::JSON` cast, the same ladder.
+    */
+  def chatQuarantineSql(table: String, id: String, conv: String): String =
+    s"""SELECT $id, (reason = 'ok') AS ok, reason FROM (
+       |  SELECT $id,
+       |    CASE WHEN conv IS NULL THEN 'null_conv'
+       |         WHEN NOT (ltrim(conv) LIKE '[%') THEN 'malformed'
+       |         WHEN NOT json_valid(conv) THEN 'malformed'
+       |         WHEN json_array_length(conv::JSON) = 0 THEN 'empty'
+       |         WHEN len(list_filter(generate_series(1, json_array_length(conv::JSON)::BIGINT),
+       |              i -> json_extract_string(conv, '$$[' || (i - 1) || '].role') IS NULL
+       |                OR json_extract_string(conv, '$$[' || (i - 1) || '].content') IS NULL)) > 0
+       |         THEN 'null_field' ELSE 'ok' END AS reason
+       |  FROM (SELECT $id, $conv AS conv FROM $table))""".stripMargin
 
   /** DuckDB twin of [[chatRender]]. */
   def chatRenderSql(table: String, id: String, conv: String): String =

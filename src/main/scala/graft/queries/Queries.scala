@@ -323,6 +323,77 @@ object Queries {
       "regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '), " +
       "x -> x <> ''))[(i * 6 + 1):(i * 6 + 6)], ' '), '') || '\"}'), ',') || ']'"
 
+  /** Quarantine fixture (round 17): wraps a conversation fixture with
+    * planted contract violations by doc_id residue — NULL conv,
+    * truncated JSON (unterminated string), the empty array, a renamed
+    * content key (every turn loses `content` -> null_field), and a
+    * top-level JSON OBJECT (valid JSON, wrong type). The remaining ~6/11
+    * of rows stay well-formed. `base` is referenced several times —
+    * fixture-scale cost, oracle rows only.
+    */
+  private def quarantineWrapSpark(base: String): String =
+    s"CASE WHEN doc_id % 11 = 0 THEN NULL " +
+      s"WHEN doc_id % 11 = 1 THEN substring($base, 1, length($base) - 2) " +
+      s"WHEN doc_id % 11 = 2 THEN '[]' " +
+      s"""WHEN doc_id % 11 = 3 THEN replace($base, '"content"', '"contentx"') """ +
+      s"""WHEN doc_id % 11 = 4 THEN '{"role":"user","content":"hi"}' """ +
+      s"ELSE $base END"
+
+  private def quarantineWrapDuck(base: String): String =
+    s"CASE WHEN doc_id % 11 = 0 THEN NULL " +
+      s"WHEN doc_id % 11 = 1 THEN substr($base, 1, len($base) - 2) " +
+      s"WHEN doc_id % 11 = 2 THEN '[]' " +
+      s"""WHEN doc_id % 11 = 3 THEN replace($base, '"content"', '"contentx"') """ +
+      s"""WHEN doc_id % 11 = 4 THEN '{"role":"user","content":"hi"}' """ +
+      s"ELSE $base END"
+
+  /** Tool-turn fixture (round 17): conversations whose BODY role
+    * sequences exercise the extended (tool-admitting) grammar branch by
+    * branch — [u,a] and [u,a,u,a] (valid under both grammars),
+    * [u,a,t,a] (ext-valid only: the canonical assistant->tool->assistant
+    * function call), [u,t,a] (tool after user — invalid), [u,a,t]
+    * (ends on tool — invalid). System head always present. Content =
+    * 6-word slices of the normalized text, as in the base fixture.
+    */
+  private val toolRoleSeqsSpark: String =
+    "element_at(array(" +
+      "array('user','assistant'), " +
+      "array('user','assistant','tool','assistant'), " +
+      "array('user','tool','assistant'), " +
+      "array('user','assistant','tool'), " +
+      "array('user','assistant','user','assistant')), " +
+      "cast(doc_id % 5 + 1 AS INT))"
+
+  private val chatToolFixtureSpark: String =
+    "concat('[{\"role\":\"system\",\"content\":\"be concise\"},', " +
+      s"concat_ws(',', transform($toolRoleSeqsSpark, (r, i) -> " +
+      "concat('{\"role\":\"', r, '\",\"content\":\"', " +
+      "array_join(slice(filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' '), " +
+      "x -> x != ''), cast(i * 6 + 1 AS INT), 6), ' '), '\"}'))), ']')"
+
+  /** DuckDB twin of [[chatToolFixtureSpark]] as a derived TABLE (the
+    * role list and word list need let-binding, which SQL spells as a
+    * subquery; DuckDB list_transform lambdas carry no index, so the
+    * turn index rides generate_series).
+    */
+  private def chatToolFixtureDuckRel(extraCols: String = ""): String =
+    s"""(SELECT doc_id$extraCols,
+       |  '[{"role":"system","content":"be concise"},' ||
+       |  array_to_string(list_transform(generate_series(1, len(rl)), i ->
+       |    '{"role":"' || rl[i] || '","content":"' ||
+       |    coalesce(array_to_string(ws[((i - 1) * 6 + 1):((i - 1) * 6 + 6)], ' '), '') ||
+       |    '"}'), ',') || ']' AS conv
+       |FROM (SELECT doc_id$extraCols,
+       |        CASE doc_id % 5
+       |          WHEN 0 THEN ['user', 'assistant']
+       |          WHEN 1 THEN ['user', 'assistant', 'tool', 'assistant']
+       |          WHEN 2 THEN ['user', 'tool', 'assistant']
+       |          WHEN 3 THEN ['user', 'assistant', 'tool']
+       |          ELSE ['user', 'assistant', 'user', 'assistant'] END AS rl,
+       |        list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '),
+       |                    x -> x <> '') AS ws
+       |      FROM documents))""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ================= relational core (scan/filter/agg/join/window) ====
@@ -2307,6 +2378,42 @@ object Queries {
                 "doc_id", "conv")}) r
            | JOIN (SELECT doc_id, source FROM documents) s USING (doc_id))""".stripMargin,
         "doc_id", "rendered", "source", budget = 128, shards = 2))),
+
+    // TOKEN-grain loss-mask spans (round 17): per assistant turn, the
+    // 0-based end-exclusive span of BPE TOKEN indices over the rendered
+    // training string — the trainer-consumable form of chat_mask_spans
+    // (char offsets mask characters; a trainer masks token positions)
+    QueryDef("chat_mask_tokens",
+      (s, dir) => graft.ops.Chat.chatMaskTokens(
+        t(s, dir, "documents").withColumn("conv", expr(chatFixtureSpark)),
+        "doc_id", "conv"),
+      Some(graft.ops.Chat.chatMaskTokensSql(
+        s"(SELECT doc_id, $chatFixtureDuck AS conv FROM documents)",
+        "doc_id", "conv"))),
+
+    // conversation QUARANTINE (round 17): the chat domain contract
+    // enforced as a split — every row classified into its first failing
+    // rung (null_conv / malformed / empty / null_field / ok) over a
+    // fixture with planted violations of each kind
+    QueryDef("chat_quarantine",
+      (s, dir) => graft.ops.Chat.chatQuarantine(
+        t(s, dir, "documents").withColumn("conv",
+          expr(quarantineWrapSpark(chatFixtureSpark))),
+        "doc_id", "conv"),
+      Some(graft.ops.Chat.chatQuarantineSql(
+        s"(SELECT doc_id, ${quarantineWrapDuck(chatFixtureDuck)} AS conv FROM documents)",
+        "doc_id", "conv"))),
+
+    // the EXTENDED (tool-admitting) alternation grammar over a fixture
+    // whose role sequences hit every branch: valid_ext admits
+    // assistant->tool->assistant function-call turns; the strict
+    // contract stays as `valid` (its tool-free fragment)
+    QueryDef("chat_turn_stats_tools",
+      (s, dir) => graft.ops.Chat.chatTurnStats(
+        t(s, dir, "documents").withColumn("conv", expr(chatToolFixtureSpark)),
+        "doc_id", "conv"),
+      Some(graft.ops.Chat.chatTurnStatsSql(
+        chatToolFixtureDuckRel(), "doc_id", "conv"))),
 
     // Gopher-style quality ruleset: per-rule 0/1 flags + conjunction.
     // minWords=50 sits at the corpus median (word counts run 10-99) so

@@ -36,19 +36,49 @@ class ChatSpec extends SparkSpec {
   private val df = fixtures.toDF("doc_id", "conv")
 
   test("chatTurnStats: alternation contract, role masses, empty-conv domain") {
+    // columns: n_turns, n_user, n_assistant, n_tool, has_system, valid,
+    // valid_ext, user_chars, assistant_chars
     val m = Chat.chatTurnStats(df, "doc_id", "conv")
       .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4),
-          r.getBoolean(5), r.getLong(6), r.getLong(7))).toMap
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7),
+          r.getLong(8), r.getLong(9))).toMap
     assert(m.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L),
       "the empty conversation must be absent")
-    assert(m(1L) === ((3L, 1L, 1L, true, true, 8L, 5L)))
-    assert(m(2L) === ((2L, 1L, 1L, false, true, 3L, 1L)))
-    assert(m(3L)._5 === false, "odd body must be invalid")
-    assert(m(4L)._5 === false, "assistant-first must be invalid")
-    assert(m(5L)._5 === false, "double-user must be invalid")
-    assert(m(6L) === ((1L, 0L, 0L, true, false, 0L, 0L)),
+    assert(m(1L) === ((3L, 1L, 1L, 0L, true, true, true, 8L, 5L)))
+    assert(m(2L) === ((2L, 1L, 1L, 0L, false, true, true, 3L, 1L)))
+    assert(m(3L)._6 === false, "odd body must be invalid")
+    assert(m(4L)._6 === false, "assistant-first must be invalid")
+    assert(m(5L)._6 === false, "double-user must be invalid")
+    assert(m(6L) === ((1L, 0L, 0L, 0L, true, false, false, 0L, 0L)),
       "system-only: empty body is invalid but the row stays in-domain")
+  }
+
+  test("valid_ext: the tool-admitting grammar, branch by branch; strict valid is its tool-free fragment") {
+    val tools = Seq(
+      // (id, body roles, expect_strict, expect_ext)
+      (10L, Seq("user", "assistant"), true, true),
+      (11L, Seq("user", "assistant", "tool", "assistant"), false, true),
+      (12L, Seq("user", "assistant", "tool", "tool", "assistant"), false, true),
+      (13L, Seq("user", "tool", "assistant"), false, false), // tool after user
+      (14L, Seq("user", "assistant", "tool"), false, false), // ends on tool
+      (15L, Seq("tool", "assistant"), false, false), // starts on tool
+      (16L, Seq("user", "assistant", "user", "assistant"), true, true),
+      (17L, Seq("user", "judge", "assistant"), false, false), // unknown role
+      (18L, Seq("user"), false, false), // single-turn body
+      (19L, Seq("user", "assistant", "assistant"), false, false)) // double-assistant
+    val tdf = tools.map { case (id, roles, _, _) =>
+      (id, conv(("system" -> "s") +: roles.map(r => r -> "x"): _*))
+    }.toDF("doc_id", "conv")
+    val m = Chat.chatTurnStats(tdf, "doc_id", "conv")
+      .select($"doc_id", $"valid", $"valid_ext", $"n_tool")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getLong(3))).toMap
+    tools.foreach { case (id, roles, strict, ext) =>
+      assert(m(id)._1 === strict, s"doc $id strict (${roles.mkString(",")})")
+      assert(m(id)._2 === ext, s"doc $id ext (${roles.mkString(",")})")
+      assert(m(id)._3 === roles.count(_ == "tool").toLong, s"doc $id n_tool")
+      assert(!m(id)._1 || m(id)._2, s"doc $id: valid must imply valid_ext")
+    }
   }
 
   test("chatAssistantSpans: offsets slice the rendered string to exactly the assistant content") {
@@ -93,5 +123,69 @@ class ChatSpec extends SparkSpec {
     assert(m(1L)._2 === m(1L)._1.length.toLong)
     assert(m(2L)._1 === "<|user|>a b<|assistant|>c<|end|>")
     assert(!m.contains(7L), "the empty conversation must be absent")
+  }
+
+  test("chatMaskTokens: decoding the token slice reproduces the turn content minus spaces") {
+    // the trainer-consumable pin: for every span, the concatenation of
+    // graft_bpe_tokens(rendered)[start_token, end_token) must equal the
+    // assistant content stripped of spaces (spaces carry no tokens in
+    // the BPE denomination; U+0001 is stripped — the documented
+    // boundary convention), across multi-turn, multi-word, and
+    // empty-content shapes
+    val mdf = Seq(
+      (1L, conv("system" -> "be concise", "user" -> "hi there",
+        "assistant" -> "hello there friend")),
+      (2L, conv("user" -> "a b", "assistant" -> "the thing",
+        "user" -> "more", "assistant" -> "and another answer")),
+      (3L, conv("user" -> "q", "assistant" -> "")), // empty content
+      (4L, conv("user" -> "q", "assistant" -> "   ")), // all-space content
+      (5L, conv("system" -> "s", "user" -> "u"))) // no assistant turn
+      .toDF("doc_id", "conv")
+    val toks = Chat.chatRender(mdf, "doc_id", "conv")
+      .select($"doc_id", expr("graft_bpe_tokens(rendered)").as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val spans = Chat.chatMaskTokens(mdf, "doc_id", "conv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = Map(
+      1L -> Seq("hellotherefriend"),
+      2L -> Seq("thething", "andanotheranswer"),
+      3L -> Seq(""), 4L -> Seq(""))
+    expect.foreach { case (id, contents) =>
+      val got = spans.filter(_._1 == id).sortBy(_._2).map { case (_, _, s, e) =>
+        toks(id).slice(s.toInt, e.toInt).mkString("")
+      }
+      assert(got === contents, s"doc $id")
+    }
+    assert(!spans.exists(_._1 == 5L), "no assistant turn -> no token span")
+    // char/token span COUNTS agree turn-for-turn with chatAssistantSpans
+    val charSpans = Chat.chatAssistantSpans(mdf, "doc_id", "conv")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(spans.map(s => (s._1, s._2)).sorted.toSeq === charSpans.sorted.toSeq)
+  }
+
+  test("chatQuarantine: every contract rung lands in its reason; clean rows flow") {
+    val qdf = Seq(
+      (1L, conv("user" -> "q", "assistant" -> "a")), // ok
+      (2L, null.asInstanceOf[String]), // null_conv
+      (3L, """[{"role":"user","content":"q""""), // truncated -> malformed
+      (4L, "[]"), // empty
+      (5L, """[{"role":"user"},{"role":"assistant","content":"a"}]"""), // missing content
+      (6L, """[{"role":null,"content":"q"}]"""), // JSON-null role
+      (7L, """{"role":"user","content":"q"}"""), // top-level object
+      (8L, "not json at all"), // garbage
+      (9L, "  [{\"role\":\"user\",\"content\":\"q\"}]")) // leading spaces, ok
+      .toDF("doc_id", "conv")
+    val m = Chat.chatQuarantine(qdf, "doc_id", "conv")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(m(1L) === ((true, "ok")))
+    assert(m(2L) === ((false, "null_conv")))
+    assert(m(3L) === ((false, "malformed")))
+    assert(m(4L) === ((false, "empty")))
+    assert(m(5L) === ((false, "null_field")))
+    assert(m(6L) === ((false, "null_field")))
+    assert(m(7L) === ((false, "malformed")))
+    assert(m(8L) === ((false, "malformed")))
+    assert(m(9L) === ((true, "ok")), "ltrim admits leading whitespace")
+    assert(m.size === qdf.count().toInt, "quarantine never drops a row")
   }
 }

@@ -324,12 +324,18 @@ class PlanAuditSpec extends SparkSpec {
     // an embarrassingly-parallel scan at 100 TB; and the JSON must be
     // parsed ONCE per row (from_json appears once per plan — a second
     // parse doubles the dominant row cost)
-    Seq("chat_turn_stats", "chat_render", "chat_mask_spans").foreach { q =>
-      val p = plan(q)
-      assert(!p.contains("Exchange"), s"$q must have no exchange:\n$p")
-      assert(count(p, "from_json") == 1,
-        s"$q must parse the conversation JSON exactly once:\n$p")
-    }
+    Seq("chat_turn_stats", "chat_render", "chat_mask_spans",
+        "chat_mask_tokens", "chat_quarantine", "chat_turn_stats_tools")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("Exchange"), s"$q must have no exchange:\n$p")
+        assert(count(p, "from_json") == 1,
+          s"$q must parse the conversation JSON exactly once:\n$p")
+      }
+    // the token-grain mask must tokenize with the compiled kernel
+    val pt = plan("chat_mask_tokens")
+    assert(pt.contains("graft_bpe_tokens"),
+      s"chat_mask_tokens must ride the compiled BPE kernel:\n$pt")
   }
 
   test("asof_enrich: merge formulation — no join operator, one window over one sort") {

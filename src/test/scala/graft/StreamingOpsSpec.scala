@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, TextAnalysis}
+import graft.ops.{Chat, Dedup, TextAnalysis}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -475,6 +475,45 @@ class StreamingOpsSpec extends SparkSpec {
         .select($"doc_id", $"lang_pred").as[(Long, String)].collect().toMap
       assert(langs === Map(1L -> "en", 2L -> "de"))
     } finally q.stop()
+  }
+
+  test("chat family runs unchanged on a streaming Dataset: stream output ≡ batch output") {
+    // the SFT ops are stateless per-conversation projections (parse +
+    // row-local accumulators + explode) — streaming-safe by
+    // construction; this pins it. chatReport is the one keyed
+    // aggregation in the family and needs complete/update mode — out
+    // of the stateless claim, deliberately absent here.
+    implicit val sq = spark.sqlContext
+    def conv(turns: (String, String)*): String =
+      turns.map { case (r, c) => s"""{"role":"$r","content":"$c"}""" }
+        .mkString("[", ",", "]")
+    val fixture = Seq(
+      (1L, conv("system" -> "s", "user" -> "hi there", "assistant" -> "hello back")),
+      (2L, conv("user" -> "a b c", "assistant" -> "d", "user" -> "e", "assistant" -> "f g")),
+      (3L, "not json"), (4L, "[]"))
+    val batchDf = fixture.toDF("doc_id", "conv")
+    val ops = Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+      "turn_stats" -> (d => Chat.chatTurnStats(d, "doc_id", "conv")),
+      "render" -> (d => Chat.chatRender(d, "doc_id", "conv")),
+      "mask_spans" -> (d => Chat.chatAssistantSpans(d, "doc_id", "conv")),
+      "mask_tokens" -> (d => Chat.chatMaskTokens(d, "doc_id", "conv")),
+      "quarantine" -> (d => Chat.chatQuarantine(d, "doc_id", "conv")))
+    ops.foreach { case (name, op) =>
+      val docs = MemoryStream[(Long, String)]
+      val q = op(docs.toDF().toDF("doc_id", "conv"))
+        .writeStream.format("memory").queryName(s"chat_$name")
+        .outputMode("append").start()
+      try {
+        docs.addData(fixture: _*)
+        q.processAllAvailable()
+        val streamed = spark.table(s"chat_$name").collect()
+          .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+        val batch = op(batchDf).collect()
+          .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+        assert(streamed.toSeq === batch.toSeq, s"chat $name: stream ≠ batch")
+        assert(batch.nonEmpty, s"chat $name: fixture must carry mass")
+      } finally q.stop()
+    }
   }
 
   test("streaming ingest guard: prior-corpus duplicates AND in-flight duplicates both dropped") {
