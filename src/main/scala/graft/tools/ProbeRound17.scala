@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-17 scale probe: the chat family at REALISTIC conversation
+  * shapes. The oracle fixture maxes out at 4 body turns and ~70
+  * rendered tokens; production SFT corpora carry 10-50 turn
+  * conversations at 4-10k chars. The struct-accumulator passes
+  * (spans, cumulative token ends) are O(turns) per row and the span
+  * explode is O(assistant turns) — this probe prices them at 1M
+  * conversations x 50 turns x ~8k chars (~8 GB of JSON built on the
+  * fly), against a fixture-build + scan baseline so the per-op cost
+  * is separable (the cached-blob timing trap: persisting the fixture
+  * would time cache deserialization instead, so the fixture is FUSED
+  * into every probe and the baseline subtracted).
+  *
+  * Usage: runMain graft.tools.ProbeRound17 [probeDir] [what,csv]
+  * (SPARK_DRIVER_MEM=48g recommended; each rep scans ~8 GB of
+  * generated JSON.)
+  */
+object ProbeRound17 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/probe_1m")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe] $label%-56s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$n)")
+      graft.ops.Caches.releaseAll()
+    }
+    val what = if (args.length > 1) args(1).split(',').toSet else Set.empty[String]
+    def on(k: String) = what.isEmpty || what(k)
+
+    // 50-turn conversation per doc (~8k chars): system head + 49 body
+    // turns alternating user/assistant (odd count -> ends on assistant),
+    // content = ~150-char slices at a doc-varying stride over the
+    // tripled normalized text (JSON-safe: [a-z0-9 ] only)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("__t", expr(
+        "regexp_replace(lower(concat(text, ' ', text, ' ', text)), '[^a-z0-9 ]', '')"))
+      .withColumn("conv", expr(
+        "concat('[{\"role\":\"system\",\"content\":\"be concise\"},', " +
+          "concat_ws(',', transform(sequence(1, 49), i -> " +
+          "concat('{\"role\":\"', IF(i % 2 = 1, 'user', 'assistant'), " +
+          "'\",\"content\":\"', " +
+          "substring(__t, cast((i * 37 + doc_id % 101) % 400 + 1 AS INT), 150), " +
+          "'\"}'))), ']')"))
+      .select(col("doc_id"), col("conv"))
+
+    def run(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
+
+    // two reps each (JIT warmup: read the SECOND line of a pair)
+    for (rep <- 1 to 2) {
+      println(s"[probe] --- rep $rep ---")
+      if (on("baseline")) time("baseline: fixture build + scan (sum length)")(
+        run(docs.groupBy().agg(sum(length(col("conv"))))))
+      if (on("stats")) time("chat_turn_stats @ 50 turns/8k chars x 1M")(
+        run(graft.ops.Chat.chatTurnStats(docs, "doc_id", "conv")))
+      if (on("render")) time("chat_render @ 50 turns/8k chars x 1M")(
+        run(graft.ops.Chat.chatRender(docs, "doc_id", "conv")))
+      if (on("spans")) time("chat_mask_spans (24 spans/doc) x 1M")(
+        run(graft.ops.Chat.chatAssistantSpans(docs, "doc_id", "conv")))
+      if (on("tokens")) time("chat_mask_tokens (24 spans/doc) x 1M")(
+        run(graft.ops.Chat.chatMaskTokens(docs, "doc_id", "conv")))
+      if (on("quarantine")) time("chat_quarantine x 1M")(
+        run(graft.ops.Chat.chatQuarantine(docs, "doc_id", "conv")))
+    }
+    spark.stop()
+  }
+}
