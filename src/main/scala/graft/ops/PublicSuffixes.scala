@@ -402,7 +402,35 @@ object PublicSuffixes {
     // missing from the committed PaaS/tunnel set
     "eu.pythonanywhere.com", "trycloudflare.com",
     // .nz second-levels missing from the committed set (round 16)
-    "gen.nz", "kiwi.nz") ++
+    "gen.nz", "kiwi.nz",
+    // round 17, band 4 — the 2021 NIXI .in second-level expansion
+    // (ICANN section; the classic co/net/org/gov/ac set is committed)
+    "5g.in", "6g.in", "ai.in", "am.in", "bihar.in", "biz.in",
+    "business.in", "ca.in", "cn.in", "com.in", "coop.in", "cs.in",
+    "delhi.in", "dr.in", "er.in", "gujarat.in", "info.in", "int.in",
+    "internet.in", "io.in", "me.in", "pg.in", "post.in", "pro.in",
+    "travel.in", "tv.in", "uk.in", "up.in", "us.in",
+    // round 17, band 4 — the Fastly edge families (private section):
+    // customer-assigned hostnames on shared TLS/LB infrastructure
+    "fastlylb.net", "map.fastlylb.net", "freetls.fastly.net",
+    "map.fastly.net", "a.prod.fastly.net", "global.prod.fastly.net",
+    "a.ssl.fastly.net", "b.ssl.fastly.net",
+    // round 17, band 4 — the No-IP free-hostname families (private
+    // section): each registrant gets an independent site
+    "myftp.org", "myftp.biz", "bounceme.net",
+    "redirectme.net", "servebeer.com", "serveftp.com", "servegame.com",
+    "servehttp.com", "serveirc.com", "serveminecraft.net",
+    "servemp3.com", "servepics.com", "servequake.com",
+    "servecounterstrike.com", "servehalflife.com", "serveblog.net",
+    "myvnc.com", "onthewifi.com", "ddnsking.com", "3utilities.com",
+    "gotdns.ch", "webhop.me",
+    // round 17, band 4 — PaaS/CDN/tunnel operators still missing from
+    // the committed private-section set
+    "githubusercontent.com", "scm.azurewebsites.net",
+    "nfshost.com", "is-a.dev",
+    "b-cdn.net", "loca.lt", "ngrok.app", "ngrok.dev",
+    "ngrok-free.app", "ngrok-free.dev", "members.linode.com",
+    "ip.linodeusercontent.com") ++
     // Bulgaria: the PSL registers every single alphanumeric label as a
     // second level — [0-9a-z].bg (rendered by comprehension; the
     // characters ARE the table)

@@ -153,7 +153,27 @@ class UrlKernelSpec extends SparkSpec {
       "https://api.myapp.eu.pythonanywhere.com/x" ->
         "myapp.eu.pythonanywhere.com",                            // regional PaaS operator
       "https://x.happy-tunnel-1234.trycloudflare.com/x" ->
-        "happy-tunnel-1234.trycloudflare.com")                    // tunnel operator
+        "happy-tunnel-1234.trycloudflare.com",                    // tunnel operator
+      // round-17 table growth, band 4: one value row per new family
+      "https://www.pref.hokkaido.jp/x" -> "pref.hokkaido.jp",     // jp prefecture (full 47)
+      "https://lib.city.nagano.jp/x" -> "city.nagano.jp",
+      "https://portal.startup.ai.in/x" -> "startup.ai.in",        // NIXI .in expansion
+      "https://www.shop.delhi.in/x" -> "shop.delhi.in",
+      "https://cdn.assets.global.ssl.fastly.net/x" ->
+        "assets.global.ssl.fastly.net",                           // fastly edge family
+      "https://x.mysite.fastlylb.net/x" -> "mysite.fastlylb.net",
+      "https://cam.myhome.bounceme.net/x" -> "myhome.bounceme.net", // no-ip family
+      "https://ftp.files.serveftp.com/x" -> "files.serveftp.com",
+      "https://raw.user123.githubusercontent.com/x" ->
+        "user123.githubusercontent.com",                          // github user content
+      "https://x.myapp.scm.azurewebsites.net/x" ->
+        "myapp.scm.azurewebsites.net",                            // azure kudu endpoints
+      "https://www.myvm.cloudapp.net/x" -> "myvm.cloudapp.net",   // classic azure VMs
+      "https://docs.team.codeberg.page/x" -> "team.codeberg.page", // codeberg pages
+      "https://x.tunnel42.loca.lt/x" -> "tunnel42.loca.lt",       // localtunnel
+      "https://api.myapp.ngrok-free.app/x" -> "myapp.ngrok-free.app", // ngrok bands
+      "https://me.handle.is-a.dev/x" -> "handle.is-a.dev",        // is-a.dev registry
+      "https://cdn.mysite.b-cdn.net/x" -> "mysite.b-cdn.net")     // bunny CDN
     val df = graft.functions.VectorFunctions.attach(
       cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }.toDF("id", "url"))
     val got = df.select(col("id"), expr("graft_url_domain(url)").as("d"))
