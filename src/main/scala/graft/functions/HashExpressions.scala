@@ -301,6 +301,52 @@ case class BpeTokens(child: Expression) extends StringCountExpression {
   override protected def withNewChildInternal(c: Expression): BpeTokens = copy(child = c)
 }
 
+/** `graft_bpe_token_ends(text)`: cumulative BPE token END offsets in
+  * stripped coordinates ([[HashOps.bpeTokenEnds]]) — ascending
+  * ARRAY<BIGINT>, one tokenizer pass. The linear twin of the
+  * declarative array-append accumulator (which is quadratic in token
+  * count); consumed by the chat token-mask op with `graft_count_le`.
+  */
+case class BpeTokenEnds(child: Expression) extends StringCountExpression {
+  override def prettyName: String = "graft_bpe_token_ends"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(s: Any): Any =
+    HashOps.bpeTokenEnds(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.HashOps.bpeTokenEnds($s);")
+  override protected def withNewChildInternal(c: Expression): BpeTokenEnds =
+    copy(child = c)
+}
+
+/** `graft_count_le(arr, x)`: count of elements <= x in an ASCENDING
+  * ARRAY<BIGINT> ([[HashOps.countLe]], binary search) — the O(log n)
+  * twin of `size(filter(arr, e -> e <= x))`, whose interpreted HOF
+  * lambda walks the array per call. The caller owns the sortedness
+  * contract (cumulative sums are ascending by construction).
+  */
+case class CountLe(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "graft_count_le"
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<BIGINT>, BIGINT), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def nullSafeEval(a: Any, x: Any): Any =
+    HashOps.countLe(a.asInstanceOf[ArrayData], x.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, x) =>
+      s"${ev.value} = graft.functions.HashOps.countLe($a, $x);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountLe =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_dsir_buckets(text, B)`: fused DSIR feature extraction
   * ([[HashOps.dsirBuckets]]) — word unigram + bigram md5 bucket ids in
   * one byte scan, bit-equal to the declarative

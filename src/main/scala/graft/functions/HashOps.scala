@@ -783,6 +783,42 @@ object HashOps {
     n
   }
 
+  /** Cumulative END offsets of each BPE token, in STRIPPED coordinates
+    * (non-space, non-U+0001 codepoints — the coordinate system where
+    * the token sequence concatenates back to the text): ascending
+    * ARRAY<BIGINT>, one entry per token. One tokenizer pass — the
+    * linear replacement for a declarative `aggregate` whose
+    * `concat(acc, array(x))` copies the accumulator array per token
+    * (quadratic in token count: invisible at 70-token oracle renders,
+    * catastrophic at 6k-token real conversations).
+    */
+  def bpeTokenEnds(text: UTF8String): ArrayData = {
+    val units = bpeUnits(text)
+    val out = new java.util.ArrayList[Any](units.size)
+    var cum = 0L
+    var i = 0
+    while (i < units.size) {
+      val u = units.get(i)
+      if (u != " ") { cum += u.codePointCount(0, u.length); out.add(cum) }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Count of elements <= x in an ASCENDING long array (binary search)
+    * — the O(log n) replacement for `size(filter(arr, e -> e <= x))`,
+    * whose interpreted HOF lambda walks the whole array per call.
+    */
+  def countLe(arr: ArrayData, x: Long): Long = {
+    var lo = 0
+    var hi = arr.numElements()
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (arr.getLong(mid) <= x) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
   /** BPE token array (units minus space units), in order. */
   def bpeTokens(text: UTF8String): ArrayData = {
     val units = bpeUnits(text)

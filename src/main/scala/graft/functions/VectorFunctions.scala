@@ -232,6 +232,10 @@ object VectorFunctions {
       (e: Seq[Expression]) => BpeCount(e(0))),
     "graft_bpe_tokens" -> (classOf[BpeTokens],
       (e: Seq[Expression]) => BpeTokens(e(0))),
+    "graft_bpe_token_ends" -> (classOf[BpeTokenEnds],
+      (e: Seq[Expression]) => BpeTokenEnds(e(0))),
+    "graft_count_le" -> (classOf[CountLe],
+      (e: Seq[Expression]) => CountLe(e(0), e(1))),
     "graft_alpha_count" -> (classOf[AlphaCount],
       (e: Seq[Expression]) => AlphaCount(e(0))),
     "graft_classifier_logit" -> (classOf[ClassifierLogit],
@@ -331,6 +335,7 @@ object VectorFunctions {
     "graft_fingerprint" -> Set(1), "graft_topk" -> Set(3),
     "graft_token_count" -> Set(1),
     "graft_bpe_count" -> Set(1), "graft_bpe_tokens" -> Set(1),
+    "graft_bpe_token_ends" -> Set(1), "graft_count_le" -> Set(2),
     "graft_alpha_count" -> Set(1),
     "graft_classifier_logit" -> Set(2), "graft_classifier_logit_t" -> Set(1),
     "graft_stop_count" -> Set(2), "graft_term_counts" -> Set(2, 3),

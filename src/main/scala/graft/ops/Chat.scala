@@ -354,27 +354,26 @@ object Chat {
           s"    acc.spans)), " +
           "acc -> acc.spans)"))
       // cumulative token END offsets (stripped coords) over the BPE
-      // sequence of the render — the render is inlined (referenced
-      // once) so no second materialization of the string
+      // sequence of the render — the compiled one-pass kernel, NOT a
+      // declarative aggregate: `concat(acc, array(x))` copies the
+      // accumulator per token, O(tokens²) per row — invisible on the
+      // ~70-token oracle renders, catastrophic on 6k-token real
+      // conversations (ProbeRound17's shape). The render is inlined
+      // (referenced once) so no second materialization of the string
       .withColumn("__ce", expr(
-        "aggregate(graft_bpe_tokens(concat(aggregate(__c, '', (acc, x) -> " +
-          "concat(acc, '<|', x.role, '|>', x.content)), '<|end|>')), " +
-          "named_struct('c', cast(0 AS BIGINT), " +
-          "  'a', cast(array() AS ARRAY<BIGINT>)), " +
-          "(acc, t) -> named_struct('c', acc.c + length(t), " +
-          "  'a', concat(acc.a, array(acc.c + length(t)))), " +
-          "acc -> acc.a)"))
+        "graft_bpe_token_ends(concat(aggregate(__c, '', (acc, x) -> " +
+          "concat(acc, '<|', x.role, '|>', x.content)), '<|end|>'))"))
       .select(col(id), posexplode_outer(col("__sp")).as(Seq("span_idx", "sp")),
         col("__ce"))
       .where(col("sp").isNotNull)
       // a token belongs LEFT of offset o iff its cumulative end <= o
       // (boundaries align, see scaladoc) -> the span's token indices
-      // are [#ends <= s, #ends <= e)
+      // are [#ends <= s, #ends <= e); graft_count_le = binary search,
+      // O(log tokens) per span vs the HOF filter's interpreted
+      // whole-array walk
       .select(col(id), col("span_idx").cast("long").as("span_idx"),
-        expr("cast(size(filter(__ce, x -> x <= sp.s)) AS BIGINT)")
-          .as("start_token"),
-        expr("cast(size(filter(__ce, x -> x <= sp.e)) AS BIGINT)")
-          .as("end_token"))
+        expr("graft_count_le(__ce, sp.s)").as("start_token"),
+        expr("graft_count_le(__ce, sp.e)").as("end_token"))
 
   /** DuckDB twin of [[chatMaskTokens]]: the span CTE in stripped
     * coordinates (windowed prefix sums), the token sequence unnested

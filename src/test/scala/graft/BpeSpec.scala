@@ -118,6 +118,38 @@ class BpeSpec extends SparkSpec {
     assert(got === Seq((1, "a", "b")))
   }
 
+  test("token-ends kernel: cumulative stripped offsets equal the declarative accumulator; count_le equals the HOF filter") {
+    // parity baseline: the quadratic array-append aggregate the kernel
+    // replaces (semantics twin — the kernel exists because this form
+    // is O(tokens²) per row), plus the space/Sep-stripping convention
+    // and an astral (surrogate-pair) codepoint counting as ONE unit
+    val texts = Seq("the thing rest", "a  b", "", "   ", "xy z",
+      "<|user|>hi there<|assistant|>ok<|end|>", "ab𝄞cd e")
+    val df = graft.functions.VectorFunctions.attach(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text"))
+    val rows = df.select(col("id"),
+      expr("graft_bpe_token_ends(text)").as("ke"),
+      expr("aggregate(graft_bpe_tokens(text), " +
+        "named_struct('c', cast(0 AS BIGINT), 'a', cast(array() AS ARRAY<BIGINT>)), " +
+        "(acc, t) -> named_struct('c', acc.c + length(t), " +
+        "'a', concat(acc.a, array(acc.c + length(t)))), acc -> acc.a)").as("de"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"token-ends mismatch on ${texts(r.getLong(0).toInt)}")
+    }
+    // count_le ≡ size(filter(arr, e -> e <= x)) across boundaries:
+    // below first, exact hits, between, past last, empty array
+    val arrs = Seq(Seq(2L, 5L, 5L, 9L), Seq.empty[Long], Seq(1L))
+    val probes = Seq(-1L, 0L, 1L, 2L, 3L, 5L, 8L, 9L, 10L)
+    val cdf = graft.functions.VectorFunctions.attach(
+      (for { (a, i) <- arrs.zipWithIndex; x <- probes }
+        yield (i.toLong, a, x)).toDF("id", "arr", "x"))
+    cdf.select(expr("graft_count_le(arr, x)"),
+      expr("cast(size(filter(arr, e -> e <= x)) AS BIGINT)"))
+      .collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("BPE token counts differ from word counts (not a rename)") {
     val df = Seq((1L, "the thing"), (2L, "rest and motion"))
       .toDF("doc_id", "text")

@@ -332,10 +332,14 @@ class PlanAuditSpec extends SparkSpec {
         assert(count(p, "from_json") == 1,
           s"$q must parse the conversation JSON exactly once:\n$p")
       }
-    // the token-grain mask must tokenize with the compiled kernel
+    // the token-grain mask must ride the compiled kernels end-to-end:
+    // one-pass token ends + binary-search counts (the quadratic
+    // accumulator / interpreted HOF filter must not reappear)
     val pt = plan("chat_mask_tokens")
-    assert(pt.contains("graft_bpe_tokens"),
-      s"chat_mask_tokens must ride the compiled BPE kernel:\n$pt")
+    assert(pt.contains("graft_bpe_token_ends") && pt.contains("graft_count_le"),
+      s"chat_mask_tokens must ride the compiled BPE kernels:\n$pt")
+    assert(!pt.contains("aggregate(graft_bpe_tokens"),
+      s"the quadratic array-append accumulator must not reappear:\n$pt")
   }
 
   test("asof_enrich: merge formulation — no join operator, one window over one sort") {
