@@ -419,6 +419,82 @@ object Chat {
        |GROUP BY sp.$id, sp.span_idx""".stripMargin
   }
 
+  /** Packed-sequence LOSS MASKS (round 17) — the complete trainer-batch
+    * shape, closing the chain render → tokenize → pack → mask: each
+    * conversation's rendered string is packed into budgeted training
+    * sequences ([[Sampling.packSequencesSharded]], BPE-token
+    * denomination so mask indices and packing indices agree), and every
+    * assistant turn's [[chatMaskTokens]] span is shifted by the
+    * document's token offset WITHIN its packed sequence. One row per
+    * assistant turn: `(id, strata, shard, seq_id, span_idx,
+    * start_token, end_token)` — 0-based end-exclusive positions in the
+    * concatenated token stream of sequence `(strata, shard, seq_id)`,
+    * exactly what a loss-masking data loader consumes.
+    *
+    * Plan shape: two scan branches over the corpus (render+count for
+    * packing; parse+spans for masks — re-scanning a columnar source is
+    * cheaper at scale than shuffling the whole mask frame through an
+    * extra exchange to share one scan), the packing stage's one
+    * (strata, shard) window exchange (offset-in-sequence rides the SAME
+    * sort via a second window function, no extra exchange), and one
+    * doc-keyed join of metadata-sized frames.
+    */
+  def chatPackMasked(df: DataFrame, id: String, conv: String,
+                     strata: String, budget: Int,
+                     shards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rendered = chatRender(df, id, conv)
+      .join(df.select(col(id), col(strata)), Seq(id))
+    val packed = Sampling.packSequencesSharded(
+      rendered, id, "rendered", strata, budget, shards,
+      t => s"graft_bpe_count($t)")
+    val w = Window.partitionBy(col(strata), col("shard")).orderBy(col(id))
+    val ws = Window.partitionBy(col(strata), col("shard"), col("seq_id"))
+    // a doc's tokens occupy [doc_start - seq_start, +n_tokens) within
+    // its sequence: doc_start is the running sum the packing computed,
+    // seq_start the min doc_start of the sequence (docs are assigned to
+    // the sequence where they START, so overflow never shifts offsets)
+    val off = packed
+      .withColumn("__ds", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("__off", col("__ds") - min(col("__ds")).over(ws))
+      .select(col(id), col(strata), col("shard"), col("seq_id"), col("__off"))
+    chatMaskTokens(df, id, conv)
+      .join(off, Seq(id))
+      .select(col(id), col(strata), col("shard"), col("seq_id"),
+        col("span_idx"),
+        (col("start_token") + col("__off")).as("start_token"),
+        (col("end_token") + col("__off")).as("end_token"))
+  }
+
+  /** DuckDB twin of [[chatPackMasked]] (same portable shard hash,
+    * running-sum packing, per-sequence offset window, mask-span shift).
+    */
+  def chatPackMaskedSql(table: String, id: String, conv: String,
+                        strata: String, budget: Int,
+                        shards: Int = 16): String = {
+    val shard = s"(${PortableHash.duckStringHash(s"($id)::VARCHAR")} % $shards)"
+    val ntok = Bpe.duckTokenCountExpr("rendered")
+    s"""WITH rr AS (${chatRenderSql(table, id, conv)}),
+       |rs AS (SELECT rr.$id, rr.rendered, t.$strata
+       |       FROM rr JOIN (SELECT $id, $strata FROM $table) t USING ($id)),
+       |p AS (
+       |  SELECT $id, $strata, shard, n_tokens,
+       |    floor((cum - n_tokens) / $budget.0)::BIGINT AS seq_id,
+       |    (cum - n_tokens)::BIGINT AS ds
+       |  FROM (SELECT $id, $strata, $shard AS shard, $ntok AS n_tokens,
+       |          sum($ntok) OVER (PARTITION BY $strata, $shard ORDER BY $id) AS cum
+       |        FROM rs)),
+       |o AS (
+       |  SELECT $id, $strata, shard, seq_id,
+       |    (ds - min(ds) OVER (PARTITION BY $strata, shard, seq_id))::BIGINT AS off
+       |  FROM p),
+       |m AS (${chatMaskTokensSql(table, id, conv)})
+       |SELECT m.$id, o.$strata, o.shard, o.seq_id, m.span_idx,
+       |  (m.start_token + o.off)::BIGINT AS start_token,
+       |  (m.end_token + o.off)::BIGINT AS end_token
+       |FROM m JOIN o USING ($id)""".stripMargin
+  }
+
   /** Conversation QUARANTINE (round 17) — the documented chat domain
     * contract, ENFORCED as a split instead of assumed: every row is
     * classified into the first failing rung of the contract ladder, and

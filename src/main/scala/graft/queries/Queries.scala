@@ -2391,6 +2391,18 @@ object Queries {
         s"(SELECT doc_id, $chatFixtureDuck AS conv FROM documents)",
         "doc_id", "conv"))),
 
+    // packed-sequence LOSS MASKS (round 17): the complete trainer-batch
+    // composition — render -> BPE pack -> per-assistant-turn token
+    // spans shifted to positions within each packed training sequence
+    // (same 128/2 packing geometry as chat_pack, BPE denomination)
+    QueryDef("chat_pack_masked",
+      (s, dir) => graft.ops.Chat.chatPackMasked(
+        t(s, dir, "documents").withColumn("conv", expr(chatFixtureSpark)),
+        "doc_id", "conv", "source", budget = 128, shards = 2),
+      Some(graft.ops.Chat.chatPackMaskedSql(
+        s"(SELECT doc_id, source, $chatFixtureDuck AS conv FROM documents)",
+        "doc_id", "conv", "source", budget = 128, shards = 2))),
+
     // conversation QUARANTINE (round 17): the chat domain contract
     // enforced as a split — every row classified into its first failing
     // rung (null_conv / malformed / empty / null_field / ok) over a

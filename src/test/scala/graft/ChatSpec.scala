@@ -163,6 +163,51 @@ class ChatSpec extends SparkSpec {
     assert(spans.map(s => (s._1, s._2)).sorted.toSeq === charSpans.sorted.toSeq)
   }
 
+  test("chatPackMasked: packed-sequence mask positions decode to the assistant contents") {
+    // THE trainer-batch property: build each packed sequence's token
+    // stream by concatenating its documents' BPE token sequences in id
+    // order, then every (start_token, end_token) span must decode to
+    // that assistant turn's content minus spaces — across sequence
+    // boundaries, multi-doc sequences, and multi-span docs
+    val mdf = Seq(
+      (1L, "s1", conv("user" -> "aa bb", "assistant" -> "the answer")),
+      (2L, "s1", conv("user" -> "cc", "assistant" -> "another thing",
+        "user" -> "dd", "assistant" -> "more")),
+      (3L, "s1", conv("user" -> "ee", "assistant" -> "final words")),
+      (4L, "s2", conv("system" -> "be brief", "user" -> "ff",
+        "assistant" -> "other stratum")))
+      .toDF("doc_id", "source", "conv")
+    // budget 20 BPE tokens, 1 shard -> stratum s1 packs into multiple
+    // sequences with at least one multi-doc sequence
+    val masks = Chat.chatPackMasked(mdf, "doc_id", "conv", "source",
+      budget = 20, shards = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(masks.map(_._4).distinct.length > 1, "fixture must span multiple sequences")
+    val toks = Chat.chatRender(mdf, "doc_id", "conv")
+      .select($"doc_id", expr("graft_bpe_tokens(rendered)").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val packed = graft.ops.Sampling.packSequencesSharded(
+      Chat.chatRender(mdf, "doc_id", "conv")
+        .join(mdf.select($"doc_id", $"source"), Seq("doc_id")),
+      "doc_id", "rendered", "source", budget = 20, shards = 1,
+      t => s"graft_bpe_count($t)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    // sequence token streams: docs in id order within (strata, shard, seq)
+    val seqStream = packed.groupBy(p => (p._2, p._3, p._4)).map { case (k, ds) =>
+      k -> ds.sortBy(_._1).flatMap(d => toks(d._1))
+    }
+    val expect = Map(
+      (1L, 0L) -> "theanswer", (2L, 0L) -> "anotherthing", (2L, 1L) -> "more",
+      (3L, 0L) -> "finalwords", (4L, 0L) -> "otherstratum")
+    masks.foreach { case (id, st, sh, seq, spanIdx, s, e) =>
+      val stream = seqStream((st, sh, seq))
+      val got = stream.slice(s.toInt, e.toInt).mkString("")
+      assert(got === expect((id, spanIdx)), s"doc $id span $spanIdx")
+    }
+    assert(masks.length === expect.size, "one mask row per assistant turn")
+  }
+
   test("chatQuarantine: every contract rung lands in its reason; clean rows flow") {
     val qdf = Seq(
       (1L, conv("user" -> "q", "assistant" -> "a")), // ok

@@ -332,6 +332,16 @@ class PlanAuditSpec extends SparkSpec {
         assert(count(p, "from_json") == 1,
           s"$q must parse the conversation JSON exactly once:\n$p")
       }
+    // the packed-mask composition: exactly TWO parse branches (the
+    // render/count scan and the span scan — re-scanning beats shuffling
+    // the corpus to share one scan), the packing window, a doc-keyed
+    // join, and never a nested-loop join
+    val pm = plan("chat_pack_masked")
+    assert(count(pm, "from_json") == 2,
+      s"chat_pack_masked: one parse per scan branch, two branches:\n$pm")
+    assert(!pm.contains("CartesianProduct") &&
+      !pm.contains("BroadcastNestedLoopJoin"),
+      s"chat_pack_masked must join on doc id, never nested-loop:\n$pm")
     // the token-grain mask must ride the compiled kernels end-to-end:
     // one-pass token ends + binary-search counts (the quadratic
     // accumulator / interpreted HOF filter must not reappear)
