@@ -520,6 +520,112 @@ object Chat {
     * One parse per row, no filter (every input row lands in exactly one
     * output row) — callers split on `ok`, audit on `reason`.
     */
+  /** Token-budget conversation TRUNCATION (round 17) — the context-fit
+    * pass an SFT pipeline runs before packing: a conversation longer
+    * than the training context must shed turns, and the convention that
+    * preserves the most signal is keep the system head (if any)
+    * unconditionally + the LONGEST SUFFIX of body turns whose total
+    * token cost fits `budget` (recent turns carry the conversation
+    * state; ancient ones are the expendable prefix — the sliding-window
+    * convention of public chat-training recipes).
+    *
+    * Token cost of a turn = `graft_token_count('<|role|>content')` —
+    * the same whitespace+punct token lens as [[chatRender]]'s
+    * `n_tokens`, so a truncated render's cost is the sum of its kept
+    * turns' costs plus the `<|end|>` terminator (NOT counted against
+    * the budget; it is constant overhead the caller prices into
+    * `budget`). A turn whose own cost exceeds `budget` is dropped with
+    * the rest of the prefix — output may keep ZERO body turns (head +
+    * terminator only) rather than emit an over-budget render.
+    *
+    * Row-local single pass: per-turn costs via one `transform`, prefix
+    * sums via the struct-accumulator idiom ([[chatAssistantSpans]] —
+    * O(turns), not the O(turns²) per-suffix re-aggregate), the kept
+    * count from one `filter` over suffix sums (suffix_sum(i) = total −
+    * prefix(i−1), monotone decreasing in i, so "suffix fits" selects
+    * exactly a suffix). Zero exchanges; one `from_json` (the
+    * [[withTurns]] one-parse discipline — `__c` is multiply referenced
+    * and stays materialized).
+    *
+    * Output: one row per in-domain conversation — kept/dropped turn
+    * counts (kept INCLUDES the system head), `tokens_kept` (cost of
+    * head + kept body, terminator excluded), and the truncated render.
+    */
+  def chatTruncate(df: DataFrame, id: String, conv: String,
+                   budget: Int): DataFrame =
+    withTurns(graft.functions.VectorFunctions.attach(df), conv)
+      .withColumn("__costs", expr(
+        "transform(__c, x -> cast(graft_token_count(" +
+          "concat('<|', x.role, '|>', x.content)) AS BIGINT))"))
+      .withColumn("__sys", expr("element_at(__c, 1).role = 'system'"))
+      .withColumn("__body", expr(
+        "IF(__sys, slice(__c, 2, size(__c) - 1), __c)"))
+      // prefix sums over BODY costs (struct accumulator, O(turns))
+      .withColumn("__pre", expr(
+        "aggregate(IF(__sys, slice(__costs, 2, size(__costs) - 1), __costs), " +
+          "named_struct('t', cast(0 AS BIGINT), " +
+          "  'a', cast(array() AS ARRAY<BIGINT>)), " +
+          "(acc, c) -> named_struct('t', acc.t + c, " +
+          "  'a', concat(acc.a, array(acc.t + c))), " +
+          "acc -> acc.a)"))
+      .withColumn("__tot", expr(
+        "IF(size(__pre) = 0, cast(0 AS BIGINT), " +
+          "element_at(__pre, size(__pre)))"))
+      // kept body turns: i in [1, n] with total - prefix(i-1) <= budget
+      // (the IF guards sequence(1, 0) — the descending-sequence ANSI trap)
+      .withColumn("__keepn", expr(
+        s"IF(size(__body) = 0, 0, size(filter(sequence(1, size(__body)), " +
+          s"i -> __tot - IF(i = 1, cast(0 AS BIGINT), " +
+          s"element_at(__pre, cast(i - 1 AS INT))) <= $budget)))"))
+      .select(col(id),
+        expr("cast(__keepn + IF(__sys, 1, 0) AS BIGINT)").as("n_kept"),
+        expr("cast(size(__body) - __keepn AS BIGINT)").as("n_dropped"),
+        expr("cast(IF(__sys, element_at(__costs, 1), cast(0 AS BIGINT)) + " +
+          "__tot - IF(size(__body) = __keepn, cast(0 AS BIGINT), " +
+          "element_at(__pre, cast(size(__body) - __keepn AS INT))) AS BIGINT)")
+          .as("tokens_kept"),
+        expr("concat(aggregate(concat(" +
+          "IF(__sys, slice(__c, 1, 1), cast(array() AS " +
+          "ARRAY<STRUCT<role: STRING, content: STRING>>)), " +
+          "slice(__body, size(__body) - __keepn + 1, __keepn)), '', " +
+          "(acc, x) -> concat(acc, '<|', x.role, '|>', x.content)), " +
+          "'<|end|>')").as("rendered"))
+
+  /** DuckDB twin of [[chatTruncate]]: turns unnested with per-turn
+    * costs, suffix sums by a descending window, keep = head OR
+    * suffix-fits, re-aggregated per conversation (string_agg skips the
+    * dropped turns' NULLs; coalesce covers the all-dropped render).
+    */
+  def chatTruncateSql(table: String, id: String, conv: String,
+                      budget: Int): String =
+    s"""WITH p AS (SELECT $id, $conv AS conv FROM $table),
+       |t AS (
+       |  SELECT $id, i,
+       |    json_extract_string(conv, '$$[' || (i - 1) || '].role') AS role,
+       |    json_extract_string(conv, '$$[' || (i - 1) || '].content') AS content
+       |  FROM (SELECT $id, conv,
+       |          unnest(generate_series(1, json_array_length(conv::JSON)::BIGINT)) AS i
+       |        FROM p)),
+       |c AS (
+       |  SELECT *,
+       |    len(regexp_extract_all('<|' || role || '|>' || content,
+       |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::BIGINT AS cost,
+       |    CASE WHEN first_value(role) OVER (PARTITION BY $id ORDER BY i) = 'system'
+       |         THEN 1 ELSE 0 END AS off
+       |  FROM t),
+       |s AS (
+       |  SELECT *, sum(CASE WHEN i > off THEN cost ELSE 0 END)
+       |      OVER (PARTITION BY $id ORDER BY i DESC) AS sufcost
+       |  FROM c),
+       |k AS (SELECT *, (i <= off OR sufcost <= $budget) AS keep FROM s)
+       |SELECT $id,
+       |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  sum(CASE WHEN NOT keep THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       |  sum(CASE WHEN keep THEN cost ELSE 0 END)::BIGINT AS tokens_kept,
+       |  coalesce(string_agg(CASE WHEN keep THEN '<|' || role || '|>' || content END,
+       |    '' ORDER BY i), '') || '<|end|>' AS rendered
+       |FROM k GROUP BY $id""".stripMargin
+
   def chatQuarantine(df: DataFrame, id: String, conv: String): DataFrame =
     df.withColumn("__c", expr(s"from_json($conv, '$turnsSchema')"))
       .withColumn("reason", expr(

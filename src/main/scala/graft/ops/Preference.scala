@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Preference-pair (RLHF / DPO) data preparation — the reward-model /
+  * direct-preference stage of a training-data pipeline: rows arrive as
+  * `(prompt, chosen, rejected)` string triples (the interchange shape
+  * of public preference datasets), and the pipeline must validate the
+  * pair contract, profile margins, and deduplicate before any of it
+  * reaches a trainer.
+  *
+  * All per-pair passes are row-local projections — zero shuffles
+  * beyond the scan (the 100 TB shape by construction); the dedup is
+  * ONE partial-aggregated exchange keyed on a fixed-width digest, and
+  * the report is ONE stratum-grain partial agg. Identity throughout is
+  * NORMALIZED content (`graft_normalize`: NFC, lower-case, whitespace
+  * collapse, trim — the [[TextAnalysis.normalize]] kernel), because
+  * preference corpora are assembled from multiple annotation UIs whose
+  * only differences are case/spacing artifacts.
+  *
+  * Contract (per pair): prompt, chosen and rejected must all be
+  * non-empty after normalization, and chosen must differ from rejected
+  * (an identical pair carries zero preference signal and a degenerate
+  * DPO loss of log(1/2)). `valid` states the contract; NULL fields are
+  * treated as empty (coalesce) rather than letting engine-specific
+  * null propagation pick divergent answers.
+  */
+object Preference {
+
+  /** Spark-side normalized form (compiled kernel; NULL → ''). */
+  private def norm(c: String): String = s"graft_normalize(coalesce($c, ''))"
+
+  /** DuckDB twin of [[norm]] — same value as `graft_normalize` on any
+    * input whose letters are ASCII (the fixtures'), mirrored from
+    * [[TextAnalysis.normalizeSql]].
+    */
+  private def normDuck(c: String): String =
+    s"trim(regexp_replace(translate(nfc_normalize(coalesce($c, '')), " +
+      "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), " +
+      "'[ \\t\\n\\r\\f]+', ' ', 'g'), ' ')"
+
+  private def tok(c: String): String =
+    s"cast(graft_token_count(coalesce($c, '')) AS BIGINT)"
+
+  private def tokDuck(c: String): String =
+    s"len(regexp_extract_all(coalesce($c, ''), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::BIGINT"
+
+  /** Per-pair validation + margin profile, row-local. One row per
+    * input pair: raw char masses, token counts (the compiled
+    * `graft_token_count` kernel), `identical` (normalized
+    * chosen = rejected — two empties count as identical, consistent
+    * with "no preference signal"), `valid` (the full contract), the
+    * token margin `chosen - rejected` (signed), and the char-length
+    * ratio in integer MILLI units (exact-arithmetic discipline — no
+    * float ratios in hashed outputs; rejected clamps to ≥1 char so
+    * the ratio is total).
+    */
+  def pairStats(df: DataFrame, id: String, prompt: String, chosen: String,
+                rejected: String, carry: Seq[String] = Nil): DataFrame =
+    graft.functions.VectorFunctions.attach(df)
+      .select((col(id) +: carry.map(col)) ++ Seq(
+        expr(s"cast(length(coalesce($prompt, '')) AS BIGINT)").as("prompt_chars"),
+        expr(s"cast(length(coalesce($chosen, '')) AS BIGINT)").as("chosen_chars"),
+        expr(s"cast(length(coalesce($rejected, '')) AS BIGINT)").as("rejected_chars"),
+        expr(tok(chosen)).as("chosen_tokens"),
+        expr(tok(rejected)).as("rejected_tokens"),
+        expr(s"${norm(chosen)} = ${norm(rejected)}").as("identical"),
+        expr(s"${norm(prompt)} != '' AND ${norm(chosen)} != '' AND " +
+          s"${norm(rejected)} != '' AND ${norm(chosen)} != ${norm(rejected)}")
+          .as("valid"),
+        expr(s"${tok(chosen)} - ${tok(rejected)}").as("margin_tokens"),
+        expr(s"cast(length(coalesce($chosen, '')) * 1000 div " +
+          s"greatest(length(coalesce($rejected, '')), 1) AS BIGINT)")
+          .as("len_ratio_milli")): _*)
+
+  /** DuckDB twin of [[pairStats]]. */
+  def pairStatsSql(table: String, id: String, prompt: String, chosen: String,
+                   rejected: String, carry: Seq[String] = Nil): String =
+    s"""SELECT ${(id +: carry).mkString(", ")},
+       |  len(coalesce($prompt, ''))::BIGINT AS prompt_chars,
+       |  len(coalesce($chosen, ''))::BIGINT AS chosen_chars,
+       |  len(coalesce($rejected, ''))::BIGINT AS rejected_chars,
+       |  ${tokDuck(chosen)} AS chosen_tokens,
+       |  ${tokDuck(rejected)} AS rejected_tokens,
+       |  ${normDuck(chosen)} = ${normDuck(rejected)} AS identical,
+       |  (${normDuck(prompt)} <> '' AND ${normDuck(chosen)} <> ''
+       |    AND ${normDuck(rejected)} <> ''
+       |    AND ${normDuck(chosen)} <> ${normDuck(rejected)}) AS valid,
+       |  (${tokDuck(chosen)} - ${tokDuck(rejected)})::BIGINT AS margin_tokens,
+       |  (len(coalesce($chosen, '')) * 1000 //
+       |    greatest(len(coalesce($rejected, '')), 1))::BIGINT AS len_ratio_milli
+       |FROM $table""".stripMargin
+
+  /** Exact pair dedup on the NORMALIZED triple — [[Dedup.exactDedup]]
+    * extended to three fields: group on `md5(norm(prompt) ␟ norm(chosen)
+    * ␟ norm(rejected))` (unit-separator joined, so field boundaries
+    * can't alias: ('ab','c') never collides with ('a','bc')), keep the
+    * min id. One partial-aggregated exchange of fixed-width digest
+    * rows; the triple text never crosses the wire.
+    */
+  def pairDedup(df: DataFrame, id: String,
+                prompt: String, chosen: String, rejected: String): DataFrame =
+    graft.functions.VectorFunctions.attach(df)
+      .groupBy(expr(s"md5(concat(${norm(prompt)}, '\u001f', " +
+        s"${norm(chosen)}, '\u001f', ${norm(rejected)}))").as("h"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** DuckDB twin of [[pairDedup]]. */
+  def pairDedupSql(table: String, id: String,
+                   prompt: String, chosen: String, rejected: String): String =
+    s"""SELECT md5(${normDuck(prompt)} || chr(31) || ${normDuck(chosen)}
+       |    || chr(31) || ${normDuck(rejected)}) AS h,
+       |  min($id) AS keep_id, count(*) AS n_dups
+       |FROM $table GROUP BY 1""".stripMargin
+
+  /** Per-stratum preference-corpus report — the report-before-acting
+    * companion ([[Sampling.packReport]] convention) over [[pairStats]]:
+    * pair counts, the contract-valid fraction in integer MILLI units,
+    * identical-pair counts, the signed token-margin mass, and per-side
+    * char masses. One keyed partial-agg exchange of stratum-grain rows.
+    * The margin stays a SUM (not a milli mean): it is signed, and
+    * Spark's `div` truncates toward zero where DuckDB's `//` floors —
+    * divergent on negative numerators, so no hashed column divides one.
+    */
+  def report(df: DataFrame, id: String, prompt: String, chosen: String,
+             rejected: String, strata: String): DataFrame =
+    pairStats(df, id, prompt, chosen, rejected, carry = Seq(strata))
+      .groupBy(col(strata))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+        expr("cast(sum(IF(valid, 1, 0)) * 1000 div count(*) AS BIGINT)")
+          .as("valid_milli"),
+        sum(when(col("identical"), 1L).otherwise(0L)).as("n_identical"),
+        sum(col("margin_tokens")).as("sum_margin_tokens"),
+        sum(col("chosen_chars")).as("chosen_chars"),
+        sum(col("rejected_chars")).as("rejected_chars"))
+
+  /** DuckDB twin of [[report]]. */
+  def reportSql(table: String, id: String, prompt: String, chosen: String,
+                rejected: String, strata: String): String =
+    s"""WITH s AS (${pairStatsSql(table, id, prompt, chosen, rejected,
+        carry = Seq(strata))})
+       |SELECT $strata, count(*) AS n_pairs,
+       |  sum(CASE WHEN valid THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+       |  (sum(CASE WHEN valid THEN 1 ELSE 0 END) * 1000 // count(*))::BIGINT
+       |    AS valid_milli,
+       |  sum(CASE WHEN identical THEN 1 ELSE 0 END)::BIGINT AS n_identical,
+       |  sum(margin_tokens)::BIGINT AS sum_margin_tokens,
+       |  sum(chosen_chars)::BIGINT AS chosen_chars,
+       |  sum(rejected_chars)::BIGINT AS rejected_chars
+       |FROM s GROUP BY $strata""".stripMargin
+}

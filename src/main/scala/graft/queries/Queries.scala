@@ -394,6 +394,48 @@ object Queries {
        |                    x -> x <> '') AS ws
        |      FROM documents))""".stripMargin
 
+  /** Preference-pair fixture (round 17): each doc yields one
+    * (prompt, chosen, rejected) triple from word slices of its
+    * normalized text — prompt = words 1-8, chosen = words 9-20,
+    * rejected = words 9-14 (a truncated, "worse" answer). Planted
+    * contract violations by doc_id % 7: identical pair (0), empty
+    * rejected (1), and a case/double-space variant of chosen (2 —
+    * identical only AFTER normalization, exercising the kernel path).
+    * Docs too short for a slice derive '' identically on both engines.
+    */
+  private val prefWordsSpark: String =
+    "filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' '), x -> x != '')"
+
+  private def prefFixtureSpark(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame = {
+    t(s, dir, "documents")
+      .withColumn("__ws", expr(prefWordsSpark))
+      .withColumn("prompt", expr("array_join(slice(__ws, 1, 8), ' ')"))
+      .withColumn("chosen", expr("array_join(slice(__ws, 9, 12), ' ')"))
+      .withColumn("rejected", expr(
+        "CASE cast(doc_id % 7 AS INT) " +
+          "WHEN 0 THEN chosen " +
+          "WHEN 1 THEN '' " +
+          "WHEN 2 THEN replace(upper(chosen), ' ', '  ') " +
+          "ELSE array_join(slice(__ws, 9, 6), ' ') END"))
+  }
+
+  private val prefFixtureDuckRel: String =
+    """(SELECT doc_id, source, prompt, chosen,
+      |  CASE doc_id % 7
+      |    WHEN 0 THEN chosen
+      |    WHEN 1 THEN ''
+      |    WHEN 2 THEN replace(upper(chosen), ' ', '  ')
+      |    ELSE coalesce(array_to_string(ws[9:14], ' '), '') END AS rejected
+      |FROM (SELECT doc_id, source,
+      |        coalesce(array_to_string(ws[1:8], ' '), '') AS prompt,
+      |        coalesce(array_to_string(ws[9:20], ' '), '') AS chosen, ws
+      |      FROM (SELECT doc_id, source,
+      |              list_filter(string_split(
+      |                regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '),
+      |                x -> x <> '') AS ws
+      |            FROM documents)))""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ================= relational core (scan/filter/agg/join/window) ====
@@ -2426,6 +2468,84 @@ object Queries {
         "doc_id", "conv"),
       Some(graft.ops.Chat.chatTurnStatsSql(
         chatToolFixtureDuckRel(), "doc_id", "conv"))),
+
+    // token-budget TRUNCATION (round 17): keep the system head + the
+    // longest body-turn suffix fitting the budget. Fixture turns cost
+    // ~11 tokens (5 template + ~6 content words); budget=22 keeps ~2
+    // body turns — 3-4-turn bodies actually truncate, 2-turn bodies
+    // pass untouched, so both outcomes carry fixture mass
+    QueryDef("chat_truncate",
+      (s, dir) => graft.ops.Chat.chatTruncate(
+        t(s, dir, "documents").withColumn("conv", expr(chatFixtureSpark)),
+        "doc_id", "conv", budget = 22),
+      Some(graft.ops.Chat.chatTruncateSql(
+        s"(SELECT doc_id, $chatFixtureDuck AS conv FROM documents)",
+        "doc_id", "conv", budget = 22))),
+
+    // chat near-dedup — the composition that makes conversation-level
+    // dedup a one-liner: render to the training string, then the LINEAR
+    // minhash keeper pass over the rendered text (same machinery as
+    // dedup_minhash_keeper; near-dup docs in the corpus render to
+    // near-dup conversations, which collapse to shared keepers)
+    QueryDef("chat_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("conv", expr(chatFixtureSpark))
+        Dedup.minhashDedupKeepers(
+          graft.ops.Chat.chatRender(docs, "doc_id", "conv")
+            .select("doc_id", "rendered"),
+          "doc_id", "rendered")
+      },
+      Some(Dedup.minhashDedupKeepersSql(
+        s"""(SELECT doc_id, rendered FROM (${graft.ops.Chat.chatRenderSql(
+             s"(SELECT doc_id, $chatFixtureDuck AS conv FROM documents)",
+             "doc_id", "conv")}))""",
+        "doc_id", "rendered"))),
+
+    // ========== preference-pair (RLHF / DPO) preparation (round 17) ====
+
+    // per-pair contract validation + margin profile over the planted
+    // fixture: identical pairs (raw and normalized-only), empty
+    // rejected, and honest truncated-rejected pairs all carry mass
+    QueryDef("pref_pair_stats",
+      (s, dir) => graft.ops.Preference.pairStats(
+        prefFixtureSpark(s, dir), "doc_id", "prompt", "chosen", "rejected"),
+      Some(graft.ops.Preference.pairStatsSql(
+        prefFixtureDuckRel, "doc_id", "prompt", "chosen", "rejected"))),
+
+    // exact pair dedup on the normalized triple: the synthetic fixture
+    // keys content on doc_id % 97 with case/double-space variants on
+    // odd docs, so each group's ~n/97 members collapse to one keeper
+    // only through the normalization kernel
+    QueryDef("pref_pair_dedup",
+      (s, dir) => graft.ops.Preference.pairDedup(
+        t(s, dir, "documents")
+          .withColumn("prompt", expr("concat('prompt nr ', doc_id % 97)"))
+          .withColumn("chosen", expr(
+            "IF(doc_id % 2 = 0, concat('good answer nr ', doc_id % 97), " +
+              "concat('Good  Answer nr ', doc_id % 97))"))
+          .withColumn("rejected", expr(
+            "IF(doc_id % 13 = 0, NULL, concat('bad answer nr ', doc_id % 97 % 5))")),
+        "doc_id", "prompt", "chosen", "rejected"),
+      Some(graft.ops.Preference.pairDedupSql(
+        """(SELECT doc_id, 'prompt nr ' || (doc_id % 97) AS prompt,
+          |  CASE WHEN doc_id % 2 = 0 THEN 'good answer nr ' || (doc_id % 97)
+          |       ELSE 'Good  Answer nr ' || (doc_id % 97) END AS chosen,
+          |  CASE WHEN doc_id % 13 = 0 THEN NULL
+          |       ELSE 'bad answer nr ' || (doc_id % 97 % 5) END AS rejected
+          |FROM documents)""".stripMargin,
+        "doc_id", "prompt", "chosen", "rejected"))),
+
+    // per-source preference-corpus report: valid fraction in milli,
+    // identical counts, signed margin mass — the report-before-acting
+    // stage over the same planted fixture
+    QueryDef("pref_report",
+      (s, dir) => graft.ops.Preference.report(
+        prefFixtureSpark(s, dir), "doc_id", "prompt", "chosen", "rejected",
+        "source"),
+      Some(graft.ops.Preference.reportSql(
+        prefFixtureDuckRel, "doc_id", "prompt", "chosen", "rejected",
+        "source"))),
 
     // Gopher-style quality ruleset: per-rule 0/1 flags + conjunction.
     // minWords=50 sits at the corpus median (word counts run 10-99) so

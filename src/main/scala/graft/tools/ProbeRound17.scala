@@ -39,17 +39,20 @@ object ProbeRound17 {
     // 50-turn conversation per doc (~8k chars): system head + 49 body
     // turns alternating user/assistant (odd count -> ends on assistant),
     // content = ~150-char slices at a doc-varying stride over the
-    // tripled normalized text (JSON-safe: [a-z0-9 ] only)
+    // tripled normalized text (JSON-safe: [a-z0-9 ] only). The
+    // normalized text is LET-BOUND (PortableHash.let1): as a plain
+    // withColumn it is referenced 49x inside the transform lambda and
+    // the regexp_replace re-evaluates per reference — the fixture alone
+    // ran 50x the render cost (caught live in round 17)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .withColumn("__t", expr(
-        "regexp_replace(lower(concat(text, ' ', text, ' ', text)), '[^a-z0-9 ]', '')"))
-      .withColumn("conv", expr(
+      .withColumn("conv", expr(graft.ops.PortableHash.let1("__t",
+        "regexp_replace(lower(concat(text, ' ', text, ' ', text)), '[^a-z0-9 ]', '')",
         "concat('[{\"role\":\"system\",\"content\":\"be concise\"},', " +
           "concat_ws(',', transform(sequence(1, 49), i -> " +
           "concat('{\"role\":\"', IF(i % 2 = 1, 'user', 'assistant'), " +
           "'\",\"content\":\"', " +
           "substring(__t, cast((i * 37 + doc_id % 101) % 400 + 1 AS INT), 150), " +
-          "'\"}'))), ']')"))
+          "'\"}'))), ']')")))
       .select(col("doc_id"), col("conv"))
 
     def run(df: org.apache.spark.sql.DataFrame): Long =

@@ -233,4 +233,44 @@ class ChatSpec extends SparkSpec {
     assert(m(9L) === ((true, "ok")), "ltrim admits leading whitespace")
     assert(m.size === qdf.count().toInt, "quarantine never drops a row")
   }
+
+  test("chatTruncate: head always kept, longest fitting body suffix, exact render") {
+    // per-turn cost = graft_token_count('<|role|>content'): the 4
+    // delimiters + role = 5 tokens, content words 1 each
+    val tdf = Seq(
+      // 4-turn body, each turn cost 7 (5 + 2 words); head cost 7
+      (1L, conv("system" -> "be concise", "user" -> "q one",
+        "assistant" -> "a one", "user" -> "q two", "assistant" -> "a two")),
+      // no system head: costs 6, 6
+      (2L, conv("user" -> "x", "assistant" -> "y")),
+      // system only: empty body
+      (3L, conv("system" -> "s")),
+      (4L, "[]")) // outside the domain -> absent
+      .toDF("doc_id", "conv")
+
+    def run(budget: Int) = Chat.chatTruncate(tdf, "doc_id", "conv", budget)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+
+    val b14 = run(14)
+    assert(b14.keySet === Set(1L, 2L, 3L), "the empty conversation is absent")
+    assert(b14(1L) === ((3L, 2L, 21L,
+      "<|system|>be concise<|user|>q two<|assistant|>a two<|end|>")),
+      "budget 14 keeps the last two 7-token turns (suffix of 3 costs 21)")
+    assert(b14(2L) === ((2L, 0L, 12L, "<|user|>x<|assistant|>y<|end|>")),
+      "a body that already fits passes untouched")
+    assert(b14(3L) === ((1L, 0L, 6L, "<|system|>s<|end|>")),
+      "system-only: head kept, zero body turns")
+
+    val b100 = run(100)
+    assert(b100(1L) === ((5L, 0L, 35L,
+      "<|system|>be concise<|user|>q one<|assistant|>a one" +
+        "<|user|>q two<|assistant|>a two<|end|>")))
+
+    val b5 = run(5)
+    assert(b5(1L) === ((1L, 4L, 7L, "<|system|>be concise<|end|>")),
+      "a budget below any single turn keeps head + terminator only")
+    assert(b5(2L) === ((0L, 2L, 0L, "<|end|>")),
+      "no head, nothing fits: zero turns, bare terminator")
+  }
 }

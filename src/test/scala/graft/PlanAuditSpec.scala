@@ -325,7 +325,8 @@ class PlanAuditSpec extends SparkSpec {
     // parsed ONCE per row (from_json appears once per plan — a second
     // parse doubles the dominant row cost)
     Seq("chat_turn_stats", "chat_render", "chat_mask_spans",
-        "chat_mask_tokens", "chat_quarantine", "chat_turn_stats_tools")
+        "chat_mask_tokens", "chat_quarantine", "chat_turn_stats_tools",
+        "chat_truncate")
       .foreach { q =>
         val p = plan(q)
         assert(!p.contains("Exchange"), s"$q must have no exchange:\n$p")
@@ -949,5 +950,27 @@ class PlanAuditSpec extends SparkSpec {
         p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
         s"$q: rank window must be post-limit only:\n$p")
     }
+  }
+
+  test("preference family: stats row-local, dedup one digest-keyed exchange") {
+    // pref_pair_stats is a pure per-pair projection — an Exchange means
+    // a refactor introduced a shuffle into a 100 TB scan-shaped pass
+    val ps = plan("pref_pair_stats")
+    assert(!ps.contains("Exchange"),
+      s"pref_pair_stats must be row-local:\n$ps")
+    assert(ps.contains("graft_normalize") && ps.contains("graft_token_count"),
+      s"identity and token counts must ride the compiled kernels:\n$ps")
+    // the dedup shuffles exactly once, keyed on the fixed-width md5 —
+    // partial aggregation means digest rows cross the wire, never the
+    // triple text
+    val pd = plan("pref_pair_dedup")
+    assert(count(pd, "Exchange") == 1,
+      s"pref_pair_dedup: one digest-keyed exchange and nothing else:\n$pd")
+    assert(count(pd, "HashAggregate") >= 2,
+      s"pref_pair_dedup must partial-aggregate map-side:\n$pd")
+    // the report is one stratum-grain partial agg
+    val pr = plan("pref_report")
+    assert(count(pr, "Exchange") == 1,
+      s"pref_report: one stratum exchange:\n$pr")
   }
 }

@@ -497,7 +497,8 @@ class StreamingOpsSpec extends SparkSpec {
       "render" -> (d => Chat.chatRender(d, "doc_id", "conv")),
       "mask_spans" -> (d => Chat.chatAssistantSpans(d, "doc_id", "conv")),
       "mask_tokens" -> (d => Chat.chatMaskTokens(d, "doc_id", "conv")),
-      "quarantine" -> (d => Chat.chatQuarantine(d, "doc_id", "conv")))
+      "quarantine" -> (d => Chat.chatQuarantine(d, "doc_id", "conv")),
+      "truncate" -> (d => Chat.chatTruncate(d, "doc_id", "conv", budget = 10)))
     ops.foreach { case (name, op) =>
       val docs = MemoryStream[(Long, String)]
       val q = op(docs.toDF().toDF("doc_id", "conv"))
