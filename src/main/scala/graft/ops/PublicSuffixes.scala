@@ -430,7 +430,34 @@ object PublicSuffixes {
     "nfshost.com", "is-a.dev",
     "b-cdn.net", "loca.lt", "ngrok.app", "ngrok.dev",
     "ngrok-free.app", "ngrok-free.dev", "members.linode.com",
-    "ip.linodeusercontent.com") ++
+    "ip.linodeusercontent.com",
+    // round 17, band 5 — registro.br remainder: the thematic
+    // categories still missing from the committed set plus the 2017-18
+    // city second-levels (each city a registry)
+    "ato.br", "bib.br", "bmd.br", "def.br", "dev.br", "enf.br",
+    "geo.br", "leg.br", "log.br", "ong.br", "rep.br", "tec.br",
+    "rio.br", "salvador.br", "bsb.br", "sampa.br", "poa.br", "bhz.br",
+    "recife.br", "fortal.br", "floripa.br", "natal.br", "manaus.br",
+    "curitiba.br", "goiania.br", "campinas.br", "joinville.br",
+    "londrina.br", "maceio.br", "cuiaba.br", "palmas.br", "niteroi.br",
+    // round 17, band 5 — .za second-levels missing from the committed
+    // dozen (the ZADNA charter set)
+    "agric.za", "alt.za", "ngo.za",
+    // round 17, band 5 — .tr registered-email second level
+    "kep.tr",
+    // round 17, band 5 — .ua remainder: the oblast/city registries'
+    // other transliteration forms + the generic second-levels
+    "nikolaev.ua", "rovno.ua", "sebastopol.ua", "sevastopol.ua",
+    "sm.ua", "uz.ua", "vinnytsia.ua", "volyn.ua", "yalta.ua",
+    "zaporizhzhia.ua", "zhytomyr.ua", "biz.ua", "co.ua", "pp.ua",
+    // round 17, band 5 — AFNIC sector registries missing from the
+    // committed .fr set (professions + chambers)
+    "avoues.fr", "cci.fr", "geometre-expert.fr", "greta.fr",
+    "huissier-justice.fr",
+    // round 17, band 5 — NASK geographic registries, band 3 (city
+    // names still missing from bands 1-2)
+    "czest.pl", "elblag.pl", "gdynia.pl", "gorzow.pl", "zgora.pl",
+    "lomza.pl", "tarnow.pl", "bielawa.pl") ++
     // Bulgaria: the PSL registers every single alphanumeric label as a
     // second level — [0-9a-z].bg (rendered by comprehension; the
     // characters ARE the table)

@@ -2502,6 +2502,28 @@ object Queries {
              "doc_id", "conv")}))""",
         "doc_id", "rendered"))),
 
+    // chat decontamination — render, then the n-gram overlap guard
+    // against an eval set (same machinery and doc_id split as
+    // pipeline_decontaminate; the render preserves word content, so
+    // bench-overlapping conversations are struck before training)
+    QueryDef("chat_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("conv", expr(chatFixtureSpark))
+        val rendered = graft.ops.Chat.chatRender(docs, "doc_id", "conv")
+          .select("doc_id", "rendered")
+        graft.ops.Decontaminate.cleanDocs(
+          rendered.where(col("doc_id") >= 25),
+          rendered.where(col("doc_id") < 25),
+          "doc_id", "rendered")
+      },
+      Some(graft.ops.Decontaminate.cleanDocsSql(
+        s"""(SELECT doc_id, rendered FROM (${graft.ops.Chat.chatRenderSql(
+             s"(SELECT doc_id, $chatFixtureDuck AS conv FROM documents)",
+             "doc_id", "conv")}))""",
+        benchPred = "doc_id < 25", corpusPred = "doc_id >= 25",
+        "doc_id", "rendered"))),
+
     // ========== preference-pair (RLHF / DPO) preparation (round 17) ====
 
     // per-pair contract validation + margin profile over the planted

@@ -173,7 +173,17 @@ class UrlKernelSpec extends SparkSpec {
       "https://x.tunnel42.loca.lt/x" -> "tunnel42.loca.lt",       // localtunnel
       "https://api.myapp.ngrok-free.app/x" -> "myapp.ngrok-free.app", // ngrok bands
       "https://me.handle.is-a.dev/x" -> "handle.is-a.dev",        // is-a.dev registry
-      "https://cdn.mysite.b-cdn.net/x" -> "mysite.b-cdn.net")     // bunny CDN
+      "https://cdn.mysite.b-cdn.net/x" -> "mysite.b-cdn.net",     // bunny CDN
+      // round-17 table growth, band 5: one value row per new family
+      "https://www.camara.leg.br/x" -> "camara.leg.br",           // registro.br thematic remainder
+      "https://loja.empresa.rio.br/x" -> "empresa.rio.br",        // registro.br city second-levels
+      "https://www.coop.agric.za/x" -> "coop.agric.za",           // ZADNA charter remainder
+      "https://posta.firma.kep.tr/x" -> "firma.kep.tr",           // .tr registered e-mail
+      "https://www.site.zhytomyr.ua/x" -> "site.zhytomyr.ua",     // .ua transliteration twins
+      "https://app.my.pp.ua/x" -> "my.pp.ua",                     // .ua generic second-levels
+      "https://www.etude.huissier-justice.fr/x" ->
+        "etude.huissier-justice.fr",                              // AFNIC sector registries
+      "https://bip.um.gdynia.pl/x" -> "um.gdynia.pl")             // NASK geographic band 3
     val df = graft.functions.VectorFunctions.attach(
       cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }.toDF("id", "url"))
     val got = df.select(col("id"), expr("graft_url_domain(url)").as("d"))
