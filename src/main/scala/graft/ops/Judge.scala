@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pairwise-judgment analytics (round 17) — the evaluation side of a
+  * preference pipeline: rows are head-to-head model comparisons
+  * `(prompt_id, model_a, model_b, winner)` (the public
+  * LLM-arena/LLM-judge interchange shape), and the pipeline needs the
+  * win-rate matrix and a single strength score per model before any
+  * preference data is trusted.
+  *
+  * Both ops aggregate the match table ONCE into unordered-pair grain
+  * (one partial-aggregated exchange of (model, model) key rows — at
+  * 100 TB of judgments the pair table is |models|² rows, metadata-
+  * sized, and everything after it is driver-scale) and stay EXACT:
+  * win rates in integer MILLI, Bradley-Terry scores via the
+  * minorization-maximization recurrence in integer-milli arithmetic
+  * with a FIXED iteration count — integer sums are order-independent
+  * and both engines' integer division agrees on non-negatives, so the
+  * DuckDB twin replays the computation bit-identically (the float MM
+  * would hash-diverge: cross-partition float sum order is not
+  * deterministic). Ties: a NULL winner counts as half a win for each
+  * side — in HALF-win units internally (integers stay exact), halves
+  * only surfacing in the milli outputs.
+  */
+object Judge {
+
+  /** Canonical unordered-pair aggregate: one row per (lo, hi) model
+    * pair with match counts and lo's wins in half-win units.
+    */
+  private def pairAgg(df: DataFrame, a: String, b: String,
+                      winner: String): DataFrame =
+    df.where(col(a) =!= col(b))
+      .select(least(col(a), col(b)).as("lo"),
+        greatest(col(a), col(b)).as("hi"),
+        // lo's half-wins in this match: 2 for a win, 1 for a tie (NULL)
+        when(col(winner).isNull, lit(1L))
+          .when(col(winner) === least(col(a), col(b)), lit(2L))
+          .otherwise(lit(0L)).as("hw"))
+      .groupBy(col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_matches"), sum(col("hw")).as("lo_halfwins"))
+
+  /** Win-rate MATRIX at unordered-pair grain: matches, lo-side wins in
+    * milli (ties = half). Self-matches are out of domain (dropped —
+    * a model cannot beat itself); the milli is integer division over
+    * half-win units, exact on both engines.
+    */
+  def winRate(df: DataFrame, promptId: String, a: String, b: String,
+              winner: String): DataFrame =
+    pairAgg(df, a, b, winner)
+      .select(col("lo").as("model_lo"), col("hi").as("model_hi"),
+        col("n_matches"),
+        expr("cast(lo_halfwins * 1000 div (n_matches * 2) AS BIGINT)")
+          .as("lo_winrate_milli"))
+
+  /** DuckDB twin of [[winRate]]. */
+  def winRateSql(table: String, promptId: String, a: String, b: String,
+                 winner: String): String =
+    s"""SELECT lo AS model_lo, hi AS model_hi,
+       |  count(*) AS n_matches,
+       |  (sum(hw) * 1000 // (count(*) * 2))::BIGINT AS lo_winrate_milli
+       |FROM (
+       |  SELECT least($a, $b) AS lo, greatest($a, $b) AS hi,
+       |    CASE WHEN $winner IS NULL THEN 1
+       |         WHEN $winner = least($a, $b) THEN 2 ELSE 0 END AS hw
+       |  FROM $table WHERE $a <> $b)
+       |GROUP BY lo, hi""".stripMargin
+
+  /** Bradley-Terry strength scores by fixed-iteration MM, integer
+    * milli — `iters` fixed (not run-to-convergence) so the oracle can
+    * mirror the exact computation, the [[Dedup.minhashDedupComponents]]
+    * convention. The MM update
+    * `w_i ← W_i / Σ_j n_ij / (w_i + w_j)` runs in scaled integers:
+    * `term_ij = n_ij·2·10⁹ div (w_i + w_j)` (half-win match units ×
+    * 10⁹ over milli strengths), `w_i' = W_i·10⁹ div Σ_j term_ij` —
+    * every sum is an integer sum (order-independent) and every
+    * division non-negative, so Spark `div` ≡ DuckDB `//`. Strengths
+    * start at 1000 milli; three iterations move a 2:1 favorite to
+    * within ~2% of the float MM fixed point (spec-pinned), and values
+    * stay far from the 64-bit edge (w ≤ 10⁶ milli for any n ≤ 10⁹).
+    * Models with zero wins (W_i = 0) land at 0 — the MM fixed point's
+    * boundary, reached in one step.
+    *
+    * Plan shape: ONE keyed exchange builds the directed pair table
+    * (pair grain, metadata-sized); each iteration is a pair-grain
+    * join + re-aggregate over |models|² rows — broadcast-sized at any
+    * corpus scale, the judgment TABLE is never re-scanned.
+    */
+  def btScores(df: DataFrame, promptId: String, a: String, b: String,
+               winner: String, iters: Int = 3): DataFrame = {
+    // directed view: one row per (m, opp) with n_matches and m's
+    // half-wins against opp
+    val directed = Caches.lease(pairAgg(df, a, b, winner)
+      .select(
+        array(
+          struct(col("lo").as("m"), col("hi").as("opp"),
+            col("n_matches"), col("lo_halfwins").as("halfwins")),
+          struct(col("hi").as("m"), col("lo").as("opp"),
+            col("n_matches"),
+            (col("n_matches") * 2 - col("lo_halfwins")).as("halfwins")))
+          .as("d"))
+      .select(explode(col("d")).as("r"))
+      .select(col("r.m"), col("r.opp"), col("r.n_matches"),
+        col("r.halfwins")))
+    var scores = directed.groupBy(col("m"))
+      .agg(sum(col("halfwins")).as("hw_total"))
+      .select(col("m"), col("hw_total"), lit(1000L).as("w"))
+    (1 to iters).foreach { _ =>
+      val opp = scores.select(col("m").as("opp"), col("w").as("w_opp"))
+      scores = directed
+        .join(scores, Seq("m")).join(opp, Seq("opp"))
+        // term = n·2·1e9 div (w_m + w_opp): n_matches is in whole
+        // matches, halfwin totals in halves — the 2× keeps W_i (halves)
+        // and the denominator (matches) in the same unit
+        .groupBy(col("m"), col("hw_total"))
+        .agg(sum(expr(
+          "n_matches * 2000000000 div (w + w_opp)")).as("denom"))
+        .select(col("m"), col("hw_total"),
+          expr("cast(hw_total * 1000000000 div greatest(denom, 1) AS BIGINT)")
+            .as("w"))
+    }
+    scores.select(col("m").as("model"), col("w").as("bt_milli"))
+  }
+
+  /** DuckDB twin of [[btScores]]: the directed pair CTE, then one CTE
+    * per MM iteration (fixed count, mirrored arithmetic).
+    */
+  def btScoresSql(table: String, promptId: String, a: String, b: String,
+                  winner: String, iters: Int = 3): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val prev = if (i == 1) "w0" else s"w${i - 1}"
+      s"""w$i AS (
+         |  SELECT d.m, any_value(s.hw_total) AS hw_total,
+         |    (any_value(s.hw_total) * 1000000000 //
+         |      greatest(sum(d.n_matches * 2000000000 // (s.w + o.w)), 1))::BIGINT AS w
+         |  FROM directed d
+         |  JOIN $prev s ON d.m = s.m
+         |  JOIN $prev o ON d.opp = o.m
+         |  GROUP BY d.m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT lo, hi, count(*) AS n_matches, sum(hw) AS lo_halfwins
+       |  FROM (
+       |    SELECT least($a, $b) AS lo, greatest($a, $b) AS hi,
+       |      CASE WHEN $winner IS NULL THEN 1
+       |           WHEN $winner = least($a, $b) THEN 2 ELSE 0 END AS hw
+       |    FROM $table WHERE $a <> $b)
+       |  GROUP BY lo, hi),
+       |directed AS (
+       |  SELECT lo AS m, hi AS opp, n_matches, lo_halfwins AS halfwins
+       |  FROM pairs
+       |  UNION ALL
+       |  SELECT hi AS m, lo AS opp, n_matches,
+       |    n_matches * 2 - lo_halfwins AS halfwins
+       |  FROM pairs),
+       |w0 AS (
+       |  SELECT m, sum(halfwins) AS hw_total, 1000::BIGINT AS w
+       |  FROM directed GROUP BY m),
+       |$iterCtes
+       |SELECT m AS model, w AS bt_milli FROM w$iters""".stripMargin
+  }
+}

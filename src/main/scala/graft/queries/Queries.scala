@@ -436,7 +436,50 @@ object Queries {
       |                x -> x <> '') AS ws
       |            FROM documents)))""".stripMargin
 
+  /** Pairwise-judgment fixture (round 17): five models from doc_id
+    * residues (the % 7 % 5 second leg skews the pairing so match
+    * counts differ per pair), a winner rule biased toward model_a
+    * except every 3rd match, self-matches planted (dropped by the op's
+    * domain) and every 11th match a NULL-winner tie.
+    */
+  private def judgeFixtureSpark(s: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "documents")
+      .withColumn("model_a", expr("concat('m', doc_id % 5)"))
+      .withColumn("model_b", expr("concat('m', doc_id % 7 % 5)"))
+      .withColumn("winner", expr(
+        "IF(doc_id % 11 = 0, NULL, IF(doc_id % 3 = 0, model_b, model_a))"))
+
+  private val judgeFixtureDuckRel: String =
+    """(SELECT doc_id, model_a, model_b,
+      |  CASE WHEN doc_id % 11 = 0 THEN NULL
+      |       WHEN doc_id % 3 = 0 THEN model_b ELSE model_a END AS winner
+      |FROM (SELECT doc_id,
+      |        'm' || (doc_id % 5) AS model_a,
+      |        'm' || (doc_id % 7 % 5) AS model_b
+      |      FROM documents))""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+
+    // ===== pairwise-judgment analytics (round 17): LLM-judge matches ====
+
+    // win-rate matrix over a planted match fixture: model_a/model_b
+    // from doc_id residues (self-matches planted and dropped), a
+    // biased winner rule so rates separate, NULL winners as ties
+    QueryDef("judge_winrate",
+      (s, dir) => graft.ops.Judge.winRate(
+        judgeFixtureSpark(s, dir), "doc_id", "model_a", "model_b", "winner"),
+      Some(graft.ops.Judge.winRateSql(
+        judgeFixtureDuckRel, "doc_id", "model_a", "model_b", "winner"))),
+
+    // Bradley-Terry strengths by fixed-iteration MM in integer milli —
+    // exact on both engines (integer sums are order-independent;
+    // div ≡ // on non-negatives), the float MM would hash-diverge
+    QueryDef("judge_bt",
+      (s, dir) => graft.ops.Judge.btScores(
+        judgeFixtureSpark(s, dir), "doc_id", "model_a", "model_b", "winner"),
+      Some(graft.ops.Judge.btScoresSql(
+        judgeFixtureDuckRel, "doc_id", "model_a", "model_b", "winner"))),
 
     // ================= relational core (scan/filter/agg/join/window) ====
 
@@ -2557,6 +2600,25 @@ object Queries {
           |       ELSE 'bad answer nr ' || (doc_id % 97 % 5) END AS rejected
           |FROM documents)""".stripMargin,
         "doc_id", "prompt", "chosen", "rejected"))),
+
+    // preference decontamination — drop pairs whose prompt+chosen text
+    // shares any k-shingle with an eval set (the DPO-pipeline analog of
+    // pipeline_decontaminate: eval prompts leaking into preference data
+    // inflate reward-model scores exactly like SFT leakage); same
+    // machinery, same doc_id split convention
+    QueryDef("pref_decontaminate",
+      (s, dir) => {
+        val pairs = prefFixtureSpark(s, dir)
+          .withColumn("pc", expr("concat(prompt, ' ', chosen)"))
+          .select("doc_id", "pc")
+        graft.ops.Decontaminate.cleanDocs(
+          pairs.where(col("doc_id") >= 25), pairs.where(col("doc_id") < 25),
+          "doc_id", "pc")
+      },
+      Some(graft.ops.Decontaminate.cleanDocsSql(
+        s"(SELECT doc_id, prompt || ' ' || chosen AS pc FROM $prefFixtureDuckRel)",
+        benchPred = "doc_id < 25", corpusPred = "doc_id >= 25",
+        "doc_id", "pc"))),
 
     // per-source preference-corpus report: valid fraction in milli,
     // identical counts, signed margin mass — the report-before-acting

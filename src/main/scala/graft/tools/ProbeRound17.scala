@@ -73,6 +73,26 @@ object ProbeRound17 {
         run(graft.ops.Chat.chatMaskTokens(docs, "doc_id", "conv")))
       if (on("quarantine")) time("chat_quarantine x 1M")(
         run(graft.ops.Chat.chatQuarantine(docs, "doc_id", "conv")))
+      if (on("truncate")) time("chat_truncate budget=2000 x 1M")(
+        run(graft.ops.Chat.chatTruncate(docs, "doc_id", "conv", budget = 2000)))
+      // preference triples at corpus scale: prompt/chosen/rejected as
+      // word slices of the raw text (the oracle fixture's shape) —
+      // prices the row-local stats pass and the digest-keyed dedup
+      if (on("pref")) {
+        val pairs = spark.read.parquet(s"$dir/documents.parquet")
+          .withColumn("__ws", expr(
+            "filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' '), x -> x != '')"))
+          .withColumn("prompt", expr("array_join(slice(__ws, 1, 8), ' ')"))
+          .withColumn("chosen", expr("array_join(slice(__ws, 9, 12), ' ')"))
+          .withColumn("rejected", expr("array_join(slice(__ws, 9, 6), ' ')"))
+          .select("doc_id", "prompt", "chosen", "rejected")
+        time("pref_pair_stats x 1M")(
+          run(graft.ops.Preference.pairStats(
+            pairs, "doc_id", "prompt", "chosen", "rejected")))
+        time("pref_pair_dedup x 1M")(
+          run(graft.ops.Preference.pairDedup(
+            pairs, "doc_id", "prompt", "chosen", "rejected")))
+      }
     }
     spark.stop()
   }

@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.Judge
+
+/** Pins the pairwise-judgment analytics: win-rate milli arithmetic
+  * with ties as half-wins, the self-match domain, and the fixed-
+  * iteration integer-milli Bradley-Terry MM (exact fixed point on the
+  * two-model case; transitive ordering on a three-model tournament).
+  */
+class JudgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("winRate: milli rates at unordered-pair grain, ties as half-wins, self-matches dropped") {
+    val matches =
+      (1 to 6).map(i => (i.toLong, "a", "b", "a")) ++
+      Seq((7L, "b", "a", "b"), (8L, "a", "b", "b")) ++
+      Seq((9L, "a", "b", null.asInstanceOf[String]),
+          (10L, "b", "a", null.asInstanceOf[String])) ++
+      Seq((11L, "x", "x", "x")) // self-match: out of domain
+    val df = matches.toDF("doc_id", "model_a", "model_b", "winner")
+    val rows = Judge.winRate(df, "doc_id", "model_a", "model_b", "winner")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet === Set(("a", "b")),
+      "ordering normalizes to (lo, hi); the self-match vanishes")
+    // a: 6 wins + 2 ties of 10 matches -> 14 half-wins / 20 -> 700
+    assert(rows(("a", "b")) === ((10L, 700L)))
+  }
+
+  test("btScores: two-model exact fixed point; three-model transitive ordering") {
+    // a beats b 7:3 (6 wins + 2 ties vs 2 wins + 2 ties in half-wins:
+    // 14 vs 6) -> BT fixed point w_a/(w_a+w_b) = 0.7 -> 1400/600 milli,
+    // reached at iteration 1 and stable (spec-pins the integer
+    // arithmetic end-to-end, not just the direction)
+    val two =
+      ((1 to 6).map(i => (i.toLong, "a", "b", "a")) ++
+        Seq((7L, "a", "b", "b"), (8L, "a", "b", "b")) ++
+        Seq((9L, "a", "b", null.asInstanceOf[String]),
+            (10L, "a", "b", null.asInstanceOf[String])))
+        .toDF("doc_id", "model_a", "model_b", "winner")
+    val w2 = Judge.btScores(two, "doc_id", "model_a", "model_b", "winner")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w2 === Map("a" -> 1400L, "b" -> 600L))
+
+    // a > b > c by direct results; a vs c split — transitivity must
+    // come from the shared opponent
+    val three = Seq(
+      (1L, "a", "b", "a"), (2L, "a", "b", "a"),
+      (3L, "b", "c", "b"), (4L, "b", "c", "b"),
+      (5L, "a", "c", "a"), (6L, "a", "c", "c"))
+      .toDF("doc_id", "model_a", "model_b", "winner")
+    val w3 = Judge.btScores(three, "doc_id", "model_a", "model_b", "winner")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w3("a") > w3("b") && w3("b") > w3("c"),
+      s"transitive strength ordering expected, got $w3")
+  }
+
+  test("btScores: a winless model lands at zero, opponents stay finite") {
+    val df = Seq(
+      (1L, "a", "z", "a"), (2L, "b", "z", "b"), (3L, "a", "b", "a"))
+      .toDF("doc_id", "model_a", "model_b", "winner")
+    val w = Judge.btScores(df, "doc_id", "model_a", "model_b", "winner")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w("z") === 0L, "W_i = 0 is the MM boundary fixed point")
+    assert(w("a") > w("b") && w("b") > 0L)
+  }
+}

@@ -973,4 +973,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(pr, "Exchange") == 1,
       s"pref_report: one stratum exchange:\n$pr")
   }
+
+  test("judge family: pair-grain aggregation, judgments scanned once") {
+    // the win-rate matrix is ONE partial-aggregated pair-keyed exchange
+    // over the judgment scan — at 100 TB of matches the shuffled rows
+    // are (model, model) keys, never match rows
+    val wr = plan("judge_winrate")
+    assert(count(wr, "Exchange") == 1 && count(wr, "HashAggregate") >= 2,
+      s"judge_winrate: one pair-keyed partial-agg exchange:\n$wr")
+    // the BT recurrence scans the judgment table ONCE into the leased
+    // pair-grain table; every iteration reference must resolve to the
+    // cache. The tree print echoes the cached subplan (scan included)
+    // under EVERY InMemoryTableScan reference, so the honest pin is
+    // scan-echo count == cache-reference count: an uncached reference
+    // would print a scan WITHOUT its InMemoryTableScan wrapper and
+    // break the equality (the minhash-keeper lease convention).
+    val bt = plan("judge_bt")
+    val refs = count(bt, "InMemoryTableScan")
+    assert(refs > 0 && count(bt, "Scan parquet") == refs,
+      s"judge_bt: every pair-table reference must hit the lease:\n$bt")
+  }
 }
