@@ -499,6 +499,33 @@ class StreamingOpsSpec extends SparkSpec {
       "mask_tokens" -> (d => Chat.chatMaskTokens(d, "doc_id", "conv")),
       "quarantine" -> (d => Chat.chatQuarantine(d, "doc_id", "conv")),
       "truncate" -> (d => Chat.chatTruncate(d, "doc_id", "conv", budget = 10)))
+    // the preference stats pass is the same stateless-projection shape:
+    // pin stream ≡ batch for it too (dedup/report are keyed aggs — out
+    // of the stateless claim, like chatReport)
+    val prefFixture = Seq(
+      (1L, "p", "good answer", "bad"),
+      (2L, "p", "same", "same"),
+      (3L, "", "c", null.asInstanceOf[String]))
+    val prefBatch = prefFixture.toDF("doc_id", "prompt", "chosen", "rejected")
+    val prefOps = Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+      "pref_stats" -> (d =>
+        graft.ops.Preference.pairStats(d, "doc_id", "prompt", "chosen", "rejected")))
+    prefOps.foreach { case (name, op) =>
+      val src = MemoryStream[(Long, String, String, String)]
+      val q = op(src.toDF().toDF("doc_id", "prompt", "chosen", "rejected"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        src.addData(prefFixture: _*)
+        q.processAllAvailable()
+        val streamed = spark.table(name).collect()
+          .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+        val batch = op(prefBatch).collect()
+          .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+        assert(streamed.toSeq === batch.toSeq, s"$name: stream ≠ batch")
+        assert(batch.nonEmpty)
+      } finally q.stop()
+    }
     ops.foreach { case (name, op) =>
       val docs = MemoryStream[(Long, String)]
       val q = op(docs.toDF().toDF("doc_id", "conv"))
