@@ -123,6 +123,47 @@ object Judge {
     scores.select(col("m").as("model"), col("w").as("bt_milli"))
   }
 
+  /** Inter-judge AGREEMENT at judge-pair grain — the trust check on a
+    * multi-judge labeling table `(item, judge, verdict)`: for every
+    * unordered judge pair, how many items both judged and how often
+    * their verdicts matched, in integer milli. Raw agreement (not a
+    * chance-corrected kappa: kappa's `(po−pe)/(1−pe)` is SIGNED, and
+    * Spark `div` truncates toward zero where DuckDB `//` floors —
+    * the repo-wide signed-division rule; po and the per-pair counts
+    * let a reader derive any correction downstream in float land).
+    *
+    * Plan shape: one item-keyed self-join (both sides partial-pruned
+    * to (item, judge, verdict) rows), judge-pair partial agg after it.
+    * Verdict mass per ITEM is the quadratic unit (a pair per judge
+    * pair per item) — bounded by judges², never by the item count.
+    */
+  def agreement(df: DataFrame, item: String, judge: String,
+                verdict: String): DataFrame = {
+    val l = df.select(col(item).as("__i"), col(judge).as("j1"),
+      col(verdict).as("v1"))
+    val r = df.select(col(item).as("__i"), col(judge).as("j2"),
+      col(verdict).as("v2"))
+    l.join(r, Seq("__i")).where(col("j1") < col("j2"))
+      .groupBy(col("j1").as("judge_a"), col("j2").as("judge_b"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(when(col("v1") === col("v2"), 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("agree_milli",
+        expr("cast(n_agree * 1000 div n_common AS BIGINT)"))
+  }
+
+  /** DuckDB twin of [[agreement]]. */
+  def agreementSql(table: String, item: String, judge: String,
+                   verdict: String): String =
+    s"""SELECT l.$judge AS judge_a, r.$judge AS judge_b,
+       |  count(*) AS n_common,
+       |  sum(CASE WHEN l.$verdict = r.$verdict THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_agree,
+       |  (sum(CASE WHEN l.$verdict = r.$verdict THEN 1 ELSE 0 END) * 1000
+       |    // count(*))::BIGINT AS agree_milli
+       |FROM $table l JOIN $table r
+       |  ON l.$item = r.$item AND l.$judge < r.$judge
+       |GROUP BY 1, 2""".stripMargin
+
   /** DuckDB twin of [[btScores]]: the directed pair CTE, then one CTE
     * per MM iteration (fixed count, mirrored arithmetic).
     */

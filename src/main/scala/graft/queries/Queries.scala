@@ -481,6 +481,26 @@ object Queries {
       Some(graft.ops.Judge.btScoresSql(
         judgeFixtureDuckRel, "doc_id", "model_a", "model_b", "winner"))),
 
+    // inter-judge agreement over a 3-judge labeling fixture (3 verdicts
+    // per doc, deterministic partial agreement): raw agree rates in
+    // milli at judge-pair grain — the trust check before judgments
+    // feed preference data
+    QueryDef("judge_agreement",
+      (s, dir) => graft.ops.Judge.agreement(
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(expr("sequence(0, 2)")).as("j"))
+          .select(col("doc_id"), expr("concat('j', j)").as("judge"),
+            expr("IF((doc_id + j * (doc_id % 4)) % 3 = 0, 'good', 'bad')")
+              .as("verdict")),
+        "doc_id", "judge", "verdict"),
+      Some(graft.ops.Judge.agreementSql(
+        """(SELECT doc_id, 'j' || j AS judge,
+          |  CASE WHEN (doc_id + j * (doc_id % 4)) % 3 = 0 THEN 'good'
+          |       ELSE 'bad' END AS verdict
+          |FROM (SELECT doc_id, unnest(generate_series(0, 2)) AS j
+          |      FROM documents))""".stripMargin,
+        "doc_id", "judge", "verdict"))),
+
     // ================= relational core (scan/filter/agg/join/window) ====
 
     QueryDef("q1_agg",
@@ -2619,6 +2639,18 @@ object Queries {
         s"(SELECT doc_id, prompt || ' ' || chosen AS pc FROM $prefFixtureDuckRel)",
         benchPred = "doc_id < 25", corpusPred = "doc_id >= 25",
         "doc_id", "pc"))),
+
+    // NEAR-dup pair dedup — the linear minhash keeper over the chosen
+    // response (near-identical chosen answers under different prompts
+    // still collapse reward-model signal; the exact triple dedup can't
+    // see them). Composition over the same fixture
+    QueryDef("pref_dedup_near",
+      (s, dir) => Dedup.minhashDedupKeepers(
+        prefFixtureSpark(s, dir).select("doc_id", "chosen"),
+        "doc_id", "chosen"),
+      Some(Dedup.minhashDedupKeepersSql(
+        s"(SELECT doc_id, chosen FROM $prefFixtureDuckRel)",
+        "doc_id", "chosen"))),
 
     // per-source preference-corpus report: valid fraction in milli,
     // identical counts, signed margin mass — the report-before-acting

@@ -93,6 +93,25 @@ object ProbeRound17 {
           run(graft.ops.Preference.pairDedup(
             pairs, "doc_id", "prompt", "chosen", "rejected")))
       }
+      // pairwise judgments at corpus scale: 20M matches over 10 models
+      // derived from the events table — prices the one pair-keyed
+      // exchange (winRate) and the scan-once + pair-grain iteration
+      // claim (btScores)
+      if (on("judge")) {
+        val matches = spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("model_a", expr("concat('m', user_id % 10)"))
+          .withColumn("model_b", expr("concat('m', event_id % 10)"))
+          .withColumn("winner", expr(
+            "IF(event_id % 11 = 0, NULL, " +
+              "IF(event_id % 3 = 0, model_b, model_a))"))
+          .select("event_id", "model_a", "model_b", "winner")
+        time("judge_winrate x 20M matches")(
+          run(graft.ops.Judge.winRate(
+            matches, "event_id", "model_a", "model_b", "winner")))
+        time("judge_bt (3 iters) x 20M matches")(
+          run(graft.ops.Judge.btScores(
+            matches, "event_id", "model_a", "model_b", "winner")))
+      }
     }
     spark.stop()
   }

@@ -55,6 +55,22 @@ class JudgeSpec extends SparkSpec {
       s"transitive strength ordering expected, got $w3")
   }
 
+  test("agreement: milli rates per judge pair; NULL verdicts never agree") {
+    val labels = Seq(
+      (1L, "j0", "good"), (1L, "j1", "good"), (1L, "j2", "bad"),
+      (2L, "j0", "bad"), (2L, "j1", "good"),
+      (3L, "j0", null.asInstanceOf[String]), (3L, "j1", null.asInstanceOf[String]))
+      .toDF("item", "judge", "verdict")
+    val m = Judge.agreement(labels, "item", "judge", "verdict")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // j0/j1: items 1 (agree), 2 (disagree), 3 (NULL vs NULL -> not an
+    // agreement) -> 1/3 -> 333 milli
+    assert(m(("j0", "j1")) === ((3L, 1L, 333L)))
+    assert(m(("j0", "j2")) === ((1L, 0L, 0L)))
+    assert(m(("j1", "j2")) === ((1L, 0L, 0L)))
+  }
+
   test("btScores: a winless model lands at zero, opponents stay finite") {
     val df = Seq(
       (1L, "a", "z", "a"), (2L, "b", "z", "b"), (3L, "a", "b", "a"))
