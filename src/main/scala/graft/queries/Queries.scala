@@ -2640,6 +2640,34 @@ object Queries {
         benchPred = "doc_id < 25", corpusPred = "doc_id >= 25",
         "doc_id", "pc"))),
 
+    // incremental pair ingest — each new annotation batch anti-joined
+    // against the accumulated pair corpus through the bloom-sketched
+    // digest set (dedup_incremental's machinery on the triple grain):
+    // re-submitted pairs (shifted ids, same content) drop, genuinely
+    // new pairs flow. Near-dup DOCS share their leading word slices, so
+    // their pairs are exact triple dups — also correctly dropped
+    QueryDef("pref_incremental",
+      (s, dir) => {
+        val pairs = prefFixtureSpark(s, dir)
+          .withColumn("triple", expr(
+            "concat(prompt, '\u001f', chosen, '\u001f', rejected)"))
+          .select("doc_id", "triple")
+        val prior = pairs.where(col("doc_id") < 400)
+        val resub = pairs.where(col("doc_id") < 20)
+          .select((col("doc_id") + 100000).as("doc_id"), col("triple"))
+        val fresh = pairs.where(col("doc_id") >= 400)
+        Dedup.incrementalNew(resub.unionAll(fresh), prior, "doc_id", "triple",
+          expectedPrior = 10000L)
+      },
+      Some {
+        val p = s"(SELECT doc_id, prompt || chr(31) || chosen || chr(31) || rejected AS triple FROM $prefFixtureDuckRel)"
+        Dedup.incrementalNewSql(
+          s"(SELECT doc_id + 100000 AS doc_id, triple FROM $p WHERE doc_id < 20 " +
+            s"UNION ALL SELECT doc_id, triple FROM $p WHERE doc_id >= 400)",
+          s"(SELECT doc_id, triple FROM $p WHERE doc_id < 400)",
+          "doc_id", "triple")
+      }),
+
     // NEAR-dup pair dedup — the linear minhash keeper over the chosen
     // response (near-identical chosen answers under different prompts
     // still collapse reward-model signal; the exact triple dedup can't
