@@ -638,7 +638,14 @@ object Chat {
       .select(col(id), (col("reason") === "ok").as("ok"), col("reason"))
 
   /** DuckDB twin of [[chatQuarantine]] — `json_valid` instead of the
-    * erroring `::JSON` cast, the same ladder.
+    * erroring `::JSON` cast, the same ladder. The non-object-element
+    * rung mirrors Spark's `from_json` PERMISSIVE behavior, which nulls
+    * the WHOLE array when ANY element fails struct conversion (probed:
+    * `["hi"]`, `[1,2]`, `[{...},"x"]`, `[[1]]` all parse to NULL on
+    * Spark but are valid JSON to DuckDB — without the rung they land
+    * in null_field there, breaking the engine-agreed classification;
+    * wrong-TYPED fields inside an object element need no rung: both
+    * engines render them as their JSON strings, probed identical).
     */
   def chatQuarantineSql(table: String, id: String, conv: String): String =
     s"""SELECT $id, (reason = 'ok') AS ok, reason FROM (
@@ -646,6 +653,9 @@ object Chat {
        |    CASE WHEN conv IS NULL THEN 'null_conv'
        |         WHEN NOT (ltrim(conv) LIKE '[%') THEN 'malformed'
        |         WHEN NOT json_valid(conv) THEN 'malformed'
+       |         WHEN len(list_filter(generate_series(1, json_array_length(conv::JSON)::BIGINT),
+       |              i -> json_type(conv, '$$[' || (i - 1) || ']') <> 'OBJECT')) > 0
+       |         THEN 'malformed'
        |         WHEN json_array_length(conv::JSON) = 0 THEN 'empty'
        |         WHEN len(list_filter(generate_series(1, json_array_length(conv::JSON)::BIGINT),
        |              i -> json_extract_string(conv, '$$[' || (i - 1) || '].role') IS NULL

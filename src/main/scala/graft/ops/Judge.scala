@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   * and both engines' integer division agrees on non-negatives, so the
   * DuckDB twin replays the computation bit-identically (the float MM
   * would hash-diverge: cross-partition float sum order is not
-  * deterministic). Ties: a NULL winner counts as half a win for each
-  * side — in HALF-win units internally (integers stay exact), halves
+  * deterministic). Ties: any winner that is not exactly one of the
+  * two models — NULL, a 'tie'-style string (how public arena dumps
+  * encode draws), or a typo'd name — counts as half a win for each
+  * side, in HALF-win units internally (integers stay exact), halves
   * only surfacing in the milli outputs.
   */
 object Judge {
@@ -34,10 +36,15 @@ object Judge {
     df.where(col(a) =!= col(b))
       .select(least(col(a), col(b)).as("lo"),
         greatest(col(a), col(b)).as("hi"),
-        // lo's half-wins in this match: 2 for a win, 1 for a tie (NULL)
-        when(col(winner).isNull, lit(1L))
-          .when(col(winner) === least(col(a), col(b)), lit(2L))
-          .otherwise(lit(0L)).as("hw"))
+        // lo's half-wins in this match: 2 for a win, 0 for a loss, 1
+        // for ANYTHING else — NULL, but also 'tie'/'tie (bothbad)'
+        // strings (how public arena dumps encode draws) and typo'd
+        // model names. Crediting only exact matches and tying the rest
+        // keeps an unmatched winner from silently counting as a win
+        // for whichever model sorts greater.
+        when(col(winner) === least(col(a), col(b)), lit(2L))
+          .when(col(winner) === greatest(col(a), col(b)), lit(0L))
+          .otherwise(lit(1L)).as("hw"))
       .groupBy(col("lo"), col("hi"))
       .agg(count(lit(1)).as("n_matches"), sum(col("hw")).as("lo_halfwins"))
 
@@ -46,7 +53,7 @@ object Judge {
     * a model cannot beat itself); the milli is integer division over
     * half-win units, exact on both engines.
     */
-  def winRate(df: DataFrame, promptId: String, a: String, b: String,
+  def winRate(df: DataFrame, a: String, b: String,
               winner: String): DataFrame =
     pairAgg(df, a, b, winner)
       .select(col("lo").as("model_lo"), col("hi").as("model_hi"),
@@ -55,15 +62,15 @@ object Judge {
           .as("lo_winrate_milli"))
 
   /** DuckDB twin of [[winRate]]. */
-  def winRateSql(table: String, promptId: String, a: String, b: String,
+  def winRateSql(table: String, a: String, b: String,
                  winner: String): String =
     s"""SELECT lo AS model_lo, hi AS model_hi,
        |  count(*) AS n_matches,
        |  (sum(hw) * 1000 // (count(*) * 2))::BIGINT AS lo_winrate_milli
        |FROM (
        |  SELECT least($a, $b) AS lo, greatest($a, $b) AS hi,
-       |    CASE WHEN $winner IS NULL THEN 1
-       |         WHEN $winner = least($a, $b) THEN 2 ELSE 0 END AS hw
+       |    CASE WHEN $winner = least($a, $b) THEN 2
+       |         WHEN $winner = greatest($a, $b) THEN 0 ELSE 1 END AS hw
        |  FROM $table WHERE $a <> $b)
        |GROUP BY lo, hi""".stripMargin
 
@@ -87,7 +94,7 @@ object Judge {
     * join + re-aggregate over |models|² rows — broadcast-sized at any
     * corpus scale, the judgment TABLE is never re-scanned.
     */
-  def btScores(df: DataFrame, promptId: String, a: String, b: String,
+  def btScores(df: DataFrame, a: String, b: String,
                winner: String, iters: Int = 3): DataFrame = {
     // directed view: one row per (m, opp) with n_matches and m's
     // half-wins against opp
@@ -115,7 +122,7 @@ object Judge {
         // and the denominator (matches) in the same unit
         .groupBy(col("m"), col("hw_total"))
         .agg(sum(expr(
-          "n_matches * 2000000000 div (w + w_opp)")).as("denom"))
+          "n_matches * 2000000000 div greatest(w + w_opp, 1)")).as("denom"))
         .select(col("m"), col("hw_total"),
           expr("cast(hw_total * 1000000000 div greatest(denom, 1) AS BIGINT)")
             .as("w"))
@@ -132,17 +139,24 @@ object Judge {
     * the repo-wide signed-division rule; po and the per-pair counts
     * let a reader derive any correction downstream in float land).
     *
-    * Plan shape: one item-keyed self-join (both sides partial-pruned
-    * to (item, judge, verdict) rows), judge-pair partial agg after it.
-    * Verdict mass per ITEM is the quadratic unit (a pair per judge
-    * pair per item) — bounded by judges², never by the item count.
+    * Re-annotation: the input collapses to ONE verdict per
+    * (item, judge) first — min(verdict), an arbitrary-but-
+    * deterministic pick both engines replay — so a judge who labeled
+    * an item twice cannot double-weight that item in n_common (and a
+    * self-conflicting judge contributes their lexicographically-least
+    * label, not two rows).
+    *
+    * Plan shape: one (item, judge) partial agg, then the item-keyed
+    * self-join, then the judge-pair partial agg. Verdict mass per
+    * ITEM is the quadratic unit (a pair per judge pair per item) —
+    * bounded by judges², never by the item count.
     */
   def agreement(df: DataFrame, item: String, judge: String,
                 verdict: String): DataFrame = {
-    val l = df.select(col(item).as("__i"), col(judge).as("j1"),
-      col(verdict).as("v1"))
-    val r = df.select(col(item).as("__i"), col(judge).as("j2"),
-      col(verdict).as("v2"))
+    val one = df.groupBy(col(item).as("__i"), col(judge).as("__j"))
+      .agg(min(col(verdict)).as("__v"))
+    val l = one.select(col("__i"), col("__j").as("j1"), col("__v").as("v1"))
+    val r = one.select(col("__i"), col("__j").as("j2"), col("__v").as("v2"))
     l.join(r, Seq("__i")).where(col("j1") < col("j2"))
       .groupBy(col("j1").as("judge_a"), col("j2").as("judge_b"))
       .agg(count(lit(1)).as("n_common"),
@@ -154,27 +168,28 @@ object Judge {
   /** DuckDB twin of [[agreement]]. */
   def agreementSql(table: String, item: String, judge: String,
                    verdict: String): String =
-    s"""SELECT l.$judge AS judge_a, r.$judge AS judge_b,
+    s"""WITH one AS (
+       |  SELECT $item AS i, $judge AS j, min($verdict) AS v
+       |  FROM $table GROUP BY 1, 2)
+       |SELECT l.j AS judge_a, r.j AS judge_b,
        |  count(*) AS n_common,
-       |  sum(CASE WHEN l.$verdict = r.$verdict THEN 1 ELSE 0 END)::BIGINT
-       |    AS n_agree,
-       |  (sum(CASE WHEN l.$verdict = r.$verdict THEN 1 ELSE 0 END) * 1000
+       |  sum(CASE WHEN l.v = r.v THEN 1 ELSE 0 END)::BIGINT AS n_agree,
+       |  (sum(CASE WHEN l.v = r.v THEN 1 ELSE 0 END) * 1000
        |    // count(*))::BIGINT AS agree_milli
-       |FROM $table l JOIN $table r
-       |  ON l.$item = r.$item AND l.$judge < r.$judge
+       |FROM one l JOIN one r ON l.i = r.i AND l.j < r.j
        |GROUP BY 1, 2""".stripMargin
 
   /** DuckDB twin of [[btScores]]: the directed pair CTE, then one CTE
     * per MM iteration (fixed count, mirrored arithmetic).
     */
-  def btScoresSql(table: String, promptId: String, a: String, b: String,
+  def btScoresSql(table: String, a: String, b: String,
                   winner: String, iters: Int = 3): String = {
     val iterCtes = (1 to iters).map { i =>
       val prev = if (i == 1) "w0" else s"w${i - 1}"
       s"""w$i AS (
          |  SELECT d.m, any_value(s.hw_total) AS hw_total,
          |    (any_value(s.hw_total) * 1000000000 //
-         |      greatest(sum(d.n_matches * 2000000000 // (s.w + o.w)), 1))::BIGINT AS w
+         |      greatest(sum(d.n_matches * 2000000000 // greatest(s.w + o.w, 1)), 1))::BIGINT AS w
          |  FROM directed d
          |  JOIN $prev s ON d.m = s.m
          |  JOIN $prev o ON d.opp = o.m

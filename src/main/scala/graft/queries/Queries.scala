@@ -326,10 +326,13 @@ object Queries {
   /** Quarantine fixture (round 17): wraps a conversation fixture with
     * planted contract violations by doc_id residue — NULL conv,
     * truncated JSON (unterminated string), the empty array, a renamed
-    * content key (every turn loses `content` -> null_field), and a
-    * top-level JSON OBJECT (valid JSON, wrong type). The remaining ~6/11
-    * of rows stay well-formed. `base` is referenced several times —
-    * fixture-scale cost, oracle rows only.
+    * content key (every turn loses `content` -> null_field), a
+    * top-level JSON OBJECT (valid JSON, wrong type), and an array with
+    * NON-OBJECT elements (valid JSON that Spark's from_json nulls
+    * whole — the rung the round-17 review found mis-classified on the
+    * DuckDB side). The remaining ~5/11 of rows stay well-formed.
+    * `base` is referenced several times — fixture-scale cost, oracle
+    * rows only.
     */
   private def quarantineWrapSpark(base: String): String =
     s"CASE WHEN doc_id % 11 = 0 THEN NULL " +
@@ -337,6 +340,7 @@ object Queries {
       s"WHEN doc_id % 11 = 2 THEN '[]' " +
       s"""WHEN doc_id % 11 = 3 THEN replace($base, '"content"', '"contentx"') """ +
       s"""WHEN doc_id % 11 = 4 THEN '{"role":"user","content":"hi"}' """ +
+      s"""WHEN doc_id % 11 = 5 THEN '["loose text", 7]' """ +
       s"ELSE $base END"
 
   private def quarantineWrapDuck(base: String): String =
@@ -345,6 +349,7 @@ object Queries {
       s"WHEN doc_id % 11 = 2 THEN '[]' " +
       s"""WHEN doc_id % 11 = 3 THEN replace($base, '"content"', '"contentx"') """ +
       s"""WHEN doc_id % 11 = 4 THEN '{"role":"user","content":"hi"}' """ +
+      s"""WHEN doc_id % 11 = 5 THEN '["loose text", 7]' """ +
       s"ELSE $base END"
 
   /** Tool-turn fixture (round 17): conversations whose BODY role
@@ -468,18 +473,18 @@ object Queries {
     // biased winner rule so rates separate, NULL winners as ties
     QueryDef("judge_winrate",
       (s, dir) => graft.ops.Judge.winRate(
-        judgeFixtureSpark(s, dir), "doc_id", "model_a", "model_b", "winner"),
+        judgeFixtureSpark(s, dir), "model_a", "model_b", "winner"),
       Some(graft.ops.Judge.winRateSql(
-        judgeFixtureDuckRel, "doc_id", "model_a", "model_b", "winner"))),
+        judgeFixtureDuckRel, "model_a", "model_b", "winner"))),
 
     // Bradley-Terry strengths by fixed-iteration MM in integer milli —
     // exact on both engines (integer sums are order-independent;
     // div ≡ // on non-negatives), the float MM would hash-diverge
     QueryDef("judge_bt",
       (s, dir) => graft.ops.Judge.btScores(
-        judgeFixtureSpark(s, dir), "doc_id", "model_a", "model_b", "winner"),
+        judgeFixtureSpark(s, dir), "model_a", "model_b", "winner"),
       Some(graft.ops.Judge.btScoresSql(
-        judgeFixtureDuckRel, "doc_id", "model_a", "model_b", "winner"))),
+        judgeFixtureDuckRel, "model_a", "model_b", "winner"))),
 
     // inter-judge agreement over a 3-judge labeling fixture (3 verdicts
     // per doc, deterministic partial agreement): raw agree rates in

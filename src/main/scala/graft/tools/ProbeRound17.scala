@@ -107,10 +107,10 @@ object ProbeRound17 {
           .select("event_id", "model_a", "model_b", "winner")
         time("judge_winrate x 20M matches")(
           run(graft.ops.Judge.winRate(
-            matches, "event_id", "model_a", "model_b", "winner")))
+            matches, "model_a", "model_b", "winner")))
         time("judge_bt (3 iters) x 20M matches")(
           run(graft.ops.Judge.btScores(
-            matches, "event_id", "model_a", "model_b", "winner")))
+            matches, "model_a", "model_b", "winner")))
       }
     }
     spark.stop()

@@ -218,7 +218,9 @@ class ChatSpec extends SparkSpec {
       (6L, """[{"role":null,"content":"q"}]"""), // JSON-null role
       (7L, """{"role":"user","content":"q"}"""), // top-level object
       (8L, "not json at all"), // garbage
-      (9L, "  [{\"role\":\"user\",\"content\":\"q\"}]")) // leading spaces, ok
+      (9L, "  [{\"role\":\"user\",\"content\":\"q\"}]"), // leading spaces, ok
+      (10L, """["loose text", 7]"""), // non-object elements -> malformed
+      (11L, """[{"role":"user","content":"q"},"x"]""")) // one bad element poisons the parse
       .toDF("doc_id", "conv")
     val m = Chat.chatQuarantine(qdf, "doc_id", "conv")
       .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
@@ -231,6 +233,10 @@ class ChatSpec extends SparkSpec {
     assert(m(7L) === ((false, "malformed")))
     assert(m(8L) === ((false, "malformed")))
     assert(m(9L) === ((true, "ok")), "ltrim admits leading whitespace")
+    assert(m(10L) === ((false, "malformed")),
+      "non-object elements null the whole Spark parse")
+    assert(m(11L) === ((false, "malformed")),
+      "one bad element poisons the parse — malformed, not null_field")
     assert(m.size === qdf.count().toInt, "quarantine never drops a row")
   }
 

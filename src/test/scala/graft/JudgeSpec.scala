@@ -18,13 +18,24 @@ class JudgeSpec extends SparkSpec {
           (10L, "b", "a", null.asInstanceOf[String])) ++
       Seq((11L, "x", "x", "x")) // self-match: out of domain
     val df = matches.toDF("doc_id", "model_a", "model_b", "winner")
-    val rows = Judge.winRate(df, "doc_id", "model_a", "model_b", "winner")
+    val rows = Judge.winRate(df, "model_a", "model_b", "winner")
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3))).toMap
     assert(rows.keySet === Set(("a", "b")),
       "ordering normalizes to (lo, hi); the self-match vanishes")
     // a: 6 wins + 2 ties of 10 matches -> 14 half-wins / 20 -> 700
     assert(rows(("a", "b")) === ((10L, 700L)))
+
+    // a winner matching NEITHER model — 'tie' strings (the public
+    // arena encoding) or a typo'd name — is a TIE, never a silent win
+    // for the greater-sorting model (the round-17 review finding)
+    val tied = Seq((1L, "a", "b", "tie"), (2L, "a", "b", "tie (bothbad)"),
+      (3L, "a", "b", "mTYPO"), (4L, "a", "b", "a"))
+      .toDF("doc_id", "model_a", "model_b", "winner")
+    val t = Judge.winRate(tied, "model_a", "model_b", "winner")
+      .collect().map(r => (r.getLong(2), r.getLong(3))).head
+    // 2 + 1 + 1 + 1 = 5 half-wins of 8 -> 625
+    assert(t === ((4L, 625L)))
   }
 
   test("btScores: two-model exact fixed point; three-model transitive ordering") {
@@ -38,7 +49,7 @@ class JudgeSpec extends SparkSpec {
         Seq((9L, "a", "b", null.asInstanceOf[String]),
             (10L, "a", "b", null.asInstanceOf[String])))
         .toDF("doc_id", "model_a", "model_b", "winner")
-    val w2 = Judge.btScores(two, "doc_id", "model_a", "model_b", "winner")
+    val w2 = Judge.btScores(two, "model_a", "model_b", "winner")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(w2 === Map("a" -> 1400L, "b" -> 600L))
 
@@ -49,7 +60,7 @@ class JudgeSpec extends SparkSpec {
       (3L, "b", "c", "b"), (4L, "b", "c", "b"),
       (5L, "a", "c", "a"), (6L, "a", "c", "c"))
       .toDF("doc_id", "model_a", "model_b", "winner")
-    val w3 = Judge.btScores(three, "doc_id", "model_a", "model_b", "winner")
+    val w3 = Judge.btScores(three, "model_a", "model_b", "winner")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(w3("a") > w3("b") && w3("b") > w3("c"),
       s"transitive strength ordering expected, got $w3")
@@ -69,13 +80,44 @@ class JudgeSpec extends SparkSpec {
     assert(m(("j0", "j1")) === ((3L, 1L, 333L)))
     assert(m(("j0", "j2")) === ((1L, 0L, 0L)))
     assert(m(("j1", "j2")) === ((1L, 0L, 0L)))
+
+    // re-annotation: duplicate (item, judge) rows collapse to ONE
+    // deterministic verdict (min) before pairing — a judge labeling an
+    // item twice cannot double-weight it in n_common
+    val dup = Seq(
+      (1L, "j0", "good"), (1L, "j0", "good"), (1L, "j1", "good"),
+      (2L, "j0", "zz"), (2L, "j0", "aa"), (2L, "j1", "aa"))
+      .toDF("item", "judge", "verdict")
+    val d = Judge.agreement(dup, "item", "judge", "verdict")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(d(("j0", "j1")) === ((2L, 2L)),
+      "item 1 counts once; item 2 agrees through min('aa','zz') = 'aa'")
+  }
+
+  test("btScores: two zero-strength models that met do not divide by zero (ANSI)") {
+    // y and z each drown under 1200 losses to a (w truncates to 0 at
+    // iteration 1: 1000 * hw_total < match count) and tied each other
+    // once — iteration 2's term for the (y, z) pair divides by
+    // w_y + w_z = 0; the greatest(..., 1) guard must absorb it where
+    // the unguarded form raised DIVIDE_BY_ZERO under ANSI Spark (the
+    // round-17 review finding)
+    val matches =
+      (1 to 1200).map(i => (i.toLong, "a", "y", "a")) ++
+      (1 to 1200).map(i => (i.toLong + 2000, "a", "z", "a")) ++
+      Seq((5000L, "y", "z", "ext")) // unmatched winner -> tie
+    val w = Judge.btScores(
+      matches.toDF("doc_id", "model_a", "model_b", "winner"),
+      "model_a", "model_b", "winner")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w("y") === 0L && w("z") === 0L && w("a") > 1000L)
   }
 
   test("btScores: a winless model lands at zero, opponents stay finite") {
     val df = Seq(
       (1L, "a", "z", "a"), (2L, "b", "z", "b"), (3L, "a", "b", "a"))
       .toDF("doc_id", "model_a", "model_b", "winner")
-    val w = Judge.btScores(df, "doc_id", "model_a", "model_b", "winner")
+    val w = Judge.btScores(df, "model_a", "model_b", "winner")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(w("z") === 0L, "W_i = 0 is the MM boundary fixed point")
     assert(w("a") > w("b") && w("b") > 0L)
