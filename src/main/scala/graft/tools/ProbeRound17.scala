@@ -111,6 +111,16 @@ object ProbeRound17 {
         time("judge_bt (3 iters) x 20M matches")(
           run(graft.ops.Judge.btScores(
             matches, "model_a", "model_b", "winner")))
+        // agreement is the one judge op whose exchange carries LABEL
+        // rows (item-keyed self-join): 3 judges per event = 60M label
+        // rows, ~9 pair rows per item out of the join
+        val labels = spark.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), explode(expr("sequence(0, 2)")).as("j"))
+          .select(col("event_id"), expr("concat('j', j)").as("judge"),
+            expr("IF((event_id + j * (event_id % 4)) % 3 = 0, 'good', 'bad')")
+              .as("verdict"))
+        time("judge_agreement x 60M labels (20M items x 3)")(
+          run(graft.ops.Judge.agreement(labels, "event_id", "judge", "verdict")))
       }
     }
     spark.stop()

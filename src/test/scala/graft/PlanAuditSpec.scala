@@ -992,5 +992,13 @@ class PlanAuditSpec extends SparkSpec {
     val refs = count(bt, "InMemoryTableScan")
     assert(refs > 0 && count(bt, "Scan parquet") == refs,
       s"judge_bt: every pair-table reference must hit the lease:\n$bt")
+    // agreement must stay the NO-JOIN formulation: two sequential
+    // label-grain exchanges + a row-local pair explode — the item
+    // self-join it replaced scanned and shuffled the label table twice
+    val ag = plan("judge_agreement")
+    assert(!ag.contains("Join"),
+      s"judge_agreement must not reintroduce the self-join:\n$ag")
+    assert(count(ag, "Exchange") <= 3,
+      s"judge_agreement: label-grain exchanges only:\n$ag")
   }
 }
