@@ -213,8 +213,8 @@ object Judge {
        |  SELECT lo, hi, count(*) AS n_matches, sum(hw) AS lo_halfwins
        |  FROM (
        |    SELECT least($a, $b) AS lo, greatest($a, $b) AS hi,
-       |      CASE WHEN $winner IS NULL THEN 1
-       |           WHEN $winner = least($a, $b) THEN 2 ELSE 0 END AS hw
+       |      CASE WHEN $winner = least($a, $b) THEN 2
+       |           WHEN $winner = greatest($a, $b) THEN 0 ELSE 1 END AS hw
        |    FROM $table WHERE $a <> $b)
        |  GROUP BY lo, hi),
        |directed AS (

@@ -441,11 +441,16 @@ object Queries {
       |                x -> x <> '') AS ws
       |            FROM documents)))""".stripMargin
 
-  /** Pairwise-judgment fixture (round 17): five models from doc_id
-    * residues (the % 7 % 5 second leg skews the pairing so match
-    * counts differ per pair), a winner rule biased toward model_a
-    * except every 3rd match, self-matches planted (dropped by the op's
-    * domain) and every 11th match a NULL-winner tie.
+  /** Pairwise-judgment fixture (round 17, widened round 18): five
+    * models from doc_id residues (the % 7 % 5 second leg skews the
+    * pairing so match counts differ per pair), a winner rule biased
+    * toward model_a except every 3rd match, self-matches planted
+    * (dropped by the op's domain), every 11th match a NULL-winner tie,
+    * every 13th a literal `'tie (bothbad)'` arena draw string and
+    * every 17th a typo'd name matching neither model — so the oracle
+    * hash-checks the full unmatched-winner encoding (the round-17
+    * btScoresSql divergence survived precisely because only NULL ties
+    * were planted).
     */
   private def judgeFixtureSpark(s: org.apache.spark.sql.SparkSession,
                                 dir: String): org.apache.spark.sql.DataFrame =
@@ -453,11 +458,16 @@ object Queries {
       .withColumn("model_a", expr("concat('m', doc_id % 5)"))
       .withColumn("model_b", expr("concat('m', doc_id % 7 % 5)"))
       .withColumn("winner", expr(
-        "IF(doc_id % 11 = 0, NULL, IF(doc_id % 3 = 0, model_b, model_a))"))
+        "CASE WHEN doc_id % 11 = 0 THEN NULL " +
+          "WHEN doc_id % 13 = 0 THEN 'tie (bothbad)' " +
+          "WHEN doc_id % 17 = 0 THEN 'm9x' " +
+          "WHEN doc_id % 3 = 0 THEN model_b ELSE model_a END"))
 
   private val judgeFixtureDuckRel: String =
     """(SELECT doc_id, model_a, model_b,
       |  CASE WHEN doc_id % 11 = 0 THEN NULL
+      |       WHEN doc_id % 13 = 0 THEN 'tie (bothbad)'
+      |       WHEN doc_id % 17 = 0 THEN 'm9x'
       |       WHEN doc_id % 3 = 0 THEN model_b ELSE model_a END AS winner
       |FROM (SELECT doc_id,
       |        'm' || (doc_id % 5) AS model_a,

@@ -113,6 +113,41 @@ class JudgeSpec extends SparkSpec {
     assert(w("y") === 0L && w("z") === 0L && w("a") > 1000L)
   }
 
+  test("btScoresSql twin scores tie-string winners as half-wins (replayed in Spark)") {
+    // The round-17 latent defect: btScoresSql's pairs CTE scored a
+    // non-null winner matching NEITHER model as a full win for the
+    // greater-sorting model, while the Spark op and winRateSql tie it.
+    // Replay the twin in Spark (DuckDB `//` -> `div`, `::BIGINT`
+    // stripped — the only dialect gaps in this query) on a fixture
+    // that is ALL tie-strings plus one real win, and pin twin ≡ op.
+    val df = Seq(
+      (1L, "a", "b", "tie"), (2L, "a", "b", "tie (bothbad)"),
+      (3L, "b", "a", "mTYPO"), (4L, "a", "b", "a"),
+      (5L, "a", "c", "tie"), (6L, "b", "c", "b"))
+      .toDF("doc_id", "model_a", "model_b", "winner")
+    df.createOrReplaceTempView("judge_twin_fixture")
+    val twinSql = Judge
+      .btScoresSql("judge_twin_fixture", "model_a", "model_b", "winner")
+      .replace("//", "div").replace("::BIGINT", "")
+    val twin = spark.sql(twinSql).collect()
+      .map(r => r.getString(0) -> r.getAs[Number](1).longValue).toMap
+    val op = Judge.btScores(df, "model_a", "model_b", "winner")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(twin === op, "SQL twin must replay the op bit-identically on tie-string winners")
+    // and the direction is sane: a (1 win + 2 ties) above c (2 ties + 1 loss)
+    assert(op("a") > op("c"))
+
+    val wrTwin = spark.sql(Judge
+      .winRateSql("judge_twin_fixture", "model_a", "model_b", "winner")
+      .replace("//", "div").replace("::BIGINT", ""))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Number](2).longValue, r.getAs[Number](3).longValue)).toMap
+    val wrOp = Judge.winRate(df, "model_a", "model_b", "winner")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(wrTwin === wrOp)
+  }
+
   test("btScores: a winless model lands at zero, opponents stay finite") {
     val df = Seq(
       (1L, "a", "z", "a"), (2L, "b", "z", "b"), (3L, "a", "b", "a"))
