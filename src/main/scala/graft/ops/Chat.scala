@@ -529,14 +529,25 @@ object Chat {
     * state; ancient ones are the expendable prefix — the sliding-window
     * convention of public chat-training recipes).
     *
-    * Token cost of a turn = `graft_token_count('<|role|>content')` —
-    * the same whitespace+punct token lens as [[chatRender]]'s
-    * `n_tokens`, so a truncated render's cost is the sum of its kept
-    * turns' costs plus the `<|end|>` terminator (NOT counted against
-    * the budget; it is constant overhead the caller prices into
-    * `budget`). A turn whose own cost exceeds `budget` is dropped with
-    * the rest of the prefix — output may keep ZERO body turns (head +
-    * terminator only) rather than emit an over-budget render.
+    * Token cost of a turn = `cost('<|role|>content')` — by default the
+    * `graft_token_count` whitespace+punct lens ([[chatRender]]'s
+    * `n_tokens`), or `graft_bpe_count` via [[Bpe.sparkTokenCountExpr]]
+    * so the chain render → truncate → pack → mask agrees on ONE token
+    * denomination (the round-17 review finding: truncation budgeted in
+    * word-ish tokens while [[chatPackMasked]] budgets BPE — a
+    * conversation truncated to "fit" could still overflow the packed
+    * sequence). Per-turn costs are ADDITIVE in the BPE lens: every
+    * committed merge joins two alphanumeric units, and turn junctions
+    * (`…t<|role|>c…`) always interpose non-alphanumeric units, so no
+    * merge crosses a turn boundary and the sum of per-turn counts
+    * equals the whole-render count (ChatSpec pins
+    * `graft_bpe_count(rendered) = tokens_kept + cost('<|end|>')`).
+    * A truncated render's cost is the sum of its kept turns' costs
+    * plus the `<|end|>` terminator (NOT counted against the budget;
+    * it is constant overhead the caller prices into `budget`). A turn
+    * whose own cost exceeds `budget` is dropped with the rest of the
+    * prefix — output may keep ZERO body turns (head + terminator only)
+    * rather than emit an over-budget render.
     *
     * Row-local single pass: per-turn costs via one `transform`, prefix
     * sums via the struct-accumulator idiom ([[chatAssistantSpans]] —
@@ -552,11 +563,14 @@ object Chat {
     * head + kept body, terminator excluded), and the truncated render.
     */
   def chatTruncate(df: DataFrame, id: String, conv: String,
-                   budget: Int): DataFrame =
+                   budget: Int,
+                   cost: String => String =
+                     t => s"graft_token_count($t)"): DataFrame =
     withTurns(graft.functions.VectorFunctions.attach(df), conv)
       .withColumn("__costs", expr(
-        "transform(__c, x -> cast(graft_token_count(" +
-          "concat('<|', x.role, '|>', x.content)) AS BIGINT))"))
+        "transform(__c, x -> cast(" +
+          cost("concat('<|', x.role, '|>', x.content)") +
+          " AS BIGINT))"))
       .withColumn("__sys", expr("element_at(__c, 1).role = 'system'"))
       .withColumn("__body", expr(
         "IF(__sys, slice(__c, 2, size(__c) - 1), __c)"))
@@ -595,9 +609,14 @@ object Chat {
     * costs, suffix sums by a descending window, keep = head OR
     * suffix-fits, re-aggregated per conversation (string_agg skips the
     * dropped turns' NULLs; coalesce covers the all-dropped render).
+    * `cost` mirrors the Spark side's lens (default whitespace+punct;
+    * pass [[Bpe.duckTokenCountExpr]] for the BPE denomination).
     */
   def chatTruncateSql(table: String, id: String, conv: String,
-                      budget: Int): String =
+                      budget: Int,
+                      cost: String => String = t =>
+                        s"len(regexp_extract_all($t, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::BIGINT"
+                     ): String =
     s"""WITH p AS (SELECT $id, $conv AS conv FROM $table),
        |t AS (
        |  SELECT $id, i,
@@ -608,8 +627,7 @@ object Chat {
        |        FROM p)),
        |c AS (
        |  SELECT *,
-       |    len(regexp_extract_all('<|' || role || '|>' || content,
-       |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::BIGINT AS cost,
+       |    ${cost("('<|' || role || '|>' || content)")} AS cost,
        |    CASE WHEN first_value(role) OVER (PARTITION BY $id ORDER BY i) = 'system'
        |         THEN 1 ELSE 0 END AS off
        |  FROM t),

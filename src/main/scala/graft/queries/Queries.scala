@@ -2560,6 +2560,23 @@ object Queries {
         s"(SELECT doc_id, $chatFixtureDuck AS conv FROM documents)",
         "doc_id", "conv", budget = 22))),
 
+    // BPE-denominated truncation (round 18): the same keep-suffix op
+    // budgeted in graft_bpe_count units — the lens chat_pack_masked
+    // packs in, so render -> truncate -> pack -> mask agree on what a
+    // "token" is (per-turn BPE costs are additive across the render:
+    // merges never cross the non-alphanumeric turn junctions). Fixture
+    // turns cost ~30-40 BPE tokens; budget=80 keeps ~2 body turns, so
+    // truncated and untouched bodies both carry mass
+    QueryDef("chat_truncate_bpe",
+      (s, dir) => graft.ops.Chat.chatTruncate(
+        t(s, dir, "documents").withColumn("conv", expr(chatFixtureSpark)),
+        "doc_id", "conv", budget = 80,
+        cost = graft.ops.Bpe.sparkTokenCountExpr),
+      Some(graft.ops.Chat.chatTruncateSql(
+        s"(SELECT doc_id, $chatFixtureDuck AS conv FROM documents)",
+        "doc_id", "conv", budget = 80,
+        cost = graft.ops.Bpe.duckTokenCountExpr))),
+
     // chat near-dedup — the composition that makes conversation-level
     // dedup a one-liner: render to the training string, then the LINEAR
     // minhash keeper pass over the rendered text (same machinery as

@@ -279,4 +279,46 @@ class ChatSpec extends SparkSpec {
     assert(b5(2L) === ((0L, 2L, 0L, "<|end|>")),
       "no head, nothing fits: zero turns, bare terminator")
   }
+
+  test("chatTruncate in the BPE lens: renders never exceed the packed budget in BPE tokens") {
+    // The round-17 finding: truncation budgeted word-ish tokens while
+    // chatPackMasked budgets BPE — a "fitting" conversation could still
+    // overflow the packed sequence. With cost = graft_bpe_count the
+    // chain shares one denomination, and per-turn costs are ADDITIVE
+    // (no committed merge crosses a non-alphanumeric turn junction), so
+    // the whole-render BPE count is exactly tokens_kept + the
+    // terminator's cost — merge-heavy content ('the', 'ing', 'and',
+    // 'ion') exercises the merge table across turn boundaries.
+    val tdf = Seq(
+      (1L, conv("system" -> "the thing and the nation",
+        "user" -> "quest ion ing the stand", "assistant" -> "band on the run",
+        "user" -> "another round here", "assistant" -> "the ending notion")),
+      (2L, conv("user" -> "in the beginning", "assistant" -> "and then")),
+      (3L, conv("user" -> ("the quick brown fox " * 10).trim,
+        "assistant" -> "short")))
+      .toDF("doc_id", "conv")
+    val budget = 40
+    val out = graft.functions.VectorFunctions.attach(
+      Chat.chatTruncate(tdf, "doc_id", "conv", budget,
+        cost = graft.ops.Bpe.sparkTokenCountExpr))
+      .withColumn("__rbpe", expr("graft_bpe_count(rendered)"))
+      .withColumn("__head", expr(
+        "IF(rendered LIKE '<|system|>%', " +
+          "graft_bpe_count(substring(rendered, 1, " +
+          "  coalesce(nullif(instr(substring(rendered, 11), '<|'), 0) + 9, " +
+          "           length(rendered)))), cast(0 AS BIGINT))"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("tokens_kept"), r.getAs[Long]("__rbpe"),
+          r.getAs[Long]("__head"), r.getAs[Long]("n_dropped"))).toMap
+    val endCost = spark.sql(
+      "SELECT graft_bpe_count('<|end|>')").head.getLong(0)
+    out.foreach { case (id, (kept, rbpe, head, _)) =>
+      assert(rbpe === kept + endCost,
+        s"doc $id: per-turn BPE costs must be additive over the render")
+      assert(kept - head <= budget,
+        s"doc $id: kept body must fit the BPE budget")
+    }
+    assert(out(1L)._4 > 0L, "the merge-heavy 5-turn body actually truncates")
+    assert(out(3L)._4 > 0L, "the long-content turn is dropped, not kept over-budget")
+  }
 }
