@@ -130,6 +130,86 @@ object Judge {
     scores.select(col("m").as("model"), col("w").as("bt_milli"))
   }
 
+  /** POSITION-BIAS report (round 18) — the order-effect audit an arena
+    * analysis runs before trusting any win rate or BT score: pairwise
+    * LLM judgments are known to favor the response shown FIRST, and
+    * `(model_a, model_b)` carries presentation order (which [[winRate]]
+    * deliberately erases at unordered-pair grain). Per model: matches
+    * and win rate in milli as model_a (shown first) vs as model_b
+    * (shown second), plus the signed milli gap — a healthy corpus has
+    * gaps near zero; a uniformly positive column means the judge
+    * rewards position, not quality.
+    *
+    * Scoring matches [[pairAgg]]: half-win units, any winner that is
+    * not exactly one of the two models counts half for each side;
+    * self-matches out of domain. A model that never appeared on one
+    * side reports 0 matches and 0 milli for that side (the divide
+    * guard — both engines replay the IF, no NULL in the hash).
+    *
+    * Plan shape: one scan; each match explodes ROW-LOCALLY into its
+    * two (model, side) contributions, and the partial agg compacts to
+    * |models| rows per partition before the single model-keyed
+    * exchange — at 100 TB of judgments the post-shuffle frame is
+    * |models| rows. The gap is a DIFFERENCE of two non-negative
+    * already-divided millis (never a signed division — the repo-wide
+    * div/floor rule).
+    */
+  def positionBias(df: DataFrame, a: String, b: String,
+                   winner: String): DataFrame =
+    df.where(col(a) =!= col(b))
+      .select(explode(array(
+        struct(col(a).as("m"), lit(1L).as("is_a"),
+          when(col(winner) === col(a), lit(2L))
+            .when(col(winner) === col(b), lit(0L))
+            .otherwise(lit(1L)).as("hw")),
+        struct(col(b).as("m"), lit(0L).as("is_a"),
+          when(col(winner) === col(b), lit(2L))
+            .when(col(winner) === col(a), lit(0L))
+            .otherwise(lit(1L)).as("hw")))).as("r"))
+      .groupBy(col("r.m").as("model"))
+      .agg(sum(col("r.is_a")).as("n_as_a"),
+        sum(when(col("r.is_a") === 1L, col("r.hw")).otherwise(lit(0L)))
+          .as("__hw_a"),
+        sum(lit(1L) - col("r.is_a")).as("n_as_b"),
+        sum(when(col("r.is_a") === 0L, col("r.hw")).otherwise(lit(0L)))
+          .as("__hw_b"))
+      .select(col("model"), col("n_as_a"),
+        expr("IF(n_as_a = 0, cast(0 AS BIGINT), " +
+          "cast(__hw_a * 1000 div (n_as_a * 2) AS BIGINT))")
+          .as("as_a_milli"),
+        col("n_as_b"),
+        expr("IF(n_as_b = 0, cast(0 AS BIGINT), " +
+          "cast(__hw_b * 1000 div (n_as_b * 2) AS BIGINT))")
+          .as("as_b_milli"))
+      .withColumn("bias_gap_milli", col("as_a_milli") - col("as_b_milli"))
+
+  /** DuckDB twin of [[positionBias]]. */
+  def positionBiasSql(table: String, a: String, b: String,
+                      winner: String): String =
+    s"""SELECT model, n_as_a, as_a_milli, n_as_b, as_b_milli,
+       |  (as_a_milli - as_b_milli)::BIGINT AS bias_gap_milli
+       |FROM (
+       |  SELECT m AS model,
+       |    sum(is_a)::BIGINT AS n_as_a,
+       |    CASE WHEN sum(is_a) = 0 THEN 0
+       |         ELSE sum(CASE WHEN is_a = 1 THEN hw ELSE 0 END) * 1000
+       |           // (sum(is_a) * 2) END::BIGINT AS as_a_milli,
+       |    sum(1 - is_a)::BIGINT AS n_as_b,
+       |    CASE WHEN sum(1 - is_a) = 0 THEN 0
+       |         ELSE sum(CASE WHEN is_a = 0 THEN hw ELSE 0 END) * 1000
+       |           // (sum(1 - is_a) * 2) END::BIGINT AS as_b_milli
+       |  FROM (
+       |    SELECT $a AS m, 1 AS is_a,
+       |      CASE WHEN $winner = $a THEN 2
+       |           WHEN $winner = $b THEN 0 ELSE 1 END AS hw
+       |    FROM $table WHERE $a <> $b
+       |    UNION ALL
+       |    SELECT $b AS m, 0 AS is_a,
+       |      CASE WHEN $winner = $b THEN 2
+       |           WHEN $winner = $a THEN 0 ELSE 1 END AS hw
+       |    FROM $table WHERE $a <> $b)
+       |  GROUP BY m)""".stripMargin
+
   /** Inter-judge AGREEMENT at judge-pair grain — the trust check on a
     * multi-judge labeling table `(item, judge, verdict)`: for every
     * unordered judge pair, how many items both judged and how often
@@ -151,14 +231,24 @@ object Judge {
     * 42-119s at 60M labels). Instead: one (item, judge) partial agg,
     * one item-keyed collect of the per-item judge list, then the
     * judge pairs explode ROW-LOCALLY from the sorted array (judges²
-    * per item — the per-item panel is small by construction) into the
-    * judge-pair partial agg. Two sequential exchanges of label-grain
-    * rows, no join (probed 27s warm at the same 60M labels,
-    * fixture-fused — roughly half the join formulation's best rep and
-    * a quarter of its worst, with the double scan gone structurally).
+    * per item) into the judge-pair partial agg. Two sequential
+    * exchanges of label-grain rows, no join (probed 27s warm at the
+    * same 60M labels, fixture-fused — roughly half the join
+    * formulation's best rep and a quarter of its worst, with the
+    * double scan gone structurally).
+    *
+    * The per-item panel is small by CONVENTION, not by construction —
+    * a degenerate item labeled by 10⁵ judges would make its row-local
+    * explode Θ(judges²) with no backpressure. `maxJudges` is the
+    * [[TextAnalysis.winnowPairs]] maxPostings guard applied here:
+    * items whose (deduped) panel exceeds it are DROPPED from the pair
+    * counts (bounding any row's explode at maxJudges², ~500k structs
+    * at the default) — a dropped item is a curation signal, not
+    * agreement evidence, and the n_common denominators stay consistent
+    * because numerator and denominator both exclude it.
     */
   def agreement(df: DataFrame, item: String, judge: String,
-                verdict: String): DataFrame =
+                verdict: String, maxJudges: Int = 1000): DataFrame =
     df.groupBy(col(item).as("__i"), col(judge).as("__j"))
       .agg(min(col(verdict)).as("__v"))
       .groupBy(col("__i"))
@@ -167,6 +257,7 @@ object Judge {
       // every emitted pair's ja < jb) is deterministic
       .agg(array_sort(collect_list(struct(col("__j").as("j"),
         col("__v").as("v")))).as("__xs"))
+      .where(size(col("__xs")) <= maxJudges)
       .select(explode(expr(
         "flatten(transform(__xs, (x, i) -> " +
           "transform(slice(__xs, i + 2, size(__xs) - i - 1), y -> " +
@@ -179,18 +270,22 @@ object Judge {
       .withColumn("agree_milli",
         expr("cast(n_agree * 1000 div n_common AS BIGINT)"))
 
-  /** DuckDB twin of [[agreement]]. */
+  /** DuckDB twin of [[agreement]] (the join formulation is fine at
+    * oracle scale; the maxJudges panel guard mirrors the Spark side).
+    */
   def agreementSql(table: String, item: String, judge: String,
-                   verdict: String): String =
+                   verdict: String, maxJudges: Int = 1000): String =
     s"""WITH one AS (
        |  SELECT $item AS i, $judge AS j, min($verdict) AS v
-       |  FROM $table GROUP BY 1, 2)
+       |  FROM $table GROUP BY 1, 2),
+       |ok AS (SELECT i FROM one GROUP BY i HAVING count(*) <= $maxJudges)
        |SELECT l.j AS judge_a, r.j AS judge_b,
        |  count(*) AS n_common,
        |  sum(CASE WHEN l.v = r.v THEN 1 ELSE 0 END)::BIGINT AS n_agree,
        |  (sum(CASE WHEN l.v = r.v THEN 1 ELSE 0 END) * 1000
        |    // count(*))::BIGINT AS agree_milli
        |FROM one l JOIN one r ON l.i = r.i AND l.j < r.j
+       |JOIN ok ON ok.i = l.i
        |GROUP BY 1, 2""".stripMargin
 
   /** DuckDB twin of [[btScores]]: the directed pair CTE, then one CTE

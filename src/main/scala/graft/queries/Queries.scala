@@ -496,6 +496,17 @@ object Queries {
       Some(graft.ops.Judge.btScoresSql(
         judgeFixtureDuckRel, "model_a", "model_b", "winner"))),
 
+    // position-bias report (round 18): per model, win-milli as model_a
+    // (shown first) vs as model_b, plus the signed gap — the order-
+    // effect audit before trusting win rates; the fixture's winner rule
+    // favors model_a except every 3rd match, so the planted bias is
+    // strongly positive and the oracle hashes the directed-grain split
+    QueryDef("judge_position_bias",
+      (s, dir) => graft.ops.Judge.positionBias(
+        judgeFixtureSpark(s, dir), "model_a", "model_b", "winner"),
+      Some(graft.ops.Judge.positionBiasSql(
+        judgeFixtureDuckRel, "model_a", "model_b", "winner"))),
+
     // inter-judge agreement over a 3-judge labeling fixture (3 verdicts
     // per doc, deterministic partial agreement): raw agree rates in
     // milli at judge-pair grain — the trust check before judgments

@@ -113,6 +113,62 @@ class JudgeSpec extends SparkSpec {
     assert(w("y") === 0L && w("z") === 0L && w("a") > 1000L)
   }
 
+  test("positionBias: directed-grain win split exposes a planted order effect") {
+    // x wins EVERY match shown first and loses every match shown
+    // second — the maximal order artifact winRate's unordered grain
+    // erases; plus a tie-string and a side x never plays
+    val df = Seq(
+      (1L, "x", "y", "x"), (2L, "x", "y", "x"), (3L, "x", "z", "x"),
+      (4L, "y", "x", "y"), (5L, "z", "x", "z"),
+      (6L, "x", "y", "tie"), // as-a tie: half-win
+      (7L, "y", "z", "y"), (8L, "x", "x", "x")) // self-match dropped
+      .toDF("doc_id", "model_a", "model_b", "winner")
+    val m = Judge.positionBias(df, "model_a", "model_b", "winner")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // x as a: 3 wins + 1 tie of 4 -> 7/8 -> 875; as b: 2 losses -> 0
+    assert(m("x") === ((4L, 875L, 2L, 0L, 875L)))
+    // y as a: 2 of 2 wins -> 1000; as b: 2 losses + 1 tie of 3 -> 166
+    assert(m("y") === ((2L, 1000L, 3L, 166L, 834L)))
+    // z as a: 1 win of 1 -> 1000; as b: 1 loss + 1 loss of 2 -> 0
+    assert(m("z") === ((1L, 1000L, 2L, 0L, 1000L)))
+
+    // a model that only ever sat on one side: zero matches -> 0 milli
+    // on the missing side (the divide guard), gap still well-defined
+    val oneSided = Seq((1L, "p", "q", "p"))
+      .toDF("doc_id", "model_a", "model_b", "winner")
+    val o = Judge.positionBias(oneSided, "model_a", "model_b", "winner")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(o("p") === ((1L, 1000L, 0L, 0L, 1000L)))
+    assert(o("q") === ((0L, 0L, 1L, 0L, 0L)))
+  }
+
+  test("agreement: maxJudges drops degenerate panels before the quadratic explode") {
+    // item 1: a 3-judge panel; item 2: a 5-judge pile-on. With
+    // maxJudges = 3 item 2 contributes NOTHING — numerator and
+    // denominator both exclude it, so surviving rates are consistent
+    val labels =
+      Seq((1L, "j0", "good"), (1L, "j1", "good"), (1L, "j2", "bad")) ++
+      (0 to 4).map(j => (2L, s"j$j", "good"))
+    val df = labels.toDF("item", "judge", "verdict")
+    val m = Judge.agreement(df, "item", "judge", "verdict", maxJudges = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(m(("j0", "j1")) === ((1L, 1L)), "item 2's pairs are gone")
+    assert(m(("j0", "j2")) === ((1L, 0L)))
+    assert(!m.contains(("j3", "j4")),
+      "judges appearing only in the dropped panel vanish entirely")
+    // the SQL twin replays the guard (DuckDB `//` -> `div`)
+    df.createOrReplaceTempView("agree_guard_fixture")
+    val twin = spark.sql(Judge.agreementSql("agree_guard_fixture",
+      "item", "judge", "verdict", maxJudges = 3)
+      .replace("//", "div").replace("::BIGINT", ""))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Number](2).longValue, r.getAs[Number](3).longValue)).toMap
+    assert(twin === m)
+  }
+
   test("btScoresSql twin scores tie-string winners as half-wins (replayed in Spark)") {
     // The round-17 latent defect: btScoresSql's pairs CTE scored a
     // non-null winner matching NEITHER model as a full win for the
