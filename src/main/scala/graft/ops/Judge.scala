@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   * encode draws), or a typo'd name — counts as half a win for each
   * side, in HALF-win units internally (integers stay exact), halves
   * only surfacing in the milli outputs.
+  *
+  * Streaming stance (round 18, pinned in StreamingOpsSpec): [[winRate]]
+  * and [[positionBias]] are distributive pair/model-grain aggs and
+  * maintain themselves incrementally in complete mode — the live arena
+  * leaderboard. [[btScores]] is BATCH-ONLY by design: its
+  * fixed-iteration MM re-joins the aggregated pair table, which
+  * complete mode cannot express — run it over the maintained pair
+  * table at read time.
   */
 object Judge {
 

@@ -700,6 +700,51 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming judge analytics: pair-grain aggs maintain themselves in complete mode") {
+    // winRate and positionBias are distributive pair/model-grain
+    // aggregations (counts and half-win sums; the milli division is a
+    // post-agg projection), so Structured Streaming maintains them
+    // incrementally in complete mode — the live arena leaderboard, the
+    // sketch-family precedent. btScores stays BATCH-ONLY by design:
+    // its fixed-iteration MM re-joins the aggregated pair table
+    // iteratively, which complete mode cannot express — run it on the
+    // maintained pair table at read time instead.
+    implicit val sq = spark.sqlContext
+    val matches = MemoryStream[(Long, String, String, String)]
+    val src = matches.toDF().toDF("doc_id", "model_a", "model_b", "winner")
+    val wr = graft.ops.Judge.winRate(src, "model_a", "model_b", "winner")
+      .writeStream.format("memory").queryName("judge_wr_stream")
+      .outputMode("complete").start()
+    val pb = graft.ops.Judge.positionBias(src, "model_a", "model_b", "winner")
+      .writeStream.format("memory").queryName("judge_pb_stream")
+      .outputMode("complete").start()
+    try {
+      val first = Seq(
+        (1L, "x", "y", "x"), (2L, "x", "y", "tie"), (3L, "y", "z", "y"))
+      val second = Seq(
+        (4L, "y", "x", "y"), (5L, "x", "z", "x"),
+        (6L, "z", "y", "tie (bothbad)"), (7L, "x", "x", "x"))
+      matches.addData(first: _*)
+      wr.processAllAvailable(); pb.processAllAvailable()
+      matches.addData(second: _*)
+      wr.processAllAvailable(); pb.processAllAvailable()
+      val all = (first ++ second)
+        .toDF("doc_id", "model_a", "model_b", "winner")
+      val wrStream = spark.table("judge_wr_stream")
+        .as[(String, String, Long, Long)].collect().toSet
+      val wrBatch = graft.ops.Judge.winRate(all, "model_a", "model_b", "winner")
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(wrStream === wrBatch,
+        "incrementally-maintained win-rate matrix = batch of everything seen")
+      val pbStream = spark.table("judge_pb_stream")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      val pbBatch = graft.ops.Judge.positionBias(all, "model_a", "model_b", "winner")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      assert(pbStream === pbBatch,
+        "incrementally-maintained position-bias report = batch of everything seen")
+    } finally { wr.stop(); pb.stop() }
+  }
+
   test("streaming log-quantile sketch: bucket counters maintain themselves as a streaming agg") {
     // Same property as the HLL test for the quantile rung: the bucket
     // agg is distributive, so complete mode converges to the batch
