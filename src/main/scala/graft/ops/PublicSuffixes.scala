@@ -457,7 +457,24 @@ object PublicSuffixes {
     // round 17, band 5 — NASK geographic registries, band 3 (city
     // names still missing from bands 1-2)
     "czest.pl", "elblag.pl", "gdynia.pl", "gorzow.pl", "zgora.pl",
-    "lomza.pl", "tarnow.pl", "bielawa.pl") ++
+    "lomza.pl", "tarnow.pl", "bielawa.pl",
+    // round 18, band 6 — ccTLD second-levels still missing from the
+    // committed set: Fiji's explicit list (upstream retired the *.fj
+    // wildcard for named registries), plus stragglers in the committed
+    // .ke/.ng/.cy families
+    "ac.fj", "biz.fj", "com.fj", "gov.fj", "info.fj", "mil.fj",
+    "name.fj", "net.fj", "org.fj", "pro.fj",
+    "mobi.ke", "name.ng", "mobi.ng", "i.ng", "mil.cy",
+    // round 18, band 6 — private-section operators: PaaS families that
+    // joined the list after the committed bands (Replit's post-repl.co
+    // domains, DigitalOcean App Platform, AWS Amplify/App Runner/
+    // Global Accelerator, Firebase dynamic links, Google Cloud
+    // customer domains) and the dynamic-DNS registries still missing
+    "replit.app", "replit.dev", "ondigitalocean.app", "amplifyapp.com",
+    "awsapprunner.com", "awsglobalaccelerator.com", "page.link",
+    "cloud.goog",
+    "dynv6.net", "mooo.com", "freemyip.com", "nsupdate.info",
+    "spdns.de", "spdns.org") ++
     // Bulgaria: the PSL registers every single alphanumeric label as a
     // second level — [0-9a-z].bg (rendered by comprehension; the
     // characters ARE the table)
