@@ -347,6 +347,36 @@ case class CountLe(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_disc_returns(rewards, gammaMilli)`: discounted return-to-go
+  * array over step-ordered integer-milli rewards
+  * ([[HashOps.discountedReturns]]) — the backward recurrence
+  * `G_i = r_i + floorDiv(γ·G_{i+1}, 1000)` in one compiled pass. The
+  * declarative `aggregate` twin copies its accumulator array per step
+  * (quadratic in episode length — the bpeTokenEnds lesson); this is
+  * linear and keeps the projection in whole-stage codegen.
+  */
+case class DiscReturns(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "graft_disc_returns"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<BIGINT>, BIGINT), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def nullSafeEval(a: Any, g: Any): Any =
+    HashOps.discountedReturns(a.asInstanceOf[ArrayData], g.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, g) =>
+      s"${ev.value} = graft.functions.HashOps.discountedReturns($a, $g);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DiscReturns =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_dsir_buckets(text, B)`: fused DSIR feature extraction
   * ([[HashOps.dsirBuckets]]) — word unigram + bigram md5 bucket ids in
   * one byte scan, bit-equal to the declarative

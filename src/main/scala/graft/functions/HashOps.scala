@@ -805,6 +805,32 @@ object HashOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** Discounted return-to-go over an episode's step-ordered
+    * integer-milli rewards: `G_n = r_n`, `G_i = r_i +
+    * floorDiv(gammaMilli * G_{i+1}, 1000)` — one backward pass,
+    * returning the G array in step order. FLOOR division (not Java
+    * `/`, which truncates toward zero): rewards may be negative
+    * (penalty steps), and the DuckDB twin's `//` floors — the
+    * repo-wide signed-division rule, kept bit-identical here by using
+    * floorDiv on both the kernel and the declarative twin
+    * (`(a - pmod(a, 1000)) div 1000`). The sequential recurrence is
+    * the DEFINITION (each step's rounding feeds the next), so no
+    * closed form exists on either engine; the oracle replays it with
+    * a recursive CTE.
+    */
+  def discountedReturns(rewards: ArrayData, gammaMilli: Long): ArrayData = {
+    val n = rewards.numElements()
+    val out = new Array[Long](n)
+    var g = 0L
+    var i = n - 1
+    while (i >= 0) {
+      g = rewards.getLong(i) + Math.floorDiv(gammaMilli * g, 1000L)
+      out(i) = g
+      i -= 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Count of elements <= x in an ASCENDING long array (binary search)
     * — the O(log n) replacement for `size(filter(arr, e -> e <= x))`,
     * whose interpreted HOF lambda walks the whole array per call.

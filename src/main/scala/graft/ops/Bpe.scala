@@ -140,6 +140,60 @@ object Bpe {
   //   array_join(array()) is '' — an empty-TEXT doc (zero tokens) must
   //   witness identically on both engines (probe-fixture finding)
 
+  /** Tokenizer FERTILITY report (round 18) — the per-language
+    * efficiency audit run before committing to a tokenizer: fertility
+    * (BPE tokens per word, milli) and compression (bytes per BPE
+    * token, milli) per language stratum. High fertility on a language
+    * means its text burns context window — the standard multilingual
+    * tokenizer-eval metric (Rust et al. 2021's fertility, re-listed
+    * from the public definition). Ratios are corpus-level (sums first,
+    * one division per stratum — not a mean of per-doc ratios, which
+    * would weight short docs equally with long ones); every term is
+    * non-negative so `div` ≡ `//`, zero denominators report 0.
+    *
+    * Plan shape: one scan, three compiled kernels per row
+    * (`graft_word_count`, `graft_bpe_count`, byte length), one
+    * |languages|-row partial-agged exchange. Distributive — the
+    * complete-mode streaming family.
+    */
+  def bpeFertility(df: DataFrame, text: String, lang: String): DataFrame =
+    graft.functions.VectorFunctions.attach(df)
+      .select(col(lang).as("lang"),
+        expr(s"graft_word_count($text)").as("__w"),
+        expr(s"graft_bpe_count($text)").as("__t"),
+        expr(s"octet_length($text)").cast("long").as("__b"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
+        sum(col("__t")).as("n_bpe_tokens"), sum(col("__b")).as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"), col("n_bytes"),
+        expr("IF(n_words = 0, cast(0 AS BIGINT), " +
+          "cast(n_bpe_tokens * 1000 div n_words AS BIGINT))")
+          .as("fertility_milli"),
+        expr("IF(n_bpe_tokens = 0, cast(0 AS BIGINT), " +
+          "cast(n_bytes * 1000 div n_bpe_tokens AS BIGINT))")
+          .as("bytes_per_token_milli"))
+
+  /** DuckDB twin of [[bpeFertility]] (strlen = UTF-8 byte length,
+    * Spark's octet_length).
+    */
+  def bpeFertilitySql(table: String, text: String, lang: String): String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |  sum(w)::BIGINT AS n_words,
+       |  sum(t)::BIGINT AS n_bpe_tokens,
+       |  sum(b)::BIGINT AS n_bytes,
+       |  (CASE WHEN sum(w) = 0 THEN 0
+       |        ELSE sum(t) * 1000 // sum(w) END)::BIGINT AS fertility_milli,
+       |  (CASE WHEN sum(t) = 0 THEN 0
+       |        ELSE sum(b) * 1000 // sum(t) END)::BIGINT AS bytes_per_token_milli
+       |FROM (
+       |  SELECT $lang AS lang,
+       |    len(list_filter(string_split($text, ' '), x -> x <> ''))::BIGINT AS w,
+       |    ${duckTokenCountExpr(text)} AS t,
+       |    strlen($text)::BIGINT AS b
+       |  FROM $table)
+       |GROUP BY lang""".stripMargin
+
   /** LEARN a merge table from the corpus — the training half of BPE
     * (Sennrich et al. 2016) that [[bpeTokens]] applies: repeatedly count
     * frequency-weighted adjacent unit pairs over the WORD HISTOGRAM and

@@ -474,7 +474,61 @@ object Queries {
       |        'm' || (doc_id % 7 % 5) AS model_b
       |      FROM documents))""".stripMargin
 
+  /** RL trajectory fixture (round 18): episodes from the events table
+    * — trajectory = user, step = dense row_number by (ts, event_id),
+    * reward = value in milli SHIFTED −1500 so penalty steps carry mass
+    * (negative rewards exercise the floor-division rule end-to-end),
+    * policy from the user residue.
+    */
+  private def trajFixtureSpark(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("step", expr(
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)"))
+      .withColumn("reward_milli", expr(
+        "cast(cast(value AS DECIMAL(18,2)) * 1000 AS BIGINT) - 1500"))
+      .withColumn("policy", expr("concat('p', user_id % 3)"))
+
+  private val trajFixtureDuckRel: String =
+    """(SELECT user_id, step,
+      |  (CAST(value AS DECIMAL(18,2)) * 1000)::BIGINT - 1500 AS reward_milli,
+      |  'p' || (user_id % 3) AS policy
+      |FROM (SELECT user_id, value,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step
+      |      FROM events))""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+
+    // ========= RL trajectory analytics (round 18): rollout data =========
+
+    // discounted return-to-go per (trajectory, step): the compiled
+    // backward-recurrence kernel vs the oracle's recursive CTE —
+    // integer milli with FLOOR division (negative rewards carry
+    // fixture mass, so the signed rounding is hash-checked)
+    QueryDef("traj_returns",
+      (s, dir) => graft.ops.Trajectory.trajReturns(
+        trajFixtureSpark(s, dir), "user_id", "step", "reward_milli"),
+      Some(graft.ops.Trajectory.trajReturnsSql(
+        trajFixtureDuckRel, "user_id", "step", "reward_milli"))),
+
+    // per-policy episode report: trajectory/step counts, mean length
+    // milli, total reward kept as a signed SUM (the div/floor rule)
+    QueryDef("traj_stats",
+      (s, dir) => graft.ops.Trajectory.trajStats(
+        trajFixtureSpark(s, dir), "user_id", "policy", "reward_milli"),
+      Some(graft.ops.Trajectory.trajStatsSql(
+        trajFixtureDuckRel, "user_id", "policy", "reward_milli"))),
+
+    // per-step advantage vs the (policy, step) peer baseline, kept as
+    // the exact scaled integer G*n - sum(G) — the policy-gradient
+    // centering pass over the same returns lineage
+    QueryDef("traj_advantage",
+      (s, dir) => graft.ops.Trajectory.trajAdvantage(
+        trajFixtureSpark(s, dir), "user_id", "step", "reward_milli",
+        "policy"),
+      Some(graft.ops.Trajectory.trajAdvantageSql(
+        trajFixtureDuckRel, "user_id", "step", "reward_milli", "policy"))),
 
     // ===== pairwise-judgment analytics (round 17): LLM-judge matches ====
 
@@ -1829,6 +1883,16 @@ object Queries {
              |FROM (SELECT doc_id, len(text)::BIGINT AS len_chars,
              |             ${graft.ops.Bpe.duckTokenCountExpr("text")} AS n_bpe
              |      FROM documents) s""".stripMargin)),
+
+    // per-LANGUAGE tokenizer fertility report (round 18): corpus-level
+    // BPE-tokens-per-word and bytes-per-token in milli per lang stratum
+    // — the multilingual tokenizer-efficiency audit (sums first, one
+    // division per stratum; the per-doc text_bpe_fertility filter above
+    // is the row-grain complement)
+    QueryDef("bpe_fertility_report",
+      (s, dir) => graft.ops.Bpe.bpeFertility(
+        t(s, dir, "documents"), "text", "lang"),
+      Some(graft.ops.Bpe.bpeFertilitySql("documents", "text", "lang"))),
 
     // the TRAINING half of BPE: learn the top-8 merges from the corpus's
     // word histogram (one corpus scan; every iteration after it is

@@ -159,4 +159,22 @@ class BpeSpec extends SparkSpec {
     assert(out(2L) === ((3L, 8L, "re|st|and|m|o|t|i|on")))
     assert(out.values.forall { case (w, b, _) => w != b })
   }
+
+  test("fertility report: corpus-level sums-first ratios per language, zero denominators report 0") {
+    // en: 'the thing' = 2 words / 3 BPE tokens / 9 bytes;
+    //     'rest and motion' = 3 / 8 / 15 -> fertility (3+8)*1000 div 5
+    //     = 2200, bytes/token (9+15)*1000 div 11 = 2181 (the per-doc
+    //     mean would read differently — sums-first is the pinned rule)
+    // zz: empty text -> zero words AND zero tokens -> both ratios 0
+    val df = Seq(
+      (1L, "the thing", "en"), (2L, "rest and motion", "en"),
+      (3L, "", "zz"))
+      .toDF("doc_id", "text", "lang")
+    val m = Bpe.bpeFertility(df, "text", "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(m("en") === ((2L, 5L, 11L, 24L, 2200L, 2181L)))
+    assert(m("zz") === ((1L, 0L, 0L, 0L, 0L, 0L)))
+  }
 }

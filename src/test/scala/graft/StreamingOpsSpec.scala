@@ -745,6 +745,36 @@ class StreamingOpsSpec extends SparkSpec {
     } finally { wr.stop(); pb.stop() }
   }
 
+  test("streaming trajectory stats: episode agg maintains itself; policy report reads it") {
+    // Spark cannot chain two streaming aggregations, so the pinned
+    // split is: episodeAgg (one distributive agg) maintains itself in
+    // complete mode, and statsOfEpisodes rolls the maintained table up
+    // to |policies| rows at read time — the btScores-over-the-
+    // maintained-pair-table convention. trajReturns and trajAdvantage
+    // stay BATCH-ONLY by design: an episode's return is undefined
+    // until the episode closes (documented in ops/Trajectory).
+    implicit val sq = spark.sqlContext
+    val steps = MemoryStream[(Long, String, Long)]
+    val q = graft.ops.Trajectory.episodeAgg(
+      steps.toDF().toDF("traj", "policy", "r"), "traj", "policy", "r")
+      .writeStream.format("memory").queryName("traj_stream")
+      .outputMode("complete").start()
+    try {
+      val first = Seq((1L, "a", 100L), (1L, "a", -300L), (3L, "b", -10L))
+      val second = Seq((2L, "a", 50L), (3L, "b", -10L), (3L, "b", -10L))
+      steps.addData(first: _*); q.processAllAvailable()
+      steps.addData(second: _*); q.processAllAvailable()
+      val streamed = graft.ops.Trajectory.statsOfEpisodes(
+        spark.table("traj_stream"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val batch = graft.ops.Trajectory.trajStats(
+        (first ++ second).toDF("traj", "policy", "r"), "traj", "policy", "r")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        "read-time rollup of the maintained episode table = batch of everything seen")
+    } finally q.stop()
+  }
+
   test("streaming log-quantile sketch: bucket counters maintain themselves as a streaming agg") {
     // Same property as the HLL test for the quantile rung: the bucket
     // agg is distributive, so complete mode converges to the batch

@@ -1,0 +1,105 @@
+package graft
+
+import graft.ops.Trajectory
+import org.apache.spark.sql.functions._
+
+/** Pins the RL trajectory analytics: the discounted-return recurrence
+  * in integer milli (kernel vs the declarative floorDiv twin, signed
+  * rounding included), episode stats, and the scaled-advantage
+  * arithmetic.
+  */
+class TrajectorySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trajReturns: backward recurrence, hand-computed, negative rewards floor") {
+    // gamma = 0.9: G3 = 1000; G2 = -500 + floor(900*1000/1000) = 400;
+    // G1 = 2000 + floor(900*400/1000) = 2360
+    val df = Seq(
+      (1L, 1L, 2000L), (1L, 2L, -500L), (1L, 3L, 1000L),
+      // all-negative episode: G2 = -1000; G1 = -100 + floorDiv(-900000, 1000)
+      //                       = -100 - 900 = -1000
+      (2L, 1L, -100L), (2L, 2L, -1000L))
+      .toDF("traj", "step", "r")
+    val g = Trajectory.trajReturns(df, "traj", "step", "r")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(g((1L, 1L)) === 2360L)
+    assert(g((1L, 2L)) === 400L)
+    assert(g((1L, 3L)) === 1000L)
+    assert(g((2L, 1L)) === -1000L)
+    assert(g((2L, 2L)) === -1000L)
+
+    // floor, not truncate: G2 = -999 -> gamma*G2 = -899100;
+    // floorDiv(-899100, 1000) = -900 (truncation would give -899)
+    val neg = Seq((1L, 1L, 0L), (1L, 2L, -999L)).toDF("traj", "step", "r")
+    val gn = Trajectory.trajReturns(neg, "traj", "step", "r")
+      .collect().map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(gn(1L) === -900L,
+      "negative discounting must FLOOR (DuckDB // semantics), not truncate")
+  }
+
+  test("graft_disc_returns kernel = declarative floorDiv aggregate twin") {
+    // the declarative twin: aggregate from the tail with
+    // floorDiv(a, 1000) = (a - pmod(a, 1000)) div 1000 — exact because
+    // a - pmod is a multiple of 1000. Property-style over signed
+    // rewards; the kernel must be bit-identical.
+    val rows = (1 to 50).map { i =>
+      val n = 1 + (i * 7) % 12
+      (i.toLong, (1 to n).map(k =>
+        ((i * 31 + k * 17) % 4001) - 2000L).toArray)
+    }
+    val df = rows.toDF("id", "rs")
+    val out = graft.functions.VectorFunctions.attach(df)
+      .select($"id",
+        expr("graft_disc_returns(transform(rs, x -> cast(x AS BIGINT)), cast(900 AS BIGINT))").as("k"),
+        expr(
+          "reverse(aggregate(reverse(transform(rs, x -> cast(x AS BIGINT))), " +
+            "named_struct('g', cast(0 AS BIGINT), 'out', cast(array() AS ARRAY<BIGINT>)), " +
+            "(acc, r) -> named_struct(" +
+            "  'g', r + (900 * acc.g - pmod(900 * acc.g, 1000)) div 1000, " +
+            "  'out', concat(acc.out, array(r + (900 * acc.g - pmod(900 * acc.g, 1000)) div 1000))), " +
+            "acc -> acc.out))").as("d"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"kernel/declarative divergence on id ${r.getLong(0)}")
+    }
+  }
+
+  test("trajReturns: NULL rewards coalesce to 0; steps re-emerge dense") {
+    val df = Seq(
+      (1L, 1L, Some(500L)), (1L, 2L, None), (1L, 3L, Some(1000L)))
+      .toDF("traj", "step", "r")
+    val g = Trajectory.trajReturns(df, "traj", "step", "r")
+      .collect().map(x => x.getLong(1) -> x.getLong(2)).toMap
+    // G3 = 1000; G2 = 0 + 900 = 900; G1 = 500 + 810 = 1310
+    assert(g === Map(1L -> 1310L, 2L -> 900L, 3L -> 1000L))
+  }
+
+  test("trajStats: per-policy counts; signed totals stay sums") {
+    val df = Seq(
+      (1L, "a", 100L), (1L, "a", -300L),
+      (2L, "a", 50L),
+      (3L, "b", -10L), (3L, "b", -10L), (3L, "b", -10L))
+      .toDF("traj", "policy", "r")
+    val m = Trajectory.trajStats(df, "traj", "policy", "r")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(m("a") === ((2L, 3L, 1500L, -150L)))
+    assert(m("b") === ((1L, 3L, 3000L, -30L)))
+  }
+
+  test("trajAdvantage: exact scaled centering; single-trajectory stratum is zero") {
+    // policy p has two length-1 episodes with rewards 100 and 300:
+    // baseline sum 400, n_peers 2 -> adv = 100*2-400 = -200 / 300*2-400 = 200.
+    // policy q has one episode -> adv 0 by construction.
+    val df = Seq(
+      (1L, 1L, 100L, "p"), (2L, 1L, 300L, "p"), (3L, 1L, 999L, "q"))
+      .toDF("traj", "step", "r", "policy")
+    val a = Trajectory.trajAdvantage(df, "traj", "step", "r", "policy")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(a(1L) === ((100L, 2L, -200L)))
+    assert(a(2L) === ((300L, 2L, 200L)))
+    assert(a(3L) === ((999L, 1L, 0L)))
+  }
+}
