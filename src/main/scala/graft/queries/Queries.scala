@@ -1884,6 +1884,23 @@ object Queries {
              |             ${graft.ops.Bpe.duckTokenCountExpr("text")} AS n_bpe
              |      FROM documents) s""".stripMargin)),
 
+    // data-MIXTURE plan (round 18): per-source sampling factors in
+    // epochs-milli from target weights + token masses, epoch-capped,
+    // with the achieved mixture reported after caps bind. Targets hit
+    // all three branches on the ~5%-per-source corpus: src0 at 300
+    // wants ~6 epochs -> the 4000-milli cap BINDS; src1 at 150 lands
+    // free (~3 epochs); src2-src9 at 50 downsample; src10+ absent ->
+    // weight 0, report row kept
+    QueryDef("mix_plan",
+      (s, dir) => graft.ops.Mixture.mixPlan(
+        t(s, dir, "documents"), "text", "source",
+        ("src0" -> 300) +: ("src1" -> 150) +:
+          (2 to 9).map(i => s"src$i" -> 50)),
+      Some(graft.ops.Mixture.mixPlanSql(
+        "documents", "text", "source",
+        ("src0" -> 300) +: ("src1" -> 150) +:
+          (2 to 9).map(i => s"src$i" -> 50)))),
+
     // per-LANGUAGE tokenizer fertility report (round 18): corpus-level
     // BPE-tokens-per-word and bytes-per-token in milli per lang stratum
     // — the multilingual tokenizer-efficiency audit (sums first, one
