@@ -350,7 +350,8 @@ case class CountLe(left: Expression, right: Expression)
 /** `graft_disc_returns(rewards, gammaMilli)`: discounted return-to-go
   * array over step-ordered integer-milli rewards
   * ([[HashOps.discountedReturns]]) — the backward recurrence
-  * `G_i = r_i + floorDiv(γ·G_{i+1}, 1000)` in one compiled pass. The
+  * `G_i = r_i + trunc(γ·G_{i+1} / 1000)` in one compiled pass
+  * (truncating division: both engines truncate signed integers). The
   * declarative `aggregate` twin copies its accumulator array per step
   * (quadratic in episode length — the bpeTokenEnds lesson); this is
   * linear and keeps the projection in whole-stage codegen.

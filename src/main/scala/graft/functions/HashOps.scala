@@ -807,16 +807,17 @@ object HashOps {
 
   /** Discounted return-to-go over an episode's step-ordered
     * integer-milli rewards: `G_n = r_n`, `G_i = r_i +
-    * floorDiv(gammaMilli * G_{i+1}, 1000)` — one backward pass,
-    * returning the G array in step order. FLOOR division (not Java
-    * `/`, which truncates toward zero): rewards may be negative
-    * (penalty steps), and the DuckDB twin's `//` floors — the
-    * repo-wide signed-division rule, kept bit-identical here by using
-    * floorDiv on both the kernel and the declarative twin
-    * (`(a - pmod(a, 1000)) div 1000`). The sequential recurrence is
-    * the DEFINITION (each step's rounding feeds the next), so no
-    * closed form exists on either engine; the oracle replays it with
-    * a recursive CTE.
+    * trunc(gammaMilli * G_{i+1} / 1000)` — one backward pass,
+    * returning the G array in step order. TRUNCATING division (Java
+    * `/`), because that is what BOTH engines do on signed integers:
+    * Spark `div` truncates toward zero AND DuckDB `//` truncates too
+    * (probed: `-7 // 2 = -3`, not the floored -4 — an earlier
+    * floorDiv draft of this kernel diverged from the oracle on the
+    * adversarial sweep's all-negative episodes, the exact class the
+    * oracle fixture's mostly-positive rewards never hit). The
+    * sequential recurrence is the DEFINITION (each step's rounding
+    * feeds the next), so no closed form exists on either engine; the
+    * oracle replays it with a recursive CTE.
     */
   def discountedReturns(rewards: ArrayData, gammaMilli: Long): ArrayData = {
     val n = rewards.numElements()
@@ -824,7 +825,7 @@ object HashOps {
     var g = 0L
     var i = n - 1
     while (i >= 0) {
-      g = rewards.getLong(i) + Math.floorDiv(gammaMilli * g, 1000L)
+      g = rewards.getLong(i) + gammaMilli * g / 1000L
       out(i) = g
       i -= 1
     }

@@ -222,10 +222,13 @@ object Judge {
     * multi-judge labeling table `(item, judge, verdict)`: for every
     * unordered judge pair, how many items both judged and how often
     * their verdicts matched, in integer milli. Raw agreement (not a
-    * chance-corrected kappa: kappa's `(po−pe)/(1−pe)` is SIGNED, and
-    * Spark `div` truncates toward zero where DuckDB `//` floors —
-    * the repo-wide signed-division rule; po and the per-pair counts
-    * let a reader derive any correction downstream in float land).
+    * chance-corrected kappa: kappa's `(po−pe)/(1−pe)` is SIGNED —
+    * the repo convention keeps signed quantities as sums/counts and
+    * never divides them (probed round 18: both engines actually
+    * truncate toward zero, but the convention stays — it keeps every
+    * hashed ratio's rounding direction trivially auditable); po and
+    * the per-pair counts let a reader derive any correction
+    * downstream in float land).
     *
     * Re-annotation: the input collapses to ONE verdict per
     * (item, judge) first — min(verdict), an arbitrary-but-

@@ -119,9 +119,10 @@ object Preference {
     * pair counts, the contract-valid fraction in integer MILLI units,
     * identical-pair counts, the signed token-margin mass, and per-side
     * char masses. One keyed partial-agg exchange of stratum-grain rows.
-    * The margin stays a SUM (not a milli mean): it is signed, and
-    * Spark's `div` truncates toward zero where DuckDB's `//` floors —
-    * divergent on negative numerators, so no hashed column divides one.
+    * The margin stays a SUM (not a milli mean): it is signed, and the
+    * repo convention never divides signed values in hashed columns
+    * (probed round 18: both engines in fact truncate toward zero, but
+    * the sum keeps the rounding question out of the oracle entirely).
     */
   def report(df: DataFrame, id: String, prompt: String, chosen: String,
              rejected: String, strata: String): DataFrame =

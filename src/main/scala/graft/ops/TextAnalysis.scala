@@ -1913,8 +1913,9 @@ object TextAnalysis {
   }
 
   /** DuckDB twin of [[bm25TopK]] — identical integer fixed-point
-    * arithmetic (`//` floors like Spark's `div` truncates: every operand
-    * here is non-negative, where the two agree).
+    * arithmetic (`//` ≡ `div`: every operand here is non-negative,
+    * and both engines truncate toward zero on signed operands anyway —
+    * probed round 18).
     */
   def bm25TopKSql(table: String, id: String, text: String,
                   terms: Seq[String], k: Int = 20,

@@ -12,15 +12,18 @@ import org.apache.spark.sql.functions._
   * Everything stays EXACT in integer milli, the judge/preference
   * convention: rewards are integer milli-reward, the discount is
   * `gammaMilli / 1000`, and the return recurrence is
-  * `G_n = r_n`, `G_i = r_i + floorDiv(γ·G_{i+1}, 1000)` — FLOOR
-  * division because rewards (and therefore returns) may be negative
-  * and DuckDB's `//` floors where Spark's `div` truncates toward
-  * zero (the repo-wide signed-division rule; floorDiv on the kernel,
-  * `//` on the twin, and `(a - pmod(a,1000)) div 1000` on the
-  * declarative parity form all agree). The recurrence is the
-  * DEFINITION — each step's rounding feeds the next — so the oracle
-  * replays it with a per-trajectory recursive CTE rather than a
-  * closed form.
+  * `G_n = r_n`, `G_i = r_i + trunc(γ·G_{i+1} / 1000)` — TRUNCATING
+  * division, because rewards (and therefore returns) may be negative
+  * and on signed integers BOTH engines truncate toward zero: Spark
+  * `div` by definition and DuckDB `//` as well (probed
+  * `-7 // 2 = -3`, not a floored -4 — the adversarial sweep caught
+  * an earlier floorDiv draft of the kernel diverging from the oracle
+  * on all-negative episodes, the class the oracle fixture's
+  * mostly-positive rewards never reaches; the "`//` floors" claim in
+  * some older docstrings is wrong, benign there only because those
+  * ops never divide signed values). The recurrence is the DEFINITION
+  * — each step's rounding feeds the next — so the oracle replays it
+  * with a per-trajectory recursive CTE rather than a closed form.
   *
   * Domain: `step` is DENSE 1..n within each trajectory (the fixture
   * derives it with row_number; a sparse step column must be
@@ -129,7 +132,8 @@ object Trajectory {
 
   /** Per-policy episode statistics: trajectory count, total steps,
     * mean episode length in milli (non-negative integer division),
-    * and total reward kept as a SUM (signed — the div/floor rule).
+    * and total reward kept as a SUM (signed — the no-signed-division
+    * convention).
     */
   def trajStats(df: DataFrame, traj: String, policy: String,
                 reward: String): DataFrame =
@@ -160,7 +164,8 @@ object Trajectory {
   /** Per-step ADVANTAGE against the per-(policy, step) peer baseline:
     * `adv_scaled_milli = G·n_peers − Σ_peers G` — kept as the exact
     * scaled integer (returns are signed; dividing by n_peers would hit
-    * the div/floor divergence, and the consumer normalizes in float
+    * a signed division (banned from hashed columns), and the consumer
+    * normalizes in float
     * land anyway). A single-trajectory stratum reports 0 by
     * construction (G·1 − G).
     */

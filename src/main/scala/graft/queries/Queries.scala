@@ -513,7 +513,8 @@ object Queries {
         trajFixtureDuckRel, "user_id", "step", "reward_milli"))),
 
     // per-policy episode report: trajectory/step counts, mean length
-    // milli, total reward kept as a signed SUM (the div/floor rule)
+    // milli, total reward kept as a signed SUM (no signed division in
+    // hashed columns)
     QueryDef("traj_stats",
       (s, dir) => graft.ops.Trajectory.trajStats(
         trajFixtureSpark(s, dir), "user_id", "policy", "reward_milli"),

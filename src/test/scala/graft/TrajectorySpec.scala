@@ -11,12 +11,12 @@ import org.apache.spark.sql.functions._
 class TrajectorySpec extends SparkSpec {
   import spark.implicits._
 
-  test("trajReturns: backward recurrence, hand-computed, negative rewards floor") {
-    // gamma = 0.9: G3 = 1000; G2 = -500 + floor(900*1000/1000) = 400;
-    // G1 = 2000 + floor(900*400/1000) = 2360
+  test("trajReturns: backward recurrence, hand-computed, negative rewards truncate") {
+    // gamma = 0.9: G3 = 1000; G2 = -500 + trunc(900*1000/1000) = 400;
+    // G1 = 2000 + trunc(900*400/1000) = 2360
     val df = Seq(
       (1L, 1L, 2000L), (1L, 2L, -500L), (1L, 3L, 1000L),
-      // all-negative episode: G2 = -1000; G1 = -100 + floorDiv(-900000, 1000)
+      // all-negative episode: G2 = -1000; G1 = -100 + trunc(-900000/1000)
       //                       = -100 - 900 = -1000
       (2L, 1L, -100L), (2L, 2L, -1000L))
       .toDF("traj", "step", "r")
@@ -28,20 +28,21 @@ class TrajectorySpec extends SparkSpec {
     assert(g((2L, 1L)) === -1000L)
     assert(g((2L, 2L)) === -1000L)
 
-    // floor, not truncate: G2 = -999 -> gamma*G2 = -899100;
-    // floorDiv(-899100, 1000) = -900 (truncation would give -899)
+    // TRUNCATE toward zero, not floor: G2 = -999 -> gamma*G2 = -899100;
+    // trunc gives -899 where floorDiv gives -900 — BOTH engines
+    // truncate (probed DuckDB -7 // 2 = -3); the adversarial sweep
+    // caught the floorDiv draft of the kernel on exactly this class
     val neg = Seq((1L, 1L, 0L), (1L, 2L, -999L)).toDF("traj", "step", "r")
     val gn = Trajectory.trajReturns(neg, "traj", "step", "r")
       .collect().map(x => x.getLong(1) -> x.getLong(2)).toMap
-    assert(gn(1L) === -900L,
-      "negative discounting must FLOOR (DuckDB // semantics), not truncate")
+    assert(gn(1L) === -899L,
+      "negative discounting must TRUNCATE (both engines' semantics), not floor")
   }
 
-  test("graft_disc_returns kernel = declarative floorDiv aggregate twin") {
-    // the declarative twin: aggregate from the tail with
-    // floorDiv(a, 1000) = (a - pmod(a, 1000)) div 1000 — exact because
-    // a - pmod is a multiple of 1000. Property-style over signed
-    // rewards; the kernel must be bit-identical.
+  test("graft_disc_returns kernel = declarative div aggregate twin") {
+    // the declarative twin: aggregate from the tail with Spark's
+    // truncating `div` — property-style over signed rewards; the
+    // kernel must be bit-identical.
     val rows = (1 to 50).map { i =>
       val n = 1 + (i * 7) % 12
       (i.toLong, (1 to n).map(k =>
@@ -55,8 +56,8 @@ class TrajectorySpec extends SparkSpec {
           "reverse(aggregate(reverse(transform(rs, x -> cast(x AS BIGINT))), " +
             "named_struct('g', cast(0 AS BIGINT), 'out', cast(array() AS ARRAY<BIGINT>)), " +
             "(acc, r) -> named_struct(" +
-            "  'g', r + (900 * acc.g - pmod(900 * acc.g, 1000)) div 1000, " +
-            "  'out', concat(acc.out, array(r + (900 * acc.g - pmod(900 * acc.g, 1000)) div 1000))), " +
+            "  'g', r + (900 * acc.g) div 1000, " +
+            "  'out', concat(acc.out, array(r + (900 * acc.g) div 1000))), " +
             "acc -> acc.out))").as("d"))
       .collect()
     out.foreach { r =>
