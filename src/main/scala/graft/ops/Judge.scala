@@ -26,6 +26,15 @@ import org.apache.spark.sql.functions._
   * side, in HALF-win units internally (integers stay exact), halves
   * only surfacing in the milli outputs.
   *
+  * Why Bradley-Terry and not Elo: Elo's sequential update makes the
+  * result depend on MATCH ORDER — on a distributed table with no
+  * inherent order that is nondeterministic by construction (and
+  * imposing an order serializes the computation through one
+  * partition). BT's MM estimator consumes only the order-independent
+  * pair-grain sufficient statistics the [[pairAgg]] exchange already
+  * produces — the public arena analyses made the same switch for the
+  * same reason.
+  *
   * Streaming stance (round 18, pinned in StreamingOpsSpec): [[winRate]]
   * and [[positionBias]] are distributive pair/model-grain aggs and
   * maintain themselves incrementally in complete mode — the live arena

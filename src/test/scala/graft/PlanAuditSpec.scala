@@ -1001,4 +1001,59 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(ag, "Exchange") <= 3,
       s"judge_agreement: label-grain exchanges only:\n$ag")
   }
+
+  test("traj_returns: one exchange reused by window and agg; compiled kernel in the plan") {
+    // the fixture's row_number window shuffles by user; the groupBy
+    // rides the SAME partitioning — a second hash exchange would mean
+    // the reuse broke. The return pass must be the compiled kernel,
+    // not a declarative accumulator.
+    val p = plan("traj_returns")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"traj_returns: the trajectory agg must reuse the window's exchange:\n$p")
+    assert(p.contains("graft_disc_returns"),
+      s"traj_returns must run the compiled recurrence kernel:\n$p")
+  }
+
+  test("traj_advantage: two-branch re-scan, metadata join, no cartesian") {
+    val p = plan("traj_advantage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"traj_advantage: the baseline join must be keyed:\n$p")
+    assert(count(p, "graft_disc_returns") >= 1,
+      s"traj_advantage must ride the kernel:\n$p")
+  }
+
+  test("judge_position_bias: single model-keyed exchange, partial-aggregated") {
+    val p = plan("judge_position_bias")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"position bias is one partial-agged model-keyed exchange:\n$p")
+    assert(count(p, "HashAggregate") >= 2,
+      s"the two-sided explode must partial-aggregate map-side:\n$p")
+  }
+
+  test("mix_plan: one source-keyed exchange; windows run on metadata-sized rows") {
+    // the corpus scan partial-aggregates into |sources| rows before the
+    // single hash exchange; the whole-frame total window (SinglePartition)
+    // is AFTER that — over |sources| rows, not the corpus
+    val p = plan("mix_plan")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"mix_plan must aggregate sources in one exchange:\n$p")
+    assert(count(p, "HashAggregate") >= 2,
+      s"token masses must partial-aggregate before the shuffle:\n$p")
+  }
+
+  test("bpe_fertility_report: pruned scan, partial agg, one exchange") {
+    val p = formatted("bpe_fertility_report")
+    assert(!p.contains("doc_id") && !p.contains("n_chars"),
+      s"fertility scan must read only (text, lang):\n$p")
+    val t = plan("bpe_fertility_report")
+    assert(count(t, "Exchange hashpartitioning") == 1 &&
+      count(t, "HashAggregate") >= 2,
+      s"fertility is one partial-agged language exchange:\n$t")
+  }
+
+  test("chat_truncate_bpe: row-local — zero exchanges") {
+    val p = plan("chat_truncate_bpe")
+    assert(!p.contains("Exchange"),
+      s"BPE truncation is a pure map; any exchange is a regression:\n$p")
+  }
 }
