@@ -1885,6 +1885,23 @@ object Queries {
              |             ${graft.ops.Bpe.duckTokenCountExpr("text")} AS n_bpe
              |      FROM documents) s""".stripMargin)),
 
+    // pass@k (round 18): the unbiased sampled-eval estimator
+    // (1 - C(n-c,k)/C(n,k), stepwise-truncating fixed point, unrolled
+    // identically into both dialects) over an events-derived fixture —
+    // 10-11 samples per prompt with a deterministic pass rule, so
+    // k=11 exercises the exclusion rung (the 10-sample prompts drop
+    // from that k's mean; at sf0.001 exactly 30 of 97 prompts qualify)
+    // and n-c < k hits the exact-1000 branch
+    QueryDef("eval_pass_at_k",
+      (s, dir) => graft.ops.PassAtK.passAtK(
+        t(s, dir, "events")
+          .withColumn("prompt_id", expr("event_id % 97"))
+          .withColumn("passed", expr("(event_id % 5) < 2")),
+        "prompt_id", "passed", ks = Seq(1, 2, 5, 11)),
+      Some(graft.ops.PassAtK.passAtKSql(
+        "(SELECT event_id % 97 AS prompt_id, (event_id % 5) < 2 AS passed FROM events)",
+        "prompt_id", "passed", ks = Seq(1, 2, 5, 11)))),
+
     // data-MIXTURE plan (round 18): per-source sampling factors in
     // epochs-milli from target weights + token masses, epoch-capped,
     // with the achieved mixture reported after caps bind. Targets hit
