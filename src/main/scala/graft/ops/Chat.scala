@@ -644,6 +644,34 @@ object Chat {
        |    '' ORDER BY i), '') || '<|end|>' AS rendered
        |FROM k GROUP BY $id""".stripMargin
 
+  /** ASSISTANT-turn grain (round 18): one row per assistant turn with
+    * its 1-based position and raw content — the frame model-OUTPUT
+    * quality ops run over (the user's side is input, not generation).
+    * Row-local: one parse, one posexplode, a role filter; composes
+    * with the text-analysis family via a turn key (see the
+    * `chat_degeneration` composition — repetition scoring over
+    * assistant turns catches decoding loops that document-grain
+    * quality gates never see, because the loop lives inside one turn
+    * of an otherwise-normal conversation).
+    */
+  def assistantTurns(df: DataFrame, id: String, conv: String): DataFrame =
+    withTurns(graft.functions.VectorFunctions.attach(df), conv)
+      .select(col(id), posexplode(col("__c")))
+      .where(expr("col.role = 'assistant'"))
+      .select(col(id), (col("pos") + 1).cast("long").as("turn_idx"),
+        col("col.content").as("content"))
+
+  /** DuckDB twin of [[assistantTurns]]. */
+  def assistantTurnsSql(table: String, id: String, conv: String): String =
+    s"""SELECT $id, i::BIGINT AS turn_idx, content FROM (
+       |  SELECT $id, i,
+       |    json_extract_string(conv, '$$[' || (i - 1) || '].role') AS role,
+       |    json_extract_string(conv, '$$[' || (i - 1) || '].content') AS content
+       |  FROM (SELECT $id, $conv AS conv,
+       |          unnest(generate_series(1, json_array_length(($conv)::JSON)::BIGINT)) AS i
+       |        FROM $table))
+       |WHERE role = 'assistant'""".stripMargin
+
   def chatQuarantine(df: DataFrame, id: String, conv: String): DataFrame =
     df.withColumn("__c", expr(s"from_json($conv, '$turnsSchema')"))
       .withColumn("reason", expr(

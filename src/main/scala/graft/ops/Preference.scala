@@ -124,6 +124,56 @@ object Preference {
     * (probed round 18: both engines in fact truncate toward zero, but
     * the sum keeps the rounding question out of the oracle entirely).
     */
+  /** Reward-model CALIBRATION report (round 18) — the trust check a
+    * preference pipeline runs on a scored pair table before the model's
+    * margins gate any data: rows carry the RM's integer-milli scores
+    * for the chosen and rejected side, and the report buckets pairs by
+    * CONFIDENCE (|margin| in fixed-width milli bins, width
+    * `binMilli`, the top bin open) and reports per-bucket accuracy —
+    * the fraction where the RM actually prefers the chosen side. A
+    * calibrated RM's accuracy rises monotonically with confidence; a
+    * flat or inverted profile means the margins are noise and any
+    * margin-gated filtering downstream is unfounded.
+    *
+    * Ties (margin exactly 0) are their own bucket (`bin = -1`): they
+    * are evidence of an undecided RM, not half-accuracies — counting
+    * them either way would fake the profile (the tie-handling lesson
+    * of the judge family).
+    *
+    * Integer-milli throughout: bin = |margin| div binMilli (capped at
+    * `bins - 1`), accuracy = correct·1000 div n — all non-negative.
+    * One scan into a |bins|-row partial-agged exchange.
+    */
+  def rmCalibration(df: DataFrame, scoreChosen: String,
+                    scoreRejected: String, binMilli: Int = 500,
+                    bins: Int = 8): DataFrame =
+    df.select(
+      (col(scoreChosen).cast("long") - col(scoreRejected).cast("long"))
+        .as("__m"))
+      .select(
+        expr(s"IF(__m = 0, CAST(-1 AS BIGINT), " +
+          s"least(abs(__m) div $binMilli, CAST(${bins - 1} AS BIGINT)))")
+          .as("bin"),
+        when(col("__m") > 0, 1L).otherwise(0L).as("__ok"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__ok")).as("__c"))
+      .select(col("bin"), col("n_pairs"),
+        expr("CAST(__c * 1000 div n_pairs AS BIGINT)").as("accuracy_milli"))
+
+  /** DuckDB twin of [[rmCalibration]]. */
+  def rmCalibrationSql(table: String, scoreChosen: String,
+                       scoreRejected: String, binMilli: Int = 500,
+                       bins: Int = 8): String =
+    s"""SELECT bin, count(*) AS n_pairs,
+       |  (sum(ok) * 1000 // count(*))::BIGINT AS accuracy_milli
+       |FROM (
+       |  SELECT CASE WHEN m = 0 THEN -1
+       |              ELSE least(abs(m) // $binMilli, ${bins - 1}) END::BIGINT AS bin,
+       |    CASE WHEN m > 0 THEN 1 ELSE 0 END AS ok
+       |  FROM (SELECT ($scoreChosen)::BIGINT - ($scoreRejected)::BIGINT AS m
+       |        FROM $table))
+       |GROUP BY bin""".stripMargin
+
   def report(df: DataFrame, id: String, prompt: String, chosen: String,
              rejected: String, strata: String): DataFrame =
     pairStats(df, id, prompt, chosen, rejected, carry = Seq(strata))

@@ -323,6 +323,29 @@ object Queries {
       "regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '), " +
       "x -> x <> ''))[(i * 6 + 1):(i * 6 + 6)], ' '), '') || '\"}'), ',') || ']'"
 
+  /** Degeneration fixture (round 18): 4 body turns; every 3rd doc's
+    * assistant turns are a planted decoding LOOP (`loop loop loop loop
+    * loop end` — top-bigram 4/5, dup-word 4/6) while the rest carry
+    * the normal 6-word slices — so the repetition signals separate
+    * cleanly at assistant-turn grain.
+    */
+  private val chatDegenFixtureSpark: String =
+    "concat('[', concat_ws(',', transform(sequence(0, 3), i -> " +
+      "concat('{\"role\":\"', IF(i % 2 = 0, 'user', 'assistant'), " +
+      "'\",\"content\":\"', " +
+      "IF(i % 2 = 1 AND doc_id % 3 = 0, 'loop loop loop loop loop end', " +
+      "array_join(slice(filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' '), " +
+      "x -> x != ''), cast(i * 6 + 1 AS INT), 6), ' ')), '\"}'))), ']')"
+
+  private val chatDegenFixtureDuck: String =
+    "'[' || array_to_string(list_transform(generate_series(0, 3), i -> " +
+      "'{\"role\":\"' || CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END || " +
+      "'\",\"content\":\"' || " +
+      "CASE WHEN i % 2 = 1 AND doc_id % 3 = 0 THEN 'loop loop loop loop loop end' " +
+      "ELSE coalesce(array_to_string((list_filter(string_split(" +
+      "regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '), " +
+      "x -> x <> ''))[(i * 6 + 1):(i * 6 + 6)], ' '), '') END || '\"}'), ',') || ']'"
+
   /** Quarantine fixture (round 17): wraps a conversation fixture with
     * planted contract violations by doc_id residue — NULL conv,
     * truncated JSON (unterminated string), the empty array, a renamed
@@ -1884,6 +1907,48 @@ object Queries {
              |FROM (SELECT doc_id, len(text)::BIGINT AS len_chars,
              |             ${graft.ops.Bpe.duckTokenCountExpr("text")} AS n_bpe
              |      FROM documents) s""".stripMargin)),
+
+    // model-output DEGENERATION detection (round 18): repetition
+    // signals at ASSISTANT-TURN grain — the decoding-loop audit a
+    // document-grain quality gate never sees (the loop lives inside
+    // one turn of an otherwise-normal conversation). Composition:
+    // assistant turns explode row-locally, then the existing
+    // repetition machinery scores each turn; every 3rd doc plants a
+    // looped turn (top-bigram 0.8) against normal 6-word slices
+    QueryDef("chat_degeneration",
+      (s, dir) => graft.ops.TextAnalysis.repetitionSignalsLocal(
+        graft.ops.Chat.assistantTurns(
+          t(s, dir, "documents").withColumn("conv", expr(chatDegenFixtureSpark)),
+          "doc_id", "conv")
+          .withColumn("turn_key", expr("doc_id * 100 + turn_idx")),
+        "turn_key", "content"),
+      Some(graft.ops.TextAnalysis.repetitionSignalsSql(
+        s"""(SELECT doc_id * 100 + turn_idx AS turn_key, content
+           | FROM (${graft.ops.Chat.assistantTurnsSql(
+                s"(SELECT doc_id, $chatDegenFixtureDuck AS conv FROM documents)",
+                "doc_id", "conv")}))""".stripMargin,
+        "turn_key", "content"))),
+
+    // reward-model calibration (round 18): pairs bucketed by
+    // |margin| confidence (500-milli bins, ties their own bucket),
+    // per-bucket accuracy in milli — the margin-trust audit before any
+    // margin-gated filtering. The fixture's margin rule spans ties,
+    // wrong-preference negatives, and three confidence bins
+    QueryDef("pref_rm_calibration",
+      (s, dir) => graft.ops.Preference.rmCalibration(
+        t(s, dir, "events")
+          .withColumn("score_chosen", expr(
+            "cast(cast(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .withColumn("score_rejected", expr(
+            "score_chosen - (event_id % 9 - 2) * 300")),
+        "score_chosen", "score_rejected"),
+      Some(graft.ops.Preference.rmCalibrationSql(
+        """(SELECT score_chosen,
+          |  score_chosen - (event_id % 9 - 2) * 300 AS score_rejected
+          |FROM (SELECT event_id,
+          |        (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS score_chosen
+          |      FROM events))""".stripMargin,
+        "score_chosen", "score_rejected"))),
 
     // pass@k (round 18): the unbiased sampled-eval estimator
     // (1 - C(n-c,k)/C(n,k), stepwise-truncating fixed point, unrolled

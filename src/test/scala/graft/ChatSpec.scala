@@ -280,6 +280,19 @@ class ChatSpec extends SparkSpec {
       "no head, nothing fits: zero turns, bare terminator")
   }
 
+  test("assistantTurns: assistant content at 1-based turn positions, others filtered") {
+    val tdf = Seq(
+      (1L, conv("system" -> "s", "user" -> "q1", "assistant" -> "a1",
+        "user" -> "q2", "assistant" -> "a2")),
+      (2L, conv("user" -> "only user")),
+      (3L, "[]"))
+      .toDF("doc_id", "conv")
+    val out = Chat.assistantTurns(tdf, "doc_id", "conv")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(out === Map((1L, 3L) -> "a1", (1L, 5L) -> "a2"),
+      "turn_idx is the 1-based position in the FULL conversation")
+  }
+
   test("chatTruncate in the BPE lens: renders never exceed the packed budget in BPE tokens") {
     // The round-17 finding: truncation budgeted word-ish tokens while
     // chatPackMasked budgets BPE — a "fitting" conversation could still
