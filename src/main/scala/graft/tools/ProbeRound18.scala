@@ -88,6 +88,27 @@ object ProbeRound18 {
       if (on("fertility")) time("bpe_fertility_report x 1M docs")(
         run(graft.ops.Bpe.bpeFertility(
           spark.read.parquet(s"$dir/documents.parquet"), "text", "lang")))
+      if (on("evalrm")) {
+        val samples = spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("prompt_id", expr("event_id % 1000000"))
+          .withColumn("passed", expr("(event_id % 5) < 2"))
+        time("eval_pass_at_k (k=1,5,10) x 20M samples / 1M prompts")(
+          run(graft.ops.PassAtK.passAtK(
+            samples, "prompt_id", "passed", ks = Seq(1, 5, 10))))
+        val scored = spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("score_chosen", expr(
+            "cast(cast(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .withColumn("score_rejected", expr(
+            "score_chosen - (event_id % 9 - 2) * 300"))
+        time("pref_rm_calibration x 20M pairs")(
+          run(graft.ops.Preference.rmCalibration(
+            scored, "score_chosen", "score_rejected")))
+      }
+      if (on("degen")) time("chat_degeneration (24 asst turns/conv) x 1M")(
+        run(graft.ops.TextAnalysis.repetitionSignalsLocal(
+          graft.ops.Chat.assistantTurns(docs, "doc_id", "conv")
+            .withColumn("turn_key", expr("doc_id * 100 + turn_idx")),
+          "turn_key", "content")))
     }
     spark.stop()
   }
