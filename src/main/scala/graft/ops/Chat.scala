@@ -661,6 +661,29 @@ object Chat {
       .select(col(id), (col("pos") + 1).cast("long").as("turn_idx"),
         col("col.content").as("content"))
 
+  /** ALL-roles turn grain — the [[assistantTurns]] frame without the
+    * role filter (PII hides in user turns too; the `chat_scrub`
+    * composition scrubs every side). Turn-grain output is deliberate:
+    * re-serializing the conversation to JSON would hash-compare
+    * engine-specific escaping/key-order, while (id, turn_idx, role,
+    * content) rows reassemble losslessly.
+    */
+  def allTurns(df: DataFrame, id: String, conv: String): DataFrame =
+    withTurns(graft.functions.VectorFunctions.attach(df), conv)
+      .select(col(id), posexplode(col("__c")))
+      .select(col(id), (col("pos") + 1).cast("long").as("turn_idx"),
+        col("col.role").as("role"), col("col.content").as("content"))
+
+  /** DuckDB twin of [[allTurns]]. */
+  def allTurnsSql(table: String, id: String, conv: String): String =
+    s"""SELECT $id, i::BIGINT AS turn_idx, role, content FROM (
+       |  SELECT $id, i,
+       |    json_extract_string(conv, '$$[' || (i - 1) || '].role') AS role,
+       |    json_extract_string(conv, '$$[' || (i - 1) || '].content') AS content
+       |  FROM (SELECT $id, $conv AS conv,
+       |          unnest(generate_series(1, json_array_length(($conv)::JSON)::BIGINT)) AS i
+       |        FROM $table))""".stripMargin
+
   /** DuckDB twin of [[assistantTurns]]. */
   def assistantTurnsSql(table: String, id: String, conv: String): String =
     s"""SELECT $id, i::BIGINT AS turn_idx, content FROM (

@@ -1908,6 +1908,45 @@ object Queries {
              |             ${graft.ops.Bpe.duckTokenCountExpr("text")} AS n_bpe
              |      FROM documents) s""".stripMargin)),
 
+    // conversation PII scrub (round 18): the pretraining privacy pass
+    // applied INSIDE turns — emails/URLs/long digit runs redacted with
+    // typed placeholders at (conversation, turn) grain (turn rows
+    // reassemble losslessly; re-serializing JSON would hash-compare
+    // engine escaping). Every 4th doc's user turn plants an email +
+    // URL + account number; assistant turns stay clean — so redaction
+    // counts separate by role
+    QueryDef("chat_scrub",
+      (s, dir) => graft.ops.TextAnalysis.scrubPii(
+        graft.ops.Chat.allTurns(
+          t(s, dir, "documents").withColumn("conv", expr(
+            "concat('[', concat_ws(',', transform(sequence(0, 1), i -> " +
+              "concat('{\"role\":\"', IF(i = 0, 'user', 'assistant'), " +
+              "'\",\"content\":\"', " +
+              "IF(i = 0 AND doc_id % 4 = 0, " +
+              "concat('reach me at user', doc_id, '@example.com or ', " +
+              "'https://ex.com/d/', doc_id, ' account 1234567890', doc_id), " +
+              "array_join(slice(filter(split(regexp_replace(lower(text), " +
+              "'[^a-z0-9 ]', ''), ' '), x -> x != ''), " +
+              "cast(i * 6 + 1 AS INT), 6), ' ')), '\"}'))), ']')")),
+          "doc_id", "conv")
+          .withColumn("turn_key", expr("doc_id * 100 + turn_idx")),
+        "turn_key", "content"),
+      Some(graft.ops.TextAnalysis.scrubPiiSql(
+        s"""(SELECT doc_id * 100 + turn_idx AS turn_key, content
+           | FROM (${graft.ops.Chat.allTurnsSql(
+             """(SELECT doc_id, '[' || array_to_string(list_transform(generate_series(0, 1), i ->
+               |  '{"role":"' || CASE WHEN i = 0 THEN 'user' ELSE 'assistant' END ||
+               |  '","content":"' ||
+               |  CASE WHEN i = 0 AND doc_id % 4 = 0
+               |       THEN 'reach me at user' || doc_id || '@example.com or ' ||
+               |            'https://ex.com/d/' || doc_id || ' account 1234567890' || doc_id
+               |       ELSE coalesce(array_to_string((list_filter(string_split(
+               |         regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '),
+               |         x -> x <> ''))[(i * 6 + 1):(i * 6 + 6)], ' '), '') END ||
+               |  '"}'), ',') || ']' AS conv FROM documents)""".stripMargin,
+             "doc_id", "conv")}))""".stripMargin,
+        "turn_key", "content"))),
+
     // model-output DEGENERATION detection (round 18): repetition
     // signals at ASSISTANT-TURN grain — the decoding-loop audit a
     // document-grain quality gate never sees (the loop lives inside
