@@ -775,6 +775,49 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming RM calibration and fertility report maintain themselves in complete mode") {
+    // both are single-level distributive aggs (bucket/language counts
+    // and sums; the milli divisions are post-agg projections) — the
+    // live RM-trust and tokenizer-efficiency dashboards. passAtK is
+    // the chained-agg case: its per-prompt (n, c) level would maintain
+    // and the per-k rollup reads it (the trajectory episodeAgg
+    // convention); not re-pinned here.
+    implicit val sq = spark.sqlContext
+    val pairs = MemoryStream[(Long, Long)]
+    val rm = graft.ops.Preference.rmCalibration(
+      pairs.toDF().toDF("sc", "sr"), "sc", "sr")
+      .writeStream.format("memory").queryName("rm_stream")
+      .outputMode("complete").start()
+    val docs = MemoryStream[(String, String)]
+    val fert = graft.ops.Bpe.bpeFertility(
+      docs.toDF().toDF("text", "lang"), "text", "lang")
+      .writeStream.format("memory").queryName("fert_stream")
+      .outputMode("complete").start()
+    try {
+      val p1 = Seq((1500L, 1000L), (1000L, 1000L), (900L, 2000L))
+      val p2 = Seq((5000L, 1000L), (1200L, 1100L))
+      pairs.addData(p1: _*); rm.processAllAvailable()
+      pairs.addData(p2: _*); rm.processAllAvailable()
+      val rmStream = spark.table("rm_stream")
+        .as[(Long, Long, Long)].collect().toSet
+      val rmBatch = graft.ops.Preference.rmCalibration(
+        (p1 ++ p2).toDF("sc", "sr"), "sc", "sr")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rmStream === rmBatch)
+
+      val d1 = Seq(("the thing", "en"), ("rest and motion", "en"))
+      val d2 = Seq(("more of the thing", "en"), ("", "zz"))
+      docs.addData(d1: _*); fert.processAllAvailable()
+      docs.addData(d2: _*); fert.processAllAvailable()
+      val fStream = spark.table("fert_stream")
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+      val fBatch = graft.ops.Bpe.bpeFertility(
+        (d1 ++ d2).toDF("text", "lang"), "text", "lang")
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(fStream === fBatch)
+    } finally { rm.stop(); fert.stop() }
+  }
+
   test("streaming log-quantile sketch: bucket counters maintain themselves as a streaming agg") {
     // Same property as the HLL test for the quantile rung: the bucket
     // agg is distributive, so complete mode converges to the batch
