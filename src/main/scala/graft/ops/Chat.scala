@@ -655,11 +655,8 @@ object Chat {
     * of an otherwise-normal conversation).
     */
   def assistantTurns(df: DataFrame, id: String, conv: String): DataFrame =
-    withTurns(graft.functions.VectorFunctions.attach(df), conv)
-      .select(col(id), posexplode(col("__c")))
-      .where(expr("col.role = 'assistant'"))
-      .select(col(id), (col("pos") + 1).cast("long").as("turn_idx"),
-        col("col.content").as("content"))
+    allTurns(df, id, conv)
+      .where(col("role") === "assistant").drop("role")
 
   /** ALL-roles turn grain — the [[assistantTurns]] frame without the
     * role filter (PII hides in user turns too; the `chat_scrub`
@@ -684,15 +681,12 @@ object Chat {
        |          unnest(generate_series(1, json_array_length(($conv)::JSON)::BIGINT)) AS i
        |        FROM $table))""".stripMargin
 
-  /** DuckDB twin of [[assistantTurns]]. */
+  /** DuckDB twin of [[assistantTurns]] — the all-roles twin filtered,
+    * so the turn-extraction scaffold lives in ONE place per dialect.
+    */
   def assistantTurnsSql(table: String, id: String, conv: String): String =
-    s"""SELECT $id, i::BIGINT AS turn_idx, content FROM (
-       |  SELECT $id, i,
-       |    json_extract_string(conv, '$$[' || (i - 1) || '].role') AS role,
-       |    json_extract_string(conv, '$$[' || (i - 1) || '].content') AS content
-       |  FROM (SELECT $id, $conv AS conv,
-       |          unnest(generate_series(1, json_array_length(($conv)::JSON)::BIGINT)) AS i
-       |        FROM $table))
+    s"""SELECT $id, turn_idx, content
+       |FROM (${allTurnsSql(table, id, conv)})
        |WHERE role = 'assistant'""".stripMargin
 
   def chatQuarantine(df: DataFrame, id: String, conv: String): DataFrame =

@@ -5,8 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Data-MIXTURE planning (round 18) — the sampling-weight stage of a
   * pretraining run: given the corpus's per-source token masses and a
-  * target mixture (relative milli weights, the published-recipe shape
-  * of Pile/LLaMA-style source tables), compute each source's sampling
+  * target mixture (ABSOLUTE milli fractions of the final mix — a
+  * source at 300 wants 30% of total tokens; weights should sum to
+  * <= 1000 and are NOT renormalized, so scaling them all down scales
+  * the whole plan down — the published-recipe shape of
+  * Pile/LLaMA-style source tables), compute each source's sampling
   * factor in EPOCHS-MILLI (1000 = read the source once), capped at
   * `maxEpochMilli` so a small high-quality source is never repeated
   * past the memorization budget (the public multi-epoch guidance), and
@@ -39,9 +42,9 @@ object Mixture {
       s"WHEN $col = '$s' THEN CAST($w AS BIGINT)"
     }.mkString("CASE ", " ", " ELSE CAST(0 AS BIGINT) END")
 
-  /** Per-source sampling plan; `targets` are relative milli weights
-    * (the committed-constant pattern — one Scala literal rendered into
-    * both dialects).
+  /** Per-source sampling plan; `targets` are absolute milli fractions
+    * of the final mix (the committed-constant pattern — one Scala
+    * literal rendered into both dialects).
     */
   def mixPlan(df: DataFrame, text: String, source: String,
               targets: Seq[(String, Int)],

@@ -500,7 +500,7 @@ object Queries {
   /** RL trajectory fixture (round 18): episodes from the events table
     * — trajectory = user, step = dense row_number by (ts, event_id),
     * reward = value in milli SHIFTED −1500 so penalty steps carry mass
-    * (negative rewards exercise the floor-division rule end-to-end),
+    * (negative rewards exercise the truncating signed division end-to-end),
     * policy from the user residue.
     */
   private def trajFixtureSpark(s: org.apache.spark.sql.SparkSession,
@@ -527,7 +527,7 @@ object Queries {
 
     // discounted return-to-go per (trajectory, step): the compiled
     // backward-recurrence kernel vs the oracle's recursive CTE —
-    // integer milli with FLOOR division (negative rewards carry
+    // integer milli with TRUNCATING division (negative rewards carry
     // fixture mass, so the signed rounding is hash-checked)
     QueryDef("traj_returns",
       (s, dir) => graft.ops.Trajectory.trajReturns(

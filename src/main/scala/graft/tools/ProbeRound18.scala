@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * same table.
   *
   * Usage: runMain graft.tools.ProbeRound18 [probeDir] [what,csv]
-  * with what from {baseline,traj,truncbpe,fertility}.
+  * with what from {baseline,traj,truncbpe,fertility,evalrm,degen}.
   */
 object ProbeRound18 {
   def main(args: Array[String]): Unit = {
