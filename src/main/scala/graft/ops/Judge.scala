@@ -227,6 +227,63 @@ object Judge {
        |    FROM $table WHERE $a <> $b)
        |  GROUP BY m)""".stripMargin
 
+  /** LENGTH-BIAS report (round 18) — the verbosity audit, the arena
+    * literature's second-best-documented judge artifact after position
+    * bias: LLM judges systematically favor the LONGER response, and a
+    * corpus where the longer side's win rate rises with the length gap
+    * is measuring verbosity, not quality. Matches are bucketed by the
+    * absolute response-length difference (fixed-width bins, top bin
+    * open, the [[Preference.rmCalibration]] convention) and each
+    * bucket reports the LONGER side's win rate in milli — half-win
+    * scoring exactly as [[pairAgg]] (an unmatched/NULL winner is a
+    * tie). Equal-length matches are their own bucket (`bin = -1`):
+    * there is no longer side to credit, and folding them anywhere
+    * else would dilute the profile. Self-matches out of domain. A
+    * healthy judge reads ~500 flat across bins; a rising curve is the
+    * bias.
+    *
+    * Plan shape: one scan into a |bins|-row partial-agged exchange —
+    * the response TEXT never moves, only its precomputed lengths.
+    */
+  def lengthBias(df: DataFrame, a: String, b: String, winner: String,
+                 lenA: String, lenB: String, binWidth: Int = 200,
+                 bins: Int = 8): DataFrame =
+    df.where(col(a) =!= col(b))
+      .select(
+        expr(s"IF($lenA = $lenB, CAST(-1 AS BIGINT), " +
+          s"least(abs($lenA - $lenB) div $binWidth, " +
+          s"CAST(${bins - 1} AS BIGINT)))").as("bin"),
+        when(col(lenA) === col(lenB), lit(1L)) // no longer side: tie row
+          .when(col(winner) === when(col(lenA) > col(lenB), col(a))
+            .otherwise(col(b)), lit(2L))
+          .when(col(winner) === when(col(lenA) > col(lenB), col(b))
+            .otherwise(col(a)), lit(0L))
+          .otherwise(lit(1L)).as("__hw"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_matches"), sum(col("__hw")).as("__s"))
+      .select(col("bin"), col("n_matches"),
+        expr("CAST(__s * 1000 div (n_matches * 2) AS BIGINT)")
+          .as("longer_win_milli"))
+
+  /** DuckDB twin of [[lengthBias]]. */
+  def lengthBiasSql(table: String, a: String, b: String, winner: String,
+                    lenA: String, lenB: String, binWidth: Int = 200,
+                    bins: Int = 8): String =
+    s"""SELECT bin, count(*) AS n_matches,
+       |  (sum(hw) * 1000 // (count(*) * 2))::BIGINT AS longer_win_milli
+       |FROM (
+       |  SELECT CASE WHEN $lenA = $lenB THEN -1
+       |              ELSE least(abs($lenA - $lenB) // $binWidth, ${bins - 1})
+       |         END::BIGINT AS bin,
+       |    CASE WHEN $lenA = $lenB THEN 1
+       |         WHEN $winner = (CASE WHEN $lenA > $lenB THEN $a ELSE $b END)
+       |           THEN 2
+       |         WHEN $winner = (CASE WHEN $lenA > $lenB THEN $b ELSE $a END)
+       |           THEN 0
+       |         ELSE 1 END AS hw
+       |  FROM $table WHERE $a <> $b)
+       |GROUP BY bin""".stripMargin
+
   /** Inter-judge AGREEMENT at judge-pair grain — the trust check on a
     * multi-judge labeling table `(item, judge, verdict)`: for every
     * unordered judge pair, how many items both judged and how often

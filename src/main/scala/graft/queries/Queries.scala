@@ -585,6 +585,26 @@ object Queries {
       Some(graft.ops.Judge.positionBiasSql(
         judgeFixtureDuckRel, "model_a", "model_b", "winner"))),
 
+    // length-bias report (round 18): matches bucketed by the absolute
+    // response-length gap, the LONGER side's win-milli per bucket —
+    // the verbosity audit next to judge_position_bias. The fixture's
+    // lengths come from doc stats and its winner rule favors the
+    // longer side on 2-of-3 residues, so the planted bias is visible;
+    // equal-length matches land in the -1 bucket
+    QueryDef("judge_length_bias",
+      (s, dir) => graft.ops.Judge.lengthBias(
+        judgeFixtureSpark(s, dir)
+          .withColumn("len_a", expr("n_chars"))
+          .withColumn("len_b", expr("cast(n_chars * (doc_id % 4 + 2) div 3 AS BIGINT)")),
+        "model_a", "model_b", "winner", "len_a", "len_b", binWidth = 50),
+      Some(graft.ops.Judge.lengthBiasSql(
+        s"""(SELECT f.*, n_chars AS len_a,
+           |  (n_chars * (f.doc_id % 4 + 2) // 3)::BIGINT AS len_b
+           |FROM $judgeFixtureDuckRel f
+           |JOIN (SELECT doc_id, n_chars FROM documents) d
+           |  ON f.doc_id = d.doc_id)""".stripMargin,
+        "model_a", "model_b", "winner", "len_a", "len_b", binWidth = 50))),
+
     // inter-judge agreement over a 3-judge labeling fixture (3 verdicts
     // per doc, deterministic partial agreement): raw agree rates in
     // milli at judge-pair grain — the trust check before judgments

@@ -144,6 +144,44 @@ class JudgeSpec extends SparkSpec {
     assert(o("q") === ((0L, 0L, 1L, 0L, 0L)))
   }
 
+  test("lengthBias: longer-side win rate per gap bucket exposes planted verbosity bias") {
+    // small gaps (bin 0): longer side wins 1 of 2 -> 500;
+    // big gaps (capped bin): longer side wins all -> 1000;
+    // equal lengths -> bin -1, forced tie rows -> 500;
+    // tie-string winner counts half; self-match dropped
+    val df = Seq(
+      (1L, "a", "b", "a", 150L, 100L),  // small gap, longer (a) wins
+      (2L, "a", "b", "b", 100L, 150L),  // small gap, longer (b) wins... both -> longer wins
+      (3L, "a", "b", "b", 160L, 100L),  // small gap, SHORTER wins
+      (4L, "a", "b", "a", 2000L, 100L), // huge gap, longer wins
+      (5L, "b", "a", "b", 90L, 2100L),  // huge gap, longer (b? len_a=90 < len_b) -> b is... model_a='b' len 90; model_b='a' len 2100 -> longer is model 'a', winner 'b' -> shorter wins? no: winner 'b' = the 90-len side -> 0
+      (6L, "a", "b", "tie", 999L, 1L),  // huge gap, tie string -> half
+      (7L, "a", "b", "a", 500L, 500L),  // equal -> bin -1
+      (8L, "x", "x", "x", 10L, 10L))    // self-match dropped
+      .toDF("doc_id", "model_a", "model_b", "winner", "len_a", "len_b")
+    val m = Judge.lengthBias(df, "model_a", "model_b", "winner",
+      "len_a", "len_b", binWidth = 200, bins = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // bin 0 (gap < 200): rows 1, 2 (longer wins: hw 2, 2), row 3
+    // (shorter wins: 0) -> 4 of 6 half-wins -> 666
+    assert(m(0L) === ((3L, 666L)))
+    // capped bin 3 (gap >= 600): rows 4 (2), 5 (0), 6 (1) -> 3/6 -> 500
+    assert(m(3L) === ((3L, 500L)))
+    assert(m(-1L) === ((1L, 500L)), "equal lengths are the undecidable bucket")
+    assert(!m.contains(10L) && m.values.map(_._1).sum === 7L,
+      "self-match dropped, everything else counted once")
+
+    // twin replay (DuckDB dialect -> Spark)
+    df.createOrReplaceTempView("lenbias_fixture")
+    val twin = spark.sql(Judge.lengthBiasSql("lenbias_fixture",
+      "model_a", "model_b", "winner", "len_a", "len_b",
+      binWidth = 200, bins = 4)
+      .replace("//", "div").replace("::BIGINT", ""))
+      .collect().map(r => r.getAs[Number](0).longValue ->
+        (r.getAs[Number](1).longValue, r.getAs[Number](2).longValue)).toMap
+    assert(twin === m)
+  }
+
   test("agreement: maxJudges drops degenerate panels before the quadratic explode") {
     // item 1: a 3-judge panel; item 2: a 5-judge pile-on. With
     // maxJudges = 3 item 2 contributes NOTHING — numerator and
