@@ -554,6 +554,54 @@ object Queries {
       Some(graft.ops.Trajectory.trajAdvantageSql(
         trajFixtureDuckRel, "user_id", "step", "reward_milli", "policy"))),
 
+    // COMPOSED: events -> gap-based sessionization -> discounted
+    // returns (round 18): the full rollout-ingest path — raw event
+    // streams carry no episode ids, so episodes come from the
+    // sessionize gap rule (30-min silence = episode boundary, the
+    // session_agg numbering), then the trajectory family consumes the
+    // derived (episode, dense step) frame. Proves the families
+    // compose without a bespoke bridge.
+    QueryDef("traj_from_sessions",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val running = byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val stepped = t(s, dir, "events")
+          .withColumn("__prev_us", lag(expr("unix_micros(ts)"), 1).over(byUser))
+          .withColumn("__new", when(col("__prev_us").isNull ||
+            expr("unix_micros(ts)") - col("__prev_us") > 30L * 60 * 1000000,
+            1L).otherwise(0L))
+          .withColumn("session_no", sum(col("__new")).over(running))
+          .withColumn("traj_id", expr("user_id * 10000 + session_no"))
+          .withColumn("step", expr(
+            "row_number() OVER (PARTITION BY user_id, session_no " +
+              "ORDER BY ts, event_id)"))
+          .withColumn("reward_milli", expr(
+            "cast(cast(value AS DECIMAL(18,2)) * 1000 AS BIGINT) - 1500"))
+        graft.ops.Trajectory.trajReturns(
+          stepped, "traj_id", "step", "reward_milli")
+      },
+      Some(graft.ops.Trajectory.trajReturnsSql(
+        """(WITH flagged AS (
+          |  SELECT user_id, ts, event_id, value,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+          |         THEN 1 ELSE 0 END AS new_session
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |SELECT (user_id * 10000 + session_no)::BIGINT AS traj_id,
+          |  row_number() OVER (PARTITION BY user_id, session_no
+          |    ORDER BY ts, event_id) AS step,
+          |  (CAST(value AS DECIMAL(18,2)) * 1000)::BIGINT - 1500 AS reward_milli
+          |FROM (
+          |  SELECT user_id, ts, event_id, value,
+          |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+          |  FROM flagged))""".stripMargin,
+        "traj_id", "step", "reward_milli"))),
+
     // ===== pairwise-judgment analytics (round 17): LLM-judge matches ====
 
     // win-rate matrix over a planted match fixture: model_a/model_b
