@@ -1976,6 +1976,28 @@ object Queries {
              |             ${graft.ops.Bpe.duckTokenCountExpr("text")} AS n_bpe
              |      FROM documents) s""".stripMargin)),
 
+    // canary-string memorization audit (round 18): exact substring
+    // scan for planted markers — one canary in exactly one doc (the
+    // healthy control), one leaked into every 7th doc (duplication),
+    // one in zero docs (eaten by dedup — the rung that must report 0,
+    // not vanish). One corpus scan, |canaries| conditional sums
+    QueryDef("canary_scan",
+      (s, dir) => graft.ops.Canary.canaryScan(
+        t(s, dir, "documents").withColumn("text2", expr(
+          "concat(text, IF(doc_id = 42, ' CANARY-a7f3-unique', ''), " +
+            "IF(doc_id % 7 = 0, ' CANARY-99b1-leaked', ''))")),
+        "text2", Seq("CANARY-a7f3-unique", "CANARY-99b1-leaked",
+          "CANARY-0000-eaten")),
+      Some(graft.ops.Canary.canaryScanSql(
+        // single line: a leading || would be eaten by the outer
+        // builder's stripMargin (nested-margin trap)
+        "(SELECT concat(text, " +
+          "CASE WHEN doc_id = 42 THEN ' CANARY-a7f3-unique' ELSE '' END, " +
+          "CASE WHEN doc_id % 7 = 0 THEN ' CANARY-99b1-leaked' ELSE '' END" +
+          ") AS text2 FROM documents)",
+        "text2", Seq("CANARY-a7f3-unique", "CANARY-99b1-leaked",
+          "CANARY-0000-eaten")))),
+
     // conversation PII scrub (round 18): the pretraining privacy pass
     // applied INSIDE turns — emails/URLs/long digit runs redacted with
     // typed placeholders at (conversation, turn) grain (turn rows
