@@ -689,6 +689,53 @@ object Chat {
        |FROM (${allTurnsSql(table, id, conv)})
        |WHERE role = 'assistant'""".stripMargin
 
+  /** Language-CONSISTENCY audit (round 18) — the code-switch check an
+    * SFT curation runs per conversation: every turn gets the langid
+    * argmax ([[TextAnalysis.langPredExpr]], the committed marker
+    * lists), and the conversation reports its turn count, the number
+    * of distinct non-'und' languages, the dominant language's share
+    * of turns in milli, and a `consistent` flag (≤1 language).
+    * Undetermined turns are NEUTRAL: they count in the share
+    * denominator (they dilute dominance) but never as a language —
+    * a conversation of one en turn and one und turn is consistent,
+    * not bilingual. No dominant-language NAME column by design: the
+    * argmax tie-break across engines would pin an arbitrary order on
+    * a question the audit doesn't ask.
+    *
+    * Plan shape: one parse + row-local turn explode, then two
+    * partial-agged keyed exchanges ((conv, lang) then conv) — the
+    * langid kernel runs per turn inside the scan projection.
+    */
+  def chatLangConsistency(df: DataFrame, id: String,
+                          conv: String): DataFrame =
+    allTurns(df, id, conv)
+      .select(col(id), expr(
+        graft.ops.TextAnalysis.langPredExpr("content")).as("__lp"))
+      .groupBy(col(id), col("__lp"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(id))
+      .agg(sum(col("__n")).as("n_turns"),
+        sum(when(col("__lp") =!= "und", 1L).otherwise(0L)).as("n_langs"),
+        max(when(col("__lp") =!= "und", col("__n")).otherwise(0L)).as("__top"))
+      .select(col(id), col("n_turns"), col("n_langs"),
+        expr("CAST(__top * 1000 div n_turns AS BIGINT)").as("top_share_milli"),
+        (col("n_langs") <= 1L).as("consistent"))
+
+  /** DuckDB twin of [[chatLangConsistency]]. */
+  def chatLangConsistencySql(table: String, id: String,
+                             conv: String): String =
+    s"""SELECT $id, sum(n)::BIGINT AS n_turns,
+       |  sum(CASE WHEN lang_pred <> 'und' THEN 1 ELSE 0 END)::BIGINT AS n_langs,
+       |  (max(CASE WHEN lang_pred <> 'und' THEN n ELSE 0 END) * 1000
+       |    // sum(n))::BIGINT AS top_share_milli,
+       |  sum(CASE WHEN lang_pred <> 'und' THEN 1 ELSE 0 END) <= 1 AS consistent
+       |FROM (
+       |  SELECT $id, lang_pred, count(*) AS n
+       |  FROM (${graft.ops.TextAnalysis.langIdSql(
+              s"(${allTurnsSql(table, id, conv)})", id, "content")})
+       |  GROUP BY 1, 2)
+       |GROUP BY $id""".stripMargin
+
   def chatQuarantine(df: DataFrame, id: String, conv: String): DataFrame =
     df.withColumn("__c", expr(s"from_json($conv, '$turnsSchema')"))
       .withColumn("reason", expr(

@@ -1976,6 +1976,32 @@ object Queries {
              |             ${graft.ops.Bpe.duckTokenCountExpr("text")} AS n_bpe
              |      FROM documents) s""".stripMargin)),
 
+    // conversation language-consistency audit (round 18): per-turn
+    // langid argmax rolled up to conversation grain — code-switched
+    // conversations (every 4th doc: en user turn + es assistant turn)
+    // flag inconsistent; every 5th doc's marker-free assistant turn
+    // lands 'und' and stays NEUTRAL (dilutes dominance, never counts
+    // as a language)
+    QueryDef("chat_lang_consistency",
+      (s, dir) => graft.ops.Chat.chatLangConsistency(
+        t(s, dir, "documents").withColumn("conv", expr(
+          "concat('[', " +
+            "'{\"role\":\"user\",\"content\":\"the cat of and to\"},', " +
+            "'{\"role\":\"assistant\",\"content\":\"', " +
+            "CASE WHEN doc_id % 4 = 0 THEN 'el la que y perro' " +
+            "WHEN doc_id % 5 = 0 THEN 'zzz qqq www' " +
+            "ELSE 'the dog and of to' END, '\"}', ']')")),
+        "doc_id", "conv"),
+      Some(graft.ops.Chat.chatLangConsistencySql(
+        "(SELECT doc_id, '[' || " +
+          "'{\"role\":\"user\",\"content\":\"the cat of and to\"},' || " +
+          "'{\"role\":\"assistant\",\"content\":\"' || " +
+          "CASE WHEN doc_id % 4 = 0 THEN 'el la que y perro' " +
+          "WHEN doc_id % 5 = 0 THEN 'zzz qqq www' " +
+          "ELSE 'the dog and of to' END || '\"}' || ']' AS conv " +
+          "FROM documents)",
+        "doc_id", "conv"))),
+
     // canary-string memorization audit (round 18): exact substring
     // scan for planted markers — one canary in exactly one doc (the
     // healthy control), one leaked into every 7th doc (duplication),
