@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * same table.
   *
   * Usage: runMain graft.tools.ProbeRound18 [probeDir] [what,csv]
-  * with what from {baseline,traj,truncbpe,fertility,evalrm,degen}.
+  * with what from {baseline,traj,truncbpe,fertility,evalrm,judge2,canary,degen}.
   */
 object ProbeRound18 {
   def main(args: Array[String]): Unit = {
@@ -104,6 +104,26 @@ object ProbeRound18 {
           run(graft.ops.Preference.rmCalibration(
             scored, "score_chosen", "score_rejected")))
       }
+      if (on("judge2")) {
+        val matches = spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("model_a", expr("concat('m', user_id % 10)"))
+          .withColumn("model_b", expr("concat('m', event_id % 10)"))
+          .withColumn("winner", expr(
+            "IF(event_id % 11 = 0, NULL, " +
+              "IF(event_id % 3 = 0, model_b, model_a))"))
+          .withColumn("len_a", expr("cast(100 + event_id % 3000 AS BIGINT)"))
+          .withColumn("len_b", expr("cast(100 + (event_id * 7) % 3000 AS BIGINT)"))
+        time("judge_position_bias x 20M matches")(
+          run(graft.ops.Judge.positionBias(
+            matches, "model_a", "model_b", "winner")))
+        time("judge_length_bias x 20M matches")(
+          run(graft.ops.Judge.lengthBias(
+            matches, "model_a", "model_b", "winner", "len_a", "len_b")))
+      }
+      if (on("canary")) time("canary_scan (8 canaries) x 1M docs")(
+        run(graft.ops.Canary.canaryScan(
+          spark.read.parquet(s"$dir/documents.parquet"), "text",
+          (1 to 8).map(i => s"CANARY-$i-never-present"))))
       if (on("degen")) time("chat_degeneration (24 asst turns/conv) x 1M")(
         run(graft.ops.TextAnalysis.repetitionSignalsLocal(
           graft.ops.Chat.assistantTurns(docs, "doc_id", "conv")
