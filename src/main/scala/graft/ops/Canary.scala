@@ -33,8 +33,13 @@ object Canary {
   def canaryScan(df: DataFrame, text: String,
                  canaries: Seq[String]): DataFrame = {
     require(canaries.nonEmpty, "canaryScan needs at least one canary")
+    // coalesce: sum over an EMPTY corpus is NULL on both engines, and
+    // the audit's contract is that an absent canary reports 0, not
+    // NULL — the all-eaten corpus is exactly the disaster case the
+    // scan exists to catch (round-18 self-review finding)
     val sums = canaries.zipWithIndex.map { case (c, i) =>
-      sum(when(col(text).contains(c), 1L).otherwise(0L)).as(s"__c$i")
+      coalesce(sum(when(col(text).contains(c), 1L).otherwise(0L)), lit(0L))
+        .as(s"__c$i")
     }
     val unpivot = canaries.zipWithIndex.map { case (c, i) =>
       s"named_struct('canary', '${esc(c)}', 'n_docs', __c$i)"
@@ -49,7 +54,7 @@ object Canary {
                     canaries: Seq[String]): String = {
     val branches = canaries.map { c =>
       s"""  SELECT '${escDuck(c)}' AS canary,
-         |    sum(CASE WHEN contains($text, '${escDuck(c)}') THEN 1 ELSE 0 END)::BIGINT AS n_docs
+         |    coalesce(sum(CASE WHEN contains($text, '${escDuck(c)}') THEN 1 ELSE 0 END), 0)::BIGINT AS n_docs
          |  FROM $table""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""SELECT canary, n_docs FROM (

@@ -238,9 +238,15 @@ object Judge {
     * scoring exactly as [[pairAgg]] (an unmatched/NULL winner is a
     * tie). Equal-length matches are their own bucket (`bin = -1`):
     * there is no longer side to credit, and folding them anywhere
-    * else would dilute the profile. Self-matches out of domain. A
-    * healthy judge reads ~500 flat across bins; a rising curve is the
-    * bias.
+    * else would dilute the profile. Self-matches AND NULL-length
+    * matches are out of domain (dropped): a NULL length has no
+    * defensible bucket — without the guard, both engines' NULL-skipping
+    * `least` filed such rows into the capped top bin and the degraded
+    * longer-side CASE could credit them as decisive wins, fabricating
+    * a verbosity spike exactly where the audit looks (round-18
+    * self-review finding; oracle-blind because both engines agreed).
+    * A healthy judge reads ~500 flat across bins; a rising curve is
+    * the bias.
     *
     * Plan shape: one scan into a |bins|-row partial-agged exchange —
     * the response TEXT never moves, only its precomputed lengths.
@@ -248,7 +254,8 @@ object Judge {
   def lengthBias(df: DataFrame, a: String, b: String, winner: String,
                  lenA: String, lenB: String, binWidth: Int = 200,
                  bins: Int = 8): DataFrame =
-    df.where(col(a) =!= col(b))
+    df.where(col(a) =!= col(b) &&
+        col(lenA).isNotNull && col(lenB).isNotNull)
       .select(
         expr(s"IF($lenA = $lenB, CAST(-1 AS BIGINT), " +
           s"least(abs($lenA - $lenB) div $binWidth, " +
@@ -281,7 +288,8 @@ object Judge {
        |         WHEN $winner = (CASE WHEN $lenA > $lenB THEN $b ELSE $a END)
        |           THEN 0
        |         ELSE 1 END AS hw
-       |  FROM $table WHERE $a <> $b)
+       |  FROM $table
+       |  WHERE $a <> $b AND $lenA IS NOT NULL AND $lenB IS NOT NULL)
        |GROUP BY bin""".stripMargin
 
   /** Inter-judge AGREEMENT at judge-pair grain — the trust check on a

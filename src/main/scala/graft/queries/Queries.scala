@@ -574,7 +574,10 @@ object Queries {
             expr("unix_micros(ts)") - col("__prev_us") > 30L * 60 * 1000000,
             1L).otherwise(0L))
           .withColumn("session_no", sum(col("__new")).over(running))
-          .withColumn("traj_id", expr("user_id * 10000 + session_no"))
+          // string composite key: an arithmetic user*K+session key caps
+          // at K sessions per user and silently MERGES episodes past it
+          // (round-18 self-review finding)
+          .withColumn("traj_id", expr("concat('u', user_id, 's', session_no)"))
           .withColumn("step", expr(
             "row_number() OVER (PARTITION BY user_id, session_no " +
               "ORDER BY ts, event_id)"))
@@ -591,7 +594,7 @@ object Queries {
           |         THEN 1 ELSE 0 END AS new_session
           |  FROM events
           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-          |SELECT (user_id * 10000 + session_no)::BIGINT AS traj_id,
+          |SELECT 'u' || user_id || 's' || session_no AS traj_id,
           |  row_number() OVER (PARTITION BY user_id, session_no
           |    ORDER BY ts, event_id) AS step,
           |  (CAST(value AS DECIMAL(18,2)) * 1000)::BIGINT - 1500 AS reward_milli
@@ -645,12 +648,22 @@ object Queries {
           .withColumn("len_a", expr("n_chars"))
           .withColumn("len_b", expr("cast(n_chars * (doc_id % 4 + 2) div 3 AS BIGINT)")),
         "model_a", "model_b", "winner", "len_a", "len_b", binWidth = 50),
+      // the Spark side reads n_chars straight off judgeFixtureSpark
+      // (which deliberately does NOT project its document columns away
+      // — length_bias depends on that); the twin mirrors with ONE
+      // documents scan rather than re-joining the projected fixture rel
       Some(graft.ops.Judge.lengthBiasSql(
-        s"""(SELECT f.*, n_chars AS len_a,
-           |  (n_chars * (f.doc_id % 4 + 2) // 3)::BIGINT AS len_b
-           |FROM $judgeFixtureDuckRel f
-           |JOIN (SELECT doc_id, n_chars FROM documents) d
-           |  ON f.doc_id = d.doc_id)""".stripMargin,
+        """(SELECT doc_id, model_a, model_b,
+          |  CASE WHEN doc_id % 11 = 0 THEN NULL
+          |       WHEN doc_id % 13 = 0 THEN 'tie (bothbad)'
+          |       WHEN doc_id % 17 = 0 THEN 'm9x'
+          |       WHEN doc_id % 3 = 0 THEN model_b ELSE model_a END AS winner,
+          |  n_chars AS len_a,
+          |  (n_chars * (doc_id % 4 + 2) // 3)::BIGINT AS len_b
+          |FROM (SELECT doc_id, n_chars,
+          |        'm' || (doc_id % 5) AS model_a,
+          |        'm' || (doc_id % 7 % 5) AS model_b
+          |      FROM documents))""".stripMargin,
         "model_a", "model_b", "winner", "len_a", "len_b", binWidth = 50))),
 
     // inter-judge agreement over a 3-judge labeling fixture (3 verdicts
@@ -2010,14 +2023,16 @@ object Queries {
     QueryDef("canary_scan",
       (s, dir) => graft.ops.Canary.canaryScan(
         t(s, dir, "documents").withColumn("text2", expr(
-          "concat(text, IF(doc_id = 42, ' CANARY-a7f3-unique', ''), " +
+          // coalesce: Spark concat NULL-propagates where DuckDB concat
+          // NULL-ignores — a NULL text row would diverge the twins
+          "concat(coalesce(text, ''), IF(doc_id = 42, ' CANARY-a7f3-unique', ''), " +
             "IF(doc_id % 7 = 0, ' CANARY-99b1-leaked', ''))")),
         "text2", Seq("CANARY-a7f3-unique", "CANARY-99b1-leaked",
           "CANARY-0000-eaten")),
       Some(graft.ops.Canary.canaryScanSql(
         // single line: a leading || would be eaten by the outer
         // builder's stripMargin (nested-margin trap)
-        "(SELECT concat(text, " +
+        "(SELECT concat(coalesce(text, ''), " +
           "CASE WHEN doc_id = 42 THEN ' CANARY-a7f3-unique' ELSE '' END, " +
           "CASE WHEN doc_id % 7 = 0 THEN ' CANARY-99b1-leaked' ELSE '' END" +
           ") AS text2 FROM documents)",

@@ -171,6 +171,17 @@ class JudgeSpec extends SparkSpec {
     assert(!m.contains(10L) && m.values.map(_._1).sum === 7L,
       "self-match dropped, everything else counted once")
 
+    // NULL lengths are out of domain — without the drop, the
+    // NULL-skipping least() filed them into the capped top bin and the
+    // degraded longer-side CASE could score them as decisive wins
+    val withNull = df.unionAll(Seq(
+      (9L, "a", "b", "b", null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(100L)))
+      .toDF("doc_id", "model_a", "model_b", "winner", "len_a", "len_b"))
+    val mn = Judge.lengthBias(withNull, "model_a", "model_b", "winner",
+      "len_a", "len_b", binWidth = 200, bins = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(mn === m, "a NULL-length match must drop, not fabricate a top-bin win")
+
     // twin replay (DuckDB dialect -> Spark)
     df.createOrReplaceTempView("lenbias_fixture")
     val twin = spark.sql(Judge.lengthBiasSql("lenbias_fixture",
