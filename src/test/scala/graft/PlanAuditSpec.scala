@@ -1056,4 +1056,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"),
       s"BPE truncation is a pure map; any exchange is a regression:\n$p")
   }
+
+  test("judge_length_bias / canary_scan / eval_pass_at_k: single-pass scan shapes") {
+    // length bias: one bins-keyed exchange, partial-agged; the response
+    // text never moves (only precomputed lengths)
+    val lb = plan("judge_length_bias")
+    assert(count(lb, "Exchange hashpartitioning") == 1 &&
+      count(lb, "HashAggregate") >= 2,
+      s"length bias is one partial-agged bin exchange:\n$lb")
+    // canary: ONE scan, |canaries| conditional sums into a single
+    // global aggregate — a per-canary scan (3 scans here) or a corpus
+    // explode would both be regressions
+    val cs = plan("canary_scan")
+    assert(count(cs, "Scan parquet") == 1,
+      s"canary_scan must compute every canary in one corpus scan:\n$cs")
+    assert(count(cs, "Exchange hashpartitioning") == 0,
+      s"canary_scan's only exchange is the single-row global agg:\n$cs")
+    // pass@k: the prompt-keyed exchange carries (prompt, n, c) partial
+    // aggs, never sample rows; then the |ks|-row final agg
+    val pk = plan("eval_pass_at_k")
+    assert(count(pk, "HashAggregate") >= 4,
+      s"pass@k must partial-aggregate both levels:\n$pk")
+  }
 }
