@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Policy-optimization data preparation (round 18) — the two
+  * sample-grain reports the current public RLHF recipes read before a
+  * gradient step.
+  *
+  * [[grpoAdvantage]]: the group-relative baseline (the GRPO recipe,
+  * re-listed from the public description) — each prompt's sampled
+  * completions are baselined against their OWN group mean, no value
+  * network: `adv = r − mean(group)`. Kept as the exact scaled integer
+  * `r·n − Σr` (the [[Trajectory.trajAdvantage]] convention: rewards
+  * are signed, and no signed value is ever divided in a hashed
+  * column; the trainer normalizes in float downstream, where the
+  * per-group std it divides by lives anyway). A single-sample group
+  * reports 0 by construction.
+  *
+  * [[ppoClipStats]]: the clip-fraction report — with log-probabilities
+  * in integer MILLI-NATS, the PPO ratio `exp(Δ)` clips at 1±ε exactly
+  * when `Δ = lp_new − lp_old` leaves `[ln(1−ε), ln(1+ε)]`, so the
+  * clip test is an INTEGER comparison on milli-nat deltas (the
+  * epsilon bounds are build-time constants rendered into both
+  * dialects; no float exp crosses an engine). Per policy: samples,
+  * clipped-above/below counts and the clip fraction in milli — a
+  * rising clip fraction is the standard signal the policy has drifted
+  * too far off the data-collecting policy for the batch to be useful.
+  *
+  * Plan shapes: grpo is one prompt-keyed partial-agg exchange joined
+  * back to the sample grain by the same key (the baseline frame is
+  * |prompts| rows of two longs); ppoClipStats is one scan into a
+  * |policies|-row partial-agged exchange — distributive, the
+  * complete-mode streaming family.
+  */
+object PolicyOpt {
+
+  /** One row per sample: its reward, group size, and the exact scaled
+    * advantage `r·n − Σ_group r`.
+    */
+  def grpoAdvantage(df: DataFrame, prompt: String, sample: String,
+                    reward: String): DataFrame = {
+    val base = df.groupBy(col(prompt).as("__p"))
+      .agg(count(lit(1)).as("n_group"),
+        sum(coalesce(col(reward).cast("long"), lit(0L))).as("__sum"))
+    df.select(col(prompt).as("__p"), col(sample).as("sample_id"),
+      coalesce(col(reward).cast("long"), lit(0L)).as("reward_milli"))
+      .join(base, Seq("__p"))
+      .select(col("__p").as("prompt_id"), col("sample_id"),
+        col("reward_milli"), col("n_group"),
+        (col("reward_milli") * col("n_group") - col("__sum"))
+          .as("adv_scaled_milli"))
+  }
+
+  /** DuckDB twin of [[grpoAdvantage]]. */
+  def grpoAdvantageSql(table: String, prompt: String, sample: String,
+                       reward: String): String =
+    s"""SELECT s.$prompt AS prompt_id, s.$sample AS sample_id,
+       |  coalesce(s.$reward, 0)::BIGINT AS reward_milli,
+       |  b.n_group,
+       |  (coalesce(s.$reward, 0) * b.n_group - b.rsum)::BIGINT AS adv_scaled_milli
+       |FROM $table s
+       |JOIN (
+       |  SELECT $prompt AS p, count(*) AS n_group,
+       |    sum(coalesce($reward, 0))::BIGINT AS rsum
+       |  FROM $table GROUP BY 1) b
+       |ON s.$prompt = b.p""".stripMargin
+
+  /** ln(1±ε) in milli-nats for the standard ε (integer constants both
+    * dialects share; ε = 0.2 → [−223, 182]).
+    */
+  private def bounds(epsMilli: Int): (Long, Long) = {
+    val lo = math.round(math.log1p(-epsMilli / 1000.0) * 1000.0)
+    val hi = math.round(math.log1p(epsMilli / 1000.0) * 1000.0)
+    (lo, hi)
+  }
+
+  /** Per policy: sample count, clipped-below/above counts (milli-nat
+    * delta outside [ln(1−ε), ln(1+ε)]), and the clip fraction milli.
+    */
+  def ppoClipStats(df: DataFrame, policy: String, lpNew: String,
+                   lpOld: String, epsMilli: Int = 200): DataFrame = {
+    val (lo, hi) = bounds(epsMilli)
+    df.select(col(policy).as("policy"),
+      (col(lpNew).cast("long") - col(lpOld).cast("long")).as("__d"))
+      .groupBy(col("policy"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(col("__d") < lo, 1L).otherwise(0L)).as("n_clip_below"),
+        sum(when(col("__d") > hi, 1L).otherwise(0L)).as("n_clip_above"))
+      .select(col("policy"), col("n_samples"),
+        col("n_clip_below"), col("n_clip_above"),
+        expr("CAST((n_clip_below + n_clip_above) * 1000 div n_samples AS BIGINT)")
+          .as("clip_frac_milli"))
+  }
+
+  /** DuckDB twin of [[ppoClipStats]]. */
+  def ppoClipStatsSql(table: String, policy: String, lpNew: String,
+                      lpOld: String, epsMilli: Int = 200): String = {
+    val (lo, hi) = bounds(epsMilli)
+    s"""SELECT policy, count(*) AS n_samples,
+       |  sum(CASE WHEN d < $lo THEN 1 ELSE 0 END)::BIGINT AS n_clip_below,
+       |  sum(CASE WHEN d > $hi THEN 1 ELSE 0 END)::BIGINT AS n_clip_above,
+       |  ((sum(CASE WHEN d < $lo THEN 1 ELSE 0 END)
+       |    + sum(CASE WHEN d > $hi THEN 1 ELSE 0 END)) * 1000
+       |    // count(*))::BIGINT AS clip_frac_milli
+       |FROM (
+       |  SELECT $policy AS policy,
+       |    ($lpNew)::BIGINT - ($lpOld)::BIGINT AS d
+       |  FROM $table)
+       |GROUP BY policy""".stripMargin
+  }
+}

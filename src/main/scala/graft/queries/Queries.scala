@@ -2120,6 +2120,44 @@ object Queries {
           |      FROM events))""".stripMargin,
         "score_chosen", "score_rejected"))),
 
+    // GRPO group-relative advantage (round 18): each prompt's sampled
+    // completions baselined against their OWN group mean, kept as the
+    // exact scaled integer r*n - sum (no value network, no signed
+    // division) — the fixture reuses the pass@k sampling shape with a
+    // signed milli reward
+    QueryDef("grpo_advantage",
+      (s, dir) => graft.ops.PolicyOpt.grpoAdvantage(
+        t(s, dir, "events")
+          .withColumn("prompt_id", expr("event_id % 97"))
+          .withColumn("sample_id", expr("event_id"))
+          .withColumn("reward_milli", expr(
+            "cast(cast(value AS DECIMAL(18,2)) * 1000 AS BIGINT) - 1500")),
+        "prompt_id", "sample_id", "reward_milli"),
+      Some(graft.ops.PolicyOpt.grpoAdvantageSql(
+        """(SELECT event_id % 97 AS prompt_id, event_id AS sample_id,
+          |  (CAST(value AS DECIMAL(18,2)) * 1000)::BIGINT - 1500 AS reward_milli
+          |FROM events)""".stripMargin,
+        "prompt_id", "sample_id", "reward_milli"))),
+
+    // PPO clip-fraction report (round 18): with log-probs in integer
+    // milli-nats the ratio-clip test is an integer comparison on
+    // deltas vs the ln(1±eps) bounds — per policy, the
+    // drifted-too-far signal; the fixture's delta rule spans both clip
+    // sides and the in-band mass
+    QueryDef("ppo_clip_report",
+      (s, dir) => graft.ops.PolicyOpt.ppoClipStats(
+        t(s, dir, "events")
+          .withColumn("policy", expr("concat('p', user_id % 3)"))
+          .withColumn("lp_new", expr("cast(-(event_id % 700) AS BIGINT)"))
+          .withColumn("lp_old", expr("cast(-(event_id * 3 % 700) AS BIGINT)")),
+        "policy", "lp_new", "lp_old"),
+      Some(graft.ops.PolicyOpt.ppoClipStatsSql(
+        """(SELECT 'p' || (user_id % 3) AS policy,
+          |  -(event_id % 700) AS lp_new,
+          |  -(event_id * 3 % 700) AS lp_old
+          |FROM events)""".stripMargin,
+        "policy", "lp_new", "lp_old"))),
+
     // pass@k (round 18): the unbiased sampled-eval estimator
     // (1 - C(n-c,k)/C(n,k), stepwise-truncating fixed point, unrolled
     // identically into both dialects) over an events-derived fixture —

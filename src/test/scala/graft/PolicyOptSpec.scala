@@ -1,0 +1,52 @@
+package graft
+
+import graft.ops.PolicyOpt
+
+/** Pins the policy-optimization prep ops: the GRPO exact scaled
+  * centering (incl. single-sample groups and NULL rewards) and the
+  * PPO milli-nat clip bounds arithmetic.
+  */
+class PolicyOptSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("grpoAdvantage: exact group centering; singleton groups are zero; NULL rewards coalesce") {
+    val df = Seq(
+      (1L, 10L, Some(100L)), (1L, 11L, Some(300L)), (1L, 12L, None),
+      (2L, 20L, Some(-50L)))
+      .toDF("prompt", "sample", "r")
+    val m = PolicyOpt.grpoAdvantage(df, "prompt", "sample", "r")
+      .collect().map(x => x.getLong(1) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    // group 1: rewards (100, 300, 0), sum 400, n 3
+    assert(m(10L) === ((100L, 3L, -100L)), "100*3 - 400")
+    assert(m(11L) === ((300L, 3L, 500L)))
+    assert(m(12L) === ((0L, 3L, -400L)), "NULL reward coalesces to 0")
+    assert(m(20L) === ((-50L, 1L, 0L)), "a singleton group centers to 0")
+  }
+
+  test("ppoClipStats: milli-nat deltas against the exact ln(1±eps) bounds") {
+    // eps = 0.2: bounds [ln(0.8)*1000, ln(1.2)*1000] = [-223, 182].
+    // -223 and 182 themselves are IN band (strict inequalities).
+    val df = Seq(
+      ("p", -1000L, -777L),  // d = -223 -> in band
+      ("p", -1000L, -776L),  // d = -224 -> clip below
+      ("p", -500L, -682L),   // d = 182 -> in band
+      ("p", -500L, -683L),   // d = 183 -> clip above
+      ("p", -600L, -600L))   // d = 0 -> in band
+      .toDF("policy", "lp_new", "lp_old")
+    val r = PolicyOpt.ppoClipStats(df, "policy", "lp_new", "lp_old")
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).head
+    assert(r === ((5L, 1L, 1L, 400L)),
+      "exactly the two out-of-band deltas clip; 2 of 5 -> 400 milli")
+
+    // twin replay
+    df.createOrReplaceTempView("ppo_fixture")
+    val twin = spark.sql(PolicyOpt.ppoClipStatsSql("ppo_fixture",
+      "policy", "lp_new", "lp_old")
+      .replace("//", "div").replace("::BIGINT", ""))
+      .collect().map(x => (x.getAs[Number](1).longValue,
+        x.getAs[Number](2).longValue, x.getAs[Number](3).longValue,
+        x.getAs[Number](4).longValue)).head
+    assert(twin === r)
+  }
+}
