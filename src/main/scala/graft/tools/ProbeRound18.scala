@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * same table.
   *
   * Usage: runMain graft.tools.ProbeRound18 [probeDir] [what,csv]
-  * with what from {baseline,traj,truncbpe,fertility,evalrm,judge2,canary,degen}.
+  * with what from {baseline,traj,truncbpe,fertility,evalrm,judge2,policyopt,canary,degen}.
   */
 object ProbeRound18 {
   def main(args: Array[String]): Unit = {
@@ -26,6 +26,11 @@ object ProbeRound18 {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.VectorFunctions.ensureRegistered(spark)
     def time(label: String)(f: => Long): Unit = {
+      // collect the PREVIOUS leg's garbage before starting the clock —
+      // the Bench discipline: a 20M-row join leaves GB-scale young-gen
+      // debris whose collection otherwise lands inside whichever leg
+      // runs next (observed 5-8x inflation on the interleaved reads)
+      System.gc()
       val t0 = System.nanoTime()
       val n = f
       println(f"[probe] $label%-56s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$n)")
@@ -119,6 +124,21 @@ object ProbeRound18 {
         time("judge_length_bias x 20M matches")(
           run(graft.ops.Judge.lengthBias(
             matches, "model_a", "model_b", "winner", "len_a", "len_b")))
+      }
+      if (on("policyopt")) {
+        val samples = spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("prompt_id", expr("event_id % 1000000"))
+          .withColumn("reward_milli", expr(
+            "cast(cast(value AS DECIMAL(18,2)) * 1000 AS BIGINT) - 1500"))
+          .withColumn("policy", expr("concat('p', user_id % 3)"))
+          .withColumn("lp_new", expr("cast(-(event_id % 700) AS BIGINT)"))
+          .withColumn("lp_old", expr("cast(-(event_id * 3 % 700) AS BIGINT)"))
+        time("grpo_advantage x 20M samples / 1M prompts")(
+          run(graft.ops.PolicyOpt.grpoAdvantage(
+            samples, "prompt_id", "event_id", "reward_milli")))
+        time("ppo_clip_report x 20M samples")(
+          run(graft.ops.PolicyOpt.ppoClipStats(
+            samples, "policy", "lp_new", "lp_old")))
       }
       if (on("canary")) time("canary_scan (8 canaries) x 1M docs")(
         run(graft.ops.Canary.canaryScan(
