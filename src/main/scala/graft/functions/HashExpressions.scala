@@ -378,6 +378,49 @@ case class DiscReturns(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_gae_adv(steps, gammaMilli, lambdaMilli)`: GAE(λ) advantage
+  * array over an episode's step-SORTED `(s, r, v)` struct array
+  * ([[HashOps.gaeAdvantages]]) — TD residuals
+  * `δ_i = r_i + trunc(γ·V_{i+1} / 1000) − V_i` then the backward
+  * recurrence `A_i = δ_i + trunc(γλ·A_{i+1} / 10⁶)` in one compiled
+  * pass (truncating division on signed values, both engines'
+  * semantics). Takes the struct array straight off the collect: two
+  * `transform(xs, ...)` projections would put a HOF under the kernel
+  * (silently breaking whole-stage codegen, the repo kernel rule) and
+  * double the aggregation buffer. γ/λ are LITERAL milli constants
+  * baked into the instance (the [[StopCount]] convention); the
+  * recurrence is the definition (each step's rounding feeds the
+  * next), so the oracle replays it with a recursive CTE.
+  */
+case class GaeAdvantages(child: Expression, gammaMilli: Int,
+                         lambdaMilli: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(gammaMilli >= 0 && gammaMilli <= 1000,
+    s"graft_gae_adv requires gammaMilli in [0, 1000], got $gammaMilli")
+  require(lambdaMilli >= 0 && lambdaMilli <= 1000,
+    s"graft_gae_adv requires lambdaMilli in [0, 1000], got $lambdaMilli")
+  override def prettyName: String = "graft_gae_adv"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _)
+        if s.length == 3 && s.forall(_.dataType == LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRUCT<BIGINT, BIGINT, BIGINT>> " +
+        s"(sort key, reward milli, value milli), got ${other.catalogString}")
+  }
+  override def nullSafeEval(xs: Any): Any =
+    HashOps.gaeAdvantages(xs.asInstanceOf[ArrayData],
+      gammaMilli.toLong, lambdaMilli.toLong)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs =>
+      s"${ev.value} = graft.functions.HashOps.gaeAdvantages(" +
+        s"$xs, ${gammaMilli}L, ${lambdaMilli}L);")
+  override protected def withNewChildInternal(c: Expression): GaeAdvantages =
+    copy(child = c)
+}
+
 /** `graft_dsir_buckets(text, B)`: fused DSIR feature extraction
   * ([[HashOps.dsirBuckets]]) — word unigram + bigram md5 bucket ids in
   * one byte scan, bit-equal to the declarative

@@ -832,6 +832,50 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** GAE(λ) advantages over an episode's step-ordered integer-milli
+    * rewards and value predictions: TD residual
+    * `δ_i = r_i + trunc(γ·V_{i+1} / 1000) − V_i` (V_{n+1} = 0), then
+    * the backward recurrence `A_n = δ_n`,
+    * `A_i = δ_i + trunc(γ·λ·A_{i+1} / 10⁶)` — ONE combined truncating
+    * division per step by the milli² product (γMilli·λMilli ≤ 10⁶,
+    * so the intermediate stays far from the 64-bit edge for any
+    * |A| ≤ 10¹²). TRUNCATING division (Java `/`) throughout because
+    * both engines truncate signed integers (the discountedReturns
+    * probe: DuckDB `-7 // 2 = -3`) — values and advantages are SIGNED
+    * (a critic overestimates as often as it underestimates), so the
+    * all-negative class the sweep caught on the returns kernel is
+    * live here too. Like the return, each step's rounding feeds the
+    * next, so the recurrence is the definition and the oracle replays
+    * it with a recursive CTE.
+    *
+    * Input is the step-SORTED struct array `(s, r, v)` straight off
+    * the episode collect — taking the struct array rather than two
+    * `transform(...)` projections keeps the kernel's child a raw
+    * column (a HOF child silently breaks whole-stage codegen, the
+    * repo-wide kernel rule) and the aggregation to ONE collect buffer.
+    * Field layout contract: index 1 = reward milli, index 2 = value
+    * milli (index 0 is the sort key, unused here).
+    */
+  def gaeAdvantages(steps: ArrayData, gammaMilli: Long,
+                    lambdaMilli: Long): ArrayData = {
+    val n = steps.numElements()
+    val out = new Array[Long](n)
+    val gl = gammaMilli * lambdaMilli
+    var a = 0L
+    var vNext = 0L
+    var i = n - 1
+    while (i >= 0) {
+      val row = steps.getStruct(i, 3)
+      val v = row.getLong(2)
+      val delta = row.getLong(1) + gammaMilli * vNext / 1000L - v
+      a = delta + gl * a / 1000000L
+      out(i) = a
+      vNext = v
+      i -= 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Count of elements <= x in an ASCENDING long array (binary search)
     * — the O(log n) replacement for `size(filter(arr, e -> e <= x))`,
     * whose interpreted HOF lambda walks the whole array per call.

@@ -238,6 +238,9 @@ object VectorFunctions {
       (e: Seq[Expression]) => CountLe(e(0), e(1))),
     "graft_disc_returns" -> (classOf[DiscReturns],
       (e: Seq[Expression]) => DiscReturns(e(0), e(1))),
+    "graft_gae_adv" -> (classOf[GaeAdvantages],
+      (e: Seq[Expression]) => GaeAdvantages(e(0),
+        intLit(e(1), "graft_gae_adv"), intLit(e(2), "graft_gae_adv"))),
     "graft_alpha_count" -> (classOf[AlphaCount],
       (e: Seq[Expression]) => AlphaCount(e(0))),
     "graft_classifier_logit" -> (classOf[ClassifierLogit],
@@ -338,7 +341,7 @@ object VectorFunctions {
     "graft_token_count" -> Set(1),
     "graft_bpe_count" -> Set(1), "graft_bpe_tokens" -> Set(1),
     "graft_bpe_token_ends" -> Set(1), "graft_count_le" -> Set(2),
-    "graft_disc_returns" -> Set(2),
+    "graft_disc_returns" -> Set(2), "graft_gae_adv" -> Set(3),
     "graft_alpha_count" -> Set(1),
     "graft_classifier_logit" -> Set(2), "graft_classifier_logit_t" -> Set(1),
     "graft_stop_count" -> Set(2), "graft_term_counts" -> Set(2, 3),

@@ -111,11 +111,13 @@ object Judge {
     * join + re-aggregate over |models|² rows — broadcast-sized at any
     * corpus scale, the judgment TABLE is never re-scanned.
     */
-  def btScores(df: DataFrame, a: String, b: String,
-               winner: String, iters: Int = 3): DataFrame = {
-    // directed view: one row per (m, opp) with n_matches and m's
-    // half-wins against opp
-    val directed = Caches.lease(pairAgg(df, a, b, winner)
+  /** The directed pair table (one row per (m, opp) with n_matches and
+    * m's half-wins against opp), leased — every MM iteration re-reads
+    * it.
+    */
+  private def btDirected(df: DataFrame, a: String, b: String,
+                         winner: String): DataFrame =
+    Caches.lease(pairAgg(df, a, b, winner)
       .select(
         array(
           struct(col("lo").as("m"), col("hi").as("opp"),
@@ -127,24 +129,73 @@ object Judge {
       .select(explode(col("d")).as("r"))
       .select(col("r.m"), col("r.opp"), col("r.n_matches"),
         col("r.halfwins")))
-    var scores = directed.groupBy(col("m"))
+
+  /** The MM starting point: every model at 1000 milli with its
+    * half-win total.
+    */
+  private def btInit(directed: DataFrame): DataFrame =
+    directed.groupBy(col("m"))
       .agg(sum(col("halfwins")).as("hw_total"))
       .select(col("m"), col("hw_total"), lit(1000L).as("w"))
-    (1 to iters).foreach { _ =>
-      val opp = scores.select(col("m").as("opp"), col("w").as("w_opp"))
-      scores = directed
-        .join(scores, Seq("m")).join(opp, Seq("opp"))
-        // term = n·2·1e9 div (w_m + w_opp): n_matches is in whole
-        // matches, halfwin totals in halves — the 2× keeps W_i (halves)
-        // and the denominator (matches) in the same unit
-        .groupBy(col("m"), col("hw_total"))
-        .agg(sum(expr(
-          "n_matches * 2000000000 div greatest(w + w_opp, 1)")).as("denom"))
-        .select(col("m"), col("hw_total"),
-          expr("cast(hw_total * 1000000000 div greatest(denom, 1) AS BIGINT)")
-            .as("w"))
+
+  /** One MM update `w_i ← W_i / Σ_j n_ij / (w_i + w_j)` in scaled
+    * integers (see [[btScores]] for the unit accounting).
+    */
+  private def btIterate(directed: DataFrame, scores: DataFrame): DataFrame = {
+    val opp = scores.select(col("m").as("opp"), col("w").as("w_opp"))
+    directed
+      .join(scores, Seq("m")).join(opp, Seq("opp"))
+      // term = n·2·1e9 div (w_m + w_opp): n_matches is in whole
+      // matches, halfwin totals in halves — the 2× keeps W_i (halves)
+      // and the denominator (matches) in the same unit
+      .groupBy(col("m"), col("hw_total"))
+      .agg(sum(expr(
+        "n_matches * 2000000000 div greatest(w + w_opp, 1)")).as("denom"))
+      .select(col("m"), col("hw_total"),
+        expr("cast(hw_total * 1000000000 div greatest(denom, 1) AS BIGINT)")
+          .as("w"))
+  }
+
+  def btScores(df: DataFrame, a: String, b: String,
+               winner: String, iters: Int = 3): DataFrame = {
+    val directed = btDirected(df, a, b, winner)
+    var scores = btInit(directed)
+    (1 to iters).foreach { _ => scores = btIterate(directed, scores) }
+    scores.select(col("m").as("model"), col("w").as("bt_milli"))
+  }
+
+  /** CONVERGENCE report over the [[btScores]] iteration ladder — the
+    * diagnostic a consumer needs to tell a SETTLED ranking from a
+    * TRUNCATED one (the MM runs a fixed `iters`, not to convergence,
+    * so the oracle can mirror it): per model, the final strength plus
+    * the last iteration's SIGNED milli movement
+    * `delta_milli = w_iters − w_{iters−1}` and its magnitude. A board
+    * whose max `abs_delta_milli` is single-digit milli has settled;
+    * large deltas mean the published bt_milli is still moving and
+    * needs more iterations. The delta is a pure DIFFERENCE (never a
+    * signed division, the repo rule); JudgeSpec pins the magnitudes
+    * shrinking as planted iteration counts grow.
+    *
+    * Plan shape: [[btScores]]' shape plus ONE more |models|-row join —
+    * the directed pair table is leased once and every frame past it is
+    * metadata-sized.
+    */
+  def btConvergence(df: DataFrame, a: String, b: String,
+                    winner: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"btConvergence needs iters >= 1, got $iters")
+    val directed = btDirected(df, a, b, winner)
+    var prev = btInit(directed)
+    var scores = btIterate(directed, prev)
+    (2 to iters).foreach { _ =>
+      prev = scores
+      scores = btIterate(directed, prev)
     }
     scores.select(col("m").as("model"), col("w").as("bt_milli"))
+      .join(prev.select(col("m").as("model"), col("w").as("__wp")),
+        Seq("model"))
+      .select(col("model"), col("bt_milli"),
+        (col("bt_milli") - col("__wp")).as("delta_milli"),
+        abs(col("bt_milli") - col("__wp")).as("abs_delta_milli"))
   }
 
   /** POSITION-BIAS report (round 18) — the order-effect audit an arena
@@ -170,6 +221,14 @@ object Judge {
     * |models| rows. The gap is a DIFFERENCE of two non-negative
     * already-divided millis (never a signed division — the repo-wide
     * div/floor rule).
+    *
+    * Reading the gap: `bias_gap_milli` is only MEANINGFUL when both
+    * `n_as_a` and `n_as_b` are nonzero — a model with zero matches on
+    * one side reports 0 milli for that side by the divide guard, so
+    * its gap reads as maximal order bias (e.g. 1000) on zero evidence
+    * (JudgeSpec pins exactly this shape). The per-side counts are in
+    * the row for exactly this gating; a consumer must filter on them
+    * before ranking models by gap.
     */
   def positionBias(df: DataFrame, a: String, b: String,
                    winner: String): DataFrame =
@@ -373,11 +432,131 @@ object Judge {
        |JOIN ok ON ok.i = l.i
        |GROUP BY 1, 2""".stripMargin
 
-  /** DuckDB twin of [[btScores]]: the directed pair CTE, then one CTE
-    * per MM iteration (fixed count, mirrored arithmetic).
+  /** CHANCE-CORRECTED agreement (Cohen's kappa) per judge pair, in
+    * integer milli — the correction [[agreement]] deliberately leaves
+    * to the consumer, computed engine-side: with skewed verdict
+    * distributions raw agreement is inflated (two judges who both say
+    * 'good' 90% of the time agree ~82% by chance alone), and every
+    * serious annotation pipeline reads κ = (p_o − p_e)/(1 − p_e),
+    * where p_e = Σ_k p_a(k)·p_b(k) over each judge's verdict marginal
+    * on their COMMON items.
+    *
+    * Integer arithmetic: `po_milli = n_agree·1000 div n`,
+    * `pe_milli = S·1000 div n²` with `S = Σ_k cnt_a(k)·cnt_b(k)`
+    * exact, then
+    * `kappa_milli = (po_milli − pe_milli)·1000 div (1000 − pe_milli)`.
+    * The numerator is SIGNED — the ONE sanctioned signed division in a
+    * hashed column, explicitly safe because both engines were PROBED
+    * to truncate toward zero (`-7 // 2 = -3` on DuckDB, Spark `div` by
+    * definition; the repo keeps the avoid-signed-division convention
+    * elsewhere for auditability, but kappa's whole point is the
+    * corrected ratio and the po/pe columns ride along for any
+    * downstream re-derivation). `pe_milli = 1000` (both judges
+    * constant on the SAME verdict — the only way S = n²) is its own
+    * reported class: `degenerate = 1`, `kappa_milli = 0`, because
+    * 0/0 is a report of no-information, not a number.
+    *
+    * Domain: NULL verdicts are OUT (both dialects filter them before
+    * the panel dedup) — kappa's marginals need a category and NULL has
+    * none; [[agreement]] instead counts NULL-vs-NULL as disagreement,
+    * so n_common can differ between the two reports on a corpus with
+    * NULL labels (documented divergence). Re-annotation collapses to
+    * min(verdict) per (item, judge) and oversized panels drop WHOLE
+    * (`maxJudges`), both exactly as [[agreement]].
+    *
+    * Plan shape: the [[agreement]] pipeline with the pair explode
+    * widened to per-category contribution rows — each co-judged pair
+    * emits ONE row when the verdicts match and two otherwise (still
+    * row-local, still ≤ maxJudges² per item), then two sequential
+    * partial-agged exchanges land at (pair × category) grain and
+    * pair grain — both metadata-sized. No self-join, one scan.
+    * Range: `S·1000` needs `n_common ≲ 3·10⁷` per judge pair to stay
+    * inside 64 bits (S ≤ n²); past that Spark's ANSI mode THROWS
+    * (loudly, not a silent divergence — DuckDB's HUGEINT would keep
+    * going) — two judges co-labeling 30M+ common items should be
+    * sampled before auditing anyway.
     */
-  def btScoresSql(table: String, a: String, b: String,
-                  winner: String, iters: Int = 3): String = {
+  def kappa(df: DataFrame, item: String, judge: String,
+            verdict: String, maxJudges: Int = 1000): DataFrame =
+    df.where(col(verdict).isNotNull)
+      .groupBy(col(item).as("__i"), col(judge).as("__j"))
+      .agg(min(col(verdict)).as("__v"))
+      .groupBy(col("__i"))
+      .agg(array_sort(collect_list(struct(col("__j").as("j"),
+        col("__v").as("v")))).as("__xs"))
+      .where(size(col("__xs")) <= maxJudges)
+      .select(explode(expr(
+        "flatten(transform(__xs, (x, i) -> " +
+          "flatten(transform(slice(__xs, i + 2, size(__xs) - i - 1), y -> " +
+          "IF(x.v = y.v, " +
+          "array(named_struct('ja', x.j, 'jb', y.j, 'k', x.v, " +
+          "'ca', cast(1 AS BIGINT), 'cb', cast(1 AS BIGINT))), " +
+          "array(named_struct('ja', x.j, 'jb', y.j, 'k', x.v, " +
+          "'ca', cast(1 AS BIGINT), 'cb', cast(0 AS BIGINT)), " +
+          "named_struct('ja', x.j, 'jb', y.j, 'k', y.v, " +
+          "'ca', cast(0 AS BIGINT), 'cb', cast(1 AS BIGINT))))))))"))
+        .as("p"))
+      .groupBy(col("p.ja").as("judge_a"), col("p.jb").as("judge_b"),
+        col("p.k").as("__k"))
+      .agg(sum(col("p.ca")).as("__sa"), sum(col("p.cb")).as("__sb"),
+        sum(col("p.ca") * col("p.cb")).as("__agr"))
+      .groupBy(col("judge_a"), col("judge_b"))
+      .agg(sum(col("__sa")).as("n_common"), sum(col("__agr")).as("n_agree"),
+        sum(col("__sa") * col("__sb")).as("__s"))
+      .select(col("judge_a"), col("judge_b"), col("n_common"),
+        col("n_agree"),
+        expr("cast(n_agree * 1000 div n_common AS BIGINT)").as("po_milli"),
+        expr("cast(__s * 1000 div (n_common * n_common) AS BIGINT)")
+          .as("pe_milli"))
+      .select(col("judge_a"), col("judge_b"), col("n_common"),
+        col("n_agree"), col("po_milli"), col("pe_milli"),
+        expr("cast(IF(pe_milli = 1000, 1, 0) AS BIGINT)").as("degenerate"),
+        expr("IF(pe_milli = 1000, cast(0 AS BIGINT), " +
+          "cast((po_milli - pe_milli) * 1000 div (1000 - pe_milli) AS BIGINT))")
+          .as("kappa_milli"))
+
+  /** DuckDB twin of [[kappa]] (the join formulation at oracle scale,
+    * as [[agreementSql]]; the marginal product joins only on SHARED
+    * categories — a category one judge never used contributes 0 to S).
+    */
+  def kappaSql(table: String, item: String, judge: String,
+               verdict: String, maxJudges: Int = 1000): String =
+    s"""WITH one AS (
+       |  SELECT $item AS i, $judge AS j, min($verdict) AS v
+       |  FROM $table WHERE $verdict IS NOT NULL GROUP BY 1, 2),
+       |ok AS (SELECT i FROM one GROUP BY i HAVING count(*) <= $maxJudges),
+       |pr AS (
+       |  SELECT l.j AS ja, r.j AS jb, l.v AS va, r.v AS vb
+       |  FROM one l JOIN one r ON l.i = r.i AND l.j < r.j
+       |  JOIN ok ON ok.i = l.i),
+       |a AS (
+       |  SELECT ja, jb, count(*) AS n,
+       |    sum(CASE WHEN va = vb THEN 1 ELSE 0 END)::BIGINT AS agree
+       |  FROM pr GROUP BY 1, 2),
+       |ma AS (SELECT ja, jb, va AS k, count(*) AS sa FROM pr GROUP BY 1, 2, 3),
+       |mb AS (SELECT ja, jb, vb AS k, count(*) AS sb FROM pr GROUP BY 1, 2, 3),
+       |s AS (
+       |  SELECT ma.ja, ma.jb, sum(ma.sa * mb.sb)::BIGINT AS s
+       |  FROM ma JOIN mb ON ma.ja = mb.ja AND ma.jb = mb.jb AND ma.k = mb.k
+       |  GROUP BY 1, 2)
+       |SELECT judge_a, judge_b, n_common, n_agree, po_milli, pe_milli,
+       |  (CASE WHEN pe_milli = 1000 THEN 1 ELSE 0 END)::BIGINT AS degenerate,
+       |  (CASE WHEN pe_milli = 1000 THEN 0
+       |        ELSE (po_milli - pe_milli) * 1000 // (1000 - pe_milli)
+       |   END)::BIGINT AS kappa_milli
+       |FROM (
+       |  SELECT a.ja AS judge_a, a.jb AS judge_b, a.n AS n_common,
+       |    a.agree AS n_agree,
+       |    (a.agree * 1000 // a.n)::BIGINT AS po_milli,
+       |    (coalesce(s.s, 0) * 1000 // (a.n * a.n))::BIGINT AS pe_milli
+       |  FROM a LEFT JOIN s ON a.ja = s.ja AND a.jb = s.jb)""".stripMargin
+
+  /** Shared WITH body for the BT twins: the directed pair CTE, then
+    * one CTE per MM iteration (fixed count, mirrored arithmetic) up to
+    * `w$iters`.
+    */
+  private def btCtes(table: String, a: String, b: String,
+                     winner: String, iters: Int): String = {
     val iterCtes = (1 to iters).map { i =>
       val prev = if (i == 1) "w0" else s"w${i - 1}"
       s"""w$i AS (
@@ -389,7 +568,7 @@ object Judge {
          |  JOIN $prev o ON d.opp = o.m
          |  GROUP BY d.m)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (
+    s"""pairs AS (
        |  SELECT lo, hi, count(*) AS n_matches, sum(hw) AS lo_halfwins
        |  FROM (
        |    SELECT least($a, $b) AS lo, greatest($a, $b) AS hi,
@@ -407,7 +586,25 @@ object Judge {
        |w0 AS (
        |  SELECT m, sum(halfwins) AS hw_total, 1000::BIGINT AS w
        |  FROM directed GROUP BY m),
-       |$iterCtes
+       |$iterCtes""".stripMargin
+  }
+
+  /** DuckDB twin of [[btScores]]. */
+  def btScoresSql(table: String, a: String, b: String,
+                  winner: String, iters: Int = 3): String =
+    s"""WITH ${btCtes(table, a, b, winner, iters)}
        |SELECT m AS model, w AS bt_milli FROM w$iters""".stripMargin
+
+  /** DuckDB twin of [[btConvergence]]: the same CTE ladder, final
+    * strengths joined to the previous iteration's.
+    */
+  def btConvergenceSql(table: String, a: String, b: String,
+                       winner: String, iters: Int = 3): String = {
+    require(iters >= 1, s"btConvergenceSql needs iters >= 1, got $iters")
+    s"""WITH ${btCtes(table, a, b, winner, iters)}
+       |SELECT wn.m AS model, wn.w AS bt_milli,
+       |  (wn.w - wp.w)::BIGINT AS delta_milli,
+       |  abs(wn.w - wp.w)::BIGINT AS abs_delta_milli
+       |FROM w$iters wn JOIN w${iters - 1} wp ON wn.m = wp.m""".stripMargin
   }
 }

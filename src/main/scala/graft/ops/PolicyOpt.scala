@@ -32,6 +32,12 @@ import org.apache.spark.sql.functions._
   * |prompts| rows of two longs); ppoClipStats is one scan into a
   * |policies|-row partial-agged exchange — distributive, the
   * complete-mode streaming family.
+  *
+  * Input domain: rewards and log-probs are INTEGER milli / milli-nats.
+  * The twins route every cast through trunc() so a DOUBLE column
+  * truncates toward zero like Spark's cast-to-long instead of DuckDB's
+  * round-half-even `::BIGINT` (round-18 ADVICE: reward 0.7 was 0 on
+  * Spark and 1 on DuckDB); integral inputs are unaffected.
   */
 object PolicyOpt {
 
@@ -56,13 +62,14 @@ object PolicyOpt {
   def grpoAdvantageSql(table: String, prompt: String, sample: String,
                        reward: String): String =
     s"""SELECT s.$prompt AS prompt_id, s.$sample AS sample_id,
-       |  coalesce(s.$reward, 0)::BIGINT AS reward_milli,
+       |  ${graft.ops.PortableHash.truncToZero(s"coalesce(s.$reward, 0)")} AS reward_milli,
        |  b.n_group,
-       |  (coalesce(s.$reward, 0) * b.n_group - b.rsum)::BIGINT AS adv_scaled_milli
+       |  (${graft.ops.PortableHash.truncToZero(s"coalesce(s.$reward, 0)")} * b.n_group
+       |    - b.rsum)::BIGINT AS adv_scaled_milli
        |FROM $table s
        |JOIN (
        |  SELECT $prompt AS p, count(*) AS n_group,
-       |    sum(coalesce($reward, 0))::BIGINT AS rsum
+       |    sum(${graft.ops.PortableHash.truncToZero(s"coalesce($reward, 0)")})::BIGINT AS rsum
        |  FROM $table GROUP BY 1) b
        |ON s.$prompt = b.p""".stripMargin
 
@@ -105,7 +112,7 @@ object PolicyOpt {
        |    // count(*))::BIGINT AS clip_frac_milli
        |FROM (
        |  SELECT $policy AS policy,
-       |    ($lpNew)::BIGINT - ($lpOld)::BIGINT AS d
+       |    ${graft.ops.PortableHash.truncToZero(s"$lpNew")} - ${graft.ops.PortableHash.truncToZero(s"$lpOld")} AS d
        |  FROM $table)
        |GROUP BY policy""".stripMargin
   }

@@ -59,6 +59,19 @@ object PortableHash {
   def let1(varName: String, bound: String, body: String): String =
     s"element_at(transform(array($bound), $varName -> $body), 1)"
 
+  /** Truncation toward zero of a numeric SQL expression, PORTABLE
+    * across both engines AND Spark's parser (several specs replay
+    * DuckDB twins through `spark.sql`): DuckDB's 1-arg `trunc()` does
+    * it but Spark's `trunc` is date-only, and a bare `::BIGINT` /
+    * `CAST` of a DOUBLE rounds half-even on DuckDB where Spark's cast
+    * truncates (the round-18 ADVICE divergence: 0.7 → 0 on Spark, 1
+    * on DuckDB). floor/ceil agree everywhere, so the sign CASE is the
+    * portable truncation; integral inputs pass through exactly, NULL
+    * propagates.
+    */
+  def truncToZero(x: String): String =
+    s"CAST(CASE WHEN ($x) >= 0 THEN floor($x) ELSE ceil($x) END AS BIGINT)"
+
   /** ROLLING token hash (round 14) — pure integer recurrence over the
     * token's CODEPOINTS, `h = fold(7, cp -> (h*31 + cp) % P)`, no md5.
     * This is the FINGERPRINT-DOMAIN hash of the winnow/containment

@@ -170,7 +170,95 @@ object Preference {
        |  SELECT CASE WHEN m = 0 THEN -1
        |              ELSE least(abs(m) // $binMilli, ${bins - 1}) END::BIGINT AS bin,
        |    CASE WHEN m > 0 THEN 1 ELSE 0 END AS ok
-       |  FROM (SELECT ($scoreChosen)::BIGINT - ($scoreRejected)::BIGINT AS m
+       |  FROM (SELECT ${graft.ops.PortableHash.truncToZero(s"$scoreChosen")}
+       |          - ${graft.ops.PortableHash.truncToZero(s"$scoreRejected")} AS m
+       |        FROM $table))
+       |GROUP BY bin""".stripMargin
+
+  /** Per-pair DPO IMPLICIT-REWARD margin in milli-nats (round 19) —
+    * the quantity the DPO loss actually sigmoids, up to the β scale:
+    * `margin = (logπ_c − logπ_ref_c) − (logπ_r − logπ_ref_r)`. With
+    * log-probs in integer MILLI-NATS (the [[PolicyOpt.ppoClipStats]]
+    * technique) the margin is pure adds/subtracts of BIGINTs — exact
+    * on both engines, no division anywhere. β deliberately does NOT
+    * multiply in: it is a positive constant that never changes a
+    * margin's sign or ordering, and folding it in would force a
+    * signed scaled division when the consumer normalizes — the
+    * trainer applies β in float land where its loss lives. A positive
+    * margin means the policy's implicit reward already prefers the
+    * chosen side.
+    *
+    * Pair grain, zero exchanges — a pure projection over the scored
+    * pair table.
+    */
+  def dpoMargins(df: DataFrame, id: String, lpcNew: String,
+                 lpcRef: String, lprNew: String,
+                 lprRef: String): DataFrame =
+    df.select(col(id).as("pair_id"),
+      ((col(lpcNew).cast("long") - col(lpcRef).cast("long")) -
+        (col(lprNew).cast("long") - col(lprRef).cast("long")))
+        .as("margin_milli"))
+
+  /** DuckDB twin of [[dpoMargins]] (trunc-routed casts, the
+    * [[PolicyOpt]] domain convention).
+    */
+  def dpoMarginsSql(table: String, id: String, lpcNew: String,
+                    lpcRef: String, lprNew: String,
+                    lprRef: String): String =
+    s"""SELECT $id AS pair_id,
+       |  ((${graft.ops.PortableHash.truncToZero(s"$lpcNew")} - ${graft.ops.PortableHash.truncToZero(s"$lpcRef")})
+       |   - (${graft.ops.PortableHash.truncToZero(s"$lprNew")} - ${graft.ops.PortableHash.truncToZero(s"$lprRef")}))::BIGINT
+       |    AS margin_milli
+       |FROM $table""".stripMargin
+
+  /** Margin-BUCKET report over [[dpoMargins]] — the
+    * [[rmCalibration]] binning applied to the implicit-reward margin:
+    * pairs bucket by |margin| (fixed `binMilli` width, top bin open),
+    * exact-zero margins their own `bin = -1` (an undecided policy is
+    * evidence, not a half-win — the judge family's tie lesson), and
+    * each bucket reports how many pairs the policy already orders
+    * correctly (`margin > 0`) in integer milli. A healthy DPO run
+    * shows chosen_pref_milli rising with the bucket; a flat profile
+    * at 500 means the implicit reward carries no signal. The signed
+    * margin MASS stays a sum (never divided, the signed-quantity
+    * convention).
+    *
+    * One scan into a |bins|-row partial-agged exchange — distributive,
+    * the complete-mode streaming family (pinned in StreamingOpsSpec).
+    */
+  def dpoMarginReport(df: DataFrame, id: String, lpcNew: String,
+                      lpcRef: String, lprNew: String, lprRef: String,
+                      binMilli: Int = 500, bins: Int = 8): DataFrame =
+    dpoMargins(df, id, lpcNew, lpcRef, lprNew, lprRef)
+      .select(
+        expr(s"IF(margin_milli = 0, CAST(-1 AS BIGINT), " +
+          s"least(abs(margin_milli) div $binMilli, CAST(${bins - 1} AS BIGINT)))")
+          .as("bin"),
+        col("margin_milli"),
+        when(col("margin_milli") > 0, 1L).otherwise(0L).as("__ok"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__ok")).as("n_chosen_pref"),
+        sum(col("margin_milli")).as("sum_margin_milli"))
+      .select(col("bin"), col("n_pairs"), col("n_chosen_pref"),
+        expr("CAST(n_chosen_pref * 1000 div n_pairs AS BIGINT)")
+          .as("chosen_pref_milli"),
+        col("sum_margin_milli"))
+
+  /** DuckDB twin of [[dpoMarginReport]]. */
+  def dpoMarginReportSql(table: String, id: String, lpcNew: String,
+                         lpcRef: String, lprNew: String, lprRef: String,
+                         binMilli: Int = 500, bins: Int = 8): String =
+    s"""SELECT bin, count(*) AS n_pairs,
+       |  sum(ok)::BIGINT AS n_chosen_pref,
+       |  (sum(ok) * 1000 // count(*))::BIGINT AS chosen_pref_milli,
+       |  sum(m)::BIGINT AS sum_margin_milli
+       |FROM (
+       |  SELECT CASE WHEN m = 0 THEN -1
+       |              ELSE least(abs(m) // $binMilli, ${bins - 1}) END::BIGINT AS bin,
+       |    CASE WHEN m > 0 THEN 1 ELSE 0 END AS ok, m
+       |  FROM (SELECT ((${graft.ops.PortableHash.truncToZero(s"$lpcNew")} - ${graft.ops.PortableHash.truncToZero(s"$lpcRef")})
+       |          - (${graft.ops.PortableHash.truncToZero(s"$lprNew")} - ${graft.ops.PortableHash.truncToZero(s"$lprRef")})) AS m
        |        FROM $table))
        |GROUP BY bin""".stripMargin
 

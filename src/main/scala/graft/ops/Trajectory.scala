@@ -25,12 +25,17 @@ import org.apache.spark.sql.functions._
   * — each step's rounding feeds the next — so the oracle replays it
   * with a per-trajectory recursive CTE rather than a closed form.
   *
-  * Domain: `step` is DENSE 1..n within each trajectory (the fixture
-  * derives it with row_number; a sparse step column must be
-  * re-ranked first), rewards non-NULL (NULL coalesces to 0 on both
-  * engines, pinned in TrajectorySpec), and `policy` constant within
-  * a trajectory (collapsed with min(), the agreement re-annotation
-  * convention).
+  * Domain: `step` only needs to ORDER the episode — both sides
+  * re-rank it dense (Spark via the sorted collect's positions, the
+  * twin via row_number over the same `(step, reward)` order), so a
+  * sparse or duplicated step column renumbers IDENTICALLY on both
+  * engines (round-18 ADVICE: the old twin recursed on `step - 1` and
+  * silently dropped rows above a gap while Spark renumbered).
+  * Rewards/values are INTEGER milli (NULL coalesces to 0 on both
+  * engines, pinned in TrajectorySpec; a DOUBLE column goes through
+  * trunc() in the twins so both dialects truncate toward zero), and
+  * `policy` is constant within a trajectory (collapsed with min(),
+  * the agreement re-annotation convention).
   *
   * Plan shapes: [[trajReturns]] is ONE trajectory-keyed exchange;
   * per-trajectory state is bounded by episode length (the per-item
@@ -88,14 +93,29 @@ object Trajectory {
   /** Recursive-CTE fragment shared by the returns/advantage twins:
     * CTEs `t` (projected steps), `mx` (episode tails) and `rec` (the
     * backward recurrence, one recursion level per step).
+    *
+    * `step` is RE-RANKED dense with row_number ordered by
+    * `(raw step, r)` — exactly the order the Spark side's
+    * `sort_array(collect_list(struct(s, r)))` imposes — so a sparse or
+    * duplicated step column means the SAME dense renumbering on both
+    * engines instead of the round-18 divergence (Spark silently
+    * renumbered via posexplode while the twin's recursion died at the
+    * first gap; ties beyond `(step, r)` are immaterial because equal
+    * rewards in either order yield the same recurrence). The reward
+    * cast goes through trunc() so a DOUBLE reward column truncates
+    * toward zero like Spark's cast-to-long, instead of DuckDB's
+    * round-half-even `::BIGINT` (the round-18 ADVICE class; integral
+    * milli inputs — the documented domain — are unaffected).
     */
   private def recCtes(table: String, traj: String, step: String,
                       reward: String, gammaMilli: Int,
                       maxSteps: Int): String =
     s"""t0 AS (
-       |  SELECT $traj AS traj_id, $step AS step,
-       |    coalesce($reward, 0)::BIGINT AS r
-       |  FROM $table),
+       |  SELECT traj_id, r,
+       |    row_number() OVER (PARTITION BY traj_id ORDER BY step0, r) AS step
+       |  FROM (SELECT $traj AS traj_id, $step AS step0,
+       |          ${graft.ops.PortableHash.truncToZero(s"coalesce($reward, 0)")} AS r
+       |        FROM $table)),
        |ok AS (SELECT traj_id FROM t0 GROUP BY traj_id
        |       HAVING count(*) <= $maxSteps),
        |t AS (SELECT t0.* FROM t0 JOIN ok USING (traj_id)),
@@ -157,7 +177,7 @@ object Trajectory {
        |  sum(r)::BIGINT AS total_reward_milli
        |FROM (
        |  SELECT $traj AS t, $policy AS policy, count(*) AS n,
-       |    sum(coalesce($reward, 0))::BIGINT AS r
+       |    sum(${graft.ops.PortableHash.truncToZero(s"coalesce($reward, 0)")})::BIGINT AS r
        |  FROM $table GROUP BY 1, 2)
        |GROUP BY policy""".stripMargin
 
@@ -184,6 +204,79 @@ object Trajectory {
         (col("return_milli") * col("n_peers") - col("baseline_sum_milli"))
           .as("adv_scaled_milli"))
   }
+
+  /** GAE(λ) advantages per (trajectory, step) — the estimator PPO
+    * actually consumes (Schulman et al.'s generalized advantage
+    * estimation, re-listed from the public description): TD residual
+    * `δ_i = r_i + trunc(γ·V_{i+1} / 1000) − V_i` (V beyond the episode
+    * tail is 0) and the backward recurrence `A_n = δ_n`,
+    * `A_i = δ_i + trunc(γλ·A_{i+1} / 10⁶)` — the same
+    * backward-recurrence shape as [[trajReturns]] with per-step value
+    * predictions and a second `lambdaMilli` parameter, all in exact
+    * integer milli with TRUNCATING division (δ and A are SIGNED — a
+    * critic overestimates as often as it underestimates — and both
+    * engines truncate signed integers toward zero; the all-negative
+    * class the sweep caught on the returns kernel is live here too,
+    * TrajectorySpec pins it). λ = 1000 degrades to discounted
+    * Monte-Carlo-minus-value, λ = 0 to the one-step TD residual (both
+    * spec-pinned).
+    *
+    * Plan shape: identical to [[trajReturns]] — ONE trajectory-keyed
+    * exchange, episode-bounded state behind the same `maxSteps`
+    * whole-episode drop (a truncated GAE tail is silently wrong for
+    * every earlier step), and the backward pass is the compiled
+    * `graft_gae_adv` kernel fed the raw sorted struct array (the
+    * kernel-over-HOF rule: two `transform` projections under the
+    * kernel would break whole-stage codegen and double the collect
+    * buffer).
+    */
+  def trajGae(df: DataFrame, traj: String, step: String,
+              reward: String, value: String, gammaMilli: Int = 900,
+              lambdaMilli: Int = 950, maxSteps: Int = 100000): DataFrame =
+    graft.functions.VectorFunctions.attach(df)
+      .groupBy(col(traj).as("traj_id"))
+      .agg(expr(
+        s"sort_array(collect_list(struct(" +
+          s"cast($step AS BIGINT) AS s, " +
+          s"coalesce(cast($reward AS BIGINT), cast(0 AS BIGINT)) AS r, " +
+          s"coalesce(cast($value AS BIGINT), cast(0 AS BIGINT)) AS v)))")
+        .as("__xs"))
+      .where(size(col("__xs")) <= maxSteps)
+      .select(col("traj_id"), posexplode(expr(
+        s"graft_gae_adv(__xs, $gammaMilli, $lambdaMilli)")))
+      .select(col("traj_id"),
+        (col("pos") + 1).cast("long").as("step"),
+        col("col").as("adv_milli"))
+
+  /** DuckDB twin of [[trajGae]] — the [[recCtes]] shape with the value
+    * column carried through the recursion (each level needs V_{i+1}
+    * and A_{i+1}); steps re-rank dense over `(step, r, v)`, the exact
+    * order of the Spark side's sorted struct collect.
+    */
+  def trajGaeSql(table: String, traj: String, step: String,
+                 reward: String, value: String, gammaMilli: Int = 900,
+                 lambdaMilli: Int = 950, maxSteps: Int = 100000): String =
+    s"""WITH RECURSIVE t0 AS (
+       |  SELECT traj_id, r, v,
+       |    row_number() OVER (PARTITION BY traj_id ORDER BY step0, r, v) AS step
+       |  FROM (SELECT $traj AS traj_id, $step AS step0,
+       |          ${graft.ops.PortableHash.truncToZero(s"coalesce($reward, 0)")} AS r,
+       |          ${graft.ops.PortableHash.truncToZero(s"coalesce($value, 0)")} AS v
+       |        FROM $table)),
+       |ok AS (SELECT traj_id FROM t0 GROUP BY traj_id
+       |       HAVING count(*) <= $maxSteps),
+       |t AS (SELECT t0.* FROM t0 JOIN ok USING (traj_id)),
+       |mx AS (SELECT traj_id, max(step) AS mx FROM t GROUP BY traj_id),
+       |rec AS (
+       |  SELECT t.traj_id, t.step, t.v, (t.r - t.v)::BIGINT AS a
+       |  FROM t JOIN mx ON t.traj_id = mx.traj_id AND t.step = mx.mx
+       |  UNION ALL
+       |  SELECT t.traj_id, t.step, t.v,
+       |    (t.r + ($gammaMilli * rec.v // 1000) - t.v
+       |      + ($gammaMilli * $lambdaMilli * rec.a // 1000000))::BIGINT AS a
+       |  FROM rec JOIN t ON t.traj_id = rec.traj_id AND t.step = rec.step - 1)
+       |SELECT traj_id, step::BIGINT AS step, a::BIGINT AS adv_milli
+       |FROM rec""".stripMargin
 
   /** DuckDB twin of [[trajAdvantage]]. */
   def trajAdvantageSql(table: String, traj: String, step: String,

@@ -497,11 +497,14 @@ object Queries {
       |        'm' || (doc_id % 7 % 5) AS model_b
       |      FROM documents))""".stripMargin
 
-  /** RL trajectory fixture (round 18): episodes from the events table
-    * — trajectory = user, step = dense row_number by (ts, event_id),
-    * reward = value in milli SHIFTED −1500 so penalty steps carry mass
-    * (negative rewards exercise the truncating signed division end-to-end),
-    * policy from the user residue.
+  /** RL trajectory fixture (round 18, value predictions added round
+    * 19): episodes from the events table — trajectory = user, step =
+    * dense row_number by (ts, event_id), reward = value in milli
+    * SHIFTED −1500 so penalty steps carry mass (negative rewards
+    * exercise the truncating signed division end-to-end), policy from
+    * the user residue, and a SIGNED deterministic critic prediction
+    * (`value_milli`, residue-derived, spanning ±2000 so GAE's δ and A
+    * change sign within episodes).
     */
   private def trajFixtureSpark(s: org.apache.spark.sql.SparkSession,
                                dir: String): org.apache.spark.sql.DataFrame =
@@ -512,11 +515,14 @@ object Queries {
       .withColumn("reward_milli", expr(
         "cast(cast(value AS DECIMAL(18,2)) * 1000 AS BIGINT) - 1500"))
       .withColumn("policy", expr("concat('p', user_id % 3)"))
+      .withColumn("value_milli", expr(
+        "cast(((user_id * 7 + step * 13) % 41) * 100 - 2000 AS BIGINT)"))
 
   private val trajFixtureDuckRel: String =
     """(SELECT user_id, step,
       |  (CAST(value AS DECIMAL(18,2)) * 1000)::BIGINT - 1500 AS reward_milli,
-      |  'p' || (user_id % 3) AS policy
+      |  'p' || (user_id % 3) AS policy,
+      |  (((user_id * 7 + step * 13) % 41) * 100 - 2000)::BIGINT AS value_milli
       |FROM (SELECT user_id, value,
       |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step
       |      FROM events))""".stripMargin
@@ -553,6 +559,20 @@ object Queries {
         "policy"),
       Some(graft.ops.Trajectory.trajAdvantageSql(
         trajFixtureDuckRel, "user_id", "step", "reward_milli", "policy"))),
+
+    // GAE(lambda) advantages (round 19): TD residuals against the
+    // fixture's signed critic predictions, then the backward
+    // gamma*lambda recurrence — the compiled graft_gae_adv kernel vs
+    // the oracle's value-carrying recursive CTE; signed values make
+    // delta and A change sign within episodes, so the truncating
+    // rounding is hash-checked on both signs
+    QueryDef("traj_gae",
+      (s, dir) => graft.ops.Trajectory.trajGae(
+        trajFixtureSpark(s, dir), "user_id", "step", "reward_milli",
+        "value_milli"),
+      Some(graft.ops.Trajectory.trajGaeSql(
+        trajFixtureDuckRel, "user_id", "step", "reward_milli",
+        "value_milli"))),
 
     // COMPOSED: events -> gap-based sessionization -> discounted
     // returns (round 18): the full rollout-ingest path — raw event
@@ -625,6 +645,16 @@ object Queries {
       Some(graft.ops.Judge.btScoresSql(
         judgeFixtureDuckRel, "model_a", "model_b", "winner"))),
 
+    // BT convergence report (round 19): final strengths plus the last
+    // iteration's signed/absolute milli movement — settled vs
+    // truncated rankings become readable; the oracle replays the CTE
+    // ladder one iteration deeper and hash-checks the join
+    QueryDef("judge_bt_convergence",
+      (s, dir) => graft.ops.Judge.btConvergence(
+        judgeFixtureSpark(s, dir), "model_a", "model_b", "winner"),
+      Some(graft.ops.Judge.btConvergenceSql(
+        judgeFixtureDuckRel, "model_a", "model_b", "winner"))),
+
     // position-bias report (round 18): per model, win-milli as model_a
     // (shown first) vs as model_b, plus the signed gap — the order-
     // effect audit before trusting win rates; the fixture's winner rule
@@ -679,6 +709,28 @@ object Queries {
               .as("verdict")),
         "doc_id", "judge", "verdict"),
       Some(graft.ops.Judge.agreementSql(
+        """(SELECT doc_id, 'j' || j AS judge,
+          |  CASE WHEN (doc_id + j * (doc_id % 4)) % 3 = 0 THEN 'good'
+          |       ELSE 'bad' END AS verdict
+          |FROM (SELECT doc_id, unnest(generate_series(0, 2)) AS j
+          |      FROM documents))""".stripMargin,
+        "doc_id", "judge", "verdict"))),
+
+    // Cohen's kappa per judge pair (round 19): the chance-corrected
+    // read on the same 3-judge panel — po/pe marginal arithmetic in
+    // exact integers, the corrected ratio via the probed
+    // both-engines-truncate signed division; the fixture's skewed
+    // good/bad split (1/3 good) makes pe nontrivial, so the hash
+    // checks the marginal products, not just raw agreement
+    QueryDef("judge_kappa",
+      (s, dir) => graft.ops.Judge.kappa(
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(expr("sequence(0, 2)")).as("j"))
+          .select(col("doc_id"), expr("concat('j', j)").as("judge"),
+            expr("IF((doc_id + j * (doc_id % 4)) % 3 = 0, 'good', 'bad')")
+              .as("verdict")),
+        "doc_id", "judge", "verdict"),
+      Some(graft.ops.Judge.kappaSql(
         """(SELECT doc_id, 'j' || j AS judge,
           |  CASE WHEN (doc_id + j * (doc_id % 4)) % 3 = 0 THEN 'good'
           |       ELSE 'bad' END AS verdict
@@ -2119,6 +2171,35 @@ object Queries {
           |        (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS score_chosen
           |      FROM events))""".stripMargin,
         "score_chosen", "score_rejected"))),
+
+    // DPO implicit-reward margin report (round 19): per-pair
+    // (lpc_new - lpc_ref) - (lpr_new - lpr_ref) in milli-nats (pure
+    // BIGINT adds, beta left to the trainer's float land), bucketed by
+    // |margin| with ties their own bin — the fixture's four
+    // residue-derived log-prob columns span both margin signs and
+    // plant an exact-zero class every 23rd pair for the -1 bin
+    QueryDef("pref_dpo_margins",
+      (s, dir) => graft.ops.Preference.dpoMarginReport(
+        t(s, dir, "events")
+          .withColumn("lpc_new", expr("cast(-(event_id % 89) * 17 AS BIGINT)"))
+          .withColumn("lpc_ref", expr("cast(-(event_id % 97) * 13 AS BIGINT)"))
+          .withColumn("lpr_new", expr(
+            "IF(event_id % 23 = 0, lpc_new, cast(-(event_id % 83) * 19 AS BIGINT))"))
+          .withColumn("lpr_ref", expr(
+            "IF(event_id % 23 = 0, lpc_ref, cast(-(event_id % 79) * 11 AS BIGINT))")),
+        "event_id", "lpc_new", "lpc_ref", "lpr_new", "lpr_ref"),
+      Some(graft.ops.Preference.dpoMarginReportSql(
+        """(SELECT event_id,
+          |  lpc_new, lpc_ref,
+          |  CASE WHEN event_id % 23 = 0 THEN lpc_new
+          |       ELSE -(event_id % 83) * 19 END AS lpr_new,
+          |  CASE WHEN event_id % 23 = 0 THEN lpc_ref
+          |       ELSE -(event_id % 79) * 11 END AS lpr_ref
+          |FROM (SELECT event_id,
+          |        -(event_id % 89) * 17 AS lpc_new,
+          |        -(event_id % 97) * 13 AS lpc_ref
+          |      FROM events))""".stripMargin,
+        "event_id", "lpc_new", "lpc_ref", "lpr_new", "lpr_ref"))),
 
     // GRPO group-relative advantage (round 18): each prompt's sampled
     // completions baselined against their OWN group mean, kept as the

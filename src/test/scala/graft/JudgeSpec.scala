@@ -262,4 +262,97 @@ class JudgeSpec extends SparkSpec {
     assert(w("z") === 0L, "W_i = 0 is the MM boundary fixed point")
     assert(w("a") > w("b") && w("b") > 0L)
   }
+
+  test("kappa: skewed verdicts — raw agreement high, kappa near zero") {
+    // 100 items; judge a says bad on multiples of 10 (10 bad / 90
+    // good), judge b on multiples of 7 (14 bad / 86 good). Both bad
+    // only at 70 -> agree = 77 both-good + 1 both-bad = 78, po = 780.
+    // pe = (90*86 + 10*14) * 1000 div 100^2 = 788. kappa =
+    // (780-788)*1000 div 212 = trunc(-37.7) = -37: the chance
+    // correction exposes agreement-by-skew (and pins the SIGNED
+    // truncating division both engines were probed to share).
+    val rows = (1 to 100).flatMap { i =>
+      Seq((i.toLong, "a", if (i % 10 == 0) "bad" else "good"),
+        (i.toLong, "b", if (i % 7 == 0) "bad" else "good"))
+    }
+    val df = rows.toDF("item", "judge", "verdict")
+    val r = Judge.kappa(df, "item", "judge", "verdict").collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getString(0) === "a" && row.getString(1) === "b")
+    assert(row.getLong(2) === 100L) // n_common
+    assert(row.getLong(3) === 78L) // n_agree
+    assert(row.getLong(4) === 780L) // po_milli: high raw agreement
+    assert(row.getLong(5) === 788L) // pe_milli: almost all by chance
+    assert(row.getLong(6) === 0L) // not degenerate
+    assert(row.getLong(7) === -37L,
+      "kappa must be ~0 (slightly negative) despite 78% raw agreement")
+  }
+
+  test("kappa: perfect agreement is 1000; constant-same pairs report degenerate") {
+    val perfect = (1 to 40).flatMap { i =>
+      val v = if (i % 2 == 0) "x" else "y"
+      Seq((i.toLong, "a", v), (i.toLong, "b", v))
+    }.toDF("item", "judge", "verdict")
+    val p = Judge.kappa(perfect, "item", "judge", "verdict").collect().head
+    assert(p.getLong(4) === 1000L && p.getLong(5) === 500L &&
+      p.getLong(7) === 1000L)
+
+    // both judges constant on the SAME verdict: pe = 1000, kappa is
+    // 0/0 — its own reported class, not a division
+    val const = (1 to 10).flatMap(i =>
+      Seq((i.toLong, "a", "good"), (i.toLong, "b", "good")))
+      .toDF("item", "judge", "verdict")
+    val c = Judge.kappa(const, "item", "judge", "verdict").collect().head
+    assert(c.getLong(5) === 1000L && c.getLong(6) === 1L &&
+      c.getLong(7) === 0L)
+
+    // constant on DIFFERENT verdicts: po = 0, pe = 0 (no shared
+    // category), kappa 0 — not degenerate, just no signal
+    val diff = (1 to 10).flatMap(i =>
+      Seq((i.toLong, "a", "good"), (i.toLong, "b", "bad")))
+      .toDF("item", "judge", "verdict")
+    val d = Judge.kappa(diff, "item", "judge", "verdict").collect().head
+    assert(d.getLong(4) === 0L && d.getLong(5) === 0L &&
+      d.getLong(6) === 0L && d.getLong(7) === 0L)
+  }
+
+  test("kappa: NULL verdicts are out of domain (agreement counts them, kappa drops them)") {
+    val df = Seq(
+      (1L, "a", Some("good")), (1L, "b", Some("good")),
+      (2L, "a", None), (2L, "b", None),
+      (3L, "a", Some("bad")), (3L, "b", None))
+      .toDF("item", "judge", "verdict")
+    val k = Judge.kappa(df, "item", "judge", "verdict").collect()
+    // only item 1 has two non-NULL verdicts
+    assert(k.length === 1 && k.head.getLong(2) === 1L)
+    // agreement keeps the NULL rows (as disagreement) — the documented
+    // domain divergence between the raw and corrected reports
+    val a = Judge.agreement(df, "item", "judge", "verdict").collect()
+    assert(a.head.getLong(2) === 3L)
+  }
+
+  test("btConvergence: last-iteration delta shrinks as the MM settles") {
+    // a 2:1 favorite over enough matches that the MM moves in big
+    // steps first, small steps later
+    val df = (1 to 90).map { i =>
+      (i.toLong, "a", "b", if (i % 3 == 0) "b" else "a")
+    }.toDF("doc_id", "model_a", "model_b", "winner")
+    def maxDelta(iters: Int): Long =
+      Judge.btConvergence(df, "model_a", "model_b", "winner", iters = iters)
+        .collect().map(_.getLong(3)).max
+    val d1 = maxDelta(1)
+    val d3 = maxDelta(3)
+    val d6 = maxDelta(6)
+    assert(d1 > d3, s"delta must shrink: iters1=$d1 iters3=$d3")
+    assert(d3 >= d6, s"delta must not grow: iters3=$d3 iters6=$d6")
+    assert(d6 <= 5L, s"a settled board reads single-digit milli, got $d6")
+
+    // bt_milli agrees with btScores at the same iteration count
+    val conv = Judge.btConvergence(df, "model_a", "model_b", "winner")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = Judge.btScores(df, "model_a", "model_b", "winner")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(conv === plain)
+  }
 }

@@ -1022,6 +1022,53 @@ class PlanAuditSpec extends SparkSpec {
       s"traj_advantage must ride the kernel:\n$p")
   }
 
+  test("traj_gae: one trajectory exchange, compiled GAE kernel, no HOF under it") {
+    // same shape as traj_returns: the fixture's row_number window
+    // shuffles by user and the episode collect rides the SAME
+    // partitioning; the backward pass must be the compiled kernel fed
+    // the raw sorted struct array (a transform() child would break
+    // whole-stage codegen)
+    val p = plan("traj_gae")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"traj_gae: the episode agg must reuse the window's exchange:\n$p")
+    assert(p.contains("graft_gae_adv"),
+      s"traj_gae must run the compiled GAE kernel:\n$p")
+    assert(!p.matches("(?s).*graft_gae_adv\\(transform.*"),
+      s"the kernel's child must be the raw collect column, not a HOF:\n$p")
+  }
+
+  test("judge_kappa: no self-join; label-grain exchanges then metadata grain") {
+    // kappa widens agreement's row-local pair explode to category
+    // contribution rows — still no join anywhere in the Spark plan
+    // (the twin uses the join formulation at oracle scale only), and
+    // the two extra aggregation levels land at (pair x category) /
+    // pair grain, metadata-sized
+    val p = plan("judge_kappa")
+    assert(!p.contains("Join"),
+      s"judge_kappa must not reintroduce the self-join:\n$p")
+    assert(count(p, "Exchange") <= 4,
+      s"judge_kappa: label-grain + metadata-grain exchanges only:\n$p")
+  }
+
+  test("judge_bt_convergence: every pair-table reference hits the lease") {
+    // btScores' lease audit extended to the convergence report: one
+    // judgment scan into the leased directed pair table; the extra
+    // prev-iteration join is |models|-row metadata
+    val p = plan("judge_bt_convergence")
+    val refs = count(p, "InMemoryTableScan")
+    assert(refs > 0 && count(p, "Scan parquet") == refs,
+      s"judge_bt_convergence: every pair-table reference must hit the lease:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the prev-iteration join must be keyed:\n$p")
+  }
+
+  test("pref_dpo_margins: one bins-keyed partial-agged exchange") {
+    val p = plan("pref_dpo_margins")
+    assert(count(p, "Exchange hashpartitioning") == 1 &&
+      count(p, "HashAggregate") >= 2,
+      s"dpo margin report is one partial-agged bin exchange:\n$p")
+  }
+
   test("judge_position_bias: single model-keyed exchange, partial-aggregated") {
     val p = plan("judge_position_bias")
     assert(count(p, "Exchange hashpartitioning") == 1,

@@ -818,6 +818,38 @@ class StreamingOpsSpec extends SparkSpec {
     } finally { rm.stop(); fert.stop() }
   }
 
+  test("streaming DPO margin report maintains itself in complete mode") {
+    // one distributive bucket agg over a stateless margin projection —
+    // the live DPO-health dashboard. The round-19 siblings pin their
+    // stances elsewhere: trajGae is batch-only like trajReturns (an
+    // advantage is undefined until the episode closes), kappa and
+    // btConvergence chain aggregations/iterations complete mode cannot
+    // express — run them on the landed table.
+    implicit val sq = spark.sqlContext
+    val pairs = MemoryStream[(Long, Long, Long, Long, Long)]
+    val q = graft.ops.Preference.dpoMarginReport(
+      pairs.toDF().toDF("id", "lpcn", "lpcr", "lprn", "lprr"),
+      "id", "lpcn", "lpcr", "lprn", "lprr")
+      .writeStream.format("memory").queryName("dpo_stream")
+      .outputMode("complete").start()
+    try {
+      val b1 = Seq((1L, -100L, -300L, -900L, -400L), // margin +... signed
+        (2L, -500L, -500L, -700L, -700L), // exact zero -> bin -1
+        (3L, -2000L, -100L, -100L, -900L)) // strongly negative
+      val b2 = Seq((4L, -50L, -4000L, -900L, -800L),
+        (5L, -10L, -20L, -30L, -35L))
+      pairs.addData(b1: _*); q.processAllAvailable()
+      pairs.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("dpo_stream")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val batch = graft.ops.Preference.dpoMarginReport(
+        (b1 ++ b2).toDF("id", "lpcn", "lpcr", "lprn", "lprr"),
+        "id", "lpcn", "lpcr", "lprn", "lprr")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming log-quantile sketch: bucket counters maintain themselves as a streaming agg") {
     // Same property as the HLL test for the quantile rung: the bucket
     // agg is distributive, so complete mode converges to the batch

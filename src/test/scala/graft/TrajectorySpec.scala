@@ -110,6 +110,87 @@ class TrajectorySpec extends SparkSpec {
     assert(m("b") === ((1L, 3L, 3000L, -30L)))
   }
 
+  test("trajGae: hand-computed backward recurrence over signed values") {
+    // gamma=900, lambda=950; (r, v) per step:
+    //   step 3: d3 = 1000 + 0 - 200 = 800, A3 = 800
+    //   step 2: d2 = -500 + trunc(900*200/1000) + 300 = -20,
+    //           A2 = -20 + trunc(855000*800/1e6) = -20 + 684 = 664
+    //   step 1: d1 = 2000 + trunc(900*-300/1000) - 500 = 1230,
+    //           A1 = 1230 + trunc(855000*664/1e6) = 1230 + 567 = 1797
+    val df = Seq(
+      (1L, 1L, 2000L, 500L), (1L, 2L, -500L, -300L), (1L, 3L, 1000L, 200L))
+      .toDF("traj", "step", "r", "v")
+    val a = Trajectory.trajGae(df, "traj", "step", "r", "v",
+      gammaMilli = 900, lambdaMilli = 950)
+      .collect().map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(a === Map(1L -> 1797L, 2L -> 664L, 3L -> 800L))
+  }
+
+  test("trajGae: all-negative advantages TRUNCATE toward zero, not floor") {
+    // A2 = -999; A1 = 0 + trunc(900000 * -999 / 1e6) = trunc(-899.1)
+    // = -899 — a floorDiv draft would emit -900 (the exact class the
+    // sweep caught on the returns kernel)
+    val df = Seq((1L, 1L, 0L, 0L), (1L, 2L, -999L, 0L))
+      .toDF("traj", "step", "r", "v")
+    val a = Trajectory.trajGae(df, "traj", "step", "r", "v",
+      gammaMilli = 900, lambdaMilli = 1000)
+      .collect().map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(a(1L) === -899L,
+      "negative GAE must TRUNCATE (both engines' semantics), not floor")
+    assert(a(2L) === -999L)
+  }
+
+  test("trajGae: matches a Scala reference over signed episodes; lambda=0 is the TD residual") {
+    val eps = (1 to 30).map { t =>
+      val n = 1 + (t * 5) % 9
+      (t.toLong, (1 to n).map { k =>
+        (k.toLong,
+          ((t * 31 + k * 17) % 4001) - 2000L,
+          ((t * 13 + k * 29) % 3001) - 1500L)
+      })
+    }
+    def ref(steps: Seq[(Long, Long, Long)], g: Long, l: Long): Map[Long, Long] = {
+      var a = 0L; var vNext = 0L
+      steps.sortBy(_._1).reverse.map { case (s, r, v) =>
+        val d = r + g * vNext / 1000 - v
+        a = d + g * l * a / 1000000
+        vNext = v
+        s -> a
+      }.toMap
+    }
+    val df = eps.flatMap { case (t, ss) => ss.map(s => (t, s._1, s._2, s._3)) }
+      .toDF("traj", "step", "r", "v")
+    for ((g, l) <- Seq((900, 950), (900, 1000), (990, 0))) {
+      val got = Trajectory.trajGae(df, "traj", "step", "r", "v",
+        gammaMilli = g, lambdaMilli = l)
+        .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+      val want = eps.flatMap { case (t, ss) =>
+        ref(ss, g, l).map { case (s, a) => (t, s) -> a } }.toMap
+      assert(got === want, s"gamma=$g lambda=$l")
+    }
+    // lambda=0 degrades to the one-step TD residual: A_i = delta_i
+    val td = Trajectory.trajGae(df, "traj", "step", "r", "v",
+      gammaMilli = 990, lambdaMilli = 0)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    eps.foreach { case (t, ss) =>
+      val byStep = ss.map(s => s._1 -> s).toMap
+      ss.foreach { case (s, r, v) =>
+        val vNext = byStep.get(s + 1).map(_._3).getOrElse(0L)
+        assert(td((t, s)) === r + 990L * vNext / 1000L - v)
+      }
+    }
+  }
+
+  test("trajGae: maxSteps drops oversized episodes whole; twin carries the guard") {
+    val df = ((1 to 5).map(s => (1L, s.toLong, 100L, 10L)) ++
+      Seq((2L, 1L, 7L, 5L))).toDF("traj", "step", "r", "v")
+    val a = Trajectory.trajGae(df, "traj", "step", "r", "v", maxSteps = 3)
+      .collect().map(x => x.getLong(0)).toSet
+    assert(a === Set(2L), "the 5-step episode is gone whole")
+    val twin = Trajectory.trajGaeSql("t", "traj", "step", "r", "v", maxSteps = 3)
+    assert(twin.contains("HAVING count(*) <= 3"))
+  }
+
   test("trajAdvantage: exact scaled centering; single-trajectory stratum is zero") {
     // policy p has two length-1 episodes with rewards 100 and 300:
     // baseline sum 400, n_peers 2 -> adv = 100*2-400 = -200 / 300*2-400 = 200.
