@@ -49,6 +49,17 @@ import org.apache.spark.sql.functions._
   * the baseline it joins back is (policy × step) grain,
   * metadata-sized, broadcast-eligible under AQE.
   *
+  * The two-branch re-scan DOUBLES whatever lineage feeds it — priced
+  * deliberately (ProbeRound19 `advsess`, 20M raw events through the
+  * `traj_from_sessions` sessionization): returns-over-sessions 5.1s
+  * warm, advantage-over-sessions 10.9s — the expected 2×, still
+  * linear and windowed per user. The 2× stands as the design: leasing
+  * the step frame would pin a CORPUS-sized intermediate
+  * (`Caches.lease` is metadata-only by repo convention, and at 100 TB
+  * the doubled columnar window pass beats spilling a cached 100 TB
+  * frame). If an upstream composition ever becomes super-linear, cut
+  * the composition at a landed parquet table instead of leasing.
+  *
   * Streaming stance: the [[episodeAgg]] level maintains itself in
   * complete mode (one distributive agg); [[statsOfEpisodes]] rolls it
   * up to |policies| rows at read time, because Spark cannot chain two

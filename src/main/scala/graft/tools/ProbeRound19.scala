@@ -67,6 +67,9 @@ object ProbeRound19 {
       val running = byUser.rowsBetween(Window.unboundedPreceding,
         Window.currentRow)
       spark.read.parquet(s"$dir/events.parquet")
+        // raw probe parquet reads ts as TIMESTAMP_NTZ (the Queries.t
+        // normalization is part of the query fixture, not this probe)
+        .withColumn("ts", expr("cast(ts AS TIMESTAMP)"))
         .withColumn("__prev_us", lag(expr("unix_micros(ts)"), 1).over(byUser))
         .withColumn("__new", when(col("__prev_us").isNull ||
           expr("unix_micros(ts)") - col("__prev_us") > 30L * 60 * 1000000,
