@@ -551,6 +551,58 @@ object Judge {
        |    (coalesce(s.s, 0) * 1000 // (a.n * a.n))::BIGINT AS pe_milli
        |  FROM a LEFT JOIN s ON a.ja = s.ja AND a.jb = s.jb)""".stripMargin
 
+  /** INTRA-judge consistency (round 19) — the self-agreement audit
+    * that completes the trust ladder ([[agreement]]/[[kappa]] measure
+    * judges against EACH OTHER; this measures each judge against
+    * THEMSELVES): on a labeling table where some (item, judge) cells
+    * carry repeated judgments (re-runs, retries, deliberate
+    * test-retest probes), report per judge how many items they labeled
+    * more than once and on how many of those their verdict FLIPPED —
+    * the intra-rater reliability number an annotation pipeline reads
+    * before trusting any single-pass label, and the direct audit of
+    * the min(verdict) collapse the pair-grain reports apply upstream
+    * (a high flip rate means that collapse is hiding real noise).
+    *
+    * `flipped` = min(verdict) ≠ max(verdict) over the cell — cheaper
+    * than a distinct-count and identical on both engines. NULL
+    * verdicts are out of domain (the [[kappa]] stance: a NULL label is
+    * a missing label, not a verdict that can flip). Judges with no
+    * re-labeled items have no row (no divide guard needed — the
+    * denominator is ≥ 1 by construction).
+    *
+    * Plan shape: one scan → (item, judge) partial-agged exchange
+    * (labels collapse to (count, min, max) — the label TEXT beyond the
+    * verdict never moves) → judge-grain partial agg, metadata-sized.
+    * No explode, no join.
+    */
+  def selfConsistency(df: DataFrame, item: String, judge: String,
+                      verdict: String): DataFrame =
+    df.where(col(verdict).isNotNull)
+      .groupBy(col(item).as("__i"), col(judge).as("judge"))
+      .agg(count(lit(1)).as("__n"), min(col(verdict)).as("__mn"),
+        max(col(verdict)).as("__mx"))
+      .where(col("__n") >= 2)
+      .groupBy(col("judge"))
+      .agg(count(lit(1)).as("n_relabeled"),
+        sum(when(col("__mn") =!= col("__mx"), 1L).otherwise(0L))
+          .as("n_flipped"))
+      .withColumn("flip_milli",
+        expr("CAST(n_flipped * 1000 div n_relabeled AS BIGINT)"))
+
+  /** DuckDB twin of [[selfConsistency]]. */
+  def selfConsistencySql(table: String, item: String, judge: String,
+                         verdict: String): String =
+    s"""SELECT judge, count(*) AS n_relabeled,
+       |  sum(CASE WHEN mn <> mx THEN 1 ELSE 0 END)::BIGINT AS n_flipped,
+       |  (sum(CASE WHEN mn <> mx THEN 1 ELSE 0 END) * 1000
+       |    // count(*))::BIGINT AS flip_milli
+       |FROM (
+       |  SELECT $item AS i, $judge AS judge, count(*) AS n,
+       |    min($verdict) AS mn, max($verdict) AS mx
+       |  FROM $table WHERE $verdict IS NOT NULL GROUP BY 1, 2)
+       |WHERE n >= 2
+       |GROUP BY judge""".stripMargin
+
   /** Shared WITH body for the BT twins: the directed pair CTE, then
     * one CTE per MM iteration (fixed count, mirrored arithmetic) up to
     * `w$iters`.

@@ -2256,6 +2256,50 @@ object Queries {
         "(SELECT event_id % 97 AS prompt_id, (event_id % 5) < 2 AS passed FROM events)",
         "prompt_id", "passed", ks = Seq(1, 2, 5, 11)))),
 
+    // pass^k (round 19): the reliability complement of pass@k — the
+    // probability ALL k samples pass, C(c,k)/C(n,k) as the same
+    // unrolled truncating chain; same fixture so k=5 exercises the
+    // c<k exact-zero branch and k=11 the exclusion rung
+    QueryDef("eval_pass_all_k",
+      (s, dir) => graft.ops.PassAtK.passAllK(
+        t(s, dir, "events")
+          .withColumn("prompt_id", expr("event_id % 97"))
+          .withColumn("passed", expr("(event_id % 5) < 2")),
+        "prompt_id", "passed", ks = Seq(1, 2, 5, 11)),
+      Some(graft.ops.PassAtK.passAllKSql(
+        "(SELECT event_id % 97 AS prompt_id, (event_id % 5) < 2 AS passed FROM events)",
+        "prompt_id", "passed", ks = Seq(1, 2, 5, 11)))),
+
+    // intra-judge consistency (round 19): per judge, re-labeled item
+    // count and flip rate — the fixture plants a second j0 label on
+    // every 4th doc that flips on every 8th, so j0 reads ~500 milli
+    // and j1/j2 have no row (never re-labeled)
+    QueryDef("judge_self_consistency",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), explode(expr("sequence(0, 2)")).as("j"))
+          .select(col("doc_id"), expr("concat('j', j)").as("judge"),
+            expr("IF((doc_id + j) % 3 = 0, 'good', 'bad')").as("verdict"))
+        val relabel = t(s, dir, "documents")
+          .where(expr("doc_id % 4 = 0"))
+          .select(col("doc_id"), lit("j0").as("judge"),
+            expr("CASE WHEN doc_id % 8 = 0 THEN 'flip' " +
+              "WHEN doc_id % 3 = 0 THEN 'good' ELSE 'bad' END").as("verdict"))
+        graft.ops.Judge.selfConsistency(base.union(relabel),
+          "doc_id", "judge", "verdict")
+      },
+      Some(graft.ops.Judge.selfConsistencySql(
+        """(SELECT doc_id, 'j' || j AS judge,
+          |  CASE WHEN (doc_id + j) % 3 = 0 THEN 'good' ELSE 'bad' END AS verdict
+          |FROM (SELECT doc_id, unnest(generate_series(0, 2)) AS j
+          |      FROM documents)
+          |UNION ALL
+          |SELECT doc_id, 'j0' AS judge,
+          |  CASE WHEN doc_id % 8 = 0 THEN 'flip'
+          |       WHEN doc_id % 3 = 0 THEN 'good' ELSE 'bad' END AS verdict
+          |FROM documents WHERE doc_id % 4 = 0)""".stripMargin,
+        "doc_id", "judge", "verdict"))),
+
     // data-MIXTURE plan (round 18): per-source sampling factors in
     // epochs-milli from target weights + token masses, epoch-capped,
     // with the achieved mixture reported after caps bind. Targets hit

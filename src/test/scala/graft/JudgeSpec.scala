@@ -332,6 +332,29 @@ class JudgeSpec extends SparkSpec {
     assert(a.head.getLong(2) === 3L)
   }
 
+  test("selfConsistency: flip rate per judge over re-labeled cells; NULLs out of domain") {
+    val df = Seq(
+      // judge a: item 1 labeled twice, flipped; item 2 twice, stable;
+      // item 3 once (not re-labeled)
+      (1L, "a", Some("good")), (1L, "a", Some("bad")),
+      (2L, "a", Some("good")), (2L, "a", Some("good")),
+      (3L, "a", Some("good")),
+      // judge b: item 1 three times, two distinct -> one flip event
+      (1L, "b", Some("x")), (1L, "b", Some("x")), (1L, "b", Some("y")),
+      // judge c: only NULL re-labels -> out of domain, no row
+      (1L, "c", None), (1L, "c", None),
+      // judge d: NULL + one real label -> one non-NULL label, not
+      // re-labeled, no row
+      (2L, "d", None), (2L, "d", Some("good")))
+      .toDF("item", "judge", "verdict")
+    val m = graft.ops.Judge.selfConsistency(df, "item", "judge", "verdict")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m === Map(
+      "a" -> ((2L, 1L, 500L)),
+      "b" -> ((1L, 1L, 1000L))))
+  }
+
   test("btConvergence: last-iteration delta shrinks as the MM settles") {
     // a 2:1 favorite over enough matches that the MM moves in big
     // steps first, small steps later

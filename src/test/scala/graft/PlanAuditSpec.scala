@@ -1069,6 +1069,31 @@ class PlanAuditSpec extends SparkSpec {
       s"dpo margin report is one partial-agged bin exchange:\n$p")
   }
 
+  test("eval_pass_all_k: same two-level partial-agg shape as pass@k") {
+    // the prompt-keyed exchange carries (prompt, n, c) partial aggs,
+    // never sample rows; then the |ks|-row final agg
+    val p = plan("eval_pass_all_k")
+    assert(count(p, "HashAggregate") >= 4,
+      s"pass^k must partial-aggregate both levels:\n$p")
+    assert(!p.contains("Join"),
+      s"pass^k is agg-only:\n$p")
+  }
+
+  test("judge_self_consistency: no join, two partial-agged exchanges") {
+    // the OP is a pure two-level agg (the fixture's 3-judge explode
+    // and union are fixture-side); labels collapse to (count, min,
+    // max) before the first exchange
+    val p = plan("judge_self_consistency")
+    assert(!p.contains("Join"),
+      s"self-consistency must not join:\n$p")
+    assert(count(p, "Exchange hashpartitioning") <= 2,
+      s"label-grain then judge-grain exchanges only:\n$p")
+    // the (item, judge) level plans as SortAggregate (string min/max);
+    // partial-ness is what matters, not the agg implementation
+    assert(count(p, "HashAggregate") + count(p, "SortAggregate") >= 4,
+      s"both agg levels must be partial:\n$p")
+  }
+
   test("judge_position_bias: single model-keyed exchange, partial-aggregated") {
     val p = plan("judge_position_bias")
     assert(count(p, "Exchange hashpartitioning") == 1,
