@@ -73,6 +73,81 @@ object PolicyOpt {
        |  FROM $table GROUP BY 1) b
        |ON s.$prompt = b.p""".stripMargin
 
+  /** GRPO group statistics (round 19) — the prompt-grain frame the
+    * trainer's normalization actually divides by: GRPO scales each
+    * advantage by the group's std, and the exact integer prep is
+    * `var_scaled = n·Σr² − (Σr)²` (= n² × the population variance —
+    * non-negative by Cauchy-Schwarz, pure products and sums, no
+    * division anywhere; the trainer takes `sqrt(var_scaled)/n` in
+    * float land where its epsilon-guard lives). One row per prompt
+    * with n, Σr and Σr², so [[grpoAdvantage]]'s scaled advantage and
+    * this frame share a denominator convention: `adv_scaled = r·n − Σr`
+    * normalizes as `adv_scaled / sqrt(var_scaled)`.
+    *
+    * Range: Σr² needs |r| ≲ 2·10⁶ milli at 10⁶-sample groups to stay
+    * inside 64 bits — generous for milli-rewards in [−10⁶, 10⁶].
+    * One prompt-keyed partial-agg exchange; distributive, the
+    * complete-mode streaming family.
+    */
+  def grpoGroupStats(df: DataFrame, prompt: String,
+                     reward: String): DataFrame =
+    df.select(col(prompt).as("prompt_id"),
+      coalesce(col(reward).cast("long"), lit(0L)).as("__r"))
+      .groupBy(col("prompt_id"))
+      .agg(count(lit(1)).as("n_group"),
+        sum(col("__r")).as("sum_r_milli"),
+        sum(col("__r") * col("__r")).as("sum_r2"))
+      .withColumn("var_scaled",
+        col("n_group") * col("sum_r2") - col("sum_r_milli") * col("sum_r_milli"))
+
+  /** DuckDB twin of [[grpoGroupStats]]. */
+  def grpoGroupStatsSql(table: String, prompt: String,
+                        reward: String): String =
+    s"""SELECT prompt_id, count(*) AS n_group,
+       |  sum(r)::BIGINT AS sum_r_milli,
+       |  sum(r * r)::BIGINT AS sum_r2,
+       |  (count(*) * sum(r * r) - sum(r) * sum(r))::BIGINT AS var_scaled
+       |FROM (SELECT $prompt AS prompt_id,
+       |        ${graft.ops.PortableHash.truncToZero(s"coalesce($reward, 0)")} AS r
+       |      FROM $table)
+       |GROUP BY prompt_id""".stripMargin
+
+  /** KL-drift report (round 19) — the other PPO health number next to
+    * [[ppoClipStats]]: with per-sample log-probs in integer MILLI-NATS
+    * under the old and new policy, the k1 estimator of
+    * `KL(π_old ‖ π_new)` on old-policy samples is `mean(lp_old −
+    * lp_new)` — kept as the SIGNED SUM plus the count (the repo's
+    * no-signed-division rule; the trainer reads sum/n in float), with
+    * tail counts at 100/500 milli-nat |Δ| thresholds (integer
+    * comparisons) because a healthy mean can hide a divergent tail —
+    * the standard early-stop signal reads both. One scan into a
+    * |policies|-row partial-agged exchange; distributive.
+    */
+  def klReport(df: DataFrame, policy: String, lpNew: String,
+               lpOld: String): DataFrame =
+    df.select(col(policy).as("policy"),
+      (col(lpOld).cast("long") - col(lpNew).cast("long")).as("__d"))
+      .groupBy(col("policy"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("__d")).as("sum_kl_millinats"),
+        sum(when(abs(col("__d")) > 100L, 1L).otherwise(0L))
+          .as("n_drift_100"),
+        sum(when(abs(col("__d")) > 500L, 1L).otherwise(0L))
+          .as("n_drift_500"))
+
+  /** DuckDB twin of [[klReport]]. */
+  def klReportSql(table: String, policy: String, lpNew: String,
+                  lpOld: String): String =
+    s"""SELECT policy, count(*) AS n_samples,
+       |  sum(d)::BIGINT AS sum_kl_millinats,
+       |  sum(CASE WHEN abs(d) > 100 THEN 1 ELSE 0 END)::BIGINT AS n_drift_100,
+       |  sum(CASE WHEN abs(d) > 500 THEN 1 ELSE 0 END)::BIGINT AS n_drift_500
+       |FROM (
+       |  SELECT $policy AS policy,
+       |    ${graft.ops.PortableHash.truncToZero(s"$lpOld")} - ${graft.ops.PortableHash.truncToZero(s"$lpNew")} AS d
+       |  FROM $table)
+       |GROUP BY policy""".stripMargin
+
   /** ln(1±ε) in milli-nats for the standard ε (integer constants both
     * dialects share; ε = 0.2 → [−223, 182]).
     */

@@ -716,6 +716,26 @@ object Queries {
           |      FROM documents))""".stripMargin,
         "doc_id", "judge", "verdict"))),
 
+    // Fleiss' kappa per panel size (round 19): the board-level
+    // chance correction over the same 3-judge panel — pooled
+    // marginals, per-item agreement numerators, one row for the n=3
+    // panel; exact-integer po/pe with the sanctioned signed division
+    QueryDef("judge_fleiss_kappa",
+      (s, dir) => graft.ops.Judge.fleissKappa(
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(expr("sequence(0, 2)")).as("j"))
+          .select(col("doc_id"), expr("concat('j', j)").as("judge"),
+            expr("IF((doc_id + j * (doc_id % 4)) % 3 = 0, 'good', 'bad')")
+              .as("verdict")),
+        "doc_id", "judge", "verdict"),
+      Some(graft.ops.Judge.fleissKappaSql(
+        """(SELECT doc_id, 'j' || j AS judge,
+          |  CASE WHEN (doc_id + j * (doc_id % 4)) % 3 = 0 THEN 'good'
+          |       ELSE 'bad' END AS verdict
+          |FROM (SELECT doc_id, unnest(generate_series(0, 2)) AS j
+          |      FROM documents))""".stripMargin,
+        "doc_id", "judge", "verdict"))),
+
     // Cohen's kappa per judge pair (round 19): the chance-corrected
     // read on the same 3-judge panel — po/pe marginal arithmetic in
     // exact integers, the corrected ratio via the probed
@@ -2219,6 +2239,41 @@ object Queries {
           |  (CAST(value AS DECIMAL(18,2)) * 1000)::BIGINT - 1500 AS reward_milli
           |FROM events)""".stripMargin,
         "prompt_id", "sample_id", "reward_milli"))),
+
+    // GRPO group statistics (round 19): the prompt-grain n/sum/sumsq
+    // frame whose exact scaled variance n*Σr² − (Σr)² the trainer's
+    // std-normalization consumes — same fixture as grpo_advantage so
+    // the shared denominator convention is hash-checked side by side
+    QueryDef("grpo_group_stats",
+      (s, dir) => graft.ops.PolicyOpt.grpoGroupStats(
+        t(s, dir, "events")
+          .withColumn("prompt_id", expr("event_id % 97"))
+          .withColumn("reward_milli", expr(
+            "cast(cast(value AS DECIMAL(18,2)) * 1000 AS BIGINT) - 1500")),
+        "prompt_id", "reward_milli"),
+      Some(graft.ops.PolicyOpt.grpoGroupStatsSql(
+        """(SELECT event_id % 97 AS prompt_id,
+          |  (CAST(value AS DECIMAL(18,2)) * 1000)::BIGINT - 1500 AS reward_milli
+          |FROM events)""".stripMargin,
+        "prompt_id", "reward_milli"))),
+
+    // KL-drift report (round 19): k1-estimator mass as a signed sum of
+    // milli-nat deltas plus 100/500-milli tail counts per policy — the
+    // PPO early-stop signal next to the clip fraction; same log-prob
+    // fixture as ppo_clip_report
+    QueryDef("ppo_kl_report",
+      (s, dir) => graft.ops.PolicyOpt.klReport(
+        t(s, dir, "events")
+          .withColumn("policy", expr("concat('p', user_id % 3)"))
+          .withColumn("lp_new", expr("cast(-(event_id % 700) AS BIGINT)"))
+          .withColumn("lp_old", expr("cast(-(event_id * 3 % 700) AS BIGINT)")),
+        "policy", "lp_new", "lp_old"),
+      Some(graft.ops.PolicyOpt.klReportSql(
+        """(SELECT 'p' || (user_id % 3) AS policy,
+          |  -(event_id % 700) AS lp_new,
+          |  -(event_id * 3 % 700) AS lp_old
+          |FROM events)""".stripMargin,
+        "policy", "lp_new", "lp_old"))),
 
     // PPO clip-fraction report (round 18): with log-probs in integer
     // milli-nats the ratio-clip test is an integer comparison on

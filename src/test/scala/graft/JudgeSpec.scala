@@ -332,6 +332,44 @@ class JudgeSpec extends SparkSpec {
     assert(a.head.getLong(2) === 3L)
   }
 
+  test("fleissKappa: hand-computed pooled marginals; panel sizes report separately") {
+    // n=2 board: items (good,good), (good,bad), (bad,bad):
+    //   po = (2+0+2)*1000 div (3*2*1) = 666
+    //   marginals M_good = M_bad = 3 -> pe = 18*1000 div 36 = 500
+    //   kappa = (666-500)*1000 div 500 = 332 (float 0.333)
+    // plus an n=3 item (its own row) and a single-judge item (dropped)
+    val df = Seq(
+      (1L, "a", "good"), (1L, "b", "good"),
+      (2L, "a", "good"), (2L, "b", "bad"),
+      (3L, "a", "bad"), (3L, "b", "bad"),
+      (4L, "a", "x"), (4L, "b", "x"), (4L, "c", "x"),
+      (5L, "a", "solo"))
+      .toDF("item", "judge", "verdict")
+    val m = graft.ops.Judge.fleissKappa(df, "item", "judge", "verdict")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(m(2L) === ((3L, 666L, 500L, 0L, 332L)))
+    // the n=3 board is one constant item: po=1000, pe=1000 -> degenerate
+    assert(m(3L) === ((1L, 1000L, 1000L, 1L, 0L)))
+    assert(!m.contains(1L), "single-judge items are out of domain")
+  }
+
+  test("fleissKappa: skewed verdicts inflate raw agreement, kappa stays near zero") {
+    // 90% 'good' base rate, independent-ish disagreement pattern: high
+    // po from skew alone must be corrected away
+    val df = (1 to 100).flatMap { i =>
+      Seq((i.toLong, "a", if (i % 10 == 0) "bad" else "good"),
+        (i.toLong, "b", if (i % 7 == 0) "bad" else "good"))
+    }.toDF("item", "judge", "verdict")
+    val r = graft.ops.Judge.fleissKappa(df, "item", "judge", "verdict")
+      .collect().head
+    val (po, pe, kappa) = (r.getLong(2), r.getLong(3), r.getLong(5))
+    assert(po >= 750L, s"raw agreement is high by skew alone: $po")
+    assert(math.abs(kappa) <= 120L,
+      s"the pooled chance correction must flatten it: kappa=$kappa pe=$pe")
+  }
+
   test("selfConsistency: flip rate per judge over re-labeled cells; NULLs out of domain") {
     val df = Seq(
       // judge a: item 1 labeled twice, flipped; item 2 twice, stable;

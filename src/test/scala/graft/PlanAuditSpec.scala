@@ -1094,6 +1094,32 @@ class PlanAuditSpec extends SparkSpec {
       s"both agg levels must be partial:\n$p")
   }
 
+  test("judge_fleiss_kappa: co-partitioned item join, no cartesian, label-grain exchanges") {
+    // the marginal branch joins (item, category) counts back to item
+    // panel sizes — both descend from item-keyed aggs, so the join
+    // must be keyed (SMJ/shuffled-hash on the item key), never a
+    // nested-loop; everything after is metadata grain
+    val p = plan("judge_fleiss_kappa")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fleiss marginal join must be keyed:\n$p")
+    // the documented two-branch re-derivation of the label-grain ik
+    // lineage doubles its exchange chain in the STATIC plan (runtime
+    // exchange reuse collapses the identical subtrees); the pin is
+    // the ceiling, not the runtime count
+    assert(count(p, "Exchange hashpartitioning") <= 12,
+      s"label-grain (2x documented) + metadata-grain exchanges only:\n$p")
+  }
+
+  test("grpo_group_stats / ppo_kl_report: one partial-agged keyed exchange each") {
+    for (q <- Seq("grpo_group_stats", "ppo_kl_report")) {
+      val p = plan(q)
+      assert(count(p, "Exchange hashpartitioning") == 1 &&
+        count(p, "HashAggregate") >= 2,
+        s"$q is one partial-agged keyed exchange:\n$p")
+      assert(!p.contains("Join"), s"$q is agg-only:\n$p")
+    }
+  }
+
   test("judge_position_bias: single model-keyed exchange, partial-aggregated") {
     val p = plan("judge_position_bias")
     assert(count(p, "Exchange hashpartitioning") == 1,

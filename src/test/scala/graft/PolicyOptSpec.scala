@@ -49,4 +49,47 @@ class PolicyOptSpec extends SparkSpec {
         x.getAs[Number](4).longValue)).head
     assert(twin === r)
   }
+
+  test("grpoGroupStats: exact scaled variance n*sum(r^2) - sum(r)^2; constant group is 0") {
+    val df = Seq(
+      (1L, Some(100L)), (1L, Some(300L)), (1L, None), // rewards 100,300,0
+      (2L, Some(-50L)), // singleton
+      (3L, Some(7L)), (3L, Some(7L))) // constant group
+      .toDF("prompt", "r")
+    val m = PolicyOpt.grpoGroupStats(df, "prompt", "r")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    // group 1: n=3, sum=400, sumsq=100000; var = 3*100000 - 160000 = 140000
+    // (= 9 * pop-variance: mean 133.33, var 15555.6 -> *9 = 140000)
+    assert(m(1L) === ((3L, 400L, 100000L, 140000L)))
+    assert(m(2L) === ((1L, -50L, 2500L, 0L)), "singleton variance is 0")
+    assert(m(3L) === ((2L, 14L, 98L, 0L)), "constant group variance is 0")
+    // normalization contract with grpoAdvantage: adv_scaled/sqrt(var)
+    // is the unit-variance advantage — here adv(100) = -100,
+    // sqrt(140000) ~ 374.2, so the trainer reads ~-0.267 in float land
+  }
+
+  test("klReport: signed k1 mass as a sum; tail counts at the milli-nat thresholds") {
+    val df = Seq(
+      ("p", -700L, -650L), // d = lp_old - lp_new = 50 -> no tail
+      ("p", -700L, -599L), // d = 101 -> tail 100
+      ("p", -100L, -601L), // d = -501 -> tail 100 AND 500 (abs)
+      ("p", -500L, -500L)) // d = 0
+      .toDF("policy", "lp_new", "lp_old")
+    val r = PolicyOpt.klReport(df, "policy", "lp_new", "lp_old")
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4))).head
+    assert(r === ((4L, -350L, 2L, 1L)),
+      "sum 50+101-501+0 = -350; two |d|>100, one |d|>500")
+
+    // twin replay
+    df.createOrReplaceTempView("kl_fixture")
+    val twin = spark.sql(PolicyOpt.klReportSql("kl_fixture",
+      "policy", "lp_new", "lp_old")
+      .replace("//", "div").replace("::BIGINT", ""))
+      .collect().map(x => (x.getAs[Number](1).longValue,
+        x.getAs[Number](2).longValue, x.getAs[Number](3).longValue,
+        x.getAs[Number](4).longValue)).head
+    assert(twin === r)
+  }
 }
