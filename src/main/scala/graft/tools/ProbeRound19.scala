@@ -113,6 +113,33 @@ object ProbeRound19 {
           run(graft.ops.Judge.agreement(labels, "item", "judge", "verdict")))
         time("judge_kappa x 20M labels (2M items x 10 judges)")(
           run(graft.ops.Judge.kappa(labels, "item", "judge", "verdict")))
+        time("judge_fleiss_kappa x 20M labels")(
+          run(graft.ops.Judge.fleissKappa(labels, "item", "judge", "verdict")))
+        time("judge_self_consistency x 20M labels")(
+          run(graft.ops.Judge.selfConsistency(
+            labels.withColumn("item", expr("item % 1500000")),
+            "item", "judge", "verdict")))
+      }
+      if (on("policyopt2")) {
+        val samples = spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("prompt_id", expr("event_id % 1000000"))
+          .withColumn("reward_milli", expr(
+            "cast(cast(value AS DECIMAL(18,2)) * 1000 AS BIGINT) - 1500"))
+          .withColumn("policy", expr("concat('p', user_id % 3)"))
+          .withColumn("lp_new", expr("cast(-(event_id % 700) AS BIGINT)"))
+          .withColumn("lp_old", expr("cast(-(event_id * 3 % 700) AS BIGINT)"))
+        time("grpo_group_stats x 20M samples / 1M prompts")(
+          run(graft.ops.PolicyOpt.grpoGroupStats(
+            samples, "prompt_id", "reward_milli")))
+        time("ppo_kl_report x 20M samples")(
+          run(graft.ops.PolicyOpt.klReport(
+            samples, "policy", "lp_new", "lp_old")))
+        val passes = spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("prompt_id", expr("event_id % 1000000"))
+          .withColumn("passed", expr("(event_id % 5) < 2"))
+        time("eval_pass_all_k (k=1,5,10) x 20M samples / 1M prompts")(
+          run(graft.ops.PassAtK.passAllK(
+            passes, "prompt_id", "passed", ks = Seq(1, 5, 10))))
       }
       if (on("btconv")) {
         val matches = spark.read.parquet(s"$dir/events.parquet")
