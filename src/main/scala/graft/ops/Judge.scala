@@ -458,7 +458,10 @@ object Judge {
     *
     * Domain: NULL verdicts are OUT (both dialects filter them before
     * the panel dedup) — kappa's marginals need a category and NULL has
-    * none; [[agreement]] instead counts NULL-vs-NULL as disagreement,
+    * none — and so are NULL item/judge ids (round-19 self-review: the
+    * Spark pipeline would group a NULL key into a panel while the
+    * twin's equi-join silently drops it — an oracle-blind divergence
+    * class; a NULL id is a malformed label row, not a panel); [[agreement]] instead counts NULL-vs-NULL as disagreement,
     * so n_common can differ between the two reports on a corpus with
     * NULL labels (documented divergence). Re-annotation collapses to
     * min(verdict) per (item, judge) and oversized panels drop WHOLE
@@ -478,7 +481,8 @@ object Judge {
     */
   def kappa(df: DataFrame, item: String, judge: String,
             verdict: String, maxJudges: Int = 1000): DataFrame =
-    df.where(col(verdict).isNotNull)
+    df.where(col(verdict).isNotNull && col(item).isNotNull &&
+        col(judge).isNotNull)
       .groupBy(col(item).as("__i"), col(judge).as("__j"))
       .agg(min(col(verdict)).as("__v"))
       .groupBy(col("__i"))
@@ -523,7 +527,8 @@ object Judge {
                verdict: String, maxJudges: Int = 1000): String =
     s"""WITH one AS (
        |  SELECT $item AS i, $judge AS j, min($verdict) AS v
-       |  FROM $table WHERE $verdict IS NOT NULL GROUP BY 1, 2),
+       |  FROM $table WHERE $verdict IS NOT NULL
+       |    AND $item IS NOT NULL AND $judge IS NOT NULL GROUP BY 1, 2),
        |ok AS (SELECT i FROM one GROUP BY i HAVING count(*) <= $maxJudges),
        |pr AS (
        |  SELECT l.j AS ja, r.j AS jb, l.v AS va, r.v AS vb
@@ -593,7 +598,8 @@ object Judge {
     */
   def fleissKappa(df: DataFrame, item: String, judge: String,
                   verdict: String, maxJudges: Int = 1000): DataFrame = {
-    val ik = df.where(col(verdict).isNotNull)
+    val ik = df.where(col(verdict).isNotNull && col(item).isNotNull &&
+        col(judge).isNotNull)
       .groupBy(col(item).as("__i"), col(judge).as("__j"))
       .agg(min(col(verdict)).as("__v"))
       .groupBy(col("__i"), col("__v"))
@@ -629,7 +635,8 @@ object Judge {
                      verdict: String, maxJudges: Int = 1000): String =
     s"""WITH one AS (
        |  SELECT $item AS i, $judge AS j, min($verdict) AS v
-       |  FROM $table WHERE $verdict IS NOT NULL GROUP BY 1, 2),
+       |  FROM $table WHERE $verdict IS NOT NULL
+       |    AND $item IS NOT NULL AND $judge IS NOT NULL GROUP BY 1, 2),
        |ik AS (SELECT i, v, count(*) AS c FROM one GROUP BY 1, 2),
        |items AS (
        |  SELECT i, sum(c)::BIGINT AS n, sum(c * c)::BIGINT AS sumsq

@@ -194,13 +194,17 @@ object Preference {
   def dpoMargins(df: DataFrame, id: String, lpcNew: String,
                  lpcRef: String, lprNew: String,
                  lprRef: String): DataFrame =
-    df.select(col(id).as("pair_id"),
+    df.where(col(lpcNew).isNotNull && col(lpcRef).isNotNull &&
+        col(lprNew).isNotNull && col(lprRef).isNotNull)
+      .select(col(id).as("pair_id"),
       ((col(lpcNew).cast("long") - col(lpcRef).cast("long")) -
         (col(lprNew).cast("long") - col(lprRef).cast("long")))
         .as("margin_milli"))
 
   /** DuckDB twin of [[dpoMargins]] (trunc-routed casts, the
-    * [[PolicyOpt]] domain convention).
+    * [[PolicyOpt]] domain convention; NULL log-probs out of domain on
+    * both dialects — round-19 self-review: a malformed pair would
+    * otherwise land in a junk NULL bin with a NULL margin mass).
     */
   def dpoMarginsSql(table: String, id: String, lpcNew: String,
                     lpcRef: String, lprNew: String,
@@ -209,7 +213,9 @@ object Preference {
        |  ((${graft.ops.PortableHash.truncToZero(s"$lpcNew")} - ${graft.ops.PortableHash.truncToZero(s"$lpcRef")})
        |   - (${graft.ops.PortableHash.truncToZero(s"$lprNew")} - ${graft.ops.PortableHash.truncToZero(s"$lprRef")}))::BIGINT
        |    AS margin_milli
-       |FROM $table""".stripMargin
+       |FROM $table
+       |WHERE $lpcNew IS NOT NULL AND $lpcRef IS NOT NULL
+       |  AND $lprNew IS NOT NULL AND $lprRef IS NOT NULL""".stripMargin
 
   /** Margin-BUCKET report over [[dpoMargins]] — the
     * [[rmCalibration]] binning applied to the implicit-reward margin:
@@ -259,7 +265,9 @@ object Preference {
        |    CASE WHEN m > 0 THEN 1 ELSE 0 END AS ok, m
        |  FROM (SELECT ((${graft.ops.PortableHash.truncToZero(s"$lpcNew")} - ${graft.ops.PortableHash.truncToZero(s"$lpcRef")})
        |          - (${graft.ops.PortableHash.truncToZero(s"$lprNew")} - ${graft.ops.PortableHash.truncToZero(s"$lprRef")})) AS m
-       |        FROM $table))
+       |        FROM $table
+       |        WHERE $lpcNew IS NOT NULL AND $lpcRef IS NOT NULL
+       |          AND $lprNew IS NOT NULL AND $lprRef IS NOT NULL))
        |GROUP BY bin""".stripMargin
 
   def report(df: DataFrame, id: String, prompt: String, chosen: String,

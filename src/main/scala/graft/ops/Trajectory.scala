@@ -112,7 +112,11 @@ object Trajectory {
     * engines instead of the round-18 divergence (Spark silently
     * renumbered via posexplode while the twin's recursion died at the
     * first gap; ties beyond `(step, r)` are immaterial because equal
-    * rewards in either order yield the same recurrence). The reward
+    * rewards in either order yield the same recurrence). `NULLS
+    * FIRST` because that is where Spark's struct sort puts a NULL
+    * sort field (probed via sort_array this round) while DuckDB's
+    * ORDER BY defaults NULLS LAST — a NULL step is still a smell, but
+    * it now renumbers identically instead of diverging. The reward
     * cast goes through trunc() so a DOUBLE reward column truncates
     * toward zero like Spark's cast-to-long, instead of DuckDB's
     * round-half-even `::BIGINT` (the round-18 ADVICE class; integral
@@ -123,7 +127,8 @@ object Trajectory {
                       maxSteps: Int): String =
     s"""t0 AS (
        |  SELECT traj_id, r,
-       |    row_number() OVER (PARTITION BY traj_id ORDER BY step0, r) AS step
+       |    row_number() OVER (PARTITION BY traj_id
+       |      ORDER BY step0 NULLS FIRST, r) AS step
        |  FROM (SELECT $traj AS traj_id, $step AS step0,
        |          ${graft.ops.PortableHash.truncToZero(s"coalesce($reward, 0)")} AS r
        |        FROM $table)),
@@ -269,7 +274,8 @@ object Trajectory {
                  lambdaMilli: Int = 950, maxSteps: Int = 100000): String =
     s"""WITH RECURSIVE t0 AS (
        |  SELECT traj_id, r, v,
-       |    row_number() OVER (PARTITION BY traj_id ORDER BY step0, r, v) AS step
+       |    row_number() OVER (PARTITION BY traj_id
+       |      ORDER BY step0 NULLS FIRST, r, v) AS step
        |  FROM (SELECT $traj AS traj_id, $step AS step0,
        |          ${graft.ops.PortableHash.truncToZero(s"coalesce($reward, 0)")} AS r,
        |          ${graft.ops.PortableHash.truncToZero(s"coalesce($value, 0)")} AS v

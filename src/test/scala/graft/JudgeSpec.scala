@@ -355,6 +355,24 @@ class JudgeSpec extends SparkSpec {
     assert(!m.contains(1L), "single-judge items are out of domain")
   }
 
+  test("kappa/fleissKappa: NULL item and judge ids are out of domain on BOTH sides") {
+    // round-19 self-review class: the Spark pipeline would group a
+    // NULL key into a panel while the twin's equi-join silently drops
+    // it — so NULL ids are filtered identically on both dialects
+    val df = Seq(
+      (Some(1L), Some("a"), "good"), (Some(1L), Some("b"), "good"),
+      (None, Some("a"), "good"), (None, Some("b"), "bad"),
+      (Some(2L), None, "good"), (Some(2L), Some("a"), "bad"))
+      .toDF("item", "judge", "verdict")
+    val k = graft.ops.Judge.kappa(df, "item", "judge", "verdict").collect()
+    // only item 1 forms a pair (item 2 has one non-NULL-judge label)
+    assert(k.length === 1 && k.head.getLong(2) === 1L)
+    val f = graft.ops.Judge.fleissKappa(df, "item", "judge", "verdict")
+      .collect()
+    assert(f.length === 1 && f.head.getLong(0) === 2L &&
+      f.head.getLong(1) === 1L)
+  }
+
   test("fleissKappa: skewed verdicts inflate raw agreement, kappa stays near zero") {
     // 90% 'good' base rate, independent-ish disagreement pattern: high
     // po from skew alone must be corrected away

@@ -86,4 +86,29 @@ class PreferenceSpec extends SparkSpec {
     val s2 = m("s2")
     assert(s2.getAs[Long]("n_valid") === 0L && s2.getAs[Long]("valid_milli") === 0L)
   }
+
+  test("dpoMargins: hand-computed milli-nat margins; NULL log-probs out of domain") {
+    val df = Seq(
+      (1L, Some(-100L), Some(-300L), Some(-900L), Some(-400L)), // (200) - (-500) = 700
+      (2L, Some(-500L), Some(-500L), Some(-700L), Some(-700L)), // exact 0
+      (3L, None, Some(-100L), Some(-100L), Some(-900L)), // NULL -> dropped
+      (4L, Some(-2000L), Some(-100L), Some(-100L), Some(-900L))) // -1900 - 800 = -2700
+      .toDF("id", "lpcn", "lpcr", "lprn", "lprr")
+    val m = graft.ops.Preference.dpoMargins(df, "id", "lpcn", "lpcr",
+      "lprn", "lprr")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(1L -> 700L, 2L -> 0L, 4L -> -2700L),
+      "the NULL-lp pair must be out of domain, not a junk bin")
+
+    val rep = graft.ops.Preference.dpoMarginReport(df, "id", "lpcn",
+      "lpcr", "lprn", "lprr")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // bins at 500 milli: 700 -> bin 1 (positive), 0 -> bin -1,
+    // -2700 -> bin 5 (negative, not chosen-preferred)
+    assert(rep === Map(
+      -1L -> ((1L, 0L, 0L, 0L)),
+      1L -> ((1L, 1L, 1000L, 700L)),
+      5L -> ((1L, 0L, 0L, -2700L))))
+  }
 }

@@ -181,6 +181,24 @@ class TrajectorySpec extends SparkSpec {
     }
   }
 
+  test("NULL steps sort FIRST on the Spark side; twins pin NULLS FIRST to match") {
+    // Spark's struct sort places a NULL sort field first (probed via
+    // sort_array); DuckDB's ORDER BY defaults NULLS LAST — the twins
+    // carry an explicit NULLS FIRST so a NULL-step row renumbers
+    // identically instead of diverging silently
+    val df = Seq((1L, Some(2L), 100L), (1L, None, 500L), (1L, Some(1L), 200L))
+      .toDF("traj", "step", "r")
+    val g = Trajectory.trajReturns(df, "traj", "step", "r", gammaMilli = 0)
+      .collect().map(x => x.getLong(1) -> x.getLong(2)).toMap
+    // gamma=0 makes returns = rewards, exposing the order: the NULL
+    // step must re-rank to position 1
+    assert(g === Map(1L -> 500L, 2L -> 200L, 3L -> 100L))
+    assert(Trajectory.trajReturnsSql("t", "traj", "step", "r")
+      .contains("NULLS FIRST"))
+    assert(Trajectory.trajGaeSql("t", "traj", "step", "r", "v")
+      .contains("NULLS FIRST"))
+  }
+
   test("trajGae: maxSteps drops oversized episodes whole; twin carries the guard") {
     val df = ((1 to 5).map(s => (1L, s.toLong, 100L, 10L)) ++
       Seq((2L, 1L, 7L, 5L))).toDF("traj", "step", "r", "v")
