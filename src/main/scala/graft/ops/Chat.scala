@@ -773,6 +773,75 @@ object Chat {
        |         THEN 'null_field' ELSE 'ok' END AS reason
        |  FROM (SELECT $id, $conv AS conv FROM $table))""".stripMargin
 
+  /** Refusal-opener patterns (round 19) — a committed data table
+    * (the lexicon convention: a Scala constant rendered identically
+    * into both dialects, knowledge-bounded re-listing of the
+    * refusal-stem phrasings the public SFT-audit recipes grep for).
+    * Matching is SUBSTRING-in-PREFIX: the lowered first
+    * [[refusalPrefixChars]] chars of the turn — refusals open a turn,
+    * and a full-text match would flag an assistant QUOTING a refusal
+    * mid-answer.
+    */
+  private[ops] val refusalPatterns: Seq[String] = Seq(
+    "i cannot", "i can't", "i can not", "i won't", "i will not",
+    "i'm sorry, but", "i am sorry, but", "i'm unable", "i am unable",
+    "i'm not able to", "i am not able to", "as an ai", "i must decline",
+    "against my guidelines", "i don't feel comfortable",
+    "i do not feel comfortable")
+
+  private[ops] val refusalPrefixChars = 160
+
+  private def refusalFlag(lowered: String): String =
+    refusalPatterns.map { p =>
+      s"instr($lowered, '${p.replace("'", "''")}') > 0"
+    }.mkString("(", " OR ", ")")
+
+  /** REFUSAL-rate report (round 19) — the over-refusal audit an SFT
+    * curation runs before a corpus teaches a model to say no to
+    * everything: per conversation, assistant-turn count, how many open
+    * with a refusal stem, the rate in milli, and the first refusing
+    * turn index (0 = none — coalesced, the canary lesson: "no
+    * refusals" must be a value, not a NULL). A corpus whose
+    * refusal_milli distribution has mass far above the task mix's
+    * genuine-harm rate is training in over-refusal; the per-turn flag
+    * composes with [[Sampling]] filters to cap it.
+    *
+    * Plan shape: the [[assistantTurns]] parse (zero-exchange,
+    * turn-grain) into one conversation-keyed partial-agg exchange; the
+    * pattern ORs are builtin `instr` calls over a shared
+    * lowered-prefix column — codegen-friendly, no UDF, and the turn
+    * TEXT never shuffles (only the per-turn flag). Distributive
+    * (complete-mode streaming family).
+    */
+  def refusalReport(df: DataFrame, id: String, conv: String): DataFrame =
+    assistantTurns(df, id, conv)
+      .withColumn("__lp", expr(
+        s"substring(lower(content), 1, $refusalPrefixChars)"))
+      .withColumn("__f", expr(refusalFlag("__lp")))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_assistant_turns"),
+        sum(when(col("__f"), 1L).otherwise(0L)).as("n_refusals"),
+        coalesce(min(when(col("__f"), col("turn_idx"))), lit(0L))
+          .as("first_refusal_turn"))
+      .select(col(id), col("n_assistant_turns"), col("n_refusals"),
+        expr("CAST(n_refusals * 1000 div n_assistant_turns AS BIGINT)")
+          .as("refusal_milli"),
+        col("first_refusal_turn"))
+
+  /** DuckDB twin of [[refusalReport]]. */
+  def refusalReportSql(table: String, id: String, conv: String): String =
+    s"""SELECT $id, count(*) AS n_assistant_turns,
+       |  sum(CASE WHEN f THEN 1 ELSE 0 END)::BIGINT AS n_refusals,
+       |  (sum(CASE WHEN f THEN 1 ELSE 0 END) * 1000
+       |    // count(*))::BIGINT AS refusal_milli,
+       |  coalesce(min(CASE WHEN f THEN turn_idx END), 0)::BIGINT
+       |    AS first_refusal_turn
+       |FROM (
+       |  SELECT $id, turn_idx,
+       |    ${refusalFlag(s"substring(lower(content), 1, $refusalPrefixChars)")} AS f
+       |  FROM (${assistantTurnsSql(table, id, conv)}))
+       |GROUP BY $id""".stripMargin
+
   /** DuckDB twin of [[chatRender]]. */
   def chatRenderSql(table: String, id: String, conv: String): String =
     s"""WITH p AS (SELECT $id, $conv AS conv FROM $table),

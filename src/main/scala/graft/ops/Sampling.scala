@@ -709,4 +709,56 @@ object Sampling {
        |FROM $table t JOIN bands b ON t.$groupCol = b.$groupCol
        |WHERE t.$valueCol >= b.$lo AND t.$valueCol <= b.$hi""".stripMargin
   }
+
+  /** BEST-OF-N selection (round 19) — the rejection-sampling /
+    * BoN-distillation prep every RM-scored sampling loop runs: per
+    * prompt, pick the highest-scored sample (the SFT target or the
+    * DPO "chosen") and the lowest (the DPO "rejected"), with the
+    * candidate count and the signed score margin (a DIFFERENCE, never
+    * a division). Selection is a lexicographic struct max/min —
+    * identical semantics on both engines — so ties are
+    * arbitrary-but-DETERMINISTIC (the min(verdict) convention): equal
+    * scores break toward the GREATER sample id for best and the LOWER
+    * id for worst (pure struct ordering, no negation — negating an id
+    * for a min-tie-break would overflow on Long.MinValue). NULL
+    * scores are out of domain on both dialects (an unscored sample
+    * cannot be compared; dropping it beats silently ranking it last).
+    * A single-candidate prompt selects itself on both sides with
+    * margin 0.
+    *
+    * Plan shape: ONE prompt-keyed partial-agg exchange — the struct
+    * max/min combine map-side, so the shuffle carries |prompts| rows
+    * of two (score, id) structs, never the sample table. Distributive
+    * (the complete-mode streaming family).
+    */
+  def bonSelect(df: DataFrame, prompt: String, sample: String,
+                score: String): DataFrame =
+    df.where(col(score).isNotNull)
+      .select(col(prompt).as("prompt_id"),
+        struct(col(score).cast("long").as("s"),
+          col(sample).cast("long").as("i")).as("__x"))
+      .groupBy(col("prompt_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        max(col("__x")).as("__b"), min(col("__x")).as("__w"))
+      .select(col("prompt_id"), col("n_candidates"),
+        col("__b.i").as("best_id"), col("__b.s").as("best_score_milli"),
+        col("__w.i").as("worst_id"), col("__w.s").as("worst_score_milli"),
+        (col("__b.s") - col("__w.s")).as("margin_milli"))
+
+  /** DuckDB twin of [[bonSelect]] (struct_pack max/min — probed
+    * lexicographic, same tie-break; trunc-routed casts).
+    */
+  def bonSelectSql(table: String, prompt: String, sample: String,
+                   score: String): String =
+    s"""SELECT prompt_id, count(*) AS n_candidates,
+       |  (max(x)).i AS best_id, (max(x)).s AS best_score_milli,
+       |  (min(x)).i AS worst_id, (min(x)).s AS worst_score_milli,
+       |  ((max(x)).s - (min(x)).s)::BIGINT AS margin_milli
+       |FROM (
+       |  SELECT $prompt AS prompt_id,
+       |    struct_pack(s := ${graft.ops.PortableHash.truncToZero(s"$score")},
+       |      i := ${graft.ops.PortableHash.truncToZero(s"$sample")}) AS x
+       |  FROM $table WHERE $score IS NOT NULL)
+       |GROUP BY prompt_id""".stripMargin
 }
+

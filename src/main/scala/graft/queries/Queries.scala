@@ -2240,6 +2240,54 @@ object Queries {
           |FROM events)""".stripMargin,
         "prompt_id", "sample_id", "reward_milli"))),
 
+    // best-of-n selection (round 19): per prompt, the max- and
+    // min-scored samples by lexicographic struct max/min (ties break
+    // deterministically toward greater/lower sample id) plus the
+    // signed margin — the rejection-sampling / DPO-pair-mining prep.
+    // The score rule has only 13 distinct values per prompt, so ties
+    // are dense and the tie-break is hash-checked
+    QueryDef("pref_bon_select",
+      (s, dir) => graft.ops.Sampling.bonSelect(
+        t(s, dir, "events")
+          .withColumn("prompt_id", expr("event_id % 97"))
+          .withColumn("score_milli", expr(
+            "cast((event_id % 13) * 100 AS BIGINT) - 600")),
+        "prompt_id", "event_id", "score_milli"),
+      Some(graft.ops.Sampling.bonSelectSql(
+        """(SELECT event_id % 97 AS prompt_id, event_id,
+          |  (event_id % 13) * 100 - 600 AS score_milli
+          |FROM events)""".stripMargin,
+        "prompt_id", "event_id", "score_milli"))),
+
+    // refusal-rate report (round 19): per conversation, assistant
+    // turns opening with a committed refusal stem — the over-refusal
+    // audit; the fixture plants "I cannot ..." on every 5th doc's
+    // first assistant turn and "I am sorry, but ..." on every 7th
+    // doc's second, so rates and first-refusal indexes vary
+    QueryDef("chat_refusal_report",
+      (s, dir) => graft.ops.Chat.refusalReport(
+        t(s, dir, "documents").withColumn("conv", expr(
+          "concat('[', concat_ws(',', transform(sequence(0, 3), i -> " +
+            "concat('{\"role\":\"', IF(i % 2 = 0, 'user', 'assistant'), " +
+            "'\",\"content\":\"', " +
+            "CASE WHEN i = 1 AND doc_id % 5 = 0 THEN 'I cannot help with that request.' " +
+            "WHEN i = 3 AND doc_id % 7 = 0 THEN 'I am sorry, but no.' " +
+            "ELSE array_join(slice(filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' '), " +
+            "x -> x != ''), cast(i * 6 + 1 AS INT), 6), ' ') END, '\"}'))), ']')")),
+        "doc_id", "conv"),
+      Some(graft.ops.Chat.refusalReportSql(
+        """(SELECT doc_id,
+          |  '[' || array_to_string(list_transform(generate_series(0, 3), i ->
+          |    '{"role":"' || CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END ||
+          |    '","content":"' ||
+          |    CASE WHEN i = 1 AND doc_id % 5 = 0 THEN 'I cannot help with that request.'
+          |    WHEN i = 3 AND doc_id % 7 = 0 THEN 'I am sorry, but no.'
+          |    ELSE coalesce(array_to_string((list_filter(string_split(
+          |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '),
+          |      x -> x <> ''))[(i * 6 + 1):(i * 6 + 6)], ' '), '') END || '"}'), ',') || ']' AS conv
+          |FROM documents)""".stripMargin,
+        "doc_id", "conv"))),
+
     // GRPO group statistics (round 19): the prompt-grain n/sum/sumsq
     // frame whose exact scaled variance n*Σr² − (Σr)² the trainer's
     // std-normalization consumes — same fixture as grpo_advantage so

@@ -140,6 +140,27 @@ object ProbeRound19 {
         time("eval_pass_all_k (k=1,5,10) x 20M samples / 1M prompts")(
           run(graft.ops.PassAtK.passAllK(
             passes, "prompt_id", "passed", ks = Seq(1, 5, 10))))
+        time("pref_bon_select x 20M samples / 1M prompts")(
+          run(graft.ops.Sampling.bonSelect(
+            samples.withColumn("score_milli",
+              expr("cast((event_id % 13) * 100 AS BIGINT) - 600")),
+            "prompt_id", "event_id", "score_milli")))
+      }
+      if (on("refusal")) {
+        // 1M 4-turn conversations with refusal stems planted by residue
+        val convs = spark.read.parquet(s"$dir/documents.parquet")
+          .withColumn("conv", expr(
+            "concat('[', concat_ws(',', transform(sequence(0, 3), i -> " +
+              "concat('{\"role\":\"', IF(i % 2 = 0, 'user', 'assistant'), " +
+              "'\",\"content\":\"', " +
+              "CASE WHEN i = 1 AND doc_id % 5 = 0 THEN 'I cannot help with that request.' " +
+              "ELSE array_join(slice(filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' '), " +
+              "x -> x != ''), cast(i * 6 + 1 AS INT), 6), ' ') END, '\"}'))), ']')"))
+          .select("doc_id", "conv")
+        time("refusal fixture baseline: sum(length(conv))")(
+          run(convs.groupBy().agg(sum(length(col("conv"))))))
+        time("chat_refusal_report x 1M 4-turn convs")(
+          run(graft.ops.Chat.refusalReport(convs, "doc_id", "conv")))
       }
       if (on("btconv")) {
         val matches = spark.read.parquet(s"$dir/events.parquet")

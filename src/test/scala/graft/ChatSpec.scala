@@ -334,4 +334,29 @@ class ChatSpec extends SparkSpec {
     assert(out(1L)._4 > 0L, "the merge-heavy 5-turn body actually truncates")
     assert(out(3L)._4 > 0L, "the long-content turn is dropped, not kept over-budget")
   }
+
+  test("refusalReport: stem matching is case-insensitive, prefix-windowed, apostrophe-safe") {
+    def conv(turns: (String, String)*): String =
+      turns.map { case (r, c) => s"""{"role":"$r","content":"$c"}""" }
+        .mkString("[", ",", "]")
+    val pad = "x" * 200
+    val df = Seq(
+      // conv 1: 2 assistant turns, first refuses (uppercase + apostrophe)
+      (1L, conv("user" -> "hi", "assistant" -> "I CAN'T do that.",
+        "user" -> "ok", "assistant" -> "here is help")),
+      // conv 2: refusal stem QUOTED past the 160-char prefix -> not a refusal
+      (2L, conv("user" -> "hi", "assistant" -> (pad + " i cannot lie"))),
+      // conv 3: no refusals -> first_refusal_turn coalesces to 0
+      (3L, conv("user" -> "hi", "assistant" -> "sure thing")))
+      .toDF("id", "conv")
+    val m = graft.ops.Chat.refusalReport(df, "id", "conv")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(m(1L) === ((2L, 1L, 500L, 2L)),
+      "upper-case apostrophe stem must match; first refusal at turn 2")
+    assert(m(2L) === ((1L, 0L, 0L, 0L)),
+      "a stem beyond the prefix window is a quote, not a refusal")
+    assert(m(3L) === ((1L, 0L, 0L, 0L)),
+      "no refusals reports 0, never NULL (the canary lesson)")
+  }
 }

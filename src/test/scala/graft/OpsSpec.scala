@@ -864,4 +864,19 @@ class OpsSpec extends SparkSpec {
       s"no cluster may exceed its budget: ${out.toSeq}")
     assert(out.forall(_._3 <= 3), "rank_in_cluster must never exceed the budget")
   }
+
+  test("bonSelect: deterministic tie-breaks, signed margin, NULL scores out of domain") {
+    val df = Seq(
+      (1L, 10L, Some(900L)), (1L, 12L, Some(900L)), // best tie -> max id 12
+      (1L, 13L, Some(-100L)), (1L, 11L, Some(-100L)), // worst tie -> min id 11
+      (1L, 14L, None), // NULL score out of domain
+      (2L, 20L, Some(-5L))) // singleton selects itself, margin 0
+      .toDF("prompt", "sample", "score")
+    val m = graft.ops.Sampling.bonSelect(df, "prompt", "sample", "score")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(m(1L) === ((4L, 12L, 900L, 11L, -100L, 1000L)))
+    assert(m(2L) === ((1L, 20L, -5L, 20L, -5L, 0L)))
+  }
 }

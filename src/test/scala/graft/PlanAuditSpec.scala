@@ -1120,6 +1120,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("pref_bon_select: one prompt-keyed partial-agg exchange; struct max/min combine map-side") {
+    val p = plan("pref_bon_select")
+    // struct max/min plans as SortAggregate — partial-ness is what
+    // matters (the selfConsistency convention)
+    assert(count(p, "Exchange hashpartitioning") == 1 &&
+      count(p, "SortAggregate") + count(p, "HashAggregate") >= 2,
+      s"bon select is one partial-agged prompt exchange:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"selection is a struct agg, not a window or join:\n$p")
+  }
+
+  test("chat_refusal_report: parse-local turn flags, one conversation-keyed exchange") {
+    // the turn TEXT never shuffles — the instr flags compute before
+    // the conversation agg, and only (id, flag, turn_idx) cross
+    val p = plan("chat_refusal_report")
+    assert(count(p, "Exchange hashpartitioning") == 1 &&
+      count(p, "HashAggregate") >= 2,
+      s"refusal report is one partial-agged conversation exchange:\n$p")
+  }
+
   test("judge_position_bias: single model-keyed exchange, partial-aggregated") {
     val p = plan("judge_position_bias")
     assert(count(p, "Exchange hashpartitioning") == 1,
