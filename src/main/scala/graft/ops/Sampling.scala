@@ -721,8 +721,10 @@ object Sampling {
     * scores break toward the GREATER sample id for best and the LOWER
     * id for worst (pure struct ordering, no negation — negating an id
     * for a min-tie-break would overflow on Long.MinValue). NULL
-    * scores are out of domain on both dialects (an unscored sample
-    * cannot be compared; dropping it beats silently ranking it last).
+    * scores AND NULL sample ids are out of domain on both dialects
+    * (an unscored sample cannot be compared, and a NULL id inside the
+    * tie-break struct would order NULLS-FIRST on Spark but NULLS-LAST
+    * on DuckDB — the round-19 NULL-sort-field divergence class).
     * A single-candidate prompt selects itself on both sides with
     * margin 0.
     *
@@ -733,7 +735,7 @@ object Sampling {
     */
   def bonSelect(df: DataFrame, prompt: String, sample: String,
                 score: String): DataFrame =
-    df.where(col(score).isNotNull)
+    df.where(col(score).isNotNull && col(sample).isNotNull)
       .select(col(prompt).as("prompt_id"),
         struct(col(score).cast("long").as("s"),
           col(sample).cast("long").as("i")).as("__x"))
@@ -758,7 +760,7 @@ object Sampling {
        |  SELECT $prompt AS prompt_id,
        |    struct_pack(s := ${graft.ops.PortableHash.truncToZero(s"$score")},
        |      i := ${graft.ops.PortableHash.truncToZero(s"$sample")}) AS x
-       |  FROM $table WHERE $score IS NOT NULL)
+       |  FROM $table WHERE $score IS NOT NULL AND $sample IS NOT NULL)
        |GROUP BY prompt_id""".stripMargin
 }
 

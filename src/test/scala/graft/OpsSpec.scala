@@ -867,10 +867,12 @@ class OpsSpec extends SparkSpec {
 
   test("bonSelect: deterministic tie-breaks, signed margin, NULL scores out of domain") {
     val df = Seq(
-      (1L, 10L, Some(900L)), (1L, 12L, Some(900L)), // best tie -> max id 12
-      (1L, 13L, Some(-100L)), (1L, 11L, Some(-100L)), // worst tie -> min id 11
-      (1L, 14L, None), // NULL score out of domain
-      (2L, 20L, Some(-5L))) // singleton selects itself, margin 0
+      (1L, Some(10L), Some(900L)), (1L, Some(12L), Some(900L)), // best tie -> max id 12
+      (1L, Some(13L), Some(-100L)), (1L, Some(11L), Some(-100L)), // worst tie -> min id 11
+      (1L, Some(14L), None), // NULL score out of domain
+      (1L, None, Some(5000L)), // NULL sample id out of domain (the
+      // NULL-sort-field class: Spark orders it first, DuckDB last)
+      (2L, Some(20L), Some(-5L))) // singleton selects itself, margin 0
       .toDF("prompt", "sample", "score")
     val m = graft.ops.Sampling.bonSelect(df, "prompt", "sample", "score")
       .collect().map(r => r.getLong(0) ->
