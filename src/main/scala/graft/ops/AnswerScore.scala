@@ -1,0 +1,313 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Answer scoring (round 20) — the stage that PRODUCES the `passed` /
+  * score columns the sampled-eval estimators consume
+  * ([[PassAtK.passAtK]] / [[PassAtK.passAllK]] read a boolean nothing
+  * in the engine emitted until now): SQuAD-style normalize →
+  * exact-match flag → token-F1, plus the ROUGE/BLEU-ingredient
+  * clipped n-gram overlap — all in exact integer milli, the engine
+  * convention (the consumer composes geometric means / averages in
+  * float land).
+  *
+  * NORMALIZATION (the public SQuAD evaluation recipe, re-listed):
+  * lowercase → delete ASCII punctuation (the `[!-/:-@[-`{-~]` class —
+  * exactly codepoints 33-47, 58-64, 91-96, 123-126, so `don't` →
+  * `dont` like the reference implementation; non-ASCII punctuation
+  * survives, also like the reference) → whitespace chars to spaces →
+  * split on spaces, drop empties → drop the article tokens
+  * `a/an/the`. Both dialects spell the same three regex passes (Java
+  * regex needs `\[` escaped inside the class, RE2 does not — the
+  * literals differ, the accepted language does not).
+  *
+  * TOKEN GRAIN: `ws` applies the split above; `cjk-auto` routes the
+  * normalized string through the script-dominance tokenizer
+  * (`graft_routed_tokens`, [[TextAnalysis.routedTokensSpark]]) so a
+  * Han/Thai answer scores on codepoint-grain tokens instead of one
+  * giant "word" (the repo's routed-grain convention; the article
+  * filter still applies — a no-op on routed rows).
+  *
+  * F1 arithmetic (exact, unsigned): with `np`/`ng` the
+  * prediction/gold token counts and `m` the CLIPPED multiset
+  * intersection `Σ_t min(cnt_pred(t), cnt_gold(t))`:
+  * `p = m·1000 div np`, `r = m·1000 div ng`,
+  * `f1 = 2·m·1000 div (np + ng)` (the exact rational identity
+  * 2pr/(p+r) = 2m/(np+ng), so ONE truncation instead of three).
+  * Zero-token guard on BOTH dialects (ANSI throws on x div 0):
+  * both sides empty → 1000/1000/1000 (the SQuAD empty-vs-empty
+  * convention: EM decides), exactly one side empty → 0/0/0.
+  * NULL texts are scored as empty strings (coalesce — a missing
+  * prediction IS a wrong prediction, not a droppable row).
+  *
+  * Plan shape: ZERO-exchange scan — every score is a row-local
+  * projection (the chat-family class). The clipped intersection is
+  * the bounded O(|distinct(pred)|·(np+ng)) nested-HOF walk, fine at
+  * answer length; `maxTokens` drops rows whose EITHER side exceeds it
+  * WHOLE (scored as a row with `oversized = 1` and zero credit would
+  * lie — the maxJudges convention: dropping is a curation signal),
+  * keeping the row-local work bounded at 100 TB. The token arrays are
+  * let1-bound (the ProbeRound17 lesson: a lambda referencing an outer
+  * computed column re-evaluates it per element otherwise — O(n²)
+  * regex passes). HOFs are CodegenFallback; the op is parse-bound
+  * like the chat family, and the oracle replays a join formulation
+  * (unnest + group + equi-join) that is only used at oracle scale.
+  */
+object AnswerScore {
+
+  /** ASCII punctuation class, Java-regex spelling (Spark). */
+  private val punctSpark = "[!-/:-@\\\\[-`{-~]"
+  /** ASCII punctuation class, RE2 spelling (DuckDB). */
+  private val punctDuck = "[!-/:-@[-`{-~]"
+
+  private val articles = "('a','an','the')"
+
+  /** Normalized text, Spark dialect: lower → punct delete → ws→space. */
+  private def normSpark(c: String): String =
+    s"regexp_replace(regexp_replace(lower(coalesce($c, '')), " +
+      s"'$punctSpark', ''), '[\\\\t\\\\n\\\\r]', ' ')"
+
+  /** Normalized text, DuckDB dialect. */
+  private def normDuck(c: String): String =
+    s"regexp_replace(regexp_replace(lower(coalesce($c, '')), " +
+      s"'$punctDuck', '', 'g'), '[\\t\\n\\r]', ' ', 'g')"
+
+  /** SQuAD token array, Spark: grain-routed split, empties and
+    * articles dropped.
+    */
+  private def toksSpark(c: String, grain: String): String = {
+    val split =
+      if (grain == "cjk-auto")
+        TextAnalysis.routedTokensSpark(normSpark(c), keepEmpties = false)
+      else s"split(${normSpark(c)}, ' ')"
+    s"filter($split, x -> x <> '' AND NOT (x IN $articles))"
+  }
+
+  /** SQuAD token array, DuckDB. */
+  private def toksDuck(c: String, grain: String): String = {
+    val split =
+      if (grain == "cjk-auto")
+        TextAnalysis.routedTokensDuck(normDuck(c), keepEmpties = false)
+      else s"string_split(${normDuck(c)}, ' ')"
+    s"list_filter($split, x -> x <> '' AND NOT (x IN $articles))"
+  }
+
+  /** Clipped multiset intersection of two bound token arrays (Spark
+    * HOF walk over the distinct prediction tokens).
+    */
+  private def clipSpark(tp: String, tg: String): String =
+    s"aggregate(array_distinct($tp), cast(0 AS BIGINT), (acc, w) -> " +
+      s"acc + least(size(filter($tp, x -> x = w)), " +
+      s"size(filter($tg, x -> x = w))))"
+
+  /** One row per input row: `em_milli` (0/1000 exact match on the
+    * normalized token sequences), token counts, clipped match count,
+    * precision/recall/F1 in milli, and the `oversized` drop flag
+    * (oversized rows keep id + flag and NULL scores, so the drop is
+    * auditable instead of silent).
+    */
+  def emF1(df: DataFrame, id: String, pred: String, gold: String,
+           grain: String = "ws", maxTokens: Int = 2000): DataFrame = {
+    require(grain == "ws" || grain == "cjk-auto",
+      s"grain must be 'ws' or 'cjk-auto', got $grain")
+    val body =
+      s"named_struct(" +
+        s"'np', cast(size(__tp) AS BIGINT), " +
+        s"'ng', cast(size(__tg) AS BIGINT), " +
+        s"'em', cast(IF(__tp = __tg, 1000, 0) AS BIGINT), " +
+        s"'m', ${clipSpark("__tp", "__tg")})"
+    val stats = PortableHash.let1("__tp", toksSpark(pred, grain),
+      PortableHash.let1("__tg", toksSpark(gold, grain), body))
+    graft.functions.VectorFunctions.attach(df)
+      .select(col(id).as("qid"), expr(stats).as("__s"))
+      .select(col("qid"),
+        expr(s"cast(IF(__s.np > $maxTokens OR __s.ng > $maxTokens, 1, 0) AS BIGINT)")
+          .as("oversized"),
+        col("__s.np").as("n_pred"), col("__s.ng").as("n_gold"),
+        expr(s"IF(__s.np > $maxTokens OR __s.ng > $maxTokens, " +
+          "cast(NULL AS BIGINT), __s.em)").as("em_milli"),
+        expr(s"IF(__s.np > $maxTokens OR __s.ng > $maxTokens, cast(NULL AS BIGINT), " +
+          "__s.m)").as("n_match"),
+        expr(s"IF(__s.np > $maxTokens OR __s.ng > $maxTokens, cast(NULL AS BIGINT), " +
+          "IF(__s.np = 0 AND __s.ng = 0, 1000, " +
+          "IF(__s.np = 0 OR __s.ng = 0, 0, " +
+          "cast(__s.m * 1000 div __s.np AS BIGINT))))").as("p_milli"),
+        expr(s"IF(__s.np > $maxTokens OR __s.ng > $maxTokens, cast(NULL AS BIGINT), " +
+          "IF(__s.np = 0 AND __s.ng = 0, 1000, " +
+          "IF(__s.np = 0 OR __s.ng = 0, 0, " +
+          "cast(__s.m * 1000 div __s.ng AS BIGINT))))").as("r_milli"),
+        expr(s"IF(__s.np > $maxTokens OR __s.ng > $maxTokens, cast(NULL AS BIGINT), " +
+          "IF(__s.np = 0 AND __s.ng = 0, 1000, " +
+          "IF(__s.np = 0 OR __s.ng = 0, 0, " +
+          "cast(2 * __s.m * 1000 div (__s.np + __s.ng) AS BIGINT))))").as("f1_milli"))
+  }
+
+  /** DuckDB twin of [[emF1]] — the unnest + per-token count +
+    * equi-join formulation (oracle scale only; the Spark side never
+    * joins). List equality for EM matches Spark array equality; the
+    * LEFT join's NULL clipped count coalesces to 0 (disjoint token
+    * sets have no join row).
+    */
+  def emF1Sql(table: String, id: String, pred: String, gold: String,
+              grain: String = "ws", maxTokens: Int = 2000): String =
+    s"""WITH base AS (
+       |  SELECT $id AS qid, ${toksDuck(pred, grain)} AS tp,
+       |    ${toksDuck(gold, grain)} AS tg
+       |  FROM $table),
+       |pc AS (
+       |  SELECT qid, t, count(*) AS c
+       |  FROM (SELECT qid, unnest(tp) AS t FROM base) GROUP BY 1, 2),
+       |gc AS (
+       |  SELECT qid, t, count(*) AS c
+       |  FROM (SELECT qid, unnest(tg) AS t FROM base) GROUP BY 1, 2),
+       |mm AS (
+       |  SELECT pc.qid, sum(least(pc.c, gc.c))::BIGINT AS m
+       |  FROM pc JOIN gc ON pc.qid = gc.qid AND pc.t = gc.t
+       |  GROUP BY 1)
+       |SELECT b.qid,
+       |  (CASE WHEN len(b.tp) > $maxTokens OR len(b.tg) > $maxTokens
+       |        THEN 1 ELSE 0 END)::BIGINT AS oversized,
+       |  len(b.tp)::BIGINT AS n_pred, len(b.tg)::BIGINT AS n_gold,
+       |  CASE WHEN len(b.tp) > $maxTokens OR len(b.tg) > $maxTokens
+       |       THEN NULL
+       |       ELSE (CASE WHEN b.tp = b.tg THEN 1000 ELSE 0 END)::BIGINT
+       |  END AS em_milli,
+       |  CASE WHEN len(b.tp) > $maxTokens OR len(b.tg) > $maxTokens
+       |       THEN NULL ELSE coalesce(mm.m, 0)::BIGINT END AS n_match,
+       |  CASE WHEN len(b.tp) > $maxTokens OR len(b.tg) > $maxTokens THEN NULL
+       |       WHEN len(b.tp) = 0 AND len(b.tg) = 0 THEN 1000
+       |       WHEN len(b.tp) = 0 OR len(b.tg) = 0 THEN 0
+       |       ELSE (coalesce(mm.m, 0) * 1000 // len(b.tp))::BIGINT
+       |  END AS p_milli,
+       |  CASE WHEN len(b.tp) > $maxTokens OR len(b.tg) > $maxTokens THEN NULL
+       |       WHEN len(b.tp) = 0 AND len(b.tg) = 0 THEN 1000
+       |       WHEN len(b.tp) = 0 OR len(b.tg) = 0 THEN 0
+       |       ELSE (coalesce(mm.m, 0) * 1000 // len(b.tg))::BIGINT
+       |  END AS r_milli,
+       |  CASE WHEN len(b.tp) > $maxTokens OR len(b.tg) > $maxTokens THEN NULL
+       |       WHEN len(b.tp) = 0 AND len(b.tg) = 0 THEN 1000
+       |       WHEN len(b.tp) = 0 OR len(b.tg) = 0 THEN 0
+       |       ELSE (2 * coalesce(mm.m, 0) * 1000 // (len(b.tp) + len(b.tg)))::BIGINT
+       |  END AS f1_milli
+       |FROM base b LEFT JOIN mm ON b.qid = mm.qid""".stripMargin
+
+  /** Clipped n-gram overlap (round 20) — the ROUGE-N / BLEU-ingredient
+    * report: per (candidate, reference) row and order n ∈ {1, 2},
+    * candidate/reference n-gram totals, the CLIPPED match count
+    * `Σ_g min(cnt_cand(g), cnt_ref(g))` (a candidate that repeats a
+    * reference token is credited once per reference occurrence — the
+    * distinction between BLEU's modified precision and naive
+    * counting), and precision/recall in milli. No geometric mean —
+    * the integer convention: the consumer composes BLEU/ROUGE-F in
+    * float land from these exact counts.
+    *
+    * Tokens are the [[emF1]] normalization WITHOUT article removal
+    * (overlap metrics score surface tokens; dropping `the` is an
+    * answer-scoring convention, not an overlap one). Bigrams join
+    * adjacent tokens with a single space — tokens cannot contain a
+    * space by construction, so the join is injective. An empty side
+    * at order n reports 0 totals and 0/0 guarded milli (no row drops:
+    * a zero-gram candidate is a report, not a malformed row).
+    * `maxTokens` drops oversized rows whole with the flag, as
+    * [[emF1]]. Zero-exchange row-local scan; oracle replays the
+    * unnest+join formulation.
+    */
+  def overlapNgram(df: DataFrame, id: String, cand: String, ref: String,
+                   grain: String = "ws", maxTokens: Int = 2000): DataFrame = {
+    require(grain == "ws" || grain == "cjk-auto",
+      s"grain must be 'ws' or 'cjk-auto', got $grain")
+    val split =
+      if (grain == "cjk-auto")
+        (c: String) => TextAnalysis.routedTokensSpark(normSpark(c), keepEmpties = false)
+      else (c: String) => s"split(${normSpark(c)}, ' ')"
+    def toks(c: String) = s"filter(${split(c)}, x -> x <> '')"
+    def grams2(t: String): String =
+      s"IF(size($t) < 2, array(), transform(sequence(1, size($t) - 1), " +
+        s"i -> concat(element_at($t, i), ' ', element_at($t, i + 1))))"
+    def orderStruct(n: Int, tc: String, tg: String): String =
+      s"named_struct('n_order', cast($n AS BIGINT), " +
+        s"'nc', cast(size($tc) AS BIGINT), " +
+        s"'ng', cast(size($tg) AS BIGINT), " +
+        s"'m', ${clipSpark(tc, tg)})"
+    val body =
+      PortableHash.let1("__c2", grams2("__tc"),
+        PortableHash.let1("__g2", grams2("__tg"),
+          s"array(${orderStruct(1, "__tc", "__tg")}, " +
+            s"${orderStruct(2, "__c2", "__g2")})"))
+    val stats = PortableHash.let1("__tc", toks(cand),
+      PortableHash.let1("__tg", toks(ref), body))
+    graft.functions.VectorFunctions.attach(df)
+      .select(col(id).as("qid"), expr(stats).as("__a"))
+      .select(col("qid"),
+        expr(s"cast(IF(__a[0].nc > $maxTokens OR __a[0].ng > $maxTokens, 1, 0) AS BIGINT)")
+          .as("oversized"),
+        explode(expr(s"IF(__a[0].nc > $maxTokens OR __a[0].ng > $maxTokens, " +
+          s"array(__a[0]), __a)")).as("r"))
+      .select(col("qid"), col("oversized"), col("r.n_order").as("n_order"),
+        expr("IF(oversized = 1, cast(NULL AS BIGINT), r.nc)").as("n_cand"),
+        expr("IF(oversized = 1, cast(NULL AS BIGINT), r.ng)").as("n_ref"),
+        expr("IF(oversized = 1, cast(NULL AS BIGINT), r.m)").as("n_clip"),
+        expr("IF(oversized = 1, cast(NULL AS BIGINT), " +
+          "IF(r.nc = 0, 0, cast(r.m * 1000 div r.nc AS BIGINT)))").as("p_milli"),
+        expr("IF(oversized = 1, cast(NULL AS BIGINT), " +
+          "IF(r.ng = 0, 0, cast(r.m * 1000 div r.ng AS BIGINT)))").as("r_milli"))
+  }
+
+  /** DuckDB twin of [[overlapNgram]] — per-order unnest + clipped
+    * join, one UNION ALL branch per order over the shared token CTE.
+    * Oversized rows emit the single order-1 flag row, as Spark.
+    */
+  def overlapNgramSql(table: String, id: String, cand: String, ref: String,
+                      grain: String = "ws", maxTokens: Int = 2000): String = {
+    val split =
+      if (grain == "cjk-auto")
+        (c: String) => TextAnalysis.routedTokensDuck(normDuck(c), keepEmpties = false)
+      else (c: String) => s"string_split(${normDuck(c)}, ' ')"
+    def toks(c: String) = s"list_filter(${split(c)}, x -> x <> '')"
+    def grams2(t: String): String =
+      s"CASE WHEN len($t) < 2 THEN [] ELSE list_transform(" +
+        s"generate_series(1, len($t) - 1), i -> $t[i] || ' ' || $t[i + 1]) END"
+    def branch(n: Int, tc: String, tg: String): String =
+      s"""  SELECT qid, CAST($n AS BIGINT) AS n_order,
+         |    len($tc)::BIGINT AS nc, len($tg)::BIGINT AS ng,
+         |    $tc AS gc, $tg AS gg
+         |  FROM base WHERE NOT oversized""".stripMargin
+    s"""WITH base AS (
+       |  SELECT $id AS qid, tc, tg,
+       |    (len(tc) > $maxTokens OR len(tg) > $maxTokens) AS oversized
+       |  FROM (SELECT $id, ${toks(cand)} AS tc, ${toks(ref)} AS tg
+       |        FROM $table)),
+       |orders AS (
+       |${branch(1, "tc", "tg")}
+       |UNION ALL
+       |${branch(2, grams2("tc"), grams2("tg"))}),
+       |cc AS (
+       |  SELECT qid, n_order, g, count(*) AS c
+       |  FROM (SELECT qid, n_order, unnest(gc) AS g FROM orders)
+       |  GROUP BY 1, 2, 3),
+       |gc2 AS (
+       |  SELECT qid, n_order, g, count(*) AS c
+       |  FROM (SELECT qid, n_order, unnest(gg) AS g FROM orders)
+       |  GROUP BY 1, 2, 3),
+       |mm AS (
+       |  SELECT cc.qid, cc.n_order, sum(least(cc.c, gc2.c))::BIGINT AS m
+       |  FROM cc JOIN gc2 ON cc.qid = gc2.qid AND cc.n_order = gc2.n_order
+       |    AND cc.g = gc2.g
+       |  GROUP BY 1, 2)
+       |SELECT o.qid, 0::BIGINT AS oversized, o.n_order,
+       |  o.nc AS n_cand, o.ng AS n_ref,
+       |  coalesce(mm.m, 0)::BIGINT AS n_clip,
+       |  (CASE WHEN o.nc = 0 THEN 0
+       |        ELSE coalesce(mm.m, 0) * 1000 // o.nc END)::BIGINT AS p_milli,
+       |  (CASE WHEN o.ng = 0 THEN 0
+       |        ELSE coalesce(mm.m, 0) * 1000 // o.ng END)::BIGINT AS r_milli
+       |FROM orders o LEFT JOIN mm ON o.qid = mm.qid AND o.n_order = mm.n_order
+       |UNION ALL
+       |SELECT qid, 1::BIGINT AS oversized, 1::BIGINT AS n_order,
+       |  NULL::BIGINT AS n_cand, NULL::BIGINT AS n_ref,
+       |  NULL::BIGINT AS n_clip, NULL::BIGINT AS p_milli,
+       |  NULL::BIGINT AS r_milli
+       |FROM base WHERE oversized""".stripMargin
+  }
+}

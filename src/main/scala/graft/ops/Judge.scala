@@ -477,10 +477,17 @@ object Judge {
     * inside 64 bits (S ≤ n²); past that Spark's ANSI mode THROWS
     * (loudly, not a silent divergence — DuckDB's HUGEINT would keep
     * going) — two judges co-labeling 30M+ common items should be
-    * sampled before auditing anyway.
+    * sampled before auditing anyway. Round 20 makes that bound
+    * SELF-DEFENDING: `maxCommon` (default 3·10⁷, the documented
+    * 64-bit limit) guards every pair with an explicit `raise_error` /
+    * `error()` BEFORE the S·1000 term is formed, so the failure names
+    * the pair and the remedy ("sample the pair first") instead of
+    * surfacing as an anonymous ANSI overflow mid-aggregation
+    * (spec-pinned loud path in JudgeSpec).
     */
   def kappa(df: DataFrame, item: String, judge: String,
-            verdict: String, maxJudges: Int = 1000): DataFrame =
+            verdict: String, maxJudges: Int = 1000,
+            maxCommon: Long = 30000000L): DataFrame =
     df.where(col(verdict).isNotNull && col(item).isNotNull &&
         col(judge).isNotNull)
       .groupBy(col(item).as("__i"), col(judge).as("__j"))
@@ -510,7 +517,12 @@ object Judge {
       .select(col("judge_a"), col("judge_b"), col("n_common"),
         col("n_agree"),
         expr("cast(n_agree * 1000 div n_common AS BIGINT)").as("po_milli"),
-        expr("cast(__s * 1000 div (n_common * n_common) AS BIGINT)")
+        expr(s"IF(n_common > $maxCommon, " +
+          "raise_error(concat('graft kappa: pair (', cast(judge_a AS STRING), " +
+          "', ', cast(judge_b AS STRING), ') has n_common = ', " +
+          s"cast(n_common AS STRING), ' > maxCommon = $maxCommon — " +
+          "the S*1000 term would leave 64 bits; sample the pair first')), " +
+          "cast(__s * 1000 div (n_common * n_common) AS BIGINT))")
           .as("pe_milli"))
       .select(col("judge_a"), col("judge_b"), col("n_common"),
         col("n_agree"), col("po_milli"), col("pe_milli"),
@@ -524,7 +536,8 @@ object Judge {
     * categories — a category one judge never used contributes 0 to S).
     */
   def kappaSql(table: String, item: String, judge: String,
-               verdict: String, maxJudges: Int = 1000): String =
+               verdict: String, maxJudges: Int = 1000,
+               maxCommon: Long = 30000000L): String =
     s"""WITH one AS (
        |  SELECT $item AS i, $judge AS j, min($verdict) AS v
        |  FROM $table WHERE $verdict IS NOT NULL
@@ -553,8 +566,174 @@ object Judge {
        |  SELECT a.ja AS judge_a, a.jb AS judge_b, a.n AS n_common,
        |    a.agree AS n_agree,
        |    (a.agree * 1000 // a.n)::BIGINT AS po_milli,
-       |    (coalesce(s.s, 0) * 1000 // (a.n * a.n))::BIGINT AS pe_milli
+       |    (CASE WHEN a.n > $maxCommon
+       |          THEN error('graft kappa: n_common > maxCommon — sample the pair first')
+       |          ELSE coalesce(s.s, 0) * 1000 // (a.n * a.n) END)::BIGINT AS pe_milli
        |  FROM a LEFT JOIN s ON a.ja = s.ja AND a.jb = s.jb)""".stripMargin
+
+  /** WEIGHTED kappa per judge pair (round 20) — [[kappa]] for ORDINAL
+    * verdicts (Likert 1-5 scores, rubric grades), where a 4-vs-5
+    * disagreement must weigh less than a 1-vs-5: Cohen's weighted
+    * kappa `κ_w = 1 − Σ w·o / Σ w·e` with the standard LINEAR
+    * (`w = |a−b|`) and QUADRATIC (`w = (a−b)²`) disagreement weights,
+    * both reported side by side (quadratic weighted kappa is the one
+    * equivalent to an ICC; linear is what rubric pipelines quote).
+    *
+    * Exact integers end to end — the weights are exact integers over
+    * a bounded category range, so both numerator and denominator stay
+    * exact: per pair with `n` common items,
+    * `Do = Σ_items w(v_a, v_b)` (observed weighted disagreement) and
+    * `De = Σ_{k,l} cnt_a(k)·cnt_b(l)·w(k,l)` (expected, scaled by n²
+    * relative to the probability form), giving
+    * `kappa_milli = 1000 − Do·n·1000 div De` — ONE truncating
+    * division of a NON-NEGATIVE ratio (both Do and De are sums of
+    * non-negative terms; no signed division anywhere, unlike
+    * [[kappa]]'s sanctioned corrected ratio). Cross-check: with 0/1
+    * weights this is algebraically [[kappa]]'s
+    * `(po − pe)/(1 − pe)` before milli truncation (JudgeSpec pins the
+    * near-agreement: a pair disagreeing by one rubric point on every
+    * item scores LOW unweighted but HIGH weighted).
+    *
+    * `De = 0` iff the marginals put mass only on zero-weight cells —
+    * i.e. both judges constant on the SAME score (exactly [[kappa]]'s
+    * `pe = 1000` class): reported as `degenerate = 1`,
+    * `kappa_*_milli = 0` (identical for linear and quadratic — the
+    * weights share a zero set).
+    *
+    * Domain: scores must be INTEGER-VALUED ordinals (cast to BIGINT —
+    * Spark truncates a fractional DOUBLE toward zero and the twin
+    * routes through truncToZero to match; a non-numeric string throws
+    * under ANSI, loudly). NULL score/item/judge ids are out (the
+    * [[kappa]] stance); re-annotation collapses to min(score) per
+    * (item, judge); panels above `maxJudges` drop WHOLE. A pair using
+    * more than `maxCats` distinct score values drops WHOLE (the
+    * collected per-pair category array bounds row-local state — a
+    * continuous "score" column is out of domain, and 64 categories is
+    * far above any rubric; the drop is the maxJudges convention).
+    *
+    * Range: `Do·n·1000 ≤ n²·w_max·1000` needs
+    * `n ≲ 3·10⁷/√w_max` per pair inside 64 bits (w_max = R² for
+    * quadratic over score span R — a 0-10 rubric gives n ≲ 3·10⁶);
+    * past it ANSI throws loudly, the [[kappa]] maxCommon class —
+    * sample first.
+    *
+    * Plan shape: the [[kappa]] pipeline — one scan, (item, judge)
+    * dedup, per-item sorted panel collect with the maxJudges guard,
+    * row-local ≤ maxJudges² pair explode carrying per-category
+    * marginal contributions AND the observed weighted sums on the
+    * same rows, then (pair × category) and pair-grain partial-agged
+    * exchanges (both metadata-sized). De is computed ROW-LOCALLY at
+    * pair grain from the collected ≤ maxCats category array (the
+    * nested O(maxCats²) fold), so the Spark side never self-joins;
+    * the join formulation lives only in the DuckDB twin at oracle
+    * scale.
+    */
+  def kappaWeighted(df: DataFrame, item: String, judge: String,
+                    score: String, maxJudges: Int = 1000,
+                    maxCats: Int = 64): DataFrame =
+    df.where(col(score).isNotNull && col(item).isNotNull &&
+        col(judge).isNotNull)
+      .select(col(item).as("__i"), col(judge).as("__j"),
+        col(score).cast("long").as("__v"))
+      .groupBy(col("__i"), col("__j"))
+      .agg(min(col("__v")).as("__v"))
+      .groupBy(col("__i"))
+      .agg(array_sort(collect_list(struct(col("__j").as("j"),
+        col("__v").as("v")))).as("__xs"))
+      .where(size(col("__xs")) <= maxJudges)
+      .select(explode(expr(
+        "flatten(transform(__xs, (x, i) -> " +
+          "flatten(transform(slice(__xs, i + 2, size(__xs) - i - 1), y -> " +
+          "IF(x.v = y.v, " +
+          "array(named_struct('ja', x.j, 'jb', y.j, 'k', x.v, " +
+          "'ca', cast(1 AS BIGINT), 'cb', cast(1 AS BIGINT), " +
+          "'dl', cast(0 AS BIGINT), 'dq', cast(0 AS BIGINT))), " +
+          "array(named_struct('ja', x.j, 'jb', y.j, 'k', x.v, " +
+          "'ca', cast(1 AS BIGINT), 'cb', cast(0 AS BIGINT), " +
+          "'dl', abs(x.v - y.v), 'dq', (x.v - y.v) * (x.v - y.v)), " +
+          "named_struct('ja', x.j, 'jb', y.j, 'k', y.v, " +
+          "'ca', cast(0 AS BIGINT), 'cb', cast(1 AS BIGINT), " +
+          "'dl', cast(0 AS BIGINT), 'dq', cast(0 AS BIGINT))))))))"))
+        .as("p"))
+      .groupBy(col("p.ja").as("judge_a"), col("p.jb").as("judge_b"),
+        col("p.k").as("__k"))
+      .agg(sum(col("p.ca")).as("__sa"), sum(col("p.cb")).as("__sb"),
+        sum(col("p.dl")).as("__dl"), sum(col("p.dq")).as("__dq"))
+      .groupBy(col("judge_a"), col("judge_b"))
+      .agg(sum(col("__sa")).as("n_common"),
+        sum(col("__dl")).as("dw_lin"), sum(col("__dq")).as("dw_quad"),
+        array_sort(collect_list(struct(col("__k").as("k"),
+          col("__sa").as("sa"), col("__sb").as("sb")))).as("__cats"))
+      .where(size(col("__cats")) <= maxCats)
+      .select(col("judge_a"), col("judge_b"), col("n_common"),
+        col("dw_lin"), col("dw_quad"),
+        expr("aggregate(__cats, cast(0 AS BIGINT), (a1, c1) -> a1 + " +
+          "c1.sa * aggregate(__cats, cast(0 AS BIGINT), (a2, c2) -> " +
+          "a2 + c2.sb * abs(c1.k - c2.k)))").as("__del"),
+        expr("aggregate(__cats, cast(0 AS BIGINT), (a1, c1) -> a1 + " +
+          "c1.sa * aggregate(__cats, cast(0 AS BIGINT), (a2, c2) -> " +
+          "a2 + c2.sb * (c1.k - c2.k) * (c1.k - c2.k)))").as("__deq"))
+      .select(col("judge_a"), col("judge_b"), col("n_common"),
+        col("dw_lin"), col("dw_quad"),
+        expr("cast(IF(__del = 0, 1, 0) AS BIGINT)").as("degenerate"),
+        expr("IF(__del = 0, cast(0 AS BIGINT), " +
+          "cast(1000 - dw_lin * n_common * 1000 div __del AS BIGINT))")
+          .as("kappa_lin_milli"),
+        expr("IF(__deq = 0, cast(0 AS BIGINT), " +
+          "cast(1000 - dw_quad * n_common * 1000 div __deq AS BIGINT))")
+          .as("kappa_quad_milli"))
+
+  /** DuckDB twin of [[kappaWeighted]] (the join formulation at oracle
+    * scale, as [[kappaSql]]: the expected weighted disagreement is
+    * the full marginal cross product within each pair — the category
+    * pair count is bounded by maxCats², and the maxCats whole-pair
+    * drop mirrors the Spark side's collected-array guard via the
+    * deduped union of both judges' score sets).
+    */
+  def kappaWeightedSql(table: String, item: String, judge: String,
+                       score: String, maxJudges: Int = 1000,
+                       maxCats: Int = 64): String =
+    s"""WITH one AS (
+       |  SELECT $item AS i, $judge AS j,
+       |    min(${graft.ops.PortableHash.truncToZero(score)}) AS v
+       |  FROM $table WHERE $score IS NOT NULL
+       |    AND $item IS NOT NULL AND $judge IS NOT NULL GROUP BY 1, 2),
+       |ok AS (SELECT i FROM one GROUP BY i HAVING count(*) <= $maxJudges),
+       |pr AS (
+       |  SELECT l.j AS ja, r.j AS jb, l.v AS va, r.v AS vb
+       |  FROM one l JOIN one r ON l.i = r.i AND l.j < r.j
+       |  JOIN ok ON ok.i = l.i),
+       |a AS (
+       |  SELECT ja, jb, count(*) AS n,
+       |    sum(abs(va - vb))::BIGINT AS dl,
+       |    sum((va - vb) * (va - vb))::BIGINT AS dq
+       |  FROM pr GROUP BY 1, 2),
+       |nc AS (
+       |  SELECT ja, jb, count(*) AS ncats
+       |  FROM (SELECT ja, jb, va AS k FROM pr
+       |        UNION SELECT ja, jb, vb AS k FROM pr)
+       |  GROUP BY 1, 2),
+       |ma AS (SELECT ja, jb, va AS k, count(*) AS sa FROM pr GROUP BY 1, 2, 3),
+       |mb AS (SELECT ja, jb, vb AS k, count(*) AS sb FROM pr GROUP BY 1, 2, 3),
+       |de AS (
+       |  SELECT ma.ja, ma.jb,
+       |    sum(ma.sa * mb.sb * abs(ma.k - mb.k))::BIGINT AS del,
+       |    sum(ma.sa * mb.sb * (ma.k - mb.k) * (ma.k - mb.k))::BIGINT AS deq
+       |  FROM ma JOIN mb ON ma.ja = mb.ja AND ma.jb = mb.jb
+       |  GROUP BY 1, 2)
+       |SELECT a.ja AS judge_a, a.jb AS judge_b, a.n AS n_common,
+       |  a.dl AS dw_lin, a.dq AS dw_quad,
+       |  (CASE WHEN de.del = 0 THEN 1 ELSE 0 END)::BIGINT AS degenerate,
+       |  (CASE WHEN de.del = 0 THEN 0
+       |        ELSE 1000 - a.dl * a.n * 1000 // de.del END)::BIGINT
+       |    AS kappa_lin_milli,
+       |  (CASE WHEN de.deq = 0 THEN 0
+       |        ELSE 1000 - a.dq * a.n * 1000 // de.deq END)::BIGINT
+       |    AS kappa_quad_milli
+       |FROM a
+       |JOIN nc ON a.ja = nc.ja AND a.jb = nc.jb
+       |JOIN de ON a.ja = de.ja AND a.jb = de.jb
+       |WHERE nc.ncats <= $maxCats""".stripMargin
 
   /** FLEISS' kappa per panel size (round 19) — the board-level
     * chance-corrected agreement for multi-judge panels, completing the
@@ -681,9 +860,13 @@ object Judge {
     * `flipped` = min(verdict) ≠ max(verdict) over the cell — cheaper
     * than a distinct-count and identical on both engines. NULL
     * verdicts are out of domain (the [[kappa]] stance: a NULL label is
-    * a missing label, not a verdict that can flip). Judges with no
-    * re-labeled items have no row (no divide guard needed — the
-    * denominator is ≥ 1 by construction).
+    * a missing label, not a verdict that can flip), and so are NULL
+    * item/judge ids (the family's malformed-label-row domain — a NULL
+    * judge id is not its own "judge" and a NULL item is not a
+    * re-label cell; round-19 ADVICE alignment with [[kappa]] /
+    * [[fleissKappa]]). Judges with no re-labeled items have no row
+    * (no divide guard needed — the denominator is ≥ 1 by
+    * construction).
     *
     * Plan shape: one scan → (item, judge) partial-agged exchange
     * (labels collapse to (count, min, max) — the label TEXT beyond the
@@ -692,7 +875,8 @@ object Judge {
     */
   def selfConsistency(df: DataFrame, item: String, judge: String,
                       verdict: String): DataFrame =
-    df.where(col(verdict).isNotNull)
+    df.where(col(verdict).isNotNull && col(item).isNotNull &&
+        col(judge).isNotNull)
       .groupBy(col(item).as("__i"), col(judge).as("judge"))
       .agg(count(lit(1)).as("__n"), min(col(verdict)).as("__mn"),
         max(col(verdict)).as("__mx"))
@@ -714,7 +898,9 @@ object Judge {
        |FROM (
        |  SELECT $item AS i, $judge AS judge, count(*) AS n,
        |    min($verdict) AS mn, max($verdict) AS mx
-       |  FROM $table WHERE $verdict IS NOT NULL GROUP BY 1, 2)
+       |  FROM $table WHERE $verdict IS NOT NULL
+       |    AND $item IS NOT NULL AND $judge IS NOT NULL
+       |  GROUP BY 1, 2)
        |WHERE n >= 2
        |GROUP BY judge""".stripMargin
 

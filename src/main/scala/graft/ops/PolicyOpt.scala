@@ -148,6 +148,66 @@ object PolicyOpt {
        |  FROM $table)
        |GROUP BY policy""".stripMargin
 
+  /** Per-token NLL / perplexity report (round 20) — the eval-loss
+    * twin of [[klReport]], the number every training run reads next
+    * to KL drift: over step-grain log-probs in integer MILLI-NATS,
+    * per policy: in-domain token count, `Σ NLL` milli-nats, mean NLL
+    * milli, and tail token counts at the 1000/3000 milli-nat
+    * thresholds (a healthy mean hides a divergent tail — a token the
+    * model assigns e⁻³ ≈ 5% to is a surprise worth counting). The
+    * consumer reads perplexity as `exp(mean/1000)` in float land.
+    *
+    * Domain: a log-prob is NON-POSITIVE by definition, so `lp > 0`
+    * rows are MALFORMED (a broken logging pipeline, not a token) and
+    * are counted out into `n_malformed` alongside NULLs rather than
+    * silently polluting the loss — which keeps `nll = −lp ≥ 0`, the
+    * sum non-negative, and the mean an UNSIGNED truncating division
+    * (the repo's no-signed-division rule holds; no kappa-style
+    * sanction needed). A policy with zero in-domain tokens reports
+    * mean 0 with `n_tokens = 0` visible (the ANSI div-by-zero guard,
+    * both dialects). Fractional DOUBLE log-probs truncate toward zero
+    * on both sides (Spark cast / twin truncToZero — the round-18
+    * ADVICE class).
+    *
+    * Plan shape: one scan into a |policies|-row partial-agged
+    * exchange — distributive, the complete-mode streaming family
+    * (same as [[klReport]]; StreamingOpsSpec's complete-mode pin
+    * class).
+    */
+  def nllReport(df: DataFrame, policy: String, lp: String): DataFrame =
+    df.select(col(policy).as("policy"), col(lp).cast("long").as("__lp"))
+      .groupBy(col("policy"))
+      .agg(sum(when(col("__lp") <= 0L, 1L).otherwise(0L)).as("n_tokens"),
+        sum(when(col("__lp").isNull || col("__lp") > 0L, 1L).otherwise(0L))
+          .as("n_malformed"),
+        coalesce(sum(when(col("__lp") <= 0L, -col("__lp"))), lit(0L))
+          .as("sum_nll_millinats"),
+        sum(when(col("__lp") <= -1000L, 1L).otherwise(0L)).as("n_tail_1000"),
+        sum(when(col("__lp") <= -3000L, 1L).otherwise(0L)).as("n_tail_3000"))
+      .withColumn("mean_nll_milli",
+        expr("IF(n_tokens = 0, cast(0 AS BIGINT), " +
+          "cast(sum_nll_millinats div n_tokens AS BIGINT))"))
+
+  /** DuckDB twin of [[nllReport]]. */
+  def nllReportSql(table: String, policy: String, lp: String): String =
+    s"""SELECT policy,
+       |  sum(CASE WHEN l <= 0 THEN 1 ELSE 0 END)::BIGINT AS n_tokens,
+       |  sum(CASE WHEN l IS NULL OR l > 0 THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_malformed,
+       |  coalesce(sum(CASE WHEN l <= 0 THEN -l END), 0)::BIGINT
+       |    AS sum_nll_millinats,
+       |  sum(CASE WHEN l <= -1000 THEN 1 ELSE 0 END)::BIGINT AS n_tail_1000,
+       |  sum(CASE WHEN l <= -3000 THEN 1 ELSE 0 END)::BIGINT AS n_tail_3000,
+       |  (CASE WHEN sum(CASE WHEN l <= 0 THEN 1 ELSE 0 END) = 0 THEN 0
+       |        ELSE coalesce(sum(CASE WHEN l <= 0 THEN -l END), 0)
+       |          // sum(CASE WHEN l <= 0 THEN 1 ELSE 0 END)
+       |   END)::BIGINT AS mean_nll_milli
+       |FROM (
+       |  SELECT $policy AS policy,
+       |    ${graft.ops.PortableHash.truncToZero(lp)} AS l
+       |  FROM $table)
+       |GROUP BY policy""".stripMargin
+
   /** ln(1±ε) in milli-nats for the standard ε (integer constants both
     * dialects share; ε = 0.2 → [−223, 182]).
     */

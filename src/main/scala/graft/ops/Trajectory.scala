@@ -112,7 +112,13 @@ object Trajectory {
     * engines instead of the round-18 divergence (Spark silently
     * renumbered via posexplode while the twin's recursion died at the
     * first gap; ties beyond `(step, r)` are immaterial because equal
-    * rewards in either order yield the same recurrence). `NULLS
+    * rewards in either order yield the same recurrence). The step key
+    * is TRUNCATED through truncToZero on the twin side because the
+    * Spark struct sorts by `cast(step AS BIGINT)` — a fractional
+    * DOUBLE step (in-domain: step only needs to ORDER the episode)
+    * would otherwise tie on Spark (broken by r) while DuckDB ordered
+    * by the raw fractional value, silently diverging the dense
+    * renumbering (round-19 ADVICE class). `NULLS
     * FIRST` because that is where Spark's struct sort puts a NULL
     * sort field (probed via sort_array this round) while DuckDB's
     * ORDER BY defaults NULLS LAST — a NULL step is still a smell, but
@@ -128,7 +134,7 @@ object Trajectory {
     s"""t0 AS (
        |  SELECT traj_id, r,
        |    row_number() OVER (PARTITION BY traj_id
-       |      ORDER BY step0 NULLS FIRST, r) AS step
+       |      ORDER BY ${graft.ops.PortableHash.truncToZero("step0")} NULLS FIRST, r) AS step
        |  FROM (SELECT $traj AS traj_id, $step AS step0,
        |          ${graft.ops.PortableHash.truncToZero(s"coalesce($reward, 0)")} AS r
        |        FROM $table)),
@@ -266,8 +272,10 @@ object Trajectory {
 
   /** DuckDB twin of [[trajGae]] — the [[recCtes]] shape with the value
     * column carried through the recursion (each level needs V_{i+1}
-    * and A_{i+1}); steps re-rank dense over `(step, r, v)`, the exact
-    * order of the Spark side's sorted struct collect.
+    * and A_{i+1}); steps re-rank dense over `(trunc(step), r, v)`, the
+    * exact order of the Spark side's sorted struct collect (the step
+    * key truncates through truncToZero to mirror Spark's
+    * cast-to-BIGINT struct field — the round-19 ADVICE class).
     */
   def trajGaeSql(table: String, traj: String, step: String,
                  reward: String, value: String, gammaMilli: Int = 900,
@@ -275,7 +283,7 @@ object Trajectory {
     s"""WITH RECURSIVE t0 AS (
        |  SELECT traj_id, r, v,
        |    row_number() OVER (PARTITION BY traj_id
-       |      ORDER BY step0 NULLS FIRST, r, v) AS step
+       |      ORDER BY ${graft.ops.PortableHash.truncToZero("step0")} NULLS FIRST, r, v) AS step
        |  FROM (SELECT $traj AS traj_id, $step AS step0,
        |          ${graft.ops.PortableHash.truncToZero(s"coalesce($reward, 0)")} AS r,
        |          ${graft.ops.PortableHash.truncToZero(s"coalesce($value, 0)")} AS v

@@ -510,21 +510,28 @@ object Queries {
                                dir: String): org.apache.spark.sql.DataFrame =
     t(s, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      .withColumn("step", expr(
+      .withColumn("__s0", expr(
         "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)"))
+      // FRACTIONAL DOUBLE step (round-20 ADVICE class): consecutive
+      // raw steps tie under the truncated sort key (1/2 and 2/2 both
+      // truncate to... 0.5->0, 1.0->1; 1.0 and 1.5 both ->1), so the
+      // oracle permanently checks that both engines renumber ties by
+      // (trunc(step), reward) identically — step only needs to ORDER
+      // the episode, and a fractional step is in-domain
+      .withColumn("step", expr("__s0 / 2"))
       .withColumn("reward_milli", expr(
         "cast(cast(value AS DECIMAL(18,2)) * 1000 AS BIGINT) - 1500"))
       .withColumn("policy", expr("concat('p', user_id % 3)"))
       .withColumn("value_milli", expr(
-        "cast(((user_id * 7 + step * 13) % 41) * 100 - 2000 AS BIGINT)"))
+        "cast(((user_id * 7 + __s0 * 13) % 41) * 100 - 2000 AS BIGINT)"))
 
   private val trajFixtureDuckRel: String =
-    """(SELECT user_id, step,
+    """(SELECT user_id, s0 / 2 AS step,
       |  (CAST(value AS DECIMAL(18,2)) * 1000)::BIGINT - 1500 AS reward_milli,
       |  'p' || (user_id % 3) AS policy,
-      |  (((user_id * 7 + step * 13) % 41) * 100 - 2000)::BIGINT AS value_milli
+      |  (((user_id * 7 + s0 * 13) % 41) * 100 - 2000)::BIGINT AS value_milli
       |FROM (SELECT user_id, value,
-      |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step
+      |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s0
       |      FROM events))""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
@@ -757,6 +764,31 @@ object Queries {
           |FROM (SELECT doc_id, unnest(generate_series(0, 2)) AS j
           |      FROM documents))""".stripMargin,
         "doc_id", "judge", "verdict"))),
+
+    // weighted kappa (round 20): ordinal 0-4 scores where j0/j1 are a
+    // near-miss-heavy pair (off by one on every odd doc) and j2 is
+    // scattered — linear/quadratic weights make the j0/j1 row score
+    // high while the unweighted judge_kappa formulation would read it
+    // low; exact integer Do/De, one non-negative truncating division
+    QueryDef("judge_kappa_weighted",
+      (s, dir) => graft.ops.Judge.kappaWeighted(
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(expr("sequence(0, 2)")).as("j"))
+          .select(col("doc_id"), expr("concat('j', j)").as("judge"),
+            expr("CASE j WHEN 0 THEN doc_id % 5 " +
+              "WHEN 1 THEN IF(doc_id % 2 = 0, doc_id % 5, " +
+              "least(doc_id % 5 + 1, 4)) " +
+              "ELSE (doc_id * 3 + 1) % 5 END").as("score")),
+        "doc_id", "judge", "score"),
+      Some(graft.ops.Judge.kappaWeightedSql(
+        """(SELECT doc_id, 'j' || j AS judge,
+          |  CASE j WHEN 0 THEN doc_id % 5
+          |    WHEN 1 THEN (CASE WHEN doc_id % 2 = 0 THEN doc_id % 5
+          |                 ELSE least(doc_id % 5 + 1, 4) END)
+          |    ELSE (doc_id * 3 + 1) % 5 END AS score
+          |FROM (SELECT doc_id, unnest(generate_series(0, 2)) AS j
+          |      FROM documents))""".stripMargin,
+        "doc_id", "judge", "score"))),
 
     // ================= relational core (scan/filter/agg/join/window) ====
 
@@ -2372,6 +2404,165 @@ object Queries {
       Some(graft.ops.PassAtK.passAllKSql(
         "(SELECT event_id % 97 AS prompt_id, (event_id % 5) < 2 AS passed FROM events)",
         "prompt_id", "passed", ks = Seq(1, 2, 5, 11)))),
+
+    // answer scoring (round 20): SQuAD-style normalize -> exact match
+    // -> clipped token-F1 in integer milli — the stage that PRODUCES
+    // the passed column pass@k/pass^k consume. Planted classes per
+    // doc_id % 6: 'The '+gold+'.' (normalization makes EM pass), a
+    // 3-of-4-token truncation (EM 0, F1 857-ish partial credit),
+    // gold+extra tokens, disjoint, empty-pred (one-side-zero guard),
+    // exact; every 17th doc is the both-empty class (EM/F1 1000)
+    QueryDef("eval_score_em_f1",
+      (s, dir) => graft.ops.AnswerScore.emF1(
+        t(s, dir, "documents")
+          .withColumn("__w", expr(
+            "filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' '), " +
+              "x -> x != '')"))
+          .withColumn("gold", expr(
+            "IF(doc_id % 17 = 0, '', array_join(slice(__w, 1, 4), ' '))"))
+          .withColumn("pred", expr(
+            "IF(doc_id % 17 = 0, '', CASE cast(doc_id % 6 AS INT) " +
+              "WHEN 0 THEN concat('The ', array_join(slice(__w, 1, 4), ' '), '.') " +
+              "WHEN 1 THEN array_join(slice(__w, 1, 3), ' ') " +
+              "WHEN 2 THEN concat(array_join(slice(__w, 1, 4), ' '), ' unrelated extra') " +
+              "WHEN 3 THEN 'zzz qqq' " +
+              "WHEN 4 THEN '' " +
+              "ELSE array_join(slice(__w, 1, 4), ' ') END)")),
+        "doc_id", "pred", "gold"),
+      Some(graft.ops.AnswerScore.emF1Sql(
+        """(SELECT doc_id,
+          |  CASE WHEN doc_id % 17 = 0 THEN ''
+          |    ELSE (CASE (doc_id % 6)
+          |      WHEN 0 THEN 'The ' || coalesce(array_to_string(w[1:4], ' '), '') || '.'
+          |      WHEN 1 THEN coalesce(array_to_string(w[1:3], ' '), '')
+          |      WHEN 2 THEN coalesce(array_to_string(w[1:4], ' '), '') || ' unrelated extra'
+          |      WHEN 3 THEN 'zzz qqq'
+          |      WHEN 4 THEN ''
+          |      ELSE coalesce(array_to_string(w[1:4], ' '), '') END) END AS pred,
+          |  CASE WHEN doc_id % 17 = 0 THEN ''
+          |    ELSE coalesce(array_to_string(w[1:4], ' '), '') END AS gold
+          |FROM (SELECT doc_id, list_filter(string_split(
+          |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '),
+          |    x -> x <> '') AS w
+          |  FROM documents))""".stripMargin,
+        "doc_id", "pred", "gold"))),
+
+    // answer scoring on the routed grain (round 20): gold/pred are
+    // character prefixes of the RAW text, so Han-dominant rows score
+    // on codepoint-grain routed tokens (a giant unsegmented "word"
+    // would zero the F1) while Latin rows keep the word grain; class
+    // 1's mid-word cut gives partial credit, class 2 appends extra
+    // tokens, class 3 exercises the one-side-empty guard
+    QueryDef("eval_score_em_f1_cjk",
+      (s, dir) => graft.ops.AnswerScore.emF1(
+        t(s, dir, "documents")
+          .withColumn("gold", expr("substring(text, 1, 20)"))
+          .withColumn("pred", expr(
+            "CASE cast(doc_id % 4 AS INT) " +
+              "WHEN 0 THEN substring(text, 1, 20) " +
+              "WHEN 1 THEN substring(text, 1, 12) " +
+              "WHEN 2 THEN concat(substring(text, 1, 20), ' extra') " +
+              "ELSE '' END")),
+        "doc_id", "pred", "gold", grain = "cjk-auto"),
+      Some(graft.ops.AnswerScore.emF1Sql(
+        """(SELECT doc_id,
+          |  CASE (doc_id % 4)
+          |    WHEN 0 THEN substr(text, 1, 20)
+          |    WHEN 1 THEN substr(text, 1, 12)
+          |    WHEN 2 THEN substr(text, 1, 20) || ' extra'
+          |    ELSE '' END AS pred,
+          |  substr(text, 1, 20) AS gold
+          |FROM documents)""".stripMargin,
+        "doc_id", "pred", "gold", grain = "cjk-auto"))),
+
+    // scored-frame -> pass@k composition (round 20): the EM flag from
+    // eval_score_em_f1 IS the passed column the estimator consumes —
+    // the full harness chain (normalize -> score -> pass@k) as one
+    // oracle-checked row set; oversized/NULL scores read as not-passed
+    QueryDef("eval_score_then_pass",
+      (s, dir) => graft.ops.PassAtK.passAtK(
+        graft.ops.AnswerScore.emF1(
+          t(s, dir, "documents")
+            .withColumn("__w", expr(
+              "filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' '), " +
+                "x -> x != '')"))
+            .withColumn("gold", expr("array_join(slice(__w, 1, 4), ' ')"))
+            .withColumn("pred", expr(
+              "CASE cast(doc_id % 3 AS INT) " +
+                "WHEN 0 THEN concat('the ', array_join(slice(__w, 1, 4), ' ')) " +
+                "WHEN 1 THEN array_join(slice(__w, 1, 3), ' ') " +
+                "ELSE 'zzz' END")),
+          "doc_id", "pred", "gold")
+          .withColumn("prompt_id", expr("qid % 97"))
+          .withColumn("passed", expr("coalesce(em_milli = 1000, false)")),
+        "prompt_id", "passed", ks = Seq(1, 3)),
+      Some(graft.ops.PassAtK.passAtKSql(
+        s"""(SELECT qid % 97 AS prompt_id,
+           |  coalesce(em_milli = 1000, false) AS passed
+           |FROM (${graft.ops.AnswerScore.emF1Sql(
+          """(SELECT doc_id,
+            |  CASE (doc_id % 3)
+            |    WHEN 0 THEN 'the ' || coalesce(array_to_string(w[1:4], ' '), '')
+            |    WHEN 1 THEN coalesce(array_to_string(w[1:3], ' '), '')
+            |    ELSE 'zzz' END AS pred,
+            |  coalesce(array_to_string(w[1:4], ' '), '') AS gold
+            |FROM (SELECT doc_id, list_filter(string_split(
+            |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '),
+            |    x -> x <> '') AS w
+            |  FROM documents))""".stripMargin,
+          "doc_id", "pred", "gold")}) t)""".stripMargin,
+        "prompt_id", "passed", ks = Seq(1, 3)))),
+
+    // clipped n-gram overlap (round 20): ROUGE-N / BLEU modified
+    // precision ingredients per (candidate, reference) and order 1/2 —
+    // the candidate REPEATS its first word twice more, so the clipped
+    // count credits it once per reference occurrence (the fixture that
+    // distinguishes clipped from naive counting); empty-text rows
+    // exercise the zero-gram guards on both orders
+    QueryDef("eval_overlap_ngram",
+      (s, dir) => graft.ops.AnswerScore.overlapNgram(
+        t(s, dir, "documents")
+          .withColumn("__w", expr(
+            "filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' '), " +
+              "x -> x != '')"))
+          .withColumn("cand", expr(
+            "IF(size(__w) = 0, '', concat(array_join(slice(__w, 1, 3), ' '), " +
+              "' ', element_at(__w, 1), ' ', element_at(__w, 1)))"))
+          .withColumn("ref", expr("array_join(slice(__w, 1, 5), ' ')")),
+        "doc_id", "cand", "ref"),
+      Some(graft.ops.AnswerScore.overlapNgramSql(
+        """(SELECT doc_id,
+          |  CASE WHEN len(w) = 0 THEN ''
+          |    ELSE concat(coalesce(array_to_string(w[1:3], ' '), ''),
+          |      ' ', w[1], ' ', w[1]) END AS cand,
+          |  coalesce(array_to_string(w[1:5], ' '), '') AS ref
+          |FROM (SELECT doc_id, list_filter(string_split(
+          |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '),
+          |    x -> x <> '') AS w
+          |  FROM documents))""".stripMargin,
+        "doc_id", "cand", "ref"))),
+
+    // per-token NLL report (round 20): the eval-loss twin of the KL
+    // drift report — per policy, in-domain token count, signed-free
+    // NLL sum, mean via unsigned truncating division, 1000/3000
+    // milli-nat tail counts, and the malformed count (NULL or
+    // positive log-probs are logged out, not silently averaged)
+    QueryDef("eval_nll_report",
+      (s, dir) => graft.ops.PolicyOpt.nllReport(
+        t(s, dir, "events")
+          .withColumn("policy", expr("concat('p', user_id % 3)"))
+          .withColumn("lp", expr(
+            "CASE WHEN event_id % 37 = 0 THEN cast(NULL AS BIGINT) " +
+              "WHEN event_id % 31 = 0 THEN cast(5 AS BIGINT) " +
+              "ELSE cast(-(event_id % 4000) AS BIGINT) END")),
+        "policy", "lp"),
+      Some(graft.ops.PolicyOpt.nllReportSql(
+        """(SELECT 'p' || (user_id % 3) AS policy,
+          |  CASE WHEN event_id % 37 = 0 THEN NULL
+          |       WHEN event_id % 31 = 0 THEN 5
+          |       ELSE -(event_id % 4000) END AS lp
+          |FROM events)""".stripMargin,
+        "policy", "lp"))),
 
     // intra-judge consistency (round 19): per judge, re-labeled item
     // count and flip rate — the fixture plants a second j0 label on

@@ -1,0 +1,116 @@
+package graft
+
+import graft.ops.AnswerScore
+
+/** Pins the answer-scoring family: SQuAD-style normalization (case,
+  * ASCII punctuation, articles, whitespace), exact-match semantics,
+  * the CLIPPED token-F1 arithmetic with its zero-token guards, the
+  * routed cjk grain, and the clipped n-gram overlap (the
+  * repeated-token case that separates clipped from naive counting).
+  */
+class AnswerScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def score(pred: String, gold: String,
+                    grain: String = "ws"): (Long, Long, Long, Long, Long, Long, Long) = {
+    val r = AnswerScore.emF1(Seq((1L, pred, gold)).toDF("id", "p", "g"),
+      "id", "p", "g", grain = grain).collect().head
+    (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+      r.getLong(7), r.getLong(8)) // np, ng, em, m, p, r, f1
+  }
+
+  test("emF1: normalization — case, ASCII punctuation, articles, whitespace") {
+    // 'The', '!', case and the tab all normalize away: exact match
+    assert(score("The Eiffel\tTower!", "eiffel tower") ===
+      ((2L, 2L, 1000L, 2L, 1000L, 1000L, 1000L)))
+    // don't -> dont (punctuation DELETED, not spaced — the SQuAD rule)
+    assert(score("don't", "dont")._3 === 1000L)
+    // articles are dropped as TOKENS, not substrings ('theory' keeps
+    // its 'the' prefix)
+    assert(score("a theory", "theory")._3 === 1000L)
+  }
+
+  test("emF1: partial credit is clipped multiset F1") {
+    // pred 'x y z' vs gold 'x y w q': m=2, p=2/3=666, r=2/4=500,
+    // f1 = 2*2*1000 div 7 = 571
+    assert(score("x y z", "x y w q") ===
+      ((3L, 4L, 0L, 2L, 666L, 500L, 571L)))
+    // repeated pred token clips at the gold count: 'x x x' vs 'x y':
+    // m = min(3,1) = 1, p = 333, r = 500, f1 = 2000 div 5 = 400
+    assert(score("x x x", "x y") === ((3L, 2L, 0L, 1L, 333L, 500L, 400L)))
+    // disjoint: all zeros
+    assert(score("zzz qqq", "x y") === ((2L, 2L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("emF1: zero-token guards — both empty 1000, one empty 0; NULL scores as empty") {
+    assert(score("", "") === ((0L, 0L, 1000L, 0L, 1000L, 1000L, 1000L)))
+    assert(score("", "x y") === ((0L, 2L, 0L, 0L, 0L, 0L, 0L)))
+    assert(score("x", "") === ((1L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    // 'the.' normalizes to zero tokens — the all-article answer
+    assert(score("the a an", "x")._1 === 0L)
+    val r = AnswerScore.emF1(
+      Seq((1L, Option.empty[String], Some("x"))).toDF("id", "p", "g"),
+      "id", "p", "g").collect().head
+    assert(r.getLong(4) === 0L && r.getLong(8) === 0L,
+      "a NULL prediction scores as empty (wrong), not as a dropped row")
+  }
+
+  test("emF1: maxTokens drops rows whole with the oversized flag, NULL scores") {
+    val df = Seq((1L, "a b c d e f", "a b c"), (2L, "x y", "x y"))
+      .toDF("id", "p", "g")
+    val m = AnswerScore.emF1(df, "id", "p", "g", maxTokens = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(1) === 1L && m(1L).isNullAt(4) && m(1L).isNullAt(8),
+      "six pred tokens > maxTokens=3: flagged, scores NULL")
+    assert(m(2L).getLong(1) === 0L && m(2L).getLong(8) === 1000L)
+  }
+
+  test("emF1: cjk grain routes Han answers to codepoint tokens") {
+    // ws grain: each side is ONE giant token -> prefix scores 0
+    val ws = score("北京大学", "北京大学图书馆")
+    assert(ws._4 === 0L && ws._7 === 0L, "unsegmented Han: no word overlap")
+    // routed grain: codepoint tokens -> m=4, p=1000, r=4/7=571,
+    // f1 = 2*4*1000 div 11 = 727
+    val cjk = score("北京大学", "北京大学图书馆", grain = "cjk-auto")
+    assert(cjk === ((4L, 7L, 0L, 4L, 1000L, 571L, 727L)))
+  }
+
+  test("overlapNgram: clipped vs naive counting, both orders") {
+    // cand 'w x w w' vs ref 'w x y': 1-grams cand {w:3, x:1},
+    // ref {w:1, x:1} -> clipped m = 1 + 1 = 2 (naive would say 4);
+    // p = 2*1000 div 4 = 500, r = 2*1000 div 3 = 666.
+    // bigrams cand {w x, x w, w w}, ref {w x, x y} -> m = 1,
+    // p = 333, r = 500
+    val rows = AnswerScore.overlapNgram(
+      Seq((1L, "w x w w", "w x y")).toDF("id", "c", "r"), "id", "c", "r")
+      .collect().map(r => r.getLong(2) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    assert(rows(1L) === ((4L, 3L, 2L, 500L, 666L)), "clipped unigram count")
+    assert(rows(2L) === ((3L, 2L, 1L, 333L, 500L)), "clipped bigram count")
+  }
+
+  test("overlapNgram: empty and single-token sides hit the zero-gram guards") {
+    val rows = AnswerScore.overlapNgram(
+      Seq((1L, "w", "w"), (2L, "", "w x")).toDF("id", "c", "r"),
+      "id", "c", "r")
+      .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    // single token: order 2 has zero grams on both sides -> all zeros
+    assert(rows((1L, 1L)) === ((1L, 1L, 1L, 1000L, 1000L)))
+    assert(rows((1L, 2L)) === ((0L, 0L, 0L, 0L, 0L)))
+    // empty candidate: 0 totals, guarded millis
+    assert(rows((2L, 1L)) === ((0L, 2L, 0L, 0L, 0L)))
+    assert(rows((2L, 2L)) === ((0L, 1L, 0L, 0L, 0L)))
+  }
+
+  test("overlapNgram: keeps articles and scores surface tokens") {
+    // 'the' is NOT dropped here (overlap scores surface tokens) —
+    // cand 'the cat' vs ref 'the dog': unigram m = 1
+    val r = AnswerScore.overlapNgram(
+      Seq((1L, "the cat", "the dog")).toDF("id", "c", "r"), "id", "c", "r")
+      .collect().filter(_.getLong(2) == 1L).head
+    assert(r.getLong(3) === 2L && r.getLong(5) === 1L)
+  }
+}

@@ -1196,4 +1196,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(pk, "HashAggregate") >= 4,
       s"pass@k must partial-aggregate both levels:\n$pk")
   }
+
+  test("eval_score_em_f1 / _cjk / eval_overlap_ngram: zero-exchange row-local scans") {
+    // answer scoring is the chat-family class: every score is a
+    // projection over one corpus scan — the clipped-intersection walk
+    // is row-local, the join formulation lives only in the DuckDB
+    // twin at oracle scale
+    for (q <- Seq("eval_score_em_f1", "eval_score_em_f1_cjk",
+        "eval_overlap_ngram")) {
+      val p = plan(q)
+      assert(count(p, "Exchange hashpartitioning") == 0,
+        s"$q must not shuffle — scores are row-local:\n$p")
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+      assert(count(p, "Scan parquet") == 1, s"$q is one corpus scan:\n$p")
+    }
+  }
+
+  test("eval_score_then_pass: scored scan feeds pass@k without extra scans or joins") {
+    val p = plan("eval_score_then_pass")
+    assert(count(p, "Scan parquet") == 1,
+      s"the composition must not re-scan the corpus:\n$p")
+    assert(!p.contains("Join"), s"score->pass@k is agg-only:\n$p")
+    assert(count(p, "HashAggregate") >= 4,
+      s"both pass@k levels must stay partial-agged:\n$p")
+  }
+
+  test("judge_kappa_weighted: no self-join; label-grain then metadata-grain exchanges") {
+    // the weighted variant keeps kappa's shape: row-local pair
+    // explode with marginal contributions, (pair x category) and pair
+    // aggs; De is a row-local fold over the collected <= maxCats
+    // array — never a join on the Spark side
+    val p = plan("judge_kappa_weighted")
+    assert(!p.contains("Join"),
+      s"judge_kappa_weighted must not reintroduce the self-join:\n$p")
+    assert(count(p, "Exchange hashpartitioning") <= 4,
+      s"label-grain + metadata-grain exchanges only:\n$p")
+  }
+
+  test("eval_nll_report: one policy-keyed partial-agged exchange") {
+    val p = plan("eval_nll_report")
+    assert(count(p, "Exchange hashpartitioning") == 1 &&
+      count(p, "HashAggregate") >= 2,
+      s"nll report is one partial-agged policy exchange:\n$p")
+    assert(!p.contains("Join"), s"nll report is agg-only:\n$p")
+  }
 }

@@ -92,4 +92,50 @@ class PolicyOptSpec extends SparkSpec {
         x.getAs[Number](4).longValue)).head
     assert(twin === r)
   }
+
+  test("nllReport: malformed log-probs are counted out; mean is an unsigned truncating div") {
+    val df = Seq(
+      ("p", Some(-500L)),  // nll 500
+      ("p", Some(0L)),     // lp = 0 is a valid (certain) token
+      ("p", Some(-1000L)), // tail 1000 (boundary included)
+      ("p", Some(-3500L)), // tail 1000 AND 3000
+      ("p", Some(5L)),     // POSITIVE log-prob: malformed, out
+      ("p", None),         // NULL: malformed, out
+      ("q", Some(7L)))     // a policy with ONLY malformed rows
+      .toDF("policy", "lp")
+    val m = PolicyOpt.nllReport(df, "policy", "lp")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getLong(5), x.getLong(6))).toMap
+    // p: 4 tokens, 2 malformed, sum 0+500+1000+3500 = 5000,
+    // tails 2/1, mean 5000 div 4 = 1250
+    assert(m("p") === ((4L, 2L, 5000L, 2L, 1L, 1250L)))
+    assert(m("q") === ((0L, 1L, 0L, 0L, 0L, 0L)),
+      "all-malformed policy: zero tokens, mean 0, the div-by-zero guard")
+
+    // twin replay (truncToZero's CASE parses on Spark)
+    df.createOrReplaceTempView("nll_fixture")
+    val twin = spark.sql(PolicyOpt.nllReportSql("nll_fixture", "policy", "lp")
+      .replace("//", "div").replace("::BIGINT", ""))
+      .collect().map(x => x.getString(0) ->
+        (x.getAs[Number](1).longValue, x.getAs[Number](2).longValue,
+          x.getAs[Number](3).longValue, x.getAs[Number](4).longValue,
+          x.getAs[Number](5).longValue, x.getAs[Number](6).longValue)).toMap
+    assert(twin === m)
+  }
+
+  test("nllReport: fractional log-probs truncate toward zero on both dialects") {
+    // -999.7 truncates to -999 (toward zero), NOT floor -1000: the
+    // tail boundary must not move between engines
+    val df = Seq(("p", -999.7), ("p", -1000.0)).toDF("policy", "lp")
+    val r = PolicyOpt.nllReport(df, "policy", "lp").collect().head
+    assert(r.getLong(3) === 1999L, "sum 999 + 1000")
+    assert(r.getLong(4) === 1L, "only the exact -1000 reaches the tail")
+    df.createOrReplaceTempView("nll_frac_fixture")
+    val twin = spark.sql(PolicyOpt.nllReportSql("nll_frac_fixture",
+      "policy", "lp")
+      .replace("//", "div").replace("::BIGINT", "")).collect().head
+    assert(twin.getAs[Number](3).longValue === 1999L &&
+      twin.getAs[Number](4).longValue === 1L)
+  }
 }

@@ -199,6 +199,26 @@ class TrajectorySpec extends SparkSpec {
       .contains("NULLS FIRST"))
   }
 
+  test("trajReturns: fractional DOUBLE steps tie under the TRUNCATED sort key on both dialects") {
+    // round-20 ADVICE class: Spark sorts the collected struct by
+    // cast(step AS BIGINT) — 0.5 and 0.9 TIE at 0 and re-rank by
+    // reward, NOT by the raw fractional order. The twins must order
+    // by the same truncated key or the dense renumbering silently
+    // diverges (DuckDB would use raw 0.5 < 0.9).
+    val df = Seq((1L, 0.5, 300L), (1L, 0.9, 100L), (1L, 2.0, 50L))
+      .toDF("traj", "step", "r")
+    val g = Trajectory.trajReturns(df, "traj", "step", "r", gammaMilli = 0)
+      .collect().map(x => x.getLong(1) -> x.getLong(2)).toMap
+    // gamma=0 exposes the order: ties (trunc 0) rank by reward, so
+    // the 0.9-step row (r=100) comes FIRST
+    assert(g === Map(1L -> 100L, 2L -> 300L, 3L -> 50L))
+    // both twins carry the truncToZero(step0) sort key
+    assert(Trajectory.trajReturnsSql("t", "traj", "step", "r")
+      .contains("ORDER BY CAST(CASE WHEN (step0) >= 0"))
+    assert(Trajectory.trajGaeSql("t", "traj", "step", "r", "v")
+      .contains("ORDER BY CAST(CASE WHEN (step0) >= 0"))
+  }
+
   test("trajGae: maxSteps drops oversized episodes whole; twin carries the guard") {
     val df = ((1 to 5).map(s => (1L, s.toLong, 100L, 10L)) ++
       Seq((2L, 1L, 7L, 5L))).toDF("traj", "step", "r", "v")
