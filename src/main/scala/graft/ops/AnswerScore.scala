@@ -93,6 +93,21 @@ object AnswerScore {
     s"list_filter($split, x -> x <> '' AND NOT (x IN $articles))"
   }
 
+  /** CANONICAL normalized answer string (Spark): the token array
+    * re-joined on single spaces — the grouping key majority voting
+    * and any answer-keyed dedup share with [[emF1]]'s EM semantics
+    * (two answers are the same vote iff they exact-match).
+    */
+  def canonSpark(c: String, grain: String): String =
+    s"array_join(${toksSpark(c, grain)}, ' ')"
+
+  /** [[canonSpark]]'s DuckDB twin — `array_to_string([])` is NULL on
+    * DuckDB where Spark joins to `''` (the round-9 BPE-witness
+    * class), so the empty case coalesces explicitly.
+    */
+  def canonDuck(c: String, grain: String): String =
+    s"coalesce(array_to_string(${toksDuck(c, grain)}, ' '), '')"
+
   /** Clipped multiset intersection of two bound token arrays (Spark
     * HOF walk over the distinct prediction tokens).
     */
@@ -191,6 +206,76 @@ object AnswerScore {
        |       ELSE (2 * coalesce(mm.m, 0) * 1000 // (len(b.tp) + len(b.tg)))::BIGINT
        |  END AS f1_milli
        |FROM base b LEFT JOIN mm ON b.qid = mm.qid""".stripMargin
+
+  /** MAJORITY-VOTE answer selection (round 20) — maj@k, the
+    * self-consistency decoding metric of the public math/reasoning
+    * eval recipes (sample k chains, vote on the final answer, score
+    * the MODAL answer against gold): per prompt, the modal
+    * canonicalized answer, its vote count and share, and whether it
+    * matches the canonicalized gold — the third leg of the harness
+    * next to greedy EM ([[emF1]]) and pass@k
+    * ([[PassAtK.passAtK]]).
+    *
+    * Votes are [[canonSpark]] canonical strings (same normalization
+    * as EM, so "The Paris." and "paris" are ONE vote); a NULL answer
+    * canonicalizes to `''` and votes — a missing sample IS a wrong
+    * answer, the [[emF1]] stance, and if the empty answer wins the
+    * vote the prompt scores against gold like any other (an
+    * empty-modal prompt with empty gold is correct — EM semantics).
+    * Ties break DETERMINISTICALLY to the lexicographically GREATER
+    * answer (pure struct max, the [[Sampling.bonSelect]] convention —
+    * probed identical on both engines). `gold` is constant per prompt
+    * by contract and collapses with min() (the policy-collapse
+    * convention).
+    *
+    * Plan shape: two keyed partial-agged exchanges — (prompt, answer)
+    * counts, then the |prompts|-row struct-max vote; the exchange
+    * carries canonical ANSWER strings (answers are short by domain —
+    * this is an answer-space op, not a corpus-text op). Distributive
+    * at both levels (count-sum + struct-max), the complete-mode
+    * streaming family.
+    */
+  def majorityVote(df: DataFrame, prompt: String, answer: String,
+                   gold: String, grain: String = "ws"): DataFrame = {
+    require(grain == "ws" || grain == "cjk-auto",
+      s"grain must be 'ws' or 'cjk-auto', got $grain")
+    graft.functions.VectorFunctions.attach(df)
+      .select(col(prompt).as("prompt_id"),
+        expr(canonSpark(answer, grain)).as("__a"),
+        expr(canonSpark(gold, grain)).as("__g"))
+      .groupBy(col("prompt_id"), col("__a"))
+      .agg(count(lit(1)).as("__c"), min(col("__g")).as("__g"))
+      .groupBy(col("prompt_id"))
+      .agg(sum(col("__c")).as("n_samples"),
+        max(struct(col("__c").as("c"), col("__a").as("a"))).as("__top"),
+        min(col("__g")).as("__gold"))
+      .select(col("prompt_id"), col("n_samples"),
+        col("__top.a").as("top_answer"), col("__top.c").as("top_count"),
+        expr("cast(__top.c * 1000 div n_samples AS BIGINT)").as("top_milli"),
+        expr("cast(IF(__top.a = __gold, 1000, 0) AS BIGINT)")
+          .as("correct_milli"))
+  }
+
+  /** DuckDB twin of [[majorityVote]] (struct_pack max — probed
+    * lexicographic with the VARCHAR tie field, same tie-break).
+    */
+  def majorityVoteSql(table: String, prompt: String, answer: String,
+                      gold: String, grain: String = "ws"): String =
+    s"""WITH cnt AS (
+       |  SELECT prompt_id, a, count(*) AS c, min(g) AS g
+       |  FROM (SELECT $prompt AS prompt_id,
+       |          ${canonDuck(answer, grain)} AS a,
+       |          ${canonDuck(gold, grain)} AS g
+       |        FROM $table)
+       |  GROUP BY 1, 2)
+       |SELECT prompt_id, sum(c)::BIGINT AS n_samples,
+       |  (max(struct_pack(c := c, a := a))).a AS top_answer,
+       |  (max(struct_pack(c := c, a := a))).c::BIGINT AS top_count,
+       |  ((max(struct_pack(c := c, a := a))).c * 1000 // sum(c))::BIGINT
+       |    AS top_milli,
+       |  (CASE WHEN (max(struct_pack(c := c, a := a))).a = min(g)
+       |        THEN 1000 ELSE 0 END)::BIGINT AS correct_milli
+       |FROM cnt GROUP BY prompt_id""".stripMargin
 
   /** Clipped n-gram overlap (round 20) — the ROUGE-N / BLEU-ingredient
     * report: per (candidate, reference) row and order n ∈ {1, 2},

@@ -2513,6 +2513,37 @@ object Queries {
           "doc_id", "pred", "gold")}) t)""".stripMargin,
         "prompt_id", "passed", ks = Seq(1, 3)))),
 
+    // majority vote / maj@k (round 20): per prompt, the modal
+    // CANONICALIZED answer vs gold — classes 0/1 are the same vote
+    // after normalization ('ans N' vs 'The ans N.'), classes 2/3 a
+    // wrong vote, class 4 an empty answer; uneven samples-per-prompt
+    // make 2-2 ties that exercise the lexicographic struct tie-break
+    // cross-engine
+    QueryDef("eval_majority_vote",
+      (s, dir) => graft.ops.AnswerScore.majorityVote(
+        t(s, dir, "documents")
+          .withColumn("prompt", expr("doc_id % 97"))
+          .withColumn("gold", expr("concat('ans ', cast(prompt AS STRING))"))
+          .withColumn("answer", expr(
+            "CASE cast(doc_id % 5 AS INT) " +
+              "WHEN 0 THEN concat('ans ', cast(prompt AS STRING)) " +
+              "WHEN 1 THEN concat('The ans ', cast(prompt AS STRING), '.') " +
+              "WHEN 2 THEN 'nope' " +
+              "WHEN 3 THEN 'nope' " +
+              "ELSE '' END")),
+        "prompt", "answer", "gold"),
+      Some(graft.ops.AnswerScore.majorityVoteSql(
+        """(SELECT doc_id % 97 AS prompt,
+          |  concat('ans ', doc_id % 97) AS gold,
+          |  CASE (doc_id % 5)
+          |    WHEN 0 THEN concat('ans ', doc_id % 97)
+          |    WHEN 1 THEN concat('The ans ', doc_id % 97, '.')
+          |    WHEN 2 THEN 'nope'
+          |    WHEN 3 THEN 'nope'
+          |    ELSE '' END AS answer
+          |FROM documents)""".stripMargin,
+        "prompt", "answer", "gold"))),
+
     // clipped n-gram overlap (round 20): ROUGE-N / BLEU modified
     // precision ingredients per (candidate, reference) and order 1/2 —
     // the candidate REPEATS its first word twice more, so the clipped

@@ -105,6 +105,36 @@ class AnswerScoreSpec extends SparkSpec {
     assert(rows((2L, 2L)) === ((0L, 1L, 0L, 0L, 0L)))
   }
 
+  test("majorityVote: normalization merges votes; modal answer scores against gold") {
+    // prompt 1: 'Paris!' + 'the paris' merge into one 2-vote answer
+    // beating 'london'; prompt 2: wrong modal; prompt 3: the empty
+    // answer wins and gold is non-empty -> wrong
+    val df = Seq(
+      (1L, "Paris!", "paris"), (1L, "the paris", "paris"), (1L, "london", "paris"),
+      (2L, "rome", "madrid"), (2L, "rome", "madrid"), (2L, "madrid", "madrid"),
+      (3L, null, "x"), (3L, "", "x"), (3L, "x", "x"))
+      .toDF("prompt", "answer", "gold")
+    val m = graft.ops.AnswerScore.majorityVote(df, "prompt", "answer", "gold")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(m(1L) === ((3L, "paris", 2L, 666L, 1000L)))
+    assert(m(2L) === ((3L, "rome", 2L, 666L, 0L)))
+    assert(m(3L) === ((3L, "", 2L, 666L, 0L)),
+      "NULL and '' canonicalize to the same empty vote, which wins and misses gold")
+  }
+
+  test("majorityVote: count ties break to the lexicographically greater answer") {
+    val df = Seq(
+      (1L, "alpha", "alpha"), (1L, "beta", "alpha"),
+      (2L, "beta", "beta"), (2L, "alpha", "beta"))
+      .toDF("prompt", "answer", "gold")
+    val m = graft.ops.AnswerScore.majorityVote(df, "prompt", "answer", "gold")
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getLong(5))).toMap
+    assert(m(1L) === (("beta", 0L)), "tie -> greater answer, not gold order")
+    assert(m(2L) === (("beta", 1000L)))
+  }
+
   test("overlapNgram: keeps articles and scores surface tokens") {
     // 'the' is NOT dropped here (overlap scores surface tokens) —
     // cand 'the cat' vs ref 'the dog': unigram m = 1

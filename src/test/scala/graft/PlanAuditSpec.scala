@@ -1233,6 +1233,18 @@ class PlanAuditSpec extends SparkSpec {
       s"label-grain + metadata-grain exchanges only:\n$p")
   }
 
+  test("eval_majority_vote: two keyed partial-agged exchanges, no join, struct-max vote") {
+    val p = plan("eval_majority_vote")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"the vote is a struct agg, not a window or join:\n$p")
+    assert(count(p, "Exchange hashpartitioning") <= 2,
+      s"(prompt, answer) counts then the |prompts|-row vote:\n$p")
+    // struct max plans as SortAggregate (the bonSelect class);
+    // partial-ness at both levels is the pin
+    assert(count(p, "HashAggregate") + count(p, "SortAggregate") >= 4,
+      s"both vote levels must be partial-agged:\n$p")
+  }
+
   test("eval_nll_report: one policy-keyed partial-agged exchange") {
     val p = plan("eval_nll_report")
     assert(count(p, "Exchange hashpartitioning") == 1 &&
