@@ -850,6 +850,52 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming NLL report maintains itself in complete mode; emF1 runs stateless") {
+    // nllReport is one distributive policy agg (the mean division is
+    // a post-agg projection) — the live eval-loss dashboard next to
+    // the KL report. The round-20 siblings pin their stances here by
+    // omission: majorityVote and kappaWeighted CHAIN aggregations
+    // complete mode cannot express (run them on the landed table,
+    // the passAtK convention), and emF1/overlapNgram are stateless
+    // scans — the chat-family class, checked below.
+    implicit val sq = spark.sqlContext
+    val lps = MemoryStream[(String, Long)]
+    val q = graft.ops.PolicyOpt.nllReport(
+      lps.toDF().toDF("policy", "lp"), "policy", "lp")
+      .writeStream.format("memory").queryName("nll_stream")
+      .outputMode("complete").start()
+    try {
+      val b1 = Seq(("p", -500L), ("p", -3500L), ("q", 7L))
+      val b2 = Seq(("p", 5L), ("p", -1000L), ("q", -10L))
+      lps.addData(b1: _*); q.processAllAvailable()
+      lps.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("nll_stream")
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+      val batch = graft.ops.PolicyOpt.nllReport(
+        (b1 ++ b2).toDF("policy", "lp"), "policy", "lp")
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+
+    val answers = MemoryStream[(Long, String, String)]
+    val em = graft.ops.AnswerScore.emF1(
+      answers.toDF().toDF("id", "pred", "gold"), "id", "pred", "gold")
+      .writeStream.format("memory").queryName("em_stream")
+      .outputMode("append").start()
+    try {
+      val rows = Seq((1L, "The Paris!", "paris"), (2L, "x y", "x z"))
+      answers.addData(rows: _*); em.processAllAvailable()
+      val streamed = spark.table("em_stream")
+        .select("qid", "em_milli", "f1_milli")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = graft.ops.AnswerScore.emF1(
+        rows.toDF("id", "pred", "gold"), "id", "pred", "gold")
+        .select("qid", "em_milli", "f1_milli")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally em.stop()
+  }
+
   test("streaming log-quantile sketch: bucket counters maintain themselves as a streaming agg") {
     // Same property as the HLL test for the quantile rung: the bucket
     // agg is distributive, so complete mode converges to the batch
