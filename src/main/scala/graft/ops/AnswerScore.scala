@@ -277,6 +277,85 @@ object AnswerScore {
        |        THEN 1000 ELSE 0 END)::BIGINT AS correct_milli
        |FROM cnt GROUP BY prompt_id""".stripMargin
 
+  /** NUMERIC answer scoring (round 20) — the GSM8K-style scorer: the
+    * LAST number in the generation is the answer (the public
+    * math-eval convention — models reason first and state the result
+    * last), canonicalized into exact integer MILLI and compared to
+    * the gold text's last number within `tolMilli`. This is the
+    * companion to [[emF1]] for numeric tasks, where string EM would
+    * fail `2.50` vs `2.5` and `1,234` vs `1234`.
+    *
+    * Extraction: all matches of `-?[0-9][0-9,]*(\.[0-9]+)?` (both
+    * regex dialects accept the same language), commas stripped,
+    * tokens with more than 15 integer digits REJECTED (they would
+    * overflow 64-bit milli; a 16-digit "answer" in a generation is
+    * garbage, not a number — the row reports not-found), last
+    * survivor wins. Canonicalization: exact DECIMAL(38,12) parse ·
+    * 1000, truncated toward zero through the portable floor/ceil
+    * CASE (DuckDB's bare ::BIGINT rounds half-even — the round-18
+    * ADVICE class; sub-milli precision truncates identically on both
+    * engines, documented). `2.50`, `2.5` and `02.5` all land on 2500
+    * exactly.
+    *
+    * Scoring: both sides found and `|pred − gold| ≤ tolMilli` →
+    * 1000; a missing number on EITHER side scores 0 with the found
+    * flags reporting which (a generation that never states a number
+    * IS wrong; a gold that doesn't parse is a fixture bug made
+    * visible, not a silent skip).
+    *
+    * Zero-exchange row-local scan (the [[emF1]] class) — one regex
+    * pass per side, no HOF heavier than the token filter.
+    */
+  def scoreNumeric(df: DataFrame, id: String, pred: String,
+                   gold: String, tolMilli: Long = 0L): DataFrame = {
+    def lastNum(c: String): String =
+      PortableHash.let1("__m",
+        s"filter(regexp_extract_all(coalesce($c, ''), " +
+          s"'-?[0-9][0-9,]*(\\\\.[0-9]+)?', 0), " +
+          "x -> length(replace(split_part(x, '.', 1), ',', '')) - " +
+          "IF(x LIKE '-%', 1, 0) <= 15)",
+        "IF(size(__m) = 0, CAST(NULL AS STRING), element_at(__m, -1))")
+    def milli(tok: String): String =
+      PortableHash.truncToZero(
+        s"CAST(replace($tok, ',', '') AS DECIMAL(38,12)) * 1000")
+    df.select(col(id).as("qid"),
+      expr(lastNum(pred)).as("__p"), expr(lastNum(gold)).as("__g"))
+      .select(col("qid"),
+        expr(s"cast(IF(__p IS NULL, 0, 1) AS BIGINT)").as("pred_found"),
+        expr(s"cast(IF(__g IS NULL, 0, 1) AS BIGINT)").as("gold_found"),
+        expr(milli("__p")).as("pred_milli"),
+        expr(milli("__g")).as("gold_milli"))
+      .withColumn("correct_milli",
+        expr(s"cast(IF(pred_milli IS NOT NULL AND gold_milli IS NOT NULL " +
+          s"AND abs(pred_milli - gold_milli) <= $tolMilli, 1000, 0) AS BIGINT)"))
+  }
+
+  /** DuckDB twin of [[scoreNumeric]]. */
+  def scoreNumericSql(table: String, id: String, pred: String,
+                      gold: String, tolMilli: Long = 0L): String = {
+    def lastNum(c: String): String =
+      s"""list_filter(regexp_extract_all(coalesce($c, ''),
+         |      '-?[0-9][0-9,]*(\\.[0-9]+)?'),
+         |    x -> length(replace(split_part(x, '.', 1), ',', ''))
+         |      - (CASE WHEN x LIKE '-%' THEN 1 ELSE 0 END) <= 15)[-1]""".stripMargin
+    def milli(tok: String): String =
+      graft.ops.PortableHash.truncToZero(
+        s"CAST(replace($tok, ',', '') AS DECIMAL(38,12)) * 1000")
+    s"""SELECT qid,
+       |  (CASE WHEN p IS NULL THEN 0 ELSE 1 END)::BIGINT AS pred_found,
+       |  (CASE WHEN g IS NULL THEN 0 ELSE 1 END)::BIGINT AS gold_found,
+       |  ${milli("p")} AS pred_milli,
+       |  ${milli("g")} AS gold_milli,
+       |  (CASE WHEN p IS NOT NULL AND g IS NOT NULL
+       |        AND abs(${milli("p")} - ${milli("g")}) <= $tolMilli
+       |        THEN 1000 ELSE 0 END)::BIGINT AS correct_milli
+       |FROM (
+       |  SELECT $id AS qid,
+       |    ${lastNum(pred)} AS p,
+       |    ${lastNum(gold)} AS g
+       |  FROM $table)""".stripMargin
+  }
+
   /** Clipped n-gram overlap (round 20) — the ROUGE-N / BLEU-ingredient
     * report: per (candidate, reference) row and order n ∈ {1, 2},
     * candidate/reference n-gram totals, the CLIPPED match count

@@ -2513,6 +2513,50 @@ object Queries {
           "doc_id", "pred", "gold")}) t)""".stripMargin,
         "prompt_id", "passed", ks = Seq(1, 3)))),
 
+    // numeric answer scoring (round 20): last-number extraction +
+    // exact-milli comparison — classes per doc_id % 7: plain match,
+    // comma format (1,234 vs 1234), decimal canonicalization (N.50 vs
+    // N.5), negative, off-by-one (wrong), numberless generation
+    // (pred_found 0), and multi-number reasoning where the LAST
+    // number is the answer
+    QueryDef("eval_score_numeric",
+      (s, dir) => graft.ops.AnswerScore.scoreNumeric(
+        t(s, dir, "documents")
+          .withColumn("__n", expr("cast(doc_id % 50 AS STRING)"))
+          .withColumn("pred", expr(
+            "CASE cast(doc_id % 7 AS INT) " +
+              "WHEN 0 THEN concat('the answer is ', __n) " +
+              "WHEN 1 THEN 'total of 1,234 items' " +
+              "WHEN 2 THEN concat('exactly ', __n, '.50') " +
+              "WHEN 3 THEN concat('result -', __n) " +
+              "WHEN 4 THEN concat('got ', cast(doc_id % 50 + 1 AS STRING)) " +
+              "WHEN 5 THEN 'no number stated' " +
+              "ELSE concat('first 10 then ', __n) END"))
+          .withColumn("gold", expr(
+            "CASE cast(doc_id % 7 AS INT) " +
+              "WHEN 1 THEN '1234' " +
+              "WHEN 2 THEN concat(__n, '.5') " +
+              "WHEN 3 THEN concat('-', __n) " +
+              "ELSE __n END")),
+        "doc_id", "pred", "gold"),
+      Some(graft.ops.AnswerScore.scoreNumericSql(
+        """(SELECT doc_id,
+          |  CASE (doc_id % 7)
+          |    WHEN 0 THEN concat('the answer is ', (doc_id % 50)::VARCHAR)
+          |    WHEN 1 THEN 'total of 1,234 items'
+          |    WHEN 2 THEN concat('exactly ', (doc_id % 50)::VARCHAR, '.50')
+          |    WHEN 3 THEN concat('result -', (doc_id % 50)::VARCHAR)
+          |    WHEN 4 THEN concat('got ', (doc_id % 50 + 1)::VARCHAR)
+          |    WHEN 5 THEN 'no number stated'
+          |    ELSE concat('first 10 then ', (doc_id % 50)::VARCHAR) END AS pred,
+          |  CASE (doc_id % 7)
+          |    WHEN 1 THEN '1234'
+          |    WHEN 2 THEN concat((doc_id % 50)::VARCHAR, '.5')
+          |    WHEN 3 THEN concat('-', (doc_id % 50)::VARCHAR)
+          |    ELSE (doc_id % 50)::VARCHAR END AS gold
+          |FROM documents)""".stripMargin,
+        "doc_id", "pred", "gold"))),
+
     // majority vote / maj@k (round 20): per prompt, the modal
     // CANONICALIZED answer vs gold — classes 0/1 are the same vote
     // after normalization ('ans N' vs 'The ans N.'), classes 2/3 a

@@ -105,6 +105,36 @@ class AnswerScoreSpec extends SparkSpec {
     assert(rows((2L, 2L)) === ((0L, 1L, 0L, 0L, 0L)))
   }
 
+  test("scoreNumeric: last number wins; commas, decimals and signs canonicalize to exact milli") {
+    def one(pred: String, gold: String): (Long, Long, Any, Any, Long) = {
+      val r = graft.ops.AnswerScore.scoreNumeric(
+        Seq((1L, pred, gold)).toDF("id", "p", "g"), "id", "p", "g")
+        .collect().head
+      (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4), r.getLong(5))
+    }
+    assert(one("I think 5 plus 3... the answer is 8", "8") ===
+      ((1L, 1L, 8000L, 8000L, 1000L)), "LAST number is the answer")
+    assert(one("total 1,234", "1234") === ((1L, 1L, 1234000L, 1234000L, 1000L)))
+    assert(one("exactly 2.50", "2.5") === ((1L, 1L, 2500L, 2500L, 1000L)))
+    assert(one("result -7", "-7") === ((1L, 1L, -7000L, -7000L, 1000L)))
+    assert(one("got 41", "42") === ((1L, 1L, 41000L, 42000L, 0L)))
+    assert(one("no number", "42") === ((0L, 1L, null, 42000L, 0L)))
+    // sub-milli truncation is toward zero on both engines
+    assert(one("0.3333333", "0.333")._3 === 333L)
+    assert(one("-0.3333333", "x -0.333 y")._5 === 1000L,
+      "-333.3 truncates to -333 on both sides")
+    // a 16+ digit 'number' is rejected, falling back to not-found
+    assert(one("id 12345678901234567890 end", "42") ===
+      ((0L, 1L, null, 42000L, 0L)))
+    // tolerance window
+    val tol = graft.ops.AnswerScore.scoreNumeric(
+      Seq((1L, "3.1415", "3.14")).toDF("id", "p", "g"),
+      "id", "p", "g", tolMilli = 2L).collect().head
+    assert(tol.getLong(5) === 1000L, "|3141 - 3140| = 1 <= 2")
+  }
+
   test("majorityVote: normalization merges votes; modal answer scores against gold") {
     // prompt 1: 'Paris!' + 'the paris' merge into one 2-vote answer
     // beating 'london'; prompt 2: wrong modal; prompt 3: the empty
