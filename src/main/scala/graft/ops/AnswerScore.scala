@@ -277,6 +277,118 @@ object AnswerScore {
        |        THEN 1000 ELSE 0 END)::BIGINT AS correct_milli
        |FROM cnt GROUP BY prompt_id""".stripMargin
 
+  /** CHARACTER n-gram overlap (round 20) — the chrF ingredients
+    * (Popović 2015, the standard MT/generation metric that survives
+    * morphology and tokenizer mismatches word overlap chokes on): per
+    * (candidate, reference) row and order n (default the chrF
+    * convention's 3 and its ceiling 6), clipped char-n-gram match
+    * counts and precision/recall in milli. Whitespace is REMOVED
+    * before gramming (the chrF convention — spaces carry no content
+    * signal); case is preserved (chrF is case-sensitive by default).
+    * No F-beta here — the integer convention: the consumer composes
+    * chrF's harmonic mean in float land from these exact counts.
+    *
+    * Same row-local/zero-exchange class and `maxChars` whole-row drop
+    * as [[overlapNgram]] (the clipped walk is
+    * O(distinct·(|cand|+|ref|)) per order — bounded by the guard;
+    * answers and MT segments are short by domain). Sides shorter than
+    * n report 0 grams and guarded-0 millis.
+    */
+  def charGramOverlap(df: DataFrame, id: String, cand: String, ref: String,
+                      ns: Seq[Int] = Seq(3, 6),
+                      maxChars: Int = 2000): DataFrame = {
+    require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 12),
+      s"ns must be in [1, 12], got $ns")
+    def stripped(c: String): String =
+      s"regexp_replace(coalesce($c, ''), '[ \\\\t\\\\n\\\\r]', '')"
+    def grams(s: String, n: Int): String =
+      s"IF(length($s) < $n, array(), " +
+        s"transform(sequence(1, length($s) - ${n - 1}), " +
+        s"i -> substring($s, cast(i AS INT), $n)))"
+    val items = ns.map { n =>
+      PortableHash.let1("__cg", grams("__c", n),
+        PortableHash.let1("__rg", grams("__r", n),
+          s"named_struct('n_order', cast($n AS BIGINT), " +
+            s"'nc', cast(size(__cg) AS BIGINT), " +
+            s"'ng', cast(size(__rg) AS BIGINT), " +
+            s"'m', ${clipSpark("__cg", "__rg")})"))
+    }.mkString("array(", ", ", ")")
+    val stats = PortableHash.let1("__c", stripped(cand),
+      PortableHash.let1("__r", stripped(ref), items))
+    // oversized is derived from the head-order gram counts (len =
+    // nc + n − 1 once len ≥ n, and len < n can never exceed maxChars)
+    // so the stripped strings are never re-evaluated outside __a
+    val over = s"(__a[0].nc + ${ns.head - 1} > $maxChars OR " +
+      s"__a[0].ng + ${ns.head - 1} > $maxChars)"
+    df.select(col(id).as("qid"), expr(stats).as("__a"))
+      .select(col("qid"),
+        expr(s"cast(IF($over, 1, 0) AS BIGINT)").as("oversized"),
+        explode(expr(s"IF($over, array(__a[0]), __a)")).as("r"))
+      .select(col("qid"), col("oversized"), col("r.n_order").as("n_order"),
+        expr("IF(oversized = 1, cast(NULL AS BIGINT), r.nc)").as("n_cand"),
+        expr("IF(oversized = 1, cast(NULL AS BIGINT), r.ng)").as("n_ref"),
+        expr("IF(oversized = 1, cast(NULL AS BIGINT), r.m)").as("n_clip"),
+        expr("IF(oversized = 1, cast(NULL AS BIGINT), " +
+          "IF(r.nc = 0, 0, cast(r.m * 1000 div r.nc AS BIGINT)))").as("p_milli"),
+        expr("IF(oversized = 1, cast(NULL AS BIGINT), " +
+          "IF(r.ng = 0, 0, cast(r.m * 1000 div r.ng AS BIGINT)))").as("r_milli"))
+  }
+
+  /** DuckDB twin of [[charGramOverlap]] — the [[overlapNgramSql]]
+    * unnest+join shape with substr grams, one branch per order.
+    */
+  def charGramOverlapSql(table: String, id: String, cand: String,
+                         ref: String, ns: Seq[Int] = Seq(3, 6),
+                         maxChars: Int = 2000): String = {
+    def stripped(c: String): String =
+      s"regexp_replace(coalesce($c, ''), '[ \\t\\n\\r]', '', 'g')"
+    def grams(s: String, n: Int): String =
+      s"CASE WHEN length($s) < $n THEN [] ELSE list_transform(" +
+        s"generate_series(1, length($s) - ${n - 1}), " +
+        s"i -> substr($s, i, $n)) END"
+    val branches = ns.map { n =>
+      s"""  SELECT qid, CAST($n AS BIGINT) AS n_order,
+         |    len(${grams("c", n)})::BIGINT AS nc,
+         |    len(${grams("r", n)})::BIGINT AS ng,
+         |    ${grams("c", n)} AS gc, ${grams("r", n)} AS gg
+         |  FROM base WHERE NOT oversized""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT $id AS qid, ${stripped(cand)} AS c, ${stripped(ref)} AS r,
+       |    (length(${stripped(cand)}) > $maxChars
+       |      OR length(${stripped(ref)}) > $maxChars) AS oversized
+       |  FROM $table),
+       |orders AS (
+       |$branches),
+       |cc AS (
+       |  SELECT qid, n_order, g, count(*) AS c
+       |  FROM (SELECT qid, n_order, unnest(gc) AS g FROM orders)
+       |  GROUP BY 1, 2, 3),
+       |gc2 AS (
+       |  SELECT qid, n_order, g, count(*) AS c
+       |  FROM (SELECT qid, n_order, unnest(gg) AS g FROM orders)
+       |  GROUP BY 1, 2, 3),
+       |mm AS (
+       |  SELECT cc.qid, cc.n_order, sum(least(cc.c, gc2.c))::BIGINT AS m
+       |  FROM cc JOIN gc2 ON cc.qid = gc2.qid AND cc.n_order = gc2.n_order
+       |    AND cc.g = gc2.g
+       |  GROUP BY 1, 2)
+       |SELECT o.qid, 0::BIGINT AS oversized, o.n_order,
+       |  o.nc AS n_cand, o.ng AS n_ref,
+       |  coalesce(mm.m, 0)::BIGINT AS n_clip,
+       |  (CASE WHEN o.nc = 0 THEN 0
+       |        ELSE coalesce(mm.m, 0) * 1000 // o.nc END)::BIGINT AS p_milli,
+       |  (CASE WHEN o.ng = 0 THEN 0
+       |        ELSE coalesce(mm.m, 0) * 1000 // o.ng END)::BIGINT AS r_milli
+       |FROM orders o LEFT JOIN mm ON o.qid = mm.qid AND o.n_order = mm.n_order
+       |UNION ALL
+       |SELECT qid, 1::BIGINT AS oversized, ${ns.head}::BIGINT AS n_order,
+       |  NULL::BIGINT AS n_cand, NULL::BIGINT AS n_ref,
+       |  NULL::BIGINT AS n_clip, NULL::BIGINT AS p_milli,
+       |  NULL::BIGINT AS r_milli
+       |FROM base WHERE oversized""".stripMargin
+  }
+
   /** NUMERIC answer scoring (round 20) — the GSM8K-style scorer: the
     * LAST number in the generation is the answer (the public
     * math-eval convention — models reason first and state the result

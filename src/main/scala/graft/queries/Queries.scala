@@ -2617,6 +2617,38 @@ object Queries {
           |  FROM documents))""".stripMargin,
         "doc_id", "cand", "ref"))),
 
+    // character n-gram overlap / chrF ingredients (round 20): clipped
+    // char-3/6-gram counts over whitespace-stripped text — classes
+    // per doc_id % 4: exact prefix (precision 1000), one-char
+    // substitution (locally broken grams), half-swap (scrambled order
+    // with identical char mass — NOT reverse(): Spark reverses code
+    // points where DuckDB reverses grapheme clusters, a real engine
+    // divergence the sweep's Burmese combining-mark row caught),
+    // empty candidate (zero-gram guard); zh rows exercise
+    // character-based gramming
+    QueryDef("eval_overlap_chargram",
+      (s, dir) => graft.ops.AnswerScore.charGramOverlap(
+        t(s, dir, "documents")
+          .withColumn("ref", expr("substring(text, 1, 80)"))
+          .withColumn("cand", expr(
+            "CASE cast(doc_id % 4 AS INT) " +
+              "WHEN 0 THEN substring(text, 1, 60) " +
+              "WHEN 1 THEN concat(substring(text, 1, 30), 'Q', " +
+              "substring(text, 32, 29)) " +
+              "WHEN 2 THEN concat(substring(text, 31, 30), " +
+              "substring(text, 1, 30)) " +
+              "ELSE '' END")),
+        "doc_id", "cand", "ref"),
+      Some(graft.ops.AnswerScore.charGramOverlapSql(
+        """(SELECT doc_id, substr(text, 1, 80) AS ref,
+          |  CASE (doc_id % 4)
+          |    WHEN 0 THEN substr(text, 1, 60)
+          |    WHEN 1 THEN concat(substr(text, 1, 30), 'Q', substr(text, 32, 29))
+          |    WHEN 2 THEN concat(substr(text, 31, 30), substr(text, 1, 30))
+          |    ELSE '' END AS cand
+          |FROM documents)""".stripMargin,
+        "doc_id", "cand", "ref"))),
+
     // per-token NLL report (round 20): the eval-loss twin of the KL
     // drift report — per policy, in-domain token count, signed-free
     // NLL sum, mean via unsigned truncating division, 1000/3000

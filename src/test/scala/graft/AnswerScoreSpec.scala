@@ -165,6 +165,32 @@ class AnswerScoreSpec extends SparkSpec {
     assert(m(2L) === (("beta", 1000L)))
   }
 
+  test("charGramOverlap: whitespace-stripped char grams, clipped, both orders") {
+    // 'ab cd ef' strips to 'abcdef' (6 chars): 3-grams abc bcd cde
+    // def (4), 6-grams abcdef (1). cand 'abcdXf' shares abc bcd only
+    // -> clip 2 at n=3, 0 at n=6
+    val rows = graft.ops.AnswerScore.charGramOverlap(
+      Seq((1L, "ab cdXf", "ab cd ef")).toDF("id", "c", "r"), "id", "c", "r")
+      .collect().map(r => r.getLong(2) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    assert(rows(3L) === ((4L, 4L, 2L, 500L, 500L)))
+    assert(rows(6L) === ((1L, 1L, 0L, 0L, 0L)))
+    // repeated grams clip: 'aaaa' has 3-grams {aaa, aaa}; vs ref
+    // 'aaa' (one aaa) -> clip 1 of 2
+    val rep = graft.ops.AnswerScore.charGramOverlap(
+      Seq((1L, "aaaa", "aaa")).toDF("id", "c", "r"), "id", "c", "r",
+      ns = Seq(3))
+      .collect().head
+    assert(rep.getLong(3) === 2L && rep.getLong(5) === 1L &&
+      rep.getLong(6) === 500L)
+    // sides shorter than n: zero grams, guarded millis
+    val short = graft.ops.AnswerScore.charGramOverlap(
+      Seq((1L, "ab", "abcd")).toDF("id", "c", "r"), "id", "c", "r",
+      ns = Seq(3)).collect().head
+    assert(short.getLong(3) === 0L && short.getLong(6) === 0L)
+  }
+
   test("overlapNgram: keeps articles and scores surface tokens") {
     // 'the' is NOT dropped here (overlap scores surface tokens) —
     // cand 'the cat' vs ref 'the dog': unigram m = 1

@@ -1203,7 +1203,8 @@ class PlanAuditSpec extends SparkSpec {
     // is row-local, the join formulation lives only in the DuckDB
     // twin at oracle scale
     for (q <- Seq("eval_score_em_f1", "eval_score_em_f1_cjk",
-        "eval_overlap_ngram", "eval_score_numeric")) {
+        "eval_overlap_ngram", "eval_score_numeric",
+        "eval_overlap_chargram")) {
       val p = plan(q)
       assert(count(p, "Exchange hashpartitioning") == 0,
         s"$q must not shuffle — scores are row-local:\n$p")
