@@ -63,14 +63,22 @@ object AnswerScore {
 
   private val articles = "('a','an','the')"
 
-  /** Normalized text, Spark dialect: lower → punct delete → ws→space. */
+  /** Normalized text, Spark dialect: ASCII-lower → punct delete →
+    * ws→space. The case fold is the PORTABLE ASCII translate
+    * ([[PortableHash.asciiLower]]), NOT full `lower()` — Java's
+    * final-sigma SpecialCasing and İ→i+U+0307 mapping genuinely
+    * diverge from DuckDB's per-codepoint utf8proc fold (probed round
+    * 20; the graft_normalize convention). Non-ASCII case is left
+    * unfolded on BOTH engines — `Élysée` vs `élysée` is an EM miss by
+    * documented design, not an engine accident.
+    */
   private def normSpark(c: String): String =
-    s"regexp_replace(regexp_replace(lower(coalesce($c, '')), " +
+    s"regexp_replace(regexp_replace(${PortableHash.asciiLower(s"coalesce($c, '')")}, " +
       s"'$punctSpark', ''), '[\\\\t\\\\n\\\\r]', ' ')"
 
-  /** Normalized text, DuckDB dialect. */
+  /** Normalized text, DuckDB dialect (same ASCII fold). */
   private def normDuck(c: String): String =
-    s"regexp_replace(regexp_replace(lower(coalesce($c, '')), " +
+    s"regexp_replace(regexp_replace(${PortableHash.asciiLower(s"coalesce($c, '')")}, " +
       s"'$punctDuck', '', 'g'), '[\\t\\n\\r]', ' ', 'g')"
 
   /** SQuAD token array, Spark: grain-routed split, empties and

@@ -815,8 +815,13 @@ object Chat {
     */
   def refusalReport(df: DataFrame, id: String, conv: String): DataFrame =
     assistantTurns(df, id, conv)
+      // the ASCII fold, not full lower(): the stem table is pure
+      // ASCII, and Java-vs-utf8proc lowercase genuinely diverges on
+      // final-sigma/İ content (İ → i+U+0307 on Spark, bare i on
+      // DuckDB — which also shifts the prefix window; probed r20)
       .withColumn("__lp", expr(
-        s"substring(lower(content), 1, $refusalPrefixChars)"))
+        s"substring(${graft.ops.PortableHash.asciiLower("content")}, " +
+          s"1, $refusalPrefixChars)"))
       .withColumn("__f", expr(refusalFlag("__lp")))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_assistant_turns"),
@@ -838,7 +843,7 @@ object Chat {
        |    AS first_refusal_turn
        |FROM (
        |  SELECT $id, turn_idx,
-       |    ${refusalFlag(s"substring(lower(content), 1, $refusalPrefixChars)")} AS f
+       |    ${refusalFlag(s"substring(${graft.ops.PortableHash.asciiLower("content")}, 1, $refusalPrefixChars)")} AS f
        |  FROM (${assistantTurnsSql(table, id, conv)}))
        |GROUP BY $id""".stripMargin
 

@@ -72,6 +72,23 @@ object PortableHash {
   def truncToZero(x: String): String =
     s"CAST(CASE WHEN ($x) >= 0 THEN floor($x) ELSE ceil($x) END AS BIGINT)"
 
+  /** ORACLE-PORTABLE ASCII-only lowercase (round 20) — the same
+    * `translate` call parses and evaluates identically on both
+    * engines, unlike full-Unicode `lower()`, which REALLY diverges:
+    * Java (Spark) applies the SpecialCasing final-sigma rule
+    * (`ΑΒΓΣ` → `αβγς`) where utf8proc (DuckDB) folds per-codepoint
+    * (`αβγσ`), and Java lowers `İ` to `i`+U+0307 (two codepoints)
+    * where DuckDB yields bare `i` — both probed this round. This is
+    * the [[graft.functions.HashOps.normalizeText]] ASCII-fold stance
+    * as a declarative fragment; non-ASCII case is deliberately left
+    * untouched (a documented no-fold, not a divergence). Use this in
+    * any HASHED column that lowercases text; full `lower()` is fine
+    * only in fixtures that never feed Greek/dotted-I content.
+    */
+  def asciiLower(x: String): String =
+    s"translate($x, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', " +
+      "'abcdefghijklmnopqrstuvwxyz')"
+
   /** ROLLING token hash (round 14) — pure integer recurrence over the
     * token's CODEPOINTS, `h = fold(7, cp -> (h*31 + cp) % P)`, no md5.
     * This is the FINGERPRINT-DOMAIN hash of the winnow/containment

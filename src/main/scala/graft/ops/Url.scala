@@ -110,6 +110,10 @@ object Url {
     val noFrag = s"regexp_replace($u, '#.*$$', '')"
     val host = s"regexp_extract($noFrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)"
     val rest = s"regexp_replace($noFrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+', '')"
+    // full lower() is safe here by DOMAIN: hosts are ASCII/punycode
+    // (RFC 1035 LDH); a raw-unicode IDN host containing Σ/İ would hit
+    // the Java-vs-utf8proc lowercase divergence (round-20 probe) —
+    // punycode-encode upstream if that domain ever matters
     val canonHost = s"regexp_replace(lower($host), '^www${d.dot}', '')"
     val path = s"regexp_replace(regexp_extract($rest, '^([^?]*)', 1), '/+$$', '')"
     val query = s"regexp_extract($rest, '${d.esc}?(.*)$$', 1)"

@@ -256,9 +256,9 @@ object Queries {
     */
   private val han26: String = "的一是不了人我在有他这为之大来以个中上们到说国和地也"
   private val zhFixtureSpark: String =
-    s"IF(doc_id % 3 = 0, replace(translate(lower(text), 'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', ''), text)"
+    s"IF(doc_id % 3 = 0, replace(translate(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', ''), text)"
   private val zhFixtureDuck: String =
-    s"CASE WHEN doc_id % 3 = 0 THEN replace(translate(lower(text), 'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', '') ELSE text END"
+    s"CASE WHEN doc_id % 3 = 0 THEN replace(translate(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', '') ELSE text END"
 
   /** Planted phrase for the cjk-dict FMM queries: 2/3/4-codepoint
     * lexicon words plus single-char connectives that must fall back to
@@ -272,10 +272,10 @@ object Queries {
     * oracle's FMM cursor recursion a triviality.
     */
   private val zhDictFixtureSpark: String =
-    s"IF(doc_id % 3 = 0, concat(replace(translate(lower(substring(text, 1, 120)), " +
+    s"IF(doc_id % 3 = 0, concat(replace(translate(translate(substring(text, 1, 120), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), " +
       s"'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', ''), '$zhDictPlant'), text)"
   private val zhDictFixtureDuck: String =
-    s"CASE WHEN doc_id % 3 = 0 THEN replace(translate(lower(substr(text, 1, 120)), " +
+    s"CASE WHEN doc_id % 3 = 0 THEN replace(translate(translate(substr(text, 1, 120), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), " +
       s"'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', '') || '$zhDictPlant' ELSE text END"
 
   /** th fixture (round 15): every 3rd doc re-rendered as unsegmented
@@ -288,10 +288,10 @@ object Queries {
   private val thDictPlant: String =
     "ประเทศไทยมีภาษาไทยและอาหารอร่อยมากเราชอบกินข้าวและว่ายน้ำ"
   private val thDictFixtureSpark: String =
-    s"IF(doc_id % 3 = 0, concat(replace(translate(lower(substring(text, 1, 120)), " +
+    s"IF(doc_id % 3 = 0, concat(replace(translate(translate(substring(text, 1, 120), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), " +
       s"'abcdefghijklmnopqrstuvwxyz', '$th26'), ' ', ''), '$thDictPlant'), text)"
   private val thDictFixtureDuck: String =
-    s"CASE WHEN doc_id % 3 = 0 THEN replace(translate(lower(substr(text, 1, 120)), " +
+    s"CASE WHEN doc_id % 3 = 0 THEN replace(translate(translate(substr(text, 1, 120), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), " +
       s"'abcdefghijklmnopqrstuvwxyz', '$th26'), ' ', '') || '$thDictPlant' ELSE text END"
 
   /** Chat-conversation fixture (round 16): each doc rendered as a
@@ -3943,13 +3943,13 @@ object Queries {
     QueryDef("text_bm25_topk_cjkdict",
       (s, dir) => TextAnalysis.bm25TopK(
         t(s, dir, "documents").withColumn("text", expr(
-          s"IF(doc_id % 3 = 0, concat(replace(translate(lower(substring(text, 1, 120)), " +
+          s"IF(doc_id % 3 = 0, concat(replace(translate(translate(substring(text, 1, 120), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), " +
             s"'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', ''), '$zhDictPlant'), text)")),
         "doc_id", "text", terms = Seq("我们", "人工智能", "图书馆"), k = 25,
         wordGrain = "cjk-dict"),
       Some(TextAnalysis.bm25TopKSql(
         s"(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN " +
-          s"replace(translate(lower(substr(text, 1, 120)), " +
+          s"replace(translate(translate(substr(text, 1, 120), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), " +
           s"'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', '') || '$zhDictPlant' " +
           s"ELSE text END AS text FROM documents)",
         "doc_id", "text", terms = Seq("我们", "人工智能", "图书馆"), k = 25,
@@ -3988,12 +3988,12 @@ object Queries {
     QueryDef("text_tfidf_keywords_cjkdict",
       (s, dir) => TextAnalysis.tfidfKeywords(
         t(s, dir, "documents").withColumn("text", expr(
-          s"IF(doc_id % 3 = 0, concat(replace(translate(lower(substring(text, 1, 120)), " +
+          s"IF(doc_id % 3 = 0, concat(replace(translate(translate(substring(text, 1, 120), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), " +
             s"'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', ''), '$zhDictPlant'), text)")),
         "doc_id", "text", k = 3, wordGrain = "cjk-dict"),
       Some(TextAnalysis.tfidfKeywordsSql(
         s"(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN " +
-          s"replace(translate(lower(substr(text, 1, 120)), " +
+          s"replace(translate(translate(substr(text, 1, 120), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), " +
           s"'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', '') || '$zhDictPlant' " +
           s"ELSE text END AS text FROM documents)",
         "doc_id", "text", k = 3, wordGrain = "cjk-dict"))),
@@ -4176,14 +4176,14 @@ object Queries {
       (s, dir) => TextAnalysis.sentences(
         t(s, dir, "documents").withColumn("text", expr(
           s"IF(doc_id % 3 = 0, " +
-            s"concat(replace(translate(lower(text) || '. planted tail! second one? third.', " +
+            s"concat(replace(translate(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') || '. planted tail! second one? third.', " +
             s"'abcdefghijklmnopqrstuvwxyz.!?', '$han26。！？'), ' ', ''), " +
             s"'「中文句子。」结尾带省略号…完'), " +
             s"text || '. Planted tail!  Second one? Third.')")),
         "doc_id", "text"),
       Some(TextAnalysis.sentencesSql(
         s"""(SELECT doc_id, CASE WHEN doc_id % 3 = 0
-           | THEN replace(translate(lower(text) || '. planted tail! second one? third.',
+           | THEN replace(translate(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') || '. planted tail! second one? third.',
            |   'abcdefghijklmnopqrstuvwxyz.!?', '$han26。！？'), ' ', '')
            |   || '「中文句子。」结尾带省略号…完'
            | ELSE text || '. Planted tail!  Second one? Third.' END AS text
@@ -4213,14 +4213,14 @@ object Queries {
       (s, dir) => TextAnalysis.chunkBySentences(
         t(s, dir, "documents").withColumn("text", expr(
           s"IF(doc_id % 3 = 0, " +
-            s"concat(replace(translate(lower(text) || '. planted tail! second one? third.', " +
+            s"concat(replace(translate(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') || '. planted tail! second one? third.', " +
             s"'abcdefghijklmnopqrstuvwxyz.!?', '$han26。！？'), ' ', ''), " +
             s"'「中文句子。」结尾带省略号…完'), " +
             s"text || '. Planted tail!  Second one? Third.')")),
         "doc_id", "text", size = 16, grain = "cjk-auto"),
       Some(TextAnalysis.chunkBySentencesSql(
         s"""(SELECT doc_id, CASE WHEN doc_id % 3 = 0
-           | THEN replace(translate(lower(text) || '. planted tail! second one? third.',
+           | THEN replace(translate(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') || '. planted tail! second one? third.',
            |   'abcdefghijklmnopqrstuvwxyz.!?', '$han26。！？'), ' ', '')
            |   || '「中文句子。」结尾带省略号…完'
            | ELSE text || '. Planted tail!  Second one? Third.' END AS text
@@ -4303,13 +4303,13 @@ object Queries {
       (s, dir) => Dedup.dedupSentences(
         t(s, dir, "documents").withColumn("text", expr(
           s"IF(doc_id % 3 = 0, " +
-            s"concat(replace(translate(lower(text), 'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', ''), " +
+            s"concat(replace(translate(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', ''), " +
             s"'。请关注我们的公众号。'), " +
             s"concat(text, '. Subscribe to our newsletter today!'))")),
         "doc_id", "text", maxFreq = 10),
       Some(Dedup.dedupSentencesSql(
         s"(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN " +
-          s"replace(translate(lower(text), 'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', '') " +
+          s"replace(translate(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', '') " +
           s"|| '。请关注我们的公众号。' " +
           s"ELSE text || '. Subscribe to our newsletter today!' END AS text FROM documents)",
         "doc_id", "text", maxFreq = 10))),
@@ -4758,12 +4758,12 @@ object Queries {
     QueryDef("text_vocab_cjkdict",
       (s, dir) => TextAnalysis.vocabulary(
         t(s, dir, "documents").withColumn("text", expr(
-          s"IF(doc_id % 3 = 0, concat(replace(translate(lower(substring(text, 1, 120)), " +
+          s"IF(doc_id % 3 = 0, concat(replace(translate(translate(substring(text, 1, 120), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), " +
             s"'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', ''), '$zhDictPlant'), text)")),
         "text", topV = 100, wordGrain = "cjk-dict"),
       Some(TextAnalysis.vocabularySql(
         s"(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN " +
-          s"replace(translate(lower(substr(text, 1, 120)), " +
+          s"replace(translate(translate(substr(text, 1, 120), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), " +
           s"'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', '') || '$zhDictPlant' " +
           s"ELSE text END AS text FROM documents)",
         "text", topV = 100, wordGrain = "cjk-dict"))),

@@ -63,7 +63,13 @@ for i in range(10):
     add(base, "zh"); add(base + "附加尾部", "zh")
 for t in ["", " ", "  ", "x", "one two", "。", "…", "！！！", zwsp, emoji,
           "我们的朋友在中国学习中文。"
-          "他们喜欢人工智能！", "ab" * 500]:
+          "他们喜欢人工智能！", "ab" * 500,
+          # round-20 lowercase-divergence classes: Greek FINAL SIGMA
+          # (Java lowers trailing Σ to ς, utf8proc to σ) and Turkish
+          # dotted İ (Java -> i+U+0307, DuckDB -> bare i) — any hashed
+          # column that full-lower()s text diverges on these rows
+          "ΑΒΓΣ ΚΑΛΟΣ ΟΣ", "İstanbul İ BIG İŞ deal",
+          "ΜΥΘΟΣ the end Σ"]:
     add(t, "edge")
 con = duckdb.connect()
 con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT)")
