@@ -790,6 +790,31 @@ object Queries {
           |      FROM documents))""".stripMargin,
         "doc_id", "judge", "score"))),
 
+    // rank concordance (round 20): Kendall-tau ingredient counts over
+    // the same ordinal panel — the j0/j1 near-miss pair is strongly
+    // concordant (ranking survives the +1 calibration offset that
+    // hurts kappa), j2 scatters; ties on each axis and both planted
+    // by the %5 residue collisions
+    QueryDef("judge_rank_concordance",
+      (s, dir) => graft.ops.Judge.rankConcordance(
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(expr("sequence(0, 2)")).as("j"))
+          .select(col("doc_id"), expr("concat('j', j)").as("judge"),
+            expr("CASE j WHEN 0 THEN doc_id % 5 " +
+              "WHEN 1 THEN IF(doc_id % 2 = 0, doc_id % 5, " +
+              "least(doc_id % 5 + 1, 4)) " +
+              "ELSE (doc_id * 3 + 1) % 5 END").as("score")),
+        "doc_id", "judge", "score"),
+      Some(graft.ops.Judge.rankConcordanceSql(
+        """(SELECT doc_id, 'j' || j AS judge,
+          |  CASE j WHEN 0 THEN doc_id % 5
+          |    WHEN 1 THEN (CASE WHEN doc_id % 2 = 0 THEN doc_id % 5
+          |                 ELSE least(doc_id % 5 + 1, 4) END)
+          |    ELSE (doc_id * 3 + 1) % 5 END AS score
+          |FROM (SELECT doc_id, unnest(generate_series(0, 2)) AS j
+          |      FROM documents))""".stripMargin,
+        "doc_id", "judge", "score"))),
+
     // ================= relational core (scan/filter/agg/join/window) ====
 
     QueryDef("q1_agg",

@@ -91,6 +91,9 @@ object ProbeRound20 {
         time("judge_kappa_weighted x 20M labels (2M items x 10 judges)")(
           run(graft.ops.Judge.kappaWeighted(
             labels, "item", "judge", "score")))
+        time("judge_rank_concordance x 20M labels")(
+          run(graft.ops.Judge.rankConcordance(
+            labels, "item", "judge", "score")))
       }
       if (on("nll")) {
         val lps = spark.read.parquet(s"$dir/events.parquet")

@@ -524,6 +524,50 @@ class JudgeSpec extends SparkSpec {
       "twin score cast must route through truncToZero")
   }
 
+  test("rankConcordance: hand-computed C/D/tie counts; partition invariant holds") {
+    // a = [1,2,3,4], b = [1,3,2,4]: 6 pairs, one discordant
+    // (items 2,3: a rises 2->3 while b falls 3->2), no ties
+    val df = Seq((1L, 1L, 1L), (2L, 2L, 3L), (3L, 3L, 2L), (4L, 4L, 4L))
+      .flatMap { case (i, va, vb) =>
+        Seq((i, "a", va), (i, "b", vb)) }
+      .toDF("item", "judge", "score")
+    val r = Judge.rankConcordance(df, "item", "judge", "score")
+      .collect().head
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+      r.getLong(6), r.getLong(7), r.getLong(8)) ===
+      ((4L, 6L, 5L, 1L, 0L, 0L, 0L)))
+
+    // ties on each axis and both: a = [1,1,2,2], b = [1,2,2,2]
+    //   (1,2): a tie, b differ -> tied_a; (1,3),(1,4): C
+    //   (2,3),(2,4): a differ, b tie -> tied_b; (3,4): both tie
+    val t2 = Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 2L, 2L), (4L, 2L, 2L))
+      .flatMap { case (i, va, vb) => Seq((i, "a", va), (i, "b", vb)) }
+      .toDF("item", "judge", "score")
+    val s = Judge.rankConcordance(t2, "item", "judge", "score")
+      .collect().head
+    assert((s.getLong(3), s.getLong(4), s.getLong(5), s.getLong(6),
+      s.getLong(7), s.getLong(8)) === ((6L, 2L, 0L, 1L, 2L, 1L)))
+    // partition invariant: C + D + ta + tb + tied_both = n_pairs
+    assert(s.getLong(4) + s.getLong(5) + s.getLong(6) + s.getLong(7) +
+      s.getLong(8) === s.getLong(3))
+  }
+
+  test("rankConcordance: a constant calibration offset is perfectly concordant but kappa-hostile") {
+    // judge b = judge a + 1 everywhere: kappaWeighted reads the
+    // distance, concordance reads the RANKING — fully concordant
+    val df = (1 to 10).flatMap { i =>
+      val a = (i % 5).toLong
+      Seq((i.toLong, "a", a), (i.toLong, "b", a + 1))
+    }.toDF("item", "judge", "score")
+    val r = Judge.rankConcordance(df, "item", "judge", "score")
+      .collect().head
+    assert(r.getLong(5) === 0L, "no discordant pairs under a monotone offset")
+    assert(r.getLong(4) > 0L)
+    // every non-tied pair is concordant
+    assert(r.getLong(4) + r.getLong(6) + r.getLong(7) + r.getLong(8) ===
+      r.getLong(3))
+  }
+
   test("kappa: the maxCommon guard raises a loud named error before the 64-bit overflow") {
     val df = (1 to 10).flatMap(i =>
       Seq((i.toLong, "a", "good"), (i.toLong, "b", "bad")))

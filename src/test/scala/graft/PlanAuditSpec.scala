@@ -1222,6 +1222,16 @@ class PlanAuditSpec extends SparkSpec {
       s"both pass@k levels must stay partial-agged:\n$p")
   }
 
+  test("judge_rank_concordance: no self-join; joint cells fold row-locally") {
+    // C/D/tie counts come from the collected joint-cell array, never
+    // an item-pair or cell self-join on the Spark side
+    val p = plan("judge_rank_concordance")
+    assert(!p.contains("Join"),
+      s"concordance must not join — cells fold row-locally:\n$p")
+    assert(count(p, "Exchange hashpartitioning") <= 4,
+      s"label-grain + metadata-grain exchanges only:\n$p")
+  }
+
   test("judge_kappa_weighted: no self-join; label-grain then metadata-grain exchanges") {
     // the weighted variant keeps kappa's shape: row-local pair
     // explode with marginal contributions, (pair x category) and pair
