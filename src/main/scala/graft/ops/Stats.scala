@@ -145,6 +145,98 @@ object Stats {
        |FROM b GROUP BY bin""".stripMargin
   }
 
+  /** Distribution-DRIFT report (round 20) — the batch-over-batch
+    * monitor every production ingest runs before trusting a new
+    * snapshot: the [[histogram]] binning applied to BOTH sides of a
+    * reference/current split, with per-bin counts, shares in milli,
+    * and the absolute share delta — the total-variation distance is
+    * `Σ abs_delta_milli div 2`, left to the consumer per the integer
+    * convention (as is any log-weighted variant like PSI, which
+    * needs float ln over these same exact counts).
+    *
+    * Sides: rows where `side = refValue` are the REFERENCE;
+    * everything else (including a NULL side) is CURRENT — total, no
+    * row silently dropped. NULL values land in their own `bin = -1`
+    * (a monitoring histogram must not drop rows — the histogram
+    * clamp convention extended to NULL), with NULL bin edges. An
+    * empty side reports 0 shares with its zero total visible in the
+    * counts (the ANSI div guard, both dialects).
+    *
+    * Plan shape: one scan into a ≤ (nBins+1)-row partial-agged bin
+    * exchange; the share denominators are windowed totals over that
+    * METADATA-sized frame (the mix_plan convention — a
+    * SinglePartition window over ≤ 65 rows, never the corpus).
+    * Distributive bin counts — complete-mode streamable up to the
+    * window, batch the report.
+    */
+  def distDrift(df: DataFrame, side: String, value: String,
+                refValue: String, lo: Double, hi: Double,
+                nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, "need nBins > 0 and hi > lo")
+    val width = (hi - lo) / nBins
+    val bin = when(col(value).isNull, lit(-1L)).otherwise(
+      least(greatest(floor((col(value) - lit(lo)) / lit(width)), lit(0.0)),
+        lit((nBins - 1).toDouble)).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    df.select(bin.as("bin"),
+      when(col(side) === lit(refValue), 1L).otherwise(0L).as("__r"))
+      .groupBy(col("bin"))
+      .agg(sum(col("__r")).as("n_ref"),
+        sum(lit(1L) - col("__r")).as("n_cur"))
+      .withColumn("__tr", sum(col("n_ref")).over(w))
+      .withColumn("__tc", sum(col("n_cur")).over(w))
+      .select(col("bin"),
+        when(col("bin") === -1L, lit(null).cast("double"))
+          .otherwise(round(lit(lo) + col("bin") * lit(width), 6)).as("bin_lo"),
+        when(col("bin") === -1L, lit(null).cast("double"))
+          .otherwise(round(lit(lo) + (col("bin") + 1) * lit(width), 6)).as("bin_hi"),
+        col("n_ref"), col("n_cur"),
+        expr("IF(__tr = 0, cast(0 AS BIGINT), " +
+          "cast(n_ref * 1000 div __tr AS BIGINT))").as("share_ref_milli"),
+        expr("IF(__tc = 0, cast(0 AS BIGINT), " +
+          "cast(n_cur * 1000 div __tc AS BIGINT))").as("share_cur_milli"))
+      .withColumn("abs_delta_milli",
+        abs(col("share_ref_milli") - col("share_cur_milli")))
+  }
+
+  /** DuckDB twin of [[distDrift]] (identical clamp/floor arithmetic;
+    * totals via unpartitioned windows over the bin rows).
+    */
+  def distDriftSql(table: String, side: String, value: String,
+                   refValue: String, lo: Double, hi: Double,
+                   nBins: Int): String = {
+    val width = (hi - lo) / nBins
+    s"""WITH b AS (
+       |  SELECT CASE WHEN $value IS NULL THEN -1
+       |         ELSE CAST(least(greatest(floor(($value - $lo) / $width), 0.0),
+       |           ${(nBins - 1).toDouble}) AS BIGINT) END AS bin,
+       |    CASE WHEN $side = '$refValue' THEN 1 ELSE 0 END AS r
+       |  FROM $table),
+       |g AS (
+       |  SELECT bin, sum(r)::BIGINT AS n_ref,
+       |    sum(1 - r)::BIGINT AS n_cur
+       |  FROM b GROUP BY bin),
+       |t AS (
+       |  SELECT bin, n_ref, n_cur,
+       |    sum(n_ref) OVER () AS tr, sum(n_cur) OVER () AS tc
+       |  FROM g)
+       |SELECT bin,
+       |  CASE WHEN bin = -1 THEN NULL
+       |       ELSE round($lo + bin * $width, 6) END AS bin_lo,
+       |  CASE WHEN bin = -1 THEN NULL
+       |       ELSE round($lo + (bin + 1) * $width, 6) END AS bin_hi,
+       |  n_ref, n_cur,
+       |  (CASE WHEN tr = 0 THEN 0 ELSE n_ref * 1000 // tr END)::BIGINT
+       |    AS share_ref_milli,
+       |  (CASE WHEN tc = 0 THEN 0 ELSE n_cur * 1000 // tc END)::BIGINT
+       |    AS share_cur_milli,
+       |  abs((CASE WHEN tr = 0 THEN 0 ELSE n_ref * 1000 // tr END)
+       |    - (CASE WHEN tc = 0 THEN 0 ELSE n_cur * 1000 // tc END))::BIGINT
+       |    AS abs_delta_milli
+       |FROM t""".stripMargin
+  }
+
   /** Per-group z-scores with population moments from EXACT decimal sums
     * (Σv as DECIMAL(28,2), Σv² as DECIMAL(38,4) — value² of a (18,2)
     * decimal has scale 4), so mean/variance are order-independent; the

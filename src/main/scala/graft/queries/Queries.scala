@@ -5259,6 +5259,27 @@ object Queries {
       Some(graft.ops.Stats.histogramSql("events",
         "value", lo = 0.0, hi = 500.0, nBins = 20))),
 
+    // distribution drift (round 20): the reference/current binned
+    // comparison — the current side carries a planted +20 shift so
+    // shares genuinely move, every 23rd value is NULL (the -1 bin),
+    // and the total-variation distance is the consumer's
+    // sum(abs_delta) div 2 over these exact integers
+    QueryDef("stats_dist_drift",
+      (s, dir) => graft.ops.Stats.distDrift(
+        t(s, dir, "events")
+          .withColumn("side", expr("IF(user_id % 2 = 0, 'ref', 'cur')"))
+          .withColumn("v", expr(
+            "IF(event_id % 23 = 0, cast(NULL AS DOUBLE), " +
+              "value + IF(user_id % 2 = 0, cast(0 AS DOUBLE), cast(20 AS DOUBLE)))")),
+        "side", "v", refValue = "ref", lo = 0.0, hi = 100.0, nBins = 10),
+      Some(graft.ops.Stats.distDriftSql(
+        """(SELECT CASE WHEN user_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS side,
+          |  CASE WHEN event_id % 23 = 0 THEN NULL
+          |       ELSE value + (CASE WHEN user_id % 2 = 0 THEN 0 ELSE 20 END)
+          |  END AS v
+          |FROM events)""".stripMargin,
+        "side", "v", refValue = "ref", lo = 0.0, hi = 100.0, nBins = 10))),
+
     // 3-sigma anomalies per event type from decimal-exact moments: one
     // moments pass (one row per group) broadcast back onto the scan
     QueryDef("event_zscore",

@@ -1256,6 +1256,17 @@ class PlanAuditSpec extends SparkSpec {
       s"both vote levels must be partial-agged:\n$p")
   }
 
+  test("stats_dist_drift: one bin exchange; the share window runs on metadata rows") {
+    // the corpus pays one scan into a <= (nBins+1)-row partial-agged
+    // bin exchange; the totals window is SinglePartition over that
+    // metadata frame only (the mix_plan convention)
+    val p = plan("stats_dist_drift")
+    assert(count(p, "Exchange hashpartitioning") == 1 &&
+      count(p, "HashAggregate") >= 2,
+      s"drift bins are one partial-agged exchange:\n$p")
+    assert(!p.contains("Join"), s"drift is agg+window only:\n$p")
+  }
+
   test("eval_nll_report: one policy-keyed partial-agged exchange") {
     val p = plan("eval_nll_report")
     assert(count(p, "Exchange hashpartitioning") == 1 &&

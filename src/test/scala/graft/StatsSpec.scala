@@ -106,4 +106,35 @@ class StatsSpec extends SparkSpec {
       graft.ops.Datacard.datacardApproxSql("documents", "doc_id", "text", p = 12)
     }
   }
+
+  test("distDrift: exact shares, NULL bin, edge clamping; TVD from the deltas") {
+    import spark.implicits._
+    // ref: values 5, 15, 15, 25 -> bins 0,1,1,2; cur: 15, 25, 25, 95,
+    // NULL -> bins 1,2,2,9,-1; out-of-range 250 on ref clamps to bin 9
+    val df = Seq(
+      ("ref", Some(5.0)), ("ref", Some(15.0)), ("ref", Some(15.0)),
+      ("ref", Some(25.0)), ("ref", Some(250.0)),
+      ("cur", Some(15.0)), ("cur", Some(25.0)), ("cur", Some(25.0)),
+      ("cur", Some(95.0)), ("cur", None))
+      .toDF("side", "v")
+    val m = graft.ops.Stats.distDrift(df, "side", "v", "ref",
+      lo = 0.0, hi = 100.0, nBins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    // ref total 5 (the clamped 250 counts), cur total 5 (NULL counts)
+    assert(m(0L) === ((1L, 0L, 200L, 0L, 200L)))
+    assert(m(1L) === ((2L, 1L, 400L, 200L, 200L)))
+    assert(m(2L) === ((1L, 2L, 200L, 400L, 200L)))
+    assert(m(9L) === ((1L, 1L, 200L, 200L, 0L)), "250 clamps into the top bin")
+    assert(m(-1L) === ((0L, 1L, 0L, 200L, 200L)), "NULL values get their own bin")
+    // TVD = sum(|delta|) div 2 = 800 div 2 = 400 milli, consumer-side
+    assert(m.values.map(_._5).sum === 800L)
+
+    // an empty current side: shares guard to 0 instead of ANSI-throwing
+    val onlyRef = Seq(("ref", Some(5.0))).toDF("side", "v")
+    val r = graft.ops.Stats.distDrift(onlyRef, "side", "v", "ref",
+      0.0, 100.0, 10).collect().head
+    assert(r.getLong(5) === 1000L && r.getLong(6) === 0L)
+  }
 }
