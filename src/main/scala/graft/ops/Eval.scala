@@ -305,6 +305,79 @@ object Eval {
        |  round(${Similarity.duckCosine("a.centroid", "b.centroid")}, 6) AS cos_sim
        |FROM cents a JOIN cents b ON a.label < b.label""".stripMargin
 
+  /** Per-label CENTROID DRIFT between two embedding snapshots (round
+    * 20) — the encoder-version check next to [[centroidSeparation]]
+    * (separation asks "are the classes distinct"; drift asks "did
+    * re-embedding MOVE them"): rows carry a `side` column splitting
+    * reference from current (a new encoder, a re-crawl, a quantized
+    * re-export), and the report gives per label both class sizes and
+    * the cosine between the two sides' decimal-exact centroids. A
+    * label present on only one side reports its counts with a NULL
+    * cosine (a vanished class is the headline finding, not a dropped
+    * row). The engine-wide zero-magnitude convention applies:
+    * cos(0⃗, ·) = 0.
+    *
+    * Plan shape: ONE corpus scan into the [[labelCentroids]]
+    * (side × label × dim) partial-agged exchange; everything after is
+    * the (2 × labels)-row metadata frame — the full-outer label join
+    * never touches vectors. Same rounded-centroid hash discipline as
+    * [[centroidSeparation]].
+    */
+  def centroidDrift(df: DataFrame, side: String, refValue: String,
+                    labelCol: String, vecCol: String): DataFrame = {
+    val cents = Caches.lease(
+      df.select(when(col(side) === lit(refValue), "r").otherwise("c").as("__s"),
+        col(labelCol).as("label"), posexplode(col(vecCol)))
+        .groupBy(col("__s"), col("label"), col("pos"))
+        .agg((sum(col("col").cast("double").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("v"),
+          count(lit(1)).as("cnt"))
+        .groupBy(col("__s"), col("label"))
+        .agg(max(when(col("pos") === 0, col("cnt"))).as("n_vectors"),
+          array_sort(collect_list(struct(col("pos"), col("v")))).as("s"))
+        .select(col("__s"), col("label"), col("n_vectors"),
+          expr("transform(s, x -> round(x.v, 6))").as("centroid")))
+    val ref = cents.where(col("__s") === "r")
+      .select(col("label"), col("n_vectors").as("n_ref"),
+        col("centroid").as("cr"))
+    val cur = cents.where(col("__s") === "c")
+      .select(col("label"), col("n_vectors").as("n_cur"),
+        col("centroid").as("cc"))
+    ref.join(cur, Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        expr("IF(cr IS NULL OR cc IS NULL, cast(NULL AS DOUBLE), " +
+          s"round(${Similarity.sparkCosine("cr", "cc")}, 6))").as("cos_sim"))
+  }
+
+  /** DuckDB twin of [[centroidDrift]]. */
+  def centroidDriftSql(table: String, side: String, refValue: String,
+                       labelCol: String, vecCol: String): String =
+    s"""WITH cells AS (
+       |  SELECT CASE WHEN $side = '$refValue' THEN 'r' ELSE 'c' END AS s,
+       |    $labelCol AS label, pos,
+       |    CAST(sum(CAST(($vecCol)[pos]::DOUBLE AS DECIMAL(28,12))) AS DOUBLE)
+       |      / count(*) AS v,
+       |    count(*) AS cnt
+       |  FROM $table, UNNEST(generate_series(1, len($vecCol))) AS t(pos)
+       |  GROUP BY 1, 2, 3),
+       |cents AS (
+       |  SELECT s, label, max(CASE WHEN pos = 1 THEN cnt END) AS n_vectors,
+       |    list(round(v, 6) ORDER BY pos) AS centroid
+       |  FROM cells GROUP BY 1, 2),
+       |r AS (SELECT label, n_vectors AS n_ref, centroid AS cr
+       |      FROM cents WHERE s = 'r'),
+       |c AS (SELECT label, n_vectors AS n_cur, centroid AS cc
+       |      FROM cents WHERE s = 'c')
+       |SELECT coalesce(r.label, c.label) AS label,
+       |  coalesce(r.n_ref, 0)::BIGINT AS n_ref,
+       |  coalesce(c.n_cur, 0)::BIGINT AS n_cur,
+       |  CASE WHEN r.cr IS NULL OR c.cc IS NULL THEN NULL
+       |       ELSE round(${Similarity.duckCosine("r.cr", "c.cc")}, 6)
+       |  END AS cos_sim
+       |FROM r FULL OUTER JOIN c ON r.label = c.label""".stripMargin
+
   /** Planted-copy recall gate for the NEAR-DUP KEEPER family — the
     * dedup analog of the ANN recall gates (an approximate dedup you
     * cannot score against planted ground truth is a hope, not an

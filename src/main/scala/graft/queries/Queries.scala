@@ -4115,6 +4115,30 @@ object Queries {
       Some(graft.ops.Eval.centroidSeparationSql("embeddings",
         "label", "embedding"))),
 
+    // centroid drift (round 20): ref/cur split by vec_id parity with
+    // a planted +0.5 first-dimension shift on the current side (real
+    // drift, cos < 1) and label 2 REMOVED from the current side (the
+    // vanished class: counts visible, cosine NULL)
+    QueryDef("embed_centroid_drift",
+      (s, dir) => graft.ops.Eval.centroidDrift(
+        t(s, dir, "embeddings")
+          .withColumn("side", expr("IF(vec_id % 2 = 0, 'ref', 'cur')"))
+          .where(expr("NOT (vec_id % 2 = 1 AND label = 2)"))
+          .withColumn("vec", expr(
+            "transform(embedding, (x, i) -> cast(x AS DOUBLE) + " +
+              "IF(i = 0 AND vec_id % 2 = 1, cast(0.5 AS DOUBLE), " +
+              "cast(0 AS DOUBLE)))")),
+        "side", "ref", "label", "vec"),
+      Some(graft.ops.Eval.centroidDriftSql(
+        """(SELECT CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS side,
+          |  label,
+          |  list_transform(generate_series(1, len(embedding)),
+          |    i -> embedding[i]::DOUBLE + (CASE WHEN i = 1 AND vec_id % 2 = 1
+          |         THEN 0.5 ELSE 0 END)) AS vec
+          |FROM embeddings
+          |WHERE NOT (vec_id % 2 = 1 AND label = 2))""".stripMargin,
+        "side", "ref", "label", "vec"))),
+
     // the INGEST chain composed end to end: crawl markup -> stripped
     // text -> canonical normalization -> language/quality/dedup gate,
     // as ONE declarative plan (every stage is a projection until the

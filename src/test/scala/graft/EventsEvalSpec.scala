@@ -160,4 +160,28 @@ class EventsEvalSpec extends SparkSpec {
       (0, 2L, Seq(2.0, 3.0)),
       (1, 1L, Seq(10.0, 20.0))))
   }
+
+  test("centroidDrift: per-label cosine between sides; one-sided labels report NULL") {
+    val df = Seq(
+      // label 0: identical centroids -> cos 1
+      ("ref", 0, Array(1.0f, 0.0f)), ("cur", 0, Array(1.0f, 0.0f)),
+      // label 1: orthogonal centroids -> cos 0
+      ("ref", 1, Array(1.0f, 0.0f)), ("ref", 1, Array(1.0f, 0.0f)),
+      ("cur", 1, Array(0.0f, 1.0f)),
+      // label 2: only on the reference side -> NULL cosine
+      ("ref", 2, Array(0.5f, 0.5f)),
+      // label 3: zero-vector centroid on one side -> cos 0 (the
+      // engine-wide zero-magnitude convention, not NaN/NULL)
+      ("ref", 3, Array(0.0f, 0.0f)), ("cur", 3, Array(1.0f, 1.0f)))
+      .toDF("side", "label", "embedding")
+    val rows = graft.ops.Eval.centroidDrift(df, "side", "ref",
+      "label", "embedding")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(rows(0) === ((1L, 1L, 1.0)))
+    assert(rows(1) === ((2L, 1L, 0.0)))
+    assert(rows(2) === ((1L, 0L, null)), "vanished class: counts, NULL cos")
+    assert(rows(3) === ((1L, 1L, 0.0)), "zero-magnitude centroid reads 0")
+  }
 }

@@ -1256,6 +1256,14 @@ class PlanAuditSpec extends SparkSpec {
       s"both vote levels must be partial-agged:\n$p")
   }
 
+  test("embed_centroid_drift: both sides read the leased centroid frame; keyed label join") {
+    val p = plan("embed_centroid_drift")
+    assert(count(p, "InMemoryTableScan") >= 2,
+      s"ref and cur must both read the leased (side x label) centroids:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the full-outer label join must be keyed:\n$p")
+  }
+
   test("stats_dist_drift: one bin exchange; the share window runs on metadata rows") {
     // the corpus pays one scan into a <= (nBins+1)-row partial-agged
     // bin exchange; the totals window is SinglePartition over that
