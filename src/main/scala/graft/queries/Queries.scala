@@ -304,14 +304,26 @@ object Queries {
     * `array_to_string([])` is NULL where Spark's `array_join` is ''
     * (the r9 divergence) — hence the coalesce.
     */
+  /** The word array every chat fixture slices per turn, LET-BOUND once
+    * per row (r20 optimization): referenced from inside a `transform`
+    * lambda, the regexp_replace+split+filter chain is re-evaluated PER
+    * TURN (2-4x per row — the ProbeRound17 lambda-recompute class, see
+    * the verify skill's let1 gotcha); hoisting it through
+    * [[graft.ops.PortableHash.let1]] evaluates it once per row. Values
+    * are unchanged — the DuckDB twins stay on their inline form.
+    */
+  private def chatWords(body: String): String =
+    graft.ops.PortableHash.let1("__cw",
+      "filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' '), " +
+        "x -> x != '')", body)
+
   private val chatFixtureSpark: String =
-    "concat(IF(doc_id % 5 = 0, '[', " +
+    chatWords("concat(IF(doc_id % 5 = 0, '[', " +
       "'[{\"role\":\"system\",\"content\":\"be concise\"},'), " +
       "concat_ws(',', transform(sequence(0, cast(1 + doc_id % 3 AS INT)), i -> " +
       "concat('{\"role\":\"', IF(i % 2 = 0, 'user', 'assistant'), " +
       "'\",\"content\":\"', " +
-      "array_join(slice(filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' '), " +
-      "x -> x != ''), cast(i * 6 + 1 AS INT), 6), ' '), '\"}'))), ']')"
+      "array_join(slice(__cw, cast(i * 6 + 1 AS INT), 6), ' '), '\"}'))), ']')")
 
   private val chatFixtureDuck: String =
     "'[' || CASE WHEN doc_id % 5 = 0 THEN '' " +
@@ -330,12 +342,11 @@ object Queries {
     * cleanly at assistant-turn grain.
     */
   private val chatDegenFixtureSpark: String =
-    "concat('[', concat_ws(',', transform(sequence(0, 3), i -> " +
+    chatWords("concat('[', concat_ws(',', transform(sequence(0, 3), i -> " +
       "concat('{\"role\":\"', IF(i % 2 = 0, 'user', 'assistant'), " +
       "'\",\"content\":\"', " +
       "IF(i % 2 = 1 AND doc_id % 3 = 0, 'loop loop loop loop loop end', " +
-      "array_join(slice(filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' '), " +
-      "x -> x != ''), cast(i * 6 + 1 AS INT), 6), ' ')), '\"}'))), ']')"
+      "array_join(slice(__cw, cast(i * 6 + 1 AS INT), 6), ' ')), '\"}'))), ']')")
 
   private val chatDegenFixtureDuck: String =
     "'[' || array_to_string(list_transform(generate_series(0, 3), i -> " +
@@ -393,11 +404,10 @@ object Queries {
       "cast(doc_id % 5 + 1 AS INT))"
 
   private val chatToolFixtureSpark: String =
-    "concat('[{\"role\":\"system\",\"content\":\"be concise\"},', " +
+    chatWords("concat('[{\"role\":\"system\",\"content\":\"be concise\"},', " +
       s"concat_ws(',', transform($toolRoleSeqsSpark, (r, i) -> " +
       "concat('{\"role\":\"', r, '\",\"content\":\"', " +
-      "array_join(slice(filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' '), " +
-      "x -> x != ''), cast(i * 6 + 1 AS INT), 6), ' '), '\"}'))), ']')"
+      "array_join(slice(__cw, cast(i * 6 + 1 AS INT), 6), ' '), '\"}'))), ']')")
 
   /** DuckDB twin of [[chatToolFixtureSpark]] as a derived TABLE (the
     * role list and word list need let-binding, which SQL spells as a
@@ -2178,16 +2188,15 @@ object Queries {
     QueryDef("chat_scrub",
       (s, dir) => graft.ops.TextAnalysis.scrubPii(
         graft.ops.Chat.allTurns(
-          t(s, dir, "documents").withColumn("conv", expr(
+          t(s, dir, "documents").withColumn("conv", expr(chatWords(
             "concat('[', concat_ws(',', transform(sequence(0, 1), i -> " +
               "concat('{\"role\":\"', IF(i = 0, 'user', 'assistant'), " +
               "'\",\"content\":\"', " +
               "IF(i = 0 AND doc_id % 4 = 0, " +
               "concat('reach me at user', doc_id, '@example.com or ', " +
               "'https://ex.com/d/', doc_id, ' account 1234567890', doc_id), " +
-              "array_join(slice(filter(split(regexp_replace(lower(text), " +
-              "'[^a-z0-9 ]', ''), ' '), x -> x != ''), " +
-              "cast(i * 6 + 1 AS INT), 6), ' ')), '\"}'))), ']')")),
+              "array_join(slice(__cw, " +
+              "cast(i * 6 + 1 AS INT), 6), ' ')), '\"}'))), ']')"))),
           "doc_id", "conv")
           .withColumn("turn_key", expr("doc_id * 100 + turn_idx")),
         "turn_key", "content"),
@@ -2323,14 +2332,14 @@ object Queries {
     // doc's second, so rates and first-refusal indexes vary
     QueryDef("chat_refusal_report",
       (s, dir) => graft.ops.Chat.refusalReport(
-        t(s, dir, "documents").withColumn("conv", expr(
+        t(s, dir, "documents").withColumn("conv", expr(chatWords(
           "concat('[', concat_ws(',', transform(sequence(0, 3), i -> " +
             "concat('{\"role\":\"', IF(i % 2 = 0, 'user', 'assistant'), " +
             "'\",\"content\":\"', " +
             "CASE WHEN i = 1 AND doc_id % 5 = 0 THEN 'I cannot help with that request.' " +
             "WHEN i = 3 AND doc_id % 7 = 0 THEN 'I am sorry, but no.' " +
-            "ELSE array_join(slice(filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' '), " +
-            "x -> x != ''), cast(i * 6 + 1 AS INT), 6), ' ') END, '\"}'))), ']')")),
+            "ELSE array_join(slice(__cw, " +
+            "cast(i * 6 + 1 AS INT), 6), ' ') END, '\"}'))), ']')"))),
         "doc_id", "conv"),
       Some(graft.ops.Chat.refusalReportSql(
         """(SELECT doc_id,
