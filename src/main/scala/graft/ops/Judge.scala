@@ -106,62 +106,92 @@ object Judge {
     * Models with zero wins (W_i = 0) land at 0 — the MM fixed point's
     * boundary, reached in one step.
     *
-    * Plan shape: ONE keyed exchange builds the directed pair table
-    * (pair grain, metadata-sized); each iteration is a pair-grain
-    * join + re-aggregate over |models|² rows — broadcast-sized at any
-    * corpus scale, the judgment TABLE is never re-scanned.
+    * Plan shape (r20): ONE keyed exchange builds the directed pair
+    * table (pair grain, metadata-sized — broadcast-sized at any corpus
+    * scale, the judgment TABLE is never re-scanned), which is COLLECTED
+    * and the MM ladder runs on the driver ([[btLadderLocal]]); the
+    * result frame is a LocalTableScan. As Spark iterations the ladder
+    * was ~10 stage launches over |models|-sized frames — pure
+    * scheduling latency (judge_bt_convergence 4.4s at sf0.1).
     */
-  /** The directed pair table (one row per (m, opp) with n_matches and
-    * m's half-wins against opp), leased — every MM iteration re-reads
-    * it.
+  /** The MM ladder, run on the DRIVER over the collected pair table
+    * (r20 optimization). The pair table is |models|²-bounded metadata
+    * by design ("broadcast-sized at any corpus scale" — the judgment
+    * TABLE is never re-scanned), which is exactly the class the engine
+    * already collects driver-side (the PqIndex/Dsir/Bpe
+    * centroid/vocab-bounded precedent): as a Spark iteration, each MM
+    * step was 2 joins + a re-aggregate over a tiny frame, so a
+    * 3-iteration ladder paid ~10 stage launches of pure scheduling
+    * latency — judge_bt_convergence read 4.4s at sf0.1 with every
+    * frame past the lease |models|-sized. Collected, the ladder is
+    * zero jobs; only the pairAgg scan remains distributed. A
+    * pathological model universe fails LOUD at
+    * spark.driver.maxResultSize, not silently.
+    *
+    * Arithmetic is bit-identical to the Spark form (and the DuckDB
+    * twin): every sum is an integer sum over Longs (order-independent),
+    * every division non-negative, so Scala `/` ≡ Spark `div` ≡ DuckDB
+    * `//`. Returns (models in directed order, hw_total, final w,
+    * previous-iteration w) plus the model column's type.
     */
-  private def btDirected(df: DataFrame, a: String, b: String,
-                         winner: String): DataFrame =
-    Caches.lease(pairAgg(df, a, b, winner)
-      .select(
-        array(
-          struct(col("lo").as("m"), col("hi").as("opp"),
-            col("n_matches"), col("lo_halfwins").as("halfwins")),
-          struct(col("hi").as("m"), col("lo").as("opp"),
-            col("n_matches"),
-            (col("n_matches") * 2 - col("lo_halfwins")).as("halfwins")))
-          .as("d"))
-      .select(explode(col("d")).as("r"))
-      .select(col("r.m"), col("r.opp"), col("r.n_matches"),
-        col("r.halfwins")))
+  /** @return (models in first-seen pair order, w at iteration
+    *         `iters - 1`, w at iteration `iters`, model column type) */
+  private def btLadderLocal(df: DataFrame, a: String, b: String,
+                            winner: String, iters: Int):
+      (Seq[Any], collection.Map[Any, Long], collection.Map[Any, Long],
+       org.apache.spark.sql.types.DataType) = {
+    val pa = pairAgg(df, a, b, winner)
+    val mType = pa.schema("lo").dataType
+    val adj = scala.collection.mutable.LinkedHashMap
+      .empty[Any, scala.collection.mutable.ArrayBuffer[(Any, Long, Long)]]
+    pa.collect().foreach { r =>
+      val lo = r.get(0); val hi = r.get(1)
+      val n = r.getLong(2); val loHw = r.getLong(3)
+      adj.getOrElseUpdate(lo,
+        scala.collection.mutable.ArrayBuffer.empty) += ((hi, n, loHw))
+      adj.getOrElseUpdate(hi,
+        scala.collection.mutable.ArrayBuffer.empty) += ((lo, n, n * 2 - loHw))
+    }
+    val hwTotal = adj.map { case (m, es) => m -> es.iterator.map(_._3).sum }
+    // start: every model at 1000 milli; one MM step:
+    // term = n·2·1e9 div (w_m + w_opp) — n_matches in whole matches,
+    // halfwin totals in halves, the 2× keeps the units aligned —
+    // then w' = W_i·1e9 div Σ term
+    var w: collection.Map[Any, Long] = adj.map { case (m, _) => m -> 1000L }
+    var prev = w
+    for (_ <- 1 to iters) {
+      prev = w
+      val cur = w
+      w = adj.map { case (m, es) =>
+        val wm = cur(m)
+        var denom = 0L
+        es.foreach { case (opp, n, _) =>
+          denom += n * 2000000000L / math.max(wm + cur(opp), 1L)
+        }
+        m -> hwTotal(m) * 1000000000L / math.max(denom, 1L)
+      }
+    }
+    (adj.keys.toSeq, prev, w, mType)
+  }
 
-  /** The MM starting point: every model at 1000 milli with its
-    * half-win total.
-    */
-  private def btInit(directed: DataFrame): DataFrame =
-    directed.groupBy(col("m"))
-      .agg(sum(col("halfwins")).as("hw_total"))
-      .select(col("m"), col("hw_total"), lit(1000L).as("w"))
-
-  /** One MM update `w_i ← W_i / Σ_j n_ij / (w_i + w_j)` in scaled
-    * integers (see [[btScores]] for the unit accounting).
-    */
-  private def btIterate(directed: DataFrame, scores: DataFrame): DataFrame = {
-    val opp = scores.select(col("m").as("opp"), col("w").as("w_opp"))
-    directed
-      .join(scores, Seq("m")).join(opp, Seq("opp"))
-      // term = n·2·1e9 div (w_m + w_opp): n_matches is in whole
-      // matches, halfwin totals in halves — the 2× keeps W_i (halves)
-      // and the denominator (matches) in the same unit
-      .groupBy(col("m"), col("hw_total"))
-      .agg(sum(expr(
-        "n_matches * 2000000000 div greatest(w + w_opp, 1)")).as("denom"))
-      .select(col("m"), col("hw_total"),
-        expr("cast(hw_total * 1000000000 div greatest(denom, 1) AS BIGINT)")
-          .as("w"))
+  private def btFrame(spark: org.apache.spark.sql.SparkSession,
+                      mType: org.apache.spark.sql.types.DataType,
+                      cols: Seq[(String, org.apache.spark.sql.types.DataType)],
+                      rows: Seq[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val schema = StructType(StructField("model", mType) +:
+      cols.map { case (n, t) => StructField(n, t) })
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
 
   def btScores(df: DataFrame, a: String, b: String,
                winner: String, iters: Int = 3): DataFrame = {
-    val directed = btDirected(df, a, b, winner)
-    var scores = btInit(directed)
-    (1 to iters).foreach { _ => scores = btIterate(directed, scores) }
-    scores.select(col("m").as("model"), col("w").as("bt_milli"))
+    val (models, _, w, mType) = btLadderLocal(df, a, b, winner, iters)
+    import org.apache.spark.sql.types.LongType
+    btFrame(df.sparkSession, mType, Seq("bt_milli" -> LongType),
+      models.map(m => org.apache.spark.sql.Row(m, w(m))))
   }
 
   /** CONVERGENCE report over the [[btScores]] iteration ladder — the
@@ -183,19 +213,15 @@ object Judge {
   def btConvergence(df: DataFrame, a: String, b: String,
                     winner: String, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"btConvergence needs iters >= 1, got $iters")
-    val directed = btDirected(df, a, b, winner)
-    var prev = btInit(directed)
-    var scores = btIterate(directed, prev)
-    (2 to iters).foreach { _ =>
-      prev = scores
-      scores = btIterate(directed, prev)
-    }
-    scores.select(col("m").as("model"), col("w").as("bt_milli"))
-      .join(prev.select(col("m").as("model"), col("w").as("__wp")),
-        Seq("model"))
-      .select(col("model"), col("bt_milli"),
-        (col("bt_milli") - col("__wp")).as("delta_milli"),
-        abs(col("bt_milli") - col("__wp")).as("abs_delta_milli"))
+    val (models, prev, w, mType) = btLadderLocal(df, a, b, winner, iters)
+    import org.apache.spark.sql.types.LongType
+    btFrame(df.sparkSession, mType,
+      Seq("bt_milli" -> LongType, "delta_milli" -> LongType,
+        "abs_delta_milli" -> LongType),
+      models.map { m =>
+        val d = w(m) - prev(m)
+        org.apache.spark.sql.Row(m, w(m), d, math.abs(d))
+      })
   }
 
   /** POSITION-BIAS report (round 18) — the order-effect audit an arena

@@ -981,17 +981,15 @@ class PlanAuditSpec extends SparkSpec {
     val wr = plan("judge_winrate")
     assert(count(wr, "Exchange") == 1 && count(wr, "HashAggregate") >= 2,
       s"judge_winrate: one pair-keyed partial-agg exchange:\n$wr")
-    // the BT recurrence scans the judgment table ONCE into the leased
-    // pair-grain table; every iteration reference must resolve to the
-    // cache. The tree print echoes the cached subplan (scan included)
-    // under EVERY InMemoryTableScan reference, so the honest pin is
-    // scan-echo count == cache-reference count: an uncached reference
-    // would print a scan WITHOUT its InMemoryTableScan wrapper and
-    // break the equality (the minhash-keeper lease convention).
+    // the BT recurrence scans the judgment table ONCE into the pair
+    // table (metadata-sized by design), collects it, and runs the MM
+    // ladder on the driver (r20) — the published frame must be a pure
+    // local relation: any Exchange or Join here means the ladder
+    // regressed back into per-iteration Spark stages
     val bt = plan("judge_bt")
-    val refs = count(bt, "InMemoryTableScan")
-    assert(refs > 0 && count(bt, "Scan parquet") == refs,
-      s"judge_bt: every pair-table reference must hit the lease:\n$bt")
+    assert(bt.contains("LocalTableScan") && !bt.contains("Exchange") &&
+      !bt.contains("Join"),
+      s"judge_bt: the MM ladder runs on the collected pair table:\n$bt")
     // agreement must stay the NO-JOIN formulation: two sequential
     // label-grain exchanges + a row-local pair explode — the item
     // self-join it replaced scanned and shuffled the label table twice
@@ -1050,16 +1048,15 @@ class PlanAuditSpec extends SparkSpec {
       s"judge_kappa: label-grain + metadata-grain exchanges only:\n$p")
   }
 
-  test("judge_bt_convergence: every pair-table reference hits the lease") {
-    // btScores' lease audit extended to the convergence report: one
-    // judgment scan into the leased directed pair table; the extra
-    // prev-iteration join is |models|-row metadata
+  test("judge_bt_convergence: driver MM ladder publishes a local relation") {
+    // btScores' r20 audit extended to the convergence report: one
+    // judgment scan builds the collected pair table; ladder and the
+    // prev-iteration delta run on the driver over |models|-row
+    // metadata, so the published frame is a pure local relation
     val p = plan("judge_bt_convergence")
-    val refs = count(p, "InMemoryTableScan")
-    assert(refs > 0 && count(p, "Scan parquet") == refs,
-      s"judge_bt_convergence: every pair-table reference must hit the lease:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"the prev-iteration join must be keyed:\n$p")
+    assert(p.contains("LocalTableScan") && !p.contains("Exchange") &&
+      !p.contains("Join"),
+      s"judge_bt_convergence: the MM ladder runs on the collected pair table:\n$p")
   }
 
   test("pref_dpo_margins: one bins-keyed partial-agged exchange") {
