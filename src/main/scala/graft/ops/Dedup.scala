@@ -679,6 +679,7 @@ object Dedup {
                              bands: Int = 4, rowsPerBand: Int = 4,
                              k: Int = 3, iters: Int = 3,
                              wordGrain: String = "ws"): DataFrame = {
+    require(iters >= 1, s"minhashDedupComponents needs iters >= 1, got $iters")
     val fdf = graft.functions.VectorFunctions.attach(df)
     val bandRows = Par.floor(fdf.where(expr(shingleFloorPred(text, k, wordGrain))), col(id))
       .select(col(id).as("_did"),
@@ -687,8 +688,18 @@ object Dedup {
         posexplode(expr(s"graft_band_buckets(hs, $bands, $rowsPerBand)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .transform(Caches.lease(_))
-    var labels = bandRows.select(col("_did"), col("_did").as("label")).distinct()
-    (1 to iters).foreach { _ =>
+    // Iteration 1 unrolled (r20 optimization): the initial labels are
+    // the identity (label = _did), so joining them onto bandRows is a
+    // no-op — the first bucket-min reads bandRows directly, skipping
+    // the doc-grain distinct exchange AND the first label join (two
+    // stages of the old plan). Iterations 2+ are unchanged.
+    var labels = {
+      val bucketMin = bandRows
+        .groupBy(col("band"), col("bucket")).agg(min(col("_did")).as("bmin"))
+      bandRows.join(bucketMin, Seq("band", "bucket"))
+        .groupBy(col("_did")).agg(min(col("bmin")).as("label"))
+    }
+    (2 to iters).foreach { _ =>
       val bucketMin = bandRows.join(labels, Seq("_did"))
         .groupBy(col("band"), col("bucket")).agg(min(col("label")).as("bmin"))
       labels = bandRows.join(bucketMin, Seq("band", "bucket"))
@@ -1228,9 +1239,13 @@ object Dedup {
                        bands: Int = 4, rowsPerBand: Int = 4,
                        k: Int = 3, iters: Int = 3,
                        wordGrain: String = "ws"): DataFrame = {
-    val comp = minhashDedupComponents(df, id, text, bands, rowsPerBand, k, iters,
+    // comp is consumed twice (sizes + the corpus join); without the
+    // lease the whole iterated label propagation re-runs per reference
+    // (r20 optimization — the frame is doc-grain, two longs per row)
+    val comp = Caches.lease(
+      minhashDedupComponents(df, id, text, bands, rowsPerBand, k, iters,
         wordGrain)
-      .select(col("doc_id").as("__cid"), col("component_id"))
+      .select(col("doc_id").as("__cid"), col("component_id")))
     val sizes = comp.groupBy(col("component_id"))
       .agg(count(lit(1)).as("dup_count"))
     df.select(col(id))
