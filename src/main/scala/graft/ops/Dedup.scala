@@ -441,10 +441,15 @@ object Dedup {
     // gram DIGESTS, never gram text, cross the exchanges. md5 (128-bit)
     // deliberately: over ~10⁸ distinct grams a 64-bit hash carries real
     // collision odds, and a collision falsely strikes a clean span
-    val grams = fdf.select(col(id),
+    // leased (r20): the span-digest frame feeds BOTH the duplicated-
+    // digest count and the coverage join — without the lease each
+    // reference re-runs the token kernel, the gram explode, and the
+    // md5 pass. Rows are (id, spos, 128-bit digest) — no text, the
+    // hammingKeepers lease class.
+    val grams = Caches.lease(fdf.select(col(id),
       posexplode(expr(s"graft_ngrams($tokArr, $spanLen)"))
         .as(Seq("spos", "gram")))
-      .select(col(id), col("spos"), md5(col("gram")).as("gh"))
+      .select(col(id), col("spos"), md5(col("gram")).as("gh")))
     val dup = grams
       .groupBy(col("gh")).agg(count(lit(1)).as("c"))
       .where(col("c") > maxFreq)
@@ -1011,8 +1016,14 @@ object Dedup {
                      id: String, text: String,
                      expectedPrior: Long = 1 << 20,
                      fpp: Double = 0.01): DataFrame = {
-    val newH = newSnap.select(col(id), md5(col(text)).as("h"))
-    val priorH = prior.select(md5(col(text)).as("prior_h"))
+    // both digest frames are consumed twice downstream (the bloom-join
+    // reads `big` on its clean and maybe branches, `small` for the
+    // sketch and the exact join) — lease them so the upstream text
+    // hashing runs once per side (r20; narrow id+digest rows, the
+    // hammingKeepers class; antiJoin documents "an already-materialized
+    // big pays nothing extra" as the caller's job)
+    val newH = Caches.lease(newSnap.select(col(id), md5(col(text)).as("h")))
+    val priorH = Caches.lease(prior.select(md5(col(text)).as("prior_h")))
     BloomJoin.antiJoin(newH, priorH, "h", "prior_h", expectedPrior, fpp)
   }
 
