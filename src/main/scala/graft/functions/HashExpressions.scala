@@ -840,6 +840,39 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_clip_count(a, b)`: clipped multiset intersection
+  * `Σ_w min(cnt_a(w), cnt_b(w))` of two STRING arrays (one hash-map
+  * pass; see [[HashOps.clipCount]]) — the compiled replacement for the
+  * declarative distinct-walk in the overlap/answer-scoring family (the
+  * declarative form stays as the spec-pinned parity baseline; the
+  * oracle replays the unnest+join dialect).
+  */
+case class ClipCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "graft_clip_count"
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<STRING>, got ${l.catalogString} / ${r.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.clipCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashOps.clipCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ClipCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_hyperplane_bucket(vec, bits)`: random-hyperplane LSH bucket id —
   * sign pattern of `bits` dot products with the deterministic integer-mod
   * hyperplanes of [[graft.ops.Similarity]] (weight arithmetic and

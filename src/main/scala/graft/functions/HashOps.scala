@@ -613,6 +613,49 @@ object HashOps {
     if (den == 0.0) 0.0 else dot / den
   }
 
+  /** CLIPPED multiset intersection `Σ_w min(cnt_a(w), cnt_b(w))` of two
+    * string arrays — the modified-n-gram-precision numerator (BLEU/chrF
+    * clipped counts, SQuAD token-F1 matches). One O(|a|+|b|) hash-map
+    * pass, replacing the declarative
+    * `aggregate(array_distinct(a), ..., least(size(filter(a, ·)),
+    * size(filter(b, ·))))` walk that re-scans both arrays per DISTINCT
+    * element in interpreted lambda dispatch — O(distinct·(|a|+|b|)),
+    * the eval_overlap_chargram dominator at 60-gram rows. NULL elements
+    * never match (the HOF's `x = w` NULL semantics: a NULL equality is
+    * filtered, contributing zero) — arrays from split/filter carry none.
+    */
+  def clipCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0) return 0L
+    // java.util.HashMap[_, Int]: an absent key's null value unboxes to
+    // 0 in Scala, which is exactly the zero-count semantics both loops
+    // want
+    val counts = new java.util.HashMap[UTF8String, Int](na * 2)
+    var i = 0
+    while (i < na) {
+      if (!a.isNullAt(i)) {
+        val w = a.getUTF8String(i)
+        counts.put(w, counts.get(w) + 1)
+      }
+      i += 1
+    }
+    var m = 0L
+    var j = 0
+    while (j < nb) {
+      if (!b.isNullAt(j)) {
+        val w = b.getUTF8String(j)
+        val c = counts.get(w)
+        if (c > 0) {
+          m += 1
+          counts.put(w, c - 1)
+        }
+      }
+      j += 1
+    }
+    m
+  }
+
   /** |A ∩ B| of two SORTED distinct long arrays by two-pointer merge —
     * O(|A|+|B|) with zero per-call allocation, vs the hash-set
     * `array_intersect` builds per pair. Callers sort once per document

@@ -200,6 +200,8 @@ object VectorFunctions {
       (e: Seq[Expression]) => HyperplaneBucket(e(0), intLit(e(1), "graft_hyperplane_bucket"))),
     "graft_intersect_count" -> (classOf[SortedIntersectCount],
       (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))),
+    "graft_clip_count" -> (classOf[ClipCount],
+      (e: Seq[Expression]) => ClipCount(e(0), e(1))),
     "graft_dist2" -> (classOf[SquaredDistance],
       (e: Seq[Expression]) => SquaredDistance(e(0), e(1))),
     "graft_dot" -> (classOf[DotProduct],
@@ -331,6 +333,7 @@ object VectorFunctions {
     "graft_winnow_r" -> Set(3), "graft_minhash_sig" -> Set(2),
     "graft_band_buckets" -> Set(3),
     "graft_hyperplane_bucket" -> Set(2), "graft_intersect_count" -> Set(2),
+    "graft_clip_count" -> Set(2),
     "graft_dist2" -> Set(2), "graft_dot" -> Set(2), "graft_pq_adc" -> Set(3),
     "graft_pq_adc_packed" -> Set(3), "graft_bloom_contains" -> Set(2),
     "graft_bloom_any" -> Set(2), "graft_ngrams" -> Set(2),

@@ -116,10 +116,15 @@ object AnswerScore {
   def canonDuck(c: String, grain: String): String =
     s"coalesce(array_to_string(${toksDuck(c, grain)}, ' '), '')"
 
-  /** Clipped multiset intersection of two bound token arrays (Spark
-    * HOF walk over the distinct prediction tokens).
+  /** Clipped multiset intersection of two bound token arrays — the
+    * declarative HOF walk over the distinct prediction tokens. Kept as
+    * the SPEC-PINNED parity baseline of the compiled `graft_clip_count`
+    * kernel the operators use since r20 (AnswerScoreSpec pins
+    * equality); the HOF form re-scans both arrays per distinct element
+    * in interpreted lambda dispatch — the eval_overlap_chargram
+    * dominator before the kernel.
     */
-  private def clipSpark(tp: String, tg: String): String =
+  private[graft] def clipSpark(tp: String, tg: String): String =
     s"aggregate(array_distinct($tp), cast(0 AS BIGINT), (acc, w) -> " +
       s"acc + least(size(filter($tp, x -> x = w)), " +
       s"size(filter($tg, x -> x = w))))"
@@ -139,7 +144,7 @@ object AnswerScore {
         s"'np', cast(size(__tp) AS BIGINT), " +
         s"'ng', cast(size(__tg) AS BIGINT), " +
         s"'em', cast(IF(__tp = __tg, 1000, 0) AS BIGINT), " +
-        s"'m', ${clipSpark("__tp", "__tg")})"
+        s"'m', graft_clip_count(__tp, __tg))"
     val stats = PortableHash.let1("__tp", toksSpark(pred, grain),
       PortableHash.let1("__tg", toksSpark(gold, grain), body))
     graft.functions.VectorFunctions.attach(df)
@@ -319,7 +324,7 @@ object AnswerScore {
           s"named_struct('n_order', cast($n AS BIGINT), " +
             s"'nc', cast(size(__cg) AS BIGINT), " +
             s"'ng', cast(size(__rg) AS BIGINT), " +
-            s"'m', ${clipSpark("__cg", "__rg")})"))
+            s"'m', graft_clip_count(__cg, __rg))"))
     }.mkString("array(", ", ", ")")
     val stats = PortableHash.let1("__c", stripped(cand),
       PortableHash.let1("__r", stripped(ref), items))
@@ -328,7 +333,8 @@ object AnswerScore {
     // so the stripped strings are never re-evaluated outside __a
     val over = s"(__a[0].nc + ${ns.head - 1} > $maxChars OR " +
       s"__a[0].ng + ${ns.head - 1} > $maxChars)"
-    df.select(col(id).as("qid"), expr(stats).as("__a"))
+    graft.functions.VectorFunctions.attach(df)
+      .select(col(id).as("qid"), expr(stats).as("__a"))
       .select(col("qid"),
         expr(s"cast(IF($over, 1, 0) AS BIGINT)").as("oversized"),
         explode(expr(s"IF($over, array(__a[0]), __a)")).as("r"))
@@ -513,7 +519,7 @@ object AnswerScore {
       s"named_struct('n_order', cast($n AS BIGINT), " +
         s"'nc', cast(size($tc) AS BIGINT), " +
         s"'ng', cast(size($tg) AS BIGINT), " +
-        s"'m', ${clipSpark(tc, tg)})"
+        s"'m', graft_clip_count($tc, $tg))"
     val body =
       PortableHash.let1("__c2", grams2("__tc"),
         PortableHash.let1("__g2", grams2("__tg"),

@@ -199,4 +199,27 @@ class AnswerScoreSpec extends SparkSpec {
       .collect().filter(_.getLong(2) == 1L).head
     assert(r.getLong(3) === 2L && r.getLong(5) === 1L)
   }
+
+  test("graft_clip_count kernel ≡ declarative clipped-walk baseline") {
+    // the r20 kernel the operators use vs the spec-pinned HOF form,
+    // over the divergence-prone classes: repeated tokens on either
+    // side, clipping in both directions, disjoint sets, one/both
+    // empty, unicode tokens, and a token that repeats past the other
+    // side's count
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val rows = Seq(
+      ("x y z", "x y w q"), ("x x x", "x y"), ("x y", "x x x"),
+      ("zzz qqq", "x y"), ("", "x"), ("x", ""), ("", ""),
+      ("日 本 語 日", "日 日 語"), ("a a b b b", "b b a a a"),
+      ("p q p q p", "q p q"))
+    val df = rows.zipWithIndex
+      .map { case ((c, g), i) => (i.toLong, c, g) }.toDF("id", "c", "g")
+      .selectExpr("id", "split(c, ' ') AS tc", "split(g, ' ') AS tg")
+      .selectExpr("id", "graft_clip_count(tc, tg) AS kernel",
+        s"${AnswerScore.clipSpark("tc", "tg")} AS hof")
+    df.collect().foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"kernel/HOF clip divergence on row ${r.getLong(0)}")
+    }
+  }
 }
