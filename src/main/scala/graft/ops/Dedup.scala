@@ -684,7 +684,6 @@ object Dedup {
                              bands: Int = 4, rowsPerBand: Int = 4,
                              k: Int = 3, iters: Int = 3,
                              wordGrain: String = "ws"): DataFrame = {
-    require(iters >= 1, s"minhashDedupComponents needs iters >= 1, got $iters")
     val fdf = graft.functions.VectorFunctions.attach(df)
     val bandRows = Par.floor(fdf.where(expr(shingleFloorPred(text, k, wordGrain))), col(id))
       .select(col(id).as("_did"),
@@ -693,18 +692,14 @@ object Dedup {
         posexplode(expr(s"graft_band_buckets(hs, $bands, $rowsPerBand)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .transform(Caches.lease(_))
-    // Iteration 1 unrolled (r20 optimization): the initial labels are
-    // the identity (label = _did), so joining them onto bandRows is a
-    // no-op — the first bucket-min reads bandRows directly, skipping
-    // the doc-grain distinct exchange AND the first label join (two
-    // stages of the old plan). Iterations 2+ are unchanged.
-    var labels = {
-      val bucketMin = bandRows
-        .groupBy(col("band"), col("bucket")).agg(min(col("_did")).as("bmin"))
-      bandRows.join(bucketMin, Seq("band", "bucket"))
-        .groupBy(col("_did")).agg(min(col("bmin")).as("label"))
-    }
-    (2 to iters).foreach { _ =>
+    // r20 note: unrolling the identity first iteration (bucket-min
+    // directly off the band rows, skipping the distinct + first label
+    // join) LOOKS like two saved stages but measured consistently
+    // SLOWER at sf0.1 (ProbeR20Census, 7 interleaved reps: ~1.45s old
+    // vs ~2.0s unrolled on the labels leg) — kept in the
+    // theoretically-redundant shape the measurements prefer.
+    var labels = bandRows.select(col("_did"), col("_did").as("label")).distinct()
+    (1 to iters).foreach { _ =>
       val bucketMin = bandRows.join(labels, Seq("_did"))
         .groupBy(col("band"), col("bucket")).agg(min(col("label")).as("bmin"))
       labels = bandRows.join(bucketMin, Seq("band", "bucket"))
