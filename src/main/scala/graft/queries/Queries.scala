@@ -2766,8 +2766,21 @@ object Queries {
     // word histogram (one corpus scan; every iteration after it is
     // metadata-scale over the bounded vocab). Argmax tie-breaks pinned
     // (count desc, pair asc) so both engines learn the identical table
+    // r20: the registered row now runs the documented SCALE path —
+    // learnMergesLocal (one distributed histogram exchange, then the
+    // vocabulary-bounded driver trainer; the SentencePiece/HF shape).
+    // BpeSpec pins it equal to the Spark iteration loop, which stays
+    // as the parity baseline; the Spark loop's 8 iterations were ~17
+    // eager checkpoint/argmax jobs of millisecond work (pure stage
+    // latency at any scale — the judge_bt class).
     QueryDef("text_bpe_learn",
-      (s, dir) => graft.ops.Bpe.learnMerges(t(s, dir, "documents"), "text"),
+      (s, dir) => {
+        val rows = graft.ops.Bpe.learnMergesLocal(
+          t(s, dir, "documents"), "text", k = 8)
+        val spark = s
+        import spark.implicits._
+        rows.toDF("rank", "a", "b", "pair_count")
+      },
       Some(graft.ops.Bpe.learnMergesSql("documents", "text"))),
 
     // the corpus DATACARD: volume, exact-dup rate, language share,
