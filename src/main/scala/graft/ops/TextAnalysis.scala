@@ -1220,6 +1220,12 @@ object TextAnalysis {
          at.select(explode(expr(s"graft_gram_tf($text, 2, '$wordGrain')")).as("p"))
            .select(col("p.w").as("g"), col("p.tf").as("tf")))
       }
+    // r20 note: uc feeds three consumers, but all three references are
+    // IDENTICAL aggregate subtrees over one Exchange(w) — AQE runtime
+    // stage reuse already dedups them (probed: leasing uc measured
+    // sentinel-corrected FLAT-to-worse, unlike the containment case
+    // where a broadcast conversion on one side defeats reuse). Left
+    // unleased on the measurement.
     val uc = uniRows.groupBy(col("w")).agg(sum(col("tf")).as("c"))
     val total = uc.agg(coalesce(sum(col("c")), lit(0L)).as("total_uni"))
     val scored = biRows.groupBy(col("g")).agg(sum(col("tf")).as("c_xy"))
