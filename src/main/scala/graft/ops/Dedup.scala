@@ -441,15 +441,17 @@ object Dedup {
     // gram DIGESTS, never gram text, cross the exchanges. md5 (128-bit)
     // deliberately: over ~10⁸ distinct grams a 64-bit hash carries real
     // collision odds, and a collision falsely strikes a clean span
-    // leased (r20): the span-digest frame feeds BOTH the duplicated-
-    // digest count and the coverage join — without the lease each
-    // reference re-runs the token kernel, the gram explode, and the
-    // md5 pass. Rows are (id, spos, 128-bit digest) — no text, the
-    // hammingKeepers lease class.
-    val grams = Caches.lease(fdf.select(col(id),
+    // r20 note: the span-digest frame feeds both the duplicated-digest
+    // count and the coverage join, but leasing it measured MIXED at
+    // sf0.1 (cjkdict leg regressed in the full-board run) — the
+    // coverage join's probe side computes the explode in-stage anyway,
+    // so the lease trades one duplicated row-local explode+md5 for
+    // cache serialization of the postings. Left unleased on the
+    // measurement (and the plan audit pins the lease-free AQE shape).
+    val grams = fdf.select(col(id),
       posexplode(expr(s"graft_ngrams($tokArr, $spanLen)"))
         .as(Seq("spos", "gram")))
-      .select(col(id), col("spos"), md5(col("gram")).as("gh")))
+      .select(col(id), col("spos"), md5(col("gram")).as("gh"))
     val dup = grams
       .groupBy(col("gh")).agg(count(lit(1)).as("c"))
       .where(col("c") > maxFreq)
