@@ -317,28 +317,35 @@ object TextAnalysis {
     // containment 1.0 (pre-guard counts would silently deflate it). The
     // second window keys on d — one postings-sized exchange of longs.
     //
-    // The guarded postings are LEASED (r20 optimization): the frame is
-    // consumed twice by the self-join below (plus a third time by
-    // containmentDedup's survivor anti-join pushed under a caller's
-    // union), and without the lease EACH reference recomputes the
-    // fingerprint scan and both windows — the formatted plan showed four
-    // full winnow+window chains on dedup_containment_cjkdict, and AQE's
-    // broadcast conversion of one join side defeats ReusedExchange (the
-    // two sides are different exchange node types, so runtime stage
-    // dedup never fires). Measured at sf0.1 (ProbeR20Opt, median of 5
-    // interleaved reps): 6.0s shipped vs 3.3s leased; forcing a
-    // shuffle-hash self-join instead (exchange-reuse shape) only reached
-    // 5.0s. Scale shape: the lease follows the [[Dedup.hammingKeepers]]
+    // The guarded postings are LEASED on KERNEL grains (r20
+    // optimization): the frame is consumed twice by the self-join below
+    // (plus a third time by containmentDedup's survivor anti-join
+    // pushed under a caller's union), and without the lease EACH
+    // reference recomputes the fingerprint scan and both windows — the
+    // formatted plan showed four full winnow+window chains on
+    // dedup_containment_cjkdict, and AQE's broadcast conversion of one
+    // join side defeats ReusedExchange (the two sides are different
+    // exchange node types, so runtime stage dedup never fires).
+    // Measured at sf0.1 (ProbeR20Opt, median of 5 interleaved reps):
+    // 6.0s shipped vs 3.3s leased on the cjk-dict leg; forcing a
+    // shuffle-hash self-join instead (exchange-reuse shape) only
+    // reached 5.0s. On the WS grain the trade INVERTS (ProbeR20Ws, 6
+    // interleaved reps: ~1.7s unleased vs ~2.4s leased — a space-split
+    // recompute is cheaper than the cache serialization), so the lease
+    // is conditional on the tokenize being a kernel (cjk-auto / dict).
+    // Scale shape: the lease follows the [[Dedup.hammingKeepers]]
     // precedent — a NARROW corpus-grain digest frame (three longs per
     // posting, text never cached), maxPostings-guarded, spilling to disk
     // at MEMORY_AND_DISK; its recompute chain is two exchanges + the
     // kernel fingerprint scan, which is exactly the "more expensive than
     // the memory pressure" case, not a cheap columnar re-scan.
-    val bounded = Caches.lease(posts.withColumn("cnt",
+    val boundedRaw = posts.withColumn("cnt",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
       .where(col("cnt") <= maxPostings).drop("cnt")
       .withColumn("n_fp",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("d")))))
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("d"))))
+    val bounded =
+      if (wordGrain == "ws") boundedRaw else Caches.lease(boundedRaw)
     // containment = shared / min(|A|, |B|): 1.0 when one doc's selected
     // fingerprints all appear in the other — the asymmetric-copy signal
     // (a quote inside a long doc) that symmetric Jaccard-style ratios
