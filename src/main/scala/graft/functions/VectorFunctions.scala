@@ -228,6 +228,9 @@ object VectorFunctions {
       (e: Seq[Expression]) => FingerprintWords(e(0))),
     "graft_topk" -> (classOf[TopKAgg],
       (e: Seq[Expression]) => TopKAgg(e(0), e(1), intLit(e(2), "graft_topk"))),
+    "graft_topk_words" -> (classOf[TopKWordsAgg],
+      (e: Seq[Expression]) => TopKWordsAgg(e(0), e(1), e(2),
+        intLit(e(3), "graft_topk_words"))),
     "graft_token_count" -> (classOf[TokenCount],
       (e: Seq[Expression]) => TokenCount(e(0))),
     "graft_bpe_count" -> (classOf[BpeCount],
@@ -341,6 +344,7 @@ object VectorFunctions {
     "graft_pack_i8" -> Set(1), "graft_cosine_i8" -> Set(2),
     "graft_simhash" -> Set(2),
     "graft_fingerprint" -> Set(1), "graft_topk" -> Set(3),
+    "graft_topk_words" -> Set(4),
     "graft_token_count" -> Set(1),
     "graft_bpe_count" -> Set(1), "graft_bpe_tokens" -> Set(1),
     "graft_bpe_token_ends" -> Set(1), "graft_count_le" -> Set(2),

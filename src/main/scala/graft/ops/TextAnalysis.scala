@@ -2086,6 +2086,38 @@ object TextAnalysis {
         .groupBy(col(id), col("w")).agg(sum(col("tf")).as("tf")))
     val dfreq = terms.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // r20: per-doc top-k rides the bounded-heap graft_topk_words
+    // aggregate instead of a row_number window — the window shuffled
+    // and SORTED every (doc, term) row to the doc's reducer; the heap
+    // partial-aggregates map-side to ≤ k rows per doc per task (the
+    // topkByQuery argument at keyword grain). Total order identical:
+    // score DESC, w ASC — UTF8 binary on both engines (the window
+    // formulation stays pinned as OpsSpec's parity baseline).
+    terms.join(dfreq, Seq("w"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_milli", expr("tf * ((1000000 * n_docs) div df)"))
+      .groupBy(col(id))
+      .agg(expr(s"graft_topk_words(score_milli, w, tf, $k)").as("top"))
+      .select(col(id), posexplode(col("top")))
+      .select(col(id), col("col.w").as("keyword"), col("col.tf").as("tf"),
+        col("col.score").as("score_milli"), (col("pos") + 1).as("rank"))
+  }
+
+  /** The row_number-window formulation of [[tfidfKeywords]]' ranking —
+    * the SPEC-PINNED parity baseline of the `graft_topk_words` heap
+    * (OpsSpec pins equality; the oracle replays this shape in SQL).
+    */
+  private[graft] def tfidfKeywordsWindow(docs: DataFrame, id: String,
+                                         text: String, k: Int,
+                                         wordGrain: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    requireWordGrain(wordGrain)
+    val terms = graft.functions.VectorFunctions.attach(docs)
+      .select(col(id), explode(expr(s"graft_term_tf($text, '$wordGrain')")).as("p"))
+      .select(col(id), col("p.w").as("w"), col("p.tf").as("tf"))
+      .groupBy(col(id), col("w")).agg(sum(col("tf")).as("tf"))
+    val dfreq = terms.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val win = Window.partitionBy(col(id))
       .orderBy(col("score_milli").desc, col("w").asc)
     terms.join(dfreq, Seq("w"))
