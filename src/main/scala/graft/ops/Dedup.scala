@@ -1018,7 +1018,12 @@ object Dedup {
     // sketch and the exact join) — lease them so the upstream text
     // hashing runs once per side (r20; narrow id+digest rows, the
     // hammingKeepers class; antiJoin documents "an already-materialized
-    // big pays nothing extra" as the caller's job)
+    // big pays nothing extra" as the caller's job).
+    // Cached-bytes bound at the 100 TB reference point: one (id, md5)
+    // row ≈ 48 B per DOCUMENT (not per token) — ~5 TB cluster-wide for
+    // a 100B-doc corpus, MEMORY_AND_DISK, vs re-hashing 100 TB of text
+    // per consumer; the corpus-grain stretch of the metadata-lease rule
+    // is deliberate and bounded by the doc count, never the text.
     val newH = Caches.lease(newSnap.select(col(id), md5(col(text)).as("h")))
     val priorH = Caches.lease(prior.select(md5(col(text)).as("prior_h")))
     BloomJoin.antiJoin(newH, priorH, "h", "prior_h", expectedPrior, fpp)

@@ -131,8 +131,11 @@ object Judge {
     * Arithmetic is bit-identical to the Spark form (and the DuckDB
     * twin): every sum is an integer sum over Longs (order-independent),
     * every division non-negative, so Scala `/` ≡ Spark `div` ≡ DuckDB
-    * `//`. Returns (models in directed order, hw_total, final w,
-    * previous-iteration w) plus the model column's type.
+    * `//` — and every product/sum that could cross 2^63 at corpus
+    * scale rides `Math.multiplyExact`/`addExact` (r21), preserving the
+    * ANSI-mode fail-loud contract the old Spark form had. Returns
+    * (models in directed order, hw_total, final w, previous-iteration
+    * w) plus the model column's type.
     */
   /** @return (models in first-seen pair order, w at iteration
     *         `iters - 1`, w at iteration `iters`, model column type) */
@@ -150,9 +153,15 @@ object Judge {
       adj.getOrElseUpdate(lo,
         scala.collection.mutable.ArrayBuffer.empty) += ((hi, n, loHw))
       adj.getOrElseUpdate(hi,
-        scala.collection.mutable.ArrayBuffer.empty) += ((lo, n, n * 2 - loHw))
+        scala.collection.mutable.ArrayBuffer.empty) += ((lo, n, Math.subtractExact(Math.multiplyExact(n, 2L), loHw)))
     }
-    val hwTotal = adj.map { case (m, es) => m -> es.iterator.map(_._3).sum }
+    // exact arithmetic throughout the ladder (r21): the old ANSI-mode
+    // Spark form failed loud on overflow; Scala Long `*`/`+` wrap
+    // silently — at 100 TB (n_matches·2e9, halfwin totals·1e9 cross
+    // 2^63 around ~4.6e9 matches per pair / ~9.2e9 halfwins per model)
+    // a wrapped weight would be a silently-garbage ranking
+    val hwTotal = adj.map { case (m, es) =>
+      m -> es.iterator.map(_._3).foldLeft(0L)(Math.addExact) }
     // start: every model at 1000 milli; one MM step:
     // term = n·2·1e9 div (w_m + w_opp) — n_matches in whole matches,
     // halfwin totals in halves, the 2× keeps the units aligned —
@@ -166,9 +175,10 @@ object Judge {
         val wm = cur(m)
         var denom = 0L
         es.foreach { case (opp, n, _) =>
-          denom += n * 2000000000L / math.max(wm + cur(opp), 1L)
+          denom = Math.addExact(denom,
+            Math.multiplyExact(n, 2000000000L) / math.max(Math.addExact(wm, cur(opp)), 1L))
         }
-        m -> hwTotal(m) * 1000000000L / math.max(denom, 1L)
+        m -> Math.multiplyExact(hwTotal(m), 1000000000L) / math.max(denom, 1L)
       }
     }
     (adj.keys.toSeq, prev, w, mType)

@@ -170,6 +170,36 @@ object Pq {
     Similarity.topkByQuery(scored, k)
   }
 
+  /** [[pqEncode]] over an already-ASSIGNED frame (v_id, vec, cluster),
+    * carrying `cluster` through both aggregates as a group key —
+    * cluster is functionally dependent on v_id, so the keys' grain is
+    * unchanged and the output rows equal `pqEncode ⋈ (v_id → cluster)`
+    * exactly (PqIndexSpec pins it). WHY (r21, guide §2.4): the join
+    * form re-shuffled the assigned frame by v_id and sorted both sides
+    * purely to re-attach a column that was already ON the input rows —
+    * one whole exchange + SMJ removed from every clustered index build.
+    */
+  private[graft] def pqEncodeAssigned(assigned: DataFrame, cent: DataFrame,
+                                    m: Int, w: Int): DataFrame = {
+    val b = assigned
+      .select(col("v_id"), col("cluster"),
+        explode(expr(s"sequence(0, ${m - 1})")).as("sub"), col("vec"))
+      .select(col("v_id"), col("cluster"), col("sub"),
+        expr(s"transform(slice(vec, sub * $w + 1, $w), x -> cast(x AS DOUBLE))").as("svec"))
+    val centB = broadcast(cent.withColumn("c2", expr("graft_dot(c_vec, c_vec)")))
+    b.join(centB, Seq("sub"))
+      .withColumn("d2", round(expr("graft_dist2(svec, c_vec)"), 6))
+      .groupBy(col("sub"), col("v_id"), col("cluster"))
+      .agg(min_by(struct(col("cent_id"), col("c2")),
+        struct(col("d2"), col("cent_id"))).as("m"))
+      .groupBy(col("v_id"), col("cluster"))
+      .agg(
+        array_sort(collect_list(struct(col("sub"), col("m.cent_id").as("code")))).as("cs"),
+        sum(col("m.c2").cast("decimal(28,12)")).cast("double").as("xn2"))
+      .select(col("v_id"), expr("transform(cs, x -> x.code)").as("codes"),
+        col("xn2"), col("cluster"))
+  }
+
   /** [[pqEncode]] with the code word BYTE-PACKED (`graft_pack_i8` —
     * kSub ≤ 256): (v_id, qcodes BINARY, xn2). The at-rest search payload
     * becomes literally m bytes + 8 per vector.
@@ -281,7 +311,7 @@ object Pq {
     val ccn = coarseWithNorms(coarse)
     val resid = residualFrame(assigned, ccn).transform(Caches.lease(_))
     val cent = pqCentroids(resid, "v_id", "rvec", dim, m, kSub, iters)
-    val enc = residualEncode(resid, assigned, ccn, cent, m, w)
+    val enc = residualEncode(resid, ccn, cent, m, w)
     val queries = assigned.where(queryPred).select(col("v_id"), col("vec"))
     val qrows = broadcast(
       residualProbes(queries, coarse, ccn, nprobe)
@@ -304,8 +334,17 @@ object Pq {
     * that centroid's |c|² and its dot with the cluster's coarse
     * subvector so the reconstruction norm |c + r̂|² assembles exactly.
     * Returns (v_id, cluster, codes, xn2).
+    *
+    * `cluster` rides in from `resid` itself ([[residualFrame]] already
+    * carries it) through both aggregates as a group key — cluster is
+    * functionally dependent on v_id, so the grain is unchanged. WHY
+    * (r21, guide §2.4): the old `⋈ assigned(v_id → cluster)` join
+    * re-shuffled the subspace rows by v_id and sorted both sides purely
+    * to re-attach a column the input already had — one exchange + SMJ
+    * gone from every residual build (PqIndexSpec pins append ≡ rebuild
+    * over this path; cross-engine values pinned by the oracle twins).
     */
-  private[ops] def residualEncode(resid: DataFrame, assigned: DataFrame,
+  private[ops] def residualEncode(resid: DataFrame,
                                   ccn: DataFrame, cent: DataFrame,
                                   m: Int, w: Int): DataFrame = {
     val coarseSub = broadcast(ccn
@@ -314,22 +353,25 @@ object Pq {
       .select(col("cluster"), col("cc2"), col("sub"),
         expr(s"slice(c_vec, sub * $w + 1, $w)").as("cs_vec")))
     val centB = broadcast(cent.withColumn("c2", expr("graft_dot(c_vec, c_vec)")))
-    subFrame(base(resid, "v_id", "rvec"), m, w)
-      .join(assigned.select(col("v_id"), col("cluster")), Seq("v_id"))
+    resid
+      .select(col("v_id"), col("cluster"),
+        explode(expr(s"sequence(0, ${m - 1})")).as("sub"), col("rvec"))
+      .select(col("v_id"), col("cluster"), col("sub"),
+        expr(s"transform(slice(rvec, sub * $w + 1, $w), x -> cast(x AS DOUBLE))").as("svec"))
       .join(centB, Seq("sub"))
       .join(coarseSub, Seq("cluster", "sub"))
       .withColumn("d2", round(expr("graft_dist2(svec, c_vec)"), 6))
       .withColumn("dotcs", expr("graft_dot(cs_vec, c_vec)"))
-      .groupBy(col("sub"), col("v_id"))
+      .groupBy(col("sub"), col("v_id"), col("cluster"))
       .agg(min_by(struct(col("cent_id"), col("c2"), col("dotcs")),
         struct(col("d2"), col("cent_id"))).as("m"),
-        max(col("cluster")).as("cluster"), max(col("cc2")).as("cc2"))
-      .groupBy(col("v_id"))
+        max(col("cc2")).as("cc2"))
+      .groupBy(col("v_id"), col("cluster"))
       .agg(
         array_sort(collect_list(struct(col("sub"), col("m.cent_id").as("code")))).as("cs"),
         sum(col("m.c2").cast("decimal(28,12)")).cast("double").as("sumc2"),
         sum(col("m.dotcs").cast("decimal(28,12)")).cast("double").as("sumdot"),
-        max(col("cluster")).as("cluster"), max(col("cc2")).as("cc2"))
+        max(col("cc2")).as("cc2"))
       .select(col("v_id"), col("cluster"),
         expr("transform(cs, x -> x.code)").as("codes"),
         (col("cc2") + lit(2.0) * col("sumdot") + col("sumc2")).as("xn2"))

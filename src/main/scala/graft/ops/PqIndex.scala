@@ -157,13 +157,15 @@ object PqIndex {
     coarse.write.mode("overwrite").parquet(s"$path/coarse")
     val b = graft.functions.VectorFunctions.attach(corpus)
       .select(col(idCol).as("v_id"), col(vecCol).as("vec"))
+    // assigned feeds only residualFrame since residualEncode reads
+    // cluster off `resid` itself (r21) — a single-consumer lease would
+    // be pure cache-serialization overhead, so only `resid` leases
     val assigned = Similarity.assignClusters(b, broadcast(coarse))
-      .transform(Caches.lease(_))
     val ccn = Pq.coarseWithNorms(broadcast(coarse))
     val resid = Pq.residualFrame(assigned, ccn).transform(Caches.lease(_))
     val cent = Pq.pqCentroids(resid, "v_id", "rvec", dim, m, kSub, iters)
     cent.write.mode("overwrite").parquet(s"$path/codebooks")
-    Pq.residualEncode(resid, assigned, ccn, cent, m, w)
+    Pq.residualEncode(resid, ccn, cent, m, w)
       .select(col("v_id"), col("codes"),
         expr("graft_pack_i8(codes)").as("qcodes"), col("xn2"), col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes")
@@ -190,13 +192,17 @@ object PqIndex {
       .select(col(queries.columns.head).as("v_id"),
         col(queries.columns(1)).as("vec"))
     val probed = Pq.residualProbes(q, coarse, ccn, nprobe)
-    // metadata-sized collect (≤ queries × nprobe ints): literal cluster
-    // ids let the codes scan directory-prune (a join could not)
-    val probedClusters = probed.select(col("cluster")).distinct()
-      .collect().map(_.getLong(0))
+    // ONE metadata-sized collect of the broadcast-bound (probe ⋈ LUT)
+    // rows (r21, see searchTopK): literal cluster ids for directory
+    // pruning + a LocalTableScan broadcast side from a single action
+    val qrowsPlan = probed.join(Pq.queryLutsFor(q, cent, m, kSub, w), Seq("q_id"))
+    val qrowsLocal = qrowsPlan.collect()
+    val ci = qrowsPlan.schema.fieldIndex("cluster")
+    val probedClusters = qrowsLocal.map(_.getLong(ci)).distinct.toSeq
     val codes = spark.read.parquet(s"$path/codes")
       .where(col("cluster").isin(probedClusters: _*))
-    val qrows = broadcast(probed.join(Pq.queryLutsFor(q, cent, m, kSub, w), Seq("q_id")))
+    val qrows = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(qrowsLocal: _*), qrowsPlan.schema))
     Similarity.topkByQuery(Pq.residualScore(codes, qrows, kSub, packed), k)
   }
 
@@ -231,11 +237,13 @@ object PqIndex {
     val w = mw.getInt(1)
     val b = graft.functions.VectorFunctions.attach(newVectors)
       .select(col(idCol).as("v_id"), col(vecCol).as("vec"))
+    // with frozen codebooks nothing here is consumed twice (no retrain
+    // reads resid; residualEncode reads cluster off resid itself, r21)
+    // — the append is one straight-line encode, zero leases
     val assigned = Similarity.assignClusters(b, coarse)
-      .transform(Caches.lease(_))
     val ccn = Pq.coarseWithNorms(coarse)
-    val resid = Pq.residualFrame(assigned, ccn).transform(Caches.lease(_))
-    Pq.residualEncode(resid, assigned, ccn, cent, m, w)
+    val resid = Pq.residualFrame(assigned, ccn)
+    Pq.residualEncode(resid, ccn, cent, m, w)
       .select(col("v_id"), col("codes"),
         expr("graft_pack_i8(codes)").as("qcodes"), col("xn2"), col("cluster"))
       .write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
@@ -279,13 +287,17 @@ object PqIndex {
       .groupBy(col("q_id"))
       .agg(expr(s"graft_topk(csim, cent_id, $nprobe)").as("top"))
       .select(col("q_id"), explode(col("top.c_id")).as("cluster"))
-    // metadata-sized collect (≤ queries × nprobe ints): literal cluster
-    // ids let the vectors scan directory-prune (a join could not)
-    val probedClusters = probes.select(col("cluster")).distinct()
-      .collect().map(_.getLong(0))
+    // ONE metadata-sized collect of the broadcast-bound (probe ⋈ query)
+    // rows (r21, see searchTopK): literal cluster ids for directory
+    // pruning + a LocalTableScan broadcast side from a single action
+    val qrowsPlan = probes.join(q, Seq("q_id"))
+    val qrowsLocal = qrowsPlan.collect()
+    val ci = qrowsPlan.schema.fieldIndex("cluster")
+    val probedClusters = qrowsLocal.map(_.getLong(ci)).distinct.toSeq
     val vecs = spark.read.parquet(s"$path/vectors")
       .where(col("cluster").isin(probedClusters: _*))
-    val qrows = broadcast(probes.join(q, Seq("q_id")))
+    val qrows = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(qrowsLocal: _*), qrowsPlan.schema))
     Similarity.topkByQuery(
       qrows.join(vecs.select(col("v_id").as("c_id"), col("vec").as("c_vec"),
           col("cluster")), Seq("cluster"))
@@ -338,8 +350,11 @@ object PqIndex {
     // saves the re-scan
     val cent = Pq.pqCentroids(assigned, "v_id", "vec", dim, m, kSub, iters)
     cent.write.mode("overwrite").parquet(s"$path/codebooks")
-    Pq.pqEncode(assigned, "v_id", "vec", cent, m, w)
-      .join(assigned.select(col("v_id"), col("cluster")), Seq("v_id"))
+    // cluster rides the encode's group keys (r21) — the old
+    // `pqEncode ⋈ assigned(v_id → cluster)` re-shuffled and sorted the
+    // corpus-grain code rows purely to re-attach a column the input
+    // already carried; PqIndexSpec pins the two forms equal
+    Pq.pqEncodeAssigned(assigned, cent, m, w)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes")
   }
 
@@ -364,13 +379,21 @@ object PqIndex {
       .groupBy(col("v_id"))
       .agg(expr(s"graft_topk(csim, cent_id, $nprobe)").as("top"))
       .select(col("v_id").as("q_id"), explode(col("top.c_id")).as("cluster"))
-    // metadata-sized collect: the probed cluster ids become LITERALS so
-    // the codes scan partition-prunes (a join could not prune files)
-    val probedClusters = probes.select(col("cluster")).distinct()
-      .collect().map(_.getLong(0))
+    // ONE metadata-sized collect (r21, guide §1/§2): the broadcast-bound
+    // (probe ⋈ LUT) rows — ≤ |queries| × nprobe rows of (ids + m·kSub
+    // doubles), exactly what the broadcast already pulled to the driver
+    // — yield BOTH the literal cluster ids for partition pruning and a
+    // LocalTableScan broadcast side. The old shape ran the probe
+    // crossJoin+agg subtree TWICE (once for the distinct-cluster
+    // collect, once inside the broadcast build).
+    val qrowsPlan = probes.join(Pq.queryLutsFor(q, cent, m, kSub, w), Seq("q_id"))
+    val qrowsLocal = qrowsPlan.collect()
+    val ci = qrowsPlan.schema.fieldIndex("cluster")
+    val probedClusters = qrowsLocal.map(_.getLong(ci)).distinct.toSeq
     val codes = spark.read.parquet(s"$path/codes")
       .where(col("cluster").isin(probedClusters: _*))
-    val qrows = broadcast(probes.join(Pq.queryLutsFor(q, cent, m, kSub, w), Seq("q_id")))
+    val qrows = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(qrowsLocal: _*), qrowsPlan.schema))
     val scored = codes.join(qrows, Seq("cluster"))
       .where(col("q_id") =!= col("v_id"))
       .withColumn("sim", Pq.normSim(expr(s"graft_pq_adc(codes, flat, $kSub)")))

@@ -251,7 +251,7 @@ object Similarity {
     * the one exchange carries a single (v_id, vec, cluster) row per
     * corpus vector — never the corpus × centroids product.
     */
-  private[ops] def assignClusters(base: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def assignClusters(base: DataFrame, cent: DataFrame): DataFrame =
     base.crossJoin(broadcast(cent))
       .withColumn("csim", round(expr(nativeCosine("vec", "c_vec")), 6))
       .groupBy(col("v_id"))

@@ -339,6 +339,16 @@ object TextAnalysis {
     // at MEMORY_AND_DISK; its recompute chain is two exchanges + the
     // kernel fingerprint scan, which is exactly the "more expensive than
     // the memory pressure" case, not a cheap columnar re-scan.
+    // Cached-bytes bound at the 100 TB reference point: postings ≈
+    // one fingerprint per w-word window survivor ≈ n_words/w rows of
+    // (d, fp, n_fp) = 3 longs ≈ 24 B; a 100 TB / ~15T-word corpus at
+    // w=25 caches ≤ ~15 TB cluster-wide (MEMORY_AND_DISK spill, a few
+    // GB per executor on a 1000-node fleet) — heavy but bounded, and
+    // strictly smaller than the recompute it replaces; maxPostings
+    // bounds any one fingerprint's hot partition, not the total.
+    // NOTE for new grains: the ws inversion means any grain added to
+    // requireWordGrain must choose its branch here by probe, not
+    // default into the lease.
     val boundedRaw = posts.withColumn("cnt",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
       .where(col("cnt") <= maxPostings).drop("cnt")

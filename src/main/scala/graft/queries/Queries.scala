@@ -284,6 +284,32 @@ object Queries {
     * planted space-free phrase of multi-codepoint [[graft.ops.ThLexicon]]
     * words the FMM grain must return whole (ประเทศไทย = 9 codepoints).
     */
+  /** The fixture-transformed documents frame each tfidf variant ranks,
+    * keyed by query name — shared between the QueryDef registrations
+    * and `tools/ProbeR21Tfidf`, so the probe's window-form "before"
+    * plans carry the exact scan + fixture projection the registered
+    * heap-form queries do (a plan diff that shows ONLY window → heap).
+    */
+  private[graft] val tfidfVariantGrain: Map[String, String] = Map(
+    "text_tfidf_keywords" -> "ws",
+    "text_tfidf_keywords_cjk" -> "cjk-auto",
+    "text_tfidf_keywords_cjkdict" -> "cjk-dict",
+    "text_tfidf_keywords_thaidict" -> "thai-dict")
+
+  private[graft] def tfidfVariantDocs(variant: String)(
+      s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    variant match {
+      case "text_tfidf_keywords" => docs
+      case "text_tfidf_keywords_cjk" =>
+        docs.withColumn("text", expr(zhFixtureSpark))
+      case "text_tfidf_keywords_cjkdict" =>
+        docs.withColumn("text", expr(zhDictFixtureSpark))
+      case "text_tfidf_keywords_thaidict" =>
+        docs.withColumn("text", expr(thDictFixtureSpark))
+    }
+  }
+
   private val th26: String = "กขคงจชญดตถทนบปผฝพฟมยรลวสหอ"
   private val thDictPlant: String =
     "ประเทศไทยมีภาษาไทยและอาหารอร่อยมากเราชอบกินข้าวและว่ายน้ำ"
@@ -4009,7 +4035,8 @@ object Queries {
     // by second keyed agg, term-keyed join + per-doc window (all keyed
     // exchanges, df joined never broadcast)
     QueryDef("text_tfidf_keywords",
-      (s, dir) => TextAnalysis.tfidfKeywords(t(s, dir, "documents"),
+      (s, dir) => TextAnalysis.tfidfKeywords(
+        tfidfVariantDocs("text_tfidf_keywords")(s, dir),
         "doc_id", "text", k = 3),
       Some(TextAnalysis.tfidfKeywordsSql("documents", "doc_id", "text", k = 3))),
 
@@ -4020,7 +4047,7 @@ object Queries {
     // the untranslated 2/3 of the corpus keeps its ws keywords
     QueryDef("text_tfidf_keywords_cjk",
       (s, dir) => TextAnalysis.tfidfKeywords(
-        t(s, dir, "documents").withColumn("text", expr(zhFixtureSpark)),
+        tfidfVariantDocs("text_tfidf_keywords_cjk")(s, dir),
         "doc_id", "text", k = 3, wordGrain = "cjk-auto"),
       Some(TextAnalysis.tfidfKeywordsSql(
         s"(SELECT doc_id, $zhFixtureDuck AS text FROM documents)",
@@ -4034,9 +4061,7 @@ object Queries {
     // keeps the cursor recursion an oracle-side triviality
     QueryDef("text_tfidf_keywords_cjkdict",
       (s, dir) => TextAnalysis.tfidfKeywords(
-        t(s, dir, "documents").withColumn("text", expr(
-          s"IF(doc_id % 3 = 0, concat(replace(translate(translate(substring(text, 1, 120), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), " +
-            s"'abcdefghijklmnopqrstuvwxyz', '$han26'), ' ', ''), '$zhDictPlant'), text)")),
+        tfidfVariantDocs("text_tfidf_keywords_cjkdict")(s, dir),
         "doc_id", "text", k = 3, wordGrain = "cjk-dict"),
       Some(TextAnalysis.tfidfKeywordsSql(
         s"(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN " +
@@ -4861,7 +4886,7 @@ object Queries {
     // letter soup (Thai combining vowels rank as "keywords")
     QueryDef("text_tfidf_keywords_thaidict",
       (s, dir) => TextAnalysis.tfidfKeywords(
-        t(s, dir, "documents").withColumn("text", expr(thDictFixtureSpark)),
+        tfidfVariantDocs("text_tfidf_keywords_thaidict")(s, dir),
         "doc_id", "text", k = 3, wordGrain = "thai-dict"),
       Some(TextAnalysis.tfidfKeywordsSql(
         s"(SELECT doc_id, $thDictFixtureDuck AS text FROM documents)",

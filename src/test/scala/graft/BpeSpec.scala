@@ -108,6 +108,17 @@ class BpeSpec extends SparkSpec {
     assert(graft.ops.Bpe.learnMergesLocal(
       Seq((1L, "ab")).toDF("doc_id", "text"), "text", k = 3)
       .map(m => (m._1, m._2, m._3)) === Seq((1, "a", "b")))
+    // the maxVocab guard fails LOUD (r21): a histogram bigger than the
+    // declared driver budget must name the minFreq knob, not train on
+    // a silently-truncated vocabulary or wander into an OOM
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Bpe.learnMergesLocal(docs, "text", k = 2, maxVocab = 3)
+    }
+    assert(e.getMessage.contains("maxVocab") && e.getMessage.contains("minFreq"))
+    // ... and minFreq prunes BEFORE the guard counts: the same cap
+    // passes when the tail is pruned away (4 docs share only 'the')
+    assert(graft.ops.Bpe.learnMergesLocal(docs, "text", k = 2,
+      minFreq = 3L, maxVocab = 3).nonEmpty)
   }
 
   test("merge learning stops early when no eligible pair remains") {

@@ -881,4 +881,39 @@ class OpsSpec extends SparkSpec {
     assert(m(1L) === ((4L, 12L, 900L, 11L, -100L, 1000L)))
     assert(m(2L) === ((1L, 20L, -5L, 20L, -5L, 0L)))
   }
+
+  test("tfidfKeywords: graft_topk_words heap ≡ row_number window (tie-heavy, unicode, k > terms, dup doc ids)") {
+    // the r20 heap migration's parity pin: the bounded-heap aggregate
+    // must reproduce ORDER BY score DESC, w ASC LIMIT k bit-for-bit.
+    // Fixture stresses exactly the orderings that could diverge:
+    //  - docs 1/2: every term has IDENTICAL tf and df → equal scores,
+    //    rank decided purely by the w ASC tie-break (UTF8 binary);
+    //  - multi-byte terms interleaved with ASCII (binary order puts
+    //    ASCII before CJK — é (2 bytes) between them);
+    //  - doc 3 has fewer distinct terms than k → short result;
+    //  - doc 4 appears TWICE (dup doc id) → tf must merge per GROUP BY
+    //    before ranking, same as the oracle's grouped twin.
+    val docs = Seq(
+      (1L, "zebra apple mango 中文 émigré"),
+      (2L, "émigré 中文 mango apple zebra"),
+      (3L, "solo"),
+      (4L, "alpha beta alpha"),
+      (4L, "beta beta gamma")).toDF("doc_id", "text")
+    for (grain <- Seq("ws", "cjk-auto")) {
+      val heap = TextAnalysis.tfidfKeywords(docs, "doc_id", "text",
+          k = 4, wordGrain = grain)
+        .orderBy($"doc_id", $"rank")
+        .collect().map(_.toSeq).toSeq
+      val win = TextAnalysis.tfidfKeywordsWindow(docs, "doc_id", "text",
+          k = 4, wordGrain = grain)
+        .orderBy($"doc_id", $"rank")
+        .collect().map(_.toSeq).toSeq
+      assert(heap === win, s"heap/window divergence at grain $grain")
+      // the tie-heavy docs really exercised the w ASC tie-break: all
+      // five terms score equally, so rank order IS binary word order
+      val d1 = heap.filter(_.head == 1L).map(_(1).asInstanceOf[String])
+      assert(d1 === d1.sorted, s"doc 1 must rank by UTF8-binary w: $d1")
+      assert(heap.count(_.head == 3L) === 1, "doc 3 has 1 term < k = 4")
+    }
+  }
 }

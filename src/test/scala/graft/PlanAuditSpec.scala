@@ -607,10 +607,14 @@ class PlanAuditSpec extends SparkSpec {
 
   test("pipeline_embed_index: steady state scans documents ONCE (query chunks); codes are directory-pruned index reads") {
     val p = formatted("pipeline_embed_index")
-    // the corpus feeds the plan exactly once — the query-vector
-    // derivation; the indexed side comes from the at-rest files
-    assert(count(p, "Location[^\\n]*documents\\.parquet") == 1,
-      s"chunk+embed must be ONE corpus scan:\n$p")
+    // r21: the query-vector derivation (the only corpus scan) runs once
+    // in the single probe+LUT collect — the steady-state scoring plan
+    // itself reads NO corpus at all: codes scan × a LocalTableScan
+    // broadcast of the collected (probe ⋈ LUT) rows
+    assert(count(p, "Location[^\\n]*documents\\.parquet") == 0,
+      s"the scoring plan must read only the index, never the corpus:\n$p")
+    assert(p.contains("LocalTableScan"),
+      s"the broadcast side must be the collected probe+LUT rows:\n$p")
     assert(count(p, "Location[^\\n]*graft_embpipe") >= 1,
       s"the candidate side must read the persisted index, not recompute:\n$p")
     // the probed clusters become partition filters on the codes layout
@@ -906,17 +910,22 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("text_tfidf_keywords: pair-kernel grain + heap-bounded per-doc top-k") {
-    for (q <- Seq("text_tfidf_keywords", "text_tfidf_keywords_cjk")) {
+    for (q <- Seq("text_tfidf_keywords", "text_tfidf_keywords_cjk",
+                  "text_tfidf_keywords_cjkdict", "text_tfidf_keywords_thaidict")) {
       val p = plan(q)
-      // the per-doc rank<=k filter must push a WindowGroupLimit BELOW
-      // the window exchange (partial) — without it every (doc, term)
-      // row is sorted through the window at full corpus width, the
-      // difference between a bounded heap and a global-ish sort at
-      // 100 TB. Two occurrences = partial (pre-exchange) + final.
-      assert(count(p, "WindowGroupLimit") >= 2,
-        s"$q: rank<=k must keep partial+final WindowGroupLimit:\n$p")
+      // r20/r21: per-doc top-k rides the graft_topk_words bounded-heap
+      // aggregate — partial (map-side, ≤ k rows per doc per task) +
+      // final merge, so the per-doc exchange carries heaps, never the
+      // full (doc, term) stream a row_number window would shuffle AND
+      // sort. Two occurrences = partial + final aggregate modes.
+      assert(count(p, "graft_topk_words") >= 2,
+        s"$q: top-k must ride the partial+final heap aggregate:\n$p")
+      // ... and the window formulation must really be gone: no Window
+      // node may sort the (doc, term) stream at corpus width
+      assert(!p.contains("WindowGroupLimit") && !p.contains("Window "),
+        s"$q: the row_number window must not reappear:\n$p")
       // tf rows come from the row-local pair kernel, not a token explode
-      assert(p.contains("graft_term_tf"),
+      assert(p.contains("graft_term_tf") || p.contains("InMemoryTableScan"),
         s"$q: tf must ride the pair kernel:\n$p")
       assert(!p.contains("regexp_extract_all"),
         s"$q: no regex-engine tokenization in the plan:\n$p")

@@ -164,4 +164,25 @@ class PqIndexSpec extends SparkSpec {
     assert(clusters.length == 1,
       s"nprobe=1 single query must read exactly one cluster directory, got ${clusters.toSeq}")
   }
+
+  test("pqEncodeAssigned equals pqEncode joined back to cluster (r21 join removal)") {
+    // the r21 build-path optimization: cluster rides the encode's group
+    // keys instead of a corpus-grain v_id join after the fact — rows
+    // must match the join form field-for-field
+    val b = graft.functions.VectorFunctions.attach(corpus)
+      .select($"vec_id".as("v_id"), $"embedding".as("vec"))
+    val coarse = graft.ops.Similarity.kmeansCentroids(
+      corpus, "vec_id", "embedding", nCentroids = 4, iters = 2)
+    val assigned = graft.ops.Similarity.assignClusters(b, broadcast(coarse))
+    val cent = Pq.pqCentroids(assigned, "v_id", "vec", dim = 8, m = 2, kSub = 8, iters = 2)
+    val got = Pq.pqEncodeAssigned(assigned, cent, m = 2, w = 4)
+      .select($"v_id", $"codes", $"xn2", $"cluster")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2), r.getLong(3)))
+    val want = Pq.pqEncode(assigned, "v_id", "vec", cent, m = 2, w = 4)
+      .join(assigned.select($"v_id", $"cluster"), Seq("v_id"))
+      .select($"v_id", $"codes", $"xn2", $"cluster")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2), r.getLong(3)))
+    assert(got.sortBy(_._1).sameElements(want.sortBy(_._1)),
+      "carrying cluster through the encode aggregates must not change a single code row")
+  }
 }
