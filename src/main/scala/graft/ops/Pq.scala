@@ -127,13 +127,20 @@ object Pq {
       .select(col("v_id").as("q_id"),
         (col("sub") * kSub + col("cent_id")).cast("int").as("gi"),
         expr("graft_dot(svec, c_vec)").as("dot"))
-    val grid = queries.select(col("v_id").as("q_id"))
-      .withColumn("gi", explode(expr(s"sequence(0, ${m * kSub - 1})")))
-    val flat = grid.join(qdots, Seq("q_id", "gi"), "left")
-      .groupBy(col("q_id"))
-      .agg(array_sort(collect_list(struct(col("gi"),
-        coalesce(col("dot"), lit(0.0)).as("d")))).as("g"))
-      .select(col("q_id"), expr("transform(g, x -> x.d)").as("flat"))
+    // zero-fill the (sub × kSub) grid by MAP LOOKUP over one aggregate
+    // (r21): the old shape exploded a full grid frame and left-joined
+    // it back on (q_id, gi) — two extra exchanges per LUT build purely
+    // to materialize holes a transform(sequence(...)) fills for free.
+    // (q_id, gi) is unique by construction (gi = sub·kSub + cent_id),
+    // so map_from_entries cannot collide; transform over the ascending
+    // sequence IS the array_sort-by-gi order, and absent keys yield the
+    // same 0.0 the left join's coalesce produced — value-identical.
+    // try_element_at, not gm[gi]: ANSI mode makes plain map access
+    // THROW on the missing keys the zero-fill exists for.
+    val flat = qdots.groupBy(col("q_id"))
+      .agg(map_from_entries(collect_list(struct(col("gi"), col("dot")))).as("gm"))
+      .select(col("q_id"), expr(
+        s"transform(sequence(0, ${m * kSub - 1}), gi -> coalesce(try_element_at(gm, gi), cast(0.0 AS DOUBLE)))").as("flat"))
     val qn = queries.select(col("v_id").as("q_id"), expr("graft_dot(vec, vec)").as("q2"))
     flat.join(qn, Seq("q_id"))
   }

@@ -55,14 +55,17 @@ object ProbeR21Tfidf {
       graft.ops.Caches.releaseAll()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
-    for (r <- 1 to 3; (q, grain) <- variants) {
+    // alternate pair order per rep: a fixed order would hand the
+    // second form a page-cache/JIT warmth edge every time
+    for (r <- 1 to 4; (q, grain) <- variants) {
       val docs = graft.queries.Queries.tfidfVariantDocs(q)(spark, dir)
-      time(s"$q HEAP   rep$r")(
+      def heap(): Unit = time(s"$q HEAP   rep$r")(
         graft.ops.TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 3,
           wordGrain = grain).queryExecution.toRdd.count())
-      time(s"$q WINDOW rep$r")(
+      def win(): Unit = time(s"$q WINDOW rep$r")(
         graft.ops.TextAnalysis.tfidfKeywordsWindow(docs, "doc_id", "text", 3,
           grain).queryExecution.toRdd.count())
+      if (r % 2 == 1) { heap(); win() } else { win(); heap() }
     }
     spark.stop()
   }
